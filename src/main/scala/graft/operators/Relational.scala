@@ -1,0 +1,494 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Tables => T, QueryPack}
+import graft.functions.Exact
+
+/** Relational operator surface (joins, aggregations, windows, set ops,
+  * subqueries, scalar functions) over the TPC-H-ish tables.
+  *
+  * The reference (`/root/reference`) implements none of these — SURVEY.md
+  * §2 "operator categories with NO reference implementation" — so they
+  * are expressed on stock Spark SQL and Catalyst does the optimization
+  * (predicate pushdown, column pruning, broadcast-join selection, AQE).
+  *
+  * Determinism conventions (the driver hash-compares against DuckDB):
+  *  - every double aggregate is `round(_, 2..6)`;
+  *  - every computed integer is cast to BIGINT (DuckDB's default int width);
+  *  - every LIMIT is preceded by a total order (unique-key tie-break);
+  *  - `sum(<int>)` in oracle SQL is cast from HUGEINT back to BIGINT.
+  *
+  * Scale notes (100 TB): dims (`region`, `nation`, `supplier`, `part`,
+  * `customer`) are broadcast explicitly; fact-fact joins shuffle on
+  * their join key only after filters are pushed below the join; window
+  * queries partition by high-cardinality keys (no single-partition
+  * global windows anywhere).
+  */
+object Relational extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scans / filters / projections -------------------------------
+    "q01_pricing_summary" -> ((s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .filter($"l_shipdate" <= lit("1999-12-31").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          Exact.sumMoney($"l_extendedprice").as("sum_base_price"),
+          Exact.sumRevenue($"l_extendedprice", $"l_discount").as("sum_disc_price"),
+          Exact.sumCharge($"l_extendedprice", $"l_discount", $"l_tax").as("sum_charge"),
+          round(avg($"l_quantity"), 4).as("avg_qty"),
+          round(avg($"l_extendedprice"), 4).as("avg_price"),
+          round(avg($"l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    "q02_filter_project" -> ((s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .filter($"l_shipdate".between(lit("1996-01-01").cast("timestamp"),
+                                      lit("1996-12-31").cast("timestamp")) &&
+                $"l_discount".between(0.02, 0.08) && $"l_quantity" < 10)
+        .select($"l_orderkey", $"l_linenumber".cast("bigint").as("l_linenumber"),
+          round($"l_extendedprice" * (lit(1) - $"l_discount"), 2).as("net_price"),
+          year($"l_shipdate").cast("bigint").as("ship_year"))
+    }),
+
+    // ---- joins -------------------------------------------------------
+    "q03_shipping_priority" -> ((s, d) => {
+      import s.implicits._
+      val cust = T.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+      val ord  = T.orders(s, d).filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      val li   = T.lineitem(s, d).filter($"l_shipdate" > lit("1997-01-01").cast("timestamp"))
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .groupBy($"o_orderkey", $"o_orderdate".cast("date").as("o_orderdate"), $"o_orderpriority")
+        .agg(Exact.sumRevenue($"l_extendedprice", $"l_discount").as("revenue"))
+        .filter($"revenue" > 300000.0)
+    }),
+
+    "q04_exists_semi_join" -> ((s, d) => {
+      import s.implicits._
+      val late = T.lineitem(s, d)
+        .join(T.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+        .select($"l_orderkey")
+      T.orders(s, d)
+        .join(late, $"o_orderkey" === late("l_orderkey"), "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    "q05_local_supplier_volume" -> ((s, d) => {
+      import s.implicits._
+      val asia = T.region(s, d).filter($"r_name" === "ASIA")
+      val nat  = T.nation(s, d).join(broadcast(asia), $"n_regionkey" === $"r_regionkey")
+      val cust = T.customer(s, d).join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      val ord  = T.orders(s, d)
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+                $"o_orderdate" <  lit("1999-01-01").cast("timestamp"))
+      val supp = T.supplier(s, d)
+      T.lineitem(s, d)
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(broadcast(supp), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .groupBy($"n_name")
+        .agg(Exact.sumRevenue($"l_extendedprice", $"l_discount").as("revenue"))
+    }),
+
+    "q06_revenue_forecast" -> ((s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+                $"l_shipdate" <  lit("1997-01-01").cast("timestamp") &&
+                $"l_discount".between(0.03, 0.07) && $"l_quantity" < 25)
+        .agg(Exact.sumPriceTimesDisc($"l_extendedprice", $"l_discount").as("revenue"))
+    }),
+
+    "q07_nation_volume" -> ((s, d) => {
+      import s.implicits._
+      val n1 = T.nation(s, d).select($"n_nationkey".as("ck"), $"n_name".as("cust_nation"))
+      val n2 = T.nation(s, d).select($"n_nationkey".as("sk"), $"n_name".as("supp_nation"))
+      T.lineitem(s, d)
+        .join(T.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(T.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .join(broadcast(T.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(n1), $"c_nationkey" === $"ck")
+        .join(broadcast(n2), $"s_nationkey" === $"sk")
+        .filter($"cust_nation".isin("NATION_1", "NATION_2") &&
+                $"supp_nation".isin("NATION_3", "NATION_4"))
+        .groupBy($"cust_nation", $"supp_nation",
+                 year($"l_shipdate").cast("bigint").as("l_year"))
+        .agg(Exact.sumRevenue($"l_extendedprice", $"l_discount").as("volume"))
+    }),
+
+    "q08_customer_order_stats" -> ((s, d) => {
+      import s.implicits._
+      val ord = T.orders(s, d)
+      T.customer(s, d)
+        .join(ord, $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_custkey", $"c_name", $"c_mktsegment")
+        .agg(
+          count($"o_orderkey").as("n_orders"),
+          coalesce(Exact.unitsToMoney(sum(Exact.cents($"o_totalprice")), 100L), lit(0.0)).as("total_spent"),
+          round(coalesce(max($"o_totalprice"), lit(0.0)), 2).as("max_order"))
+    }),
+
+    "q22_full_outer" -> ((s, d) => {
+      import s.implicits._
+      val c = T.customer(s, d).groupBy($"c_nationkey".as("nk_c"))
+        .agg(count(lit(1)).as("n_cust"))
+      val p = T.supplier(s, d).groupBy($"s_nationkey".as("nk_s"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(p, $"nk_c" === $"nk_s", "full_outer")
+        .select(
+          coalesce($"nk_c", $"nk_s").cast("bigint").as("nationkey"),
+          coalesce($"n_cust", lit(0L)).as("n_cust"),
+          coalesce($"n_supp", lit(0L)).as("n_supp"))
+    }),
+
+    // ---- window functions -------------------------------------------
+    "q09_window_topk_per_group" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      T.orders(s, d)
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter($"rn" <= 3)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+    }),
+
+    "q10_running_total" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"l_suppkey")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.lineitem(s, d)
+        .filter(year($"l_shipdate") === 1997)
+        .withColumn("running_rev",
+          Exact.unitsToMoney(
+            sum(Exact.cents($"l_extendedprice") * (lit(100L) - Exact.cents($"l_discount"))).over(w),
+            10000L))
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber".cast("bigint").as("l_linenumber"),
+                $"running_rev")
+    }),
+
+    "q11_lag_lead" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      T.orders(s, d)
+        .filter($"o_custkey" < 200)
+        .select($"o_custkey", $"o_orderkey",
+          round(coalesce($"o_totalprice" - lag($"o_totalprice", 1).over(w), lit(0.0)), 2).as("delta_prev"),
+          round(coalesce(lead($"o_totalprice", 1).over(w), lit(0.0)), 2).as("next_price"),
+          ntile(4).over(w).cast("bigint").as("quartile"))
+    }),
+
+    // ---- grouping sets / rollup / cube ------------------------------
+    "q12_rollup" -> ((s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(grouping_id().cast("bigint").as("gid"),
+             round(sum($"l_quantity"), 2).as("sum_qty"),
+             count(lit(1)).as("n"))
+    }),
+
+    "q13_cube" -> ((s, d) => {
+      import s.implicits._
+      T.orders(s, d)
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(grouping_id().cast("bigint").as("gid"),
+             count(lit(1)).as("n"),
+             Exact.sumMoney($"o_totalprice").as("total"))
+    }),
+
+    // ---- set operations ---------------------------------------------
+    "q14_set_ops" -> ((s, d) => {
+      import s.implicits._
+      val building = T.customer(s, d).filter($"c_mktsegment" === "BUILDING").select($"c_custkey".as("k"))
+      val bigBuyers = T.orders(s, d).filter($"o_totalprice" > 400000.0)
+        .select($"o_custkey".as("k")).distinct()
+      building.intersect(bigBuyers).select(lit("intersect").as("tag"), $"k")
+        .unionAll(building.except(bigBuyers).select(lit("except").as("tag"), $"k"))
+    }),
+
+    // ---- sorts / top-k ----------------------------------------------
+    "q15_topk_global" -> ((s, d) => {
+      import s.implicits._
+      T.orders(s, d)
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .limit(100)
+    }),
+
+    // ---- aggregation variants ---------------------------------------
+    "q16_distinct_agg" -> ((s, d) => {
+      import s.implicits._
+      T.customer(s, d)
+        .groupBy($"c_mktsegment")
+        .agg(
+          countDistinct($"c_nationkey").as("n_nations"),
+          count(lit(1)).as("n_cust"),
+          round(sum_distinct(round($"c_acctbal", 0)), 1).as("sum_distinct_bal"))
+    }),
+
+    "q17_having" -> ((s, d) => {
+      import s.implicits._
+      T.part(s, d)
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n_parts"),
+             round(avg($"p_retailprice"), 2).as("avg_price"))
+        .filter($"n_parts" > 50 && $"avg_price" > 500.0)
+    }),
+
+    // ---- subqueries --------------------------------------------------
+    "q18_scalar_subquery" -> ((s, d) => {
+      import s.implicits._
+      val avgPrice = T.part(s, d).agg(avg($"p_retailprice").as("ap"))
+      T.part(s, d).join(broadcast(avgPrice))
+        .filter($"p_retailprice" > $"ap" * 1.2)
+        .select($"p_partkey", $"p_name", $"p_retailprice")
+    }),
+
+    "q19_anti_join" -> ((s, d) => {
+      import s.implicits._
+      val o95 = T.orders(s, d)
+        .filter(year($"o_orderdate") === 1995).select($"o_custkey")
+      T.customer(s, d)
+        .join(o95, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_inactive"))
+    }),
+
+    // ---- scalar functions -------------------------------------------
+    "q20_scalar_funcs" -> ((s, d) => {
+      import s.implicits._
+      T.orders(s, d)
+        .filter($"o_orderkey" < 500)
+        .select(
+          $"o_orderkey",
+          upper(substring($"o_orderpriority", 1, 3)).as("pri3"),
+          concat($"o_orderstatus", lit("-"), $"o_orderpriority").as("status_pri"),
+          length($"o_orderpriority").cast("bigint").as("pri_len"),
+          year($"o_orderdate").cast("bigint").as("yr"),
+          month($"o_orderdate").cast("bigint").as("mo"),
+          dayofmonth($"o_orderdate").cast("bigint").as("dom"),
+          datediff($"o_orderdate", lit("1995-01-01").cast("timestamp")).cast("bigint").as("days_since"),
+          round(sqrt($"o_totalprice"), 4).as("sqrt_price"),
+          round(log($"o_totalprice"), 4).as("ln_price"),
+          round(pow($"o_totalprice", 0.25), 4).as("price_4rt"),
+          (abs(ceil($"o_totalprice") - floor($"o_totalprice"))).cast("bigint").as("frac_flag"),
+          pmod($"o_orderkey", lit(7)).cast("bigint").as("key_mod7"))
+    }),
+
+    // ---- pivot -------------------------------------------------------
+    "q21_pivot" -> ((s, d) => {
+      import s.implicits._
+      T.orders(s, d)
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+        .select($"o_orderpriority",
+          coalesce($"F", lit(0L)).as("F"),
+          coalesce($"O", lit(0L)).as("O"),
+          coalesce($"P", lit(0L)).as("P"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  ${Exact.sumMoneySql("l_extendedprice")} AS sum_base_price,
+        |  ${Exact.sumRevenueSql("l_extendedprice", "l_discount")} AS sum_disc_price,
+        |  ${Exact.sumChargeSql("l_extendedprice", "l_discount", "l_tax")} AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1999-12-31'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  round(l_extendedprice * (1 - l_discount), 2) AS net_price,
+        |  CAST(year(l_shipdate) AS BIGINT) AS ship_year
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        |  AND l_discount BETWEEN 0.02 AND 0.08 AND l_quantity < 10""".stripMargin,
+
+    "q03_shipping_priority" ->
+      s"""SELECT * FROM (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+        |    ${Exact.sumRevenueSql("l_extendedprice", "l_discount")} AS revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |    AND l_shipdate > TIMESTAMP '1997-01-01'
+        |  GROUP BY o_orderkey, CAST(o_orderdate AS DATE), o_orderpriority) t
+        |WHERE revenue > 300000.0""".stripMargin,
+
+    "q04_exists_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q05_local_supplier_volume" ->
+      s"""SELECT n_name,
+        |  ${Exact.sumRevenueSql("l_extendedprice", "l_discount")} AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1999-01-01'
+        |GROUP BY n_name""".stripMargin,
+
+    "q06_revenue_forecast" ->
+      s"""SELECT ${Exact.sumPriceTimesDiscSql("l_extendedprice", "l_discount")} AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 25""".stripMargin,
+
+    "q07_nation_volume" ->
+      s"""SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  ${Exact.sumRevenueSql("l_extendedprice", "l_discount")} AS volume
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n2.n_name IN ('NATION_3', 'NATION_4')
+        |GROUP BY n1.n_name, n2.n_name, CAST(year(l_shipdate) AS BIGINT)""".stripMargin,
+
+    "q08_customer_order_stats" ->
+      s"""SELECT c_custkey, c_name, c_mktsegment,
+        |  count(o_orderkey) AS n_orders,
+        |  coalesce(${Exact.unitsToMoneySql("sum(" + Exact.centsSql("o_totalprice") + ")", 100L)}, 0.0) AS total_spent,
+        |  round(coalesce(max(o_totalprice), 0.0), 2) AS max_order
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name, c_mktsegment""".stripMargin,
+
+    "q22_full_outer" ->
+      """SELECT CAST(coalesce(nk_c, nk_s) AS BIGINT) AS nationkey,
+        |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS nk_c, count(*) AS n_cust FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS nk_s, count(*) AS n_supp FROM supplier GROUP BY 1) p
+        |ON nk_c = nk_s""".stripMargin,
+
+    "q09_window_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3""".stripMargin,
+
+    "q10_running_total" ->
+      s"""SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  ${Exact.unitsToMoneySql("sum(" + Exact.centsSql("l_extendedprice") + " * (100 - " + Exact.centsSql("l_discount") + ")) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 10000L)} AS running_rev
+        |FROM lineitem
+        |WHERE year(l_shipdate) = 1997""".stripMargin,
+
+    "q11_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(coalesce(o_totalprice - lag(o_totalprice, 1) OVER w, 0.0), 2) AS delta_prev,
+        |  round(coalesce(lead(o_totalprice, 1) OVER w, 0.0), 2) AS next_price,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders
+        |WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "q12_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q13_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS n, ${Exact.sumMoneySql("o_totalprice")} AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q14_set_ops" ->
+      """WITH building AS (
+        |  SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |big_buyers AS (
+        |  SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 400000.0)
+        |SELECT 'intersect' AS tag, k FROM (SELECT k FROM building INTERSECT SELECT k FROM big_buyers)
+        |UNION ALL
+        |SELECT 'except' AS tag, k FROM (SELECT k FROM building EXCEPT SELECT k FROM big_buyers)""".stripMargin,
+
+    "q15_topk_global" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q16_distinct_agg" ->
+      """SELECT c_mktsegment,
+        |  count(DISTINCT c_nationkey) AS n_nations,
+        |  count(*) AS n_cust,
+        |  round(CAST(sum(DISTINCT round(c_acctbal, 0)) AS DOUBLE), 1) AS sum_distinct_bal
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "q17_having" ->
+      """SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 2) AS avg_price
+        |FROM part GROUP BY p_brand
+        |HAVING count(*) > 50 AND round(avg(p_retailprice), 2) > 500.0""".stripMargin,
+
+    "q18_scalar_subquery" ->
+      """SELECT p_partkey, p_name, p_retailprice
+        |FROM part
+        |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part) * 1.2""".stripMargin,
+
+    "q19_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_inactive
+        |FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q20_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  upper(substr(o_orderpriority, 1, 3)) AS pri3,
+        |  o_orderstatus || '-' || o_orderpriority AS status_pri,
+        |  CAST(length(o_orderpriority) AS BIGINT) AS pri_len,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+        |  round(sqrt(o_totalprice), 4) AS sqrt_price,
+        |  round(ln(o_totalprice), 4) AS ln_price,
+        |  round(pow(o_totalprice, 0.25), 4) AS price_4rt,
+        |  CAST(abs(ceil(o_totalprice) - floor(o_totalprice)) AS BIGINT) AS frac_flag,
+        |  CAST(o_orderkey % 7 AS BIGINT) AS key_mod7
+        |FROM orders WHERE o_orderkey < 500""".stripMargin,
+
+    "q21_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F,
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O,
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P
+        |FROM orders GROUP BY o_orderpriority""".stripMargin
+  )
+}
