@@ -40,9 +40,11 @@ object Exact {
 
   def unitsToMoneySql(e: String, unitsPerDollar: Long): String = {
     val d = unitsPerDollar / 100
+    // pmod-equivalent (always-non-negative remainder) so negative sums
+    // round identically to the Spark side's pmod.
     val adj =
       if (d <= 1) s"($e)"
-      else s"(($e) + ${d / 2} - (($e) + ${d / 2}) % $d)"
+      else s"(($e) + ${d / 2} - (((($e) + ${d / 2}) % $d) + $d) % $d)"
     s"(CAST($adj AS DOUBLE) / ${unitsPerDollar.toDouble})"
   }
 

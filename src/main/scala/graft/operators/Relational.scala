@@ -20,11 +20,13 @@ import graft.functions.Exact
   *  - every LIMIT is preceded by a total order (unique-key tie-break);
   *  - `sum(<int>)` in oracle SQL is cast from HUGEINT back to BIGINT.
   *
-  * Scale notes (100 TB): dims (`region`, `nation`, `supplier`, `part`,
-  * `customer`) are broadcast explicitly; fact-fact joins shuffle on
-  * their join key only after filters are pushed below the join; window
-  * queries partition by high-cardinality keys (no single-partition
-  * global windows anywhere).
+  * Scale notes (100 TB): only true bounded dims (`region`, `nation`)
+  * are broadcast explicitly — `customer`/`supplier`/`part` scale with
+  * data size, so their joins are left to AQE/broadcast-threshold
+  * selection (shuffle joins on their keys at scale); fact-fact joins
+  * shuffle on their join key only after filters are pushed below the
+  * join; window queries partition by high-cardinality keys (no
+  * single-partition global windows anywhere).
   */
 object Relational extends QueryPack {
 
@@ -64,7 +66,7 @@ object Relational extends QueryPack {
       val ord  = T.orders(s, d).filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
       val li   = T.lineitem(s, d).filter($"l_shipdate" > lit("1997-01-01").cast("timestamp"))
       li.join(ord, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
         .groupBy($"o_orderkey", $"o_orderdate".cast("date").as("o_orderdate"), $"o_orderpriority")
         .agg(Exact.sumRevenue($"l_extendedprice", $"l_discount").as("revenue"))
         .filter($"revenue" > 300000.0)
@@ -72,12 +74,14 @@ object Relational extends QueryPack {
 
     "q04_exists_semi_join" -> ((s, d) => {
       import s.implicits._
-      val late = T.lineitem(s, d)
+      // EXISTS via a single orders scan: join once, keep distinct
+      // qualifying orders, then aggregate — equivalent to the semi join
+      // but with one orders shuffle instead of two.
+      T.lineitem(s, d)
         .join(T.orders(s, d), $"l_orderkey" === $"o_orderkey")
         .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
-        .select($"l_orderkey")
-      T.orders(s, d)
-        .join(late, $"o_orderkey" === late("l_orderkey"), "left_semi")
+        .select($"o_orderkey", $"o_orderpriority")
+        .distinct()
         .groupBy($"o_orderpriority")
         .agg(count(lit(1)).as("order_count"))
     }),
@@ -91,10 +95,12 @@ object Relational extends QueryPack {
         .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
                 $"o_orderdate" <  lit("1999-01-01").cast("timestamp"))
       val supp = T.supplier(s, d)
+      // customer/supplier scale with data — no broadcast hints; AQE
+      // picks shuffle joins on their keys at scale.
       T.lineitem(s, d)
         .join(ord, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
-        .join(broadcast(supp), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
+        .join(supp, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
         .groupBy($"n_name")
         .agg(Exact.sumRevenue($"l_extendedprice", $"l_discount").as("revenue"))
     }),
@@ -114,8 +120,8 @@ object Relational extends QueryPack {
       val n2 = T.nation(s, d).select($"n_nationkey".as("sk"), $"n_name".as("supp_nation"))
       T.lineitem(s, d)
         .join(T.orders(s, d), $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(T.customer(s, d)), $"o_custkey" === $"c_custkey")
-        .join(broadcast(T.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+        .join(T.customer(s, d), $"o_custkey" === $"c_custkey")
+        .join(T.supplier(s, d), $"l_suppkey" === $"s_suppkey")
         .join(broadcast(n1), $"c_nationkey" === $"ck")
         .join(broadcast(n2), $"s_nationkey" === $"sk")
         .filter($"cust_nation".isin("NATION_1", "NATION_2") &&
@@ -247,9 +253,16 @@ object Relational extends QueryPack {
     // ---- subqueries --------------------------------------------------
     "q18_scalar_subquery" -> ((s, d) => {
       import s.implicits._
-      val avgPrice = T.part(s, d).agg(avg($"p_retailprice").as("ap"))
-      T.part(s, d).join(broadcast(avgPrice))
-        .filter($"p_retailprice" > $"ap" * 1.2)
+      // Threshold compare in exact integer space (cents * count vs
+      // sum-of-cents * multiplier) — a raw double avg threshold can
+      // flip rows within 1 ulp between engines/partition counts.
+      // p > avg*1.05  ⟺  cents(p) * 100 * n > sum_cents * 105
+      val stats = T.part(s, d)
+        .agg(sum(Exact.cents($"p_retailprice")).as("sum_cents"),
+             count(lit(1)).as("n"))
+      T.part(s, d).join(broadcast(stats))
+        .filter(Exact.cents($"p_retailprice") * lit(100L) * $"n" >
+                $"sum_cents" * lit(105L))
         .select($"p_partkey", $"p_name", $"p_retailprice")
     }),
 
@@ -456,9 +469,10 @@ object Relational extends QueryPack {
         |HAVING count(*) > 50 AND round(avg(p_retailprice), 2) > 500.0""".stripMargin,
 
     "q18_scalar_subquery" ->
-      """SELECT p_partkey, p_name, p_retailprice
+      s"""SELECT p_partkey, p_name, p_retailprice
         |FROM part
-        |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part) * 1.2""".stripMargin,
+        |WHERE ${Exact.centsSql("p_retailprice")} * 100 * (SELECT count(*) FROM part)
+        |    > (SELECT sum(${Exact.centsSql("p_retailprice")}) FROM part) * 105""".stripMargin,
 
     "q19_anti_join" ->
       """SELECT c_mktsegment, count(*) AS n_inactive
