@@ -1,0 +1,160 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.{QueryPack, Tables => T}
+import graft.sources.shard.{ShardServiceRegistry, ShardSink}
+
+/** Declared queries exercising the `shardstream` source/sink end-to-end
+  * (SURVEY §2 S1–S16, §7.2). Each seeds the in-memory shard service
+  * deterministically from the `events` parquet table, replays it
+  * through the DSv2 source, and is verified against a DuckDB oracle on
+  * the same parquet — so the whole source → decode → analytics path is
+  * under the hash-match gate.
+  *
+  * The driver-side seeding loop is the TEST HARNESS half (the
+  * reference seeds its fixture the same way,
+  * `ShardPublisherVerification.scala:40-52`) — the operator path
+  * (source read, decode, aggregate) is fully distributed; nothing in
+  * the query plans collects to the driver.
+  */
+object Streams extends QueryPack {
+
+  private val sinkCounter = new AtomicInteger(0)
+
+  /** Stable per-dir stream suffix so sf0.001/sf0.01/sf0.1 coexist in
+    * one JVM without cross-talk. */
+  private def sfx(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  private val payloadSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts_us", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** Seed a `numShards`-shard stream with the events table: payload =
+    * canonical JSON of the row, partitionKey = user_id, appended in
+    * (event_id) order — per-shard order is then event_id order for the
+    * users routed there. Idempotent per (stream) within the JVM. */
+  private def seedEventsJson(s: SparkSession, dir: String, name: String,
+                             numShards: Int): Unit = synchronized {
+    if (ShardServiceRegistry.exists(name)) return
+    val stream = ShardServiceRegistry.create(name, numShards)
+    val rows = T.events(s, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy("event_id").collect()
+    rows.foreach { r =>
+      val json =
+        s"""{"event_id":${r.getLong(0)},"ts_us":${r.getLong(1)},""" +
+          s""""user_id":${r.getLong(2)},"event_type":"${r.getString(3)}",""" +
+          s""""value":${r.getDouble(4)}}"""
+      stream.putRecord(r.getLong(2).toString, json.getBytes(UTF_8), None)
+    }
+  }
+
+  /** Single-shard fixture in the reference TCK's exact shape: constant
+    * partition key, payload = event_type bytes, strict append order
+    * (`ShardPublisherVerification.scala:42-52`). */
+  private def seedEventsSingleShard(s: SparkSession, dir: String, name: String): Unit =
+    synchronized {
+      if (ShardServiceRegistry.exists(name)) return
+      val stream = ShardServiceRegistry.create(name, 1)
+      val rows = T.events(s, dir)
+        .select(col("event_id"), col("event_type")).orderBy("event_id").collect()
+      rows.foreach(r => stream.putRecord("partitionKey", r.getString(1).getBytes(UTF_8), None))
+    }
+
+  /** Run a streaming DataFrame through Trigger.AvailableNow into a
+    * memory sink and return the materialized table (S9 completion). */
+  private def drain(s: SparkSession, df: DataFrame): DataFrame = {
+    val qn = s"shardstream_out_${sinkCounter.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(qn)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(qn)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1+S3+S4+S7+S16: multi-shard replay, JSON decode, full round-trip.
+    "s01_stream_roundtrip" -> ((s, d) => {
+      val name = s"events_rt_${sfx(d)}"
+      seedEventsJson(s, d, name, numShards = 4)
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", "50000")
+        .load()
+      drain(s, raw.select(
+        from_json(col("data").cast("string"), payloadSchema).as("e"))
+        .select("e.event_id", "e.ts_us", "e.user_id", "e.event_type", "e.value"))
+    }),
+
+    // S8+S9+S14: finite take-N with UTF-8 decode — the reference's own
+    // demo dataflow `take(3).map(new String(data))`
+    // (ShardProducerSpec.scala:40-44), N=5 here.
+    "s02_stream_take_n" -> ((s, d) => {
+      val name = s"events_1shard_${sfx(d)}"
+      seedEventsSingleShard(s, d, name)
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxElements", "5")
+        .load()
+      drain(s, raw.select(
+        col("sequenceNumber").cast("bigint").as("seq"),
+        col("data").cast("string").as("event_type")))
+    }),
+
+    // S15 + batch-read path: ordered producer round-trip. Writes all
+    // purchase events through the ordered sink (per-key chained puts),
+    // reads them back through the batch scan, and checks per-key order
+    // end-to-end: first/last by sequence number must equal first/last
+    // by event_id.
+    "s03_sink_roundtrip" -> ((s, d) => {
+      val name = s"events_sink_${sfx(d)}"
+      // fresh stream every run — a second put pass must not double data
+      ShardServiceRegistry.drop(name)
+      ShardServiceRegistry.create(name, 8)
+      val purchases = T.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          col("event_id").cast("string").as("payload"))
+      ShardSink.putOrdered(purchases, name, keyCol = "user_id",
+        payloadCol = "payload", orderCols = Seq("event_id"))
+      val back = s.read.format("shardstream").option("stream", name).load()
+      back.select(col("partitionKey").as("partition_key"),
+          col("sequenceNumber"),
+          col("data").cast("string").cast("bigint").as("eid"))
+        .groupBy("partition_key")
+        .agg(count(lit(1)).as("n"),
+          min_by(col("eid"), col("sequenceNumber")).as("first_eid"),
+          max_by(col("eid"), col("sequenceNumber")).as("last_eid"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "s01_stream_roundtrip" ->
+      """SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |  user_id, event_type, value
+        |FROM events""".stripMargin,
+
+    "s02_stream_take_n" ->
+      """SELECT seq, event_type FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY event_id) - 1 AS BIGINT) AS seq,
+        |    event_type
+        |  FROM events ORDER BY event_id LIMIT 5) t""".stripMargin,
+
+    "s03_sink_roundtrip" ->
+      """SELECT CAST(user_id AS VARCHAR) AS partition_key, count(*) AS n,
+        |  min(event_id) AS first_eid, max(event_id) AS last_eid
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id""".stripMargin)
+}
