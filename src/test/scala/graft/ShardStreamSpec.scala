@@ -1,0 +1,330 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.shard._
+
+/** TCK-spirit behavioral suite for the `shardstream` source/sink —
+  * replicates the *spirit* of the reference's Reactive Streams TCK
+  * conformance run (`ShardPublisherVerification.scala:15-16`, SURVEY §5):
+  * start positions, per-shard order, bounded batches, finite take-N
+  * termination, stop/cancel, error propagation, multi-shard planning,
+  * and the ordered producer half — against the deterministic in-memory
+  * shard service instead of live AWS.
+  */
+class ShardStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val nameCounter = new AtomicInteger(0)
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("shardstream-spec")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def freshName(prefix: String): String =
+    s"${prefix}_${nameCounter.incrementAndGet()}"
+
+  /** The reference TCK fixture: 1 shard, 10 ordered `testData-%d`
+    * records, constant partition key, chained sequence numbers
+    * (`ShardPublisherVerification.scala:40-52`). */
+  private def seeded10(): String = {
+    val name = freshName("tck10")
+    val s = ShardServiceRegistry.create(name, 1)
+    var prev: Option[Long] = None
+    (0 until 10).foreach { i =>
+      prev = Some(s.putRecord("partitionKey", s"testData-$i".getBytes(UTF_8), prev))
+    }
+    name
+  }
+
+  /** 4-shard fixture, round-robin keys (FIXTURES.md §A.5). */
+  private def seededMulti(n: Int): String = {
+    val name = freshName("multi4")
+    val s = ShardServiceRegistry.create(name, 4)
+    (0 until n).foreach(i => s.putRecord(s"key-${i % 8}", s"payload-$i".getBytes(UTF_8), None))
+    name
+  }
+
+  private def readStreamDf(stream: String, extra: Map[String, String] = Map.empty): DataFrame = {
+    var r = spark.readStream.format("shardstream").option("stream", stream)
+    extra.foreach { case (k, v) => r = r.option(k, v) }
+    r.load()
+  }
+
+  /** Drain an AvailableNow run into a memory table; returns collected rows
+    * (payload decoded) in sink arrival order. */
+  private def drain(df: DataFrame, checkpoint: Option[String] = None): DataFrame = {
+    val qn = freshName("out")
+    var w = df.writeStream.format("memory").queryName(qn).trigger(Trigger.AvailableNow())
+    checkpoint.foreach(c => w = w.option("checkpointLocation", c))
+    val q = w.start()
+    q.awaitTermination()
+    spark.table(qn)
+  }
+
+  private def payloads(df: DataFrame): Seq[String] =
+    df.select(col("data").cast("string")).collect().map(_.getString(0)).toSeq
+
+  // ---- service unit behavior ----------------------------------------
+
+  test("service: sequence numbers are monotone and per-key chaining is enforced") {
+    val s = ShardServiceRegistry.create(freshName("svc"), 2)
+    val s0 = s.putRecord("a", "x".getBytes(UTF_8), None)
+    val s1 = s.putRecord("a", "y".getBytes(UTF_8), Some(s0))
+    assert(s1 > s0)
+    // chaining after a stale sequence number is an ordering violation
+    val ex = intercept[ShardServiceException](s.putRecord("a", "z".getBytes(UTF_8), Some(s0)))
+    assert(ex.getMessage.contains("ordering violation"))
+  }
+
+  test("service: shard routing is deterministic and total order holds within a shard") {
+    val s = ShardServiceRegistry.create(freshName("svc"), 4)
+    assert(s.shardFor("user-7") == s.shardFor("user-7"))
+    (0 until 100).foreach(i => s.putRecord(s"k${i % 5}", Array[Byte](i.toByte), None))
+    s.shardIds.foreach { id =>
+      val seqs = s.getRecords(id, 0, 1000).map(_.seq)
+      assert(seqs == seqs.sorted, s"shard $id out of order")
+    }
+  }
+
+  test("service: resolveIndex implements all four iterator types (S1)") {
+    val name = seeded10()
+    val s = ShardServiceRegistry.get(name)
+    val shard = s.shardIds.head
+    assert(s.resolveIndex(shard, IteratorType.TrimHorizon, None) == 0L)
+    assert(s.resolveIndex(shard, IteratorType.Latest, None) == 10L)
+    val seq3 = s.getRecords(shard, 3, 1).head.seq
+    assert(s.resolveIndex(shard, IteratorType.AtSequenceNumber, Some(seq3)) == 3L)
+    assert(s.resolveIndex(shard, IteratorType.AfterSequenceNumber, Some(seq3)) == 4L)
+  }
+
+  test("offset JSON round-trips exactly") {
+    val o = ShardStreamOffset(Map("shardId-000000000001" -> 5L, "shardId-000000000000" -> 7L))
+    assert(ShardStreamOffset.fromJson(o.json()) == o)
+    assert(o.json() == """{"shardId-000000000000":7,"shardId-000000000001":5}""")
+  }
+
+  // ---- start positions (S1) -----------------------------------------
+
+  test("trim_horizon replays everything in order") {
+    val got = payloads(drain(readStreamDf(seeded10())))
+    assert(got == (0 until 10).map(i => s"testData-$i"))
+  }
+
+  test("latest sees nothing already in the stream") {
+    val df = drain(readStreamDf(seeded10(), Map("startingPosition" -> "latest")))
+    assert(df.count() == 0)
+  }
+
+  test("at_sequence_number starts inclusively; after_sequence_number exclusively") {
+    val name = seeded10()
+    val s = ShardServiceRegistry.get(name)
+    val seq5 = s.getRecords(s.shardIds.head, 5, 1).head.seq
+    val at = payloads(drain(readStreamDf(name,
+      Map("startingPosition" -> s"at_sequence_number:$seq5"))))
+    assert(at == (5 until 10).map(i => s"testData-$i"))
+    val after = payloads(drain(readStreamDf(name,
+      Map("startingPosition" -> s"after_sequence_number:$seq5"))))
+    assert(after == (6 until 10).map(i => s"testData-$i"))
+  }
+
+  // ---- finite take-N (S8/S9) ----------------------------------------
+
+  test("maxElements bounds the read (take 1, 3, 10) and completes") {
+    for (n <- Seq(1, 3, 10)) {
+      val got = payloads(drain(readStreamDf(seeded10(), Map("maxElements" -> n.toString))))
+      assert(got == (0 until n).map(i => s"testData-$i"), s"maxElements=$n")
+    }
+  }
+
+  test("maxElements beyond available yields all available (budget not exhausted)") {
+    val got = payloads(drain(readStreamDf(seeded10(), Map("maxElements" -> "99"))))
+    assert(got.size == 10)
+  }
+
+  test("maxElements=-1 means unbounded (the TCK's 0 -> -1 mapping target)") {
+    // ShardPublisherVerification.scala:62 maps elements==0 to -1;
+    // -1 is the unbounded sentinel here exactly as in the reference
+    // (ShardSubscription.java:67-68).
+    val got = payloads(drain(readStreamDf(seeded10(), Map("maxElements" -> "-1"))))
+    assert(got.size == 10)
+  }
+
+  test("maxElements allocates across shards deterministically in shardId order") {
+    val name = seededMulti(12)
+    val df = drain(readStreamDf(name, Map("maxElements" -> "5")))
+    assert(df.count() == 5)
+    // allocation fills shardId-000...0 first, then the next shard, etc.
+    val svc = ShardServiceRegistry.get(name)
+    val perShard = df.groupBy("shardId").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = {
+      var budget = 5L
+      svc.shardIds.map { id =>
+        val take = math.min(svc.size(id), budget); budget -= take; id -> take
+      }.filter(_._2 > 0).toMap
+    }
+    assert(perShard == expected)
+  }
+
+  // ---- bounded batches / admission control (S3/S5) ------------------
+
+  test("maxRecordsPerBatch caps every micro-batch (computed-limit analog)") {
+    val name = seeded10()
+    val qn = freshName("out")
+    val q = readStreamDf(name, Map("maxRecordsPerBatch" -> "3"))
+      .writeStream.format("memory").queryName(qn)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val batches = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+    assert(batches.forall(_ <= 3), s"batch sizes: ${batches.toSeq}")
+    assert(batches.sum == 10)
+    assert(batches.length == 4) // ceil(10/3)
+    assert(spark.table(qn).count() == 10)
+  }
+
+  // ---- per-shard ordering (S7/S16) ----------------------------------
+
+  test("multi-shard read preserves per-shard total order, one partition per shard") {
+    val name = seededMulti(40)
+    val df = drain(readStreamDf(name))
+    val rows = df.select("shardId", "sequenceNumber").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows.length == 40)
+    rows.groupBy(_._1).foreach { case (shard, rs) =>
+      val seqs = rs.map(_._2).toSeq
+      assert(seqs == seqs.sorted, s"shard $shard emitted out of order")
+    }
+    // partition planning: one input partition per non-empty shard
+    val batchDf = spark.read.format("shardstream").option("stream", name).load()
+    assert(batchDf.rdd.getNumPartitions == 4)
+  }
+
+  // ---- resume / checkpoint (S4 upgrade) -----------------------------
+
+  test("offsets checkpoint and resume: second run reads only new records") {
+    val name = seeded10()
+    val cp = Files.createTempDirectory("shardcp").toString
+    // memory sink can't recover from a checkpoint; foreachBatch can
+    def runOnce(): Seq[String] = {
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val q = readStreamDf(name)
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.select(col("data").cast("string")).collect().foreach(r => buf.add(r.getString(0)))
+          ()
+        }
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      buf.toArray(Array.empty[String]).toSeq
+    }
+    assert(runOnce().size == 10)
+    val svc = ShardServiceRegistry.get(name)
+    (10 until 13).foreach(i => svc.putRecord("partitionKey", s"testData-$i".getBytes(UTF_8), None))
+    assert(runOnce().sorted == (10 until 13).map(i => s"testData-$i"))
+  }
+
+  // ---- cancellation (S10) -------------------------------------------
+
+  test("stop() cancels cleanly without error and without fake completion") {
+    val name = seeded10()
+    val qn = freshName("out")
+    val q = readStreamDf(name, Map("maxRecordsPerBatch" -> "2"))
+      .writeStream.format("memory").queryName(qn)
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    // wait for some progress, then cancel mid-stream
+    val deadline = System.currentTimeMillis() + 10000
+    while (q.recentProgress.map(_.numInputRows).sum < 4 && System.currentTimeMillis() < deadline)
+      Thread.sleep(20)
+    q.stop()
+    assert(q.exception.isEmpty, "stop must not surface an error")
+    assert(!q.isActive)
+    // deliberately NOT the reference's cancel-emits-onComplete bug
+    // (ShardSubscription.java:198): stopping is not completion — the
+    // stream can be resumed/re-read afterwards.
+    assert(payloads(drain(readStreamDf(name))).size == 10)
+  }
+
+  // ---- error propagation (S11) --------------------------------------
+
+  test("fetch failure surfaces as StreamingQueryException with the service error") {
+    val name = seeded10()
+    ShardServiceRegistry.injectFailure(name, "getRecords", "boom")
+    try {
+      val qn = freshName("out")
+      val q = readStreamDf(name).writeStream.format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow()).start()
+      val ex = intercept[StreamingQueryException](q.awaitTermination())
+      def chain(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(20).toSeq
+      assert(chain(ex).exists(_.getMessage != null) &&
+        chain(ex).exists(c => c.getMessage != null && c.getMessage.contains("boom")))
+    } finally ShardServiceRegistry.clearFailure(name, "getRecords")
+  }
+
+  test("unknown stream fails the query at planning (discovery error path)") {
+    val ex = intercept[Exception] {
+      drain(readStreamDf("no_such_stream_xyz"))
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(20).toSeq
+    assert(chain(ex).exists(c => c.getMessage != null && c.getMessage.contains("unknown stream")))
+  }
+
+  // ---- multi-subscriber contract delta (S12) ------------------------
+
+  test("multiple concurrent readers are allowed (intentional upgrade over single-subscriber gate)") {
+    // The reference rejects a second subscriber (ShardPublisher.java:58-78);
+    // a DataFrame source is freely re-usable — each query tracks its own
+    // offsets. Assert the new contract.
+    val name = seeded10()
+    val a = drain(readStreamDf(name))
+    val b = drain(readStreamDf(name))
+    assert(a.count() == 10 && b.count() == 10)
+  }
+
+  // ---- producer half (S15) ------------------------------------------
+
+  test("ordered sink: per-key order preserved through a round-trip") {
+    val sp = spark
+    import sp.implicits._
+    val name = freshName("sink")
+    ShardServiceRegistry.create(name, 4)
+    val df = (0 until 100).map(i => (s"key-${i % 7}", i)).toDF("k", "i")
+      .select($"k", $"i", concat(lit("p-"), $"i").as("payload"))
+    ShardSink.putOrdered(df, name, keyCol = "k", payloadCol = "payload", orderCols = Seq("i"))
+    val back = spark.read.format("shardstream").option("stream", name).load()
+      .select($"partitionKey", $"sequenceNumber", col("data").cast("string").as("p"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(back.length == 100)
+    back.groupBy(_._1).foreach { case (key, rs) =>
+      val inSeqOrder = rs.sortBy(_._2).map(_._3).toSeq
+      val expected = (0 until 100).filter(i => s"key-${i % 7}" == key).map(i => s"p-$i")
+      assert(inSeqOrder == expected, s"key $key order broken")
+    }
+  }
+
+  test("empty stream: AvailableNow completes with zero rows (zero-emit poll)") {
+    val name = freshName("empty")
+    ShardServiceRegistry.create(name, 2)
+    assert(drain(readStreamDf(name)).count() == 0)
+  }
+}
