@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables => T}
+import graft.functions.Exact
+
+/** Event-time analytics over the `events` table — the batch-parity
+  * face of the streaming surface (SURVEY §7.3): tumbling / sliding /
+  * session windows, deterministic first-event dedup, JSON prop
+  * extraction, SQL surface, as-of join, and range join. The same
+  * window/session operators run under Structured Streaming with
+  * watermarks in `StreamingEventsSpec` — here each query has a DuckDB
+  * oracle so results sit under the hash-match gate.
+  *
+  * Determinism: window starts/ends are emitted as epoch integers
+  * (seconds for hour-aligned starts, microseconds for session bounds) —
+  * never raw timestamps; money-ish doubles go through Exact.
+  *
+  * Scale notes (100 TB): every window groups by (bucket, key) — a plain
+  * hash aggregation with map-side partials, no global window; the
+  * session query shuffles once on user_id; the as-of join is the
+  * union–sort–window algorithm (one shuffle on user_id, no range
+  * explosion); the range join broadcasts a 4-row literal dim.
+  */
+object Events extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- tumbling window (1 h) --------------------------------------
+    "q23_tumbling_window" -> ((s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), Exact.sumMoney($"value").as("sum_value"))
+        .select(unix_timestamp($"w.start").as("start_s"), $"event_type", $"n", $"sum_value")
+    }),
+
+    // ---- sliding window (2 h window, 1 h slide) ---------------------
+    "q24_sliding_window" -> ((s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .groupBy(window($"ts", "2 hours", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), Exact.sumMoney($"value").as("sum_value"))
+        .select(unix_timestamp($"w.start").as("start_s"), $"event_type", $"n", $"sum_value")
+    }),
+
+    // ---- session window (30 min gap) per user -----------------------
+    "q25_session_window" -> ((s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+        .agg(count(lit(1)).as("n"), Exact.sumMoney($"value").as("sum_value"))
+        .select($"user_id", unix_micros($"w.start").as("sess_start_us"),
+          unix_micros($"w.end").as("sess_end_us"), $"n", $"sum_value")
+    }),
+
+    // ---- deterministic first-event dedup per (user, type) -----------
+    "q26_first_event" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")
+      T.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_type", $"event_id", unix_micros($"ts").as("ts_us"))
+    }),
+
+    // ---- JSON prop extraction (array/map/json category) -------------
+    "q27_json_props" -> ((s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .select($"event_type",
+          from_json($"props", org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType)))).getField("k").as("k"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"k").cast("bigint").as("sum_k"),
+          countDistinct($"k").as("n_distinct_k"))
+    }),
+
+    // ---- SQL surface: same text runs on Spark SQL and DuckDB --------
+    "q28_sql_surface" -> ((s, d) => {
+      T.registerAll(s, d)
+      s.sql(Events.sqlSurfaceText)
+    }),
+
+    // ---- as-of join: latest prior click for each purchase -----------
+    // Scalable shape: union the two event kinds, one shuffle on
+    // user_id, carry the last click forward with an ignore-nulls
+    // running window — no per-row range scan, no join explosion.
+    "q29_asof_join" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      T.events(s, d)
+        .filter($"event_type".isin("click", "purchase"))
+        .select($"user_id", $"ts", $"event_id", $"event_type", $"value",
+          when($"event_type" === "click", $"event_id").as("click_id"))
+        .withColumn("last_click", last($"click_id", ignoreNulls = true).over(w))
+        .filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+          $"last_click")
+    }),
+
+    // ---- range join against a literal tier dim ----------------------
+    "q30_range_join" -> ((s, d) => {
+      import s.implicits._
+      val tiers = Seq(
+        ("t1_low", 0.0, 10.0), ("t2_mid", 10.0, 50.0),
+        ("t3_high", 50.0, 200.0), ("t4_top", 200.0, 1e9))
+        .toDF("tier", "lo", "hi")
+      T.events(s, d)
+        .join(broadcast(tiers), $"value" >= $"lo" && $"value" < $"hi")
+        .groupBy($"tier")
+        .agg(count(lit(1)).as("n"), Exact.sumMoney($"value").as("sum_value"))
+    }))
+
+  /** Engine-portable SQL (Spark SQL + DuckDB dialect intersection). */
+  private val sqlSurfaceText: String =
+    s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+       |  count(*) AS n_orders, ${Exact.sumMoneySql("o_totalprice")} AS total
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q23_tumbling_window" ->
+      s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS start_s,
+        |  event_type, count(*) AS n, ${Exact.sumMoneySql("value")} AS sum_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q24_sliding_window" ->
+      s"""SELECT CAST(epoch(date_trunc('hour', ts) - to_hours(k.k)) AS BIGINT) AS start_s,
+        |  event_type, count(*) AS n, ${Exact.sumMoneySql("value")} AS sum_value
+        |FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q25_session_window" ->
+      s"""WITH marked AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS sess_start_us,
+        |  CAST(epoch_us(max(ts)) + 1800000000 AS BIGINT) AS sess_end_us,
+        |  count(*) AS n, ${Exact.sumMoneySql("value")} AS sum_value
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
+
+    "q26_first_event" ->
+      """SELECT user_id, event_type, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1""".stripMargin,
+
+    "q27_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+        |  count(DISTINCT CAST(props->>'k' AS INTEGER)) AS n_distinct_k
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q28_sql_surface" -> sqlSurfaceText,
+
+    "q29_asof_join" ->
+      """SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, last_click
+        |FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
+        |  FROM events WHERE event_type IN ('click', 'purchase')) t
+        |WHERE event_type = 'purchase'""".stripMargin,
+
+    "q30_range_join" ->
+      s"""SELECT tier, count(*) AS n, ${Exact.sumMoneySql("value")} AS sum_value
+        |FROM events
+        |JOIN (VALUES ('t1_low', 0.0, 10.0), ('t2_mid', 10.0, 50.0),
+        |             ('t3_high', 50.0, 200.0), ('t4_top', 200.0, 1e9)) AS t(tier, lo, hi)
+        |  ON value >= lo AND value < hi
+        |GROUP BY tier""".stripMargin)
+}
