@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables => T}
+
+/** Deduplication operators — exact and near-duplicate — over `events`
+  * and `documents` (the LLM-pipeline dedup surface, SURVEY §7.3).
+  *
+  * Near-dup is banded MinHash LSH end-to-end: shingle → k minhashes →
+  * band buckets → candidate pairs ONLY within buckets → exact-Jaccard
+  * verification of candidates. The plan never forms a cartesian
+  * product: candidate generation is an equi-join on (band, minhash) and
+  * verification is an equi-join of the candidate list back to the
+  * shingle sets. The DuckDB oracle computes ground-truth all-pairs
+  * Jaccard (affordable at verify scale only), so the gate also proves
+  * the LSH recall: with k=32 independent bands a pair at the 0.5
+  * threshold is missed with probability (1-j)^32 ≤ 2e-10.
+  *
+  * Scale notes (100 TB): exact dedup is one hash-groupBy shuffle;
+  * minhash signatures shuffle on (doc, band) then candidates on
+  * (band, hash) — bucket sizes are bounded by collision width, and a
+  * skewed bucket (a boilerplate shingle) can be salted or dropped by a
+  * document-frequency cap without changing the algorithm.
+  */
+object Dedup extends QueryPack {
+
+  private val K = 32 // minhash functions = bands (r=1)
+
+  /** word 3-gram shingle set (docs shorter than 3 tokens excluded). */
+  private def shingles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .filter(size($"w") >= 3)
+      .select($"doc_id", array_distinct(
+        transform(sequence(lit(0), size($"w") - 3),
+          i => concat_ws(" ", element_at($"w", i + 1), element_at($"w", i + 2),
+            element_at($"w", i + 3)))).as("sh"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- exact row-dedup: duplicate detection on events -------------
+    "q35_exact_dedup" -> ((s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .groupBy($"user_id", $"event_type", $"value", $"props")
+        .agg(count(lit(1)).as("n"), min($"event_id").as("keeper_event_id"))
+        .filter($"n" > 1)
+    }),
+
+    // ---- banded MinHash LSH near-dup --------------------------------
+    "q36_minhash_neardup" -> ((s, d) => {
+      import s.implicits._
+      val sh = shingles(s, d).cache()
+      // signatures: (doc_id, band i, minhash_i) — element-wise min over
+      // the doc's shingle hashes; hash_i(x) = xxhash64(i, x)
+      val sig = sh.select($"doc_id", explode($"sh").as("s"))
+        .select($"doc_id", posexplode(
+          transform(sequence(lit(0), lit(K - 1)), i => xxhash64(i, $"s"))))
+        .toDF("doc_id", "band", "h")
+        .groupBy($"doc_id", $"band").agg(min($"h").as("mh"))
+      // candidates: docs colliding in ANY band (r=1) — equi-join on
+      // (band, minhash), never all-pairs
+      val cand = sig.toDF("a", "band", "mh")
+        .join(sig.toDF("b", "band", "mh"), Seq("band", "mh"))
+        .filter($"a" < $"b")
+        .select($"a", $"b").distinct()
+      // exact-Jaccard verification of candidates only
+      val shA = sh.select($"doc_id".as("a"), $"sh".as("sha"))
+      val shB = sh.select($"doc_id".as("b"), $"sh".as("shb"))
+      cand.join(shA, "a").join(shB, "b")
+        .select($"a", $"b",
+          size(array_intersect($"sha", $"shb")).cast("double").as("inter"),
+          size(array_union($"sha", $"shb")).cast("double").as("uni"))
+        .select($"a", $"b", round($"inter" / $"uni", 6).as("jaccard"))
+        .filter($"jaccard" >= 0.5)
+    }),
+
+    // ---- SimHash bucketing ------------------------------------------
+    // 16-bit simhash over the distinct-token set; token bit source is
+    // a 60-bit integer parsed from md5 hex — portable to the oracle.
+    // Buckets with >1 doc are near-dup candidates (identical vocab
+    // profile); output is the bucket summary.
+    "q37_simhash_buckets" -> ((s, d) => {
+      import s.implicits._
+      val toks = T.documents(s, d)
+        .select($"doc_id", explode(array_distinct(split($"text", " "))).as("tk"))
+        .withColumn("h", conv(substring(md5($"tk"), 1, 15), 16, 10).cast("long"))
+      val bitSums: Seq[Column] = (0 until 16).map { j =>
+        val mask = 1L << j
+        sum(when((($"h".bitwiseAND(lit(mask))) > 0), 1).otherwise(-1)).as(s"b$j")
+      }
+      val perDoc = toks.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+      val simhash = (0 until 16).map { j =>
+        when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      perDoc.select($"doc_id", simhash.as("simhash"))
+        .groupBy($"simhash")
+        .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("keeper_doc_id"))
+        .filter($"n_docs" > 1)
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "q35_exact_dedup" ->
+      """SELECT user_id, event_type, value, props, count(*) AS n,
+        |  min(event_id) AS keeper_event_id
+        |FROM events
+        |GROUP BY user_id, event_type, value, props
+        |HAVING count(*) > 1""".stripMargin,
+
+    // ground truth: all-pairs exact Jaccard (verify-scale only)
+    "q36_minhash_neardup" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |d AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM w WHERE len(w) >= 3)
+        |SELECT a, b, jaccard FROM (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+        |  FROM d x JOIN d y ON x.doc_id < y.doc_id) p
+        |WHERE jaccard >= 0.5""".stripMargin,
+
+    "q37_simhash_buckets" -> {
+      val bitSums = (0 until 16).map { j =>
+        val mask = 1L << j
+        s"sum(CASE WHEN (h & $mask) > 0 THEN 1 ELSE -1 END) AS b$j"
+      }.mkString(", ")
+      val assemble = (0 until 16).map { j =>
+        s"CASE WHEN b$j >= 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tk
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT) AS h
+        |  FROM toks),
+        |bits AS (
+        |  SELECT doc_id, $bitSums FROM hashed GROUP BY doc_id),
+        |sh AS (
+        |  SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bits)
+        |SELECT simhash, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+        |FROM sh GROUP BY simhash HAVING count(*) > 1""".stripMargin
+    })
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables => T}
+
+/** Text-analysis operators over `documents` — the LLM-pipeline text
+  * surface (SURVEY §7.3): per-doc token/char statistics, per-language
+  * quality scoring (stopword ratios), bag-of-words fingerprinting, and
+  * top-terms ranking. All expressed with codegen'd built-ins (split /
+  * higher-order array functions / md5) — no UDFs in the hot path.
+  *
+  * Scale notes (100 TB): every query is scan → narrow per-row compute →
+  * one hash aggregation; token explosion (q34) shuffles on
+  * (lang, term) — high cardinality, no skew hot-spot; nothing is
+  * collected or cross-joined.
+  */
+object TextAnalysis extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- per-doc token/char stats -----------------------------------
+    "q31_text_stats" -> ((s, d) => {
+      import s.implicits._
+      T.documents(s, d)
+        .select($"doc_id", split($"text", " ").as("w"), length($"text").as("n_chars_m"))
+        .select($"doc_id",
+          size($"w").cast("bigint").as("n_tokens"),
+          $"n_chars_m".cast("bigint").as("n_chars_measured"),
+          size(array_distinct($"w")).cast("bigint").as("n_unique_tokens"),
+          round(($"n_chars_m" - size($"w") + 1).cast("double") / size($"w"), 4)
+            .as("avg_token_len"))
+    }),
+
+    // ---- per-language quality profile -------------------------------
+    "q32_lang_quality" -> ((s, d) => {
+      import s.implicits._
+      val perDoc = T.documents(s, d)
+        .select($"lang", $"n_chars", split($"text", " ").as("w"))
+        .select($"lang", $"n_chars",
+          size($"w").cast("bigint").as("toks"),
+          size(filter($"w", w => w.isin("the", "a"))).cast("bigint").as("stops"))
+      perDoc.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").cast("bigint").as("total_chars"),
+          sum($"toks").cast("bigint").as("total_tokens"),
+          round(sum($"stops").cast("double") / sum($"toks"), 6).as("stopword_ratio"))
+    }),
+
+    // ---- bag-of-words fingerprint dedup -----------------------------
+    // Docs sharing an identical vocabulary SET collide — exact dedup
+    // over a normalized fingerprint (hash-groupBy, the canonical
+    // shape: one shuffle on the fingerprint, no pairwise compare).
+    "q33_bag_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      T.documents(s, d)
+        .select($"doc_id",
+          md5(array_join(array_sort(array_distinct(split($"text", " "))), " "))
+            .as("fingerprint"))
+        .groupBy($"fingerprint")
+        .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("keeper_doc_id"))
+    }),
+
+    // ---- top terms per language -------------------------------------
+    "q34_top_terms_per_lang" -> ((s, d) => {
+      import s.implicits._
+      val counts = T.documents(s, d)
+        .select($"lang", explode(split($"text", " ")).as("term"))
+        .groupBy($"lang", $"term").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"lang").orderBy($"n".desc, $"term")
+      counts.withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter($"rn" <= 5)
+        .select($"lang", $"term", $"n", $"rn")
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "q31_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_measured,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique_tokens,
+        |  round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        |        / len(string_split(text, ' ')), 4) AS avg_token_len
+        |FROM documents""".stripMargin,
+
+    "q32_lang_quality" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  round(CAST(sum(len(list_filter(string_split(text, ' '),
+        |          w -> w IN ('the', 'a')))) AS DOUBLE)
+        |        / sum(len(string_split(text, ' '))), 6) AS stopword_ratio
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "q33_bag_fingerprint" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+        |    AS fingerprint,
+        |  count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q34_top_terms_per_lang" ->
+      """SELECT lang, term, n, rn FROM (
+        |  SELECT lang, term, n,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS BIGINT) AS rn
+        |  FROM (
+        |    SELECT lang, term, count(*) AS n FROM (
+        |      SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents) u
+        |    GROUP BY lang, term) c) t
+        |WHERE rn <= 5""".stripMargin)
+}
