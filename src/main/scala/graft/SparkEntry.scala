@@ -12,7 +12,8 @@ import graft.operators._
   */
 object SparkEntry {
 
-  private val packs: Seq[QueryPack] = Seq(Relational, Streams, Events, TextAnalysis, Dedup)
+  private val packs: Seq[QueryPack] =
+    Seq(Relational, Streams, Events, TextAnalysis, Dedup, Similarity, Multimodal)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables => T}
+
+/** Embedding similarity search over `embeddings` (ARRAY<FLOAT>, dim 64)
+  * — the LLM-pipeline ANN surface (SURVEY §7.3).
+  *
+  * Determinism: floats are quantized to integers (round(x*1024)) so
+  * dot products and norms are EXACT int64 arithmetic — order-
+  * independent, so Spark's partial aggregation order vs DuckDB's
+  * cannot flip a result, and the final cos = dot / sqrt(na*nb) is one
+  * IEEE division of identical operands on both engines. (Products are
+  * bounded by 64·(5·1024)² ≈ 1.7e9 per norm, 2.9e18 for the norm
+  * product — inside int64.)
+  *
+  * Scale notes (100 TB):
+  *  - q40 brute-force: the QUERY SET is broadcast (10 vectors) against
+  *    the full corpus — a map-side nested loop with per-partition
+  *    top-k reduced by a window on qid; linear in corpus size, no
+  *    shuffle of the corpus, the canonical exact baseline.
+  *  - q41 IVF: candidates restricted to the query's cell (label =
+  *    precomputed coarse-quantizer assignment, the IVF inverted list)
+  *    — an equi-join on the cell key, so the work per query drops by
+  *    the cell count; this is the scale path. Neither plan contains a
+  *    cartesian product over the corpus.
+  */
+object Similarity extends QueryPack {
+
+  /** quantized vector + its exact squared norm */
+  private def quantized(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T.embeddings(s, d).select($"vec_id", $"label",
+      expr("transform(embedding, x -> CAST(round(x * 1024) AS BIGINT))").as("q"))
+      .withColumn("n2", expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+  }
+
+  private def cosine(qa: String, qb: String, n2a: String, n2b: String): Column =
+    round(
+      expr(s"aggregate(zip_with($qa, $qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+        .cast("double") /
+        sqrt((col(n2a) * col(n2b)).cast("double")), 6)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- exact brute-force top-5 cosine for 10 query vectors --------
+    "q40_cosine_topk" -> ((s, d) => {
+      import s.implicits._
+      val emb = quantized(s, d)
+      val qs = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"q".as("qv"), $"n2".as("qn2"))
+      val scored = emb.join(broadcast(qs), $"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id", cosine("q", "qv", "n2", "qn2").as("cos"))
+      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+      scored.withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter($"rn" <= 5)
+        .select($"qid", $"vec_id", $"cos", $"rn")
+    }),
+
+    // ---- IVF-style partitioned ANN: search only the query's cell ----
+    "q41_ann_ivf" -> ((s, d) => {
+      import s.implicits._
+      val emb = quantized(s, d)
+      val qs = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"label".as("qcell"), $"q".as("qv"), $"n2".as("qn2"))
+      val scored = emb.join(broadcast(qs),
+          $"label" === $"qcell" && $"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id", $"label".cast("bigint").as("cell"),
+          cosine("q", "qv", "n2", "qn2").as("cos"))
+      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+      scored.withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter($"rn" <= 3)
+        .select($"qid", $"vec_id", $"cell", $"cos", $"rn")
+    }),
+
+    // ---- embedding-cosine near-dup candidates -----------------------
+    // For every vector: its nearest neighbor within its IVF cell
+    // (near-dups of a vector share its cell by construction of the
+    // quantizer) — equi-join on the cell + per-vector top-1, exact
+    // integer cosine, no all-pairs over the corpus. A dedup pass
+    // thresholds this candidate list; the corpus here has no
+    // engineered near-dups, so emitting top-1 (not a threshold) keeps
+    // the gate non-vacuous.
+    "q42_embedding_neardup" -> ((s, d) => {
+      import s.implicits._
+      val emb = quantized(s, d)
+      val a = emb.select($"vec_id".as("a"), $"label".as("cell"), $"q".as("qa"), $"n2".as("na"))
+      val b = emb.select($"vec_id".as("b"), $"label".as("cell"), $"q".as("qb"), $"n2".as("nb"))
+      val w = Window.partitionBy($"a").orderBy($"cos".desc, $"b")
+      a.join(b, Seq("cell")).filter($"a" =!= $"b")
+        .select($"a", $"b", cosine("qa", "qb", "na", "nb").as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"a", $"b".as("nn"), $"cos")
+    }))
+
+  private val duckQuant =
+    """q AS (SELECT vec_id, label,
+      |  list_transform(embedding, x -> CAST(round(x * 1024) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, qv,
+      |  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2 FROM q)""".stripMargin
+
+  private def duckCos(a: String, b: String, na: String, nb: String): String =
+    s"round(CAST(list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) AS DOUBLE)" +
+      s" / sqrt(CAST($na * $nb AS DOUBLE)), 6)"
+
+  def oracles: Map[String, String] = Map(
+    "q40_cosine_topk" ->
+      s"""WITH $duckQuant,
+        |qs AS (SELECT vec_id AS qid, qv AS qqv, n2 AS qn2 FROM n WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT qs.qid, n.vec_id, ${duckCos("n.qv", "qs.qqv", "n.n2", "qs.qn2")} AS cos
+        |  FROM n CROSS JOIN qs WHERE n.vec_id != qs.qid)
+        |SELECT qid, vec_id, cos, rn FROM (
+        |  SELECT qid, vec_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+        |  FROM scored) t
+        |WHERE rn <= 5""".stripMargin,
+
+    "q41_ann_ivf" ->
+      s"""WITH $duckQuant,
+        |qs AS (SELECT vec_id AS qid, label AS qcell, qv AS qqv, n2 AS qn2
+        |       FROM n WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT qs.qid, n.vec_id, CAST(n.label AS BIGINT) AS cell,
+        |    ${duckCos("n.qv", "qs.qqv", "n.n2", "qs.qn2")} AS cos
+        |  FROM n JOIN qs ON n.label = qs.qcell AND n.vec_id != qs.qid)
+        |SELECT qid, vec_id, cell, cos, rn FROM (
+        |  SELECT qid, vec_id, cell, cos,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+        |  FROM scored) t
+        |WHERE rn <= 3""".stripMargin,
+
+    "q42_embedding_neardup" ->
+      s"""WITH $duckQuant,
+        |scored AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b,
+        |    ${duckCos("x.qv", "y.qv", "x.n2", "y.n2")} AS cos
+        |  FROM n x JOIN n y ON x.label = y.label AND x.vec_id != y.vec_id)
+        |SELECT a, b AS nn, cos FROM (
+        |  SELECT a, b, cos,
+        |    row_number() OVER (PARTITION BY a ORDER BY cos DESC, b) AS rn
+        |  FROM scored) t
+        |WHERE rn = 1""".stripMargin)
+}
