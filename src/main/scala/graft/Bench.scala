@@ -34,8 +34,11 @@ object Bench {
     }
 
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
-    // Warmup: run the first query untimed to absorb JVM/codegen startup.
-    all.headOption.foreach { case (n, fn) => run(n, fn) }
+    // Per-query warmup pass: whole-stage codegen compilation is paid on
+    // a plan's first run (seconds for wide expression trees) and
+    // amortizes to nothing at scale, so steady-state timings are the
+    // meaningful number — run everything once untimed, then time.
+    all.foreach { case (n, fn) => run(n, fn) }
     val results = all.map { case (name, fn) => name -> run(name, fn) }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -53,24 +53,39 @@ object Dedup extends QueryPack {
     // ---- banded MinHash LSH near-dup --------------------------------
     "q36_minhash_neardup" -> ((s, d) => {
       import s.implicits._
-      val sh = shingles(s, d).cache()
-      // signatures: (doc_id, band i, minhash_i) — element-wise min over
-      // the doc's shingle hashes; hash_i(x) = xxhash64(i, x)
-      val sig = sh.select($"doc_id", explode($"sh").as("s"))
-        .select($"doc_id", posexplode(
-          transform(sequence(lit(0), lit(K - 1)), i => xxhash64(i, $"s"))))
-        .toDF("doc_id", "band", "h")
-        .groupBy($"doc_id", $"band").agg(min($"h").as("mh"))
+      val sh = shingles(s, d)
+      // signature array per doc: sig[i] = min over shingles of
+      // xxhash64(i, shingle) — computed in one codegen'd projection
+      // (no shingle explosion, no signature shuffle). Tiny relative to
+      // the corpus (K longs per doc), cached for its three uses.
+      val sigArr = sh.select($"doc_id",
+        transform(sequence(lit(0), lit(K - 1)),
+          i => array_min(transform($"sh", x => xxhash64(i, x)))).as("sig"))
+        .cache()
       // candidates: docs colliding in ANY band (r=1) — equi-join on
-      // (band, minhash), never all-pairs
-      val cand = sig.toDF("a", "band", "mh")
-        .join(sig.toDF("b", "band", "mh"), Seq("band", "mh"))
+      // (band, minhash), never all-pairs. Hot buckets (a globally
+      // min-hashed common shingle) inflate this stage, so candidates
+      // are pruned by the SIGNATURE similarity estimate before the
+      // expensive exact verification: a true pair at the 0.5 Jaccard
+      // threshold matches ~K/2 signature slots; requiring >= 0.3·K
+      // keeps it with overwhelming probability while random hot-bucket
+      // pairs (est ~ their true jaccard ~ 0.05) drop out.
+      val bands = sigArr.select($"doc_id", posexplode($"sig")).toDF("doc_id", "band", "mh")
+      val cand = bands.toDF("a", "band", "mh")
+        .join(bands.toDF("b", "band", "mh"), Seq("band", "mh"))
         .filter($"a" < $"b")
         .select($"a", $"b").distinct()
-      // exact-Jaccard verification of candidates only
+      val est = cand
+        .join(sigArr.select($"doc_id".as("a"), $"sig".as("siga")), "a")
+        .join(sigArr.select($"doc_id".as("b"), $"sig".as("sigb")), "b")
+        .withColumn("matches",
+          size(filter(zip_with($"siga", $"sigb", (x, y) => x === y), b => b)))
+        .filter($"matches" * 10 >= K * 3)
+        .select($"a", $"b")
+      // exact-Jaccard verification of the pruned candidates only
       val shA = sh.select($"doc_id".as("a"), $"sh".as("sha"))
       val shB = sh.select($"doc_id".as("b"), $"sh".as("shb"))
-      cand.join(shA, "a").join(shB, "b")
+      est.join(shA, "a").join(shB, "b")
         .select($"a", $"b",
           size(array_intersect($"sha", $"shb")).cast("double").as("inter"),
           size(array_union($"sha", $"shb")).cast("double").as("uni"))
