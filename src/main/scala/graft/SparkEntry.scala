@@ -13,7 +13,7 @@ import graft.operators._
 object SparkEntry {
 
   private val packs: Seq[QueryPack] =
-    Seq(Relational, Streams, Events, TextAnalysis, Dedup, Similarity, Multimodal)
+    Seq(Relational, Streams, Events, TextAnalysis, Dedup, Similarity, Multimodal, Sketches)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

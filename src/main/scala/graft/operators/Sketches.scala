@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftExtensions, QueryPack, Tables => T}
+import graft.functions.{Exact, KmvSketch}
+
+/** Sketch aggregation (typed `Aggregator` UDAF), native-expression
+  * fingerprinting (custom Catalyst `Expression` with codegen), and a
+  * multi-format scan/sink round-trip — the remaining extension-surface
+  * categories of SURVEY §2/§7.3.
+  */
+object Sketches extends QueryPack {
+
+  /** engine-portable 60-bit hash: parse the first 15 md5 hex chars. */
+  private def h60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- KMV distinct sketch per group ------------------------------
+    "q43_kmv_distinct" -> ((s, d) => {
+      import s.implicits._
+      val kmv = udaf(new KmvSketch(64), Encoders.scalaLong)
+      T.events(s, d)
+        .select($"event_type", h60($"user_id").as("hv"))
+        .groupBy($"event_type")
+        .agg(round(kmv($"hv"), 4).as("est_distinct"),
+          countDistinct($"hv").as("true_distinct"))
+    }),
+
+    // ---- native rolling-hash fingerprint ----------------------------
+    "q44_rolling_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      GraftExtensions.ensureRegistered(s)
+      T.documents(s, d)
+        .select($"doc_id", expr("rolling_hash(text)").as("fp"),
+          expr("rolling_hash(lang)").as("lang_fp"))
+    }),
+
+    // ---- multi-format scan/sink round-trip --------------------------
+    // The engine's own sink writes CSV + JSON, then its scans read
+    // them back — format parity is gated by comparing aggregates of
+    // the round-tripped data against the original parquet in DuckDB.
+    "q46_format_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val sample = T.orders(s, d).filter($"o_orderkey" < 1000)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val tmp = s"/tmp/graft_fmt_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      sample.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+      sample.write.mode("overwrite").json(s"$tmp/json")
+      val schema = "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE"
+      val c = s.read.option("header", "true").schema(schema).csv(s"$tmp/csv")
+        .withColumn("fmt", lit("csv"))
+      val j = s.read.schema(schema).json(s"$tmp/json")
+        .withColumn("fmt", lit("json"))
+      c.unionAll(j).groupBy($"fmt")
+        .agg(count(lit(1)).as("n"), Exact.sumMoney($"o_totalprice").as("total"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "q43_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM h)
+        |SELECT event_type,
+        |  round(CASE WHEN cnt < 64 THEN CAST(cnt AS DOUBLE)
+        |             ELSE 63.0 * 1152921504606846976 / hv END, 4) AS est_distinct,
+        |  cnt AS true_distinct
+        |FROM r WHERE (cnt < 64 AND rn = cnt) OR (cnt >= 64 AND rn = 64)""".stripMargin,
+
+    "q44_rolling_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(text) + 1),
+        |    i -> ascii(substr(text, CAST(i AS INT), 1)))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(lang) + 1),
+        |    i -> ascii(substr(lang, CAST(i AS INT), 1)))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS lang_fp
+        |FROM documents""".stripMargin,
+
+    "q46_format_roundtrip" -> {
+      val one = (fmt: String) =>
+        s"""SELECT '$fmt' AS fmt, count(*) AS n, ${Exact.sumMoneySql("o_totalprice")} AS total
+           |FROM orders WHERE o_orderkey < 1000""".stripMargin
+      one("csv") + "\nUNION ALL\n" + one("json")
+    })
+}
