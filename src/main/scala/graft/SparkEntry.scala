@@ -5,10 +5,25 @@ import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Aggregates every query pack (relational, text analysis, dedup,
-  * similarity, events/streaming-batch parity, multimodal) into the
-  * single `queries`/`oracleSql` surface the driver verifies against
-  * DuckDB at sf0.01 and benches at sf0.1.
+  * Aggregates every query pack into the single `queries`/`oracleSql`
+  * surface the driver verifies against DuckDB at sf0.01 and benches at
+  * sf0.1:
+  *  - [[operators.Relational]] q01–q22: joins/aggs/windows/set ops/
+  *    subqueries/scalar functions over the TPC-H-ish tables
+  *  - [[operators.Streams]] s01–s03: the `shardstream` DSv2 source and
+  *    ordered sink end-to-end (SURVEY §2 S1–S16)
+  *  - [[operators.Events]] q23–q30: event-time windows, JSON props,
+  *    SQL surface, as-of join, range join
+  *  - [[operators.TextAnalysis]] q31–q34: token stats, lang quality,
+  *    fingerprints, top terms
+  *  - [[operators.Dedup]] q35–q37: exact dedup, banded MinHash LSH,
+  *    SimHash buckets
+  *  - [[operators.Similarity]] q40–q42: quantized-integer cosine
+  *    top-k, IVF ANN, embedding near-dup
+  *  - [[operators.Multimodal]] q45: binary payload + decode-stub
+  *    feature extraction
+  *  - [[operators.Sketches]] q43/q44/q46: KMV Aggregator, native
+  *    rolling-hash Expression, multi-format round-trip
   */
 object SparkEntry {
 

@@ -327,4 +327,45 @@ class ShardStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     ShardServiceRegistry.create(name, 2)
     assert(drain(readStreamDf(name)).count() == 0)
   }
+
+  // ---- typed consumer dataflow (S14) --------------------------------
+
+  test("typed Dataset[ShardRecord]: take(3).map(decode) — the reference's demo dataflow") {
+    // ShardProducerSpec.scala:40-44: Flow(publisher).take(3)
+    //   .map(r => new String(r.getData.array)).foreach(log)
+    val name = seeded10()
+    val sp = spark
+    import sp.implicits._
+    val decoded = ShardRecord.dataset(spark, name)
+      .orderBy("sequenceNumber").limit(3)
+      .map(r => new String(r.data, UTF_8))
+      .collect().toSeq
+    assert(decoded == Seq("testData-0", "testData-1", "testData-2"))
+  }
+
+  // ---- poll loop (S2): ProcessingTime trigger ingests live appends --
+
+  test("ProcessingTime trigger picks up records appended while running") {
+    val name = freshName("live")
+    val svc = ShardServiceRegistry.create(name, 1)
+    (0 until 3).foreach(i => svc.putRecord("k", s"early-$i".getBytes(UTF_8), None))
+    val qn = freshName("out")
+    val q = readStreamDf(name)
+      .writeStream.format("memory").queryName(qn)
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    val deadline = System.currentTimeMillis() + 10000
+    while (spark.table(qn).count() < 3 && System.currentTimeMillis() < deadline)
+      Thread.sleep(20)
+    // live append — the poll loop (reference: 5 s fixed-rate tick,
+    // ShardSubscription.java:92-101) must pick these up in later
+    // micro-batches without a restart
+    (3 until 6).foreach(i => svc.putRecord("k", s"late-$i".getBytes(UTF_8), None))
+    while (spark.table(qn).count() < 6 && System.currentTimeMillis() < deadline)
+      Thread.sleep(20)
+    q.stop()
+    val got = spark.table(qn).select(col("data").cast("string")).collect()
+      .map(_.getString(0)).toSeq
+    assert(got.size == 6, s"got $got")
+    assert(got.sorted == Seq("early-0", "early-1", "early-2", "late-3", "late-4", "late-5"))
+  }
 }
