@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.RollingHash
+import graft.functions.{IntDot, RollingHash}
 
 /** SparkSessionExtensions entry point — registers the library's native
   * Catalyst expressions into the function registry, the idiomatic
@@ -15,21 +15,24 @@ import graft.functions.RollingHash
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.rollingHashDescriptor)
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private[graft] val rollingHashDescriptor
-      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("rolling_hash"),
-    new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
-    (children: Seq[Expression]) => RollingHash(children.head))
+  private[graft] val descriptors
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (children: Seq[Expression]) => RollingHash(children.head)),
+    (FunctionIdentifier("int_dot"),
+      new ExpressionInfo(classOf[IntDot].getName, "int_dot"),
+      (children: Seq[Expression]) => IntDot(children.head, children(1))))
 
   /** Idempotent imperative registration — for sessions built without
     * the extensions conf (e.g. an external harness session). */
-  def ensureRegistered(spark: SparkSession): Unit = {
-    val (id, info, builder) = rollingHashDescriptor
-    if (!spark.sessionState.functionRegistry.functionExists(id))
-      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  def ensureRegistered(spark: SparkSession): Unit =
+    descriptors.foreach { case (id, info, builder) =>
+      if (!spark.sessionState.functionRegistry.functionExists(id))
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

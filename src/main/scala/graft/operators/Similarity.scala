@@ -30,18 +30,19 @@ import graft.{QueryPack, Tables => T}
   */
 object Similarity extends QueryPack {
 
-  /** quantized vector + its exact squared norm */
+  /** quantized vector + its exact squared norm (norm via the native
+    * int_dot expression — GraftExtensions). */
   private def quantized(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    graft.GraftExtensions.ensureRegistered(s)
     T.embeddings(s, d).select($"vec_id", $"label",
       expr("transform(embedding, x -> CAST(round(x * 1024) AS BIGINT))").as("q"))
-      .withColumn("n2", expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+      .withColumn("n2", expr("int_dot(q, q)"))
   }
 
   private def cosine(qa: String, qb: String, n2a: String, n2b: String): Column =
     round(
-      expr(s"aggregate(zip_with($qa, $qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
-        .cast("double") /
+      expr(s"int_dot($qa, $qb)").cast("double") /
         sqrt((col(n2a) * col(n2b)).cast("double")), 6)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

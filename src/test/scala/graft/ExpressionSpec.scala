@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit tests for the native Catalyst expressions (rolling_hash,
+  * int_dot): interpreted vs whole-stage-codegen parity, null handling,
+  * and agreement with an independent Scala model.
+  */
+class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("expression-spec")
+      .config("spark.sql.shuffle.partitions", 2)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def modelRollingHash(s: String): Long = {
+    var h = 0L
+    s.getBytes("UTF-8").foreach(b => h = (h * 31 + (b & 0xff)) % 1000000007L)
+    h
+  }
+
+  test("rolling_hash matches the Scala model under codegen and interpretation") {
+    val sp = spark
+    import sp.implicits._
+    val inputs = Seq("", "a", "abc", "the quick brown fox", "x" * 1000)
+    for (codegen <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      val got = inputs.toDF("s").select(expr("rolling_hash(s)")).collect().map(_.getLong(0))
+      assert(got.toSeq == inputs.map(modelRollingHash), s"mode=$codegen")
+    }
+    spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
+
+  test("rolling_hash('abc') equals the hand-computed polynomial") {
+    val sp = spark
+    import sp.implicits._
+    // ((0·31+97)·31+98)·31+99 = 96354
+    val got = Seq("abc").toDF("s").select(expr("rolling_hash(s)")).head().getLong(0)
+    assert(got == 96354L)
+  }
+
+  test("rolling_hash propagates null") {
+    val sp = spark
+    import sp.implicits._
+    val got = Seq(Option.empty[String]).toDF("s").select(expr("rolling_hash(s)")).head()
+    assert(got.isNullAt(0))
+  }
+
+  test("int_dot matches aggregate(zip_with(...)) and handles unequal lengths") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
+      (Seq(-7L, 8L), Seq(9L, -10L)),
+      (Seq(1L, 2L, 3L), Seq(1L, 1L)), // shorter right: dot over prefix
+      (Seq.empty[Long], Seq.empty[Long]))
+      .toDF("a", "b")
+    val got = df.select(expr("int_dot(a, b)")).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(32L, -143L, 3L, 0L))
+    val ref = df.selectExpr(
+      "aggregate(zip_with(slice(a, 1, least(size(a), size(b))), slice(b, 1, least(size(a), size(b))), (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == ref)
+  }
+
+  test("int_dot rejects non-bigint-array arguments at analysis") {
+    val sp = spark
+    import sp.implicits._
+    val ex = intercept[Exception] {
+      Seq(("x", 1L)).toDF("a", "b").select(expr("int_dot(a, b)")).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("int_dot") ||
+      ex.getMessage.toLowerCase.contains("data type mismatch"))
+  }
+}
