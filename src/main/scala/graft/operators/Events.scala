@@ -103,6 +103,28 @@ object Events extends QueryPack {
           $"last_click")
     }),
 
+    // ---- interval join: purchases within 1 h after a click ----------
+    // Equi-join on user_id with a time-interval predicate — the
+    // interval-join family. Scale: the equi key carries the shuffle;
+    // the interval predicate filters inside the join, so there is no
+    // unbounded range explosion (pairs are bounded per user by the
+    // 1 h window).
+    "q47_interval_join" -> ((s, d) => {
+      import s.implicits._
+      val clicks = T.events(s, d).filter($"event_type" === "click")
+        .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+      val purchases = T.events(s, d).filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("purchase_id"), $"ts".as("purchase_ts"),
+          $"value")
+      clicks.join(purchases, Seq("user_id"))
+        .filter($"purchase_ts" > $"click_ts" &&
+          $"purchase_ts" <= $"click_ts" + expr("INTERVAL 1 HOUR"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct($"purchase_id").as("n_purchases"),
+          Exact.sumMoney($"value").as("attributed_value"))
+    }),
+
     // ---- range join against a literal tier dim ----------------------
     "q30_range_join" -> ((s, d) => {
       import s.implicits._
@@ -180,6 +202,16 @@ object Events extends QueryPack {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
         |  FROM events WHERE event_type IN ('click', 'purchase')) t
         |WHERE event_type = 'purchase'""".stripMargin,
+
+    "q47_interval_join" ->
+      s"""SELECT c.user_id, count(*) AS n_pairs,
+        |  count(DISTINCT p.event_id) AS n_purchases,
+        |  ${Exact.sumMoneySql("p.value")} AS attributed_value
+        |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |GROUP BY c.user_id""".stripMargin,
 
     "q30_range_join" ->
       s"""SELECT tier, count(*) AS n, ${Exact.sumMoneySql("value")} AS sum_value

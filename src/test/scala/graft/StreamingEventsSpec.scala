@@ -152,6 +152,52 @@ class StreamingEventsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.get(hours(1)).contains(1L)) // 01:00 alone
   }
 
+  test("stream-stream interval join with watermarks") {
+    // clicks: user 1 at 00:00; purchases: 00:10 (joins) and 02:00
+    // (outside the 1 h bound); far-future rows advance both watermarks
+    // so the join state flushes under AvailableNow.
+    val clicks = seed(Seq((1, hours(0), 1), (99, hours(6), 9)))
+    val purchases = seed(Seq((2, hours(0) + 600, 1), (3, hours(2), 1), (98, hours(6) + 600, 9)))
+    def side(stream: String, idCol: String, tsCol: String) =
+      eventStream(stream, maxPerBatch = 10)
+        .withColumnRenamed("event_id", idCol).withColumnRenamed("ts", tsCol)
+        .withWatermark(tsCol, "1 minute")
+    val joined = side(clicks, "click_id", "click_ts")
+      .join(side(purchases, "purchase_id", "purchase_ts"), Seq("user"))
+      .where(col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user"), col("click_id"), col("purchase_id"))
+    val out = runToMemory(joined, OutputMode.Append())
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(out == Set(("1", 1, 2), ("9", 99, 98)))
+  }
+
+  test("streaming sink: foreachBatch + ShardSink round-trips ordered per key") {
+    import graft.sources.shard.{ShardServiceRegistry, ShardSink}
+    val src = seed(Seq((1, 10, 1), (2, 20, 2), (3, 30, 1), (4, 40, 2), (5, 50, 1)))
+    val dst = freshName("dst")
+    ShardServiceRegistry.create(dst, 2)
+    val q = eventStream(src, maxPerBatch = 2)
+      .select(col("user"), col("event_id"), col("event_id").cast("string").as("payload"))
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        ShardSink.putOrdered(df, dst, keyCol = "user", payloadCol = "payload",
+          orderCols = Seq("event_id"))
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val back = spark.read.format("shardstream").option("stream", dst).load()
+      .select(col("partitionKey"), col("sequenceNumber"), col("data").cast("string").as("p"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(back.length == 5)
+    back.groupBy(_._1).foreach { case (key, rs) =>
+      val inOrder = rs.sortBy(_._2).map(_._3).toSeq
+      assert(inOrder == inOrder.sorted, s"key $key out of order: $inOrder")
+    }
+    assert(back.count(_._1 == "1") == 3 && back.count(_._1 == "2") == 2)
+  }
+
   test("mapGroupsWithState: custom running state per key across batches") {
     import org.apache.spark.sql.{Encoders => E}
     val evs = Seq(
