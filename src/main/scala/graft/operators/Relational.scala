@@ -297,6 +297,21 @@ object Relational extends QueryPack {
           pmod($"o_orderkey", lit(7)).cast("bigint").as("key_mod7"))
     }),
 
+    // ---- negative-capable money aggregation -------------------------
+    // c_acctbal goes negative; the converted sum (rate 0.37, 1e-4
+    // units) exercises the d>1 integer-rounding path on negative
+    // totals — the pmod/SQL-remainder parity ADVICE r1 flagged.
+    "q49_acctbal_by_nation" -> ((s, d) => {
+      import s.implicits._
+      T.customer(s, d)
+        .groupBy($"c_nationkey".cast("bigint").as("nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(when($"c_acctbal" < 0, 1).otherwise(0)).cast("bigint").as("n_negative"),
+          Exact.sumMoney($"c_acctbal").as("total_balance"),
+          Exact.unitsToMoney(sum(Exact.cents($"c_acctbal") * lit(37L)), 10000L)
+            .as("converted_balance"))
+    }),
+
     // ---- pivot -------------------------------------------------------
     "q21_pivot" -> ((s, d) => {
       import s.implicits._
@@ -497,6 +512,13 @@ object Relational extends QueryPack {
         |  CAST(abs(ceil(o_totalprice) - floor(o_totalprice)) AS BIGINT) AS frac_flag,
         |  CAST(o_orderkey % 7 AS BIGINT) AS key_mod7
         |FROM orders WHERE o_orderkey < 500""".stripMargin,
+
+    "q49_acctbal_by_nation" ->
+      s"""SELECT CAST(c_nationkey AS BIGINT) AS nationkey, count(*) AS n_cust,
+        |  CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+        |  ${Exact.sumMoneySql("c_acctbal")} AS total_balance,
+        |  ${Exact.unitsToMoneySql("sum(" + Exact.centsSql("c_acctbal") + " * 37)", 10000L)} AS converted_balance
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
 
     "q21_pivot" ->
       """SELECT o_orderpriority,

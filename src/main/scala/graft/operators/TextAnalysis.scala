@@ -62,6 +62,24 @@ object TextAnalysis extends QueryPack {
         .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("keeper_doc_id"))
     }),
 
+    // ---- salted global heavy hitters --------------------------------
+    // Two-phase aggregation with an explicit salt: the global term
+    // count is a canonical skew case (a handful of stopwords dominate)
+    // — phase 1 aggregates (term, salt) partials across 16 salt
+    // buckets so no single reducer owns a hot term, phase 2 merges the
+    // 16 partials per term. Identical result to a direct groupBy;
+    // at 100 TB the salt bounds the largest reduce-side group.
+    "q48_salted_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      val partial = T.documents(s, d)
+        .select(explode(split($"text", " ")).as("term"),
+          pmod($"doc_id", lit(16)).as("salt"))
+        .groupBy($"term", $"salt").agg(count(lit(1)).as("pn"))
+      partial.groupBy($"term").agg(sum($"pn").cast("bigint").as("n"))
+        .orderBy($"n".desc, $"term")
+        .limit(20)
+    }),
+
     // ---- top terms per language -------------------------------------
     "q34_top_terms_per_lang" -> ((s, d) => {
       import s.implicits._
@@ -98,6 +116,11 @@ object TextAnalysis extends QueryPack {
         |    AS fingerprint,
         |  count(*) AS n_docs, min(doc_id) AS keeper_doc_id
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q48_salted_heavy_hitters" ->
+      """SELECT term, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents) u
+        |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
 
     "q34_top_terms_per_lang" ->
       """SELECT lang, term, n, rn FROM (

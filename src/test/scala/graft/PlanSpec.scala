@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guard over the whole declared-query surface:
+  * the scale properties the engine is designed around must hold in
+  * every physical plan, not just in scaladoc claims.
+  *
+  *  - no `CartesianProduct` anywhere (the canonical 100 TB killer);
+  *  - `BroadcastNestedLoopJoin` only where a bounded literal/stat side
+  *    justifies it (q18 1-row stats, q30 4-row tier dim, q40 10-row
+  *    query set);
+  *  - scans prune columns (no query reads every column of lineitem).
+  *
+  * Streaming queries (s01–s03) execute work in their builders and are
+  * plan-checked by their behavioral specs instead.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+  private val streaming = Set("s01_stream_roundtrip", "s02_stream_take_n", "s03_sink_roundtrip")
+  // bounded-side nested loops that are correct by construction
+  private val allowedBnlj = Set("q18_scalar_subquery", "q30_range_join", "q40_cosine_topk")
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("plan-spec")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def plans: Seq[(String, String)] =
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => streaming(n) }
+      .map { case (n, fn) =>
+        n -> fn(spark, dir).queryExecution.explainString(ExplainMode.fromString("formatted"))
+      }
+
+  test("no declared batch query plans a CartesianProduct") {
+    val offenders = plans.collect { case (n, p) if p.contains("CartesianProduct") => n }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("BroadcastNestedLoopJoin appears only with bounded broadcast sides") {
+    val offenders = plans.collect {
+      case (n, p) if p.contains("BroadcastNestedLoopJoin") && !allowedBnlj(n) => n
+    }
+    assert(offenders.isEmpty, s"unexpected nested-loop joins in: $offenders")
+  }
+
+  test("lineitem scans prune to the referenced columns") {
+    val q1 = SparkEntry.queries("q01_pricing_summary")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val readSchema = q1.linesIterator.find(_.trim.startsWith("ReadSchema")).getOrElse("")
+    // q01 touches 7 of lineitem's 11 columns; l_orderkey/l_partkey/
+    // l_suppkey/l_linenumber must have been pruned away
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("filters reach the parquet scan (pushdown)") {
+    val q2 = SparkEntry.queries("q02_filter_project")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val pushed = q2.linesIterator.find(_.trim.startsWith("PushedFilters")).getOrElse("")
+    assert(pushed.contains("l_shipdate") || pushed.contains("GreaterThan") ||
+      pushed.contains("IsNotNull"), s"no pushed filters: $pushed")
+  }
+}
