@@ -85,6 +85,12 @@ object Events extends QueryPack {
       s.sql(Events.sqlSurfaceText)
     }),
 
+    // ---- GROUPING SETS (beyond rollup/cube) -------------------------
+    "q50_grouping_sets" -> ((s, d) => {
+      T.registerAll(s, d)
+      s.sql(Events.groupingSetsText)
+    }),
+
     // ---- as-of join: latest prior click for each purchase -----------
     // Scalable shape: union the two event kinds, one shuffle on
     // user_id, carry the last click forward with an ignore-nulls
@@ -137,6 +143,14 @@ object Events extends QueryPack {
         .groupBy($"tier")
         .agg(count(lit(1)).as("n"), Exact.sumMoney($"value").as("sum_value"))
     }))
+
+  /** Engine-portable GROUPING SETS (distinct sets, not rollup/cube). */
+  private val groupingSetsText: String =
+    """SELECT event_type, CAST(year(ts) AS BIGINT) AS yr,
+      |  CAST(grouping(event_type) * 2 + grouping(year(ts)) AS BIGINT) AS gid,
+      |  count(*) AS n
+      |FROM events
+      |GROUP BY GROUPING SETS ((event_type), (year(ts)), (event_type, year(ts)))""".stripMargin
 
   /** Engine-portable SQL (Spark SQL + DuckDB dialect intersection). */
   private val sqlSurfaceText: String =
@@ -192,6 +206,8 @@ object Events extends QueryPack {
         |FROM events GROUP BY event_type""".stripMargin,
 
     "q28_sql_surface" -> sqlSurfaceText,
+
+    "q50_grouping_sets" -> groupingSetsText,
 
     "q29_asof_join" ->
       """SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, last_click

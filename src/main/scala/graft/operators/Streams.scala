@@ -114,6 +114,30 @@ object Streams extends QueryPack {
         col("data").cast("string").as("event_type")))
     }),
 
+    // Streaming/batch parity: the full event-time pipeline — replay
+    // through the source, watermark, tumbling window, APPEND-mode
+    // emission — must equal the batch predicate "windows closed by the
+    // final watermark". The oracle states that predicate directly.
+    "s04_stream_windowed" -> ((s, d) => {
+      val name = s"events_rt_${sfx(d)}" // same fixture as s01
+      seedEventsJson(s, d, name, numShards = 4)
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", "50000")
+        .load()
+      val events = raw.select(
+        from_json(col("data").cast("string"), payloadSchema).as("e"))
+        .select(timestamp_micros(col("e.ts_us")).as("ts"), col("e.event_type"))
+      val agg = events
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("window.start")).as("start_s"),
+          col("event_type"), col("n"))
+      drain(s, agg)
+    }),
+
     // S15 + batch-read path: ordered producer round-trip. Writes all
     // purchase events through the ordered sink (per-key chained puts),
     // reads them back through the batch scan, and checks per-key order
@@ -151,6 +175,14 @@ object Streams extends QueryPack {
         |  SELECT CAST(row_number() OVER (ORDER BY event_id) - 1 AS BIGINT) AS seq,
         |    event_type
         |  FROM events ORDER BY event_id LIMIT 5) t""".stripMargin,
+
+    "s04_stream_windowed" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+        |SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS start_s,
+        |  event_type, count(*) AS n
+        |FROM events
+        |GROUP BY 1, 2
+        |HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR <= (SELECT w FROM wm)""".stripMargin,
 
     "s03_sink_roundtrip" ->
       """SELECT CAST(user_id AS VARCHAR) AS partition_key, count(*) AS n,
