@@ -328,6 +328,58 @@ class ShardStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(drain(readStreamDf(name)).count() == 0)
   }
 
+  // ---- option and bounds edge cases ---------------------------------
+
+  test("invalid startingPosition fails fast with a clear message") {
+    val name = seeded10()
+    val ex = intercept[Exception] {
+      spark.readStream.format("shardstream").option("stream", name)
+        .option("startingPosition", "bogus").load()
+    }
+    def chain(t: Throwable) = Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(ex).exists(c => c.getMessage != null && c.getMessage.contains("startingPosition")))
+  }
+
+  test("missing stream option fails fast") {
+    val ex = intercept[Exception] {
+      spark.readStream.format("shardstream").load()
+    }
+    def chain(t: Throwable) = Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(ex).exists(c => c.getMessage != null && c.getMessage.contains("stream")))
+  }
+
+  test("start position beyond the last sequence number reads nothing") {
+    val name = seeded10()
+    val s = ShardServiceRegistry.get(name)
+    val lastSeq = s.getRecords(s.shardIds.head, 9, 1).head.seq
+    val after = drain(readStreamDf(name,
+      Map("startingPosition" -> s"after_sequence_number:$lastSeq")))
+    assert(after.count() == 0)
+    val at = drain(readStreamDf(name,
+      Map("startingPosition" -> s"at_sequence_number:${lastSeq + 1000}")))
+    assert(at.count() == 0)
+  }
+
+  test("service getRecords clamps out-of-range fetches") {
+    val name = seeded10()
+    val s = ShardServiceRegistry.get(name)
+    val shard = s.shardIds.head
+    assert(s.getRecords(shard, 100, 10).isEmpty)   // beyond end
+    assert(s.getRecords(shard, 0, 0).isEmpty)      // zero limit
+    assert(s.getRecords(shard, 0, -5).isEmpty)     // negative limit
+    assert(s.getRecords(shard, 8, 100).size == 2)  // clamp to available
+  }
+
+  test("maxRecordsPerBatch larger than the stream yields one data batch") {
+    val name = seeded10()
+    val qn = freshName("out")
+    val q = readStreamDf(name, Map("maxRecordsPerBatch" -> "1000"))
+      .writeStream.format("memory").queryName(qn)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq == Seq(10))
+  }
+
   // ---- typed consumer dataflow (S14) --------------------------------
 
   test("typed Dataset[ShardRecord]: take(3).map(decode) — the reference's demo dataflow") {
