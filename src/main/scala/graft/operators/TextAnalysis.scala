@@ -19,7 +19,9 @@ import graft.{QueryPack, Tables => T}
   */
 object TextAnalysis extends QueryPack {
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = baseQueries ++ extraQueries
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- per-doc token/char stats -----------------------------------
     "q31_text_stats" -> ((s, d) => {
       import s.implicits._
@@ -92,7 +94,83 @@ object TextAnalysis extends QueryPack {
         .select($"lang", $"term", $"n", $"rn")
     }))
 
+  private val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- n-gram language-ID heuristic -------------------------------
+    // Self-trained profile classifier: top-20 character trigrams per
+    // labeled language -> classify each doc by profile overlap
+    // (count of shared trigrams; ties broken by language name). On
+    // this synthetic same-vocabulary corpus the profiles nearly
+    // coincide, so predictions are degenerate — the operator SHAPE is
+    // the point: per-lang profile build (one agg + window), then a
+    // broadcast-able profile join + per-doc argmax. At 100 TB the
+    // profile table stays tiny (langs × 20 rows) regardless of corpus
+    // size.
+    "q51_langid_ngram" -> ((s, d) => {
+      import s.implicits._
+      val docTri = T.documents(s, d)
+        .select($"doc_id",
+          array_distinct(expr("transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))"))
+            .as("tg"))
+      val langTri = T.documents(s, d)
+        .select($"lang",
+          explode(array_distinct(
+            expr("transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))"))).as("t"))
+        .groupBy($"lang", $"t").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy($"lang").orderBy($"df".desc, $"t")
+      val profiles = langTri.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 20).select($"lang".as("plang"), $"t")
+      val scored = docTri.select($"doc_id", explode($"tg").as("t"))
+        .join(broadcast(profiles), "t")
+        .groupBy($"doc_id", $"plang").agg(count(lit(1)).as("overlap"))
+      val w2 = Window.partitionBy($"doc_id").orderBy($"overlap".desc, $"plang")
+      scored.withColumn("rn", row_number().over(w2)).filter($"rn" === 1)
+        .select($"doc_id", $"plang".as("predicted_lang"), $"overlap")
+    }),
+
+    // ---- BPE-ish regex tokenization ---------------------------------
+    "q52_regex_tokens" -> ((s, d) => {
+      import s.implicits._
+      T.documents(s, d).select($"doc_id",
+        size(split($"text", " ")).cast("bigint").as("ws_tokens"),
+        size(expr(s"regexp_extract_all(text, '$bpePattern', 0)")).cast("bigint")
+          .as("bpe_ish_tokens"))
+    }))
+
   def oracles: Map[String, String] = Map(
+    "q51_langid_ngram" ->
+      """WITH doctri AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, length(text) - 1),
+        |    i -> substr(text, CAST(i AS INT), 3))) AS tg
+        |  FROM documents),
+        |langtri AS (
+        |  SELECT lang, t, count(*) AS df FROM (
+        |    SELECT lang, unnest(list_distinct(list_transform(range(1, length(text) - 1),
+        |      i -> substr(text, CAST(i AS INT), 3)))) AS t
+        |    FROM documents) u
+        |  GROUP BY lang, t),
+        |profiles AS (
+        |  SELECT lang AS plang, t FROM (
+        |    SELECT lang, t, row_number() OVER (PARTITION BY lang ORDER BY df DESC, t) AS rn
+        |    FROM langtri) r
+        |  WHERE rn <= 20),
+        |scored AS (
+        |  SELECT d.doc_id, p.plang, count(*) AS overlap
+        |  FROM (SELECT doc_id, unnest(tg) AS t FROM doctri) d
+        |  JOIN profiles p ON d.t = p.t
+        |  GROUP BY d.doc_id, p.plang)
+        |SELECT doc_id, plang AS predicted_lang, overlap FROM (
+        |  SELECT doc_id, plang, overlap,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, plang) AS rn
+        |  FROM scored) f
+        |WHERE rn = 1""".stripMargin,
+
+    "q52_regex_tokens" ->
+      s"""SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '$bpePattern')) AS BIGINT) AS bpe_ish_tokens
+        |FROM documents""".stripMargin,
     "q31_text_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
