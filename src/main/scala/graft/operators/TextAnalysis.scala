@@ -109,21 +109,32 @@ object TextAnalysis extends QueryPack {
     // size.
     "q51_langid_ngram" -> ((s, d) => {
       import s.implicits._
-      val docTri = T.documents(s, d)
-        .select($"doc_id",
+      // trigram extraction is O(len²) per doc (substr rescans the
+      // string) — compute once, reuse for both the profile build and
+      // the scoring pass. At 100 TB the profile build would run on a
+      // small sample instead (language profiles converge fast); the
+      // scoring pass stays a full scan either way.
+      val docs = T.documents(s, d)
+        .select($"doc_id", $"lang",
           array_distinct(expr("transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))"))
             .as("tg"))
-      val langTri = T.documents(s, d)
-        .select($"lang",
-          explode(array_distinct(
-            expr("transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))"))).as("t"))
+        .cache()
+      val docTri = docs.select($"doc_id", $"tg")
+      val langTri = docs.select($"lang", explode($"tg").as("t"))
         .groupBy($"lang", $"t").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy($"lang").orderBy($"df".desc, $"t")
+      // profile as ONE array row per language (langs × 20 trigrams) —
+      // scoring is then a broadcast cross of 5 tiny rows against the
+      // corpus with a per-row array_intersect, not a 300-trigram
+      // explode + shuffle per document
       val profiles = langTri.withColumn("rn", row_number().over(w))
-        .filter($"rn" <= 20).select($"lang".as("plang"), $"t")
-      val scored = docTri.select($"doc_id", explode($"tg").as("t"))
-        .join(broadcast(profiles), "t")
-        .groupBy($"doc_id", $"plang").agg(count(lit(1)).as("overlap"))
+        .filter($"rn" <= 20)
+        .groupBy($"lang".as("plang"))
+        .agg(array_sort(collect_list($"t")).as("ptg"))
+      val scored = docTri.crossJoin(broadcast(profiles))
+        .select($"doc_id", $"plang",
+          size(array_intersect($"tg", $"ptg")).cast("bigint").as("overlap"))
+        .filter($"overlap" >= 1)
       val w2 = Window.partitionBy($"doc_id").orderBy($"overlap".desc, $"plang")
       scored.withColumn("rn", row_number().over(w2)).filter($"rn" === 1)
         .select($"doc_id", $"plang".as("predicted_lang"), $"overlap")
