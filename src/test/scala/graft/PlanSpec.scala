@@ -24,7 +24,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val dir = "/root/testdata/sf0.001"
   private val streaming = Set("s01_stream_roundtrip", "s02_stream_take_n", "s03_sink_roundtrip")
   // bounded-side nested loops that are correct by construction
-  private val allowedBnlj = Set("q18_scalar_subquery", "q30_range_join", "q40_cosine_topk")
+  // (1-row stats, 4-row tier dim, 10-row query set, 5-row lang profiles)
+  private val allowedBnlj = Set("q18_scalar_subquery", "q30_range_join",
+    "q40_cosine_topk", "q51_langid_ngram")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()

@@ -159,6 +159,11 @@ class ShardStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 10)
   }
 
+  test("maxElements=0 is an empty bounded read (distinct from the -1 sentinel)") {
+    val df = drain(readStreamDf(seeded10(), Map("maxElements" -> "0")))
+    assert(df.count() == 0)
+  }
+
   test("maxElements=-1 means unbounded (the TCK's 0 -> -1 mapping target)") {
     // ShardPublisherVerification.scala:62 maps elements==0 to -1;
     // -1 is the unbounded sentinel here exactly as in the reference

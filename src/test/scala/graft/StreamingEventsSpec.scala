@@ -135,6 +135,29 @@ class StreamingEventsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.select("event_id").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3, 4))
   }
 
+  test("dropDuplicatesWithinWatermark: state is bounded by the watermark") {
+    // Unbounded dropDuplicates keeps every key forever — a 100 TB
+    // non-starter. The within-watermark variant evicts state: a key
+    // re-occurring with a FRESH event time after its state expired is
+    // emitted again (id 1), while a duplicate within the watermark
+    // window is suppressed (id 3). (A stale-event-time duplicate would
+    // be dropped as late data before reaching the dedup state at all.)
+    val evs = Seq(
+      (1, hours(0), 1), (2, hours(0) + 10, 1),      // batch 1
+      (3, hours(3), 1), (3, hours(3) + 5, 1),       // batch 2: in-window dup id 3
+      (5, hours(3) + 20, 1), (6, hours(3) + 30, 1), // batch 3 keeps wm high
+      (1, hours(3) + 40, 1), (7, hours(3) + 50, 1)) // batch 4: id 1 again, state evicted
+    val name = seed(evs)
+    val dedup = eventStream(name, maxPerBatch = 2)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val ids = runToMemory(dedup, OutputMode.Append())
+      .collect().map(_.getInt(0)).toSeq
+    assert(ids.count(_ == 1) == 2, s"ids=$ids") // re-emitted after eviction
+    assert(ids.count(_ == 3) == 1, s"ids=$ids") // in-window duplicate suppressed
+    assert(ids.sorted == Seq(1, 1, 2, 3, 5, 6, 7))
+  }
+
   test("session window (streaming): gap merge matches the batch-parity shape") {
     // user 1: events at 00:00, 00:10, 01:00 -> two sessions (gap 30 min)
     val evs = Seq(
