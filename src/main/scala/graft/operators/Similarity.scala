@@ -76,6 +76,28 @@ object Similarity extends QueryPack {
         .select($"qid", $"vec_id", $"cell", $"cos", $"rn")
     }),
 
+    // ---- sign-LSH bucketed ANN --------------------------------------
+    // Random-hyperplane LSH with DETERMINISTIC integer hyperplanes
+    // (coef(j,k) = ((j·73 + k·179) mod 41) − 20): bucket = 8 sign
+    // bits of int_dot(v, plane_j) — exact integer arithmetic, so the
+    // oracle reproduces buckets bit-for-bit. Search is restricted to
+    // the query's bucket (equi-join), the LSH scale path next to
+    // q41's IVF cells: ~256 buckets shrink per-query work by the
+    // bucket count at any corpus size.
+    "q53_ann_signlsh" -> ((s, d) => {
+      import s.implicits._
+      val withBucket = quantized(s, d).withColumn("bucket", Similarity.bucketExpr)
+      val qs = withBucket.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"bucket".as("qbucket"), $"q".as("qv"), $"n2".as("qn2"))
+      val scored = withBucket.join(broadcast(qs),
+          $"bucket" === $"qbucket" && $"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id", $"bucket", cosine("q", "qv", "n2", "qn2").as("cos"))
+      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+      scored.withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter($"rn" <= 3)
+        .select($"qid", $"vec_id", $"bucket", $"cos", $"rn")
+    }),
+
     // ---- embedding-cosine near-dup candidates -----------------------
     // For every vector: its nearest neighbor within its IVF cell
     // (near-dups of a vector share its cell by construction of the
@@ -96,6 +118,24 @@ object Similarity extends QueryPack {
         .filter($"rn" === 1)
         .select($"a", $"b".as("nn"), $"cos")
     }))
+
+  private val dim = 64
+  private val nPlanes = 8
+  private def coef(j: Int, k: Int): Long = ((j * 73 + k * 179) % 41).toLong - 20L
+
+  /** bucket = sign bits of the 8 integer hyperplane dots (Spark side,
+    * via the native int_dot over SQL-literal plane arrays). */
+  private def bucketExpr: Column = (0 until nPlanes).map { j =>
+    val arr = (0 until dim).map(coef(j, _)).mkString(",")
+    when(expr(s"int_dot(q, CAST(array($arr) AS array<bigint>))") >= 0,
+      lit(1L << j)).otherwise(lit(0L))
+  }.reduce(_ + _)
+
+  /** same buckets in DuckDB SQL. */
+  private def duckBucket(qv: String): String = (0 until nPlanes).map { j =>
+    val arr = (0 until dim).map(coef(j, _)).mkString(", ")
+    s"(CASE WHEN list_sum(list_transform(list_zip($qv, [$arr]), p -> p[1] * p[2])) >= 0 THEN ${1L << j} ELSE 0 END)"
+  }.mkString("(", " + ", ")")
 
   private val duckQuant =
     """q AS (SELECT vec_id, label,
@@ -131,6 +171,21 @@ object Similarity extends QueryPack {
         |  FROM n JOIN qs ON n.label = qs.qcell AND n.vec_id != qs.qid)
         |SELECT qid, vec_id, cell, cos, rn FROM (
         |  SELECT qid, vec_id, cell, cos,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+        |  FROM scored) t
+        |WHERE rn <= 3""".stripMargin,
+
+    "q53_ann_signlsh" ->
+      s"""WITH $duckQuant,
+        |b AS (SELECT vec_id, qv, n2, ${duckBucket("qv")} AS bucket FROM n),
+        |qs AS (SELECT vec_id AS qid, bucket AS qbucket, qv AS qqv, n2 AS qn2
+        |       FROM b WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT qs.qid, b.vec_id, b.bucket,
+        |    ${duckCos("b.qv", "qs.qqv", "b.n2", "qs.qn2")} AS cos
+        |  FROM b JOIN qs ON b.bucket = qs.qbucket AND b.vec_id != qs.qid)
+        |SELECT qid, vec_id, bucket, cos, rn FROM (
+        |  SELECT qid, vec_id, bucket, cos,
         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
         |  FROM scored) t
         |WHERE rn <= 3""".stripMargin,
