@@ -28,7 +28,8 @@ import graft.operators._
 object SparkEntry {
 
   private val packs: Seq[QueryPack] =
-    Seq(Relational, Streams, Events, TextAnalysis, Dedup, Similarity, Multimodal, Sketches)
+    Seq(Relational, Streams, Events, TextAnalysis, Dedup, Similarity, Multimodal, Sketches,
+      Layout)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

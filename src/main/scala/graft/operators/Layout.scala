@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables => T}
+import graft.functions.Exact
+
+/** Physical-layout operators — the storage-side levers that matter at
+  * 100 TB: partitioned writes with partition pruning, and bucketed
+  * tables for shuffle-free co-located joins.
+  */
+object Layout extends QueryPack {
+
+  private def sfx(d: String): String = d.replaceAll("[^A-Za-z0-9]", "_")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- partitioned write + partition pruning ----------------------
+    // Writes orders partitioned by year, then reads ONE partition
+    // back: the filter prunes at the directory level (plan shows
+    // PartitionFilters, and the scan never opens the other years'
+    // files) — the mechanism that turns a 100 TB scan into a 1-year
+    // scan.
+    "q54_partition_pruning" -> ((s, d) => {
+      import s.implicits._
+      val dir = s"/tmp/graft_part_${sfx(d)}"
+      T.orders(s, d).withColumn("o_year", year($"o_orderdate"))
+        .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+      s.read.parquet(dir)
+        .filter($"o_year" === 1996)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"), Exact.sumMoney($"o_totalprice").as("total"))
+    }),
+
+    // ---- bucketed co-located join -----------------------------------
+    // Both sides bucketed (and sorted) on the join key: the join reads
+    // bucket i against bucket i with NO shuffle of either fact table —
+    // pre-paying the exchange once at write time, the standard layout
+    // for a repeatedly-joined 100 TB pair. (At this test scale AQE may
+    // still pick broadcast; the guarantee checked is that no exchange
+    // on the join keys exists in the plan.)
+    "q55_bucketed_join" -> ((s, d) => {
+      import s.implicits._
+      T.customer(s, d).write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable(s"graft_cust_b_${sfx(d)}")
+      T.orders(s, d).write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable(s"graft_ord_b_${sfx(d)}")
+      s.table(s"graft_ord_b_${sfx(d)}")
+        .join(s.table(s"graft_cust_b_${sfx(d)}"), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), Exact.sumMoney($"o_totalprice").as("total"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "q54_partition_pruning" ->
+      s"""SELECT o_orderstatus, count(*) AS n, ${Exact.sumMoneySql("o_totalprice")} AS total
+        |FROM orders WHERE year(o_orderdate) = 1996
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    "q55_bucketed_join" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+        |  ${Exact.sumMoneySql("o_totalprice")} AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin)
+}

@@ -35,6 +35,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -69,6 +70,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // l_suppkey/l_linenumber must have been pruned away
     assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey"),
       s"column pruning failed: $readSchema")
+  }
+
+  test("q54: the year filter prunes partitions at the scan") {
+    val p = SparkEntry.queries("q54_partition_pruning")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val pf = p.linesIterator.find(_.trim.startsWith("PartitionFilters")).getOrElse("")
+    assert(pf.contains("o_year"), s"no partition filter on o_year: $pf")
+  }
+
+  test("q55: bucketed join has no exchange on the join keys") {
+    val p = SparkEntry.queries("q55_bucketed_join")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("hashpartitioning(o_custkey") &&
+      !p.contains("hashpartitioning(c_custkey"),
+      "join keys were re-shuffled despite bucketing")
   }
 
   test("filters reach the parquet scan (pushdown)") {
