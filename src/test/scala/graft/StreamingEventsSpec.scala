@@ -221,6 +221,55 @@ class StreamingEventsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.count(_._1 == "1") == 3 && back.count(_._1 == "2") == 2)
   }
 
+  test("stream-static join: stream enriched against a batch dimension") {
+    val sp = spark
+    import sp.implicits._
+    val evs = Seq((1, 10L, 1), (2, 20L, 2), (3, 30L, 1), (4, 40L, 3))
+    val name = seed(evs)
+    val dim = Seq(("1", "gold"), ("2", "silver")).toDF("user", "tier") // user 3 unmatched
+    val joined = eventStream(name, maxPerBatch = 2)
+      .join(dim, Seq("user")) // inner: drops user 3
+      .select(col("event_id"), col("tier"))
+    val out = runToMemory(joined, OutputMode.Append())
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(out == Set((1, "gold"), (3, "gold"), (2, "silver")))
+  }
+
+  test("transformWithState: ValueState running count per key (RocksDB store)") {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    val sp = spark
+    import sp.implicits._
+    val evs = Seq((0, 1L, 1), (1, 2L, 2), (2, 3L, 1), (3, 4L, 1), (4, 5L, 2))
+    val name = seed(evs)
+    class CountProcessor extends StatefulProcessor[String, (String, Int), (String, Long)] {
+      @transient private var count: ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        count = getHandle.getValueState[Long]("count", E.scalaLong, TTLConfig.NONE)
+      override def handleInputRows(key: String, rows: Iterator[(String, Int)],
+                                   timerValues: TimerValues): Iterator[(String, Long)] = {
+        val n = (if (count.exists()) count.get() else 0L) + rows.size
+        count.update(n)
+        Iterator.single((key, n))
+      }
+    }
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val counted = eventStream(name, maxPerBatch = 2)
+        .select(col("user"), col("event_id"))
+        .as[(String, Int)]
+        .groupByKey(_._1)
+        .transformWithState(new CountProcessor, TimeMode.None(), OutputMode.Update(),
+          E.tuple(E.STRING, E.scalaLong))
+        .toDF("user", "n")
+      val out = runToMemory(counted, OutputMode.Update())
+      val finalCounts = out.groupBy("user").agg(max("n").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(finalCounts == Map("1" -> 3L, "2" -> 2L))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("mapGroupsWithState: custom running state per key across batches") {
     import org.apache.spark.sql.{Encoders => E}
     val evs = Seq(
