@@ -41,6 +41,16 @@ object Layout extends QueryPack {
     // on the join keys exists in the plan.)
     "q55_bucketed_join" -> ((s, d) => {
       import s.implicits._
+      // the in-memory catalog is per-JVM but the warehouse dir is not:
+      // a table location left by a previous run must be cleared or
+      // CTAS refuses it (LOCATION_ALREADY_EXISTS)
+      Seq(s"graft_cust_b_${sfx(d)}", s"graft_ord_b_${sfx(d)}").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val p = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir") + "/" + t)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
       T.customer(s, d).write.bucketBy(8, "c_custkey").sortBy("c_custkey")
         .mode("overwrite").saveAsTable(s"graft_cust_b_${sfx(d)}")
       T.orders(s, d).write.bucketBy(8, "o_custkey").sortBy("o_custkey")
