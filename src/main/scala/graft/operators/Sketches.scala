@@ -49,12 +49,15 @@ object Sketches extends QueryPack {
       val tmp = s"/tmp/graft_fmt_${d.replaceAll("[^A-Za-z0-9]", "_")}"
       sample.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
       sample.write.mode("overwrite").json(s"$tmp/json")
+      sample.write.mode("overwrite").orc(s"$tmp/orc")
       val schema = "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE"
       val c = s.read.option("header", "true").schema(schema).csv(s"$tmp/csv")
         .withColumn("fmt", lit("csv"))
       val j = s.read.schema(schema).json(s"$tmp/json")
         .withColumn("fmt", lit("json"))
-      c.unionAll(j).groupBy($"fmt")
+      val o = s.read.schema(schema).orc(s"$tmp/orc")
+        .withColumn("fmt", lit("orc"))
+      c.unionAll(j).unionAll(o).groupBy($"fmt")
         .agg(count(lit(1)).as("n"), Exact.sumMoney($"o_totalprice").as("total"))
     }))
 
@@ -89,6 +92,6 @@ object Sketches extends QueryPack {
       val one = (fmt: String) =>
         s"""SELECT '$fmt' AS fmt, count(*) AS n, ${Exact.sumMoneySql("o_totalprice")} AS total
            |FROM orders WHERE o_orderkey < 1000""".stripMargin
-      one("csv") + "\nUNION ALL\n" + one("json")
+      one("csv") + "\nUNION ALL\n" + one("json") + "\nUNION ALL\n" + one("orc")
     })
 }

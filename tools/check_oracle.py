@@ -1,8 +1,10 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate: run DuckDB on each
 oracle SQL from Verify's oracle_sql.json, compare against the Spark
-parquet dump (sorted columns by name, sorted rows, exact values;
-floats reported separately if only off by tiny epsilon)."""
+parquet dump (sorted columns by name, sorted rows, EXACT comparison —
+any float difference is a FAIL; max_abs_diff is printed only as a
+diagnostic). Determinism must come from the queries themselves
+(graft.functions.Exact, quantized integers, portable hashes)."""
 import json, sys, glob, math
 import duckdb
 
