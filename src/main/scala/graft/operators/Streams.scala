@@ -83,7 +83,8 @@ object Streams extends QueryPack {
     s.table(qn)
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     // S1+S3+S4+S7+S16: multi-shard replay, JSON decode, full round-trip.
     "s01_stream_roundtrip" -> ((s, d) => {
       val name = s"events_rt_${sfx(d)}"
@@ -162,9 +163,54 @@ object Streams extends QueryPack {
         .agg(count(lit(1)).as("n"),
           min_by(col("eid"), col("sequenceNumber")).as("first_eid"),
           max_by(col("eid"), col("sequenceNumber")).as("last_eid"))
+    })) ++ extra
+
+  private val extra: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Full stream→stream pipe through the FIRST-CLASS DSv2 sink:
+    // source replay → parse → re-key by event_type →
+    // writeStream.format("shardstream") (the engine plans the
+    // clustering + sort the sink's RequiresDistributionAndOrdering
+    // demands) → batch read-back. Single epoch so the per-key replay
+    // order is globally event_id-sorted (multi-epoch budget allocation
+    // interleaves shard ranges — per-key order would still hold per
+    // epoch, but min/max-vs-seq would not be oracle-checkable).
+    "s05_dsv2_sink_pipe" -> ((s, d) => {
+      val src = s"events_rt_${sfx(d)}"
+      seedEventsJson(s, d, src, numShards = 4)
+      val dst = s"events_pipe_${sfx(d)}"
+      ShardServiceRegistry.drop(dst)
+      ShardServiceRegistry.create(dst, 4)
+      val raw = s.readStream.format("shardstream")
+        .option("stream", src)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", "10000000")
+        .load()
+      val parsed = raw.select(
+        from_json(col("data").cast("string"), payloadSchema).as("e"))
+        .select(col("e.event_type").as("partitionKey"),
+          col("e.event_id"),
+          col("e.event_id").cast("string").cast("binary").as("data"))
+      val q = parsed.writeStream.format("shardstream")
+        .option("stream", dst)
+        .option("orderBy", "event_id")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_pipe").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.format("shardstream").option("stream", dst).load()
+        .select(col("partitionKey").as("event_type"), col("sequenceNumber"),
+          col("data").cast("string").cast("bigint").as("eid"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min_by(col("eid"), col("sequenceNumber")).as("first_eid"),
+          max_by(col("eid"), col("sequenceNumber")).as("last_eid"))
     }))
 
   def oracles: Map[String, String] = Map(
+    "s05_dsv2_sink_pipe" ->
+      """SELECT event_type, count(*) AS n,
+        |  min(event_id) AS first_eid, max(event_id) AS last_eid
+        |FROM events GROUP BY event_type""".stripMargin,
     "s01_stream_roundtrip" ->
       """SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
         |  user_id, event_type, value

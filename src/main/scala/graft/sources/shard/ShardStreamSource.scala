@@ -101,16 +101,24 @@ class ShardStreamProvider extends TableProvider with DataSourceRegister {
     new ShardStreamTable(new CaseInsensitiveStringMap(properties))
 }
 
-class ShardStreamTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+class ShardStreamTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private val opts = ShardSourceOptions(options)
   override def name(): String = s"shardstream(${opts.stream})"
   override def schema(): StructType = ShardStreamTable.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(caseInsensitiveStringMap: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new ShardScan(opts)
     }
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new ShardWriteBuilder(ShardSinkOptions(info.options()), info.schema())
 }
 
 class ShardScan(opts: ShardSourceOptions) extends Scan {
