@@ -23,10 +23,16 @@ object GraftExtensions {
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
-      (children: Seq[Expression]) => RollingHash(children.head)),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, s"rolling_hash takes 1 argument, got ${children.length}")
+        RollingHash(children.head)
+      }),
     (FunctionIdentifier("int_dot"),
       new ExpressionInfo(classOf[IntDot].getName, "int_dot"),
-      (children: Seq[Expression]) => IntDot(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"int_dot takes 2 arguments, got ${children.length}")
+        IntDot(children.head, children(1))
+      }))
 
   /** Idempotent imperative registration — for sessions built without
     * the extensions conf (e.g. an external harness session). */

@@ -67,9 +67,11 @@ object Dedup extends QueryPack {
       // min-hashed common shingle) inflate this stage, so candidates
       // are pruned by the SIGNATURE similarity estimate before the
       // expensive exact verification: a true pair at the 0.5 Jaccard
-      // threshold matches ~K/2 signature slots; requiring >= 0.3·K
-      // keeps it with overwhelming probability while random hot-bucket
-      // pairs (est ~ their true jaccard ~ 0.05) drop out.
+      // threshold matches Binomial(32, 0.5) signature slots, so
+      // requiring >= 5 misses it with P(X<=4) ~ 1.5e-6, while random
+      // hot-bucket pairs (p ~ their true jaccard ~ 0.05, mean 1.6)
+      // pass with only ~2% probability — a ~50x cut of the
+      // verification set without a meaningful recall risk.
       val bands = sigArr.select($"doc_id", posexplode($"sig")).toDF("doc_id", "band", "mh")
       val cand = bands.toDF("a", "band", "mh")
         .join(bands.toDF("b", "band", "mh"), Seq("band", "mh"))
@@ -80,7 +82,7 @@ object Dedup extends QueryPack {
         .join(sigArr.select($"doc_id".as("b"), $"sig".as("sigb")), "b")
         .withColumn("matches",
           size(filter(zip_with($"siga", $"sigb", (x, y) => x === y), b => b)))
-        .filter($"matches" * 10 >= K * 3)
+        .filter($"matches" >= 5)
         .select($"a", $"b")
       // exact-Jaccard verification of the pruned candidates only
       val shA = sh.select($"doc_id".as("a"), $"sh".as("sha"))

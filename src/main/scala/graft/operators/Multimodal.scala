@@ -64,6 +64,6 @@ object Multimodal extends QueryPack {
         |  md5(text) AS fingerprint,
         |  CAST(length(text) % 640 AS BIGINT) AS width,
         |  CAST(length(text) // 640 + 1 AS BIGINT) AS height,
-        |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
+        |  CAST(CASE WHEN length(text) = 0 THEN -1 ELSE ascii(substr(text, 1, 1)) END AS BIGINT) AS first_byte
         |FROM documents""".stripMargin)
 }

@@ -76,6 +76,11 @@ object Streams extends QueryPack {
   /** Run a streaming DataFrame through Trigger.AvailableNow into a
     * memory sink and return the materialized table (S9 completion). */
   private def drain(s: SparkSession, df: DataFrame): DataFrame = {
+    // memory-sink tables pin their rows in driver heap for the JVM
+    // lifetime — drop earlier runs' views (their consumers have
+    // already written results by the time another stream query runs)
+    val prev = sinkCounter.get()
+    (1 to prev).foreach(i => s.catalog.dropTempView(s"shardstream_out_$i"))
     val qn = s"shardstream_out_${sinkCounter.incrementAndGet()}"
     val q = df.writeStream.format("memory").queryName(qn)
       .trigger(Trigger.AvailableNow()).start()

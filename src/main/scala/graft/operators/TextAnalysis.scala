@@ -114,7 +114,11 @@ object TextAnalysis extends QueryPack {
       // the scoring pass. At 100 TB the profile build would run on a
       // small sample instead (language profiles converge fast); the
       // scoring pass stays a full scan either way.
+      // length guard: sequence(1, len-2) DESCENDS for len<3 (bogus
+      // short trigrams) while the oracle's range() is empty — exclude
+      // sub-3-char docs on both sides
       val docs = T.documents(s, d)
+        .filter(length($"text") >= 3)
         .select($"doc_id", $"lang",
           array_distinct(expr("transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))"))
             .as("tg"))
@@ -159,7 +163,7 @@ object TextAnalysis extends QueryPack {
         |  SELECT lang, t, count(*) AS df FROM (
         |    SELECT lang, unnest(list_distinct(list_transform(range(1, length(text) - 1),
         |      i -> substr(text, CAST(i AS INT), 3)))) AS t
-        |    FROM documents) u
+        |    FROM documents WHERE length(text) >= 3) u
         |  GROUP BY lang, t),
         |profiles AS (
         |  SELECT lang AS plang, t FROM (

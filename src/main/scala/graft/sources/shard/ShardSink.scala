@@ -19,6 +19,12 @@ import org.apache.spark.sql.functions.col
   *
   * For streaming use, call from `foreachBatch` — each micro-batch is a
   * DataFrame and goes through the same path.
+  *
+  * NOTE: [[ShardWrite]] is the first-class DSv2 form of the same
+  * contract (the engine plans the clustering/sort it declares); this
+  * helper remains for foreachBatch pipelines that interleave puts with
+  * other per-batch logic. Ordering/chaining semantics must be kept in
+  * sync between the two.
   */
 object ShardSink {
 

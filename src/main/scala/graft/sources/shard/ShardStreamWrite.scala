@@ -53,6 +53,18 @@ class ShardWriteBuilder(opts: ShardSinkOptions, schema: StructType) extends Writ
 class ShardWrite(opts: ShardSinkOptions, schema: StructType)
     extends Write with RequiresDistributionAndOrdering {
 
+  // fail at planning, not mid-write after the shuffle already ran
+  locally {
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    def fieldType(name: String) = schema.fields(schema.fieldIndex(name)).dataType
+    require(fieldType(opts.keyCol).isInstanceOf[StringType],
+      s"shardstream sink: keyCol '${opts.keyCol}' must be STRING, " +
+        s"got ${fieldType(opts.keyCol).catalogString} (cast it before writing)")
+    require(fieldType(opts.payloadCol) == BinaryType,
+      s"shardstream sink: payloadCol '${opts.payloadCol}' must be BINARY, " +
+        s"got ${fieldType(opts.payloadCol).catalogString} (cast it before writing)")
+  }
+
   override def requiredDistribution(): Distribution =
     Distributions.clustered(Array(Expressions.identity(opts.keyCol)))
 

@@ -15,14 +15,15 @@ import org.scalatest.funsuite.AnyFunSuite
   *    query set);
   *  - scans prune columns (no query reads every column of lineitem).
   *
-  * Streaming queries (s01–s03) execute work in their builders and are
+  * Streaming queries (s01–s05) execute work in their builders and are
   * plan-checked by their behavioral specs instead.
   */
 class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var spark: SparkSession = _
   private val dir = "/root/testdata/sf0.001"
-  private val streaming = Set("s01_stream_roundtrip", "s02_stream_take_n", "s03_sink_roundtrip")
+  private val streaming = Set("s01_stream_roundtrip", "s02_stream_take_n",
+    "s03_sink_roundtrip", "s04_stream_windowed", "s05_dsv2_sink_pipe")
   // bounded-side nested loops that are correct by construction
   // (1-row stats, 4-row tier dim, 10-row query set, 5-row lang profiles)
   private val allowedBnlj = Set("q18_scalar_subquery", "q30_range_join",
@@ -43,7 +44,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  private def plans: Seq[(String, String)] =
+  private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => streaming(n) }
       .map { case (n, fn) =>
