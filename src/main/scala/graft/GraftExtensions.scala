@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{IntDot, RollingHash}
+import graft.functions.{IntDot, MinHashSig, RollingHash}
 
 /** SparkSessionExtensions entry point — registers the library's native
   * Catalyst expressions into the function registry, the idiomatic
@@ -32,6 +32,17 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, s"int_dot takes 2 arguments, got ${children.length}")
         IntDot(children.head, children(1))
+      }),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"minhash_sig takes 2 arguments, got ${children.length}")
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(
+            "minhash_sig: k must be an integer literal")
+        }
+        MinHashSig(children.head, k)
       }))
 
   /** Idempotent imperative registration — for sessions built without

@@ -53,14 +53,16 @@ object Dedup extends QueryPack {
     // ---- banded MinHash LSH near-dup --------------------------------
     "q36_minhash_neardup" -> ((s, d) => {
       import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
       val sh = shingles(s, d)
-      // signature array per doc: sig[i] = min over shingles of
-      // xxhash64(i, shingle) — computed in one codegen'd projection
-      // (no shingle explosion, no signature shuffle). Tiny relative to
-      // the corpus (K longs per doc), cached for its three uses.
-      val sigArr = sh.select($"doc_id",
-        transform(sequence(lit(0), lit(K - 1)),
-          i => array_min(transform($"sh", x => xxhash64(i, x)))).as("sig"))
+      // signature array per doc via the native minhash_sig expression
+      // (graft.functions.MinHashSig): 2 real hashes per shingle +
+      // Kirsch–Mitzenmacher band derivation in one compiled loop — the
+      // composed HOF form (transform ∘ array_min ∘ transform) costs
+      // k·|sh| interpreted lambda evals per doc and dominated the
+      // pipeline. Signature table is K longs per doc, cached for its
+      // three uses.
+      val sigArr = sh.select($"doc_id", expr(s"minhash_sig(sh, $K)").as("sig"))
         .cache()
       // candidates: docs colliding in ANY band (r=1) — equi-join on
       // (band, minhash), never all-pairs. Hot buckets (a globally
