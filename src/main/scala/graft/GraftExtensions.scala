@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{IntDot, MinHashSig, RollingHash}
+import graft.functions.{CharNgrams, IntDot, MinHashSig, RollingHash}
 
 /** SparkSessionExtensions entry point — registers the library's native
   * Catalyst expressions into the function registry, the idiomatic
@@ -43,6 +43,17 @@ object GraftExtensions {
             "minhash_sig: k must be an integer literal")
         }
         MinHashSig(children.head, k)
+      }),
+    (FunctionIdentifier("char_ngrams"),
+      new ExpressionInfo(classOf[CharNgrams].getName, "char_ngrams"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"char_ngrams takes 2 arguments, got ${children.length}")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(
+            "char_ngrams: n must be an integer literal")
+        }
+        CharNgrams(children.head, n)
       }))
 
   /** Idempotent imperative registration — for sessions built without

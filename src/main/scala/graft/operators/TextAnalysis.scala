@@ -109,19 +109,19 @@ object TextAnalysis extends QueryPack {
     // size.
     "q51_langid_ngram" -> ((s, d) => {
       import s.implicits._
-      // trigram extraction is O(len²) per doc (substr rescans the
-      // string) — compute once, reuse for both the profile build and
-      // the scoring pass. At 100 TB the profile build would run on a
-      // small sample instead (language profiles converge fast); the
-      // scoring pass stays a full scan either way.
-      // length guard: sequence(1, len-2) DESCENDS for len<3 (bogus
-      // short trigrams) while the oracle's range() is empty — exclude
-      // sub-3-char docs on both sides
+      graft.GraftExtensions.ensureRegistered(s)
+      // trigram extraction via the native char_ngrams expression (one
+      // pass per doc; the substr-HOF form is O(len²) interpreted).
+      // Computed once and cached for both the profile build and the
+      // scoring pass. At 100 TB the profile build would run on a small
+      // sample instead (language profiles converge fast); the scoring
+      // pass stays a full scan either way. char_ngrams returns [] for
+      // sub-3-char docs; the filter keeps parity with the oracle's
+      // length guard (such docs score no overlap either way).
       val docs = T.documents(s, d)
         .filter(length($"text") >= 3)
         .select($"doc_id", $"lang",
-          array_distinct(expr("transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))"))
-            .as("tg"))
+          array_distinct(expr("char_ngrams(text, 3)")).as("tg"))
         .cache()
       val docTri = docs.select($"doc_id", $"tg")
       val langTri = docs.select($"lang", explode($"tg").as("t"))
