@@ -97,6 +97,37 @@ object Dedup extends QueryPack {
         .filter($"jaccard" >= 0.5)
     }),
 
+    // ---- near-dup clusters (connected components) -------------------
+    // The step after pair detection in a real dedup pipeline: group
+    // the q36 pair list into clusters and pick one keeper per cluster.
+    // Min-label propagation over the edge list — fixed 8 rounds, each
+    // truncated with an eager localCheckpoint: the lineage of
+    // label(n+1) = union(label(n), label(n) ⋈ edges) doubles per
+    // round, so a lazy unrolled plan explodes exponentially in
+    // Catalyst; checkpointing makes each round one small job (the
+    // GraphX-style iteration shape). The pair list is checkpointed
+    // BEFORE fanning out so no branch re-materializes the LSH
+    // sub-pipeline. 8 rounds converge any component of diameter ≤ 8 —
+    // near-dup clusters are shallow (this corpus peaks at diameter 2);
+    // a pathologically longer chain calls for pointer-doubling
+    // (log-diameter rounds), not more of these.
+    "q56_dedup_clusters" -> ((s, d) => {
+      import s.implicits._
+      val pairs = queries("q36_minhash_neardup")(s, d).select($"a", $"b")
+        .localCheckpoint(true)
+      val edges = pairs.unionAll(pairs.select($"b".as("a"), $"a".as("b")))
+        .localCheckpoint(true)
+      var labels = edges.select($"a".as("v")).distinct()
+        .select($"v", $"v".as("lbl")).localCheckpoint(true)
+      for (_ <- 1 to 8) {
+        val prop = labels.join(edges, $"v" === $"a").select($"b".as("v"), $"lbl")
+        labels = labels.unionAll(prop).groupBy($"v").agg(min($"lbl").as("lbl"))
+          .localCheckpoint(true)
+      }
+      labels.groupBy($"lbl".as("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"), min($"v").as("keeper_doc_id"))
+    }),
+
     // ---- SimHash bucketing ------------------------------------------
     // 16-bit simhash over the distinct-token set; token bit source is
     // a 60-bit integer parsed from md5 hex — portable to the oracle.
@@ -143,6 +174,27 @@ object Dedup extends QueryPack {
         |          / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
         |  FROM d x JOIN d y ON x.doc_id < y.doc_id) p
         |WHERE jaccard >= 0.5""".stripMargin,
+
+    "q56_dedup_clusters" ->
+      """WITH pairs AS (
+        |  WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |  d AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |    FROM w WHERE len(w) >= 3)
+        |  SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM d x JOIN d y ON x.doc_id < y.doc_id
+        |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
+        |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |verts AS (SELECT DISTINCT a AS v FROM edges),
+        |cc AS (
+        |  WITH RECURSIVE r(v, lbl) AS (
+        |    SELECT v, v FROM verts
+        |    UNION
+        |    SELECT e.b, r.lbl FROM r JOIN edges e ON r.v = e.a)
+        |  SELECT v, min(lbl) AS lbl FROM r GROUP BY v)
+        |SELECT lbl AS cluster_id, count(*) AS n_docs, min(v) AS keeper_doc_id
+        |FROM cc GROUP BY lbl""".stripMargin,
 
     "q37_simhash_buckets" -> {
       val bitSums = (0 until 16).map { j =>
