@@ -15,7 +15,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * O(position) on UTF-8 bytes), i.e. O(len²) per row in interpreted
   * lambda calls. Here the string is decoded once and grams are sliced
   * in one pass — O(len·n). Character semantics match SQL `substr`
-  * (code-point based via String, identical on the BMP).
+  * (code-point based): supplementary characters count as one, so
+  * surrogate pairs are never split.
   *
   * Returns an empty array for strings shorter than `n` — the same
   * contract as the guarded SQL form (DuckDB `range()` is empty there).
@@ -35,13 +36,34 @@ case class CharNgrams(child: Expression, n: Int)
 
   override protected def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
-    val count = s.length - n + 1
+    val cpCount = s.codePointCount(0, s.length)
+    val count = cpCount - n + 1
     if (count <= 0) new GenericArrayData(Array.empty[Any])
-    else {
+    else if (cpCount == s.length) {
+      // BMP-only fast path: code units == code points
       val out = new Array[Any](count)
       var i = 0
       while (i < count) {
         out(i) = UTF8String.fromString(s.substring(i, i + n))
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      // one pass to mark code-point boundaries (code-unit offsets),
+      // then slice on boundaries — surrogate pairs stay whole
+      val bounds = new Array[Int](cpCount + 1)
+      var cu = 0
+      var cp = 0
+      while (cp < cpCount) {
+        bounds(cp) = cu
+        cu += Character.charCount(s.codePointAt(cu))
+        cp += 1
+      }
+      bounds(cpCount) = s.length
+      val out = new Array[Any](count)
+      var i = 0
+      while (i < count) {
+        out(i) = UTF8String.fromString(s.substring(bounds(i), bounds(i + n)))
         i += 1
       }
       new GenericArrayData(out)

@@ -26,6 +26,15 @@ case class IntDot(left: Expression, right: Expression) extends BinaryExpression 
     case _ => false
   }
 
+  /** A null element anywhere makes the whole product null (SQL
+    * arithmetic null semantics — same as the oracle's list_reduce). */
+  private def anyElementNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  })
+
+  override def nullable: Boolean = super.nullable || anyElementNullable
+
   override def checkInputDataTypes(): TypeCheckResult =
     if (isLongArray(left.dataType) && isLongArray(right.dataType))
       TypeCheckResult.TypeCheckSuccess
@@ -39,9 +48,17 @@ case class IntDot(left: Expression, right: Expression) extends BinaryExpression 
     val n = math.min(xs.numElements(), ys.numElements())
     var s = 0L
     var i = 0
-    while (i < n) {
-      s += xs.getLong(i) * ys.getLong(i)
-      i += 1
+    if (anyElementNullable) {
+      while (i < n) {
+        if (xs.isNullAt(i) || ys.isNullAt(i)) return null
+        s += xs.getLong(i) * ys.getLong(i)
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        s += xs.getLong(i) * ys.getLong(i)
+        i += 1
+      }
     }
     s
   }
@@ -51,10 +68,16 @@ case class IntDot(left: Expression, right: Expression) extends BinaryExpression 
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
+      // only pay the per-element null check when the schema allows nulls
+      val nullCheck =
+        if (anyElementNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = $a.numElements() < $b.numElements() ? $a.numElements() : $b.numElements();
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $s += $a.getLong($i) * $b.getLong($i);
          |}
          |${ev.value} = $s;

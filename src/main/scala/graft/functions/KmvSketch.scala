@@ -29,11 +29,24 @@ class KmvSketch(k: Int) extends Aggregator[Long, Seq[Long], Double] {
 
   override def zero: Seq[Long] = Vector.empty
 
-  private def insert(buf: Seq[Long], h: Long): Seq[Long] =
-    if (buf.contains(h)) buf
-    else if (buf.size < k) (buf :+ h).sorted
-    else if (h >= buf.last) buf
-    else ((buf :+ h).sorted).take(k)
+  /** The buffer is always sorted ascending, so membership and the
+    * insertion point come from one binary search — O(log k) compare +
+    * O(k) vector patch, not O(k) contains + O(k log k) re-sort per row. */
+  private def insert(buf: Seq[Long], h: Long): Seq[Long] = {
+    val size = buf.size
+    if (size == k && h >= buf.last) return buf // full and not smaller than the max
+    var lo = 0
+    var hi = size
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (buf(mid) < h) lo = mid + 1 else hi = mid
+    }
+    if (lo < size && buf(lo) == h) buf // already present
+    else {
+      val patched = buf.patch(lo, Seq(h), 0)
+      if (patched.size > k) patched.take(k) else patched
+    }
+  }
 
   override def reduce(buf: Seq[Long], h: Long): Seq[Long] = insert(buf, h)
   override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = b.foldLeft(a)(insert)

@@ -48,16 +48,18 @@ object Streams extends QueryPack {
                              numShards: Int): Unit = synchronized {
     if (ShardServiceRegistry.exists(name)) return
     val stream = ShardServiceRegistry.create(name, numShards)
+    // to_json handles string escaping and null fields; hand-built
+    // concatenation would emit invalid JSON for quotes/NaN and
+    // silently coerce NULL to 0 via getLong/getDouble
     val rows = T.events(s, dir)
-      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
-        col("user_id"), col("event_type"), col("value"))
+      .select(col("event_id"), col("user_id"),
+        to_json(struct(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))).as("json"))
       .orderBy("event_id").collect()
     rows.foreach { r =>
-      val json =
-        s"""{"event_id":${r.getLong(0)},"ts_us":${r.getLong(1)},""" +
-          s""""user_id":${r.getLong(2)},"event_type":"${r.getString(3)}",""" +
-          s""""value":${r.getDouble(4)}}"""
-      stream.putRecord(r.getLong(2).toString, json.getBytes(UTF_8), None)
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        s"seedEventsJson: null event_id/user_id in events fixture: $r")
+      stream.putRecord(r.getLong(1).toString, r.getString(2).getBytes(UTF_8), None)
     }
   }
 

@@ -125,7 +125,7 @@ class ShardScan(opts: ShardSourceOptions) extends Scan {
   override def readSchema(): StructType = ShardStreamTable.Schema
   override def toBatch: Batch = new ShardBatch(opts)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ShardMicroBatchStream(opts)
+    new ShardMicroBatchStream(opts, checkpointLocation)
 }
 
 /** Offset = per-shard consumed-record index (count). Stable JSON with
@@ -206,12 +206,35 @@ class ShardBatch(opts: ShardSourceOptions) extends Batch {
   override def createReaderFactory(): PartitionReaderFactory = ShardReaderFactory
 }
 
-class ShardMicroBatchStream(opts: ShardSourceOptions)
+class ShardMicroBatchStream(opts: ShardSourceOptions, checkpointLocation: String)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
-  // Resolved once per query start — the engine checkpoints offsets
-  // thereafter (deserializeOffset on restart), so this races nothing.
-  private lazy val start: Map[String, Long] = ShardPositions.startIndexes(opts)
+  // Start positions are resolved from the live service exactly once per
+  // QUERY (not per run) and persisted beside the engine's offset log —
+  // on checkpoint restart they are recovered, so the `maxElements` /
+  // `latest` budget baseline cannot drift across restarts. Hadoop FS
+  // API so the checkpoint may live on HDFS/S3 on a real cluster.
+  private lazy val start: Map[String, Long] = {
+    import org.apache.hadoop.fs.Path
+    val path = new Path(checkpointLocation, "shardstream-start.json")
+    val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    val fs = path.getFileSystem(conf)
+    if (fs.exists(path)) {
+      val in = fs.open(path)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(path).getLen.toInt)
+        in.readFully(bytes)
+        ShardStreamOffset.fromJson(new String(bytes, java.nio.charset.StandardCharsets.UTF_8)).indexes
+      } finally in.close()
+    } else {
+      val resolved = ShardPositions.startIndexes(opts)
+      val out = fs.create(path, true)
+      try out.write(ShardStreamOffset(resolved).json()
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      resolved
+    }
+  }
   @volatile private var availableNowTarget: Option[Map[String, Long]] = None
 
   override def initialOffset(): Offset = ShardStreamOffset(start)

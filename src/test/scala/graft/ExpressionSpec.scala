@@ -86,4 +86,67 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.toLowerCase.contains("int_dot") ||
       ex.getMessage.toLowerCase.contains("data type mismatch"))
   }
+
+  test("int_dot propagates a null element as null (SQL arithmetic semantics)") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (Seq(Option(1L), None, Option(3L)), Seq(Option(4L), Option(5L), Option(6L))),
+      (Seq(Option(1L), Option(2L)), Seq(Option(4L), Option(5L))))
+      .toDF("a", "b")
+    for (codegen <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      val rows = df.select(expr("int_dot(a, b)")).collect()
+      assert(rows(0).isNullAt(0), s"mode=$codegen: null element must yield null")
+      assert(rows(1).getLong(0) == 14L, s"mode=$codegen")
+    }
+    spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
+
+  test("char_ngrams is code-point based: surrogate pairs are never split") {
+    val sp = spark
+    import sp.implicits._
+    val gothic = new String(Character.toChars(0x10330)) // non-BMP, 2 code units
+    val df = Seq("a" + gothic + "b", "ab", gothic).toDF("s")
+    val got = df.select(expr("char_ngrams(s, 2)")).collect()
+      .map(_.getSeq[String](0).toList).toList
+    assert(got == List(
+      List("a" + gothic, gothic + "b"), // 3 code points -> 2 bigrams
+      List("ab"),
+      Nil)) // 1 code point < n -> empty
+  }
+
+  test("char_ngrams BMP fast path matches the SQL substr form") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq("hello world", "ab", "a", "").toDF("s")
+    val native = df.select(expr("char_ngrams(s, 3)")).collect()
+      .map(_.getSeq[String](0).toList).toList
+    // NB sequence(1, 0) is DESCENDING [1,0] in Spark, so guard explicitly
+    val sql = df.selectExpr(
+      "CASE WHEN length(s) >= 3 THEN transform(sequence(1, length(s) - 2), i -> substr(s, i, 3)) ELSE array() END")
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(native == sql)
+  }
+
+  test("KmvSketch keeps the k smallest distinct hashes regardless of arrival order") {
+    import graft.functions.KmvSketch
+    val k = 8
+    val sk = new KmvSketch(k)
+    val values = Seq(907L, 13L, 55L, 13L, 999L, 2L, 500L, 55L, 77L, 3L, 61L, 907L,
+      41L, 900L, 12L, 2L)
+    // reduce in several arrival orders + a partial-merge split; all must
+    // agree with the brute-force model (sorted k smallest distinct)
+    val model = values.distinct.sorted.take(k)
+    val ordered = values.foldLeft(sk.zero)(sk.reduce)
+    val reversed = values.reverse.foldLeft(sk.zero)(sk.reduce)
+    val (lo, hi) = values.splitAt(5)
+    val merged = sk.merge(lo.foldLeft(sk.zero)(sk.reduce), hi.foldLeft(sk.zero)(sk.reduce))
+    assert(ordered == model)
+    assert(reversed == model)
+    assert(merged == model)
+    // estimate: fewer than k distinct -> exact count
+    val small = Seq(5L, 5L, 9L).foldLeft(sk.zero)(sk.reduce)
+    assert(sk.finish(small) == 2.0)
+  }
 }

@@ -247,6 +247,37 @@ class ShardStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(runOnce().sorted == (10 until 13).map(i => s"testData-$i"))
   }
 
+  test("latest + maxElements budget baseline survives checkpoint restart") {
+    // start positions are resolved once per QUERY and persisted in the
+    // checkpoint: a restart must NOT re-resolve `latest` (which would
+    // shift the maxElements budget baseline and over-read)
+    val name = seeded10() // records 0..9 exist before the query is created
+    val cp = Files.createTempDirectory("shardcp_latest").toString
+    val svc = ShardServiceRegistry.get(name)
+    def runOnce(): Seq[String] = {
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val q = readStreamDf(name,
+        Map("startingPosition" -> "latest", "maxElements" -> "4"))
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.select(col("data").cast("string")).collect().foreach(r => buf.add(r.getString(0)))
+          ()
+        }
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      buf.toArray(Array.empty[String]).toSeq
+    }
+    assert(runOnce().isEmpty, "latest sees nothing pre-existing")
+    (10 until 12).foreach(i => svc.putRecord("partitionKey", s"testData-$i".getBytes(UTF_8), None))
+    assert(runOnce().sorted == Seq("testData-10", "testData-11"), "2 of the 4-budget")
+    (12 until 17).foreach(i => svc.putRecord("partitionKey", s"testData-$i".getBytes(UTF_8), None))
+    // budget baseline is still index 10: only 2 records remain of the 4
+    assert(runOnce().sorted == Seq("testData-12", "testData-13"),
+      "remaining budget is 2 — a re-resolved `latest` start would read 5 here")
+    assert(runOnce().isEmpty, "budget exhausted")
+  }
+
   // ---- cancellation (S10) -------------------------------------------
 
   test("stop() cancels cleanly without error and without fake completion") {
