@@ -24,12 +24,15 @@ import graft.operators._
   *    feature extraction
   *  - [[operators.Sketches]] q43/q44/q46: KMV Aggregator, native
   *    rolling-hash Expression, multi-format round-trip
+  *  - [[operators.Pipeline]] q57–q63: training-data curation —
+  *    quantiles, TF-IDF ranking, deterministic hash/stratified
+  *    sampling, quality gates, sequence packing, mixture planning
   */
 object SparkEntry {
 
   private val packs: Seq[QueryPack] =
     Seq(Relational, Streams, Events, TextAnalysis, Dedup, Similarity, Multimodal, Sketches,
-      Layout)
+      Layout, Pipeline)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,236 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables => T}
+
+/** Training-data-pipeline operators over `documents` — the curation
+  * stages between raw corpus and training mix: distribution stats,
+  * relevance ranking, deterministic sampling, quality gating, sequence
+  * packing, and mixture planning.
+  *
+  * Determinism posture (the DuckDB hash-match gate): every score is
+  * integer arithmetic or a single non-accumulated double op — no
+  * cross-row double accumulation, no libm transcendentals (engines
+  * differ in the last ulp). Sampling is content-hash-based
+  * (md5-derived 60-bit integers, identical in both engines), never
+  * RNG-based: the same row set is selected on any cluster size, any
+  * partitioning, any run.
+  *
+  * Scale notes (100 TB): sampling/gating are scan → narrow per-row
+  * compute → one agg (no shuffle before the rate decision);
+  * stratified sampling and packing shuffle once on the stratum key and
+  * window within it — per-stratum data, never a global sort; TF-IDF
+  * shuffles on (term) then (doc) — both high-cardinality, no hot key.
+  */
+object Pipeline extends QueryPack {
+
+  /** Engine-portable 60-bit hash (see graft-testdata memory): the top
+    * 15 hex chars of md5 parse identically in Spark and DuckDB. */
+  private def hash60(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- distribution stats: exact interpolated quantiles -----------
+    // percentile() is Spark's exact linear-interpolation quantile —
+    // the same definition as DuckDB quantile_cont, and interpolation
+    // between two bigints is one double op, so it hash-matches.
+    "q57_percentile_stats" -> ((s, d) => {
+      import s.implicits._
+      T.documents(s, d).groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(expr("percentile(n_chars, 0.25)"), 4).as("p25"),
+          round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+          round(expr("percentile(n_chars, 0.75)"), 4).as("p75"),
+          round(expr("percentile(n_chars, 0.95)"), 4).as("p95"))
+    }),
+
+    // ---- TF-IDF-ranked top terms per document -----------------------
+    // Integer-quantized score tf·1e6/df (monotone in tf/df — the same
+    // ranking as tf·idf for a fixed corpus) so the ranking is exact in
+    // both engines; ln-based idf would differ in the last ulp.
+    "q58_tfidf_top_terms" -> ((s, d) => {
+      import s.implicits._
+      val toks = T.documents(s, d)
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+      val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val df = toks.select($"doc_id", $"term").distinct()
+        .groupBy($"term").agg(count(lit(1)).as("df"))
+      val scored = tf.join(df, "term")
+        .select($"doc_id", $"term", $"tf", $"df",
+          ($"tf" * lit(1000000L)).divide($"df").cast("bigint").as("score_q"))
+      val w = Window.partitionBy($"doc_id").orderBy($"score_q".desc, $"term")
+      scored.withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter($"rn" <= 3)
+        .select($"doc_id", $"term", $"tf", $"df", $"score_q", $"rn")
+    }),
+
+    // ---- deterministic content-hash sampling ------------------------
+    // The 100-TB sampling primitive: a pure function of the row key —
+    // no RNG state, no seed coordination across executors, stable
+    // under re-partitioning and retries. ~10% rate.
+    "q59_hash_sample" -> ((s, d) => {
+      import s.implicits._
+      T.documents(s, d)
+        .filter(pmod(hash60($"doc_id"), lit(100)) < 10)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum($"n_chars").cast("bigint").as("sampled_chars"),
+          min($"doc_id").as("first_doc"))
+    }),
+
+    // ---- stratified sampling: fixed N per stratum -------------------
+    // Hash-ordered row_number per (lang): a deterministic "random" N
+    // per stratum. One shuffle on the stratum key; the window never
+    // sees more than a stratum.
+    "q60_stratified_sample" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"lang").orderBy($"h", $"doc_id")
+      T.documents(s, d)
+        .select($"doc_id", $"lang", hash60($"doc_id").as("h"))
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter($"rn" <= 20)
+        .select($"lang", $"rn", $"doc_id")
+    }),
+
+    // ---- composite quality gate -------------------------------------
+    // The classic heuristic filter stack (length band, stopword-ratio
+    // band, mean-token-length cap) with per-lang pass rates. Ratio
+    // comparisons are cross-multiplied into integers so the gate is
+    // engine-exact; only the reported rate is a (rounded) double.
+    "q61_quality_filter" -> ((s, d) => {
+      import s.implicits._
+      val perDoc = T.documents(s, d)
+        .select($"lang", $"n_chars", split($"text", " ").as("w"))
+        .select($"lang", $"n_chars",
+          size($"w").cast("bigint").as("toks"),
+          size(filter($"w", w => w.isin("the", "a", "of", "and", "to")))
+            .cast("bigint").as("stops"))
+      val pass = ($"n_chars" >= 100 && $"n_chars" <= 5000) &&
+        ($"stops" * 100L >= $"toks") && ($"stops" * 2L <= $"toks") &&
+        ($"n_chars" < $"toks" * 12L)
+      perDoc.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(pass, 1L).otherwise(0L)).as("n_pass"),
+          round(sum(when(pass, 1L).otherwise(0L)).cast("double") /
+            count(lit(1)), 6).as("pass_rate"))
+    }),
+
+    // ---- sequence packing into context windows ----------------------
+    // Greedy doc_id-ordered packing of whitespace tokens into 2048-token
+    // bins per lang (the pre-training batch-shaping step): bin =
+    // floor(preceding-cumsum / 2048) via one window cumsum — a single
+    // shuffle on lang, integer math end-to-end.
+    "q62_seq_packing" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"lang").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.documents(s, d)
+        .select($"doc_id", $"lang", size(split($"text", " ")).cast("bigint").as("toks"))
+        .withColumn("cum", sum($"toks").over(w))
+        .select($"lang", (($"cum" - $"toks") / lit(2048L)).cast("bigint").as("bin"),
+          $"toks", $"doc_id")
+        .groupBy($"lang", $"bin")
+        .agg(count(lit(1)).as("n_docs"), sum($"toks").cast("bigint").as("bin_tokens"),
+          min($"doc_id").as("first_doc"))
+    }),
+
+    // ---- mixture plan: uniform-over-sources sampling rates ----------
+    // Computes the per-source keep-rate (ppm) that downsamples every
+    // source to the smallest one — the "data mixing" planning step.
+    // The min is a scalar agg broadcast back over the tiny per-source
+    // table; integer ppm so the plan is engine-exact.
+    "q63_source_mixture" -> ((s, d) => {
+      import s.implicits._
+      val perSource = T.documents(s, d).groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").cast("bigint").as("chars"))
+      val minDocs = perSource.agg(min($"n_docs").as("min_docs"))
+      perSource.crossJoin(broadcast(minDocs))
+        .select($"source", $"n_docs", $"chars",
+          ($"min_docs" * lit(1000000L)).divide($"n_docs").cast("bigint")
+            .as("keep_ppm"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "q57_percentile_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  round(quantile_cont(n_chars, 0.25), 4) AS p25,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS p50,
+        |  round(quantile_cont(n_chars, 0.75), 4) AS p75,
+        |  round(quantile_cont(n_chars, 0.95), 4) AS p95
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "q58_tfidf_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    (tf.tf * 1000000) // df.df AS score_q
+        |  FROM tf JOIN df USING (term))
+        |SELECT doc_id, term, tf, df, score_q, rn FROM (
+        |  SELECT doc_id, term, tf, df, score_q,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score_q DESC, term) AS BIGINT) AS rn
+        |  FROM scored) r
+        |WHERE rn <= 3""".stripMargin,
+
+    "q59_hash_sample" ->
+      """SELECT lang, count(*) AS n_sampled,
+        |  CAST(sum(n_chars) AS BIGINT) AS sampled_chars,
+        |  min(doc_id) AS first_doc
+        |FROM documents
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 10
+        |GROUP BY lang""".stripMargin,
+
+    "q60_stratified_sample" ->
+      """SELECT lang, rn, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+        |        doc_id) AS BIGINT) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 20""".stripMargin,
+
+    "q61_quality_filter" ->
+      """WITH perdoc AS (
+        |  SELECT lang, n_chars,
+        |    len(string_split(text, ' ')) AS toks,
+        |    len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS stops
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_chars BETWEEN 100 AND 5000
+        |    AND stops * 100 >= toks AND stops * 2 <= toks
+        |    AND n_chars < toks * 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  round(CAST(sum(CASE WHEN n_chars BETWEEN 100 AND 5000
+        |    AND stops * 100 >= toks AND stops * 2 <= toks
+        |    AND n_chars < toks * 12 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+        |    AS pass_rate
+        |FROM perdoc GROUP BY lang""".stripMargin,
+
+    "q62_seq_packing" ->
+      """WITH sized AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |packed AS (
+        |  SELECT lang, toks, doc_id,
+        |    (sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+        |       ROWS UNBOUNDED PRECEDING) - toks) // 2048 AS bin
+        |  FROM sized)
+        |SELECT lang, bin, count(*) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS bin_tokens, min(doc_id) AS first_doc
+        |FROM packed GROUP BY lang, bin""".stripMargin,
+
+    "q63_source_mixture" ->
+      """WITH per_source AS (
+        |  SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, chars,
+        |  ((SELECT min(n_docs) FROM per_source) * 1000000) // n_docs AS keep_ppm
+        |FROM per_source""".stripMargin)
+}

@@ -25,9 +25,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val streaming = Set("s01_stream_roundtrip", "s02_stream_take_n",
     "s03_sink_roundtrip", "s04_stream_windowed", "s05_dsv2_sink_pipe")
   // bounded-side nested loops that are correct by construction
-  // (1-row stats, 4-row tier dim, 10-row query set, 5-row lang profiles)
+  // (1-row stats, 4-row tier dim, 10-row query set, 5-row lang
+  // profiles, 1-row mixture minimum)
   private val allowedBnlj = Set("q18_scalar_subquery", "q30_range_join",
-    "q40_cosine_topk", "q51_langid_ngram")
+    "q40_cosine_topk", "q51_langid_ngram", "q63_source_mixture")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
@@ -86,6 +87,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("hashpartitioning(o_custkey") &&
       !p.contains("hashpartitioning(c_custkey"),
       "join keys were re-shuffled despite bucketing")
+  }
+
+  test("pipeline windows are stratum-partitioned, never global") {
+    // q60 (stratified sample) and q62 (seq packing) window per lang —
+    // a global single-partition window would serialize 100 TB through
+    // one task
+    for (q <- Seq("q60_stratified_sample", "q62_seq_packing")) {
+      val p = plans.toMap.apply(q)
+      assert(p.contains("hashpartitioning(lang"),
+        s"$q: window not partitioned by the stratum key")
+    }
   }
 
   test("filters reach the parquet scan (pushdown)") {
