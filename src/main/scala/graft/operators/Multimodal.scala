@@ -30,6 +30,13 @@ object Multimodal extends QueryPack {
   final case class MediaFeatures(doc_id: Long, byte_len: Long, fingerprint: String,
                                  width: Long, height: Long, first_byte: Long)
 
+  /** Frame-sampling summary — what a video frame-sampler would emit. */
+  final case class FrameSample(doc_id: Long, n_frames: Long, n_sampled: Long,
+                               sampled_bytes: Long, frame_checksum: Long)
+
+  /** Resize/decimation output — payload subsampled then fingerprinted. */
+  final case class ResizedMedia(doc_id: Long, resized_len: Long, resized_md5: String)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_media_features" -> ((s, d) => {
       import s.implicits._
@@ -53,6 +60,65 @@ object Multimodal extends QueryPack {
       }(Encoders.product[MediaFeatures])
       features.toDF()
         .select($"doc_id", $"byte_len", $"fingerprint", $"width", $"height", $"first_byte")
+    }),
+
+    // ---- frame sampling (video-style every-Nth-frame) ---------------
+    // Payload split into fixed 256-byte "frames"; every 4th frame is
+    // sampled and summarized (the STUB for per-frame decode). The
+    // sampling loop is the real plumbing: per-partition, zero shuffle
+    // of payload bytes, only the tiny summary rows move.
+    "q64_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      val payloads = T.documents(s, d)
+        .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      val sampled = payloads.mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val len = bytes.length
+          val nFrames = (len + 255) / 256
+          var i = 0
+          var ns = 0L
+          var sb = 0L
+          var ck = 0L
+          while (i < nFrames) {
+            sb += math.min(256, len - i * 256).toLong
+            ck += (bytes(i * 256) & 0xff).toLong * (i + 1)
+            ns += 1
+            i += 4
+          }
+          FrameSample(id, nFrames.toLong, ns, sb, ck)
+        }
+      }(Encoders.product[FrameSample])
+      sampled.toDF()
+        .select($"doc_id", $"n_frames", $"n_sampled", $"sampled_bytes", $"frame_checksum")
+    }),
+
+    // ---- resize (decimate-by-4 downsample) --------------------------
+    // The "resize" stage as byte decimation (a real resampler drops
+    // in at the marked line); output is the downsampled length + a
+    // fingerprint of the downsampled payload, so the oracle checks the
+    // decimation is byte-exact, not just counted.
+    "q65_media_resize" -> ((s, d) => {
+      import s.implicits._
+      val payloads = T.documents(s, d)
+        .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      val resized = payloads.mapPartitions { rows =>
+        val md = MessageDigest.getInstance("MD5")
+        rows.map { case (id, bytes) =>
+          // STUB decode+resample: keep every 4th byte (real codec here)
+          val out = new Array[Byte]((bytes.length + 3) / 4)
+          var i = 0
+          while (i < out.length) {
+            out(i) = bytes(i * 4)
+            i += 1
+          }
+          md.reset()
+          val hex = md.digest(out).map("%02x".format(_)).mkString
+          ResizedMedia(id, out.length.toLong, hex)
+        }
+      }(Encoders.product[ResizedMedia])
+      resized.toDF().select($"doc_id", $"resized_len", $"resized_md5")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -65,5 +131,27 @@ object Multimodal extends QueryPack {
         |  CAST(length(text) % 640 AS BIGINT) AS width,
         |  CAST(length(text) // 640 + 1 AS BIGINT) AS height,
         |  CAST(CASE WHEN length(text) = 0 THEN -1 ELSE ascii(substr(text, 1, 1)) END AS BIGINT) AS first_byte
+        |FROM documents""".stripMargin,
+
+    // every-4th of the 256-byte frames; ASCII corpus (byte == char)
+    "q64_frame_sample" ->
+      """SELECT doc_id,
+        |  CAST((length(text) + 255) // 256 AS BIGINT) AS n_frames,
+        |  CAST(((length(text) + 255) // 256 + 3) // 4 AS BIGINT) AS n_sampled,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    range(0, (length(text) + 255) // 256, 4),
+        |    i -> least(256, length(text) - i * 256))), 0) AS BIGINT) AS sampled_bytes,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    range(0, (length(text) + 255) // 256, 4),
+        |    i -> ascii(substr(text, CAST(i * 256 + 1 AS INT), 1)) * (i + 1))), 0)
+        |    AS BIGINT) AS frame_checksum
+        |FROM documents""".stripMargin,
+
+    "q65_media_resize" ->
+      """SELECT doc_id,
+        |  CAST((length(text) + 3) // 4 AS BIGINT) AS resized_len,
+        |  md5(array_to_string(list_transform(
+        |    range(1, length(text) + 1, 4),
+        |    i -> substr(text, CAST(i AS INT), 1)), '')) AS resized_md5
         |FROM documents""".stripMargin)
 }

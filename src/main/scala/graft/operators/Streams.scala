@@ -211,9 +211,43 @@ object Streams extends QueryPack {
         .agg(count(lit(1)).as("n"),
           min_by(col("eid"), col("sequenceNumber")).as("first_eid"),
           max_by(col("eid"), col("sequenceNumber")).as("last_eid"))
+    }),
+
+    // Stream-stream interval join: clicks ⋈ purchases by the same user
+    // within 10 minutes, both sides replayed through the source. Both
+    // sides carry watermarks + the time-bound join condition, so join
+    // state is evictable — the shape that holds at 100 TB (state is a
+    // 10-minute window per user, not the whole history). Inner joins
+    // emit eagerly on match, so append-mode output equals the batch
+    // join — the oracle states that batch predicate.
+    "s06_stream_stream_join" -> ((s, d) => {
+      val name = s"events_rt_${sfx(d)}" // same fixture as s01
+      seedEventsJson(s, d, name, numShards = 4)
+      def side(et: String, pfx: String): DataFrame =
+        s.readStream.format("shardstream")
+          .option("stream", name)
+          .option("startingPosition", "trim_horizon")
+          .option("maxRecordsPerBatch", "10000000")
+          .load()
+          .select(from_json(col("data").cast("string"), payloadSchema).as("e"))
+          .filter(col("e.event_type") === et)
+          .select(col("e.user_id").as(s"${pfx}_user"),
+            timestamp_micros(col("e.ts_us")).as(s"${pfx}_ts"),
+            col("e.event_id").as(s"${pfx}_eid"))
+          .withWatermark(s"${pfx}_ts", "1 hour")
+      val joined = side("click", "c").join(side("purchase", "p"),
+        expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 10 minutes"))
+      drain(s, joined.select(col("c_eid"), col("p_eid")))
     }))
 
   def oracles: Map[String, String] = Map(
+    "s06_stream_stream_join" ->
+      """SELECT c.event_id AS c_eid, p.event_id AS p_eid
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE""".stripMargin,
+
     "s05_dsv2_sink_pipe" ->
       """SELECT event_type, count(*) AS n,
         |  min(event_id) AS first_eid, max(event_id) AS last_eid
