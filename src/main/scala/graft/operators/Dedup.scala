@@ -54,7 +54,11 @@ object Dedup extends QueryPack {
     "q36_minhash_neardup" -> ((s, d) => {
       import s.implicits._
       graft.GraftExtensions.ensureRegistered(s)
-      val sh = shingles(s, d)
+      // cached: used by the signature build AND both verification
+      // joins — uncached, the split+shingle projection would run three
+      // times over the corpus (at 100 TB: persist to disk or
+      // checkpoint instead of memory cache)
+      val sh = shingles(s, d).cache()
       // signature array per doc via the native minhash_sig expression
       // (graft.functions.MinHashSig): 2 real hashes per shingle +
       // Kirsch–Mitzenmacher band derivation in one compiled loop — the

@@ -55,9 +55,11 @@ object Pipeline extends QueryPack {
       import s.implicits._
       val toks = T.documents(s, d)
         .select($"doc_id", explode(split($"text", " ")).as("term"))
-      val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      val df = toks.select($"doc_id", $"term").distinct()
-        .groupBy($"term").agg(count(lit(1)).as("df"))
+      // tf holds one row per (doc, term); df derives from it with a
+      // second agg, so the scan+explode runs once (cached — at 100 TB
+      // this intermediate would persist to disk instead)
+      val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf")).cache()
+      val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
       val scored = tf.join(df, "term")
         .select($"doc_id", $"term", $"tf", $"df",
           ($"tf" * lit(1000000L)).divide($"df").cast("bigint").as("score_q"))
