@@ -238,9 +238,47 @@ object Streams extends QueryPack {
       val joined = side("click", "c").join(side("purchase", "p"),
         expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 10 minutes"))
       drain(s, joined.select(col("c_eid"), col("p_eid")))
+    }),
+
+    // Streaming dedup through the source: the fixture is seeded with
+    // every event TWICE (at-least-once delivery); dropDuplicates on the
+    // event key must emit each exactly once — the exactly-once-
+    // downstream repair stage of an at-least-once ingest. Keyed state
+    // is one entry per event_id; with a watermark (here: none needed,
+    // single bounded replay) it becomes evictable at 100 TB.
+    "s07_stream_dedup" -> ((s, d) => {
+      val name = s"events_dup_${sfx(d)}"
+      if (!ShardServiceRegistry.exists(name)) synchronized {
+        if (!ShardServiceRegistry.exists(name)) {
+          val stream = ShardServiceRegistry.create(name, 4)
+          val rows = T.events(s, d)
+            .select(col("event_id"), col("user_id"),
+              to_json(struct(col("event_id"), col("event_type"))).as("json"))
+            .orderBy("event_id").collect()
+          rows.foreach { r => // duplicate delivery: every record twice
+            val bytes = r.getString(2).getBytes(UTF_8)
+            stream.putRecord(r.getLong(1).toString, bytes, None)
+            stream.putRecord(r.getLong(1).toString, bytes, None)
+          }
+        }
+      }
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", "10000000")
+        .load()
+      val dupSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("event_type", StringType)))
+      drain(s, raw
+        .select(from_json(col("data").cast("string"), dupSchema).as("e"))
+        .select(col("e.event_id"), col("e.event_type"))
+        .dropDuplicates("event_id"))
     }))
 
   def oracles: Map[String, String] = Map(
+    "s07_stream_dedup" ->
+      "SELECT event_id, event_type FROM events",
+
     "s06_stream_stream_join" ->
       """SELECT c.event_id AS c_eid, p.event_id AS p_eid
         |FROM events c JOIN events p
