@@ -28,6 +28,48 @@ object Dedup extends QueryPack {
 
   private val K = 32 // minhash functions = bands (r=1)
 
+  /** Connected components by min-label propagation over an undirected
+    * edge list (columns `a`, `b`), iterated to convergence.
+    *
+    * Labels only ever decrease, so an unchanged label SUM is a fixed
+    * point — the convergence probe is one scalar agg per round, and
+    * the result is correct for any component diameter (a fixed round
+    * count silently mislabels components deeper than it). Each round
+    * is truncated with an eager localCheckpoint: the lineage of
+    * label(n+1) = union(label(n), label(n) ⋈ edges) doubles per round
+    * and a lazy unrolled plan explodes exponentially in Catalyst;
+    * checkpointing keeps every round one small job (the GraphX-style
+    * iteration shape). `maxRounds` is a runaway guard, not a tuning
+    * knob; a pathologically deep chain calls for pointer-doubling
+    * (log-diameter rounds).
+    *
+    * Returns one row per vertex: (v, lbl) with lbl = min vertex id of
+    * the component.
+    */
+  private[graft] def connectedComponents(pairs: DataFrame,
+                                         maxRounds: Int = 64): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val edges = pairs.select($"a", $"b")
+      .unionAll(pairs.select($"b".as("a"), $"a".as("b")))
+      .localCheckpoint(true)
+    var labels = edges.select($"a".as("v")).distinct()
+      .select($"v", $"v".as("lbl")).localCheckpoint(true)
+    var prevSum = labels.agg(coalesce(sum($"lbl"), lit(0L))).head().getLong(0)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val prop = labels.join(edges, $"v" === $"a").select($"b".as("v"), $"lbl")
+      labels = labels.unionAll(prop).groupBy($"v").agg(min($"lbl").as("lbl"))
+        .localCheckpoint(true)
+      val s2 = labels.agg(coalesce(sum($"lbl"), lit(0L))).head().getLong(0)
+      converged = s2 == prevSum
+      prevSum = s2
+      rounds += 1
+    }
+    labels
+  }
+
   /** word 3-gram shingle set (docs shorter than 3 tokens excluded). */
   private def shingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -103,32 +145,17 @@ object Dedup extends QueryPack {
 
     // ---- near-dup clusters (connected components) -------------------
     // The step after pair detection in a real dedup pipeline: group
-    // the q36 pair list into clusters and pick one keeper per cluster.
-    // Min-label propagation over the edge list — fixed 8 rounds, each
-    // truncated with an eager localCheckpoint: the lineage of
-    // label(n+1) = union(label(n), label(n) ⋈ edges) doubles per
-    // round, so a lazy unrolled plan explodes exponentially in
-    // Catalyst; checkpointing makes each round one small job (the
-    // GraphX-style iteration shape). The pair list is checkpointed
-    // BEFORE fanning out so no branch re-materializes the LSH
-    // sub-pipeline. 8 rounds converge any component of diameter ≤ 8 —
-    // near-dup clusters are shallow (this corpus peaks at diameter 2);
-    // a pathologically longer chain calls for pointer-doubling
-    // (log-diameter rounds), not more of these.
+    // the q36 pair list into clusters and pick one keeper per cluster
+    // via [[connectedComponents]] (convergence-driven min-label
+    // propagation — see its doc for the iteration/checkpoint shape).
+    // The pair list is checkpointed BEFORE fanning out so no branch
+    // re-materializes the LSH sub-pipeline.
     "q56_dedup_clusters" -> ((s, d) => {
       import s.implicits._
       val pairs = queries("q36_minhash_neardup")(s, d).select($"a", $"b")
         .localCheckpoint(true)
-      val edges = pairs.unionAll(pairs.select($"b".as("a"), $"a".as("b")))
-        .localCheckpoint(true)
-      var labels = edges.select($"a".as("v")).distinct()
-        .select($"v", $"v".as("lbl")).localCheckpoint(true)
-      for (_ <- 1 to 8) {
-        val prop = labels.join(edges, $"v" === $"a").select($"b".as("v"), $"lbl")
-        labels = labels.unionAll(prop).groupBy($"v").agg(min($"lbl").as("lbl"))
-          .localCheckpoint(true)
-      }
-      labels.groupBy($"lbl".as("cluster_id"))
+      connectedComponents(pairs)
+        .groupBy($"lbl".as("cluster_id"))
         .agg(count(lit(1)).as("n_docs"), min($"v").as("keeper_doc_id"))
     }),
 

@@ -129,6 +129,23 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(native == sql)
   }
 
+  test("connectedComponents converges on deep chains and disjoint components") {
+    val sp = spark
+    import sp.implicits._
+    // component 1: a 20-edge chain 0-1-2-...-20 (diameter 20 — a fixed
+    // 8-round propagation would mislabel its tail); component 2: a
+    // triangle {100,101,102}; component 3: an isolated edge {200,201}
+    val chain = (0L until 20L).map(i => (i, i + 1))
+    val edges = (chain ++ Seq((100L, 101L), (101L, 102L), (100L, 102L), (200L, 201L)))
+      .toDF("a", "b")
+    val got = graft.operators.Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 20L).forall(got(_) == 0L), "chain must fully converge to label 0")
+    assert(Seq(100L, 101L, 102L).forall(got(_) == 100L))
+    assert(Seq(200L, 201L).forall(got(_) == 200L))
+    assert(got.size == 26)
+  }
+
   test("KmvSketch keeps the k smallest distinct hashes regardless of arrival order") {
     import graft.functions.KmvSketch
     val k = 8
