@@ -159,6 +159,25 @@ object Dedup extends QueryPack {
         .agg(count(lit(1)).as("n_docs"), min($"v").as("keeper_doc_id"))
     }),
 
+    // ---- dedup keepers: the materialized deduplicated corpus --------
+    // The END of the dedup pipeline: detection (q36) → clustering
+    // (q56) → drop every cluster member except the min-id keeper, and
+    // report what survives per language. The drop set is tiny (cluster
+    // members only), so the anti-join broadcasts it at any corpus
+    // size; unique docs never enter the pair/cluster machinery.
+    "q67_dedup_keepers" -> ((s, d) => {
+      import s.implicits._
+      val pairs = queries("q36_minhash_neardup")(s, d).select($"a", $"b")
+        .localCheckpoint(true)
+      val dropped = connectedComponents(pairs)
+        .filter($"v" =!= $"lbl").select($"v".as("doc_id"))
+      T.documents(s, d).join(broadcast(dropped), Seq("doc_id"), "left_anti")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum($"n_chars").cast("bigint").as("kept_chars"),
+          min($"doc_id").as("first_kept"))
+    }),
+
     // ---- SimHash bucketing ------------------------------------------
     // 16-bit simhash over the distinct-token set; token bit source is
     // a 60-bit integer parsed from md5 hex — portable to the oracle.
@@ -226,6 +245,30 @@ object Dedup extends QueryPack {
         |  SELECT v, min(lbl) AS lbl FROM r GROUP BY v)
         |SELECT lbl AS cluster_id, count(*) AS n_docs, min(v) AS keeper_doc_id
         |FROM cc GROUP BY lbl""".stripMargin,
+
+    "q67_dedup_keepers" ->
+      """WITH pairs AS (
+        |  WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |  d AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |    FROM w WHERE len(w) >= 3)
+        |  SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM d x JOIN d y ON x.doc_id < y.doc_id
+        |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
+        |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |verts AS (SELECT DISTINCT a AS v FROM edges),
+        |cc AS (
+        |  WITH RECURSIVE r(v, lbl) AS (
+        |    SELECT v, v FROM verts
+        |    UNION
+        |    SELECT e.b, r.lbl FROM r JOIN edges e ON r.v = e.a)
+        |  SELECT v, min(lbl) AS lbl FROM r GROUP BY v),
+        |dropped AS (SELECT v FROM cc WHERE v != lbl)
+        |SELECT lang, count(*) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS kept_chars, min(doc_id) AS first_kept
+        |FROM documents WHERE doc_id NOT IN (SELECT v FROM dropped)
+        |GROUP BY lang""".stripMargin,
 
     "q37_simhash_buckets" -> {
       val bitSums = (0 until 16).map { j =>

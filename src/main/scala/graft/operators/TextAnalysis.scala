@@ -151,9 +151,33 @@ object TextAnalysis extends QueryPack {
         size(split($"text", " ")).cast("bigint").as("ws_tokens"),
         size(expr(s"regexp_extract_all(text, '$bpePattern', 0)")).cast("bigint")
           .as("bpe_ish_tokens"))
+    }),
+
+    // ---- pattern redaction (PII-scrub shape) ------------------------
+    // The scrubbing stage of a curation pipeline: replace every match
+    // of a sensitive pattern, report hit counts, and fingerprint the
+    // redacted text so the oracle proves the rewrite is byte-exact,
+    // not just counted. Word-boundary regex behaves identically in
+    // Java regex and RE2. Pure per-row compute — no shuffle at all.
+    "q66_redact" -> ((s, d) => {
+      import s.implicits._
+      T.documents(s, d).select($"doc_id",
+        size(expr("regexp_extract_all(text, '\\\\bcustomer\\\\b', 0)")).cast("bigint")
+          .as("n_hits"),
+        length(regexp_replace($"text", "\\bcustomer\\b", "[REDACTED]"))
+          .cast("bigint").as("redacted_len"),
+        md5(regexp_replace($"text", "\\bcustomer\\b", "[REDACTED]")).as("redacted_md5"))
     }))
 
   def oracles: Map[String, String] = Map(
+    "q66_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\bcustomer\b')) AS BIGINT) AS n_hits,
+        |  CAST(length(regexp_replace(text, '\bcustomer\b', '[REDACTED]', 'g'))
+        |    AS BIGINT) AS redacted_len,
+        |  md5(regexp_replace(text, '\bcustomer\b', '[REDACTED]', 'g')) AS redacted_md5
+        |FROM documents""".stripMargin,
+
     "q51_langid_ngram" ->
       """WITH doctri AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, length(text) - 1),
