@@ -27,8 +27,10 @@ case class IntDot(left: Expression, right: Expression) extends BinaryExpression 
   }
 
   /** A null element anywhere makes the whole product null (SQL
-    * arithmetic null semantics — same as the oracle's list_reduce). */
-  private def anyElementNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    * arithmetic null semantics — same as the oracle's list_reduce).
+    * lazy val: fixed after resolution, must not re-evaluate per row in
+    * the interpreted path. */
+  private lazy val anyElementNullable: Boolean = Seq(left, right).exists(_.dataType match {
     case ArrayType(_, cn) => cn
     case _ => false
   })

@@ -62,7 +62,9 @@ object Pipeline extends QueryPack {
       val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
       val scored = tf.join(df, "term")
         .select($"doc_id", $"term", $"tf", $"df",
-          ($"tf" * lit(1000000L)).divide($"df").cast("bigint").as("score_q"))
+          // integral `div`, matching the oracle's `//` exactly — a
+          // double divide-then-cast would drift from floor past 2^53
+          expr("(tf * 1000000L) div df").as("score_q"))
       val w = Window.partitionBy($"doc_id").orderBy($"score_q".desc, $"term")
       scored.withColumn("rn", row_number().over(w).cast("bigint"))
         .filter($"rn" <= 3)
@@ -151,8 +153,7 @@ object Pipeline extends QueryPack {
       val minDocs = perSource.agg(min($"n_docs").as("min_docs"))
       perSource.crossJoin(broadcast(minDocs))
         .select($"source", $"n_docs", $"chars",
-          ($"min_docs" * lit(1000000L)).divide($"n_docs").cast("bigint")
-            .as("keep_ppm"))
+          expr("(min_docs * 1000000L) div n_docs").as("keep_ppm"))
     }))
 
   def oracles: Map[String, String] = Map(

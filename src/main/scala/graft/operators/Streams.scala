@@ -40,14 +40,33 @@ object Streams extends QueryPack {
     StructField("event_type", StringType),
     StructField("value", DoubleType)))
 
+  /** Shared seeding core: create `name` and append the (event_id,
+    * user_id, json) rows in event_id order, `times` puts per row
+    * (times > 1 models at-least-once duplicate delivery). Idempotent
+    * per stream within the JVM. partitionKey = user_id, so per-shard
+    * order is event_id order for the users routed there. */
+  private def seedRows(name: String, numShards: Int,
+                       rows: Array[org.apache.spark.sql.Row], times: Int): Unit =
+    synchronized {
+      if (ShardServiceRegistry.exists(name)) return
+      val stream = ShardServiceRegistry.create(name, numShards)
+      rows.foreach { r =>
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          s"seedRows($name): null event_id/user_id in events fixture: $r")
+        val bytes = r.getString(2).getBytes(UTF_8)
+        var i = 0
+        while (i < times) {
+          stream.putRecord(r.getLong(1).toString, bytes, None)
+          i += 1
+        }
+      }
+    }
+
   /** Seed a `numShards`-shard stream with the events table: payload =
-    * canonical JSON of the row, partitionKey = user_id, appended in
-    * (event_id) order — per-shard order is then event_id order for the
-    * users routed there. Idempotent per (stream) within the JVM. */
+    * canonical JSON of the row. */
   private def seedEventsJson(s: SparkSession, dir: String, name: String,
-                             numShards: Int): Unit = synchronized {
+                             numShards: Int): Unit = {
     if (ShardServiceRegistry.exists(name)) return
-    val stream = ShardServiceRegistry.create(name, numShards)
     // to_json handles string escaping and null fields; hand-built
     // concatenation would emit invalid JSON for quotes/NaN and
     // silently coerce NULL to 0 via getLong/getDouble
@@ -56,11 +75,7 @@ object Streams extends QueryPack {
         to_json(struct(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value"))).as("json"))
       .orderBy("event_id").collect()
-    rows.foreach { r =>
-      require(!r.isNullAt(0) && !r.isNullAt(1),
-        s"seedEventsJson: null event_id/user_id in events fixture: $r")
-      stream.putRecord(r.getLong(1).toString, r.getString(2).getBytes(UTF_8), None)
-    }
+    seedRows(name, numShards, rows, times = 1)
   }
 
   /** Single-shard fixture in the reference TCK's exact shape: constant
@@ -248,19 +263,12 @@ object Streams extends QueryPack {
     // single bounded replay) it becomes evictable at 100 TB.
     "s07_stream_dedup" -> ((s, d) => {
       val name = s"events_dup_${sfx(d)}"
-      if (!ShardServiceRegistry.exists(name)) synchronized {
-        if (!ShardServiceRegistry.exists(name)) {
-          val stream = ShardServiceRegistry.create(name, 4)
-          val rows = T.events(s, d)
-            .select(col("event_id"), col("user_id"),
-              to_json(struct(col("event_id"), col("event_type"))).as("json"))
-            .orderBy("event_id").collect()
-          rows.foreach { r => // duplicate delivery: every record twice
-            val bytes = r.getString(2).getBytes(UTF_8)
-            stream.putRecord(r.getLong(1).toString, bytes, None)
-            stream.putRecord(r.getLong(1).toString, bytes, None)
-          }
-        }
+      if (!ShardServiceRegistry.exists(name)) {
+        val rows = T.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            to_json(struct(col("event_id"), col("event_type"))).as("json"))
+          .orderBy("event_id").collect()
+        seedRows(name, numShards = 4, rows, times = 2) // every record twice
       }
       val raw = s.readStream.format("shardstream")
         .option("stream", name)
@@ -279,12 +287,17 @@ object Streams extends QueryPack {
     "s07_stream_dedup" ->
       "SELECT event_id, event_type FROM events",
 
+    // micros (epoch_us), not raw timestamps: the parquet ts is nanos
+    // and the Spark side truncates to micros (Tables.events), so a
+    // nano-precision comparison here could flip pairs at the exact
+    // 10-minute boundary
     "s06_stream_stream_join" ->
       """SELECT c.event_id AS c_eid, p.event_id AS p_eid
         |FROM events c JOIN events p
         |  ON c.user_id = p.user_id
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
-        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE""".stripMargin,
+        | AND epoch_us(p.ts) >= epoch_us(c.ts)
+        | AND epoch_us(p.ts) <= epoch_us(c.ts) + 600000000""".stripMargin,
 
     "s05_dsv2_sink_pipe" ->
       """SELECT event_type, count(*) AS n,

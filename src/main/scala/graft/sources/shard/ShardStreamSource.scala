@@ -216,24 +216,41 @@ class ShardMicroBatchStream(opts: ShardSourceOptions, checkpointLocation: String
   // API so the checkpoint may live on HDFS/S3 on a real cluster.
   private lazy val start: Map[String, Long] = {
     import org.apache.hadoop.fs.Path
+    import java.nio.charset.StandardCharsets.UTF_8
     val path = new Path(checkpointLocation, "shardstream-start.json")
     val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
     val fs = path.getFileSystem(conf)
-    if (fs.exists(path)) {
-      val in = fs.open(path)
+
+    def readPersisted(): Option[Map[String, Long]] =
       try {
-        val bytes = new Array[Byte](fs.getFileStatus(path).getLen.toInt)
-        in.readFully(bytes)
-        ShardStreamOffset.fromJson(new String(bytes, java.nio.charset.StandardCharsets.UTF_8)).indexes
-      } finally in.close()
-    } else {
+        val in = fs.open(path)
+        try {
+          val bytes = new Array[Byte](fs.getFileStatus(path).getLen.toInt)
+          in.readFully(bytes)
+          val m = ShardStreamOffset.fromJson(new String(bytes, UTF_8)).indexes
+          // a stream always has >= 1 shard; empty means a truncated
+          // write (crash between create and close) — treat as absent
+          if (m.nonEmpty) Some(m) else None
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    def resolveAndPersist(): Map[String, Long] = {
       val resolved = ShardPositions.startIndexes(opts)
-      val out = fs.create(path, true)
-      try out.write(ShardStreamOffset(resolved).json()
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // write-temp + rename so a crash never leaves a partial file
+      // where the next start would read a wrong (empty) baseline
+      val tmp = new Path(checkpointLocation, s"shardstream-start.json.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(ShardStreamOffset(resolved).json().getBytes(UTF_8))
       finally out.close()
-      resolved
+      if (!fs.rename(tmp, path)) {
+        fs.delete(tmp, false)
+        // lost a rename race to a concurrent starter: theirs wins
+        readPersisted().getOrElse(resolved)
+      } else resolved
     }
+
+    if (fs.exists(path)) readPersisted().getOrElse(resolveAndPersist())
+    else resolveAndPersist()
   }
   @volatile private var availableNowTarget: Option[Map[String, Long]] = None
 
