@@ -4,6 +4,8 @@ import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.Files
 import java.util.concurrent.atomic.AtomicInteger
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
@@ -276,6 +278,34 @@ class ShardStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(runOnce().sorted == Seq("testData-12", "testData-13"),
       "remaining budget is 2 — a re-resolved `latest` start would read 5 here")
     assert(runOnce().isEmpty, "budget exhausted")
+  }
+
+  test("truncated persisted start file is ignored and re-resolved (no wedge)") {
+    val name = seeded10()
+    val cp = Files.createTempDirectory("shardcp_corrupt").toString
+    def runOnce(): Int = {
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val q = readStreamDf(name)
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.select(col("data").cast("string")).collect().foreach(r => buf.add(r.getString(0)))
+          ()
+        }
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      buf.size()
+    }
+    assert(runOnce() == 10)
+    // simulate a crash between create and close: truncate the file
+    val startFile = Files.walk(java.nio.file.Paths.get(cp)).iterator().asScala
+      .find(_.getFileName.toString == "shardstream-start.json")
+    assert(startFile.isDefined, "start file must have been persisted")
+    Files.write(startFile.get, Array.empty[Byte])
+    // restart must fall back to re-resolving, not crash or over-read
+    ShardServiceRegistry.get(name)
+      .putRecord("partitionKey", "testData-10".getBytes(UTF_8), None)
+    assert(runOnce() == 1, "resumes from checkpointed offsets, re-resolved start")
   }
 
   // ---- cancellation (S10) -------------------------------------------
