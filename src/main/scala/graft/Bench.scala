@@ -41,7 +41,7 @@ object Bench {
     // a plan's first run (seconds for wide expression trees) and
     // amortizes to nothing at scale, so steady-state timings are the
     // meaningful number — run everything once untimed, then time.
-    all.foreach { case (n, fn) => run(n, fn) }
+    all.foreach { case (n, fn) => run(n, fn); spark.catalog.clearCache() }
     // Timed pass: drop every cached relation first — otherwise queries
     // that .cache() intermediates (q36, q51) would be timed reading the
     // warmup's InMemoryRelation instead of doing their computation.
