@@ -131,6 +131,26 @@ object Events extends QueryPack {
           Exact.sumMoney($"value").as("attributed_value"))
     }),
 
+    // ---- rolling event-time features per user -----------------------
+    // Time-series feature engineering (the per-entity trailing-window
+    // aggregate every behavioral-features pipeline computes): for each
+    // event, the sum/count of that user's events in the trailing hour,
+    // via a RANGE frame over event-time micros. One shuffle on
+    // user_id; the frame never crosses users. Values are int64-
+    // quantized (round(v·1024)) so the running sums are exact and
+    // order-independent across engines.
+    "q68_rolling_user_features" -> ((s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+        .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+          expr("CAST(round(value * 1024) AS BIGINT)").as("v_q"))
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us")
+        .rangeBetween(-3600000000L, 0L) // trailing hour, micros
+      ev.withColumn("hr_sum_q", sum($"v_q").over(w))
+        .withColumn("hr_n", count(lit(1)).over(w).cast("bigint"))
+        .select($"event_id", $"user_id", $"hr_sum_q", $"hr_n")
+    }),
+
     // ---- range join against a literal tier dim ----------------------
     "q30_range_join" -> ((s, d) => {
       import s.implicits._
@@ -162,6 +182,18 @@ object Events extends QueryPack {
        |GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q68_rolling_user_features" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |    CAST(round(value * 1024) AS BIGINT) AS v_q
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  sum(v_q) OVER (PARTITION BY user_id ORDER BY ts_us
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS hr_sum_q,
+        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts_us
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS hr_n
+        |FROM ev""".stripMargin,
+
     "q23_tumbling_window" ->
       s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS start_s,
         |  event_type, count(*) AS n, ${Exact.sumMoneySql("value")} AS sum_value
