@@ -178,6 +178,24 @@ object Dedup extends QueryPack {
           min($"doc_id").as("first_kept"))
     }),
 
+    // ---- edit-distance verification of near-dup pairs ---------------
+    // Character-level Levenshtein as the second verification signal on
+    // the detected pairs ONLY (the scale-sane shape: edit distance is
+    // O(len²) per pair, so it must never see all-pairs — here it runs
+    // on the LSH-detected list, bounded by the near-dup rate).
+    // levenshtein() has identical semantics in Spark and DuckDB.
+    "q69_editdist_verify" -> ((s, d) => {
+      import s.implicits._
+      val pairs = queries("q36_minhash_neardup")(s, d).select($"a", $"b")
+      val docs = T.documents(s, d).select($"doc_id", $"text")
+      pairs
+        .join(docs.select($"doc_id".as("a"), $"text".as("ta")), "a")
+        .join(docs.select($"doc_id".as("b"), $"text".as("tb")), "b")
+        .select($"a", $"b",
+          levenshtein($"ta", $"tb").cast("bigint").as("edit_dist"),
+          greatest(length($"ta"), length($"tb")).cast("bigint").as("max_len"))
+    }),
+
     // ---- SimHash bucketing ------------------------------------------
     // 16-bit simhash over the distinct-token set; token bit source is
     // a 60-bit integer parsed from md5 hex — portable to the oracle.
@@ -245,6 +263,23 @@ object Dedup extends QueryPack {
         |  SELECT v, min(lbl) AS lbl FROM r GROUP BY v)
         |SELECT lbl AS cluster_id, count(*) AS n_docs, min(v) AS keeper_doc_id
         |FROM cc GROUP BY lbl""".stripMargin,
+
+    "q69_editdist_verify" ->
+      """WITH pairs AS (
+        |  WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |  d AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |    FROM w WHERE len(w) >= 3)
+        |  SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM d x JOIN d y ON x.doc_id < y.doc_id
+        |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5)
+        |SELECT p.a, p.b,
+        |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+        |  CAST(greatest(length(da.text), length(db.text)) AS BIGINT) AS max_len
+        |FROM pairs p
+        |JOIN documents da ON p.a = da.doc_id
+        |JOIN documents db ON p.b = db.doc_id""".stripMargin,
 
     "q67_dedup_keepers" ->
       """WITH pairs AS (
