@@ -153,6 +153,26 @@ object TextAnalysis extends QueryPack {
           .as("bpe_ish_tokens"))
     }),
 
+    // ---- bigram LM statistics ---------------------------------------
+    // The n-gram language-model table: corpus-wide bigram counts and
+    // integer-ppm conditional probabilities p(w2|w1). Explode to
+    // (w1, w2), one hash agg, then a window over w1 for the
+    // denominator — the window partitions on the vocabulary, never
+    // globally. p_ppm is integral div so the gate is engine-exact.
+    "q70_bigram_lm" -> ((s, d) => {
+      import s.implicits._
+      val bi = T.documents(s, d)
+        .select(split($"text", " ").as("w"))
+        .filter(size($"w") >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(w) - 2)," +
+            " i -> struct(element_at(w, i + 1) AS w1, element_at(w, i + 2) AS w2))")).as("b"))
+        .select($"b.w1", $"b.w2")
+      val counts = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("n"))
+      counts.withColumn("n_w1", sum($"n").over(Window.partitionBy($"w1")))
+        .select($"w1", $"w2", $"n", expr("(n * 1000000L) div n_w1").as("p_ppm"))
+    }),
+
     // ---- pattern redaction (PII-scrub shape) ------------------------
     // The scrubbing stage of a curation pipeline: replace every match
     // of a sensitive pattern, report hit counts, and fingerprint the
@@ -170,6 +190,19 @@ object TextAnalysis extends QueryPack {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q70_bigram_lm" ->
+      """WITH w AS (
+        |  SELECT string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bi AS (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) AS b
+        |  FROM w),
+        |c AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS n FROM bi GROUP BY 1, 2)
+        |SELECT w1, w2, n,
+        |  CAST((n * 1000000) // (sum(n) OVER (PARTITION BY w1)) AS BIGINT) AS p_ppm
+        |FROM c""".stripMargin,
+
     "q66_redact" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '\bcustomer\b')) AS BIGINT) AS n_hits,
