@@ -156,6 +156,32 @@ object Relational extends QueryPack {
           coalesce($"n_supp", lit(0L)).as("n_supp"))
     }),
 
+    // ---- salted join (skew-handling on the JOIN side) ---------------
+    // The join-side analog of q48's salted aggregation: a hot join key
+    // (one customer owning a disproportionate share of orders) makes
+    // one reducer own the whole key in a plain shuffle join. Salting
+    // splits every key across S=8 reducers: the fact side gets a
+    // deterministic salt, the dim side is replicated ×S (explode of a
+    // literal sequence — S× a SMALL table, never the fact), and the
+    // join carries (key, salt). Result identical to the plain join —
+    // the oracle states the plain join. AQE's skew-join handles this
+    // adaptively; the explicit form works on any engine and bounds the
+    // largest reduce-side group by construction.
+    "q71_salted_join" -> ((s, d) => {
+      import s.implicits._
+      val S = 8
+      val ord = T.orders(s, d)
+        .withColumn("salt", pmod($"o_orderkey", lit(S)).cast("int"))
+      val cust = T.customer(s, d)
+        .select($"c_custkey", $"c_mktsegment",
+          explode(sequence(lit(0), lit(S - 1))).as("salt"))
+      ord.join(cust, ord("o_custkey") === cust("c_custkey")
+          && ord("salt") === cust("salt"))
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.sumMoney($"o_totalprice").as("revenue"))
+    }),
+
     // ---- window functions -------------------------------------------
     "q09_window_topk_per_group" -> ((s, d) => {
       import s.implicits._
@@ -327,6 +353,13 @@ object Relational extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    // salted join == plain join, by construction
+    "q71_salted_join" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+        |  ${Exact.sumMoneySql("o_totalprice")} AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

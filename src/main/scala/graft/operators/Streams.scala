@@ -92,7 +92,8 @@ object Streams extends QueryPack {
 
   /** Run a streaming DataFrame through Trigger.AvailableNow into a
     * memory sink and return the materialized table (S9 completion). */
-  private def drain(s: SparkSession, df: DataFrame): DataFrame = {
+  private def drain(s: SparkSession, df: DataFrame,
+                    outputMode: String = "append"): DataFrame = {
     // memory-sink tables pin their rows in driver heap for the JVM
     // lifetime — drop earlier runs' views (their consumers have
     // already written results by the time another stream query runs)
@@ -100,6 +101,7 @@ object Streams extends QueryPack {
     (1 to prev).foreach(i => s.catalog.dropTempView(s"shardstream_out_$i"))
     val qn = s"shardstream_out_${sinkCounter.incrementAndGet()}"
     val q = df.writeStream.format("memory").queryName(qn)
+      .outputMode(outputMode)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     s.table(qn)
@@ -281,11 +283,38 @@ object Streams extends QueryPack {
         .select(from_json(col("data").cast("string"), dupSchema).as("e"))
         .select(col("e.event_id"), col("e.event_type"))
         .dropDuplicates("event_id"))
+    }),
+
+    // Complete-mode streaming aggregation: the running global aggregate
+    // (no watermark — state is the aggregate itself, one row per
+    // event_type) emitted in full each trigger; after the bounded
+    // replay the final emission equals the batch aggregate. The third
+    // output mode next to append (s01/s04/s06/s07) and the
+    // foreachBatch/update shapes in the specs.
+    "s08_stream_complete_agg" -> ((s, d) => {
+      val name = s"events_rt_${sfx(d)}" // same fixture as s01
+      seedEventsJson(s, d, name, numShards = 4)
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", "50000")
+        .load()
+      val agg = raw.select(
+        from_json(col("data").cast("string"), payloadSchema).as("e"))
+        .groupBy(col("e.event_type").as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(e.value * 1024) AS BIGINT)")).as("sum_vq"))
+      drain(s, agg, outputMode = "complete")
     }))
 
   def oracles: Map[String, String] = Map(
     "s07_stream_dedup" ->
       "SELECT event_id, event_type FROM events",
+
+    "s08_stream_complete_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 1024) AS BIGINT)) AS BIGINT) AS sum_vq
+        |FROM events GROUP BY event_type""".stripMargin,
 
     // micros (epoch_us), not raw timestamps: the parquet ts is nanos
     // and the Spark side truncates to micros (Tables.events), so a
