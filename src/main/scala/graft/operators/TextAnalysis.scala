@@ -153,6 +153,43 @@ object TextAnalysis extends QueryPack {
           .as("bpe_ish_tokens"))
     }),
 
+    // ---- repetition detection (boilerplate/spam signal) -------------
+    // Max occurrence count of any word trigram within each doc — the
+    // classic "repeated n-gram" quality filter (template spam repeats
+    // the same phrase). Explode → per-(doc, gram) count → per-doc max:
+    // two hash aggs, keys are (doc × gram) then doc — high cardinality,
+    // no skew, no window over the whole corpus.
+    "q72_repetition" -> ((s, d) => {
+      import s.implicits._
+      val grams = T.documents(s, d)
+        .select($"doc_id", split($"text", " ").as("w"))
+        .filter(size($"w") >= 3)
+        .select($"doc_id", explode(
+          transform(sequence(lit(0), size($"w") - 3),
+            i => concat_ws(" ", element_at($"w", i + 1), element_at($"w", i + 2),
+              element_at($"w", i + 3)))).as("g"))
+      grams.groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(max($"c").as("max_trigram_count"),
+          count(lit(1)).as("n_distinct_trigrams"),
+          sum($"c").cast("bigint").as("n_trigrams"))
+    }),
+
+    // ---- ntile decile bucketing -------------------------------------
+    // Stratification assignments: docs bucketed into per-lang length
+    // deciles (ntile has identical tie semantics in Spark and DuckDB:
+    // buckets differ by at most one row, earlier buckets get the
+    // extra). The window partitions per lang, never globally.
+    "q73_ntile_deciles" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"lang").orderBy($"n_chars", $"doc_id")
+      T.documents(s, d)
+        .withColumn("decile", ntile(10).over(w).cast("bigint"))
+        .groupBy($"lang", $"decile")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"))
+    }),
+
     // ---- bigram LM statistics ---------------------------------------
     // The n-gram language-model table: corpus-wide bigram counts and
     // integer-ppm conditional probabilities p(w2|w1). Explode to
@@ -190,6 +227,30 @@ object TextAnalysis extends QueryPack {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q72_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |  FROM w),
+        |c AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g)
+        |SELECT doc_id, max(c) AS max_trigram_count,
+        |  count(*) AS n_distinct_trigrams,
+        |  CAST(sum(c) AS BIGINT) AS n_trigrams
+        |FROM c GROUP BY doc_id""".stripMargin,
+
+    "q73_ntile_deciles" ->
+      """SELECT lang, decile, count(*) AS n_docs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM (
+        |  SELECT lang, n_chars,
+        |    CAST(ntile(10) OVER (PARTITION BY lang
+        |      ORDER BY n_chars, doc_id) AS BIGINT) AS decile
+        |  FROM documents) t
+        |GROUP BY lang, decile""".stripMargin,
+
     "q70_bigram_lm" ->
       """WITH w AS (
         |  SELECT string_split(text, ' ') AS w FROM documents
