@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharNgrams, IntDot, MinHashSig, RollingHash}
+import graft.functions.{CharNgrams, IntDot, MinHashSig, RollingHash, WordNgrams}
 
 /** SparkSessionExtensions entry point — registers the library's native
   * Catalyst expressions into the function registry, the idiomatic
@@ -54,6 +54,17 @@ object GraftExtensions {
             "char_ngrams: n must be an integer literal")
         }
         CharNgrams(children.head, n)
+      }),
+    (FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"word_ngrams takes 2 arguments, got ${children.length}")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(
+            "word_ngrams: n must be an integer literal")
+        }
+        WordNgrams(children.head, n)
       }))
 
   /** Idempotent imperative registration — for sessions built without

@@ -70,16 +70,16 @@ object Dedup extends QueryPack {
     labels
   }
 
-  /** word 3-gram shingle set (docs shorter than 3 tokens excluded). */
+  /** word 3-gram shingle set (docs shorter than 3 tokens excluded —
+    * equivalently, docs with zero grams). One compiled pass via the
+    * native `word_ngrams` expression; the transform/concat_ws HOF form
+    * paid an interpreted lambda per position and dominated this scan. */
   private def shingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    graft.GraftExtensions.ensureRegistered(s)
     T.documents(s, d)
-      .select($"doc_id", split($"text", " ").as("w"))
-      .filter(size($"w") >= 3)
-      .select($"doc_id", array_distinct(
-        transform(sequence(lit(0), size($"w") - 3),
-          i => concat_ws(" ", element_at($"w", i + 1), element_at($"w", i + 2),
-            element_at($"w", i + 3)))).as("sh"))
+      .select($"doc_id", array_distinct(expr("word_ngrams(text, 3)")).as("sh"))
+      .filter(size($"sh") >= 1)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

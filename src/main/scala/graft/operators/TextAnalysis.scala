@@ -161,13 +161,11 @@ object TextAnalysis extends QueryPack {
     // no skew, no window over the whole corpus.
     "q72_repetition" -> ((s, d) => {
       import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
       val grams = T.documents(s, d)
-        .select($"doc_id", split($"text", " ").as("w"))
-        .filter(size($"w") >= 3)
-        .select($"doc_id", explode(
-          transform(sequence(lit(0), size($"w") - 3),
-            i => concat_ws(" ", element_at($"w", i + 1), element_at($"w", i + 2),
-              element_at($"w", i + 3)))).as("g"))
+        .select($"doc_id", expr("word_ngrams(text, 3)").as("gs"))
+        .filter(size($"gs") >= 1)
+        .select($"doc_id", explode($"gs").as("g"))
       grams.groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
         .groupBy($"doc_id")
         .agg(max($"c").as("max_trigram_count"),

@@ -129,6 +129,24 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(native == sql)
   }
 
+  test("word_ngrams matches the transform/concat_ws SQL form byte-for-byte") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq("a b c d", "a b", "one two three", "", "x  y z", "solo").toDF("s")
+    val native = df.select(expr("word_ngrams(s, 3)")).collect()
+      .map(_.getSeq[String](0).toList).toList
+    val sql = df.selectExpr(
+      """CASE WHEN size(split(s, ' ')) >= 3 THEN
+        |  transform(sequence(0, size(split(s, ' ')) - 3),
+        |    i -> concat_ws(' ', element_at(split(s, ' '), i + 1),
+        |      element_at(split(s, ' '), i + 2), element_at(split(s, ' '), i + 3)))
+        |ELSE array() END""".stripMargin)
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(native == sql)
+    // double space produces an empty token, same as split(s, ' ')
+    assert(native(4) == List("x  y", " y z"))
+  }
+
   test("connectedComponents converges on deep chains and disjoint components") {
     val sp = spark
     import sp.implicits._
