@@ -8,22 +8,27 @@ import graft.operators._
   * Aggregates every query pack into the single `queries`/`oracleSql`
   * surface the driver verifies against DuckDB at sf0.01 and benches at
   * sf0.1:
-  *  - [[operators.Relational]] q01–q22: joins/aggs/windows/set ops/
-  *    subqueries/scalar functions over the TPC-H-ish tables
-  *  - [[operators.Streams]] s01–s03: the `shardstream` DSv2 source and
-  *    ordered sink end-to-end (SURVEY §2 S1–S16)
-  *  - [[operators.Events]] q23–q30: event-time windows, JSON props,
-  *    SQL surface, as-of join, range join
-  *  - [[operators.TextAnalysis]] q31–q34: token stats, lang quality,
-  *    fingerprints, top terms
-  *  - [[operators.Dedup]] q35–q37: exact dedup, banded MinHash LSH,
-  *    SimHash buckets
-  *  - [[operators.Similarity]] q40–q42: quantized-integer cosine
-  *    top-k, IVF ANN, embedding near-dup
-  *  - [[operators.Multimodal]] q45: binary payload + decode-stub
-  *    feature extraction
+  *  - [[operators.Relational]] q01–q22, q49–q50, q71: joins/aggs/
+  *    windows/set ops/subqueries/scalar functions/salted skew join
+  *    over the TPC-H-ish tables
+  *  - [[operators.Streams]] s01–s08: the `shardstream` DSv2 source and
+  *    sinks end-to-end (SURVEY §2 S1–S16): round-trips, take-N,
+  *    windowed parity, stream-stream join, streaming dedup,
+  *    complete-mode aggregation
+  *  - [[operators.Events]] q23–q30, q47, q68: event-time windows, JSON
+  *    props, SQL surface, as-of/range/interval joins, rolling features
+  *  - [[operators.TextAnalysis]] q31–q34, q48, q51–q52, q66, q70,
+  *    q72–q73: token stats, lang quality, fingerprints, top terms,
+  *    langid, redaction, bigram LM, repetition, deciles
+  *  - [[operators.Dedup]] q35–q37, q56, q67, q69: exact dedup, banded
+  *    MinHash LSH, SimHash, clustering, keepers, edit-distance verify
+  *  - [[operators.Similarity]] q40–q42, q53: quantized-integer cosine
+  *    top-k, IVF ANN, sign-LSH ANN, embedding near-dup
+  *  - [[operators.Multimodal]] q45, q64–q65: binary payload +
+  *    decode-stub features, frame sampling, resize
   *  - [[operators.Sketches]] q43/q44/q46: KMV Aggregator, native
   *    rolling-hash Expression, multi-format round-trip
+  *  - [[operators.Layout]] q54–q55: partition pruning, bucketed joins
   *  - [[operators.Pipeline]] q57–q63: training-data curation —
   *    quantiles, TF-IDF ranking, deterministic hash/stratified
   *    sampling, quality gates, sequence packing, mixture planning
