@@ -72,6 +72,7 @@ final class ShardStream(val name: String, val numShards: Int) {
     * same key. */
   def putRecord(partitionKey: String, data: Array[Byte],
                 seqForOrdering: Option[Long] = None): Long = synchronized {
+    ShardServiceRegistry.maybeFail(name, "putRecord")
     seqForOrdering.foreach { prev =>
       val last = lastSeqForKey.getOrDefault(partitionKey, -1L)
       if (prev != last)

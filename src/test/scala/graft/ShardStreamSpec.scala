@@ -346,6 +346,28 @@ class ShardStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally ShardServiceRegistry.clearFailure(name, "getRecords")
   }
 
+  test("write failure surfaces through the DSv2 sink and clears for a retry") {
+    val sp = spark
+    import sp.implicits._
+    val name = freshName("sinkfail")
+    ShardServiceRegistry.create(name, 2)
+    ShardServiceRegistry.injectFailure(name, "putRecord", "disk full")
+    val df = Seq(("k1", "a"), ("k2", "b")).toDF("partitionKey", "payload")
+      .select(col("partitionKey"), col("payload").cast("binary").as("data"))
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(20).toSeq
+    val ex = intercept[Exception] {
+      df.write.format("shardstream").option("stream", name).mode("append").save()
+    }
+    assert(chain(ex).exists(c => c.getMessage != null && c.getMessage.contains("disk full")))
+    // nothing half-written must be visible, and a retry after the fault
+    // clears must succeed
+    assert(spark.read.format("shardstream").option("stream", name).load().count() == 0)
+    ShardServiceRegistry.clearFailure(name, "putRecord")
+    df.write.format("shardstream").option("stream", name).mode("append").save()
+    assert(spark.read.format("shardstream").option("stream", name).load().count() == 2)
+  }
+
   test("unknown stream fails the query at planning (discovery error path)") {
     val ex = intercept[Exception] {
       drain(readStreamDf("no_such_stream_xyz"))
