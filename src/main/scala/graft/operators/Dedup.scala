@@ -55,15 +55,21 @@ object Dedup extends QueryPack {
       .localCheckpoint(true)
     var labels = edges.select($"a".as("v")).distinct()
       .select($"v", $"v".as("lbl")).localCheckpoint(true)
-    var prevSum = labels.agg(coalesce(sum($"lbl"), lit(0L))).head().getLong(0)
+    // decimal(38,0) probe: a Long sum of ~10^10 vertex ids overflows
+    // (ANSI mode would throw; wrapping would unsound the fixed-point
+    // test) — decimal keeps the monotone-sum argument valid at scale
+    def probe(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum($"lbl".cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = probe(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
       val prop = labels.join(edges, $"v" === $"a").select($"b".as("v"), $"lbl")
       labels = labels.unionAll(prop).groupBy($"v").agg(min($"lbl").as("lbl"))
         .localCheckpoint(true)
-      val s2 = labels.agg(coalesce(sum($"lbl"), lit(0L))).head().getLong(0)
-      converged = s2 == prevSum
+      val s2 = probe(labels)
+      converged = s2.compareTo(prevSum) == 0
       prevSum = s2
       rounds += 1
     }
@@ -205,7 +211,7 @@ object Dedup extends QueryPack {
       import s.implicits._
       val toks = T.documents(s, d)
         .select($"doc_id", explode(array_distinct(split($"text", " "))).as("tk"))
-        .withColumn("h", conv(substring(md5($"tk"), 1, 15), 16, 10).cast("long"))
+        .withColumn("h", graft.functions.PortableHash.h60($"tk"))
       val bitSums: Seq[Column] = (0 until 16).map { j =>
         val mask = 1L << j
         sum(when((($"h".bitwiseAND(lit(mask))) > 0), 1).otherwise(-1)).as(s"b$j")

@@ -27,10 +27,8 @@ import graft.{QueryPack, Tables => T}
   */
 object Pipeline extends QueryPack {
 
-  /** Engine-portable 60-bit hash (see graft-testdata memory): the top
-    * 15 hex chars of md5 parse identically in Spark and DuckDB. */
   private def hash60(c: org.apache.spark.sql.Column) =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    graft.functions.PortableHash.h60(c)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- distribution stats: exact interpolated quantiles -----------
@@ -134,7 +132,9 @@ object Pipeline extends QueryPack {
       T.documents(s, d)
         .select($"doc_id", $"lang", size(split($"text", " ")).cast("bigint").as("toks"))
         .withColumn("cum", sum($"toks").over(w))
-        .select($"lang", (($"cum" - $"toks") / lit(2048L)).cast("bigint").as("bin"),
+        // integral div (== DuckDB //): double divide-then-cast drifts
+        // from floor once the cumulative count passes 2^53
+        .select($"lang", expr("(cum - toks) div 2048").as("bin"),
           $"toks", $"doc_id")
         .groupBy($"lang", $"bin")
         .agg(count(lit(1)).as("n_docs"), sum($"toks").cast("bigint").as("bin_tokens"),

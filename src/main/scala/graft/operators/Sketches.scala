@@ -15,7 +15,7 @@ object Sketches extends QueryPack {
 
   /** engine-portable 60-bit hash: parse the first 15 md5 hex chars. */
   private def h60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    graft.functions.PortableHash.h60(c)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- KMV distinct sketch per group ------------------------------

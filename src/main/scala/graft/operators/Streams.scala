@@ -63,9 +63,12 @@ object Streams extends QueryPack {
     }
 
   /** Seed a `numShards`-shard stream with the events table: payload =
-    * canonical JSON of the row. */
+    * canonical JSON of the row. The whole check-and-seed holds the
+    * object lock (re-entrant with seedRows'): an unsynchronized
+    * exists() fast path would let a concurrent caller observe the
+    * stream mid-seed and read a partial fixture. */
   private def seedEventsJson(s: SparkSession, dir: String, name: String,
-                             numShards: Int): Unit = {
+                             numShards: Int): Unit = synchronized {
     if (ShardServiceRegistry.exists(name)) return
     // to_json handles string escaping and null fields; hand-built
     // concatenation would emit invalid JSON for quotes/NaN and
@@ -265,12 +268,14 @@ object Streams extends QueryPack {
     // single bounded replay) it becomes evictable at 100 TB.
     "s07_stream_dedup" -> ((s, d) => {
       val name = s"events_dup_${sfx(d)}"
-      if (!ShardServiceRegistry.exists(name)) {
-        val rows = T.events(s, d)
-          .select(col("event_id"), col("user_id"),
-            to_json(struct(col("event_id"), col("event_type"))).as("json"))
-          .orderBy("event_id").collect()
-        seedRows(name, numShards = 4, rows, times = 2) // every record twice
+      synchronized { // same mid-seed-visibility rule as seedEventsJson
+        if (!ShardServiceRegistry.exists(name)) {
+          val rows = T.events(s, d)
+            .select(col("event_id"), col("user_id"),
+              to_json(struct(col("event_id"), col("event_type"))).as("json"))
+            .orderBy("event_id").collect()
+          seedRows(name, numShards = 4, rows, times = 2) // every record twice
+        }
       }
       val raw = s.readStream.format("shardstream")
         .option("stream", name)

@@ -243,9 +243,22 @@ class ShardMicroBatchStream(opts: ShardSourceOptions, checkpointLocation: String
       try out.write(ShardStreamOffset(resolved).json().getBytes(UTF_8))
       finally out.close()
       if (!fs.rename(tmp, path)) {
-        fs.delete(tmp, false)
-        // lost a rename race to a concurrent starter: theirs wins
-        readPersisted().getOrElse(resolved)
+        // rename-onto-existing-dest fails on HDFS: the dest is either a
+        // concurrent starter's valid file (theirs wins) or a corrupt
+        // leftover that must be REPLACED, not left to poison every
+        // future restart into re-resolving
+        readPersisted() match {
+          case Some(m) =>
+            fs.delete(tmp, false)
+            m
+          case None =>
+            fs.delete(path, false)
+            if (fs.rename(tmp, path)) resolved
+            else {
+              fs.delete(tmp, false)
+              readPersisted().getOrElse(resolved)
+            }
+        }
       } else resolved
     }
 
