@@ -202,6 +202,25 @@ object Dedup extends QueryPack {
           greatest(length($"ta"), length($"tb")).cast("bigint").as("max_len"))
     }),
 
+    // ---- incremental-ingest dedup -----------------------------------
+    // The steady-state shape of a production dedup pipeline: a NEW
+    // batch arrives and is checked against the EXISTING corpus, not
+    // the corpus against itself. Existing = even doc_ids, incoming =
+    // odd (a deterministic stand-in for the batch boundary); an
+    // incoming doc is dropped when its content fingerprint already
+    // exists. One anti-join on the fingerprint — the existing side's
+    // fingerprint index is the only thing scanned, never its text.
+    "q74_incremental_dedup" -> ((s, d) => {
+      import s.implicits._
+      val docs = T.documents(s, d)
+        .select($"doc_id", $"lang", md5($"text").as("fp"))
+      val existing = docs.filter($"doc_id" % 2 === 0).select($"fp")
+      val incoming = docs.filter($"doc_id" % 2 === 1)
+      incoming.join(existing, Seq("fp"), "left_anti")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_new"), min($"doc_id").as("first_new"))
+    }),
+
     // ---- SimHash bucketing ------------------------------------------
     // 16-bit simhash over the distinct-token set; token bit source is
     // a 60-bit integer parsed from md5 hex — portable to the oracle.
@@ -269,6 +288,16 @@ object Dedup extends QueryPack {
         |  SELECT v, min(lbl) AS lbl FROM r GROUP BY v)
         |SELECT lbl AS cluster_id, count(*) AS n_docs, min(v) AS keeper_doc_id
         |FROM cc GROUP BY lbl""".stripMargin,
+
+    "q74_incremental_dedup" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, md5(text) AS fp FROM documents)
+        |SELECT lang, count(*) AS n_new, min(doc_id) AS first_new
+        |FROM docs i
+        |WHERE doc_id % 2 = 1
+        |  AND NOT EXISTS (SELECT 1 FROM docs e
+        |                  WHERE e.doc_id % 2 = 0 AND e.fp = i.fp)
+        |GROUP BY lang""".stripMargin,
 
     "q69_editdist_verify" ->
       """WITH pairs AS (

@@ -98,6 +98,37 @@ object Similarity extends QueryPack {
         .select($"qid", $"vec_id", $"bucket", $"cos", $"rn")
     }),
 
+    // ---- per-label centroids + most-central vectors -----------------
+    // The k-means building block: the (unnormalized) centroid of each
+    // label cell is the ELEMENTWISE INT64 SUM of the quantized vectors
+    // — exact and order-independent, unlike a float mean — and
+    // cos(v, sum) == cos(v, mean), so ranking against the sum needs no
+    // division by n. Shape: posexplode → (label, pos) sum → re-
+    // assemble arrays (labels × dim rows, tiny) → broadcast back over
+    // the corpus → per-label top-3 by centrality.
+    "q75_centroid_central" -> ((s, d) => {
+      import s.implicits._
+      val emb = quantized(s, d)
+      val cent = emb.select($"label", posexplode($"q"))
+        .groupBy($"label", $"pos").agg(sum($"col").as("sv"))
+        .groupBy($"label")
+        .agg(array_sort(collect_list(struct($"pos", $"sv"))).as("ps"))
+        .select($"label", expr("transform(ps, x -> x.sv)").as("c"))
+        .withColumn("cn2", expr("int_dot(c, c)"))
+      // n2·cn2 here exceeds int64 (cn2 ~ (n·5120)²·64), so multiply as
+      // doubles: each operand is < 2^53 hence exactly representable,
+      // and the IEEE product equals DuckDB's hugeint-then-cast rounding
+      val scored = emb.join(broadcast(cent), "label")
+        .select($"label".cast("bigint").as("label"), $"vec_id",
+          round(expr("int_dot(q, c)").cast("double") /
+            sqrt($"n2".cast("double") * $"cn2".cast("double")), 6)
+            .as("cos_centroid"))
+      val w = Window.partitionBy($"label").orderBy($"cos_centroid".desc, $"vec_id")
+      scored.withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter($"rn" <= 3)
+        .select($"label", $"vec_id", $"cos_centroid", $"rn")
+    }),
+
     // ---- embedding-cosine near-dup candidates -----------------------
     // For every vector: its nearest neighbor within its IVF cell
     // (near-dups of a vector share its cell by construction of the
@@ -149,6 +180,31 @@ object Similarity extends QueryPack {
       s" / sqrt(CAST($na * $nb AS DOUBLE)), 6)"
 
   def oracles: Map[String, String] = Map(
+    "q75_centroid_central" ->
+      s"""WITH $duckQuant,
+        |expl AS (
+        |  SELECT label, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos
+        |  FROM n),
+        |cent AS (
+        |  SELECT label, pos, CAST(sum(v) AS BIGINT) AS sv FROM expl
+        |  GROUP BY label, pos),
+        |centarr AS (
+        |  SELECT label, list(sv ORDER BY pos) AS c FROM cent GROUP BY label),
+        |cn AS (
+        |  SELECT label, c,
+        |    CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS cn2
+        |  FROM centarr),
+        |scored AS (
+        |  SELECT CAST(n.label AS BIGINT) AS label, n.vec_id,
+        |    ${duckCos("n.qv", "cn.c", "n.n2", "cn.cn2")} AS cos_centroid
+        |  FROM n JOIN cn ON n.label = cn.label)
+        |SELECT label, vec_id, cos_centroid, rn FROM (
+        |  SELECT label, vec_id, cos_centroid,
+        |    CAST(row_number() OVER (PARTITION BY label
+        |      ORDER BY cos_centroid DESC, vec_id) AS BIGINT) AS rn
+        |  FROM scored) t
+        |WHERE rn <= 3""".stripMargin,
+
     "q40_cosine_topk" ->
       s"""WITH $duckQuant,
         |qs AS (SELECT vec_id AS qid, qv AS qqv, n2 AS qn2 FROM n WHERE vec_id < 10),
