@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify contract is "ONE JSON line on stdout"; sbt's
+// "[success] Total time: ..." epilogue would otherwise be the last
+// stdout line and break last-line JSON parsing on the driver side.
+Global / showSuccess := false
+Global / showTiming := false
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
+// Forked run inherits stdout/stderr directly: no "[info] " logger
+// prefix on the JSON line, and Spark's log4j noise stays on stderr
+// instead of being echoed to sbt's stdout as "[error]" lines.
+run / connectInput := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

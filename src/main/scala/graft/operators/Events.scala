@@ -188,8 +188,8 @@ object Events extends QueryPack {
         |    CAST(round(value * 1024) AS BIGINT) AS v_q
         |  FROM events)
         |SELECT event_id, user_id,
-        |  sum(v_q) OVER (PARTITION BY user_id ORDER BY ts_us
-        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS hr_sum_q,
+        |  CAST(sum(v_q) OVER (PARTITION BY user_id ORDER BY ts_us
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS hr_sum_q,
         |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts_us
         |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS hr_n
         |FROM ev""".stripMargin,

@@ -123,7 +123,13 @@ object Multimodal extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     // ASCII corpus: byte length == char length; first byte == ascii of
-    // first char; md5 over the same UTF-8 bytes.
+    // first char; md5 over the same UTF-8 bytes. The Spark side indexes
+    // UTF-8 BYTES while these oracles index CHARS, so agreement REQUIRES
+    // an all-ASCII documents.text — DuckDB has no byte-of-blob accessor
+    // to express the byte semantics directly. That precondition is
+    // enforced by MultimodalFixtureSpec against every local SF; if a
+    // non-ASCII corpus ever appears, that spec fails before the oracle
+    // gate can silently diverge.
     "q45_media_features" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS byte_len,

@@ -222,8 +222,8 @@ object Pipeline extends QueryPack {
         |  FROM documents),
         |packed AS (
         |  SELECT lang, toks, doc_id,
-        |    (sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
-        |       ROWS UNBOUNDED PRECEDING) - toks) // 2048 AS bin
+        |    CAST((sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+        |       ROWS UNBOUNDED PRECEDING) - toks) // 2048 AS BIGINT) AS bin
         |  FROM sized)
         |SELECT lang, bin, count(*) AS n_docs,
         |  CAST(sum(toks) AS BIGINT) AS bin_tokens, min(doc_id) AS first_doc

@@ -237,29 +237,42 @@ class ShardMicroBatchStream(opts: ShardSourceOptions, checkpointLocation: String
     def resolveAndPersist(): Map[String, Long] = {
       val resolved = ShardPositions.startIndexes(opts)
       // write-temp + rename so a crash never leaves a partial file
-      // where the next start would read a wrong (empty) baseline
-      val tmp = new Path(checkpointLocation, s"shardstream-start.json.tmp")
+      // where the next start would read a wrong (empty) baseline; the
+      // tmp name is per-attempt unique so two starters never clobber
+      // each other's in-flight writes
+      val tmp = new Path(checkpointLocation,
+        s"shardstream-start.json.tmp-${java.util.UUID.randomUUID()}")
       val out = fs.create(tmp, true)
       try out.write(ShardStreamOffset(resolved).json().getBytes(UTF_8))
       finally out.close()
-      if (!fs.rename(tmp, path)) {
-        // rename-onto-existing-dest fails on HDFS: the dest is either a
-        // concurrent starter's valid file (theirs wins) or a corrupt
-        // leftover that must be REPLACED, not left to poison every
-        // future restart into re-resolving
-        readPersisted() match {
-          case Some(m) =>
-            fs.delete(tmp, false)
-            m
-          case None =>
-            fs.delete(path, false)
-            if (fs.rename(tmp, path)) resolved
-            else {
-              fs.delete(tmp, false)
-              readPersisted().getOrElse(resolved)
-            }
+      // rename-onto-existing-dest fails on HDFS: the dest is either a
+      // concurrent starter's valid file (theirs wins — re-read AFTER
+      // every failed rename so a file that landed between our delete
+      // and retry is adopted, never deleted twice) or a corrupt
+      // leftover that must be REPLACED, not left to poison every
+      // future restart into re-resolving. Structured-Streaming's model
+      // is one driver per checkpoint dir; the bounded loop below only
+      // has to converge for crash debris, not sustained contention —
+      // concurrent starters sharing one checkpoint dir are out of
+      // scope (same contract as the engine's own offset log).
+      var adopted: Option[Map[String, Long]] = None
+      var renamed = fs.rename(tmp, path)
+      var attempt = 0
+      while (!renamed && adopted.isEmpty && attempt < 3) {
+        adopted = readPersisted()
+        if (adopted.isEmpty) {
+          fs.delete(path, false)
+          renamed = fs.rename(tmp, path)
         }
-      } else resolved
+        attempt += 1
+      }
+      if (!renamed) fs.delete(tmp, false)
+      adopted.getOrElse {
+        if (renamed) resolved
+        // loop exhausted (pathological FS): adopt whatever file won,
+        // falling back to our own resolution only if nothing persisted
+        else readPersisted().getOrElse(resolved)
+      }
     }
 
     if (fs.exists(path)) readPersisted().getOrElse(resolveAndPersist())
