@@ -221,6 +221,37 @@ object Dedup extends QueryPack {
         .agg(count(lit(1)).as("n_new"), min($"doc_id").as("first_new"))
     }),
 
+    // ---- substring-level duplicate spans ----------------------------
+    // Span-level dedup (the "repeated substring" pass of a curation
+    // pipeline, complementary to q36's whole-document near-dup): every
+    // word 5-gram OCCURRENCE is indexed by position, grams occurring
+    // >= 2 times anywhere in the corpus (across docs or repeated
+    // within one) mark their positions as duplicated span material.
+    // Output: per-doc duplicated-span profile (how much of the doc is
+    // corpus-duplicated text, where it starts, how widely shared).
+    // Scale shape: explode -> one hash agg on the gram key -> equi-
+    // join occurrences back on the gram key -> per-doc agg. Both
+    // shuffles key on high-cardinality keys (gram text, doc_id); no
+    // all-pairs anywhere. A boilerplate mega-gram concentrates its
+    // bucket, but the join output stays one row per occurrence —
+    // skew salting applies unchanged if one gram dominates.
+    "q76_dup_spans" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val grams = T.documents(s, d)
+        .select($"doc_id", posexplode(expr("word_ngrams(text, 5)")))
+        .toDF("doc_id", "pos", "g")
+      val dup = grams.groupBy($"g")
+        .agg(count(lit(1)).as("n_occ"), countDistinct($"doc_id").as("n_docs"))
+        .filter($"n_occ" >= 2)
+      grams.join(dup, "g")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_dup_positions"),
+          countDistinct($"g").as("n_dup_grams"),
+          min($"pos").cast("bigint").as("first_dup_pos"),
+          max($"n_docs").as("max_gram_docs"))
+    }),
+
     // ---- SimHash bucketing ------------------------------------------
     // 16-bit simhash over the distinct-token set; token bit source is
     // a 60-bit integer parsed from md5 hex — portable to the oracle.
@@ -246,6 +277,26 @@ object Dedup extends QueryPack {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q76_dup_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 3),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS g,
+        |    generate_subscripts(list_transform(range(1, len(w) - 3), i -> i), 1) - 1 AS pos
+        |  FROM w),
+        |dup AS (
+        |  SELECT g, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+        |  FROM g GROUP BY g HAVING count(*) >= 2)
+        |SELECT g.doc_id, count(*) AS n_dup_positions,
+        |  count(DISTINCT g.g) AS n_dup_grams,
+        |  CAST(min(pos) AS BIGINT) AS first_dup_pos,
+        |  max(n_docs) AS max_gram_docs
+        |FROM g JOIN dup USING (g)
+        |GROUP BY g.doc_id""".stripMargin,
+
     "q35_exact_dedup" ->
       """SELECT user_id, event_type, value, props, count(*) AS n,
         |  min(event_id) AS keeper_event_id

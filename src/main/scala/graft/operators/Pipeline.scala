@@ -97,6 +97,37 @@ object Pipeline extends QueryPack {
         .select($"lang", $"rn", $"doc_id")
     }),
 
+    // ---- benchmark decontamination ----------------------------------
+    // The eval-contamination scan every training corpus needs: a held-
+    // out "benchmark" slice (deterministic 10% hash split — in
+    // production, the actual eval sets) defines a set of word 8-grams;
+    // every remaining training doc reports how many of its distinct
+    // 8-grams appear in that set, plus a per-mille contamination rate
+    // (integral, engine-exact). Docs with zero overlap stay in the
+    // output — the report is the full corpus audit, not just hits.
+    // Scale shape: the benchmark gram set is tiny relative to the
+    // corpus (eval suites don't scale with training data) and is
+    // BROADCAST; the training side streams map-side through the join
+    // — no shuffle of the corpus, one final agg on doc_id.
+    "q77_contamination" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val docs = T.documents(s, d)
+        .select($"doc_id",
+          array_distinct(expr("word_ngrams(text, 8)")).as("gs"))
+      val isBench = pmod(hash60($"doc_id"), lit(10)) === 0
+      val benchGrams = docs.filter(isBench)
+        .select(explode($"gs").as("g")).distinct()
+      val train = docs.filter(!isBench)
+        .select($"doc_id", explode($"gs").as("g"))
+      train.join(broadcast(benchGrams.withColumn("hit", lit(1L))), Seq("g"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          coalesce(sum($"hit"), lit(0L)).as("n_overlap"))
+        .select($"doc_id", $"n_grams", $"n_overlap",
+          expr("(n_overlap * 1000L) div n_grams").as("contam_pm"))
+    }),
+
     // ---- composite quality gate -------------------------------------
     // The classic heuristic filter stack (length band, stopword-ratio
     // band, mean-token-length cap) with per-lang pass rates. Ratio
@@ -157,6 +188,28 @@ object Pipeline extends QueryPack {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q77_contamination" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(1, len(w) - 6),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+        |           w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]))) AS g,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 = 0 AS bench
+        |  FROM w),
+        |benchset AS (SELECT DISTINCT g FROM g WHERE bench),
+        |agg AS (
+        |  SELECT t.doc_id, count(*) AS n_grams,
+        |    CAST(coalesce(sum(CASE WHEN b.g IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_overlap
+        |  FROM (SELECT doc_id, g FROM g WHERE NOT bench) t
+        |  LEFT JOIN benchset b USING (g)
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, n_grams, n_overlap,
+        |  CAST((n_overlap * 1000) // n_grams AS BIGINT) AS contam_pm
+        |FROM agg""".stripMargin,
+
     "q57_percentile_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  round(quantile_cont(n_chars, 0.25), 4) AS p25,

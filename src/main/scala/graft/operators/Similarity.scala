@@ -129,6 +129,52 @@ object Similarity extends QueryPack {
         .select($"label", $"vec_id", $"cos_centroid", $"rn")
     }),
 
+    // ---- one Lloyd (k-means) iteration ------------------------------
+    // The clustering refinement step a curation pipeline runs on top
+    // of q75's centroid primitive: current centroids (exact int64
+    // label-cell sums), REASSIGN every vector to its nearest centroid
+    // by cosine, then recompute per-cluster stats + an exact integer
+    // fingerprint of the NEW centroid (position-weighted sum), so the
+    // gate proves the full assign→recompute cycle, not just counts.
+    // n_moved is the convergence signal a driver loop would test.
+    // Scale shape: k centroids are tiny at any corpus size →
+    // broadcast nested loop over the corpus (k·n dot products, the
+    // irreducible Lloyd cost), per-vector argmax via a vec_id window,
+    // then two hash aggs; the corpus is never self-joined.
+    "q79_kmeans_iter" -> ((s, d) => {
+      import s.implicits._
+      val emb = quantized(s, d)
+      val cent = emb.select($"label", posexplode($"q"))
+        .groupBy($"label", $"pos").agg(sum($"col").as("sv"))
+        .groupBy($"label")
+        .agg(array_sort(collect_list(struct($"pos", $"sv"))).as("ps"))
+        .select($"label".cast("bigint").as("clab"),
+          expr("transform(ps, x -> x.sv)").as("c"))
+        .withColumn("cn2", expr("int_dot(c, c)"))
+      // n2·cn2 exceeds int64 (same analysis as q75): multiply as
+      // doubles — operands < 2^53 are exact, so the IEEE product
+      // equals DuckDB's hugeint-then-cast rounding
+      val scored = emb.crossJoin(broadcast(cent))
+        .select($"vec_id", $"label".cast("bigint").as("old_label"), $"clab",
+          round(expr("int_dot(q, c)").cast("double") /
+            sqrt($"n2".cast("double") * $"cn2".cast("double")), 6).as("cos"),
+          $"q")
+      val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"clab")
+      val assigned = scored.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"old_label", $"clab".as("new_label"), $"q")
+      val stats = assigned.groupBy($"new_label")
+        .agg(count(lit(1)).as("n_members"),
+          sum(when($"old_label" =!= $"new_label", 1L).otherwise(0L)).as("n_moved"),
+          min($"vec_id").as("first_vec"))
+      val fp = assigned.select($"new_label", posexplode($"q"))
+        .groupBy($"new_label", $"pos").agg(sum($"col").as("sv"))
+        .groupBy($"new_label")
+        .agg(sum($"sv" * ($"pos" + 1)).as("centroid_fp"))
+      stats.join(fp, "new_label")
+        .select($"new_label", $"n_members", $"n_moved", $"first_vec", $"centroid_fp")
+    }),
+
     // ---- embedding-cosine near-dup candidates -----------------------
     // For every vector: its nearest neighbor within its IVF cell
     // (near-dups of a vector share its cell by construction of the
@@ -180,6 +226,47 @@ object Similarity extends QueryPack {
       s" / sqrt(CAST($na * $nb AS DOUBLE)), 6)"
 
   def oracles: Map[String, String] = Map(
+    "q79_kmeans_iter" ->
+      s"""WITH $duckQuant,
+        |expl AS (
+        |  SELECT label, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos
+        |  FROM n),
+        |cent0 AS (
+        |  SELECT label, pos, CAST(sum(v) AS BIGINT) AS sv FROM expl
+        |  GROUP BY label, pos),
+        |centarr AS (
+        |  SELECT label, list(sv ORDER BY pos) AS c FROM cent0 GROUP BY label),
+        |cn AS (
+        |  SELECT CAST(label AS BIGINT) AS clab, c,
+        |    CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS cn2
+        |  FROM centarr),
+        |scored AS (
+        |  SELECT n.vec_id, CAST(n.label AS BIGINT) AS old_label, cn.clab,
+        |    ${duckCos("n.qv", "cn.c", "n.n2", "cn.cn2")} AS cos
+        |  FROM n CROSS JOIN cn),
+        |assigned AS (
+        |  SELECT vec_id, old_label, clab AS new_label FROM (
+        |    SELECT vec_id, old_label, clab, cos,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clab) AS rn
+        |    FROM scored) t
+        |  WHERE rn = 1),
+        |newexpl AS (
+        |  SELECT a.new_label, unnest(n.qv) AS v, generate_subscripts(n.qv, 1) AS pos
+        |  FROM assigned a JOIN n ON a.vec_id = n.vec_id),
+        |newcent AS (
+        |  SELECT new_label, pos, CAST(sum(v) AS BIGINT) AS sv FROM newexpl
+        |  GROUP BY new_label, pos),
+        |fp AS (
+        |  SELECT new_label, CAST(sum(sv * pos) AS BIGINT) AS centroid_fp
+        |  FROM newcent GROUP BY new_label),
+        |stats AS (
+        |  SELECT new_label, count(*) AS n_members,
+        |    CAST(sum(CASE WHEN old_label != new_label THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+        |    min(vec_id) AS first_vec
+        |  FROM assigned GROUP BY new_label)
+        |SELECT s.new_label, n_members, n_moved, first_vec, centroid_fp
+        |FROM stats s JOIN fp USING (new_label)""".stripMargin,
+
     "q75_centroid_central" ->
       s"""WITH $duckQuant,
         |expl AS (

@@ -310,9 +310,50 @@ object Streams extends QueryPack {
         .agg(count(lit(1)).as("n"),
           sum(expr("CAST(round(e.value * 1024) AS BIGINT)")).as("sum_vq"))
       drain(s, agg, outputMode = "complete")
+    }),
+
+    // Stream-static join: the streaming enrichment shape — events
+    // replayed through the source joined per micro-batch against a
+    // STATIC dimension read from parquet (customer, keyed by
+    // user_id = c_custkey). No broadcast hint: customer scales with
+    // the data (VERDICT r1 #1), so the planner picks the strategy
+    // from stats — hinting it broadcast would OOM at 100 TB. The
+    // static side needs no watermark (it never changes); complete-
+    // mode output so the final emission equals the batch join the
+    // oracle states.
+    "s09_stream_static_join" -> ((s, d) => {
+      val name = s"events_rt_${sfx(d)}" // same fixture as s01
+      seedEventsJson(s, d, name, numShards = 4)
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", "50000")
+        .load()
+      val purchases = raw.select(
+        from_json(col("data").cast("string"), payloadSchema).as("e"))
+        .filter(col("e.event_type") === "purchase")
+        .select(col("e.event_id").as("event_id"),
+          col("e.user_id").as("user_id"),
+          col("e.value").as("value"))
+      val cust = T.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      val agg = purchases
+        .join(cust, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(value * 1024) AS BIGINT)")).as("sum_vq"),
+          min(col("event_id")).as("first_event"))
+      drain(s, agg, outputMode = "complete")
     }))
 
   def oracles: Map[String, String] = Map(
+    "s09_stream_static_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 1024) AS BIGINT)) AS BIGINT) AS sum_vq,
+        |  min(event_id) AS first_event
+        |FROM events JOIN customer ON user_id = c_custkey
+        |WHERE event_type = 'purchase'
+        |GROUP BY c_mktsegment""".stripMargin,
+
     "s07_stream_dedup" ->
       "SELECT event_id, event_type FROM events",
 

@@ -208,6 +208,43 @@ object TextAnalysis extends QueryPack {
         .select($"w1", $"w2", $"n", expr("(n * 1000000L) div n_w1").as("p_ppm"))
     }),
 
+    // ---- LM-based document scoring (perplexity-filter shape) --------
+    // The model-based quality filter: score every doc by how typical
+    // its bigrams are under the corpus's own bigram LM (q70's table).
+    // The score is the per-doc sum/avg/min of the integer-ppm
+    // conditional probabilities — the integer analog of mean log-
+    // likelihood ranking, engine-exact (a float log would not hash-
+    // match across engines; the ppm ORDER is what a filter thresholds
+    // on, and it is preserved). Low avg_ppm / min_ppm = improbable
+    // word transitions = the doc a perplexity filter flags.
+    // Scale shape: bigram explode is computed ONCE and cached for its
+    // two consumers (LM build, doc scoring); the LM table and the
+    // score join both shuffle on the high-cardinality (w1, w2) key;
+    // the w1-denominator window partitions on the vocabulary, never
+    // globally.
+    "q78_lm_doc_score" -> ((s, d) => {
+      import s.implicits._
+      val bi = T.documents(s, d)
+        .select($"doc_id", split($"text", " ").as("w"))
+        .filter(size($"w") >= 2)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(0, size(w) - 2)," +
+            " i -> struct(element_at(w, i + 1) AS w1, element_at(w, i + 2) AS w2))")).as("b"))
+        .select($"doc_id", $"b.w1", $"b.w2")
+        .cache()
+      val counts = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("n"))
+      val lm = counts
+        .withColumn("n_w1", sum($"n").over(Window.partitionBy($"w1")))
+        .select($"w1", $"w2", expr("(n * 1000000L) div n_w1").as("p_ppm"))
+      bi.join(lm, Seq("w1", "w2"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum($"p_ppm").as("sum_ppm"),
+          min($"p_ppm").as("min_ppm"))
+        .select($"doc_id", $"n_bigrams", $"sum_ppm", $"min_ppm",
+          expr("sum_ppm div n_bigrams").as("avg_ppm"))
+    }),
+
     // ---- pattern redaction (PII-scrub shape) ------------------------
     // The scrubbing stage of a curation pipeline: replace every match
     // of a sensitive pattern, report hit counts, and fingerprint the
@@ -248,6 +285,27 @@ object TextAnalysis extends QueryPack {
         |      ORDER BY n_chars, doc_id) AS BIGINT) AS decile
         |  FROM documents) t
         |GROUP BY lang, decile""".stripMargin,
+
+    "q78_lm_doc_score" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) AS b
+        |  FROM w),
+        |bb AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi),
+        |c AS (SELECT w1, w2, count(*) AS n FROM bb GROUP BY w1, w2),
+        |lm AS (
+        |  SELECT w1, w2,
+        |    CAST((n * 1000000) // (sum(n) OVER (PARTITION BY w1)) AS BIGINT) AS p_ppm
+        |  FROM c)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(p_ppm) AS BIGINT) AS sum_ppm,
+        |  min(p_ppm) AS min_ppm,
+        |  CAST(CAST(sum(p_ppm) AS BIGINT) // count(*) AS BIGINT) AS avg_ppm
+        |FROM bb JOIN lm USING (w1, w2)
+        |GROUP BY doc_id""".stripMargin,
 
     "q70_bigram_lm" ->
       """WITH w AS (
