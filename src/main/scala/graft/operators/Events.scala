@@ -85,6 +85,38 @@ object Events extends QueryPack {
       s.sql(Events.sqlSurfaceText)
     }),
 
+    // ---- sequential funnel (view → click → purchase) ----------------
+    // The product-analytics funnel as ordered event-time milestones:
+    // first view, first click AFTER that view, first purchase AFTER
+    // that click, and the stage reached (0–3). Three chained
+    // min-over-user windows — each references the previous milestone,
+    // all share the user_id partitioning, so the plan pays ONE
+    // shuffle on user_id for the whole chain (no ordered sort is
+    // needed: min() over an unordered partition). At 100 TB this is
+    // the funnel shape that beats per-stage self-joins (3 shuffles)
+    // or per-user sequence collection (unbounded rows per user).
+    "q81_funnel" -> ((s, d) => {
+      import s.implicits._
+      val wu = Window.partitionBy($"user_id")
+      T.events(s, d)
+        .select($"user_id", $"event_type", unix_micros($"ts").as("ts_us"))
+        .withColumn("first_view",
+          min(when($"event_type" === "view", $"ts_us")).over(wu))
+        .withColumn("first_click",
+          min(when($"event_type" === "click" && $"ts_us" > $"first_view", $"ts_us")).over(wu))
+        .withColumn("first_purchase",
+          min(when($"event_type" === "purchase" && $"ts_us" > $"first_click", $"ts_us")).over(wu))
+        .groupBy($"user_id")
+        .agg(first($"first_view").as("first_view"),
+          first($"first_click").as("first_click"),
+          first($"first_purchase").as("first_purchase"))
+        .select($"user_id", $"first_view", $"first_click", $"first_purchase",
+          when($"first_purchase".isNotNull, 3L)
+            .when($"first_click".isNotNull, 2L)
+            .when($"first_view".isNotNull, 1L)
+            .otherwise(0L).as("stage"))
+    }),
+
     // ---- GROUPING SETS (beyond rollup/cube) -------------------------
     "q50_grouping_sets" -> ((s, d) => {
       T.registerAll(s, d)
@@ -182,6 +214,26 @@ object Events extends QueryPack {
        |GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q81_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        |  FROM events),
+        |v AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
+        |    OVER (PARTITION BY user_id) AS first_view FROM ev),
+        |c AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts_us > first_view
+        |    THEN ts_us END) OVER (PARTITION BY user_id) AS first_click FROM v),
+        |p AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_us > first_click
+        |    THEN ts_us END) OVER (PARTITION BY user_id) AS first_purchase FROM c)
+        |SELECT DISTINCT user_id, first_view, first_click, first_purchase,
+        |  CAST(CASE WHEN first_purchase IS NOT NULL THEN 3
+        |            WHEN first_click IS NOT NULL THEN 2
+        |            WHEN first_view IS NOT NULL THEN 1
+        |            ELSE 0 END AS BIGINT) AS stage
+        |FROM p""".stripMargin,
+
     "q68_rolling_user_features" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,

@@ -97,6 +97,33 @@ object Pipeline extends QueryPack {
         .select($"lang", $"rn", $"doc_id")
     }),
 
+    // ---- histogram (sketch) quantile estimate -----------------------
+    // The mergeable-sketch quantile path next to q57's exact sort:
+    // fixed-width bins (64 chars) reduce the corpus to a bounded
+    // per-lang histogram in ONE narrow agg; p50/p95 are read off the
+    // cumulative bin counts. All integer, so the estimate is engine-
+    // exact. This is the shape that replaces exact quantiles at
+    // 100 TB: the histogram is tiny, mergeable across partitions/
+    // batches, and never sorts the data; the estimate's error is
+    // bounded by the bin width.
+    "q80_hist_quantile" -> ((s, d) => {
+      import s.implicits._
+      val bins = T.documents(s, d)
+        .groupBy($"lang", expr("n_chars div 64").as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+      val wc = Window.partitionBy($"lang").orderBy($"bin")
+      val wl = Window.partitionBy($"lang")
+      bins
+        .withColumn("cum", sum($"cnt").over(wc))
+        .withColumn("total", sum($"cnt").over(wl))
+        .groupBy($"lang")
+        .agg(min(when($"cum" * 2 >= $"total", $"bin")).as("p50_bin"),
+          min(when($"cum" * 20 >= $"total" * 19, $"bin")).as("p95_bin"),
+          max($"total").as("n_docs"))
+        .select($"lang", ($"p50_bin" * 64).as("p50_est"),
+          ($"p95_bin" * 64).as("p95_est"), $"n_docs")
+    }),
+
     // ---- benchmark decontamination ----------------------------------
     // The eval-contamination scan every training corpus needs: a held-
     // out "benchmark" slice (deterministic 10% hash split — in
@@ -188,6 +215,21 @@ object Pipeline extends QueryPack {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q80_hist_quantile" ->
+      """WITH bins AS (
+        |  SELECT lang, n_chars // 64 AS bin, count(*) AS cnt
+        |  FROM documents GROUP BY lang, n_chars // 64),
+        |c AS (
+        |  SELECT lang, bin, cnt,
+        |    sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+        |    sum(cnt) OVER (PARTITION BY lang) AS total
+        |  FROM bins)
+        |SELECT lang,
+        |  CAST(min(CASE WHEN cum * 2 >= total THEN bin END) * 64 AS BIGINT) AS p50_est,
+        |  CAST(min(CASE WHEN cum * 20 >= total * 19 THEN bin END) * 64 AS BIGINT) AS p95_est,
+        |  CAST(max(total) AS BIGINT) AS n_docs
+        |FROM c GROUP BY lang""".stripMargin,
+
     "q77_contamination" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents

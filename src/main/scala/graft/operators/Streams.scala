@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.{QueryPack, Tables => T}
@@ -312,6 +312,46 @@ object Streams extends QueryPack {
       drain(s, agg, outputMode = "complete")
     }),
 
+    // Arbitrary stateful processing as a DECLARED query (the specs
+    // already exercise mapGroupsWithState/transformWithState
+    // behaviorally): a custom running (count, quantized-sum) state per
+    // user, updated across MULTIPLE micro-batches (batch cap 2000 →
+    // ~5 epochs over this fixture), emitted in update mode. The
+    // running count is strictly monotone per user, so the final state
+    // is the max-n emission — that reduction turns the update-mode
+    // emission log into exactly the batch aggregate the oracle
+    // states. State is one (n, sum) pair per user: bounded, and
+    // evictable via timeouts at 100 TB key cardinalities.
+    "s10_stateful_running" -> ((s, d) => {
+      import s.implicits._
+      val name = s"events_rt_${sfx(d)}" // same fixture as s01
+      seedEventsJson(s, d, name, numShards = 4)
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", "2000")
+        .load()
+      val ev = raw.select(
+        from_json(col("data").cast("string"), payloadSchema).as("e"))
+        .select(col("e.user_id").as("user_id"),
+          expr("CAST(round(e.value * 1024) AS BIGINT)").as("vq"))
+        .as[(Long, Long)]
+      val updated = ev.groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+          (uid: Long, rows: Iterator[(Long, Long)], st: GroupState[(Long, Long)]) =>
+            val (n0, s0) = st.getOption.getOrElse((0L, 0L))
+            var n = n0
+            var sm = s0
+            rows.foreach { r => n += 1; sm += r._2 }
+            st.update((n, sm))
+            (uid, n, sm)
+        }.toDF("user_id", "n", "sum_vq")
+      val emissions = drain(s, updated, outputMode = "update")
+      emissions.groupBy(col("user_id"))
+        .agg(max(struct(col("n"), col("sum_vq"))).as("m"))
+        .select(col("user_id"), col("m.n").as("n"), col("m.sum_vq").as("sum_vq"))
+    }),
+
     // Stream-static join: the streaming enrichment shape — events
     // replayed through the source joined per micro-batch against a
     // STATIC dimension read from parquet (customer, keyed by
@@ -346,6 +386,11 @@ object Streams extends QueryPack {
     }))
 
   def oracles: Map[String, String] = Map(
+    "s10_stateful_running" ->
+      """SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 1024) AS BIGINT)) AS BIGINT) AS sum_vq
+        |FROM events GROUP BY user_id""".stripMargin,
+
     "s09_stream_static_join" ->
       """SELECT c_mktsegment, count(*) AS n,
         |  CAST(sum(CAST(round(value * 1024) AS BIGINT)) AS BIGINT) AS sum_vq,
