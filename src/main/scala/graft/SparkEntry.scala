@@ -11,27 +11,33 @@ import graft.operators._
   *  - [[operators.Relational]] q01–q22, q49–q50, q71: joins/aggs/
   *    windows/set ops/subqueries/scalar functions/salted skew join
   *    over the TPC-H-ish tables
-  *  - [[operators.Streams]] s01–s08: the `shardstream` DSv2 source and
+  *  - [[operators.Streams]] s01–s10: the `shardstream` DSv2 source and
   *    sinks end-to-end (SURVEY §2 S1–S16): round-trips, take-N,
   *    windowed parity, stream-stream join, streaming dedup,
-  *    complete-mode aggregation
-  *  - [[operators.Events]] q23–q30, q47, q68: event-time windows, JSON
-  *    props, SQL surface, as-of/range/interval joins, rolling features
+  *    complete-mode aggregation, stream-static join, custom
+  *    mapGroupsWithState running state
+  *  - [[operators.Events]] q23–q30, q47, q68, q81: event-time windows,
+  *    JSON props, SQL surface, as-of/range/interval joins, rolling
+  *    features, sequential funnel
   *  - [[operators.TextAnalysis]] q31–q34, q48, q51–q52, q66, q70,
-  *    q72–q73: token stats, lang quality, fingerprints, top terms,
-  *    langid, redaction, bigram LM, repetition, deciles
-  *  - [[operators.Dedup]] q35–q37, q56, q67, q69: exact dedup, banded
-  *    MinHash LSH, SimHash, clustering, keepers, edit-distance verify
-  *  - [[operators.Similarity]] q40–q42, q53: quantized-integer cosine
-  *    top-k, IVF ANN, sign-LSH ANN, embedding near-dup
+  *    q72–q73, q78: token stats, lang quality, fingerprints, top
+  *    terms, langid, redaction, bigram LM + LM doc scoring,
+  *    repetition, deciles
+  *  - [[operators.Dedup]] q35–q37, q56, q67, q69, q74, q76: exact +
+  *    incremental dedup, banded MinHash LSH, SimHash, clustering,
+  *    keepers, edit-distance verify, duplicate spans
+  *  - [[operators.Similarity]] q40–q42, q53, q75, q79: quantized-
+  *    integer cosine top-k, IVF ANN, sign-LSH ANN, embedding near-dup,
+  *    centroid centrality, k-means Lloyd iteration
   *  - [[operators.Multimodal]] q45, q64–q65: binary payload +
   *    decode-stub features, frame sampling, resize
   *  - [[operators.Sketches]] q43/q44/q46: KMV Aggregator, native
   *    rolling-hash Expression, multi-format round-trip
   *  - [[operators.Layout]] q54–q55: partition pruning, bucketed joins
-  *  - [[operators.Pipeline]] q57–q63: training-data curation —
-  *    quantiles, TF-IDF ranking, deterministic hash/stratified
-  *    sampling, quality gates, sequence packing, mixture planning
+  *  - [[operators.Pipeline]] q57–q63, q77, q80: training-data curation
+  *    — quantiles (exact + histogram sketch), TF-IDF ranking,
+  *    deterministic hash/stratified sampling, quality gates, sequence
+  *    packing, mixture planning, benchmark decontamination
   */
 object SparkEntry {
 

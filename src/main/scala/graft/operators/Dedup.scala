@@ -238,9 +238,13 @@ object Dedup extends QueryPack {
     "q76_dup_spans" -> ((s, d) => {
       import s.implicits._
       graft.GraftExtensions.ensureRegistered(s)
+      // the scan + gram explode is the dominant cost and has two
+      // consumers (the dup aggregate and the join back) — cache it
+      // so it runs once (the q58/q78 rule)
       val grams = T.documents(s, d)
         .select($"doc_id", posexplode(expr("word_ngrams(text, 5)")))
         .toDF("doc_id", "pos", "g")
+        .cache()
       val dup = grams.groupBy($"g")
         .agg(count(lit(1)).as("n_occ"), countDistinct($"doc_id").as("n_docs"))
         .filter($"n_occ" >= 2)

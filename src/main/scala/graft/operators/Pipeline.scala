@@ -132,22 +132,27 @@ object Pipeline extends QueryPack {
     // 8-grams appear in that set, plus a per-mille contamination rate
     // (integral, engine-exact). Docs with zero overlap stay in the
     // output — the report is the full corpus audit, not just hits.
-    // Scale shape: the benchmark gram set is tiny relative to the
-    // corpus (eval suites don't scale with training data) and is
-    // BROADCAST; the training side streams map-side through the join
-    // — no shuffle of the corpus, one final agg on doc_id.
+    // Scale shape: the gram extraction (the dominant cost) runs ONCE
+    // (cached) for its two consumers. No broadcast hint on the
+    // benchmark side: a production eval set is fixed-size and the
+    // planner broadcasts it from stats, but THIS fixture's benchmark
+    // is a corpus split that scales with the data — hinting it
+    // broadcast is the q05/q07 scale-killer VERDICT r1 flagged.
+    // Un-hinted, the join degrades gracefully to a shuffle when the
+    // build side outgrows the broadcast threshold.
     "q77_contamination" -> ((s, d) => {
       import s.implicits._
       graft.GraftExtensions.ensureRegistered(s)
       val docs = T.documents(s, d)
         .select($"doc_id",
           array_distinct(expr("word_ngrams(text, 8)")).as("gs"))
+        .cache()
       val isBench = pmod(hash60($"doc_id"), lit(10)) === 0
       val benchGrams = docs.filter(isBench)
         .select(explode($"gs").as("g")).distinct()
       val train = docs.filter(!isBench)
         .select($"doc_id", explode($"gs").as("g"))
-      train.join(broadcast(benchGrams.withColumn("hit", lit(1L))), Seq("g"), "left")
+      train.join(benchGrams.withColumn("hit", lit(1L)), Seq("g"), "left")
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_grams"),
           coalesce(sum($"hit"), lit(0L)).as("n_overlap"))

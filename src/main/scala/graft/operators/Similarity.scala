@@ -45,6 +45,32 @@ object Similarity extends QueryPack {
       expr(s"int_dot($qa, $qb)").cast("double") /
         sqrt((col(n2a) * col(n2b)).cast("double")), 6)
 
+  /** Per-label integer-MEAN centroid: components are floor(sv / n), so
+    * every component is bounded by the quantized coordinate range
+    * (|c_i| <= 5120) REGARDLESS of cluster size — int_dot(q, c), cn2,
+    * and the n2·cn2 norm product therefore all stay inside int64 at
+    * ANY corpus scale. (An elementwise-SUM centroid is exact but its
+    * cn2 ~ 64·(n·5120)² wraps int64 past ~74k members per cluster —
+    * silent wrong ranks on the Spark side, Out of Range on the
+    * oracle.) The floor is computed as `(sv + n·5120) div n − 5120`:
+    * the shifted numerator is non-negative, where Spark's truncating
+    * `div` and DuckDB's flooring `//` agree, so the truncation loss
+    * (< 1 quantization unit per component) is identical in both
+    * engines. One row per label — tiny and broadcastable at any scale.
+    */
+  private def meanCentroids(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    emb.select($"label", posexplode($"q"))
+      .groupBy($"label", $"pos")
+      .agg(sum($"col").as("sv"), count(lit(1)).as("n"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"pos",
+        expr("(sv + n * 5120L) div n - 5120L").as("cv")))).as("ps"))
+      .select($"label", expr("transform(ps, x -> x.cv)").as("c"))
+      .withColumn("cn2", expr("int_dot(c, c)"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact brute-force top-5 cosine for 10 query vectors --------
     "q40_cosine_topk" -> ((s, d) => {
@@ -99,30 +125,19 @@ object Similarity extends QueryPack {
     }),
 
     // ---- per-label centroids + most-central vectors -----------------
-    // The k-means building block: the (unnormalized) centroid of each
-    // label cell is the ELEMENTWISE INT64 SUM of the quantized vectors
-    // — exact and order-independent, unlike a float mean — and
-    // cos(v, sum) == cos(v, mean), so ranking against the sum needs no
-    // division by n. Shape: posexplode → (label, pos) sum → re-
-    // assemble arrays (labels × dim rows, tiny) → broadcast back over
-    // the corpus → per-label top-3 by centrality.
+    // The k-means building block: the integer-mean centroid of each
+    // label cell (see meanCentroids — bounded components keep every
+    // product int64-exact at any cluster size), broadcast back over
+    // the corpus, per-label top-3 by centrality. Shape: posexplode →
+    // (label, pos) sum/count → re-assemble arrays (labels × dim rows,
+    // tiny) → broadcast join → per-label top-k window.
     "q75_centroid_central" -> ((s, d) => {
       import s.implicits._
       val emb = quantized(s, d)
-      val cent = emb.select($"label", posexplode($"q"))
-        .groupBy($"label", $"pos").agg(sum($"col").as("sv"))
-        .groupBy($"label")
-        .agg(array_sort(collect_list(struct($"pos", $"sv"))).as("ps"))
-        .select($"label", expr("transform(ps, x -> x.sv)").as("c"))
-        .withColumn("cn2", expr("int_dot(c, c)"))
-      // n2·cn2 here exceeds int64 (cn2 ~ (n·5120)²·64), so multiply as
-      // doubles: each operand is < 2^53 hence exactly representable,
-      // and the IEEE product equals DuckDB's hugeint-then-cast rounding
+      val cent = meanCentroids(emb)
       val scored = emb.join(broadcast(cent), "label")
         .select($"label".cast("bigint").as("label"), $"vec_id",
-          round(expr("int_dot(q, c)").cast("double") /
-            sqrt($"n2".cast("double") * $"cn2".cast("double")), 6)
-            .as("cos_centroid"))
+          cosine("q", "c", "n2", "cn2").as("cos_centroid"))
       val w = Window.partitionBy($"label").orderBy($"cos_centroid".desc, $"vec_id")
       scored.withColumn("rn", row_number().over(w).cast("bigint"))
         .filter($"rn" <= 3)
@@ -131,8 +146,9 @@ object Similarity extends QueryPack {
 
     // ---- one Lloyd (k-means) iteration ------------------------------
     // The clustering refinement step a curation pipeline runs on top
-    // of q75's centroid primitive: current centroids (exact int64
-    // label-cell sums), REASSIGN every vector to its nearest centroid
+    // of q75's centroid primitive: current centroids (integer-mean
+    // label-cell centroids, meanCentroids — int64-exact at any
+    // cluster size), REASSIGN every vector to its nearest centroid
     // by cosine, then recompute per-cluster stats + an exact integer
     // fingerprint of the NEW centroid (position-weighted sum), so the
     // gate proves the full assign→recompute cycle, not just counts.
@@ -144,20 +160,11 @@ object Similarity extends QueryPack {
     "q79_kmeans_iter" -> ((s, d) => {
       import s.implicits._
       val emb = quantized(s, d)
-      val cent = emb.select($"label", posexplode($"q"))
-        .groupBy($"label", $"pos").agg(sum($"col").as("sv"))
-        .groupBy($"label")
-        .agg(array_sort(collect_list(struct($"pos", $"sv"))).as("ps"))
-        .select($"label".cast("bigint").as("clab"),
-          expr("transform(ps, x -> x.sv)").as("c"))
-        .withColumn("cn2", expr("int_dot(c, c)"))
-      // n2·cn2 exceeds int64 (same analysis as q75): multiply as
-      // doubles — operands < 2^53 are exact, so the IEEE product
-      // equals DuckDB's hugeint-then-cast rounding
+      val cent = meanCentroids(emb)
+        .select($"label".cast("bigint").as("clab"), $"c", $"cn2")
       val scored = emb.crossJoin(broadcast(cent))
         .select($"vec_id", $"label".cast("bigint").as("old_label"), $"clab",
-          round(expr("int_dot(q, c)").cast("double") /
-            sqrt($"n2".cast("double") * $"cn2".cast("double")), 6).as("cos"),
+          cosine("q", "c", "n2", "cn2").as("cos"),
           $"q")
       val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"clab")
       val assigned = scored.withColumn("rn", row_number().over(w))
@@ -225,25 +232,34 @@ object Similarity extends QueryPack {
     s"round(CAST(list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) AS DOUBLE)" +
       s" / sqrt(CAST($na * $nb AS DOUBLE)), 6)"
 
+  /** integer-mean centroid CTEs (meanCentroids' mirror): `cn` =
+    * (label, c, cn2); the shifted `//` reproduces Spark's shifted
+    * `div` floor exactly. */
+  private val duckMeanCent =
+    """expl AS (
+      |  SELECT label, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos
+      |  FROM n),
+      |cs AS (
+      |  SELECT label, pos, CAST(sum(v) AS BIGINT) AS sv, count(*) AS nn
+      |  FROM expl GROUP BY label, pos),
+      |centarr AS (
+      |  SELECT label, list((sv + nn * 5120) // nn - 5120 ORDER BY pos) AS c
+      |  FROM cs GROUP BY label),
+      |cn AS (
+      |  SELECT label, c,
+      |    CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS cn2
+      |  FROM centarr)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q79_kmeans_iter" ->
       s"""WITH $duckQuant,
-        |expl AS (
-        |  SELECT label, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos
-        |  FROM n),
-        |cent0 AS (
-        |  SELECT label, pos, CAST(sum(v) AS BIGINT) AS sv FROM expl
-        |  GROUP BY label, pos),
-        |centarr AS (
-        |  SELECT label, list(sv ORDER BY pos) AS c FROM cent0 GROUP BY label),
-        |cn AS (
-        |  SELECT CAST(label AS BIGINT) AS clab, c,
-        |    CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS cn2
-        |  FROM centarr),
+        |$duckMeanCent,
+        |cnl AS (
+        |  SELECT CAST(label AS BIGINT) AS clab, c, cn2 FROM cn),
         |scored AS (
-        |  SELECT n.vec_id, CAST(n.label AS BIGINT) AS old_label, cn.clab,
-        |    ${duckCos("n.qv", "cn.c", "n.n2", "cn.cn2")} AS cos
-        |  FROM n CROSS JOIN cn),
+        |  SELECT n.vec_id, CAST(n.label AS BIGINT) AS old_label, cnl.clab,
+        |    ${duckCos("n.qv", "cnl.c", "n.n2", "cnl.cn2")} AS cos
+        |  FROM n CROSS JOIN cnl),
         |assigned AS (
         |  SELECT vec_id, old_label, clab AS new_label FROM (
         |    SELECT vec_id, old_label, clab, cos,
@@ -269,18 +285,7 @@ object Similarity extends QueryPack {
 
     "q75_centroid_central" ->
       s"""WITH $duckQuant,
-        |expl AS (
-        |  SELECT label, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos
-        |  FROM n),
-        |cent AS (
-        |  SELECT label, pos, CAST(sum(v) AS BIGINT) AS sv FROM expl
-        |  GROUP BY label, pos),
-        |centarr AS (
-        |  SELECT label, list(sv ORDER BY pos) AS c FROM cent GROUP BY label),
-        |cn AS (
-        |  SELECT label, c,
-        |    CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS cn2
-        |  FROM centarr),
+        |$duckMeanCent,
         |scored AS (
         |  SELECT CAST(n.label AS BIGINT) AS label, n.vec_id,
         |    ${duckCos("n.qv", "cn.c", "n.n2", "cn.cn2")} AS cos_centroid

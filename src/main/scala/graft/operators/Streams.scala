@@ -334,7 +334,9 @@ object Streams extends QueryPack {
       val ev = raw.select(
         from_json(col("data").cast("string"), payloadSchema).as("e"))
         .select(col("e.user_id").as("user_id"),
-          expr("CAST(round(e.value * 1024) AS BIGINT)").as("vq"))
+          // null value -> 0: the (Long, Long) tuple encoder rejects
+          // nulls, and adding 0 matches the oracle's null-skipping sum
+          expr("coalesce(CAST(round(e.value * 1024) AS BIGINT), CAST(0 AS BIGINT))").as("vq"))
         .as[(Long, Long)]
       val updated = ev.groupByKey(_._1)
         .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
