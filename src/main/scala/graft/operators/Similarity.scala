@@ -167,9 +167,12 @@ object Similarity extends QueryPack {
           cosine("q", "c", "n2", "cn2").as("cos"),
           $"q")
       val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"clab")
+      // two consumers (stats, new-centroid fingerprint) — cache so the
+      // k·n assignment pass (the dominant cost) runs once, not twice
       val assigned = scored.withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
         .select($"vec_id", $"old_label", $"clab".as("new_label"), $"q")
+        .cache()
       val stats = assigned.groupBy($"new_label")
         .agg(count(lit(1)).as("n_members"),
           sum(when($"old_label" =!= $"new_label", 1L).otherwise(0L)).as("n_moved"),

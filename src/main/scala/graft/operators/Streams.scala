@@ -315,8 +315,10 @@ object Streams extends QueryPack {
     // Arbitrary stateful processing as a DECLARED query (the specs
     // already exercise mapGroupsWithState/transformWithState
     // behaviorally): a custom running (count, quantized-sum) state per
-    // user, updated across MULTIPLE micro-batches (batch cap 2000 →
-    // ~5 epochs over this fixture), emitted in update mode. The
+    // user, updated across MULTIPLE micro-batches (batch cap = a
+    // quarter of the fixture → ~4 epochs at EVERY scale factor; a
+    // fixed cap would mean 50 epochs at sf0.1, each paying the full
+    // per-trigger state-store commit), emitted in update mode. The
     // running count is strictly monotone per user, so the final state
     // is the max-n emission — that reduction turns the update-mode
     // emission log into exactly the batch aggregate the oracle
@@ -326,10 +328,11 @@ object Streams extends QueryPack {
       import s.implicits._
       val name = s"events_rt_${sfx(d)}" // same fixture as s01
       seedEventsJson(s, d, name, numShards = 4)
+      val cap = math.max(1000L, T.events(s, d).count() / 4)
       val raw = s.readStream.format("shardstream")
         .option("stream", name)
         .option("startingPosition", "trim_horizon")
-        .option("maxRecordsPerBatch", "2000")
+        .option("maxRecordsPerBatch", cap.toString)
         .load()
       val ev = raw.select(
         from_json(col("data").cast("string"), payloadSchema).as("e"))
