@@ -8,17 +8,19 @@ import graft.operators._
   * Aggregates every query pack into the single `queries`/`oracleSql`
   * surface the driver verifies against DuckDB at sf0.01 and benches at
   * sf0.1:
-  *  - [[operators.Relational]] q01–q22, q49–q50, q71: joins/aggs/
-  *    windows/set ops/subqueries/scalar functions/salted skew join
-  *    over the TPC-H-ish tables
-  *  - [[operators.Streams]] s01–s10: the `shardstream` DSv2 source and
+  *  - [[operators.Relational]] q01–q22, q49–q50, q71, q82, q85:
+  *    joins/aggs/windows/set ops/subqueries/scalar functions/salted
+  *    skew join/exact moment stats/analytic window functions over the
+  *    TPC-H-ish tables
+  *  - [[operators.Streams]] s01–s11: the `shardstream` DSv2 source and
   *    sinks end-to-end (SURVEY §2 S1–S16): round-trips, take-N,
   *    windowed parity, stream-stream join, streaming dedup,
   *    complete-mode aggregation, stream-static join, custom
-  *    mapGroupsWithState running state
-  *  - [[operators.Events]] q23–q30, q47, q68, q81: event-time windows,
-  *    JSON props, SQL surface, as-of/range/interval joins, rolling
-  *    features, sequential funnel
+  *    mapGroupsWithState running state, streaming session windows
+  *  - [[operators.Events]] q23–q30, q47, q68, q81, q84: event-time
+  *    windows, JSON props, SQL surface, as-of/range/interval joins,
+  *    rolling features, sequential funnel, change-interval
+  *    historization
   *  - [[operators.TextAnalysis]] q31–q34, q48, q51–q52, q66, q70,
   *    q72–q73, q78: token stats, lang quality, fingerprints, top
   *    terms, langid, redaction, bigram LM + LM doc scoring,
@@ -31,9 +33,11 @@ import graft.operators._
   *    centroid centrality, k-means Lloyd iteration
   *  - [[operators.Multimodal]] q45, q64–q65: binary payload +
   *    decode-stub features, frame sampling, resize
-  *  - [[operators.Sketches]] q43/q44/q46: KMV Aggregator, native
-  *    rolling-hash Expression, multi-format round-trip
-  *  - [[operators.Layout]] q54–q55: partition pruning, bucketed joins
+  *  - [[operators.Sketches]] q43/q44/q46, q83: KMV Aggregator, native
+  *    rolling-hash Expression, multi-format round-trip, XOR table
+  *    fingerprints (replica compare)
+  *  - [[operators.Layout]] q54–q55, q86: partition pruning, bucketed
+  *    joins, latest-wins upsert compaction
   *  - [[operators.Pipeline]] q57–q63, q77, q80: training-data curation
   *    — quantiles (exact + histogram sketch), TF-IDF ranking,
   *    deterministic hash/stratified sampling, quality gates, sequence

@@ -183,6 +183,31 @@ object Events extends QueryPack {
         .select($"event_id", $"user_id", $"hr_sum_q", $"hr_n")
     }),
 
+    // ---- change-interval historization (gaps-and-islands / SCD) -----
+    // CDC-log → validity-interval compaction: per user, each run of
+    // consecutive equal event_types collapses to one interval row
+    // (type, start, end, n) — the slowly-changing-dimension
+    // historization step of an ingest pipeline. A change flag via lag,
+    // a running sum to number the islands, then one hash agg on
+    // (user, island). One shuffle on user_id for the whole chain; the
+    // window never crosses users; time compared as epoch micros.
+    "q84_change_intervals" -> ((s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d).select($"user_id", $"event_type", $"event_id",
+        unix_micros($"ts").as("ts_us"))
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      ev
+        .withColumn("chg",
+          when(lag($"event_type", 1).over(w).isNull ||
+               lag($"event_type", 1).over(w) =!= $"event_type", 1L).otherwise(0L))
+        .withColumn("seg", sum($"chg").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"seg")
+        .agg(min($"event_type").as("event_type"),
+          min($"ts_us").as("start_us"), max($"ts_us").as("end_us"),
+          count(lit(1)).as("n_events"))
+    }),
+
     // ---- range join against a literal tier dim ----------------------
     "q30_range_join" -> ((s, d) => {
       import s.implicits._
@@ -233,6 +258,24 @@ object Events extends QueryPack {
         |            WHEN first_view IS NOT NULL THEN 1
         |            ELSE 0 END AS BIGINT) AS stage
         |FROM p""".stripMargin,
+
+    "q84_change_intervals" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, event_id,
+        |    CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |sg AS (
+        |  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seg
+        |  FROM m)
+        |SELECT user_id, seg, min(event_type) AS event_type,
+        |  min(ts_us) AS start_us, max(ts_us) AS end_us, count(*) AS n_events
+        |FROM sg GROUP BY user_id, seg""".stripMargin,
 
     "q68_rolling_user_features" ->
       """WITH ev AS (

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables => T}
@@ -59,6 +60,27 @@ object Layout extends QueryPack {
         .join(s.table(s"graft_cust_b_${sfx(d)}"), $"o_custkey" === $"c_custkey")
         .groupBy($"c_mktsegment")
         .agg(count(lit(1)).as("n_orders"), Exact.sumMoney($"o_totalprice").as("total"))
+    }),
+
+    // ---- latest-wins upsert compaction (log-structured merge) -------
+    // The CDC/ingest compaction step: a base snapshot unioned with an
+    // update log, keep the highest version per key — one shuffle on
+    // the key, a per-key window, no join. At 100 TB both sides live
+    // bucketed on the key (q55's layout), so compaction is a
+    // shuffle-free per-bucket merge; versions here are synthetic
+    // (base=0, updates versioned by o_orderkey so latest-wins is
+    // deterministic).
+    "q86_upsert_compaction" -> ((s, d) => {
+      import s.implicits._
+      val base = T.customer(s, d).select($"c_custkey".as("cust_key"),
+        lit(0L).as("version"), Exact.cents($"c_acctbal").as("val_c"))
+      val updates = T.orders(s, d).select($"o_custkey".as("cust_key"),
+        $"o_orderkey".as("version"), Exact.cents($"o_totalprice").as("val_c"))
+      val w = Window.partitionBy($"cust_key").orderBy($"version".desc)
+      base.unionAll(updates)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"cust_key", $"version", $"val_c")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -71,5 +93,19 @@ object Layout extends QueryPack {
       s"""SELECT c_mktsegment, count(*) AS n_orders,
         |  ${Exact.sumMoneySql("o_totalprice")} AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment""".stripMargin)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q86_upsert_compaction" ->
+      s"""WITH log AS (
+        |  SELECT c_custkey AS cust_key, CAST(0 AS BIGINT) AS version,
+        |    ${Exact.centsSql("c_acctbal")} AS val_c
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT o_custkey, o_orderkey, ${Exact.centsSql("o_totalprice")}
+        |  FROM orders)
+        |SELECT cust_key, version, val_c FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY cust_key
+        |    ORDER BY version DESC) AS rn
+        |  FROM log) t
+        |WHERE rn = 1""".stripMargin)
 }

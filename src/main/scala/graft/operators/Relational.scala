@@ -182,6 +182,50 @@ object Relational extends QueryPack {
           Exact.sumMoney($"o_totalprice").as("revenue"))
     }),
 
+    // ---- exact moment statistics (single-pass, mergeable) -----------
+    // Variance/mean via raw power sums: one hash aggregation computes
+    // (n, Σq, Σq²) with map-side partials, and the variance numerator
+    // n·Σq² − (Σq)² is derived from the finished sums — the mergeable
+    // one-pass shape that replaces a sort-based or two-pass variance at
+    // 100 TB. All integer arithmetic (quantities are integral), so the
+    // result is engine-exact; at real scale the power sums move to
+    // decimal(38,0) (Σq² ~ 2.5e3/row overflows int64 past ~3.7e15
+    // rows/group — beyond sf0.1 but not beyond 100 TB).
+    "q82_moment_stats" -> ((s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .select($"l_returnflag", $"l_linestatus", $"l_quantity".cast("long").as("q"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), sum($"q").as("sum_q"),
+          sum($"q" * $"q").as("sum_q2"))
+        .select($"l_returnflag", $"l_linestatus", $"n", $"sum_q", $"sum_q2",
+          ($"n" * $"sum_q2" - $"sum_q" * $"sum_q").as("var_num"),
+          expr("(sum_q * 1000000L) div n").as("mean_q_ppm"))
+    }),
+
+    // ---- analytic window functions: value picks + rank ratios -------
+    // first/nth/last value over explicit ROWS frames plus
+    // percent_rank/cume_dist — rank-based ratios whose only floating
+    // op is a single (rank−1)/(n−1) division (IEEE-identical across
+    // engines; no accumulation). The unique (date, key) ordering makes
+    // peer groups singletons, so RANGE-vs-ROWS default-frame semantics
+    // can't diverge. Partitioned by customer — no global window.
+    "q85_window_analytics" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      T.orders(s, d)
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+          Exact.cents($"o_totalprice").as("price_c"))
+        .select($"o_orderkey", $"o_custkey",
+          first($"price_c").over(wRows).as("first_c"),
+          nth_value($"price_c", 2).over(wRows).as("second_c"),
+          last($"price_c").over(wFull).as("last_c"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+    }),
+
     // ---- window functions -------------------------------------------
     "q09_window_topk_per_group" -> ((s, d) => {
       import s.implicits._
@@ -353,6 +397,34 @@ object Relational extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q82_moment_stats" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q,
+        |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+        |      AS BIGINT) AS sum_q2
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+        |SELECT l_returnflag, l_linestatus, n, sum_q, sum_q2,
+        |  n * sum_q2 - sum_q * sum_q AS var_num,
+        |  (sum_q * 1000000) // n AS mean_q_ppm
+        |FROM g""".stripMargin,
+
+    "q85_window_analytics" ->
+      s"""SELECT o_orderkey, o_custkey,
+        |  first_value(price_c) OVER wr AS first_c,
+        |  nth_value(price_c, 2) OVER wr AS second_c,
+        |  last_value(price_c) OVER wf AS last_c,
+        |  percent_rank() OVER wo AS pr,
+        |  cume_dist() OVER wo AS cd
+        |FROM (SELECT o_orderkey, o_custkey, o_orderdate,
+        |        ${Exact.centsSql("o_totalprice")} AS price_c FROM orders) t
+        |WINDOW
+        |  wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+
     // salted join == plain join, by construction
     "q71_salted_join" ->
       s"""SELECT c_mktsegment, count(*) AS n_orders,

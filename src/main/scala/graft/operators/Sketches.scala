@@ -38,6 +38,30 @@ object Sketches extends QueryPack {
           expr("rolling_hash(lang)").as("lang_fp"))
     }),
 
+    // ---- order-independent table fingerprints -----------------------
+    // Replica / migration verification at 100 TB: XOR of a portable
+    // 60-bit row hash is commutative and overflow-free, so the whole
+    // fingerprint is a map-side partial agg + one-row merge per table —
+    // comparing two 100 TB copies costs one scan each and moves three
+    // rows. Doubles enter the canonical row string only as exact cents;
+    // timestamps as epoch seconds (raw double/timestamp rendering
+    // differs across engines).
+    "q83_table_checksum" -> ((s, d) => {
+      import s.implicits._
+      def fp(df: DataFrame, name: String, row: org.apache.spark.sql.Column) =
+        df.select(h60(row).as("h"))
+          .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("xor_fp"))
+          .select(lit(name).as("table_name"), $"n_rows", $"xor_fp")
+      fp(T.orders(s, d), "orders",
+          concat_ws("|", $"o_orderkey", $"o_custkey",
+            Exact.cents($"o_totalprice"), unix_timestamp($"o_orderdate")))
+        .unionAll(fp(T.lineitem(s, d), "lineitem",
+          concat_ws("|", $"l_orderkey", $"l_linenumber",
+            $"l_quantity".cast("long"), Exact.cents($"l_extendedprice"))))
+        .unionAll(fp(T.customer(s, d), "customer",
+          concat_ws("|", $"c_custkey", $"c_name", Exact.cents($"c_acctbal"))))
+    }),
+
     // ---- multi-format scan/sink round-trip --------------------------
     // The engine's own sink writes CSV + JSON, then its scans read
     // them back — format parity is gated by comparing aggregates of
@@ -62,6 +86,30 @@ object Sketches extends QueryPack {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q83_table_checksum" ->
+      """SELECT 'orders' AS table_name, count(*) AS n_rows,
+        |  bit_xor(CAST('0x' || substr(md5(
+        |    CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+        |    || '|' || CAST(CAST(round(o_totalprice*100) AS BIGINT) AS VARCHAR)
+        |    || '|' || CAST(CAST(epoch(o_orderdate) AS BIGINT) AS VARCHAR)
+        |  ), 1, 15) AS BIGINT)) AS xor_fp
+        |FROM orders
+        |UNION ALL
+        |SELECT 'lineitem', count(*),
+        |  bit_xor(CAST('0x' || substr(md5(
+        |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
+        |    || '|' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+        |    || '|' || CAST(CAST(round(l_extendedprice*100) AS BIGINT) AS VARCHAR)
+        |  ), 1, 15) AS BIGINT))
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'customer', count(*),
+        |  bit_xor(CAST('0x' || substr(md5(
+        |    CAST(c_custkey AS VARCHAR) || '|' || c_name
+        |    || '|' || CAST(CAST(round(c_acctbal*100) AS BIGINT) AS VARCHAR)
+        |  ), 1, 15) AS BIGINT))
+        |FROM customer""".stripMargin,
+
     "q43_kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT event_type,

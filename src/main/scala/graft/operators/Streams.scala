@@ -388,9 +388,55 @@ object Streams extends QueryPack {
           sum(expr("CAST(round(value * 1024) AS BIGINT)")).as("sum_vq"),
           min(col("event_id")).as("first_event"))
       drain(s, agg, outputMode = "complete")
+    }),
+
+    // Streaming SESSION windows: the merging-state stateful operator —
+    // unlike tumbling windows (fixed key→bucket), session state MERGES
+    // adjacent windows as events arrive, so it exercises the state
+    // store's range-merge path. Watermark 10 min, 30 min gap,
+    // append-mode: only sessions whose end precedes the final
+    // watermark are emitted — the oracle states that predicate over a
+    // batch sessionization (same construction as q25's oracle).
+    "s11_stream_session" -> ((s, d) => {
+      val name = s"events_rt_${sfx(d)}" // same fixture as s01
+      seedEventsJson(s, d, name, numShards = 4)
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", "50000")
+        .load()
+      val events = raw.select(
+        from_json(col("data").cast("string"), payloadSchema).as("e"))
+        .select(timestamp_micros(col("e.ts_us")).as("ts"),
+          col("e.user_id").as("user_id"))
+      val agg = events
+        .withWatermark("ts", "10 minutes")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("sess_start_us"),
+          unix_micros(col("w.end")).as("sess_end_us"), col("n"))
+      drain(s, agg)
     }))
 
   def oracles: Map[String, String] = Map(
+    "s11_stream_session" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+        |marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS sess_start_us,
+        |  CAST(epoch_us(max(ts)) + 1800000000 AS BIGINT) AS sess_end_us,
+        |  count(*) AS n
+        |FROM sess GROUP BY user_id, sid
+        |HAVING max(ts) + INTERVAL 30 MINUTE <= (SELECT w FROM wm)""".stripMargin,
     "s10_stateful_running" ->
       """SELECT user_id, count(*) AS n,
         |  CAST(sum(CAST(round(value * 1024) AS BIGINT)) AS BIGINT) AS sum_vq
