@@ -208,6 +208,56 @@ object Events extends QueryPack {
           count(lit(1)).as("n_events"))
     }),
 
+    // ---- time-series gap-fill + forward fill ------------------------
+    // Regularize an irregular event stream onto an hourly grid: per
+    // user, sum the hour's quantized value, generate the user's FULL
+    // hour range from its (min,max) span — the grid comes from the
+    // tiny spans aggregate via sequence+explode, never from a
+    // calendar cross join — left-join the observed hours back, and
+    // forward-fill gaps with the last observed value (last_value
+    // IGNORE NULLS). Two aggs + one equi-join, all partitioned by
+    // user; the fill window never crosses users. The first grid row
+    // per user is always observed (the span starts at an observed
+    // hour), so the fill never reads an empty frame.
+    "q88_gap_fill" -> ((s, d) => {
+      import s.implicits._
+      val hourly = T.events(s, d)
+        .select($"user_id", expr("unix_micros(ts) div 3600000000").as("hr"),
+          expr("coalesce(CAST(round(value * 1024) AS BIGINT), CAST(0 AS BIGINT))").as("vq"))
+        .groupBy($"user_id", $"hr").agg(sum($"vq").as("hr_vq"))
+      val grid = hourly.groupBy($"user_id")
+        .agg(min($"hr").as("h0"), max($"hr").as("h1"))
+        .select($"user_id", explode(sequence($"h0", $"h1")).as("hr"))
+      val w = Window.partitionBy($"user_id").orderBy($"hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "hr"), "left")
+        .select($"user_id", $"hr",
+          last($"hr_vq", ignoreNulls = true).over(w).as("vq_fill"),
+          when($"hr_vq".isNull, 1L).otherwise(0L).as("is_gap"))
+    }),
+
+    // ---- cohort retention matrix -------------------------------------
+    // The classic product-analytics cohort table: users grouped by
+    // first-activity week, activity counted per week offset, retention
+    // as an exact ppm ratio against the offset-0 cohort size. One
+    // shuffle on user_id (the cohort-week window), one agg shuffle on
+    // (cohort, offset), and a window over the TINY aggregated matrix —
+    // nothing after the first agg scales with the data.
+    "q89_cohort_retention" -> ((s, d) => {
+      import s.implicits._
+      val wu = Window.partitionBy($"user_id")
+      val wc = Window.partitionBy($"cohort_wk")
+      T.events(s, d)
+        .select($"user_id", expr("unix_micros(ts) div 604800000000").as("wk"))
+        .withColumn("cohort_wk", min($"wk").over(wu))
+        .groupBy($"cohort_wk", ($"wk" - $"cohort_wk").as("wk_offset"))
+        .agg(countDistinct($"user_id").as("n_active"))
+        .withColumn("cohort_size",
+          max(when($"wk_offset" === 0, $"n_active")).over(wc))
+        .select($"cohort_wk", $"wk_offset", $"n_active", $"cohort_size",
+          expr("(n_active * 1000000) div cohort_size").as("ret_ppm"))
+    }),
+
     // ---- range join against a literal tier dim ----------------------
     "q30_range_join" -> ((s, d) => {
       import s.implicits._
@@ -258,6 +308,37 @@ object Events extends QueryPack {
         |            WHEN first_view IS NOT NULL THEN 1
         |            ELSE 0 END AS BIGINT) AS stage
         |FROM p""".stripMargin,
+
+    "q88_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT user_id, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
+        |    CAST(sum(coalesce(CAST(round(value * 1024) AS BIGINT), 0)) AS BIGINT) AS hr_vq
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM hourly GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hr FROM spans),
+        |j AS (SELECT g.user_id, g.hr, h.hr_vq FROM grid g
+        |      LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr)
+        |SELECT user_id, hr,
+        |  CAST(last_value(hr_vq IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vq_fill,
+        |  CAST(CASE WHEN hr_vq IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+        |FROM j""".stripMargin,
+
+    "q89_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, wk,
+        |        min(wk) OVER (PARTITION BY user_id) AS cohort_wk FROM ev),
+        |a AS (SELECT cohort_wk, wk - cohort_wk AS wk_offset,
+        |        count(DISTINCT user_id) AS n_active
+        |      FROM c GROUP BY 1, 2)
+        |SELECT cohort_wk, wk_offset, n_active,
+        |  CAST(max(CASE WHEN wk_offset = 0 THEN n_active END)
+        |    OVER (PARTITION BY cohort_wk) AS BIGINT) AS cohort_size,
+        |  CAST((n_active * 1000000) // max(CASE WHEN wk_offset = 0 THEN n_active END)
+        |    OVER (PARTITION BY cohort_wk) AS BIGINT) AS ret_ppm
+        |FROM a""".stripMargin,
 
     "q84_change_intervals" ->
       """WITH ev AS (

@@ -70,6 +70,41 @@ object Layout extends QueryPack {
     // shuffle-free per-bucket merge; versions here are synthetic
     // (base=0, updates versioned by o_orderkey so latest-wins is
     // deterministic).
+    // ---- Z-order multi-dimensional clustering -----------------------
+    // The OPTIMIZE ZORDER layout op: scale each clustering dimension to
+    // 8 bits by its (min,max) range — one 1-row stats aggregate,
+    // broadcast — then bit-interleave into a Z-value; range-bucketing
+    // by Z gives buckets that are small RECTANGLES in (custkey, date)
+    // space, so a predicate on EITHER dimension prunes most buckets.
+    // At 100 TB the same Z-value feeds repartitionByRange(z) +
+    // sortWithinPartitions before the write; here the declared query
+    // verifies the clustering property itself: per-bucket (min,max) of
+    // both dims. All arithmetic is non-negative integer (scaled values
+    // ≥ 0), so Spark `div` == DuckDB `//`.
+    "q87_zorder_stats" -> ((s, d) => {
+      import s.implicits._
+      def zval(sx: String, sy: String): String = {
+        val tx = (0 until 8).map(i => s"(($sx div ${1L << i}) % 2) * ${1L << (2 * i)}")
+        val ty = (0 until 8).map(i => s"(($sy div ${1L << i}) % 2) * ${1L << (2 * i + 1)}")
+        (tx ++ ty).mkString("(", " + ", ")")
+      }
+      val d0 = T.orders(s, d).select($"o_orderkey",
+        $"o_custkey".cast("long").as("x"),
+        expr("CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT)").as("y"))
+      val st = d0.agg(min($"x").as("x0"), max($"x").as("x1"),
+        min($"y").as("y0"), max($"y").as("y1"))
+      d0.crossJoin(st) // 1-row stats side — broadcast, not a data cartesian
+        .select($"o_orderkey",
+          expr("((x - x0) * 255) div (CASE WHEN x1 > x0 THEN x1 - x0 ELSE 1 END)").as("sx"),
+          expr("((y - y0) * 255) div (CASE WHEN y1 > y0 THEN y1 - y0 ELSE 1 END)").as("sy"))
+        .select($"sx", $"sy", expr(zval("sx", "sy")).cast("long").as("zval"))
+        .select(expr("zval div 4096").cast("long").as("z_bucket"), $"sx", $"sy")
+        .groupBy($"z_bucket")
+        .agg(count(lit(1)).as("n"),
+          min($"sx").as("min_x"), max($"sx").as("max_x"),
+          min($"sy").as("min_y"), max($"sy").as("max_y"))
+    }),
+
     "q86_upsert_compaction" -> ((s, d) => {
       import s.implicits._
       val base = T.customer(s, d).select($"c_custkey".as("cust_key"),
@@ -94,6 +129,26 @@ object Layout extends QueryPack {
         |  ${Exact.sumMoneySql("o_totalprice")} AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+
+    "q87_zorder_stats" -> {
+      val zx = (0 until 8).map(i => s"((sx // ${1L << i}) % 2) * ${1L << (2 * i)}").mkString(" + ")
+      val zy = (0 until 8).map(i => s"((sy // ${1L << i}) % 2) * ${1L << (2 * i + 1)}").mkString(" + ")
+      s"""WITH d AS (
+        |  SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS x,
+        |    CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS y
+        |  FROM orders),
+        |st AS (SELECT min(x) AS x0, max(x) AS x1, min(y) AS y0, max(y) AS y1 FROM d),
+        |sc AS (
+        |  SELECT o_orderkey,
+        |    ((x - x0) * 255) // (CASE WHEN x1 > x0 THEN x1 - x0 ELSE 1 END) AS sx,
+        |    ((y - y0) * 255) // (CASE WHEN y1 > y0 THEN y1 - y0 ELSE 1 END) AS sy
+        |  FROM d, st),
+        |z AS (SELECT sx, sy, CAST($zx + $zy AS BIGINT) AS zval FROM sc)
+        |SELECT CAST(zval // 4096 AS BIGINT) AS z_bucket, count(*) AS n,
+        |  CAST(min(sx) AS BIGINT) AS min_x, CAST(max(sx) AS BIGINT) AS max_x,
+        |  CAST(min(sy) AS BIGINT) AS min_y, CAST(max(sy) AS BIGINT) AS max_y
+        |FROM z GROUP BY 1""".stripMargin
+    },
 
     "q86_upsert_compaction" ->
       s"""WITH log AS (

@@ -3,9 +3,10 @@ package graft.operators
 import java.nio.charset.StandardCharsets.UTF_8
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 import graft.{QueryPack, Tables => T}
@@ -24,6 +25,32 @@ import graft.sources.shard.{ShardServiceRegistry, ShardSink}
   * (source read, decode, aggregate) is fully distributed; nothing in
   * the query plans collects to the driver.
   */
+/** Per-user activity span via the transformWithState ValueState API
+  * (s12). Top-level class — a closure-captured inner class would drag
+  * the enclosing non-serializable query context into the processor's
+  * serialized form. State is one (n, min_ts, max_ts) triple per user:
+  * bounded, TTL-evictable at 100 TB key cardinalities. */
+private[operators] class SpanProcessor
+    extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long, Long)] {
+  @transient private var span: ValueState[(Long, Long, Long)] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    span = getHandle.getValueState[(Long, Long, Long)]("span",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+      TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                               timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+    var (n, lo, hi) =
+      if (span.exists()) span.get() else (0L, Long.MaxValue, Long.MinValue)
+    rows.foreach { case (_, ts) =>
+      n += 1
+      if (ts < lo) lo = ts
+      if (ts > hi) hi = ts
+    }
+    span.update((n, lo, hi))
+    Iterator.single((key, n, lo, hi))
+  }
+}
+
 object Streams extends QueryPack {
 
   private val sinkCounter = new AtomicInteger(0)
@@ -416,9 +443,58 @@ object Streams extends QueryPack {
         .select(col("user_id"), unix_micros(col("w.start")).as("sess_start_us"),
           unix_micros(col("w.end")).as("sess_end_us"), col("n"))
       drain(s, agg)
+    }),
+
+    // transformWithState (the Spark 4 arbitrary-state API, successor
+    // to mapGroupsWithState): typed ValueState per key, explicit
+    // init/handleInputRows lifecycle, RocksDB state store. Computes
+    // the per-user (count, min_ts, max_ts) activity span across ~5
+    // micro-batches; the running count is strictly monotone per user,
+    // so max-by-n over the update-mode emission log is the final
+    // state — exactly the batch aggregate the oracle states (same
+    // reduction as s10).
+    "s12_transform_with_state" -> ((s, d) => {
+      import s.implicits._
+      val name = s"events_rt_${sfx(d)}" // same fixture as s01
+      seedEventsJson(s, d, name, numShards = 4)
+      val cap = math.max(1000L, T.events(s, d).count() / 4)
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", cap.toString)
+        .load()
+      val ev = raw.select(
+        from_json(col("data").cast("string"), payloadSchema).as("e"))
+        .select(col("e.user_id").as("user_id"), col("e.ts_us").as("ts_us"))
+        .as[(Long, Long)]
+      // transformWithState requires the RocksDB provider; restore the
+      // default afterwards so other streaming queries keep the HDFS
+      // store (conf is read once at query start — drain() blocks to
+      // completion, so the unset can't race the running query)
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val emissions =
+        try {
+          val spans = ev.groupByKey(_._1)
+            .transformWithState(new SpanProcessor, TimeMode.None(), OutputMode.Update(),
+              Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+                Encoders.scalaLong, Encoders.scalaLong))
+            .toDF("user_id", "n", "min_ts_us", "max_ts_us")
+          drain(s, spans, outputMode = "update")
+        } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      emissions.groupBy(col("user_id"))
+        .agg(max(struct(col("n"), col("min_ts_us"), col("max_ts_us"))).as("m"))
+        .select(col("user_id"), col("m.n").as("n"),
+          col("m.min_ts_us").as("min_ts_us"), col("m.max_ts_us").as("max_ts_us"))
     }))
 
   def oracles: Map[String, String] = Map(
+    "s12_transform_with_state" ->
+      """SELECT user_id, count(*) AS n,
+        |  CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+        |  CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+        |FROM events GROUP BY user_id""".stripMargin,
+
     "s11_stream_session" ->
       """WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
         |marked AS (

@@ -25,13 +25,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val streaming = Set("s01_stream_roundtrip", "s02_stream_take_n",
     "s03_sink_roundtrip", "s04_stream_windowed", "s05_dsv2_sink_pipe",
     "s06_stream_stream_join", "s07_stream_dedup", "s08_stream_complete_agg",
-    "s09_stream_static_join", "s10_stateful_running", "s11_stream_session")
+    "s09_stream_static_join", "s10_stateful_running", "s11_stream_session",
+    "s12_transform_with_state")
   // bounded-side nested loops that are correct by construction
   // (1-row stats, 4-row tier dim, 10-row query set, 5-row lang
   // profiles, 1-row mixture minimum, k-row centroid set)
   private val allowedBnlj = Set("q18_scalar_subquery", "q30_range_join",
     "q40_cosine_topk", "q51_langid_ngram", "q63_source_mixture",
-    "q79_kmeans_iter")
+    "q79_kmeans_iter", "q87_zorder_stats")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
