@@ -258,6 +258,58 @@ object Events extends QueryPack {
           expr("(n_active * 1000000) div cohort_size").as("ret_ppm"))
     }),
 
+    // ---- last-touch revenue attribution -----------------------------
+    // Marketing attribution: each purchase credits its full value to
+    // the latest STRICTLY-PRECEDING click's channel (the `k` prop of
+    // that click), then revenue is rolled up per channel. Same
+    // as-of-window shape as q29 (last_value IGNORE NULLS over a
+    // trailing frame — one shuffle on user_id, no self-join), plus the
+    // channel rollup; purchases with no prior click land in the NULL
+    // "unattributed" bucket. Money goes through the exact-cents layer.
+    "q92_last_touch" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      T.events(s, d)
+        .filter($"event_type".isin("click", "purchase"))
+        .select($"user_id", $"event_type", $"event_id", $"value",
+          unix_micros($"ts").as("ts_us"),
+          get_json_object($"props", "$.k").cast("long").as("k"))
+        .withColumn("attr_k",
+          last(when($"event_type" === "click", $"k"), ignoreNulls = true).over(w))
+        .filter($"event_type" === "purchase")
+        .groupBy($"attr_k")
+        .agg(count(lit(1)).as("n_purchases"),
+          Exact.sumMoney($"value").as("attr_value"))
+    }),
+
+    // ---- per-user z-score anomaly flags -----------------------------
+    // Anomaly detection without floats: hourly per-user totals, then
+    // |z| > 3 expressed as the exact integer predicate
+    // (n·x − Σx)² > 9·(n·Σx² − (Σx)²)  — both sides are the z²
+    // inequality multiplied through by n²·var, so no division, no
+    // sqrt, no float drift. Hours gated on n ≥ 24 observed hours so
+    // tiny histories don't flag. One agg shuffle on (user, hr), one
+    // window shuffle on user — per-user windows only, never global.
+    // At extreme scale the power sums move to decimal(38,0) (q82
+    // note); the per-user row counts here keep every product < 2^63.
+    "q95_zscore_anomaly" -> ((s, d) => {
+      import s.implicits._
+      val wu = Window.partitionBy($"user_id")
+      T.events(s, d)
+        .select($"user_id", expr("unix_micros(ts) div 3600000000").as("hr"),
+          expr("CAST(round(value) AS BIGINT)").as("v"))
+        .groupBy($"user_id", $"hr").agg(sum($"v").as("x"))
+        .withColumn("n", count(lit(1)).over(wu))
+        .withColumn("sx", sum($"x").over(wu))
+        .withColumn("sx2", sum($"x" * $"x").over(wu))
+        .select($"user_id", $"hr", $"x",
+          when($"n" >= 24 &&
+            ($"n" * $"x" - $"sx") * ($"n" * $"x" - $"sx") >
+              lit(9L) * ($"n" * $"sx2" - $"sx" * $"sx"), 1L)
+            .otherwise(0L).as("is_anomaly"))
+    }),
+
     // ---- range join against a literal tier dim ----------------------
     "q30_range_join" -> ((s, d) => {
       import s.implicits._
@@ -308,6 +360,35 @@ object Events extends QueryPack {
         |            WHEN first_view IS NOT NULL THEN 1
         |            ELSE 0 END AS BIGINT) AS stage
         |FROM p""".stripMargin,
+
+    "q92_last_touch" ->
+      s"""WITH ev AS (
+        |  SELECT user_id, event_type, event_id, value, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |    CAST(props->>'k' AS BIGINT) AS k
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |m AS (
+        |  SELECT *, last_value(CASE WHEN event_type = 'click' THEN k END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr_k
+        |  FROM ev)
+        |SELECT attr_k, count(*) AS n_purchases, ${Exact.sumMoneySql("value")} AS attr_value
+        |FROM m WHERE event_type = 'purchase' GROUP BY attr_k""".stripMargin,
+
+    "q95_zscore_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT user_id, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
+        |    CAST(sum(CAST(round(value) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT user_id, hr, x,
+        |    count(*) OVER (PARTITION BY user_id) AS n,
+        |    CAST(sum(x) OVER (PARTITION BY user_id) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) OVER (PARTITION BY user_id) AS BIGINT) AS sx2
+        |  FROM hourly)
+        |SELECT user_id, hr, x,
+        |  CAST(CASE WHEN n >= 24 AND (n*x - sx)*(n*x - sx) > 9*(n*sx2 - sx*sx)
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM w""".stripMargin,
 
     "q88_gap_fill" ->
       """WITH hourly AS (

@@ -382,6 +382,51 @@ object Relational extends QueryPack {
             .as("converted_balance"))
     }),
 
+    // ---- unpivot / melt (wide → long reshape) -----------------------
+    // The inverse of q21: a wide per-flag metrics row melted to
+    // (flag, metric, value) long form with the built-in unpivot
+    // operator (Spark 3.4+ `Dataset.unpivot`, the MELT plan node).
+    // The reshape runs on the already-aggregated 3-row table, so the
+    // unpivot itself touches O(groups·metrics) rows regardless of
+    // data size — the 100 TB cost is the one hash agg before it.
+    "q90_unpivot" -> ((s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_suppkey").as("n_supps"))
+        .unpivot(Array($"l_returnflag"),
+          Array($"n_rows", $"n_parts", $"n_supps"), "metric", "val")
+    }),
+
+    // ---- exact covariance / correlation numerators ------------------
+    // Bivariate statistics in one pass, same mergeable power-sum shape
+    // as q82: (n, Σx, Σy, Σxy, Σx², Σy²) from a single hash agg, then
+    // cov/var NUMERATORS n·Σxy − Σx·Σy and n·Σx² − (Σx)² derived from
+    // the finished sums. x/y are cent-quantized (discount, tax), so
+    // everything is exact integer and the map-side partials merge
+    // associatively. The float corr = cov/√(vx·vy) is a trivial
+    // driver-side post-step; the engine deliverable is the exact
+    // sums. At 100 TB the sums move to decimal(38,0) (same note as
+    // q82); no division happens here, so no trunc-vs-floor hazard on
+    // the possibly-negative covariance.
+    "q91_corr_powersums" -> ((s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .select($"l_returnflag",
+          Exact.cents($"l_discount").as("x"), Exact.cents($"l_tax").as("y"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum($"x").as("sum_x"), sum($"y").as("sum_y"),
+          sum($"x" * $"y").as("sum_xy"),
+          sum($"x" * $"x").as("sum_x2"), sum($"y" * $"y").as("sum_y2"))
+        .select($"l_returnflag", $"n", $"sum_x", $"sum_y", $"sum_xy",
+          ($"n" * $"sum_xy" - $"sum_x" * $"sum_y").as("cov_num"),
+          ($"n" * $"sum_x2" - $"sum_x" * $"sum_x").as("varx_num"),
+          ($"n" * $"sum_y2" - $"sum_y" * $"sum_y").as("vary_num"))
+    }),
+
     // ---- pivot -------------------------------------------------------
     "q21_pivot" -> ((s, d) => {
       import s.implicits._
@@ -397,6 +442,33 @@ object Relational extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q90_unpivot" ->
+      """WITH w AS (
+        |  SELECT l_returnflag, count(*) AS n_rows,
+        |    count(DISTINCT l_partkey) AS n_parts,
+        |    count(DISTINCT l_suppkey) AS n_supps
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, metric, val
+        |FROM w UNPIVOT (val FOR metric IN (n_rows, n_parts, n_supps))""".stripMargin,
+
+    "q91_corr_powersums" ->
+      s"""WITH g AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(${Exact.centsSql("l_discount")}) AS BIGINT) AS sum_x,
+        |    CAST(sum(${Exact.centsSql("l_tax")}) AS BIGINT) AS sum_y,
+        |    CAST(sum(${Exact.centsSql("l_discount")} * ${Exact.centsSql("l_tax")})
+        |      AS BIGINT) AS sum_xy,
+        |    CAST(sum(${Exact.centsSql("l_discount")} * ${Exact.centsSql("l_discount")})
+        |      AS BIGINT) AS sum_x2,
+        |    CAST(sum(${Exact.centsSql("l_tax")} * ${Exact.centsSql("l_tax")})
+        |      AS BIGINT) AS sum_y2
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n, sum_x, sum_y, sum_xy,
+        |  n * sum_xy - sum_x * sum_y AS cov_num,
+        |  n * sum_x2 - sum_x * sum_x AS varx_num,
+        |  n * sum_y2 - sum_y * sum_y AS vary_num
+        |FROM g""".stripMargin,
+
     "q82_moment_stats" ->
       """WITH g AS (
         |  SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -73,6 +73,25 @@ object Similarity extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact brute-force top-5 cosine for 10 query vectors --------
+    // ---- array higher-order functions (vector feature stats) --------
+    // Per-vector scalar features computed entirely with codegen'd
+    // array HOFs on the quantized embedding — transform / aggregate /
+    // filter / array_max, zero UDFs, zero shuffles: a pure narrow map
+    // over the scan, so at 100 TB it runs at parquet-read speed with
+    // column pruning down to (vec_id, embedding). l1 = Σ|qᵢ| (the
+    // rescale denominator for L1 normalization), n_pos = live-ReLU
+    // count, max_q = peak activation.
+    "q94_array_hof" -> ((s, d) => {
+      import s.implicits._
+      T.embeddings(s, d)
+        .select($"vec_id",
+          expr("transform(embedding, x -> CAST(round(x * 1024) AS BIGINT))").as("qv"))
+        .select($"vec_id",
+          expr("aggregate(qv, CAST(0 AS BIGINT), (a, x) -> a + abs(x))").as("l1"),
+          expr("CAST(size(filter(qv, x -> x > 0)) AS BIGINT)").as("n_pos"),
+          expr("array_max(qv)").as("max_q"))
+    }),
+
     "q40_cosine_topk" -> ((s, d) => {
       import s.implicits._
       val emb = quantized(s, d)
@@ -299,6 +318,17 @@ object Similarity extends QueryPack {
         |      ORDER BY cos_centroid DESC, vec_id) AS BIGINT) AS rn
         |  FROM scored) t
         |WHERE rn <= 3""".stripMargin,
+
+    "q94_array_hof" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(x * 1024) AS BIGINT)) AS qv
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS l1,
+        |  CAST(len(list_filter(qv, x -> x > 0)) AS BIGINT) AS n_pos,
+        |  CAST(list_max(qv) AS BIGINT) AS max_q
+        |FROM q""".stripMargin,
 
     "q40_cosine_topk" ->
       s"""WITH $duckQuant,

@@ -83,6 +83,34 @@ object TextAnalysis extends QueryPack {
     }),
 
     // ---- top terms per language -------------------------------------
+    // ---- inverted index (phrase posting lists) ----------------------
+    // Search-index build: word-bigram phrase → sorted doc_id posting
+    // list (bigrams, not unigrams: the 31-term synthetic vocabulary
+    // makes every unigram a stop-word-grade heavy hitter). Two-pass
+    // shape for 100 TB safety: pass 1 computes document frequency and
+    // keeps only mid-frequency phrases (2 ≤ df ≤ 10), pass 2 collects
+    // postings ONLY for survivors — heavy hitters never reach
+    // collect_list, so no aggregation buffer scales with corpus size.
+    // Both aggs and the semi-joining filter share the `gram` key, and
+    // the exploded scan is cached across the two passes. Grams come
+    // from the native word_ngrams expression (one compiled pass per
+    // doc). Postings serialize as a comma-joined sorted string
+    // (hash-comparable across engines).
+    "q93_inverted_index" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val grams = T.documents(s, d)
+        .select($"doc_id", explode(expr("word_ngrams(text, 2)")).as("gram"))
+        .distinct().cache()
+      val keep = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
+        .filter($"df".between(2, 10))
+      grams.join(keep, Seq("gram"))
+        .groupBy($"gram", $"df")
+        .agg(concat_ws(",",
+          expr("transform(sort_array(collect_list(doc_id)), x -> CAST(x AS STRING))"))
+          .as("postings"))
+    }),
+
     "q34_top_terms_per_lang" -> ((s, d) => {
       import s.implicits._
       val counts = T.documents(s, d)
@@ -388,6 +416,21 @@ object TextAnalysis extends QueryPack {
       """SELECT term, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS term FROM documents) u
         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    "q93_inverted_index" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |u AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS gram FROM w),
+        |t AS (SELECT DISTINCT doc_id, gram FROM u),
+        |keep AS (SELECT gram, count(*) AS df FROM t GROUP BY 1
+        |         HAVING count(*) BETWEEN 2 AND 10)
+        |SELECT t.gram, keep.df,
+        |  string_agg(CAST(t.doc_id AS VARCHAR), ',' ORDER BY t.doc_id) AS postings
+        |FROM t JOIN keep ON t.gram = keep.gram
+        |GROUP BY t.gram, keep.df""".stripMargin,
 
     "q34_top_terms_per_lang" ->
       """SELECT lang, term, n, rn FROM (
