@@ -310,6 +310,52 @@ object Events extends QueryPack {
             .otherwise(0L).as("is_anomaly"))
     }),
 
+    // ---- bipartite weight propagation (PageRank-style hop) ----------
+    // One power-iteration hop over the user↔channel click graph:
+    // every user splits a unit weight (1e6 ppm) equally across the
+    // distinct channels it clicked; a channel's score is the sum of
+    // its incoming shares. The iterative-graph shape (degree agg →
+    // edge join → score agg) that composes to full PageRank; each
+    // extra hop is one more broadcast-or-shuffle join on the edge
+    // list, never a self-cartesian. Exact integer arithmetic:
+    // non-negative numerators, so Spark div == DuckDB //.
+    "q96_bipartite_prop" -> ((s, d) => {
+      import s.implicits._
+      val edges = T.events(s, d)
+        .filter($"event_type" === "click")
+        .select($"user_id",
+          get_json_object($"props", "$.k").cast("long").as("k"))
+        .distinct()
+      val deg = edges.groupBy($"user_id").agg(count(lit(1)).as("user_deg"))
+      edges.join(deg, Seq("user_id"))
+        .groupBy($"k")
+        .agg(count(lit(1)).as("channel_deg"),
+          sum(expr("1000000L div user_deg")).as("score_ppm"))
+    }),
+
+    // ---- time-weighted average (TWAP) -------------------------------
+    // Each event's value is held until the user's next event; the
+    // time-weighted mean weights each value by its holding duration —
+    // the irregular-sampling average (financial TWAP / sensor duty
+    // cycle) that a plain avg() gets wrong. lead() over the per-user
+    // event order produces the interval, then one agg forms
+    // Σ(v·dur) div Σ(dur) in exact quantized integers (non-negative,
+    // so trunc == floor). One shuffle on user_id shared by the window
+    // and the aggregation.
+    "q98_twap" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      T.events(s, d)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+          expr("CAST(round(value * 1024) AS BIGINT)").as("vq"))
+        .withColumn("dur_us", lead($"ts_us", 1).over(w) - $"ts_us")
+        .filter($"dur_us".isNotNull && $"dur_us" > 0L)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum($"dur_us").as("sum_dur_us"),
+          expr("sum(vq * dur_us) div sum(dur_us)").as("twap_q"))
+    }),
+
     // ---- range join against a literal tier dim ----------------------
     "q30_range_join" -> ((s, d) => {
       import s.implicits._
@@ -360,6 +406,32 @@ object Events extends QueryPack {
         |            WHEN first_view IS NOT NULL THEN 1
         |            ELSE 0 END AS BIGINT) AS stage
         |FROM p""".stripMargin,
+
+    "q96_bipartite_prop" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT user_id, CAST(props->>'k' AS BIGINT) AS k
+        |  FROM events WHERE event_type = 'click'),
+        |deg AS (SELECT user_id, count(*) AS user_deg FROM edges GROUP BY 1)
+        |SELECT k, count(*) AS channel_deg,
+        |  CAST(sum(1000000 // user_deg) AS BIGINT) AS score_ppm
+        |FROM edges JOIN deg USING (user_id)
+        |GROUP BY k""".stripMargin,
+
+    "q98_twap" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |    CAST(round(value * 1024) AS BIGINT) AS vq
+        |  FROM events),
+        |iv AS (
+        |  SELECT user_id, vq,
+        |    lead(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us
+        |      AS dur_us
+        |  FROM ev)
+        |SELECT user_id, count(*) AS n_intervals,
+        |  CAST(sum(dur_us) AS BIGINT) AS sum_dur_us,
+        |  CAST(sum(vq * dur_us) // sum(dur_us) AS BIGINT) AS twap_q
+        |FROM iv WHERE dur_us IS NOT NULL AND dur_us > 0
+        |GROUP BY user_id""".stripMargin,
 
     "q92_last_touch" ->
       s"""WITH ev AS (

@@ -427,6 +427,30 @@ object Relational extends QueryPack {
           ($"n" * $"sum_y2" - $"sum_y" * $"sum_y").as("vary_num"))
     }),
 
+    // ---- hierarchical percent-of-parent (ratio_to_report) -----------
+    // The OLAP share tree: nation revenue as ppm of its region, region
+    // revenue as ppm of the grand total — ratio_to_report at two
+    // hierarchy levels. The windows (region partition + global) run
+    // AFTER the aggregation, over exactly |nation| = 25 rows, so the
+    // "global window" is a constant-size post-agg step — the 100 TB
+    // work is the one hash agg below it. Shares are exact integer ppm
+    // (non-negative, so trunc == floor).
+    "q97_pct_of_parent" -> ((s, d) => {
+      import s.implicits._
+      val wr = Window.partitionBy($"r_name")
+      val wall = Window.partitionBy()
+      T.orders(s, d).join(T.customer(s, d), $"o_custkey" === $"c_custkey")
+        .join(T.nation(s, d), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(T.region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(sum(Exact.cents($"o_totalprice")).as("rev_c"))
+        .withColumn("region_rev_c", sum($"rev_c").over(wr))
+        .withColumn("total_rev_c", sum($"rev_c").over(wall))
+        .select($"r_name", $"n_name", $"rev_c",
+          expr("(rev_c * 1000000L) div region_rev_c").as("nation_share_ppm"),
+          expr("(region_rev_c * 1000000L) div total_rev_c").as("region_share_ppm"))
+    }),
+
     // ---- pivot -------------------------------------------------------
     "q21_pivot" -> ((s, d) => {
       import s.implicits._
@@ -442,6 +466,25 @@ object Relational extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q97_pct_of_parent" ->
+      s"""WITH g AS (
+        |  SELECT r_name, n_name,
+        |    CAST(sum(${Exact.centsSql("o_totalprice")}) AS BIGINT) AS rev_c
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name),
+        |w AS (
+        |  SELECT r_name, n_name, rev_c,
+        |    CAST(sum(rev_c) OVER (PARTITION BY r_name) AS BIGINT) AS region_rev_c,
+        |    CAST(sum(rev_c) OVER () AS BIGINT) AS total_rev_c
+        |  FROM g)
+        |SELECT r_name, n_name, rev_c,
+        |  (rev_c * 1000000) // region_rev_c AS nation_share_ppm,
+        |  (region_rev_c * 1000000) // total_rev_c AS region_share_ppm
+        |FROM w""".stripMargin,
+
     "q90_unpivot" ->
       """WITH w AS (
         |  SELECT l_returnflag, count(*) AS n_rows,
