@@ -8,36 +8,42 @@ import graft.operators._
   * Aggregates every query pack into the single `queries`/`oracleSql`
   * surface the driver verifies against DuckDB at sf0.01 and benches at
   * sf0.1:
-  *  - [[operators.Relational]] q01–q22, q49–q50, q71, q82, q85:
-  *    joins/aggs/windows/set ops/subqueries/scalar functions/salted
-  *    skew join/exact moment stats/analytic window functions over the
-  *    TPC-H-ish tables
-  *  - [[operators.Streams]] s01–s11: the `shardstream` DSv2 source and
+  *  - [[operators.Relational]] q01–q22, q49–q50, q71, q82, q85,
+  *    q90–q91, q97: joins/aggs/windows/set ops/subqueries/scalar
+  *    functions/salted skew join/exact moment + covariance power
+  *    sums/analytic window functions/unpivot/percent-of-parent over
+  *    the TPC-H-ish tables
+  *  - [[operators.Streams]] s01–s12: the `shardstream` DSv2 source and
   *    sinks end-to-end (SURVEY §2 S1–S16): round-trips, take-N,
   *    windowed parity, stream-stream join, streaming dedup,
   *    complete-mode aggregation, stream-static join, custom
-  *    mapGroupsWithState running state, streaming session windows
-  *  - [[operators.Events]] q23–q30, q47, q68, q81, q84: event-time
-  *    windows, JSON props, SQL surface, as-of/range/interval joins,
-  *    rolling features, sequential funnel, change-interval
-  *    historization
+  *    mapGroupsWithState running state, streaming session windows,
+  *    transformWithState arbitrary state
+  *  - [[operators.Events]] q23–q30, q47, q68, q81, q84, q88–q89,
+  *    q92, q95–q96, q98: event-time windows, JSON props, SQL surface,
+  *    as-of/range/interval joins, rolling features, sequential
+  *    funnel, change-interval historization, gap-fill, cohort
+  *    retention, last-touch attribution, z-score anomalies, bipartite
+  *    propagation, time-weighted averages
   *  - [[operators.TextAnalysis]] q31–q34, q48, q51–q52, q66, q70,
-  *    q72–q73, q78: token stats, lang quality, fingerprints, top
+  *    q72–q73, q78, q93: token stats, lang quality, fingerprints, top
   *    terms, langid, redaction, bigram LM + LM doc scoring,
-  *    repetition, deciles
+  *    repetition, deciles, inverted index
   *  - [[operators.Dedup]] q35–q37, q56, q67, q69, q74, q76: exact +
   *    incremental dedup, banded MinHash LSH, SimHash, clustering,
   *    keepers, edit-distance verify, duplicate spans
-  *  - [[operators.Similarity]] q40–q42, q53, q75, q79: quantized-
+  *  - [[operators.Similarity]] q40–q42, q53, q75, q79, q94: quantized-
   *    integer cosine top-k, IVF ANN, sign-LSH ANN, embedding near-dup,
-  *    centroid centrality, k-means Lloyd iteration
+  *    centroid centrality, k-means Lloyd iteration, array-HOF vector
+  *    features
   *  - [[operators.Multimodal]] q45, q64–q65: binary payload +
   *    decode-stub features, frame sampling, resize
   *  - [[operators.Sketches]] q43/q44/q46, q83: KMV Aggregator, native
   *    rolling-hash Expression, multi-format round-trip, XOR table
   *    fingerprints (replica compare)
-  *  - [[operators.Layout]] q54–q55, q86: partition pruning, bucketed
-  *    joins, latest-wins upsert compaction
+  *  - [[operators.Layout]] q54–q55, q86–q87: partition pruning,
+  *    bucketed joins, latest-wins upsert compaction, Z-order
+  *    clustering stats
   *  - [[operators.Pipeline]] q57–q63, q77, q80: training-data curation
   *    — quantiles (exact + histogram sketch), TF-IDF ranking,
   *    deterministic hash/stratified sampling, quality gates, sequence
