@@ -356,6 +356,29 @@ object Events extends QueryPack {
           expr("sum(vq * dur_us) div sum(dur_us)").as("twap_q"))
     }),
 
+    // ---- Markov transition matrix -----------------------------------
+    // First-order behavioral model: P(next event type | current) from
+    // per-user ordered event pairs. lag() forms the transitions (one
+    // shuffle on user_id), one hash agg counts the (prev, cur) matrix,
+    // and the row-normalizing window runs over the |types|² post-agg
+    // rows — the same "heavy lifting below, tiny window above" shape
+    // as q97. Probabilities are exact integer ppm (non-negative, so
+    // trunc == floor). This is q70's bigram-LM shape on the event
+    // stream instead of text.
+    "q99_markov_transitions" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      T.events(s, d)
+        .select($"user_id", $"event_type", $"event_id", unix_micros($"ts").as("ts_us"))
+        .withColumn("prev_type", lag($"event_type", 1).over(w))
+        .filter($"prev_type".isNotNull)
+        .groupBy($"prev_type", $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("row_total", sum($"n").over(Window.partitionBy($"prev_type")))
+        .select($"prev_type", $"event_type", $"n",
+          expr("(n * 1000000L) div row_total").as("p_ppm"))
+    }),
+
     // ---- range join against a literal tier dim ----------------------
     "q30_range_join" -> ((s, d) => {
       import s.implicits._
@@ -406,6 +429,20 @@ object Events extends QueryPack {
         |            WHEN first_view IS NOT NULL THEN 1
         |            ELSE 0 END AS BIGINT) AS stage
         |FROM p""".stripMargin,
+
+    "q99_markov_transitions" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        |  FROM events),
+        |tr AS (
+        |  SELECT lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |    AS prev_type, event_type FROM ev),
+        |g AS (
+        |  SELECT prev_type, event_type, count(*) AS n FROM tr
+        |  WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, event_type, n,
+        |  (n * 1000000) // CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_ppm
+        |FROM g""".stripMargin,
 
     "q96_bipartite_prop" ->
       """WITH edges AS (
