@@ -104,6 +104,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("round-4 analytics keep heavy work key-partitioned") {
+    val m = plans.toMap
+    // q95: hourly agg + z-score window both live on the user_id key —
+    // a global window here would serialize the corpus through one task
+    assert(m("q95_zscore_anomaly").contains("hashpartitioning(user_id"),
+      "q95: per-user window not partitioned by user_id")
+    // q93: df-prefilter agg and the postings agg share the gram key,
+    // so the second agg reuses the first shuffle's partitioning
+    assert(m("q93_inverted_index").contains("hashpartitioning(gram"),
+      "q93: term aggs not partitioned by gram")
+    // q99: transition counts partition on user_id for lag, then the
+    // normalizing window runs on the tiny post-agg matrix
+    assert(m("q99_markov_transitions").contains("hashpartitioning(user_id"),
+      "q99: lag window not partitioned by user_id")
+    // q97: the only explicit broadcast is the true bounded dim (region)
+    assert(m("q97_pct_of_parent").contains("BroadcastHashJoin"),
+      "q97: region dim not broadcast")
+  }
+
   test("filters reach the parquet scan (pushdown)") {
     val q2 = SparkEntry.queries("q02_filter_project")(spark, dir)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
