@@ -379,6 +379,38 @@ object Events extends QueryPack {
           expr("(n * 1000000L) div row_total").as("p_ppm"))
     }),
 
+    // ---- robust statistics: exact median + MAD ----------------------
+    // Outlier-resistant location/spread without floats: the median and
+    // the median absolute deviation, both as exact rank arithmetic.
+    // med2 = v[(n+1) div 2] + v[(n+2) div 2] is TWICE the interpolated
+    // median (integer-exact for any parity); deviations dv = |2v−med2|
+    // are in the same doubled units, and mad4 doubles once more — the
+    // caller divides by 2/4 at presentation time. Two window passes on
+    // the same event_type key plus one broadcast-size join of the
+    // |groups|-row medians back to the rows; rank selection via
+    // max(CASE rn = target) inside the agg, so nothing ever collects.
+    "q100_robust_stats" -> ((s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d).select($"event_type", $"event_id",
+        expr("CAST(round(value * 1024) AS BIGINT)").as("vq"))
+      val w1 = Window.partitionBy($"event_type").orderBy($"vq", $"event_id")
+      val med = ev
+        .withColumn("rn", row_number().over(w1))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
+        .groupBy($"event_type")
+        .agg(max($"n").as("n"),
+          (max(when($"rn" === expr("(n + 1) div 2"), $"vq")) +
+            max(when($"rn" === expr("(n + 2) div 2"), $"vq"))).as("med2"))
+      val w2 = Window.partitionBy($"event_type").orderBy($"dv", $"event_id")
+      ev.join(med, Seq("event_type"))
+        .withColumn("dv", abs($"vq" * 2 - $"med2"))
+        .withColumn("rn", row_number().over(w2))
+        .groupBy($"event_type")
+        .agg(max($"n").as("n"), max($"med2").as("med2"),
+          (max(when($"rn" === expr("(n + 1) div 2"), $"dv")) +
+            max(when($"rn" === expr("(n + 2) div 2"), $"dv"))).as("mad4"))
+    }),
+
     // ---- range join against a literal tier dim ----------------------
     "q30_range_join" -> ((s, d) => {
       import s.implicits._
@@ -429,6 +461,31 @@ object Events extends QueryPack {
         |            WHEN first_view IS NOT NULL THEN 1
         |            ELSE 0 END AS BIGINT) AS stage
         |FROM p""".stripMargin,
+
+    "q100_robust_stats" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id, CAST(round(value * 1024) AS BIGINT) AS vq
+        |  FROM events),
+        |r1 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY vq, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM ev),
+        |med AS (
+        |  SELECT event_type, max(n) AS n,
+        |    CAST(max(CASE WHEN rn = (n + 1) // 2 THEN vq END)
+        |       + max(CASE WHEN rn = (n + 2) // 2 THEN vq END) AS BIGINT) AS med2
+        |  FROM r1 GROUP BY 1),
+        |d AS (
+        |  SELECT ev.event_type, ev.event_id, med.n, med.med2,
+        |    abs(ev.vq * 2 - med.med2) AS dv
+        |  FROM ev JOIN med USING (event_type)),
+        |r2 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dv, event_id) AS rn
+        |  FROM d)
+        |SELECT event_type, max(n) AS n, max(med2) AS med2,
+        |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN dv END)
+        |     + max(CASE WHEN rn = (n + 2) // 2 THEN dv END) AS BIGINT) AS mad4
+        |FROM r2 GROUP BY event_type""".stripMargin,
 
     "q99_markov_transitions" ->
       """WITH ev AS (
