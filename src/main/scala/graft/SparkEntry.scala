@@ -20,11 +20,12 @@ import graft.operators._
   *    mapGroupsWithState running state, streaming session windows,
   *    transformWithState arbitrary state
   *  - [[operators.Events]] q23–q30, q47, q68, q81, q84, q88–q89,
-  *    q92, q95–q96, q98: event-time windows, JSON props, SQL surface,
-  *    as-of/range/interval joins, rolling features, sequential
-  *    funnel, change-interval historization, gap-fill, cohort
-  *    retention, last-touch attribution, z-score anomalies, bipartite
-  *    propagation, time-weighted averages
+  *    q92, q95–q96, q98–q100: event-time windows, JSON props, SQL
+  *    surface, as-of/range/interval joins, rolling features,
+  *    sequential funnel, change-interval historization, gap-fill,
+  *    cohort retention, last-touch attribution, z-score anomalies,
+  *    bipartite propagation, time-weighted averages, Markov
+  *    transitions, robust median/MAD statistics
   *  - [[operators.TextAnalysis]] q31–q34, q48, q51–q52, q66, q70,
   *    q72–q73, q78, q93: token stats, lang quality, fingerprints, top
   *    terms, langid, redaction, bigram LM + LM doc scoring,

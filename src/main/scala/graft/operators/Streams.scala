@@ -486,9 +486,69 @@ object Streams extends QueryPack {
         .agg(max(struct(col("n"), col("min_ts_us"), col("max_ts_us"))).as("m"))
         .select(col("user_id"), col("m.n").as("n"),
           col("m.min_ts_us").as("min_ts_us"), col("m.max_ts_us").as("max_ts_us"))
+    }),
+
+    // Streaming CDC apply: foreachBatch merges each micro-batch into a
+    // keyed parquet target with latest-wins semantics — the classic
+    // upsert loop for table formats without transactional MERGE.
+    // Generation swap (read gen N, write gen N+1) instead of
+    // in-place overwrite: Spark refuses to overwrite a path it is
+    // reading, and the swap is what non-transactional CDC sinks do for
+    // atomicity anyway. Each batch pays one window shuffle on the
+    // merge key; at scale the target would be bucketed by user_id so
+    // the merge is shuffle-free (q86's layout note). Latest-wins is
+    // idempotent, so at-least-once batch replay converges to the same
+    // table. Final table == the batch last-event-per-user oracle.
+    "s13_stream_upsert" -> ((s, d) => {
+      val name = s"events_rt_${sfx(d)}" // same fixture as s01
+      seedEventsJson(s, d, name, numShards = 4)
+      val cap = math.max(1000L, T.events(s, d).count() / 4)
+      val root = s"/tmp/graft_upsert_${sfx(d)}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val gen = new AtomicInteger(0)
+      val ev = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", cap.toString)
+        .load()
+        .select(from_json(col("data").cast("string"), payloadSchema).as("e"))
+        .select(col("e.user_id").as("user_id"), col("e.event_id").as("event_id"),
+          col("e.ts_us").as("ts_us"), col("e.event_type").as("event_type"))
+      val q = ev.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val ss = batch.sparkSession
+          val g = gen.get()
+          val merged =
+            if (g == 0) batch
+            else ss.read.parquet(s"$root/g$g").unionByName(batch)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"))
+            .orderBy(col("ts_us").desc, col("event_id").desc)
+          merged.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).drop("rn")
+            .write.mode("overwrite").parquet(s"$root/g${g + 1}")
+          gen.incrementAndGet()
+          ()
+        }.start()
+      q.awaitTermination()
+      s.read.parquet(s"$root/g${gen.get()}")
+        .select(col("user_id"), col("ts_us").as("last_ts_us"),
+          col("event_id").as("last_event_id"), col("event_type").as("last_event_type"))
     }))
 
   def oracles: Map[String, String] = Map(
+    "s13_stream_upsert" ->
+      """SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS last_ts_us,
+        |  event_id AS last_event_id, event_type AS last_event_type
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1""".stripMargin,
+
     "s12_transform_with_state" ->
       """SELECT user_id, count(*) AS n,
         |  CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
