@@ -13,12 +13,12 @@ import graft.operators._
   *    functions/salted skew join/exact moment + covariance power
   *    sums/analytic window functions/unpivot/percent-of-parent over
   *    the TPC-H-ish tables
-  *  - [[operators.Streams]] s01–s12: the `shardstream` DSv2 source and
+  *  - [[operators.Streams]] s01–s13: the `shardstream` DSv2 source and
   *    sinks end-to-end (SURVEY §2 S1–S16): round-trips, take-N,
   *    windowed parity, stream-stream join, streaming dedup,
   *    complete-mode aggregation, stream-static join, custom
   *    mapGroupsWithState running state, streaming session windows,
-  *    transformWithState arbitrary state
+  *    transformWithState arbitrary state, foreachBatch CDC upsert
   *  - [[operators.Events]] q23–q30, q47, q68, q81, q84, q88–q89,
   *    q92, q95–q96, q98–q100: event-time windows, JSON props, SQL
   *    surface, as-of/range/interval joins, rolling features,
