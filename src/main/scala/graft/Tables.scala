@@ -16,8 +16,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Each spark.read.parquet builds a fresh InMemoryFileIndex (driver-side
+  // file listing + footer read) — ~100ms/table here, and the dominant
+  // metadata cost on an object store at 100 TB (real deployments put a
+  // catalog table in front for exactly this reason). The testdata dirs
+  // are immutable for a run, so memoize the loaded DataFrame per
+  // (session, dir, table): the logical plan is immutable and lazily
+  // executed, reuse just skips the re-listing.
+  private val loaded =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    loaded.computeIfAbsent((spark, dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
@@ -33,19 +44,27 @@ object Tables {
     * ns→µs truncation is lossless and matches DuckDB's `epoch_us`. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    loaded.computeIfAbsent((s, d, "events:ts"),
+      _ => load(s, d, "events")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000"))))
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** Register every table as a temp view (for spark.sql-style access).
-    * `events` goes through its loader (ns-timestamp conversion). */
+    * `events` goes through its loader (ns-timestamp conversion).
+    * Temp views are session-level mutable state, so memoizing must track
+    * WHICH dir a session's views currently point at — re-registering is
+    * skipped only while the dir is unchanged. */
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach {
-      case "events" => events(spark, dir).createOrReplaceTempView("events")
-      case n => load(spark, dir, n).createOrReplaceTempView(n)
-    }
+    if (registeredDir.put(spark, dir) != dir)
+      names.foreach {
+        case "events" => events(spark, dir).createOrReplaceTempView("events")
+        case n => load(spark, dir, n).createOrReplaceTempView(n)
+      }
 }
 
 /** A named query pack: Spark implementation + DuckDB oracle SQL. */
