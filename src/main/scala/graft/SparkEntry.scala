@@ -13,23 +13,26 @@ import graft.operators._
   *    functions/salted skew join/exact moment + covariance power
   *    sums/analytic window functions/unpivot/percent-of-parent over
   *    the TPC-H-ish tables
-  *  - [[operators.Streams]] s01–s13: the `shardstream` DSv2 source and
+  *  - [[operators.Streams]] s01–s14: the `shardstream` DSv2 source and
   *    sinks end-to-end (SURVEY §2 S1–S16): round-trips, take-N,
-  *    windowed parity, stream-stream join, streaming dedup,
-  *    complete-mode aggregation, stream-static join, custom
-  *    mapGroupsWithState running state, streaming session windows,
-  *    transformWithState arbitrary state, foreachBatch CDC upsert
+  *    windowed parity, stream-stream join, streaming dedup (unbounded
+  *    + watermark-bounded), complete-mode aggregation, stream-static
+  *    join, custom mapGroupsWithState running state, streaming session
+  *    windows, transformWithState arbitrary state, foreachBatch CDC
+  *    upsert
   *  - [[operators.Events]] q23–q30, q47, q68, q81, q84, q88–q89,
-  *    q92, q95–q96, q98–q100: event-time windows, JSON props, SQL
-  *    surface, as-of/range/interval joins, rolling features,
-  *    sequential funnel, change-interval historization, gap-fill,
-  *    cohort retention, last-touch attribution, z-score anomalies,
-  *    bipartite propagation, time-weighted averages, Markov
-  *    transitions, robust median/MAD statistics
+  *    q92, q95–q96, q98–q100, q103–q104: event-time windows, JSON
+  *    props, SQL surface, as-of/range/interval joins, rolling
+  *    features, sequential funnel, change-interval historization,
+  *    gap-fill, cohort retention, last-touch attribution, z-score
+  *    anomalies, bipartite propagation, time-weighted averages, Markov
+  *    transitions, robust median/MAD statistics, co-occurrence lift,
+  *    map-column feature roundtrip
   *  - [[operators.TextAnalysis]] q31–q34, q48, q51–q52, q66, q70,
-  *    q72–q73, q78, q93: token stats, lang quality, fingerprints, top
-  *    terms, langid, redaction, bigram LM + LM doc scoring,
-  *    repetition, deciles, inverted index
+  *    q72–q73, q78, q93, q101: token stats, lang quality,
+  *    fingerprints, top terms, langid, redaction, bigram LM + LM doc
+  *    scoring, repetition, deciles, inverted index, BPE pair-merge
+  *    statistics
   *  - [[operators.Dedup]] q35–q37, q56, q67, q69, q74, q76: exact +
   *    incremental dedup, banded MinHash LSH, SimHash, clustering,
   *    keepers, edit-distance verify, duplicate spans
@@ -45,10 +48,11 @@ import graft.operators._
   *  - [[operators.Layout]] q54–q55, q86–q87: partition pruning,
   *    bucketed joins, latest-wins upsert compaction, Z-order
   *    clustering stats
-  *  - [[operators.Pipeline]] q57–q63, q77, q80: training-data curation
-  *    — quantiles (exact + histogram sketch), TF-IDF ranking,
+  *  - [[operators.Pipeline]] q57–q63, q77, q80, q102: training-data
+  *    curation — quantiles (exact + histogram sketch), TF-IDF ranking,
   *    deterministic hash/stratified sampling, quality gates, sequence
-  *    packing, mixture planning, benchmark decontamination
+  *    packing, mixture planning, benchmark decontamination, RAG
+  *    chunking
   */
 object SparkEntry {
 

@@ -422,6 +422,53 @@ object Events extends QueryPack {
         .join(broadcast(tiers), $"value" >= $"lo" && $"value" < $"hi")
         .groupBy($"tier")
         .agg(count(lit(1)).as("n"), Exact.sumMoney($"value").as("sum_value"))
+    }),
+
+    // ---- event-type co-occurrence / lift (market-basket shape) ------
+    // Which event types co-occur in the same user's history more than
+    // their marginals predict. Scale shape: the corpus is reduced FIRST
+    // to distinct (user, type) — one shuffle — and the pair join runs
+    // per-user over ≤|types| rows each, so it is |types|²-bounded per
+    // user, never corpus×corpus. Marginals and the user count are
+    // tiny (≤|types| rows / 1 row) and broadcast. Support is exact
+    // integer ppm; lift is left to the consumer as the ppm marginals
+    // (avoids the int64 overflow of n_both·n_users·10⁶ at 100 TB).
+    "q103_cooccur_lift" -> ((s, d) => {
+      import s.implicits._
+      val ut = T.events(s, d).select($"user_id", $"event_type").distinct()
+      val marg = ut.groupBy($"event_type").agg(count(lit(1)).as("m"))
+      val users = ut.select($"user_id").distinct().agg(count(lit(1)).as("n_users"))
+      val pairs = ut.toDF("user_id", "a").join(ut.toDF("user_id", "b"), "user_id")
+        .filter($"a" < $"b")
+        .groupBy($"a", $"b").agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(broadcast(marg.toDF("a", "m_a")), "a")
+        .join(broadcast(marg.toDF("b", "m_b")), "b")
+        .crossJoin(broadcast(users))
+        .select($"a", $"b", $"n_both",
+          expr("(n_both * 1000000L) div n_users").as("support_ppm"),
+          expr("(m_a * 1000000L) div n_users").as("a_ppm"),
+          expr("(m_b * 1000000L) div n_users").as("b_ppm"))
+    }),
+
+    // ---- per-user type-count map roundtrip (map-function surface) ---
+    // Builds the per-user event_type→count map with map_from_entries
+    // over collected (type, n) structs, then reads it back out with
+    // element_at + map_keys — the map-column API a feature store
+    // would use. collect_list order nondeterminism is immaterial:
+    // keys are unique per user and lookups are by key. One shuffle
+    // on (user, type), then one on user; the map is ≤|types| entries.
+    "q104_user_type_map" -> ((s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("n"))
+        .groupBy($"user_id")
+        .agg(map_from_entries(collect_list(struct($"event_type", $"n"))).as("m"))
+        .select($"user_id",
+          coalesce(element_at($"m", "click"), lit(0L)).as("n_click"),
+          coalesce(element_at($"m", "view"), lit(0L)).as("n_view"),
+          coalesce(element_at($"m", "purchase"), lit(0L)).as("n_purchase"),
+          size(map_keys($"m")).cast("bigint").as("n_types"))
     }))
 
   /** Engine-portable GROUPING SETS (distinct sets, not rollup/cube). */
@@ -690,5 +737,30 @@ object Events extends QueryPack {
         |JOIN (VALUES ('t1_low', 0.0, 10.0), ('t2_mid', 10.0, 50.0),
         |             ('t3_high', 50.0, 200.0), ('t4_top', 200.0, 1e9)) AS t(tier, lo, hi)
         |  ON value >= lo AND value < hi
-        |GROUP BY tier""".stripMargin)
+        |GROUP BY tier""".stripMargin,
+
+    "q103_cooccur_lift" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |marg AS (SELECT event_type, count(*) AS m FROM ut GROUP BY event_type),
+        |u AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+        |pairs AS (
+        |  SELECT x.event_type AS a, y.event_type AS b, count(*) AS n_both
+        |  FROM ut x JOIN ut y ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT b, a, n_both,
+        |  (n_both * 1000000) // n_users AS support_ppm,
+        |  (ma.m * 1000000) // n_users AS a_ppm,
+        |  (mb.m * 1000000) // n_users AS b_ppm
+        |FROM pairs
+        |JOIN marg ma ON ma.event_type = pairs.a
+        |JOIN marg mb ON mb.event_type = pairs.b
+        |CROSS JOIN u""".stripMargin,
+
+    "q104_user_type_map" ->
+      """SELECT user_id,
+        |  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+        |  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view,
+        |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+        |  count(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY user_id""".stripMargin)
 }

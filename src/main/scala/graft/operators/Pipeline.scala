@@ -217,6 +217,28 @@ object Pipeline extends QueryPack {
       perSource.crossJoin(broadcast(minDocs))
         .select($"source", $"n_docs", $"chars",
           expr("(min_docs * 1000000L) div n_docs").as("keep_ppm"))
+    }),
+
+    // ---- RAG chunking: overlapping fixed-size windows ---------------
+    // Retrieval-corpus prep: each doc is split into 256-char chunks on
+    // a 192-char stride (64-char overlap), each chunk fingerprinted.
+    // Pure narrow per-row explode — chunks are generated, hashed, and
+    // emitted inside one codegen stage with ZERO shuffles; at 100 TB
+    // this runs at parquet-scan speed and parallelism is row-level.
+    // Char-indexed on BOTH engines (substring/substr), so unlike the
+    // q45/q64 byte stubs this needs no ASCII precondition.
+    "q102_rag_chunks" -> ((s, d) => {
+      import s.implicits._
+      T.documents(s, d)
+        .filter(length($"text") > 0)
+        .select($"doc_id", $"text",
+          explode(expr("sequence(0, CAST((length(text) - 1) DIV 192 AS INT))")).as("k"))
+        .select($"doc_id",
+          ($"k" * 192 + 1).cast("bigint").as("chunk_start"),
+          expr("substring(text, k * 192 + 1, 256)").as("chunk"))
+        .select($"doc_id", $"chunk_start",
+          length($"chunk").cast("bigint").as("chunk_len"),
+          md5($"chunk").as("chunk_md5"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -335,5 +357,12 @@ object Pipeline extends QueryPack {
         |  FROM documents GROUP BY source)
         |SELECT source, n_docs, chars,
         |  ((SELECT min(n_docs) FROM per_source) * 1000000) // n_docs AS keep_ppm
-        |FROM per_source""".stripMargin)
+        |FROM per_source""".stripMargin,
+
+    "q102_rag_chunks" ->
+      """SELECT doc_id, CAST(k * 192 + 1 AS BIGINT) AS chunk_start,
+        |  CAST(length(substr(text, CAST(k * 192 + 1 AS INT), 256)) AS BIGINT) AS chunk_len,
+        |  md5(substr(text, CAST(k * 192 + 1 AS INT), 256)) AS chunk_md5
+        |FROM documents, UNNEST(range(0, (length(text) - 1) // 192 + 1)) AS t(k)
+        |WHERE length(text) > 0""".stripMargin)
 }

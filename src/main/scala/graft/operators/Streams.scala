@@ -293,6 +293,41 @@ object Streams extends QueryPack {
     // downstream repair stage of an at-least-once ingest. Keyed state
     // is one entry per event_id; with a watermark (here: none needed,
     // single bounded replay) it becomes evictable at 100 TB.
+    // Watermark-BOUNDED streaming dedup (dropDuplicatesWithinWatermark)
+    // — the 100-TB-sane counterpart to s07: s07's plain dropDuplicates
+    // keeps every key seen forever (state grows with the stream);
+    // within-watermark dedup evicts keys once the watermark passes
+    // them, so state is bounded by the delay window. The at-least-once
+    // fixture delivers every record twice back-to-back, so duplicates
+    // always land within the window and the drained output equals the
+    // batch DISTINCT regardless of where epoch boundaries fall.
+    "s14_stream_dedup_watermarked" -> ((s, d) => {
+      val name = s"events_dupw_${sfx(d)}"
+      synchronized {
+        if (!ShardServiceRegistry.exists(name)) {
+          val rows = T.events(s, d)
+            .select(col("event_id"), col("user_id"),
+              to_json(struct(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+                col("user_id"), col("event_type"), col("value"))).as("json"))
+            .orderBy("event_id").collect()
+          seedRows(name, numShards = 4, rows, times = 2)
+        }
+      }
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", "10000000")
+        .load()
+      drain(s, raw
+        .select(from_json(col("data").cast("string"), payloadSchema).as("e"))
+        .select(timestamp_micros(col("e.ts_us")).as("ts"),
+          col("e.event_id"), col("e.event_type"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us")))
+    }),
+
     "s07_stream_dedup" -> ((s, d) => {
       val name = s"events_dup_${sfx(d)}"
       synchronized { // same mid-seed-visibility rule as seedEventsJson
@@ -588,6 +623,10 @@ object Streams extends QueryPack {
 
     "s07_stream_dedup" ->
       "SELECT event_id, event_type FROM events",
+
+    "s14_stream_dedup_watermarked" ->
+      """SELECT event_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        |FROM events""".stripMargin,
 
     "s08_stream_complete_agg" ->
       """SELECT event_type, count(*) AS n,

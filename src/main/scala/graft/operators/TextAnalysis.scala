@@ -125,6 +125,29 @@ object TextAnalysis extends QueryPack {
   private val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
   def extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- BPE merge-step statistics (tokenizer training shape) -------
+    // The first merge step of byte-pair-encoding training: adjacent
+    // character-pair frequencies, weighted by word frequency. The
+    // scale trick IS the query shape: pair counting runs over the
+    // DISTINCT-WORD table (vocabulary-sized, ≪ corpus — this is why
+    // real BPE trainers pre-aggregate to word counts), so the corpus
+    // is touched once by a word-count agg and the quadratic-ish pair
+    // explosion only ever sees the vocabulary. Two shuffles total,
+    // both map-side-combinable.
+    "q101_bpe_pairs" -> ((s, d) => {
+      import s.implicits._
+      val words = T.documents(s, d)
+        .select(explode(split($"text", " ")).as("w"))
+        .filter(length($"w") >= 2)
+        .groupBy($"w").agg(count(lit(1)).as("freq"))
+      words
+        .select($"w", $"freq",
+          explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+            .as("pair"))
+        .groupBy($"pair")
+        .agg(sum($"freq").cast("bigint").as("n_occ"),
+          countDistinct($"w").as("n_word_types"))
+    }),
     // ---- n-gram language-ID heuristic -------------------------------
     // Self-trained profile classifier: top-20 character trigrams per
     // labeled language -> classify each doc by profile overlap
@@ -440,5 +463,19 @@ object TextAnalysis extends QueryPack {
         |    SELECT lang, term, count(*) AS n FROM (
         |      SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents) u
         |    GROUP BY lang, term) c) t
-        |WHERE rn <= 5""".stripMargin)
+        |WHERE rn <= 5""".stripMargin,
+
+    "q101_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT w, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) u
+        |  WHERE length(w) >= 2 GROUP BY w),
+        |p AS (
+        |  SELECT w, freq,
+        |    unnest(list_transform(range(1, length(w)),
+        |      i -> substr(w, CAST(i AS INT), 2))) AS pair
+        |  FROM words)
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS n_occ,
+        |  count(DISTINCT w) AS n_word_types
+        |FROM p GROUP BY pair""".stripMargin)
 }

@@ -26,13 +26,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "s03_sink_roundtrip", "s04_stream_windowed", "s05_dsv2_sink_pipe",
     "s06_stream_stream_join", "s07_stream_dedup", "s08_stream_complete_agg",
     "s09_stream_static_join", "s10_stateful_running", "s11_stream_session",
-    "s12_transform_with_state", "s13_stream_upsert")
+    "s12_transform_with_state", "s13_stream_upsert",
+    "s14_stream_dedup_watermarked")
   // bounded-side nested loops that are correct by construction
   // (1-row stats, 4-row tier dim, 10-row query set, 5-row lang
-  // profiles, 1-row mixture minimum, k-row centroid set)
+  // profiles, 1-row mixture minimum, k-row centroid set, 1-row
+  // user-count scalar)
   private val allowedBnlj = Set("q18_scalar_subquery", "q30_range_join",
     "q40_cosine_topk", "q51_langid_ngram", "q63_source_mixture",
-    "q79_kmeans_iter", "q87_zorder_stats")
+    "q79_kmeans_iter", "q87_zorder_stats", "q103_cooccur_lift")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
@@ -121,6 +123,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q97: the only explicit broadcast is the true bounded dim (region)
     assert(m("q97_pct_of_parent").contains("BroadcastHashJoin"),
       "q97: region dim not broadcast")
+  }
+
+  test("q102: chunk generation is a zero-shuffle narrow pipeline") {
+    // chunking must run at parquet-scan speed — any Exchange means the
+    // payload text is being shuffled, which is fatal at 100 TB
+    val p = plans.toMap.apply("q102_rag_chunks")
+    assert(!p.contains("Exchange"), s"q102 shuffles:\n$p")
+  }
+
+  test("q101: pair explosion runs over the distinct-word table, not the corpus") {
+    // the plan must aggregate words BEFORE generating char pairs: the
+    // pair-explode's child includes the word-count HashAggregate
+    val p = plans.toMap.apply("q101_bpe_pairs")
+    assert(p.contains("hashpartitioning(w"),
+      "q101: no word-key aggregation below the pair explosion")
   }
 
   test("filters reach the parquet scan (pushdown)") {
