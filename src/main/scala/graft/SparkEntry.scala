@@ -13,13 +13,13 @@ import graft.operators._
   *    functions/salted skew join/exact moment + covariance power
   *    sums/analytic window functions/unpivot/percent-of-parent over
   *    the TPC-H-ish tables
-  *  - [[operators.Streams]] s01–s14: the `shardstream` DSv2 source and
+  *  - [[operators.Streams]] s01–s15: the `shardstream` DSv2 source and
   *    sinks end-to-end (SURVEY §2 S1–S16): round-trips, take-N,
-  *    windowed parity, stream-stream join, streaming dedup (unbounded
-  *    + watermark-bounded), complete-mode aggregation, stream-static
-  *    join, custom mapGroupsWithState running state, streaming session
-  *    windows, transformWithState arbitrary state, foreachBatch CDC
-  *    upsert
+  *    windowed parity, stream-stream inner + left-outer joins,
+  *    streaming dedup (unbounded + watermark-bounded), complete-mode
+  *    aggregation, stream-static join, custom mapGroupsWithState
+  *    running state, streaming session windows, transformWithState
+  *    arbitrary state, foreachBatch CDC upsert
   *  - [[operators.Events]] q23–q30, q47, q68, q81, q84, q88–q89,
   *    q92, q95–q96, q98–q100, q103–q104: event-time windows, JSON
   *    props, SQL surface, as-of/range/interval joins, rolling
@@ -48,11 +48,11 @@ import graft.operators._
   *  - [[operators.Layout]] q54–q55, q86–q87: partition pruning,
   *    bucketed joins, latest-wins upsert compaction, Z-order
   *    clustering stats
-  *  - [[operators.Pipeline]] q57–q63, q77, q80, q102: training-data
-  *    curation — quantiles (exact + histogram sketch), TF-IDF ranking,
-  *    deterministic hash/stratified sampling, quality gates, sequence
-  *    packing, mixture planning, benchmark decontamination, RAG
-  *    chunking
+  *  - [[operators.Pipeline]] q57–q63, q77, q80, q102, q105:
+  *    training-data curation — quantiles (exact + histogram sketch),
+  *    TF-IDF ranking, deterministic hash/stratified sampling, quality
+  *    gates, sequence packing, mixture planning, benchmark
+  *    decontamination, RAG chunking, train/valid/test split manifest
   */
 object SparkEntry {
 

@@ -239,6 +239,25 @@ object Pipeline extends QueryPack {
         .select($"doc_id", $"chunk_start",
           length($"chunk").cast("bigint").as("chunk_len"),
           md5($"chunk").as("chunk_md5"))
+    }),
+
+    // ---- deterministic train/valid/test split manifest --------------
+    // 80/10/10 corpus split assigned by content-stable hash (the same
+    // portable 60-bit md5 hash as q59): no RNG state, so assignment is
+    // reproducible under repartition, retry, and re-ingest, and a doc
+    // never migrates between splits when the corpus grows. Output is
+    // the split manifest a training pipeline ships: per (split, lang)
+    // counts, char mass, and id range. One narrow map + one agg.
+    "q105_split_manifest" -> ((s, d) => {
+      import s.implicits._
+      val b = pmod(hash60($"doc_id"), lit(100))
+      T.documents(s, d)
+        .withColumn("split",
+          when(b < 80, "train").when(b < 90, "valid").otherwise("test"))
+        .groupBy($"split", $"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").cast("bigint").as("split_chars"),
+          min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -364,5 +383,16 @@ object Pipeline extends QueryPack {
         |  CAST(length(substr(text, CAST(k * 192 + 1 AS INT), 256)) AS BIGINT) AS chunk_len,
         |  md5(substr(text, CAST(k * 192 + 1 AS INT), 256)) AS chunk_md5
         |FROM documents, UNNEST(range(0, (length(text) - 1) // 192 + 1)) AS t(k)
-        |WHERE length(text) > 0""".stripMargin)
+        |WHERE length(text) > 0""".stripMargin,
+
+    "q105_split_manifest" ->
+      """WITH b AS (
+        |  SELECT *, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |    % 100 AS h
+        |  FROM documents)
+        |SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'valid'
+        |            ELSE 'test' END AS split,
+        |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS split_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM b GROUP BY 1, 2""".stripMargin)
 }

@@ -287,12 +287,36 @@ object Streams extends QueryPack {
       drain(s, joined.select(col("c_eid"), col("p_eid")))
     }),
 
-    // Streaming dedup through the source: the fixture is seeded with
-    // every event TWICE (at-least-once delivery); dropDuplicates on the
-    // event key must emit each exactly once — the exactly-once-
-    // downstream repair stage of an at-least-once ingest. Keyed state
-    // is one entry per event_id; with a watermark (here: none needed,
-    // single bounded replay) it becomes evictable at 100 TB.
+    // Stream-stream LEFT OUTER join: matches emit immediately; an
+    // unmatched click emits (with null purchase) only once the global
+    // watermark proves no matching purchase can still arrive — i.e.
+    // its 10-minute join window closed below the FINAL watermark
+    // (min over both sides' max ts, minus the 1 h delay; the
+    // AvailableNow no-data flush batch performs the final eviction).
+    // The oracle replicates exactly that cutoff: batch left join,
+    // minus unmatched rows whose window was still open at the end —
+    // the same watermark-closure reasoning as s04's HAVING clause.
+    "s15_stream_outer_join" -> ((s, d) => {
+      val name = s"events_rt_${sfx(d)}" // same fixture as s01/s06
+      seedEventsJson(s, d, name, numShards = 4)
+      def side(et: String, pfx: String): DataFrame =
+        s.readStream.format("shardstream")
+          .option("stream", name)
+          .option("startingPosition", "trim_horizon")
+          .option("maxRecordsPerBatch", "10000000")
+          .load()
+          .select(from_json(col("data").cast("string"), payloadSchema).as("e"))
+          .filter(col("e.event_type") === et)
+          .select(col("e.user_id").as(s"${pfx}_user"),
+            timestamp_micros(col("e.ts_us")).as(s"${pfx}_ts"),
+            col("e.event_id").as(s"${pfx}_eid"))
+          .withWatermark(s"${pfx}_ts", "1 hour")
+      val joined = side("click", "c").join(side("purchase", "p"),
+        expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 10 minutes"),
+        "left_outer")
+      drain(s, joined.select(col("c_eid"), col("p_eid")))
+    }),
+
     // Watermark-BOUNDED streaming dedup (dropDuplicatesWithinWatermark)
     // — the 100-TB-sane counterpart to s07: s07's plain dropDuplicates
     // keeps every key seen forever (state grows with the stream);
@@ -328,6 +352,12 @@ object Streams extends QueryPack {
           unix_micros(col("ts")).as("ts_us")))
     }),
 
+    // Streaming dedup through the source: the fixture is seeded with
+    // every event TWICE (at-least-once delivery); dropDuplicates on the
+    // event key must emit each exactly once — the exactly-once-
+    // downstream repair stage of an at-least-once ingest. Keyed state
+    // is one entry per event_id; with a watermark (here: none needed,
+    // single bounded replay) it becomes evictable at 100 TB.
     "s07_stream_dedup" -> ((s, d) => {
       val name = s"events_dup_${sfx(d)}"
       synchronized { // same mid-seed-visibility rule as seedEventsJson
@@ -627,6 +657,25 @@ object Streams extends QueryPack {
     "s14_stream_dedup_watermarked" ->
       """SELECT event_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us
         |FROM events""".stripMargin,
+
+    "s15_stream_outer_join" ->
+      """WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+        |         - INTERVAL 1 HOUR AS w),
+        |matched AS (
+        |  SELECT c.event_id AS c_eid, p.event_id AS p_eid
+        |  FROM c JOIN p ON c.user_id = p.user_id
+        |   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE),
+        |unmatched AS (
+        |  SELECT c.event_id AS c_eid, CAST(NULL AS BIGINT) AS p_eid
+        |  FROM c, wm
+        |  WHERE c.ts + INTERVAL 10 MINUTE < wm.w
+        |    AND NOT EXISTS (
+        |      SELECT 1 FROM p WHERE p.user_id = c.user_id
+        |        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE))
+        |SELECT c_eid, p_eid FROM matched
+        |UNION ALL SELECT c_eid, p_eid FROM unmatched""".stripMargin,
 
     "s08_stream_complete_agg" ->
       """SELECT event_type, count(*) AS n,
