@@ -27,7 +27,7 @@ import graft.operators._
   *    gap-fill, cohort retention, last-touch attribution, z-score
   *    anomalies, bipartite propagation, time-weighted averages, Markov
   *    transitions, robust median/MAD statistics, co-occurrence lift,
-  *    map-column feature roundtrip
+  *    map-column feature roundtrip, EWMA sequential fold (q108)
   *  - [[operators.TextAnalysis]] q31–q34, q48, q51–q52, q66, q70,
   *    q72–q73, q78, q93, q101: token stats, lang quality,
   *    fingerprints, top terms, langid, redaction, bigram LM + LM doc
@@ -48,11 +48,12 @@ import graft.operators._
   *  - [[operators.Layout]] q54–q55, q86–q87: partition pruning,
   *    bucketed joins, latest-wins upsert compaction, Z-order
   *    clustering stats
-  *  - [[operators.Pipeline]] q57–q63, q77, q80, q102, q105:
+  *  - [[operators.Pipeline]] q57–q63, q77, q80, q102, q105, q107:
   *    training-data curation — quantiles (exact + histogram sketch),
   *    TF-IDF ranking, deterministic hash/stratified sampling, quality
-  *    gates, sequence packing, mixture planning, benchmark
-  *    decontamination, RAG chunking, train/valid/test split manifest
+  *    gates, sequence packing, mixture planning (min-equalizing +
+  *    temperature-smoothed), benchmark decontamination, RAG chunking,
+  *    train/valid/test split manifest
   */
 object SparkEntry {
 

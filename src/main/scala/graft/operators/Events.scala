@@ -451,6 +451,33 @@ object Events extends QueryPack {
           expr("(m_b * 1000000L) div n_users").as("b_ppm"))
     }),
 
+    // ---- per-user EWMA via a sequential fold (α = 1/4) --------------
+    // Exponentially weighted moving average of per-user charge, in
+    // exact integer cents: ewma₀ = x₀, ewmaₜ = (xₜ + 3·ewmaₜ₋₁) div 4.
+    // A sequential recurrence has no windowed-SQL form, so it runs as
+    // collect-sorted-list + aggregate() fold — the bounded-per-key
+    // sequential-compute pattern. All values are non-negative cents,
+    // so Spark's truncating `div` equals DuckDB's flooring `//`, and
+    // the fold itself is the same left fold as DuckDB list_reduce
+    // (first element as init). Scale: state is one user's event list;
+    // per-user cardinality is the bounded dimension (for unbounded
+    // per-key sequences the same recurrence runs incrementally as s10's
+    // mapGroupsWithState — this is the batch form).
+    "q108_ewma_fold" -> ((s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
+          expr("CAST(round(value * 100) AS BIGINT)").as("vq"))
+        .groupBy($"user_id")
+        .agg(sort_array(collect_list(struct($"ts_us", $"event_id", $"vq"))).as("xs"))
+        .withColumn("vqs", expr("transform(xs, s -> s.vq)"))
+        .select($"user_id",
+          size($"vqs").cast("bigint").as("n_events"),
+          element_at($"vqs", 1).as("first_vq"),
+          expr("aggregate(slice(vqs, 2, size(vqs) - 1), element_at(vqs, 1)," +
+            " (acc, x) -> (x + 3L * acc) div 4)").as("ewma_vq"))
+    }),
+
     // ---- per-user type-count map roundtrip (map-function surface) ---
     // Builds the per-user event_type→count map with map_from_entries
     // over collected (type, n) structs, then reads it back out with
@@ -755,6 +782,16 @@ object Events extends QueryPack {
         |JOIN marg ma ON ma.event_type = pairs.a
         |JOIN marg mb ON mb.event_type = pairs.b
         |CROSS JOIN u""".stripMargin,
+
+    "q108_ewma_fold" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    list(CAST(round(value * 100) AS BIGINT) ORDER BY ts, event_id) AS vqs
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(len(vqs) AS BIGINT) AS n_events,
+        |  vqs[1] AS first_vq,
+        |  list_reduce(vqs, (acc, x) -> (x + 3 * acc) // 4) AS ewma_vq
+        |FROM s""".stripMargin,
 
     "q104_user_type_map" ->
       """SELECT user_id,

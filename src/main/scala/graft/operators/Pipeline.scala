@@ -258,6 +258,25 @@ object Pipeline extends QueryPack {
         .agg(count(lit(1)).as("n_docs"),
           sum($"n_chars").cast("bigint").as("split_chars"),
           min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+    }),
+
+    // ---- temperature-smoothed source mixture (T = 2) ----------------
+    // Multilingual-corpus rebalancing (the XLM-R/mT5 recipe): sampling
+    // weight ∝ share^(1/T); at T = 2 that is √n, computed exactly as
+    // floor(sqrt(n·10⁶)) — IEEE sqrt is correctly rounded, so the
+    // floored integer matches across engines, no float compare. Heavy
+    // sources are damped, tail sources up-weighted vs q63's min-
+    // equalizing plan. One corpus agg; the weight/share math runs on
+    // the |sources|-row result (global window over ≤20 rows).
+    "q107_temperature_mixture" -> ((s, d) => {
+      import s.implicits._
+      val per = T.documents(s, d).groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", floor(sqrt($"n_docs" * 1000000L)).cast("long"))
+      per.withColumn("sum_w",
+          sum($"w").over(org.apache.spark.sql.expressions.Window.partitionBy()))
+        .select($"source", $"n_docs", $"w",
+          expr("(w * 1000000L) div sum_w").as("share_ppm"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -384,6 +403,15 @@ object Pipeline extends QueryPack {
         |  md5(substr(text, CAST(k * 192 + 1 AS INT), 256)) AS chunk_md5
         |FROM documents, UNNEST(range(0, (length(text) - 1) // 192 + 1)) AS t(k)
         |WHERE length(text) > 0""".stripMargin,
+
+    "q107_temperature_mixture" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(floor(sqrt(count(*) * 1000000)) AS BIGINT) AS w
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, w,
+        |  (w * 1000000) // CAST(sum(w) OVER () AS BIGINT) AS share_ppm
+        |FROM per""".stripMargin,
 
     "q105_split_manifest" ->
       """WITH b AS (
