@@ -61,6 +61,28 @@ class SketchBoundsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"partition layout changed the HLL estimate: $estimates")
   }
 
+  test("approx_percentile lands within its accuracy guarantee vs exact percentile") {
+    // guarantee: rank error <= n / accuracy. Check p50/p95 of n_chars
+    // against exact values computed at rank +- tolerance.
+    val accuracy = 100
+    val docs = Tables.documents(spark, dir).select(col("n_chars"))
+    val n = docs.count()
+    val sorted = docs.orderBy("n_chars").collect().map(_.getLong(0))
+    val approx = docs.select(
+      percentile_approx(col("n_chars"), lit(0.5), lit(accuracy)).as("p50"),
+      percentile_approx(col("n_chars"), lit(0.95), lit(accuracy)).as("p95")).head()
+    val tol = (n.toDouble / accuracy).ceil.toInt
+    def rankBounds(p: Double, v: Long): Unit = {
+      val target = (p * (n - 1)).round.toInt
+      val lo = sorted(math.max(0, target - tol))
+      val hi = sorted(math.min(n.toInt - 1, target + tol))
+      assert(v >= lo && v <= hi,
+        s"approx p$p=$v outside rank-tolerance [$lo, $hi] (n=$n, tol=$tol ranks)")
+    }
+    rankBounds(0.5, approx.getLong(0))
+    rankBounds(0.95, approx.getLong(1))
+  }
+
   test("per-group estimates hold the bound too (events.user_id by type)") {
     val rsd = 0.05
     val ev = Tables.events(spark, dir)
