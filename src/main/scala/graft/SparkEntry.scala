@@ -48,12 +48,13 @@ import graft.operators._
   *  - [[operators.Layout]] q54–q55, q86–q87: partition pruning,
   *    bucketed joins, latest-wins upsert compaction, Z-order
   *    clustering stats
-  *  - [[operators.Pipeline]] q57–q63, q77, q80, q102, q105, q107:
-  *    training-data curation — quantiles (exact + histogram sketch),
-  *    TF-IDF ranking, deterministic hash/stratified sampling, quality
-  *    gates, sequence packing, mixture planning (min-equalizing +
-  *    temperature-smoothed), benchmark decontamination, RAG chunking,
-  *    train/valid/test split manifest
+  *  - [[operators.Pipeline]] q57–q63, q77, q80, q102, q105, q107,
+  *    q109: training-data curation — quantiles (exact + histogram
+  *    sketch), TF-IDF ranking, deterministic hash/stratified sampling,
+  *    quality gates, sequence packing, mixture planning
+  *    (min-equalizing + temperature-smoothed), benchmark
+  *    decontamination, RAG chunking, train/valid/test split manifest,
+  *    split-leakage n-gram audit
   */
 object SparkEntry {
 

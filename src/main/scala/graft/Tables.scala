@@ -44,9 +44,11 @@ object Tables {
     * ns→µs truncation is lossless and matches DuckDB's `epoch_us`. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    loaded.computeIfAbsent((s, d, "events:ts"),
-      _ => load(s, d, "events")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000"))))
+    // only the load (file listing) is worth memoizing; the ns→µs
+    // conversion is a free plan node — and memoizing it here would
+    // nest computeIfAbsent inside computeIfAbsent on the same map,
+    // which ConcurrentHashMap rejects as a recursive update
+    load(s, d, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -260,6 +260,39 @@ object Pipeline extends QueryPack {
           min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
     }),
 
+    // ---- split-leakage audit: n-gram overlap across the hash split --
+    // How much 4-gram mass the q105 train split shares with its
+    // valid/test splits, per lang — the leakage/diversity metric run
+    // before shipping a split manifest (same family as q77's
+    // benchmark decontamination, but between internal splits).
+    // Shape: one distinct-gram agg per corpus scan, then a semi join
+    // on the gram key; the distinct-gram table is vocabulary-scaled
+    // and the join shuffles only gram hashes, never text.
+    "q109_split_leakage" -> ((s, d) => {
+      import s.implicits._
+      val b = pmod(hash60($"doc_id"), lit(100))
+      // size >= 4 filter BEFORE sequence(): Spark's sequence(1, n)
+      // descends for n < 1 instead of returning empty
+      val grams = T.documents(s, d)
+        .withColumn("split",
+          when(b < 80, "train").when(b < 90, "valid").otherwise("test"))
+        .withColumn("w", split($"text", " "))
+        .filter(size($"w") >= 4)
+        .select($"split", $"lang", explode(
+          expr("transform(sequence(1, size(w) - 3), " +
+            "i -> concat_ws(' ', slice(w, i, 4)))")).as("gram"))
+        .distinct()
+      val train = grams.filter($"split" === "train").select($"lang", $"gram")
+      val eval_ = grams.filter($"split" =!= "train")
+      eval_
+        .join(train, Seq("lang", "gram"), "left_semi")
+        .groupBy($"lang", $"split").agg(count(lit(1)).as("n_shared"))
+        .join(eval_.groupBy($"lang", $"split").agg(count(lit(1)).as("n_grams")),
+          Seq("lang", "split"))
+        .select($"lang", $"split", $"n_shared", $"n_grams",
+          expr("(n_shared * 1000000L) div n_grams").as("leak_ppm"))
+    }),
+
     // ---- temperature-smoothed source mixture (T = 2) ----------------
     // Multilingual-corpus rebalancing (the XLM-R/mT5 recipe): sampling
     // weight ∝ share^(1/T); at T = 2 that is √n, computed exactly as
@@ -403,6 +436,33 @@ object Pipeline extends QueryPack {
         |  md5(substr(text, CAST(k * 192 + 1 AS INT), 256)) AS chunk_md5
         |FROM documents, UNNEST(range(0, (length(text) - 1) // 192 + 1)) AS t(k)
         |WHERE length(text) > 0""".stripMargin,
+
+    "q109_split_leakage" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS w,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      % 100 AS h
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 4),
+        |g AS (
+        |  SELECT DISTINCT
+        |    CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'valid'
+        |         ELSE 'test' END AS split,
+        |    lang,
+        |    unnest(list_transform(range(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS gram
+        |  FROM b),
+        |train AS (SELECT lang, gram FROM g WHERE split = 'train'),
+        |ev AS (SELECT split, lang, gram FROM g WHERE split != 'train'),
+        |shared AS (
+        |  SELECT ev.lang, ev.split, count(*) AS n_shared FROM ev
+        |  WHERE EXISTS (SELECT 1 FROM train t
+        |                WHERE t.lang = ev.lang AND t.gram = ev.gram)
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT lang, split, count(*) AS n_grams FROM ev GROUP BY 1, 2)
+        |SELECT tot.lang, tot.split, n_shared, n_grams,
+        |  (n_shared * 1000000) // n_grams AS leak_ppm
+        |FROM tot JOIN shared ON tot.lang = shared.lang AND tot.split = shared.split""".stripMargin,
 
     "q107_temperature_mixture" ->
       """WITH per AS (
