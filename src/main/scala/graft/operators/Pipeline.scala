@@ -282,6 +282,10 @@ object Pipeline extends QueryPack {
           expr("transform(sequence(1, size(w) - 3), " +
             "i -> concat_ws(' ', slice(w, i, 4)))")).as("gram"))
         .distinct()
+        // the distinct-gram table feeds three consumers (train side,
+        // semi join probe, eval totals) — cache it so the corpus is
+        // gram-exploded once, not three times (same pattern as q36)
+        .cache()
       val train = grams.filter($"split" === "train").select($"lang", $"gram")
       val eval_ = grams.filter($"split" =!= "train")
       eval_
