@@ -140,6 +140,34 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q101: no word-key aggregation below the pair explosion")
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // the fact-to-fact join path at 100 TB: neither side broadcastable,
+    // so Catalyst's InjectRuntimeFilter must build a bloom filter from
+    // the selective (filtered) side and push a might_contain probe
+    // into the big side's scan filter — rows that can't match never
+    // leave the scan. Thresholds are lowered because the local fixture
+    // is far below the 10 MB/10 GB defaults that a real cluster hits.
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      import org.apache.spark.sql.functions.col
+      val li = Tables.lineitem(spark, dir)
+      val ord = Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+      val p = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(col("o_orderpriority")).count()
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"runtime bloom filter not injected:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("filters reach the parquet scan (pushdown)") {
     val q2 = SparkEntry.queries("q02_filter_project")(spark, dir)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
