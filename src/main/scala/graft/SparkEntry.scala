@@ -29,10 +29,10 @@ import graft.operators._
   *    transitions, robust median/MAD statistics, co-occurrence lift,
   *    map-column feature roundtrip, EWMA sequential fold (q108)
   *  - [[operators.TextAnalysis]] q31–q34, q48, q51–q52, q66, q70,
-  *    q72–q73, q78, q93, q101: token stats, lang quality,
-  *    fingerprints, top terms, langid, redaction, bigram LM + LM doc
-  *    scoring, repetition, deciles, inverted index, BPE pair-merge
-  *    statistics
+  *    q72–q73, q78, q93, q101, q110: token stats, lang quality,
+  *    fingerprints, top terms (window + bounded-heap Aggregator
+  *    forms), langid, redaction, bigram LM + LM doc scoring,
+  *    repetition, deciles, inverted index, BPE pair-merge statistics
   *  - [[operators.Dedup]] q35–q37, q56, q67, q69, q74, q76: exact +
   *    incremental dedup, banded MinHash LSH, SimHash, clustering,
   *    keepers, edit-distance verify, duplicate spans

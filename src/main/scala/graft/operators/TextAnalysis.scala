@@ -111,6 +111,28 @@ object TextAnalysis extends QueryPack {
           .as("postings"))
     }),
 
+    // ---- top-k via bounded-heap Aggregator (the scale-correct form) -
+    // Same answer as q34, different physical shape: q34's window sorts
+    // every (lang, term, n) row inside its lang partition; this one
+    // aggregates with graft.functions.TopKAgg, so map-side partials
+    // cap the shuffle at k rows per lang per partition and no sort
+    // ever sees the full term table — the top-k pushdown Spark lacks
+    // natively.
+    "q110_topk_heap" -> ((s, d) => {
+      import s.implicits._
+      val counts = T.documents(s, d)
+        .select($"lang", explode(split($"text", " ")).as("term"))
+        .groupBy($"lang", $"term").agg(count(lit(1)).as("n"))
+      val topk = udaf(new graft.functions.TopKAgg(5),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaLong))
+      counts.groupBy($"lang").agg(topk($"term", $"n").as("tk"))
+        .select($"lang", posexplode($"tk"))
+        .select($"lang", $"col._1".as("term"), $"col._2".as("n"),
+          ($"pos" + 1).cast("bigint").as("rn"))
+    }),
+
     "q34_top_terms_per_lang" -> ((s, d) => {
       import s.implicits._
       val counts = T.documents(s, d)
@@ -456,6 +478,16 @@ object TextAnalysis extends QueryPack {
         |GROUP BY t.gram, keep.df""".stripMargin,
 
     "q34_top_terms_per_lang" ->
+      """SELECT lang, term, n, rn FROM (
+        |  SELECT lang, term, n,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS BIGINT) AS rn
+        |  FROM (
+        |    SELECT lang, term, count(*) AS n FROM (
+        |      SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents) u
+        |    GROUP BY lang, term) c) t
+        |WHERE rn <= 5""".stripMargin,
+
+    "q110_topk_heap" ->
       """SELECT lang, term, n, rn FROM (
         |  SELECT lang, term, n,
         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS BIGINT) AS rn
