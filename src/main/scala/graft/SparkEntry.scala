@@ -21,13 +21,15 @@ import graft.operators._
   *    running state, streaming session windows, transformWithState
   *    arbitrary state, foreachBatch CDC upsert
   *  - [[operators.Events]] q23–q30, q47, q68, q81, q84, q88–q89,
-  *    q92, q95–q96, q98–q100, q103–q104: event-time windows, JSON
-  *    props, SQL surface, as-of/range/interval joins, rolling
+  *    q92, q95–q96, q98–q100, q103–q104, q111, q114: event-time
+  *    windows, JSON props (schema-full from_json + schemaless Spark 4
+  *    VARIANT), SQL surface, as-of/range/interval joins, rolling
   *    features, sequential funnel, change-interval historization,
   *    gap-fill, cohort retention, last-touch attribution, z-score
   *    anomalies, bipartite propagation, time-weighted averages, Markov
   *    transitions, robust median/MAD statistics, co-occurrence lift,
-  *    map-column feature roundtrip, EWMA sequential fold (q108)
+  *    map-column feature roundtrip, EWMA sequential fold (q108),
+  *    sliding-window distinct users (q114)
   *  - [[operators.TextAnalysis]] q31–q34, q48, q51–q52, q66, q70,
   *    q72–q73, q78, q93, q101, q110: token stats, lang quality,
   *    fingerprints, top terms (window + bounded-heap Aggregator
@@ -42,12 +44,13 @@ import graft.operators._
   *    features
   *  - [[operators.Multimodal]] q45, q64–q65: binary payload +
   *    decode-stub features, frame sampling, resize
-  *  - [[operators.Sketches]] q43/q44/q46, q83: KMV Aggregator, native
-  *    rolling-hash Expression, multi-format round-trip, XOR table
-  *    fingerprints (replica compare)
-  *  - [[operators.Layout]] q54–q55, q86–q87: partition pruning,
+  *  - [[operators.Sketches]] q43/q44/q46, q83, q112: KMV Aggregator,
+  *    native rolling-hash Expression, multi-format round-trip, XOR
+  *    table fingerprints (replica compare), count-min-sketch heavy
+  *    hitters
+  *  - [[operators.Layout]] q54–q55, q86–q87, q113: partition pruning,
   *    bucketed joins, latest-wins upsert compaction, Z-order
-  *    clustering stats
+  *    clustering stats, one-pass column profiling (ANALYZE shape)
   *  - [[operators.Pipeline]] q57–q63, q77, q80, q102, q105, q107,
   *    q109: training-data curation — quantiles (exact + histogram
   *    sketch), TF-IDF ranking, deterministic hash/stratified sampling,

@@ -46,6 +46,21 @@ object Events extends QueryPack {
         .select(unix_timestamp($"w.start").as("start_s"), $"event_type", $"n", $"sum_value")
     }),
 
+    // ---- sliding distinct users (DAU-style) -------------------------
+    // Exact per-window distinct counting over overlapping windows: the
+    // daily/rolling-active-users surface. Each event lands in 4 of the
+    // 24h/6h-slide windows; Spark's distinct aggregation pre-reduces to
+    // (window, user) partials map-side, so the shuffle carries one row
+    // per (window, user), not one per event — the shape that survives
+    // when "events" is 100 TB but |windows|×|users| is not.
+    "q114_sliding_dau" -> ((s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .groupBy(window($"ts", "24 hours", "6 hours").as("w"))
+        .agg(countDistinct($"user_id").as("dau"), count(lit(1)).as("n"))
+        .select(unix_timestamp($"w.start").as("start_s"), $"dau", $"n")
+    }),
+
     // ---- session window (30 min gap) per user -----------------------
     "q25_session_window" -> ((s, d) => {
       import s.implicits._
@@ -77,6 +92,26 @@ object Events extends QueryPack {
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"), sum($"k").cast("bigint").as("sum_k"),
           countDistinct($"k").as("n_distinct_k"))
+    }),
+
+    // ---- Spark 4 VARIANT semi-structured extraction -----------------
+    // The open-schema path q27's from_json can't cover: parse_json
+    // ingests props as VARIANT (no schema declared anywhere), typed
+    // values come out via variant_get path extraction at query time,
+    // and a missing path is a plain NULL through try_variant_get — the
+    // shred-on-read model for heterogeneous 100 TB JSON where forcing
+    // one StructType up front would drop unknown keys.
+    "q111_variant_props" -> ((s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .select($"event_type",
+          expr("variant_get(parse_json(props), '$.k', 'int')").as("k"),
+          expr("try_variant_get(parse_json(props), '$.missing', 'int')").as("miss"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"k").cast("bigint").as("sum_k"),
+          min($"k").cast("bigint").as("min_k"),
+          max($"k").cast("bigint").as("max_k"),
+          count($"miss").as("n_miss"))
     }),
 
     // ---- SQL surface: same text runs on Spark SQL and DuckDB --------
@@ -703,6 +738,12 @@ object Events extends QueryPack {
         |FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
         |GROUP BY 1, 2""".stripMargin,
 
+    "q114_sliding_dau" ->
+      """SELECT CAST((epoch_us(ts) // 21600000000 - k.k) * 21600 AS BIGINT) AS start_s,
+        |  count(DISTINCT user_id) AS dau, count(*) AS n
+        |FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k)
+        |GROUP BY 1""".stripMargin,
+
     "q25_session_window" ->
       s"""WITH marked AS (
         |  SELECT user_id, ts, event_id, value,
@@ -733,6 +774,17 @@ object Events extends QueryPack {
         |  CAST(sum(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
         |  count(DISTINCT CAST(props->>'k' AS INTEGER)) AS n_distinct_k
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q111_variant_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k,
+        |  count(miss) AS n_miss
+        |FROM (
+        |  SELECT event_type, CAST(props->>'k' AS INTEGER) AS k,
+        |    CAST(props->>'missing' AS INTEGER) AS miss
+        |  FROM events) t
+        |GROUP BY event_type""".stripMargin,
 
     "q28_sql_surface" -> sqlSurfaceText,
 

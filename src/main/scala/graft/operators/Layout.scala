@@ -33,6 +33,46 @@ object Layout extends QueryPack {
         .agg(count(lit(1)).as("n"), Exact.sumMoney($"o_totalprice").as("total"))
     }),
 
+    // ---- column profile (ANALYZE-statistics shape) ------------------
+    // The data-quality / stats-collection pass every ingest runs before
+    // a table goes live: per-column null count, distinct count, and
+    // min/max, emitted long-form (one row per column). ONE scan
+    // computes all 17 aggregates with map-side partials; the only
+    // multiplier is the multi-countDistinct expand (×4 rows into the
+    // aggregate, the standard cost of exact NDV — swap in KMV (q43)
+    // per column when approximate NDV is acceptable at 100 TB).
+    // min/max are computed on native types (never on strings) and
+    // rendered to text only post-agg; money goes through exact cents,
+    // timestamps through epoch seconds.
+    "q113_profile" -> ((s, d) => {
+      import s.implicits._
+      val t = T.orders(s, d).select(
+        $"o_custkey".as("ck"), $"o_orderstatus".as("st"),
+        Exact.cents($"o_totalprice").as("pc"),
+        unix_timestamp($"o_orderdate").as("ep"))
+      val wide = t.agg(
+        count(lit(1)).as("n_rows"),
+        sum($"ck".isNull.cast("long")).as("ck_nulls"),
+        countDistinct($"ck").as("ck_dist"),
+        min($"ck").cast("string").as("ck_min"), max($"ck").cast("string").as("ck_max"),
+        sum($"st".isNull.cast("long")).as("st_nulls"),
+        countDistinct($"st").as("st_dist"),
+        min($"st").as("st_min"), max($"st").as("st_max"),
+        sum($"pc".isNull.cast("long")).as("pc_nulls"),
+        countDistinct($"pc").as("pc_dist"),
+        min($"pc").cast("string").as("pc_min"), max($"pc").cast("string").as("pc_max"),
+        sum($"ep".isNull.cast("long")).as("ep_nulls"),
+        countDistinct($"ep").as("ep_dist"),
+        min($"ep").cast("string").as("ep_min"), max($"ep").cast("string").as("ep_max"))
+      wide.selectExpr("n_rows",
+        """stack(4,
+          |  'o_custkey',           ck_nulls, ck_dist, ck_min, ck_max,
+          |  'o_orderstatus',       st_nulls, st_dist, st_min, st_max,
+          |  'o_totalprice_cents',  pc_nulls, pc_dist, pc_min, pc_max,
+          |  'o_orderdate_epoch_s', ep_nulls, ep_dist, ep_min, ep_max
+          |) AS (col_name, n_nulls, n_distinct, min_s, max_s)""".stripMargin)
+    }),
+
     // ---- bucketed co-located join -----------------------------------
     // Both sides bucketed (and sorted) on the join key: the join reads
     // bucket i against bucket i with NO shuffle of either fact table —
@@ -149,6 +189,32 @@ object Layout extends QueryPack {
         |  CAST(min(sy) AS BIGINT) AS min_y, CAST(max(sy) AS BIGINT) AS max_y
         |FROM z GROUP BY 1""".stripMargin
     },
+
+    "q113_profile" ->
+      s"""WITH t AS (
+        |  SELECT o_custkey AS ck, o_orderstatus AS st,
+        |    ${Exact.centsSql("o_totalprice")} AS pc,
+        |    CAST(epoch(o_orderdate) AS BIGINT) AS ep
+        |  FROM orders),
+        |w AS (SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN ck IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ck_nulls,
+        |  count(DISTINCT ck) AS ck_dist,
+        |  CAST(min(ck) AS VARCHAR) AS ck_min, CAST(max(ck) AS VARCHAR) AS ck_max,
+        |  CAST(sum(CASE WHEN st IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS st_nulls,
+        |  count(DISTINCT st) AS st_dist,
+        |  min(st) AS st_min, max(st) AS st_max,
+        |  CAST(sum(CASE WHEN pc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS pc_nulls,
+        |  count(DISTINCT pc) AS pc_dist,
+        |  CAST(min(pc) AS VARCHAR) AS pc_min, CAST(max(pc) AS VARCHAR) AS pc_max,
+        |  CAST(sum(CASE WHEN ep IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ep_nulls,
+        |  count(DISTINCT ep) AS ep_dist,
+        |  CAST(min(ep) AS VARCHAR) AS ep_min, CAST(max(ep) AS VARCHAR) AS ep_max
+        |  FROM t)
+        |SELECT n_rows, 'o_custkey' AS col_name, ck_nulls AS n_nulls,
+        |  ck_dist AS n_distinct, ck_min AS min_s, ck_max AS max_s FROM w
+        |UNION ALL SELECT n_rows, 'o_orderstatus', st_nulls, st_dist, st_min, st_max FROM w
+        |UNION ALL SELECT n_rows, 'o_totalprice_cents', pc_nulls, pc_dist, pc_min, pc_max FROM w
+        |UNION ALL SELECT n_rows, 'o_orderdate_epoch_s', ep_nulls, ep_dist, ep_min, ep_max FROM w""".stripMargin,
 
     "q86_upsert_compaction" ->
       s"""WITH log AS (

@@ -29,6 +29,35 @@ object Sketches extends QueryPack {
           countDistinct($"hv").as("true_distinct"))
     }),
 
+    // ---- count-min sketch heavy hitters -----------------------------
+    // The mergeable frequency sketch: d=4 hash rows × w=256 counters.
+    // The corpus is scanned once into exact word counts; probes then
+    // explode 4 rows per DISTINCT word (never per occurrence — q101's
+    // distinct-table trick), and the counter matrix is one hash agg
+    // capped at d·w = 1024 rows however large the corpus. Estimates
+    // (min over the word's d buckets) are reported next to true counts
+    // for the global top-20, so the one-sided error (est ≥ true) is
+    // visible in the result itself. At 100 TB the matrix build is a
+    // map-side-partial agg to 1024 rows — the whole point of CMS.
+    "q112_cms_heavyhitters" -> ((s, d) => {
+      import s.implicits._
+      val probeArr = (r: org.apache.spark.sql.Column) => array((0 until 4).map(i =>
+        struct(lit(i).as("r"),
+          pmod(h60(concat_ws("|", lit(i), r)), lit(256)).as("b"))): _*)
+      val counts = T.documents(s, d)
+        .select(explode(split($"text", " ")).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("n"))
+      val matrix = counts
+        .select($"n", explode(probeArr($"w")).as("p"))
+        .groupBy($"p.r".as("r"), $"p.b".as("b"))
+        .agg(sum($"n").as("c"))
+      val top = counts.orderBy($"n".desc, $"w".asc).limit(20)
+      top.select($"w", $"n", explode(probeArr($"w")).as("p"))
+        .select($"w", $"n", $"p.r".as("r"), $"p.b".as("b"))
+        .join(broadcast(matrix), Seq("r", "b"))
+        .groupBy($"w", $"n").agg(min($"c").cast("bigint").as("cms_est"))
+    }),
+
     // ---- native rolling-hash fingerprint ----------------------------
     "q44_rolling_fingerprint" -> ((s, d) => {
       import s.implicits._
@@ -125,6 +154,22 @@ object Sketches extends QueryPack {
         |             ELSE 63.0 * 1152921504606846976 / hv END, 4) AS est_distinct,
         |  cnt AS true_distinct
         |FROM r WHERE (cnt < 64 AND rn = cnt) OR (cnt >= 64 AND rn = 64)""".stripMargin,
+
+    "q112_cms_heavyhitters" ->
+      """WITH words AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |counts AS (SELECT w, count(*) AS n FROM words GROUP BY w),
+        |probes AS (
+        |  SELECT w, n, k.r AS r,
+        |    CAST('0x' || substr(md5(CAST(k.r AS VARCHAR) || '|' || w), 1, 15)
+        |      AS BIGINT) % 256 AS b
+        |  FROM counts CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(r)),
+        |matrix AS (SELECT r, b, sum(n) AS c FROM probes GROUP BY r, b),
+        |top AS (SELECT w, n FROM counts ORDER BY n DESC, w LIMIT 20)
+        |SELECT t.w, t.n, CAST(min(m.c) AS BIGINT) AS cms_est
+        |FROM top t JOIN probes p ON p.w = t.w
+        |JOIN matrix m ON m.r = p.r AND m.b = p.b
+        |GROUP BY t.w, t.n""".stripMargin,
 
     "q44_rolling_fingerprint" ->
       """SELECT doc_id,
