@@ -9,10 +9,10 @@ import graft.operators._
   * surface the driver verifies against DuckDB at sf0.01 and benches at
   * sf0.1:
   *  - [[operators.Relational]] q01–q22, q49–q50, q71, q82, q85,
-  *    q90–q91, q97: joins/aggs/windows/set ops/subqueries/scalar
-  *    functions/salted skew join/exact moment + covariance power
-  *    sums/analytic window functions/unpivot/percent-of-parent over
-  *    the TPC-H-ish tables
+  *    q90–q91, q97, q115: joins/aggs/windows/set ops/subqueries
+  *    (scalar + correlated LATERAL with LIMIT)/scalar functions/salted
+  *    skew join/exact moment + covariance power sums/analytic window
+  *    functions/unpivot/percent-of-parent over the TPC-H-ish tables
   *  - [[operators.Streams]] s01–s15: the `shardstream` DSv2 source and
   *    sinks end-to-end (SURVEY §2 S1–S16): round-trips, take-N,
   *    windowed parity, stream-stream inner + left-outer joins,
@@ -48,9 +48,10 @@ import graft.operators._
   *    native rolling-hash Expression, multi-format round-trip, XOR
   *    table fingerprints (replica compare), count-min-sketch heavy
   *    hitters
-  *  - [[operators.Layout]] q54–q55, q86–q87, q113: partition pruning,
-  *    bucketed joins, latest-wins upsert compaction, Z-order
-  *    clustering stats, one-pass column profiling (ANALYZE shape)
+  *  - [[operators.Layout]] q54–q55, q86–q87, q113, q116: partition
+  *    pruning, bucketed joins, latest-wins upsert compaction, Z-order
+  *    clustering stats, one-pass column profiling (ANALYZE shape),
+  *    incremental aggregate maintenance (MV merge algebra)
   *  - [[operators.Pipeline]] q57–q63, q77, q80, q102, q105, q107,
   *    q109: training-data curation — quantiles (exact + histogram
   *    sketch), TF-IDF ranking, deterministic hash/stratified sampling,

@@ -73,6 +73,26 @@ object Layout extends QueryPack {
           |) AS (col_name, n_nulls, n_distinct, min_s, max_s)""".stripMargin)
     }),
 
+    // ---- incremental aggregate maintenance (MV merge) ---------------
+    // The materialized-view refresh algebra: (count, sum) partials are
+    // algebraic, so merging yesterday's compacted state with today's
+    // delta-batch partials equals a full re-aggregation — the oracle IS
+    // that full re-agg, so the gate proves the merge law. At 100 TB the
+    // base state is read pre-aggregated (one row per group, not the
+    // raw history) and only the delta touches raw rows; keeping both
+    // sides bucketed on the group key makes the merge shuffle-free.
+    "q116_incremental_agg" -> ((s, d) => {
+      import s.implicits._
+      def partial(df: DataFrame) = df.groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n"), sum(Exact.cents($"o_totalprice")).as("sum_c"))
+      val o = T.orders(s, d)
+      val base  = partial(o.filter($"o_orderkey" % 10 =!= 0))
+      val delta = partial(o.filter($"o_orderkey" % 10 === 0))
+      base.unionAll(delta).groupBy($"o_custkey")
+        .agg(sum($"n").cast("bigint").as("n"),
+          sum($"sum_c").cast("bigint").as("total_c"))
+    }),
+
     // ---- bucketed co-located join -----------------------------------
     // Both sides bucketed (and sorted) on the join key: the join reads
     // bucket i against bucket i with NO shuffle of either fact table —
@@ -189,6 +209,11 @@ object Layout extends QueryPack {
         |  CAST(min(sy) AS BIGINT) AS min_y, CAST(max(sy) AS BIGINT) AS max_y
         |FROM z GROUP BY 1""".stripMargin
     },
+
+    "q116_incremental_agg" ->
+      s"""SELECT o_custkey, count(*) AS n,
+        |  CAST(sum(${Exact.centsSql("o_totalprice")}) AS BIGINT) AS total_c
+        |FROM orders GROUP BY o_custkey""".stripMargin,
 
     "q113_profile" ->
       s"""WITH t AS (

@@ -336,6 +336,18 @@ object Relational extends QueryPack {
         .select($"p_partkey", $"p_name", $"p_retailprice")
     }),
 
+    // ---- correlated LATERAL join (top-3 per outer row) --------------
+    // The per-row-subquery SQL surface: for each nation, the lateral
+    // subquery sees that nation's key and returns its top-3 customers
+    // by balance. Catalyst decorrelates this into a window-rank over
+    // ONE customer shuffle — the same physical plan as q09's top-k per
+    // group, so the "subquery per row" reading never executes as N
+    // scans; exact cents keep the balance comparison portable.
+    "q115_lateral_topk" -> ((s, d) => {
+      T.registerAll(s, d)
+      s.sql(Relational.lateralTopkText)
+    }),
+
     "q19_anti_join" -> ((s, d) => {
       import s.implicits._
       val o95 = T.orders(s, d)
@@ -465,7 +477,20 @@ object Relational extends QueryPack {
     })
   )
 
+  /** Same text on Spark SQL and DuckDB (q28 convention): a correlated
+    * LATERAL subquery with ORDER BY + LIMIT per outer row. */
+  val lateralTopkText: String =
+    """SELECT n_name, c_name, bal_c
+      |FROM nation n, LATERAL (
+      |  SELECT c_name, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      |  FROM customer c
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY bal_c DESC, c_name
+      |  LIMIT 3) t""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "q115_lateral_topk" -> lateralTopkText,
+
     "q97_pct_of_parent" ->
       s"""WITH g AS (
         |  SELECT r_name, n_name,

@@ -44,9 +44,13 @@ object Sketches extends QueryPack {
       val probeArr = (r: org.apache.spark.sql.Column) => array((0 until 4).map(i =>
         struct(lit(i).as("r"),
           pmod(h60(concat_ws("|", lit(i), r)), lit(256)).as("b"))): _*)
+      // cached: both the matrix build and the top-20 read it, and the
+      // distinct-word table is corpus-scale-independent-ish (q78/q101
+      // convention) — without this the corpus is scanned twice
       val counts = T.documents(s, d)
         .select(explode(split($"text", " ")).as("w"))
         .groupBy($"w").agg(count(lit(1)).as("n"))
+        .cache()
       val matrix = counts
         .select($"n", explode(probeArr($"w")).as("p"))
         .groupBy($"p.r".as("r"), $"p.b".as("b"))

@@ -125,6 +125,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q97: region dim not broadcast")
   }
 
+  test("q115: lateral subquery decorrelates to a rank-limited window, not N scans") {
+    val p = plans.toMap.apply("q115_lateral_topk")
+    // the ORDER BY + LIMIT 3 per nation must compile to WindowGroupLimit
+    // (partial top-k per partition before the customer shuffle); a
+    // nested-loop re-scan of customer per nation row would show up as
+    // CartesianProduct/BroadcastNestedLoopJoin (banned above) and no
+    // WindowGroupLimit
+    assert(p.contains("WindowGroupLimit"),
+      "lateral LIMIT was not decorrelated into a group-limited window")
+    assert(p.contains("row_number"), "expected rank-based decorrelation")
+  }
+
   test("q102: chunk generation is a zero-shuffle narrow pipeline") {
     // chunking must run at parquet-scan speed — any Exchange means the
     // payload text is being shuffled, which is fatal at 100 TB
