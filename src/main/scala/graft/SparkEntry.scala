@@ -53,12 +53,13 @@ import graft.operators._
   *    clustering stats, one-pass column profiling (ANALYZE shape),
   *    incremental aggregate maintenance (MV merge algebra)
   *  - [[operators.Pipeline]] q57–q63, q77, q80, q102, q105, q107,
-  *    q109: training-data curation — quantiles (exact + histogram
-  *    sketch), TF-IDF ranking, deterministic hash/stratified sampling,
-  *    quality gates, sequence packing, mixture planning
+  *    q109, q117–q118: training-data curation — quantiles (exact +
+  *    histogram sketch), TF-IDF ranking, deterministic hash/stratified
+  *    sampling, quality gates, sequence packing, mixture planning
   *    (min-equalizing + temperature-smoothed), benchmark
   *    decontamination, RAG chunking, train/valid/test split manifest,
-  *    split-leakage n-gram audit
+  *    split-leakage n-gram audit, skew diagnostics, end-to-end
+  *    curation DAG (gate→dedup→split→account)
   */
 object SparkEntry {
 

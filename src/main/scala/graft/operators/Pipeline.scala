@@ -248,6 +248,61 @@ object Pipeline extends QueryPack {
     // never migrates between splits when the corpus grows. Output is
     // the split manifest a training pipeline ships: per (split, lang)
     // counts, char mass, and id range. One narrow map + one agg.
+    // ---- skew diagnostics (the pre-salting planner pass) ------------
+    // Per-key frequency profile of every join/agg key a pipeline is
+    // about to shuffle on: key count, total rows, heaviest key, and
+    // max/mean ratio (×1000, exact integer). The output is what decides
+    // between a plain shuffle, a broadcast, or salting (q48/q71) — run
+    // it BEFORE the 100 TB job, not after it straggles. Each dimension
+    // is one mergeable hash agg to a key-count table and a one-row
+    // reduce; `max_n * 1000 div mean` keeps every intermediate within
+    // int64 at any scale (max_n·n_keys would overflow).
+    "q117_skew_stats" -> ((s, d) => {
+      import s.implicits._
+      def dim(df: DataFrame, key: org.apache.spark.sql.Column, label: String) =
+        df.groupBy(key.as("k")).agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_keys"), sum($"n").cast("bigint").as("total_n"),
+            max($"n").as("max_n"))
+          .select(lit(label).as("dim"), $"n_keys", $"total_n", $"max_n",
+            expr("max_n * 1000 div (total_n div n_keys)").as("skew_x1000"))
+      dim(T.events(s, d), $"user_id", "events.user_id")
+        .unionAll(dim(T.events(s, d), $"event_type", "events.event_type"))
+        .unionAll(dim(T.documents(s, d), $"lang", "documents.lang"))
+        .unionAll(dim(T.orders(s, d), $"o_custkey", "orders.o_custkey"))
+    }),
+
+    // ---- end-to-end curation DAG ------------------------------------
+    // The operators composed the way a real corpus build runs them:
+    // quality gate (q61's predicate) → exact near-dup removal (min
+    // doc_id per text fingerprint) → deterministic split assignment
+    // (q105's hash rule) → per-(split, lang) token accounting. One
+    // query, so the gate proves the STAGES compose — filters stay
+    // pushed below the dedup window, the dedup shuffles once on the
+    // fingerprint, the split adds no shuffle (hash of doc_id), and the
+    // final agg pre-reduces map-side.
+    "q118_curation_e2e" -> ((s, d) => {
+      import s.implicits._
+      val perDoc = T.documents(s, d)
+        .select($"doc_id", $"lang", $"text", $"n_chars", split($"text", " ").as("w"))
+        .select($"doc_id", $"lang", $"text", $"n_chars",
+          size($"w").cast("bigint").as("toks"),
+          size(filter($"w", w => w.isin("the", "a", "of", "and", "to")))
+            .cast("bigint").as("stops"))
+      val pass = ($"n_chars" >= 100 && $"n_chars" <= 5000) &&
+        ($"stops" * 100L >= $"toks") && ($"stops" * 2L <= $"toks") &&
+        ($"n_chars" < $"toks" * 12L)
+      val dedupW = Window.partitionBy($"fp").orderBy($"doc_id")
+      val b = pmod(hash60($"doc_id"), lit(100))
+      perDoc.filter(pass)
+        .withColumn("fp", hash60($"text"))
+        .withColumn("rn", row_number().over(dedupW))
+        .filter($"rn" === 1)
+        .withColumn("split",
+          when(b < 80, "train").when(b < 90, "valid").otherwise("test"))
+        .groupBy($"split", $"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"toks").cast("bigint").as("sum_toks"))
+    }),
+
     "q105_split_manifest" -> ((s, d) => {
       import s.implicits._
       val b = pmod(hash60($"doc_id"), lit(100))
@@ -476,6 +531,56 @@ object Pipeline extends QueryPack {
         |SELECT source, n_docs, w,
         |  (w * 1000000) // CAST(sum(w) OVER () AS BIGINT) AS share_ppm
         |FROM per""".stripMargin,
+
+    "q117_skew_stats" ->
+      """WITH eu AS (SELECT count(*) AS n FROM events GROUP BY user_id),
+        |et AS (SELECT count(*) AS n FROM events GROUP BY event_type),
+        |dl AS (SELECT count(*) AS n FROM documents GROUP BY lang),
+        |oc AS (SELECT count(*) AS n FROM orders GROUP BY o_custkey)
+        |SELECT 'events.user_id' AS dim, count(*) AS n_keys,
+        |  CAST(sum(n) AS BIGINT) AS total_n, CAST(max(n) AS BIGINT) AS max_n,
+        |  CAST(max(n) * 1000 // (sum(n) // count(*)) AS BIGINT) AS skew_x1000 FROM eu
+        |UNION ALL
+        |SELECT 'events.event_type', count(*), CAST(sum(n) AS BIGINT),
+        |  CAST(max(n) AS BIGINT),
+        |  CAST(max(n) * 1000 // (sum(n) // count(*)) AS BIGINT) FROM et
+        |UNION ALL
+        |SELECT 'documents.lang', count(*), CAST(sum(n) AS BIGINT),
+        |  CAST(max(n) AS BIGINT),
+        |  CAST(max(n) * 1000 // (sum(n) // count(*)) AS BIGINT) FROM dl
+        |UNION ALL
+        |SELECT 'orders.o_custkey', count(*), CAST(sum(n) AS BIGINT),
+        |  CAST(max(n) AS BIGINT),
+        |  CAST(max(n) * 1000 // (sum(n) // count(*)) AS BIGINT) FROM oc""".stripMargin,
+
+    "q118_curation_e2e" ->
+      """WITH perdoc AS (
+        |  SELECT doc_id, lang, text, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS stops
+        |  FROM documents),
+        |kept AS (
+        |  SELECT * FROM perdoc
+        |  WHERE n_chars >= 100 AND n_chars <= 5000
+        |    AND stops * 100 >= toks AND stops * 2 <= toks
+        |    AND n_chars < toks * 12),
+        |dd AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
+        |    ORDER BY doc_id) AS rn
+        |  FROM kept),
+        |sp AS (
+        |  SELECT lang, toks,
+        |    CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'valid'
+        |         ELSE 'test' END AS split
+        |  FROM (
+        |    SELECT *, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 100 AS h
+        |    FROM dd WHERE rn = 1) x)
+        |SELECT split, lang, count(*) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS sum_toks
+        |FROM sp GROUP BY split, lang""".stripMargin,
 
     "q105_split_manifest" ->
       """WITH b AS (
