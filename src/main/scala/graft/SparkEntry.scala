@@ -44,10 +44,10 @@ import graft.operators._
   *    features
   *  - [[operators.Multimodal]] q45, q64–q65: binary payload +
   *    decode-stub features, frame sampling, resize
-  *  - [[operators.Sketches]] q43/q44/q46, q83, q112: KMV Aggregator,
-  *    native rolling-hash Expression, multi-format round-trip, XOR
-  *    table fingerprints (replica compare), count-min-sketch heavy
-  *    hitters
+  *  - [[operators.Sketches]] q43/q44/q46, q83, q112, q119: KMV
+  *    Aggregator, native rolling-hash Expression, multi-format
+  *    round-trip, XOR table fingerprints (replica compare),
+  *    count-min-sketch heavy hitters, explicit Bloom build+probe
   *  - [[operators.Layout]] q54–q55, q86–q87, q113, q116: partition
   *    pruning, bucketed joins, latest-wins upsert compaction, Z-order
   *    clustering stats, one-pass column profiling (ANALYZE shape),

@@ -62,6 +62,50 @@ object Sketches extends QueryPack {
         .groupBy($"w", $"n").agg(min($"c").cast("bigint").as("cms_est"))
     }),
 
+    // ---- explicit Bloom filter build + probe ------------------------
+    // The semi-join pruning structure AS DATA: a 4096-bit / k=3 Bloom
+    // filter of 1995's active custkeys, built as 67 int64 words (62
+    // used bits each — bit 63 would overflow DuckDB's shift) via
+    // bit_or aggregation (mergeable, map-side partial, 64-row result
+    // however many keys go in). The probe side ANDs each customer's 3
+    // bit-probes against the broadcast words; customers failing any
+    // probe are DEFINITELY inactive, the rest are "maybe" — compared
+    // against the exact semi join so the false-positive count is
+    // visible in the result. This is what Catalyst's runtime bloom
+    // (PlanSpec) does internally; materialized, it ships across jobs —
+    // build once on yesterday's 100 TB, prune today's scan with 512
+    // bytes.
+    "q119_bloom_prune" -> ((s, d) => {
+      import s.implicits._
+      def probes(key: org.apache.spark.sql.Column) =
+        explode(array((0 until 3).map(i =>
+          pmod(h60(concat_ws("|", lit(i), key)), lit(4096))): _*))
+      val active = T.orders(s, d)
+        .filter(year($"o_orderdate") === 1995)
+        .select($"o_custkey").distinct()
+      val bloom = active.select(probes($"o_custkey").as("idx"))
+        .select(expr("CAST(idx div 62 AS INT)").as("word_i"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(idx % 62 AS INT))").as("m"))
+        .groupBy($"word_i").agg(expr("bit_or(m)").as("bits"))
+      val cust = T.customer(s, d).select($"c_custkey", $"c_mktsegment")
+      val maybe = cust
+        .select($"c_custkey", $"c_mktsegment", probes($"c_custkey").as("idx"))
+        .select($"c_custkey", $"c_mktsegment", expr("CAST(idx div 62 AS INT)").as("word_i"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(idx % 62 AS INT))").as("m"))
+        .join(broadcast(bloom), Seq("word_i"), "left")
+        .groupBy($"c_custkey", $"c_mktsegment")
+        .agg(sum(when(coalesce($"bits", lit(0L)).bitwiseAND($"m") =!= 0L, 1L)
+          .otherwise(0L)).as("hits"))
+        .select($"c_custkey", $"c_mktsegment", ($"hits" === 3L).as("maybe"))
+      val truth = cust.join(active, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey").withColumn("istrue", lit(true))
+      maybe.join(truth, Seq("c_custkey"), "left")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(when($"maybe", 1L).otherwise(0L)).as("n_maybe"),
+          sum(when(coalesce($"istrue", lit(false)), 1L).otherwise(0L)).as("n_true"))
+    }),
+
     // ---- native rolling-hash fingerprint ----------------------------
     "q44_rolling_fingerprint" -> ((s, d) => {
       import s.implicits._
@@ -158,6 +202,35 @@ object Sketches extends QueryPack {
         |             ELSE 63.0 * 1152921504606846976 / hv END, 4) AS est_distinct,
         |  cnt AS true_distinct
         |FROM r WHERE (cnt < 64 AND rn = cnt) OR (cnt >= 64 AND rn = 64)""".stripMargin,
+
+    "q119_bloom_prune" ->
+      """WITH active AS (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+        |ap AS (
+        |  SELECT CAST('0x' || substr(md5(CAST(k.i AS VARCHAR) || '|'
+        |      || CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 4096 AS idx
+        |  FROM active CROSS JOIN (VALUES (0), (1), (2)) AS k(i)),
+        |bloom AS (
+        |  SELECT CAST(idx // 62 AS INT) AS word_i,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(idx % 62 AS INT)) AS bits
+        |  FROM ap GROUP BY 1),
+        |cp AS (
+        |  SELECT c_custkey, c_mktsegment, CAST(idx // 62 AS INT) AS word_i,
+        |    CAST(1 AS BIGINT) << CAST(idx % 62 AS INT) AS m
+        |  FROM (
+        |    SELECT c_custkey, c_mktsegment,
+        |      CAST('0x' || substr(md5(CAST(k.i AS VARCHAR) || '|'
+        |        || CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 4096 AS idx
+        |    FROM customer CROSS JOIN (VALUES (0), (1), (2)) AS k(i)) t),
+        |mb AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    sum(CASE WHEN (COALESCE(b.bits, 0) & m) != 0 THEN 1 ELSE 0 END) = 3 AS maybe
+        |  FROM cp LEFT JOIN bloom b USING (word_i) GROUP BY 1, 2)
+        |SELECT c_mktsegment, count(*) AS n_cust,
+        |  CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+        |  CAST(sum(CASE WHEN c_custkey IN (SELECT o_custkey FROM active)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+        |FROM mb GROUP BY c_mktsegment""".stripMargin,
 
     "q112_cms_heavyhitters" ->
       """WITH words AS (
