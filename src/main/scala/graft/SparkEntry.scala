@@ -48,10 +48,11 @@ import graft.operators._
   *    Aggregator, native rolling-hash Expression, multi-format
   *    round-trip, XOR table fingerprints (replica compare),
   *    count-min-sketch heavy hitters, explicit Bloom build+probe
-  *  - [[operators.Layout]] q54–q55, q86–q87, q113, q116: partition
-  *    pruning, bucketed joins, latest-wins upsert compaction, Z-order
-  *    clustering stats, one-pass column profiling (ANALYZE shape),
-  *    incremental aggregate maintenance (MV merge algebra)
+  *  - [[operators.Layout]] q54–q55, q86–q87, q113, q116, q120:
+  *    partition pruning, bucketed joins, latest-wins upsert
+  *    compaction, Z-order clustering stats, one-pass column profiling
+  *    (ANALYZE shape), incremental aggregate maintenance (MV merge
+  *    algebra), schema evolution via mergeSchema
   *  - [[operators.Pipeline]] q57–q63, q77, q80, q102, q105, q107,
   *    q109, q117–q118: training-data curation — quantiles (exact +
   *    histogram sketch), TF-IDF ranking, deterministic hash/stratified

@@ -73,6 +73,34 @@ object Layout extends QueryPack {
           |) AS (col_name, n_nulls, n_distinct, min_s, max_s)""".stripMargin)
     }),
 
+    // ---- schema evolution across file generations -------------------
+    // Long-lived datasets drift: the "legacy" generation below lacks
+    // the price column that the "current" generation carries. A
+    // mergeSchema scan unions the generations with NULLs filling the
+    // missing column — the query distinguishes legacy rows (IS NULL)
+    // from current ones and aggregates across both. The oracle
+    // recomputes the same answer from the unified source-of-truth
+    // table, so the gate proves the evolved read loses nothing. At
+    // scale, schema merging is footer-only work per file; the data
+    // pages of the old generation are never rewritten.
+    "q120_schema_evolution" -> ((s, d) => {
+      import s.implicits._
+      val dir = s"/tmp/graft_evo_${sfx(d)}"
+      val o = T.orders(s, d)
+      o.filter(year($"o_orderdate") < 1995)
+        .select($"o_orderkey", $"o_custkey")
+        .write.mode("overwrite").parquet(s"$dir/b1")
+      o.filter(year($"o_orderdate") >= 1995)
+        .select($"o_orderkey", $"o_custkey",
+          Exact.cents($"o_totalprice").as("price_c"))
+        .write.mode("overwrite").parquet(s"$dir/b2")
+      s.read.option("mergeSchema", "true").parquet(s"$dir/b1", s"$dir/b2")
+        .groupBy(($"o_custkey" % 100).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(when($"price_c".isNull, 1L).otherwise(0L)).as("n_legacy"),
+          sum(coalesce($"price_c", lit(0L))).cast("bigint").as("sum_new_c"))
+    }),
+
     // ---- incremental aggregate maintenance (MV merge) ---------------
     // The materialized-view refresh algebra: (count, sum) partials are
     // algebraic, so merging yesterday's compacted state with today's
@@ -209,6 +237,15 @@ object Layout extends QueryPack {
         |  CAST(min(sy) AS BIGINT) AS min_y, CAST(max(sy) AS BIGINT) AS max_y
         |FROM z GROUP BY 1""".stripMargin
     },
+
+    "q120_schema_evolution" ->
+      s"""SELECT o_custkey % 100 AS bucket, count(*) AS n,
+        |  CAST(sum(CASE WHEN year(o_orderdate) < 1995 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_legacy,
+        |  CAST(sum(CASE WHEN year(o_orderdate) >= 1995
+        |    THEN ${Exact.centsSql("o_totalprice")} ELSE 0 END)
+        |    AS BIGINT) AS sum_new_c
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q116_incremental_agg" ->
       s"""SELECT o_custkey, count(*) AS n,
