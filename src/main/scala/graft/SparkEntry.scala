@@ -9,10 +9,11 @@ import graft.operators._
   * surface the driver verifies against DuckDB at sf0.01 and benches at
   * sf0.1:
   *  - [[operators.Relational]] q01–q22, q49–q50, q71, q82, q85,
-  *    q90–q91, q97, q115: joins/aggs/windows/set ops/subqueries
+  *    q90–q91, q97, q115, q121: joins/aggs/windows/set ops/subqueries
   *    (scalar + correlated LATERAL with LIMIT)/scalar functions/salted
   *    skew join/exact moment + covariance power sums/analytic window
-  *    functions/unpivot/percent-of-parent over the TPC-H-ish tables
+  *    functions/unpivot/percent-of-parent/ordered LISTAGG over the
+  *    TPC-H-ish tables
   *  - [[operators.Streams]] s01–s15: the `shardstream` DSv2 source and
   *    sinks end-to-end (SURVEY §2 S1–S16): round-trips, take-N,
   *    windowed parity, stream-stream inner + left-outer joins,
@@ -44,10 +45,11 @@ import graft.operators._
   *    features
   *  - [[operators.Multimodal]] q45, q64–q65: binary payload +
   *    decode-stub features, frame sampling, resize
-  *  - [[operators.Sketches]] q43/q44/q46, q83, q112, q119: KMV
+  *  - [[operators.Sketches]] q43/q44/q46, q83, q112, q119, q122: KMV
   *    Aggregator, native rolling-hash Expression, multi-format
   *    round-trip, XOR table fingerprints (replica compare),
-  *    count-min-sketch heavy hitters, explicit Bloom build+probe
+  *    count-min-sketch heavy hitters, explicit Bloom build+probe,
+  *    row-level replica diff
   *  - [[operators.Layout]] q54–q55, q86–q87, q113, q116, q120:
   *    partition pruning, bucketed joins, latest-wins upsert
   *    compaction, Z-order clustering stats, one-pass column profiling

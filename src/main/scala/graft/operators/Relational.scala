@@ -336,6 +336,21 @@ object Relational extends QueryPack {
         .select($"p_partkey", $"p_name", $"p_retailprice")
     }),
 
+    // ---- ordered string aggregation (listagg, Spark 4) --------------
+    // The SQL:2016 LISTAGG surface Spark added in 4.0: DISTINCT values
+    // concatenated in an explicit WITHIN GROUP order, so the string is
+    // deterministic under any partitioning (unordered listagg would
+    // flap between runs — same determinism rule as sort_array before
+    // collect_list elsewhere in this repo).
+    "q121_listagg" -> ((s, d) => {
+      T.registerAll(s, d)
+      s.sql("""SELECT o_orderpriority,
+              |  listagg(DISTINCT o_orderstatus, ',')
+              |    WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+              |  count(*) AS n
+              |FROM orders GROUP BY o_orderpriority""".stripMargin)
+    }),
+
     // ---- correlated LATERAL join (top-3 per outer row) --------------
     // The per-row-subquery SQL surface: for each nation, the lateral
     // subquery sees that nation's key and returns its top-3 customers
@@ -490,6 +505,12 @@ object Relational extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "q115_lateral_topk" -> lateralTopkText,
+
+    "q121_listagg" ->
+      """SELECT o_orderpriority,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "q97_pct_of_parent" ->
       s"""WITH g AS (

@@ -106,6 +106,33 @@ object Sketches extends QueryPack {
           sum(when(coalesce($"istrue", lit(false)), 1L).otherwise(0L)).as("n_true"))
     }),
 
+    // ---- row-level replica diff (anti-entropy reconciliation) -------
+    // q83 answers "are two copies identical?" in one row; this answers
+    // "WHICH rows differ, and how?" — the repair-planning pass after a
+    // checksum mismatch. Replica B is the source with a deterministic
+    // fault injection (every 101st key dropped, every 97th price off
+    // by a cent); both sides reduce to (key, row-fingerprint) and a
+    // single full-outer join on the key classifies every row as
+    // equal / changed / only_in_a. The join shuffles 16 bytes per row,
+    // never row payloads — at 100 TB the fingerprint tables are the
+    // only thing that moves, and bucketing both replicas on the key
+    // makes even that shuffle-free.
+    "q122_table_diff" -> ((s, d) => {
+      import s.implicits._
+      val base = T.orders(s, d).select($"o_orderkey".as("k"),
+        $"o_orderstatus".as("st"), Exact.cents($"o_totalprice").as("pc"))
+      val b = base.filter($"k" % 101L =!= 0L)
+        .withColumn("pc", when($"k" % 97L === 0L, $"pc" + 1L).otherwise($"pc"))
+      def fp(df: DataFrame) =
+        df.select($"k", h60(concat_ws("|", $"k", $"st", $"pc")).as("fp"))
+      fp(base).withColumnRenamed("fp", "fpa")
+        .join(fp(b).withColumnRenamed("fp", "fpb").withColumnRenamed("k", "kb"),
+          $"k" === $"kb", "full_outer")
+        .select(when($"kb".isNull, "only_in_a")
+          .when($"fpa" === $"fpb", "equal").otherwise("changed").as("diff_status"))
+        .groupBy($"diff_status").agg(count(lit(1)).as("n"))
+    }),
+
     // ---- native rolling-hash fingerprint ----------------------------
     "q44_rolling_fingerprint" -> ((s, d) => {
       import s.implicits._
@@ -202,6 +229,28 @@ object Sketches extends QueryPack {
         |             ELSE 63.0 * 1152921504606846976 / hv END, 4) AS est_distinct,
         |  cnt AS true_distinct
         |FROM r WHERE (cnt < 64 AND rn = cnt) OR (cnt >= 64 AND rn = 64)""".stripMargin,
+
+    "q122_table_diff" ->
+      s"""WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    ${Exact.centsSql("o_totalprice")} AS pc
+        |  FROM orders),
+        |b AS (
+        |  SELECT k, st, CASE WHEN k % 97 = 0 THEN pc + 1 ELSE pc END AS pc
+        |  FROM base WHERE k % 101 != 0),
+        |fa AS (
+        |  SELECT k, CAST('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || st
+        |    || '|' || CAST(pc AS VARCHAR)), 1, 15) AS BIGINT) AS fp
+        |  FROM base),
+        |fb AS (
+        |  SELECT k, CAST('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || st
+        |    || '|' || CAST(pc AS VARCHAR)), 1, 15) AS BIGINT) AS fp
+        |  FROM b)
+        |SELECT CASE WHEN fb.k IS NULL THEN 'only_in_a'
+        |            WHEN fa.fp = fb.fp THEN 'equal'
+        |            ELSE 'changed' END AS diff_status, count(*) AS n
+        |FROM fa FULL OUTER JOIN fb ON fa.k = fb.k
+        |GROUP BY 1""".stripMargin,
 
     "q119_bloom_prune" ->
       """WITH active AS (
