@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partition-count invariance: the repo's determinism story (portable
+  * hashes, exact integer money, explicit tie-breaks, ordered listagg)
+  * claims every declared result is a pure function of the DATA, not of
+  * the cluster shape. This spec runs hash-sensitive queries under two
+  * different shuffle-partition counts — the thing that changes when a
+  * 100 TB job is retried on a different-sized cluster — and requires
+  * bit-identical results. A query that flaps here would pass the
+  * DuckDB gate today and corrupt a production rerun tomorrow.
+  */
+class DeterminismSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // hash-partitioning-sensitive representatives: sampling, split
+  // assignment, dedup keeper choice, sketch estimates, string agg,
+  // heap top-k, composed curation
+  private val sensitive = Seq(
+    "q59_hash_sample", "q60_stratified_sample", "q105_split_manifest",
+    "q35_exact_dedup", "q43_kmv_distinct", "q112_cms_heavyhitters",
+    "q110_topk_heap", "q121_listagg", "q118_curation_e2e")
+
+  private def runAll(parts: Int): Map[String, Set[String]] = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName(s"determinism-$parts")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try sensitive.map { q =>
+      val df = SparkEntry.queries(q)(spark, dir)
+      val cols = df.columns.sorted.toSeq
+      q -> df.selectExpr(cols: _*).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    }.toMap
+    finally spark.stop() // fresh session per shape: configs are session-bound
+  }
+
+  test("hash-sensitive queries are invariant to shuffle partition count") {
+    val a = runAll(3)
+    val b = runAll(11)
+    for (q <- sensitive) {
+      assert(a(q) == b(q),
+        s"$q changed under repartition: only-in-3=${(a(q) -- b(q)).take(3)} " +
+          s"only-in-11=${(b(q) -- a(q)).take(3)}")
+    }
+  }
+}
