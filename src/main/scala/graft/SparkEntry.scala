@@ -62,7 +62,9 @@ import graft.operators._
   *    (min-equalizing + temperature-smoothed), benchmark
   *    decontamination, RAG chunking, train/valid/test split manifest,
   *    split-leakage n-gram audit, skew diagnostics, end-to-end
-  *    curation DAG (gate→dedup→split→account)
+  *    curation DAG (gate→dedup→split→account), hash-parity A/B
+  *    experiment metrics (q123), decomposed-rank tokenizer
+  *    vocabulary build (q124)
   */
 object SparkEntry {
 

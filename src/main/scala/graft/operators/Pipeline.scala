@@ -303,6 +303,57 @@ object Pipeline extends QueryPack {
         .agg(count(lit(1)).as("n_docs"), sum($"toks").cast("bigint").as("sum_toks"))
     }),
 
+    // ---- deterministic A/B assignment + per-arm metrics -------------
+    // Experiment analysis with the same stability rule as q105's split:
+    // arm = parity of the portable user hash, so assignment survives
+    // reruns, repartitions, and data growth (no RNG state anywhere).
+    // Conversion and revenue reduce per user first (one shuffle on
+    // user_id), then to two arm rows; conv_ppm is exact integer ppm.
+    "q123_ab_assignment" -> ((s, d) => {
+      import s.implicits._
+      T.events(s, d).groupBy($"user_id")
+        .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("converted"),
+          sum(when($"event_type" === "purchase",
+            graft.functions.Exact.cents($"value")).otherwise(0L)).as("rev_c"))
+        .withColumn("arm",
+          when(pmod(hash60($"user_id"), lit(2)) === 0, "control")
+            .otherwise("treatment"))
+        .groupBy($"arm")
+        .agg(count(lit(1)).as("n_users"),
+          sum($"converted").cast("bigint").as("n_converted"),
+          sum($"rev_c").cast("bigint").as("rev_c"))
+        .withColumn("conv_ppm", expr("n_converted * 1000000 div n_users"))
+    }),
+
+    // ---- tokenizer vocabulary ranking (global rank, no global sort) -
+    // The vocab-build step every tokenizer pipeline runs: id = rank of
+    // each word by (count DESC, word). A naive row_number() OVER
+    // (ORDER BY ...) serializes the whole vocabulary through one task;
+    // here the global rank is DECOMPOSED: a band table (one row per
+    // DISTINCT count value — hundreds of rows however big the corpus)
+    // carries cumulative offsets via its tiny window, and within a band
+    // words rank by a window PARTITIONED on the count value. vocab_id =
+    // band offset + within-band row_number — identical to the global
+    // sort, computed with one vocabulary-keyed shuffle and no
+    // single-partition stage.
+    "q124_vocab_rank" -> ((s, d) => {
+      import s.implicits._
+      val counts = T.documents(s, d)
+        .select(explode(split($"text", " ")).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("n"))
+      val bands = counts.groupBy($"n").agg(count(lit(1)).as("words_in_band"))
+      val wb = Window.orderBy($"n".desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = bands
+        .withColumn("offset", coalesce(sum($"words_in_band").over(wb), lit(0L)))
+        .select($"n", $"offset")
+      val ww = Window.partitionBy($"n").orderBy($"w")
+      counts.join(broadcast(offsets), Seq("n"))
+        .withColumn("vocab_id", $"offset" + row_number().over(ww))
+        .filter($"vocab_id" <= 1000)
+        .select($"w", $"n", $"vocab_id")
+    }),
+
     "q105_split_manifest" -> ((s, d) => {
       import s.implicits._
       val b = pmod(hash60($"doc_id"), lit(100))
@@ -531,6 +582,33 @@ object Pipeline extends QueryPack {
         |SELECT source, n_docs, w,
         |  (w * 1000000) // CAST(sum(w) OVER () AS BIGINT) AS share_ppm
         |FROM per""".stripMargin,
+
+    "q123_ab_assignment" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS rev_c
+        |  FROM events GROUP BY user_id),
+        |armed AS (
+        |  SELECT *, CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm
+        |  FROM pu)
+        |SELECT arm, count(*) AS n_users,
+        |  CAST(sum(converted) AS BIGINT) AS n_converted,
+        |  CAST(sum(rev_c) AS BIGINT) AS rev_c,
+        |  CAST(sum(converted) * 1000000 // count(*) AS BIGINT) AS conv_ppm
+        |FROM armed GROUP BY arm""".stripMargin,
+
+    "q124_vocab_rank" ->
+      """SELECT w, n, vocab_id FROM (
+        |  SELECT w, n,
+        |    CAST(row_number() OVER (ORDER BY n DESC, w) AS BIGINT) AS vocab_id
+        |  FROM (
+        |    SELECT w, count(*) AS n FROM (
+        |      SELECT unnest(string_split(text, ' ')) AS w FROM documents) u
+        |    GROUP BY w) c) r
+        |WHERE vocab_id <= 1000""".stripMargin,
 
     "q117_skew_stats" ->
       """WITH eu AS (SELECT count(*) AS n FROM events GROUP BY user_id),
