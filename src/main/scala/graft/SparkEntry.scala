@@ -14,13 +14,14 @@ import graft.operators._
   *    skew join/exact moment + covariance power sums/analytic window
   *    functions/unpivot/percent-of-parent/ordered LISTAGG over the
   *    TPC-H-ish tables
-  *  - [[operators.Streams]] s01–s15: the `shardstream` DSv2 source and
+  *  - [[operators.Streams]] s01–s16: the `shardstream` DSv2 source and
   *    sinks end-to-end (SURVEY §2 S1–S16): round-trips, take-N,
   *    windowed parity, stream-stream inner + left-outer joins,
   *    streaming dedup (unbounded + watermark-bounded), complete-mode
-  *    aggregation, stream-static join, custom mapGroupsWithState
-  *    running state, streaming session windows, transformWithState
-  *    arbitrary state, foreachBatch CDC upsert
+  *    aggregation, stream-static join, the full arbitrary-stateful
+  *    family (mapGroupsWithState s10, transformWithState s12,
+  *    flatMapGroupsWithState s16), streaming session windows,
+  *    foreachBatch CDC upsert
   *  - [[operators.Events]] q23–q30, q47, q68, q81, q84, q88–q89,
   *    q92, q95–q96, q98–q100, q103–q104, q111, q114: event-time
   *    windows, JSON props (schema-full from_json + schemaless Spark 4

@@ -449,6 +449,41 @@ object Streams extends QueryPack {
         .select(col("user_id"), col("m.n").as("n"), col("m.sum_vq").as("sum_vq"))
     }),
 
+    // flatMapGroupsWithState: the 0..N-emissions member of the
+    // arbitrary-stateful family (s10 maps 1:1 per group per batch, s12
+    // is the typed Spark 4 API; this one FILTERS emissions). Each user
+    // carries a running event count; a batch emits one row per
+    // multiple-of-5 the count crosses. Milestones depend only on the
+    // TOTAL per-user count — never on where micro-batch boundaries
+    // fall — so the append-mode emission union is deterministic and the
+    // batch oracle (generate_series up to count/5) reproduces it
+    // exactly. The fixture-derived cap forces ~4 batches so crossings
+    // genuinely span batches.
+    "s16_stream_milestones" -> ((s, d) => {
+      import s.implicits._
+      val name = s"events_rt_${sfx(d)}" // same fixture as s01/s10
+      seedEventsJson(s, d, name, numShards = 4)
+      val cap = math.max(1000L, T.events(s, d).count() / 4)
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", cap.toString)
+        .load()
+      val ev = raw.select(
+        from_json(col("data").cast("string"), payloadSchema).as("e"))
+        .select(col("e.user_id").as("user_id")).as[Long]
+      val milestones = ev.groupByKey(identity)
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+          (uid: Long, rows: Iterator[Long], st: GroupState[Long]) =>
+            val c0 = st.getOption.getOrElse(0L)
+            var c1 = c0
+            rows.foreach(_ => c1 += 1)
+            st.update(c1)
+            ((c0 / 5 + 1) to (c1 / 5)).iterator.map(m => (uid, m * 5))
+        }.toDF("user_id", "milestone_n")
+      drain(s, milestones)
+    }),
+
     // Stream-static join: the streaming enrichment shape — events
     // replayed through the source joined per micro-batch against a
     // STATIC dimension read from parquet (customer, keyed by
@@ -642,6 +677,13 @@ object Streams extends QueryPack {
       """SELECT user_id, count(*) AS n,
         |  CAST(sum(CAST(round(value * 1024) AS BIGINT)) AS BIGINT) AS sum_vq
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "s16_stream_milestones" ->
+      """SELECT user_id,
+        |  CAST(unnest(list_transform(
+        |    generate_series(1, CAST(n // 5 AS BIGINT)), m -> m * 5))
+        |    AS BIGINT) AS milestone_n
+        |FROM (SELECT user_id, count(*) AS n FROM events GROUP BY user_id) c""".stripMargin,
 
     "s09_stream_static_join" ->
       """SELECT c_mktsegment, count(*) AS n,
