@@ -124,6 +124,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q97: the only explicit broadcast is the true bounded dim (region)
     assert(m("q97_pct_of_parent").contains("BroadcastHashJoin"),
       "q97: region dim not broadcast")
+    // q124: the within-band rank must shuffle on the count value (the
+    // decomposition's whole point — the vocabulary-scale table never
+    // passes through a single-partition global window), and the tiny
+    // band-offset table must come back via broadcast
+    assert(m("q124_vocab_rank").contains("hashpartitioning(n#"),
+      "q124: within-band window not partitioned by the count value")
+    assert(m("q124_vocab_rank").contains("BroadcastHashJoin"),
+      "q124: band-offset table not broadcast")
   }
 
   test("q115: lateral subquery decorrelates to a rank-limited window, not N scans") {
