@@ -65,7 +65,7 @@ import graft.operators._
   *    split-leakage n-gram audit, skew diagnostics, end-to-end
   *    curation DAG (gate→dedup→split→account), hash-parity A/B
   *    experiment metrics (q123), decomposed-rank tokenizer
-  *    vocabulary build (q124)
+  *    vocabulary build (q124), distribution drift detection (q125)
   */
 object SparkEntry {
 

@@ -303,6 +303,34 @@ object Pipeline extends QueryPack {
         .agg(count(lit(1)).as("n_docs"), sum($"toks").cast("bigint").as("sum_toks"))
     }),
 
+    // ---- distribution drift detection (data-QA monitor) -------------
+    // Does any source's length distribution diverge from the corpus?
+    // The ingest-monitoring pass that catches a broken upstream feed:
+    // docs bin into 10 fixed length bands, each source's observed
+    // band share (exact ppm) compares against the corpus-wide share,
+    // and the per-source L2 divergence Σ(obs−exp)² ranks drifters.
+    // ppm-space keeps every intermediate inside int64 at ANY corpus
+    // size (raw-count chi-square squares overflow at ~1e12 rows). One
+    // corpus-scale shuffle (the (source,bin) agg); everything after is
+    // |sources|×|bins| rows with the tiny share tables broadcast.
+    "q125_drift_detect" -> ((s, d) => {
+      import s.implicits._
+      val sb = T.documents(s, d)
+        .select($"source", expr("least(9, n_chars div 500)").as("bin"))
+        .groupBy($"source", $"bin").agg(count(lit(1)).as("n_sb"))
+      val totals = sb.groupBy($"source").agg(sum($"n_sb").as("n_s"))
+      val bins = sb.groupBy($"bin").agg(sum($"n_sb").as("n_b"))
+      val n = sb.agg(sum($"n_sb").as("n_tot"))
+      sb.join(totals, "source").join(broadcast(bins), "bin").join(broadcast(n))
+        .select($"source",
+          expr("n_sb * 1000000 div n_s").as("obs_ppm"),
+          expr("n_b * 1000000 div n_tot").as("exp_ppm"))
+        .groupBy($"source")
+        .agg(sum(expr("(obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)"))
+          .cast("bigint").as("l2_ppm2"),
+          count(lit(1)).as("n_bins"))
+    }),
+
     // ---- deterministic A/B assignment + per-arm metrics -------------
     // Experiment analysis with the same stability rule as q105's split:
     // arm = parity of the portable user hash, so assignment survives
@@ -582,6 +610,24 @@ object Pipeline extends QueryPack {
         |SELECT source, n_docs, w,
         |  (w * 1000000) // CAST(sum(w) OVER () AS BIGINT) AS share_ppm
         |FROM per""".stripMargin,
+
+    "q125_drift_detect" ->
+      """WITH sb AS (
+        |  SELECT source, least(9, n_chars // 500) AS bin, count(*) AS n_sb
+        |  FROM documents GROUP BY 1, 2),
+        |ts AS (SELECT source, sum(n_sb) AS n_s FROM sb GROUP BY 1),
+        |tb AS (SELECT bin, sum(n_sb) AS n_b FROM sb GROUP BY 1),
+        |tt AS (SELECT sum(n_sb) AS n_tot FROM sb),
+        |shares AS (
+        |  SELECT sb.source,
+        |    CAST(n_sb * 1000000 // n_s AS BIGINT) AS obs_ppm,
+        |    CAST(n_b * 1000000 // n_tot AS BIGINT) AS exp_ppm
+        |  FROM sb JOIN ts ON sb.source = ts.source
+        |  JOIN tb ON sb.bin = tb.bin CROSS JOIN tt)
+        |SELECT source,
+        |  CAST(sum((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)) AS BIGINT) AS l2_ppm2,
+        |  count(*) AS n_bins
+        |FROM shares GROUP BY source""".stripMargin,
 
     "q123_ab_assignment" ->
       """WITH pu AS (
