@@ -55,7 +55,8 @@ import graft.operators._
   *    partition pruning, bucketed joins, latest-wins upsert
   *    compaction, Z-order clustering stats, one-pass column profiling
   *    (ANALYZE shape), incremental aggregate maintenance (MV merge
-  *    algebra), schema evolution via mergeSchema
+  *    algebra), schema evolution via mergeSchema, referential-integrity
+  *    audit (q126)
   *  - [[operators.Pipeline]] q57–q63, q77, q80, q102, q105, q107,
   *    q109, q117–q118: training-data curation — quantiles (exact +
   *    histogram sketch), TF-IDF ranking, deterministic hash/stratified

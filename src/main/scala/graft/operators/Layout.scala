@@ -73,6 +73,39 @@ object Layout extends QueryPack {
           |) AS (col_name, n_nulls, n_distinct, min_s, max_s)""".stripMargin)
     }),
 
+    // ---- referential-integrity audit (constraint checks) ------------
+    // The other half of data-quality next to q113's profile: FK checks
+    // count child rows whose key has no parent (one shuffle join per
+    // relation against the DISTINCT parent keys — never the raw parent,
+    // so a duplicated parent can't double-count children), PK checks
+    // are rows-minus-NDV in one agg. Uniform (check, n_checked,
+    // n_violations) rows feed an alerting threshold downstream.
+    "q126_integrity_audit" -> ((s, d) => {
+      import s.implicits._
+      def fk(label: String, child: DataFrame, parent: DataFrame) =
+        child.join(parent.distinct(), $"k" === $"p", "left")
+          .agg(count(lit(1)).as("n_checked"),
+            sum(when($"p".isNull, 1L).otherwise(0L)).as("n_violations"))
+          .select(lit(label).as("check_name"), $"n_checked", $"n_violations")
+      def pk(label: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n"), countDistinct($"k").as("nd"))
+          .select(lit(label).as("check_name"), $"n".as("n_checked"),
+            ($"n" - $"nd").as("n_violations"))
+      fk("fk_orders_custkey",
+          T.orders(s, d).select($"o_custkey".as("k")),
+          T.customer(s, d).select($"c_custkey".as("p")))
+        .unionAll(fk("fk_lineitem_orderkey",
+          T.lineitem(s, d).select($"l_orderkey".as("k")),
+          T.orders(s, d).select($"o_orderkey".as("p"))))
+        .unionAll(fk("fk_events_user",
+          T.events(s, d).select($"user_id".as("k")),
+          T.customer(s, d).select($"c_custkey".as("p"))))
+        .unionAll(pk("pk_customer_unique",
+          T.customer(s, d).select($"c_custkey".as("k"))))
+        .unionAll(pk("pk_orders_unique",
+          T.orders(s, d).select($"o_orderkey".as("k"))))
+    }),
+
     // ---- schema evolution across file generations -------------------
     // Long-lived datasets drift: the "legacy" generation below lacks
     // the price column that the "current" generation carries. A
@@ -237,6 +270,29 @@ object Layout extends QueryPack {
         |  CAST(min(sy) AS BIGINT) AS min_y, CAST(max(sy) AS BIGINT) AS max_y
         |FROM z GROUP BY 1""".stripMargin
     },
+
+    "q126_integrity_audit" ->
+      """SELECT 'fk_orders_custkey' AS check_name, count(*) AS n_checked,
+        |  CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violations
+        |FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |  ON o_custkey = c_custkey
+        |UNION ALL
+        |SELECT 'fk_lineitem_orderkey', count(*),
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |  ON l_orderkey = o_orderkey
+        |UNION ALL
+        |SELECT 'fk_events_user', count(*),
+        |  CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM events LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |  ON user_id = c_custkey
+        |UNION ALL
+        |SELECT 'pk_customer_unique', count(*),
+        |  CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) FROM customer
+        |UNION ALL
+        |SELECT 'pk_orders_unique', count(*),
+        |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders""".stripMargin,
 
     "q120_schema_evolution" ->
       s"""SELECT o_custkey % 100 AS bucket, count(*) AS n,
