@@ -50,7 +50,8 @@ import graft.operators._
   *    Aggregator, native rolling-hash Expression, multi-format
   *    round-trip, XOR table fingerprints (replica compare),
   *    count-min-sketch heavy hitters, explicit Bloom build+probe,
-  *    row-level replica diff
+  *    row-level replica diff, PERMISSIVE corrupt-record quarantine
+  *    (q127)
   *  - [[operators.Layout]] q54–q55, q86–q87, q113, q116, q120:
   *    partition pruning, bucketed joins, latest-wins upsert
   *    compaction, Z-order clustering stats, one-pass column profiling

@@ -166,6 +166,36 @@ object Sketches extends QueryPack {
           concat_ws("|", $"c_custkey", $"c_name", Exact.cents($"c_acctbal"))))
     }),
 
+    // ---- malformed-record handling (PERMISSIVE + corrupt column) ----
+    // Real feeds deliver broken lines; a 100 TB ingest that dies on the
+    // first one (FAILFAST) or silently drops them (DROPMALFORMED) is
+    // wrong both ways. This builds a JSON-lines dataset where every
+    // 10th record is truncated mid-object (deterministic by event_id),
+    // reads it back in PERMISSIVE mode with columnNameOfCorruptRecord,
+    // and accounts for both populations — valid rows parse typed,
+    // corrupt lines land intact in the quarantine column for a
+    // dead-letter side channel. Per-row compute only; no shuffle until
+    // the final one-row agg.
+    "q127_corrupt_records" -> ((s, d) => {
+      import s.implicits._
+      val dir = s"/tmp/graft_corrupt_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      T.events(s, d)
+        .select(when($"event_id" % 10 === 0,
+            concat(lit("{\"event_id\": "), $"event_id", lit(", \"event_type\": \"")))
+          .otherwise(to_json(struct($"event_id", $"event_type", $"user_id")))
+          .as("value"))
+        .write.mode("overwrite").text(dir)
+      val schema = "event_id BIGINT, event_type STRING, user_id BIGINT, _corrupt_record STRING"
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(dir)
+        .agg(count(lit(1)).as("n_total"),
+          sum(when($"_corrupt_record".isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+          countDistinct(when($"_corrupt_record".isNull, $"event_type"))
+            .as("n_types_valid"))
+    }),
+
     // ---- multi-format scan/sink round-trip --------------------------
     // The engine's own sink writes CSV + JSON, then its scans read
     // them back — format parity is gated by comparing aggregates of
@@ -229,6 +259,14 @@ object Sketches extends QueryPack {
         |             ELSE 63.0 * 1152921504606846976 / hv END, 4) AS est_distinct,
         |  cnt AS true_distinct
         |FROM r WHERE (cnt < 64 AND rn = cnt) OR (cnt >= 64 AND rn = 64)""".stripMargin,
+
+    "q127_corrupt_records" ->
+      """SELECT count(*) AS n_total,
+        |  CAST(sum(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_corrupt,
+        |  count(DISTINCT CASE WHEN event_id % 10 != 0 THEN event_type END)
+        |    AS n_types_valid
+        |FROM events""".stripMargin,
 
     "q122_table_diff" ->
       s"""WITH base AS (
