@@ -30,6 +30,12 @@ class SketchSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("driver contract: every declared query has an oracle and vice versa") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(q == o, s"query/oracle mismatch: missing oracles=${q -- o}, orphan oracles=${o -- q}")
+  }
+
   test("q112: count-min estimate is one-sided (est >= true, never under)") {
     val rows = SparkEntry.queries("q112_cms_heavyhitters")(spark, dir)
       .select("n", "cms_est").collect()
