@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharNgrams, IntDot, MinHashSig, RollingHash, WordNgrams}
+import graft.functions.{CharNgrams, H60, IntDot, MinHashSig, RollingHash, WordNgrams}
 
 /** SparkSessionExtensions entry point — registers the library's native
   * Catalyst expressions into the function registry, the idiomatic
@@ -26,6 +26,12 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 1, s"rolling_hash takes 1 argument, got ${children.length}")
         RollingHash(children.head)
+      }),
+    (FunctionIdentifier("h60"),
+      new ExpressionInfo(classOf[H60].getName, "h60"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, s"h60 takes 1 argument, got ${children.length}")
+        H60(children.head)
       }),
     (FunctionIdentifier("int_dot"),
       new ExpressionInfo(classOf[IntDot].getName, "int_dot"),

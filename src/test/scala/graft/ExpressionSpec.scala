@@ -60,6 +60,32 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.isNullAt(0))
   }
 
+  test("h60 is bit-identical to the composed conv(substring(md5)) form it replaced") {
+    val sp = spark
+    import sp.implicits._
+    val inputs = Seq("", "a", "42", "the quick brown fox", "日本語テキスト",
+      "x" * 4096, "1704067207179575")
+    for (codegen <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      val rows = inputs.toDF("s").select(
+        expr("h60(s)").as("native"),
+        expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)").as("composed"))
+        .collect()
+      rows.zip(inputs).foreach { case (r, in) =>
+        assert(r.getLong(0) == r.getLong(1), s"mode=$codegen input=$in")
+        assert(r.getLong(0) >= 0L, s"h60 must be non-negative, input=$in")
+      }
+    }
+    spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
+
+  test("h60 propagates null and rejects non-string input") {
+    val got = spark.sql("SELECT h60(CAST(NULL AS STRING))").collect()(0)
+    assert(got.isNullAt(0))
+    val err = intercept[Exception](spark.sql("SELECT h60(array(1))").collect())
+    assert(err.getMessage.contains("h60") || err.getMessage.contains("STRING"))
+  }
+
   test("int_dot matches aggregate(zip_with(...)) and handles unequal lengths") {
     val sp = spark
     import sp.implicits._
