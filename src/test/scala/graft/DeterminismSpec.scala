@@ -16,13 +16,33 @@ class DeterminismSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
-  // hash-partitioning-sensitive representatives: sampling, split
-  // assignment, dedup keeper choice, sketch estimates, string agg,
-  // heap top-k, composed curation
+  // one representative per operator family — hash-sensitive queries
+  // (sampling, splits, dedup keepers, sketches, string agg, heap
+  // top-k, composed curation) plus the relational / event-time /
+  // similarity / layout / data-quality cores
   private val sensitive = Seq(
+    // hash-sensitive core
     "q59_hash_sample", "q60_stratified_sample", "q105_split_manifest",
     "q35_exact_dedup", "q43_kmv_distinct", "q112_cms_heavyhitters",
-    "q110_topk_heap", "q121_listagg", "q118_curation_e2e")
+    "q110_topk_heap", "q121_listagg", "q118_curation_e2e",
+    // relational: agg, join, window, top-k, set ops, lateral
+    "q01_pricing_summary", "q05_local_supplier_volume",
+    "q09_window_topk_per_group", "q14_set_ops", "q15_topk_global",
+    "q115_lateral_topk",
+    // event-time: windows, sessions, as-of, funnel, Markov
+    "q23_tumbling_window", "q25_session_window", "q29_asof_join",
+    "q81_funnel", "q99_markov_transitions",
+    // text / fingerprints / sketches
+    "q33_bag_fingerprint", "q37_simhash_buckets", "q44_rolling_fingerprint",
+    "q70_bigram_lm", "q83_table_checksum",
+    // similarity (quantized cosine, LSH, centroids)
+    "q40_cosine_topk", "q53_ann_signlsh", "q75_centroid_central",
+    // quantiles / stats
+    "q57_percentile_stats", "q80_hist_quantile", "q100_robust_stats",
+    // layout / data-quality / reconciliation
+    "q87_zorder_stats", "q113_profile", "q117_skew_stats",
+    "q119_bloom_prune", "q122_table_diff", "q124_vocab_rank",
+    "q125_drift_detect", "q126_integrity_audit")
 
   private def runAll(parts: Int): Map[String, Set[String]] = {
     val spark = SparkSession.builder()
