@@ -73,6 +73,30 @@ object Layout extends QueryPack {
           |) AS (col_name, n_nulls, n_distinct, min_s, max_s)""".stripMargin)
     }),
 
+    // ---- dynamic partition pruning (join-driven runtime prune) ------
+    // q54 prunes on a LITERAL predicate at plan time; here the pruning
+    // predicate isn't known until runtime — the fact is joined on its
+    // partition column against a dim filtered on a non-key attribute
+    // (era = 'late'), and Catalyst's DPP inserts a dynamicpruning
+    // subquery so the fact scan reads only the years the filtered dim
+    // produces (PlanSpec asserts the dynamicpruningexpression). This is
+    // THE star-schema access pattern at 100 TB: the dim filter decides
+    // which of ~thousands of fact partitions exist to be read, without
+    // the user repeating the filter on the fact side.
+    "q128_dynamic_pruning" -> ((s, d) => {
+      import s.implicits._
+      val pdir = s"/tmp/graft_dpp_${sfx(d)}"
+      T.orders(s, d).withColumn("o_year", year($"o_orderdate"))
+        .write.mode("overwrite").partitionBy("o_year").parquet(pdir)
+      val fact = s.read.parquet(pdir)
+      val dim = T.orders(s, d)
+        .select(year($"o_orderdate").as("dy")).distinct()
+        .withColumn("era", when($"dy" <= 1994, "early").otherwise("late"))
+      fact.join(dim.filter($"era" === "late"), $"o_year" === $"dy")
+        .groupBy($"o_year")
+        .agg(count(lit(1)).as("n"), Exact.sumMoney($"o_totalprice").as("total"))
+    }),
+
     // ---- referential-integrity audit (constraint checks) ------------
     // The other half of data-quality next to q113's profile: FK checks
     // count child rows whose key has no parent (one shuffle join per
@@ -270,6 +294,12 @@ object Layout extends QueryPack {
         |  CAST(min(sy) AS BIGINT) AS min_y, CAST(max(sy) AS BIGINT) AS max_y
         |FROM z GROUP BY 1""".stripMargin
     },
+
+    "q128_dynamic_pruning" ->
+      s"""SELECT year(o_orderdate) AS o_year, count(*) AS n,
+        |  ${Exact.sumMoneySql("o_totalprice")} AS total
+        |FROM orders WHERE year(o_orderdate) > 1994
+        |GROUP BY 1""".stripMargin,
 
     "q126_integrity_audit" ->
       """SELECT 'fk_orders_custkey' AS check_name, count(*) AS n_checked,

@@ -135,6 +135,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q124: band-offset table not broadcast")
   }
 
+  test("q128: the fact scan carries a dynamic (join-driven) partition filter") {
+    val p = plans.toMap.apply("q128_dynamic_pruning")
+    // the pruning years are only known at runtime from the filtered
+    // dim — the scan must carry a dynamicpruning subquery, not read
+    // every partition and filter post-join
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "no dynamic partition pruning on the fact scan")
+  }
+
   test("q115: lateral subquery decorrelates to a rank-limited window, not N scans") {
     val p = plans.toMap.apply("q115_lateral_topk")
     // the ORDER BY + LIMIT 3 per nation must compile to WindowGroupLimit
