@@ -57,7 +57,7 @@ import graft.operators._
   *    compaction, Z-order clustering stats, one-pass column profiling
   *    (ANALYZE shape), incremental aggregate maintenance (MV merge
   *    algebra), schema evolution via mergeSchema, referential-integrity
-  *    audit (q126), dynamic partition pruning (q128)
+  *    audit (q126), dynamic partition pruning (q128), equi-depth range boundaries (q129)
   *  - [[operators.Pipeline]] q57–q63, q77, q80, q102, q105, q107,
   *    q109, q117–q118: training-data curation — quantiles (exact +
   *    histogram sketch), TF-IDF ranking, deterministic hash/stratified

@@ -73,6 +73,36 @@ object Layout extends QueryPack {
           |) AS (col_name, n_nulls, n_distinct, min_s, max_s)""".stripMargin)
     }),
 
+    // ---- equi-depth histogram via sampled range boundaries ----------
+    // How Spark's own RangePartitioner plans repartitionByRange, made
+    // deterministic and expressed as data: a content-hash 2% sample
+    // (no RNG — stable under retry/repartition, q59's rule) is small
+    // enough for an exact rank-select of the 7 octile boundaries; the
+    // boundaries broadcast back over the full data and each row's
+    // bucket is the count of boundaries strictly below it. The only
+    // full-data operations are a narrow projection and a ≤7-row
+    // broadcast join — nothing corpus-scale ever sorts globally, which
+    // is the entire trick of sample-based range partitioning at 100 TB.
+    "q129_equidepth_hist" -> ((s, d) => {
+      import s.implicits._
+      val h60 = graft.functions.PortableHash.h60 _
+      val vals = T.orders(s, d)
+        .select(Exact.cents($"o_totalprice").as("v"), $"o_orderkey")
+      val sample = vals.filter(pmod(h60($"o_orderkey"), lit(50)) === 0)
+      val wr = Window.orderBy($"v", $"o_orderkey")
+      val bounds = sample
+        .crossJoin(broadcast(sample.agg(count(lit(1)).as("cnt"))))
+        .withColumn("rn", row_number().over(wr))
+        .filter((1 to 7).map(i => $"rn" === expr(s"($i * cnt) div 8"))
+          .reduce(_ || _))
+        .select($"v".as("b"))
+      vals.join(broadcast(bounds), $"v" > $"b", "left")
+        .groupBy($"o_orderkey", $"v")
+        .agg(count($"b").as("bucket"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"), min($"v").as("min_v"), max($"v").as("max_v"))
+    }),
+
     // ---- dynamic partition pruning (join-driven runtime prune) ------
     // q54 prunes on a LITERAL predicate at plan time; here the pruning
     // predicate isn't known until runtime — the fact is joined on its
@@ -294,6 +324,30 @@ object Layout extends QueryPack {
         |  CAST(min(sy) AS BIGINT) AS min_y, CAST(max(sy) AS BIGINT) AS max_y
         |FROM z GROUP BY 1""".stripMargin
     },
+
+    "q129_equidepth_hist" ->
+      s"""WITH vals AS (
+        |  SELECT ${Exact.centsSql("o_totalprice")} AS v, o_orderkey
+        |  FROM orders),
+        |sample AS (
+        |  SELECT * FROM vals
+        |  WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+        |    AS BIGINT) % 50 = 0),
+        |ranked AS (
+        |  SELECT v, row_number() OVER (ORDER BY v, o_orderkey) AS rn,
+        |    count(*) OVER () AS cnt
+        |  FROM sample),
+        |bounds AS (
+        |  SELECT v AS b FROM ranked
+        |  WHERE rn IN (1*cnt//8, 2*cnt//8, 3*cnt//8, 4*cnt//8,
+        |               5*cnt//8, 6*cnt//8, 7*cnt//8)),
+        |bucketed AS (
+        |  SELECT o_orderkey, v, count(b) AS bucket
+        |  FROM vals LEFT JOIN bounds ON v > b
+        |  GROUP BY o_orderkey, v)
+        |SELECT bucket, count(*) AS n,
+        |  CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
+        |FROM bucketed GROUP BY bucket""".stripMargin,
 
     "q128_dynamic_pruning" ->
       s"""SELECT year(o_orderdate) AS o_year, count(*) AS n,

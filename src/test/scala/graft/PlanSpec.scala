@@ -32,11 +32,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   // bounded-side nested loops that are correct by construction
   // (1-row stats, 4-row tier dim, 10-row query set, 5-row lang
   // profiles, 1-row mixture minimum, k-row centroid set, 1-row
-  // user-count scalar, 1-row corpus total)
+  // user-count scalar, 1-row corpus total, 1-row sample count +
+  // ≤7-row range boundaries)
   private val allowedBnlj = Set("q18_scalar_subquery", "q30_range_join",
     "q40_cosine_topk", "q51_langid_ngram", "q63_source_mixture",
     "q79_kmeans_iter", "q87_zorder_stats", "q103_cooccur_lift",
-    "q125_drift_detect")
+    "q125_drift_detect", "q129_equidepth_hist")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
