@@ -46,18 +46,19 @@ import graft.operators._
   *    features
   *  - [[operators.Multimodal]] q45, q64–q65: binary payload +
   *    decode-stub features, frame sampling, resize
-  *  - [[operators.Sketches]] q43/q44/q46, q83, q112, q119, q122: KMV
-  *    Aggregator, native rolling-hash Expression, multi-format
-  *    round-trip, XOR table fingerprints (replica compare),
-  *    count-min-sketch heavy hitters, explicit Bloom build+probe,
-  *    row-level replica diff, PERMISSIVE corrupt-record quarantine
-  *    (q127)
-  *  - [[operators.Layout]] q54–q55, q86–q87, q113, q116, q120:
-  *    partition pruning, bucketed joins, latest-wins upsert
-  *    compaction, Z-order clustering stats, one-pass column profiling
-  *    (ANALYZE shape), incremental aggregate maintenance (MV merge
-  *    algebra), schema evolution via mergeSchema, referential-integrity
-  *    audit (q126), dynamic partition pruning (q128), equi-depth range boundaries (q129)
+  *  - [[operators.Sketches]] q43/q44/q46, q83, q112, q119, q122,
+  *    q127: KMV Aggregator, native rolling-hash Expression,
+  *    multi-format round-trip, XOR table fingerprints (replica
+  *    compare), count-min-sketch heavy hitters, explicit Bloom
+  *    build+probe, row-level replica diff, PERMISSIVE corrupt-record
+  *    quarantine
+  *  - [[operators.Layout]] q54–q55, q86–q87, q113, q116, q120, q126,
+  *    q128–q129: partition pruning (static + dynamic/join-driven),
+  *    bucketed joins, latest-wins upsert compaction, Z-order
+  *    clustering stats, one-pass column profiling (ANALYZE shape),
+  *    incremental aggregate maintenance (MV merge algebra), schema
+  *    evolution via mergeSchema, referential-integrity audit,
+  *    equi-depth range boundaries (RangePartitioner planning)
   *  - [[operators.Pipeline]] q57–q63, q77, q80, q102, q105, q107,
   *    q109, q117–q118: training-data curation — quantiles (exact +
   *    histogram sketch), TF-IDF ranking, deterministic hash/stratified
