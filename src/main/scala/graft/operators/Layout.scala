@@ -75,20 +75,32 @@ object Layout extends QueryPack {
 
     // ---- equi-depth histogram via sampled range boundaries ----------
     // How Spark's own RangePartitioner plans repartitionByRange, made
-    // deterministic and expressed as data: a content-hash 2% sample
-    // (no RNG — stable under retry/repartition, q59's rule) is small
-    // enough for an exact rank-select of the 7 octile boundaries; the
-    // boundaries broadcast back over the full data and each row's
-    // bucket is the count of boundaries strictly below it. The only
-    // full-data operations are a narrow projection and a ≤7-row
-    // broadcast join — nothing corpus-scale ever sorts globally, which
-    // is the entire trick of sample-based range partitioning at 100 TB.
+    // deterministic and expressed as data: a content-hash sample whose
+    // rate ADAPTS to the corpus count (modulus = ceil(n / 8192), from a
+    // 1-row count broadcast) so the ABSOLUTE sampled-row count is
+    // ~8192 at any scale — the same bounded-reservoir idea as
+    // `org.apache.spark.RangePartitioner.sketch`, but RNG-free (q59's
+    // content-hash rule: stable under retry/repartition). Only that
+    // bounded sample feeds the global rank-select of the 7 octile
+    // boundaries, so the single-partition window's input CANNOT scale
+    // with the corpus (a fixed-RATE sample would be ~2 TB of rows
+    // through one task at 100 TB). The boundaries broadcast back over
+    // the full data and each row's bucket is the count of boundaries
+    // strictly below it. The only full-data operations are a narrow
+    // projection and a ≤7-row broadcast join — nothing corpus-scale
+    // ever sorts globally, which is the entire trick of sample-based
+    // range partitioning at 100 TB. PlanSpec asserts the global
+    // window's input subtree contains the sampling filter.
     "q129_equidepth_hist" -> ((s, d) => {
       import s.implicits._
       val h60 = graft.functions.PortableHash.h60 _
       val vals = T.orders(s, d)
         .select(Exact.cents($"o_totalprice").as("v"), $"o_orderkey")
-      val sample = vals.filter(pmod(h60($"o_orderkey"), lit(50)) === 0)
+      val sample = vals
+        .crossJoin(broadcast(vals.agg(count(lit(1)).as("n_all"))))
+        .filter(pmod(h60($"o_orderkey"),
+          expr("greatest(CAST(1 AS BIGINT), (n_all + 8191) div 8192)")) === 0)
+        .select($"v", $"o_orderkey")
       val wr = Window.orderBy($"v", $"o_orderkey")
       val bounds = sample
         .crossJoin(broadcast(sample.agg(count(lit(1)).as("cnt"))))
@@ -329,10 +341,11 @@ object Layout extends QueryPack {
       s"""WITH vals AS (
         |  SELECT ${Exact.centsSql("o_totalprice")} AS v, o_orderkey
         |  FROM orders),
+        |n AS (SELECT count(*) AS n_all FROM vals),
         |sample AS (
-        |  SELECT * FROM vals
+        |  SELECT v, o_orderkey FROM vals, n
         |  WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
-        |    AS BIGINT) % 50 = 0),
+        |    AS BIGINT) % GREATEST(1, (n_all + 8191) // 8192) = 0),
         |ranked AS (
         |  SELECT v, row_number() OVER (ORDER BY v, o_orderkey) AS rn,
         |    count(*) OVER () AS cnt

@@ -42,9 +42,12 @@ class DeterminismSpec extends AnyFunSuite {
     // layout / data-quality / reconciliation
     "q87_zorder_stats", "q113_profile", "q117_skew_stats",
     "q119_bloom_prune", "q122_table_diff", "q124_vocab_rank",
-    "q125_drift_detect", "q126_integrity_audit")
+    "q125_drift_detect", "q126_integrity_audit", "q129_equidepth_hist")
 
-  private def runAll(parts: Int): Map[String, Set[String]] = {
+  // multiset compare (row -> multiplicity), not Set: a query whose
+  // duplicate-row multiplicity varied with the shuffle-partition count
+  // would falsely pass a Set comparison
+  private def runAll(parts: Int): Map[String, Map[String, Int]] = {
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName(s"determinism-$parts")
@@ -59,7 +62,8 @@ class DeterminismSpec extends AnyFunSuite {
       val df = SparkEntry.queries(q)(spark, dir)
       val cols = df.columns.sorted.toSeq
       q -> df.selectExpr(cols: _*).collect()
-        .map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+        .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+        .groupBy(identity).map { case (row, rs) => row -> rs.size }
     }.toMap
     finally spark.stop() // fresh session per shape: configs are session-bound
   }
@@ -68,9 +72,11 @@ class DeterminismSpec extends AnyFunSuite {
     val a = runAll(3)
     val b = runAll(11)
     for (q <- sensitive) {
-      assert(a(q) == b(q),
-        s"$q changed under repartition: only-in-3=${(a(q) -- b(q)).take(3)} " +
-          s"only-in-11=${(b(q) -- a(q)).take(3)}")
+      val diff = (a(q).keySet ++ b(q).keySet)
+        .filter(k => a(q).getOrElse(k, 0) != b(q).getOrElse(k, 0))
+      assert(diff.isEmpty,
+        s"$q changed under repartition: ${diff.take(3).map(k =>
+          s"$k (x${a(q).getOrElse(k, 0)} vs x${b(q).getOrElse(k, 0)})")}")
     }
   }
 }

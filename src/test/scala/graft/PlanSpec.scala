@@ -32,8 +32,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   // bounded-side nested loops that are correct by construction
   // (1-row stats, 4-row tier dim, 10-row query set, 5-row lang
   // profiles, 1-row mixture minimum, k-row centroid set, 1-row
-  // user-count scalar, 1-row corpus total, 1-row sample count +
-  // ≤7-row range boundaries)
+  // user-count scalar, 1-row corpus total, 1-row corpus count +
+  // 1-row sample count + ≤7-row range boundaries)
   private val allowedBnlj = Set("q18_scalar_subquery", "q30_range_join",
     "q40_cosine_topk", "q51_langid_ngram", "q63_source_mixture",
     "q79_kmeans_iter", "q87_zorder_stats", "q103_cooccur_lift",
@@ -54,12 +54,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  private lazy val plans: Seq[(String, String)] =
+  private lazy val dfs: Seq[(String, org.apache.spark.sql.DataFrame)] =
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => streaming(n) }
-      .map { case (n, fn) =>
-        n -> fn(spark, dir).queryExecution.explainString(ExplainMode.fromString("formatted"))
-      }
+      .map { case (n, fn) => n -> fn(spark, dir) }
+
+  private lazy val plans: Seq[(String, String)] =
+    dfs.map { case (n, df) =>
+      n -> df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    }
 
   test("no declared batch query plans a CartesianProduct") {
     val offenders = plans.collect { case (n, p) if p.contains("CartesianProduct") => n }
@@ -143,6 +146,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // every partition and filter post-join
     assert(p.toLowerCase.contains("dynamicpruning"),
       "no dynamic partition pruning on the fact scan")
+  }
+
+  test("no single-partition window consumes a corpus-scaling input") {
+    // A Window with an empty partitionSpec serializes its whole input
+    // through ONE task. That is only survivable at 100 TB when the
+    // input is provably bounded: either a post-aggregation table
+    // (group count, not row count) or an absolutely-bounded
+    // content-hash sample (q129's ceil(n/8192) modulus). Every global
+    // window in every declared batch plan must sit above one of those
+    // two bounders — a fixed-RATE sample or a raw scan here is the
+    // plan shape that melts one executor at scale.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Window => LWindow}
+    val offenders = dfs.flatMap { case (n, df) =>
+      df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+          !w.child.exists {
+            case _: Aggregate => true
+            case f: Filter => f.condition.toString.toLowerCase.contains("pmod")
+            case _ => false
+          } => n
+      }
+    }.distinct
+    assert(offenders.isEmpty,
+      s"global windows over unbounded inputs in: $offenders")
   }
 
   test("q115: lateral subquery decorrelates to a rank-limited window, not N scans") {
