@@ -26,9 +26,31 @@ object Tables {
   private val loaded =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  // Sessions come and go within one JVM (the determinism spec creates
+  // and stops one per partition shape); without eviction their memo
+  // entries — and the stopped sessions they key on — would accumulate
+  // for the JVM lifetime. One listener per session clears its entries
+  // when the underlying context ends.
+  private val hooked =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  private def evictOnStop(spark: SparkSession): Unit =
+    if (hooked.add(spark))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          loaded.keySet.removeIf(_._1 == spark)
+          registeredDir.remove(spark)
+          hooked.remove(spark)
+        }
+      })
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    evictOnStop(spark)
     loaded.computeIfAbsent((spark, dir, name),
       _ => spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
@@ -62,11 +84,19 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 
   def registerAll(spark: SparkSession, dir: String): Unit =
-    if (registeredDir.put(spark, dir) != dir)
-      names.foreach {
-        case "events" => events(spark, dir).createOrReplaceTempView("events")
-        case n => load(spark, dir, n).createOrReplaceTempView(n)
-      }
+    // compute(): the view-creation loop runs under the map's bin lock
+    // and the dir is recorded only AFTER all views exist — a put-first
+    // form would mark the session registered before (or despite) a
+    // mid-loop failure, making later spark.sql callers skip
+    // registration and fail on missing views
+    registeredDir.compute(spark, (_, prev) => {
+      if (prev != dir)
+        names.foreach {
+          case "events" => events(spark, dir).createOrReplaceTempView("events")
+          case n => load(spark, dir, n).createOrReplaceTempView(n)
+        }
+      dir
+    })
 }
 
 /** A named query pack: Spark implementation + DuckDB oracle SQL. */

@@ -240,7 +240,8 @@ object Dedup extends QueryPack {
       graft.GraftExtensions.ensureRegistered(s)
       // the scan + gram explode is the dominant cost and has two
       // consumers (the dup aggregate and the join back) — cache it
-      // so it runs once (the q58/q78 rule)
+      // so it runs once (the q58/q78 rule; gram table is corpus-
+      // scaled, so at 100 TB persist to disk/checkpoint instead)
       val grams = T.documents(s, d)
         .select($"doc_id", posexplode(expr("word_ngrams(text, 5)")))
         .toDF("doc_id", "pos", "g")

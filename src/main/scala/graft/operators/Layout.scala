@@ -15,6 +15,15 @@ object Layout extends QueryPack {
 
   private def sfx(d: String): String = d.replaceAll("[^A-Za-z0-9]", "_")
 
+  /** Scratch dir for a query's intermediate write, unique per
+    * SparkContext (applicationId): two concurrent runs against the
+    * same dataset dir (bench + verify, parallel test JVMs) must not
+    * overwrite each other mid-scan — mode("overwrite") deletes files
+    * under a concurrent reader. Within one context the path is stable,
+    * so repeated builds of the same query stay idempotent. */
+  private def scratch(s: SparkSession, tag: String, d: String): String =
+    s"/tmp/graft_${tag}_${sfx(d)}_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- partitioned write + partition pruning ----------------------
     // Writes orders partitioned by year, then reads ONE partition
@@ -24,7 +33,7 @@ object Layout extends QueryPack {
     // scan.
     "q54_partition_pruning" -> ((s, d) => {
       import s.implicits._
-      val dir = s"/tmp/graft_part_${sfx(d)}"
+      val dir = scratch(s, "part", d)
       T.orders(s, d).withColumn("o_year", year($"o_orderdate"))
         .write.mode("overwrite").partitionBy("o_year").parquet(dir)
       s.read.parquet(dir)
@@ -127,7 +136,7 @@ object Layout extends QueryPack {
     // the user repeating the filter on the fact side.
     "q128_dynamic_pruning" -> ((s, d) => {
       import s.implicits._
-      val pdir = s"/tmp/graft_dpp_${sfx(d)}"
+      val pdir = scratch(s, "dpp", d)
       T.orders(s, d).withColumn("o_year", year($"o_orderdate"))
         .write.mode("overwrite").partitionBy("o_year").parquet(pdir)
       val fact = s.read.parquet(pdir)
@@ -184,7 +193,7 @@ object Layout extends QueryPack {
     // pages of the old generation are never rewritten.
     "q120_schema_evolution" -> ((s, d) => {
       import s.implicits._
-      val dir = s"/tmp/graft_evo_${sfx(d)}"
+      val dir = scratch(s, "evo", d)
       val o = T.orders(s, d)
       o.filter(year($"o_orderdate") < 1995)
         .select($"o_orderkey", $"o_custkey")
@@ -229,10 +238,15 @@ object Layout extends QueryPack {
     // on the join keys exists in the plan.)
     "q55_bucketed_join" -> ((s, d) => {
       import s.implicits._
-      // the in-memory catalog is per-JVM but the warehouse dir is not:
+      // per-context table suffix: the in-memory catalog is per-JVM but
+      // the warehouse dir is not — a concurrent run (bench + verify)
+      // deleting the same location would break this JVM's scan
+      val app = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      val custT = s"graft_cust_b_${sfx(d)}_$app"
+      val ordT = s"graft_ord_b_${sfx(d)}_$app"
       // a table location left by a previous run must be cleared or
       // CTAS refuses it (LOCATION_ALREADY_EXISTS)
-      Seq(s"graft_cust_b_${sfx(d)}", s"graft_ord_b_${sfx(d)}").foreach { t =>
+      Seq(custT, ordT).foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS $t")
         val p = new org.apache.hadoop.fs.Path(
           s.conf.get("spark.sql.warehouse.dir") + "/" + t)
@@ -240,11 +254,11 @@ object Layout extends QueryPack {
         if (fs.exists(p)) fs.delete(p, true)
       }
       T.customer(s, d).write.bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .mode("overwrite").saveAsTable(s"graft_cust_b_${sfx(d)}")
+        .mode("overwrite").saveAsTable(custT)
       T.orders(s, d).write.bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .mode("overwrite").saveAsTable(s"graft_ord_b_${sfx(d)}")
-      s.table(s"graft_ord_b_${sfx(d)}")
-        .join(s.table(s"graft_cust_b_${sfx(d)}"), $"o_custkey" === $"c_custkey")
+        .mode("overwrite").saveAsTable(ordT)
+      s.table(ordT)
+        .join(s.table(custT), $"o_custkey" === $"c_custkey")
         .groupBy($"c_mktsegment")
         .agg(count(lit(1)).as("n_orders"), Exact.sumMoney($"o_totalprice").as("total"))
     }),

@@ -146,6 +146,7 @@ object Pipeline extends QueryPack {
       val docs = T.documents(s, d)
         .select($"doc_id",
           array_distinct(expr("word_ngrams(text, 8)")).as("gs"))
+        // corpus-scaled: at 100 TB persist to disk/checkpoint instead
         .cache()
       val isBench = pmod(hash60($"doc_id"), lit(10)) === 0
       val benchGrams = docs.filter(isBench)
@@ -418,7 +419,9 @@ object Pipeline extends QueryPack {
         .distinct()
         // the distinct-gram table feeds three consumers (train side,
         // semi join probe, eval totals) — cache it so the corpus is
-        // gram-exploded once, not three times (same pattern as q36)
+        // gram-exploded once, not three times (same pattern as q36;
+        // the gram table is corpus-scaled, so at 100 TB this persists
+        // to disk or checkpoints instead of memory cache)
         .cache()
       val train = grams.filter($"split" === "train").select($"lang", $"gram")
       val eval_ = grams.filter($"split" =!= "train")

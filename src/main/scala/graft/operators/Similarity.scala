@@ -188,6 +188,7 @@ object Similarity extends QueryPack {
       val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"clab")
       // two consumers (stats, new-centroid fingerprint) — cache so the
       // k·n assignment pass (the dominant cost) runs once, not twice
+      // (scales with the vector count: disk-persist at 100 TB)
       val assigned = scored.withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
         .select($"vec_id", $"old_label", $"clab".as("new_label"), $"q")

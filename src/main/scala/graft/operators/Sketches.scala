@@ -178,7 +178,10 @@ object Sketches extends QueryPack {
     // the final one-row agg.
     "q127_corrupt_records" -> ((s, d) => {
       import s.implicits._
-      val dir = s"/tmp/graft_corrupt_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      // applicationId suffix: concurrent runs (bench + verify) must
+      // not overwrite each other's scratch mid-scan
+      val dir = s"/tmp/graft_corrupt_${d.replaceAll("[^A-Za-z0-9]", "_")}" +
+        s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
       T.events(s, d)
         .select(when($"event_id" % 10 === 0,
             concat(lit("{\"event_id\": "), $"event_id", lit(", \"event_type\": \"")))
@@ -204,7 +207,8 @@ object Sketches extends QueryPack {
       import s.implicits._
       val sample = T.orders(s, d).filter($"o_orderkey" < 1000)
         .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
-      val tmp = s"/tmp/graft_fmt_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val tmp = s"/tmp/graft_fmt_${d.replaceAll("[^A-Za-z0-9]", "_")}" +
+        s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
       sample.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
       sample.write.mode("overwrite").json(s"$tmp/json")
       sample.write.mode("overwrite").orc(s"$tmp/orc")

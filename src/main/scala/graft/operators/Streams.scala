@@ -603,7 +603,10 @@ object Streams extends QueryPack {
       val name = s"events_rt_${sfx(d)}" // same fixture as s01
       seedEventsJson(s, d, name, numShards = 4)
       val cap = math.max(1000L, T.events(s, d).count() / 4)
-      val root = s"/tmp/graft_upsert_${sfx(d)}"
+      // applicationId suffix: a concurrent run against the same dataset
+      // must not interleave generations with this one
+      val root = s"/tmp/graft_upsert_${sfx(d)}" +
+        s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(root), true)

@@ -101,6 +101,7 @@ object TextAnalysis extends QueryPack {
       graft.GraftExtensions.ensureRegistered(s)
       val grams = T.documents(s, d)
         .select($"doc_id", explode(expr("word_ngrams(text, 2)")).as("gram"))
+        // corpus-scaled: at 100 TB persist to disk/checkpoint instead
         .distinct().cache()
       val keep = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
         .filter($"df".between(2, 10))
@@ -195,6 +196,7 @@ object TextAnalysis extends QueryPack {
         .filter(length($"text") >= 3)
         .select($"doc_id", $"lang",
           array_distinct(expr("char_ngrams(text, 3)")).as("tg"))
+        // corpus-scaled: at 100 TB persist to disk/checkpoint instead
         .cache()
       val docTri = docs.select($"doc_id", $"tg")
       val langTri = docs.select($"lang", explode($"tg").as("t"))
@@ -304,6 +306,7 @@ object TextAnalysis extends QueryPack {
           "transform(sequence(0, size(w) - 2)," +
             " i -> struct(element_at(w, i + 1) AS w1, element_at(w, i + 2) AS w2))")).as("b"))
         .select($"doc_id", $"b.w1", $"b.w2")
+        // corpus-scaled: at 100 TB persist to disk/checkpoint instead
         .cache()
       val counts = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("n"))
       val lm = counts
