@@ -588,6 +588,97 @@ object Streams extends QueryPack {
           col("m.min_ts_us").as("min_ts_us"), col("m.max_ts_us").as("max_ts_us"))
     }),
 
+    // Resharding replay (S16 + the lifecycle the reference punts on —
+    // it hard-asserts a 1-shard stream,
+    // ShardPublisherVerification.scala:34-37): the fixture lives
+    // through a full shard lifecycle — 3 shards, a SPLIT of shard-0
+    // after the first third of the events, a MERGE of shard-1/shard-2
+    // after the second third — and the bounded replay must read every
+    // record exactly once across sealed parents and their children,
+    // with per-key order preserved (child offsets advance only after
+    // every parent is sealed and drained; the multi-epoch cap forces
+    // the gating to actually span triggers). min_by/max_by over the
+    // Kinesis-style sequence string prove per-user replay order ==
+    // event_id order end to end; the oracle is the plain per-user
+    // batch aggregate.
+    "s17_shard_split_replay" -> ((s, d) => {
+      val name = s"events_resh_${sfx(d)}"
+      synchronized { // same mid-seed-visibility rule as seedEventsJson
+        if (!ShardServiceRegistry.exists(name)) {
+          val rows = T.events(s, d)
+            .select(col("user_id"), col("event_id"))
+            .orderBy("event_id").collect()
+          val stream = ShardServiceRegistry.create(name, 3)
+          def put(r: org.apache.spark.sql.Row): Unit =
+            stream.putRecord(r.getLong(0).toString,
+              r.getLong(1).toString.getBytes(UTF_8), None)
+          val third = rows.length / 3
+          rows.take(third).foreach(put)
+          stream.splitShard(stream.shardIds.head)
+          rows.slice(third, 2 * third).foreach(put)
+          val open = stream.shardIds.filterNot(stream.isShardSealed)
+          stream.mergeShards(open.head, open(1))
+          rows.drop(2 * third).foreach(put)
+        }
+      }
+      val cap = math.max(1000L, T.events(s, d).count() / 4)
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", cap.toString)
+        .load()
+      drain(s, raw.select(
+          col("partitionKey").cast("bigint").as("user_id"),
+          col("sequenceNumber"),
+          col("data").cast("string").cast("bigint").as("eid")))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          min_by(col("eid"), col("sequenceNumber")).as("first_eid"),
+          max_by(col("eid"), col("sequenceNumber")).as("last_eid"))
+    }),
+
+    // AT_TIMESTAMP start position (S1's fifth variant — in the public
+    // Kinesis enum but missing from the reference's KCL 1.0 pin,
+    // ShardSubscription.java:82): the fixture seeds arrival stamps =
+    // event time (put in ts order, so the per-shard monotonicity the
+    // real service guarantees holds), and the query replays only from
+    // the corpus midpoint stamp. The oracle is the equivalent batch
+    // time filter — proving the iterator resolution reads exactly the
+    // at/after-stamp suffix of every shard, not an approximation.
+    "s18_stream_at_timestamp" -> ((s, d) => {
+      val name = s"events_ts_${sfx(d)}"
+      synchronized {
+        if (!ShardServiceRegistry.exists(name)) {
+          val rows = T.events(s, d)
+            .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+              to_json(struct(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+                col("event_type"))).as("json"))
+            .orderBy(col("ts_us"), col("event_id")).collect()
+          val stream = ShardServiceRegistry.create(name, 4)
+          rows.foreach { r =>
+            stream.putRecord(r.getLong(0).toString, r.getString(2).getBytes(UTF_8),
+              None, arrivalTs = Some(r.getLong(1)))
+          }
+        }
+      }
+      // deterministic cutoff: corpus midpoint stamp; both engines
+      // compute (min+max) div 2 on non-negative micros (trunc == floor)
+      val mm = T.events(s, d)
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      val cutoff = (mm.getLong(0) + mm.getLong(1)) / 2
+      val tsSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts_us", LongType),
+        StructField("event_type", StringType)))
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", s"at_timestamp:$cutoff")
+        .option("maxRecordsPerBatch", "50000")
+        .load()
+      drain(s, raw
+        .select(from_json(col("data").cast("string"), tsSchema).as("e"))
+        .select(col("e.event_id"), col("e.ts_us"), col("e.event_type")))
+    }),
+
     // Streaming CDC apply: foreachBatch merges each micro-batch into a
     // keyed parquet target with latest-wins semantics — the classic
     // upsert loop for table formats without transactional MERGE.
@@ -643,6 +734,17 @@ object Streams extends QueryPack {
     }))
 
   def oracles: Map[String, String] = Map(
+    "s17_shard_split_replay" ->
+      """SELECT user_id, count(*) AS n,
+        |  min(event_id) AS first_eid, max(event_id) AS last_eid
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "s18_stream_at_timestamp" ->
+      """SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type
+        |FROM events
+        |WHERE epoch_us(ts) >= (
+        |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 FROM events)""".stripMargin,
+
     "s13_stream_upsert" ->
       """SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS last_ts_us,
         |  event_id AS last_event_id, event_type AS last_event_type

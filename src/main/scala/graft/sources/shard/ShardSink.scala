@@ -24,7 +24,11 @@ import org.apache.spark.sql.functions.col
   * contract (the engine plans the clustering/sort it declares); this
   * helper remains for foreachBatch pipelines that interleave puts with
   * other per-batch logic. Ordering/chaining semantics must be kept in
-  * sync between the two.
+  * sync between the two. Delivery differs: this helper is plain
+  * at-least-once under task retries (the reference's fire-and-forget
+  * PutRecord); the DSv2 writer adds the idempotent-producer scope that
+  * makes retried tasks exactly-once visible — pipelines that need that
+  * guarantee should write through `format("shardstream")`.
   */
 object ShardSink {
 

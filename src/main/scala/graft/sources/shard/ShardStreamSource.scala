@@ -21,11 +21,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Mapping (SURVEY §2/§3.4):
   *  - S1 starting position: option `startingPosition` ∈ `trim_horizon |
-  *    latest | at_sequence_number:<n> | after_sequence_number:<n>`
-  *    (reference `ShardSubscription.java:76-86`);
+  *    latest | at_sequence_number:<n> | after_sequence_number:<n> |
+  *    at_timestamp:<epoch_micros>` (reference
+  *    `ShardSubscription.java:76-86`; AT_TIMESTAMP is the fifth public
+  *    enum member its KCL 1.0 pin predates);
   *  - S3 bounded fetch: `SupportsAdmissionControl` with
   *    `maxRecordsPerBatch` (default 100 — the reference's
-  *    `queuedMaximum`, `ShardSubscription.java:31,141-146`);
+  *    `queuedMaximum`, `ShardSubscription.java:31,141-146`), split
+  *    fairly ACROSS shards each trigger (the reference's computed
+  *    fetch limit is per shard — one subscription per shard,
+  *    `ShardSubscription.java:141-146` — so a hot low-ordinal shard
+  *    must not starve later shards within a trigger);
   *  - S4 cursor: per-shard index offsets, JSON-serialized and
   *    checkpointed by the engine (upgrade over the reference's
   *    in-memory-only iterator, `ShardSubscription.java:159-161`);
@@ -34,11 +40,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *    reference's `elementsLeft`, `ShardSubscription.java:38,67-68,174-181`),
   *    applied as a total budget across shards in shardId order;
   *  - S16 discovery: one `InputPartition` per shard
-  *    (`ShardPublisherVerification.scala:31-38`).
+  *    (`ShardPublisherVerification.scala:31-38`), re-polled every
+  *    trigger so shards opened by a mid-query split/merge are picked
+  *    up without a restart.
   *
   * Per-shard total order is preserved (records of one shard are read by
   * one partition in index order); no cross-shard order — the same
-  * contract as the reference (SURVEY §1.1).
+  * contract as the reference (SURVEY §1.1). Across a RESHARDING event
+  * the stronger per-KEY order also holds: a child shard's offsets only
+  * advance once every parent is sealed and fully consumed at the
+  * current offset, so a key's post-split records are always emitted in
+  * a later micro-batch than its last parent record (the KCL
+  * parent-before-child rule).
   *
   * Scale: at 100 TB / 1000 executors the registry lookup becomes a
   * network client to the real sharded log; offsets, admission control
@@ -80,6 +93,8 @@ object ShardSourceOptions {
         (IteratorType.AtSequenceNumber, Some(p.stripPrefix("at_sequence_number:").toLong))
       case p if p.startsWith("after_sequence_number:") =>
         (IteratorType.AfterSequenceNumber, Some(p.stripPrefix("after_sequence_number:").toLong))
+      case p if p.startsWith("at_timestamp:") =>
+        (IteratorType.AtTimestamp, Some(p.stripPrefix("at_timestamp:").toLong))
       case other =>
         throw new IllegalArgumentException(s"shardstream: bad startingPosition '$other'")
     }
@@ -175,15 +190,47 @@ private[shard] object ShardPositions {
   }
 
   /** Advance `cur` toward `end` honoring a row budget (S3's computed
-    * fetch limit → admission control). */
-  def advance(cur: Map[String, Long], end: Map[String, Long], rowBudget: Long): Map[String, Long] = {
-    var budget = rowBudget
-    SortedMap.empty[String, Long] ++ end.toSeq.sortBy(_._1).map { case (id, e) =>
-      val c = cur.getOrElse(id, 0L)
-      val take = math.max(0L, math.min(e - c, budget))
-      budget -= take
-      id -> (c + take)
+    * fetch limit → admission control).
+    *
+    * Two semantics layered on the plain per-trigger advance:
+    *  - resharding gate: a shard with parents advances only once every
+    *    parent is sealed AND fully consumed at `cur` — so per-key
+    *    order survives a split/merge (a key's child-shard records land
+    *    in a strictly later micro-batch than its last parent record);
+    *  - per-shard fairness: the row budget is waterfilled across the
+    *    eligible shards (equal share per round, remainder re-offered
+    *    to still-hungry shards in shardId order) — the reference
+    *    computes its fetch limit PER SHARD (one subscription each,
+    *    `ShardSubscription.java:141-146`), so under a tight
+    *    `maxRecordsPerBatch` every shard with pending data advances
+    *    every trigger instead of draining in shardId order.
+    */
+  def advance(opts: ShardSourceOptions, cur: Map[String, Long],
+              end: Map[String, Long], rowBudget: Long): Map[String, Long] = {
+    val svc = ShardServiceRegistry.get(opts.stream)
+    def parentsDrained(id: String): Boolean = svc.parentsOf(id).forall { p =>
+      svc.isShardSealed(p) && cur.getOrElse(p, 0L) >= svc.size(p)
     }
+    val ids = end.keys.toSeq.sorted
+    val pending: Map[String, Long] = ids.map { id =>
+      val c = cur.getOrElse(id, 0L)
+      id -> (if (parentsDrained(id)) math.max(0L, end(id) - c) else 0L)
+    }.toMap
+    val takes = scala.collection.mutable.Map(ids.map(_ -> 0L): _*)
+    var remaining = rowBudget
+    var hungry = ids.filter(pending(_) > 0)
+    while (remaining > 0 && hungry.nonEmpty) {
+      // equal share per round; max(1,...) guarantees progress when the
+      // budget is smaller than the shard count
+      val share = math.max(1L, remaining / hungry.size)
+      for (id <- hungry if remaining > 0) {
+        val t = math.min(math.min(share, pending(id) - takes(id)), remaining)
+        takes(id) += t
+        remaining -= t
+      }
+      hungry = hungry.filter(id => takes(id) < pending(id))
+    }
+    SortedMap.empty[String, Long] ++ ids.map(id => id -> (cur.getOrElse(id, 0L) + takes(id)))
   }
 
   def partitions(opts: ShardSourceOptions, from: Map[String, Long],
@@ -302,7 +349,7 @@ class ShardMicroBatchStream(opts: ShardSourceOptions, checkpointLocation: String
   override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
     val cur = startOffset.asInstanceOf[ShardStreamOffset].indexes
     val end = availableNowTarget.getOrElse(ShardPositions.cappedEnd(opts, start))
-    ShardStreamOffset(ShardPositions.advance(cur, end, rowBudget(limit)))
+    ShardStreamOffset(ShardPositions.advance(opts, cur, end, rowBudget(limit)))
   }
 
   override def reportLatestOffset(): Offset =

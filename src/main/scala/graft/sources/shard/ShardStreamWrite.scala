@@ -28,10 +28,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * ordering rows within a key — required for a deterministic replay
   * order, since a sort on the key alone is not stable).
   *
-  * Delivery: appends are at-least-once under task retries (the test
-  * substrate has no transactional commit) — same as the reference's
-  * fire-and-forget `PutRecord`; the engine's checkpointing makes the
-  * micro-batch boundaries exactly-once on the read side.
+  * Delivery: task delivery is at-least-once (Spark re-executes failed
+  * and speculative tasks), but the VISIBLE effect per (key, sequence
+  * chain) is exactly-once: each writer sends an idempotent per-key
+  * record index scoped by (write job, epoch), and the service treats a
+  * replayed index as a no-op ([[ShardStream.putIdempotent]] — the
+  * Kafka idempotent-producer design; an upgrade over the reference's
+  * fire-and-forget `PutRecord`). The replay order a retried task
+  * produces is deterministic because the engine plans the clustering +
+  * sort this write declares. Scope: exactly-once under task retries
+  * within one write job / streaming run, and under epoch re-execution
+  * within a run; a query RESTART from a checkpoint re-plans epochs
+  * under a fresh write id, where delivery degrades to at-least-once
+  * (pair with the read side's dedup, s07/s14).
   */
 final case class ShardSinkOptions(stream: String, keyCol: String,
                                   payloadCol: String, orderBy: Seq[String])
@@ -52,6 +61,12 @@ class ShardWriteBuilder(opts: ShardSinkOptions, schema: StructType) extends Writ
 
 class ShardWrite(opts: ShardSinkOptions, schema: StructType)
     extends Write with RequiresDistributionAndOrdering {
+
+  // one id per logical write: generated on the driver when the write is
+  // planned and serialized into every task's factory, so all attempts
+  // of one task share it (the idempotence scope) while distinct jobs
+  // never collide
+  private val writeId = java.util.UUID.randomUUID().toString
 
   // fail at planning, not mid-write after the shuffle already ran
   locally {
@@ -75,41 +90,50 @@ class ShardWrite(opts: ShardSinkOptions, schema: StructType)
 
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-      ShardWriterFactory(opts, schema)
+      ShardWriterFactory(opts, schema, writeId)
     override def commit(messages: Array[WriterCommitMessage]): Unit = ()
     override def abort(messages: Array[WriterCommitMessage]): Unit = ()
   }
 
   override def toStreaming: StreamingWrite = new StreamingWrite {
     override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-      ShardWriterFactory(opts, schema)
+      ShardWriterFactory(opts, schema, writeId)
     override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
     override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   }
 }
 
-final case class ShardWriterFactory(opts: ShardSinkOptions, schema: StructType)
+final case class ShardWriterFactory(opts: ShardSinkOptions, schema: StructType,
+                                    writeId: String)
     extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ShardDataWriter(opts, schema)
+    new ShardDataWriter(opts, schema, s"$writeId/batch")
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new ShardDataWriter(opts, schema)
+    new ShardDataWriter(opts, schema, s"$writeId/$epochId")
 }
 
-class ShardDataWriter(opts: ShardSinkOptions, schema: StructType)
+/** Per-task writer. `scope` identifies one logical write (job or
+  * micro-batch epoch); within it the writer numbers each key's rows
+  * 0,1,2,… and the service deduplicates on (scope, key, idx), so a
+  * retried or speculative task — which replays the same sorted rows —
+  * re-sends the same indexes and the service no-ops them. Keys are
+  * disjoint across partitions (the write clusters on the key), so two
+  * healthy tasks never share a (scope, key). */
+class ShardDataWriter(opts: ShardSinkOptions, schema: StructType, scope: String)
     extends DataWriter[InternalRow] {
   private val keyIdx = schema.fieldIndex(opts.keyCol)
   private val payloadIdx = schema.fieldIndex(opts.payloadCol)
-  private val lastSeq = scala.collection.mutable.Map.empty[String, Long]
+  private val nextIdx = scala.collection.mutable.Map.empty[String, Long]
 
   override def write(row: InternalRow): Unit = {
     val key = row.getUTF8String(keyIdx).toString
     val payload = row.getBinary(payloadIdx)
-    val seq = ShardServiceRegistry.get(opts.stream).putRecord(key, payload, lastSeq.get(key))
-    lastSeq(key) = seq
+    val idx = nextIdx.getOrElse(key, 0L)
+    ShardServiceRegistry.get(opts.stream).putIdempotent(scope, key, idx, payload)
+    nextIdx(key) = idx + 1
   }
 
-  override def commit(): WriterCommitMessage = ShardWriteCommit(lastSeq.size)
+  override def commit(): WriterCommitMessage = ShardWriteCommit(nextIdx.size)
   override def abort(): Unit = ()
   override def close(): Unit = ()
 }

@@ -29,7 +29,7 @@ class ShardStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
-      .master("local[4]")
+      .master("local[4, 2]") // 2 task attempts: the idempotent-write test needs a real retry
       .appName("shardstream-spec")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
@@ -83,6 +83,11 @@ class ShardStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def payloads(df: DataFrame): Seq[String] =
     df.select(col("data").cast("string")).collect().map(_.getString(0)).toSeq
+
+  /** Progress offsets as a per-shard index map; the first batch reports
+    * a null startOffset (= the query's initial position: nothing read). */
+  private def parseOffset(json: String): Map[String, Long] =
+    if (json == null) Map.empty else ShardStreamOffset.fromJson(json).indexes
 
   // ---- service unit behavior ----------------------------------------
 
@@ -509,6 +514,207 @@ class ShardStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     assert(q.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq == Seq(10))
+  }
+
+  // ---- resharding lifecycle (split/merge — the case the reference's
+  // 1-shard assertion punts on, ShardPublisherVerification.scala:34-37)
+
+  test("service: splitShard seals the parent and opens two children") {
+    val s = ShardServiceRegistry.create(freshName("split"), 2)
+    val parent = s.shardIds.head
+    val (c1, c2) = s.splitShard(parent)
+    assert(s.isShardSealed(parent))
+    assert(!s.isShardSealed(c1) && !s.isShardSealed(c2))
+    assert(s.parentsOf(c1) == Seq(parent) && s.parentsOf(c2) == Seq(parent))
+    // a sealed shard cannot be split again
+    val ex = intercept[ShardServiceException](s.splitShard(parent))
+    assert(ex.getMessage.contains("sealed"))
+    // routing targets open shards only: no new record lands in the parent
+    val sizeBefore = s.size(parent)
+    (0 until 50).foreach(i => s.putRecord(s"k$i", Array[Byte](1), None))
+    assert(s.size(parent) == sizeBefore, "sealed parent must not accept new records")
+  }
+
+  test("service: mergeShards seals both parents into one child; misuse rejected") {
+    val s = ShardServiceRegistry.create(freshName("merge"), 3)
+    val Seq(a, b, c) = s.shardIds.take(3)
+    val child = s.mergeShards(a, b)
+    assert(s.isShardSealed(a) && s.isShardSealed(b) && !s.isShardSealed(child))
+    assert(s.parentsOf(child).toSet == Set(a, b))
+    intercept[IllegalArgumentException](s.mergeShards(c, c))
+    val ex = intercept[ShardServiceException](s.mergeShards(a, c))
+    assert(ex.getMessage.contains("sealed"))
+  }
+
+  test("resharding replay: exactly-once and per-key order across split and merge") {
+    val name = freshName("resh")
+    val s = ShardServiceRegistry.create(name, 2)
+    def seed(r: Range): Unit =
+      r.foreach(i => s.putRecord(s"key-${i % 6}", s"p-$i".getBytes(UTF_8), None))
+    seed(0 until 20)
+    s.splitShard(s.shardIds.head)
+    seed(20 until 40)
+    val open = s.shardIds.filterNot(s.isShardSealed)
+    s.mergeShards(open.head, open(1))
+    seed(40 until 60)
+    // tight per-trigger cap: the parent-before-child gate must span triggers
+    val rows = drain(readStreamDf(name, Map("maxRecordsPerBatch" -> "7")))
+      .select(col("partitionKey"), col("data").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1).stripPrefix("p-").toInt))
+    assert(rows.length == 60, "every record exactly once across sealed parents and children")
+    assert(rows.map(_._2).toSet == (0 until 60).toSet)
+    // per-key order: sink arrival order must be ascending per key (a
+    // key's records cross parent -> child -> merged child; the gate
+    // guarantees child batches come after the parent is drained)
+    rows.groupBy(_._1).foreach { case (key, rs) =>
+      val order = rs.map(_._2).toSeq
+      assert(order == order.sorted, s"key $key replayed out of order: $order")
+    }
+  }
+
+  test("parent-before-child: child offsets advance only after every parent is drained") {
+    val name = freshName("gate")
+    val s = ShardServiceRegistry.create(name, 1)
+    val parent = s.shardIds.head
+    (0 until 10).foreach(i => s.putRecord(s"k${i % 3}", s"a-$i".getBytes(UTF_8), None))
+    val (c1, c2) = s.splitShard(parent)
+    (10 until 20).foreach(i => s.putRecord(s"k${i % 3}", s"b-$i".getBytes(UTF_8), None))
+    val qn = freshName("out")
+    val q = readStreamDf(name, Map("maxRecordsPerBatch" -> "3"))
+      .writeStream.format("memory").queryName(qn)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table(qn).count() == 20)
+    val moves = q.recentProgress.toSeq.map { p =>
+      (parseOffset(p.sources.head.startOffset), parseOffset(p.sources.head.endOffset))
+    }
+    val childAdvances = moves.filter { case (st, en) =>
+      Seq(c1, c2).exists(id => en.getOrElse(id, 0L) > st.getOrElse(id, 0L))
+    }
+    assert(childAdvances.nonEmpty, "children must eventually advance")
+    childAdvances.foreach { case (st, _) =>
+      assert(st.getOrElse(parent, 0L) == 10L,
+        s"child advanced before parent drained: parent at ${st.getOrElse(parent, 0L)}/10")
+    }
+    // the gate holds budget back in the parent's final trigger rather
+    // than spending it on children in the same batch
+    val batches = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+    assert(batches.sum == 20)
+  }
+
+  // ---- per-shard admission fairness (S3 refinement: the reference's
+  // computed fetch limit is PER SHARD, ShardSubscription.java:141-146)
+
+  test("tight maxRecordsPerBatch is waterfilled: every pending shard advances every trigger") {
+    val name = freshName("fair")
+    val s = ShardServiceRegistry.create(name, 4)
+    // ~10 records per shard (round-robin keys hash across 4 shards)
+    (0 until 64).foreach(i => s.putRecord(s"key-${i % 8}", s"p-$i".getBytes(UTF_8), None))
+    val sizes = s.shardIds.map(id => id -> s.size(id)).toMap
+    assert(sizes.values.forall(_ > 0), s"fixture must populate all shards: $sizes")
+    val qn = freshName("out")
+    val q = readStreamDf(name, Map("maxRecordsPerBatch" -> "8"))
+      .writeStream.format("memory").queryName(qn)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table(qn).count() == 64)
+    q.recentProgress.toSeq.foreach { p =>
+      val st = parseOffset(p.sources.head.startOffset)
+      val en = parseOffset(p.sources.head.endOffset)
+      val adv = s.shardIds.map(id =>
+        id -> (en.getOrElse(id, 0L) - st.getOrElse(id, 0L))).toMap
+      val pendingShards = s.shardIds.filter(id => st.getOrElse(id, 0L) < sizes(id))
+      if (adv.values.sum > 0) {
+        pendingShards.foreach(id => assert(adv(id) > 0,
+          s"shard $id starved in a trigger: advances=$adv, pending=$pendingShards"))
+        // equal shares within 1 (waterfill), never shardId-order draining
+        val shares = pendingShards.map(adv)
+        assert(shares.max - shares.min <= 1, s"unfair split: $adv")
+      }
+    }
+  }
+
+  // ---- AT_TIMESTAMP start position (fifth public enum member; the
+  // reference's KCL 1.0 pin predates it, ShardSubscription.java:82)
+
+  test("service: AT_TIMESTAMP resolves the first index at/after the stamp; stamps are monotone") {
+    val s = ShardServiceRegistry.create(freshName("ts"), 1)
+    val shard = s.shardIds.head
+    Seq(100L, 200L, 300L).zipWithIndex.foreach { case (ts, i) =>
+      s.putRecord("k", s"p-$i".getBytes(UTF_8), None, arrivalTs = Some(ts))
+    }
+    assert(s.resolveIndex(shard, IteratorType.AtTimestamp, Some(50L)) == 0L)
+    assert(s.resolveIndex(shard, IteratorType.AtTimestamp, Some(200L)) == 1L)
+    assert(s.resolveIndex(shard, IteratorType.AtTimestamp, Some(201L)) == 2L)
+    assert(s.resolveIndex(shard, IteratorType.AtTimestamp, Some(301L)) == 3L)
+    // the real-service invariant AT_TIMESTAMP relies on: per-shard
+    // arrival stamps never regress
+    val ex = intercept[ShardServiceException](
+      s.putRecord("k", "x".getBytes(UTF_8), None, arrivalTs = Some(250L)))
+    assert(ex.getMessage.contains("regresses"))
+  }
+
+  test("at_timestamp start position reads exactly the at/after-stamp suffix of every shard") {
+    val name = freshName("tse2e")
+    val s = ShardServiceRegistry.create(name, 2)
+    (0 until 20).foreach(i =>
+      s.putRecord(s"k-${i % 4}", s"p-$i".getBytes(UTF_8), None, arrivalTs = Some(1000L + i * 10)))
+    val got = payloads(drain(readStreamDf(name,
+      Map("startingPosition" -> "at_timestamp:1100"))))
+    assert(got.toSet == (10 until 20).map(i => s"p-$i").toSet)
+    // stamp beyond the last arrival reads nothing
+    assert(drain(readStreamDf(name,
+      Map("startingPosition" -> "at_timestamp:99999"))).count() == 0)
+  }
+
+  // ---- idempotent producer (write-side exactly-once under retries) --
+
+  test("service: putIdempotent no-ops replays and rejects gaps") {
+    val name = freshName("idem")
+    val s = ShardServiceRegistry.create(name, 2)
+    val seq0 = s.putIdempotent("scope-a", "k", 0L, "p-0".getBytes(UTF_8))
+    val seq1 = s.putIdempotent("scope-a", "k", 1L, "p-1".getBytes(UTF_8))
+    assert(seq1 > seq0)
+    val total = s.shardIds.map(s.size).sum
+    // a replayed index is a no-op returning the original sequence number
+    assert(s.putIdempotent("scope-a", "k", 1L, "p-1".getBytes(UTF_8)) == seq1)
+    assert(s.putIdempotent("scope-a", "k", 0L, "p-0".getBytes(UTF_8)) >= 0L)
+    assert(s.shardIds.map(s.size).sum == total, "replays must not append")
+    // an index gap is a protocol violation, not silently reordered
+    val ex = intercept[ShardServiceException](
+      s.putIdempotent("scope-a", "k", 5L, "p-5".getBytes(UTF_8)))
+    assert(ex.getMessage.contains("gap"))
+    // a different scope is an independent chain
+    s.putIdempotent("scope-b", "k", 0L, "q-0".getBytes(UTF_8))
+    assert(s.shardIds.map(s.size).sum == total + 1)
+  }
+
+  test("DSv2 write: a mid-write task failure retries to an exactly-once visible effect") {
+    val sp = spark
+    import sp.implicits._
+    val name = freshName("retryw")
+    ShardServiceRegistry.create(name, 2)
+    val df = (0 until 40).map(i => (s"key-${i % 4}", i, s"p-$i"))
+      .toDF("k", "i", "payload")
+      .select($"k", $"i", $"payload".cast("binary").as("payload"))
+    // 6th put throws once: some task dies mid-write after real appends,
+    // its retry replays the same sorted rows under the same scope
+    ShardServiceRegistry.injectFailureOnce(name, "putRecord", afterCalls = 5L)
+    try {
+      df.write.format("shardstream")
+        .option("stream", name).option("keyCol", "k")
+        .option("payloadCol", "payload").option("orderBy", "i")
+        .mode("append").save()
+    } finally ShardServiceRegistry.clearFailure(name, "putRecord")
+    val back = spark.read.format("shardstream").option("stream", name).load()
+      .select(col("partitionKey"), col("sequenceNumber"), col("data").cast("string").as("p"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(back.length == 40, s"double-put or loss after retry: ${back.length} records")
+    back.groupBy(_._1).foreach { case (key, rs) =>
+      val inSeqOrder = rs.sortBy(_._2).map(_._3).toSeq
+      val expected = (0 until 40).filter(i => s"key-${i % 4}" == key).map(i => s"p-$i")
+      assert(inSeqOrder == expected, s"key $key order broken after retry")
+    }
   }
 
   // ---- typed consumer dataflow (S14) --------------------------------
