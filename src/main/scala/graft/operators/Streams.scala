@@ -121,9 +121,14 @@ object Streams extends QueryPack {
     }
 
   /** Run a streaming DataFrame through Trigger.AvailableNow into a
-    * memory sink and return the materialized table (S9 completion). */
+    * memory sink and return the materialized table (S9 completion).
+    * Every declared query runs under the session's
+    * [[graft.streaming.StreamObservability]] listener — rows/batch,
+    * state size, and watermark lag are exported per micro-batch (the
+    * ops counterpart of the reference's SLF4J per-event logging). */
   private def drain(s: SparkSession, df: DataFrame,
                     outputMode: String = "append"): DataFrame = {
+    graft.streaming.StreamObservability.attach(s)
     // memory-sink tables pin their rows in driver heap for the JVM
     // lifetime — drop earlier runs' views (their consumers have
     // already written results by the time another stream query runs)
@@ -244,6 +249,7 @@ object Streams extends QueryPack {
         .select(col("e.event_type").as("partitionKey"),
           col("e.event_id"),
           col("e.event_id").cast("string").cast("binary").as("data"))
+      graft.streaming.StreamObservability.attach(s)
       val q = parsed.writeStream.format("shardstream")
         .option("stream", dst)
         .option("orderBy", "event_id")
@@ -710,6 +716,7 @@ object Streams extends QueryPack {
         .select(from_json(col("data").cast("string"), payloadSchema).as("e"))
         .select(col("e.user_id").as("user_id"), col("e.event_id").as("event_id"),
           col("e.ts_us").as("ts_us"), col("e.event_type").as("event_type"))
+      graft.streaming.StreamObservability.attach(s)
       val q = ev.writeStream.outputMode("append")
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, _: Long) =>
