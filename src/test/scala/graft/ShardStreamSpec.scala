@@ -602,6 +602,37 @@ class ShardStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batches.sum == 20)
   }
 
+  test("a split during a running query is discovered and drained without restart") {
+    val name = freshName("livesplit")
+    val svc = ShardServiceRegistry.create(name, 1)
+    (0 until 6).foreach(i => svc.putRecord(s"k${i % 2}", s"a-$i".getBytes(UTF_8), None))
+    val qn = freshName("out")
+    val q = readStreamDf(name, Map("maxRecordsPerBatch" -> "4"))
+      .writeStream.format("memory").queryName(qn)
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    val deadline = System.currentTimeMillis() + 15000
+    while (spark.table(qn).count() < 6 && System.currentTimeMillis() < deadline)
+      Thread.sleep(20)
+    assert(spark.table(qn).count() == 6, "pre-split records must drain first")
+    // reshard while the query is live: discovery is re-polled every
+    // trigger, so the children must be picked up without a restart
+    svc.splitShard(svc.shardIds.head)
+    (6 until 12).foreach(i => svc.putRecord(s"k${i % 2}", s"b-$i".getBytes(UTF_8), None))
+    while (spark.table(qn).count() < 12 && System.currentTimeMillis() < deadline)
+      Thread.sleep(20)
+    q.stop()
+    val rows = spark.table(qn)
+      .select(col("partitionKey"), col("data").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.length == 12, s"post-split records not discovered: ${rows.toSeq}")
+    // per-key order across the live split: every pre-split record
+    // precedes every post-split record of the same key
+    rows.groupBy(_._1).foreach { case (k, rs) =>
+      val phases = rs.map(_._2.charAt(0)).toSeq
+      assert(phases == phases.sorted, s"key $k interleaved across the split: ${rs.toSeq}")
+    }
+  }
+
   // ---- per-shard admission fairness (S3 refinement: the reference's
   // computed fetch limit is PER SHARD, ShardSubscription.java:141-146)
 
