@@ -70,7 +70,9 @@ import graft.operators._
   *    split-leakage n-gram audit, skew diagnostics, end-to-end
   *    curation DAG (gate→dedup→split→account), hash-parity A/B
   *    experiment metrics (q123), decomposed-rank tokenizer
-  *    vocabulary build (q124), distribution drift detection (q125)
+  *    vocabulary build (q124), distribution drift detection (q125),
+  *    per-doc n-gram novelty scoring (q130), vocabulary coverage
+  *    curve via band decomposition (q131)
   */
 object SparkEntry {
 

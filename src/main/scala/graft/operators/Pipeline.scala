@@ -383,6 +383,69 @@ object Pipeline extends QueryPack {
         .select($"w", $"n", $"vocab_id")
     }),
 
+    // ---- n-gram novelty: per-doc corpus-uniqueness score ------------
+    // The prioritization signal dedup does not give you: how much of a
+    // document's 3-gram set appears NOWHERE else in the corpus. High
+    // novelty = unique long-tail content worth keeping; near-zero
+    // novelty = boilerplate even when no single document duplicates it
+    // (q36/q76 find pairwise duplication; this measures corpus-level
+    // redundancy per doc). Shape: distinct (doc, gram) explode → gram
+    // doc-frequency agg → join back on the gram key → per-doc agg.
+    // Both shuffles key on gram/doc hashes, never text; the gram table
+    // is corpus-scaled, so at 100 TB the cache below becomes
+    // DISK_ONLY persist or a checkpoint (same note as q36/q109).
+    "q130_ngram_novelty" -> ((s, d) => {
+      import s.implicits._
+      val grams = T.documents(s, d)
+        .withColumn("w", split($"text", " "))
+        .filter(size($"w") >= 3)
+        .select($"doc_id", explode(
+          expr("transform(sequence(1, size(w) - 2), " +
+            "i -> concat_ws(' ', slice(w, i, 3)))")).as("gram"))
+        .distinct()
+        .cache() // feeds the doc-frequency agg AND the join probe
+      val df = grams.groupBy($"gram").agg(count(lit(1)).as("nd"))
+      grams.join(df, Seq("gram"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when($"nd" === 1, 1L).otherwise(0L)).cast("bigint").as("n_unique"))
+        .select($"doc_id", $"n_grams", $"n_unique",
+          expr("n_unique * 1000000L div n_grams").as("novelty_ppm"))
+    }),
+
+    // ---- vocabulary coverage curve (no join, no global sort) --------
+    // The tokenizer-sizing audit: what share of total token mass do
+    // the top-k vocabulary words cover? q124 ranks words via band
+    // decomposition; coverage needs only CUMULATIVE MASS by rank, and
+    // within a band every word has the same count — so the curve is
+    // computable from the band table alone: covered(k) = Σ_bands
+    // n · clamp(k − words_before_band, 0, words_in_band). One
+    // vocabulary-keyed agg → band agg (one row per distinct count
+    // value — hundreds at any corpus size) → tiny window for the
+    // cumulative offsets → explode 4 checkpoints per band → 4-group
+    // agg. No per-word window, no join, nothing corpus-scale past the
+    // first agg.
+    "q131_vocab_coverage" -> ((s, d) => {
+      import s.implicits._
+      val counts = T.documents(s, d)
+        .select(explode(split($"text", " ")).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("n"))
+      val bands = counts.groupBy($"n").agg(count(lit(1)).as("words_in_band"))
+      val wb = Window.orderBy($"n".desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      bands
+        .withColumn("words_before", coalesce(sum($"words_in_band").over(wb), lit(0L)))
+        .select(explode(array(lit(5L), lit(10L), lit(20L), lit(50L))).as("k"),
+          $"n", $"words_in_band", $"words_before")
+        .groupBy($"k")
+        .agg(
+          sum($"n" * greatest(least($"k" - $"words_before", $"words_in_band"), lit(0L)))
+            .cast("bigint").as("covered_tokens"),
+          sum($"n" * $"words_in_band").cast("bigint").as("total_tokens"))
+        .select($"k", $"covered_tokens", $"total_tokens",
+          expr("covered_tokens * 1000000L div total_tokens").as("coverage_ppm"))
+    }),
+
     "q105_split_manifest" -> ((s, d) => {
       import s.implicits._
       val b = pmod(hash60($"doc_id"), lit(100))
@@ -648,6 +711,37 @@ object Pipeline extends QueryPack {
         |  CAST(sum(rev_c) AS BIGINT) AS rev_c,
         |  CAST(sum(converted) * 1000000 // count(*) AS BIGINT) AS conv_ppm
         |FROM armed GROUP BY arm""".stripMargin,
+
+    "q130_ngram_novelty" ->
+      """WITH b AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        |  FROM b),
+        |df AS (SELECT gram, count(*) AS nd FROM g GROUP BY gram)
+        |SELECT g.doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |  CAST(sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+        |    AS BIGINT) AS novelty_ppm
+        |FROM g JOIN df USING (gram) GROUP BY g.doc_id""".stripMargin,
+
+    "q131_vocab_coverage" ->
+      """WITH c AS (
+        |  SELECT w, count(*) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) u
+        |  GROUP BY w),
+        |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, w) AS rk FROM c),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_tokens FROM c),
+        |ks AS (SELECT CAST(unnest([5, 10, 20, 50]) AS BIGINT) AS k)
+        |SELECT ks.k, CAST(coalesce(sum(r.n), 0) AS BIGINT) AS covered_tokens,
+        |  total_tokens,
+        |  CAST(coalesce(sum(r.n), 0) * 1000000 // total_tokens AS BIGINT)
+        |    AS coverage_ppm
+        |FROM ks CROSS JOIN tot LEFT JOIN r ON r.rk <= ks.k
+        |GROUP BY ks.k, total_tokens""".stripMargin,
 
     "q124_vocab_rank" ->
       """SELECT w, n, vocab_id FROM (

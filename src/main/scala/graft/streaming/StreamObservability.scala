@@ -25,6 +25,11 @@ import org.apache.spark.sql.streaming.StreamingQueryListener.{
   *                      (None until the first watermarked batch)
   * @param watermarkLagMs max observed event time minus watermark — the
   *                      lateness window the state store is carrying
+  * @param backlogRows   unread rows still in the source after the last
+  *                      batch (admissible log end minus processed
+  *                      offset, summed over shards) — consumer lag,
+  *                      the first metric a Kinesis operator watches;
+  *                      None for sources without shard-map offsets
   * @param terminated    query has ended (cleanly or not)
   * @param error         terminal exception message, if the run failed
   */
@@ -36,6 +41,7 @@ final case class QueryMetrics(
     stateRows: Long,
     watermarkMs: Option[Long],
     watermarkLagMs: Option[Long],
+    backlogRows: Option[Long],
     terminated: Boolean,
     error: Option[String])
 
@@ -74,7 +80,7 @@ final class GraftStreamingObserver extends StreamingQueryListener {
   override def onQueryStarted(event: QueryStartedEvent): Unit = {
     val name = Option(event.name).getOrElse(event.id.toString)
     active.put(event.runId,
-      QueryMetrics(name, 0L, 0L, 0L, 0L, None, None, terminated = false, None))
+      QueryMetrics(name, 0L, 0L, 0L, 0L, None, None, None, terminated = false, None))
     log.info("stream query started: name={} runId={}", name, event.runId: Any)
   }
 
@@ -88,9 +94,19 @@ final class GraftStreamingObserver extends StreamingQueryListener {
       Option(p.eventTime.get(key)).map(s => Instant.parse(s).toEpochMilli)
     val wm = stamp("watermark")
     val lag = for { w <- wm; m <- stamp("max") } yield m - w
+    // consumer lag: admissible log end minus processed offset, summed
+    // over shards — only computable for shard-map offsets (the
+    // `shardstream` source); other sources report None
+    def shardMap(json: String): Option[Map[String, Long]] =
+      try Option(json).map(j => graft.sources.shard.ShardStreamOffset.fromJson(j).indexes)
+      catch { case scala.util.control.NonFatal(_) => None }
+    val backlog = p.sources.headOption.flatMap { sp =>
+      for { end <- shardMap(sp.endOffset); latest <- shardMap(sp.latestOffset) }
+        yield latest.map { case (id, l) => math.max(0L, l - end.getOrElse(id, 0L)) }.sum
+    }
     active.compute(p.runId, (_, prev0) => {
       val prev = if (prev0 == null)
-        QueryMetrics(name, 0L, 0L, 0L, 0L, None, None, terminated = false, None)
+        QueryMetrics(name, 0L, 0L, 0L, 0L, None, None, None, terminated = false, None)
       else prev0
       prev.copy(
         batches = prev.batches + 1,
@@ -98,11 +114,13 @@ final class GraftStreamingObserver extends StreamingQueryListener {
         lastBatchRows = p.numInputRows,
         stateRows = stateRows,
         watermarkMs = wm.orElse(prev.watermarkMs),
-        watermarkLagMs = lag.orElse(prev.watermarkLagMs))
+        watermarkLagMs = lag.orElse(prev.watermarkLagMs),
+        backlogRows = backlog.orElse(prev.backlogRows))
     })
-    log.info("stream query progress: name={} batch={} rows={} stateRows={} watermarkLagMs={}",
+    log.info("stream query progress: name={} batch={} rows={} stateRows={} watermarkLagMs={} backlogRows={}",
       name, p.batchId: Any, p.numInputRows: Any, stateRows: Any,
-      lag.map(_.toString).getOrElse("-"): Any)
+      lag.map(_.toString).getOrElse("-"): Any,
+      backlog.map(_.toString).getOrElse("-"): Any)
   }
 
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit = {
@@ -110,7 +128,7 @@ final class GraftStreamingObserver extends StreamingQueryListener {
       case null =>
         // terminated before any progress/start reached us (listener
         // registered mid-run): record the terminal fact under the id
-        QueryMetrics(event.id.toString, 0L, 0L, 0L, 0L, None, None,
+        QueryMetrics(event.id.toString, 0L, 0L, 0L, 0L, None, None, None,
           terminated = true, event.exception)
       case m => m.copy(terminated = true, error = event.exception)
     }

@@ -73,8 +73,34 @@ class StreamObservabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.batches >= 3, s"7-row cap over 20 rows needs >=3 batches, saw ${m.batches}")
     assert(m.lastBatchRows <= 7)
     assert(m.error.isEmpty)
+    // consumer lag drained to zero by the final batch
+    assert(m.backlogRows.contains(0L), s"backlog must drain: ${m.backlogRows}")
     // the engine's own accounting agrees with the listener's
     assert(q.recentProgress.map(_.numInputRows).sum == m.inputRows)
+  }
+
+  test("backlog reports the unread rows while the source is behind") {
+    val stream = freshName("lag")
+    val svc = ShardServiceRegistry.create(stream, 1)
+    (0 until 12).foreach(i => svc.putRecord("k", s"p-$i".getBytes(UTF_8), None))
+    val qn = freshName("sink")
+    // 4-row cap over 12 rows: the first batches run with the source
+    // genuinely behind, so intermediate progress must show positive lag
+    val q = spark.readStream.format("shardstream")
+      .option("stream", stream).option("maxRecordsPerBatch", "4").load()
+      .writeStream.format("memory").queryName(qn)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    awaitMetrics(qn)(m => m.terminated && m.backlogRows.contains(0L))
+    // reconstruct per-batch lag from the engine's progress log and
+    // check the listener's math against it: lag after batch k is
+    // 12 - 4*(k+1), floored at 0
+    val lags = q.recentProgress.toSeq.filter(_.numInputRows > 0).map { p =>
+      val end = graft.sources.shard.ShardStreamOffset.fromJson(p.sources.head.endOffset)
+        .indexes.values.sum
+      math.max(0L, 12L - end)
+    }
+    assert(lags == Seq(8L, 4L, 0L), s"per-batch lag trajectory: $lags")
   }
 
   test("watermark and lag are exported for event-time queries") {
