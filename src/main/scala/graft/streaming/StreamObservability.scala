@@ -62,7 +62,16 @@ final class GraftStreamingObserver extends StreamingQueryListener {
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[GraftStreamingObserver])
 
   private val active = new ConcurrentHashMap[UUID, QueryMetrics]()
-  private val finished = new ConcurrentHashMap[String, QueryMetrics]()
+  // insertion-ordered with a hard cap: generated sink names are unique
+  // per run, so name-keyed retention alone would grow with every run
+  // in a long-lived session — keep the most recent MaxFinished only
+  private val MaxFinished = 256
+  private val finished = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, QueryMetrics](64, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, QueryMetrics]): Boolean =
+        size() > MaxFinished
+    })
 
   /** Latest metrics per query name (active runs shadow finished ones). */
   def snapshot: Map[String, QueryMetrics] = {
