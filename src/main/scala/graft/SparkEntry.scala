@@ -72,7 +72,8 @@ import graft.operators._
   *    experiment metrics (q123), decomposed-rank tokenizer
   *    vocabulary build (q124), distribution drift detection (q125),
   *    per-doc n-gram novelty scoring (q130), vocabulary coverage
-  *    curve via band decomposition (q131)
+  *    curve via band decomposition (q131), first-occurrence source
+  *    novelty attribution (q132)
   */
 object SparkEntry {
 

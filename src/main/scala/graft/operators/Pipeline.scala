@@ -446,6 +446,38 @@ object Pipeline extends QueryPack {
           expr("covered_tokens * 1000000L div total_tokens").as("coverage_ppm"))
     }),
 
+    // ---- first-occurrence novelty attribution per source ------------
+    // The data-buying diagnostic: of the distinct 3-grams a source
+    // contains, how many did it contribute FIRST (lowest doc_id in the
+    // corpus)? High first-share = the source originates content; low =
+    // it restates what earlier sources already covered. q130 scores
+    // docs, this scores SOURCES — marginal contribution, the number a
+    // curation team compares acquisition cost against. Shape: distinct
+    // (doc, source, gram) explode → gram-key min_by agg (partial-
+    // aggregable, doc_id unique per doc so the argmin is exact) →
+    // source-key aggs. NO join: attribution rides the same gram
+    // shuffle that computes it.
+    "q132_source_novelty" -> ((s, d) => {
+      import s.implicits._
+      val g = T.documents(s, d)
+        .withColumn("w", split($"text", " "))
+        .filter(size($"w") >= 3)
+        .select($"doc_id", $"source", explode(
+          expr("transform(sequence(1, size(w) - 2), " +
+            "i -> concat_ws(' ', slice(w, i, 3)))")).as("gram"))
+        .distinct()
+        .cache() // feeds attribution AND per-source totals (q36 note)
+      val firsts = g.groupBy($"gram")
+        .agg(min_by($"source", $"doc_id").as("source"))
+        .groupBy($"source").agg(count(lit(1)).as("n_first"))
+      g.select($"source", $"gram").distinct()
+        .groupBy($"source").agg(count(lit(1)).as("n_grams"))
+        .join(firsts, Seq("source"), "left")
+        .select($"source", $"n_grams",
+          coalesce($"n_first", lit(0L)).as("n_first"),
+          expr("coalesce(n_first, 0L) * 1000000L div n_grams").as("first_share_ppm"))
+    }),
+
     "q105_split_manifest" -> ((s, d) => {
       import s.implicits._
       val b = pmod(hash60($"doc_id"), lit(100))
@@ -711,6 +743,24 @@ object Pipeline extends QueryPack {
         |  CAST(sum(rev_c) AS BIGINT) AS rev_c,
         |  CAST(sum(converted) * 1000000 // count(*) AS BIGINT) AS conv_ppm
         |FROM armed GROUP BY arm""".stripMargin,
+
+    "q132_source_novelty" ->
+      """WITH b AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    unnest(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        |  FROM b),
+        |f AS (SELECT gram, arg_min(source, doc_id) AS source FROM g GROUP BY gram),
+        |fc AS (SELECT source, count(*) AS n_first FROM f GROUP BY source),
+        |tot AS (SELECT source, count(DISTINCT gram) AS n_grams FROM g GROUP BY source)
+        |SELECT tot.source, n_grams,
+        |  CAST(coalesce(n_first, 0) AS BIGINT) AS n_first,
+        |  CAST(coalesce(n_first, 0) * 1000000 // n_grams AS BIGINT)
+        |    AS first_share_ppm
+        |FROM tot LEFT JOIN fc ON tot.source = fc.source""".stripMargin,
 
     "q130_ngram_novelty" ->
       """WITH b AS (
