@@ -470,9 +470,13 @@ object Pipeline extends QueryPack {
       val firsts = g.groupBy($"gram")
         .agg(min_by($"source", $"doc_id").as("source"))
         .groupBy($"source").agg(count(lit(1)).as("n_first"))
+      // firsts is provably <= |distinct sources| rows; broadcast it
+      // explicitly so the join never falls back to a shuffle when the
+      // plan-time size ESTIMATE (derived from the corpus-scale child)
+      // balloons at 100 TB
       g.select($"source", $"gram").distinct()
         .groupBy($"source").agg(count(lit(1)).as("n_grams"))
-        .join(firsts, Seq("source"), "left")
+        .join(broadcast(firsts), Seq("source"), "left")
         .select($"source", $"n_grams",
           coalesce($"n_first", lit(0L)).as("n_first"),
           expr("coalesce(n_first, 0L) * 1000000L div n_grams").as("first_share_ppm"))
