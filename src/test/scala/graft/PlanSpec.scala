@@ -173,6 +173,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"global windows over unbounded inputs in: $offenders")
   }
 
+  test("round-5 curation ops keep their claimed shapes") {
+    val m = plans.toMap
+    // q131's whole point: the coverage curve comes from the band
+    // decomposition alone — no join of any kind in the plan
+    assert(!m("q131_vocab_coverage").contains("Join"),
+      "q131: coverage curve must be join-free")
+    // q132: the only join is the bounded attribution table, broadcast
+    // by explicit hint — never a shuffle join
+    assert(m("q132_source_novelty").contains("BroadcastHashJoin") &&
+      !m("q132_source_novelty").contains("SortMergeJoin"),
+      "q132: attribution join must broadcast the bounded side")
+    // q130/q132: gram work is keyed on the gram hash (the corpus-scale
+    // shuffle the scaladoc promises), never on raw text columns
+    for (q <- Seq("q130_ngram_novelty", "q132_source_novelty"))
+      assert(m(q).contains("hashpartitioning(gram"),
+        s"$q: gram aggregation not partitioned on the gram key")
+  }
+
   test("q115: lateral subquery decorrelates to a rank-limited window, not N scans") {
     val p = plans.toMap.apply("q115_lateral_topk")
     // the ORDER BY + LIMIT 3 per nation must compile to WindowGroupLimit
