@@ -46,8 +46,9 @@ import graft.operators._
   *    integer cosine top-k, IVF ANN, sign-LSH ANN, embedding near-dup,
   *    centroid centrality, k-means Lloyd iteration, array-HOF vector
   *    features
-  *  - [[operators.Multimodal]] q45, q64–q65: binary payload +
-  *    decode-stub features, frame sampling, resize
+  *  - [[operators.Multimodal]] q45, q64–q65, q133: binary payload +
+  *    decode-stub features, frame sampling, resize, binaryFile
+  *    object-store ingestion (one task per file, fingerprint-gated)
   *  - [[operators.Sketches]] q43/q44/q46, q83, q112, q119, q122,
   *    q127: KMV Aggregator, native rolling-hash Expression,
   *    multi-format round-trip, XOR table fingerprints (replica

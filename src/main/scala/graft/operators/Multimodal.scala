@@ -37,7 +37,55 @@ object Multimodal extends QueryPack {
   /** Resize/decimation output — payload subsampled then fingerprinted. */
   final case class ResizedMedia(doc_id: Long, resized_len: Long, resized_md5: String)
 
+  /** Lay each document down as its own scratch file (`<doc_id>.bin`,
+    * text bytes) — the FIXTURE substrate for the binaryFile ingestion
+    * query, standing in for an object store of media files. Write-once
+    * per (session, dataset): the dir carries the applicationId so
+    * concurrent runs never clobber each other. */
+  private val binDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def seedBinaryFiles(s: SparkSession, d: String): String = {
+    val dir = s"/tmp/graft_bin_${d.replaceAll("[^A-Za-z0-9]", "_")}" +
+      s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+    if (binDirs.add(dir)) {
+      import java.nio.file.{Files, Paths}
+      Files.createDirectories(Paths.get(dir))
+      T.documents(s, d).select(col("doc_id"), col("text")).collect().foreach { r =>
+        Files.write(Paths.get(dir, s"${r.getLong(0)}.bin"),
+          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }
+    dir
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- binaryFile ingestion (the object-store landing path) -------
+    // Real multimodal corpora land as FILES, not rows: the binaryFile
+    // source turns a directory into (path, length, content) rows with
+    // no decode — one task per file, the id recovered from the file
+    // name, payload bytes never shuffled (only the 60-bit fingerprint
+    // and length move into the aggregate). The oracle recomputes the
+    // same per-bucket counts/bytes/xor-fingerprints from the documents
+    // parquet, so file-level fidelity sits under the hash gate.
+    // Scale: per-file parallelism is the right grain for media objects
+    // (MBs each); a small-file swarm instead wants upstream compaction
+    // into archives or a manifest-driven reader — the classic
+    // object-store tax, noted here because the fixture's files are
+    // tiny.
+    "q133_binary_ingest" -> ((s, d) => {
+      import s.implicits._
+      val dir = synchronized { seedBinaryFiles(s, d) }
+      s.read.format("binaryFile").load(s"$dir/*.bin")
+        .select(
+          regexp_extract($"path", "([0-9]+)\\.bin$", 1).cast("bigint").as("doc_id"),
+          $"length", $"content")
+        .select(pmod($"doc_id", lit(10L)).as("bucket"), $"length",
+          graft.functions.PortableHash.h60($"content").as("h"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_files"),
+          sum($"length").cast("bigint").as("total_bytes"),
+          expr("bit_xor(h)").as("xor_fp"))
+    }),
+
     "q45_media_features" -> ((s, d) => {
       import s.implicits._
       // binary payload stand-in: the document text's UTF-8 bytes
@@ -122,6 +170,12 @@ object Multimodal extends QueryPack {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q133_binary_ingest" ->
+      """SELECT CAST(doc_id % 10 AS BIGINT) AS bucket, count(*) AS n_files,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+        |  bit_xor(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)) AS xor_fp
+        |FROM documents GROUP BY 1""".stripMargin,
+
     // ASCII corpus: byte length == char length; first byte == ascii of
     // first char; md5 over the same UTF-8 bytes. The Spark side indexes
     // UTF-8 BYTES while these oracles index CHARS, so agreement REQUIRES
