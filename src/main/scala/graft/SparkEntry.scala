@@ -14,7 +14,7 @@ import graft.operators._
   *    skew join/exact moment + covariance power sums/analytic window
   *    functions/unpivot/percent-of-parent/ordered LISTAGG over the
   *    TPC-H-ish tables
-  *  - [[operators.Streams]] s01–s18: the `shardstream` DSv2 source and
+  *  - [[operators.Streams]] s01–s19: the `shardstream` DSv2 source and
   *    sinks end-to-end (SURVEY §2 S1–S16): round-trips, take-N,
   *    windowed parity, stream-stream inner + left-outer joins,
   *    streaming dedup (unbounded + watermark-bounded), complete-mode
@@ -23,7 +23,8 @@ import graft.operators._
   *    flatMapGroupsWithState s16), streaming session windows,
   *    foreachBatch CDC upsert, resharding (split/merge) replay with
   *    parent-before-child ordering (s17), AT_TIMESTAMP start
-  *    position (s18)
+  *    position (s18), built-in file stream source with
+  *    maxFilesPerTrigger admission (s19)
   *  - [[operators.Events]] q23–q30, q47, q68, q81, q84, q88–q89,
   *    q92, q95–q96, q98–q100, q103–q104, q111, q114: event-time
   *    windows, JSON props (schema-full from_json + schemaless Spark 4

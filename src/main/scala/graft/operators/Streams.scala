@@ -55,6 +55,9 @@ object Streams extends QueryPack {
 
   private val sinkCounter = new AtomicInteger(0)
 
+  // write-once guard for the s19 file-source fixture dirs
+  private val jsonDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Stable per-dir stream suffix so sf0.001/sf0.01/sf0.1 coexist in
     * one JVM without cross-talk. */
   private def sfx(dir: String): String =
@@ -386,6 +389,43 @@ object Streams extends QueryPack {
         .select(from_json(col("data").cast("string"), dupSchema).as("e"))
         .select(col("e.event_id"), col("e.event_type"))
         .dropDuplicates("event_id"))
+    }),
+
+    // Built-in FILE stream source (the landing-zone path): every other
+    // s-query streams from the custom DSv2 source; real pipelines also
+    // tail a directory that upstream jobs drop files into. The fixture
+    // lays the events table down as JSON part files (money pre-encoded
+    // as exact cents so the json round-trip is integer-exact); the
+    // query tails it with maxFilesPerTrigger admission (the file
+    // source's analog of S3's computed fetch limit) into a
+    // complete-mode aggregate, so the multi-trigger accumulation must
+    // converge to exactly the batch aggregate. Scale: file listing is
+    // the known cost of this source at 100 TB (use fewer/larger files
+    // or a manifest/notification feed); the aggregate itself shuffles
+    // only event_type partials.
+    "s19_stream_file_source" -> ((s, d) => {
+      val dir = s"/tmp/graft_evjson_${sfx(d)}" +
+        s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+      synchronized {
+        if (jsonDirs.add(dir))
+          T.events(s, d)
+            .select(col("event_id"), col("event_type"),
+              graft.functions.Exact.cents(col("value")).as("value_c"))
+            .repartition(8)
+            .write.mode("overwrite").json(dir)
+      }
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("event_type", StringType),
+        StructField("value_c", LongType)))
+      val files = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2") // 4 triggers over 8 files
+        .json(dir)
+      drain(s, files.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value_c")).cast("bigint").as("value_c"),
+          min(col("event_id")).as("min_eid"),
+          max(col("event_id")).as("max_eid")),
+        outputMode = "complete")
     }),
 
     // Complete-mode streaming aggregation: the running global aggregate
@@ -745,6 +785,12 @@ object Streams extends QueryPack {
       """SELECT user_id, count(*) AS n,
         |  min(event_id) AS first_eid, max(event_id) AS last_eid
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "s19_stream_file_source" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c,
+        |  min(event_id) AS min_eid, max(event_id) AS max_eid
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "s18_stream_at_timestamp" ->
       """SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type
