@@ -40,9 +40,10 @@ import graft.operators._
   *    fingerprints, top terms (window + bounded-heap Aggregator
   *    forms), langid, redaction, bigram LM + LM doc scoring,
   *    repetition, deciles, inverted index, BPE pair-merge statistics
-  *  - [[operators.Dedup]] q35–q37, q56, q67, q69, q74, q76: exact +
-  *    incremental dedup, banded MinHash LSH, SimHash, clustering,
-  *    keepers, edit-distance verify, duplicate spans
+  *  - [[operators.Dedup]] q35–q37, q56, q67, q69, q74, q76, q134:
+  *    exact + incremental dedup, banded MinHash LSH, SimHash,
+  *    clustering, keepers, edit-distance verify, duplicate spans,
+  *    exact n-gram Jaccard similarity join (AllPairs prefix filter)
   *  - [[operators.Similarity]] q40–q42, q53, q75, q79, q94: quantized-
   *    integer cosine top-k, IVF ANN, sign-LSH ANN, embedding near-dup,
   *    centroid centrality, k-means Lloyd iteration, array-HOF vector
@@ -67,7 +68,8 @@ import graft.operators._
   *    q109, q117–q118: training-data curation — quantiles (exact +
   *    histogram sketch), TF-IDF ranking, deterministic hash/stratified
   *    sampling, quality gates, sequence packing, mixture planning
-  *    (min-equalizing + temperature-smoothed), benchmark
+  *    (min-equalizing + temperature-smoothed) + rate-controlled
+  *    mixture execution (q135), benchmark
   *    decontamination, RAG chunking, train/valid/test split manifest,
   *    split-leakage n-gram audit, skew diagnostics, end-to-end
   *    curation DAG (gate→dedup→split→account), hash-parity A/B

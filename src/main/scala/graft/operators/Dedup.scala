@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables => T}
@@ -28,26 +29,47 @@ object Dedup extends QueryPack {
 
   private val K = 32 // minhash functions = bands (r=1)
 
-  /** Connected components by min-label propagation over an undirected
-    * edge list (columns `a`, `b`), iterated to convergence.
+  /** Connected components by min-label propagation WITH pointer-
+    * doubling shortcuts over an undirected edge list (columns `a`,
+    * `b`), iterated to convergence.
     *
-    * Labels only ever decrease, so an unchanged label SUM is a fixed
-    * point — the convergence probe is one scalar agg per round, and
-    * the result is correct for any component diameter (a fixed round
-    * count silently mislabels components deeper than it). Each round
-    * is truncated with an eager localCheckpoint: the lineage of
-    * label(n+1) = union(label(n), label(n) ⋈ edges) doubles per round
-    * and a lazy unrolled plan explodes exponentially in Catalyst;
-    * checkpointing keeps every round one small job (the GraphX-style
-    * iteration shape). `maxRounds` is a runaway guard, not a tuning
-    * knob; a pathologically deep chain calls for pointer-doubling
-    * (log-diameter rounds).
+    * Each round does two monotone steps:
+    *   1. propagate: lbl(v) ← min(lbl(v), min over neighbors' lbl) —
+    *      one equi-join on the edge key + one min-agg;
+    *   2. shortcut:  lbl(v) ← min(lbl(v), lbl(lbl(v))) — labels are
+    *      vertex ids, so the label table self-joins as a pointer
+    *      table (the path-halving step of the hash-to-min / pointer-
+    *      doubling family, Rastogi et al., "Finding Connected
+    *      Components in Map-Reduce in Logarithmic Rounds", ICDE'13).
+    * Propagation alone needs diameter-many rounds — a 100 TB web-graph
+    * chain of length 10^4 would mean 10^4 shuffles; the shortcut step
+    * roughly halves every label path per round, so convergence is
+    * O(log diameter) rounds for one extra bounded equi-join per round
+    * (asserted on a deep chain in ExpressionSpec).
+    *
+    * Labels only ever decrease (lbl(v) ≤ v always, and both steps
+    * take mins of existing labels), so an unchanged label SUM is a
+    * fixed point; at a fixed point the PROPAGATION step changed
+    * nothing, which is exactly the component-min condition — the
+    * shortcut only accelerates, never alters, the answer. The
+    * convergence probe is one scalar agg per round. Each round is
+    * truncated with an eager localCheckpoint: the lineage doubles per
+    * round and a lazy unrolled plan explodes exponentially in
+    * Catalyst; checkpointing keeps every round one small job (the
+    * GraphX-style iteration shape). `maxRounds` is a runaway guard,
+    * not a tuning knob.
     *
     * Returns one row per vertex: (v, lbl) with lbl = min vertex id of
     * the component.
     */
   private[graft] def connectedComponents(pairs: DataFrame,
-                                         maxRounds: Int = 64): DataFrame = {
+                                         maxRounds: Int = 64): DataFrame =
+    connectedComponentsWithRounds(pairs, maxRounds)._1
+
+  /** [[connectedComponents]] plus the number of rounds it took — the
+    * log-diameter convergence claim is testable, not just asserted. */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame, maxRounds: Int = 64): (DataFrame, Int) = {
     val s = pairs.sparkSession
     import s.implicits._
     val edges = pairs.select($"a", $"b")
@@ -66,14 +88,25 @@ object Dedup extends QueryPack {
     var rounds = 0
     while (!converged && rounds < maxRounds) {
       val prop = labels.join(edges, $"v" === $"a").select($"b".as("v"), $"lbl")
-      labels = labels.unionAll(prop).groupBy($"v").agg(min($"lbl").as("lbl"))
+      // checkpointed: consumed by BOTH sides of the shortcut self-join
+      val merged = labels.unionAll(prop).groupBy($"v").agg(min($"lbl").as("lbl"))
+        .localCheckpoint(true)
+      // pointer-doubling shortcut: chase one hop through the label
+      // table itself. Left join: a label is always a vertex of the
+      // same component so the match exists, but coalesce keeps the
+      // step total rather than relying on that invariant.
+      val ptr = merged.select($"v".as("p"), $"lbl".as("plbl"))
+      labels = merged
+        .join(ptr, merged("lbl") === ptr("p"), "left")
+        .select(merged("v"),
+          least(merged("lbl"), coalesce($"plbl", merged("lbl"))).as("lbl"))
         .localCheckpoint(true)
       val s2 = probe(labels)
       converged = s2.compareTo(prevSum) == 0
       prevSum = s2
       rounds += 1
     }
-    labels
+    (labels, rounds)
   }
 
   /** word 3-gram shingle set (docs shorter than 3 tokens excluded —
@@ -279,6 +312,71 @@ object Dedup extends QueryPack {
         .groupBy($"simhash")
         .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("keeper_doc_id"))
         .filter($"n_docs" > 1)
+    }),
+
+    // ---- EXACT n-gram Jaccard similarity join (prefix filter) -------
+    // The exact member of the near-dup family (vs q36's LSH estimate):
+    // every pair with bigram-shingle Jaccard >= 1/2, found WITHOUT
+    // all-pairs comparison via the AllPairs/PPJoin prefix filter
+    // [Bayardo et al., WWW'07; Chaudhuri et al., ICDE'06].
+    //
+    // Under any global total order of grams, two sets with
+    // J(A,B) >= τ share an element within each set's first
+    // |x| − ⌈τ·|x|⌉ + 1 grams: the smallest shared gram t must sit in
+    // both prefixes, else |A∩B| ≤ ⌈τ|x|⌉ − 1 < ⌈τ·max(|A|,|B|)⌉ ≤
+    // |A∩B|. So a prefix-prefix equi-join on gram loses NO qualifying
+    // pair — the result is exactly the all-pairs ground truth (the
+    // oracle computes exactly that), at index cost ~half the grams.
+    //
+    // Ordering grams by ascending document frequency (ties by gram
+    // text → total order) makes the join keys the RAREST grams:
+    // stopword-like grams (huge df, huge buckets) land at the end of
+    // every doc's order and almost never enter a prefix, so candidate
+    // bucket sizes are bounded by rare-gram df — the scale property
+    // that makes this exact algorithm viable at 100 TB (shuffles: one
+    // groupBy(gram) for df, one per-doc window, one equi-join on
+    // prefix grams, then candidate-only verification).
+    //
+    // τ = 1/2 is evaluated in pure integer algebra (prefix length
+    // n/2 + 1, size filter 2·min ≥ max, accept 2·inter ≥ uni) so the
+    // gate has no float-rounding edge.
+    "q134_ngram_jaccard" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      // bigram shingle sets (distinct from q36's 3-grams)
+      val sets = T.documents(s, d)
+        .select($"doc_id", array_distinct(expr("word_ngrams(text, 2)")).as("sh"))
+        .filter(size($"sh") >= 1)
+        .withColumn("n", size($"sh"))
+      // two consumers (prefix build + verification) — same cache rule
+      // as q36/q76: at 100 TB persist to disk/checkpoint instead
+      val grams = sets.select($"doc_id", $"n", explode($"sh").as("g")).cache()
+      val dfreq = grams.groupBy($"g").agg(count(lit(1)).as("df"))
+      val ord = Window.partitionBy($"doc_id").orderBy($"df", $"g")
+      // prefix = the (n − ⌈n/2⌉ + 1) = n/2 + 1 globally-rarest grams
+      // cached: the candidate self-join consumes the prefix table on
+      // BOTH sides — uncached, the df-join + window would run twice
+      val prefix = grams.join(dfreq, "g")
+        .withColumn("rn", row_number().over(ord))
+        .filter($"rn" <= ($"n" / 2) + 1)
+        .select($"g", $"doc_id", $"n")
+        .cache()
+      // candidates: prefix∩prefix non-empty + size-compatibility
+      // (J >= 1/2 forces 2·min(|A|,|B|) >= max(|A|,|B|))
+      val cand = prefix.toDF("g", "a", "na")
+        .join(prefix.toDF("g", "b", "nb"), "g")
+        .filter($"a" < $"b" && $"na" * 2 >= $"nb" && $"nb" * 2 >= $"na")
+        .select($"a", $"b").distinct()
+      // exact verification of candidates only
+      val full = sets.select($"doc_id", $"sh")
+      cand
+        .join(full.toDF("a", "sha"), "a")
+        .join(full.toDF("b", "shb"), "b")
+        .select($"a", $"b",
+          size(array_intersect($"sha", $"shb")).cast("long").as("inter"),
+          size(array_union($"sha", $"shb")).cast("long").as("uni"))
+        .filter($"inter" * 2 >= $"uni")
+        .withColumn("jaccard", round($"inter".cast("double") / $"uni", 6))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -395,6 +493,24 @@ object Dedup extends QueryPack {
         |  CAST(sum(n_chars) AS BIGINT) AS kept_chars, min(doc_id) AS first_kept
         |FROM documents WHERE doc_id NOT IN (SELECT v FROM dropped)
         |GROUP BY lang""".stripMargin,
+
+    // ground truth the prefix filter must reproduce EXACTLY: all-pairs
+    // bigram Jaccard at τ = 1/2 (integer acceptance: 2·inter >= uni)
+    "q134_ngram_jaccard" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |d AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS sh
+        |  FROM w WHERE len(w) >= 2)
+        |SELECT a, b, inter, uni,
+        |  round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+        |FROM (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |    CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS inter,
+        |    CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS BIGINT) AS uni
+        |  FROM d x JOIN d y ON x.doc_id < y.doc_id) p
+        |WHERE 2 * inter >= uni""".stripMargin,
 
     "q37_simhash_buckets" -> {
       val bitSums = (0 until 16).map { j =>

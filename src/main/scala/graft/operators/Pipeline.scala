@@ -220,6 +220,31 @@ object Pipeline extends QueryPack {
           expr("(min_docs * 1000000L) div n_docs").as("keep_ppm"))
     }),
 
+    // ---- mixture EXECUTION: rate-controlled deterministic sample ----
+    // Executes the plan q63 computes: each doc is kept iff
+    // pmod(h60(doc_id), 1e6) < its source's keep_ppm — the same
+    // content-stable hash as q59/q105, so the realized sample is
+    // RNG-free, identical under repartition/retry/re-ingest, and a
+    // doc's keep decision never flips when other sources grow. The
+    // rate table is one row per source (bounded) and joins by
+    // explicit broadcast; everything else is one narrow filter and
+    // one (source)-keyed agg — at 100 TB this is a single scan with
+    // map-side-combinable aggregation. Output reconciles plan vs
+    // execution: target keep_ppm against realized ppm per source
+    // (they differ only by hash quantization, which the gate pins).
+    "q135_mixture_execute" -> ((s, d) => {
+      import s.implicits._
+      val rates = queries("q63_source_mixture")(s, d).select($"source", $"keep_ppm")
+      T.documents(s, d)
+        .join(broadcast(rates), "source")
+        .withColumn("keep", pmod(hash60($"doc_id"), lit(1000000L)) < $"keep_ppm")
+        .groupBy($"source", $"keep_ppm")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+          sum(when($"keep", $"n_chars").otherwise(0L)).cast("bigint").as("kept_chars"))
+        .withColumn("realized_ppm", expr("(n_kept * 1000000L) div n_total"))
+    }),
+
     // ---- RAG chunking: overlapping fixed-size windows ---------------
     // Retrieval-corpus prep: each doc is split into 256-char chunks on
     // a 192-char stride (64-char overlap), each chunk fingerprinted.
@@ -669,6 +694,28 @@ object Pipeline extends QueryPack {
         |SELECT source, n_docs, chars,
         |  ((SELECT min(n_docs) FROM per_source) * 1000000) // n_docs AS keep_ppm
         |FROM per_source""".stripMargin,
+
+    // mixture execution: q63's rates applied with the portable md5-60bit
+    // hash (h60 is non-negative, so % == pmod; all divisions have
+    // non-negative numerators, so DuckDB // == Spark div)
+    "q135_mixture_execute" ->
+      """WITH per_source AS (
+        |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |rates AS (
+        |  SELECT source,
+        |    ((SELECT min(n_docs) FROM per_source) * 1000000) // n_docs AS keep_ppm
+        |  FROM per_source),
+        |tagged AS (
+        |  SELECT d.source, r.keep_ppm, d.n_chars,
+        |    (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      % 1000000) < r.keep_ppm AS keep
+        |  FROM documents d JOIN rates r USING (source))
+        |SELECT source, keep_ppm, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+        |  (CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // count(*)
+        |    AS realized_ppm
+        |FROM tagged GROUP BY source, keep_ppm""".stripMargin,
 
     "q102_rag_chunks" ->
       """SELECT doc_id, CAST(k * 192 + 1 AS BIGINT) AS chunk_start,

@@ -190,6 +190,23 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 26)
   }
 
+  test("pointer-doubling converges a deep chain in logarithmic rounds") {
+    val sp = spark
+    import sp.implicits._
+    // a 300-edge chain has diameter 300: propagation alone would need
+    // 300 rounds — far past the maxRounds=64 runaway guard, so labels
+    // would silently come out WRONG without the shortcut step. The
+    // path-halving shortcut must converge it in O(log 300) ≈ 9 rounds.
+    val edges = (0L until 300L).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) =
+      graft.operators.Dedup.connectedComponentsWithRounds(edges)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 300L).forall(got(_) == 0L),
+      "deep chain must fully converge to label 0")
+    assert(rounds <= 16,
+      s"expected logarithmic convergence on diameter 300, took $rounds rounds")
+  }
+
   test("KmvSketch keeps the k smallest distinct hashes regardless of arrival order") {
     import graft.functions.KmvSketch
     val k = 8

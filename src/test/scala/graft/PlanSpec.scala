@@ -34,11 +34,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   // (1-row stats, 4-row tier dim, 10-row query set, 5-row lang
   // profiles, 1-row mixture minimum, k-row centroid set, 1-row
   // user-count scalar, 1-row corpus total, 1-row corpus count +
-  // 1-row sample count + ≤7-row range boundaries)
+  // 1-row sample count + ≤7-row range boundaries, and q135 which
+  // composes q63's rate table so inherits its 1-row minimum join)
   private val allowedBnlj = Set("q18_scalar_subquery", "q30_range_join",
     "q40_cosine_topk", "q51_langid_ngram", "q63_source_mixture",
     "q79_kmeans_iter", "q87_zorder_stats", "q103_cooccur_lift",
-    "q125_drift_detect", "q129_equidepth_hist")
+    "q125_drift_detect", "q129_equidepth_hist", "q135_mixture_execute")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
@@ -189,6 +190,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (q <- Seq("q130_ngram_novelty", "q132_source_novelty"))
       assert(m(q).contains("hashpartitioning(gram"),
         s"$q: gram aggregation not partitioned on the gram key")
+    // q134 (exact similarity join): candidate generation must be an
+    // equi-join on the gram key — the prefix filter exists precisely
+    // so this never degenerates to all-pairs — and the per-doc prefix
+    // rank must partition on doc_id, never a global window
+    val j = m("q134_ngram_jaccard")
+    assert(j.contains("hashpartitioning(g#"),
+      "q134: df/candidate work not partitioned on the gram key")
+    assert(j.contains("hashpartitioning(doc_id"),
+      "q134: prefix rank window not partitioned by doc_id")
   }
 
   test("q115: lateral subquery decorrelates to a rank-limited window, not N scans") {
