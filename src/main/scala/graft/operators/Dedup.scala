@@ -109,6 +109,28 @@ object Dedup extends QueryPack {
     (labels, rounds)
   }
 
+  /** Per-document `nbits`-bit SimHash over the distinct-token set:
+    * token bit source is the portable 60-bit md5 hash (h60), each bit
+    * position votes +1/−1 across the doc's tokens, and the sign of the
+    * vote sum sets the output bit [Charikar, STOC'02]. One groupBy
+    * shuffle on doc_id with `nbits` map-side-combinable sums. Returns
+    * (doc_id, simhash). */
+  private def simhashDocs(s: SparkSession, d: String, nbits: Int): DataFrame = {
+    import s.implicits._
+    val toks = T.documents(s, d)
+      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("tk"))
+      .withColumn("h", graft.functions.PortableHash.h60($"tk"))
+    val bitSums: Seq[Column] = (0 until nbits).map { j =>
+      val mask = 1L << j
+      sum(when((($"h".bitwiseAND(lit(mask))) > 0), 1).otherwise(-1)).as(s"b$j")
+    }
+    val perDoc = toks.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until nbits).map { j =>
+      when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    perDoc.select($"doc_id", simhash.as("simhash"))
+  }
+
   /** word 3-gram shingle set (docs shorter than 3 tokens excluded —
     * equivalently, docs with zero grams). One compiled pass via the
     * native `word_ngrams` expression; the transform/concat_ws HOF form
@@ -297,26 +319,52 @@ object Dedup extends QueryPack {
     // profile); output is the bucket summary.
     "q37_simhash_buckets" -> ((s, d) => {
       import s.implicits._
-      val toks = T.documents(s, d)
-        .select($"doc_id", explode(array_distinct(split($"text", " "))).as("tk"))
-        .withColumn("h", graft.functions.PortableHash.h60($"tk"))
-      val bitSums: Seq[Column] = (0 until 16).map { j =>
-        val mask = 1L << j
-        sum(when((($"h".bitwiseAND(lit(mask))) > 0), 1).otherwise(-1)).as(s"b$j")
-      }
-      val perDoc = toks.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
-      val simhash = (0 until 16).map { j =>
-        when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      perDoc.select($"doc_id", simhash.as("simhash"))
+      simhashDocs(s, d, 16)
         .groupBy($"simhash")
         .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("keeper_doc_id"))
         .filter($"n_docs" > 1)
     }),
 
+    // ---- SimHash hamming-distance join (pigeonhole multi-index) -----
+    // q37 finds only IDENTICAL simhashes; the useful near-dup relation
+    // is hamming(simhash_a, simhash_b) <= k — and the scalable way to
+    // find those pairs without all-pairs bit_count is the pigeonhole
+    // multi-index [Manku, Jain, Das Sarma, "Detecting Near-Duplicates
+    // for Web Crawling", WWW'07]: split the w-bit fingerprint into
+    // k+1 disjoint blocks; any pair within distance k leaves at least
+    // one block untouched, so an equi-join on (block_idx, block_bits)
+    // loses NO qualifying pair, and bit_count verification runs on
+    // candidates only. Here w=60, k=3 → 4 blocks of 15 bits; identical
+    // fingerprints (d=0, q37's relation) are excluded so the two
+    // queries partition the near-dup space.
+    //
+    // Scale: candidate buckets are keyed by 15-bit block values
+    // (2^15 per block index); expected bucket size is N/2^15 per
+    // index. At larger N, widen blocks (fewer bits of tolerance per
+    // table, more tables over permuted fingerprints — Manku §3) to
+    // keep buckets bounded; the join/verify shape is unchanged. The
+    // verification is one codegen'd XOR+popcount per candidate.
+    "q136_simhash_hamming" -> ((s, d) => {
+      import s.implicits._
+      val sh = simhashDocs(s, d, 60)
+      val blocks = sh.select($"doc_id", $"simhash",
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("bi"),
+            expr(s"shiftright(simhash, ${15 * j}) & 32767").as("bv"))): _*)).as("blk"))
+        .select($"doc_id", $"simhash", $"blk.bi", $"blk.bv")
+      blocks.select($"bi", $"bv", $"doc_id".as("a"), $"simhash".as("sha"))
+        .join(blocks.select($"bi", $"bv", $"doc_id".as("b"), $"simhash".as("shb")),
+          Seq("bi", "bv"))
+        .filter($"a" < $"b")
+        .select($"a", $"b",
+          expr("bit_count(sha ^ shb)").cast("long").as("hamming"))
+        .distinct()
+        .filter($"hamming".between(1, 3))
+    }),
+
     // ---- EXACT n-gram Jaccard similarity join (prefix filter) -------
     // The exact member of the near-dup family (vs q36's LSH estimate):
-    // every pair with bigram-shingle Jaccard >= 1/2, found WITHOUT
+    // every pair with 4-gram-shingle Jaccard >= 1/2, found WITHOUT
     // all-pairs comparison via the AllPairs/PPJoin prefix filter
     // [Bayardo et al., WWW'07; Chaudhuri et al., ICDE'06].
     //
@@ -343,9 +391,16 @@ object Dedup extends QueryPack {
     "q134_ngram_jaccard" -> ((s, d) => {
       import s.implicits._
       graft.GraftExtensions.ensureRegistered(s)
-      // bigram shingle sets (distinct from q36's 3-grams)
+      // 4-gram shingle sets (distinct from q36's 3-grams). Width is a
+      // precision lever, measured on this corpus at sf0.1: bigrams
+      // give a 931-gram vocabulary (avg df 275) and the "rarest-gram"
+      // prefix degenerates to 5.5M candidates for 256 true pairs;
+      // 4-grams give 210k grams (avg df 1.2) and the SAME 256-pair
+      // answer from exactly 256 candidates — 100% filter precision.
+      // At 100 TB the same principle holds: pick the shingle width
+      // that makes prefix grams rare relative to the corpus.
       val sets = T.documents(s, d)
-        .select($"doc_id", array_distinct(expr("word_ngrams(text, 2)")).as("sh"))
+        .select($"doc_id", array_distinct(expr("word_ngrams(text, 4)")).as("sh"))
         .filter(size($"sh") >= 1)
         .withColumn("n", size($"sh"))
       // two consumers (prefix build + verification) — same cache rule
@@ -495,14 +550,14 @@ object Dedup extends QueryPack {
         |GROUP BY lang""".stripMargin,
 
     // ground truth the prefix filter must reproduce EXACTLY: all-pairs
-    // bigram Jaccard at τ = 1/2 (integer acceptance: 2·inter >= uni)
+    // 4-gram Jaccard at τ = 1/2 (integer acceptance: 2·inter >= uni)
     "q134_ngram_jaccard" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |d AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)),
-        |    i -> w[i] || ' ' || w[i+1])) AS sh
-        |  FROM w WHERE len(w) >= 2)
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 2),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+        |  FROM w WHERE len(w) >= 4)
         |SELECT a, b, inter, uni,
         |  round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
         |FROM (
@@ -532,5 +587,32 @@ object Dedup extends QueryPack {
         |  SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bits)
         |SELECT simhash, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
         |FROM sh GROUP BY simhash HAVING count(*) > 1""".stripMargin
+    },
+
+    // ground truth the pigeonhole index must reproduce EXACTLY:
+    // all-pairs 60-bit simhash popcount at 1 <= d <= 3 (d=0 is q37's
+    // relation, excluded here)
+    "q136_simhash_hamming" -> {
+      val bitSums = (0 until 60).map { j =>
+        val mask = 1L << j
+        s"sum(CASE WHEN (h & $mask) > 0 THEN 1 ELSE -1 END) AS b$j"
+      }.mkString(", ")
+      val assemble = (0 until 60).map { j =>
+        s"CASE WHEN b$j >= 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tk
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT) AS h
+        |  FROM toks),
+        |bits AS (
+        |  SELECT doc_id, $bitSums FROM hashed GROUP BY doc_id),
+        |sh AS (
+        |  SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bits)
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+        |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.simhash, y.simhash)) BETWEEN 1 AND 3""".stripMargin
     })
 }

@@ -44,7 +44,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q119_bloom_prune", "q122_table_diff", "q124_vocab_rank",
     "q125_drift_detect", "q126_integrity_audit", "q129_equidepth_hist",
     "q130_ngram_novelty", "q131_vocab_coverage", "q132_source_novelty",
-    "q133_binary_ingest", "q134_ngram_jaccard", "q135_mixture_execute")
+    "q133_binary_ingest", "q134_ngram_jaccard", "q135_mixture_execute",
+    "q136_simhash_hamming")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

@@ -199,6 +199,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q134: df/candidate work not partitioned on the gram key")
     assert(j.contains("hashpartitioning(doc_id"),
       "q134: prefix rank window not partitioned by doc_id")
+    // q136 (simhash hamming join): candidate generation must be an
+    // EQUI-join keyed on the pigeonhole block (bi, bv) — never an
+    // all-pairs popcount (at toy scale AQE broadcasts one side, so we
+    // assert the hash-join keys rather than a shuffle partitioning)
+    val sh = m("q136_simhash_hamming")
+    assert(sh.contains("Left keys [2]: [bi#"),
+      "q136: candidate join not keyed on the pigeonhole block")
   }
 
   test("q115: lateral subquery decorrelates to a rank-limited window, not N scans") {
