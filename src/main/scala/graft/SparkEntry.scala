@@ -9,11 +9,12 @@ import graft.operators._
   * surface the driver verifies against DuckDB at sf0.01 and benches at
   * sf0.1:
   *  - [[operators.Relational]] q01–q22, q49–q50, q71, q82, q85,
-  *    q90–q91, q97, q115, q121: joins/aggs/windows/set ops/subqueries
-  *    (scalar + correlated LATERAL with LIMIT)/scalar functions/salted
-  *    skew join/exact moment + covariance power sums/analytic window
-  *    functions/unpivot/percent-of-parent/ordered LISTAGG over the
-  *    TPC-H-ish tables
+  *    q90–q91, q97, q115, q121, q138: joins/aggs/windows/set ops/
+  *    subqueries (scalar + correlated LATERAL with LIMIT)/scalar
+  *    functions/salted skew join/exact moment + covariance power sums/
+  *    analytic window functions/unpivot/percent-of-parent/ordered
+  *    LISTAGG/degree-ordered triangle counting + clustering
+  *    coefficient over the TPC-H-ish tables
   *  - [[operators.Streams]] s01–s19: the `shardstream` DSv2 source and
   *    sinks end-to-end (SURVEY §2 S1–S16): round-trips, take-N,
   *    windowed parity, stream-stream inner + left-outer joins,
@@ -45,10 +46,10 @@ import graft.operators._
   *    buckets + pigeonhole hamming-distance join, clustering, keepers,
   *    edit-distance verify, duplicate spans, exact n-gram Jaccard
   *    similarity join (AllPairs prefix filter)
-  *  - [[operators.Similarity]] q40–q42, q53, q75, q79, q94: quantized-
-  *    integer cosine top-k, IVF ANN, sign-LSH ANN, embedding near-dup,
-  *    centroid centrality, k-means Lloyd iteration, array-HOF vector
-  *    features
+  *  - [[operators.Similarity]] q40–q42, q53, q75, q79, q94, q137:
+  *    quantized-integer cosine top-k, IVF ANN, sign-LSH ANN, embedding
+  *    near-dup, centroid centrality, k-means Lloyd iteration, array-
+  *    HOF vector features, exact Gram/covariance power sums
   *  - [[operators.Multimodal]] q45, q64–q65, q133: binary payload +
   *    decode-stub features, frame sampling, resize, binaryFile
   *    object-store ingestion (one task per file, fingerprint-gated)

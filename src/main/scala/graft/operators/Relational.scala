@@ -489,6 +489,55 @@ object Relational extends QueryPack {
           coalesce($"F", lit(0L)).as("F"),
           coalesce($"O", lit(0L)).as("O"),
           coalesce($"P", lit(0L)).as("P"))
+    }),
+
+    // ---- graph analytics: triangle count + clustering coefficient ---
+    // Over the part co-occurrence graph (parts sharing an order; at
+    // sf0.01: 2000 vertices, 116k edges, 414k triangles — a real
+    // sparse graph, unlike the complete supplier graph). Per-vertex
+    // triangle participation and local clustering coefficient — the
+    // density diagnostic for any pairwise-relation graph this engine
+    // produces (near-dup candidate graphs especially: a dup cluster's
+    // coefficient ≈ 1 distinguishes template families from chains).
+    //
+    // Shape [Suri & Vassilvitskii, WWW'11]: orient every edge from
+    // its lower-(degree, id) endpoint to the higher one — out-degree
+    // is then O(√m) REGARDLESS of hub degree, so the wedge self-join
+    // on the low-degree center never explodes on a skewed hub (a
+    // 10^6-degree vertex contributes C(10^6, 2) raw wedges unoriented
+    // but only its out-neighborhood pairs oriented). Triangles close
+    // wedges by one equi-join back to the undirected edge list; every
+    // shuffle is keyed (order, vertex, or edge) — no all-pairs stage.
+    "q138_graph_triangles" -> ((s, d) => {
+      import s.implicits._
+      val li = T.lineitem(s, d).select($"l_orderkey".as("o"), $"l_partkey".as("p"))
+      val e = li.toDF("o", "a").join(li.toDF("o", "b"), "o")
+        .filter($"a" < $"b").select($"a", $"b").distinct()
+      val deg = e.select($"a".as("v")).unionAll(e.select($"b".as("v")))
+        .groupBy($"v").agg(count(lit(1)).as("deg"))
+      // orient: lower (deg, id) -> higher (deg, id); total order, so
+      // each undirected edge appears exactly once
+      val ed = e
+        .join(deg.toDF("a", "da"), "a").join(deg.toDF("b", "db"), "b")
+        .select(
+          when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"),
+            struct($"a".as("u"), $"b".as("w")))
+            .otherwise(struct($"b".as("u"), $"a".as("w"))).as("x"))
+        .select($"x.u", $"x.w")
+      // wedges at the (low-degree) center, closed by the edge list
+      val tri = ed.toDF("u", "x").join(ed.toDF("u", "y"), "u")
+        .filter($"x" < $"y")
+        .select($"u", $"x".as("a"), $"y".as("b"))
+        .join(e, Seq("a", "b"))
+      val perV = tri.select(explode(array($"u", $"a", $"b")).as("v"))
+        .groupBy($"v").agg(count(lit(1)).as("tri"))
+      deg.join(perV, Seq("v"), "left")
+        .select($"v".as("part"), $"deg",
+          coalesce($"tri", lit(0L)).as("triangles"))
+        .withColumn("coef_ppm",
+          when($"deg" >= 2,
+            expr("(triangles * 2000000L) div (deg * (deg - 1))"))
+            .otherwise(lit(0L)))
     })
   )
 
@@ -505,6 +554,33 @@ object Relational extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "q115_lateral_topk" -> lateralTopkText,
+
+    // ground truth via the unoriented a<b<c triple join (each triangle
+    // counted once), affordable at oracle scale only
+    "q138_graph_triangles" ->
+      """WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM li x JOIN li y ON x.o = y.o WHERE x.p < y.p),
+        |deg AS (
+        |  SELECT v, count(*) AS deg FROM (
+        |    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+        |  GROUP BY v),
+        |tr AS (
+        |  SELECT e1.a, e1.b, e2.b AS c
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |perv AS (
+        |  SELECT v, count(*) AS tri FROM (
+        |    SELECT a AS v FROM tr UNION ALL SELECT b AS v FROM tr
+        |    UNION ALL SELECT c AS v FROM tr)
+        |  GROUP BY v)
+        |SELECT deg.v AS part, deg.deg,
+        |  CAST(coalesce(perv.tri, 0) AS BIGINT) AS triangles,
+        |  CASE WHEN deg.deg >= 2 THEN
+        |    (CAST(coalesce(perv.tri, 0) AS BIGINT) * 2000000) // (deg.deg * (deg.deg - 1))
+        |  ELSE 0 END AS coef_ppm
+        |FROM deg LEFT JOIN perv ON perv.v = deg.v""".stripMargin,
 
     "q121_listagg" ->
       """SELECT o_orderpriority,

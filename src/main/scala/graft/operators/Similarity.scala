@@ -224,6 +224,42 @@ object Similarity extends QueryPack {
         .withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
         .select($"a", $"b".as("nn"), $"cos")
+    }),
+
+    // ---- exact second-moment (Gram) matrix of the embedding corpus --
+    // The sufficient statistics for whitening / PCA / PQ-codebook
+    // training: for every dim pair i <= j, the exact integer power
+    // sums (n, Σ q_i·q_j, Σ q_i, Σ q_j) over the quantized corpus —
+    // covariance is n·s_xy − s_i·s_j downstream, in whatever precision
+    // the consumer wants (raw moments stay exact int64: |q| ≤ 5120 so
+    // s_xy ≤ n·2.7e7, safe past 3e11 vectors).
+    //
+    // Shape (the part that matters at 100 TB): the d(d+1)/2 pair
+    // products are generated per-row by an array HOF inside ONE narrow
+    // projection — no posexplode self-join, which would shuffle the
+    // corpus on vec_id just to multiply numbers already sitting in the
+    // same row. The only shuffle is the groupBy over d(d+1)/2 = 2080
+    // bounded keys, which map-side combines to ≤2080 rows per task
+    // regardless of corpus size. The d-row marginal table broadcasts.
+    "q137_embedding_moments" -> ((s, d) => {
+      import s.implicits._
+      val emb = quantized(s, d)
+      val pairs = emb.select(explode(expr(
+        s"""flatten(transform(q, (x, i) ->
+           |  transform(slice(q, i + 1, $dim),
+           |    (y, k) -> struct(CAST(i AS BIGINT) AS i,
+           |                     CAST(i + k AS BIGINT) AS j,
+           |                     x * y AS p))))""".stripMargin)).as("e"))
+        .select($"e.i", $"e.j", $"e.p")
+        .groupBy($"i", $"j")
+        .agg(count(lit(1)).as("n"), sum($"p").as("s_xy"))
+      val marg = emb.select(posexplode($"q").as(Seq("pos", "x")))
+        .groupBy($"pos").agg(sum($"x").as("s"))
+        .select($"pos".cast("bigint").as("pos"), $"s")
+      pairs
+        .join(broadcast(marg.toDF("i", "s_i")), "i")
+        .join(broadcast(marg.toDF("j", "s_j")), "j")
+        .select($"i", $"j", $"n", $"s_xy", $"s_i", $"s_j")
     }))
 
   private val dim = 64
@@ -382,5 +418,24 @@ object Similarity extends QueryPack {
         |  SELECT a, b, cos,
         |    row_number() OVER (PARTITION BY a ORDER BY cos DESC, b) AS rn
         |  FROM scored) t
-        |WHERE rn = 1""".stripMargin)
+        |WHERE rn = 1""".stripMargin,
+
+    // upper-triangle (diag included) exact integer power sums — the
+    // all-pairs dim product the HOF projection must reproduce
+    "q137_embedding_moments" ->
+      s"""WITH q AS (
+        |  SELECT list_transform(embedding, x -> CAST(round(x * 1024) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |pr AS (
+        |  SELECT t1.i AS i, t2.j AS j, qv[t1.i + 1] * qv[t2.j + 1] AS p
+        |  FROM q, range($dim) t1(i), range($dim) t2(j)
+        |  WHERE t2.j >= t1.i),
+        |m AS (
+        |  SELECT pos - 1 AS i, CAST(sum(v) AS BIGINT) AS s
+        |  FROM (SELECT unnest(qv) AS v, generate_subscripts(qv, 1) AS pos FROM q)
+        |  GROUP BY pos)
+        |SELECT pr.i, pr.j, count(*) AS n, CAST(sum(pr.p) AS BIGINT) AS s_xy,
+        |  mi.s AS s_i, mj.s AS s_j
+        |FROM pr JOIN m mi ON mi.i = pr.i JOIN m mj ON mj.i = pr.j
+        |GROUP BY pr.i, pr.j, mi.s, mj.s""".stripMargin)
 }

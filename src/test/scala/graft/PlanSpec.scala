@@ -206,6 +206,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sh = m("q136_simhash_hamming")
     assert(sh.contains("Left keys [2]: [bi#"),
       "q136: candidate join not keyed on the pigeonhole block")
+    // q137 (embedding moments): pair products must come from the
+    // in-row HOF projection, never a posexplode self-join shuffled on
+    // vec_id
+    assert(!m("q137_embedding_moments").contains("hashpartitioning(vec_id"),
+      "q137: moment pairs must not shuffle the corpus on vec_id")
+    // q138 (triangles): wedge closure is an equi-join on the (a, b)
+    // edge key
+    assert(m("q138_graph_triangles").contains("Left keys [2]: [a#"),
+      "q138: triangle closure not an equi-join on the edge key")
   }
 
   test("q115: lateral subquery decorrelates to a rank-limited window, not N scans") {
