@@ -71,7 +71,115 @@ object Similarity extends QueryPack {
       .withColumn("cn2", expr("int_dot(c, c)"))
   }
 
+  private val pqM = 8   // PQ subspaces
+  private val pqSub = 8 // dims per subspace (pqM * pqSub = dim)
+
+  /** Product-quantization codebook: per (subspace j, label c) the
+    * integer-mean of member subvectors, with the same shifted-div
+    * floor as [[meanCentroids]] (components bounded by the coordinate
+    * range at any cluster size). pqM·k rows — broadcastable always. */
+  private def pqCodebook(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    emb.select($"label", posexplode($"q"))
+      .select(expr(s"pos div $pqSub").as("j"), $"label".as("c"),
+        pmod($"pos", lit(pqSub)).as("k"), $"col")
+      .groupBy($"j", $"c", $"k")
+      .agg(sum($"col").as("sv"), count(lit(1)).as("n"))
+      .groupBy($"j", $"c")
+      .agg(array_sort(collect_list(struct($"k",
+        expr("(sv + n * 5120L) div n - 5120L").as("cv")))).as("ps"))
+      .select($"j", $"c".cast("bigint").as("c"),
+        expr("transform(ps, x -> x.cv)").as("cb"))
+  }
+
+  /** PQ assignment: per (vector, subspace) the nearest codebook entry
+    * by exact integer L2 (ties → smaller code). Returns one row per
+    * (vec_id, j): (cj, d2). The k-way argmin is a broadcast join with
+    * the codebook followed by a min(struct) — the groupBy reduces
+    * k rows to 1 map-side (the subvector rows are colocated), so the
+    * only corpus shuffle is keyed on vec_id downstream. */
+  private def pqAssign(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val subs = emb.select($"vec_id",
+      posexplode(expr(
+        s"transform(sequence(0, ${pqM - 1}), jj -> slice(q, jj * $pqSub + 1, $pqSub))"))
+        .as(Seq("j", "sub")))
+      .select($"vec_id", $"j".cast("bigint").as("j"), $"sub")
+    subs.join(broadcast(pqCodebook(emb)), Seq("j"))
+      .select($"vec_id", $"j", $"c", expr(
+        "aggregate(zip_with(sub, cb, (x, y) -> (x - y) * (x - y)), 0L, (a, b) -> a + b)")
+        .as("d2"))
+      .groupBy($"vec_id", $"j")
+      .agg(min(struct($"d2", $"c")).as("m"))
+      .select($"vec_id", $"j", $"m.c".as("cj"), $"m.d2".as("d2"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- product quantization encode (IVF-PQ compression path) ------
+    // The 100 TB ANN standard [Jégou et al., "Product Quantization for
+    // Nearest Neighbor Search", TPAMI'11]: split each vector into
+    // pqM=8 subspaces of 8 dims, quantize each subvector to its
+    // nearest per-subspace codebook entry (here the per-label integer
+    // means — k=10 codes/subspace, deterministic, no RNG training),
+    // and pack the 8 code digits into one int64 (4 bits each). A
+    // 64-dim float vector compresses to 8 codes + the id — the memory
+    // ratio that lets a billion-vector index fit a cluster's RAM.
+    // Everything is exact integer arithmetic (shifted-div centroids,
+    // integer L2), so the oracle reproduces codes bit-for-bit.
+    // Output: per vector its packed code and exact quantization error.
+    "q139_pq_encode" -> ((s, d) => {
+      import s.implicits._
+      val emb = quantized(s, d)
+      pqAssign(emb)
+        .groupBy($"vec_id")
+        .agg(sum(expr("shiftleft(cj, CAST(4 * j AS INT))")).as("code"),
+          sum($"d2").as("qerr"))
+        .join(emb.select($"vec_id", $"label".cast("bigint").as("label")), "vec_id")
+        .select($"vec_id", $"label", $"code", $"qerr")
+    }),
+
+    // ---- asymmetric-distance (ADC) top-k over PQ codes --------------
+    // The companion scan: score every encoded vector against each
+    // query WITHOUT touching the original vectors — per query build
+    // the pqM×k lookup table of exact squared distances from the
+    // query's subvectors to every codebook entry (80 ints, broadcast),
+    // then each vector's approximate distance is 8 array lookups
+    // summed in-row over its code digits. At 100 TB the scan reads
+    // only (vec_id, codes) — the compressed index — and the heavy
+    // rank is a WindowGroupLimit top-k per query, never a global sort.
+    "q140_pq_adc_topk" -> ((s, d) => {
+      import s.implicits._
+      val emb = quantized(s, d)
+      val codes = pqAssign(emb)
+        .groupBy($"vec_id")
+        .agg(array_sort(collect_list(struct($"j", $"cj"))).as("e"))
+        .select($"vec_id", expr("transform(e, x -> x.cj)").as("codes"))
+      val qsubs = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"),
+          posexplode(expr(
+            s"transform(sequence(0, ${pqM - 1}), jj -> slice(q, jj * $pqSub + 1, $pqSub))"))
+            .as(Seq("j", "qsub")))
+        .select($"qid", $"j".cast("bigint").as("j"), $"qsub")
+      // per-query LUT ordered by (j, c): flat index = j * k + c
+      val lut = qsubs.join(pqCodebook(emb), Seq("j"))
+        .select($"qid", $"j", $"c", expr(
+          "aggregate(zip_with(qsub, cb, (x, y) -> (x - y) * (x - y)), 0L, (a, b) -> a + b)")
+          .as("d2"))
+        .groupBy($"qid")
+        .agg(array_sort(collect_list(struct($"j", $"c", $"d2"))).as("e"))
+        .select($"qid", expr("transform(e, x -> x.d2)").as("lut"))
+      val w = Window.partitionBy($"qid").orderBy($"adc", $"vec_id")
+      codes.join(broadcast(lut), $"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id", expr(
+          "aggregate(transform(codes, (cj, jj) -> element_at(lut, CAST(jj * 10 + cj + 1 AS INT))), 0L, (a, b) -> a + b)")
+          .as("adc"))
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter($"rn" <= 3)
+        .select($"qid", $"vec_id", $"adc", $"rn")
+    }),
+
     // ---- exact brute-force top-5 cosine for 10 query vectors --------
     // ---- array higher-order functions (vector feature stats) --------
     // Per-vector scalar features computed entirely with codegen'd
@@ -309,7 +417,62 @@ object Similarity extends QueryPack {
       |    CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS cn2
       |  FROM centarr)""".stripMargin
 
+  /** PQ CTE chain (pqCodebook + pqAssign mirror): `sub` = per-vector
+    * subspace slices, `cb` = shifted-div codebook, `best` = argmin
+    * assignment (ties → smaller code, matching min(struct)). */
+  private val duckPq =
+    s"""q AS (SELECT vec_id, label,
+      |  list_transform(embedding, x -> CAST(round(x * 1024) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |sub AS (
+      |  SELECT vec_id, label, t.j AS j,
+      |    qv[t.j * $pqSub + 1 : t.j * $pqSub + $pqSub] AS sub
+      |  FROM q, range($pqM) t(j)),
+      |cb0 AS (
+      |  SELECT j, label AS c, pos, CAST(sum(v) AS BIGINT) AS sv, count(*) AS n
+      |  FROM (SELECT label, j, unnest(sub) AS v,
+      |          generate_subscripts(sub, 1) AS pos FROM sub)
+      |  GROUP BY j, label, pos),
+      |cb AS (
+      |  SELECT j, CAST(c AS BIGINT) AS c,
+      |    list((sv + n * 5120) // n - 5120 ORDER BY pos) AS cb
+      |  FROM cb0 GROUP BY j, c),
+      |d2t AS (
+      |  SELECT s.vec_id, s.j, cb.c,
+      |    CAST(list_sum(list_transform(list_zip(s.sub, cb.cb),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+      |  FROM sub s JOIN cb ON cb.j = s.j),
+      |best AS (
+      |  SELECT vec_id, j, c AS cj, d2 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+      |    FROM d2t) t WHERE rn = 1)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "q139_pq_encode" ->
+      s"""WITH $duckPq
+        |SELECT b.vec_id, CAST(q.label AS BIGINT) AS label,
+        |  CAST(sum(b.cj << CAST(4 * b.j AS INT)) AS BIGINT) AS code,
+        |  CAST(sum(b.d2) AS BIGINT) AS qerr
+        |FROM best b JOIN q ON q.vec_id = b.vec_id
+        |GROUP BY b.vec_id, q.label""".stripMargin,
+
+    "q140_pq_adc_topk" ->
+      s"""WITH $duckPq,
+        |qd AS (
+        |  SELECT s.vec_id AS qid, cb.j, cb.c,
+        |    CAST(list_sum(list_transform(list_zip(s.sub, cb.cb),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+        |  FROM sub s JOIN cb ON cb.j = s.j WHERE s.vec_id < 10),
+        |adc AS (
+        |  SELECT qd.qid, b.vec_id, CAST(sum(qd.d2) AS BIGINT) AS adc
+        |  FROM best b JOIN qd ON qd.j = b.j AND qd.c = b.cj
+        |  WHERE b.vec_id != qd.qid
+        |  GROUP BY qd.qid, b.vec_id)
+        |SELECT qid, vec_id, adc, rn FROM (
+        |  SELECT qid, vec_id, adc,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS BIGINT) AS rn
+        |  FROM adc) t
+        |WHERE rn <= 3""".stripMargin,
     "q79_kmeans_iter" ->
       s"""WITH $duckQuant,
         |$duckMeanCent,

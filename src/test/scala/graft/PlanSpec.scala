@@ -39,7 +39,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val allowedBnlj = Set("q18_scalar_subquery", "q30_range_join",
     "q40_cosine_topk", "q51_langid_ngram", "q63_source_mixture",
     "q79_kmeans_iter", "q87_zorder_stats", "q103_cooccur_lift",
-    "q125_drift_detect", "q129_equidepth_hist", "q135_mixture_execute")
+    "q125_drift_detect", "q129_equidepth_hist", "q135_mixture_execute",
+    "q140_pq_adc_topk")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
@@ -215,6 +216,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // edge key
     assert(m("q138_graph_triangles").contains("Left keys [2]: [a#"),
       "q138: triangle closure not an equi-join on the edge key")
+    // q140 (PQ ADC): the per-query top-k must compile to a
+    // WindowGroupLimit (partial top-k per partition), never a global
+    // sort of the scored corpus
+    assert(m("q140_pq_adc_topk").contains("WindowGroupLimit"),
+      "q140: ADC rank did not compile to WindowGroupLimit")
   }
 
   test("q115: lateral subquery decorrelates to a rank-limited window, not N scans") {
