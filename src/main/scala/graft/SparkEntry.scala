@@ -47,10 +47,11 @@ import graft.operators._
   *    edit-distance verify, duplicate spans, exact n-gram Jaccard
   *    similarity join (AllPairs prefix filter)
   *  - [[operators.Similarity]] q40–q42, q53, q75, q79, q94, q137,
-  *    q139–q140: quantized-integer cosine top-k, IVF ANN, sign-LSH
-  *    ANN, embedding near-dup, centroid centrality, k-means Lloyd
-  *    iteration, array-HOF vector features, exact Gram/covariance
-  *    power sums, product-quantization encode + ADC top-k scan
+  *    q139–q142: quantized-integer cosine top-k, IVF ANN (single and
+  *    multi-probe), sign-LSH ANN, embedding near-dup, centroid
+  *    centrality, k-means Lloyd iteration, array-HOF vector features,
+  *    exact Gram/covariance power sums, product-quantization encode +
+  *    ADC top-k scan, measured ANN recall audit
   *  - [[operators.Multimodal]] q45, q64–q65, q133: binary payload +
   *    decode-stub features, frame sampling, resize, binaryFile
   *    object-store ingestion (one task per file, fingerprint-gated)

@@ -229,6 +229,64 @@ object Similarity extends QueryPack {
         .select($"qid", $"vec_id", $"cell", $"cos", $"rn")
     }),
 
+    // ---- multi-probe IVF: search the nprobe=2 nearest cells ---------
+    // Single-probe IVF (q41) misses neighbors that fall just across a
+    // cell boundary; production IVF probes the nprobe nearest cells by
+    // query-to-centroid distance. The probe list is computed against
+    // the k-row centroid table (broadcast, exact integer L2 =
+    // qn2 + cn2 − 2·int_dot) — a 10×k rank, driver-free — and the
+    // scan stays an equi-join on the cell key, now over 2 cells per
+    // query: recall rises while per-query work stays ~2·N/k, the
+    // multiprobe trade dial every IVF deployment tunes.
+    "q141_ann_ivf_multiprobe" -> ((s, d) => {
+      import s.implicits._
+      val emb = quantized(s, d)
+      val cents = meanCentroids(emb)
+      val qs = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"q".as("qv"), $"n2".as("qn2"))
+      val wq = Window.partitionBy($"qid").orderBy($"cd2", $"label")
+      val probes = qs.crossJoin(broadcast(cents))
+        .select($"qid", $"qv", $"qn2", $"label",
+          ($"qn2" + $"cn2" - expr("2 * int_dot(qv, c)")).as("cd2"))
+        .withColumn("probe", row_number().over(wq).cast("bigint"))
+        .filter($"probe" <= 2)
+        .select($"qid", $"qv", $"qn2", $"label".as("pcell"), $"probe")
+      val scored = emb.join(broadcast(probes),
+          $"label" === $"pcell" && $"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id", $"label".cast("bigint").as("cell"),
+          $"probe", cosine("q", "qv", "n2", "qn2").as("cos"))
+      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+      scored.withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter($"rn" <= 3)
+        .select($"qid", $"vec_id", $"cell", $"probe", $"cos", $"rn")
+    }),
+
+    // ---- ANN recall audit: measure, don't guess ---------------------
+    // Joins each approximate index's top-3 (IVF q41, sign-LSH q53,
+    // 2-probe IVF q141) against the exact brute-force top-3 (q40) and
+    // reports per-query hit counts + recall — the acceptance metric
+    // any ANN rollout gates on. Composition of declared queries in ONE
+    // plan; every per-method side is 30 rows, so the audit costs the
+    // underlying scans and nothing more.
+    "q142_ann_recall" -> ((s, d) => {
+      import s.implicits._
+      val exact = queries("q40_cosine_topk")(s, d)
+        .filter($"rn" <= 3).select($"qid", $"vec_id")
+      val qids = exact.select($"qid").distinct()
+      val methods = Seq(
+        "ivf1" -> queries("q41_ann_ivf")(s, d).select($"qid", $"vec_id"),
+        "ivf2" -> queries("q141_ann_ivf_multiprobe")(s, d).select($"qid", $"vec_id"),
+        "lsh" -> queries("q53_ann_signlsh")(s, d).select($"qid", $"vec_id"))
+      methods.map { case (mname, appr) =>
+        val hits = exact.join(appr, Seq("qid", "vec_id"), "left_semi")
+          .groupBy($"qid").agg(count(lit(1)).as("hits"))
+        qids.join(hits, Seq("qid"), "left")
+          .select($"qid", lit(mname).as("method"),
+            coalesce($"hits", lit(0L)).as("hits"))
+      }.reduce(_ unionAll _)
+        .withColumn("recall_ppm", expr("(hits * 1000000L) div 3"))
+    }),
+
     // ---- sign-LSH bucketed ANN --------------------------------------
     // Random-hyperplane LSH with DETERMINISTIC integer hyperplanes
     // (coef(j,k) = ((j·73 + k·179) mod 41) − 20): bucket = 8 sign
@@ -447,7 +505,94 @@ object Similarity extends QueryPack {
       |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
       |    FROM d2t) t WHERE rn = 1)""".stripMargin
 
+  private lazy val duckQ40 =
+    s"""WITH $duckQuant,
+      |qs AS (SELECT vec_id AS qid, qv AS qqv, n2 AS qn2 FROM n WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT qs.qid, n.vec_id, ${duckCos("n.qv", "qs.qqv", "n.n2", "qs.qn2")} AS cos
+      |  FROM n CROSS JOIN qs WHERE n.vec_id != qs.qid)
+      |SELECT qid, vec_id, cos, rn FROM (
+      |  SELECT qid, vec_id, cos,
+      |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+      |  FROM scored) t
+      |WHERE rn <= 5""".stripMargin
+
+  private lazy val duckQ41 =
+    s"""WITH $duckQuant,
+      |qs AS (SELECT vec_id AS qid, label AS qcell, qv AS qqv, n2 AS qn2
+      |       FROM n WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT qs.qid, n.vec_id, CAST(n.label AS BIGINT) AS cell,
+      |    ${duckCos("n.qv", "qs.qqv", "n.n2", "qs.qn2")} AS cos
+      |  FROM n JOIN qs ON n.label = qs.qcell AND n.vec_id != qs.qid)
+      |SELECT qid, vec_id, cell, cos, rn FROM (
+      |  SELECT qid, vec_id, cell, cos,
+      |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+      |  FROM scored) t
+      |WHERE rn <= 3""".stripMargin
+
+  private lazy val duckQ53 =
+    s"""WITH $duckQuant,
+      |b AS (SELECT vec_id, qv, n2, ${duckBucket("qv")} AS bucket FROM n),
+      |qs AS (SELECT vec_id AS qid, bucket AS qbucket, qv AS qqv, n2 AS qn2
+      |       FROM b WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT qs.qid, b.vec_id, b.bucket,
+      |    ${duckCos("b.qv", "qs.qqv", "b.n2", "qs.qn2")} AS cos
+      |  FROM b JOIN qs ON b.bucket = qs.qbucket AND b.vec_id != qs.qid)
+      |SELECT qid, vec_id, bucket, cos, rn FROM (
+      |  SELECT qid, vec_id, bucket, cos,
+      |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+      |  FROM scored) t
+      |WHERE rn <= 3""".stripMargin
+
+  private lazy val duckQ141 =
+    s"""WITH $duckQuant,
+      |$duckMeanCent,
+      |qs AS (SELECT vec_id AS qid, qv AS qqv, n2 AS qn2 FROM n WHERE vec_id < 10),
+      |pc AS (
+      |  SELECT qid, qqv, qn2, label AS pcell,
+      |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cd2, label) AS BIGINT) AS probe
+      |  FROM (
+      |    SELECT qs.qid, qs.qqv, qs.qn2, cn.label,
+      |      qs.qn2 + cn.cn2 - 2 * CAST(list_sum(list_transform(
+      |        list_zip(qs.qqv, cn.c), p -> p[1] * p[2])) AS BIGINT) AS cd2
+      |    FROM qs CROSS JOIN cn) t),
+      |probes AS (SELECT * FROM pc WHERE probe <= 2),
+      |scored AS (
+      |  SELECT p.qid, n.vec_id, CAST(n.label AS BIGINT) AS cell, p.probe,
+      |    ${duckCos("n.qv", "p.qqv", "n.n2", "p.qn2")} AS cos
+      |  FROM n JOIN probes p ON n.label = p.pcell AND n.vec_id != p.qid)
+      |SELECT qid, vec_id, cell, probe, cos, rn FROM (
+      |  SELECT qid, vec_id, cell, probe, cos,
+      |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+      |  FROM scored) t
+      |WHERE rn <= 3""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "q141_ann_ivf_multiprobe" -> duckQ141,
+
+    "q142_ann_recall" ->
+      s"""WITH e AS (SELECT qid, vec_id FROM ($duckQ40) t40 WHERE rn <= 3),
+        |i1 AS (SELECT qid, vec_id FROM ($duckQ41) t41),
+        |i2 AS (SELECT qid, vec_id FROM ($duckQ141) t141),
+        |l AS (SELECT qid, vec_id FROM ($duckQ53) t53),
+        |qd AS (SELECT DISTINCT qid FROM e),
+        |h1 AS (SELECT e.qid, count(*) AS hits FROM e JOIN i1 USING (qid, vec_id) GROUP BY e.qid),
+        |h2 AS (SELECT e.qid, count(*) AS hits FROM e JOIN i2 USING (qid, vec_id) GROUP BY e.qid),
+        |h3 AS (SELECT e.qid, count(*) AS hits FROM e JOIN l USING (qid, vec_id) GROUP BY e.qid)
+        |SELECT qd.qid, 'ivf1' AS method, CAST(coalesce(h1.hits, 0) AS BIGINT) AS hits,
+        |  (CAST(coalesce(h1.hits, 0) AS BIGINT) * 1000000) // 3 AS recall_ppm
+        |FROM qd LEFT JOIN h1 ON h1.qid = qd.qid
+        |UNION ALL
+        |SELECT qd.qid, 'ivf2', CAST(coalesce(h2.hits, 0) AS BIGINT),
+        |  (CAST(coalesce(h2.hits, 0) AS BIGINT) * 1000000) // 3
+        |FROM qd LEFT JOIN h2 ON h2.qid = qd.qid
+        |UNION ALL
+        |SELECT qd.qid, 'lsh', CAST(coalesce(h3.hits, 0) AS BIGINT),
+        |  (CAST(coalesce(h3.hits, 0) AS BIGINT) * 1000000) // 3
+        |FROM qd LEFT JOIN h3 ON h3.qid = qd.qid""".stripMargin,
+
     "q139_pq_encode" ->
       s"""WITH $duckPq
         |SELECT b.vec_id, CAST(q.label AS BIGINT) AS label,
@@ -530,46 +675,11 @@ object Similarity extends QueryPack {
         |  CAST(list_max(qv) AS BIGINT) AS max_q
         |FROM q""".stripMargin,
 
-    "q40_cosine_topk" ->
-      s"""WITH $duckQuant,
-        |qs AS (SELECT vec_id AS qid, qv AS qqv, n2 AS qn2 FROM n WHERE vec_id < 10),
-        |scored AS (
-        |  SELECT qs.qid, n.vec_id, ${duckCos("n.qv", "qs.qqv", "n.n2", "qs.qn2")} AS cos
-        |  FROM n CROSS JOIN qs WHERE n.vec_id != qs.qid)
-        |SELECT qid, vec_id, cos, rn FROM (
-        |  SELECT qid, vec_id, cos,
-        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
-        |  FROM scored) t
-        |WHERE rn <= 5""".stripMargin,
+    "q40_cosine_topk" -> duckQ40,
 
-    "q41_ann_ivf" ->
-      s"""WITH $duckQuant,
-        |qs AS (SELECT vec_id AS qid, label AS qcell, qv AS qqv, n2 AS qn2
-        |       FROM n WHERE vec_id < 10),
-        |scored AS (
-        |  SELECT qs.qid, n.vec_id, CAST(n.label AS BIGINT) AS cell,
-        |    ${duckCos("n.qv", "qs.qqv", "n.n2", "qs.qn2")} AS cos
-        |  FROM n JOIN qs ON n.label = qs.qcell AND n.vec_id != qs.qid)
-        |SELECT qid, vec_id, cell, cos, rn FROM (
-        |  SELECT qid, vec_id, cell, cos,
-        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
-        |  FROM scored) t
-        |WHERE rn <= 3""".stripMargin,
+    "q41_ann_ivf" -> duckQ41,
 
-    "q53_ann_signlsh" ->
-      s"""WITH $duckQuant,
-        |b AS (SELECT vec_id, qv, n2, ${duckBucket("qv")} AS bucket FROM n),
-        |qs AS (SELECT vec_id AS qid, bucket AS qbucket, qv AS qqv, n2 AS qn2
-        |       FROM b WHERE vec_id < 10),
-        |scored AS (
-        |  SELECT qs.qid, b.vec_id, b.bucket,
-        |    ${duckCos("b.qv", "qs.qqv", "b.n2", "qs.qn2")} AS cos
-        |  FROM b JOIN qs ON b.bucket = qs.qbucket AND b.vec_id != qs.qid)
-        |SELECT qid, vec_id, bucket, cos, rn FROM (
-        |  SELECT qid, vec_id, bucket, cos,
-        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
-        |  FROM scored) t
-        |WHERE rn <= 3""".stripMargin,
+    "q53_ann_signlsh" -> duckQ53,
 
     "q42_embedding_neardup" ->
       s"""WITH $duckQuant,

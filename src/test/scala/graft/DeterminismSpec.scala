@@ -46,7 +46,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q130_ngram_novelty", "q131_vocab_coverage", "q132_source_novelty",
     "q133_binary_ingest", "q134_ngram_jaccard", "q135_mixture_execute",
     "q136_simhash_hamming", "q137_embedding_moments", "q138_graph_triangles",
-    "q139_pq_encode", "q140_pq_adc_topk")
+    "q139_pq_encode", "q140_pq_adc_topk", "q141_ann_ivf_multiprobe",
+    "q142_ann_recall")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count
