@@ -362,6 +362,26 @@ object Dedup extends QueryPack {
         .filter($"hamming".between(1, 3))
     }),
 
+    // ---- near-dup provenance: cross-source overlap matrix -----------
+    // Re-keys q134's exact similarity join (4-gram Jaccard >= 1/2) to
+    // the (source, source) level: how many near-dup pairs each pair of
+    // sources shares — the diagnostic that tells a crawl which feeds
+    // mirror each other (exact cross-source dups are zero on this
+    // corpus; the NEAR-dup relation is where mirror structure shows).
+    // Cost over q134: one broadcast-able join to recover sources plus
+    // a bounded agg (source pairs ≤ |sources|²).
+    "q143_source_overlap" -> ((s, d) => {
+      import s.implicits._
+      val src = T.documents(s, d).select($"doc_id", $"source")
+      queries("q134_ngram_jaccard")(s, d)
+        .join(src.toDF("a", "src_a"), "a")
+        .join(src.toDF("b", "src_b"), "b")
+        .select(least($"src_a", $"src_b").as("sa"),
+          greatest($"src_a", $"src_b").as("sb"))
+        .groupBy($"sa", $"sb")
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // ---- EXACT n-gram Jaccard similarity join (prefix filter) -------
     // The exact member of the near-dup family (vs q36's LSH estimate):
     // every pair with 4-gram-shingle Jaccard >= 1/2, found WITHOUT
@@ -548,6 +568,21 @@ object Dedup extends QueryPack {
         |  CAST(sum(n_chars) AS BIGINT) AS kept_chars, min(doc_id) AS first_kept
         |FROM documents WHERE doc_id NOT IN (SELECT v FROM dropped)
         |GROUP BY lang""".stripMargin,
+
+    // all-pairs near-dup relation aggregated to the source-pair matrix
+    "q143_source_overlap" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |d AS (
+        |  SELECT doc_id, source, list_distinct(list_transform(range(1, len(w) - 2),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+        |  FROM w WHERE len(w) >= 4)
+        |SELECT least(x.source, y.source) AS sa,
+        |  greatest(x.source, y.source) AS sb, count(*) AS n_pairs
+        |FROM d x JOIN d y ON x.doc_id < y.doc_id
+        |WHERE 2 * len(list_intersect(x.sh, y.sh))
+        |      >= len(list_distinct(list_concat(x.sh, y.sh)))
+        |GROUP BY 1, 2""".stripMargin,
 
     // ground truth the prefix filter must reproduce EXACTLY: all-pairs
     // 4-gram Jaccard at τ = 1/2 (integer acceptance: 2·inter >= uni)
