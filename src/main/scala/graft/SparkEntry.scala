@@ -15,7 +15,7 @@ import graft.operators._
   *    analytic window functions/unpivot/percent-of-parent/ordered
   *    LISTAGG/degree-ordered triangle counting + clustering
   *    coefficient over the TPC-H-ish tables
-  *  - [[operators.Streams]] s01–s19: the `shardstream` DSv2 source and
+  *  - [[operators.Streams]] s01–s20: the `shardstream` DSv2 source and
   *    sinks end-to-end (SURVEY §2 S1–S16): round-trips, take-N,
   *    windowed parity, stream-stream inner + left-outer joins,
   *    streaming dedup (unbounded + watermark-bounded), complete-mode
@@ -25,7 +25,8 @@ import graft.operators._
   *    foreachBatch CDC upsert, resharding (split/merge) replay with
   *    parent-before-child ordering (s17), AT_TIMESTAMP start
   *    position (s18), built-in file stream source with
-  *    maxFilesPerTrigger admission (s19)
+  *    maxFilesPerTrigger admission (s19), streaming ingest dedup
+  *    against a static history fingerprint index (s20)
   *  - [[operators.Events]] q23–q30, q47, q68, q81, q84, q88–q89,
   *    q92, q95–q96, q98–q100, q103–q104, q111, q114: event-time
   *    windows, JSON props (schema-full from_json + schemaless Spark 4

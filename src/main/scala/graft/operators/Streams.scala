@@ -361,6 +361,54 @@ object Streams extends QueryPack {
           unix_micros(col("ts")).as("ts_us")))
     }),
 
+    // Streaming ingest dedup against a STATIC history index — the
+    // incremental-ingest counterpart of q74: the stream carries
+    // candidate documents, the static side is the fingerprint index of
+    // everything already ingested (here: docs with doc_id < half the
+    // corpus), and a stream-static LEFT ANTI join on the content
+    // fingerprint admits only never-seen content. Per micro-batch the
+    // static side is a hash-relation build — at 100 TB the history
+    // index is a bucketed fingerprint table (q55's layout) probed
+    // behind a Bloom pre-filter (q119's), both of which this engine
+    // already materializes; the join key is the 32-hex md5, never the
+    // text. In-stream duplicates are NOT collapsed here (arrival order
+    // across shards is nondeterministic; admission is content-keyed
+    // only), so the oracle is a pure NOT IN over the same index.
+    "s20_stream_dedup_static" -> ((s, d) => {
+      val name = s"docs_ingest_${sfx(d)}"
+      synchronized {
+        if (!ShardServiceRegistry.exists(name)) {
+          val rows = T.documents(s, d)
+            .select(col("doc_id"), col("doc_id").as("pk"),
+              to_json(struct(col("doc_id"), col("lang"), col("n_chars"),
+                md5(col("text")).as("fp"))).as("json"))
+            .orderBy("doc_id").collect()
+          seedRows(name, numShards = 4, rows, times = 1)
+        }
+      }
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", "10000000")
+        .load()
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("n_chars", LongType), StructField("fp", StringType)))
+      val candidates = raw
+        .select(from_json(col("data").cast("string"), docSchema).as("e"))
+        .select(col("e.doc_id"), col("e.lang"), col("e.n_chars"), col("e.fp"))
+      val history = T.documents(s, d)
+        .filter(col("doc_id") < 250)
+        .select(md5(col("text")).as("fp")).distinct()
+      val admitted = candidates.join(history, Seq("fp"), "left_anti")
+      drain(s, admitted
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_new"),
+          sum(col("n_chars")).as("new_chars"),
+          min(col("doc_id")).as("first_doc")),
+        outputMode = "complete")
+    }),
+
     // Streaming dedup through the source: the fixture is seeded with
     // every event TWICE (at-least-once delivery); dropDuplicates on the
     // event key must emit each exactly once — the exactly-once-
@@ -853,6 +901,13 @@ object Streams extends QueryPack {
 
     "s07_stream_dedup" ->
       "SELECT event_id, event_type FROM events",
+
+    "s20_stream_dedup_static" ->
+      """SELECT lang, count(*) AS n_new,
+        |  CAST(sum(n_chars) AS BIGINT) AS new_chars, min(doc_id) AS first_doc
+        |FROM documents
+        |WHERE md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id < 250)
+        |GROUP BY lang""".stripMargin,
 
     "s14_stream_dedup_watermarked" ->
       """SELECT event_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us
