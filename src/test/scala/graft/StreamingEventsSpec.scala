@@ -235,6 +235,30 @@ class StreamingEventsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Set((1, "gold"), (3, "gold"), (2, "silver")))
   }
 
+  test("stream-static LEFT ANTI join: a full history index admits nothing") {
+    // s20's admission edge the oracle can't exercise: when the static
+    // fingerprint index covers every streamed key, the anti-join must
+    // emit ZERO rows (not nulls, not a degenerate aggregate) — the
+    // "nothing new in this batch" steady state of an ingest pipeline.
+    val sp = spark
+    import sp.implicits._
+    val evs = Seq((1, 10L, 1), (2, 20L, 2), (3, 30L, 3))
+    val name = seed(evs)
+    val history = Seq("1", "2", "3").toDF("user") // covers every key
+    val admitted = eventStream(name, maxPerBatch = 2)
+      .join(history, Seq("user"), "left_anti")
+      .select(col("event_id"))
+    assert(runToMemory(admitted, OutputMode.Append()).collect().isEmpty)
+    // and with one key absent from history, exactly its events pass
+    val name2 = seed(evs)
+    val partial = Seq("1", "2").toDF("user")
+    val admitted2 = eventStream(name2, maxPerBatch = 2)
+      .join(partial, Seq("user"), "left_anti")
+      .select(col("event_id"))
+    assert(runToMemory(admitted2, OutputMode.Append())
+      .collect().map(_.getInt(0)).toSet == Set(3))
+  }
+
   test("transformWithState: ValueState running count per key (RocksDB store)") {
     import org.apache.spark.sql.{Encoders => E}
     import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
