@@ -78,7 +78,8 @@ import graft.operators._
   *    mixture execution (q135), benchmark
   *    decontamination, RAG chunking, train/valid/test split manifest,
   *    split-leakage n-gram audit, skew diagnostics, end-to-end
-  *    curation DAG (gate→dedup→split→account), hash-parity A/B
+  *    curation DAG (gate→dedup→split→account), exact two-sample KS
+  *    drift statistic (q144), hash-parity A/B
   *    experiment metrics (q123), decomposed-rank tokenizer
   *    vocabulary build (q124), distribution drift detection (q125),
   *    per-doc n-gram novelty scoring (q130), vocabulary coverage

@@ -357,6 +357,50 @@ object Pipeline extends QueryPack {
           count(lit(1)).as("n_bins"))
     }),
 
+    // ---- rank-based drift: exact two-sample KS max-gap --------------
+    // The rank-statistic companion to q125's binned L2: for each
+    // source, the Kolmogorov–Smirnov max ECDF gap between its length
+    // distribution and the REST of the corpus, evaluated (as the KS
+    // statistic requires) at every distinct observed value — binning
+    // can hide a shift that ECDFs expose. ECDFs are quantized to ppm
+    // with floor division on BOTH engines, so the statistic is exact
+    // integer arithmetic end to end (cum·1e6 stays in int64 past 9e12
+    // docs/source).
+    //
+    // Shape: ONE corpus-scale shuffle (the (source, value) count agg).
+    // Everything downstream lives on the bounded (sources × distinct
+    // values) grid — n_chars has a bounded domain, so the grid, its
+    // per-source windows, and the post-aggregation global cum window
+    // are all corpus-size-independent.
+    "q144_ks_drift" -> ((s, d) => {
+      import s.implicits._
+      val W = org.apache.spark.sql.expressions.Window
+      val sv = T.documents(s, d)
+        .groupBy($"source", $"n_chars").agg(count(lit(1)).as("c"))
+        .select($"source", $"n_chars".as("v"), $"c")
+      val values = sv.select($"v").distinct()
+      val srcTot = sv.groupBy($"source").agg(sum($"c").as("n_s"))
+      val cumAll = sv.groupBy($"v").agg(sum($"c").as("cv"))
+        .withColumn("cum_all", sum($"cv").over(W.orderBy($"v")))
+        .select($"v", $"cum_all")
+      val nTotal = srcTot.agg(sum($"n_s").as("n_tot"))
+      val cumS = values.crossJoin(broadcast(srcTot))
+        .join(sv, Seq("source", "v"), "left")
+        .select($"source", $"n_s", $"v", coalesce($"c", lit(0L)).as("c"))
+        .withColumn("cum_s",
+          sum($"c").over(W.partitionBy($"source").orderBy($"v")))
+      cumS.join(broadcast(cumAll), "v").crossJoin(broadcast(nTotal))
+        .select($"source", $"n_s", $"v",
+          abs(expr("cum_s * 1000000L div n_s") -
+            expr("(cum_all - cum_s) * 1000000L div (n_tot - n_s)")).as("gap_ppm"))
+        // deterministic argmax: max struct = largest gap, then the
+        // SMALLEST value among ties (negated for the struct order)
+        .groupBy($"source", $"n_s")
+        .agg(max(struct($"gap_ppm", (-$"v").as("nv"))).as("m"))
+        .select($"source", $"n_s".as("n_docs"),
+          $"m.gap_ppm".as("ks_ppm"), (-$"m.nv").as("arg_v"))
+    }),
+
     // ---- deterministic A/B assignment + per-arm metrics -------------
     // Experiment analysis with the same stability rule as q105's split:
     // arm = parity of the portable user hash, so assignment survives
@@ -777,6 +821,34 @@ object Pipeline extends QueryPack {
         |  CAST(sum((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)) AS BIGINT) AS l2_ppm2,
         |  count(*) AS n_bins
         |FROM shares GROUP BY source""".stripMargin,
+
+    // exact quantized two-sample KS: same ppm floors, argmax = min v
+    // among the maximal gaps
+    "q144_ks_drift" ->
+      """WITH sv AS (
+        |  SELECT source, n_chars AS v, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |vals AS (SELECT DISTINCT v FROM sv),
+        |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM sv GROUP BY source),
+        |pv AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM sv GROUP BY v),
+        |ca AS (SELECT v, CAST(sum(cv) OVER (ORDER BY v) AS BIGINT) AS cum_all FROM pv),
+        |nt AS (SELECT CAST(sum(c) AS BIGINT) AS n_tot FROM sv),
+        |grid AS (SELECT st.source, st.n_s, vals.v FROM vals CROSS JOIN st),
+        |cums AS (
+        |  SELECT g.source, g.n_s, g.v,
+        |    CAST(sum(coalesce(sv.c, 0)) OVER (
+        |      PARTITION BY g.source ORDER BY g.v) AS BIGINT) AS cum_s
+        |  FROM grid g LEFT JOIN sv ON sv.source = g.source AND sv.v = g.v),
+        |gaps AS (
+        |  SELECT c.source, c.n_s, c.v,
+        |    abs(c.cum_s * 1000000 // c.n_s
+        |      - (ca.cum_all - c.cum_s) * 1000000 // (nt.n_tot - c.n_s)) AS gap_ppm
+        |  FROM cums c JOIN ca ON ca.v = c.v CROSS JOIN nt),
+        |g2 AS (SELECT *, max(gap_ppm) OVER (PARTITION BY source) AS mg FROM gaps)
+        |SELECT source, n_s AS n_docs, CAST(mg AS BIGINT) AS ks_ppm,
+        |  min(v) AS arg_v
+        |FROM g2 WHERE gap_ppm = mg
+        |GROUP BY source, n_s, mg""".stripMargin,
 
     "q123_ab_assignment" ->
       """WITH pu AS (
