@@ -547,6 +547,47 @@ object Relational extends QueryPack {
           when($"deg" >= 2,
             expr("(triangles * 2000000L) div (deg * (deg - 1))"))
             .otherwise(lit(0L)))
+    }),
+
+    // ---- PageRank: 3 integer-exact power iterations -----------------
+    // Link-analysis centrality over the same part co-occurrence graph
+    // as q138. All mass lives in ppm-of-total integers: p0 = 1e6/N
+    // (floored), each step p'(v) = 150000/N + 0.85·Σ p(u)/deg(u) with
+    // every division an identical floor on both engines — so three
+    // unrolled iterations are bit-reproducible, no float drift. The
+    // undirected graph is symmetrized, so deg(u) ≥ 1 everywhere: no
+    // dangling-mass special case.
+    //
+    // Shape per iteration (the 100 TB question): contributions join
+    // the directed edge list on the source key and re-aggregate on the
+    // destination — two keyed shuffles of |E| rows, the canonical
+    // Pregel/GraphX step expressed relationally; iterations are a
+    // FIXED small count (power iteration converges geometrically, and
+    // rank ORDER stabilizes long before values do). Skewed hubs cost
+    // what they cost — the contribution per edge is one int, never the
+    // neighbor list.
+    "q145_pagerank" -> ((s, d) => {
+      import s.implicits._
+      val li = T.lineitem(s, d).select($"l_orderkey".as("o"), $"l_partkey".as("p"))
+      val e = li.toDF("o", "a").join(li.toDF("o", "b"), "o")
+        .filter($"a" < $"b").select($"a", $"b").distinct()
+      val dir = e.select($"a".as("u"), $"b".as("v"))
+        .unionAll(e.select($"b".as("u"), $"a".as("v")))
+      val deg = dir.groupBy($"u").agg(count(lit(1)).as("deg"))
+      val nV = deg.agg(count(lit(1)).as("n_v"))
+      var p = deg.crossJoin(broadcast(nV))
+        .select($"u".as("v"), expr("1000000L div n_v").as("p"), $"n_v")
+      for (_ <- 1 to 3) {
+        val contrib = p.join(deg.toDF("v", "deg"), "v")
+          .select($"v".as("u"), expr("p div deg").as("c"))
+        p = dir.join(contrib, "u")
+          .groupBy($"v").agg(sum($"c").as("sc"))
+          .crossJoin(broadcast(nV))
+          .select($"v",
+            (expr("150000L div n_v") + expr("(850000L * sc) div 1000000L")).as("p"),
+            $"n_v")
+      }
+      p.select($"v".as("part"), $"p".as("pr_ppm"))
     })
   )
 
@@ -561,8 +602,34 @@ object Relational extends QueryPack {
       |  ORDER BY bal_c DESC, c_name
       |  LIMIT 3) t""".stripMargin
 
+  /** One PageRank iteration as CTE text: p{i} from c{i-1}. */
+  private def prIter(i: Int): String =
+    s"""c${i - 1} AS (
+       |  SELECT p${i - 1}.v AS u, p${i - 1}.p // deg.deg AS c
+       |  FROM p${i - 1} JOIN deg ON deg.u = p${i - 1}.v),
+       |p$i AS (
+       |  SELECT dir.v,
+       |    150000 // nv.n_v
+       |      + (850000 * CAST(sum(c${i - 1}.c) AS BIGINT)) // 1000000 AS p
+       |  FROM dir JOIN c${i - 1} ON c${i - 1}.u = dir.u CROSS JOIN nv
+       |  GROUP BY dir.v, nv.n_v)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q115_lateral_topk" -> lateralTopkText,
+
+    "q145_pagerank" ->
+      s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM li x JOIN li y ON x.o = y.o WHERE x.p < y.p),
+        |dir AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+        |deg AS (SELECT u, count(*) AS deg FROM dir GROUP BY u),
+        |nv AS (SELECT count(*) AS n_v FROM deg),
+        |p0 AS (SELECT u AS v, 1000000 // n_v AS p FROM deg CROSS JOIN nv),
+        |${prIter(1)},
+        |${prIter(2)},
+        |${prIter(3)}
+        |SELECT v AS part, CAST(p AS BIGINT) AS pr_ppm FROM p3""".stripMargin,
 
     // ground truth via the unoriented a<b<c triple join (each triangle
     // counted once), affordable at oracle scale only
