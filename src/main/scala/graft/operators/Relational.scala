@@ -588,6 +588,42 @@ object Relational extends QueryPack {
             $"n_v")
       }
       p.select($"v".as("part"), $"p".as("pr_ppm"))
+    }),
+
+    // ---- item-item similarity: top-5 co-purchase neighbors ----------
+    // The collaborative-filtering kernel: for each part, the 5 most
+    // similar parts by normalized co-occurrence,
+    // sim ≈ cooc² / (n_a · n_b) (squared cosine over order-incidence
+    // vectors), held exact in integers by TWO chained floors
+    // ((cooc·1e6 div n_a)·cooc div n_b) — each factor stays ≤ 1e6·cooc
+    // so the chain is int64-safe wherever cooc ≤ 1e12 co-orders, far
+    // past any real co-purchase count, with identical floor semantics
+    // on both engines.
+    //
+    // Shape: co-occurrence pairs from the per-order self-join (keyed
+    // on order, bounded by order width), one (a, b) agg, the tiny
+    // per-part order-frequency table broadcast twice, and the per-part
+    // top-5 compiles to WindowGroupLimit — no global sort, no
+    // all-pairs: parts never co-purchased never meet.
+    "q146_item_similarity" -> ((s, d) => {
+      import s.implicits._
+      val li = T.lineitem(s, d).select($"l_orderkey".as("o"), $"l_partkey".as("p"))
+        .distinct()
+      val freq = li.groupBy($"p").agg(count(lit(1)).as("n"))
+      val cooc = li.toDF("o", "a").join(li.toDF("o", "b"), "o")
+        .filter($"a" < $"b")
+        .groupBy($"a", $"b").agg(count(lit(1)).as("cooc"))
+      val sym = cooc.select($"a".as("part"), $"b".as("nbr"), $"cooc")
+        .unionAll(cooc.select($"b".as("part"), $"a".as("nbr"), $"cooc"))
+      val w = Window.partitionBy($"part").orderBy($"sim_ppm".desc, $"nbr")
+      sym
+        .join(broadcast(freq.toDF("part", "n_p")), "part")
+        .join(broadcast(freq.toDF("nbr", "n_n")), "nbr")
+        .select($"part", $"nbr", $"cooc",
+          expr("((cooc * 1000000L) div n_p) * cooc div n_n").as("sim_ppm"))
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter($"rn" <= 5)
+        .select($"part", $"nbr", $"cooc", $"sim_ppm", $"rn")
     })
   )
 
@@ -630,6 +666,28 @@ object Relational extends QueryPack {
         |${prIter(2)},
         |${prIter(3)}
         |SELECT v AS part, CAST(p AS BIGINT) AS pr_ppm FROM p3""".stripMargin,
+
+    "q146_item_similarity" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |freq AS (SELECT p, count(*) AS n FROM li GROUP BY p),
+        |cooc AS (
+        |  SELECT x.p AS a, y.p AS b, count(*) AS cooc
+        |  FROM li x JOIN li y ON x.o = y.o WHERE x.p < y.p
+        |  GROUP BY 1, 2),
+        |sym AS (
+        |  SELECT a AS part, b AS nbr, cooc FROM cooc
+        |  UNION ALL SELECT b AS part, a AS nbr, cooc FROM cooc),
+        |scored AS (
+        |  SELECT s.part, s.nbr, s.cooc,
+        |    ((s.cooc * 1000000) // fp.n) * s.cooc // fn.n AS sim_ppm
+        |  FROM sym s JOIN freq fp ON fp.p = s.part JOIN freq fn ON fn.p = s.nbr)
+        |SELECT part, nbr, cooc, CAST(sim_ppm AS BIGINT) AS sim_ppm, rn FROM (
+        |  SELECT part, nbr, cooc, sim_ppm,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY part ORDER BY sim_ppm DESC, nbr) AS BIGINT) AS rn
+        |  FROM scored) t
+        |WHERE rn <= 5""".stripMargin,
 
     // ground truth via the unoriented a<b<c triple join (each triangle
     // counted once), affordable at oracle scale only
