@@ -45,11 +45,11 @@ import graft.operators._
   *    forms), langid, redaction, bigram LM + LM doc scoring,
   *    repetition, deciles, inverted index, BPE pair-merge statistics
   *  - [[operators.Dedup]] q35–q37, q56, q67, q69, q74, q76, q134,
-  *    q136, q143: exact + incremental dedup, banded MinHash LSH,
-  *    SimHash buckets + pigeonhole hamming-distance join, clustering,
-  *    keepers, edit-distance verify, duplicate spans, exact n-gram
-  *    Jaccard similarity join (AllPairs prefix filter), cross-source
-  *    near-dup overlap matrix
+  *    q136, q143, q147: exact + incremental dedup, banded MinHash
+  *    LSH, SimHash buckets + pigeonhole hamming-distance join,
+  *    clustering, keepers, edit-distance verify, duplicate spans +
+  *    merged dup-region union, exact n-gram Jaccard similarity join
+  *    (AllPairs prefix filter), cross-source near-dup overlap matrix
   *  - [[operators.Similarity]] q40–q42, q53, q75, q79, q94, q137,
   *    q139–q142: quantized-integer cosine top-k, IVF ANN (single and
   *    multi-probe), sign-LSH ANN, embedding near-dup, centroid

@@ -312,6 +312,45 @@ object Dedup extends QueryPack {
           max($"n_docs").as("max_gram_docs"))
     }),
 
+    // ---- duplicate-region union: the chars you'd actually cut ------
+    // q76 detects duplicated 5-gram POSITIONS; this merges them into
+    // maximal duplicated REGIONS per doc (a 5-gram at word position p
+    // covers words [p, p+4]; overlapping/adjacent covers coalesce by
+    // the gaps-and-islands cummax) and reports the per-doc union size
+    // and duplicated fraction — the number an exact substring-dedup
+    // pass (Lee et al. shape) would actually delete, not just a count
+    // of overlapping hits. Windows are doc_id-partitioned (per-doc
+    // position lists, never corpus-wide); the gram machinery is q76's
+    // (one hash agg on the gram key + one equi-join back).
+    "q147_dup_regions" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      // same two-consumer cache rule as q76 (disk-persist at 100 TB)
+      val grams = T.documents(s, d)
+        .select($"doc_id", posexplode(expr("word_ngrams(text, 5)")))
+        .toDF("doc_id", "pos", "g")
+        .cache()
+      val dup = grams.groupBy($"g")
+        .agg(count(lit(1)).as("n_occ"))
+        .filter($"n_occ" >= 2)
+      val pd = grams.join(dup, "g").select($"doc_id", $"pos")
+      val wOrd = Window.partitionBy($"doc_id").orderBy($"pos")
+      val regions = pd
+        .withColumn("prev_end",
+          max($"pos" + 4).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_isl",
+          when($"prev_end".isNull || $"pos" > $"prev_end", 1L).otherwise(0L))
+        .withColumn("isl", sum($"new_isl").over(wOrd))
+        .groupBy($"doc_id", $"isl")
+        .agg((max($"pos") - min($"pos") + 5).cast("bigint").as("rw"))
+      val nw = T.documents(s, d)
+        .select($"doc_id", size(split($"text", " ")).cast("bigint").as("n_words"))
+      regions.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_regions"), sum($"rw").cast("bigint").as("covered_words"))
+        .join(nw, "doc_id")
+        .withColumn("dup_ppm", expr("covered_words * 1000000L div n_words"))
+    }),
+
     // ---- SimHash bucketing ------------------------------------------
     // 16-bit simhash over the distinct-token set; token bit source is
     // a 60-bit integer parsed from md5 hex — portable to the oracle.
@@ -474,6 +513,39 @@ object Dedup extends QueryPack {
         |  max(n_docs) AS max_gram_docs
         |FROM g JOIN dup USING (g)
         |GROUP BY g.doc_id""".stripMargin,
+
+    // same gram construction as q76; islands via prefix cummax
+    "q147_dup_regions" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 3),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS g,
+        |    generate_subscripts(list_transform(range(1, len(w) - 3), i -> i), 1) - 1 AS pos
+        |  FROM w),
+        |dup AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+        |pd AS (SELECT doc_id, pos FROM g JOIN dup USING (g)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CAST(sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS isl
+        |  FROM (
+        |    SELECT doc_id, pos,
+        |      max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |    FROM pd) t),
+        |regions AS (
+        |  SELECT doc_id, isl, CAST(max(pos) - min(pos) + 5 AS BIGINT) AS rw
+        |  FROM isl GROUP BY doc_id, isl),
+        |nw AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        |       FROM documents)
+        |SELECT r.doc_id, count(*) AS n_regions,
+        |  CAST(sum(r.rw) AS BIGINT) AS covered_words, nw.n_words,
+        |  (CAST(sum(r.rw) AS BIGINT) * 1000000) // nw.n_words AS dup_ppm
+        |FROM regions r JOIN nw ON nw.doc_id = r.doc_id
+        |GROUP BY r.doc_id, nw.n_words""".stripMargin,
 
     "q35_exact_dedup" ->
       """SELECT user_id, event_type, value, props, count(*) AS n,
