@@ -9,14 +9,14 @@ import graft.operators._
   * surface the driver verifies against DuckDB at sf0.01 and benches at
   * sf0.1:
   *  - [[operators.Relational]] q01–q22, q49–q50, q71, q82, q85,
-  *    q90–q91, q97, q115, q121, q138, q145–q146: joins/aggs/windows/
-  *    set ops/
+  *    q90–q91, q97, q115, q121, q138, q145–q146, q148: joins/aggs/
+  *    windows/set ops/
   *    subqueries (scalar + correlated LATERAL with LIMIT)/scalar
   *    functions/salted skew join/exact moment + covariance power sums/
   *    analytic window functions/unpivot/percent-of-parent/ordered
   *    LISTAGG/degree-ordered triangle counting + clustering
   *    coefficient/integer-exact PageRank/item-item CF similarity
-  *    top-k over the TPC-H-ish tables
+  *    top-k/degree-assortativity power sums over the TPC-H-ish tables
   *  - [[operators.Streams]] s01–s20: the `shardstream` DSv2 source and
   *    sinks end-to-end (SURVEY §2 S1–S16): round-trips, take-N,
   *    windowed parity, stream-stream inner + left-outer joins,

@@ -624,6 +624,36 @@ object Relational extends QueryPack {
         .withColumn("rn", row_number().over(w).cast("bigint"))
         .filter($"rn" <= 5)
         .select($"part", $"nbr", $"cooc", $"sim_ppm", $"rn")
+    }),
+
+    // ---- degree assortativity: exact power sums over edges ----------
+    // Do high-degree parts co-occur with high-degree parts? The degree
+    // correlation (assortativity) coefficient's sufficient statistics,
+    // exactly: over every DIRECTED edge (both orientations, the
+    // standard symmetrization) the int64 power sums of the endpoint
+    // degrees (n, Σx, Σy=Σx, Σxy, Σx²) — Pearson r is pure downstream
+    // arithmetic in whatever precision the consumer wants, and the
+    // sums stay exact at any graph size (deg ≤ 1e6 keeps Σxy under
+    // int64 to 9e6 edges per partial; a production run over bigger
+    // degrees scales the same way q90's covariance sums do). One edge
+    // build (keyed on order), one broadcast degree join, one 1-row agg
+    // — no all-pairs, no windows.
+    "q148_degree_assortativity" -> ((s, d) => {
+      import s.implicits._
+      val li = T.lineitem(s, d).select($"l_orderkey".as("o"), $"l_partkey".as("p"))
+        .distinct()
+      val e = li.toDF("o", "a").join(li.toDF("o", "b"), "o")
+        .filter($"a" < $"b").select($"a", $"b").distinct()
+      val dir = e.select($"a".as("u"), $"b".as("v"))
+        .unionAll(e.select($"b".as("u"), $"a".as("v")))
+      val deg = dir.groupBy($"u").agg(count(lit(1)).as("deg"))
+      dir
+        .join(broadcast(deg.toDF("u", "dx")), "u")
+        .join(broadcast(deg.toDF("v", "dy")), "v")
+        .agg(count(lit(1)).as("n_edges"),
+          sum($"dx").as("s_x"),
+          sum($"dx" * $"dy").as("s_xy"),
+          sum($"dx" * $"dx").as("s_xx"))
     })
   )
 
@@ -688,6 +718,20 @@ object Relational extends QueryPack {
         |      PARTITION BY part ORDER BY sim_ppm DESC, nbr) AS BIGINT) AS rn
         |  FROM scored) t
         |WHERE rn <= 5""".stripMargin,
+
+    "q148_degree_assortativity" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM li x JOIN li y ON x.o = y.o WHERE x.p < y.p),
+        |dir AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+        |deg AS (SELECT u, count(*) AS deg FROM dir GROUP BY u)
+        |SELECT count(*) AS n_edges,
+        |  CAST(sum(dx.deg) AS BIGINT) AS s_x,
+        |  CAST(sum(dx.deg * dy.deg) AS BIGINT) AS s_xy,
+        |  CAST(sum(dx.deg * dx.deg) AS BIGINT) AS s_xx
+        |FROM dir JOIN deg dx ON dx.u = dir.u JOIN deg dy ON dy.u = dir.v""".stripMargin,
 
     // ground truth via the unoriented a<b<c triple join (each triangle
     // counted once), affordable at oracle scale only

@@ -48,7 +48,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q136_simhash_hamming", "q137_embedding_moments", "q138_graph_triangles",
     "q139_pq_encode", "q140_pq_adc_topk", "q141_ann_ivf_multiprobe",
     "q142_ann_recall", "q143_source_overlap", "q144_ks_drift",
-    "q145_pagerank", "q146_item_similarity", "q147_dup_regions")
+    "q145_pagerank", "q146_item_similarity", "q147_dup_regions",
+    "q148_degree_assortativity")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count
