@@ -41,6 +41,7 @@ object Tables {
         override def onApplicationEnd(
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           loaded.keySet.removeIf(_._1 == spark)
+          derived.keySet.removeIf(_._1 == spark)
           registeredDir.remove(spark)
           hooked.remove(spark)
         }
@@ -50,6 +51,20 @@ object Tables {
     evictOnStop(spark)
     loaded.computeIfAbsent((spark, dir, name),
       _ => spark.read.parquet(s"$dir/$name.parquet"))
+  }
+
+  // Derived intermediates shared across queries (e.g. the part
+  // co-occurrence edge list feeding q138/q145/q146/q148) — memoized per
+  // (session, key) with the same lifecycle as the table loads. The
+  // builder decides whether to persist(); memoization only guarantees
+  // every consumer in the session sees the SAME plan (and therefore the
+  // same cached blocks) instead of re-deriving it.
+  private val derived =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    evictOnStop(spark)
+    derived.computeIfAbsent((spark, key), _ => build)
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")

@@ -338,8 +338,11 @@ object Dedup extends QueryPack {
       val regions = pd
         .withColumn("prev_end",
           max($"pos" + 4).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+        // a cover starting at prev_end + 1 is exactly adjacent (no gap
+        // word between them), so it extends the island; only a start
+        // beyond prev_end + 1 leaves uncovered words and opens a new one
         .withColumn("new_isl",
-          when($"prev_end".isNull || $"pos" > $"prev_end", 1L).otherwise(0L))
+          when($"prev_end".isNull || $"pos" > $"prev_end" + 1, 1L).otherwise(0L))
         .withColumn("isl", sum($"new_isl").over(wOrd))
         .groupBy($"doc_id", $"isl")
         .agg((max($"pos") - min($"pos") + 5).cast("bigint").as("rw"))
@@ -374,8 +377,10 @@ object Dedup extends QueryPack {
     // one block untouched, so an equi-join on (block_idx, block_bits)
     // loses NO qualifying pair, and bit_count verification runs on
     // candidates only. Here w=60, k=3 → 4 blocks of 15 bits; identical
-    // fingerprints (d=0, q37's relation) are excluded so the two
-    // queries partition the near-dup space.
+    // 60-bit fingerprints (d=0) are excluded — note q37 buckets a
+    // 16-bit simhash, so its collision set is a SUPERSET of the d=0
+    // pairs dropped here (the two queries overlap at 16 bits; an exact
+    // partition of the near-dup space only holds per fingerprint width).
     //
     // Scale: candidate buckets are keyed by 15-bit block values
     // (2^15 per block index); expected bucket size is N/2^15 per
@@ -529,7 +534,7 @@ object Dedup extends QueryPack {
         |pd AS (SELECT doc_id, pos FROM g JOIN dup USING (g)),
         |isl AS (
         |  SELECT doc_id, pos,
-        |    CAST(sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+        |    CAST(sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
         |      OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS isl
         |  FROM (
         |    SELECT doc_id, pos,

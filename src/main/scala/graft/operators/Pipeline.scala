@@ -390,6 +390,10 @@ object Pipeline extends QueryPack {
         .withColumn("cum_s",
           sum($"c").over(W.partitionBy($"source").orderBy($"v")))
       cumS.join(broadcast(cumAll), "v").crossJoin(broadcast(nTotal))
+        // a lone source (n_tot == n_s) has no complement sample to
+        // drift from — emit no row rather than a null-gap artifact
+        // (mirrored in the oracle, which would otherwise error on // 0)
+        .filter($"n_tot" > $"n_s")
         .select($"source", $"n_s", $"v",
           abs(expr("cum_s * 1000000L div n_s") -
             expr("(cum_all - cum_s) * 1000000L div (n_tot - n_s)")).as("gap_ppm"))
@@ -843,7 +847,8 @@ object Pipeline extends QueryPack {
         |  SELECT c.source, c.n_s, c.v,
         |    abs(c.cum_s * 1000000 // c.n_s
         |      - (ca.cum_all - c.cum_s) * 1000000 // (nt.n_tot - c.n_s)) AS gap_ppm
-        |  FROM cums c JOIN ca ON ca.v = c.v CROSS JOIN nt),
+        |  FROM cums c JOIN ca ON ca.v = c.v CROSS JOIN nt
+        |  WHERE nt.n_tot > c.n_s),
         |g2 AS (SELECT *, max(gap_ppm) OVER (PARTITION BY source) AS mg FROM gaps)
         |SELECT source, n_s AS n_docs, CAST(mg AS BIGINT) AS ks_ppm,
         |  min(v) AS arg_v

@@ -30,6 +30,32 @@ import graft.functions.Exact
   */
 object Relational extends QueryPack {
 
+  /** Shared part co-occurrence relation (parts sharing an order) —
+    * the substrate of all four graph queries (q138 triangles, q145
+    * PageRank, q146 item-item CF, q148 assortativity). The per-order
+    * self-join + pair aggregation is the one corpus-scale shuffle
+    * they have in common, so it is built ONCE per (session, dir) and
+    * persisted: the in-session analog of materializing a bucketed
+    * edge table (q55's layout), which is exactly what a 100 TB
+    * deployment would do — the consumers then reuse one partitioning
+    * instead of re-shuffling lineitem four times. MEMORY_AND_DISK
+    * (never recompute, spill when big): the pair table is
+    * O(orders · order_width²), corpus-scale, not driver-bounded. */
+  private def coocPairs(s: SparkSession, d: String): DataFrame =
+    T.memo(s, s"cooc_pairs:$d") {
+      val li = T.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      li.toDF("o", "a").join(li.toDF("o", "b"), "o")
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cooc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Undirected distinct edge set of [[coocPairs]] (a < b). */
+  private def coocEdges(s: SparkSession, d: String): DataFrame =
+    coocPairs(s, d).select(col("a"), col("b"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- scans / filters / projections -------------------------------
     "q01_pricing_summary" -> ((s, d) => {
@@ -516,9 +542,7 @@ object Relational extends QueryPack {
     // oriented out-degree, i.e. O(√m) — never a hub's full degree.
     "q138_graph_triangles" -> ((s, d) => {
       import s.implicits._
-      val li = T.lineitem(s, d).select($"l_orderkey".as("o"), $"l_partkey".as("p"))
-      val e = li.toDF("o", "a").join(li.toDF("o", "b"), "o")
-        .filter($"a" < $"b").select($"a", $"b").distinct()
+      val e = coocEdges(s, d)
       val deg = e.select($"a".as("v")).unionAll(e.select($"b".as("v")))
         .groupBy($"v").agg(count(lit(1)).as("deg"))
       // orient: lower (deg, id) -> higher (deg, id); total order, so
@@ -568,9 +592,7 @@ object Relational extends QueryPack {
     // neighbor list.
     "q145_pagerank" -> ((s, d) => {
       import s.implicits._
-      val li = T.lineitem(s, d).select($"l_orderkey".as("o"), $"l_partkey".as("p"))
-      val e = li.toDF("o", "a").join(li.toDF("o", "b"), "o")
-        .filter($"a" < $"b").select($"a", $"b").distinct()
+      val e = coocEdges(s, d)
       val dir = e.select($"a".as("u"), $"b".as("v"))
         .unionAll(e.select($"b".as("u"), $"a".as("v")))
       val deg = dir.groupBy($"u").agg(count(lit(1)).as("deg"))
@@ -610,9 +632,7 @@ object Relational extends QueryPack {
       val li = T.lineitem(s, d).select($"l_orderkey".as("o"), $"l_partkey".as("p"))
         .distinct()
       val freq = li.groupBy($"p").agg(count(lit(1)).as("n"))
-      val cooc = li.toDF("o", "a").join(li.toDF("o", "b"), "o")
-        .filter($"a" < $"b")
-        .groupBy($"a", $"b").agg(count(lit(1)).as("cooc"))
+      val cooc = coocPairs(s, d)
       val sym = cooc.select($"a".as("part"), $"b".as("nbr"), $"cooc")
         .unionAll(cooc.select($"b".as("part"), $"a".as("nbr"), $"cooc"))
       val w = Window.partitionBy($"part").orderBy($"sim_ppm".desc, $"nbr")
@@ -640,10 +660,7 @@ object Relational extends QueryPack {
     // — no all-pairs, no windows.
     "q148_degree_assortativity" -> ((s, d) => {
       import s.implicits._
-      val li = T.lineitem(s, d).select($"l_orderkey".as("o"), $"l_partkey".as("p"))
-        .distinct()
-      val e = li.toDF("o", "a").join(li.toDF("o", "b"), "o")
-        .filter($"a" < $"b").select($"a", $"b").distinct()
+      val e = coocEdges(s, d)
       val dir = e.select($"a".as("u"), $"b".as("v"))
         .unionAll(e.select($"b".as("u"), $"a".as("v")))
       val deg = dir.groupBy($"u").agg(count(lit(1)).as("deg"))

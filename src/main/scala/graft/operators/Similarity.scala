@@ -162,18 +162,21 @@ object Similarity extends QueryPack {
             s"transform(sequence(0, ${pqM - 1}), jj -> slice(q, jj * $pqSub + 1, $pqSub))"))
             .as(Seq("j", "qsub")))
         .select($"qid", $"j".cast("bigint").as("j"), $"qsub")
-      // per-query LUT ordered by (j, c): flat index = j * k + c
+      // per-query LUT keyed by (j, c) directly (map, not a flat array):
+      // no assumption that centroid labels are contiguous 0..k-1 or how
+      // many there are — the key j * 64 + c only needs c < 64 (asserted
+      // by construction: codebook labels are 4-bit in q139's packing)
       val lut = qsubs.join(pqCodebook(emb), Seq("j"))
         .select($"qid", $"j", $"c", expr(
           "aggregate(zip_with(qsub, cb, (x, y) -> (x - y) * (x - y)), 0L, (a, b) -> a + b)")
           .as("d2"))
         .groupBy($"qid")
-        .agg(array_sort(collect_list(struct($"j", $"c", $"d2"))).as("e"))
-        .select($"qid", expr("transform(e, x -> x.d2)").as("lut"))
+        .agg(map_from_entries(collect_list(
+          struct(($"j" * 64 + $"c").cast("int").as("k"), $"d2"))).as("lut"))
       val w = Window.partitionBy($"qid").orderBy($"adc", $"vec_id")
       codes.join(broadcast(lut), $"vec_id" =!= $"qid")
         .select($"qid", $"vec_id", expr(
-          "aggregate(transform(codes, (cj, jj) -> element_at(lut, CAST(jj * 10 + cj + 1 AS INT))), 0L, (a, b) -> a + b)")
+          "aggregate(transform(codes, (cj, jj) -> element_at(lut, CAST(jj * 64 + cj AS INT))), 0L, (a, b) -> a + b)")
           .as("adc"))
         .withColumn("rn", row_number().over(w).cast("bigint"))
         .filter($"rn" <= 3)

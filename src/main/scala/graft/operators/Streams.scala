@@ -364,8 +364,10 @@ object Streams extends QueryPack {
     // Streaming ingest dedup against a STATIC history index — the
     // incremental-ingest counterpart of q74: the stream carries
     // candidate documents, the static side is the fingerprint index of
-    // everything already ingested (here: docs with doc_id < half the
-    // corpus), and a stream-static LEFT ANTI join on the content
+    // everything already ingested (here: the first half of the corpus
+    // by doc_id — the cutoff is computed as count/2, not a literal, so
+    // the semantics hold at any sf), and a stream-static LEFT ANTI join
+    // on the content
     // fingerprint admits only never-seen content. Per micro-batch the
     // static side is a hash-relation build — at 100 TB the history
     // index is a bucketed fingerprint table (q55's layout) probed
@@ -397,8 +399,11 @@ object Streams extends QueryPack {
       val candidates = raw
         .select(from_json(col("data").cast("string"), docSchema).as("e"))
         .select(col("e.doc_id"), col("e.lang"), col("e.n_chars"), col("e.fp"))
+      // count() is one cheap metadata-only action (parquet row-count);
+      // both engines apply the same doc_id < N/2 predicate
+      val histCut = T.documents(s, d).count() / 2
       val history = T.documents(s, d)
-        .filter(col("doc_id") < 250)
+        .filter(col("doc_id") < histCut)
         .select(md5(col("text")).as("fp")).distinct()
       val admitted = candidates.join(history, Seq("fp"), "left_anti")
       drain(s, admitted
@@ -906,7 +911,8 @@ object Streams extends QueryPack {
       """SELECT lang, count(*) AS n_new,
         |  CAST(sum(n_chars) AS BIGINT) AS new_chars, min(doc_id) AS first_doc
         |FROM documents
-        |WHERE md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id < 250)
+        |WHERE md5(text) NOT IN (SELECT md5(text) FROM documents
+        |  WHERE doc_id < (SELECT count(*) // 2 FROM documents))
         |GROUP BY lang""".stripMargin,
 
     "s14_stream_dedup_watermarked" ->
