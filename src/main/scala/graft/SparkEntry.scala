@@ -16,7 +16,9 @@ import graft.operators._
   *    analytic window functions/unpivot/percent-of-parent/ordered
   *    LISTAGG/degree-ordered triangle counting + clustering
   *    coefficient/integer-exact PageRank/item-item CF similarity
-  *    top-k/degree-assortativity power sums over the TPC-H-ish tables
+  *    top-k/degree-assortativity power sums/common-neighbor + Jaccard
+  *    link prediction (q150) over the TPC-H-ish tables — the four
+  *    graph queries share one persisted co-occurrence edge substrate
   *  - [[operators.Streams]] s01–s20: the `shardstream` DSv2 source and
   *    sinks end-to-end (SURVEY §2 S1–S16): round-trips, take-N,
   *    windowed parity, stream-stream inner + left-outer joins,
@@ -45,11 +47,12 @@ import graft.operators._
   *    forms), langid, redaction, bigram LM + LM doc scoring,
   *    repetition, deciles, inverted index, BPE pair-merge statistics
   *  - [[operators.Dedup]] q35–q37, q56, q67, q69, q74, q76, q134,
-  *    q136, q143, q147: exact + incremental dedup, banded MinHash
-  *    LSH, SimHash buckets + pigeonhole hamming-distance join,
+  *    q136, q143, q147, q152: exact + incremental dedup, banded
+  *    MinHash LSH, SimHash buckets + pigeonhole hamming-distance join,
   *    clustering, keepers, edit-distance verify, duplicate spans +
   *    merged dup-region union, exact n-gram Jaccard similarity join
-  *    (AllPairs prefix filter), cross-source near-dup overlap matrix
+  *    (AllPairs prefix filter), exact asymmetric containment join
+  *    (quote/excerpt detection), cross-source near-dup overlap matrix
   *  - [[operators.Similarity]] q40–q42, q53, q75, q79, q94, q137,
   *    q139–q142: quantized-integer cosine top-k, IVF ANN (single and
   *    multi-probe), sign-LSH ANN, embedding near-dup, centroid
@@ -66,12 +69,13 @@ import graft.operators._
   *    build+probe, row-level replica diff, PERMISSIVE corrupt-record
   *    quarantine
   *  - [[operators.Layout]] q54–q55, q86–q87, q113, q116, q120, q126,
-  *    q128–q129: partition pruning (static + dynamic/join-driven),
+  *    q128–q129, q151: partition pruning (static + dynamic/join-driven),
   *    bucketed joins, latest-wins upsert compaction, Z-order
   *    clustering stats, one-pass column profiling (ANALYZE shape),
   *    incremental aggregate maintenance (MV merge algebra), schema
   *    evolution via mergeSchema, referential-integrity audit,
-  *    equi-depth range boundaries (RangePartitioner planning)
+  *    equi-depth range boundaries (RangePartitioner planning),
+  *    small-file compaction bin-packing planner
   *  - [[operators.Pipeline]] q57–q63, q77, q80, q102, q105, q107,
   *    q109, q117–q118: training-data curation — quantiles (exact +
   *    histogram sketch), TF-IDF ranking, deterministic hash/stratified
@@ -86,7 +90,7 @@ import graft.operators._
   *    vocabulary build (q124), distribution drift detection (q125),
   *    per-doc n-gram novelty scoring (q130), vocabulary coverage
   *    curve via band decomposition (q131), first-occurrence source
-  *    novelty attribution (q132)
+  *    novelty attribution (q132), k-anonymity release audit (q149)
   */
 object SparkEntry {
 

@@ -496,6 +496,55 @@ object Dedup extends QueryPack {
           size(array_union($"sha", $"shb")).cast("long").as("uni"))
         .filter($"inter" * 2 >= $"uni")
         .withColumn("jaccard", round($"inter".cast("double") / $"uni", 6))
+    }),
+
+    // ---- EXACT n-gram containment join (asymmetric near-dup) --------
+    // Quote/excerpt detection: C(A→B) = |A∩B| / |A| >= 3/4 — the
+    // small side mostly contained in the big side. q134's symmetric
+    // Jaccard gate misses exactly these pairs when |B| >> |A| (the
+    // union term drowns the overlap), yet they are what substring-level
+    // training-data leaks look like. Same rarest-gram prefix-filter
+    // family [Chaudhuri et al., ICDE'06]: if |A∩B| >= ceil(τ·|A|)
+    // then A's (|A| − ceil(τ·|A|) + 1) rarest grams cannot all miss
+    // B, so equi-joining ONLY A's prefix grams against B's full gram
+    // index loses no qualifying pair, and exact verification runs on
+    // candidates only. Containment has no size-compatibility filter —
+    // that asymmetry is the point — so the probe side is
+    // prefix-bounded while the indexed side is the full gram table;
+    // at 100 TB the gram index is the bucketed layout (q55) behind a
+    // Bloom pre-filter (q119) and candidate buckets stay bounded by
+    // rare-gram df exactly as in q134. The gate is pure integers
+    // (4·inter >= 3·|A|), so there is no float-rounding edge.
+    "q152_containment_join" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val sets = T.documents(s, d)
+        .select($"doc_id", array_distinct(expr("word_ngrams(text, 4)")).as("sh"))
+        .filter(size($"sh") >= 1)
+        .withColumn("n", size($"sh"))
+      // two consumers (prefix build + full-index probe) — q134's cache
+      // rule: disk-persist/checkpoint at 100 TB
+      val grams = sets.select($"doc_id", $"n", explode($"sh").as("g")).cache()
+      val dfreq = grams.groupBy($"g").agg(count(lit(1)).as("df"))
+      val ord = Window.partitionBy($"doc_id").orderBy($"df", $"g")
+      // prefix length = n − ceil(3n/4) + 1 (integer form, n >= 1)
+      val prefix = grams.join(dfreq, "g")
+        .withColumn("rn", row_number().over(ord))
+        .filter($"rn" <= $"n" - expr("(n * 3 + 3) div 4") + 1)
+        .select($"g", $"doc_id", $"n")
+      val cand = prefix.select($"g", $"doc_id".as("a"))
+        .join(grams.select($"g", $"doc_id".as("b")), "g")
+        .filter($"a" =!= $"b")
+        .select($"a", $"b").distinct()
+      val full = sets.select($"doc_id", $"sh")
+      cand
+        .join(full.toDF("a", "sha"), "a")
+        .join(full.toDF("b", "shb"), "b")
+        .select($"a", $"b",
+          size(array_intersect($"sha", $"shb")).cast("long").as("inter"),
+          size($"sha").cast("long").as("n_a"))
+        .filter($"inter" * 4 >= $"n_a" * 3)
+        .withColumn("containment_ppm", expr("inter * 1000000L div n_a"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -678,6 +727,22 @@ object Dedup extends QueryPack {
         |    CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS BIGINT) AS uni
         |  FROM d x JOIN d y ON x.doc_id < y.doc_id) p
         |WHERE 2 * inter >= uni""".stripMargin,
+
+    // ground truth: all-pairs directed containment (verify-scale only)
+    "q152_containment_join" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |d AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 2),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+        |  FROM w WHERE len(w) >= 4)
+        |SELECT a, b, inter, n_a, inter * 1000000 // n_a AS containment_ppm
+        |FROM (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |    CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS inter,
+        |    CAST(len(x.sh) AS BIGINT) AS n_a
+        |  FROM d x JOIN d y ON x.doc_id != y.doc_id) p
+        |WHERE 4 * inter >= 3 * n_a""".stripMargin,
 
     "q37_simhash_buckets" -> {
       val bitSums = (0 until 16).map { j =>

@@ -317,9 +317,64 @@ object Layout extends QueryPack {
         .withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
         .select($"cust_key", $"version", $"val_c")
+    }),
+
+    // ---- small-file compaction planner (OPTIMIZE bin-packing) -------
+    // The lakehouse maintenance op every 100 TB table needs: given a
+    // file manifest (file id, partition, bytes), assign small files to
+    // target-sized output bins so one rewrite job turns N small files
+    // into ceil(bytes/target) right-sized ones. Deterministic
+    // streaming bin assignment: within each partition, files in
+    // manifest order, bin = floor(cumulative-bytes-before / target) —
+    // the greedy sequential packer (never splits a file, overshoots a
+    // bin by at most one file, identical on replay). The manifest here
+    // is simulated from `orders` (a "file" per 100 contiguous order
+    // keys, bytes proxied by price cents; a real deployment reads the
+    // transaction-log manifest — same columns, same plan).
+    //
+    // Shape: the cumsum window partitions by the TABLE PARTITION key —
+    // per-partition file counts (thousands), never corpus rows, and
+    // partitions pack independently (embarrassingly parallel). One agg
+    // to build the manifest, one bounded window, one re-agg per bin.
+    "q151_compaction_plan" -> ((s, d) => {
+      import s.implicits._
+      val target = 4000000L // 40k-dollar bins in cents
+      val manifest = T.orders(s, d)
+        .select(year($"o_orderdate").as("part"),
+          expr("o_orderkey div 100").cast("bigint").as("file_id"),
+          Exact.cents($"o_totalprice").as("bytes"))
+        .groupBy($"part", $"file_id")
+        .agg(sum($"bytes").as("bytes"))
+      val w = Window.partitionBy($"part").orderBy($"file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      manifest
+        .withColumn("cum_before", coalesce(sum($"bytes").over(w), lit(0L)))
+        .withColumn("bin", expr(s"cum_before div $target"))
+        .groupBy($"part", $"bin")
+        .agg(count(lit(1)).as("n_files"),
+          sum($"bytes").as("bin_bytes"),
+          min($"file_id").as("first_file"),
+          max($"file_id").as("last_file"))
     }))
 
   def oracles: Map[String, String] = Map(
+    // windowed sum over BIGINT → HUGEINT in DuckDB: cast before the div
+    "q151_compaction_plan" ->
+      """WITH manifest AS (
+        |  SELECT year(o_orderdate) AS part, o_orderkey // 100 AS file_id,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS bytes
+        |  FROM orders GROUP BY 1, 2),
+        |binned AS (
+        |  SELECT part, file_id, bytes,
+        |    CAST(coalesce(sum(bytes) OVER (PARTITION BY part ORDER BY file_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      // 4000000 AS bin
+        |  FROM manifest)
+        |SELECT part, bin, count(*) AS n_files,
+        |  CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+        |  min(file_id) AS first_file, max(file_id) AS last_file
+        |FROM binned GROUP BY part, bin""".stripMargin,
+
     "q54_partition_pruning" ->
       s"""SELECT o_orderstatus, count(*) AS n, ${Exact.sumMoneySql("o_totalprice")} AS total
         |FROM orders WHERE year(o_orderdate) = 1996

@@ -623,9 +623,41 @@ object Pipeline extends QueryPack {
           sum($"w").over(org.apache.spark.sql.expressions.Window.partitionBy()))
         .select($"source", $"n_docs", $"w",
           expr("(w * 1000000L) div sum_w").as("share_ppm"))
+    }),
+
+    // ---- k-anonymity audit (privacy gate before release) ------------
+    // The standard re-identification check on a table about to leave
+    // the pipeline: under a quasi-identifier tuple (here nation ×
+    // market segment × $500 balance band — the attributes an attacker
+    // plausibly knows), every equivalence class smaller than k = 5 is
+    // a re-identification risk; the release gate suppresses or
+    // generalizes exactly these groups. Output is the violating
+    // classes with their sizes — the suppression worklist.
+    //
+    // Shape: one hash aggregation on the QI tuple, nothing else — the
+    // same cost as any groupBy at 100 TB. The band arithmetic shifts
+    // cents non-negative BEFORE the integer division (Spark div
+    // truncates, DuckDB // floors; they agree only for non-negative
+    // numerators — acctbal can be negative).
+    "q149_k_anonymity" -> ((s, d) => {
+      import s.implicits._
+      T.customer(s, d)
+        .withColumn("cents", graft.functions.Exact.cents($"c_acctbal"))
+        .withColumn("bal_band", expr("(cents + 100000L) div 50000"))
+        .groupBy($"c_nationkey", $"c_mktsegment", $"bal_band")
+        .agg(count(lit(1)).as("n"))
+        .filter($"n" < 5)
     }))
 
   def oracles: Map[String, String] = Map(
+    "q149_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 50000 AS bal_band,
+        |  count(*) AS n
+        |FROM customer
+        |GROUP BY 1, 2, 3
+        |HAVING count(*) < 5""".stripMargin,
+
     "q80_hist_quantile" ->
       """WITH bins AS (
         |  SELECT lang, n_chars // 64 AS bin, count(*) AS cnt

@@ -41,16 +41,24 @@ object Relational extends QueryPack {
     * instead of re-shuffling lineitem four times. MEMORY_AND_DISK
     * (never recompute, spill when big): the pair table is
     * O(orders · order_width²), corpus-scale, not driver-bounded. */
-  private def coocPairs(s: SparkSession, d: String): DataFrame =
-    T.memo(s, s"cooc_pairs:$d") {
+  private def coocPairs(s: SparkSession, d: String): DataFrame = {
+    val df = T.memo(s, s"cooc_pairs:$d") {
       val li = T.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
       li.toDF("o", "a").join(li.toDF("o", "b"), "o")
         .filter(col("a") < col("b"))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cooc"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
+    // self-healing persist: catalog.clearCache() (harness hygiene
+    // between queries) strips cache REGISTRATIONS, not just blocks —
+    // re-mark on every access so each consumer still materializes the
+    // substrate at most once per plan execution, and an uncleared
+    // session keeps it hot across all four graph queries
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df
+  }
 
   /** Undirected distinct edge set of [[coocPairs]] (a < b). */
   private def coocEdges(s: SparkSession, d: String): DataFrame =
@@ -671,6 +679,54 @@ object Relational extends QueryPack {
           sum($"dx").as("s_x"),
           sum($"dx" * $"dy").as("s_xy"),
           sum($"dx" * $"dx").as("s_xx"))
+    }),
+
+    // ---- link prediction: common-neighbor / Jaccard scores ----------
+    // The candidate-retrieval kernel over the same co-occurrence graph
+    // (fourth consumer of the shared [[coocPairs]] substrate):
+    // for a deterministic probe set of parts, the top-5 NON-adjacent
+    // parts ranked by neighborhood overlap — cn = |Γ(a)∩Γ(b)| and
+    // Jaccard = cn / (deg(a)+deg(b)−cn), both exact integers/ppm
+    // (Adamic-Adar's 1/log weights are off the menu by the no-float
+    // determinism rule; cn+Jaccard are its standard exact companions).
+    //
+    // Shape: probes are a hash-parity sample of the VERTEX set (2%,
+    // the q59 rule — content-keyed, replay-stable), so the two-hop
+    // expansion is |probes| · deg · deg rows, never all-pairs; each
+    // hop is an equi-join on the directed edge key. At 100 TB the
+    // second hop's hub blowup (a probe adjacent to a 10^6-degree
+    // vertex) is the known cost of exact common-neighbor counting —
+    // production mitigations are a frontier degree cap or neighbor
+    // minhashing [Sarma et al.]; the probe-set bound keeps even the
+    // unmitigated exact form a per-probe cost, not a corpus cost.
+    // Existing edges are removed by a left-anti equi-join on the
+    // undirected key; the per-probe top-5 compiles to WindowGroupLimit.
+    "q150_link_prediction" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val e = coocEdges(s, d)
+      val dir = e.select($"a".as("u"), $"b".as("v"))
+        .unionAll(e.select($"b".as("u"), $"a".as("v")))
+      val deg = dir.groupBy($"u").agg(count(lit(1)).as("deg"))
+      val probes = deg.select($"u")
+        .filter(pmod(graft.functions.PortableHash.h60($"u"), lit(50)) === 0)
+      val cand = probes.join(dir, "u").select($"u".as("a"), $"v".as("m"))
+        .join(dir.toDF("m", "b"), "m")
+        .filter($"a" =!= $"b")
+        .groupBy($"a", $"b").agg(count(lit(1)).as("cn"))
+        .join(e.toDF("lo", "hi"),
+          least($"a", $"b") === $"lo" && greatest($"a", $"b") === $"hi",
+          "left_anti")
+      cand
+        .join(deg.toDF("a", "da"), "a")
+        .join(deg.toDF("b", "db"), "b")
+        .select($"a".as("part"), $"b".as("cand"), $"cn",
+          expr("cn * 1000000L div (da + db - cn)").as("jaccard_ppm"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"part").orderBy($"jaccard_ppm".desc, $"cn".desc, $"cand"))
+          .cast("bigint"))
+        .filter($"rn" <= 5)
+        .select($"part", $"cand", $"cn", $"jaccard_ppm", $"rn")
     })
   )
 
@@ -749,6 +805,37 @@ object Relational extends QueryPack {
         |  CAST(sum(dx.deg * dy.deg) AS BIGINT) AS s_xy,
         |  CAST(sum(dx.deg * dx.deg) AS BIGINT) AS s_xx
         |FROM dir JOIN deg dx ON dx.u = dir.u JOIN deg dy ON dy.u = dir.v""".stripMargin,
+
+    "q150_link_prediction" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM li x JOIN li y ON x.o = y.o WHERE x.p < y.p),
+        |dir AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM dir GROUP BY u),
+        |probes AS (
+        |  SELECT u FROM deg
+        |  WHERE CAST('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15) AS BIGINT) % 50 = 0),
+        |twohop AS (
+        |  SELECT d1.u AS a, d2.v AS b, CAST(count(*) AS BIGINT) AS cn
+        |  FROM probes p JOIN dir d1 ON d1.u = p.u JOIN dir d2 ON d2.u = d1.v
+        |  WHERE d2.v != d1.u
+        |  GROUP BY 1, 2),
+        |nonedge AS (
+        |  SELECT t.* FROM twohop t
+        |  WHERE NOT EXISTS (SELECT 1 FROM e
+        |    WHERE e.a = least(t.a, t.b) AND e.b = greatest(t.a, t.b))),
+        |scored AS (
+        |  SELECT c.a AS part, c.b AS cand, c.cn,
+        |    c.cn * 1000000 // (da.deg + db.deg - c.cn) AS jaccard_ppm
+        |  FROM nonedge c JOIN deg da ON da.u = c.a JOIN deg db ON db.u = c.b)
+        |SELECT part, cand, cn, jaccard_ppm, rn FROM (
+        |  SELECT part, cand, cn, jaccard_ppm,
+        |    CAST(row_number() OVER (PARTITION BY part
+        |      ORDER BY jaccard_ppm DESC, cn DESC, cand) AS BIGINT) AS rn
+        |  FROM scored) t
+        |WHERE rn <= 5""".stripMargin,
 
     // ground truth via the unoriented a<b<c triple join (each triangle
     // counted once), affordable at oracle scale only

@@ -162,21 +162,26 @@ object Similarity extends QueryPack {
             s"transform(sequence(0, ${pqM - 1}), jj -> slice(q, jj * $pqSub + 1, $pqSub))"))
             .as(Seq("j", "qsub")))
         .select($"qid", $"j".cast("bigint").as("j"), $"qsub")
-      // per-query LUT keyed by (j, c) directly (map, not a flat array):
-      // no assumption that centroid labels are contiguous 0..k-1 or how
-      // many there are — the key j * 64 + c only needs c < 64 (asserted
-      // by construction: codebook labels are 4-bit in q139's packing)
+      // per-query LUT ordered by (j, c): flat index = j * k + c with k
+      // DERIVED from the codebook itself (size(lut) div pqM), not a
+      // hardcoded label count — if the fixture's label set ever
+      // changes cardinality the index stays aligned. (A (j,c)-keyed
+      // MAP would drop the remaining 0..k-1 contiguity assumption too,
+      // but Spark's element_at on a map is a per-lookup linear scan —
+      // measured 20 s slower over the corpus; the array stays O(1).)
       val lut = qsubs.join(pqCodebook(emb), Seq("j"))
         .select($"qid", $"j", $"c", expr(
           "aggregate(zip_with(qsub, cb, (x, y) -> (x - y) * (x - y)), 0L, (a, b) -> a + b)")
           .as("d2"))
         .groupBy($"qid")
-        .agg(map_from_entries(collect_list(
-          struct(($"j" * 64 + $"c").cast("int").as("k"), $"d2"))).as("lut"))
+        .agg(array_sort(collect_list(struct($"j", $"c", $"d2"))).as("e"))
+        .select($"qid", expr("transform(e, x -> x.d2)").as("lut"))
       val w = Window.partitionBy($"qid").orderBy($"adc", $"vec_id")
       codes.join(broadcast(lut), $"vec_id" =!= $"qid")
         .select($"qid", $"vec_id", expr(
-          "aggregate(transform(codes, (cj, jj) -> element_at(lut, CAST(jj * 64 + cj AS INT))), 0L, (a, b) -> a + b)")
+          s"""aggregate(transform(codes, (cj, jj) ->
+             |  element_at(lut, CAST(jj * (size(lut) div $pqM) + cj + 1 AS INT))),
+             |  0L, (a, b) -> a + b)""".stripMargin)
           .as("adc"))
         .withColumn("rn", row_number().over(w).cast("bigint"))
         .filter($"rn" <= 3)

@@ -49,7 +49,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q139_pq_encode", "q140_pq_adc_topk", "q141_ann_ivf_multiprobe",
     "q142_ann_recall", "q143_source_overlap", "q144_ks_drift",
     "q145_pagerank", "q146_item_similarity", "q147_dup_regions",
-    "q148_degree_assortativity")
+    "q148_degree_assortativity", "q149_k_anonymity",
+    "q150_link_prediction", "q151_compaction_plan",
+    "q152_containment_join")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

@@ -223,6 +223,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // sort of the scored corpus
     assert(m("q140_pq_adc_topk").contains("WindowGroupLimit"),
       "q140: ADC rank did not compile to WindowGroupLimit")
+    // q150 (link prediction): the per-probe top-5 must be a partial
+    // top-k (WindowGroupLimit), and candidate generation must stay an
+    // equi-join on the directed edge key — never all-pairs
+    assert(m("q150_link_prediction").contains("WindowGroupLimit"),
+      "q150: link-prediction rank did not compile to WindowGroupLimit")
+    // q152 (containment join): candidates must come from an equi-join
+    // on the gram key (prefix-filtered probe side vs full gram index)
+    assert(m("q152_containment_join").contains("Left keys [1]: [g#"),
+      "q152: containment candidates not an equi-join on the gram key")
   }
 
   test("q115: lateral subquery decorrelates to a rank-limited window, not N scans") {
