@@ -63,11 +63,12 @@ import graft.operators._
   *    decode-stub features, frame sampling, resize, binaryFile
   *    object-store ingestion (one task per file, fingerprint-gated)
   *  - [[operators.Sketches]] q43/q44/q46, q83, q112, q119, q122,
-  *    q127: KMV Aggregator, native rolling-hash Expression,
-  *    multi-format round-trip, XOR table fingerprints (replica
-  *    compare), count-min-sketch heavy hitters, explicit Bloom
-  *    build+probe, row-level replica diff, PERMISSIVE corrupt-record
-  *    quarantine
+  *    q127, q153: KMV Aggregator + KMV set algebra (pairwise
+  *    audience union/overlap estimates from sketches alone), native
+  *    rolling-hash Expression, multi-format round-trip, XOR table
+  *    fingerprints (replica compare), count-min-sketch heavy hitters,
+  *    explicit Bloom build+probe, row-level replica diff, PERMISSIVE
+  *    corrupt-record quarantine
   *  - [[operators.Layout]] q54–q55, q86–q87, q113, q116, q120, q126,
   *    q128–q129, q151: partition pruning (static + dynamic/join-driven),
   *    bucketed joins, latest-wins upsert compaction, Z-order

@@ -58,3 +58,20 @@ class KmvSketch(k: Int) extends Aggregator[Long, Seq[Long], Double] {
   override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
+
+/** Raw-buffer variant of [[KmvSketch]]: `finish` returns the sorted
+  * k-min hash set itself instead of the point estimate, so downstream
+  * plans can do sketch ALGEBRA — union two groups' sketches (k smallest
+  * of the concatenation) or estimate an intersection (shared hashes
+  * below the union's k-th min) — without touching the corpus again.
+  * Same O(k) buffer and order-independent merge, so the result is
+  * deterministic under any partial-aggregation schedule. */
+class KmvSketchBuffer(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+  private val inner = new KmvSketch(k)
+  override def zero: Seq[Long] = inner.zero
+  override def reduce(buf: Seq[Long], h: Long): Seq[Long] = inner.reduce(buf, h)
+  override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = inner.merge(a, b)
+  override def finish(buf: Seq[Long]): Seq[Long] = buf
+  override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+}

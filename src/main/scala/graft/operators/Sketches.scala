@@ -221,9 +221,91 @@ object Sketches extends QueryPack {
         .withColumn("fmt", lit("orc"))
       c.unionAll(j).unionAll(o).groupBy($"fmt")
         .agg(count(lit(1)).as("n"), Exact.sumMoney($"o_totalprice").as("total"))
+    }),
+
+    // ---- KMV sketch ALGEBRA: pairwise audience overlap --------------
+    // q43 estimates per-group distincts; the reason KMV (and not a
+    // plain HLL register bank) earns its place in this engine is that
+    // the k-min SET supports set algebra: union(A,B) = k smallest of
+    // the concatenation, and the shared hashes below the union's k-th
+    // min estimate the intersection [Beyer et al., SIGMOD'07]. Per
+    // event-type audience (distinct users), every pairwise
+    // union/overlap estimate is computed from the ≤|types| k-int
+    // sketches ALONE — the corpus is scanned exactly once to build
+    // them; the pair algebra runs on a table of |types|² rows of
+    // 64-long arrays. At 100 TB that is the entire point: audience-
+    // overlap matrices over N segments cost one scan + O(N²k) driver-
+    // free arithmetic, not N² corpus joins.
+    //
+    // Determinism: k-min sets are order-independent (same property as
+    // q43), and the estimate arithmetic is the same double formula
+    // text in both engines over identical int inputs — IEEE ops are
+    // correctly rounded, so the rounded outputs match exactly.
+    "q153_kmv_set_ops" -> ((s, d) => {
+      import s.implicits._
+      GraftExtensions.ensureRegistered(s)
+      val kmvBuf = udaf(new graft.functions.KmvSketchBuffer(64), Encoders.scalaLong)
+      val sk = T.events(s, d)
+        .select($"event_type", h60($"user_id").as("hv"))
+        .groupBy($"event_type")
+        .agg(kmvBuf($"hv").as("sk"))
+      sk.toDF("ta", "ska").join(sk.toDF("tb", "skb"), $"ta" < $"tb")
+        .withColumn("lu", array_sort(array_union($"ska", $"skb")))
+        .withColumn("ulen", size($"lu").cast("bigint"))
+        .withColumn("m", least($"ulen", lit(64L)))
+        .withColumn("kth", element_at($"lu", $"m".cast("int")))
+        .withColumn("est_union",
+          when($"ulen" < 64, $"ulen".cast("double"))
+            .otherwise(expr("63.0 * 1152921504606846976 / kth")))
+        .withColumn("n_common",
+          expr("CAST(size(filter(array_intersect(ska, skb), x -> x <= kth)) AS BIGINT)"))
+        .select($"ta", $"tb", $"m", $"n_common",
+          round($"est_union", 4).as("est_union"),
+          round(expr("CAST(n_common AS DOUBLE) * est_union / CAST(m AS DOUBLE)"), 4)
+            .as("est_inter"))
     }))
 
   def oracles: Map[String, String] = Map(
+    // same k-min construction as q43's oracle, kept as raw lists for
+    // the pair algebra; estimate formulas are the same double text as
+    // the Spark side (IEEE-identical over identical int inputs)
+    "q153_kmv_set_ops" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        |  FROM h),
+        |sk AS (
+        |  SELECT event_type, list(hv ORDER BY hv) AS sk
+        |  FROM r WHERE rn <= 64 GROUP BY event_type),
+        |p AS (
+        |  SELECT a.event_type AS ta, a.sk AS ska, b.event_type AS tb, b.sk AS skb
+        |  FROM sk a JOIN sk b ON a.event_type < b.event_type),
+        |c1 AS (
+        |  SELECT ta, tb, ska, skb,
+        |    list_sort(list_distinct(list_concat(ska, skb))) AS lu
+        |  FROM p),
+        |c2 AS (
+        |  SELECT ta, tb, ska, skb,
+        |    CAST(len(lu) AS BIGINT) AS ulen,
+        |    least(CAST(len(lu) AS BIGINT), 64) AS m,
+        |    lu[CAST(least(len(lu), 64) AS INT)] AS kth
+        |  FROM c1),
+        |c3 AS (
+        |  SELECT ta, tb, m, kth,
+        |    CASE WHEN ulen < 64 THEN CAST(ulen AS DOUBLE)
+        |         ELSE 63.0 * 1152921504606846976 / kth END AS est_union,
+        |    CAST(len(list_filter(list_intersect(ska, skb), x -> x <= kth)) AS BIGINT)
+        |      AS n_common
+        |  FROM c2)
+        |SELECT ta, tb, m, n_common,
+        |  round(est_union, 4) AS est_union,
+        |  round(CAST(n_common AS DOUBLE) * est_union / CAST(m AS DOUBLE), 4) AS est_inter
+        |FROM c3""".stripMargin,
+
     "q83_table_checksum" ->
       """SELECT 'orders' AS table_name, count(*) AS n_rows,
         |  bit_xor(CAST('0x' || substr(md5(

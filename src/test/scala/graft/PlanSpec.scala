@@ -42,7 +42,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q79_kmeans_iter", "q87_zorder_stats", "q103_cooccur_lift",
     "q125_drift_detect", "q129_equidepth_hist", "q135_mixture_execute",
     "q140_pq_adc_topk", "q141_ann_ivf_multiprobe", "q142_ann_recall",
-    "q144_ks_drift", "q145_pagerank")
+    "q144_ks_drift", "q145_pagerank",
+    // q153: pairwise algebra over the ≤|event-types|-row sketch table
+    "q153_kmv_set_ops")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
