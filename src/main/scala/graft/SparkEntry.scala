@@ -91,7 +91,9 @@ import graft.operators._
   *    vocabulary build (q124), distribution drift detection (q125),
   *    per-doc n-gram novelty scoring (q130), vocabulary coverage
   *    curve via band decomposition (q131), first-occurrence source
-  *    novelty attribution (q132), k-anonymity release audit (q149)
+  *    novelty attribution (q132), k-anonymity release audit (q149),
+  *    deterministic weighted systematic sampling with band-decomposed
+  *    prefix sums (q154)
   */
 object SparkEntry {
 

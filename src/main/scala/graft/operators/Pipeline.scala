@@ -647,9 +647,60 @@ object Pipeline extends QueryPack {
         .groupBy($"c_nationkey", $"c_mktsegment", $"bal_band")
         .agg(count(lit(1)).as("n"))
         .filter($"n" < 5)
+    }),
+
+    // ---- deterministic WEIGHTED sampling (systematic by cum-weight) --
+    // q59/q60 sample uniformly; training-data curation usually wants
+    // docs drawn proportional to a weight (chars here — token-budget
+    // sampling; any quality score works the same). Systematic
+    // sampling: lay docs on the cumulative-weight axis in a canonical
+    // order (doc_id) and take one doc per S-weight stride — a doc is
+    // selected iff its weight interval spans a stride boundary, so
+    // inclusion probability ∝ weight, expected count = Σw/S, and the
+    // result is RNG-free: stable under retry, repartition, and
+    // incremental growth (appends only perturb the tail). All integer
+    // floors, identical in both engines (weights non-negative).
+    //
+    // Shape: the prefix sum is DECOMPOSED (q124's band trick) — an
+    // in-band window partitioned by (source, band) plus a per-source
+    // band-offset window over the ~N/B-row band table — so no window
+    // ever sorts a corpus-scale partition; pick B ≈ √N (or 1e6) at
+    // scale and both levels stay bounded. The oracle computes the
+    // same prefix sum directly (single-node DuckDB can).
+    "q154_weighted_sample" -> ((s, d) => {
+      import s.implicits._
+      val W = org.apache.spark.sql.expressions.Window
+      val stride = 2000L
+      val dw = T.documents(s, d)
+        .select($"source", $"doc_id", $"n_chars".cast("bigint").as("w"))
+        .withColumn("band", expr("doc_id div 1000"))
+      val inBand = W.partitionBy($"source", $"band").orderBy($"doc_id")
+      val overBands = W.partitionBy($"source").orderBy($"band")
+        .rowsBetween(W.unboundedPreceding, -1)
+      val offsets = dw.groupBy($"source", $"band").agg(sum($"w").as("bw"))
+        .withColumn("off", coalesce(sum($"bw").over(overBands), lit(0L)))
+        .select($"source", $"band", $"off")
+      dw.withColumn("cum_in", sum($"w").over(inBand))
+        .join(offsets, Seq("source", "band"))
+        .withColumn("cum", $"off" + $"cum_in")
+        .filter(expr(s"cum div $stride") > expr(s"(cum - w) div $stride"))
+        .select($"source", $"doc_id", $"w", $"cum",
+          expr(s"cum div $stride").as("slot"))
     }))
 
   def oracles: Map[String, String] = Map(
+    // same prefix sum computed directly; DuckDB windowed sum of BIGINT
+    // is HUGEINT — cast before the floors
+    "q154_weighted_sample" ->
+      """WITH c AS (
+        |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS w,
+        |    CAST(sum(CAST(n_chars AS BIGINT))
+        |      OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum
+        |  FROM documents)
+        |SELECT source, doc_id, w, cum, cum // 2000 AS slot
+        |FROM c
+        |WHERE cum // 2000 > (cum - w) // 2000""".stripMargin,
+
     "q149_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment,
         |  (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 50000 AS bal_band,
