@@ -52,7 +52,9 @@ import graft.operators._
   *    clustering, keepers, edit-distance verify, duplicate spans +
   *    merged dup-region union, exact n-gram Jaccard similarity join
   *    (AllPairs prefix filter), exact asymmetric containment join
-  *    (quote/excerpt detection), cross-source near-dup overlap matrix
+  *    (quote/excerpt detection), cross-source near-dup overlap matrix,
+  *    incremental near-dup admission of a crawl batch against the
+  *    existing banded signature index (q155)
   *  - [[operators.Similarity]] q40–q42, q53, q75, q79, q94, q137,
   *    q139–q142: quantized-integer cosine top-k, IVF ANN (single and
   *    multi-probe), sign-LSH ANN, embedding near-dup, centroid

@@ -545,6 +545,61 @@ object Dedup extends QueryPack {
           size($"sha").cast("long").as("n_a"))
         .filter($"inter" * 4 >= $"n_a" * 3)
         .withColumn("containment_ppm", expr("inter * 1000000L div n_a"))
+    }),
+
+    // ---- incremental near-dup admission (batch vs existing index) ---
+    // The ingest-time shape of q36: a freshly crawled BATCH (10%
+    // hash-parity split — in production, the new crawl) is LSH-checked
+    // against the banded signature index of the EXISTING corpus, and
+    // every batch doc with an exact-verified near-dup (Jaccard >= 1/2)
+    // is reported with its match count and best match — the quarantine
+    // worklist; unreported batch docs are admitted. q74 is this
+    // operator for EXACT dupes (fingerprint anti-join); this is the
+    // near-dup tier of the same admission pipeline (s20 is the
+    // streaming exact tier).
+    //
+    // Shape: candidates come ONLY from batch-bands ⋈ index-bands on
+    // (band, minhash) — new×new pairs are not generated (dedup WITHIN
+    // a batch is q36 run small), and the index side is write-once
+    // (append new signatures after admission). Signature-estimate
+    // pruning (>= 5/32 matching slots) cuts hot-bucket false
+    // candidates before exact verification, same analysis as q36.
+    // Best-match argmax is a max(struct) — deterministic, tie-broken
+    // to the smallest matching doc_id.
+    "q155_incremental_neardup" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val sh = shingles(s, d).cache()
+      val sig = sh.select($"doc_id", expr(s"minhash_sig(sh, $K)").as("sig"))
+        .withColumn("is_b",
+          pmod(graft.functions.PortableHash.h60($"doc_id"), lit(10)) === 0)
+        .cache()
+      val bnd = sig.select($"doc_id", $"is_b", posexplode($"sig"))
+        .toDF("doc_id", "is_b", "band", "mh")
+      val cand = bnd.filter($"is_b").select($"doc_id".as("a"), $"band", $"mh")
+        .join(bnd.filter(!$"is_b").select($"doc_id".as("b"), $"band", $"mh"),
+          Seq("band", "mh"))
+        .select($"a", $"b").distinct()
+      val est = cand
+        .join(sig.select($"doc_id".as("a"), $"sig".as("siga")), "a")
+        .join(sig.select($"doc_id".as("b"), $"sig".as("sigb")), "b")
+        .withColumn("matches",
+          size(filter(zip_with($"siga", $"sigb", (x, y) => x === y), b => b)))
+        .filter($"matches" >= 5)
+        .select($"a", $"b")
+      val verified = est
+        .join(sh.toDF("a", "sha"), "a")
+        .join(sh.toDF("b", "shb"), "b")
+        .select($"a", $"b",
+          size(array_intersect($"sha", $"shb")).cast("long").as("inter"),
+          size(array_union($"sha", $"shb")).cast("long").as("uni"))
+        .filter($"inter" * 2 >= $"uni")
+        .select($"a", $"b", expr("inter * 1000000L div uni").as("sim_ppm"))
+      verified.groupBy($"a")
+        .agg(count(lit(1)).as("n_matches"),
+          max(struct($"sim_ppm", (-$"b").as("nb"))).as("m"))
+        .select($"a".as("doc_id"), $"n_matches",
+          (-$"m.nb").as("best_match"), $"m.sim_ppm".as("best_sim_ppm"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -743,6 +798,39 @@ object Dedup extends QueryPack {
         |    CAST(len(x.sh) AS BIGINT) AS n_a
         |  FROM d x JOIN d y ON x.doc_id != y.doc_id) p
         |WHERE 4 * inter >= 3 * n_a""".stripMargin,
+
+    // ground truth: all-pairs batch×index exact Jaccard (verify-scale
+    // only); argmax replicated via the max-over-partition + min-id
+    // tie-break (q144's deterministic-argmax pattern)
+    "q155_incremental_neardup" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |d AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM w WHERE len(w) >= 3),
+        |b AS (SELECT * FROM d
+        |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |    % 10 = 0),
+        |ix AS (SELECT * FROM d
+        |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |    % 10 != 0),
+        |scored AS (
+        |  SELECT a, bdoc, inter * 1000000 // uni AS sim_ppm FROM (
+        |    SELECT b.doc_id AS a, ix.doc_id AS bdoc,
+        |      CAST(len(list_intersect(b.sh, ix.sh)) AS BIGINT) AS inter,
+        |      CAST(len(list_distinct(list_concat(b.sh, ix.sh))) AS BIGINT) AS uni
+        |    FROM b, ix) p
+        |  WHERE 2 * inter >= uni),
+        |g AS (
+        |  SELECT a, bdoc, sim_ppm,
+        |    max(sim_ppm) OVER (PARTITION BY a) AS ms,
+        |    CAST(count(*) OVER (PARTITION BY a) AS BIGINT) AS nm
+        |  FROM scored)
+        |SELECT a AS doc_id, nm AS n_matches, min(bdoc) AS best_match,
+        |  CAST(ms AS BIGINT) AS best_sim_ppm
+        |FROM g WHERE sim_ppm = ms
+        |GROUP BY a, nm, ms""".stripMargin,
 
     "q37_simhash_buckets" -> {
       val bitSums = (0 until 16).map { j =>
