@@ -95,7 +95,8 @@ import graft.operators._
   *    curve via band decomposition (q131), first-occurrence source
   *    novelty attribution (q132), k-anonymity release audit (q149),
   *    deterministic weighted systematic sampling with band-decomposed
-  *    prefix sums (q154)
+  *    prefix sums (q154), right-to-be-forgotten deletion-impact audit
+  *    with the orders→lineitem cascade (q156)
   */
 object SparkEntry {
 

@@ -686,6 +686,37 @@ object Pipeline extends QueryPack {
         .filter(expr(s"cum div $stride") > expr(s"(cum - w) div $stride"))
         .select($"source", $"doc_id", $"w", $"cum",
           expr(s"cum div $stride").as("slot"))
+    }),
+
+    // ---- right-to-be-forgotten deletion-impact audit ----------------
+    // Before a GDPR/CCPA deletion batch rewrites anything, scope it:
+    // for a set of user keys (here a hash-parity ~5% sample standing
+    // in for the request queue), count the rows each table loses —
+    // directly keyed tables via one semi-join each, and lineitem
+    // through the orders CASCADE (two-hop semi-join: orders of deleted
+    // users, then their line items). The row counts size the rewrite
+    // job (q151's planner bins it) and feed the compliance record.
+    //
+    // Shape: the delete set is request-bounded — it broadcasts; every
+    // count is a map-side-combinable agg behind a semi-join, so the
+    // audit costs one scan per table at any corpus size. No row data
+    // moves, only keys.
+    "q156_deletion_audit" -> ((s, d) => {
+      import s.implicits._
+      val del = T.events(s, d).select($"user_id").distinct()
+        .filter(pmod(hash60($"user_id"), lit(20)) === 0)
+        .select($"user_id".as("k"))
+      def cnt(df: DataFrame, name: String): DataFrame =
+        df.agg(count(lit(1)).cast("bigint").as("n_rows"))
+          .select(lit(name).as("table_name"), $"n_rows")
+      val dOrders = T.orders(s, d).join(del, $"o_custkey" === $"k", "left_semi")
+      cnt(T.events(s, d).join(del, $"user_id" === $"k", "left_semi"), "events")
+        .unionAll(cnt(T.customer(s, d)
+          .join(del, $"c_custkey" === $"k", "left_semi"), "customer"))
+        .unionAll(cnt(dOrders, "orders"))
+        .unionAll(cnt(T.lineitem(s, d)
+          .join(dOrders.select($"o_orderkey".as("ok")),
+            $"l_orderkey" === $"ok", "left_semi"), "lineitem"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -700,6 +731,23 @@ object Pipeline extends QueryPack {
         |SELECT source, doc_id, w, cum, cum // 2000 AS slot
         |FROM c
         |WHERE cum // 2000 > (cum - w) // 2000""".stripMargin,
+
+    "q156_deletion_audit" ->
+      """WITH del AS (
+        |  SELECT DISTINCT user_id AS k FROM events
+        |  WHERE CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |    % 20 = 0),
+        |o AS (SELECT * FROM orders WHERE o_custkey IN (SELECT k FROM del))
+        |SELECT 'events' AS table_name, count(*) AS n_rows
+        |FROM events WHERE user_id IN (SELECT k FROM del)
+        |UNION ALL
+        |SELECT 'customer', count(*) FROM customer
+        |WHERE c_custkey IN (SELECT k FROM del)
+        |UNION ALL
+        |SELECT 'orders', count(*) FROM o
+        |UNION ALL
+        |SELECT 'lineitem', count(*) FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM o)""".stripMargin,
 
     "q149_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment,

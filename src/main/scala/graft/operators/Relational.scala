@@ -41,7 +41,7 @@ object Relational extends QueryPack {
     * instead of re-shuffling lineitem four times. MEMORY_AND_DISK
     * (never recompute, spill when big): the pair table is
     * O(orders · order_width²), corpus-scale, not driver-bounded. */
-  private def coocPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def coocPairs(s: SparkSession, d: String): DataFrame = {
     val df = T.memo(s, s"cooc_pairs:$d") {
       val li = T.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
