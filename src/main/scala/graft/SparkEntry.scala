@@ -65,8 +65,9 @@ import graft.operators._
   *    decode-stub features, frame sampling, resize, binaryFile
   *    object-store ingestion (one task per file, fingerprint-gated)
   *  - [[operators.Sketches]] q43/q44/q46, q83, q112, q119, q122,
-  *    q127, q153: KMV Aggregator + KMV set algebra (pairwise
-  *    audience union/overlap estimates from sketches alone), native
+  *    q127, q153, q157: KMV Aggregator + KMV set algebra (pairwise
+  *    audience union/overlap estimates from sketches alone) + the
+  *    estimates-vs-exact overlap audit that gates the k choice, native
   *    rolling-hash Expression, multi-format round-trip, XOR table
   *    fingerprints (replica compare), count-min-sketch heavy hitters,
   *    explicit Bloom build+probe, row-level replica diff, PERMISSIVE

@@ -263,6 +263,38 @@ object Sketches extends QueryPack {
           round($"est_union", 4).as("est_union"),
           round(expr("CAST(n_common AS DOUBLE) * est_union / CAST(m AS DOUBLE)"), 4)
             .as("est_inter"))
+    }),
+
+    // ---- KMV overlap audit: estimates vs exact ground truth ---------
+    // The acceptance measurement for q153, same pattern as q142's ANN
+    // recall audit: the sketch estimates are the product, the exact
+    // pairwise overlap is the expensive baseline you run ONCE (per
+    // rollout, per k choice) to decide whether k=64 is enough for the
+    // decision at hand — and the per-pair union error in ppm is the
+    // number that decision reads. Exact side: one distinct
+    // (type, user) projection, self-joined on user — at 100 TB this is
+    // the N² corpus join the sketches exist to avoid, which is exactly
+    // why it is quarantined in an audit query instead of the product
+    // path. Error formula is identical double text in both engines
+    // over identical int inputs.
+    "q157_kmv_overlap_audit" -> ((s, d) => {
+      import s.implicits._
+      GraftExtensions.ensureRegistered(s)
+      val du = T.events(s, d).select($"event_type", $"user_id").distinct()
+      val nA = du.groupBy($"event_type").agg(count(lit(1)).as("n"))
+      val inter = du.toDF("ta", "u").join(du.toDF("tb", "u"), "u")
+        .filter($"ta" < $"tb")
+        .groupBy($"ta", $"tb").agg(count(lit(1)).as("inter"))
+      val exact = inter
+        .join(nA.toDF("ta", "na"), "ta")
+        .join(nA.toDF("tb", "nb"), "tb")
+        .select($"ta", $"tb", $"inter", ($"na" + $"nb" - $"inter").as("uni"))
+      val est = queries("q153_kmv_set_ops")(s, d)
+        .select($"ta", $"tb", $"est_union", $"est_inter")
+      exact.join(est, Seq("ta", "tb"))
+        .select($"ta", $"tb", $"inter", $"uni", $"est_union", $"est_inter",
+          expr("round(abs(est_union - uni) * 1000000 / uni, 2)")
+            .as("union_err_ppm"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -305,6 +337,61 @@ object Sketches extends QueryPack {
         |  round(est_union, 4) AS est_union,
         |  round(CAST(n_common AS DOUBLE) * est_union / CAST(m AS DOUBLE), 4) AS est_inter
         |FROM c3""".stripMargin,
+
+    // q153's sketch CTEs + the exact pairwise baseline; the audit's
+    // error column uses the ROUNDED estimate, same as the Spark side
+    "q157_kmv_overlap_audit" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        |  FROM h),
+        |sk AS (
+        |  SELECT event_type, list(hv ORDER BY hv) AS sk
+        |  FROM r WHERE rn <= 64 GROUP BY event_type),
+        |p AS (
+        |  SELECT a.event_type AS ta, a.sk AS ska, b.event_type AS tb, b.sk AS skb
+        |  FROM sk a JOIN sk b ON a.event_type < b.event_type),
+        |c1 AS (
+        |  SELECT ta, tb, ska, skb,
+        |    list_sort(list_distinct(list_concat(ska, skb))) AS lu
+        |  FROM p),
+        |c2 AS (
+        |  SELECT ta, tb, ska, skb,
+        |    CAST(len(lu) AS BIGINT) AS ulen,
+        |    least(CAST(len(lu) AS BIGINT), 64) AS m,
+        |    lu[CAST(least(len(lu), 64) AS INT)] AS kth
+        |  FROM c1),
+        |c3 AS (
+        |  SELECT ta, tb, m, kth,
+        |    CASE WHEN ulen < 64 THEN CAST(ulen AS DOUBLE)
+        |         ELSE 63.0 * 1152921504606846976 / kth END AS est_union,
+        |    CAST(len(list_filter(list_intersect(ska, skb), x -> x <= kth)) AS BIGINT)
+        |      AS n_common
+        |  FROM c2),
+        |esr AS (
+        |  SELECT ta, tb, round(est_union, 4) AS est_union,
+        |    round(CAST(n_common AS DOUBLE) * est_union / CAST(m AS DOUBLE), 4)
+        |      AS est_inter
+        |  FROM c3),
+        |du AS (SELECT DISTINCT event_type, user_id FROM events),
+        |na AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM du GROUP BY 1),
+        |xi AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb,
+        |    CAST(count(*) AS BIGINT) AS inter
+        |  FROM du a JOIN du b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT xi.ta, xi.tb, xi.inter, na1.n + na2.n - xi.inter AS uni
+        |  FROM xi JOIN na na1 ON na1.event_type = xi.ta
+        |    JOIN na na2 ON na2.event_type = xi.tb)
+        |SELECT ex.ta, ex.tb, ex.inter, ex.uni, esr.est_union, esr.est_inter,
+        |  round(abs(esr.est_union - ex.uni) * 1000000 / ex.uni, 2) AS union_err_ppm
+        |FROM ex JOIN esr ON esr.ta = ex.ta AND esr.tb = ex.tb""".stripMargin,
 
     "q83_table_checksum" ->
       """SELECT 'orders' AS table_name, count(*) AS n_rows,

@@ -43,8 +43,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q125_drift_detect", "q129_equidepth_hist", "q135_mixture_execute",
     "q140_pq_adc_topk", "q141_ann_ivf_multiprobe", "q142_ann_recall",
     "q144_ks_drift", "q145_pagerank",
-    // q153: pairwise algebra over the ≤|event-types|-row sketch table
-    "q153_kmv_set_ops")
+    // q153/q157: pairwise algebra over the ≤|event-types|-row sketch
+    // table (q157 composes q153, so it inherits the tiny-side BNLJ)
+    "q153_kmv_set_ops", "q157_kmv_overlap_audit")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()

@@ -91,4 +91,23 @@ class SketchSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("lang", "rn").collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(heap.sameElements(win), "Aggregator top-k diverged from window top-k")
   }
+
+  test("KmvSketchBuffer: merge is order/partitioning-invariant and equals one pass") {
+    val k = 8
+    val agg = new graft.functions.KmvSketchBuffer(k)
+    // deterministic pseudo-values with duplicates, spread over int64
+    val vs = (1 to 200).map(i => graft.functions.H60.hash(s"v${i % 120}".getBytes))
+    val onePass = vs.foldLeft(agg.zero)(agg.reduce)
+    assert(onePass.size == k && onePass == onePass.sorted &&
+      onePass.distinct.size == k, "buffer must be k sorted distinct mins")
+    // any split + any merge order must reproduce the one-pass buffer
+    Seq(1, 3, 7, 50).foreach { chunks =>
+      val parts = vs.grouped(math.max(1, vs.size / chunks)).toSeq
+        .map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = parts.reduce(agg.merge)
+      val mergedRev = parts.reverse.reduce(agg.merge)
+      assert(merged == onePass && mergedRev == onePass,
+        s"merge with $chunks chunks diverged from the single pass")
+    }
+  }
 }
