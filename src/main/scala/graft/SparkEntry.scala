@@ -19,7 +19,7 @@ import graft.operators._
   *    top-k/degree-assortativity power sums/common-neighbor + Jaccard
   *    link prediction (q150) over the TPC-H-ish tables — the four
   *    graph queries share one persisted co-occurrence edge substrate
-  *  - [[operators.Streams]] s01–s20: the `shardstream` DSv2 source and
+  *  - [[operators.Streams]] s01–s21: the `shardstream` DSv2 source and
   *    sinks end-to-end (SURVEY §2 S1–S16): round-trips, take-N,
   *    windowed parity, stream-stream inner + left-outer joins,
   *    streaming dedup (unbounded + watermark-bounded), complete-mode
@@ -30,7 +30,9 @@ import graft.operators._
   *    parent-before-child ordering (s17), AT_TIMESTAMP start
   *    position (s18), built-in file stream source with
   *    maxFilesPerTrigger admission (s19), streaming ingest dedup
-  *    against a static history fingerprint index (s20)
+  *    against a static history fingerprint index (s20), AT_TIMESTAMP
+  *    replay ACROSS a shard split — sealed-parent suffix +
+  *    parent-before-child draining from a mid-parent stamp (s21)
   *  - [[operators.Events]] q23–q30, q47, q68, q81, q84, q88–q89,
   *    q92, q95–q96, q98–q100, q103–q104, q111, q114: event-time
   *    windows, JSON props (schema-full from_json + schemaless Spark 4

@@ -414,6 +414,62 @@ object Streams extends QueryPack {
         outputMode = "complete")
     }),
 
+    // AT_TIMESTAMP start ACROSS a shard split — the interaction of
+    // s17's resharding lifecycle and s18's time-based start that
+    // neither exercises alone: the fixture splits a shard one third of
+    // the way through the (arrival-stamped) feed, and the query starts
+    // at a stamp INSIDE the parent era — so iterator resolution must
+    // return the at/after-stamp suffix of a SEALED parent plus
+    // everything in its children, and the source's parent-before-child
+    // draining must hold from a mid-parent position, not just
+    // trim_horizon. The oracle is the equivalent batch time filter:
+    // set-equality proves no record of the suffix is lost or
+    // duplicated across the parent/child boundary.
+    "s21_split_at_timestamp" -> ((s, d) => {
+      val name = s"events_sts_${sfx(d)}"
+      synchronized { // same mid-seed-visibility rule as seedEventsJson
+        if (!ShardServiceRegistry.exists(name)) {
+          val rows = T.events(s, d)
+            .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+              to_json(struct(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+                col("event_type"))).as("json"))
+            .orderBy(col("ts_us"), col("event_id")).collect()
+          val stream = ShardServiceRegistry.create(name, 2)
+          def put(r: org.apache.spark.sql.Row): Unit =
+            stream.putRecord(r.getLong(0).toString,
+              r.getString(2).getBytes(UTF_8), None, arrivalTs = Some(r.getLong(1)))
+          val third = rows.length / 3
+          rows.take(third).foreach(put)
+          stream.splitShard(stream.shardIds.head)
+          rows.drop(third).foreach(put)
+        }
+      }
+      // cutoff = the (n/6)-th smallest stamp — inside the parent era
+      // (the split lands at n/3); both engines take max(ts) over the
+      // first n/6 rows of the same (ts, event_id) total order
+      val n = T.events(s, d).count()
+      val cutoff = T.events(s, d)
+        .select(unix_micros(col("ts")).as("t"), col("event_id"))
+        .orderBy(col("t"), col("event_id"))
+        .limit((n / 6).toInt)
+        .agg(max(col("t"))).head().getLong(0)
+      val tsSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts_us", LongType),
+        StructField("event_type", StringType)))
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", s"at_timestamp:$cutoff")
+        .option("maxRecordsPerBatch", "50000")
+        .load()
+      drain(s, raw
+        .select(from_json(col("data").cast("string"), tsSchema).as("e"))
+        .groupBy(col("e.event_type").as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("e.event_id")).as("first_eid"),
+          max(col("e.event_id")).as("last_eid")),
+        outputMode = "complete")
+    }),
+
     // Streaming dedup through the source: the fixture is seeded with
     // every event TWICE (at-least-once delivery); dropDuplicates on the
     // event key must emit each exactly once — the exactly-once-
@@ -850,6 +906,21 @@ object Streams extends QueryPack {
         |FROM events
         |WHERE epoch_us(ts) >= (
         |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 FROM events)""".stripMargin,
+
+    // batch time-filter equivalent of the post-split at-stamp replay;
+    // the cutoff is max(ts) over the first n/6 rows of the same
+    // (ts, event_id) total order the fixture was seeded in
+    "s21_split_at_timestamp" ->
+      """WITH t AS (
+        |  SELECT event_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (ORDER BY ts_us, event_id) AS rn FROM t),
+        |cut AS (SELECT max(ts_us) AS c FROM r
+        |  WHERE rn <= (SELECT count(*) // 6 FROM events))
+        |SELECT event_type, count(*) AS n,
+        |  min(event_id) AS first_eid, max(event_id) AS last_eid
+        |FROM t, cut WHERE t.ts_us >= cut.c
+        |GROUP BY event_type""".stripMargin,
 
     "s13_stream_upsert" ->
       """SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS last_ts_us,
