@@ -40,7 +40,9 @@ import graft.operators._
   *    features, sequential funnel, change-interval historization,
   *    gap-fill, cohort retention, last-touch attribution, z-score
   *    anomalies, bipartite propagation, time-weighted averages, Markov
-  *    transitions, robust median/MAD statistics, co-occurrence lift,
+  *    transitions, robust median/MAD statistics (exact) + winsorized
+  *    mean via histogram cutoffs (the mergeable robust aggregate,
+  *    q158), co-occurrence lift,
   *    map-column feature roundtrip, EWMA sequential fold (q108),
   *    sliding-window distinct users (q114)
   *  - [[operators.TextAnalysis]] q31–q34, q48, q51–q52, q66, q70,

@@ -531,6 +531,41 @@ object Events extends QueryPack {
           coalesce(element_at($"m", "view"), lit(0L)).as("n_view"),
           coalesce(element_at($"m", "purchase"), lit(0L)).as("n_purchase"),
           size(map_keys($"m")).cast("bigint").as("n_types"))
+    }),
+
+    // ---- winsorized mean via histogram cutoffs (robust agg at scale) -
+    // q100's exact median/MAD rank-selects inside per-group windows —
+    // exact, but each group partition is a corpus-scale sort at 100 TB.
+    // This is the MERGEABLE robust aggregate that replaces it at
+    // scale (same trade as q80 vs q57): values reduce to a bounded
+    // per-group histogram (500-cent bins) in one narrow agg; the
+    // p10/p90 BIN boundaries come off the cumulative counts; the
+    // trimmed mean then excludes whole bins outside [lo, hi] in a
+    // second exact integer aggregate. Trim-by-bin is deterministic,
+    // well-defined semantics (error bounded by bin width, like every
+    // histogram sketch), and every stage is a map-side-combinable
+    // hash agg — no per-group sort anywhere. All arithmetic is
+    // integer (cents, floors identical cross-engine).
+    "q158_winsorized_mean" -> ((s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d).select($"event_type",
+        graft.functions.Exact.cents($"value").as("c"))
+        .withColumn("bin", expr("c div 500"))
+      val hist = ev.groupBy($"event_type", $"bin").agg(count(lit(1)).as("cnt"))
+      val wc = Window.partitionBy($"event_type").orderBy($"bin")
+      val cuts = hist
+        .withColumn("cum", sum($"cnt").over(wc))
+        .withColumn("n", sum($"cnt").over(Window.partitionBy($"event_type")))
+        .groupBy($"event_type")
+        .agg(max($"n").as("n"),
+          min(when($"cum" * 10 >= $"n", $"bin")).as("lo_bin"),
+          min(when($"cum" * 10 >= $"n" * 9, $"bin")).as("hi_bin"))
+      ev.join(cuts, Seq("event_type"))
+        .filter($"bin" >= $"lo_bin" && $"bin" <= $"hi_bin")
+        .groupBy($"event_type")
+        .agg(max($"n").as("n"), count(lit(1)).as("n_kept"),
+          max($"lo_bin" * 500).as("lo_c"), max($"hi_bin" * 500).as("hi_c"),
+          expr("sum(c) div count(1)").as("wmean_c"))
     }))
 
   /** Engine-portable GROUPING SETS (distinct sets, not rollup/cube). */
@@ -570,6 +605,31 @@ object Events extends QueryPack {
         |            WHEN first_view IS NOT NULL THEN 1
         |            ELSE 0 END AS BIGINT) AS stage
         |FROM p""".stripMargin,
+
+    // bin-trimmed robust mean; windowed sums cast (HUGEINT), all floors
+    // on non-negative cents
+    "q158_winsorized_mean" ->
+      """WITH eb AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+        |    CAST(round(value * 100) AS BIGINT) // 500 AS bin
+        |  FROM events),
+        |hist AS (SELECT event_type, bin, count(*) AS cnt FROM eb GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, bin,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM hist),
+        |cuts AS (
+        |  SELECT event_type, max(n) AS n,
+        |    min(CASE WHEN cum * 10 >= n THEN bin END) AS lo_bin,
+        |    min(CASE WHEN cum * 10 >= n * 9 THEN bin END) AS hi_bin
+        |  FROM cum GROUP BY event_type)
+        |SELECT eb.event_type, max(cuts.n) AS n, count(*) AS n_kept,
+        |  max(cuts.lo_bin * 500) AS lo_c, max(cuts.hi_bin * 500) AS hi_c,
+        |  CAST(sum(eb.c) AS BIGINT) // count(*) AS wmean_c
+        |FROM eb JOIN cuts ON cuts.event_type = eb.event_type
+        |WHERE eb.bin >= cuts.lo_bin AND eb.bin <= cuts.hi_bin
+        |GROUP BY eb.event_type""".stripMargin,
 
     "q100_robust_stats" ->
       """WITH ev AS (
