@@ -42,7 +42,7 @@ import graft.operators._
   *    anomalies, bipartite propagation, time-weighted averages, Markov
   *    transitions, robust median/MAD statistics (exact) + winsorized
   *    mean via histogram cutoffs (the mergeable robust aggregate,
-  *    q158), co-occurrence lift,
+  *    q158 trimmed mean), co-occurrence lift,
   *    map-column feature roundtrip, EWMA sequential fold (q108),
   *    sliding-window distinct users (q114)
   *  - [[operators.TextAnalysis]] q31–q34, q48, q51–q52, q66, q70,

@@ -223,16 +223,18 @@ object Dedup extends QueryPack {
     // ---- dedup keepers: the materialized deduplicated corpus --------
     // The END of the dedup pipeline: detection (q36) → clustering
     // (q56) → drop every cluster member except the min-id keeper, and
-    // report what survives per language. The drop set is tiny (cluster
-    // members only), so the anti-join broadcasts it at any corpus
-    // size; unique docs never enter the pair/cluster machinery.
+    // report what survives per language. The drop set scales with the
+    // corpus DUP RATE (web corpora run 30–50% duplicates), so no
+    // broadcast hint — it's a plain keyed anti-join and AQE broadcasts
+    // only when the detected set actually fits; unique docs never
+    // enter the pair/cluster machinery.
     "q67_dedup_keepers" -> ((s, d) => {
       import s.implicits._
       val pairs = queries("q36_minhash_neardup")(s, d).select($"a", $"b")
         .localCheckpoint(true)
       val dropped = connectedComponents(pairs)
         .filter($"v" =!= $"lbl").select($"v".as("doc_id"))
-      T.documents(s, d).join(broadcast(dropped), Seq("doc_id"), "left_anti")
+      T.documents(s, d).join(dropped, Seq("doc_id"), "left_anti")
         .groupBy($"lang")
         .agg(count(lit(1)).as("n_kept"),
           sum($"n_chars").cast("bigint").as("kept_chars"),

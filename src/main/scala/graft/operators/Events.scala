@@ -533,24 +533,35 @@ object Events extends QueryPack {
           size(map_keys($"m")).cast("bigint").as("n_types"))
     }),
 
-    // ---- winsorized mean via histogram cutoffs (robust agg at scale) -
+    // ---- trimmed mean via histogram cutoffs (robust agg at scale) ---
     // q100's exact median/MAD rank-selects inside per-group windows —
     // exact, but each group partition is a corpus-scale sort at 100 TB.
     // This is the MERGEABLE robust aggregate that replaces it at
     // scale (same trade as q80 vs q57): values reduce to a bounded
     // per-group histogram (500-cent bins) in one narrow agg; the
     // p10/p90 BIN boundaries come off the cumulative counts; the
-    // trimmed mean then excludes whole bins outside [lo, hi] in a
-    // second exact integer aggregate. Trim-by-bin is deterministic,
-    // well-defined semantics (error bounded by bin width, like every
-    // histogram sketch), and every stage is a map-side-combinable
-    // hash agg — no per-group sort anywhere. All arithmetic is
-    // integer (cents, floors identical cross-engine).
-    "q158_winsorized_mean" -> ((s, d) => {
+    // TRIMMED mean (rows outside [lo, hi] are DROPPED, not clamped —
+    // winsorizing would clamp them to the cutoff values) then excludes
+    // whole bins in a second exact integer aggregate. Trim-by-bin is
+    // deterministic, well-defined semantics (error bounded by bin
+    // width, like every histogram sketch), and every stage is a
+    // map-side-combinable hash agg — no per-group sort anywhere.
+    //
+    // All arithmetic is integer, on cents SHIFTED by +1e6 before every
+    // `div` (the q149 bal_band pattern): Spark's `div` truncates
+    // toward zero while DuckDB's `//` floors, so they agree only on
+    // non-negative operands — the shift makes that unconditional
+    // instead of relying on the fixture's values happening to be >= 0.
+    // Outputs shift back, so results are identical to the unshifted
+    // form on non-negative data. int64 headroom: sum(c + 1e6) per
+    // group overflows only past ~9e12 rows per event_type.
+    "q158_trimmed_mean" -> ((s, d) => {
       import s.implicits._
+      val S = 1000000L // divisible by the 500-cent bin width
       val ev = T.events(s, d).select($"event_type",
         graft.functions.Exact.cents($"value").as("c"))
-        .withColumn("bin", expr("c div 500"))
+        .withColumn("cs", $"c" + lit(S))
+        .withColumn("bin", expr("cs div 500"))
       val hist = ev.groupBy($"event_type", $"bin").agg(count(lit(1)).as("cnt"))
       val wc = Window.partitionBy($"event_type").orderBy($"bin")
       val cuts = hist
@@ -564,8 +575,9 @@ object Events extends QueryPack {
         .filter($"bin" >= $"lo_bin" && $"bin" <= $"hi_bin")
         .groupBy($"event_type")
         .agg(max($"n").as("n"), count(lit(1)).as("n_kept"),
-          max($"lo_bin" * 500).as("lo_c"), max($"hi_bin" * 500).as("hi_c"),
-          expr("sum(c) div count(1)").as("wmean_c"))
+          max($"lo_bin" * 500 - S).as("lo_c"),
+          max($"hi_bin" * 500 - S).as("hi_c"),
+          expr(s"(sum(cs) div count(1)) - ${S}L").as("wmean_c"))
     }))
 
   /** Engine-portable GROUPING SETS (distinct sets, not rollup/cube). */
@@ -606,12 +618,14 @@ object Events extends QueryPack {
         |            ELSE 0 END AS BIGINT) AS stage
         |FROM p""".stripMargin,
 
-    // bin-trimmed robust mean; windowed sums cast (HUGEINT), all floors
-    // on non-negative cents
-    "q158_winsorized_mean" ->
+    // bin-trimmed robust mean; windowed sums cast (HUGEINT); cents
+    // shifted +1e6 before every floor so `//` (floor) and Spark's
+    // `div` (truncate) cannot diverge on negative values
+    "q158_trimmed_mean" ->
       """WITH eb AS (
-        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
-        |    CAST(round(value * 100) AS BIGINT) // 500 AS bin
+        |  SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) + 1000000 AS cs,
+        |    (CAST(round(value * 100) AS BIGINT) + 1000000) // 500 AS bin
         |  FROM events),
         |hist AS (SELECT event_type, bin, count(*) AS cnt FROM eb GROUP BY 1, 2),
         |cum AS (
@@ -625,8 +639,9 @@ object Events extends QueryPack {
         |    min(CASE WHEN cum * 10 >= n * 9 THEN bin END) AS hi_bin
         |  FROM cum GROUP BY event_type)
         |SELECT eb.event_type, max(cuts.n) AS n, count(*) AS n_kept,
-        |  max(cuts.lo_bin * 500) AS lo_c, max(cuts.hi_bin * 500) AS hi_c,
-        |  CAST(sum(eb.c) AS BIGINT) // count(*) AS wmean_c
+        |  max(cuts.lo_bin * 500 - 1000000) AS lo_c,
+        |  max(cuts.hi_bin * 500 - 1000000) AS hi_c,
+        |  CAST(sum(eb.cs) AS BIGINT) // count(*) - 1000000 AS wmean_c
         |FROM eb JOIN cuts ON cuts.event_type = eb.event_type
         |WHERE eb.bin >= cuts.lo_bin AND eb.bin <= cuts.hi_bin
         |GROUP BY eb.event_type""".stripMargin,

