@@ -64,6 +64,95 @@ object Relational extends QueryPack {
   private def coocEdges(s: SparkSession, d: String): DataFrame =
     coocPairs(s, d).select(col("a"), col("b"))
 
+  /** The [[coocPairs]] substrate materialized as an ON-DISK bucketed
+    * table (bucketed + sorted by `a`), the cross-JOB form of the
+    * in-session persist: a 100 TB deployment builds the edge table
+    * once and every later job re-reads it with the bucket layout
+    * standing in for the pair shuffle — a `groupBy(a)` or a join on
+    * `a` over the re-read needs NO exchange (PlanSpec asserts this).
+    * Same per-application table naming + stale-location hygiene as
+    * q55's bucketed join. Returns the table name. */
+  private[graft] def coocBucketedTable(s: SparkSession, d: String): String = {
+    val app = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = s"graft_cooc_b_${d.replaceAll("[^A-Za-z0-9]", "_")}_$app"
+    if (!s.catalog.tableExists(tbl)) {
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val p = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir") + "/" + tbl)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      coocPairs(s, d).write.bucketBy(8, "a").sortBy("a")
+        .mode("overwrite").saveAsTable(tbl)
+    }
+    tbl
+  }
+
+  /** Common-neighbor / Jaccard link prediction over [[coocPairs]] for
+    * a 2% content-hash probe set (the q59 rule — replay-stable), with
+    * an optional SKEW-RELATIVE frontier degree cap.
+    *
+    * `capped = true`: BOTH hops expand only each vertex's strongest
+    * edges (cooc DESC, id ASC — a total order, so the capped adjacency
+    * is deterministic and engine-portable), truncated at
+    * cap = max(64, (3·|E|) div |V|) — 1.5× the mean degree, ≈ the p99
+    * degree on this corpus. The cap is DATA-DERIVED, not a constant:
+    * it binds only on skew outliers (a 10^6-degree hub in a
+    * mean-degree-100 graph expands just its ~150 strongest edges,
+    * killing the deg² second-hop blowup [Sarma et al.]), while the
+    * typical vertex keeps its full neighborhood — a constant cap below
+    * the mean degree was measured at overlap@5 ≈ 0.18 vs exact on
+    * this graph, i.e. it rewrites the answer; the skew-relative form
+    * is the shippable one (q160 measures it). Per-probe cost is
+    * ≤ cap² = O((|E|/|V|)²): bounded by graph DENSITY, immune to
+    * individual hub degree. cn on the capped adjacency is a lower
+    * bound of the exact count; the Jaccard denominator keeps EXACT
+    * degrees, so capped scores are conservative.
+    *
+    * Shape: the cap is a 1-row broadcast scalar; the per-vertex
+    * strength rank is a window keyed on u (|E| keyed work, the same
+    * cost class as the degree table — the rank filter can't compile
+    * to WindowGroupLimit because the limit is a column, which is why
+    * the rank rides the SAME u-partitioning the degree agg needs
+    * anyway); the final per-probe top-5 is a literal limit and DOES
+    * compile to WindowGroupLimit. */
+  private def linkPred(s: SparkSession, d: String, capped: Boolean): DataFrame = {
+    import s.implicits._
+    graft.GraftExtensions.ensureRegistered(s)
+    val cooc = coocPairs(s, d)
+    val e = cooc.select($"a", $"b")
+    val dirw = cooc.select($"a".as("u"), $"b".as("v"), $"cooc")
+      .unionAll(cooc.select($"b".as("u"), $"a".as("v"), $"cooc"))
+    val deg = dirw.groupBy($"u").agg(count(lit(1)).as("deg"))
+    val adj = if (capped) {
+      val capRow = cooc.agg(count(lit(1)).as("n_e"))
+        .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_v"))))
+        .select(greatest(expr("(3L * n_e) div n_v"), lit(64L)).as("cap"))
+      dirw.withColumn("rn", row_number().over(
+          Window.partitionBy($"u").orderBy($"cooc".desc, $"v")).cast("bigint"))
+        .crossJoin(broadcast(capRow))
+        .filter($"rn" <= $"cap").select($"u", $"v")
+    } else dirw.select($"u", $"v")
+    val probes = deg.select($"u")
+      .filter(pmod(graft.functions.PortableHash.h60($"u"), lit(50)) === 0)
+    val cand = probes.join(adj, "u").select($"u".as("a"), $"v".as("m"))
+      .join(adj.toDF("m", "b"), "m")
+      .filter($"a" =!= $"b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("cn"))
+      .join(e.toDF("lo", "hi"),
+        least($"a", $"b") === $"lo" && greatest($"a", $"b") === $"hi",
+        "left_anti")
+    cand
+      .join(deg.toDF("a", "da"), "a")
+      .join(deg.toDF("b", "db"), "b")
+      .select($"a".as("part"), $"b".as("cand"), $"cn",
+        expr("cn * 1000000L div (da + db - cn)").as("jaccard_ppm"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"part").orderBy($"jaccard_ppm".desc, $"cn".desc, $"cand"))
+        .cast("bigint"))
+      .filter($"rn" <= 5)
+      .select($"part", $"cand", $"cn", $"jaccard_ppm", $"rn")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- scans / filters / projections -------------------------------
     "q01_pricing_summary" -> ((s, d) => {
@@ -695,43 +784,55 @@ object Relational extends QueryPack {
     // (Adamic-Adar's 1/log weights are off the menu by the no-float
     // determinism rule; cn+Jaccard are its standard exact companions).
     //
-    // Shape: probes are a hash-parity sample of the VERTEX set (2%,
-    // the q59 rule — content-keyed, replay-stable), so the two-hop
-    // expansion is |probes| · deg · deg rows, never all-pairs; each
-    // hop is an equi-join on the directed edge key. At 100 TB the
-    // second hop's hub blowup (a probe adjacent to a 10^6-degree
-    // vertex) is the known cost of exact common-neighbor counting —
-    // production mitigations are a frontier degree cap or neighbor
-    // minhashing [Sarma et al.]; the probe-set bound keeps even the
-    // unmitigated exact form a per-probe cost, not a corpus cost.
-    // Existing edges are removed by a left-anti equi-join on the
-    // undirected key; the per-probe top-5 compiles to WindowGroupLimit.
-    "q150_link_prediction" -> ((s, d) => {
+    // Runs CAPPED at the skew-relative frontier bound (see
+    // [[linkPred]]: max(64, 1.5× mean degree) ≈ p99): per-probe cost
+    // is bounded by graph density, not hub degree — the production
+    // shape at 100 TB. q160 audits the cap's effect vs the exact form.
+    "q150_link_prediction" -> ((s, d) => linkPred(s, d, capped = true)),
+
+    // ---- cap audit: capped vs exact link prediction (q142 pattern) --
+    // The acceptance measurement for q150's frontier cap: run the
+    // pipeline both capped and exact, full-outer join the top-5
+    // lists on (probe, candidate), and report per probe how many of
+    // the exact top-5 the capped form recovers. This is the number
+    // that decides whether the cap is safe to ship on a given corpus —
+    // the N·deg² exact baseline is quarantined HERE, run per rollout,
+    // never in the product path (exactly like q142's ANN recall and
+    // q157's KMV audit).
+    "q160_linkpred_cap_audit" -> ((s, d) => {
       import s.implicits._
-      graft.GraftExtensions.ensureRegistered(s)
-      val e = coocEdges(s, d)
-      val dir = e.select($"a".as("u"), $"b".as("v"))
-        .unionAll(e.select($"b".as("u"), $"a".as("v")))
+      val ex = linkPred(s, d, capped = false)
+        .select($"part", $"cand", lit(1L).as("in_ex"))
+      val cp = linkPred(s, d, capped = true)
+        .select($"part", $"cand", lit(1L).as("in_cp"))
+      ex.join(cp, Seq("part", "cand"), "full_outer")
+        .groupBy($"part")
+        .agg(sum(coalesce($"in_ex", lit(0L))).as("n_exact5"),
+          sum(coalesce($"in_cp", lit(0L))).as("n_capped5"),
+          sum(when($"in_ex".isNotNull && $"in_cp".isNotNull, lit(1L))
+            .otherwise(lit(0L))).as("overlap5"))
+    }),
+
+    // ---- cross-job substrate reuse: bucketed edge table -------------
+    // q148's assortativity re-derived from the ON-DISK bucketed form
+    // of the substrate ([[coocBucketedTable]]): proves a later job can
+    // skip the lineitem self-join entirely and compute graph stats
+    // from the materialized edge table — the output hash-matches q148
+    // (same oracle), and PlanSpec asserts a bucket-key aggregation
+    // over the re-read needs no exchange.
+    "q159_cooc_substrate_reuse" -> ((s, d) => {
+      import s.implicits._
+      val eb = s.table(coocBucketedTable(s, d)).select($"a", $"b")
+      val dir = eb.select($"a".as("u"), $"b".as("v"))
+        .unionAll(eb.select($"b".as("u"), $"a".as("v")))
       val deg = dir.groupBy($"u").agg(count(lit(1)).as("deg"))
-      val probes = deg.select($"u")
-        .filter(pmod(graft.functions.PortableHash.h60($"u"), lit(50)) === 0)
-      val cand = probes.join(dir, "u").select($"u".as("a"), $"v".as("m"))
-        .join(dir.toDF("m", "b"), "m")
-        .filter($"a" =!= $"b")
-        .groupBy($"a", $"b").agg(count(lit(1)).as("cn"))
-        .join(e.toDF("lo", "hi"),
-          least($"a", $"b") === $"lo" && greatest($"a", $"b") === $"hi",
-          "left_anti")
-      cand
-        .join(deg.toDF("a", "da"), "a")
-        .join(deg.toDF("b", "db"), "b")
-        .select($"a".as("part"), $"b".as("cand"), $"cn",
-          expr("cn * 1000000L div (da + db - cn)").as("jaccard_ppm"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"part").orderBy($"jaccard_ppm".desc, $"cn".desc, $"cand"))
-          .cast("bigint"))
-        .filter($"rn" <= 5)
-        .select($"part", $"cand", $"cn", $"jaccard_ppm", $"rn")
+      dir
+        .join(deg.toDF("u", "dx"), "u")
+        .join(deg.toDF("v", "dy"), "v")
+        .agg(count(lit(1)).as("n_edges"),
+          sum($"dx").as("s_x"),
+          sum($"dx" * $"dy").as("s_xy"),
+          sum($"dx" * $"dx").as("s_xx"))
     })
   )
 
@@ -757,6 +858,70 @@ object Relational extends QueryPack {
        |      + (850000 * CAST(sum(c${i - 1}.c) AS BIGINT)) // 1000000 AS p
        |  FROM dir JOIN c${i - 1} ON c${i - 1}.u = dir.u CROSS JOIN nv
        |  GROUP BY dir.v, nv.n_v)""".stripMargin
+
+  /** q148's exact sums; also q159's ground truth (the bucketed
+    * substrate must reproduce them bit-for-bit). */
+  private val assortativityText: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT x.p AS a, y.p AS b
+      |  FROM li x JOIN li y ON x.o = y.o WHERE x.p < y.p),
+      |dir AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+      |deg AS (SELECT u, count(*) AS deg FROM dir GROUP BY u)
+      |SELECT count(*) AS n_edges,
+      |  CAST(sum(dx.deg) AS BIGINT) AS s_x,
+      |  CAST(sum(dx.deg * dy.deg) AS BIGINT) AS s_xy,
+      |  CAST(sum(dx.deg * dx.deg) AS BIGINT) AS s_xx
+      |FROM dir JOIN deg dx ON dx.u = dir.u JOIN deg dy ON dy.u = dir.v""".stripMargin
+
+  /** Shared link-prediction CTEs ([[linkPred]]'s graph build): the
+    * weighted directed adjacency, exact degrees, the skew-relative
+    * capped adjacency (max(64, 1.5× mean degree) strongest edges per
+    * vertex), and the 2% probe set. */
+  private val linkPredCtes: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |cooc AS (
+      |  SELECT x.p AS a, y.p AS b, CAST(count(*) AS BIGINT) AS cooc
+      |  FROM li x JOIN li y ON x.o = y.o WHERE x.p < y.p GROUP BY 1, 2),
+      |dirw AS (SELECT a AS u, b AS v, cooc FROM cooc
+      |  UNION ALL SELECT b AS u, a AS v, cooc FROM cooc),
+      |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM dirw GROUP BY u),
+      |capr AS (
+      |  SELECT greatest(
+      |    (3 * (SELECT count(*) FROM cooc)) // (SELECT count(*) FROM deg),
+      |    64) AS cap),
+      |adj AS (
+      |  SELECT u, v FROM (
+      |    SELECT u, v,
+      |      row_number() OVER (PARTITION BY u ORDER BY cooc DESC, v) AS rn
+      |    FROM dirw) r, capr WHERE rn <= capr.cap),
+      |probes AS (
+      |  SELECT u FROM deg
+      |  WHERE CAST('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15) AS BIGINT) % 50 = 0)""".stripMargin
+
+  /** One scored-top-5 link-prediction branch over adjacency `src`
+    * (`adj` = capped, `dirw` = exact), CTE names suffixed `sfx`. */
+  private def linkPredBranch(src: String, sfx: String): String =
+    s"""twohop$sfx AS (
+       |  SELECT d1.u AS a, d2.v AS b, CAST(count(*) AS BIGINT) AS cn
+       |  FROM probes p JOIN $src d1 ON d1.u = p.u JOIN $src d2 ON d2.u = d1.v
+       |  WHERE d2.v != d1.u
+       |  GROUP BY 1, 2),
+       |nonedge$sfx AS (
+       |  SELECT t.* FROM twohop$sfx t
+       |  WHERE NOT EXISTS (SELECT 1 FROM cooc e
+       |    WHERE e.a = least(t.a, t.b) AND e.b = greatest(t.a, t.b))),
+       |t5$sfx AS (
+       |  SELECT part, cand, cn, jaccard_ppm,
+       |    CAST(row_number() OVER (PARTITION BY part
+       |      ORDER BY jaccard_ppm DESC, cn DESC, cand) AS BIGINT) AS rn
+       |  FROM (
+       |    SELECT c.a AS part, c.b AS cand, c.cn,
+       |      c.cn * 1000000 // (da.deg + db.deg - c.cn) AS jaccard_ppm
+       |    FROM nonedge$sfx c
+       |    JOIN deg da ON da.u = c.a JOIN deg db ON db.u = c.b) s)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "q115_lateral_topk" -> lateralTopkText,
@@ -797,50 +962,30 @@ object Relational extends QueryPack {
         |  FROM scored) t
         |WHERE rn <= 5""".stripMargin,
 
-    "q148_degree_assortativity" ->
-      """WITH li AS (
-        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |e AS (
-        |  SELECT DISTINCT x.p AS a, y.p AS b
-        |  FROM li x JOIN li y ON x.o = y.o WHERE x.p < y.p),
-        |dir AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
-        |deg AS (SELECT u, count(*) AS deg FROM dir GROUP BY u)
-        |SELECT count(*) AS n_edges,
-        |  CAST(sum(dx.deg) AS BIGINT) AS s_x,
-        |  CAST(sum(dx.deg * dy.deg) AS BIGINT) AS s_xy,
-        |  CAST(sum(dx.deg * dx.deg) AS BIGINT) AS s_xx
-        |FROM dir JOIN deg dx ON dx.u = dir.u JOIN deg dy ON dy.u = dir.v""".stripMargin,
+    "q148_degree_assortativity" -> assortativityText,
+    // identical ground truth: q159 must reproduce q148's sums from the
+    // bucketed on-disk substrate
+    "q159_cooc_substrate_reuse" -> assortativityText,
 
     "q150_link_prediction" ->
-      """WITH li AS (
-        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |e AS (
-        |  SELECT DISTINCT x.p AS a, y.p AS b
-        |  FROM li x JOIN li y ON x.o = y.o WHERE x.p < y.p),
-        |dir AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
-        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM dir GROUP BY u),
-        |probes AS (
-        |  SELECT u FROM deg
-        |  WHERE CAST('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15) AS BIGINT) % 50 = 0),
-        |twohop AS (
-        |  SELECT d1.u AS a, d2.v AS b, CAST(count(*) AS BIGINT) AS cn
-        |  FROM probes p JOIN dir d1 ON d1.u = p.u JOIN dir d2 ON d2.u = d1.v
-        |  WHERE d2.v != d1.u
-        |  GROUP BY 1, 2),
-        |nonedge AS (
-        |  SELECT t.* FROM twohop t
-        |  WHERE NOT EXISTS (SELECT 1 FROM e
-        |    WHERE e.a = least(t.a, t.b) AND e.b = greatest(t.a, t.b))),
-        |scored AS (
-        |  SELECT c.a AS part, c.b AS cand, c.cn,
-        |    c.cn * 1000000 // (da.deg + db.deg - c.cn) AS jaccard_ppm
-        |  FROM nonedge c JOIN deg da ON da.u = c.a JOIN deg db ON db.u = c.b)
-        |SELECT part, cand, cn, jaccard_ppm, rn FROM (
-        |  SELECT part, cand, cn, jaccard_ppm,
-        |    CAST(row_number() OVER (PARTITION BY part
-        |      ORDER BY jaccard_ppm DESC, cn DESC, cand) AS BIGINT) AS rn
-        |  FROM scored) t
-        |WHERE rn <= 5""".stripMargin,
+      s"""$linkPredCtes,
+         |${linkPredBranch("adj", "")}
+         |SELECT part, cand, cn, jaccard_ppm, rn
+         |FROM t5 WHERE rn <= 5""".stripMargin,
+
+    "q160_linkpred_cap_audit" ->
+      s"""$linkPredCtes,
+         |${linkPredBranch("adj", "_cp")},
+         |${linkPredBranch("dirw", "_ex")}
+         |SELECT coalesce(ex.part, cp.part) AS part,
+         |  CAST(count(ex.cand) AS BIGINT) AS n_exact5,
+         |  CAST(count(cp.cand) AS BIGINT) AS n_capped5,
+         |  CAST(sum(CASE WHEN ex.cand IS NOT NULL AND cp.cand IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS overlap5
+         |FROM (SELECT * FROM t5_ex WHERE rn <= 5) ex
+         |FULL JOIN (SELECT * FROM t5_cp WHERE rn <= 5) cp
+         |  ON cp.part = ex.part AND cp.cand = ex.cand
+         |GROUP BY 1""".stripMargin,
 
     // ground truth via the unoriented a<b<c triple join (each triangle
     // counted once), affordable at oracle scale only

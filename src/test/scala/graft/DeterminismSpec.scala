@@ -53,7 +53,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q150_link_prediction", "q151_compaction_plan",
     "q152_containment_join", "q153_kmv_set_ops", "q154_weighted_sample",
     "q155_incremental_neardup", "q156_deletion_audit",
-    "q157_kmv_overlap_audit", "q158_trimmed_mean")
+    "q157_kmv_overlap_audit", "q158_trimmed_mean",
+    "q159_cooc_substrate_reuse", "q160_linkpred_cap_audit")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count
