@@ -550,11 +550,17 @@ object Events extends QueryPack {
     // All arithmetic is integer, on cents SHIFTED by +1e6 before every
     // `div` (the q149 bal_band pattern): Spark's `div` truncates
     // toward zero while DuckDB's `//` floors, so they agree only on
-    // non-negative operands — the shift makes that unconditional
-    // instead of relying on the fixture's values happening to be >= 0.
-    // Outputs shift back, so results are identical to the unshifted
-    // form on non-negative data. int64 headroom: sum(c + 1e6) per
-    // group overflows only past ~9e12 rows per event_type.
+    // non-negative operands. The shift widens the agreement envelope
+    // from "values >= 0" to "values >= -$10,000": shifted cents (and
+    // therefore every per-group sum(cs) feeding wmean_c) stay
+    // non-negative down to value = -1e6 cents, and below THAT bound
+    // the engines silently diverge again. Like the int64 headroom
+    // note below, this is a documented operating envelope, not a
+    // runtime check — a corpus with values under -$10,000 needs the
+    // shift re-derived from min(c). Outputs shift back, so results
+    // are identical to the unshifted form on non-negative data.
+    // int64 headroom: sum(c + 1e6) per group overflows only past
+    // ~9e12 rows per event_type.
     "q158_trimmed_mean" -> ((s, d) => {
       import s.implicits._
       val S = 1000000L // divisible by the 500-cent bin width

@@ -68,19 +68,40 @@ object Relational extends QueryPack {
     * table (bucketed + sorted by `a`), the cross-JOB form of the
     * in-session persist: a 100 TB deployment builds the edge table
     * once and every later job re-reads it with the bucket layout
-    * standing in for the pair shuffle — a `groupBy(a)` or a join on
-    * `a` over the re-read needs NO exchange (PlanSpec asserts this).
-    * Same per-application table naming + stale-location hygiene as
-    * q55's bucketed join. Returns the table name. */
+    * standing in for the pair shuffle — a BUCKET-KEY plan (a
+    * `groupBy("a")`, or a join on `a`) over the re-read needs NO
+    * exchange; PlanSpec asserts exactly that on a `groupBy("a")`
+    * aggregation of the re-read. (q159's own aggregation keys on `u`
+    * over a union of BOTH edge directions, so it shuffles regardless
+    * of layout — the bucketing it exercises is the scan reuse, not
+    * that agg's exchange.)
+    *
+    * Naming + hygiene: the name embeds the applicationId (the
+    * in-memory catalog is per-JVM but the warehouse dir is not, so
+    * concurrent runs must not share a location — q55's rule) and is
+    * LOWERCASED, because the metastore lowercases table directory
+    * names and a mixed-case name would aim cleanup at a path that
+    * never exists. Since each app's name is unique, an exact-name
+    * cleanup can never reclaim a PRIOR app's directory — so stale
+    * `graft_cooc_b_<d>_*` dirs are swept by prefix, restricted to
+    * dirs untouched for >1h so a live concurrent run (bench+verify)
+    * is never raced. Returns the table name. */
   private[graft] def coocBucketedTable(s: SparkSession, d: String): String = {
     val app = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val tbl = s"graft_cooc_b_${d.replaceAll("[^A-Za-z0-9]", "_")}_$app"
+    val pfx = s"graft_cooc_b_${d.replaceAll("[^A-Za-z0-9]", "_")}_".toLowerCase
+    val tbl = (pfx + app).toLowerCase
     if (!s.catalog.tableExists(tbl)) {
       s.sql(s"DROP TABLE IF EXISTS $tbl")
-      val p = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir") + "/" + tbl)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val staleMs = 60L * 60L * 1000L
+      if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
+        val n = st.getPath.getName
+        val stale = System.currentTimeMillis() - st.getModificationTime > staleMs
+        if (n == tbl || (n.startsWith(pfx) && stale))
+          fs.delete(st.getPath, true)
+      }
       coocPairs(s, d).write.bucketBy(8, "a").sortBy("a")
         .mode("overwrite").saveAsTable(tbl)
     }
@@ -818,8 +839,12 @@ object Relational extends QueryPack {
     // of the substrate ([[coocBucketedTable]]): proves a later job can
     // skip the lineitem self-join entirely and compute graph stats
     // from the materialized edge table — the output hash-matches q148
-    // (same oracle), and PlanSpec asserts a bucket-key aggregation
-    // over the re-read needs no exchange.
+    // (same oracle). NOTE the degree agg below keys on `u` over a
+    // union of BOTH edge directions, so it shuffles no matter how the
+    // table is laid out; what this query reuses is the materialized
+    // edges (no lineitem self-join). The layout's no-exchange payoff
+    // exists only for bucket-key (`a`) plans, and PlanSpec asserts it
+    // there — on a groupBy("a") over the re-read — not here.
     "q159_cooc_substrate_reuse" -> ((s, d) => {
       import s.implicits._
       val eb = s.table(coocBucketedTable(s, d)).select($"a", $"b")

@@ -109,6 +109,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "join keys were re-shuffled despite bucketing")
   }
 
+  test("cooc bucketed substrate: bucket-key aggregation has no exchange") {
+    // the claim coocBucketedTable's scaladoc makes: a groupBy on the
+    // bucket key `a` over the re-read is satisfied by the bucketed
+    // scan's hash partitioning, so the plan holds NO Exchange at all.
+    // (q159 itself aggregates on `u` over a union of both edge
+    // directions — that must shuffle regardless of layout, which is
+    // why the assertion lives here on a genuine bucket-key plan.)
+    val tbl = operators.Relational.coocBucketedTable(spark, dir)
+    val p = spark.table(tbl).groupBy("a")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("deg_a"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"),
+      s"bucket-key agg over the bucketed substrate re-shuffled:\n$p")
+  }
+
   test("pipeline windows are stratum-partitioned, never global") {
     // q60 (stratified sample) and q62 (seq packing) window per lang —
     // a global single-partition window would serialize 100 TB through
@@ -262,11 +278,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Request-bounded sets (q156's deletion queue) use plain semi-joins
     // with no hint, so AQE sizes them — also outside this ban.
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    // EVASION RISK, known and bounded: this is a NAME heuristic, so a
+    // hinted scaling relation whose columns were renamed first slips
+    // through. The rename aliases these pipelines actually use on
+    // scaling-keyed relations (`u`/`v`/`m` in the graph adjacency
+    // family) are therefore banned too. Aliases that CAN'T be banned
+    // because legit bounded hint sides use the same names: `lo`/`hi`
+    // (q30's 4-row tier dim), `a`/`b` (q103's |event-types|²
+    // marginals), `i`/`j` (q139's 8-row PQ marginals), `r`/`b`
+    // (q36's k-row band matrix). A row-count check would close the
+    // gap for good, but a logical-plan child can't be re-executed
+    // through public API and sf0.001 sizes wouldn't discriminate
+    // anyway — so new renames on scaling relations must be added
+    // here when introduced (the review gate for any new hint).
     def scaling(c: String): Boolean = {
       val lc = c.toLowerCase
       lc.endsWith("partkey") || lc.endsWith("orderkey") ||
         lc.endsWith("custkey") || lc.endsWith("suppkey") ||
-        Set("doc_id", "user_id", "vec_id", "part", "nbr", "cand")(lc)
+        Set("doc_id", "user_id", "vec_id", "part", "nbr", "cand",
+          "u", "v", "m")(lc)
     }
     val offenders = dfs.flatMap { case (n, df) =>
       df.queryExecution.analyzed.collect {
