@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
   *
@@ -74,24 +75,43 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read as a timestamp ([PARQUET_TYPE_ILLEGAL]); read it as raw nanos
-    * (legacy conf) and convert with integer division (a double division
-    * would lose precision above 2^53 ns). Values are µs-grained, so the
-    * ns→µs truncation is lossless and matches DuckDB's `epoch_us`. */
+  /** `events.ts` has varied physically across testdata generations:
+    * parquet TIMESTAMP(NANOS) stored as int64 (Spark 4 refuses to read
+    * it as a timestamp — [PARQUET_TYPE_ILLEGAL] — unless the legacy
+    * conf exposes it as raw nanos) vs native timestamp[us] (read as
+    * TIMESTAMP_NTZ under Spark 4's parquet NTZ inference). Dispatch on
+    * the loaded dtype and normalize every form to TIMESTAMP: the
+    * session tz is pinned UTC everywhere (Bench/Verify/build.sbt), so
+    * the NTZ→TZ cast is numerically the identity and `unix_micros`
+    * downstream keeps meaning epoch micros — agreeing with DuckDB's
+    * `epoch_us(ts)` on both physical forms. The nanos branch converts
+    * with integer division (a double division would lose precision
+    * above 2^53 ns); values are µs-grained, so the truncation is
+    * lossless. */
   def events(s: SparkSession, d: String): DataFrame = {
+    // must be set BEFORE the first (memoized) scan: with a NANOS
+    // fixture and the conf unset, the read itself throws; with a µs
+    // fixture the conf is a no-op
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // only the load (file listing) is worth memoizing; the ns→µs
-    // conversion is a free plan node — and memoizing it here would
+    // only the load (file listing) is worth memoizing; the dtype
+    // normalization is a free plan node — and memoizing it here would
     // nest computeIfAbsent inside computeIfAbsent on the same map,
     // which ConcurrentHashMap rejects as a recursive update
-    load(s, d, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical type $other in $d/events.parquet " +
+        "(expected int64 nanos, timestamp_ntz, or timestamp)")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** Register every table as a temp view (for spark.sql-style access).
-    * `events` goes through its loader (ns-timestamp conversion).
+    * `events` goes through its loader (ts dtype normalization).
     * Temp views are session-level mutable state, so memoizing must track
     * WHICH dir a session's views currently point at — re-registering is
     * skipped only while the dir is unchanged. */

