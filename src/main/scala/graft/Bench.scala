@@ -52,6 +52,13 @@ object Bench {
     // measured: cache accumulation across 165 queries inflated even
     // cache-free streaming fixtures ~50% via GC pressure — isolation
     // is also the more honest total.
+    // Streaming-fixture floor (recorded so per-round comparisons stop
+    // re-flagging it): the sNN declared queries execute a real
+    // micro-batch pipeline — state-store commits, checkpoint dirs, and
+    // epoch scheduling dominate at test scale, giving each stateful
+    // stream a ~3-6 s floor (s06/s12/s15/s16 in every complete round's
+    // tail) that is FIXTURE overhead, not data volume: the same
+    // pipelines amortize those costs across real batch sizes at scale.
     val results = all.map { case (name, fn) =>
       spark.catalog.clearCache()
       name -> run(name, fn)
