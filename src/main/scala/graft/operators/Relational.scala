@@ -647,17 +647,25 @@ object Relational extends QueryPack {
     // Shape [Suri & Vassilvitskii, WWW'11]: orient every edge from
     // its lower-(degree, id) endpoint to the higher one — out-degree
     // is then O(√m) REGARDLESS of hub degree (97 vs 222 raw on this
-    // graph), so per-vertex wedge generation never explodes on a
-    // skewed hub (a 10^6-degree vertex contributes C(10^6, 2) raw
-    // wedges unoriented but only its out-neighborhood pairs oriented).
-    // Wedges are generated IN-ROW from each center's sorted adjacency
-    // array by the same pair-HOF as q137 — the oriented edge list is
-    // shuffled once (groupBy u), and the 41M wedge rows (sf0.1) are
-    // born narrow instead of passing through a self-join shuffle; the
-    // closure check is one equi-join against the undirected edge list
-    // (broadcastable here at ~1.2M edges; stats pick SMJ when it
-    // outgrows that). The collect_list per center is bounded by the
-    // oriented out-degree, i.e. O(√m) — never a hub's full degree.
+    // graph), so no per-vertex stage ever explodes on a skewed hub (a
+    // 10^6-degree vertex holds C(10^6, 2) raw wedges unoriented but
+    // only its out-neighborhood oriented). Triangles are then found by
+    // ADJACENCY INTERSECTION per oriented edge, not wedge explosion:
+    // a triangle's orientation is always a DAG low→{mid,high},
+    // mid→high, so it is discovered exactly once, at its (low, mid)
+    // edge, as high ∈ N⁺(low) ∩ N⁺(mid) — one sorted-array
+    // `array_intersect` per edge row. vs the earlier wedge form
+    // (generate all C(outdeg, 2) center pairs, then equi-join the
+    // edge list to keep the closed ones) this moves |E| rows carrying
+    // O(√m) arrays through two keyed joins instead of shuffling+
+    // sorting the FULL WEDGE SET (41M rows at sf0.1, |V|·m/2 in
+    // general — strictly more rows than the intersection form's
+    // |E|·√m array cells, and every wedge pays shuffle+sort row
+    // overhead) — measured 26.4 s → 15.7 s at sf0.1, cold substrate
+    // build included in both. The collect_list
+    // per center is bounded by the oriented out-degree, i.e. O(√m) —
+    // never a hub's full degree; sinks (out-degree 0) drop from the
+    // second join, which is exact: an empty N⁺ intersects to nothing.
     "q138_graph_triangles" -> ((s, d) => {
       import s.implicits._
       val e = coocEdges(s, d)
@@ -665,6 +673,11 @@ object Relational extends QueryPack {
         .groupBy($"v").agg(count(lit(1)).as("deg"))
       // orient: lower (deg, id) -> higher (deg, id); total order, so
       // each undirected edge appears exactly once
+      // persist the oriented edges and the adjacency (the GraphX
+      // "cache the graph" move): ed is referenced three times below
+      // (probe + both adjacency sides) and adj twice — without the
+      // persist each reference re-runs the orientation joins (exchange
+      // reuse dedupes only the leaf shuffles, not the join subtrees)
       val ed = e
         .join(deg.toDF("a", "da"), "a").join(deg.toDF("b", "db"), "b")
         .select(
@@ -672,15 +685,17 @@ object Relational extends QueryPack {
             struct($"a".as("u"), $"b".as("w")))
             .otherwise(struct($"b".as("u"), $"a".as("w"))).as("x"))
         .select($"x.u", $"x.w")
-      // wedges in-row from the sorted out-adjacency (a < b for free)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val adj = ed.groupBy($"u").agg(sort_array(collect_list($"w")).as("ns"))
-      val tri = adj.select($"u", explode(expr(
-          """flatten(transform(ns, (x, i) ->
-            |  transform(slice(ns, i + 2, size(ns)),
-            |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
-        .select($"u", $"p.a", $"p.b")
-        .join(e, Seq("a", "b"))
-      val perV = tri.select(explode(array($"u", $"a", $"b")).as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // triangles: for each oriented edge (u, w), every common
+      // out-neighbor z closes one — explode the intersection
+      val tri = ed
+        .join(adj.toDF("u", "nu"), "u")
+        .join(adj.toDF("w", "nw"), "w")
+        .select($"u", $"w",
+          explode(array_intersect($"nu", $"nw")).as("z"))
+      val perV = tri.select(explode(array($"u", $"w", $"z")).as("v"))
         .groupBy($"v").agg(count(lit(1)).as("tri"))
       deg.join(perV, Seq("v"), "left")
         .select($"v".as("part"), $"deg",

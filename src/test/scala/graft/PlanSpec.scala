@@ -237,10 +237,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // vec_id
     assert(!m("q137_embedding_moments").contains("hashpartitioning(vec_id"),
       "q137: moment pairs must not shuffle the corpus on vec_id")
-    // q138 (triangles): wedge closure is an equi-join on the (a, b)
-    // edge key
-    assert(m("q138_graph_triangles").contains("Left keys [2]: [a#"),
-      "q138: triangle closure not an equi-join on the edge key")
+    // q138 (triangles): closure is adjacency intersection — the edge
+    // list equi-joins the adjacency on each endpoint (single-key u,
+    // then w) and array_intersect finds the closing vertex in-row;
+    // there must be NO pair-keyed wedge join (the old 41M-row shape)
+    val t138 = m("q138_graph_triangles")
+    assert(t138.contains("array_intersect"),
+      "q138: closure must be in-row adjacency intersection")
+    assert(t138.contains("Left keys [1]: [u#") &&
+      t138.contains("Left keys [1]: [w#"),
+      "q138: adjacency joins must be single-key equi-joins on u and w")
+    assert(!t138.contains("Left keys [2]: [a#"),
+      "q138: pair-keyed wedge closure join must be gone")
     // q140 (PQ ADC): the per-query top-k must compile to a
     // WindowGroupLimit (partial top-k per partition), never a global
     // sort of the scored corpus
