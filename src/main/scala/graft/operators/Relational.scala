@@ -64,6 +64,26 @@ object Relational extends QueryPack {
   private def coocEdges(s: SparkSession, d: String): DataFrame =
     coocPairs(s, d).select(col("a"), col("b"))
 
+  /** Degree table of the co-occurrence graph — (v, deg), one row per
+    * vertex. The SECOND shared graph substrate after [[coocPairs]]:
+    * q138 (orientation), q145 (contribution split), q148 (endpoint
+    * power sums) and [[linkPred]] (Jaccard denominator, probe set,
+    * cap scalar — so q150 AND both q160 arms) all key on exactly this
+    * table, and several reference it 2-4 times within one plan.
+    * Memoized per (session, dir) + self-healing persisted like
+    * coocPairs: |V| rows of two longs, trivially cacheable at any
+    * scale, and sharing it removes a 2|E|-row groupBy per reference. */
+  private def coocDeg(s: SparkSession, d: String): DataFrame = {
+    val df = T.memo(s, s"cooc_deg:$d") {
+      val e = coocEdges(s, d)
+      e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    }
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df
+  }
+
   /** The [[coocPairs]] substrate materialized as an ON-DISK bucketed
     * table (bucketed + sorted by `a`), the cross-JOB form of the
     * in-session persist: a 100 TB deployment builds the edge table
@@ -143,8 +163,8 @@ object Relational extends QueryPack {
     val e = cooc.select($"a", $"b")
     val dirw = cooc.select($"a".as("u"), $"b".as("v"), $"cooc")
       .unionAll(cooc.select($"b".as("u"), $"a".as("v"), $"cooc"))
-    val deg = dirw.groupBy($"u").agg(count(lit(1)).as("deg"))
-    val adj = if (capped) {
+    val deg = coocDeg(s, d).toDF("u", "deg")
+    val adj = (if (capped) {
       val capRow = cooc.agg(count(lit(1)).as("n_e"))
         .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_v"))))
         .select(greatest(expr("(3L * n_e) div n_v"), lit(64L)).as("cap"))
@@ -152,7 +172,11 @@ object Relational extends QueryPack {
           Window.partitionBy($"u").orderBy($"cooc".desc, $"v")).cast("bigint"))
         .crossJoin(broadcast(capRow))
         .filter($"rn" <= $"cap").select($"u", $"v")
-    } else dirw.select($"u", $"v")
+    } else dirw.select($"u", $"v"))
+      // both two-hop sides read this adjacency; persisting it stops
+      // the rank window (capped) / the substrate reprojection (exact)
+      // from running twice per plan
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probes = deg.select($"u")
       .filter(pmod(graft.functions.PortableHash.h60($"u"), lit(50)) === 0)
     val cand = probes.join(adj, "u").select($"u".as("a"), $"v".as("m"))
@@ -669,8 +693,7 @@ object Relational extends QueryPack {
     "q138_graph_triangles" -> ((s, d) => {
       import s.implicits._
       val e = coocEdges(s, d)
-      val deg = e.select($"a".as("v")).unionAll(e.select($"b".as("v")))
-        .groupBy($"v").agg(count(lit(1)).as("deg"))
+      val deg = coocDeg(s, d)
       // orient: lower (deg, id) -> higher (deg, id); total order, so
       // each undirected edge appears exactly once
       // persist the oriented edges and the adjacency (the GraphX
@@ -728,7 +751,7 @@ object Relational extends QueryPack {
       val e = coocEdges(s, d)
       val dir = e.select($"a".as("u"), $"b".as("v"))
         .unionAll(e.select($"b".as("u"), $"a".as("v")))
-      val deg = dir.groupBy($"u").agg(count(lit(1)).as("deg"))
+      val deg = coocDeg(s, d).toDF("u", "deg")
       val nV = deg.agg(count(lit(1)).as("n_v"))
       var p = deg.crossJoin(broadcast(nV))
         .select($"u".as("v"), expr("1000000L div n_v").as("p"), $"n_v")
@@ -801,7 +824,7 @@ object Relational extends QueryPack {
       val e = coocEdges(s, d)
       val dir = e.select($"a".as("u"), $"b".as("v"))
         .unionAll(e.select($"b".as("u"), $"a".as("v")))
-      val deg = dir.groupBy($"u").agg(count(lit(1)).as("deg"))
+      val deg = coocDeg(s, d).toDF("u", "deg")
       dir
         .join(deg.toDF("u", "dx"), "u")
         .join(deg.toDF("v", "dy"), "v")
