@@ -73,7 +73,7 @@ object Relational extends QueryPack {
     * Memoized per (session, dir) + self-healing persisted like
     * coocPairs: |V| rows of two longs, trivially cacheable at any
     * scale, and sharing it removes a 2|E|-row groupBy per reference. */
-  private def coocDeg(s: SparkSession, d: String): DataFrame = {
+  private[graft] def coocDeg(s: SparkSession, d: String): DataFrame = {
     val df = T.memo(s, s"cooc_deg:$d") {
       val e = coocEdges(s, d)
       e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))

@@ -60,4 +60,20 @@ class SubstrateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sub.except(raw).isEmpty && raw.except(sub).isEmpty,
       "substrate rows differ from the direct edge build")
   }
+
+  test("coocDeg agrees with a from-scratch degree count and is persisted") {
+    import org.apache.spark.sql.functions._
+    val e = operators.Relational.coocPairs(spark, dir).select(col("a"), col("b"))
+    val raw = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val deg = operators.Relational.coocDeg(spark, dir)
+    assert(deg.except(raw).isEmpty && raw.except(deg).isEmpty,
+      "degree substrate differs from the direct degree count")
+    // memoized: same plan instance; self-healing persist like coocPairs
+    assert(deg eq operators.Relational.coocDeg(spark, dir))
+    spark.catalog.clearCache()
+    assert(operators.Relational.coocDeg(spark, dir).storageLevel
+      != org.apache.spark.storage.StorageLevel.NONE,
+      "coocDeg did not re-mark its persist after clearCache")
+  }
 }
