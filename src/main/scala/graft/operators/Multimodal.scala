@@ -44,10 +44,26 @@ object Multimodal extends QueryPack {
     * concurrent runs never clobber each other. */
   private val binDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def seedBinaryFiles(s: SparkSession, d: String): String = {
-    val dir = s"/tmp/graft_bin_${d.replaceAll("[^A-Za-z0-9]", "_")}" +
-      s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+    val pfx = s"graft_bin_${d.replaceAll("[^A-Za-z0-9]", "_")}_"
+    val dir = s"/tmp/$pfx${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
     if (binDirs.add(dir)) {
       import java.nio.file.{Files, Paths}
+      // stale-sweep prior sessions' fixture dirs (same rule as the
+      // bucketed cooc table: prefix match + untouched >1h, so a live
+      // concurrent run is never raced) — each dir is ~|documents|
+      // files, a slow inode leak if left behind
+      val staleMs = 60L * 60L * 1000L
+      val listing = Files.list(Paths.get("/tmp"))
+      try listing.filter(p => p.getFileName.toString.startsWith(pfx))
+        .filter(p => System.currentTimeMillis() -
+          Files.getLastModifiedTime(p).toMillis > staleMs)
+        .forEach { p =>
+          val walk = Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => Files.deleteIfExists(q))
+          finally walk.close()
+        }
+      finally listing.close()
       Files.createDirectories(Paths.get(dir))
       // toLocalIterator streams one partition at a time to the driver
       // (the files must land on the driver's local fs, but memory
