@@ -685,8 +685,9 @@ object Relational extends QueryPack {
     // sorting the FULL WEDGE SET (41M rows at sf0.1, |V|·m/2 in
     // general — strictly more rows than the intersection form's
     // |E|·√m array cells, and every wedge pays shuffle+sort row
-    // overhead) — measured 26.4 s → 15.7 s at sf0.1, cold substrate
-    // build included in both. The collect_list
+    // overhead) — measured 26.4 s → 15.7 s at sf0.1 (cold substrate
+    // build included; → ~6 s with the ed/adj persists below). The
+    // collect_list
     // per center is bounded by the oriented out-degree, i.e. O(√m) —
     // never a hub's full degree; sinks (out-degree 0) drop from the
     // second join, which is exact: an empty N⁺ intersects to nothing.
