@@ -128,6 +128,53 @@ object Relational extends QueryPack {
     tbl
   }
 
+  /** Per-vertex triangle counts over an undirected edge list — the
+    * core of q138, factored so TrianglePropertySpec can drive it over
+    * arbitrary random graphs (the orientation tie-break is the subtle
+    * part). `e` holds each undirected edge exactly once as (a, b) in
+    * either column order; `deg` is the (v, deg) degree table of the
+    * same graph. Returns (v, deg, triangles) with one row per vertex
+    * in `deg` (triangle-free vertices included at 0).
+    *
+    * Algorithm [Suri & Vassilvitskii, WWW'11 + adjacency
+    * intersection]: orient each edge lower-(deg, id) → higher — a
+    * total order, so out-degree is O(√m) regardless of hub degree —
+    * then a triangle's orientation is always a DAG low→{mid, high},
+    * mid→high, and it is found exactly once, at its (low, mid) edge,
+    * as high ∈ N⁺(low) ∩ N⁺(mid): one sorted-array `array_intersect`
+    * per edge row. ed/adj are persisted (the GraphX "cache the graph"
+    * move): ed is referenced three times (probe + both adjacency
+    * sides) and adj twice — without the persist each reference
+    * re-runs the orientation joins (exchange reuse dedupes only the
+    * leaf shuffles, not the join subtrees). Sinks (out-degree 0) drop
+    * from the second join, which is exact: an empty N⁺ intersects to
+    * nothing. */
+  private[graft] def triangleCounts(e: DataFrame, deg: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val ed = e
+      .join(deg.toDF("a", "da"), "a").join(deg.toDF("b", "db"), "b")
+      .select(
+        when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"),
+          struct($"a".as("u"), $"b".as("w")))
+          .otherwise(struct($"b".as("u"), $"a".as("w"))).as("x"))
+      .select($"x.u", $"x.w")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = ed.groupBy($"u").agg(sort_array(collect_list($"w")).as("ns"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // triangles: for each oriented edge (u, w), every common
+    // out-neighbor z closes one — explode the intersection
+    val tri = ed
+      .join(adj.toDF("u", "nu"), "u")
+      .join(adj.toDF("w", "nw"), "w")
+      .select($"u", $"w",
+        explode(array_intersect($"nu", $"nw")).as("z"))
+    val perV = tri.select(explode(array($"u", $"w", $"z")).as("v"))
+      .groupBy($"v").agg(count(lit(1)).as("tri"))
+    deg.join(perV, Seq("v"), "left")
+      .select($"v", $"deg", coalesce($"tri", lit(0L)).as("triangles"))
+  }
+
   /** Common-neighbor / Jaccard link prediction over [[coocPairs]] for
     * a 2% content-hash probe set (the q59 rule — replay-stable), with
     * an optional SKEW-RELATIVE frontier degree cap.
@@ -691,44 +738,13 @@ object Relational extends QueryPack {
     // per center is bounded by the oriented out-degree, i.e. O(√m) —
     // never a hub's full degree; sinks (out-degree 0) drop from the
     // second join, which is exact: an empty N⁺ intersects to nothing.
-    "q138_graph_triangles" -> ((s, d) => {
-      import s.implicits._
-      val e = coocEdges(s, d)
-      val deg = coocDeg(s, d)
-      // orient: lower (deg, id) -> higher (deg, id); total order, so
-      // each undirected edge appears exactly once
-      // persist the oriented edges and the adjacency (the GraphX
-      // "cache the graph" move): ed is referenced three times below
-      // (probe + both adjacency sides) and adj twice — without the
-      // persist each reference re-runs the orientation joins (exchange
-      // reuse dedupes only the leaf shuffles, not the join subtrees)
-      val ed = e
-        .join(deg.toDF("a", "da"), "a").join(deg.toDF("b", "db"), "b")
-        .select(
-          when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"),
-            struct($"a".as("u"), $"b".as("w")))
-            .otherwise(struct($"b".as("u"), $"a".as("w"))).as("x"))
-        .select($"x.u", $"x.w")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val adj = ed.groupBy($"u").agg(sort_array(collect_list($"w")).as("ns"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // triangles: for each oriented edge (u, w), every common
-      // out-neighbor z closes one — explode the intersection
-      val tri = ed
-        .join(adj.toDF("u", "nu"), "u")
-        .join(adj.toDF("w", "nw"), "w")
-        .select($"u", $"w",
-          explode(array_intersect($"nu", $"nw")).as("z"))
-      val perV = tri.select(explode(array($"u", $"w", $"z")).as("v"))
-        .groupBy($"v").agg(count(lit(1)).as("tri"))
-      deg.join(perV, Seq("v"), "left")
-        .select($"v".as("part"), $"deg",
-          coalesce($"tri", lit(0L)).as("triangles"))
+    "q138_graph_triangles" -> ((s, d) =>
+      triangleCounts(coocEdges(s, d), coocDeg(s, d))
         .withColumn("coef_ppm",
-          when($"deg" >= 2,
+          when(col("deg") >= 2,
             expr("(triangles * 2000000L) div (deg * (deg - 1))"))
             .otherwise(lit(0L)))
-    }),
+        .withColumnRenamed("v", "part")),
 
     // ---- PageRank: 3 integer-exact power iterations -----------------
     // Link-analysis centrality over the same part co-occurrence graph
