@@ -207,6 +207,37 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected logarithmic convergence on diameter 300, took $rounds rounds")
   }
 
+  test("connectedComponents matches union-find on random graphs") {
+    val sp = spark
+    import sp.implicits._
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30 + rnd.nextInt(20)
+      val pairs = (for {
+        i <- 0L until n.toLong
+        j <- (i + 1) until n.toLong
+        if rnd.nextDouble() < 0.06
+      } yield (i, j)).toSeq
+      if (pairs.nonEmpty) {
+        // reference: plain union-find with path compression
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+          .map(v => v -> find(v)).toMap
+        val got = graft.operators.Dedup.connectedComponents(pairs.toDF("a", "b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"seed=$seed n=$n: labels differ from union-find")
+      }
+    }
+  }
+
   test("KmvSketch keeps the k smallest distinct hashes regardless of arrival order") {
     import graft.functions.KmvSketch
     val k = 8
