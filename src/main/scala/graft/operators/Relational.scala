@@ -128,6 +128,43 @@ object Relational extends QueryPack {
     tbl
   }
 
+  /** Integer-exact PageRank over an undirected edge list — the core
+    * of q145, factored so PageRankPropertySpec can drive it over
+    * arbitrary random graphs against a sequential reference. `e`
+    * holds each undirected edge exactly once (either column order);
+    * `deg` is the (v, deg) degree table of the same graph.
+    * PRECONDITION: the graph is symmetrized with deg ≥ 1 everywhere
+    * (every vertex both sends and receives, so the inner contribution
+    * join keeps all vertices) — true by construction for any
+    * edge-list-derived degree table. All mass is ppm-of-total
+    * integers with floor division on non-negative values (Spark `div`
+    * = DuckDB `//` there), so `iters` unrolled iterations are
+    * bit-reproducible: p0 = 1e6 div n, then
+    * p'(v) = 150000 div n + (850000 · Σ_{u~v} (p(u) div deg(u))) div 1e6.
+    * Returns (v, pr_ppm). */
+  private[graft] def pageRankPpm(e: DataFrame, degIn: DataFrame,
+                                 iters: Int = 3): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val dir = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    val deg = degIn.toDF("u", "deg")
+    val nV = deg.agg(count(lit(1)).as("n_v"))
+    var p = deg.crossJoin(broadcast(nV))
+      .select($"u".as("v"), expr("1000000L div n_v").as("p"), $"n_v")
+    for (_ <- 1 to iters) {
+      val contrib = p.join(deg.toDF("v", "deg"), "v")
+        .select($"v".as("u"), expr("p div deg").as("c"))
+      p = dir.join(contrib, "u")
+        .groupBy($"v").agg(sum($"c").as("sc"))
+        .crossJoin(broadcast(nV))
+        .select($"v",
+          (expr("150000L div n_v") + expr("(850000L * sc) div 1000000L")).as("p"),
+          $"n_v")
+    }
+    p.select($"v", $"p".as("pr_ppm"))
+  }
+
   /** Per-vertex triangle counts over an undirected edge list — the
     * core of q138, factored so TrianglePropertySpec can drive it over
     * arbitrary random graphs (the orientation tie-break is the subtle
@@ -763,27 +800,9 @@ object Relational extends QueryPack {
     // rank ORDER stabilizes long before values do). Skewed hubs cost
     // what they cost — the contribution per edge is one int, never the
     // neighbor list.
-    "q145_pagerank" -> ((s, d) => {
-      import s.implicits._
-      val e = coocEdges(s, d)
-      val dir = e.select($"a".as("u"), $"b".as("v"))
-        .unionAll(e.select($"b".as("u"), $"a".as("v")))
-      val deg = coocDeg(s, d).toDF("u", "deg")
-      val nV = deg.agg(count(lit(1)).as("n_v"))
-      var p = deg.crossJoin(broadcast(nV))
-        .select($"u".as("v"), expr("1000000L div n_v").as("p"), $"n_v")
-      for (_ <- 1 to 3) {
-        val contrib = p.join(deg.toDF("v", "deg"), "v")
-          .select($"v".as("u"), expr("p div deg").as("c"))
-        p = dir.join(contrib, "u")
-          .groupBy($"v").agg(sum($"c").as("sc"))
-          .crossJoin(broadcast(nV))
-          .select($"v",
-            (expr("150000L div n_v") + expr("(850000L * sc) div 1000000L")).as("p"),
-            $"n_v")
-      }
-      p.select($"v".as("part"), $"p".as("pr_ppm"))
-    }),
+    "q145_pagerank" -> ((s, d) =>
+      pageRankPpm(coocEdges(s, d), coocDeg(s, d))
+        .withColumnRenamed("v", "part")),
 
     // ---- item-item similarity: top-5 co-purchase neighbors ----------
     // The collaborative-filtering kernel: for each part, the 5 most

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property test for the integer-exact PageRank core
+  * (`Relational.pageRankPpm`) against a sequential reference.
+  *
+  * The oracle gate proves q145 on the co-occurrence fixtures; this
+  * spec proves the INTEGER ARITHMETIC on shapes the fixtures don't
+  * stress: vanishing contributions (p div deg = 0 on low-mass
+  * high-degree vertices), stars (extreme in-degree concentration),
+  * and random graphs across seeds — every floor division must land
+  * identically to the reference or ranks drift silently.
+  */
+class PageRankPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("pagerank-property")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Sequential reference: identical floor-division recurrence. */
+  private def reference(edges: Set[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val nbrs = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2) }
+    val deg = nbrs.map { case (v, ns) => v -> ns.size.toLong }
+    val n = deg.size.toLong
+    var p: Map[Long, Long] = deg.map { case (v, _) => v -> 1000000L / n }
+    for (_ <- 1 to iters) {
+      val c = p.map { case (v, pv) => v -> pv / deg(v) }
+      p = nbrs.map { case (v, ns) =>
+        v -> (150000L / n + 850000L * ns.map(c).sum / 1000000L)
+      }
+    }
+    p
+  }
+
+  private def viaSpark(edges: Set[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val e = edges.toSeq.sorted.toDF("a", "b")
+    val deg = e.select($"a".as("v")).unionAll(e.select($"b".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("deg"))
+    operators.Relational.pageRankPpm(e, deg, iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  private def check(edges: Set[(Long, Long)], iters: Int, name: String): Unit = {
+    val expected = reference(edges, iters)
+    val got = viaSpark(edges, iters)
+    assert(got == expected, s"$name (iters=$iters): ppm masses differ from reference")
+  }
+
+  test("star graph: hub concentrates mass, leaves' contributions floor to equal shares") {
+    check((1L to 9L).map(i => (0L, i)).toSet, 3, "star-9")
+  }
+
+  test("two disconnected cliques keep independent mass") {
+    val k4a = (for (i <- 0L until 4L; j <- (i + 1) until 4L) yield (i, j)).toSet
+    val k4b = (for (i <- 10L until 14L; j <- (i + 1) until 14L) yield (i, j)).toSet
+    check(k4a ++ k4b, 3, "2xK4")
+  }
+
+  test("random graphs match the reference across seeds and iteration counts") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val n = 15 + rnd.nextInt(15)
+      val edges = (for {
+        i <- 0L until n.toLong
+        j <- (i + 1) until n.toLong
+        if rnd.nextDouble() < 0.12
+      } yield (i, j)).toSet
+      if (edges.nonEmpty) check(edges, 1 + seed % 4, s"G(n=$n, seed=$seed)")
+    }
+  }
+}
