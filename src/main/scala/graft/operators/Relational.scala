@@ -804,6 +804,52 @@ object Relational extends QueryPack {
       pageRankPpm(coocEdges(s, d), coocDeg(s, d))
         .withColumnRenamed("v", "part")),
 
+    // ---- personalized PageRank: probe-seeded teleport ---------------
+    // The graph-RETRIEVAL companion to q145's global centrality
+    // [Jeh & Widom, WWW'03]: teleport mass returns to the 2%
+    // content-hash probe set (q150's replay-stable rule) instead of
+    // everywhere, so the stationary mass ranks vertices by proximity
+    // to the seeds — the standard graph-expansion signal for
+    // retrieval/recommendation from a query set. Same integer-exact
+    // recurrence as q145 with a sparse teleport: p0 = 1e6 div n_p on
+    // probes (0 elsewhere), p'(v) = [v∈probes]·(150000 div n_p) +
+    // (850000·Σ c) div 1e6 — every division floors identically on
+    // both engines, so three unrolled iterations are bit-reproducible.
+    //
+    // Shape per iteration: identical to q145 (two keyed |E| shuffles —
+    // the relational Pregel step) plus a LEFT join against the probe
+    // table on the vertex key — probes are |V|/50 (data-scaling, so
+    // NO broadcast hint; the equi-join shuffles or AQE broadcasts as
+    // stats allow). Only the 1-row n_p scalar is crossJoin(broadcast).
+    "q161_personalized_pagerank" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val e = coocEdges(s, d)
+      val dir = e.select($"a".as("u"), $"b".as("v"))
+        .unionAll(e.select($"b".as("u"), $"a".as("v")))
+      val deg = coocDeg(s, d).toDF("u", "deg")
+      val probes = deg.select($"u".as("v"), lit(1L).as("t"))
+        .filter(pmod(graft.functions.PortableHash.h60($"v"), lit(50)) === 0)
+      val nP = probes.agg(count(lit(1)).as("n_p"))
+      var p = deg.toDF("v", "deg")
+        .join(probes, Seq("v"), "left")
+        .crossJoin(broadcast(nP))
+        .select($"v",
+          when($"t".isNotNull, expr("1000000L div n_p")).otherwise(lit(0L)).as("p"))
+      for (_ <- 1 to 3) {
+        val contrib = p.join(deg.toDF("v", "deg"), "v")
+          .select($"v".as("u"), expr("p div deg").as("c"))
+        p = dir.join(contrib, "u")
+          .groupBy($"v").agg(sum($"c").as("sc"))
+          .join(probes, Seq("v"), "left")
+          .crossJoin(broadcast(nP))
+          .select($"v",
+            (when($"t".isNotNull, expr("150000L div n_p")).otherwise(lit(0L)) +
+              expr("(850000L * sc) div 1000000L")).as("p"))
+      }
+      p.select($"v".as("part"), $"p".as("ppr_ppm"))
+    }),
+
     // ---- item-item similarity: top-5 co-purchase neighbors ----------
     // The collaborative-filtering kernel: for each part, the 5 most
     // similar parts by normalized co-occurrence,
@@ -958,6 +1004,20 @@ object Relational extends QueryPack {
        |  FROM dir JOIN c${i - 1} ON c${i - 1}.u = dir.u CROSS JOIN nv
        |  GROUP BY dir.v, nv.n_v)""".stripMargin
 
+  /** One PERSONALIZED PageRank iteration as CTE text: teleport mass
+    * lands only on the probe set (q161). */
+  private def pprIter(i: Int): String =
+    s"""c${i - 1} AS (
+       |  SELECT p${i - 1}.v AS u, p${i - 1}.p // deg.deg AS c
+       |  FROM p${i - 1} JOIN deg ON deg.u = p${i - 1}.v),
+       |p$i AS (
+       |  SELECT dir.v,
+       |    CASE WHEN pr.v IS NOT NULL THEN 150000 // np.n_p ELSE 0 END
+       |      + (850000 * CAST(sum(c${i - 1}.c) AS BIGINT)) // 1000000 AS p
+       |  FROM dir JOIN c${i - 1} ON c${i - 1}.u = dir.u
+       |  LEFT JOIN pprobes pr ON pr.v = dir.v CROSS JOIN np
+       |  GROUP BY dir.v, pr.v, np.n_p)""".stripMargin
+
   /** q148's exact sums; also q159's ground truth (the bucketed
     * substrate must reproduce them bit-for-bit). */
   private val assortativityText: String =
@@ -1038,6 +1098,26 @@ object Relational extends QueryPack {
         |${prIter(2)},
         |${prIter(3)}
         |SELECT v AS part, CAST(p AS BIGINT) AS pr_ppm FROM p3""".stripMargin,
+
+    "q161_personalized_pagerank" ->
+      s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM li x JOIN li y ON x.o = y.o WHERE x.p < y.p),
+        |dir AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+        |deg AS (SELECT u, count(*) AS deg FROM dir GROUP BY u),
+        |pprobes AS (
+        |  SELECT u AS v FROM deg
+        |  WHERE CAST('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15) AS BIGINT) % 50 = 0),
+        |np AS (SELECT count(*) AS n_p FROM pprobes),
+        |p0 AS (
+        |  SELECT deg.u AS v,
+        |    CASE WHEN pr.v IS NOT NULL THEN 1000000 // np.n_p ELSE 0 END AS p
+        |  FROM deg LEFT JOIN pprobes pr ON pr.v = deg.u CROSS JOIN np),
+        |${pprIter(1)},
+        |${pprIter(2)},
+        |${pprIter(3)}
+        |SELECT v AS part, CAST(p AS BIGINT) AS ppr_ppm FROM p3""".stripMargin,
 
     "q146_item_similarity" ->
       """WITH li AS (

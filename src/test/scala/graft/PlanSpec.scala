@@ -49,7 +49,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q150/q160: the 1-row skew-cap scalar (`crossJoin(broadcast(capRow))`
     // in linkPred) compiles to a BNLJ with a single-row broadcast side;
     // q160 composes linkPred twice so it carries the same node
-    "q150_link_prediction", "q160_linkpred_cap_audit")
+    "q150_link_prediction", "q160_linkpred_cap_audit",
+    // q161: the 1-row probe-count scalar, q145's n_v pattern
+    "q161_personalized_pagerank")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
