@@ -241,13 +241,24 @@ object Relational extends QueryPack {
     * anyway); the final per-probe top-5 is a literal limit and DOES
     * compile to WindowGroupLimit. */
   private def linkPred(s: SparkSession, d: String, capped: Boolean): DataFrame = {
-    import s.implicits._
     graft.GraftExtensions.ensureRegistered(s)
     val cooc = coocPairs(s, d)
+    linkPredCore(cooc, coocDeg(s, d).toDF("u", "deg"), capped, probeMod = 50)
+  }
+
+  /** The [[linkPred]] pipeline over an explicit weighted pair list —
+    * factored so LinkPredPropertySpec can drive it over random graphs
+    * against a brute-force common-neighbor/Jaccard reference
+    * (`probeMod = 1` makes every vertex a probe). `cooc` holds each
+    * undirected edge once as (a, b, cooc); `deg` is the (u, deg)
+    * degree table of the same graph. */
+  private[graft] def linkPredCore(cooc: DataFrame, deg: DataFrame,
+                                  capped: Boolean, probeMod: Int): DataFrame = {
+    val s = cooc.sparkSession
+    import s.implicits._
     val e = cooc.select($"a", $"b")
     val dirw = cooc.select($"a".as("u"), $"b".as("v"), $"cooc")
       .unionAll(cooc.select($"b".as("u"), $"a".as("v"), $"cooc"))
-    val deg = coocDeg(s, d).toDF("u", "deg")
     val adj = (if (capped) {
       val capRow = cooc.agg(count(lit(1)).as("n_e"))
         .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_v"))))
@@ -262,7 +273,7 @@ object Relational extends QueryPack {
       // from running twice per plan
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probes = deg.select($"u")
-      .filter(pmod(graft.functions.PortableHash.h60($"u"), lit(50)) === 0)
+      .filter(pmod(graft.functions.PortableHash.h60($"u"), lit(probeMod)) === 0)
     val cand = probes.join(adj, "u").select($"u".as("a"), $"v".as("m"))
       .join(adj.toDF("m", "b"), "m")
       .filter($"a" =!= $"b")
