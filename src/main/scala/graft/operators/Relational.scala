@@ -165,6 +165,42 @@ object Relational extends QueryPack {
     p.select($"v", $"p".as("pr_ppm"))
   }
 
+  /** Integer-exact WEIGHTED PageRank over a weighted undirected pair
+    * list — q162's core, factored for WeightedPageRankPropertySpec.
+    * `cooc` holds each undirected edge once as (a, b, cooc) with
+    * positive integer weight; contribution mass splits proportionally
+    * to edge weight: c(u→v) = (p(u)·w(u,v)) div W(u) with
+    * W(u) = Σ_v w(u,v) the weighted degree — the natural centrality
+    * for a co-occurrence graph, where a 1000-co-order edge should
+    * carry 1000× the endorsement of a 1-co-order edge. Same teleport
+    * and ppm floors as [[pageRankPpm]]; p·w stays inside int64 while
+    * max edge weight ≤ 9·10¹² (p ≤ ~10⁶ ppm), far past any real
+    * co-order count. Returns (v, wpr_ppm). */
+  private[graft] def weightedPageRankPpm(cooc: DataFrame,
+                                         iters: Int = 3): DataFrame = {
+    val s = cooc.sparkSession
+    import s.implicits._
+    val dirw = cooc.select($"a".as("u"), $"b".as("v"), $"cooc")
+      .unionAll(cooc.select($"b".as("u"), $"a".as("v"), $"cooc"))
+    val wdeg = dirw.groupBy($"u").agg(sum($"cooc").as("wdeg"))
+    // attach the weighted degree to each directed edge ONCE and
+    // persist: the per-iteration join then carries only the p table
+    val dw = dirw.join(wdeg, "u")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nV = wdeg.agg(count(lit(1)).as("n_v"))
+    var p = wdeg.crossJoin(broadcast(nV))
+      .select($"u".as("v"), expr("1000000L div n_v").as("p"))
+    for (_ <- 1 to iters) {
+      p = dw.join(p.toDF("u", "p"), "u")
+        .select($"v", expr("(p * cooc) div wdeg").as("c"))
+        .groupBy($"v").agg(sum($"c").as("sc"))
+        .crossJoin(broadcast(nV))
+        .select($"v",
+          (expr("150000L div n_v") + expr("(850000L * sc) div 1000000L")).as("p"))
+    }
+    p.select($"v", $"p".as("wpr_ppm"))
+  }
+
   /** Per-vertex triangle counts over an undirected edge list — the
     * core of q138, factored so TrianglePropertySpec can drive it over
     * arbitrary random graphs (the orientation tie-break is the subtle
@@ -815,6 +851,17 @@ object Relational extends QueryPack {
       pageRankPpm(coocEdges(s, d), coocDeg(s, d))
         .withColumnRenamed("v", "part")),
 
+    // ---- weighted PageRank: mass splits by co-occurrence strength ---
+    // The weight-aware variant of q145 over the SAME substrate: the
+    // co-occurrence graph is weighted (cooc = co-order count), and
+    // q145's unweighted walk treats a 1000-co-order edge like a
+    // 1-co-order one — this query splits each vertex's outgoing mass
+    // proportionally to edge weight (see [[weightedPageRankPpm]]).
+    // Shape per iteration: identical to q145 — two keyed |E| shuffles;
+    // the weighted-degree join is paid once up front and persisted.
+    "q162_weighted_pagerank" -> ((s, d) =>
+      weightedPageRankPpm(coocPairs(s, d)).withColumnRenamed("v", "part")),
+
     // ---- personalized PageRank: probe-seeded teleport ---------------
     // The graph-RETRIEVAL companion to q145's global centrality
     // [Jeh & Widom, WWW'03]: teleport mass returns to the 2%
@@ -1015,6 +1062,21 @@ object Relational extends QueryPack {
        |  FROM dir JOIN c${i - 1} ON c${i - 1}.u = dir.u CROSS JOIN nv
        |  GROUP BY dir.v, nv.n_v)""".stripMargin
 
+  /** One WEIGHTED PageRank iteration as CTE text (q162): mass splits
+    * by edge weight over the weighted degree. */
+  private def wprIter(i: Int): String =
+    s"""sc$i AS (
+       |  SELECT d.v,
+       |    CAST(sum((p${i - 1}.p * d.cooc) // w.wdeg) AS BIGINT) AS sc
+       |  FROM dirw d
+       |  JOIN p${i - 1} ON p${i - 1}.v = d.u
+       |  JOIN wdeg w ON w.u = d.u
+       |  GROUP BY d.v),
+       |p$i AS (
+       |  SELECT sc$i.v,
+       |    150000 // nv.n_v + (850000 * sc$i.sc) // 1000000 AS p
+       |  FROM sc$i CROSS JOIN nv)""".stripMargin
+
   /** One PERSONALIZED PageRank iteration as CTE text: teleport mass
     * lands only on the probe set (q161). */
   private def pprIter(i: Int): String =
@@ -1109,6 +1171,23 @@ object Relational extends QueryPack {
         |${prIter(2)},
         |${prIter(3)}
         |SELECT v AS part, CAST(p AS BIGINT) AS pr_ppm FROM p3""".stripMargin,
+
+    "q162_weighted_pagerank" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |cooc AS (
+        |  SELECT x.p AS a, y.p AS b, count(*) AS cooc
+        |  FROM li x JOIN li y ON x.o = y.o WHERE x.p < y.p
+        |  GROUP BY 1, 2),
+        |dirw AS (
+        |  SELECT a AS u, b AS v, cooc FROM cooc
+        |  UNION ALL SELECT b AS u, a AS v, cooc FROM cooc),
+        |wdeg AS (SELECT u, CAST(sum(cooc) AS BIGINT) AS wdeg FROM dirw GROUP BY u),
+        |nv AS (SELECT count(*) AS n_v FROM wdeg),
+        |p0 AS (SELECT u AS v, 1000000 // n_v AS p FROM wdeg CROSS JOIN nv),
+        |${wprIter(1)},
+        |${wprIter(2)},
+        |${wprIter(3)}
+        |SELECT v AS part, CAST(p AS BIGINT) AS wpr_ppm FROM p3""".stripMargin,
 
     "q161_personalized_pagerank" ->
       s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -86,4 +86,50 @@ class PageRankPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       if (edges.nonEmpty) check(edges, 1 + seed % 4, s"G(n=$n, seed=$seed)")
     }
   }
+
+  /** Weighted variant reference: mass splits by w(u,v) over the
+    * weighted degree, same floors as weightedPageRankPpm. */
+  private def weightedReference(weights: Map[(Long, Long), Long],
+                                iters: Int): Map[Long, Long] = {
+    val wnbrs = weights.toSeq
+      .flatMap { case ((a, b), w) => Seq(a -> (b, w), b -> (a, w)) }
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2) }
+    val wdeg = wnbrs.map { case (v, ns) => v -> ns.map(_._2).sum }
+    val n = wdeg.size.toLong
+    var p: Map[Long, Long] = wdeg.map { case (v, _) => v -> 1000000L / n }
+    for (_ <- 1 to iters) {
+      p = wnbrs.map { case (v, ns) =>
+        // incoming: for each neighbor u with edge weight w, u sends
+        // (p(u) * w) div wdeg(u) along that edge
+        v -> (150000L / n +
+          850000L * ns.map { case (u, w) => p(u) * w / wdeg(u) }.sum / 1000000L)
+      }
+    }
+    p
+  }
+
+  test("weighted PageRank matches its reference on random weighted graphs") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    for (seed <- 11 to 14) {
+      val rnd = new scala.util.Random(seed)
+      val n = 15 + rnd.nextInt(10)
+      val weights = (for {
+        i <- 0L until n.toLong
+        j <- (i + 1) until n.toLong
+        if rnd.nextDouble() < 0.15
+      } yield (i, j) -> (1L + rnd.nextInt(1000))).toMap
+      if (weights.nonEmpty) {
+        val iters = 1 + seed % 4
+        val cooc = weights.toSeq.sortBy(_._1)
+          .map { case ((a, b), w) => (a, b, w) }.toDF("a", "b", "cooc")
+        val got = operators.Relational.weightedPageRankPpm(cooc, iters)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        spark.catalog.clearCache()
+        assert(got == weightedReference(weights, iters),
+          s"seed=$seed iters=$iters: weighted ppm masses differ")
+      }
+    }
+  }
 }

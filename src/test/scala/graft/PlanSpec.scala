@@ -50,8 +50,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // in linkPred) compiles to a BNLJ with a single-row broadcast side;
     // q160 composes linkPred twice so it carries the same node
     "q150_link_prediction", "q160_linkpred_cap_audit",
-    // q161: the 1-row probe-count scalar, q145's n_v pattern
-    "q161_personalized_pagerank")
+    // q161/q162: the 1-row probe-count / vertex-count scalar,
+    // q145's n_v pattern
+    "q161_personalized_pagerank", "q162_weighted_pagerank")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
