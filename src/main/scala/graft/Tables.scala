@@ -65,7 +65,22 @@ object Tables {
 
   def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     evictOnStop(spark)
-    derived.computeIfAbsent((spark, key), _ => build)
+    // get-then-putIfAbsent, NOT computeIfAbsent: substrate builders
+    // nest (cooc_deg builds on cooc_pairs, the adjacency substrates on
+    // both), and nested computeIfAbsent on one ConcurrentHashMap is
+    // undefined — it throws IllegalStateException when the inner key
+    // lands in the bin the outer call holds. The race this trades
+    // away is benign: two threads may both run `build` (lazy plan
+    // construction, no side effects), and putIfAbsent keeps exactly
+    // one winner so the memo identity guarantee stands.
+    val k = (spark, key)
+    val cur = derived.get(k)
+    if (cur != null) cur
+    else {
+      val built = build
+      val prev = derived.putIfAbsent(k, built)
+      if (prev != null) prev else built
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
@@ -89,15 +104,33 @@ object Tables {
     * above 2^53 ns); values are µs-grained, so the truncation is
     * lossless. */
   def events(s: SparkSession, d: String): DataFrame = {
-    // must be set BEFORE the first (memoized) scan: with a NANOS
-    // fixture and the conf unset, the read itself throws; with a µs
-    // fixture the conf is a no-op
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Probe-first: try the scan under the session's CURRENT conf. Only
+    // a TIMESTAMP(NANOS) physical generation throws (schema inference
+    // is eager), and only then is the legacy conf set — session-wide,
+    // because ParquetFileFormat/ParquetScan re-read
+    // legacyParquetNanosAsLong from the session conf at PHYSICAL
+    // PLANNING time, so a scoped set-and-restore would pass inference
+    // here and then fail every downstream action. On µs generations
+    // (the current one) the conf is never touched, so any OTHER parquet
+    // source with a genuine nanos column still fails loudly instead of
+    // silently loading as LongType; on a nanos generation that masking
+    // is the unavoidable price of reading the fixture at all.
+    //
     // only the load (file listing) is worth memoizing; the dtype
     // normalization is a free plan node — and memoizing it here would
     // nest computeIfAbsent inside computeIfAbsent on the same map,
-    // which ConcurrentHashMap rejects as a recursive update
-    val raw = load(s, d, "events")
+    // which ConcurrentHashMap rejects as a recursive update. A failed
+    // probe memoizes nothing (computeIfAbsent drops the mapping on
+    // exception), so the retry re-runs the scan under the new conf.
+    val raw =
+      try load(s, d, "events")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PARQUET_TYPE_ILLEGAL") ||
+               e.getMessage.contains("Illegal Parquet type") =>
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          load(s, d, "events")
+      }
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))

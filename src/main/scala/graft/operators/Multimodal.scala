@@ -44,24 +44,33 @@ object Multimodal extends QueryPack {
     * concurrent runs never clobber each other. */
   private val binDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def seedBinaryFiles(s: SparkSession, d: String): String = {
+    import java.nio.file.{Files, Paths}
     val pfx = s"graft_bin_${d.replaceAll("[^A-Za-z0-9]", "_")}_"
     val dir = s"/tmp/$pfx${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
     if (binDirs.add(dir)) {
-      import java.nio.file.{Files, Paths}
       // stale-sweep prior sessions' fixture dirs (same rule as the
-      // bucketed cooc table: prefix match + untouched >1h, so a live
-      // concurrent run is never raced) — each dir is ~|documents|
-      // files, a slow inode leak if left behind
+      // bucketed cooc table: prefix match + untouched >1h) — each dir
+      // is ~|documents| files, a slow inode leak if left behind. The
+      // liveness signal is the dir mtime, which this session refreshes
+      // on every access below, so a concurrent session that is still
+      // reading its fixture is never swept. Two sessions can still race
+      // each other sweeping the SAME stale dir — Files.walk over a tree
+      // the other is mid-deleting throws — so each dir's sweep is
+      // individually best-effort: a lost race degrades to a no-op (the
+      // winner removed it) instead of failing this session's seeding.
       val staleMs = 60L * 60L * 1000L
       val listing = Files.list(Paths.get("/tmp"))
       try listing.filter(p => p.getFileName.toString.startsWith(pfx))
+        .filter(p => p.toString != dir)
         .filter(p => System.currentTimeMillis() -
           Files.getLastModifiedTime(p).toMillis > staleMs)
         .forEach { p =>
-          val walk = Files.walk(p)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .forEach(q => Files.deleteIfExists(q))
-          finally walk.close()
+          try {
+            val walk = Files.walk(p)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .forEach(q => Files.deleteIfExists(q))
+            finally walk.close()
+          } catch { case _: java.io.IOException => /* lost sweep race */ }
         }
       finally listing.close()
       Files.createDirectories(Paths.get(dir))
@@ -74,6 +83,13 @@ object Multimodal extends QueryPack {
             r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
         }
     }
+    // heartbeat: refresh the dir mtime on EVERY access, not just at
+    // seeding — a session that seeded >1h ago but is still running
+    // q133 keeps its fixture out of other sessions' stale sweeps
+    try Files.setLastModifiedTime(Paths.get(dir),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    catch { case _: java.io.IOException => /* dir swept mid-race; reseed */
+      binDirs.remove(dir); return seedBinaryFiles(s, d) }
     dir
   }
 

@@ -30,35 +30,52 @@ import graft.functions.Exact
   */
 object Relational extends QueryPack {
 
-  /** Shared part co-occurrence relation (parts sharing an order) —
-    * the substrate of all four graph queries (q138 triangles, q145
-    * PageRank, q146 item-item CF, q148 assortativity). The per-order
-    * self-join + pair aggregation is the one corpus-scale shuffle
-    * they have in common, so it is built ONCE per (session, dir) and
-    * persisted: the in-session analog of materializing a bucketed
-    * edge table (q55's layout), which is exactly what a 100 TB
-    * deployment would do — the consumers then reuse one partitioning
-    * instead of re-shuffling lineitem four times. MEMORY_AND_DISK
-    * (never recompute, spill when big): the pair table is
-    * O(orders · order_width²), corpus-scale, not driver-bounded. */
-  private[graft] def coocPairs(s: SparkSession, d: String): DataFrame = {
-    val df = T.memo(s, s"cooc_pairs:$d") {
-      val li = T.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      li.toDF("o", "a").join(li.toDF("o", "b"), "o")
-        .filter(col("a") < col("b"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cooc"))
-    }
-    // self-healing persist: catalog.clearCache() (harness hygiene
-    // between queries) strips cache REGISTRATIONS, not just blocks —
-    // re-mark on every access so each consumer still materializes the
-    // substrate at most once per plan execution, and an uncleared
-    // session keeps it hot across all four graph queries
+  /** Memoized + SELF-HEALING-PERSISTED substrate (the lifecycle
+    * pattern of the graph family): one DataFrame per (session, key)
+    * via [[T.memo]], re-marked MEMORY_AND_DISK on every access because
+    * harness-level `catalog.clearCache()` hygiene strips cache
+    * registrations between queries. This replaces the per-query-call
+    * `.persist()` the intermediates used to carry (VERDICT r9 #1):
+    * a repeated query now re-marks ONE shared plan instead of
+    * registering a fresh set of storage blocks per call, so a
+    * long-lived session holds at most one copy of each substrate. */
+  private def memoPersist(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val df = T.memo(s, key)(build)
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     df
   }
+
+  /** The raw part co-occurrence build (parts sharing an order): the
+    * per-order self-join + pair aggregation, the ONE corpus-scale
+    * shuffle every graph query shares. Runs exactly once per
+    * (session, dir) — only [[coocBucketedTable]]'s writer calls it;
+    * every consumer reads the materialized table via [[coocPairs]]. */
+  private def coocPairsBuild(s: SparkSession, d: String): DataFrame = {
+    val li = T.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    li.toDF("o", "a").join(li.toDF("o", "b"), "o")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cooc"))
+  }
+
+  /** Shared part co-occurrence relation — the substrate of the whole
+    * graph family (q138 triangles, q145/q161/q162 PageRank, q146
+    * item-item CF, q148 assortativity, q150/q160 link prediction,
+    * q159). Since round 10 every consumer reads the ON-DISK bucketed
+    * table ([[coocBucketedTable]]): the lineitem self-join is paid
+    * once per WAREHOUSE, not once per session or query — the harness's
+    * per-query cache clearing used to force each graph query to re-run
+    * the corpus-scale shuffle, and at 100 TB this is exactly the
+    * materialized-edge-table design (build once, every later job
+    * scans it; bucket layout on `a` stands in for the pair shuffle on
+    * bucket-key plans — PlanSpec asserts the no-exchange form). The
+    * scan is NOT additionally persisted: an 8-bucket parquet re-read
+    * is cheaper than holding a second in-memory copy, and the derived
+    * substrates (degree, adjacency) persist their own small tables. */
+  private[graft] def coocPairs(s: SparkSession, d: String): DataFrame =
+    T.memo(s, s"cooc_pairs:$d") { s.table(coocBucketedTable(s, d)) }
 
   /** Undirected distinct edge set of [[coocPairs]] (a < b). */
   private def coocEdges(s: SparkSession, d: String): DataFrame =
@@ -73,16 +90,12 @@ object Relational extends QueryPack {
     * Memoized per (session, dir) + self-healing persisted like
     * coocPairs: |V| rows of two longs, trivially cacheable at any
     * scale, and sharing it removes a 2|E|-row groupBy per reference. */
-  private[graft] def coocDeg(s: SparkSession, d: String): DataFrame = {
-    val df = T.memo(s, s"cooc_deg:$d") {
+  private[graft] def coocDeg(s: SparkSession, d: String): DataFrame =
+    memoPersist(s, s"cooc_deg:$d") {
       val e = coocEdges(s, d)
       e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
     }
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    df
-  }
 
   /** The [[coocPairs]] substrate materialized as an ON-DISK bucketed
     * table (bucketed + sorted by `a`), the cross-JOB form of the
@@ -122,7 +135,7 @@ object Relational extends QueryPack {
         if (n == tbl || (n.startsWith(pfx) && stale))
           fs.delete(st.getPath, true)
       }
-      coocPairs(s, d).write.bucketBy(8, "a").sortBy("a")
+      coocPairsBuild(s, d).write.bucketBy(8, "a").sortBy("a")
         .mode("overwrite").saveAsTable(tbl)
     }
     tbl
@@ -165,28 +178,48 @@ object Relational extends QueryPack {
     p.select($"v", $"p".as("pr_ppm"))
   }
 
-  /** Integer-exact WEIGHTED PageRank over a weighted undirected pair
-    * list — q162's core, factored for WeightedPageRankPropertySpec.
-    * `cooc` holds each undirected edge once as (a, b, cooc) with
-    * positive integer weight; contribution mass splits proportionally
-    * to edge weight: c(u→v) = (p(u)·w(u,v)) div W(u) with
-    * W(u) = Σ_v w(u,v) the weighted degree — the natural centrality
-    * for a co-occurrence graph, where a 1000-co-order edge should
-    * carry 1000× the endorsement of a 1-co-order edge. Same teleport
-    * and ppm floors as [[pageRankPpm]]; p·w stays inside int64 while
-    * max edge weight ≤ 9·10¹² (p ≤ ~10⁶ ppm), far past any real
-    * co-order count. Returns (v, wpr_ppm). */
-  private[graft] def weightedPageRankPpm(cooc: DataFrame,
-                                         iters: Int = 3): DataFrame = {
+  /** Weighted degree table (u, wdeg) of a weighted pair list. */
+  private[graft] def weightedDegree(cooc: DataFrame): DataFrame = {
     val s = cooc.sparkSession
     import s.implicits._
-    val dirw = cooc.select($"a".as("u"), $"b".as("v"), $"cooc")
+    cooc.select($"a".as("u"), $"cooc")
+      .unionAll(cooc.select($"b".as("u"), $"cooc"))
+      .groupBy($"u").agg(sum($"cooc").as("wdeg"))
+  }
+
+  /** Directed weighted edges with the source's weighted degree
+    * attached ONCE — (u, v, cooc, wdeg) — so each weighted-PageRank
+    * iteration joins only the p table against it. */
+  private[graft] def weightedDirected(cooc: DataFrame, wdeg: DataFrame): DataFrame = {
+    val s = cooc.sparkSession
+    import s.implicits._
+    cooc.select($"a".as("u"), $"b".as("v"), $"cooc")
       .unionAll(cooc.select($"b".as("u"), $"a".as("v"), $"cooc"))
-    val wdeg = dirw.groupBy($"u").agg(sum($"cooc").as("wdeg"))
-    // attach the weighted degree to each directed edge ONCE and
-    // persist: the per-iteration join then carries only the p table
-    val dw = dirw.join(wdeg, "u")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .join(wdeg, "u")
+  }
+
+  /** Integer-exact WEIGHTED PageRank over a weighted undirected pair
+    * list — q162's core; PageRankPropertySpec drives it over random
+    * weighted graphs against a sequential reference. `cooc` holds
+    * each undirected edge once as (a, b, cooc) with positive integer
+    * weight; contribution mass splits proportionally to edge weight:
+    * c(u→v) = (p(u)·w(u,v)) div W(u) with W(u) = Σ_v w(u,v) the
+    * weighted degree — the natural centrality for a co-occurrence
+    * graph, where a 1000-co-order edge should carry 1000× the
+    * endorsement of a 1-co-order edge. Same teleport and ppm floors
+    * as [[pageRankPpm]]; p·w stays inside int64 while max edge weight
+    * ≤ 9·10¹² (p ≤ ~10⁶ ppm), far past any real co-order count.
+    * `pre` supplies prebuilt (dw, wdeg) substrates (the production
+    * path passes the memoized persisted ones; the spec path builds
+    * unpersisted plans). Returns (v, wpr_ppm). */
+  private[graft] def weightedPageRankPpm(cooc: DataFrame, iters: Int = 3,
+      pre: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val s = cooc.sparkSession
+    import s.implicits._
+    val (dw, wdeg) = pre.getOrElse {
+      val w = weightedDegree(cooc)
+      (weightedDirected(cooc, w), w)
+    }
     val nV = wdeg.agg(count(lit(1)).as("n_v"))
     var p = wdeg.crossJoin(broadcast(nV))
       .select($"u".as("v"), expr("1000000L div n_v").as("p"))
@@ -200,6 +233,17 @@ object Relational extends QueryPack {
     }
     p.select($"v", $"p".as("wpr_ppm"))
   }
+
+  /** Memoized weighted-degree substrate of the cooc graph. */
+  private[graft] def coocWdeg(s: SparkSession, d: String): DataFrame =
+    memoPersist(s, s"cooc_wdeg:$d") { weightedDegree(coocPairs(s, d)) }
+
+  /** Memoized directed-weighted-edge substrate (scanned once per
+    * weighted-PageRank iteration). */
+  private[graft] def coocDw(s: SparkSession, d: String): DataFrame =
+    memoPersist(s, s"cooc_dw:$d") {
+      weightedDirected(coocPairs(s, d), coocWdeg(s, d))
+    }
 
   /** Per-vertex triangle counts over an undirected edge list — the
     * core of q138, factored so TrianglePropertySpec can drive it over
@@ -215,26 +259,61 @@ object Relational extends QueryPack {
     * then a triangle's orientation is always a DAG low→{mid, high},
     * mid→high, and it is found exactly once, at its (low, mid) edge,
     * as high ∈ N⁺(low) ∩ N⁺(mid): one sorted-array `array_intersect`
-    * per edge row. ed/adj are persisted (the GraphX "cache the graph"
-    * move): ed is referenced three times (probe + both adjacency
-    * sides) and adj twice — without the persist each reference
+    * per edge row. ed/adj want persisting (the GraphX "cache the
+    * graph" move): ed is referenced three times (probe + both
+    * adjacency sides) and adj twice — without a persist each reference
     * re-runs the orientation joins (exchange reuse dedupes only the
-    * leaf shuffles, not the join subtrees). Sinks (out-degree 0) drop
-    * from the second join, which is exact: an empty N⁺ intersects to
+    * leaf shuffles, not the join subtrees). The PRODUCTION path (q138)
+    * supplies the memoized session substrates [[coocOrientedEdges]] /
+    * [[coocOrientedAdj]] via [[triangleCountsOn]]; this entry builds
+    * them UNPERSISTED for the property spec's tiny random graphs, so
+    * test runs leak no storage blocks. Sinks (out-degree 0) drop from
+    * the second join, which is exact: an empty N⁺ intersects to
     * nothing. */
   private[graft] def triangleCounts(e: DataFrame, deg: DataFrame): DataFrame = {
+    val ed = orientEdges(e, deg)
+    triangleCountsOn(ed, orientedAdjacency(ed), deg)
+  }
+
+  /** Degree-orientation of an undirected edge list: each (a, b) edge
+    * becomes (u, w) with u the lower endpoint under the (deg, id)
+    * total order — out-degree is O(√m) regardless of hub degree. */
+  private[graft] def orientEdges(e: DataFrame, deg: DataFrame): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
-    val ed = e
-      .join(deg.toDF("a", "da"), "a").join(deg.toDF("b", "db"), "b")
+    e.join(deg.toDF("a", "da"), "a").join(deg.toDF("b", "db"), "b")
       .select(
         when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"),
           struct($"a".as("u"), $"b".as("w")))
           .otherwise(struct($"b".as("u"), $"a".as("w"))).as("x"))
       .select($"x.u", $"x.w")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val adj = ed.groupBy($"u").agg(sort_array(collect_list($"w")).as("ns"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Sorted out-neighbor arrays (u, ns) of an oriented edge list. */
+  private[graft] def orientedAdjacency(ed: DataFrame): DataFrame =
+    ed.groupBy(col("u")).agg(sort_array(collect_list(col("w"))).as("ns"))
+
+  /** Oriented edge substrate of the cooc graph — memoized + persisted
+    * once per session (consumed 3× within q138's single plan). */
+  private[graft] def coocOrientedEdges(s: SparkSession, d: String): DataFrame =
+    memoPersist(s, s"cooc_ed:$d") {
+      orientEdges(coocEdges(s, d), coocDeg(s, d))
+    }
+
+  /** Sorted adjacency substrate of the cooc graph (2× per q138 plan). */
+  private[graft] def coocOrientedAdj(s: SparkSession, d: String): DataFrame =
+    memoPersist(s, s"cooc_adj:$d") {
+      orientedAdjacency(coocOrientedEdges(s, d))
+    }
+
+  /** Triangle closure over prebuilt orientation substrates — the core
+    * [[triangleCounts]] and q138 share; persist lifecycle is the
+    * CALLER's (memoized substrates in production, unpersisted plans in
+    * the property spec). */
+  private[graft] def triangleCountsOn(ed: DataFrame, adj: DataFrame,
+                                      deg: DataFrame): DataFrame = {
+    val s = ed.sparkSession
+    import s.implicits._
     // triangles: for each oriented edge (u, w), every common
     // out-neighbor z closes one — explode the intersection
     val tri = ed
@@ -279,7 +358,33 @@ object Relational extends QueryPack {
   private def linkPred(s: SparkSession, d: String, capped: Boolean): DataFrame = {
     graft.GraftExtensions.ensureRegistered(s)
     val cooc = coocPairs(s, d)
-    linkPredCore(cooc, coocDeg(s, d).toDF("u", "deg"), capped, probeMod = 50)
+    val deg = coocDeg(s, d).toDF("u", "deg")
+    // the two-hop expansion reads the adjacency twice per plan, and
+    // q160 shares the capped arm's substrate with q150 — memoized per
+    // (session, dir, capped) like the other graph substrates
+    val adj = memoPersist(s, s"cooc_linkadj_$capped:$d") {
+      linkAdjacency(cooc, deg, capped)
+    }
+    linkPredCore(cooc, deg, capped, probeMod = 50, adjOpt = Some(adj))
+  }
+
+  /** The (optionally skew-capped) directed adjacency the two-hop
+    * expansion walks — see [[linkPred]] for the cap rule. */
+  private[graft] def linkAdjacency(cooc: DataFrame, deg: DataFrame,
+                                   capped: Boolean): DataFrame = {
+    val s = cooc.sparkSession
+    import s.implicits._
+    val dirw = cooc.select($"a".as("u"), $"b".as("v"), $"cooc")
+      .unionAll(cooc.select($"b".as("u"), $"a".as("v"), $"cooc"))
+    if (capped) {
+      val capRow = cooc.agg(count(lit(1)).as("n_e"))
+        .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_v"))))
+        .select(greatest(expr("(3L * n_e) div n_v"), lit(64L)).as("cap"))
+      dirw.withColumn("rn", row_number().over(
+          Window.partitionBy($"u").orderBy($"cooc".desc, $"v")).cast("bigint"))
+        .crossJoin(broadcast(capRow))
+        .filter($"rn" <= $"cap").select($"u", $"v")
+    } else dirw.select($"u", $"v")
   }
 
   /** The [[linkPred]] pipeline over an explicit weighted pair list —
@@ -289,25 +394,17 @@ object Relational extends QueryPack {
     * undirected edge once as (a, b, cooc); `deg` is the (u, deg)
     * degree table of the same graph. */
   private[graft] def linkPredCore(cooc: DataFrame, deg: DataFrame,
-                                  capped: Boolean, probeMod: Int): DataFrame = {
+                                  capped: Boolean, probeMod: Int,
+                                  adjOpt: Option[DataFrame] = None): DataFrame = {
     val s = cooc.sparkSession
     import s.implicits._
     val e = cooc.select($"a", $"b")
-    val dirw = cooc.select($"a".as("u"), $"b".as("v"), $"cooc")
-      .unionAll(cooc.select($"b".as("u"), $"a".as("v"), $"cooc"))
-    val adj = (if (capped) {
-      val capRow = cooc.agg(count(lit(1)).as("n_e"))
-        .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_v"))))
-        .select(greatest(expr("(3L * n_e) div n_v"), lit(64L)).as("cap"))
-      dirw.withColumn("rn", row_number().over(
-          Window.partitionBy($"u").orderBy($"cooc".desc, $"v")).cast("bigint"))
-        .crossJoin(broadcast(capRow))
-        .filter($"rn" <= $"cap").select($"u", $"v")
-    } else dirw.select($"u", $"v"))
-      // both two-hop sides read this adjacency; persisting it stops
-      // the rank window (capped) / the substrate reprojection (exact)
-      // from running twice per plan
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // both two-hop sides read the adjacency; the production path
+    // ([[linkPred]]) passes the memoized persisted substrate so the
+    // rank window (capped) / reprojection (exact) runs once per plan
+    // and no per-call storage blocks leak; the property-spec path
+    // builds an unpersisted plan (tiny graphs, recompute is free)
+    val adj = adjOpt.getOrElse(linkAdjacency(cooc, deg, capped))
     val probes = deg.select($"u")
       .filter(pmod(graft.functions.PortableHash.h60($"u"), lit(probeMod)) === 0)
     val cand = probes.join(adj, "u").select($"u".as("a"), $"v".as("m"))
@@ -823,7 +920,8 @@ object Relational extends QueryPack {
     // never a hub's full degree; sinks (out-degree 0) drop from the
     // second join, which is exact: an empty N⁺ intersects to nothing.
     "q138_graph_triangles" -> ((s, d) =>
-      triangleCounts(coocEdges(s, d), coocDeg(s, d))
+      triangleCountsOn(coocOrientedEdges(s, d), coocOrientedAdj(s, d),
+          coocDeg(s, d))
         .withColumn("coef_ppm",
           when(col("deg") >= 2,
             expr("(triangles * 2000000L) div (deg * (deg - 1))"))
@@ -858,9 +956,12 @@ object Relational extends QueryPack {
     // 1-co-order one — this query splits each vertex's outgoing mass
     // proportionally to edge weight (see [[weightedPageRankPpm]]).
     // Shape per iteration: identical to q145 — two keyed |E| shuffles;
-    // the weighted-degree join is paid once up front and persisted.
+    // the weighted-degree join is paid once up front via the memoized
+    // persisted [[coocDw]]/[[coocWdeg]] substrates.
     "q162_weighted_pagerank" -> ((s, d) =>
-      weightedPageRankPpm(coocPairs(s, d)).withColumnRenamed("v", "part")),
+      weightedPageRankPpm(coocPairs(s, d),
+        pre = Some((coocDw(s, d), coocWdeg(s, d))))
+        .withColumnRenamed("v", "part")),
 
     // ---- personalized PageRank: probe-seeded teleport ---------------
     // The graph-RETRIEVAL companion to q145's global centrality

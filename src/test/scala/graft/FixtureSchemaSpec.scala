@@ -106,9 +106,24 @@ class FixtureSchemaSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("events loader normalizes ts to TIMESTAMP on every physical generation") {
-    // current generation: native timestamp[us] (NTZ in the raw scan)
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    val rawTs = raw.schema("ts").dataType
+    // current generation: native timestamp[us] (NTZ in the raw scan).
+    // The raw-dtype probe must itself survive a NANOS generation, where
+    // an unconf'd read throws [PARQUET_TYPE_ILLEGAL] before any assert —
+    // scope nanosAsLong around the probe (the schema inference is eager
+    // and `raw` is never executed, so a scoped set-and-restore is safe
+    // HERE, unlike in Tables.events where downstream actions re-read the
+    // conf at planning time). This keeps the canary order-independent:
+    // it must not rely on an earlier test having mutated the session.
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(nanosKey)
+    val rawTs =
+      try {
+        spark.conf.set(nanosKey, "true")
+        spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+      } finally prior match {
+        case Some(v) => spark.conf.set(nanosKey, v)
+        case None    => spark.conf.unset(nanosKey)
+      }
     assert(rawTs == TimestampNTZType || rawTs == TimestampType || rawTs == LongType,
       s"unexpected raw ts dtype $rawTs")
     assert(Tables.events(spark, dir).schema("ts").dataType == TimestampType)

@@ -132,6 +132,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"bucket-key agg over the bucketed substrate re-shuffled:\n$p")
   }
 
+  test("graph family consumers read the bucketed substrate, not lineitem") {
+    // round-10 routing: coocPairs IS the bucketed-table read, so every
+    // graph consumer skips the per-query lineitem self-join (the
+    // corpus-scale shuffle is paid once per warehouse). q146 reads the
+    // substrate directly (its freq table still scans lineitem — that
+    // is its own per-part aggregate, not the pair build); q148's edge
+    // side must come from the table too.
+    for (q <- Seq("q146_item_similarity", "q148_degree_assortativity")) {
+      val p = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.analyzed.toString
+      assert(p.contains("graft_cooc_b_"),
+        s"$q: graph consumer no longer reads the bucketed cooc substrate")
+    }
+  }
+
   test("pipeline windows are stratum-partitioned, never global") {
     // q60 (stratified sample) and q62 (seq packing) window per lang —
     // a global single-partition window would serialize 100 TB through

@@ -5,13 +5,17 @@ import org.apache.spark.storage.StorageLevel
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Pins the shared co-occurrence substrate's contract
-  * (`Relational.coocPairs`): one plan per (session, dir) so its five
-  * consumers (q138/q145/q146/q148/q150) reuse one partitioning and one
-  * set of cached blocks, and the persist marker survives harness-level
-  * `catalog.clearCache()` hygiene (which drops cache REGISTRATIONS,
-  * not just blocks — without the re-mark, every later consumer would
-  * silently recompute the edge build from the corpus).
+/** Pins the shared co-occurrence substrate's contract: since round 10
+  * `Relational.coocPairs` READS THE ON-DISK BUCKETED TABLE (the
+  * lineitem self-join is paid once per warehouse, surviving the
+  * harness's per-query cache clearing), and the derived substrates
+  * (degree, oriented edges, adjacency, weighted-degree) are memoized
+  * per (session, dir) with a SELF-HEALING persist that survives
+  * harness-level `catalog.clearCache()` hygiene (which drops cache
+  * REGISTRATIONS, not just blocks — without the re-mark, every later
+  * consumer would silently recompute). The memo pattern is also the
+  * storage-lifecycle fix: one shared copy per session instead of a
+  * fresh set of blocks per query call (VERDICT r9 #1).
   */
 class SubstrateSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -37,15 +41,33 @@ class SubstrateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a eq b, "memo must return the identical DataFrame instance")
   }
 
-  test("coocPairs is persisted, and re-marks itself after clearCache") {
+  test("coocPairs reads the on-disk bucketed table and survives clearCache") {
     val df = operators.Relational.coocPairs(spark, dir)
-    assert(df.storageLevel != StorageLevel.NONE, "substrate not persisted")
+    // disk-backed, not cache-backed: the plan is a catalog-table scan
+    // of the bucketed substrate, so per-query cache clearing cannot
+    // force a recompute of the lineitem self-join
+    assert(df.queryExecution.analyzed.toString.contains("graft_cooc_b_"),
+      "coocPairs must read the bucketed substrate table")
+    val before = df.count()
     spark.catalog.clearCache()
-    assert(df.storageLevel == StorageLevel.NONE,
-      "test substrate assumption broken: clearCache no longer unregisters")
-    val again = operators.Relational.coocPairs(spark, dir)
-    assert(again.storageLevel != StorageLevel.NONE,
-      "substrate did not re-mark persistence after clearCache")
+    assert(operators.Relational.coocPairs(spark, dir).count() == before,
+      "bucketed substrate must survive cache clearing")
+  }
+
+  test("graph substrates are memoized and re-mark persistence after clearCache") {
+    val subs: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      ("cooc_ed", () => operators.Relational.coocOrientedEdges(spark, dir)),
+      ("cooc_adj", () => operators.Relational.coocOrientedAdj(spark, dir)),
+      ("cooc_wdeg", () => operators.Relational.coocWdeg(spark, dir)),
+      ("cooc_dw", () => operators.Relational.coocDw(spark, dir)))
+    subs.foreach { case (name, get) =>
+      val a = get()
+      assert(a eq get(), s"$name: memo must return the identical instance")
+      assert(a.storageLevel != StorageLevel.NONE, s"$name not persisted")
+      spark.catalog.clearCache()
+      assert(get().storageLevel != StorageLevel.NONE,
+        s"$name did not re-mark its persist after clearCache")
+    }
   }
 
   test("the four graph consumers agree with a from-scratch edge build") {
