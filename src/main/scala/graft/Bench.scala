@@ -67,7 +67,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val top = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // headline keys (top-10, n, total) go LAST: the driver's artifact
+    // capture keeps only a bounded TAIL of this line, and a leading
+    // "metric"/"value" was truncated away in round 9 — JSON key order
+    // is semantically free, so order it for the tail window
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,""" +
+      s""""top10":$top,"n":${results.size},"value":$total}""")
     spark.stop()
   }
 }

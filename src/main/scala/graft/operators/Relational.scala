@@ -141,6 +141,37 @@ object Relational extends QueryPack {
     tbl
   }
 
+  /** Run a (v, p) vertex-state recurrence to its INTEGER FIXPOINT:
+    * apply `step` until an iteration's output equals its input on
+    * every vertex (ppm delta 0 — the integer analog of q56's CC
+    * convergence), capped at `maxIters`. If the cap binds (a ppm
+    * 2-cycle, or a slow corpus), the state after exactly `maxIters`
+    * steps is returned — the same rule the DuckDB recursive-CTE
+    * oracles implement, so the two engines agree on EVERY trajectory,
+    * converged or capped. Each state is `localCheckpoint`ed: the
+    * unrolled-join lineage is truncated per iteration, so plan size,
+    * analysis time and scheduler cost stay O(1) in iteration depth —
+    * at convergence-driven depth an unrolled plan is exponential in
+    * the optimizer and this is the standard iterative-algorithm
+    * pattern (GraphX does the same internally). The convergence probe
+    * is an anti-equality join of two checkpointed |V|-row states —
+    * noise next to the |E|-row step itself. */
+  private def iterateToFixpointPpm(init: DataFrame, maxIters: Int)(
+      step: DataFrame => DataFrame): DataFrame = {
+    var p = init.localCheckpoint()
+    var it = 0
+    var done = false
+    while (!done && it < maxIters) {
+      val next = step(p).localCheckpoint()
+      done = next.toDF("v", "np")
+        .join(p.toDF("v", "op"), "v")
+        .filter(col("np") =!= col("op")).isEmpty
+      p = next
+      it += 1
+    }
+    p
+  }
+
   /** Integer-exact PageRank over an undirected edge list — the core
     * of q145, factored so PageRankPropertySpec can drive it over
     * arbitrary random graphs against a sequential reference. `e`
@@ -151,31 +182,92 @@ object Relational extends QueryPack {
     * join keeps all vertices) — true by construction for any
     * edge-list-derived degree table. All mass is ppm-of-total
     * integers with floor division on non-negative values (Spark `div`
-    * = DuckDB `//` there), so `iters` unrolled iterations are
-    * bit-reproducible: p0 = 1e6 div n, then
+    * = DuckDB `//` there), so the trajectory is bit-reproducible:
+    * p0 = 1e6 div n, then
     * p'(v) = 150000 div n + (850000 · Σ_{u~v} (p(u) div deg(u))) div 1e6.
-    * Returns (v, pr_ppm). */
+    *
+    * `iters > 0` runs that many fixed unrolled iterations (the
+    * property spec's fixed-depth mode); `iters = -1` (the declared
+    * q145 mode since round 10) iterates to the ppm fixpoint via
+    * [[iterateToFixpointPpm]]. `dirOpt` supplies a prebuilt
+    * symmetrized edge table (the memoized [[coocDir]] substrate in
+    * production — scanned once per iteration). Returns (v, pr_ppm). */
   private[graft] def pageRankPpm(e: DataFrame, degIn: DataFrame,
-                                 iters: Int = 3): DataFrame = {
+                                 iters: Int = -1, maxIters: Int = 32,
+                                 dirOpt: Option[DataFrame] = None): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
-    val dir = e.select(col("a").as("u"), col("b").as("v"))
-      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    val dir = dirOpt.getOrElse(
+      e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v"))))
     val deg = degIn.toDF("u", "deg")
     val nV = deg.agg(count(lit(1)).as("n_v"))
-    var p = deg.crossJoin(broadcast(nV))
-      .select($"u".as("v"), expr("1000000L div n_v").as("p"), $"n_v")
-    for (_ <- 1 to iters) {
+    val init = deg.crossJoin(broadcast(nV))
+      .select($"u".as("v"), expr("1000000L div n_v").as("p"))
+    def step(p: DataFrame): DataFrame = {
       val contrib = p.join(deg.toDF("v", "deg"), "v")
         .select($"v".as("u"), expr("p div deg").as("c"))
-      p = dir.join(contrib, "u")
+      dir.join(contrib, "u")
         .groupBy($"v").agg(sum($"c").as("sc"))
         .crossJoin(broadcast(nV))
         .select($"v",
-          (expr("150000L div n_v") + expr("(850000L * sc) div 1000000L")).as("p"),
-          $"n_v")
+          (expr("150000L div n_v") + expr("(850000L * sc) div 1000000L")).as("p"))
     }
-    p.select($"v", $"p".as("pr_ppm"))
+    val out =
+      if (iters > 0) (1 to iters).foldLeft(init)((p, _) => step(p))
+      else iterateToFixpointPpm(init, maxIters)(step)
+    out.select($"v", $"p".as("pr_ppm"))
+  }
+
+  /** Symmetrized directed edge substrate (u, v) of the cooc graph —
+    * scanned once per PageRank iteration, memoized + persisted. */
+  private[graft] def coocDir(s: SparkSession, d: String): DataFrame =
+    memoPersist(s, s"cooc_dir:$d") {
+      val e = coocEdges(s, d)
+      e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    }
+
+  /** PERSONALIZED PageRank [Jeh & Widom, WWW'03] — q161's core:
+    * teleport mass returns only to `probes` (one column `v`), so the
+    * stationary mass ranks vertices by proximity to the seed set.
+    * Same integer recurrence and modes as [[pageRankPpm]] with a
+    * sparse teleport: p0 = 1e6 div n_p on probes (0 elsewhere),
+    * p'(v) = [v∈probes]·(150000 div n_p) + (850000·Σ c) div 1e6. The
+    * probe table is data-scaling, so teleport lands via a LEFT join
+    * on the vertex key — never a broadcast hint; only the 1-row n_p
+    * scalar is crossJoin(broadcast). Returns (v, ppr_ppm). */
+  private[graft] def personalizedPageRankPpm(e: DataFrame, degIn: DataFrame,
+      probesIn: DataFrame, iters: Int = -1, maxIters: Int = 32,
+      dirOpt: Option[DataFrame] = None): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val dir = dirOpt.getOrElse(
+      e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v"))))
+    val deg = degIn.toDF("u", "deg")
+    val probes = probesIn.toDF("v").select($"v", lit(1L).as("t"))
+    val nP = probes.agg(count(lit(1)).as("n_p"))
+    val init = deg.toDF("v", "deg")
+      .join(probes, Seq("v"), "left")
+      .crossJoin(broadcast(nP))
+      .select($"v",
+        when($"t".isNotNull, expr("1000000L div n_p")).otherwise(lit(0L)).as("p"))
+    def step(p: DataFrame): DataFrame = {
+      val contrib = p.join(deg.toDF("v", "deg"), "v")
+        .select($"v".as("u"), expr("p div deg").as("c"))
+      dir.join(contrib, "u")
+        .groupBy($"v").agg(sum($"c").as("sc"))
+        .join(probes, Seq("v"), "left")
+        .crossJoin(broadcast(nP))
+        .select($"v",
+          (when($"t".isNotNull, expr("150000L div n_p")).otherwise(lit(0L)) +
+            expr("(850000L * sc) div 1000000L")).as("p"))
+    }
+    val out =
+      if (iters > 0) (1 to iters).foldLeft(init)((p, _) => step(p))
+      else iterateToFixpointPpm(init, maxIters)(step)
+    out.select($"v", $"p".as("ppr_ppm"))
   }
 
   /** Weighted degree table (u, wdeg) of a weighted pair list. */
@@ -209,11 +301,14 @@ object Relational extends QueryPack {
     * endorsement of a 1-co-order edge. Same teleport and ppm floors
     * as [[pageRankPpm]]; p·w stays inside int64 while max edge weight
     * ≤ 9·10¹² (p ≤ ~10⁶ ppm), far past any real co-order count.
+    * `iters > 0` = fixed unrolled depth (property-spec mode);
+    * `iters = -1` = iterate to the ppm fixpoint (declared q162 mode).
     * `pre` supplies prebuilt (dw, wdeg) substrates (the production
     * path passes the memoized persisted ones; the spec path builds
     * unpersisted plans). Returns (v, wpr_ppm). */
-  private[graft] def weightedPageRankPpm(cooc: DataFrame, iters: Int = 3,
-      pre: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+  private[graft] def weightedPageRankPpm(cooc: DataFrame, iters: Int = -1,
+      pre: Option[(DataFrame, DataFrame)] = None,
+      maxIters: Int = 32): DataFrame = {
     val s = cooc.sparkSession
     import s.implicits._
     val (dw, wdeg) = pre.getOrElse {
@@ -221,17 +316,19 @@ object Relational extends QueryPack {
       (weightedDirected(cooc, w), w)
     }
     val nV = wdeg.agg(count(lit(1)).as("n_v"))
-    var p = wdeg.crossJoin(broadcast(nV))
+    val init = wdeg.crossJoin(broadcast(nV))
       .select($"u".as("v"), expr("1000000L div n_v").as("p"))
-    for (_ <- 1 to iters) {
-      p = dw.join(p.toDF("u", "p"), "u")
+    def step(p: DataFrame): DataFrame =
+      dw.join(p.toDF("u", "p"), "u")
         .select($"v", expr("(p * cooc) div wdeg").as("c"))
         .groupBy($"v").agg(sum($"c").as("sc"))
         .crossJoin(broadcast(nV))
         .select($"v",
           (expr("150000L div n_v") + expr("(850000L * sc) div 1000000L")).as("p"))
-    }
-    p.select($"v", $"p".as("wpr_ppm"))
+    val out =
+      if (iters > 0) (1 to iters).foldLeft(init)((p, _) => step(p))
+      else iterateToFixpointPpm(init, maxIters)(step)
+    out.select($"v", $"p".as("wpr_ppm"))
   }
 
   /** Memoized weighted-degree substrate of the cooc graph. */
@@ -928,25 +1025,29 @@ object Relational extends QueryPack {
             .otherwise(lit(0L)))
         .withColumnRenamed("v", "part")),
 
-    // ---- PageRank: 3 integer-exact power iterations -----------------
+    // ---- PageRank: integer-exact power iteration to the fixpoint ----
     // Link-analysis centrality over the same part co-occurrence graph
     // as q138. All mass lives in ppm-of-total integers: p0 = 1e6/N
     // (floored), each step p'(v) = 150000/N + 0.85·Σ p(u)/deg(u) with
-    // every division an identical floor on both engines — so three
-    // unrolled iterations are bit-reproducible, no float drift. The
-    // undirected graph is symmetrized, so deg(u) ≥ 1 everywhere: no
-    // dangling-mass special case.
+    // every division an identical floor on both engines — so the whole
+    // trajectory is bit-reproducible, no float drift. The undirected
+    // graph is symmetrized, so deg(u) ≥ 1 everywhere: no dangling-mass
+    // special case. Since round 10 the iteration runs TO THE INTEGER
+    // FIXPOINT (ppm delta 0; 12 iterations at sf0.01, 3 at sf0.1 —
+    // floor truncation kills sub-ppm changes, so the depth is small
+    // and data-dependent) with localCheckpoint lineage truncation per
+    // step; the DuckDB oracle replays the same trajectory in a
+    // recursive CTE with the identical stopping rule.
     //
     // Shape per iteration (the 100 TB question): contributions join
     // the directed edge list on the source key and re-aggregate on the
     // destination — two keyed shuffles of |E| rows, the canonical
-    // Pregel/GraphX step expressed relationally; iterations are a
-    // FIXED small count (power iteration converges geometrically, and
-    // rank ORDER stabilizes long before values do). Skewed hubs cost
-    // what they cost — the contribution per edge is one int, never the
-    // neighbor list.
+    // Pregel/GraphX step expressed relationally, over the persisted
+    // [[coocDir]] substrate. Skewed hubs cost what they cost — the
+    // contribution per edge is one int, never the neighbor list.
     "q145_pagerank" -> ((s, d) =>
-      pageRankPpm(coocEdges(s, d), coocDeg(s, d))
+      pageRankPpm(coocEdges(s, d), coocDeg(s, d),
+          dirOpt = Some(coocDir(s, d)))
         .withColumnRenamed("v", "part")),
 
     // ---- weighted PageRank: mass splits by co-occurrence strength ---
@@ -970,10 +1071,11 @@ object Relational extends QueryPack {
     // everywhere, so the stationary mass ranks vertices by proximity
     // to the seeds — the standard graph-expansion signal for
     // retrieval/recommendation from a query set. Same integer-exact
-    // recurrence as q145 with a sparse teleport: p0 = 1e6 div n_p on
-    // probes (0 elsewhere), p'(v) = [v∈probes]·(150000 div n_p) +
-    // (850000·Σ c) div 1e6 — every division floors identically on
-    // both engines, so three unrolled iterations are bit-reproducible.
+    // recurrence as q145 with a sparse teleport (see
+    // [[personalizedPageRankPpm]]) — every division floors identically
+    // on both engines, and since round 10 the iteration runs to the
+    // ppm fixpoint with the recursive-CTE oracle replaying the same
+    // stopping rule.
     //
     // Shape per iteration: identical to q145 (two keyed |E| shuffles —
     // the relational Pregel step) plus a LEFT join against the probe
@@ -983,30 +1085,12 @@ object Relational extends QueryPack {
     "q161_personalized_pagerank" -> ((s, d) => {
       import s.implicits._
       graft.GraftExtensions.ensureRegistered(s)
-      val e = coocEdges(s, d)
-      val dir = e.select($"a".as("u"), $"b".as("v"))
-        .unionAll(e.select($"b".as("u"), $"a".as("v")))
       val deg = coocDeg(s, d).toDF("u", "deg")
-      val probes = deg.select($"u".as("v"), lit(1L).as("t"))
+      val probes = deg.select($"u".as("v"))
         .filter(pmod(graft.functions.PortableHash.h60($"v"), lit(50)) === 0)
-      val nP = probes.agg(count(lit(1)).as("n_p"))
-      var p = deg.toDF("v", "deg")
-        .join(probes, Seq("v"), "left")
-        .crossJoin(broadcast(nP))
-        .select($"v",
-          when($"t".isNotNull, expr("1000000L div n_p")).otherwise(lit(0L)).as("p"))
-      for (_ <- 1 to 3) {
-        val contrib = p.join(deg.toDF("v", "deg"), "v")
-          .select($"v".as("u"), expr("p div deg").as("c"))
-        p = dir.join(contrib, "u")
-          .groupBy($"v").agg(sum($"c").as("sc"))
-          .join(probes, Seq("v"), "left")
-          .crossJoin(broadcast(nP))
-          .select($"v",
-            (when($"t".isNotNull, expr("150000L div n_p")).otherwise(lit(0L)) +
-              expr("(850000L * sc) div 1000000L")).as("p"))
-      }
-      p.select($"v".as("part"), $"p".as("ppr_ppm"))
+      personalizedPageRankPpm(coocEdges(s, d), deg, probes,
+          dirOpt = Some(coocDir(s, d)))
+        .withColumnRenamed("v", "part")
     }),
 
     // ---- item-item similarity: top-5 co-purchase neighbors ----------
@@ -1151,46 +1235,22 @@ object Relational extends QueryPack {
       |  ORDER BY bal_c DESC, c_name
       |  LIMIT 3) t""".stripMargin
 
-  /** One PageRank iteration as CTE text: p{i} from c{i-1}. */
-  private def prIter(i: Int): String =
-    s"""c${i - 1} AS (
-       |  SELECT p${i - 1}.v AS u, p${i - 1}.p // deg.deg AS c
-       |  FROM p${i - 1} JOIN deg ON deg.u = p${i - 1}.v),
-       |p$i AS (
-       |  SELECT dir.v,
-       |    150000 // nv.n_v
-       |      + (850000 * CAST(sum(c${i - 1}.c) AS BIGINT)) // 1000000 AS p
-       |  FROM dir JOIN c${i - 1} ON c${i - 1}.u = dir.u CROSS JOIN nv
-       |  GROUP BY dir.v, nv.n_v)""".stripMargin
-
-  /** One WEIGHTED PageRank iteration as CTE text (q162): mass splits
-    * by edge weight over the weighted degree. */
-  private def wprIter(i: Int): String =
-    s"""sc$i AS (
-       |  SELECT d.v,
-       |    CAST(sum((p${i - 1}.p * d.cooc) // w.wdeg) AS BIGINT) AS sc
-       |  FROM dirw d
-       |  JOIN p${i - 1} ON p${i - 1}.v = d.u
-       |  JOIN wdeg w ON w.u = d.u
-       |  GROUP BY d.v),
-       |p$i AS (
-       |  SELECT sc$i.v,
-       |    150000 // nv.n_v + (850000 * sc$i.sc) // 1000000 AS p
-       |  FROM sc$i CROSS JOIN nv)""".stripMargin
-
-  /** One PERSONALIZED PageRank iteration as CTE text: teleport mass
-    * lands only on the probe set (q161). */
-  private def pprIter(i: Int): String =
-    s"""c${i - 1} AS (
-       |  SELECT p${i - 1}.v AS u, p${i - 1}.p // deg.deg AS c
-       |  FROM p${i - 1} JOIN deg ON deg.u = p${i - 1}.v),
-       |p$i AS (
-       |  SELECT dir.v,
-       |    CASE WHEN pr.v IS NOT NULL THEN 150000 // np.n_p ELSE 0 END
-       |      + (850000 * CAST(sum(c${i - 1}.c) AS BIGINT)) // 1000000 AS p
-       |  FROM dir JOIN c${i - 1} ON c${i - 1}.u = dir.u
-       |  LEFT JOIN pprobes pr ON pr.v = dir.v CROSS JOIN np
-       |  GROUP BY dir.v, pr.v, np.n_p)""".stripMargin
+  /** Shared tail of the PageRank-family fixpoint oracles: the
+    * recursive CTE `pr` carries (iter, v, p) for iterations 0..32;
+    * the result is the state at the FIRST iteration k whose successor
+    * state is identical on every vertex (the ppm fixpoint), falling
+    * back to the capped state at 32 — exactly the stopping rule
+    * [[iterateToFixpointPpm]] implements, so the engines agree on
+    * every trajectory, converged or capped. */
+  private def prFixpointTail(outCol: String): String =
+    s"""conv AS (
+       |  SELECT a.iter AS k
+       |  FROM pr a JOIN pr b ON b.iter = a.iter + 1 AND b.v = a.v
+       |  GROUP BY a.iter
+       |  HAVING max(CASE WHEN a.p = b.p THEN 0 ELSE 1 END) = 0),
+       |pick AS (SELECT coalesce(min(k), 32) AS k FROM conv)
+       |SELECT pr.v AS part, CAST(pr.p AS BIGINT) AS $outCol
+       |FROM pr JOIN pick ON pr.iter = pick.k""".stripMargin
 
   /** q148's exact sums; also q159's ground truth (the bucketed
     * substrate must reproduce them bit-for-bit). */
@@ -1260,21 +1320,27 @@ object Relational extends QueryPack {
     "q115_lateral_topk" -> lateralTopkText,
 
     "q145_pagerank" ->
-      s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      s"""WITH RECURSIVE li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e AS (
         |  SELECT DISTINCT x.p AS a, y.p AS b
         |  FROM li x JOIN li y ON x.o = y.o WHERE x.p < y.p),
         |dir AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
         |deg AS (SELECT u, count(*) AS deg FROM dir GROUP BY u),
         |nv AS (SELECT count(*) AS n_v FROM deg),
-        |p0 AS (SELECT u AS v, 1000000 // n_v AS p FROM deg CROSS JOIN nv),
-        |${prIter(1)},
-        |${prIter(2)},
-        |${prIter(3)}
-        |SELECT v AS part, CAST(p AS BIGINT) AS pr_ppm FROM p3""".stripMargin,
+        |pr AS (
+        |  SELECT 0 AS iter, u AS v, 1000000 // n_v AS p FROM deg CROSS JOIN nv
+        |  UNION ALL
+        |  SELECT c.iter + 1, dir.v,
+        |    150000 // nv.n_v + (850000 * CAST(sum(c.c) AS BIGINT)) // 1000000 AS p
+        |  FROM (SELECT pr.iter, pr.v AS u, pr.p // deg.deg AS c
+        |        FROM pr JOIN deg ON deg.u = pr.v
+        |        WHERE pr.iter < 32) c
+        |  JOIN dir ON dir.u = c.u CROSS JOIN nv
+        |  GROUP BY c.iter, dir.v, nv.n_v),
+        |${prFixpointTail("pr_ppm")}""".stripMargin,
 
     "q162_weighted_pagerank" ->
-      s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      s"""WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |cooc AS (
         |  SELECT x.p AS a, y.p AS b, count(*) AS cooc
         |  FROM li x JOIN li y ON x.o = y.o WHERE x.p < y.p
@@ -1284,14 +1350,21 @@ object Relational extends QueryPack {
         |  UNION ALL SELECT b AS u, a AS v, cooc FROM cooc),
         |wdeg AS (SELECT u, CAST(sum(cooc) AS BIGINT) AS wdeg FROM dirw GROUP BY u),
         |nv AS (SELECT count(*) AS n_v FROM wdeg),
-        |p0 AS (SELECT u AS v, 1000000 // n_v AS p FROM wdeg CROSS JOIN nv),
-        |${wprIter(1)},
-        |${wprIter(2)},
-        |${wprIter(3)}
-        |SELECT v AS part, CAST(p AS BIGINT) AS wpr_ppm FROM p3""".stripMargin,
+        |pr AS (
+        |  SELECT 0 AS iter, u AS v, 1000000 // n_v AS p FROM wdeg CROSS JOIN nv
+        |  UNION ALL
+        |  SELECT s.iter + 1, s.v, 150000 // nv.n_v + (850000 * s.sc) // 1000000 AS p
+        |  FROM (
+        |    SELECT pr.iter, d.v,
+        |      CAST(sum((pr.p * d.cooc) // w.wdeg) AS BIGINT) AS sc
+        |    FROM dirw d JOIN pr ON pr.v = d.u JOIN wdeg w ON w.u = d.u
+        |    WHERE pr.iter < 32
+        |    GROUP BY pr.iter, d.v) s
+        |  CROSS JOIN nv),
+        |${prFixpointTail("wpr_ppm")}""".stripMargin,
 
     "q161_personalized_pagerank" ->
-      s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      s"""WITH RECURSIVE li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e AS (
         |  SELECT DISTINCT x.p AS a, y.p AS b
         |  FROM li x JOIN li y ON x.o = y.o WHERE x.p < y.p),
@@ -1301,14 +1374,21 @@ object Relational extends QueryPack {
         |  SELECT u AS v FROM deg
         |  WHERE CAST('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15) AS BIGINT) % 50 = 0),
         |np AS (SELECT count(*) AS n_p FROM pprobes),
-        |p0 AS (
-        |  SELECT deg.u AS v,
-        |    CASE WHEN pr.v IS NOT NULL THEN 1000000 // np.n_p ELSE 0 END AS p
-        |  FROM deg LEFT JOIN pprobes pr ON pr.v = deg.u CROSS JOIN np),
-        |${pprIter(1)},
-        |${pprIter(2)},
-        |${pprIter(3)}
-        |SELECT v AS part, CAST(p AS BIGINT) AS ppr_ppm FROM p3""".stripMargin,
+        |pr AS (
+        |  SELECT 0 AS iter, deg.u AS v,
+        |    CASE WHEN p2.v IS NOT NULL THEN 1000000 // np.n_p ELSE 0 END AS p
+        |  FROM deg LEFT JOIN pprobes p2 ON p2.v = deg.u CROSS JOIN np
+        |  UNION ALL
+        |  SELECT c.iter + 1, dir.v,
+        |    CASE WHEN pb.v IS NOT NULL THEN 150000 // np.n_p ELSE 0 END
+        |      + (850000 * CAST(sum(c.c) AS BIGINT)) // 1000000 AS p
+        |  FROM (SELECT pr.iter, pr.v AS u, pr.p // deg.deg AS c
+        |        FROM pr JOIN deg ON deg.u = pr.v
+        |        WHERE pr.iter < 32) c
+        |  JOIN dir ON dir.u = c.u
+        |  LEFT JOIN pprobes pb ON pb.v = dir.v CROSS JOIN np
+        |  GROUP BY c.iter, dir.v, pb.v, np.n_p),
+        |${prFixpointTail("ppr_ppm")}""".stripMargin,
 
     "q146_item_similarity" ->
       """WITH li AS (
