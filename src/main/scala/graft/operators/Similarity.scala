@@ -116,7 +116,107 @@ object Similarity extends QueryPack {
       .select($"vec_id", $"j", $"m.c".as("cj"), $"m.d2".as("d2"))
   }
 
+  /** The sweep grid for the IVF probe-depth acceptance loop (q163) and
+    * the micro-averaged recall@3 target the rollout gates on. */
+  private val nprobeGrid = Seq(1, 2, 4, 8)
+  private val recallTargetPpm = 800000L
+
+  /** IVF multiprobe top-3 with the probe depth supplied as a 1-ROW
+    * DataFrame (`chosen_nprobe`) — the production query and the sweep
+    * share this core, so "the config the audit chose" and "the config
+    * the query runs" are the same plan by construction. */
+  private def ivfMultiprobeTop3(s: SparkSession, d: String,
+                                nprobeDf: DataFrame): DataFrame = {
+    import s.implicits._
+    val emb = quantized(s, d)
+    val cents = meanCentroids(emb)
+    val qs = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"q".as("qv"), $"n2".as("qn2"))
+    val wq = Window.partitionBy($"qid").orderBy($"cd2", $"label")
+    val probes = qs.crossJoin(broadcast(cents))
+      .select($"qid", $"qv", $"qn2", $"label",
+        ($"qn2" + $"cn2" - expr("2 * int_dot(qv, c)")).as("cd2"))
+      .withColumn("probe", row_number().over(wq).cast("bigint"))
+      .crossJoin(broadcast(nprobeDf))
+      .filter($"probe" <= $"chosen_nprobe")
+      .select($"qid", $"qv", $"qn2", $"label".as("pcell"), $"probe")
+    val scored = emb.join(broadcast(probes),
+        $"label" === $"pcell" && $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id", $"label".cast("bigint").as("cell"),
+        $"probe", cosine("q", "qv", "n2", "qn2").as("cos"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+    scored.withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter($"rn" <= 3)
+      .select($"qid", $"vec_id", $"cell", $"probe", $"cos", $"rn")
+  }
+
+  /** Exact brute-force top-3 — the sweep's ground truth, memoized +
+    * persisted so the 4-config sweep pays the corpus scan once. */
+  private def annExact3(s: SparkSession, d: String): DataFrame =
+    T.memo(s, s"ann_exact3:$d") {
+      queries("q40_cosine_topk")(s, d)
+        .filter(col("rn") <= 3).select(col("qid"), col("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Probe-depth sweep: micro-averaged recall@3 of the multiprobe IVF
+    * vs the exact top-3, one row per grid depth — (nprobe, hits,
+    * recall_ppm). Memoized: q163 reports it and q141 derives its
+    * production config from it, both from ONE evaluation. */
+  private def annNprobeSweep(s: SparkSession, d: String): DataFrame =
+    T.memo(s, s"ann_sweep:$d") {
+      import s.implicits._
+      val exact3 = annExact3(s, d)
+      val nQ = exact3.select($"qid").agg(
+        countDistinct($"qid").as("n_q"))
+      nprobeGrid.map { np =>
+        val appr = ivfMultiprobeTop3(s, d,
+            s.range(1).select(lit(np.toLong).as("chosen_nprobe")))
+          .select($"qid", $"vec_id")
+        exact3.join(appr, Seq("qid", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(broadcast(nQ))
+          .select(lit(np.toLong).as("nprobe"), $"hits",
+            expr(s"(hits * 1000000L) div (3 * n_q)").as("recall_ppm"))
+      }.reduce(_ unionAll _)
+    }
+
+  /** The accepted probe depth: the SMALLEST swept nprobe meeting the
+    * recall target, falling back to the deepest swept config if none
+    * does (the honest answer on a corpus where the coarse quantizer is
+    * weak — q142 measures exactly that here). 1 row, broadcastable. */
+  private def chosenNprobe(s: SparkSession, d: String): DataFrame =
+    T.memo(s, s"ann_chosen:$d") {
+      annNprobeSweep(s, d).agg(
+        coalesce(
+          min(when(col("recall_ppm") >= recallTargetPpm, col("nprobe"))),
+          max(col("nprobe"))).as("chosen_nprobe"))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- probe-depth acceptance sweep (closing q142's audit loop) ---
+    // q142 measures that single-cell IVF recall is weak on this corpus
+    // (the labels are not geometric clusters); this query is the step
+    // a rollout takes NEXT: sweep the probe depth over a grid, measure
+    // micro-averaged recall@3 against the exact baseline per config,
+    // and mark which configs meet the ≥80% acceptance target and
+    // which one ships (smallest passing depth, else the deepest
+    // swept). q141 joins this exact selection in as its nprobe — the
+    // audit DECIDES the production config rather than sitting beside
+    // it. Shape: the grid is 4 configs over the same broadcast-probe
+    // equi-join scan; the exact baseline is computed once (memoized +
+    // persisted) — the whole sweep costs ~Σ nprobe/k corpus scans,
+    // run per rollout, never in the per-query path.
+    "q163_ann_nprobe_tune" -> ((s, d) => {
+      import s.implicits._
+      val sweep = annNprobeSweep(s, d)
+      sweep.crossJoin(broadcast(chosenNprobe(s, d)))
+        .select($"nprobe", $"hits", $"recall_ppm",
+          when($"recall_ppm" >= recallTargetPpm, 1L).otherwise(0L)
+            .as("meets_target"),
+          when($"nprobe" === $"chosen_nprobe", 1L).otherwise(0L).as("chosen"))
+    }),
+
     // ---- product quantization encode (IVF-PQ compression path) ------
     // The 100 TB ANN standard [Jégou et al., "Product Quantization for
     // Nearest Neighbor Search", TPAMI'11]: split each vector into
@@ -237,37 +337,21 @@ object Similarity extends QueryPack {
         .select($"qid", $"vec_id", $"cell", $"cos", $"rn")
     }),
 
-    // ---- multi-probe IVF: search the nprobe=2 nearest cells ---------
+    // ---- multi-probe IVF at the AUDIT-CHOSEN probe depth ------------
     // Single-probe IVF (q41) misses neighbors that fall just across a
     // cell boundary; production IVF probes the nprobe nearest cells by
     // query-to-centroid distance. The probe list is computed against
     // the k-row centroid table (broadcast, exact integer L2 =
     // qn2 + cn2 − 2·int_dot) — a 10×k rank, driver-free — and the
-    // scan stays an equi-join on the cell key, now over 2 cells per
-    // query: recall rises while per-query work stays ~2·N/k, the
-    // multiprobe trade dial every IVF deployment tunes.
-    "q141_ann_ivf_multiprobe" -> ((s, d) => {
-      import s.implicits._
-      val emb = quantized(s, d)
-      val cents = meanCentroids(emb)
-      val qs = emb.filter($"vec_id" < 10)
-        .select($"vec_id".as("qid"), $"q".as("qv"), $"n2".as("qn2"))
-      val wq = Window.partitionBy($"qid").orderBy($"cd2", $"label")
-      val probes = qs.crossJoin(broadcast(cents))
-        .select($"qid", $"qv", $"qn2", $"label",
-          ($"qn2" + $"cn2" - expr("2 * int_dot(qv, c)")).as("cd2"))
-        .withColumn("probe", row_number().over(wq).cast("bigint"))
-        .filter($"probe" <= 2)
-        .select($"qid", $"qv", $"qn2", $"label".as("pcell"), $"probe")
-      val scored = emb.join(broadcast(probes),
-          $"label" === $"pcell" && $"vec_id" =!= $"qid")
-        .select($"qid", $"vec_id", $"label".cast("bigint").as("cell"),
-          $"probe", cosine("q", "qv", "n2", "qn2").as("cos"))
-      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
-      scored.withColumn("rn", row_number().over(w).cast("bigint"))
-        .filter($"rn" <= 3)
-        .select($"qid", $"vec_id", $"cell", $"probe", $"cos", $"rn")
-    }),
+    // scan stays an equi-join on the cell key: recall rises while
+    // per-query work stays ~nprobe·N/k, the multiprobe trade dial
+    // every IVF deployment tunes. Since round 10 nprobe is NOT a
+    // constant: it is the smallest swept depth whose measured recall@3
+    // meets the ≥80% acceptance target (q163's sweep — the loop the
+    // q142 audit exists to close), joined in as a 1-row scalar so the
+    // production query provably runs the accepted config.
+    "q141_ann_ivf_multiprobe" -> ((s, d) =>
+      ivfMultiprobeTop3(s, d, chosenNprobe(s, d))),
 
     // ---- ANN recall audit: measure, don't guess ---------------------
     // Joins each approximate index's top-3 (IVF q41, sign-LSH q53,
@@ -554,7 +638,11 @@ object Similarity extends QueryPack {
       |  FROM scored) t
       |WHERE rn <= 3""".stripMargin
 
-  private lazy val duckQ141 =
+  /** IVF multiprobe top-3 at probe depth `np` (a SQL literal or a
+    * scalar subquery text) — the duck mirror of [[ivfMultiprobeTop3]];
+    * the sweep instantiates it per grid depth and the q141 oracle at
+    * the audit-chosen depth. */
+  private def duckIvfTop3(np: String): String =
     s"""WITH $duckQuant,
       |$duckMeanCent,
       |qs AS (SELECT vec_id AS qid, qv AS qqv, n2 AS qn2 FROM n WHERE vec_id < 10),
@@ -566,7 +654,7 @@ object Similarity extends QueryPack {
       |      qs.qn2 + cn.cn2 - 2 * CAST(list_sum(list_transform(
       |        list_zip(qs.qqv, cn.c), p -> p[1] * p[2])) AS BIGINT) AS cd2
       |    FROM qs CROSS JOIN cn) t),
-      |probes AS (SELECT * FROM pc WHERE probe <= 2),
+      |probes AS (SELECT * FROM pc WHERE probe <= $np),
       |scored AS (
       |  SELECT p.qid, n.vec_id, CAST(n.label AS BIGINT) AS cell, p.probe,
       |    ${duckCos("n.qv", "p.qqv", "n.n2", "p.qn2")} AS cos
@@ -577,8 +665,49 @@ object Similarity extends QueryPack {
       |  FROM scored) t
       |WHERE rn <= 3""".stripMargin
 
+  /** Shared probe-depth sweep CTEs (q163's oracle and q141's config
+    * derivation): exact top-3 baseline, per-grid-depth hit counts,
+    * micro-averaged recall, and the accepted depth `cfg.cn` (smallest
+    * meeting the target, else the deepest swept). */
+  private lazy val duckSweepCtes: String = {
+    val per = nprobeGrid.map { np =>
+      s"""t$np AS (SELECT qid, vec_id FROM (${duckIvfTop3(np.toString)}) x$np),
+         |h$np AS (SELECT CAST(count(*) AS BIGINT) AS hits
+         |         FROM e JOIN t$np USING (qid, vec_id))""".stripMargin
+    }.mkString(",\n")
+    val union = nprobeGrid
+      .map(np => s"SELECT CAST($np AS BIGINT) AS nprobe, hits FROM h$np")
+      .mkString(" UNION ALL ")
+    s"""e AS (SELECT qid, vec_id FROM ($duckQ40) t40e WHERE rn <= 3),
+       |nq AS (SELECT CAST(count(DISTINCT qid) AS BIGINT) AS n_q FROM e),
+       |$per,
+       |sweep AS ($union),
+       |sweeprec AS (
+       |  SELECT nprobe, hits,
+       |    CAST((hits * 1000000) // (3 * nq.n_q) AS BIGINT) AS recall_ppm
+       |  FROM sweep CROSS JOIN nq),
+       |cfg AS (
+       |  SELECT coalesce(
+       |    min(CASE WHEN recall_ppm >= $recallTargetPpm THEN nprobe END),
+       |    max(nprobe)) AS cn
+       |  FROM sweeprec)""".stripMargin
+  }
+
+  private lazy val duckQ141 =
+    s"""WITH $duckSweepCtes
+      |SELECT qid, vec_id, cell, probe, cos, rn
+      |FROM (${duckIvfTop3("(SELECT cn FROM cfg)")}) fin""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q141_ann_ivf_multiprobe" -> duckQ141,
+
+    "q163_ann_nprobe_tune" ->
+      s"""WITH $duckSweepCtes
+        |SELECT s.nprobe, s.hits, s.recall_ppm,
+        |  CAST(CASE WHEN s.recall_ppm >= $recallTargetPpm THEN 1 ELSE 0 END
+        |    AS BIGINT) AS meets_target,
+        |  CAST(CASE WHEN s.nprobe = cfg.cn THEN 1 ELSE 0 END AS BIGINT) AS chosen
+        |FROM sweeprec s CROSS JOIN cfg""".stripMargin,
 
     "q142_ann_recall" ->
       s"""WITH e AS (SELECT qid, vec_id FROM ($duckQ40) t40 WHERE rn <= 3),

@@ -52,7 +52,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q150_link_prediction", "q160_linkpred_cap_audit",
     // q161/q162: the 1-row probe-count / vertex-count scalar,
     // q145's n_v pattern
-    "q161_personalized_pagerank", "q162_weighted_pagerank")
+    "q161_personalized_pagerank", "q162_weighted_pagerank",
+    // q163: the sweep composes q141's bounded-side shape per grid
+    // depth plus 1-row nprobe/n_q scalars
+    "q163_ann_nprobe_tune")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
