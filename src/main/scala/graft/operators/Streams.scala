@@ -74,13 +74,17 @@ object Streams extends QueryPack {
     * user_id, json) rows in event_id order, `times` puts per row
     * (times > 1 models at-least-once duplicate delivery). Idempotent
     * per stream within the JVM. partitionKey = user_id, so per-shard
-    * order is event_id order for the users routed there. */
+    * order is event_id order for the users routed there. Rows arrive
+    * as a LOCAL ITERATOR (Multimodal's toLocalIterator rule): the
+    * fixture scales with sf, so driver memory stays one-partition-
+    * bounded instead of materializing the whole table. */
   private def seedRows(name: String, numShards: Int,
-                       rows: Array[org.apache.spark.sql.Row], times: Int): Unit =
+                       rows: java.util.Iterator[org.apache.spark.sql.Row],
+                       times: Int): Unit =
     synchronized {
       if (ShardServiceRegistry.exists(name)) return
       val stream = ShardServiceRegistry.create(name, numShards)
-      rows.foreach { r =>
+      rows.forEachRemaining { r =>
         require(!r.isNullAt(0) && !r.isNullAt(1),
           s"seedRows($name): null event_id/user_id in events fixture: $r")
         val bytes = r.getString(2).getBytes(UTF_8)
@@ -107,7 +111,7 @@ object Streams extends QueryPack {
       .select(col("event_id"), col("user_id"),
         to_json(struct(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value"))).as("json"))
-      .orderBy("event_id").collect()
+      .orderBy("event_id").toLocalIterator()
     seedRows(name, numShards, rows, times = 1)
   }
 
@@ -118,9 +122,10 @@ object Streams extends QueryPack {
     synchronized {
       if (ShardServiceRegistry.exists(name)) return
       val stream = ShardServiceRegistry.create(name, 1)
-      val rows = T.events(s, dir)
-        .select(col("event_id"), col("event_type")).orderBy("event_id").collect()
-      rows.foreach(r => stream.putRecord("partitionKey", r.getString(1).getBytes(UTF_8), None))
+      T.events(s, dir)
+        .select(col("event_id"), col("event_type")).orderBy("event_id")
+        .toLocalIterator().forEachRemaining(r =>
+          stream.putRecord("partitionKey", r.getString(1).getBytes(UTF_8), None))
     }
 
   /** Run a streaming DataFrame through Trigger.AvailableNow into a
@@ -342,7 +347,7 @@ object Streams extends QueryPack {
             .select(col("event_id"), col("user_id"),
               to_json(struct(col("event_id"), unix_micros(col("ts")).as("ts_us"),
                 col("user_id"), col("event_type"), col("value"))).as("json"))
-            .orderBy("event_id").collect()
+            .orderBy("event_id").toLocalIterator()
           seedRows(name, numShards = 4, rows, times = 2)
         }
       }
@@ -384,7 +389,7 @@ object Streams extends QueryPack {
             .select(col("doc_id"), col("doc_id").as("pk"),
               to_json(struct(col("doc_id"), col("lang"), col("n_chars"),
                 md5(col("text")).as("fp"))).as("json"))
-            .orderBy("doc_id").collect()
+            .orderBy("doc_id").toLocalIterator()
           seedRows(name, numShards = 4, rows, times = 1)
         }
       }
@@ -429,19 +434,23 @@ object Streams extends QueryPack {
       val name = s"events_sts_${sfx(d)}"
       synchronized { // same mid-seed-visibility rule as seedEventsJson
         if (!ShardServiceRegistry.exists(name)) {
-          val rows = T.events(s, d)
+          val src = T.events(s, d)
             .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
               to_json(struct(col("event_id"), unix_micros(col("ts")).as("ts_us"),
                 col("event_type"))).as("json"))
-            .orderBy(col("ts_us"), col("event_id")).collect()
+            .orderBy(col("ts_us"), col("event_id"))
+          // count first (cheap aggregate) so the split lands at the
+          // 1/3 breakpoint while rows stream through a local iterator
+          // (driver memory stays one-partition-bounded)
+          val third = src.count() / 3
           val stream = ShardServiceRegistry.create(name, 2)
-          def put(r: org.apache.spark.sql.Row): Unit =
+          var i = 0L
+          src.toLocalIterator().forEachRemaining { r =>
+            if (i == third) stream.splitShard(stream.shardIds.head)
             stream.putRecord(r.getLong(0).toString,
               r.getString(2).getBytes(UTF_8), None, arrivalTs = Some(r.getLong(1)))
-          val third = rows.length / 3
-          rows.take(third).foreach(put)
-          stream.splitShard(stream.shardIds.head)
-          rows.drop(third).foreach(put)
+            i += 1
+          }
         }
       }
       // cutoff = the (n/6)-th smallest stamp — inside the parent era
@@ -483,7 +492,7 @@ object Streams extends QueryPack {
           val rows = T.events(s, d)
             .select(col("event_id"), col("user_id"),
               to_json(struct(col("event_id"), col("event_type"))).as("json"))
-            .orderBy("event_id").collect()
+            .orderBy("event_id").toLocalIterator()
           seedRows(name, numShards = 4, rows, times = 2) // every record twice
         }
       }
@@ -760,20 +769,24 @@ object Streams extends QueryPack {
       val name = s"events_resh_${sfx(d)}"
       synchronized { // same mid-seed-visibility rule as seedEventsJson
         if (!ShardServiceRegistry.exists(name)) {
-          val rows = T.events(s, d)
+          val src = T.events(s, d)
             .select(col("user_id"), col("event_id"))
-            .orderBy("event_id").collect()
+            .orderBy("event_id")
+          // count first so split/merge land at the 1/3 and 2/3
+          // breakpoints while rows stream through a local iterator
+          val third = src.count() / 3
           val stream = ShardServiceRegistry.create(name, 3)
-          def put(r: org.apache.spark.sql.Row): Unit =
+          var i = 0L
+          src.toLocalIterator().forEachRemaining { r =>
+            if (i == third) stream.splitShard(stream.shardIds.head)
+            if (i == 2 * third) {
+              val open = stream.shardIds.filterNot(stream.isShardSealed)
+              stream.mergeShards(open.head, open(1))
+            }
             stream.putRecord(r.getLong(0).toString,
               r.getLong(1).toString.getBytes(UTF_8), None)
-          val third = rows.length / 3
-          rows.take(third).foreach(put)
-          stream.splitShard(stream.shardIds.head)
-          rows.slice(third, 2 * third).foreach(put)
-          val open = stream.shardIds.filterNot(stream.isShardSealed)
-          stream.mergeShards(open.head, open(1))
-          rows.drop(2 * third).foreach(put)
+            i += 1
+          }
         }
       }
       val cap = math.max(1000L, T.events(s, d).count() / 4)
@@ -804,16 +817,16 @@ object Streams extends QueryPack {
       val name = s"events_ts_${sfx(d)}"
       synchronized {
         if (!ShardServiceRegistry.exists(name)) {
-          val rows = T.events(s, d)
+          val stream = ShardServiceRegistry.create(name, 4)
+          T.events(s, d)
             .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
               to_json(struct(col("event_id"), unix_micros(col("ts")).as("ts_us"),
                 col("event_type"))).as("json"))
-            .orderBy(col("ts_us"), col("event_id")).collect()
-          val stream = ShardServiceRegistry.create(name, 4)
-          rows.foreach { r =>
-            stream.putRecord(r.getLong(0).toString, r.getString(2).getBytes(UTF_8),
-              None, arrivalTs = Some(r.getLong(1)))
-          }
+            .orderBy(col("ts_us"), col("event_id"))
+            .toLocalIterator().forEachRemaining { r =>
+              stream.putRecord(r.getLong(0).toString, r.getString(2).getBytes(UTF_8),
+                None, arrivalTs = Some(r.getLong(1)))
+            }
         }
       }
       // deterministic cutoff: corpus midpoint stamp; both engines
