@@ -59,6 +59,15 @@ object Bench {
     // stream a ~3-6 s floor (s06/s12/s15/s16 in every complete round's
     // tail) that is FIXTURE overhead, not data volume: the same
     // pipelines amortize those costs across real batch sizes at scale.
+    // A RocksDB + changelog-checkpointing state store was MEASURED
+    // against this floor (round 10, the six heaviest stateful streams
+    // at sf0.1, warmed + cold-isolated): 33.3 s vs 34.7 s default —
+    // inside the host-noise envelope, with per-query deltas mixed
+    // (s16 −1.2 s, s12 +0.8 s). The heavy stream-stream joins already
+    // drain in a single epoch, so the floor is intrinsic per-partition
+    // state-write cost, not commit count — the default HDFS-backed
+    // provider stays (no JNI surface, same speed); RocksDB's win
+    // appears at state sizes that don't fit executor heap, not here.
     val results = all.map { case (name, fn) =>
       spark.catalog.clearCache()
       name -> run(name, fn)
