@@ -228,6 +228,40 @@ object Relational extends QueryPack {
         .unionAll(e.select(col("b").as("u"), col("a").as("v")))
     }
 
+  /** Synchronous LABEL PROPAGATION community detection [Raghavan,
+    * Albert & Kumara, Phys. Rev. E'07] — q164's core: every vertex
+    * starts in its own community (label = id) and repeatedly adopts
+    * the label most frequent among its neighbors, ties broken by the
+    * SMALLEST label — a total order, so each step is deterministic and
+    * engine-portable (the randomized-order variant of the paper is off
+    * the menu by the determinism rule; synchronous min-tie-break is
+    * its standard reproducible form). Runs through
+    * [[iterateToFixpointPpm]] (states are (v, label) longs — the
+    * harness is representation-agnostic): sync LPA can 2-cycle on
+    * bipartite-ish structure, which is exactly the capped case the
+    * harness and the recursive-CTE oracle resolve identically.
+    *
+    * Shape per iteration (100 TB): one |E|-row join on the source key
+    * + a (v, label) count + a per-v argmin — two keyed shuffles, the
+    * same cost class as a PageRank step; labels are single longs,
+    * never neighbor lists. Returns (v, community). */
+  private[graft] def labelPropagation(e: DataFrame, degIn: DataFrame,
+      maxIters: Int = 16, dirOpt: Option[DataFrame] = None): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val dir = dirOpt.getOrElse(
+      e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v"))))
+    val init = degIn.toDF("v", "deg").select($"v", $"v".as("p"))
+    def step(p: DataFrame): DataFrame =
+      dir.join(p.toDF("u", "lab"), "u")
+        .groupBy($"v", $"lab").agg(count(lit(1)).as("cnt"))
+        .groupBy($"v").agg(min(struct((-$"cnt").as("nc"), $"lab".as("l"))).as("m"))
+        .select($"v", $"m.l".as("p"))
+    iterateToFixpointPpm(init, maxIters)(step)
+      .select($"v", $"p".as("community"))
+  }
+
   /** PERSONALIZED PageRank [Jeh & Widom, WWW'03] — q161's core:
     * teleport mass returns only to `probes` (one column `v`), so the
     * stationary mass ranks vertices by proximity to the seed set.
@@ -1093,6 +1127,21 @@ object Relational extends QueryPack {
         .withColumnRenamed("v", "part")
     }),
 
+    // ---- community detection: synchronous label propagation ---------
+    // The missing member of the graph family next to centrality
+    // (q145/q161/q162), closure (q138), components (q56) and link
+    // prediction (q150): WHICH parts cluster into co-purchase
+    // communities. Sync LPA with min-label tie-break (see
+    // [[labelPropagation]]) over the same persisted substrates, run to
+    // the label fixpoint through the round-10 convergence harness —
+    // per iteration one |E| join + a (v,label) count + per-v argmin,
+    // all keyed shuffles; the oracle replays the identical trajectory
+    // in a recursive CTE with the same first-repeated-state rule.
+    "q164_label_propagation" -> ((s, d) =>
+      labelPropagation(coocEdges(s, d), coocDeg(s, d),
+          dirOpt = Some(coocDir(s, d)))
+        .withColumnRenamed("v", "part")),
+
     // ---- item-item similarity: top-5 co-purchase neighbors ----------
     // The collaborative-filtering kernel: for each part, the 5 most
     // similar parts by normalized co-occurrence,
@@ -1242,13 +1291,13 @@ object Relational extends QueryPack {
     * back to the capped state at 32 — exactly the stopping rule
     * [[iterateToFixpointPpm]] implements, so the engines agree on
     * every trajectory, converged or capped. */
-  private def prFixpointTail(outCol: String): String =
+  private def prFixpointTail(outCol: String, maxIters: Int = 32): String =
     s"""conv AS (
        |  SELECT a.iter AS k
        |  FROM pr a JOIN pr b ON b.iter = a.iter + 1 AND b.v = a.v
        |  GROUP BY a.iter
        |  HAVING max(CASE WHEN a.p = b.p THEN 0 ELSE 1 END) = 0),
-       |pick AS (SELECT coalesce(min(k), 32) AS k FROM conv)
+       |pick AS (SELECT coalesce(min(k), $maxIters) AS k FROM conv)
        |SELECT pr.v AS part, CAST(pr.p AS BIGINT) AS $outCol
        |FROM pr JOIN pick ON pr.iter = pick.k""".stripMargin
 
@@ -1389,6 +1438,28 @@ object Relational extends QueryPack {
         |  LEFT JOIN pprobes pb ON pb.v = dir.v CROSS JOIN np
         |  GROUP BY c.iter, dir.v, pb.v, np.n_p),
         |${prFixpointTail("ppr_ppm")}""".stripMargin,
+
+    "q164_label_propagation" ->
+      s"""WITH RECURSIVE li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM li x JOIN li y ON x.o = y.o WHERE x.p < y.p),
+        |dir AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+        |deg AS (SELECT u, count(*) AS deg FROM dir GROUP BY u),
+        |pr AS (
+        |  SELECT 0 AS iter, u AS v, u AS p FROM deg
+        |  UNION ALL
+        |  SELECT t.iter + 1, t.v, t.lab AS p FROM (
+        |    SELECT c.iter, c.v, c.lab,
+        |      row_number() OVER (PARTITION BY c.iter, c.v
+        |        ORDER BY c.cnt DESC, c.lab) AS rn
+        |    FROM (
+        |      SELECT pr.iter, dir.v, pr.p AS lab, count(*) AS cnt
+        |      FROM dir JOIN pr ON pr.v = dir.u
+        |      WHERE pr.iter < 16
+        |      GROUP BY pr.iter, dir.v, pr.p) c) t
+        |  WHERE t.rn = 1),
+        |${prFixpointTail("community", 16)}""".stripMargin,
 
     "q146_item_similarity" ->
       """WITH li AS (
