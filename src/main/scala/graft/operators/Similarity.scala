@@ -193,6 +193,67 @@ object Similarity extends QueryPack {
           max(col("nprobe"))).as("chosen_nprobe"))
     }
 
+  /** The sign-LSH bit-width grid (prefix masks of the 8-bit bucket). */
+  private val lshBitsGrid = Seq(4, 5, 6, 7, 8)
+
+  /** Sign-LSH top-3 with the bucket mask supplied as a 1-ROW
+    * DataFrame (`chosen_mask`) — q53 and the q165 sweep share this
+    * core, so the shipped width and the audited width are the same
+    * plan by construction. Masking to the first b bits IS the
+    * b-plane bucket (plane order is fixed), so one bucket computation
+    * serves every width. */
+  private def lshTop3(s: SparkSession, d: String, maskDf: DataFrame): DataFrame = {
+    import s.implicits._
+    val withBucket = quantized(s, d)
+      .crossJoin(broadcast(maskDf.select($"chosen_mask")))
+      .withColumn("bucket", Similarity.bucketExpr.bitwiseAND($"chosen_mask"))
+    val qs = withBucket.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"bucket".as("qbucket"), $"q".as("qv"), $"n2".as("qn2"))
+    val scored = withBucket.join(broadcast(qs),
+        $"bucket" === $"qbucket" && $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id", $"bucket", cosine("q", "qv", "n2", "qn2").as("cos"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+    scored.withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter($"rn" <= 3)
+      .select($"qid", $"vec_id", $"bucket", $"cos", $"rn")
+  }
+
+  /** Bit-width sweep: recall@3 of the masked sign-LSH vs the exact
+    * top-3 per grid width — (bits, hits, recall_ppm). Memoized like
+    * [[annNprobeSweep]]. */
+  private def lshBitsSweep(s: SparkSession, d: String): DataFrame =
+    T.memo(s, s"ann_lsh_sweep:$d") {
+      import s.implicits._
+      val exact3 = annExact3(s, d)
+      val nQ = exact3.select($"qid").agg(countDistinct($"qid").as("n_q"))
+      lshBitsGrid.map { bits =>
+        val appr = lshTop3(s, d,
+            s.range(1).select(lit((1L << bits) - 1L).as("chosen_mask")))
+          .select($"qid", $"vec_id")
+        exact3.join(appr, Seq("qid", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(broadcast(nQ))
+          .select(lit(bits.toLong).as("bits"), $"hits",
+            expr(s"(hits * 1000000L) div (3 * n_q)").as("recall_ppm"))
+      }.reduce(_ unionAll _)
+    }
+
+  /** The accepted bit width as a 1-row (chosen_bits, chosen_mask):
+    * the WIDEST swept width meeting the recall target (recall is
+    * monotone non-increasing in width, selectivity monotone
+    * increasing — ship the cheapest passing config), else the
+    * narrowest swept width (most recall available). */
+  private def chosenLshMask(s: SparkSession, d: String): DataFrame =
+    T.memo(s, s"ann_lsh_chosen:$d") {
+      lshBitsSweep(s, d).agg(
+        coalesce(
+          max(when(col("recall_ppm") >= recallTargetPpm, col("bits"))),
+          min(col("bits"))).as("chosen_bits"))
+        .select(col("chosen_bits"),
+          expr("(CAST(1 AS BIGINT) << CAST(chosen_bits AS INT)) - 1")
+            .as("chosen_mask"))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- probe-depth acceptance sweep (closing q142's audit loop) ---
     // q142 measures that single-cell IVF recall is weak on this corpus
@@ -379,26 +440,38 @@ object Similarity extends QueryPack {
         .withColumn("recall_ppm", expr("(hits * 1000000L) div 3"))
     }),
 
-    // ---- sign-LSH bucketed ANN --------------------------------------
+    // ---- sign-LSH bucketed ANN at the AUDIT-CHOSEN bit width --------
     // Random-hyperplane LSH with DETERMINISTIC integer hyperplanes
-    // (coef(j,k) = ((j·73 + k·179) mod 41) − 20): bucket = 8 sign
-    // bits of int_dot(v, plane_j) — exact integer arithmetic, so the
+    // (coef(j,k) = ((j·73 + k·179) mod 41) − 20): bucket = sign bits
+    // of int_dot(v, plane_j) — exact integer arithmetic, so the
     // oracle reproduces buckets bit-for-bit. Search is restricted to
     // the query's bucket (equi-join), the LSH scale path next to
-    // q41's IVF cells: ~256 buckets shrink per-query work by the
-    // bucket count at any corpus size.
-    "q53_ann_signlsh" -> ((s, d) => {
+    // q41's IVF cells. Since round 10 the BIT WIDTH is not a
+    // constant: using the first b of the 8 planes is a prefix MASK of
+    // the full bucket, so q165's sweep measures recall per width and
+    // q53 runs at the widest (most selective, cheapest) width still
+    // meeting the ≥80% recall target — falling back to the narrowest
+    // swept width when none passes (the honest fallback: recall is
+    // monotone in mask coarseness).
+    "q53_ann_signlsh" -> ((s, d) =>
+      lshTop3(s, d, chosenLshMask(s, d))),
+
+    // ---- LSH bit-width acceptance sweep (q163's twin for q53) -------
+    // The same close-the-audit-loop mechanism as q163, applied to the
+    // second tuning dial the q142 audit exposed: bucket bit width.
+    // One bucket computation serves every width (masking the 8-bit
+    // bucket to its first b bits IS the b-plane bucket), so the sweep
+    // re-scans only the bucket-joined candidates per width. Output:
+    // per-width recall@3 vs the exact baseline, the acceptance flag,
+    // and which width ships into q53.
+    "q165_ann_lshbits_tune" -> ((s, d) => {
       import s.implicits._
-      val withBucket = quantized(s, d).withColumn("bucket", Similarity.bucketExpr)
-      val qs = withBucket.filter($"vec_id" < 10)
-        .select($"vec_id".as("qid"), $"bucket".as("qbucket"), $"q".as("qv"), $"n2".as("qn2"))
-      val scored = withBucket.join(broadcast(qs),
-          $"bucket" === $"qbucket" && $"vec_id" =!= $"qid")
-        .select($"qid", $"vec_id", $"bucket", cosine("q", "qv", "n2", "qn2").as("cos"))
-      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
-      scored.withColumn("rn", row_number().over(w).cast("bigint"))
-        .filter($"rn" <= 3)
-        .select($"qid", $"vec_id", $"bucket", $"cos", $"rn")
+      val sweep = lshBitsSweep(s, d)
+      sweep.crossJoin(broadcast(chosenLshMask(s, d)))
+        .select($"bits", $"hits", $"recall_ppm",
+          when($"recall_ppm" >= recallTargetPpm, 1L).otherwise(0L)
+            .as("meets_target"),
+          when($"bits" === $"chosen_bits", 1L).otherwise(0L).as("chosen"))
     }),
 
     // ---- per-label centroids + most-central vectors -----------------
@@ -623,9 +696,11 @@ object Similarity extends QueryPack {
       |  FROM scored) t
       |WHERE rn <= 3""".stripMargin
 
-  private lazy val duckQ53 =
+  /** Sign-LSH top-3 at bucket mask `mask` (a SQL literal or scalar
+    * subquery text) — the duck mirror of [[lshTop3]]. */
+  private def duckLshTop3(mask: String): String =
     s"""WITH $duckQuant,
-      |b AS (SELECT vec_id, qv, n2, ${duckBucket("qv")} AS bucket FROM n),
+      |b AS (SELECT vec_id, qv, n2, (${duckBucket("qv")} & $mask) AS bucket FROM n),
       |qs AS (SELECT vec_id AS qid, bucket AS qbucket, qv AS qqv, n2 AS qn2
       |       FROM b WHERE vec_id < 10),
       |scored AS (
@@ -637,6 +712,40 @@ object Similarity extends QueryPack {
       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
       |  FROM scored) t
       |WHERE rn <= 3""".stripMargin
+
+  /** Shared bit-width sweep CTEs (q165's oracle and q53's config
+    * derivation), mirroring [[lshBitsSweep]]/[[chosenLshMask]]:
+    * `cfg2.cb` is the accepted width, `cfg2.cm` its prefix mask. */
+  private lazy val duckLshSweepCtes: String = {
+    val per = lshBitsGrid.map { bits =>
+      val mask = (1L << bits) - 1L
+      s"""lt$bits AS (SELECT qid, vec_id FROM (${duckLshTop3(mask.toString)}) y$bits),
+         |lh$bits AS (SELECT CAST(count(*) AS BIGINT) AS hits
+         |            FROM e JOIN lt$bits USING (qid, vec_id))""".stripMargin
+    }.mkString(",\n")
+    val union = lshBitsGrid
+      .map(bits => s"SELECT CAST($bits AS BIGINT) AS bits, hits FROM lh$bits")
+      .mkString(" UNION ALL ")
+    s"""e AS (SELECT qid, vec_id FROM ($duckQ40) t40e WHERE rn <= 3),
+       |nq AS (SELECT CAST(count(DISTINCT qid) AS BIGINT) AS n_q FROM e),
+       |$per,
+       |lsweep AS ($union),
+       |lsweeprec AS (
+       |  SELECT bits, hits,
+       |    CAST((hits * 1000000) // (3 * nq.n_q) AS BIGINT) AS recall_ppm
+       |  FROM lsweep CROSS JOIN nq),
+       |cfg2 AS (
+       |  SELECT cb, (CAST(1 AS BIGINT) << CAST(cb AS INT)) - 1 AS cm FROM (
+       |    SELECT coalesce(
+       |      max(CASE WHEN recall_ppm >= $recallTargetPpm THEN bits END),
+       |      min(bits)) AS cb
+       |    FROM lsweeprec) z)""".stripMargin
+  }
+
+  private lazy val duckQ53 =
+    s"""WITH $duckLshSweepCtes
+      |SELECT qid, vec_id, bucket, cos, rn
+      |FROM (${duckLshTop3("(SELECT cm FROM cfg2)")}) fin""".stripMargin
 
   /** IVF multiprobe top-3 at probe depth `np` (a SQL literal or a
     * scalar subquery text) — the duck mirror of [[ivfMultiprobeTop3]];
@@ -817,6 +926,14 @@ object Similarity extends QueryPack {
     "q41_ann_ivf" -> duckQ41,
 
     "q53_ann_signlsh" -> duckQ53,
+
+    "q165_ann_lshbits_tune" ->
+      s"""WITH $duckLshSweepCtes
+        |SELECT s.bits, s.hits, s.recall_ppm,
+        |  CAST(CASE WHEN s.recall_ppm >= $recallTargetPpm THEN 1 ELSE 0 END
+        |    AS BIGINT) AS meets_target,
+        |  CAST(CASE WHEN s.bits = cfg2.cb THEN 1 ELSE 0 END AS BIGINT) AS chosen
+        |FROM lsweeprec s CROSS JOIN cfg2""".stripMargin,
 
     "q42_embedding_neardup" ->
       s"""WITH $duckQuant,

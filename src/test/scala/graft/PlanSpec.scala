@@ -53,9 +53,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q161/q162: the 1-row probe-count / vertex-count scalar,
     // q145's n_v pattern
     "q161_personalized_pagerank", "q162_weighted_pagerank",
-    // q163: the sweep composes q141's bounded-side shape per grid
-    // depth plus 1-row nprobe/n_q scalars
-    "q163_ann_nprobe_tune")
+    // q163/q165: the sweeps compose q141's/q53's bounded-side shape
+    // per grid config plus 1-row nprobe/mask/n_q scalars; q53 itself
+    // carries the 1-row chosen-mask scalar since round 10
+    "q163_ann_nprobe_tune", "q165_ann_lshbits_tune", "q53_ann_signlsh")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
