@@ -653,6 +653,31 @@ object Pipeline extends QueryPack {
         .filter($"n" < 5)
     }),
 
+    // ---- l-diversity audit (q149's companion release gate) ----------
+    // k-anonymity alone doesn't stop attribute disclosure: a QI class
+    // of 50 people all sharing one sensitive value still leaks it to
+    // anyone who knows the QI tuple [Machanavalli et al., "l-Diversity:
+    // Privacy Beyond k-Anonymity", ICDE'06]. For a released
+    // order-level table, each quasi-identifier class (q149's nation ×
+    // segment × balance band) must carry at least l = 3 DISTINCT
+    // values of the sensitive attribute (order priority); this emits
+    // the failing classes — the generalize/suppress worklist the
+    // release gate acts on. Shape: one join on the customer key (a
+    // data-scaling dim — no broadcast hint, AQE decides) + one hash
+    // agg with a distinct count on the QI tuple; same cost class as
+    // q149 at any scale.
+    "q167_l_diversity" -> ((s, d) => {
+      import s.implicits._
+      T.orders(s, d)
+        .join(T.customer(s, d), $"o_custkey" === $"c_custkey")
+        .withColumn("cents", graft.functions.Exact.cents($"c_acctbal"))
+        .withColumn("bal_band", expr("(cents + 100000L) div 50000"))
+        .groupBy($"c_nationkey", $"c_mktsegment", $"bal_band")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"o_orderpriority").as("n_sensitive"))
+        .filter($"n_sensitive" < 3)
+    }),
+
     // ---- deterministic WEIGHTED sampling (systematic by cum-weight) --
     // q59/q60 sample uniformly; training-data curation usually wants
     // docs drawn proportional to a weight (chars here — token-budget
@@ -760,6 +785,15 @@ object Pipeline extends QueryPack {
         |FROM customer
         |GROUP BY 1, 2, 3
         |HAVING count(*) < 5""".stripMargin,
+
+    "q167_l_diversity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 50000 AS bal_band,
+        |  count(*) AS n_rows,
+        |  count(DISTINCT o_orderpriority) AS n_sensitive
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2, 3
+        |HAVING count(DISTINCT o_orderpriority) < 3""".stripMargin,
 
     "q80_hist_quantile" ->
       """WITH bins AS (

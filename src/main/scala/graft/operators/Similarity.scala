@@ -474,6 +474,43 @@ object Similarity extends QueryPack {
           when($"bits" === $"chosen_bits", 1L).otherwise(0L).as("chosen"))
     }),
 
+    // ---- contrastive training-pair mining ---------------------------
+    // The embedding-training data op [Schroff et al. FaceNet CVPR'15
+    // mining; Karpukhin et al. DPR EMNLP'20 hard negatives]: for each
+    // anchor, the most-similar SAME-label vector (the positive) and
+    // the most-similar DIFFERENT-label vector (the hard negative —
+    // the highest-loss impostor), plus the margin between them. Pairs
+    // with small or negative margin are exactly the triplets a
+    // contrastive fine-tune needs most.
+    //
+    // Shape: one broadcast of the anchor set against the corpus (the
+    // q40 exact-scan pattern — linear, no corpus self-join), a rank
+    // window per (anchor, same-class) partition, then a 10-row pivot.
+    // At 100 TB with a large anchor set, the anchor side becomes the
+    // probed side of the IVF/LSH index instead — the mining logic
+    // above the candidate scan is unchanged.
+    "q166_contrastive_pairs" -> ((s, d) => {
+      import s.implicits._
+      val emb = quantized(s, d)
+      val qs = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"label".as("alab"),
+          $"q".as("qv"), $"n2".as("qn2"))
+      val scored = emb.join(broadcast(qs), $"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id",
+          when($"label" === $"alab", 1L).otherwise(0L).as("same"),
+          cosine("q", "qv", "n2", "qn2").as("cos"))
+      val w = Window.partitionBy($"qid", $"same").orderBy($"cos".desc, $"vec_id")
+      scored.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .groupBy($"qid").agg(
+          max(when($"same" === 1, $"vec_id")).as("pos_id"),
+          max(when($"same" === 1, $"cos")).as("pos_cos"),
+          max(when($"same" === 0, $"vec_id")).as("neg_id"),
+          max(when($"same" === 0, $"cos")).as("neg_cos"))
+        .select($"qid", $"pos_id", $"pos_cos", $"neg_id", $"neg_cos",
+          round($"pos_cos" - $"neg_cos", 6).as("margin"))
+    }),
+
     // ---- per-label centroids + most-central vectors -----------------
     // The k-means building block: the integer-mean centroid of each
     // label cell (see meanCentroids — bounded components keep every
@@ -934,6 +971,29 @@ object Similarity extends QueryPack {
         |    AS BIGINT) AS meets_target,
         |  CAST(CASE WHEN s.bits = cfg2.cb THEN 1 ELSE 0 END AS BIGINT) AS chosen
         |FROM lsweeprec s CROSS JOIN cfg2""".stripMargin,
+
+    "q166_contrastive_pairs" ->
+      s"""WITH $duckQuant,
+        |qs AS (SELECT vec_id AS qid, label AS alab, qv AS qqv, n2 AS qn2
+        |       FROM n WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT qs.qid, n.vec_id,
+        |    CASE WHEN n.label = qs.alab THEN 1 ELSE 0 END AS same,
+        |    ${duckCos("n.qv", "qs.qqv", "n.n2", "qs.qn2")} AS cos
+        |  FROM n CROSS JOIN qs WHERE n.vec_id != qs.qid),
+        |rk AS (
+        |  SELECT qid, vec_id, same, cos,
+        |    row_number() OVER (PARTITION BY qid, same
+        |      ORDER BY cos DESC, vec_id) AS rn
+        |  FROM scored)
+        |SELECT qid,
+        |  max(CASE WHEN same = 1 THEN vec_id END) AS pos_id,
+        |  max(CASE WHEN same = 1 THEN cos END) AS pos_cos,
+        |  max(CASE WHEN same = 0 THEN vec_id END) AS neg_id,
+        |  max(CASE WHEN same = 0 THEN cos END) AS neg_cos,
+        |  round(max(CASE WHEN same = 1 THEN cos END)
+        |    - max(CASE WHEN same = 0 THEN cos END), 6) AS margin
+        |FROM rk WHERE rn = 1 GROUP BY qid""".stripMargin,
 
     "q42_embedding_neardup" ->
       s"""WITH $duckQuant,

@@ -56,7 +56,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q163/q165: the sweeps compose q141's/q53's bounded-side shape
     // per grid config plus 1-row nprobe/mask/n_q scalars; q53 itself
     // carries the 1-row chosen-mask scalar since round 10
-    "q163_ann_nprobe_tune", "q165_ann_lshbits_tune", "q53_ann_signlsh")
+    "q163_ann_nprobe_tune", "q165_ann_lshbits_tune", "q53_ann_signlsh",
+    // q166: the 10-row anchor set broadcast against the corpus (q40's
+    // exact-scan pattern)
+    "q166_contrastive_pairs")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
