@@ -176,6 +176,34 @@ object Events extends QueryPack {
           $"last_click")
     }),
 
+    // ---- as-of join WITH TOLERANCE: prior click only within 1 h -----
+    // q29's as-of semantics plus the tolerance bound every time-series
+    // merge tool exposes (pandas merge_asof(tolerance), kdb wj with a
+    // window): a purchase matches its latest prior click ONLY if it is
+    // at most 1 hour old — a stale click is no attribution signal.
+    // Same scalable shape as q29 (one user_id shuffle, carry-forward
+    // ignore-nulls window, no range-scan join): the click timestamp
+    // rides along and the tolerance is a post-window predicate, so
+    // the bound costs nothing extra at any scale.
+    "q169_asof_tolerance" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      T.events(s, d)
+        .filter($"event_type".isin("click", "purchase"))
+        .select($"user_id", $"ts", $"event_id", $"event_type",
+          when($"event_type" === "click", $"event_id").as("click_id"),
+          when($"event_type" === "click", unix_micros($"ts")).as("click_us"))
+        .withColumn("lc", last($"click_id", ignoreNulls = true).over(w))
+        .withColumn("lcu", last($"click_us", ignoreNulls = true).over(w))
+        .filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+          when(unix_micros($"ts") - $"lcu" <= 3600000000L, $"lc")
+            .as("click_within_1h"),
+          when(unix_micros($"ts") - $"lcu" <= 3600000000L,
+            unix_micros($"ts") - $"lcu").as("gap_us"))
+    }),
+
     // ---- interval join: purchases within 1 h after a click ----------
     // Equi-join on user_id with a time-interval predicate — the
     // interval-join family. Scale: the equi key carries the shuffle;
@@ -878,6 +906,23 @@ object Events extends QueryPack {
         |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
+        |  FROM events WHERE event_type IN ('click', 'purchase')) t
+        |WHERE event_type = 'purchase'""".stripMargin,
+
+    "q169_asof_tolerance" ->
+      """SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |  CASE WHEN epoch_us(ts) - lcu <= 3600000000 THEN lc END
+        |    AS click_within_1h,
+        |  CASE WHEN epoch_us(ts) - lcu <= 3600000000
+        |    THEN CAST(epoch_us(ts) - lcu AS BIGINT) END AS gap_us
+        |FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lc,
+        |    last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lcu
         |  FROM events WHERE event_type IN ('click', 'purchase')) t
         |WHERE event_type = 'purchase'""".stripMargin,
 

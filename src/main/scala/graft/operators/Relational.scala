@@ -1257,6 +1257,44 @@ object Relational extends QueryPack {
     // edges (no lineitem self-join). The layout's no-exchange payoff
     // exists only for bucket-key (`a`) plans, and PlanSpec asserts it
     // there — on a groupBy("a") over the re-read — not here.
+    // ---- incremental substrate maintenance (the append path) --------
+    // The bucketed cooc table is "paid once per warehouse" — but
+    // corpora APPEND. Because every co-occurrence edge lives inside
+    // one order, an appended batch of orders contributes pairs ONLY
+    // from its own orders: no old×new cross terms exist, so the
+    // maintenance is batch-self-join → union-merge with the existing
+    // edge table — the corpus-scale shuffle is paid only on the NEW
+    // batch (|batch|, not |corpus|). This query proves it: pairs from
+    // the "existing" half (even orderkeys, standing in for the
+    // materialized table) merged with the odd-orderkey batch's pairs
+    // reproduce the full rebuild exactly — per-bucket counts, weight
+    // sums and an order-independent xor fingerprint all hash-match
+    // the from-scratch oracle. At 100 TB the union-merge itself is
+    // exchange-free on the old side when both sides are bucketed on
+    // `a` (q55's layout), making append cost O(|batch| log |batch|).
+    "q168_cooc_incremental" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      def pairsOf(li: DataFrame): DataFrame =
+        li.toDF("o", "a").join(li.toDF("o", "b"), "o")
+          .filter($"a" < $"b")
+          .groupBy($"a", $"b").agg(count(lit(1)).as("cooc"))
+      val li = T.lineitem(s, d)
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+      val existing = pairsOf(li.filter($"o" % 2 === 0))
+      val batch = pairsOf(li.filter($"o" % 2 =!= 0))
+      existing.unionAll(batch)
+        .groupBy($"a", $"b").agg(sum($"cooc").as("cooc"))
+        .select(pmod($"a", lit(16L)).as("bucket"),
+          graft.functions.PortableHash.h60(
+            concat_ws("_", $"a", $"b", $"cooc")).as("h"),
+          $"cooc")
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_edges"),
+          sum($"cooc").as("sum_cooc"),
+          expr("bit_xor(h)").as("xor_fp"))
+    }),
+
     "q159_cooc_substrate_reuse" -> ((s, d) => {
       import s.implicits._
       val eb = s.table(coocBucketedTable(s, d)).select($"a", $"b")
@@ -1487,6 +1525,20 @@ object Relational extends QueryPack {
     // identical ground truth: q159 must reproduce q148's sums from the
     // bucketed on-disk substrate
     "q159_cooc_substrate_reuse" -> assortativityText,
+
+    // ground truth = the FULL from-scratch pair build: equality proves
+    // the incremental union-merge maintains the substrate exactly
+    "q168_cooc_incremental" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |fullp AS (
+        |  SELECT x.p AS a, y.p AS b, CAST(count(*) AS BIGINT) AS cooc
+        |  FROM li x JOIN li y ON x.o = y.o WHERE x.p < y.p GROUP BY 1, 2)
+        |SELECT a % 16 AS bucket, count(*) AS n_edges,
+        |  CAST(sum(cooc) AS BIGINT) AS sum_cooc,
+        |  bit_xor(CAST('0x' || substr(md5(
+        |    CAST(a AS VARCHAR) || '_' || CAST(b AS VARCHAR) || '_' ||
+        |    CAST(cooc AS VARCHAR)), 1, 15) AS BIGINT)) AS xor_fp
+        |FROM fullp GROUP BY 1""".stripMargin,
 
     "q150_link_prediction" ->
       s"""$linkPredCtes,
