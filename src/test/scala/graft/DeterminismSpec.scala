@@ -54,7 +54,13 @@ class DeterminismSpec extends AnyFunSuite {
     "q152_containment_join", "q153_kmv_set_ops", "q154_weighted_sample",
     "q155_incremental_neardup", "q156_deletion_audit",
     "q157_kmv_overlap_audit", "q158_trimmed_mean",
-    "q159_cooc_substrate_reuse", "q160_linkpred_cap_audit")
+    "q159_cooc_substrate_reuse", "q160_linkpred_cap_audit",
+    // round 10: fixpoint-iterated graph ops, acceptance sweeps,
+    // contrastive mining, incremental substrate merge, as-of tolerance
+    "q161_personalized_pagerank", "q162_weighted_pagerank",
+    "q163_ann_nprobe_tune", "q164_label_propagation",
+    "q165_ann_lshbits_tune", "q166_contrastive_pairs",
+    "q167_l_diversity", "q168_cooc_incremental", "q169_asof_tolerance")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count
