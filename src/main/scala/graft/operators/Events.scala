@@ -158,6 +158,43 @@ object Events extends QueryPack {
       s.sql(Events.groupingSetsText)
     }),
 
+    // ---- RECURSIVE CTE (Spark 4 SQL surface): month series ----------
+    // The same text runs on Spark SQL and DuckDB (q28's convention):
+    // a recursive CTE generates the complete month series between the
+    // first and last order (pure INTEGER yyyymm recursion — no date
+    // arithmetic, so both engines step identically), LEFT-joined to
+    // monthly revenue so zero-order months appear explicitly — the
+    // classic gap-filled-calendar recursion every BI layer needs.
+    // Scale note: the recursion is O(months) rows and Spark
+    // re-evaluates in-loop CTEs per step, so CORPUS-scale work must
+    // stay OUT of the loop (here: bounds and revenue are aggregated
+    // once, outside) — graph-scale iteration belongs to the native
+    // fixpoint operators (q56/q145/q164), not recursive SQL.
+    "q170_recursive_series" -> ((s, d) => {
+      T.registerAll(s, d)
+      s.sql(Events.recursiveSeriesText)
+    }),
+
+    // ---- SQL scalar UDFs (CREATE TEMPORARY FUNCTION) ----------------
+    // Spark 4's declarative SQL UDF surface: named scalar functions
+    // defined IN SQL (no JVM closure — the body inlines into the plan
+    // and stays inside whole-stage codegen, unlike a Scala UDF), here
+    // composing cents-exact money handling with a tier CASE. The
+    // oracle inlines the same bodies, so the gate proves the UDF
+    // expansion is semantics-preserving.
+    "q171_sql_udf" -> ((s, d) => {
+      T.registerAll(s, d)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION order_cents(x DOUBLE)
+              |RETURNS BIGINT RETURN CAST(round(x * 100) AS BIGINT)""".stripMargin)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION price_tier(c BIGINT)
+              |RETURNS STRING RETURN CASE WHEN c < 5000000 THEN 'low'
+              |  WHEN c < 15000000 THEN 'mid' ELSE 'high' END""".stripMargin)
+      s.sql("""SELECT price_tier(order_cents(o_totalprice)) AS tier,
+              |  count(*) AS n,
+              |  CAST(sum(order_cents(o_totalprice)) AS BIGINT) AS rev_c
+              |FROM orders GROUP BY 1""".stripMargin)
+    }),
+
     // ---- as-of join: latest prior click for each purchase -----------
     // Scalable shape: union the two event kinds, one shuffle on
     // user_id, carry the last click forward with an ignore-nulls
@@ -615,6 +652,28 @@ object Events extends QueryPack {
     }))
 
   /** Engine-portable GROUPING SETS (distinct sets, not rollup/cube). */
+  /** Same text on Spark SQL and DuckDB (q28 convention): recursive
+    * integer month-series + gap-filled monthly revenue. `ym + 89`
+    * steps December (yyyy12) to January (yyyy+1 ·100 + 1). */
+  private val recursiveSeriesText: String =
+    """WITH RECURSIVE bounds AS (
+      |  SELECT CAST(min(year(o_orderdate) * 100 + month(o_orderdate)) AS BIGINT) AS lo,
+      |         CAST(max(year(o_orderdate) * 100 + month(o_orderdate)) AS BIGINT) AS hi
+      |  FROM orders),
+      |months(ym) AS (
+      |  SELECT lo FROM bounds
+      |  UNION ALL
+      |  SELECT CASE WHEN ym % 100 = 12 THEN ym + 89 ELSE ym + 1 END
+      |  FROM months, bounds WHERE ym < hi),
+      |rev AS (
+      |  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+      |    count(*) AS n_orders,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      |  FROM orders GROUP BY 1)
+      |SELECT m.ym, coalesce(rev.n_orders, 0) AS n_orders,
+      |  coalesce(rev.rev_c, 0) AS rev_c
+      |FROM months m LEFT JOIN rev ON rev.ym = m.ym""".stripMargin
+
   private val groupingSetsText: String =
     """SELECT event_type, CAST(year(ts) AS BIGINT) AS yr,
       |  CAST(grouping(event_type) * 2 + grouping(year(ts)) AS BIGINT) AS gid,
@@ -908,6 +967,16 @@ object Events extends QueryPack {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
         |  FROM events WHERE event_type IN ('click', 'purchase')) t
         |WHERE event_type = 'purchase'""".stripMargin,
+
+    "q170_recursive_series" -> recursiveSeriesText,
+
+    "q171_sql_udf" ->
+      """SELECT CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT) < 5000000 THEN 'low'
+        |  WHEN CAST(round(o_totalprice * 100) AS BIGINT) < 15000000 THEN 'mid'
+        |  ELSE 'high' END AS tier,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q169_asof_tolerance" ->
       """SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
