@@ -71,6 +71,30 @@ object Events extends QueryPack {
           unix_micros($"w.end").as("sess_end_us"), $"n", $"sum_value")
     }),
 
+    // ---- session engagement metrics (bounce / dwell) ----------------
+    // The product-analytics layer ON TOP of q25's sessionization: per
+    // user, session count, bounce count (single-event sessions), total
+    // dwell time and the busiest session. Dwell is actual activity
+    // span (last−first event), recovered from the session_window
+    // bounds by subtracting the 30-minute gap padding the window's
+    // `end` carries. Shape: the session_window groupBy shuffles once
+    // on user_id and the per-user rollup reuses that partitioning —
+    // two aggs, one exchange, at any scale.
+    "q173_session_metrics" -> ((s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+        .agg(count(lit(1)).as("n"))
+        .select($"user_id",
+          (unix_micros($"w.end") - unix_micros($"w.start") - 1800000000L)
+            .as("dwell_us"), $"n")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when($"n" === 1, 1L).otherwise(0L)).as("n_bounce"),
+          sum($"dwell_us").as("total_dwell_us"),
+          max($"n").as("max_session_events"))
+    }),
+
     // ---- deterministic first-event dedup per (user, type) -----------
     "q26_first_event" -> ((s, d) => {
       import s.implicits._
@@ -973,6 +997,28 @@ object Events extends QueryPack {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
         |  FROM events WHERE event_type IN ('click', 'purchase')) t
         |WHERE event_type = 'purchase'""".stripMargin,
+
+    "q173_session_metrics" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked),
+        |per AS (
+        |  SELECT user_id, sid, count(*) AS n,
+        |    CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS dwell_us
+        |  FROM sess GROUP BY user_id, sid)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+        |  CAST(sum(dwell_us) AS BIGINT) AS total_dwell_us,
+        |  CAST(max(n) AS BIGINT) AS max_session_events
+        |FROM per GROUP BY user_id""".stripMargin,
 
     "q170_recursive_series" -> recursiveSeriesText,
 

@@ -1246,6 +1246,29 @@ object Relational extends QueryPack {
             .otherwise(lit(0L))).as("overlap5"))
     }),
 
+    // ---- frequent 3-itemsets (market-basket support mining) ---------
+    // The Apriori support-counting kernel one level above the pair
+    // substrate: parts bought TOGETHER as TRIPLES, ranked by support.
+    // Shape: two equi-joins keyed on the order — candidate triples per
+    // order are C(w,3) with w the order width (~4 here), so the
+    // intermediate is O(orders·w³), linear in the corpus, never a
+    // cross-order product; the global top-20 compiles to TakeOrdered
+    // (per-partition heaps + driver merge of 20-row heads), not a full
+    // sort. On this corpus max triple support is 2 at sf0.01 and 1 at
+    // sf0.1 — the honest long-tail shape of sparse baskets — so the
+    // ranked form (support desc, then the id triple) keeps the gate
+    // non-vacuous at every scale.
+    "q172_frequent_triples" -> ((s, d) => {
+      import s.implicits._
+      val li = T.lineitem(s, d)
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+      li.toDF("o", "p1").join(li.toDF("o", "p2"), "o").filter($"p1" < $"p2")
+        .join(li.toDF("o", "p3"), "o").filter($"p2" < $"p3")
+        .groupBy($"p1", $"p2", $"p3").agg(count(lit(1)).as("support"))
+        .orderBy($"support".desc, $"p1", $"p2", $"p3")
+        .limit(20)
+    }),
+
     // ---- cross-job substrate reuse: bucketed edge table -------------
     // q148's assortativity re-derived from the ON-DISK bucketed form
     // of the substrate ([[coocBucketedTable]]): proves a later job can
@@ -1525,6 +1548,15 @@ object Relational extends QueryPack {
     // identical ground truth: q159 must reproduce q148's sums from the
     // bucketed on-disk substrate
     "q159_cooc_substrate_reuse" -> assortativityText,
+
+    "q172_frequent_triples" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
+        |SELECT a.p AS p1, b.p AS p2, c.p AS p3, count(*) AS support
+        |FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |          JOIN li c ON b.o = c.o AND b.p < c.p
+        |GROUP BY 1, 2, 3
+        |ORDER BY support DESC, p1, p2, p3
+        |LIMIT 20""".stripMargin,
 
     // ground truth = the FULL from-scratch pair build: equality proves
     // the incremental union-merge maintains the substrate exactly
