@@ -159,6 +159,28 @@ object Similarity extends QueryPack {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** K-means cell assignment (vec_id, kcell): every vector reassigned
+    * to its nearest integer-mean centroid by cosine (q79's Lloyd
+    * assignment, kept as a shared substrate) — the GEOMETRIC
+    * partitioning of the corpus, vs the arbitrary label cells the
+    * q142 audit measured as weak. Memoized + persisted: q175 buckets
+    * on it for both the query and corpus sides, and q142 composes
+    * q175. */
+  private def kmeansCells(s: SparkSession, d: String): DataFrame =
+    T.memo(s, s"ann_kmcells:$d") {
+      import s.implicits._
+      val emb = quantized(s, d)
+      val cent = meanCentroids(emb)
+        .select($"label".cast("bigint").as("clab"), $"c", $"cn2")
+      val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"clab")
+      emb.crossJoin(broadcast(cent))
+        .select($"vec_id", $"clab", cosine("q", "c", "n2", "cn2").as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"clab".as("kcell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** Probe-depth sweep: micro-averaged recall@3 of the multiprobe IVF
     * vs the exact top-3, one row per grid depth — (nprobe, hits,
     * recall_ppm). Memoized: q163 reports it and q141 derives its
@@ -414,13 +436,40 @@ object Similarity extends QueryPack {
     "q141_ann_ivf_multiprobe" -> ((s, d) =>
       ivfMultiprobeTop3(s, d, chosenNprobe(s, d))),
 
+    // ---- IVF over K-MEANS cells (the index-side audit response) -----
+    // q142's root finding is that the LABEL cells are not geometric
+    // clusters, so single-cell IVF recall is weak. The parameter-side
+    // responses are q163/q165 (probe more cells / coarser buckets);
+    // this is the INDEX-side response: re-partition the corpus by the
+    // nearest integer-mean centroid (one Lloyd assignment — q79's
+    // kernel, shared as the [[kmeansCells]] substrate) and search the
+    // query's k-means cell instead of its label cell. Same equi-join
+    // shape and cost as q41; q142 measures whether the geometric
+    // partitioning actually buys recall on this corpus (method
+    // 'ivf_km' beside 'ivf1').
+    "q175_ann_kmeans_ivf" -> ((s, d) => {
+      import s.implicits._
+      val emb = quantized(s, d).join(kmeansCells(s, d), "vec_id")
+      val qs = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"kcell".as("qcell"),
+          $"q".as("qv"), $"n2".as("qn2"))
+      val scored = emb.join(broadcast(qs),
+          $"kcell" === $"qcell" && $"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id", $"kcell", cosine("q", "qv", "n2", "qn2").as("cos"))
+      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+      scored.withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter($"rn" <= 3)
+        .select($"qid", $"vec_id", $"kcell", $"cos", $"rn")
+    }),
+
     // ---- ANN recall audit: measure, don't guess ---------------------
     // Joins each approximate index's top-3 (IVF q41, sign-LSH q53,
-    // 2-probe IVF q141) against the exact brute-force top-3 (q40) and
-    // reports per-query hit counts + recall — the acceptance metric
-    // any ANN rollout gates on. Composition of declared queries in ONE
-    // plan; every per-method side is 30 rows, so the audit costs the
-    // underlying scans and nothing more.
+    // audit-tuned multiprobe IVF q141, k-means-cell IVF q175) against
+    // the exact brute-force top-3 (q40) and reports per-query hit
+    // counts + recall — the acceptance metric any ANN rollout gates
+    // on. Composition of declared queries in ONE plan; every
+    // per-method side is 30 rows, so the audit costs the underlying
+    // scans and nothing more.
     "q142_ann_recall" -> ((s, d) => {
       import s.implicits._
       val exact = queries("q40_cosine_topk")(s, d)
@@ -429,6 +478,7 @@ object Similarity extends QueryPack {
       val methods = Seq(
         "ivf1" -> queries("q41_ann_ivf")(s, d).select($"qid", $"vec_id"),
         "ivf2" -> queries("q141_ann_ivf_multiprobe")(s, d).select($"qid", $"vec_id"),
+        "ivf_km" -> queries("q175_ann_kmeans_ivf")(s, d).select($"qid", $"vec_id"),
         "lsh" -> queries("q53_ann_signlsh")(s, d).select($"qid", $"vec_id"))
       methods.map { case (mname, appr) =>
         val hits = exact.join(appr, Seq("qid", "vec_id"), "left_semi")
@@ -844,8 +894,35 @@ object Similarity extends QueryPack {
       |SELECT qid, vec_id, cell, probe, cos, rn
       |FROM (${duckIvfTop3("(SELECT cn FROM cfg)")}) fin""".stripMargin
 
+  private lazy val duckQ175 =
+    s"""WITH $duckQuant,
+      |$duckMeanCent,
+      |sc AS (
+      |  SELECT n.vec_id, CAST(cn.label AS BIGINT) AS kcell,
+      |    ${duckCos("n.qv", "cn.c", "n.n2", "cn.cn2")} AS cos
+      |  FROM n CROSS JOIN cn),
+      |km AS (
+      |  SELECT vec_id, kcell FROM (
+      |    SELECT vec_id, kcell,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, kcell) AS rn
+      |    FROM sc) t WHERE rn = 1),
+      |e2 AS (SELECT n.vec_id, n.qv, n.n2, km.kcell FROM n JOIN km USING (vec_id)),
+      |qs2 AS (SELECT vec_id AS qid, kcell AS qcell, qv AS qqv, n2 AS qn2
+      |        FROM e2 WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT qs2.qid, e2.vec_id, e2.kcell,
+      |    ${duckCos("e2.qv", "qs2.qqv", "e2.n2", "qs2.qn2")} AS cos
+      |  FROM e2 JOIN qs2 ON e2.kcell = qs2.qcell AND e2.vec_id != qs2.qid)
+      |SELECT qid, vec_id, kcell, cos, rn FROM (
+      |  SELECT qid, vec_id, kcell, cos,
+      |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+      |  FROM scored) t
+      |WHERE rn <= 3""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q141_ann_ivf_multiprobe" -> duckQ141,
+
+    "q175_ann_kmeans_ivf" -> duckQ175,
 
     "q163_ann_nprobe_tune" ->
       s"""WITH $duckSweepCtes
@@ -859,11 +936,13 @@ object Similarity extends QueryPack {
       s"""WITH e AS (SELECT qid, vec_id FROM ($duckQ40) t40 WHERE rn <= 3),
         |i1 AS (SELECT qid, vec_id FROM ($duckQ41) t41),
         |i2 AS (SELECT qid, vec_id FROM ($duckQ141) t141),
+        |i4 AS (SELECT qid, vec_id FROM ($duckQ175) t175),
         |l AS (SELECT qid, vec_id FROM ($duckQ53) t53),
         |qd AS (SELECT DISTINCT qid FROM e),
         |h1 AS (SELECT e.qid, count(*) AS hits FROM e JOIN i1 USING (qid, vec_id) GROUP BY e.qid),
         |h2 AS (SELECT e.qid, count(*) AS hits FROM e JOIN i2 USING (qid, vec_id) GROUP BY e.qid),
-        |h3 AS (SELECT e.qid, count(*) AS hits FROM e JOIN l USING (qid, vec_id) GROUP BY e.qid)
+        |h3 AS (SELECT e.qid, count(*) AS hits FROM e JOIN l USING (qid, vec_id) GROUP BY e.qid),
+        |h4 AS (SELECT e.qid, count(*) AS hits FROM e JOIN i4 USING (qid, vec_id) GROUP BY e.qid)
         |SELECT qd.qid, 'ivf1' AS method, CAST(coalesce(h1.hits, 0) AS BIGINT) AS hits,
         |  (CAST(coalesce(h1.hits, 0) AS BIGINT) * 1000000) // 3 AS recall_ppm
         |FROM qd LEFT JOIN h1 ON h1.qid = qd.qid
@@ -871,6 +950,10 @@ object Similarity extends QueryPack {
         |SELECT qd.qid, 'ivf2', CAST(coalesce(h2.hits, 0) AS BIGINT),
         |  (CAST(coalesce(h2.hits, 0) AS BIGINT) * 1000000) // 3
         |FROM qd LEFT JOIN h2 ON h2.qid = qd.qid
+        |UNION ALL
+        |SELECT qd.qid, 'ivf_km', CAST(coalesce(h4.hits, 0) AS BIGINT),
+        |  (CAST(coalesce(h4.hits, 0) AS BIGINT) * 1000000) // 3
+        |FROM qd LEFT JOIN h4 ON h4.qid = qd.qid
         |UNION ALL
         |SELECT qd.qid, 'lsh', CAST(coalesce(h3.hits, 0) AS BIGINT),
         |  (CAST(coalesce(h3.hits, 0) AS BIGINT) * 1000000) // 3

@@ -61,7 +61,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q163_ann_nprobe_tune", "q164_label_propagation",
     "q165_ann_lshbits_tune", "q166_contrastive_pairs",
     "q167_l_diversity", "q168_cooc_incremental", "q169_asof_tolerance",
-    "q172_frequent_triples", "q173_session_metrics", "q174_archive_ingest")
+    "q172_frequent_triples", "q173_session_metrics", "q174_archive_ingest",
+    "q175_ann_kmeans_ivf")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

@@ -59,7 +59,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q163_ann_nprobe_tune", "q165_ann_lshbits_tune", "q53_ann_signlsh",
     // q166: the 10-row anchor set broadcast against the corpus (q40's
     // exact-scan pattern)
-    "q166_contrastive_pairs")
+    "q166_contrastive_pairs",
+    // q175: the k-row centroid assignment pass (q79's bounded-side
+    // Lloyd shape)
+    "q175_ann_kmeans_ivf")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
