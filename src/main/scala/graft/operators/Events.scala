@@ -95,6 +95,43 @@ object Events extends QueryPack {
           max($"n").as("max_session_events"))
     }),
 
+    // ---- peak concurrent sessions (sweep line, band-decomposed) -----
+    // Capacity planning over the sessionized stream: per hour, the
+    // PEAK number of simultaneously open sessions (open = from first
+    // event until the 30-minute timeout, i.e. the session_window
+    // bounds). Classic sweep line: +1 at each session start, −1 at
+    // each end, running level, max per hour. The running sum is
+    // BAND-DECOMPOSED (q154's prefix-sum trick): an in-hour window
+    // partitioned by hour plus a per-hour offset window over the
+    // tiny hour table — no global single-partition window anywhere,
+    // so the sweep survives any corpus size. Peak within an hour is
+    // the entering level or the best in-hour running level, whichever
+    // is higher (ends-only hours peak at entry). Ties at one
+    // timestamp process ends before starts (ORDER BY t, d) — the
+    // half-open [start, end) interval convention — and tied marks
+    // commute under max, so the result is order-deterministic.
+    "q176_peak_concurrency" -> ((s, d) => {
+      import s.implicits._
+      val sess = T.events(s, d)
+        .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros($"w.start").as("s_us"), unix_micros($"w.end").as("e_us"))
+      val marks = sess.select($"s_us".as("t"), lit(1L).as("d"))
+        .unionAll(sess.select($"e_us".as("t"), lit(-1L).as("d")))
+        .withColumn("hour", expr("t div 3600000000"))
+      val inHour = Window.partitionBy($"hour").orderBy($"t", $"d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val overHours = Window.orderBy($"hour")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = marks.withColumn("cum_in", sum($"d").over(inHour))
+      val peaks = cum.groupBy($"hour")
+        .agg(max($"cum_in").as("max_in"), sum($"d").as("hd"))
+      peaks
+        .withColumn("off", coalesce(sum($"hd").over(overHours), lit(0L)))
+        .select(($"hour" * 3600L).as("hour_start_s"),
+          ($"off" + greatest(lit(0L), $"max_in")).as("peak_sessions"))
+    }),
+
     // ---- deterministic first-event dedup per (user, type) -----------
     "q26_first_event" -> ((s, d) => {
       import s.implicits._
@@ -997,6 +1034,43 @@ object Events extends QueryPack {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
         |  FROM events WHERE event_type IN ('click', 'purchase')) t
         |WHERE event_type = 'purchase'""".stripMargin,
+
+    "q176_peak_concurrency" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked),
+        |bounds AS (
+        |  SELECT user_id, sid, CAST(epoch_us(min(ts)) AS BIGINT) AS s_us,
+        |    CAST(epoch_us(max(ts)) + 1800000000 AS BIGINT) AS e_us
+        |  FROM sess GROUP BY user_id, sid),
+        |marks AS (
+        |  SELECT s_us AS t, 1 AS d FROM bounds
+        |  UNION ALL SELECT e_us, -1 FROM bounds),
+        |m2 AS (SELECT t, d, t // 3600000000 AS hour FROM marks),
+        |cum AS (
+        |  SELECT hour, t, d,
+        |    CAST(sum(d) OVER (PARTITION BY hour ORDER BY t, d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_in
+        |  FROM m2),
+        |peaks AS (
+        |  SELECT hour, max(cum_in) AS max_in, CAST(sum(d) AS BIGINT) AS hd
+        |  FROM cum GROUP BY hour),
+        |po AS (
+        |  SELECT hour, max_in,
+        |    coalesce(CAST(sum(hd) OVER (ORDER BY hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS off
+        |  FROM peaks)
+        |SELECT CAST(hour * 3600 AS BIGINT) AS hour_start_s,
+        |  CAST(off + greatest(0, max_in) AS BIGINT) AS peak_sessions
+        |FROM po""".stripMargin,
 
     "q173_session_metrics" ->
       """WITH marked AS (

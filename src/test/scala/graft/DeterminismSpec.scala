@@ -62,7 +62,7 @@ class DeterminismSpec extends AnyFunSuite {
     "q165_ann_lshbits_tune", "q166_contrastive_pairs",
     "q167_l_diversity", "q168_cooc_incremental", "q169_asof_tolerance",
     "q172_frequent_triples", "q173_session_metrics", "q174_archive_ingest",
-    "q175_ann_kmeans_ivf")
+    "q175_ann_kmeans_ivf", "q176_peak_concurrency")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count
