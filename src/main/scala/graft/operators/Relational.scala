@@ -46,19 +46,30 @@ object Relational extends QueryPack {
     df
   }
 
+  /** Per-order pair aggregation over an (o, p) incidence list —
+    * (a, b, cooc) with a < b. The kernel of the substrate build and
+    * of q168's incremental maintenance; IncrementalMergeSpec drives
+    * it over random order splits to prove
+    * merge(pairs(old), pairs(batch)) == pairs(all) for EVERY split
+    * (per-order edges have no cross-batch terms). */
+  private[graft] def orderPairAgg(li: DataFrame): DataFrame = {
+    val s = li.sparkSession
+    import s.implicits._
+    li.toDF("o", "a").join(li.toDF("o", "b"), "o")
+      .filter($"a" < $"b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("cooc"))
+  }
+
   /** The raw part co-occurrence build (parts sharing an order): the
     * per-order self-join + pair aggregation, the ONE corpus-scale
     * shuffle every graph query shares. Runs exactly once per
     * (session, dir) — only [[coocBucketedTable]]'s writer calls it;
     * every consumer reads the materialized table via [[coocPairs]]. */
-  private def coocPairsBuild(s: SparkSession, d: String): DataFrame = {
-    val li = T.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    li.toDF("o", "a").join(li.toDF("o", "b"), "o")
-      .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cooc"))
-  }
+  private def coocPairsBuild(s: SparkSession, d: String): DataFrame =
+    orderPairAgg(
+      T.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct())
 
   /** Shared part co-occurrence relation — the substrate of the whole
     * graph family (q138 triangles, q145/q161/q162 PageRank, q146
@@ -1298,14 +1309,10 @@ object Relational extends QueryPack {
     "q168_cooc_incremental" -> ((s, d) => {
       import s.implicits._
       graft.GraftExtensions.ensureRegistered(s)
-      def pairsOf(li: DataFrame): DataFrame =
-        li.toDF("o", "a").join(li.toDF("o", "b"), "o")
-          .filter($"a" < $"b")
-          .groupBy($"a", $"b").agg(count(lit(1)).as("cooc"))
       val li = T.lineitem(s, d)
         .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-      val existing = pairsOf(li.filter($"o" % 2 === 0))
-      val batch = pairsOf(li.filter($"o" % 2 =!= 0))
+      val existing = orderPairAgg(li.filter($"o" % 2 === 0))
+      val batch = orderPairAgg(li.filter($"o" % 2 =!= 0))
       existing.unionAll(batch)
         .groupBy($"a", $"b").agg(sum($"cooc").as("cooc"))
         .select(pmod($"a", lit(16L)).as("bucket"),
