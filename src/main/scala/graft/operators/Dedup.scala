@@ -602,9 +602,56 @@ object Dedup extends QueryPack {
           max(struct($"sim_ppm", (-$"b").as("nb"))).as("m"))
         .select($"a".as("doc_id"), $"n_matches",
           (-$"m.nb").as("best_match"), $"m.sim_ppm".as("best_sim_ppm"))
+    }),
+
+    // ---- fuzzy record linkage (collapse-then-link) ------------------
+    // Entity resolution over part names — the blocking + edit-distance
+    // pattern of classic record linkage, arranged so the quadratic
+    // step never touches corpus-scale data: the corpus is first
+    // COLLAPSED to distinct (adjective, noun) name keys with
+    // multiplicities (one hash agg — the only full-table shuffle; the
+    // distinct space is vocabulary-bounded and does not grow with
+    // rows), then candidates are generated by blocking on the noun
+    // token and verified by levenshtein(adj_a, adj_b) <= 2 inside each
+    // block. Pair weight n_a * n_b recovers the row-level linked-pair
+    // count without ever joining row-level data — at 100 TB the
+    // pairwise stage still runs on a few hundred distinct keys.
+    // Spark's levenshtein and DuckDB's agree (classic Wagner–Fischer),
+    // so the oracle checks the distances bit-for-bit; the threshold is
+    // discriminative on this vocabulary (links cold~old=1, new~red=2,
+    // old~red=2; must NOT link hot~old=3).
+    "q177_record_linkage" -> ((s, d) => {
+      import s.implicits._
+      val names = T.part(s, d)
+        .select(split($"p_name", " ").as("t"), $"p_partkey")
+        .select($"t".getItem(0).as("adj"), $"t".getItem(1).as("noun"),
+          $"p_partkey")
+        .groupBy($"adj", $"noun")
+        .agg(count(lit(1)).as("c"), min($"p_partkey").as("canon"))
+      val a = names.select($"noun", $"adj".as("adj_a"), $"c".as("n_a"),
+        $"canon".as("canon_a"))
+      val b = names.select($"noun", $"adj".as("adj_b"), $"c".as("n_b"),
+        $"canon".as("canon_b"))
+      a.join(b, Seq("noun"))
+        .filter($"adj_a" < $"adj_b" && levenshtein($"adj_a", $"adj_b") <= 2)
+        .select($"noun", $"adj_a", $"adj_b",
+          ($"n_a" * $"n_b").cast("long").as("pair_weight"),
+          least($"canon_a", $"canon_b").as("canon_key"))
     }))
 
   def oracles: Map[String, String] = Map(
+    "q177_record_linkage" ->
+      """WITH n AS (
+        |  SELECT split_part(p_name, ' ', 1) AS adj,
+        |    split_part(p_name, ' ', 2) AS noun,
+        |    count(*) AS c, min(p_partkey) AS canon
+        |  FROM part GROUP BY 1, 2)
+        |SELECT a.noun, a.adj AS adj_a, b.adj AS adj_b,
+        |  CAST(a.c * b.c AS BIGINT) AS pair_weight,
+        |  least(a.canon, b.canon) AS canon_key
+        |FROM n a JOIN n b ON a.noun = b.noun AND a.adj < b.adj
+        |WHERE levenshtein(a.adj, b.adj) <= 2""".stripMargin,
+
     "q76_dup_spans" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents

@@ -710,6 +710,64 @@ object Events extends QueryPack {
           max($"lo_bin" * 500 - S).as("lo_c"),
           max($"hi_bin" * 500 - S).as("hi_c"),
           expr(s"(sum(cs) div count(1)) - ${S}L").as("wmean_c"))
+    }),
+
+    // ---- autocorrelation of the daily volume series -----------------
+    // Seasonality detection for capacity planning / anomaly baselines:
+    // Pearson autocorrelation of daily event counts at lag 1 (day-to-
+    // day persistence) and lag 7 (weekly cycle). The 100 TB work is
+    // the single date hash agg; everything after runs on the BOUNDED
+    // daily series (timespan-in-days rows), so the lag self-join and
+    // the power sums are post-agg arithmetic, never a corpus-scale
+    // shuffle. Pairs come from an equi-join on day = day + lag (exact
+    // calendar alignment — a missing day drops its pairs rather than
+    // silently pairing across the gap). Correlation is left as exact
+    // integer numerators (q91 convention): r² = cov_num² /
+    // (var_a_num · var_b_num), sign = sign(cov_num).
+    "q181_autocorr" -> ((s, d) => {
+      import s.implicits._
+      val daily = T.events(s, d)
+        .select(datediff(to_date($"ts"), to_date(lit("2024-01-01")))
+          .cast("long").as("day"))
+        .groupBy($"day").agg(count(lit(1)).as("y"))
+      val lags = Seq(1L, 7L).toDF("lag")
+      daily.crossJoin(broadcast(lags))
+        .select($"lag", ($"day" + $"lag").as("day"), $"y".as("a"))
+        .join(daily.select($"day", $"y".as("b")), Seq("day"))
+        .groupBy($"lag")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum($"a").as("sum_a"), sum($"b").as("sum_b"),
+          sum($"a" * $"b").as("sum_ab"),
+          sum($"a" * $"a").as("sum_a2"), sum($"b" * $"b").as("sum_b2"))
+        .select($"lag", $"n_pairs", $"sum_a", $"sum_b", $"sum_ab",
+          ($"n_pairs" * $"sum_ab" - $"sum_a" * $"sum_b").as("cov_num"),
+          ($"n_pairs" * $"sum_a2" - $"sum_a" * $"sum_a").as("var_a_num"),
+          ($"n_pairs" * $"sum_b2" - $"sum_b" * $"sum_b").as("var_b_num"))
+    }),
+
+    // ---- hour-of-week seasonal intensity profile --------------------
+    // The capacity-planning / anomaly-baseline companion to q181:
+    // event volume and distinct-user reach per (day-of-week, hour)
+    // cell, with each cell's ppm share of its weekday. Day-of-week is
+    // derived ARITHMETICALLY — (epoch_days + 4) mod 7, 0 = Sunday —
+    // because Spark's dayofweek (1=Sun) and DuckDB's (0=Sun) disagree
+    // by convention; integer epoch math is identical in both engines
+    // (timestamps are UTC session-wide). One corpus-scale hash agg on
+    // the 168-cell key (plus the countDistinct expand); the share
+    // window runs post-agg over ≤ 24 rows per weekday.
+    "q183_seasonal_profile" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"dow")
+      T.events(s, d)
+        .select(pmod(datediff(to_date($"ts"), to_date(lit("1970-01-01")))
+            .cast("long") + 4, lit(7)).as("dow"),
+          hour($"ts").cast("long").as("hr"), $"user_id")
+        .groupBy($"dow", $"hr")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct($"user_id").as("n_users"))
+        .withColumn("day_total", sum($"n_events").over(w))
+        .select($"dow", $"hr", $"n_events", $"n_users",
+          expr("n_events * 1000000L div day_total").as("share_ppm"))
     }))
 
   /** Engine-portable GROUPING SETS (distinct sets, not rollup/cube). */
@@ -758,6 +816,44 @@ object Events extends QueryPack {
        |GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q181_autocorr" ->
+      """WITH daily AS (
+        |  SELECT CAST(datediff('day', DATE '2024-01-01', ts) AS BIGINT) AS day,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1),
+        |l(lag) AS (VALUES (1), (7)),
+        |p AS (
+        |  SELECT CAST(l.lag AS BIGINT) AS lag, a.y AS a, b.y AS b
+        |  FROM l CROSS JOIN daily a
+        |  JOIN daily b ON b.day = a.day + l.lag),
+        |g AS (
+        |  SELECT lag, count(*) AS n_pairs,
+        |    CAST(sum(a) AS BIGINT) AS sum_a, CAST(sum(b) AS BIGINT) AS sum_b,
+        |    CAST(sum(a * b) AS BIGINT) AS sum_ab,
+        |    CAST(sum(a * a) AS BIGINT) AS sum_a2,
+        |    CAST(sum(b * b) AS BIGINT) AS sum_b2
+        |  FROM p GROUP BY 1)
+        |SELECT lag, n_pairs, sum_a, sum_b, sum_ab,
+        |  n_pairs * sum_ab - sum_a * sum_b AS cov_num,
+        |  n_pairs * sum_a2 - sum_a * sum_a AS var_a_num,
+        |  n_pairs * sum_b2 - sum_b * sum_b AS var_b_num
+        |FROM g""".stripMargin,
+
+    "q183_seasonal_profile" ->
+      """WITH a AS (
+        |  SELECT (CAST(datediff('day', DATE '1970-01-01', ts) AS BIGINT) + 4) % 7
+        |      AS dow,
+        |    CAST(hour(ts) AS BIGINT) AS hr, user_id
+        |  FROM events),
+        |g AS (
+        |  SELECT dow, hr, count(*) AS n_events,
+        |    count(DISTINCT user_id) AS n_users
+        |  FROM a GROUP BY 1, 2)
+        |SELECT dow, hr, n_events, n_users,
+        |  n_events * 1000000 //
+        |    CAST(sum(n_events) OVER (PARTITION BY dow) AS BIGINT) AS share_ppm
+        |FROM g""".stripMargin,
+
     "q81_funnel" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us

@@ -355,9 +355,127 @@ object Layout extends QueryPack {
           sum($"bytes").as("bin_bytes"),
           min($"file_id").as("first_file"),
           max($"file_id").as("last_file"))
+    }),
+
+    // ---- min/max zone-map skip planning -----------------------------
+    // The data-skipping math behind parquet row-group stats / Delta
+    // file stats / Iceberg manifests: per-file [min,max] zone maps on
+    // the predicate column decide which files a range predicate must
+    // open. Evaluated for the SAME rows under two layouts — files cut
+    // in ingest order (o_orderkey) vs files clustered by the predicate
+    // dimension (30-day time buckets) — against five date-range
+    // predicates, because zone-map effectiveness IS the layout: ingest
+    // -order files each span nearly the full date range (skip ≈ 0)
+    // while time-clustered files prune to the predicate's width. The
+    // whole query runs on the MANIFEST grain (|rows|/100 entries, one
+    // hash agg to build) × a 5-row broadcast predicate table — at
+    // 100 TB the planner reads footer stats, never data. Overlap test
+    // is closed-interval intersection; skip ratio is exact integer ppm
+    // (non-negative, trunc == floor in both engines).
+    "q179_zonemap_prune" -> ((s, d) => {
+      import s.implicits._
+      val pts = T.orders(s, d)
+        .select(expr("o_orderkey div 100").cast("bigint").as("fa"),
+          datediff($"o_orderdate", to_date(lit("1995-01-01")))
+            .cast("long").as("x"))
+      val man = pts.groupBy($"fa".as("file_id"))
+        .agg(count(lit(1)).as("n_rows"), min($"x").as("xmin"), max($"x").as("xmax"))
+        .withColumn("layout", lit("ingest"))
+        .unionByName(
+          pts.select(expr("x div 30").cast("bigint").as("file_id"), $"x")
+            .groupBy($"file_id")
+            .agg(count(lit(1)).as("n_rows"), min($"x").as("xmin"), max($"x").as("xmax"))
+            .withColumn("layout", lit("time")))
+      val preds = Seq((1L, 0L, 364L), (2L, 365L, 729L), (3L, 1095L, 1459L),
+        (4L, 2000L, 2099L), (5L, 0L, 9999L)).toDF("pred_id", "lo", "hi")
+      man.crossJoin(broadcast(preds))
+        .groupBy($"layout", $"pred_id", $"lo", $"hi")
+        .agg(count(lit(1)).as("files_total"),
+          sum(($"xmax" >= $"lo" && $"xmin" <= $"hi").cast("long"))
+            .as("files_scanned"),
+          sum(when($"xmax" >= $"lo" && $"xmin" <= $"hi", $"n_rows")
+            .otherwise(0L)).as("rows_scanned"))
+        .withColumn("skip_ppm",
+          expr("(files_total - files_scanned) * 1000000L div files_total"))
+    }),
+
+    // ---- functional-dependency violation audit ----------------------
+    // Schema-constraint discovery/monitoring (the data-quality pass
+    // next to q126's referential integrity): for each candidate FD
+    // lhs → rhs, ONE hash agg on the lhs computes how many lhs values
+    // map to >1 distinct rhs — a violated FD means the column pair
+    // can't be normalized out / used as a lookup key. Four candidates
+    // across three tables (two plausibly true, two plausibly false on
+    // this data) union into one bounded report. Each FD is a map-side
+    // -combinable two-level agg keyed by its own lhs; nothing joins,
+    // nothing is corpus-quadratic, and the report is 4 rows.
+    "q182_fd_audit" -> ((s, d) => {
+      import s.implicits._
+      def fd(df: DataFrame, name: String, lhs: String, rhs: String): DataFrame =
+        df.select(col(lhs).cast("string").as("l"), col(rhs).cast("string").as("r"))
+          .groupBy($"l").agg(countDistinct($"r").as("k"))
+          .agg(count(lit(1)).as("n_lhs"),
+            sum(($"k" > 1).cast("long")).as("n_violating"),
+            max($"k").as("max_rhs"))
+          .select(lit(name).as("fd"), $"n_lhs", $"n_violating", $"max_rhs",
+            expr("n_violating * 1000000L div n_lhs").as("violation_ppm"))
+      fd(T.part(s, d), "p_brand->p_type", "p_brand", "p_type")
+        .unionAll(fd(T.part(s, d), "p_name->p_brand", "p_name", "p_brand"))
+        .unionAll(fd(T.orders(s, d),
+          "o_custkey->o_orderpriority", "o_custkey", "o_orderpriority"))
+        .unionAll(fd(T.lineitem(s, d),
+          "l_orderkey->l_returnflag", "l_orderkey", "l_returnflag"))
     }))
 
   def oracles: Map[String, String] = Map(
+    "q179_zonemap_prune" ->
+      """WITH pts AS (
+        |  SELECT o_orderkey // 100 AS fa,
+        |    CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS x
+        |  FROM orders),
+        |man AS (
+        |  SELECT 'ingest' AS layout, fa AS file_id, count(*) AS n_rows,
+        |    min(x) AS xmin, max(x) AS xmax FROM pts GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'time', x // 30, count(*), min(x), max(x) FROM pts GROUP BY 2),
+        |preds(pred_id, lo, hi) AS (VALUES
+        |  (1, 0, 364), (2, 365, 729), (3, 1095, 1459),
+        |  (4, 2000, 2099), (5, 0, 9999)),
+        |g AS (
+        |  SELECT layout, CAST(pred_id AS BIGINT) AS pred_id,
+        |    CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi,
+        |    count(*) AS files_total,
+        |    CAST(sum(CASE WHEN xmax >= lo AND xmin <= hi THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS files_scanned,
+        |    CAST(sum(CASE WHEN xmax >= lo AND xmin <= hi THEN n_rows ELSE 0 END)
+        |      AS BIGINT) AS rows_scanned
+        |  FROM man, preds GROUP BY 1, 2, 3, 4)
+        |SELECT layout, pred_id, lo, hi, files_total, files_scanned, rows_scanned,
+        |  (files_total - files_scanned) * 1000000 // files_total AS skip_ppm
+        |FROM g""".stripMargin,
+
+    "q182_fd_audit" ->
+      """WITH
+        |f1 AS (SELECT CAST(p_brand AS VARCHAR) AS l, CAST(p_type AS VARCHAR) AS r FROM part),
+        |f2 AS (SELECT CAST(p_name AS VARCHAR) AS l, CAST(p_brand AS VARCHAR) AS r FROM part),
+        |f3 AS (SELECT CAST(o_custkey AS VARCHAR) AS l, CAST(o_orderpriority AS VARCHAR) AS r FROM orders),
+        |f4 AS (SELECT CAST(l_orderkey AS VARCHAR) AS l, CAST(l_returnflag AS VARCHAR) AS r FROM lineitem),
+        |u AS (
+        |  SELECT 'p_brand->p_type' AS fd, l, count(DISTINCT r) AS k FROM f1 GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'p_name->p_brand', l, count(DISTINCT r) FROM f2 GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'o_custkey->o_orderpriority', l, count(DISTINCT r) FROM f3 GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'l_orderkey->l_returnflag', l, count(DISTINCT r) FROM f4 GROUP BY 1, 2),
+        |g AS (
+        |  SELECT fd, count(*) AS n_lhs,
+        |    CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |    CAST(max(k) AS BIGINT) AS max_rhs
+        |  FROM u GROUP BY 1)
+        |SELECT fd, n_lhs, n_violating, max_rhs,
+        |  n_violating * 1000000 // n_lhs AS violation_ppm
+        |FROM g""".stripMargin,
     // windowed sum over BIGINT → HUGEINT in DuckDB: cast before the div
     "q151_compaction_plan" ->
       """WITH manifest AS (

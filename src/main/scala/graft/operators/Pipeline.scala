@@ -746,9 +746,51 @@ object Pipeline extends QueryPack {
         .unionAll(cnt(T.lineitem(s, d)
           .join(dOrders.select($"o_orderkey".as("ok")),
             $"l_orderkey" === $"ok", "left_semi"), "lineitem"))
+    }),
+
+    // ---- deterministic k-fold cross-validation assignment -----------
+    // The fold split behind any CV evaluation over a training corpus:
+    // fold = h60(doc_id) mod 5 — content-keyed like every sampler here
+    // (q59/q60/q123), so the assignment is stable under repartition,
+    // retry, and re-ingest, and reproduces bit-for-bit in the oracle's
+    // md5 form. One hash agg on (fold, lang) does all the work; the
+    // balance audit (each fold's ppm share of its language, ideal
+    // 200000) is a post-agg window over the bounded 5×|langs| grid.
+    // Share is exact integer ppm, non-negative → trunc == floor in
+    // both engines.
+    "q180_kfold" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"lang")
+      T.documents(s, d)
+        .select($"lang", pmod(hash60($"doc_id"), lit(5)).as("fold"),
+          $"n_chars", $"doc_id")
+        .groupBy($"fold", $"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").cast("bigint").as("sum_chars"),
+          min($"doc_id").as("first_doc"))
+        .withColumn("lang_total", sum($"n_docs").over(w))
+        .select($"fold", $"lang", $"n_docs", $"sum_chars", $"first_doc",
+          expr("n_docs * 1000000L div lang_total").as("share_ppm"))
     }))
 
   def oracles: Map[String, String] = Map(
+    "q180_kfold" ->
+      """WITH a AS (
+        |  SELECT lang,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      % 5 AS fold,
+        |    n_chars, doc_id
+        |  FROM documents),
+        |g AS (
+        |  SELECT fold, lang, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |    min(doc_id) AS first_doc
+        |  FROM a GROUP BY 1, 2)
+        |SELECT fold, lang, n_docs, sum_chars, first_doc,
+        |  n_docs * 1000000 //
+        |    CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS share_ppm
+        |FROM g""".stripMargin,
+
     // same prefix sum computed directly; DuckDB windowed sum of BIGINT
     // is HUGEINT — cast before the floors
     "q154_weighted_sample" ->

@@ -1338,6 +1338,38 @@ object Relational extends QueryPack {
           sum($"dx").as("s_x"),
           sum($"dx" * $"dy").as("s_xy"),
           sum($"dx" * $"dx").as("s_xx"))
+    }),
+
+    // ---- exact OLS trend via regression power sums ------------------
+    // Per-nation least-squares trend of order value over time — the
+    // q91 power-sum pattern extended to regression: ONE map-side-
+    // combinable hash agg collects (n, Σx, Σy, Σxy, Σx²) and the
+    // slope's numerator n·Σxy − Σx·Σy and denominator n·Σx² − (Σx)²
+    // are pure integer post-agg arithmetic (slope = num/den in
+    // dollars/day, left unevaluated so both engines stay in exact
+    // integer space — the q91 convention). x = day index from
+    // 1995-01-01 (the fixture epoch), y = whole dollars via integer
+    // half-up rounding from exact cents (non-negative, so Spark `div`
+    // and DuckDB `//` truncate identically). Overflow bound: with
+    // x ≤ 4e3 and y ≤ 1e6, n·Σxy stays under int64 to ~1e8 rows per
+    // nation (≈ sf1000 here); past that the two products promote to
+    // decimal(38,0)/HUGEINT, the agg itself never changes.
+    "q178_ols_trend" -> ((s, d) => {
+      import s.implicits._
+      T.orders(s, d)
+        .join(T.customer(s, d), $"o_custkey" === $"c_custkey")
+        .join(broadcast(T.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .select($"n_name",
+          datediff($"o_orderdate", to_date(lit("1995-01-01"))).cast("long").as("x"),
+          Exact.cents($"o_totalprice").as("c"))
+        .withColumn("y", expr("(c + 50) div 100"))
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("n"),
+          sum($"x").as("sum_x"), sum($"y").as("sum_y"),
+          sum($"x" * $"y").as("sum_xy"), sum($"x" * $"x").as("sum_x2"))
+        .select($"n_name", $"n", $"sum_x", $"sum_y", $"sum_xy", $"sum_x2",
+          ($"n" * $"sum_xy" - $"sum_x" * $"sum_y").as("slope_num"),
+          ($"n" * $"sum_x2" - $"sum_x" * $"sum_x").as("slope_den"))
     })
   )
 
@@ -1435,6 +1467,25 @@ object Relational extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "q115_lateral_topk" -> lateralTopkText,
+
+    "q178_ols_trend" ->
+      """WITH pts AS (
+        |  SELECT n_name,
+        |    CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS x,
+        |    (CAST(round(o_totalprice * 100) AS BIGINT) + 50) // 100 AS y
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |g AS (
+        |  SELECT n_name, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+        |    CAST(sum(x * y) AS BIGINT) AS sum_xy,
+        |    CAST(sum(x * x) AS BIGINT) AS sum_x2
+        |  FROM pts GROUP BY 1)
+        |SELECT n_name, n, sum_x, sum_y, sum_xy, sum_x2,
+        |  n * sum_xy - sum_x * sum_y AS slope_num,
+        |  n * sum_x2 - sum_x * sum_x AS slope_den
+        |FROM g""".stripMargin,
 
     "q145_pagerank" ->
       s"""WITH RECURSIVE li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),

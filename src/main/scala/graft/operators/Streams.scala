@@ -230,6 +230,84 @@ object Streams extends QueryPack {
         .agg(count(lit(1)).as("n"),
           min_by(col("eid"), col("sequenceNumber")).as("first_eid"),
           max_by(col("eid"), col("sequenceNumber")).as("last_eid"))
+    }),
+
+    // Chained stateful operators (Spark 4 multiple-stateful-operator
+    // support): a 1-hour tumbling windowed count feeds a SECOND
+    // event-time aggregation — 4-hour buckets of the hourly series
+    // (hours present, peak hourly count, total) — inside ONE streaming
+    // query, `window(col("window"), "4 hours")` re-windowing the first
+    // agg's window struct. Append-mode semantics compose: an hourly
+    // window flows downstream when the watermark passes its end; a
+    // 4-hour bucket is emitted when the watermark passes the BUCKET
+    // end — so the batch oracle is the hourly rollup restricted to
+    // buckets whose end precedes the final watermark (bucket end
+    // subsumes the member hours' ends). At scale this is the streaming
+    // two-level rollup (minute→hour, hour→day) that otherwise needs a
+    // second query reading back the first sink — one shuffle per
+    // level, state bounded by open windows per level.
+    "s22_chained_windows" -> ((s, d) => {
+      val name = s"events_rt_${sfx(d)}" // same fixture as s01/s04
+      seedEventsJson(s, d, name, numShards = 4)
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", "50000")
+        .load()
+      val events = raw.select(
+        from_json(col("data").cast("string"), payloadSchema).as("e"))
+        .select(timestamp_micros(col("e.ts_us")).as("ts"), col("e.event_type"))
+      val hourly = events
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val buckets = hourly
+        .groupBy(window(col("window"), "4 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n_hours"), max(col("n")).as("max_hourly"),
+          sum(col("n")).as("total"))
+        .select(unix_timestamp(col("window.start")).as("bucket_s"),
+          col("event_type"), col("n_hours"), col("max_hourly"), col("total"))
+      drain(s, buckets)
+    }),
+
+    // Second multi-stateful chaining shape: a stream-stream interval
+    // JOIN (s06's click→purchase attribution, purchase within 10 min
+    // of the click) feeding an event-time windowed aggregation —
+    // hourly conversion counts — in ONE streaming query. The join
+    // emits matches as they resolve; the downstream agg windows on
+    // the purchase time, whose propagated watermark is the global
+    // min over both sides (p_ts ≥ c_ts bounds output purchase times
+    // from below by the click watermark), so an hourly window is
+    // final once the global watermark passes its end. At scale this
+    // fuses the attribution join and its rollup into one pipeline —
+    // join state keyed by user, agg state bounded by open hours —
+    // instead of landing the join to storage and re-aggregating.
+    "s23_join_then_window" -> ((s, d) => {
+      val name = s"events_rt_${sfx(d)}" // same fixture as s01/s06
+      seedEventsJson(s, d, name, numShards = 4)
+      def side(et: String, pfx: String): DataFrame =
+        s.readStream.format("shardstream")
+          .option("stream", name)
+          .option("startingPosition", "trim_horizon")
+          .option("maxRecordsPerBatch", "10000000")
+          .load()
+          .select(from_json(col("data").cast("string"), payloadSchema).as("e"))
+          .filter(col("e.event_type") === et)
+          .select(col("e.user_id").as(s"${pfx}_user"),
+            timestamp_micros(col("e.ts_us")).as(s"${pfx}_ts"),
+            col("e.event_id").as(s"${pfx}_eid"))
+          .withWatermark(s"${pfx}_ts", "1 hour")
+      val joined = side("click", "c").join(side("purchase", "p"),
+        expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 10 minutes"))
+      val hourly = joined
+        .groupBy(window(col("p_ts"), "1 hour"))
+        // distinct aggregates are unsupported in streaming — bounded
+        // per-window user sets via collect_set instead
+        .agg(count(lit(1)).as("n_conversions"),
+          size(collect_set(col("p_user"))).cast("long").as("n_users"))
+        .select(unix_timestamp(col("window.start")).as("start_s"),
+          col("n_conversions"), col("n_users"))
+      drain(s, hourly)
     })) ++ extra
 
   private val extra: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1053,6 +1131,37 @@ object Streams extends QueryPack {
         |  SELECT CAST(row_number() OVER (ORDER BY event_id) - 1 AS BIGINT) AS seq,
         |    event_type
         |  FROM events ORDER BY event_id LIMIT 5) t""".stripMargin,
+
+    "s22_chained_windows" ->
+      """WITH wm AS (SELECT epoch(max(ts) - INTERVAL 10 MINUTE) AS w FROM events),
+        |hourly AS (
+        |  SELECT (CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 14400) * 14400
+        |    AS bucket_s, date_trunc('hour', ts) AS h, event_type
+        |  FROM events),
+        |g AS (
+        |  SELECT bucket_s, h, event_type, count(*) AS n
+        |  FROM hourly GROUP BY 1, 2, 3)
+        |SELECT bucket_s, event_type, count(*) AS n_hours,
+        |  CAST(max(n) AS BIGINT) AS max_hourly, CAST(sum(n) AS BIGINT) AS total
+        |FROM g GROUP BY 1, 2
+        |HAVING bucket_s + 14400 <= (SELECT w FROM wm)""".stripMargin,
+
+    "s23_join_then_window" ->
+      """WITH c AS (
+        |  SELECT user_id AS cu, ts AS cts FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id AS pu, ts AS pts FROM events WHERE event_type = 'purchase'),
+        |wm AS (
+        |  SELECT least((SELECT max(cts) FROM c), (SELECT max(pts) FROM p))
+        |    - INTERVAL 1 HOUR AS w),
+        |j AS (
+        |  SELECT date_trunc('hour', pts) AS h, pu
+        |  FROM c JOIN p ON cu = pu
+        |    AND pts >= cts AND pts <= cts + INTERVAL 10 MINUTE)
+        |SELECT CAST(epoch(h) AS BIGINT) AS start_s, count(*) AS n_conversions,
+        |  CAST(count(DISTINCT pu) AS BIGINT) AS n_users
+        |FROM j GROUP BY 1
+        |HAVING max(h) + INTERVAL 1 HOUR <= (SELECT w FROM wm)""".stripMargin,
 
     "s04_stream_windowed" ->
       """WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)

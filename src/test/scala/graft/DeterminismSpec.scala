@@ -62,7 +62,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q165_ann_lshbits_tune", "q166_contrastive_pairs",
     "q167_l_diversity", "q168_cooc_incremental", "q169_asof_tolerance",
     "q172_frequent_triples", "q173_session_metrics", "q174_archive_ingest",
-    "q175_ann_kmeans_ivf", "q176_peak_concurrency")
+    "q175_ann_kmeans_ivf", "q176_peak_concurrency",
+    "q177_record_linkage", "q178_ols_trend", "q179_zonemap_prune",
+    "q180_kfold", "q181_autocorr", "q182_fd_audit",
+    "q183_seasonal_profile")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

@@ -30,7 +30,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "s14_stream_dedup_watermarked", "s15_stream_outer_join",
     "s16_stream_milestones", "s17_shard_split_replay",
     "s18_stream_at_timestamp", "s19_stream_file_source",
-    "s20_stream_dedup_static", "s21_split_at_timestamp")
+    "s20_stream_dedup_static", "s21_split_at_timestamp",
+    "s22_chained_windows", "s23_join_then_window")
   // bounded-side nested loops that are correct by construction
   // (1-row stats, 4-row tier dim, 10-row query set, 5-row lang
   // profiles, 1-row mixture minimum, k-row centroid set, 1-row
@@ -60,6 +61,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q166: the 10-row anchor set broadcast against the corpus (q40's
     // exact-scan pattern)
     "q166_contrastive_pairs",
+    // q179: the 5-row literal predicate table crossed against the
+    // FILE MANIFEST (|rows|/100 entries, itself post-agg) — the
+    // planner never touches row-level data
+    "q179_zonemap_prune",
+    // q181: the 2-row lag table crossed against the post-agg daily
+    // series (timespan-bounded)
+    "q181_autocorr",
     // q175: the k-row centroid assignment pass (q79's bounded-side
     // Lloyd shape)
     "q175_ann_kmeans_ivf")
