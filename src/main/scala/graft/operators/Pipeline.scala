@@ -771,6 +771,73 @@ object Pipeline extends QueryPack {
         .withColumn("lang_total", sum($"n_docs").over(w))
         .select($"fold", $"lang", $"n_docs", $"sum_chars", $"first_doc",
           expr("n_docs * 1000000L div lang_total").as("share_ppm"))
+    }),
+
+    // ---- inter-filter agreement (Cohen's kappa) ---------------------
+    // When two quality gates disagree, which documents they disagree ON
+    // decides whether stacking them helps — chance-corrected agreement
+    // (Cohen's kappa) is the standard eval-ops measure. Gate A is
+    // q61's length/structure rule, gate B its stopword-density band;
+    // ONE scan computes the per-lang confusion matrix (n11/n10/n01/
+    // n00) map-side, and kappa stays in exact integer ppm as an
+    // UNEVALUATED num/den pair (kappa = num/den) — the q91/q178
+    // convention, which also sidesteps the signed div-vs-floor
+    // divergence (kappa can be negative). pe's n² denominator bounds
+    // exactness to ~3e6 docs per lang in int64; past that the engines
+    // promote (decimal / HUGEINT), the agg is unchanged.
+    "q184_filter_agreement" -> ((s, d) => {
+      import s.implicits._
+      val perDoc = T.documents(s, d)
+        .select($"lang", $"n_chars", split($"text", " ").as("w"))
+        .select($"lang", $"n_chars",
+          size($"w").cast("bigint").as("toks"),
+          size(filter($"w", w => w.isin("the", "a", "of", "and", "to")))
+            .cast("bigint").as("stops"))
+      val a = $"n_chars" >= 100 && $"n_chars" <= 5000 &&
+        $"n_chars" < $"toks" * 12L
+      val b = $"stops" * 100L >= $"toks" && $"stops" * 2L <= $"toks"
+      perDoc.groupBy($"lang")
+        .agg(count(lit(1)).as("n"),
+          sum((a && b).cast("long")).as("n11"),
+          sum((a && !b).cast("long")).as("n10"),
+          sum((!a && b).cast("long")).as("n01"),
+          sum((!a && !b).cast("long")).as("n00"))
+        .select($"lang", $"n", $"n11", $"n10", $"n01", $"n00",
+          expr("(n11 + n00) * 1000000L div n").as("po_ppm"),
+          expr("((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))" +
+            " * 1000000L div (n * n)").as("pe_ppm"))
+        .withColumn("kappa_num_ppm", $"po_ppm" - $"pe_ppm")
+        .withColumn("kappa_den_ppm", lit(1000000L) - $"pe_ppm")
+    }),
+
+    // ---- token-budget apportionment (largest remainder) -------------
+    // Turning mixture RATES into integer token COUNTS: allocate a
+    // 1M-token budget across sources proportional to their token mass
+    // so the parts sum EXACTLY to the budget — Hamilton's largest-
+    // remainder method, the integer-exact step after q63/q107 decide
+    // rates. base = floor-share per source; the Σbase..budget gap
+    // (< |sources|) goes to the largest fractional remainders,
+    // deterministic tie-break on source name. The corpus-scale work is
+    // one token-count agg; both windows (remainder rank, base sum) run
+    // over the bounded source table. toks·budget bounds int64 to
+    // ~9e12 corpus tokens at this budget; past that promote to
+    // decimal/HUGEINT — the allocation algebra is unchanged.
+    "q185_token_apportionment" -> ((s, d) => {
+      import s.implicits._
+      val B = 1000000L
+      val src = T.documents(s, d)
+        .select($"source", size(split($"text", " ")).cast("bigint").as("toks"))
+        .groupBy($"source").agg(sum($"toks").as("toks"))
+      val tot = src.agg(sum($"toks").as("total"))
+      val wAll = Window.partitionBy()
+      val wRank = Window.partitionBy().orderBy($"rem_num".desc, $"source")
+      src.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"toks * ${B}L div total"))
+        .withColumn("rem_num", expr(s"toks * ${B}L - base * total"))
+        .withColumn("leftover", lit(B) - sum($"base").over(wAll))
+        .withColumn("rk", row_number().over(wRank).cast("bigint"))
+        .select($"source", $"toks", $"base", $"rem_num",
+          ($"base" + when($"rk" <= $"leftover", 1L).otherwise(0L)).as("alloc"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -790,6 +857,58 @@ object Pipeline extends QueryPack {
         |  n_docs * 1000000 //
         |    CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS share_ppm
         |FROM g""".stripMargin,
+
+    "q184_filter_agreement" ->
+      """WITH perdoc AS (
+        |  SELECT lang, n_chars,
+        |    len(string_split(text, ' ')) AS toks,
+        |    len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS stops
+        |  FROM documents),
+        |m AS (
+        |  SELECT lang,
+        |    CASE WHEN n_chars BETWEEN 100 AND 5000
+        |      AND n_chars < toks * 12 THEN 1 ELSE 0 END AS ga,
+        |    CASE WHEN stops * 100 >= toks AND stops * 2 <= toks
+        |      THEN 1 ELSE 0 END AS gb
+        |  FROM perdoc),
+        |g AS (
+        |  SELECT lang, count(*) AS n,
+        |    CAST(sum(ga * gb) AS BIGINT) AS n11,
+        |    CAST(sum(ga * (1 - gb)) AS BIGINT) AS n10,
+        |    CAST(sum((1 - ga) * gb) AS BIGINT) AS n01,
+        |    CAST(sum((1 - ga) * (1 - gb)) AS BIGINT) AS n00
+        |  FROM m GROUP BY 1),
+        |k AS (
+        |  SELECT lang, n, n11, n10, n01, n00,
+        |    (n11 + n00) * 1000000 // n AS po_ppm,
+        |    ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+        |      * 1000000 // (n * n) AS pe_ppm
+        |  FROM g)
+        |SELECT lang, n, n11, n10, n01, n00, po_ppm, pe_ppm,
+        |  po_ppm - pe_ppm AS kappa_num_ppm,
+        |  1000000 - pe_ppm AS kappa_den_ppm
+        |FROM k""".stripMargin,
+
+    "q185_token_apportionment" ->
+      """WITH src AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(toks) AS BIGINT) AS total FROM src),
+        |b AS (
+        |  SELECT source, toks, toks * 1000000 // total AS base,
+        |    toks * 1000000 - (toks * 1000000 // total) * total AS rem_num
+        |  FROM src, t),
+        |r AS (
+        |  SELECT source, toks, base, rem_num,
+        |    CAST(row_number() OVER (ORDER BY rem_num DESC, source) AS BIGINT)
+        |      AS rk,
+        |    1000000 - CAST(sum(base) OVER () AS BIGINT) AS leftover
+        |  FROM b)
+        |SELECT source, toks, base, rem_num,
+        |  base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+        |FROM r""".stripMargin,
 
     // same prefix sum computed directly; DuckDB windowed sum of BIGINT
     // is HUGEINT — cast before the floors

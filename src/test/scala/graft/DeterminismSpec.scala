@@ -65,7 +65,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q175_ann_kmeans_ivf", "q176_peak_concurrency",
     "q177_record_linkage", "q178_ols_trend", "q179_zonemap_prune",
     "q180_kfold", "q181_autocorr", "q182_fd_audit",
-    "q183_seasonal_profile")
+    "q183_seasonal_profile", "q184_filter_agreement",
+    "q185_token_apportionment")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

@@ -68,6 +68,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q181: the 2-row lag table crossed against the post-agg daily
     // series (timespan-bounded)
     "q181_autocorr",
+    // q185: the 1-row corpus-total scalar crossed against the bounded
+    // per-source table (q63's shape)
+    "q185_token_apportionment",
     // q175: the k-row centroid assignment pass (q79's bounded-side
     // Lloyd shape)
     "q175_ann_kmeans_ivf")
