@@ -768,6 +768,70 @@ object Events extends QueryPack {
         .withColumn("day_total", sum($"n_events").over(w))
         .select($"dow", $"hr", $"n_events", $"n_users",
           expr("n_events * 1000000L div day_total").as("share_ppm"))
+    }),
+
+    // ---- watermark-delay lateness audit -----------------------------
+    // The measurement that should precede every `withWatermark` choice
+    // (s04/s22 use 10 minutes): for candidate delays D, what fraction
+    // of events would arrive LATE — event time below the watermark
+    // high-water mark minus D at their arrival position (arrival order
+    // = event_id, the producer sequence). The running previous-arrival
+    // maximum is computed with the q124 band decomposition so no
+    // corpus-scale single-partition window exists: per-band prefix max
+    // windows inside 10k-row bands, prior-band offsets via the tiny
+    // bands-table window (band width is the knob — widen it at scale
+    // to keep the bands table broadcastable). The 4-row delay table
+    // then crosses the per-event lateness into one ppm report.
+    "q187_watermark_audit" -> ((s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+        .select($"event_id", unix_micros($"ts").as("ts_us"))
+        .withColumn("band", expr("event_id div 10000"))
+      val wb = Window.orderBy($"band").rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = ev.groupBy($"band").agg(max($"ts_us").as("bmax"))
+        .withColumn("prior_max", coalesce(max($"bmax").over(wb), lit(0L)))
+        .select($"band", $"prior_max")
+      val ww = Window.partitionBy($"band").orderBy($"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val withPrev = ev.join(broadcast(offsets), Seq("band"))
+        .withColumn("in_band_prev", coalesce(max($"ts_us").over(ww), lit(0L)))
+        .withColumn("prev_max", greatest($"prior_max", $"in_band_prev"))
+      val delays = Seq(60000000L, 300000000L, 600000000L, 3600000000L)
+        .toDF("delay_us")
+      withPrev.crossJoin(broadcast(delays))
+        .groupBy($"delay_us")
+        .agg(count(lit(1)).as("n_events"),
+          sum(($"prev_max" - $"ts_us" > $"delay_us").cast("long"))
+            .as("n_dropped"))
+        .withColumn("drop_ppm", expr("n_dropped * 1000000L div n_events"))
+    }),
+
+    // ---- seasonal-naive forecast backtest ---------------------------
+    // The baseline every volume forecast must beat, evaluated the way
+    // a backtest would: predict each day's count from lag-1 (naive
+    // persistence) and lag-7 (seasonal naive — q181 found the weekly
+    // cycle), score both models per event_type with exact integer
+    // absolute error and WAPE (Σ|err| as ppm of Σactual; integer,
+    // non-negative, trunc == floor). The corpus-scale work is one
+    // (day, type) hash agg; the model×lag alignment join runs on the
+    // bounded post-agg daily grid. A day missing its lag-day drops out
+    // of that model's evaluation rather than fabricating a forecast.
+    "q188_seasonal_backtest" -> ((s, d) => {
+      import s.implicits._
+      val daily = T.events(s, d)
+        .select(datediff(to_date($"ts"), to_date(lit("2024-01-01")))
+          .cast("long").as("day"), $"event_type")
+        .groupBy($"day", $"event_type").agg(count(lit(1)).as("y"))
+      val models = Seq(("naive1", 1L), ("seasonal7", 7L)).toDF("model", "lag")
+      daily.crossJoin(broadcast(models))
+        .select($"model", $"event_type", ($"day" + $"lag").as("day"),
+          $"y".as("yhat"))
+        .join(daily, Seq("day", "event_type"))
+        .groupBy($"model", $"event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs($"y" - $"yhat")).as("abs_err"),
+          sum($"y").as("actual"))
+        .withColumn("wape_ppm", expr("abs_err * 1000000L div actual"))
     }))
 
   /** Engine-portable GROUPING SETS (distinct sets, not rollup/cube). */
@@ -852,6 +916,44 @@ object Events extends QueryPack {
         |SELECT dow, hr, n_events, n_users,
         |  n_events * 1000000 //
         |    CAST(sum(n_events) OVER (PARTITION BY dow) AS BIGINT) AS share_ppm
+        |FROM g""".stripMargin,
+
+    "q187_watermark_audit" ->
+      """WITH e AS (
+        |  SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
+        |p AS (
+        |  SELECT event_id, ts_us,
+        |    coalesce(max(ts_us) OVER (ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_max
+        |  FROM e),
+        |dl(delay_us) AS (VALUES
+        |  (60000000), (300000000), (600000000), (3600000000)),
+        |g AS (
+        |  SELECT CAST(delay_us AS BIGINT) AS delay_us, count(*) AS n_events,
+        |    CAST(sum(CASE WHEN prev_max - ts_us > delay_us THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_dropped
+        |  FROM p, dl GROUP BY 1)
+        |SELECT delay_us, n_events, n_dropped,
+        |  n_dropped * 1000000 // n_events AS drop_ppm
+        |FROM g""".stripMargin,
+
+    "q188_seasonal_backtest" ->
+      """WITH daily AS (
+        |  SELECT CAST(datediff('day', DATE '2024-01-01', ts) AS BIGINT) AS day,
+        |    event_type, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |m(model, lag) AS (VALUES ('naive1', 1), ('seasonal7', 7)),
+        |j AS (
+        |  SELECT m.model, a.event_type, abs(b.y - a.y) AS abs_err, b.y AS y
+        |  FROM m CROSS JOIN daily a
+        |  JOIN daily b ON b.day = a.day + m.lag AND b.event_type = a.event_type),
+        |g AS (
+        |  SELECT model, event_type, count(*) AS n_days,
+        |    CAST(sum(abs_err) AS BIGINT) AS abs_err,
+        |    CAST(sum(y) AS BIGINT) AS actual
+        |  FROM j GROUP BY 1, 2)
+        |SELECT model, event_type, n_days, abs_err, actual,
+        |  abs_err * 1000000 // actual AS wape_ppm
         |FROM g""".stripMargin,
 
     "q81_funnel" ->

@@ -838,6 +838,45 @@ object Pipeline extends QueryPack {
         .withColumn("rk", row_number().over(wRank).cast("bigint"))
         .select($"source", $"toks", $"base", $"rem_num",
           ($"base" + when($"rk" <= $"leftover", 1L).otherwise(0L)).as("alloc"))
+    }),
+
+    // ---- CUPED variance reduction for the A/B readout ---------------
+    // The experimentation-platform step after q123 assigns arms:
+    // adjust each user's post-period revenue by their PRE-period
+    // revenue (CUPED), which shrinks variance without biasing the
+    // treatment delta because assignment is independent of pre-period
+    // behavior. One user-grain agg (the corpus-scale shuffle) feeds
+    // BOTH outputs: per-arm sums, and the pooled θ = cov(pre,post)/
+    // var(pre) left as exact integer power-sum numerators (q91/q178
+    // convention; the 1-row global crosses onto the 2-row arm table).
+    // adjusted_mean = (sum_post − θ·(sum_pre − n·mean_pre))/n is one
+    // rational step for the consumer; everything shipped is int64
+    // (per-user cents products bound exactness to ~1e9 users at
+    // ~$1e3/user — past that, decimal/HUGEINT promotion).
+    "q186_cuped" -> ((s, d) => {
+      import s.implicits._
+      val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+      val perUser = T.events(s, d)
+        .filter($"event_type" === "purchase")
+        .groupBy($"user_id")
+        .agg(sum(when($"ts" < cut, graft.functions.Exact.cents($"value"))
+            .otherwise(0L)).as("pre_c"),
+          sum(when($"ts" >= cut, graft.functions.Exact.cents($"value"))
+            .otherwise(0L)).as("post_c"))
+        .withColumn("arm",
+          when(pmod(hash60($"user_id"), lit(2)) === 0, "control")
+            .otherwise("treatment"))
+      val global = perUser.agg(count(lit(1)).as("n_all"),
+        sum($"pre_c").as("s_pre"), sum($"post_c").as("s_post"),
+        sum($"pre_c" * $"post_c").as("s_pp"),
+        sum($"pre_c" * $"pre_c").as("s_p2"))
+        .select(($"n_all" * $"s_pp" - $"s_pre" * $"s_post").as("theta_num"),
+          ($"n_all" * $"s_p2" - $"s_pre" * $"s_pre").as("theta_den"),
+          $"n_all", $"s_pre")
+      perUser.groupBy($"arm")
+        .agg(count(lit(1)).as("n_users"),
+          sum($"pre_c").as("sum_pre_c"), sum($"post_c").as("sum_post_c"))
+        .crossJoin(broadcast(global))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -909,6 +948,35 @@ object Pipeline extends QueryPack {
         |SELECT source, toks, base, rem_num,
         |  base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
         |FROM r""".stripMargin,
+
+    "q186_cuped" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      AS pre_c,
+        |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      AS post_c,
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id),
+        |g AS (
+        |  SELECT count(*) AS n_all,
+        |    CAST(sum(pre_c) AS BIGINT) AS s_pre,
+        |    CAST(sum(post_c) AS BIGINT) AS s_post,
+        |    CAST(sum(pre_c * post_c) AS BIGINT) AS s_pp,
+        |    CAST(sum(pre_c * pre_c) AS BIGINT) AS s_p2
+        |  FROM u)
+        |SELECT arm, count(*) AS n_users,
+        |  CAST(sum(pre_c) AS BIGINT) AS sum_pre_c,
+        |  CAST(sum(post_c) AS BIGINT) AS sum_post_c,
+        |  (SELECT n_all * s_pp - s_pre * s_post FROM g) AS theta_num,
+        |  (SELECT n_all * s_p2 - s_pre * s_pre FROM g) AS theta_den,
+        |  (SELECT n_all FROM g) AS n_all,
+        |  (SELECT s_pre FROM g) AS s_pre
+        |FROM u GROUP BY arm""".stripMargin,
 
     // same prefix sum computed directly; DuckDB windowed sum of BIGINT
     // is HUGEINT — cast before the floors

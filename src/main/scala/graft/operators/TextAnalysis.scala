@@ -335,9 +335,57 @@ object TextAnalysis extends QueryPack {
         length(regexp_replace($"text", "\\bcustomer\\b", "[REDACTED]"))
           .cast("bigint").as("redacted_len"),
         md5(regexp_replace($"text", "\\bcustomer\\b", "[REDACTED]")).as("redacted_md5"))
+    }),
+
+    // ---- gazetteer mention extraction (dictionary NER) --------------
+    // Entity tagging the way production pipelines actually start:
+    // a DICTIONARY join, not a model — a curated gazetteer (term →
+    // entity type, the external-catalog shape; here an inline 8-row
+    // table) broadcasts against the exploded token stream, and
+    // mentions aggregate per (lang, etype, term) with doc reach and a
+    // per-language document-coverage ppm. The token explode is the
+    // corpus-scale stage (narrow, no pre-join shuffle); the dictionary
+    // and the per-lang totals are both bounded broadcasts. At 100 TB a
+    // multi-word gazetteer swaps the token join for an n-gram join
+    // (q77's shape) — same plan skeleton.
+    "q189_gazetteer_mentions" -> ((s, d) => {
+      import s.implicits._
+      val dict = Seq(
+        ("spark", "engine"), ("hash", "operator"), ("join", "operator"),
+        ("sort", "operator"), ("window", "operator"), ("customer", "entity"),
+        ("order", "entity"), ("part", "entity")).toDF("w", "etype")
+      val langTotals = T.documents(s, d)
+        .groupBy($"lang").agg(count(lit(1)).as("lang_docs"))
+      T.documents(s, d)
+        .select($"doc_id", $"lang", explode(split($"text", " ")).as("w"))
+        .join(broadcast(dict), Seq("w"))
+        .groupBy($"lang", $"etype", $"w")
+        .agg(count(lit(1)).as("n_mentions"),
+          countDistinct($"doc_id").as("n_docs"))
+        .join(broadcast(langTotals), Seq("lang"))
+        .select($"lang", $"etype", $"w".as("term"), $"n_mentions", $"n_docs",
+          expr("n_docs * 1000000L div lang_docs").as("doc_cov_ppm"))
     }))
 
   def oracles: Map[String, String] = Map(
+    "q189_gazetteer_mentions" ->
+      """WITH dict(w, etype) AS (VALUES
+        |  ('spark', 'engine'), ('hash', 'operator'), ('join', 'operator'),
+        |  ('sort', 'operator'), ('window', 'operator'), ('customer', 'entity'),
+        |  ('order', 'entity'), ('part', 'entity')),
+        |lt AS (SELECT lang, count(*) AS lang_docs FROM documents GROUP BY 1),
+        |tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT t.lang, dict.etype, t.w, count(*) AS n_mentions,
+        |    count(DISTINCT t.doc_id) AS n_docs
+        |  FROM tok t JOIN dict ON t.w = dict.w
+        |  GROUP BY 1, 2, 3)
+        |SELECT g.lang, g.etype, g.w AS term, n_mentions, n_docs,
+        |  n_docs * 1000000 // lang_docs AS doc_cov_ppm
+        |FROM g JOIN lt ON g.lang = lt.lang""".stripMargin,
+
     "q72_repetition" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents

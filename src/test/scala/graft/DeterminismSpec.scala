@@ -66,7 +66,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q177_record_linkage", "q178_ols_trend", "q179_zonemap_prune",
     "q180_kfold", "q181_autocorr", "q182_fd_audit",
     "q183_seasonal_profile", "q184_filter_agreement",
-    "q185_token_apportionment")
+    "q185_token_apportionment", "q186_cuped", "q187_watermark_audit",
+    "q188_seasonal_backtest", "q189_gazetteer_mentions")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

@@ -71,6 +71,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q185: the 1-row corpus-total scalar crossed against the bounded
     // per-source table (q63's shape)
     "q185_token_apportionment",
+    // q186: the 1-row pooled-theta power-sum scalar crossed onto the
+    // 2-row arm table
+    "q186_cuped",
+    // q187: the 4-row candidate-delay table crossed against the event
+    // stream pre-agg (map-side combine absorbs the 4x)
+    "q187_watermark_audit",
+    // q188: the 2-row model/lag table crossed against the post-agg
+    // daily grid (timespan-bounded)
+    "q188_seasonal_backtest",
     // q175: the k-row centroid assignment pass (q79's bounded-side
     // Lloyd shape)
     "q175_ann_kmeans_ivf")
