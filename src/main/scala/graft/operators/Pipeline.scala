@@ -30,6 +30,80 @@ object Pipeline extends QueryPack {
   private def hash60(c: org.apache.spark.sql.Column) =
     graft.functions.PortableHash.h60(c)
 
+  /** Per-(query, doc) retrieval scores for q190/q192 — BM25 and
+    * tf·idf, both integer-exact. BM25 (k1=1.2, b=0.75) cleared of
+    * floats: with S = Σdl and N = #docs, dl/avgdl is kept as
+    * dl_ppm = dl·1e6·N div S, the saturation denominator becomes
+    * 1e7·tf + 3e6 + 9·dl_ppm (≡ 1e7·(tf + k1·(1−b+b·dl/avgdl))) and
+    * the numerator 22e6·tf (≡ 1e7·(k1+1)·tf); idf is the rational
+    * odds surrogate (N−df)·1000 div df — monotone in df like
+    * ln((N−df+.5)/(df+.5)) but engine-portable (no libm). Magnitudes:
+    * idf_ppk·num ≤ ~3e16 at sf1 — int64-safe; past ~1e7 docs promote
+    * the product to decimal.
+    *
+    * Shape: tf ⋈ broadcast(query terms) FIRST (prunes the posting
+    * list to query vocabulary before anything wide), then df (AQE
+    * picks broadcast — term-keyed, post-prune), then the doc-keyed dl
+    * join, then the 1-row corpus stats crossed broadcast. This is the
+    * inverted-index probe plan: at 100 TB tf/dl/df are the
+    * materialized index tables and only the pruned candidate rows
+    * ever shuffle. */
+  private def retrievalScores(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = T.documents(s, d)
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+    val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum($"dl").as("s_dl"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val queries = Seq((1L, "hash join"), (2L, "stream window agg"),
+      (3L, "customer order line")).toDF("qid", "qtext")
+    val qterms = queries
+      .select($"qid", explode(split($"qtext", " ")).as("term"))
+    tf.join(broadcast(qterms), "term")
+      .join(df, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select($"qid", $"doc_id", $"tf",
+        expr("(n_docs - df) * 1000L div df").as("idf_ppk"),
+        expr("(dl * 1000000L * n_docs) div s_dl").as("dl_ppm"))
+      .groupBy($"qid", $"doc_id")
+      .agg(sum(expr("(idf_ppk * (22000000L * tf)) div " +
+          "(10000000L * tf + 3000000L + 9L * dl_ppm)")).as("bm25_ppk"),
+        sum(expr("tf * idf_ppk")).as("tfidf_ppk"),
+        count(lit(1)).as("n_terms"))
+  }
+
+  /** The shared oracle CTE prefix of q190/q192 — the DuckDB replay of
+    * [[retrievalScores]]. */
+  private val retrievalCtes: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS s_dl
+      |  FROM dl),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |q(qid, qtext) AS (VALUES (1, 'hash join'), (2, 'stream window agg'),
+      |  (3, 'customer order line')),
+      |qt AS (SELECT qid, unnest(string_split(qtext, ' ')) AS term FROM q),
+      |cand AS (
+      |  SELECT qt.qid, tf.doc_id, tf.tf,
+      |    (st.n_docs - df.df) * 1000 // df.df AS idf_ppk,
+      |    (dl.dl * 1000000 * st.n_docs) // st.s_dl AS dl_ppm
+      |  FROM tf JOIN qt ON tf.term = qt.term
+      |  JOIN df ON df.term = tf.term
+      |  JOIN dl ON dl.doc_id = tf.doc_id, st),
+      |sc AS (
+      |  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+      |    CAST(sum((idf_ppk * (22000000 * tf)) //
+      |      (10000000 * tf + 3000000 + 9 * dl_ppm)) AS BIGINT) AS bm25_ppk,
+      |    CAST(sum(tf * idf_ppk) AS BIGINT) AS tfidf_ppk,
+      |    count(*) AS n_terms
+      |  FROM cand GROUP BY 1, 2)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- distribution stats: exact interpolated quantiles -----------
     // percentile() is Spark's exact linear-interpolation quantile —
@@ -877,6 +951,60 @@ object Pipeline extends QueryPack {
         .agg(count(lit(1)).as("n_users"),
           sum($"pre_c").as("sum_pre_c"), sum($"post_c").as("sum_post_c"))
         .crossJoin(broadcast(global))
+    }),
+
+    // ---- BM25 retrieval: top-5 docs per query -----------------------
+    // Lexical retrieval the way a RAG corpus is probed: integer-exact
+    // BM25 (see [[retrievalScores]] for the float-free rewrite and the
+    // inverted-index probe shape) scored for a broadcast query set,
+    // then top-5 per query through a rank window Spark rewrites to
+    // WindowGroupLimit — per-partition top-k before the qid shuffle,
+    // never a per-query sort of the full candidate set.
+    "q190_bm25_topk" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"qid")
+        .orderBy($"bm25_ppk".desc, $"doc_id")
+      retrievalScores(s, d)
+        .withColumn("rk", row_number().over(w).cast("bigint"))
+        .filter($"rk" <= 5)
+        .select($"qid", $"doc_id", $"rk", $"bm25_ppk", $"n_terms")
+    }),
+
+    // ---- reciprocal-rank fusion of two retrievers -------------------
+    // Hybrid-retrieval aggregation [Cormack, Clarke & Buettcher,
+    // SIGIR'09]: two rankers over the same candidates (BM25 and raw
+    // tf·idf — length-normalized-saturated vs not, so they genuinely
+    // disagree) each keep their top-20 per query, and candidates fuse
+    // by Σ 1e6 div (60 + rank) — RRF's 1/(k+r) made integer-exact.
+    // A doc missing from one ranker contributes 0 from it (rank
+    // reported as 0 — the "not retrieved" sentinel). One scored
+    // substrate feeds both rank windows; the fusion join runs on the
+    // bounded top-20 lists only.
+    "q192_rrf_fusion" -> ((s, d) => {
+      import s.implicits._
+      val sc = retrievalScores(s, d)
+      def top(col: String, n: Int) = {
+        val w = Window.partitionBy($"qid")
+          .orderBy(org.apache.spark.sql.functions.col(col).desc, $"doc_id")
+        sc.withColumn("rk", row_number().over(w).cast("bigint"))
+          .filter($"rk" <= n).select($"qid", $"doc_id", $"rk")
+      }
+      val fused = top("bm25_ppk", 20).withColumnRenamed("rk", "rk_bm25")
+        .join(top("tfidf_ppk", 20).withColumnRenamed("rk", "rk_tfidf"),
+          Seq("qid", "doc_id"), "full_outer")
+        .select($"qid", $"doc_id",
+          coalesce($"rk_bm25", lit(0L)).as("rk_bm25"),
+          coalesce($"rk_tfidf", lit(0L)).as("rk_tfidf"))
+        .withColumn("rrf_ppm",
+          when($"rk_bm25" > 0, expr("1000000L div (60L + rk_bm25)"))
+            .otherwise(lit(0L)) +
+          when($"rk_tfidf" > 0, expr("1000000L div (60L + rk_tfidf)"))
+            .otherwise(lit(0L)))
+      val w = Window.partitionBy($"qid")
+        .orderBy($"rrf_ppm".desc, $"doc_id")
+      fused.withColumn("rk", row_number().over(w).cast("bigint"))
+        .filter($"rk" <= 5)
+        .select($"qid", $"doc_id", $"rk", $"rrf_ppm", $"rk_bm25", $"rk_tfidf")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -977,6 +1105,52 @@ object Pipeline extends QueryPack {
         |  (SELECT n_all FROM g) AS n_all,
         |  (SELECT s_pre FROM g) AS s_pre
         |FROM u GROUP BY arm""".stripMargin,
+
+    "q190_bm25_topk" ->
+      s"""$retrievalCtes,
+         |r AS (
+         |  SELECT qid, doc_id, bm25_ppk, n_terms,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY bm25_ppk DESC, doc_id) AS rk
+         |  FROM sc)
+         |SELECT qid, doc_id, CAST(rk AS BIGINT) AS rk, bm25_ppk, n_terms
+         |FROM r WHERE rk <= 5""".stripMargin,
+
+    "q192_rrf_fusion" ->
+      s"""$retrievalCtes,
+         |r1 AS (
+         |  SELECT qid, doc_id,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY bm25_ppk DESC, doc_id) AS rk
+         |  FROM sc),
+         |r2 AS (
+         |  SELECT qid, doc_id,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY tfidf_ppk DESC, doc_id) AS rk
+         |  FROM sc),
+         |f AS (
+         |  SELECT coalesce(a.qid, b.qid) AS qid,
+         |    coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |    CAST(coalesce(a.rk, 0) AS BIGINT) AS rk_bm25,
+         |    CAST(coalesce(b.rk, 0) AS BIGINT) AS rk_tfidf
+         |  FROM (SELECT * FROM r1 WHERE rk <= 20) a
+         |  FULL JOIN (SELECT * FROM r2 WHERE rk <= 20) b
+         |    ON a.qid = b.qid AND a.doc_id = b.doc_id),
+         |g AS (
+         |  SELECT qid, doc_id, rk_bm25, rk_tfidf,
+         |    (CASE WHEN rk_bm25 > 0 THEN 1000000 // (60 + rk_bm25)
+         |      ELSE 0 END) +
+         |    (CASE WHEN rk_tfidf > 0 THEN 1000000 // (60 + rk_tfidf)
+         |      ELSE 0 END) AS rrf_ppm,
+         |    row_number() OVER (PARTITION BY qid ORDER BY
+         |      (CASE WHEN rk_bm25 > 0 THEN 1000000 // (60 + rk_bm25)
+         |        ELSE 0 END) +
+         |      (CASE WHEN rk_tfidf > 0 THEN 1000000 // (60 + rk_tfidf)
+         |        ELSE 0 END) DESC, doc_id) AS rk
+         |  FROM f)
+         |SELECT qid, doc_id, CAST(rk AS BIGINT) AS rk,
+         |  CAST(rrf_ppm AS BIGINT) AS rrf_ppm, rk_bm25, rk_tfidf
+         |FROM g WHERE rk <= 5""".stripMargin,
 
     // same prefix sum computed directly; DuckDB windowed sum of BIGINT
     // is HUGEINT — cast before the floors

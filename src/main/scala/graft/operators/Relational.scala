@@ -239,6 +239,64 @@ object Relational extends QueryPack {
         .unionAll(e.select(col("b").as("u"), col("a").as("v")))
     }
 
+  /** Capped synchronous k-CORE PEELING [Seidman, Social Networks'83;
+    * the parallel peel is Batagelj–Zaveršnik's algorithm run
+    * level-synchronously] — q191's core, factored so
+    * KCorePropertySpec can drive it over random graphs against a
+    * sequential reference. Each round drops every vertex whose degree
+    * in the CURRENT subgraph is < k (one degree agg + two semi-joins,
+    * all keyed shuffles) until either nothing changes or `rounds`
+    * rounds have run — the same capped rule the unrolled DuckDB
+    * oracle implements, so the engines agree on every trajectory,
+    * converged or capped (post-fixpoint rounds are no-ops on both
+    * sides, so early exit here never diverges from the oracle's fixed
+    * unrolling). `localCheckpoint` per round keeps the plan O(1) in
+    * depth. Returns (v, core_deg): the degree of each surviving
+    * vertex inside the peeled subgraph. Edges arrive (a, b) each
+    * undirected edge once; |E| shrinks monotonically, so rounds get
+    * cheaper as they go — the 100 TB cost is the first two degree
+    * aggs over the full edge set. */
+  private[graft] def kCoreCapped(e0: DataFrame, k: Int,
+                                 rounds: Int): DataFrame = {
+    val s = e0.sparkSession
+    import s.implicits._
+    var e = e0.select($"a", $"b").localCheckpoint()
+    var n = e.count()
+    // k ≤ 0 → data-derived: min + (mean − min) div 2 over the
+    // ORIGINAL degree distribution (all floored integer ops, same on
+    // both engines). The midpoint rule keeps k inside the
+    // distribution's lower half: a fixed small k is a no-op on any
+    // graph whose min degree exceeds it (the dense cooc graph), while
+    // anything near the mean collapses an Erdős–Rényi-like graph to
+    // the empty core (the k-core phase transition) — the midpoint
+    // peels a real periphery AND leaves a surviving nucleus. One
+    // 1-row scalar for loop control.
+    val kv: Long = if (k > 0) k.toLong else {
+      e.select($"a".as("v")).unionAll(e.select($"b".as("v")))
+        .groupBy($"v").agg(count(lit(1)).as("deg"))
+        .agg(expr(
+          "min(deg) + (((sum(deg) div count(1)) - min(deg)) div 2)")
+          .as("k"))
+        .head.getLong(0)
+    }
+    var it = 0
+    var done = false
+    while (!done && it < rounds) {
+      val deg = e.select($"a".as("v")).unionAll(e.select($"b".as("v")))
+        .groupBy($"v").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter($"deg" >= kv).select($"v")
+      val next = e.join(keep.withColumnRenamed("v", "a"), Seq("a"),
+          "left_semi")
+        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+        .select($"a", $"b").localCheckpoint()
+      val m = next.count()
+      done = m == n
+      e = next; n = m; it += 1
+    }
+    e.select($"a".as("v")).unionAll(e.select($"b".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("core_deg"))
+  }
+
   /** Synchronous LABEL PROPAGATION community detection [Raghavan,
     * Albert & Kumara, Phys. Rev. E'07] — q164's core: every vertex
     * starts in its own community (label = id) and repeatedly adopts
@@ -1153,6 +1211,24 @@ object Relational extends QueryPack {
           dirOpt = Some(coocDir(s, d)))
         .withColumnRenamed("v", "part")),
 
+    // ---- k-core decomposition: capped synchronous peeling -----------
+    // The cohesion member of the graph family: the k-core is the
+    // maximal subgraph where every part co-occurs with ≥k other
+    // surviving parts — the standard dense-nucleus extraction before
+    // community/centrality work (peripheral vertices distort both).
+    // k is DATA-DERIVED (degree-distribution midpoint min+(mean−min)/2,
+    // the house data-derived-threshold rule — the dense cooc graph's
+    // min degree exceeds any fixed small k, which would make the peel
+    // a no-op, and near-mean k collapses it entirely). Capped
+    // level-synchronous peeling (see [[kCoreCapped]]; 6 rounds, the
+    // cap rule shared with the oracle's fixed unrolling so capped
+    // trajectories agree too). Per round: one degree agg + two
+    // semi-joins over the shrinking edge set — keyed shuffles only,
+    // |E| monotonically decreasing, localCheckpoint-truncated lineage.
+    "q191_kcore" -> ((s, d) =>
+      kCoreCapped(coocEdges(s, d), -1, 6)
+        .withColumnRenamed("v", "part")),
+
     // ---- item-item similarity: top-5 co-purchase neighbors ----------
     // The collaborative-filtering kernel: for each part, the 5 most
     // similar parts by normalized co-occurrence,
@@ -1676,6 +1752,42 @@ object Relational extends QueryPack {
         |    (CAST(coalesce(perv.tri, 0) AS BIGINT) * 2000000) // (deg.deg * (deg.deg - 1))
         |  ELSE 0 END AS coef_ppm
         |FROM deg LEFT JOIN perv ON perv.v = deg.v""".stripMargin,
+
+    // the same capped peel unrolled: 6 fixed rounds, each a no-op once
+    // the fixpoint is reached — the Spark side caps at the same 6.
+    // AS MATERIALIZED throughout: inlined CTEs would re-expand each
+    // round's predecessor multiplicatively (4^6 lineitem scans)
+    "q191_kcore" -> {
+      val peel = (0 until 6).map { i =>
+        s"""d${i + 1} AS MATERIALIZED (
+           |  SELECT v, count(*) AS deg FROM (
+           |    SELECT a AS v FROM e$i UNION ALL SELECT b AS v FROM e$i)
+           |  GROUP BY v),
+           |k${i + 1} AS MATERIALIZED (
+           |  SELECT v FROM d${i + 1} WHERE deg >= (SELECT k FROM kv)),
+           |e${i + 1} AS MATERIALIZED (
+           |  SELECT e.a, e.b FROM e$i e
+           |  JOIN k${i + 1} x ON e.a = x.v
+           |  JOIN k${i + 1} y ON e.b = y.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT x.p AS a, y.p AS b
+         |  FROM li x JOIN li y ON x.o = y.o WHERE x.p < y.p),
+         |d0 AS MATERIALIZED (
+         |  SELECT v, count(*) AS deg FROM (
+         |    SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0)
+         |  GROUP BY v),
+         |kv AS MATERIALIZED (
+         |  SELECT min(deg) +
+         |    ((CAST(sum(deg) AS BIGINT) // count(*)) - min(deg)) // 2 AS k
+         |  FROM d0),
+         |$peel
+         |SELECT v AS part, CAST(count(*) AS BIGINT) AS core_deg FROM (
+         |  SELECT a AS v FROM e6 UNION ALL SELECT b AS v FROM e6)
+         |GROUP BY v""".stripMargin
+    },
 
     "q121_listagg" ->
       """SELECT o_orderpriority,

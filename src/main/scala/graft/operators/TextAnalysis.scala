@@ -365,6 +365,32 @@ object TextAnalysis extends QueryPack {
         .join(broadcast(langTotals), Seq("lang"))
         .select($"lang", $"etype", $"w".as("term"), $"n_mentions", $"n_docs",
           expr("n_docs * 1000000L div lang_docs").as("doc_cov_ppm"))
+    }),
+
+    // ---- vocabulary growth curve (Heaps-law audit) ------------------
+    // The curation diagnostic behind "is more crawl still adding
+    // vocabulary?": token volume and FIRST-SEEN new-term count per
+    // 100-doc ingestion band, with running totals — the empirical
+    // Heaps curve V(n). First-seen is a per-term min(doc_id) (one
+    // vocab-keyed agg, never a scan-order dependency), so the result
+    // is partition-invariant; the cumulative window runs over the
+    // bounded BANDS table only (corpus/100 rows; band width is the
+    // knob at 100 TB — q124's band rule).
+    "q193_vocab_growth" -> ((s, d) => {
+      import s.implicits._
+      val toks = T.documents(s, d)
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+      val bandTok = toks.groupBy(expr("doc_id div 100").as("band"))
+        .agg(count(lit(1)).as("n_tokens"))
+      val bandNew = toks.groupBy($"term").agg(min($"doc_id").as("first_doc"))
+        .groupBy(expr("first_doc div 100").as("band"))
+        .agg(count(lit(1)).as("new_terms"))
+      val w = Window.orderBy($"band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bandTok.join(bandNew, Seq("band"), "left")
+        .na.fill(0L, Seq("new_terms"))
+        .withColumn("cum_tokens", sum($"n_tokens").over(w))
+        .withColumn("cum_vocab", sum($"new_terms").over(w))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -385,6 +411,27 @@ object TextAnalysis extends QueryPack {
         |SELECT g.lang, g.etype, g.w AS term, n_mentions, n_docs,
         |  n_docs * 1000000 // lang_docs AS doc_cov_ppm
         |FROM g JOIN lt ON g.lang = lt.lang""".stripMargin,
+
+    "q193_vocab_growth" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |bt AS (
+        |  SELECT doc_id // 100 AS band, count(*) AS n_tokens
+        |  FROM toks GROUP BY 1),
+        |fs AS (SELECT term, min(doc_id) AS first_doc FROM toks GROUP BY 1),
+        |bn AS (
+        |  SELECT first_doc // 100 AS band, count(*) AS new_terms
+        |  FROM fs GROUP BY 1)
+        |SELECT bt.band, bt.n_tokens,
+        |  CAST(coalesce(bn.new_terms, 0) AS BIGINT) AS new_terms,
+        |  CAST(sum(bt.n_tokens) OVER (ORDER BY bt.band
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_tokens,
+        |  CAST(sum(coalesce(bn.new_terms, 0)) OVER (ORDER BY bt.band
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_vocab
+        |FROM bt LEFT JOIN bn ON bn.band = bt.band""".stripMargin,
 
     "q72_repetition" ->
       """WITH w AS (

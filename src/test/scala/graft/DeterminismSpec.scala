@@ -67,7 +67,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q180_kfold", "q181_autocorr", "q182_fd_audit",
     "q183_seasonal_profile", "q184_filter_agreement",
     "q185_token_apportionment", "q186_cuped", "q187_watermark_audit",
-    "q188_seasonal_backtest", "q189_gazetteer_mentions")
+    "q188_seasonal_backtest", "q189_gazetteer_mentions",
+    "q190_bm25_topk", "q191_kcore", "q192_rrf_fusion",
+    "q193_vocab_growth")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

@@ -80,6 +80,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q188: the 2-row model/lag table crossed against the post-agg
     // daily grid (timespan-bounded)
     "q188_seasonal_backtest",
+    // q190/q192: the 1-row corpus-stats scalar (N docs, Σdl) crossed
+    // onto the query-term-pruned candidate set
+    "q190_bm25_topk", "q192_rrf_fusion",
     // q175: the k-row centroid assignment pass (q79's bounded-side
     // Lloyd shape)
     "q175_ann_kmeans_ivf")
