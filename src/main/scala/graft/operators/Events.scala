@@ -832,6 +832,57 @@ object Events extends QueryPack {
           sum(abs($"y" - $"yhat")).as("abs_err"),
           sum($"y").as("actual"))
         .withColumn("wape_ppm", expr("abs_err * 1000000L div actual"))
+    }),
+
+    // ---- Kaplan–Meier user retention curve --------------------------
+    // Survival analysis of user churn [Kaplan & Meier, JASA'58]: churn
+    // day = each user's LAST event day; users last seen on the final
+    // observed day are right-CENSORED (still active — they hold the
+    // at-risk set but never count as churn). The KM product
+    // S(t) = Π (1 − d_t/n_t) is a sequential floor-product (each step
+    // surv' = surv·(n_t − d_t) div n_t, non-negative → Spark div ==
+    // DuckDB //), which has no windowed form — it folds via
+    // aggregate() over the BOUNDED day grid (q108's
+    // sequential-recurrence pattern; the grid is timespan rows, never
+    // corpus rows). Corpus-scale work is one user-keyed max() agg; the
+    // at-risk counts come off a prefix sum over the grid.
+    "q194_kaplan_meier" -> ((s, d) => {
+      import s.implicits._
+      val lastd = T.events(s, d)
+        .select($"user_id",
+          datediff(to_date($"ts"), to_date(lit("2024-01-01")))
+            .cast("long").as("day"))
+        .groupBy($"user_id").agg(max($"day").as("last_day"))
+      val tot = lastd.agg(max($"last_day").as("max_day"),
+        count(lit(1)).as("n_users"))
+      val grid = lastd.crossJoin(broadcast(tot))
+        .groupBy($"last_day".as("day"))
+        .agg(count(lit(1)).as("n_last"),
+          sum(when($"last_day" < $"max_day", 1L).otherwise(0L))
+            .as("n_churn"))
+      val wPrev = Window.orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ar = grid.crossJoin(broadcast(tot.select($"n_users")))
+        .withColumn("n_at_risk",
+          $"n_users" - coalesce(sum($"n_last").over(wPrev), lit(0L)))
+        .select($"day", $"n_churn", $"n_at_risk")
+      ar.agg(array_sort(collect_list(
+          struct($"day", $"n_churn", $"n_at_risk"))).as("xs"))
+        .select(explode(expr(
+          """aggregate(xs,
+            |  struct(CAST(1000000 AS BIGINT) AS surv,
+            |    CAST(array() AS
+            |      ARRAY<STRUCT<day: BIGINT, n_at_risk: BIGINT,
+            |        n_churn: BIGINT, surv_ppm: BIGINT>>) AS out),
+            |  (acc, x) -> struct(
+            |    (acc.surv * (x.n_at_risk - x.n_churn)) div x.n_at_risk
+            |      AS surv,
+            |    array_append(acc.out, struct(x.day AS day,
+            |      x.n_at_risk AS n_at_risk, x.n_churn AS n_churn,
+            |      (acc.surv * (x.n_at_risk - x.n_churn)) div x.n_at_risk
+            |        AS surv_ppm)) AS out),
+            |  acc -> acc.out)""".stripMargin)).as("r"))
+        .select($"r.day", $"r.n_at_risk", $"r.n_churn", $"r.surv_ppm")
     }))
 
   /** Engine-portable GROUPING SETS (distinct sets, not rollup/cube). */
@@ -955,6 +1006,38 @@ object Events extends QueryPack {
         |SELECT model, event_type, n_days, abs_err, actual,
         |  abs_err * 1000000 // actual AS wape_ppm
         |FROM g""".stripMargin,
+
+    // the same floor-product replayed stepwise in a recursive CTE
+    // (the sequential recurrence has no windowed form)
+    "q194_kaplan_meier" ->
+      """WITH RECURSIVE lastd AS (
+        |  SELECT user_id,
+        |    max(CAST(datediff('day', DATE '2024-01-01', ts) AS BIGINT))
+        |      AS last_day
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT max(last_day) AS max_day, count(*) AS n_users
+        |  FROM lastd),
+        |grid AS (
+        |  SELECT last_day AS day, count(*) AS n_last,
+        |    CAST(sum(CASE WHEN last_day < (SELECT max_day FROM tot)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_churn
+        |  FROM lastd GROUP BY 1),
+        |ar AS (
+        |  SELECT day, n_churn,
+        |    (SELECT n_users FROM tot) -
+        |      CAST(coalesce(sum(n_last) OVER (ORDER BY day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS BIGINT) AS n_at_risk,
+        |    row_number() OVER (ORDER BY day) AS rn
+        |  FROM grid),
+        |km(rn, surv) AS (
+        |  SELECT 0, CAST(1000000 AS BIGINT)
+        |  UNION ALL
+        |  SELECT ar.rn,
+        |    (km.surv * (ar.n_at_risk - ar.n_churn)) // ar.n_at_risk
+        |  FROM km JOIN ar ON ar.rn = km.rn + 1)
+        |SELECT ar.day, ar.n_at_risk, ar.n_churn, km.surv AS surv_ppm
+        |FROM km JOIN ar ON ar.rn = km.rn""".stripMargin,
 
     "q81_funnel" ->
       """WITH ev AS (

@@ -1229,6 +1229,43 @@ object Relational extends QueryPack {
       kCoreCapped(coocEdges(s, d), -1, 6)
         .withColumnRenamed("v", "part")),
 
+    // ---- multi-source BFS reach profile -----------------------------
+    // How much of the co-purchase graph the probe set (q161's 2%
+    // content-hash seeds) reaches per hop, capped at 4 — the
+    // graph-expansion diagnostic behind choosing a PPR teleport or a
+    // crawl frontier depth (a 2-hop-saturating graph needs no deep
+    // walk). Level-synchronous frontier expansion: per hop one keyed
+    // |frontier-edges| join + distinct + anti-join against the
+    // visited set, localCheckpoint-truncated — the relational BFS
+    // step. Unreached vertices report as hop −1. The fixed 4-hop cap
+    // is shared with the oracle's unrolling (empty frontiers no-op on
+    // both sides, so early saturation agrees too).
+    "q195_bfs_hops" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val dirE = coocDir(s, d)
+      val verts = coocDeg(s, d).select($"v")
+      val seeds = verts
+        .filter(pmod(graft.functions.PortableHash.h60($"v"), lit(50)) === 0)
+      var visited = seeds.withColumn("hop", lit(0L)).localCheckpoint()
+      var frontier = seeds.localCheckpoint()
+      for (h <- 1 to 4) {
+        val next = dirE.join(frontier.withColumnRenamed("v", "u"), Seq("u"))
+          .select($"v").distinct()
+          .join(visited.select($"v"), Seq("v"), "left_anti")
+          .localCheckpoint()
+        visited = visited
+          .unionAll(next.withColumn("hop", lit(h.toLong)))
+          .localCheckpoint()
+        frontier = next
+      }
+      visited.groupBy($"hop").agg(count(lit(1)).as("n_vertices"))
+        .unionAll(
+          verts.join(visited.select($"v"), Seq("v"), "left_anti")
+            .agg(lit(-1L).as("hop"), count(lit(1)).as("n_vertices")))
+        .filter($"n_vertices" > 0)
+    }),
+
     // ---- item-item similarity: top-5 co-purchase neighbors ----------
     // The collaborative-filtering kernel: for each part, the 5 most
     // similar parts by normalized co-occurrence,
@@ -1787,6 +1824,48 @@ object Relational extends QueryPack {
          |SELECT v AS part, CAST(count(*) AS BIGINT) AS core_deg FROM (
          |  SELECT a AS v FROM e6 UNION ALL SELECT b AS v FROM e6)
          |GROUP BY v""".stripMargin
+    },
+
+    // the same 4-hop frontier expansion unrolled (materialized — the
+    // per-hop predecessors would otherwise re-expand multiplicatively)
+    "q195_bfs_hops" -> {
+      val hops = (1 to 4).map { h =>
+        s"""f$h AS MATERIALIZED (
+           |  SELECT DISTINCT d.v FROM dirw d
+           |  JOIN f${h - 1} f ON d.u = f.v
+           |  WHERE d.v NOT IN (SELECT v FROM vis${h - 1})),
+           |vis$h AS MATERIALIZED (
+           |  SELECT v FROM vis${h - 1} UNION SELECT v FROM f$h)"""
+          .stripMargin
+      }.mkString(",\n")
+      val counts = (0 to 4).map { h =>
+        s"""SELECT CAST($h AS BIGINT) AS hop,
+           |  CAST(count(*) AS BIGINT) AS n_vertices FROM f$h
+           |  HAVING count(*) > 0""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT x.p AS a, y.p AS b
+         |  FROM li x JOIN li y ON x.o = y.o WHERE x.p < y.p),
+         |dirw AS MATERIALIZED (
+         |  SELECT a AS u, b AS v FROM e
+         |  UNION ALL SELECT b AS u, a AS v FROM e),
+         |vs AS MATERIALIZED (
+         |  SELECT DISTINCT v FROM (
+         |    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)),
+         |f0 AS MATERIALIZED (
+         |  SELECT v FROM vs
+         |  WHERE CAST('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15)
+         |    AS BIGINT) % 50 = 0),
+         |vis0 AS MATERIALIZED (SELECT v FROM f0),
+         |$hops
+         |$counts
+         |UNION ALL
+         |SELECT CAST(-1 AS BIGINT) AS hop,
+         |  CAST(count(*) AS BIGINT) AS n_vertices FROM vs
+         |  WHERE v NOT IN (SELECT v FROM vis4)
+         |  HAVING count(*) > 0""".stripMargin
     },
 
     "q121_listagg" ->

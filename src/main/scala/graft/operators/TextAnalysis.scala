@@ -391,6 +391,32 @@ object TextAnalysis extends QueryPack {
         .na.fill(0L, Seq("new_terms"))
         .withColumn("cum_tokens", sum($"n_tokens").over(w))
         .withColumn("cum_vocab", sum($"new_terms").over(w))
+    }),
+
+    // ---- lexical diversity: Simpson index per document --------------
+    // The curation quality signal entropy would give, made rational:
+    // Simpson's diversity 1 − Σp² = (T² − Σc²)·1e6 div T² over a
+    // doc's token counts — 0 for a one-word loop, →1e6 for all-unique
+    // text — no libm (Shannon entropy's log is engine-divergent in the
+    // last ulp; Simpson ranks repetitive docs the same way). Two
+    // narrow aggs: (doc, term) counts then per-doc power sums — the
+    // same one-shuffle shape as every per-doc quality gate, and at
+    // 100 TB it composes into the q62 curation DAG as one more
+    // mergeable signal.
+    "q196_lexical_diversity" -> ((s, d) => {
+      import s.implicits._
+      val docs = T.documents(s, d).select($"doc_id", $"lang")
+      T.documents(s, d)
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n_tokens"),
+          countDistinct($"term").as("n_distinct"),
+          sum($"c" * $"c").as("s2"))
+        .join(docs, "doc_id")
+        .select($"doc_id", $"lang", $"n_tokens", $"n_distinct",
+          expr("(n_tokens * n_tokens - s2) * 1000000L div " +
+            "(n_tokens * n_tokens)").as("simpson_ppm"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -432,6 +458,22 @@ object TextAnalysis extends QueryPack {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS cum_vocab
         |FROM bt LEFT JOIN bn ON bn.band = bt.band""".stripMargin,
+
+    "q196_lexical_diversity" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |g AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_distinct,
+        |    CAST(sum(c * c) AS BIGINT) AS s2
+        |  FROM tf GROUP BY 1)
+        |SELECT g.doc_id, d.lang, g.n_tokens, g.n_distinct,
+        |  (g.n_tokens * g.n_tokens - g.s2) * 1000000 //
+        |    (g.n_tokens * g.n_tokens) AS simpson_ppm
+        |FROM g JOIN documents d ON d.doc_id = g.doc_id""".stripMargin,
 
     "q72_repetition" ->
       """WITH w AS (

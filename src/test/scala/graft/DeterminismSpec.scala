@@ -69,7 +69,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q185_token_apportionment", "q186_cuped", "q187_watermark_audit",
     "q188_seasonal_backtest", "q189_gazetteer_mentions",
     "q190_bm25_topk", "q191_kcore", "q192_rrf_fusion",
-    "q193_vocab_growth")
+    "q193_vocab_growth", "q194_kaplan_meier", "q195_bfs_hops",
+    "q196_lexical_diversity")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

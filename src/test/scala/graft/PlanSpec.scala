@@ -83,6 +83,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q190/q192: the 1-row corpus-stats scalar (N docs, Σdl) crossed
     // onto the query-term-pruned candidate set
     "q190_bm25_topk", "q192_rrf_fusion",
+    // q194: the 1-row (max_day, n_users) scalar crossed onto the
+    // user-grain agg and the bounded day grid
+    "q194_kaplan_meier",
     // q175: the k-row centroid assignment pass (q79's bounded-side
     // Lloyd shape)
     "q175_ann_kmeans_ivf")
