@@ -27,6 +27,39 @@ import graft.functions.Exact
   */
 object Events extends QueryPack {
 
+  /** Arrival-lateness table behind the q187 watermark audit AND s24's
+    * tuned stream: for each candidate watermark delay, how many events
+    * would arrive LATE — event time below the running previous-arrival
+    * maximum minus the delay (arrival order = event_id, the producer
+    * sequence). The running prefix max uses the q124 band
+    * decomposition so no corpus-scale single-partition window exists:
+    * per-band prefix-max windows inside 10k-row bands, prior-band
+    * offsets via the tiny bands-table window (band width is the knob
+    * at scale). Returns (delay_us, n_events, n_dropped). */
+  private[operators] def watermarkLateness(s: SparkSession,
+                                           d: String): DataFrame = {
+    import s.implicits._
+    val ev = T.events(s, d)
+      .select($"event_id", unix_micros($"ts").as("ts_us"))
+      .withColumn("band", expr("event_id div 10000"))
+    val wb = Window.orderBy($"band").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ev.groupBy($"band").agg(max($"ts_us").as("bmax"))
+      .withColumn("prior_max", coalesce(max($"bmax").over(wb), lit(0L)))
+      .select($"band", $"prior_max")
+    val ww = Window.partitionBy($"band").orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withPrev = ev.join(broadcast(offsets), Seq("band"))
+      .withColumn("in_band_prev", coalesce(max($"ts_us").over(ww), lit(0L)))
+      .withColumn("prev_max", greatest($"prior_max", $"in_band_prev"))
+    val delays = Seq(60000000L, 300000000L, 600000000L, 3600000000L)
+      .toDF("delay_us")
+    withPrev.crossJoin(broadcast(delays))
+      .groupBy($"delay_us")
+      .agg(count(lit(1)).as("n_events"),
+        sum(($"prev_max" - $"ts_us" > $"delay_us").cast("long"))
+          .as("n_dropped"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- tumbling window (1 h) --------------------------------------
     "q23_tumbling_window" -> ((s, d) => {
@@ -782,29 +815,9 @@ object Events extends QueryPack {
     // bands-table window (band width is the knob — widen it at scale
     // to keep the bands table broadcastable). The 4-row delay table
     // then crosses the per-event lateness into one ppm report.
-    "q187_watermark_audit" -> ((s, d) => {
-      import s.implicits._
-      val ev = T.events(s, d)
-        .select($"event_id", unix_micros($"ts").as("ts_us"))
-        .withColumn("band", expr("event_id div 10000"))
-      val wb = Window.orderBy($"band").rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = ev.groupBy($"band").agg(max($"ts_us").as("bmax"))
-        .withColumn("prior_max", coalesce(max($"bmax").over(wb), lit(0L)))
-        .select($"band", $"prior_max")
-      val ww = Window.partitionBy($"band").orderBy($"event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val withPrev = ev.join(broadcast(offsets), Seq("band"))
-        .withColumn("in_band_prev", coalesce(max($"ts_us").over(ww), lit(0L)))
-        .withColumn("prev_max", greatest($"prior_max", $"in_band_prev"))
-      val delays = Seq(60000000L, 300000000L, 600000000L, 3600000000L)
-        .toDF("delay_us")
-      withPrev.crossJoin(broadcast(delays))
-        .groupBy($"delay_us")
-        .agg(count(lit(1)).as("n_events"),
-          sum(($"prev_max" - $"ts_us" > $"delay_us").cast("long"))
-            .as("n_dropped"))
-        .withColumn("drop_ppm", expr("n_dropped * 1000000L div n_events"))
-    }),
+    "q187_watermark_audit" -> ((s, d) =>
+      watermarkLateness(s, d)
+        .withColumn("drop_ppm", expr("n_dropped * 1000000L div n_events"))),
 
     // ---- seasonal-naive forecast backtest ---------------------------
     // The baseline every volume forecast must beat, evaluated the way

@@ -778,6 +778,37 @@ object Relational extends QueryPack {
           Exact.sumMoney($"o_totalprice").as("revenue"))
     }),
 
+    // ---- skew-audited salt factor (the q71 loop closed) -------------
+    // q71 salts with a FIXED S=8; this derives S from the measured
+    // key-frequency skew — the acceptance-loop rule (q163/q165/q175:
+    // an audit exists to pick the config, not to be shelved). One
+    // key-grain agg measures max/mean key frequency; S = the max/mean
+    // ratio clamped to [2, 16] (skew 1 → minimal salting, a hot key
+    // owning ×16 the mean gets 16-way splitting — bounding the
+    // largest reduce-side group NEAR the mean by construction). The
+    // join result is S-invariant (the oracle states the plain join +
+    // the same integer S formula); S itself is a 1-row scalar for the
+    // literal replication sequence, q191's loop-control pattern.
+    "q197_salt_derived" -> ((s, d) => {
+      import s.implicits._
+      val sRow = T.orders(s, d)
+        .groupBy($"o_custkey").agg(count(lit(1)).as("c"))
+        .agg(expr("least(16L, greatest(2L, " +
+          "max(c) div (sum(c) div count(1))))").as("s"))
+        .head.getLong(0).toInt
+      val ord = T.orders(s, d)
+        .withColumn("salt", pmod($"o_orderkey", lit(sRow)).cast("int"))
+      val cust = T.customer(s, d)
+        .select($"c_custkey", $"c_mktsegment",
+          explode(sequence(lit(0), lit(sRow - 1))).as("salt"))
+      ord.join(cust, ord("o_custkey") === cust("c_custkey")
+          && ord("salt") === cust("salt"))
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.sumMoney($"o_totalprice").as("revenue"))
+        .withColumn("salt_s", lit(sRow.toLong))
+    }),
+
     // ---- exact moment statistics (single-pass, mergeable) -----------
     // Variance/mean via raw power sums: one hash aggregation computes
     // (n, Σq, Σq²) with map-side partials, and the variance numerator
@@ -1952,6 +1983,20 @@ object Relational extends QueryPack {
     "q71_salted_join" ->
       s"""SELECT c_mktsegment, count(*) AS n_orders,
         |  ${Exact.sumMoneySql("o_totalprice")} AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    // salted == plain join; S replayed by the same integer formula
+    "q197_salt_derived" ->
+      s"""WITH kc AS (
+        |  SELECT o_custkey, count(*) AS c FROM orders GROUP BY 1),
+        |sv AS (
+        |  SELECT least(16, greatest(2,
+        |    max(c) // (CAST(sum(c) AS BIGINT) // count(*)))) AS s
+        |  FROM kc)
+        |SELECT c_mktsegment, count(*) AS n_orders,
+        |  ${Exact.sumMoneySql("o_totalprice")} AS revenue,
+        |  CAST((SELECT s FROM sv) AS BIGINT) AS salt_s
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
 

@@ -308,6 +308,43 @@ object Streams extends QueryPack {
         .select(unix_timestamp(col("window.start")).as("start_s"),
           col("n_conversions"), col("n_users"))
       drain(s, hourly)
+    }),
+
+    // The q187 watermark audit ACTED ON (the acceptance-loop rule —
+    // q163/q175's index tuning, here for stream lateness): the
+    // watermark delay is not hand-picked but chosen BY the measured
+    // arrival-lateness table — the smallest candidate delay with ZERO
+    // measured late arrivals (fallback: the largest candidate). Zero
+    // measured lateness against the per-arrival prefix max implies
+    // zero streaming drops under ANY epoch boundaries (the epoch
+    // watermark lags the prefix max), so the append-mode output
+    // equals the batch predicate "windows closed by the final
+    // watermark" AT THE CHOSEN DELAY — which is what the oracle
+    // states, replaying the same choice formula. The choice is a
+    // 4-row collect (q191's loop-control scalar pattern).
+    "s24_tuned_watermark" -> ((s, d) => {
+      val zeroLoss = Events.watermarkLateness(s, d)
+        .filter(col("n_dropped") === 0)
+        .agg(min(col("delay_us"))).head()
+      val delayUs =
+        if (zeroLoss.isNullAt(0)) 3600000000L else zeroLoss.getLong(0)
+      val name = s"events_rt_${sfx(d)}" // same fixture as s01/s04
+      seedEventsJson(s, d, name, numShards = 4)
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", "50000")
+        .load()
+      val agg = raw.select(
+          from_json(col("data").cast("string"), payloadSchema).as("e"))
+        .select(timestamp_micros(col("e.ts_us")).as("ts"), col("e.event_type"))
+        .withWatermark("ts", s"${delayUs / 1000000L} seconds")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("window.start")).as("start_s"),
+          col("event_type"), col("n"),
+          lit(delayUs).as("delay_us"))
+      drain(s, agg)
     })) ++ extra
 
   private val extra: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1167,6 +1204,35 @@ object Streams extends QueryPack {
       """WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
         |SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS start_s,
         |  event_type, count(*) AS n
+        |FROM events
+        |GROUP BY 1, 2
+        |HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR <= (SELECT w FROM wm)""".stripMargin,
+
+    // the q187 lateness table + zero-loss delay choice replayed, then
+    // s04's closure predicate AT the chosen delay
+    "s24_tuned_watermark" ->
+      """WITH e AS (
+        |  SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
+        |p AS (
+        |  SELECT event_id, ts_us,
+        |    coalesce(max(ts_us) OVER (ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_max
+        |  FROM e),
+        |dl(delay_us) AS (VALUES
+        |  (60000000), (300000000), (600000000), (3600000000)),
+        |g AS (
+        |  SELECT CAST(delay_us AS BIGINT) AS delay_us,
+        |    sum(CASE WHEN prev_max - ts_us > delay_us THEN 1 ELSE 0 END)
+        |      AS n_dropped
+        |  FROM p, dl GROUP BY 1),
+        |ch AS (
+        |  SELECT CAST(coalesce(min(CASE WHEN n_dropped = 0 THEN delay_us END),
+        |    3600000000) AS BIGINT) AS delay_us FROM g),
+        |wm AS (
+        |  SELECT max(ts) - to_microseconds((SELECT delay_us FROM ch)) AS w
+        |  FROM events)
+        |SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS start_s,
+        |  event_type, count(*) AS n, (SELECT delay_us FROM ch) AS delay_us
         |FROM events
         |GROUP BY 1, 2
         |HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR <= (SELECT w FROM wm)""".stripMargin,
