@@ -778,6 +778,47 @@ object Relational extends QueryPack {
           Exact.sumMoney($"o_totalprice").as("revenue"))
     }),
 
+    // ---- temporal graph churn across order-date epochs --------------
+    // The TIME dimension of the graph family: the co-purchase graph is
+    // not static, and retraining cadence for everything built on it
+    // (CF similarity q146, communities q164, PageRank q145) should be
+    // driven by measured edge churn, not a calendar guess. The order
+    // timespan splits at its data-derived midpoint; each epoch builds
+    // its own edge set (two half-corpus pair shuffles — the honest
+    // cost; at 100 TB these are incremental daily edge tables, q168's
+    // pattern); a full-outer edge join classifies added / removed /
+    // persisted, and per-part churn_ppm is the retraining signal.
+    "q199_graph_epoch_churn" -> ((s, d) => {
+      import s.implicits._
+      val mid = T.orders(s, d)
+        .agg(min($"o_orderdate").as("d0"), max($"o_orderdate").as("d1"))
+        .select(expr("date_add(d0, CAST((datediff(d1, d0) div 2) AS INT))")
+          .as("mid"))
+      val lo = T.lineitem(s, d)
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p"))
+        .join(T.orders(s, d)
+          .select($"o_orderkey".as("o"), $"o_orderdate".as("dt")), "o")
+        .crossJoin(broadcast(mid))
+      def edges(first: Boolean) = orderPairAgg(
+        lo.filter(if (first) $"dt" < $"mid" else $"dt" >= $"mid")
+          .select($"o", $"p").distinct())
+        .select($"a", $"b")
+      val cl = edges(first = true).withColumn("o1", lit(1L))
+        .join(edges(first = false).withColumn("o2", lit(1L)),
+          Seq("a", "b"), "full_outer")
+        .select($"a", $"b",
+          when($"o1".isNotNull && $"o2".isNotNull, "persisted")
+            .when($"o1".isNotNull, "removed").otherwise("added").as("st"))
+      cl.select(explode(array($"a", $"b")).as("part"), $"st")
+        .groupBy($"part")
+        .agg(sum(when($"st" === "persisted", 1L).otherwise(0L))
+            .as("n_persisted"),
+          sum(when($"st" === "added", 1L).otherwise(0L)).as("n_added"),
+          sum(when($"st" === "removed", 1L).otherwise(0L)).as("n_removed"))
+        .withColumn("churn_ppm", expr("(n_added + n_removed) * 1000000L " +
+          "div (n_persisted + n_added + n_removed)"))
+    }),
+
     // ---- skew-audited salt factor (the q71 loop closed) -------------
     // q71 salts with a FIXED S=8; this derives S from the measured
     // key-frequency skew — the acceptance-loop rule (q163/q165/q175:
@@ -1985,6 +2026,45 @@ object Relational extends QueryPack {
         |  ${Exact.sumMoneySql("o_totalprice")} AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+
+    "q199_graph_epoch_churn" ->
+      """WITH b AS (
+        |  SELECT min(o_orderdate) AS d0, max(o_orderdate) AS d1 FROM orders),
+        |mid AS (
+        |  SELECT CAST(d0 AS DATE) +
+        |    CAST(datediff('day', d0, d1) // 2 AS INTEGER) AS m
+        |  FROM b),
+        |lo AS (
+        |  SELECT l_orderkey AS o, l_partkey AS p, o_orderdate AS dt
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |op1 AS (SELECT DISTINCT o, p FROM lo WHERE dt < (SELECT m FROM mid)),
+        |op2 AS (SELECT DISTINCT o, p FROM lo WHERE dt >= (SELECT m FROM mid)),
+        |e1 AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM op1 x JOIN op1 y ON x.o = y.o WHERE x.p < y.p),
+        |e2 AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM op2 x JOIN op2 y ON x.o = y.o WHERE x.p < y.p),
+        |cl AS (
+        |  SELECT coalesce(e1.a, e2.a) AS a, coalesce(e1.b, e2.b) AS b,
+        |    CASE WHEN e1.a IS NOT NULL AND e2.a IS NOT NULL THEN 'persisted'
+        |         WHEN e1.a IS NOT NULL THEN 'removed'
+        |         ELSE 'added' END AS st
+        |  FROM e1 FULL JOIN e2 ON e1.a = e2.a AND e1.b = e2.b),
+        |pv AS (SELECT unnest([a, b]) AS part, st FROM cl)
+        |SELECT part,
+        |  CAST(sum(CASE WHEN st = 'persisted' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_persisted,
+        |  CAST(sum(CASE WHEN st = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_added,
+        |  CAST(sum(CASE WHEN st = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  (CAST(sum(CASE WHEN st = 'added' THEN 1 ELSE 0 END) AS BIGINT) +
+        |   CAST(sum(CASE WHEN st = 'removed' THEN 1 ELSE 0 END) AS BIGINT))
+        |    * 1000000 //
+        |  (CAST(sum(CASE WHEN st = 'persisted' THEN 1 ELSE 0 END) AS BIGINT) +
+        |   CAST(sum(CASE WHEN st = 'added' THEN 1 ELSE 0 END) AS BIGINT) +
+        |   CAST(sum(CASE WHEN st = 'removed' THEN 1 ELSE 0 END) AS BIGINT))
+        |    AS churn_ppm
+        |FROM pv GROUP BY part""".stripMargin,
 
     // salted == plain join; S replayed by the same integer formula
     "q197_salt_derived" ->

@@ -462,6 +462,41 @@ object Similarity extends QueryPack {
         .select($"qid", $"vec_id", $"kcell", $"cos", $"rn")
     }),
 
+    // ---- incremental IVF admission (index grows without re-cluster) -
+    // The q155/q168 incremental rule applied to the ANN index: a 10%
+    // content-hash crawl batch is admitted against centroids trained
+    // on the BASE 90% ONLY — new vectors assign to existing cells (one
+    // broadcast-centroid argmax over the batch, the same per-row cost
+    // as a query), and re-clustering is deferred until the growth
+    // audit here says a cell drifted (growth_ppm per cell is the
+    // decision column). At 100 TB this is how the index ingests
+    // continuously: assignment is embarrassingly parallel, Lloyd
+    // re-training is the rare heavyweight job this audit gates.
+    "q198_ivf_incremental" -> ((s, d) => {
+      import s.implicits._
+      val emb = quantized(s, d)
+      val isBatch =
+        pmod(graft.functions.PortableHash.h60($"vec_id"), lit(10)) === 0
+      val base = emb.filter(!isBatch)
+      val batch = emb.filter(isBatch)
+      val cent = meanCentroids(base)
+        .select($"label".cast("bigint").as("clab"), $"c", $"cn2")
+      def assign(e: DataFrame): DataFrame = {
+        val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"clab")
+        e.crossJoin(broadcast(cent))
+          .select($"vec_id", $"clab", cosine("q", "c", "n2", "cn2").as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"vec_id", $"clab".as("kcell"))
+      }
+      assign(base).groupBy($"kcell").agg(count(lit(1)).as("n_base"))
+        .join(assign(batch).groupBy($"kcell")
+          .agg(count(lit(1)).as("nb")), Seq("kcell"), "left")
+        .withColumn("n_batch", coalesce($"nb", lit(0L)))
+        .select($"kcell", $"n_base", $"n_batch",
+          expr("n_batch * 1000000L div n_base").as("growth_ppm"))
+    }),
+
     // ---- ANN recall audit: measure, don't guess ---------------------
     // Joins each approximate index's top-3 (IVF q41, sign-LSH q53,
     // audit-tuned multiprobe IVF q141, k-means-cell IVF q175) against
@@ -923,6 +958,55 @@ object Similarity extends QueryPack {
     "q141_ann_ivf_multiprobe" -> duckQ141,
 
     "q175_ann_kmeans_ivf" -> duckQ175,
+
+    // base/batch split by the portable hash, centroids from base only,
+    // both sides assigned by the same shifted-floor argmax
+    "q198_ivf_incremental" ->
+      s"""WITH $duckQuant,
+        |nb AS (SELECT * FROM n
+        |  WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+        |    AS BIGINT) % 10 != 0),
+        |nt AS (SELECT * FROM n
+        |  WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+        |    AS BIGINT) % 10 = 0),
+        |expl AS (
+        |  SELECT label, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos
+        |  FROM nb),
+        |cs AS (
+        |  SELECT label, pos, CAST(sum(v) AS BIGINT) AS sv, count(*) AS nn
+        |  FROM expl GROUP BY label, pos),
+        |centarr AS (
+        |  SELECT label, list((sv + nn * 5120) // nn - 5120 ORDER BY pos) AS c
+        |  FROM cs GROUP BY label),
+        |cn AS (
+        |  SELECT label, c,
+        |    CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS cn2
+        |  FROM centarr),
+        |scb AS (
+        |  SELECT nb.vec_id, CAST(cn.label AS BIGINT) AS kcell,
+        |    ${duckCos("nb.qv", "cn.c", "nb.n2", "cn.cn2")} AS cos
+        |  FROM nb CROSS JOIN cn),
+        |kmb AS (SELECT vec_id, kcell FROM (
+        |  SELECT vec_id, kcell,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, kcell) AS rn
+        |  FROM scb) t WHERE rn = 1),
+        |sct AS (
+        |  SELECT nt.vec_id, CAST(cn.label AS BIGINT) AS kcell,
+        |    ${duckCos("nt.qv", "cn.c", "nt.n2", "cn.cn2")} AS cos
+        |  FROM nt CROSS JOIN cn),
+        |kmt AS (SELECT vec_id, kcell FROM (
+        |  SELECT vec_id, kcell,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, kcell) AS rn
+        |  FROM sct) t WHERE rn = 1),
+        |gb AS (SELECT kcell, count(*) AS n_base FROM kmb GROUP BY 1),
+        |gt AS (SELECT kcell, count(*) AS nb2 FROM kmt GROUP BY 1)
+        |SELECT gb.kcell, gb.n_base,
+        |  CAST(coalesce(gt.nb2, 0) AS BIGINT) AS n_batch,
+        |  CAST(coalesce(gt.nb2, 0) AS BIGINT) * 1000000 // gb.n_base
+        |    AS growth_ppm
+        |FROM gb LEFT JOIN gt ON gt.kcell = gb.kcell""".stripMargin,
 
     "q163_ann_nprobe_tune" ->
       s"""WITH $duckSweepCtes

@@ -70,7 +70,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q188_seasonal_backtest", "q189_gazetteer_mentions",
     "q190_bm25_topk", "q191_kcore", "q192_rrf_fusion",
     "q193_vocab_growth", "q194_kaplan_meier", "q195_bfs_hops",
-    "q196_lexical_diversity", "q197_salt_derived")
+    "q196_lexical_diversity", "q197_salt_derived",
+    "q198_ivf_incremental", "q199_graph_epoch_churn")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

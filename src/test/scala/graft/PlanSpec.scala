@@ -87,6 +87,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q194: the 1-row (max_day, n_users) scalar crossed onto the
     // user-grain agg and the bounded day grid
     "q194_kaplan_meier",
+    // q198: the k-row base-centroid assignment pass (q175's shape,
+    // twice — base and batch)
+    "q198_ivf_incremental",
+    // q199: the 1-row epoch-midpoint scalar crossed onto the dated
+    // order-part pairs
+    "q199_graph_epoch_churn",
     // q175: the k-row centroid assignment pass (q79's bounded-side
     // Lloyd shape)
     "q175_ann_kmeans_ivf")
