@@ -102,6 +102,20 @@ import graft.operators._
   *    deterministic weighted systematic sampling with band-decomposed
   *    prefix sums (q154), right-to-be-forgotten deletion-impact audit
   *    with the orders→lineitem cascade (q156)
+  *
+  * Round-10 final widening (see SURVEY.md §8 for the full narrative):
+  * statistics (q177 record linkage, q178 OLS trend, q180 k-fold CV,
+  * q181 autocorrelation, q183 seasonality, q184 kappa agreement, q186
+  * CUPED, q188 seasonal-naive backtest, q194 Kaplan–Meier retention),
+  * retrieval (q190 integer-exact BM25 top-k, q192 reciprocal-rank
+  * fusion), graph (q191 k-core peel, q195 multi-source BFS reach,
+  * q199 temporal edge churn), audit-driven configs (q187 watermark
+  * lateness → s24 tuned stream, q197 skew-derived salt factor, q198
+  * incremental IVF admission gated by per-cell growth), text (q189
+  * gazetteer NER, q193 Heaps vocabulary growth, q196 Simpson lexical
+  * diversity), layout/integrity (q179 zone maps, q182 FD audit, q185
+  * token apportionment), streaming (s22 chained windows, s23
+  * join-then-window, s24).
   */
 object SparkEntry {
 
