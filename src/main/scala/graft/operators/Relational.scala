@@ -297,6 +297,41 @@ object Relational extends QueryPack {
       .groupBy($"v").agg(count(lit(1)).as("core_deg"))
   }
 
+  /** Level-synchronous multi-source BFS hop profile — q195's core,
+    * factored so BfsPropertySpec can drive it over random graphs
+    * against a sequential reference. `dirE` is the symmetrized
+    * directed edge table (u, v); `verts` the vertex set; `seeds` the
+    * hop-0 frontier. Per hop: one keyed |frontier-edges| join +
+    * distinct + anti-join against the visited set,
+    * localCheckpoint-truncated — an empty frontier no-ops, so early
+    * saturation and the `maxHops` cap agree with any fixed unrolling
+    * of the same depth. Returns (hop, n_vertices) for hops 0..maxHops
+    * plus a hop −1 row counting never-reached vertices; zero-count
+    * rows are dropped on both engines. */
+  private[graft] def bfsHopProfile(dirE: DataFrame, verts: DataFrame,
+                                   seeds: DataFrame,
+                                   maxHops: Int): DataFrame = {
+    val s = dirE.sparkSession
+    import s.implicits._
+    var visited = seeds.withColumn("hop", lit(0L)).localCheckpoint()
+    var frontier = seeds.localCheckpoint()
+    for (h <- 1 to maxHops) {
+      val next = dirE.join(frontier.withColumnRenamed("v", "u"), Seq("u"))
+        .select($"v").distinct()
+        .join(visited.select($"v"), Seq("v"), "left_anti")
+        .localCheckpoint()
+      visited = visited
+        .unionAll(next.withColumn("hop", lit(h.toLong)))
+        .localCheckpoint()
+      frontier = next
+    }
+    visited.groupBy($"hop").agg(count(lit(1)).as("n_vertices"))
+      .unionAll(
+        verts.join(visited.select($"v"), Seq("v"), "left_anti")
+          .agg(lit(-1L).as("hop"), count(lit(1)).as("n_vertices")))
+      .filter($"n_vertices" > 0)
+  }
+
   /** Synchronous LABEL PROPAGATION community detection [Raghavan,
     * Albert & Kumara, Phys. Rev. E'07] — q164's core: every vertex
     * starts in its own community (label = id) and repeatedly adopts
@@ -1315,27 +1350,10 @@ object Relational extends QueryPack {
     "q195_bfs_hops" -> ((s, d) => {
       import s.implicits._
       graft.GraftExtensions.ensureRegistered(s)
-      val dirE = coocDir(s, d)
       val verts = coocDeg(s, d).select($"v")
       val seeds = verts
         .filter(pmod(graft.functions.PortableHash.h60($"v"), lit(50)) === 0)
-      var visited = seeds.withColumn("hop", lit(0L)).localCheckpoint()
-      var frontier = seeds.localCheckpoint()
-      for (h <- 1 to 4) {
-        val next = dirE.join(frontier.withColumnRenamed("v", "u"), Seq("u"))
-          .select($"v").distinct()
-          .join(visited.select($"v"), Seq("v"), "left_anti")
-          .localCheckpoint()
-        visited = visited
-          .unionAll(next.withColumn("hop", lit(h.toLong)))
-          .localCheckpoint()
-        frontier = next
-      }
-      visited.groupBy($"hop").agg(count(lit(1)).as("n_vertices"))
-        .unionAll(
-          verts.join(visited.select($"v"), Seq("v"), "left_anti")
-            .agg(lit(-1L).as("hop"), count(lit(1)).as("n_vertices")))
-        .filter($"n_vertices" > 0)
+      bfsHopProfile(coocDir(s, d), verts, seeds, maxHops = 4)
     }),
 
     // ---- item-item similarity: top-5 co-purchase neighbors ----------

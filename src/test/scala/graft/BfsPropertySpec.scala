@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property test for the level-synchronous multi-source BFS hop
+  * profile (`Relational.bfsHopProfile`) against a sequential BFS on
+  * random and structured graphs.
+  *
+  * The oracle gate proves q195 on the co-occurrence fixtures (which
+  * saturate in 2 hops); this spec proves the ALGORITHM on shapes the
+  * fixtures don't contain — long paths where the hop cap BINDS (capped
+  * trajectories must agree with the oracle's fixed unrolling),
+  * disconnected components (the hop −1 unreached row), multiple seeds
+  * whose frontiers collide mid-expansion, and invariance to which
+  * column an undirected edge lands in before symmetrization.
+  */
+class BfsPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("bfs-property")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Sequential multi-source BFS: hop level per vertex, capped. Returns
+    * the (hop -> count) profile with unreached as hop -1, zero counts
+    * dropped — the bfsHopProfile contract. */
+  private def brute(vs: Set[Long], edges: Set[(Long, Long)], seeds: Set[Long],
+                    maxHops: Int): Map[Long, Long] = {
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).toSet }
+    var level = Map[Long, Long]() ++ seeds.map(_ -> 0L)
+    var frontier = seeds
+    for (h <- 1 to maxHops) {
+      frontier = frontier.flatMap(v => adj.getOrElse(v, Set.empty))
+        .diff(level.keySet)
+      level = level ++ frontier.map(_ -> h.toLong)
+    }
+    val reached = level.values.groupBy(identity)
+      .map { case (h, xs) => h -> xs.size.toLong }
+    val unreached = (vs -- level.keySet).size.toLong
+    (if (unreached > 0) reached + (-1L -> unreached) else reached)
+      .filter(_._2 > 0)
+  }
+
+  private def viaSpark(vs: Set[Long], edges: Set[(Long, Long)],
+                       seeds: Set[Long], maxHops: Int,
+                       flipSeed: Long): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(flipSeed)
+    val rows = edges.toSeq.sorted.map { case (a, b) =>
+      if (rnd.nextBoolean()) (a, b) else (b, a)
+    }
+    val e = rows.toDF("a", "b")
+    val dirE = e.select($"a".as("u"), $"b".as("v"))
+      .unionAll(e.select($"b".as("u"), $"a".as("v")))
+    val out = operators.Relational.bfsHopProfile(dirE,
+        vs.toSeq.sorted.toDF("v"), seeds.toSeq.sorted.toDF("v"), maxHops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    out
+  }
+
+  private def check(vs: Set[Long], edges: Set[(Long, Long)],
+                    seeds: Set[Long], maxHops: Int, name: String,
+                    flipSeed: Long = 7): Unit = {
+    val expected = brute(vs, edges, seeds, maxHops)
+    val got = viaSpark(vs, edges, seeds, maxHops, flipSeed)
+    assert(got == expected,
+      s"$name (maxHops=$maxHops): got $got, expected $expected")
+  }
+
+  private def vertsOf(edges: Set[(Long, Long)]): Set[Long] =
+    edges.flatMap(e => Set(e._1, e._2))
+
+  test("path from one end: the hop cap binds mid-walk at every depth") {
+    val path = (0L until 12L).map(i => (i, i + 1)).toSet
+    for (r <- 1 to 5)
+      check(vertsOf(path), path, Set(0L), r, s"path-cap$r", flipSeed = r)
+  }
+
+  test("disconnected component reports as the hop −1 unreached row") {
+    val e = Set((0L, 1L), (1L, 2L), (10L, 11L), (11L, 12L))
+    check(vertsOf(e), e, Set(0L), 4, "two-components")
+  }
+
+  test("colliding frontiers: each vertex keeps its FIRST hop level") {
+    // seeds at both ends of a path meet in the middle
+    val path = (0L until 10L).map(i => (i, i + 1)).toSet
+    check(vertsOf(path), path, Set(0L, 10L), 6, "meet-in-middle")
+  }
+
+  test("random graphs and random seed sets match sequential BFS") {
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed * 77L)
+      val n = 14 + rnd.nextInt(10)
+      val p = 0.08 + rnd.nextDouble() * 0.25
+      val edges = (for {
+        i <- 0L until n.toLong
+        j <- (i + 1) until n.toLong
+        if rnd.nextDouble() < p
+      } yield (i, j)).toSet
+      if (edges.nonEmpty) {
+        val vs = vertsOf(edges)
+        val seeds = vs.filter(_ => rnd.nextDouble() < 0.15) match {
+          case s if s.isEmpty => Set(vs.min)
+          case s => s
+        }
+        check(vs, edges, seeds, 3, s"G(n=$n, p=$p, seed=$seed)",
+          flipSeed = seed * 31L)
+      }
+    }
+  }
+}
