@@ -896,6 +896,45 @@ object Events extends QueryPack {
             |        AS surv_ppm)) AS out),
             |  acc -> acc.out)""".stripMargin)).as("r"))
         .select($"r.day", $"r.n_at_risk", $"r.n_churn", $"r.surv_ppm")
+    }),
+
+    // ---- equi-depth feature binning + label lift --------------------
+    // The feature-engineering audit a training pipeline runs before
+    // trusting a numeric feature: bin `value` into 8 equal-population
+    // bins (q129's sampled deterministic boundaries — the no-global-
+    // sort equi-depth machinery) and score each bin's purchase rate as
+    // a LIFT vs the corpus base rate — a rational, engine-exact
+    // predictiveness signal (WOE/IV would need log; lift ranks bins
+    // the same way). One corpus scan + one bin-keyed agg; boundaries
+    // and the 1-row totals are broadcast. n_pos·n_tot·1e6 bounds
+    // int64 to ~1e9 events/bin — decimal past that.
+    "q200_feature_bin_lift" -> ((s, d) => {
+      import s.implicits._
+      val h60 = graft.functions.PortableHash.h60 _
+      val vals = T.events(s, d)
+        .select(Exact.cents($"value").as("v"), $"event_id",
+          ($"event_type" === "purchase").cast("long").as("y"))
+      val sample = vals
+        .crossJoin(broadcast(vals.agg(count(lit(1)).as("n_all"))))
+        .filter(pmod(h60($"event_id"),
+          expr("greatest(CAST(1 AS BIGINT), (n_all + 8191) div 8192)")) === 0)
+        .select($"v", $"event_id")
+      val wr = Window.orderBy($"v", $"event_id")
+      val bounds = sample
+        .crossJoin(broadcast(sample.agg(count(lit(1)).as("cnt"))))
+        .withColumn("rn", row_number().over(wr))
+        .filter((1 to 7).map(i => $"rn" === expr(s"($i * cnt) div 8"))
+          .reduce(_ || _))
+        .select($"v".as("b"))
+      val binned = vals.join(broadcast(bounds), $"v" > $"b", "left")
+        .groupBy($"event_id", $"v", $"y").agg(count($"b").as("bin"))
+      val tot = binned.agg(count(lit(1)).as("n_tot"), sum($"y").as("y_tot"))
+      binned.groupBy($"bin")
+        .agg(count(lit(1)).as("n"), sum($"y").as("n_pos"))
+        .crossJoin(broadcast(tot))
+        .select($"bin", $"n", $"n_pos",
+          expr("n_pos * 1000000L div n").as("rate_ppm"),
+          expr("(n_pos * n_tot * 1000000L) div (n * y_tot)").as("lift_ppm"))
     }))
 
   /** Engine-portable GROUPING SETS (distinct sets, not rollup/cube). */
@@ -1051,6 +1090,38 @@ object Events extends QueryPack {
         |  FROM km JOIN ar ON ar.rn = km.rn + 1)
         |SELECT ar.day, ar.n_at_risk, ar.n_churn, km.surv AS surv_ppm
         |FROM km JOIN ar ON ar.rn = km.rn""".stripMargin,
+
+    "q200_feature_bin_lift" ->
+      s"""WITH vals AS (
+        |  SELECT ${Exact.centsSql("value")} AS v, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |n AS (SELECT count(*) AS n_all FROM vals),
+        |sample AS (
+        |  SELECT v, event_id FROM vals, n
+        |  WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+        |    AS BIGINT) % GREATEST(1, (n_all + 8191) // 8192) = 0),
+        |ranked AS (
+        |  SELECT v, row_number() OVER (ORDER BY v, event_id) AS rn,
+        |    count(*) OVER () AS cnt
+        |  FROM sample),
+        |bounds AS (
+        |  SELECT v AS b FROM ranked
+        |  WHERE rn IN (1*cnt//8, 2*cnt//8, 3*cnt//8, 4*cnt//8,
+        |               5*cnt//8, 6*cnt//8, 7*cnt//8)),
+        |binned AS (
+        |  SELECT event_id, v, y, count(b) AS bin
+        |  FROM vals LEFT JOIN bounds ON v > b
+        |  GROUP BY event_id, v, y),
+        |tot AS (SELECT count(*) AS n_tot, CAST(sum(y) AS BIGINT) AS y_tot
+        |  FROM binned),
+        |g AS (
+        |  SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+        |  FROM binned GROUP BY bin)
+        |SELECT g.bin, g.n, g.n_pos,
+        |  g.n_pos * 1000000 // g.n AS rate_ppm,
+        |  (g.n_pos * tot.n_tot * 1000000) // (g.n * tot.y_tot) AS lift_ppm
+        |FROM g, tot""".stripMargin,
 
     "q81_funnel" ->
       """WITH ev AS (

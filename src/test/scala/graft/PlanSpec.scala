@@ -93,6 +93,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q199: the 1-row epoch-midpoint scalar crossed onto the dated
     // order-part pairs
     "q199_graph_epoch_churn",
+    // q200: q129's sampled-boundary shape — 1-row counts + the 7-row
+    // boundary table broadcast under a non-equi bin join
+    "q200_feature_bin_lift",
     // q175: the k-row centroid assignment pass (q79's bounded-side
     // Lloyd shape)
     "q175_ann_kmeans_ivf")
