@@ -339,6 +339,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.flatten
     assert(gramEqui.nonEmpty,
       "q152: containment candidates not an equi-join on the gram key")
+    // q190/q192 (retrieval): the per-query top-k must be a partial
+    // top-k (WindowGroupLimit), and the posting-list prune must be a
+    // BROADCAST hash join on the query-term side — a shuffled term
+    // join would move the whole tf table for a handful of terms
+    val q190 = m("q190_bm25_topk")
+    assert(q190.contains("WindowGroupLimit"),
+      "q190: BM25 rank did not compile to WindowGroupLimit")
+    assert(q190.contains("BroadcastHashJoin"),
+      "q190: query-term posting prune is not a broadcast hash join")
+    assert(m("q192_rrf_fusion").contains("WindowGroupLimit"),
+      "q192: RRF ranks did not compile to WindowGroupLimit")
   }
 
   test("no explicit broadcast hint wraps a relation keyed by a data-scaling id") {
