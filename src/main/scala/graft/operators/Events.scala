@@ -935,6 +935,51 @@ object Events extends QueryPack {
         .select($"bin", $"n", $"n_pos",
           expr("n_pos * 1000000L div n").as("rate_ppm"),
           expr("(n_pos * n_tot * 1000000L) div (n * y_tot)").as("lift_ppm"))
+    }),
+
+    // ---- CUSUM volume-drift alarm -----------------------------------
+    // The sequential change-point detector behind "did ingest volume
+    // shift?" [Page, Biometrika'54]: per event_type, the one-sided
+    // upper/lower CUSUMs of daily counts against a BASELINE target
+    // (the integer mean of the first 3 days — the warm-up window),
+    // s⁺ₜ = max(0, s⁺ₜ₋₁ + xₜ − target), s⁻ₜ = max(0, s⁻ₜ₋₁ + target − xₜ),
+    // alarm when either exceeds target (one full day's drift
+    // accumulated). All integer; the recurrence folds over the BOUNDED
+    // per-type day grid (q108/q194's pattern — corpus-scale work is
+    // the one (type, day) hash agg), and the oracle replays it in a
+    // per-type recursive CTE.
+    "q201_cusum_drift" -> ((s, d) => {
+      import s.implicits._
+      val daily = T.events(s, d)
+        .select($"event_type",
+          datediff(to_date($"ts"), to_date(lit("2024-01-01")))
+            .cast("long").as("day"))
+        .groupBy($"event_type", $"day").agg(count(lit(1)).as("x"))
+      val w3 = Window.partitionBy($"event_type").orderBy($"day")
+      val tgt = daily.withColumn("rn", row_number().over(w3))
+        .filter($"rn" <= 3)
+        .groupBy($"event_type").agg(expr("sum(x) div 3").as("target"))
+      daily.join(tgt, "event_type")
+        .groupBy($"event_type", $"target")
+        .agg(array_sort(collect_list(struct($"day", $"x"))).as("xs"))
+        .select($"event_type", $"target", explode(expr(
+          """aggregate(xs,
+            |  struct(CAST(0 AS BIGINT) AS up, CAST(0 AS BIGINT) AS dn,
+            |    CAST(array() AS ARRAY<STRUCT<day: BIGINT, x: BIGINT,
+            |      cusum_up: BIGINT, cusum_dn: BIGINT>>) AS out),
+            |  (acc, e) -> struct(
+            |    greatest(CAST(0 AS BIGINT), acc.up + e.x - target) AS up,
+            |    greatest(CAST(0 AS BIGINT), acc.dn + target - e.x) AS dn,
+            |    array_append(acc.out, struct(e.day AS day, e.x AS x,
+            |      greatest(CAST(0 AS BIGINT), acc.up + e.x - target)
+            |        AS cusum_up,
+            |      greatest(CAST(0 AS BIGINT), acc.dn + target - e.x)
+            |        AS cusum_dn)) AS out),
+            |  acc -> acc.out)""".stripMargin)).as("r"))
+        .select($"event_type", $"r.day", $"r.x", $"target",
+          $"r.cusum_up", $"r.cusum_dn",
+          ($"r.cusum_up" > $"target" || $"r.cusum_dn" > $"target")
+            .cast("long").as("alarm"))
     }))
 
   /** Engine-portable GROUPING SETS (distinct sets, not rollup/cube). */
@@ -1122,6 +1167,39 @@ object Events extends QueryPack {
         |  g.n_pos * 1000000 // g.n AS rate_ppm,
         |  (g.n_pos * tot.n_tot * 1000000) // (g.n * tot.y_tot) AS lift_ppm
         |FROM g, tot""".stripMargin,
+
+    // the same two-sided CUSUM recurrence replayed per type in a
+    // recursive CTE
+    "q201_cusum_drift" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type,
+        |    CAST(datediff('day', DATE '2024-01-01', ts) AS BIGINT) AS day,
+        |    count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, day, x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM daily),
+        |tgt AS (
+        |  SELECT event_type, CAST(sum(x) AS BIGINT) // 3 AS target
+        |  FROM r WHERE rn <= 3 GROUP BY 1),
+        |cu(event_type, rn, up, dn) AS (
+        |  SELECT event_type, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM tgt
+        |  UNION ALL
+        |  SELECT r.event_type, r.rn,
+        |    greatest(CAST(0 AS BIGINT), cu.up + r.x - tgt.target),
+        |    greatest(CAST(0 AS BIGINT), cu.dn + tgt.target - r.x)
+        |  FROM cu
+        |  JOIN r ON r.event_type = cu.event_type AND r.rn = cu.rn + 1
+        |  JOIN tgt ON tgt.event_type = cu.event_type)
+        |SELECT r.event_type, r.day, r.x, tgt.target,
+        |  cu.up AS cusum_up, cu.dn AS cusum_dn,
+        |  CAST(CASE WHEN cu.up > tgt.target OR cu.dn > tgt.target
+        |    THEN 1 ELSE 0 END AS BIGINT) AS alarm
+        |FROM cu
+        |JOIN r ON r.event_type = cu.event_type AND r.rn = cu.rn
+        |JOIN tgt ON tgt.event_type = r.event_type""".stripMargin,
 
     "q81_funnel" ->
       """WITH ev AS (

@@ -25,6 +25,34 @@ object Layout extends QueryPack {
     s"/tmp/graft_${tag}_${sfx(d)}_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- Benford first-digit audit (fabrication/corruption signal) --
+    // The forensic data-quality check for any money-like column: the
+    // leading-digit distribution of naturally-grown magnitudes follows
+    // Benford's law, and a bulk-loaded/fabricated/unit-mangled feed
+    // does not. Expected frequencies are LITERAL ppm constants
+    // (round(log10(1+1/d)·1e6) — constants, not computed, so no libm
+    // crosses an engine); observed is one digit-keyed hash agg over
+    // the cents magnitudes; dev_ppm per digit is the report and
+    // Σdev the alarm. Scan → narrow per-row digit → 9-key agg: the
+    // cheapest possible corpus pass.
+    "q202_benford_audit" -> ((s, d) => {
+      import s.implicits._
+      val expected = Seq(1L -> 301030L, 2L -> 176091L, 3L -> 124939L,
+        4L -> 96910L, 5L -> 79181L, 6L -> 66947L, 7L -> 57992L,
+        8L -> 51153L, 9L -> 45757L).toDF("digit", "exp_ppm")
+      val obs = T.orders(s, d)
+        .select(substring(Exact.cents($"o_totalprice").cast("string"), 1, 1)
+          .cast("long").as("digit"))
+        .groupBy($"digit").agg(count(lit(1)).as("n"))
+      val tot = obs.agg(sum($"n").as("n_tot"))
+      expected.join(broadcast(obs), Seq("digit"), "left")
+        .withColumn("n", coalesce($"n", lit(0L)))
+        .crossJoin(broadcast(tot))
+        .select($"digit", $"n",
+          expr("n * 1000000L div n_tot").as("obs_ppm"), $"exp_ppm")
+        .withColumn("dev_ppm",
+          abs($"obs_ppm" - $"exp_ppm"))
+    }),
     // ---- partitioned write + partition pruning ----------------------
     // Writes orders partitioned by year, then reads ONE partition
     // back: the filter prunes at the directory level (plan shows
@@ -428,6 +456,24 @@ object Layout extends QueryPack {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q202_benford_audit" ->
+      s"""WITH expd(digit, exp_ppm) AS (VALUES
+        |  (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+        |  (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
+        |obs AS (
+        |  SELECT CAST(substr(CAST(${Exact.centsSql("o_totalprice")}
+        |    AS VARCHAR), 1, 1) AS BIGINT) AS digit, count(*) AS n
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM obs)
+        |SELECT CAST(expd.digit AS BIGINT) AS digit,
+        |  CAST(coalesce(obs.n, 0) AS BIGINT) AS n,
+        |  CAST(coalesce(obs.n, 0) AS BIGINT) * 1000000 // tot.n_tot
+        |    AS obs_ppm,
+        |  CAST(expd.exp_ppm AS BIGINT) AS exp_ppm,
+        |  abs(CAST(coalesce(obs.n, 0) AS BIGINT) * 1000000 // tot.n_tot
+        |    - expd.exp_ppm) AS dev_ppm
+        |FROM expd LEFT JOIN obs ON obs.digit = expd.digit, tot""".stripMargin,
+
     "q179_zonemap_prune" ->
       """WITH pts AS (
         |  SELECT o_orderkey // 100 AS fa,

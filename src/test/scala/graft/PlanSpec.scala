@@ -96,6 +96,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q200: q129's sampled-boundary shape — 1-row counts + the 7-row
     // boundary table broadcast under a non-equi bin join
     "q200_feature_bin_lift",
+    // q202: the 1-row digit-total scalar crossed onto the 9-row
+    // Benford table
+    "q202_benford_audit",
     // q175: the k-row centroid assignment pass (q79's bounded-side
     // Lloyd shape)
     "q175_ann_kmeans_ivf")
