@@ -297,6 +297,39 @@ object Relational extends QueryPack {
       .groupBy($"v").agg(count(lit(1)).as("core_deg"))
   }
 
+  /** Newman modularity per community in exact integer ppk — q203's
+    * core, factored so ModularitySpec can check it against
+    * hand-computed partitions on structured graphs (the fixture's
+    * near-random cooc graph collapses to one community with Q = 0,
+    * which the declared query honestly reports but which exercises
+    * only the trivial case). `e` = (a, b) each undirected edge once;
+    * `deg` = (v, deg); `lab` = (v, community). Per community:
+    * contrib_ppk = floor((m_c/m − (D_c/2m)²)·1000) via the
+    * shifted-numerator signed floor (+1000·den before div, −1000
+    * after — the CentroidFloorSpec rule, since contributions of
+    * under-dense communities are negative). */
+  private[graft] def modularityPpk(e: DataFrame, deg: DataFrame,
+                                   lab: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val mRow = e.agg(count(lit(1)).as("m_edges"))
+    val inEdges = e.join(lab.toDF("a", "ca"), "a")
+      .join(lab.toDF("b", "cb"), "b")
+      .filter($"ca" === $"cb")
+      .groupBy($"ca".as("community")).agg(count(lit(1)).as("m_in"))
+    val dcom = lab.toDF("v", "community")
+      .join(deg.toDF("v", "deg"), "v")
+      .groupBy($"community")
+      .agg(count(lit(1)).as("n_vertices"), sum($"deg").as("d_tot"))
+    dcom.join(inEdges, Seq("community"), "left")
+      .na.fill(0L, Seq("m_in"))
+      .crossJoin(broadcast(mRow))
+      .select($"community", $"n_vertices", $"m_in", $"d_tot",
+        expr("((4*m_edges*m_in - d_tot*d_tot) * 1000L " +
+          "+ 1000L * 4*m_edges*m_edges) div (4*m_edges*m_edges) - 1000L")
+          .as("contrib_ppk"))
+  }
+
   /** Level-synchronous multi-source BFS hop profile — q195's core,
     * factored so BfsPropertySpec can drive it over random graphs
     * against a sequential reference. `dirE` is the symmetrized
@@ -1336,6 +1369,23 @@ object Relational extends QueryPack {
       kCoreCapped(coocEdges(s, d), -1, 6)
         .withColumnRenamed("v", "part")),
 
+    // ---- modularity score of the LPA partition ----------------------
+    // The ACCEPTANCE metric for q164's communities (the audit rule:
+    // a clustering you never score is a clustering you can't trust):
+    // Newman modularity Q = Σ_c (m_c/m − (D_c/2m)²), reported per
+    // community as exact integer ppk contributions — the floor runs
+    // through the shifted-numerator form (+K·den before div, −K
+    // after) because contributions are SIGNED and Spark's truncating
+    // div only equals DuckDB's flooring // on non-negative numerators
+    // (the CentroidFloorSpec rule). ppk not ppm: the shift doubles the
+    // numerator range and 4m²·1e6 would overflow int64 at sf0.1 —
+    // decimal(38) past ~3e8 edges either way. Cost on top of the LPA
+    // run: two |E| label joins + a |V| degree join, all keyed.
+    "q203_modularity" -> ((s, d) =>
+      modularityPpk(coocEdges(s, d), coocDeg(s, d),
+        labelPropagation(coocEdges(s, d), coocDeg(s, d),
+          dirOpt = Some(coocDir(s, d))))),
+
     // ---- multi-source BFS reach profile -----------------------------
     // How much of the co-purchase graph the probe set (q161's 2%
     // content-hash seeds) reaches per hop, capped at 4 — the
@@ -1782,6 +1832,56 @@ object Relational extends QueryPack {
         |      GROUP BY pr.iter, dir.v, pr.p) c) t
         |  WHERE t.rn = 1),
         |${prFixpointTail("community", 16)}""".stripMargin,
+
+    // the q164 LPA trajectory re-run to its fixpoint labels, then
+    // Newman modularity per community with the shifted signed floor
+    "q203_modularity" ->
+      s"""WITH RECURSIVE li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM li x JOIN li y ON x.o = y.o WHERE x.p < y.p),
+        |dir AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+        |deg AS (SELECT u, count(*) AS deg FROM dir GROUP BY u),
+        |pr AS (
+        |  SELECT 0 AS iter, u AS v, u AS p FROM deg
+        |  UNION ALL
+        |  SELECT t.iter + 1, t.v, t.lab AS p FROM (
+        |    SELECT c.iter, c.v, c.lab,
+        |      row_number() OVER (PARTITION BY c.iter, c.v
+        |        ORDER BY c.cnt DESC, c.lab) AS rn
+        |    FROM (
+        |      SELECT pr.iter, dir.v, pr.p AS lab, count(*) AS cnt
+        |      FROM dir JOIN pr ON pr.v = dir.u
+        |      WHERE pr.iter < 16
+        |      GROUP BY pr.iter, dir.v, pr.p) c) t
+        |  WHERE t.rn = 1),
+        |conv AS (
+        |  SELECT a.iter AS k
+        |  FROM pr a JOIN pr b ON b.iter = a.iter + 1 AND b.v = a.v
+        |  GROUP BY a.iter
+        |  HAVING max(CASE WHEN a.p = b.p THEN 0 ELSE 1 END) = 0),
+        |pick AS (SELECT coalesce(min(k), 16) AS k FROM conv),
+        |lab AS (
+        |  SELECT pr.v, CAST(pr.p AS BIGINT) AS c
+        |  FROM pr JOIN pick ON pr.iter = pick.k),
+        |mm AS (SELECT count(*) AS m FROM e),
+        |din AS (
+        |  SELECT la.c, count(*) AS m_in
+        |  FROM e JOIN lab la ON la.v = e.a
+        |  JOIN lab lb ON lb.v = e.b AND lb.c = la.c
+        |  GROUP BY la.c),
+        |dc AS (
+        |  SELECT lab.c, count(*) AS n_vertices,
+        |    CAST(sum(deg.deg) AS BIGINT) AS d_tot
+        |  FROM lab JOIN deg ON deg.u = lab.v
+        |  GROUP BY lab.c)
+        |SELECT dc.c AS community, dc.n_vertices,
+        |  CAST(coalesce(din.m_in, 0) AS BIGINT) AS m_in, dc.d_tot,
+        |  ((4 * mm.m * CAST(coalesce(din.m_in, 0) AS BIGINT)
+        |      - dc.d_tot * dc.d_tot) * 1000
+        |    + 1000 * 4 * mm.m * mm.m) // (4 * mm.m * mm.m) - 1000
+        |    AS contrib_ppk
+        |FROM dc LEFT JOIN din ON din.c = dc.c, mm""".stripMargin,
 
     "q146_item_similarity" ->
       """WITH li AS (

@@ -72,7 +72,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q193_vocab_growth", "q194_kaplan_meier", "q195_bfs_hops",
     "q196_lexical_diversity", "q197_salt_derived",
     "q198_ivf_incremental", "q199_graph_epoch_churn",
-    "q200_feature_bin_lift", "q201_cusum_drift", "q202_benford_audit")
+    "q200_feature_bin_lift", "q201_cusum_drift", "q202_benford_audit",
+    "q203_modularity")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

@@ -99,6 +99,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q202: the 1-row digit-total scalar crossed onto the 9-row
     // Benford table
     "q202_benford_audit",
+    // q203: the 1-row edge-count scalar crossed onto the bounded
+    // community table
+    "q203_modularity",
     // q175: the k-row centroid assignment pass (q79's bounded-side
     // Lloyd shape)
     "q175_ann_kmeans_ivf")
