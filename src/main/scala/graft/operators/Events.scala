@@ -980,6 +980,43 @@ object Events extends QueryPack {
           $"r.cusum_up", $"r.cusum_dn",
           ($"r.cusum_up" > $"target" || $"r.cusum_dn" > $"target")
             .cast("long").as("alarm"))
+    }),
+
+    // ---- session-gap acceptance audit -------------------------------
+    // The measurement behind every sessionization timeout (q25/s11
+    // hard-code 30 minutes): per candidate gap G, what fraction of
+    // within-user inter-event gaps would BREAK a session — and since
+    // sessions = users + breaks, the session count per G falls out
+    // without re-sessionizing. The chosen G (smallest candidate
+    // breaking ≤20% of gaps, else the largest) is flagged in the
+    // report — the config a pipeline would feed back into q25, the
+    // acceptance-loop rule. One user-partitioned lag window (the
+    // corpus-scale stage, same shuffle as sessionization itself);
+    // candidates and the two 1-row scalars are broadcasts.
+    "q204_session_gap_audit" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val gaps = T.events(s, d)
+        .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id")
+        .withColumn("prev", lag($"ts_us", 1).over(w))
+        .filter($"prev".isNotNull)
+        .select(($"ts_us" - $"prev").as("gap_us"))
+      val users = T.events(s, d)
+        .agg(countDistinct($"user_id").as("n_users"))
+      val cands = Seq(300000000L, 900000000L, 1800000000L, 3600000000L)
+        .toDF("g_us")
+      val stats = gaps.crossJoin(broadcast(cands))
+        .groupBy($"g_us")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(($"gap_us" > $"g_us").cast("long")).as("n_breaks"))
+        .withColumn("break_ppm", expr("n_breaks * 1000000L div n_gaps"))
+      val chosen = stats.agg(
+        coalesce(min(when($"break_ppm" <= 200000L, $"g_us")),
+          max($"g_us")).as("chosen_g"))
+      stats.crossJoin(broadcast(chosen)).crossJoin(broadcast(users))
+        .select($"g_us", $"n_gaps", $"n_breaks", $"break_ppm",
+          ($"g_us" === $"chosen_g").cast("long").as("chosen"),
+          ($"n_users" + $"n_breaks").as("n_sessions"))
     }))
 
   /** Engine-portable GROUPING SETS (distinct sets, not rollup/cube). */
@@ -1200,6 +1237,35 @@ object Events extends QueryPack {
         |FROM cu
         |JOIN r ON r.event_type = cu.event_type AND r.rn = cu.rn
         |JOIN tgt ON tgt.event_type = r.event_type""".stripMargin,
+
+    "q204_session_gap_audit" ->
+      """WITH g AS (
+        |  SELECT CAST(epoch_us(ts) AS BIGINT) -
+        |    lag(CAST(epoch_us(ts) AS BIGINT)) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id) AS gap_us
+        |  FROM events),
+        |gaps AS (SELECT gap_us FROM g WHERE gap_us IS NOT NULL),
+        |u AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+        |cands(g_us) AS (VALUES
+        |  (300000000), (900000000), (1800000000), (3600000000)),
+        |st AS (
+        |  SELECT CAST(g_us AS BIGINT) AS g_us, count(*) AS n_gaps,
+        |    CAST(sum(CASE WHEN gap_us > g_us THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_breaks
+        |  FROM gaps, cands GROUP BY 1),
+        |st2 AS (
+        |  SELECT g_us, n_gaps, n_breaks,
+        |    n_breaks * 1000000 // n_gaps AS break_ppm
+        |  FROM st),
+        |ch AS (
+        |  SELECT coalesce(min(CASE WHEN break_ppm <= 200000 THEN g_us END),
+        |    max(g_us)) AS chosen_g FROM st2)
+        |SELECT st2.g_us, st2.n_gaps, st2.n_breaks, st2.break_ppm,
+        |  CAST(CASE WHEN st2.g_us = ch.chosen_g THEN 1 ELSE 0 END AS BIGINT)
+        |    AS chosen,
+        |  CAST(u.n_users + st2.n_breaks AS BIGINT) AS n_sessions
+        |FROM st2, ch, u""".stripMargin,
 
     "q81_funnel" ->
       """WITH ev AS (
