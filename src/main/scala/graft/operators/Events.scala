@@ -1017,6 +1017,40 @@ object Events extends QueryPack {
         .select($"g_us", $"n_gaps", $"n_breaks", $"break_ppm",
           ($"g_us" === $"chosen_g").cast("long").as("chosen"),
           ($"n_users" + $"n_breaks").as("n_sessions"))
+    }),
+
+    // ---- conversion latency: exact per-cohort median / p90 ----------
+    // The metric q81's funnel counts don't give: HOW LONG signup →
+    // first purchase takes, per signup-week cohort, as exact
+    // rank-selected order statistics (q100's pattern: lower median at
+    // rank (n+1) div 2, p90 at rank ceil(9n/10), picked by
+    // max(CASE rank = target) inside a cohort-partitioned window —
+    // each window sees one cohort, never the corpus). The corpus-scale
+    // stages are two user-grain aggs and one user-keyed join; the
+    // latency table is one row per converted user.
+    "q205_conversion_latency" -> ((s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+        .select($"user_id", $"event_type", unix_micros($"ts").as("ts_us"))
+      val su = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"ts_us").as("su_us"))
+      val lat = ev.filter($"event_type" === "purchase")
+        .join(su, "user_id").filter($"ts_us" >= $"su_us")
+        .groupBy($"user_id", $"su_us").agg(min($"ts_us").as("pu_us"))
+        .select($"user_id",
+          expr("su_us div 604800000000L").as("cohort_wk"),
+          expr("(pu_us - su_us) div 1000000L").as("latency_s"))
+      val w = Window.partitionBy($"cohort_wk")
+        .orderBy($"latency_s", $"user_id")
+      val wc = Window.partitionBy($"cohort_wk")
+      lat.withColumn("rn", row_number().over(w).cast("bigint"))
+        .withColumn("n", count(lit(1)).over(wc))
+        .groupBy($"cohort_wk")
+        .agg(count(lit(1)).as("n_converted"),
+          max(when($"rn" === expr("(n + 1) div 2"), $"latency_s"))
+            .as("median_s"),
+          max(when($"rn" === expr("(9 * n + 9) div 10"), $"latency_s"))
+            .as("p90_s"))
     }))
 
   /** Engine-portable GROUPING SETS (distinct sets, not rollup/cube). */
@@ -1266,6 +1300,32 @@ object Events extends QueryPack {
         |    AS chosen,
         |  CAST(u.n_users + st2.n_breaks AS BIGINT) AS n_sessions
         |FROM st2, ch, u""".stripMargin,
+
+    "q205_conversion_latency" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        |  FROM events),
+        |su AS (
+        |  SELECT user_id, min(ts_us) AS su_us FROM ev
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |lat AS (
+        |  SELECT ev.user_id, su.su_us // 604800000000 AS cohort_wk,
+        |    (min(ev.ts_us) - su.su_us) // 1000000 AS latency_s
+        |  FROM ev JOIN su ON su.user_id = ev.user_id
+        |  WHERE ev.event_type = 'purchase' AND ev.ts_us >= su.su_us
+        |  GROUP BY ev.user_id, su.su_us),
+        |rk AS (
+        |  SELECT cohort_wk, latency_s,
+        |    row_number() OVER (PARTITION BY cohort_wk
+        |      ORDER BY latency_s, user_id) AS rn,
+        |    count(*) OVER (PARTITION BY cohort_wk) AS n
+        |  FROM lat)
+        |SELECT cohort_wk, count(*) AS n_converted,
+        |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN latency_s END)
+        |    AS BIGINT) AS median_s,
+        |  CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN latency_s END)
+        |    AS BIGINT) AS p90_s
+        |FROM rk GROUP BY cohort_wk""".stripMargin,
 
     "q81_funnel" ->
       """WITH ev AS (

@@ -73,7 +73,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q196_lexical_diversity", "q197_salt_derived",
     "q198_ivf_incremental", "q199_graph_epoch_churn",
     "q200_feature_bin_lift", "q201_cusum_drift", "q202_benford_audit",
-    "q203_modularity", "q204_session_gap_audit")
+    "q203_modularity", "q204_session_gap_audit",
+    "q205_conversion_latency")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count
