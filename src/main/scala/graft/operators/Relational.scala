@@ -399,6 +399,58 @@ object Relational extends QueryPack {
       .select($"v", $"p".as("community"))
   }
 
+  /** Shared LPA label substrate — the converged (v, community) table of
+    * [[labelPropagation]] over the cooc graph, memoized per
+    * (session, dir) so the iterative run is paid once per session:
+    * q164 reports it and q203 scores it (Newman modularity), and before
+    * this memo q203 re-ran the ENTIRE fixpoint loop q164 had just
+    * computed. The fixpoint result is already `localCheckpoint`ed by
+    * the harness (RDD-level blocks, so it survives the harness's
+    * per-query `catalog.clearCache()`, which only drops CacheManager
+    * entries) — memo identity is all the sharing needs. */
+  private[graft] def lpaLabels(s: SparkSession, d: String): DataFrame =
+    T.memo(s, s"lpa_labels:$d") {
+      labelPropagation(coocEdges(s, d), coocDeg(s, d),
+        dirOpt = Some(coocDir(s, d)))
+    }
+
+  /** Distinct customer→part purchase incidences (c, p) — q212's
+    * bipartite substrate, memoized + persisted: scanned twice per HITS
+    * iteration. One orders⋈lineitem keyed join + distinct; at 100 TB
+    * this is the materialized incidence table a real deployment builds
+    * once next to the cooc edge table. */
+  private[graft] def bipartiteEdges(s: SparkSession, d: String): DataFrame =
+    memoPersist(s, s"bipartite_edges:$d") {
+      T.orders(s, d).select(col("o_orderkey"), col("o_custkey").as("c"))
+        .join(T.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
+          col("l_partkey").as("p")), "o_orderkey")
+        .select(col("c"), col("p")).distinct()
+    }
+
+  /** HITS authority scores on a bipartite incidence list `be` (c, p) —
+    * q212's core, factored so HitsPropertySpec can drive it over
+    * random bipartite graphs against a sequential reference. Auth-only
+    * two-hop power iteration (auth' ∝ AᵀA·auth), max-normalized to
+    * 1e6 ppm per step with floor division on non-negative values, run
+    * to the house integer fixpoint (first repeated state, capped).
+    * Returns (v, p) = (part, auth_ppm). */
+  private[graft] def hitsAuthPpm(be: DataFrame, maxIters: Int = 16): DataFrame = {
+    val s = be.sparkSession
+    import s.implicits._
+    val init = be.select($"p".as("v")).distinct()
+      .select($"v", lit(1000000L).as("p"))
+    def step(pdf: DataFrame): DataFrame = {
+      val h = be.join(pdf.toDF("p", "a"), "p")
+        .groupBy($"c").agg(sum($"a").as("h"))
+      val sc = be.join(h, "c")
+        .groupBy($"p").agg(sum($"h").as("sp"))
+      val mx = sc.agg(max($"sp").as("mx"))
+      sc.crossJoin(broadcast(mx))
+        .select($"p".as("v"), expr("(sp * 1000000L) div mx").as("p"))
+    }
+    iterateToFixpointPpm(init, maxIters)(step)
+  }
+
   /** PERSONALIZED PageRank [Jeh & Widom, WWW'03] — q161's core:
     * teleport mass returns only to `probes` (one column `v`), so the
     * stationary mass ranks vertices by proximity to the seed set.
@@ -1347,9 +1399,7 @@ object Relational extends QueryPack {
     // all keyed shuffles; the oracle replays the identical trajectory
     // in a recursive CTE with the same first-repeated-state rule.
     "q164_label_propagation" -> ((s, d) =>
-      labelPropagation(coocEdges(s, d), coocDeg(s, d),
-          dirOpt = Some(coocDir(s, d)))
-        .withColumnRenamed("v", "part")),
+      lpaLabels(s, d).withColumnRenamed("v", "part")),
 
     // ---- k-core decomposition: capped synchronous peeling -----------
     // The cohesion member of the graph family: the k-core is the
@@ -1382,9 +1432,7 @@ object Relational extends QueryPack {
     // decimal(38) past ~3e8 edges either way. Cost on top of the LPA
     // run: two |E| label joins + a |V| degree join, all keyed.
     "q203_modularity" -> ((s, d) =>
-      modularityPpk(coocEdges(s, d), coocDeg(s, d),
-        labelPropagation(coocEdges(s, d), coocDeg(s, d),
-          dirOpt = Some(coocDir(s, d))))),
+      modularityPpk(coocEdges(s, d), coocDeg(s, d), lpaLabels(s, d))),
 
     // ---- multi-source BFS reach profile -----------------------------
     // How much of the co-purchase graph the probe set (q161's 2%
@@ -1623,6 +1671,105 @@ object Relational extends QueryPack {
         .select($"n_name", $"n", $"sum_x", $"sum_y", $"sum_xy", $"sum_x2",
           ($"n" * $"sum_xy" - $"sum_x" * $"sum_y").as("slope_num"),
           ($"n" * $"sum_x2" - $"sum_x" * $"sum_x").as("slope_den"))
+    }),
+
+    // ---- Gini revenue concentration per nation ----------------------
+    // Exact Lorenz-based Gini coefficient of customer revenue within
+    // each nation: G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over customers
+    // sorted ascending by revenue — the inequality/concentration
+    // metric behind "do 20% of customers drive 80% of revenue".
+    // One orders→customer hash agg, then rank + power sums INSIDE each
+    // nation partition (the window partitions on nation over the
+    // post-agg |customers| table — never a global single-partition
+    // sort). Equal revenues commute under consecutive ranks, so the
+    // custkey tiebreak cannot change the sum. Revenue is quantized to
+    // whole dollars (half-up from exact cents, non-negative → Spark
+    // `div` == DuckDB `//`) which keeps 2T·1e6 under int64 through
+    // ~sf1; past that the final ratio promotes to decimal(38,0), the
+    // aggs never change. Customers with no orders are excluded (inner
+    // join — a zero-revenue cohort would only raise G; the oracle
+    // excludes them identically).
+    "q206_gini_concentration" -> ((s, d) => {
+      import s.implicits._
+      val rev = T.orders(s, d)
+        .join(T.customer(s, d), $"o_custkey" === $"c_custkey")
+        .join(broadcast(T.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name", $"c_custkey")
+        .agg(sum(Exact.cents($"o_totalprice")).as("c"))
+        .select($"n_name", $"c_custkey", expr("(c + 50) div 100").as("x"))
+      val w = Window.partitionBy($"n_name").orderBy($"x", $"c_custkey")
+      rev.withColumn("i", row_number().over(w).cast("long"))
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("n"),
+          sum($"x").as("sum_x"),
+          sum($"i" * $"x").as("sum_ix"))
+        .select($"n_name", $"n", $"sum_x",
+          expr("((2 * sum_ix - (n + 1) * sum_x) * 1000000L) div (n * sum_x)")
+            .as("gini_ppm"))
+    }),
+
+    // ---- RFM customer segmentation ----------------------------------
+    // The classic marketing segmentation: per customer Recency (days
+    // from last order to the fixture horizon 1998-08-02), Frequency
+    // (order count) and Monetary (exact cents), each bucketed into
+    // quintiles by ntile(5) (identical tie semantics both engines —
+    // q73's rule; ties broken by custkey so the bucketing is total).
+    // Recency quintile 1 = most recent, frequency/monetary quintile 5
+    // = highest — the standard score orientation. The three windows
+    // run over the post-agg |customers| table (PlanSpec's
+    // window-above-aggregate allowance); output is the 5³-bounded
+    // segment census with revenue per segment.
+    "q207_rfm_segments" -> ((s, d) => {
+      import s.implicits._
+      val pc = T.orders(s, d)
+        .groupBy($"o_custkey")
+        .agg(datediff(to_date(lit("1998-08-02")), max($"o_orderdate"))
+            .cast("long").as("rec_days"),
+          count(lit(1)).as("freq"),
+          sum(Exact.cents($"o_totalprice")).as("mon_c"))
+      val wr = Window.orderBy($"rec_days", $"o_custkey")
+      val wf = Window.orderBy($"freq", $"o_custkey")
+      val wm = Window.orderBy($"mon_c", $"o_custkey")
+      pc.select($"o_custkey", $"mon_c",
+          ntile(5).over(wr).cast("long").as("r_q"),
+          ntile(5).over(wf).cast("long").as("f_q"),
+          ntile(5).over(wm).cast("long").as("m_q"))
+        .groupBy($"r_q", $"f_q", $"m_q")
+        .agg(count(lit(1)).as("n_customers"),
+          sum($"mon_c").as("rev_c"))
+    }),
+
+    // ---- HITS hubs & authorities on the purchase bipartite graph ----
+    // [Kleinberg, JACM'99] over customer→part purchase edges (distinct
+    // (o_custkey, l_partkey) incidences): authoritative parts are
+    // bought by strong hub customers and vice versa. Iterated as the
+    // AUTH-ONLY two-hop power iteration auth' ∝ AᵀA·auth — one state
+    // vector, so the recursive-CTE oracle references the recursive
+    // table exactly once (the Postgres/DuckDB single-reference rule
+    // that a coupled hub+auth recursion would violate) — with
+    // max-normalization to 1e6 ppm each step (one 1-row scalar,
+    // crossJoin(broadcast)) and the house first-repeated-state
+    // fixpoint rule (cap 16) through [[iterateToFixpointPpm]]. Hub
+    // scores are derived from the converged auth vector by one more
+    // half-step, normalized the same way. Per iteration: two keyed
+    // |E|-row shuffles (join on p, re-join on c) — the PageRank cost
+    // class; scores are single longs. Overflow bound: two-hop sums
+    // reach max_deg_c·max_deg_p·1e6 ≤ 1e18 at this fixture's degree
+    // profile; a 100 TB corpus with deg products past ~9e6 promotes
+    // the normalization numerator to decimal(38,0), the joins never
+    // change.
+    "q212_hits" -> ((s, d) => {
+      import s.implicits._
+      val be = bipartiteEdges(s, d)
+      val auth = hitsAuthPpm(be, maxIters = 16)
+      val hub0 = be.join(auth.toDF("p", "a"), "p")
+        .groupBy($"c").agg(sum($"a").as("h"))
+      val hmax = hub0.agg(max($"h").as("hm"))
+      auth.select(lit("authority").as("side"), $"v".as("id"),
+          $"p".as("score_ppm"))
+        .unionAll(hub0.crossJoin(broadcast(hmax))
+          .select(lit("hub").as("side"), $"c".as("id"),
+            expr("(h * 1000000L) div hm").as("score_ppm")))
     })
   )
 
@@ -2396,6 +2543,89 @@ object Relational extends QueryPack {
         |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F,
         |  CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O,
         |  CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P
-        |FROM orders GROUP BY o_orderpriority""".stripMargin
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q206_gini_concentration" ->
+      """WITH rev AS (
+        |  SELECT n_name, c_custkey,
+        |    (CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) + 50)
+        |      // 100 AS x
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT n_name, x,
+        |    CAST(row_number() OVER (PARTITION BY n_name
+        |      ORDER BY x, c_custkey) AS BIGINT) AS i
+        |  FROM rev),
+        |g AS (
+        |  SELECT n_name, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sum_x,
+        |    CAST(sum(i * x) AS BIGINT) AS sum_ix
+        |  FROM ranked GROUP BY 1)
+        |SELECT n_name, n, sum_x,
+        |  CAST(((2 * sum_ix - (n + 1) * sum_x) * 1000000) // (n * sum_x)
+        |    AS BIGINT) AS gini_ppm
+        |FROM g""".stripMargin,
+
+    "q207_rfm_segments" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    CAST(datediff('day', max(o_orderdate), DATE '1998-08-02') AS BIGINT)
+        |      AS rec_days,
+        |    count(*) AS freq,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mon_c
+        |  FROM orders GROUP BY 1),
+        |scored AS (
+        |  SELECT mon_c,
+        |    CAST(ntile(5) OVER (ORDER BY rec_days, o_custkey) AS BIGINT) AS r_q,
+        |    CAST(ntile(5) OVER (ORDER BY freq, o_custkey) AS BIGINT) AS f_q,
+        |    CAST(ntile(5) OVER (ORDER BY mon_c, o_custkey) AS BIGINT) AS m_q
+        |  FROM pc)
+        |SELECT r_q, f_q, m_q, count(*) AS n_customers,
+        |  CAST(sum(mon_c) AS BIGINT) AS rev_c
+        |FROM scored GROUP BY 1, 2, 3""".stripMargin,
+
+    // the auth-only HITS two-hop recursion with per-iteration max
+    // normalization, the house first-repeated-state pick, and the
+    // final hub half-step off the converged auth vector
+    "q212_hits" ->
+      """WITH RECURSIVE be AS (
+        |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |parts AS (SELECT DISTINCT p FROM be),
+        |pr AS (
+        |  SELECT 0 AS iter, p AS v, CAST(1000000 AS BIGINT) AS p FROM parts
+        |  UNION ALL
+        |  SELECT s.iter + 1, s.v,
+        |    CAST((s.sp * 1000000) // max(s.sp) OVER (PARTITION BY s.iter)
+        |      AS BIGINT) AS p
+        |  FROM (
+        |    SELECT h.iter, be2.p AS v, CAST(sum(h.h) AS BIGINT) AS sp
+        |    FROM (
+        |      SELECT pr.iter, be.c, CAST(sum(pr.p) AS BIGINT) AS h
+        |      FROM be JOIN pr ON pr.v = be.p
+        |      WHERE pr.iter < 16
+        |      GROUP BY pr.iter, be.c) h
+        |    JOIN be be2 ON be2.c = h.c
+        |    GROUP BY h.iter, be2.p) s),
+        |conv AS (
+        |  SELECT a.iter AS k
+        |  FROM pr a JOIN pr b ON b.iter = a.iter + 1 AND b.v = a.v
+        |  GROUP BY a.iter
+        |  HAVING max(CASE WHEN a.p = b.p THEN 0 ELSE 1 END) = 0),
+        |pick AS (SELECT coalesce(min(k), 16) AS k FROM conv),
+        |auth AS (
+        |  SELECT pr.v, CAST(pr.p AS BIGINT) AS p
+        |  FROM pr JOIN pick ON pr.iter = pick.k),
+        |hub0 AS (
+        |  SELECT be.c, CAST(sum(a.p) AS BIGINT) AS h
+        |  FROM be JOIN auth a ON a.v = be.p GROUP BY be.c)
+        |SELECT 'authority' AS side, v AS id, p AS score_ppm FROM auth
+        |UNION ALL
+        |SELECT 'hub' AS side, c AS id,
+        |  CAST((h * 1000000) // (SELECT max(h) FROM hub0) AS BIGINT) AS score_ppm
+        |FROM hub0""".stripMargin
   )
 }
