@@ -1005,6 +1005,47 @@ object Pipeline extends QueryPack {
       fused.withColumn("rk", row_number().over(w).cast("bigint"))
         .filter($"rk" <= 5)
         .select($"qid", $"doc_id", $"rk", $"rrf_ppm", $"rk_bm25", $"rk_tfidf")
+    }),
+
+    // ---- Mann–Whitney U rank-sum test for the A/B arms --------------
+    // The nonparametric significance companion to q123's mean-based
+    // readout and q186's CUPED: revenue distributions are heavy-tailed
+    // and zero-inflated, so the rank-sum statistic (U = R − n(n+1)/2)
+    // is the test practitioners actually run on per-user revenue. All
+    // arithmetic is exact integers via DOUBLED average ranks: for tied
+    // revenue value v, 2·avgrank(v) = 2·|{x<v}| + |{x=v}| + 1, computed
+    // from the VALUE-BAND table (one row per distinct revenue value —
+    // the q124 band decomposition, so no window ever touches the
+    // per-user table, let alone raw events). r2_sum = Σ 2·rank over an
+    // arm, u2 = 2·U. Sanity invariant (holds by construction):
+    // u2_control + u2_treatment = 2·n_ctl·n_trt. The band window is a
+    // global window over the distinct-value table — bounded by value
+    // cardinality, and above two aggregations.
+    "q208_mannwhitney_u" -> ((s, d) => {
+      import s.implicits._
+      val pu = T.events(s, d).groupBy($"user_id")
+        .agg(sum(when($"event_type" === "purchase",
+          graft.functions.Exact.cents($"value")).otherwise(0L)).as("rev_c"))
+        .withColumn("arm",
+          when(pmod(hash60($"user_id"), lit(2)) === 0, "control")
+            .otherwise("treatment"))
+      val vals = pu.groupBy($"rev_c")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"arm" === "control", 1L).otherwise(0L)).as("n_ctl"))
+      val wv = Window.orderBy($"rev_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val banded = vals.withColumn("cum_le", sum($"n").over(wv))
+        .select($"rev_c", $"n", $"n_ctl", ($"n" - $"n_ctl").as("n_trt"),
+          (lit(2L) * ($"cum_le" - $"n") + $"n" + lit(1L)).as("r2"))
+      banded.select(explode(array(
+          struct(lit("control").as("arm"), $"n_ctl".as("na"), $"r2"),
+          struct(lit("treatment").as("arm"), $"n_trt".as("na"), $"r2"))).as("x"))
+        .select($"x.arm".as("arm"), $"x.na".as("na"), $"x.r2".as("r2"))
+        .groupBy($"arm")
+        .agg(sum($"na").cast("bigint").as("n_users"),
+          sum($"na" * $"r2").cast("bigint").as("r2_sum"))
+        .select($"arm", $"n_users", $"r2_sum",
+          ($"r2_sum" - $"n_users" * ($"n_users" + lit(1L))).as("u2"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -1562,5 +1603,37 @@ object Pipeline extends QueryPack {
         |            ELSE 'test' END AS split,
         |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS split_chars,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
-        |FROM b GROUP BY 1, 2""".stripMargin)
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "q208_mannwhitney_u" ->
+      """WITH pu0 AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      AS rev_c
+        |  FROM events GROUP BY user_id),
+        |pu AS (
+        |  SELECT rev_c,
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm
+        |  FROM pu0),
+        |vals AS (
+        |  SELECT rev_c, count(*) AS n,
+        |    CAST(sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_ctl
+        |  FROM pu GROUP BY 1),
+        |banded AS (
+        |  SELECT rev_c, n, n_ctl, n - n_ctl AS n_trt,
+        |    2 * (CAST(sum(n) OVER (ORDER BY rev_c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n)
+        |      + n + 1 AS r2
+        |  FROM vals),
+        |arms AS (
+        |  SELECT 'control' AS arm, n_ctl AS na, r2 FROM banded
+        |  UNION ALL
+        |  SELECT 'treatment' AS arm, n_trt AS na, r2 FROM banded)
+        |SELECT arm, CAST(sum(na) AS BIGINT) AS n_users,
+        |  CAST(sum(na * r2) AS BIGINT) AS r2_sum,
+        |  CAST(sum(na * r2) - sum(na) * (sum(na) + 1) AS BIGINT) AS u2
+        |FROM arms GROUP BY arm""".stripMargin)
 }

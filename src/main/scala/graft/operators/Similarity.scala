@@ -713,7 +713,93 @@ object Similarity extends QueryPack {
         .join(broadcast(marg.toDF("i", "s_i")), "i")
         .join(broadcast(marg.toDF("j", "s_j")), "j")
         .select($"i", $"j", $"n", $"s_xy", $"s_i", $"s_j")
+    }),
+
+    // ---- embedding norm audit: per-label median/MAD + outliers ------
+    // The embedding-QA gate before any ANN/dedup work: a vector whose
+    // norm sits far outside its class's distribution is a truncated
+    // decode, an unnormalized import, or a collapsed row — and cosine
+    // quietly hides it. Exact rank-selected median and MAD of the
+    // quantized squared norm per label (q100's doubled-unit order-
+    // statistic machinery: med2 = 2·median, mad4 = 4·MAD — no division
+    // ever happens) plus the count of |x − med| > 3·MAD outliers as
+    // the integer inequality 2·|2x − med2| > 3·mad4. Windows partition
+    // on label, never globally; the med/mad tables are |labels| rows,
+    // joined broadcast for the outlier count.
+    "q211_embedding_norm_audit" -> ((s, d) => {
+      import s.implicits._
+      val ev = quantized(s, d)
+        .select($"label".cast("bigint").as("label"), $"vec_id", $"n2")
+      val w1 = Window.partitionBy($"label").orderBy($"n2", $"vec_id")
+      val med = ev
+        .withColumn("rn", row_number().over(w1))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"label")))
+        .groupBy($"label")
+        .agg(max($"n").as("n"),
+          (max(when($"rn" === expr("(n + 1) div 2"), $"n2")) +
+            max(when($"rn" === expr("(n + 2) div 2"), $"n2"))).as("med2"))
+      val w2 = Window.partitionBy($"label").orderBy($"dv", $"vec_id")
+      val mad = ev.join(broadcast(med), Seq("label"))
+        .withColumn("dv", abs($"n2" * 2 - $"med2"))
+        .withColumn("rn", row_number().over(w2))
+        .groupBy($"label")
+        .agg(max($"n").as("n"), max($"med2").as("med2"),
+          (max(when($"rn" === expr("(n + 1) div 2"), $"dv")) +
+            max(when($"rn" === expr("(n + 2) div 2"), $"dv"))).as("mad4"))
+      ev.join(broadcast(mad), Seq("label"))
+        .groupBy($"label")
+        .agg(max($"n").as("n"), max($"med2").as("med2"),
+          max($"mad4").as("mad4"),
+          sum(when(abs($"n2" * 2 - $"med2") * 2 > $"mad4" * 3, 1L)
+            .otherwise(0L)).cast("bigint").as("n_outliers"))
+    }),
+
+    // ---- SemDeDup: cluster-scoped semantic dedup, ε-acceptance sweep
+    // [Abbas et al., arXiv 2303.09540]: cluster the corpus, then
+    // remove near-duplicates WITHIN each cluster — the clustering
+    // bounds the quadratic pair term, which is the entire reason the
+    // method scales (the same cell-bounding as the q175 IVF). Pairs
+    // form only inside a k-means cell ([[kmeansCells]], shared with
+    // q175/q142); a vector is removed iff some SMALLER-id cell-mate
+    // has cosine ≥ ε (the deterministic one-pass keeper rule — the
+    // greedy ε-ball representative). Because ε is a tuning dial, the
+    // query runs the HOUSE ACCEPTANCE SWEEP (q163/q165/q204's rule):
+    // removal fraction per swept ε, with the shipped config = the
+    // STRICTEST ε still removing ≥1% of the corpus (falling back to
+    // the loosest swept ε on a corpus with no semantic dups — this
+    // near-random fixture reports honestly low removals). One
+    // cell-bounded pair join feeds every ε: the sweep aggregates the
+    // per-vector max-over-smaller-neighbors cosine, scanning pairs
+    // once, not once per ε.
+    "q213_semdedup_sweep" -> ((s, d) => {
+      import s.implicits._
+      val e = quantized(s, d).join(kmeansCells(s, d), "vec_id")
+      val a = e.select($"kcell", $"vec_id".as("a"), $"q".as("qa"),
+        $"n2".as("na"))
+      val b = e.select($"kcell", $"vec_id".as("b"), $"q".as("qb"),
+        $"n2".as("nb"))
+      val prevmax = a.join(b, Seq("kcell")).filter($"a" < $"b")
+        .select($"b", cosine("qa", "qb", "na", "nb").as("cos"))
+        .groupBy($"b").agg(max($"cos").as("pm"))
+      val nv = e.agg(count(lit(1)).as("n_vectors"))
+      val sweep = semdedupEpsGrid.map { epsX100 =>
+        prevmax.filter($"pm" >= lit(epsX100 / 100.0))
+          .agg(count(lit(1)).as("n_removed"))
+          .select(lit(epsX100.toLong).as("eps_x100"), $"n_removed")
+      }.reduce(_ unionAll _)
+        .crossJoin(broadcast(nv))
+        .select($"eps_x100", $"n_vectors", $"n_removed",
+          expr("(n_removed * 1000000L) div n_vectors").as("removed_ppm"))
+      val pick = sweep.agg(coalesce(
+        max(when($"removed_ppm" >= 10000L, $"eps_x100")),
+        min($"eps_x100")).as("ceps"))
+      sweep.crossJoin(broadcast(pick))
+        .select($"eps_x100", $"n_vectors", $"n_removed", $"removed_ppm",
+          when($"eps_x100" === $"ceps", 1L).otherwise(0L).as("chosen"))
     }))
+
+  /** The SemDeDup ε grid (cosine × 100) and its ≥1%-removal target. */
+  private val semdedupEpsGrid = Seq(20, 25, 30, 35, 40)
 
   private val dim = 64
   private val nPlanes = 8
@@ -1191,5 +1277,76 @@ object Similarity extends QueryPack {
         |SELECT pr.i, pr.j, count(*) AS n, CAST(sum(pr.p) AS BIGINT) AS s_xy,
         |  mi.s AS s_i, mj.s AS s_j
         |FROM pr JOIN m mi ON mi.i = pr.i JOIN m mj ON mj.i = pr.j
-        |GROUP BY pr.i, pr.j, mi.s, mj.s""".stripMargin)
+        |GROUP BY pr.i, pr.j, mi.s, mj.s""".stripMargin,
+
+    "q211_embedding_norm_audit" ->
+      s"""WITH $duckQuant,
+        |ev AS (SELECT CAST(label AS BIGINT) AS label, vec_id, n2 FROM n),
+        |r1 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY label ORDER BY n2, vec_id) AS rn,
+        |    count(*) OVER (PARTITION BY label) AS n
+        |  FROM ev),
+        |med AS (
+        |  SELECT label, max(n) AS n,
+        |    CAST(max(CASE WHEN rn = (n + 1) // 2 THEN n2 END)
+        |       + max(CASE WHEN rn = (n + 2) // 2 THEN n2 END) AS BIGINT) AS med2
+        |  FROM r1 GROUP BY 1),
+        |r2 AS (
+        |  SELECT ev.label, ev.vec_id, abs(ev.n2 * 2 - med.med2) AS dv,
+        |    med.n, med.med2,
+        |    row_number() OVER (PARTITION BY ev.label
+        |      ORDER BY abs(ev.n2 * 2 - med.med2), ev.vec_id) AS rn
+        |  FROM ev JOIN med USING (label)),
+        |mad AS (
+        |  SELECT label, max(n) AS n, max(med2) AS med2,
+        |    CAST(max(CASE WHEN rn = (n + 1) // 2 THEN dv END)
+        |       + max(CASE WHEN rn = (n + 2) // 2 THEN dv END) AS BIGINT) AS mad4
+        |  FROM r2 GROUP BY 1)
+        |SELECT ev.label, max(mad.n) AS n, max(mad.med2) AS med2,
+        |  max(mad.mad4) AS mad4,
+        |  CAST(sum(CASE WHEN abs(ev.n2 * 2 - mad.med2) * 2 > mad.mad4 * 3
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM ev JOIN mad USING (label)
+        |GROUP BY ev.label""".stripMargin,
+
+    // kmeans cell assignment (duckQ175's km CTE), then the
+    // smaller-id-dominates rule aggregated once and swept per ε
+    "q213_semdedup_sweep" ->
+      s"""WITH $duckQuant,
+        |$duckMeanCent,
+        |sc AS (
+        |  SELECT n.vec_id, CAST(cn.label AS BIGINT) AS kcell,
+        |    ${duckCos("n.qv", "cn.c", "n.n2", "cn.cn2")} AS cos
+        |  FROM n CROSS JOIN cn),
+        |km AS (
+        |  SELECT vec_id, kcell FROM (
+        |    SELECT vec_id, kcell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, kcell) AS rn
+        |    FROM sc) t WHERE rn = 1),
+        |e2 AS (SELECT n.vec_id, n.qv, n.n2, km.kcell FROM n JOIN km USING (vec_id)),
+        |prevmax AS (
+        |  SELECT y.vec_id AS b, max(${duckCos("x.qv", "y.qv", "x.n2", "y.n2")}) AS pm
+        |  FROM e2 x JOIN e2 y ON x.kcell = y.kcell AND x.vec_id < y.vec_id
+        |  GROUP BY y.vec_id),
+        |nv AS (SELECT count(*) AS n_vectors FROM e2),
+        |sweep AS (
+        |  SELECT g.eps_x100, nv.n_vectors,
+        |    CAST((SELECT count(*) FROM prevmax
+        |      WHERE pm >= CAST(g.eps_x100 AS DOUBLE) / 100) AS BIGINT)
+        |      AS n_removed
+        |  FROM (VALUES (20), (25), (30), (35), (40)) g(eps_x100)
+        |  CROSS JOIN nv),
+        |sw2 AS (
+        |  SELECT CAST(eps_x100 AS BIGINT) AS eps_x100, n_vectors, n_removed,
+        |    CAST((n_removed * 1000000) // n_vectors AS BIGINT) AS removed_ppm
+        |  FROM sweep),
+        |pick AS (
+        |  SELECT coalesce(
+        |    max(CASE WHEN removed_ppm >= 10000 THEN eps_x100 END),
+        |    min(eps_x100)) AS ceps
+        |  FROM sw2)
+        |SELECT eps_x100, n_vectors, n_removed, removed_ppm,
+        |  CASE WHEN eps_x100 = pick.ceps THEN CAST(1 AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS chosen
+        |FROM sw2 CROSS JOIN pick""".stripMargin)
 }

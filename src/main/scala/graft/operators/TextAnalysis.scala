@@ -417,6 +417,62 @@ object TextAnalysis extends QueryPack {
         .select($"doc_id", $"lang", $"n_tokens", $"n_distinct",
           expr("(n_tokens * n_tokens - s2) * 1000000L div " +
             "(n_tokens * n_tokens)").as("simpson_ppm"))
+    }),
+
+    // ---- chi-squared independence audit: lang × source --------------
+    // Is document language independent of crawl source? The corpus-
+    // composition forensic behind mixture planning (a source that
+    // over-supplies one language skews any lang-stratified sample
+    // drawn per source). Per contingency cell the exact χ² contribution
+    // (O − E)²/E = (O·N − R·C)²/(N·R·C), reported ×1e6 as an integer.
+    // The numerator (O·N − R·C)²·1e6 exceeds int64 once N > ~50k docs,
+    // so it promotes to DECIMAL(38,0)/HUGEINT before the floor
+    // division (both engines floor non-negative values identically) —
+    // the q203 wide-intermediate rule. One corpus hash agg produces
+    // the |langs|·|sources|-bounded cell table; marginals and N are
+    // tiny rollups of it, joined broadcast.
+    "q209_chi2_independence" -> ((s, d) => {
+      import s.implicits._
+      val cells = T.documents(s, d)
+        .groupBy($"lang", $"source").agg(count(lit(1)).as("o"))
+      val rows = cells.groupBy($"lang").agg(sum($"o").as("r"))
+      val cols = cells.groupBy($"source").agg(sum($"o").as("c"))
+      val tot = cells.agg(sum($"o").as("n"))
+      cells.join(broadcast(rows), "lang")
+        .join(broadcast(cols), "source")
+        .crossJoin(broadcast(tot))
+        .select($"lang", $"source", $"o", $"r", $"c", $"n",
+          expr("(CAST(o * n - r * c AS DECIMAL(38,0)) " +
+            "* CAST(o * n - r * c AS DECIMAL(38,0)) * 1000000) " +
+            "div (n * r * c)").cast("long").as("contrib_ppm"))
+    }),
+
+    // ---- Zipf power-law slope via floor-log2 regression -------------
+    // Does the corpus vocabulary follow a power law, and with what
+    // exponent? freq ∝ rank^(−s) ⟺ log2(freq) linear in log2(rank),
+    // fitted by the q178 OLS power sums over INTEGER floor-log2 points:
+    // floor(log2(x)) = length(bin(x)) − 1 — pure bit arithmetic,
+    // identical on both engines, no libm log whose last ulp could
+    // diverge. Vocabulary ranks come from a window over the post-agg
+    // term table (bounded by vocabulary size — q124 shows the band
+    // decomposition when even that is too wide). slope = num/den left
+    // unevaluated (exact-integer convention); s ≈ −num/den.
+    "q210_zipf_slope" -> ((s, d) => {
+      import s.implicits._
+      val counts = T.documents(s, d)
+        .select(explode(split($"text", " ")).as("w"))
+        .filter(length($"w") >= 1)
+        .groupBy($"w").agg(count(lit(1)).as("f"))
+      val wr = Window.orderBy($"f".desc, $"w")
+      counts.withColumn("rk", row_number().over(wr).cast("long"))
+        .select(expr("length(bin(rk)) - 1").cast("long").as("x"),
+          expr("length(bin(f)) - 1").cast("long").as("y"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum($"x").as("sum_x"), sum($"y").as("sum_y"),
+          sum($"x" * $"y").as("sum_xy"), sum($"x" * $"x").as("sum_x2"))
+        .select($"n_terms", $"sum_x", $"sum_y", $"sum_xy", $"sum_x2",
+          ($"n_terms" * $"sum_xy" - $"sum_x" * $"sum_y").as("slope_num"),
+          ($"n_terms" * $"sum_x2" - $"sum_x" * $"sum_x").as("slope_den"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -649,5 +705,42 @@ object TextAnalysis extends QueryPack {
         |  FROM words)
         |SELECT pair, CAST(sum(freq) AS BIGINT) AS n_occ,
         |  count(DISTINCT w) AS n_word_types
-        |FROM p GROUP BY pair""".stripMargin)
+        |FROM p GROUP BY pair""".stripMargin,
+
+    "q209_chi2_independence" ->
+      """WITH cells AS (
+        |  SELECT lang, source, count(*) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |rows_ AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |cols_ AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+        |SELECT lang, source, o, r, c, n,
+        |  CAST((CAST(o * n - r * c AS HUGEINT)
+        |    * CAST(o * n - r * c AS HUGEINT) * 1000000)
+        |    // (CAST(n AS HUGEINT) * r * c) AS BIGINT) AS contrib_ppm
+        |FROM cells
+        |JOIN rows_ USING (lang)
+        |JOIN cols_ USING (source)
+        |CROSS JOIN tot""".stripMargin,
+
+    "q210_zipf_slope" ->
+      """WITH counts AS (
+        |  SELECT w, count(*) AS f FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) u
+        |  WHERE length(w) >= 1 GROUP BY w),
+        |pts AS (
+        |  SELECT CAST(length(bin(row_number() OVER (ORDER BY f DESC, w))) - 1
+        |      AS BIGINT) AS x,
+        |    CAST(length(bin(f)) - 1 AS BIGINT) AS y
+        |  FROM counts),
+        |g AS (
+        |  SELECT count(*) AS n_terms,
+        |    CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+        |    CAST(sum(x * y) AS BIGINT) AS sum_xy,
+        |    CAST(sum(x * x) AS BIGINT) AS sum_x2
+        |  FROM pts)
+        |SELECT n_terms, sum_x, sum_y, sum_xy, sum_x2,
+        |  n_terms * sum_xy - sum_x * sum_y AS slope_num,
+        |  n_terms * sum_x2 - sum_x * sum_x AS slope_den
+        |FROM g""".stripMargin)
 }
