@@ -301,6 +301,65 @@ object Sketches extends QueryPack {
         .select($"ta", $"tb", $"inter", $"uni", $"est_union", $"est_inter",
           expr("round(abs(est_union - uni) * 1000000 / uni, 2)")
             .as("union_err_ppm"))
+    }),
+
+    // ---- HyperLogLog distinct estimation + mergeability + audit -----
+    // [Flajolet et al., AofA'07] — the OTHER canonical distinct
+    // sketch next to q43's KMV, here with the register bank built
+    // RELATIONALLY: register j's value is max(rank) over items
+    // hashing to j, i.e. one hash agg on (scope, j) — 32 rows per
+    // scope however large the corpus, merge = max per register (the
+    // union scope below is literally a re-agg of the per-type
+    // register TABLE, never the raw data — the sketch-mergeability
+    // demo). All arithmetic is engine-exact integers: the 60-bit
+    // portable hash splits into a 5-bit register index and a 55-bit
+    // suffix w whose rank = 55 − floor_log2(w) comes from bin()
+    // length (bit arithmetic, no libm); the harmonic denominator
+    // S = Σ 2^(56−reg) is an exact int64 (absent registers contribute
+    // 2^56 each), and the estimate α·m²·2^56/S runs through one
+    // DECIMAL(38)/HUGEINT floor division with α_32 = 0.697 fixed as
+    // ppm. m = 32 keeps the raw-formula validity bound 2.5m = 80
+    // well under the smallest fixture's distinct floor; the published
+    // ±1.04/√m (±18%) error and the small-range bias are exactly what
+    // the audit columns measure — est vs exact per scope, ppm error.
+    // Scopes are distinct customers per order status + their union.
+    "q214_hll_distinct" -> ((s, d) => {
+      import s.implicits._
+      GraftExtensions.ensureRegistered(s)
+      val ev = T.orders(s, d)
+        .select($"o_orderstatus".as("event_type"),
+          $"o_custkey".as("user_id"))
+      val regs = ev.distinct()
+        .select($"event_type", h60($"user_id").as("h"))
+        .select($"event_type",
+          expr("h div 36028797018963968").as("j"),
+          expr("h % 36028797018963968").as("w"))
+        .select($"event_type", $"j",
+          expr("CASE WHEN w = 0 THEN 56 ELSE 55 - (length(bin(w)) - 1) END")
+            .cast("long").as("rank"))
+        .groupBy($"event_type", $"j").agg(max($"rank").as("reg"))
+      val regsAll = regs.unionAll(
+        regs.groupBy($"j").agg(max($"reg").as("reg"))
+          .select(lit("ALL_UNION").as("event_type"), $"j", $"reg"))
+      val est = regsAll.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_regs"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(56 - reg AS INT))"))
+            .as("s_present"))
+        .select($"event_type",
+          ($"s_present" +
+            (lit(32L) - $"n_regs") * lit(72057594037927936L)).as("s"))
+        .select($"event_type",
+          expr("(CAST(697000 AS DECIMAL(38,0)) * 1024 * 72057594037927936)" +
+            " div (CAST(s AS DECIMAL(38,0)) * 1000000)").cast("long")
+            .as("est_hll"))
+      val exact = ev.groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("n_exact"))
+        .unionAll(ev.agg(countDistinct($"user_id").as("n_exact"))
+          .select(lit("ALL_UNION").as("event_type"), $"n_exact"))
+      est.join(exact, "event_type")
+        .select($"event_type".as("scope"), $"n_exact", $"est_hll",
+          expr("(abs(est_hll - n_exact) * 1000000L) div n_exact")
+            .as("err_ppm"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -532,5 +591,49 @@ object Sketches extends QueryPack {
         s"""SELECT '$fmt' AS fmt, count(*) AS n, ${Exact.sumMoneySql("o_totalprice")} AS total
            |FROM orders WHERE o_orderkey < 1000""".stripMargin
       one("csv") + "\nUNION ALL\n" + one("json") + "\nUNION ALL\n" + one("orc")
-    })
+    },
+
+    "q214_hll_distinct" ->
+      """WITH du AS (
+        |  SELECT DISTINCT o_orderstatus AS event_type, o_custkey AS user_id
+        |  FROM orders),
+        |hashed AS (
+        |  SELECT event_type,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM du),
+        |ranked AS (
+        |  SELECT event_type, h // 36028797018963968 AS j,
+        |    CASE WHEN h % 36028797018963968 = 0 THEN 56
+        |         ELSE 55 - (length(bin(h % 36028797018963968)) - 1)
+        |    END AS rank
+        |  FROM hashed),
+        |regs AS (
+        |  SELECT event_type, j, CAST(max(rank) AS BIGINT) AS reg
+        |  FROM ranked GROUP BY 1, 2),
+        |regs_all AS (
+        |  SELECT * FROM regs
+        |  UNION ALL
+        |  SELECT 'ALL_UNION' AS event_type, j, CAST(max(reg) AS BIGINT) AS reg
+        |  FROM regs GROUP BY j),
+        |s AS (
+        |  SELECT event_type,
+        |    CAST(sum(CAST(1 AS BIGINT) << CAST(56 - reg AS INT)) AS BIGINT)
+        |      + (32 - count(*)) * 72057594037927936 AS s
+        |  FROM regs_all GROUP BY 1),
+        |est AS (
+        |  SELECT event_type,
+        |    CAST((CAST(697000 AS HUGEINT) * 1024 * 72057594037927936)
+        |      // (CAST(s AS HUGEINT) * 1000000) AS BIGINT) AS est_hll
+        |  FROM s),
+        |exact AS (
+        |  SELECT o_orderstatus AS event_type,
+        |    count(DISTINCT o_custkey) AS n_exact
+        |  FROM orders GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'ALL_UNION', count(DISTINCT o_custkey) FROM orders)
+        |SELECT est.event_type AS scope, exact.n_exact, est.est_hll,
+        |  CAST((abs(est.est_hll - exact.n_exact) * 1000000) // exact.n_exact
+        |    AS BIGINT) AS err_ppm
+        |FROM est JOIN exact ON est.event_type = exact.event_type""".stripMargin)
 }

@@ -74,7 +74,12 @@ class DeterminismSpec extends AnyFunSuite {
     "q198_ivf_incremental", "q199_graph_epoch_churn",
     "q200_feature_bin_lift", "q201_cusum_drift", "q202_benford_audit",
     "q203_modularity", "q204_session_gap_audit",
-    "q205_conversion_latency")
+    "q205_conversion_latency",
+    // round 11: rank statistics, contingency audit, bit-log regression,
+    // iterative bipartite fixpoint, cell-bounded semantic dedup
+    "q206_gini_concentration", "q207_rfm_segments",
+    "q208_mannwhitney_u", "q209_chi2_independence", "q210_zipf_slope",
+    "q211_embedding_norm_audit", "q212_hits", "q213_semdedup_sweep")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count
