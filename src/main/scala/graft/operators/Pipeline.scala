@@ -1046,6 +1046,46 @@ object Pipeline extends QueryPack {
           sum($"na" * $"r2").cast("bigint").as("r2_sum"))
         .select($"arm", $"n_users", $"r2_sum",
           ($"r2_sum" - $"n_users" * ($"n_users" + lit(1L))).as("u2"))
+    }),
+
+    // ---- DSIR-style importance scoring for targeted curation --------
+    // [Xie et al., "Data Selection for LMs via Importance Resampling",
+    // NeurIPS'23]: score every raw document by how much it resembles a
+    // TARGET distribution, using hashed token features — here the
+    // target is the corpus's English slice (language-targeted
+    // selection), features are tokens hashed into 1024 buckets (the
+    // paper's hashed n-gram table), and the per-doc score is the MEAN
+    // per-token probability ratio p_target(b)/p_raw(b) in exact ppm —
+    // the integer-stable stand-in for the paper's mean log-ratio
+    // (monotone-equivalent ranking per token, no libm). Shape at
+    // 100 TB: the bucket tables are ≤1024 rows however large the
+    // corpus (map-side combinable aggs), the ratio table joins back
+    // BROADCAST onto the token stream (narrow), and the only
+    // corpus-scale shuffle is the per-doc mean keyed on doc_id.
+    // Overflow bound: ct·T_r·1e6 needs T_r·max_ct under ~9e12 — past
+    // ~sf10 the ratio numerator promotes to decimal(38,0), the aggs
+    // never change. Buckets unseen in the target score 0 (left join
+    // + fill), matching the resampler's zero-weight behavior.
+    "q215_dsir_importance" -> ((s, d) => {
+      import s.implicits._
+      val toks = T.documents(s, d)
+        .select($"doc_id", $"lang", explode(split($"text", " ")).as("w"))
+        .withColumn("b", pmod(hash60($"w"), lit(1024L)))
+      val raw = toks.groupBy($"b").agg(count(lit(1)).as("cr"))
+      val tgt = toks.filter($"lang" === "en")
+        .groupBy($"b").agg(count(lit(1)).as("ct"))
+      val tot = raw.agg(sum($"cr").as("t_r"))
+        .crossJoin(tgt.agg(sum($"ct").as("t_t")))
+      val rat = raw.join(tgt, Seq("b"), "left")
+        .na.fill(0L, Seq("ct"))
+        .crossJoin(broadcast(tot))
+        .select($"b", expr("(ct * t_r * 1000000L) div (cr * t_t)").as("r_ppm"))
+      toks.join(broadcast(rat), "b")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum($"r_ppm").as("sum_r"))
+        .select($"doc_id", $"n_tokens",
+          expr("sum_r div n_tokens").as("dsir_score_ppm"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -1635,5 +1675,28 @@ object Pipeline extends QueryPack {
         |SELECT arm, CAST(sum(na) AS BIGINT) AS n_users,
         |  CAST(sum(na * r2) AS BIGINT) AS r2_sum,
         |  CAST(sum(na * r2) - sum(na) * (sum(na) + 1) AS BIGINT) AS u2
-        |FROM arms GROUP BY arm""".stripMargin)
+        |FROM arms GROUP BY arm""".stripMargin,
+
+    "q215_dsir_importance" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 1024 AS b
+        |  FROM (
+        |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) u),
+        |raw AS (SELECT b, count(*) AS cr FROM toks GROUP BY b),
+        |tgt AS (SELECT b, count(*) AS ct FROM toks WHERE lang = 'en' GROUP BY b),
+        |tot AS (
+        |  SELECT (SELECT count(*) FROM toks) AS t_r,
+        |    (SELECT count(*) FROM toks WHERE lang = 'en') AS t_t),
+        |rat AS (
+        |  SELECT raw.b,
+        |    CAST((coalesce(ct, 0) * t_r * 1000000) // (cr * t_t) AS BIGINT)
+        |      AS r_ppm
+        |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(CAST(sum(r_ppm) AS BIGINT) // count(*) AS BIGINT)
+        |    AS dsir_score_ppm
+        |FROM toks JOIN rat ON toks.b = rat.b
+        |GROUP BY doc_id""".stripMargin)
 }

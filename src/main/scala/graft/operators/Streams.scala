@@ -1015,6 +1015,65 @@ object Streams extends QueryPack {
       s.read.parquet(s"$root/g${gen.get()}")
         .select(col("user_id"), col("ts_us").as("last_ts_us"),
           col("event_id").as("last_event_id"), col("event_type").as("last_event_type"))
+    }),
+
+    // Streaming EWMA anomaly alerts — the real-time fraud/spike
+    // monitor every event pipeline ends up needing, and the streaming
+    // form of q108's exact-integer EWMA recurrence: per user,
+    // ewma' = (3·ewma + v) div 4 over purchase cents, initialized to
+    // the first observed value, and an ALERT row is emitted whenever a
+    // purchase exceeds 4× the ewma-so-far (checked BEFORE the update —
+    // the score an online monitor would have had at arrival time).
+    // Determinism across the batch topology: the shard fixture keys on
+    // user_id and seeds in event_id order, the source guarantees
+    // per-shard order (S-item), and the handler sorts each batch's
+    // rows by event_id — so every user's fold runs in event_id order
+    // no matter where micro-batch boundaries fall (the fixture-derived
+    // cap forces ~4 batches). flatMapGroupsWithState in append mode
+    // (0..N emissions per group per batch — alerts, not aggregates);
+    // state is one (n, ewma) long pair per user, bounded and
+    // timeout-evictable at 100 TB key cardinalities. Negative or null
+    // values are excluded up front: the floor recurrence is div-vs-//
+    // portable only on non-negative operands (the house signed-floor
+    // rule). The oracle replays the identical fold per user with
+    // list_reduce over the event_id-ordered purchase list.
+    "s25_stream_ewma_alerts" -> ((s, d) => {
+      import s.implicits._
+      val name = s"events_rt_${sfx(d)}" // same fixture as s01/s10
+      seedEventsJson(s, d, name, numShards = 4)
+      val cap = math.max(1000L, T.events(s, d).count() / 4)
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", cap.toString)
+        .load()
+      val ev = raw.select(
+        from_json(col("data").cast("string"), payloadSchema).as("e"))
+        .filter(col("e.event_type") === "purchase")
+        .select(col("e.user_id").as("user_id"),
+          col("e.event_id").as("event_id"),
+          expr("CAST(round(e.value * 100) AS BIGINT)").as("v_c"))
+        .filter(col("v_c") >= 0)
+        .as[(Long, Long, Long)]
+      val alerts = ev.groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+          (uid: Long, rows: Iterator[(Long, Long, Long)],
+           st: GroupState[(Long, Long)]) =>
+            val sorted = rows.toSeq.sortBy(_._2)
+            var (n, ew) = st.getOption.getOrElse((0L, 0L))
+            val out = Seq.newBuilder[(Long, Long, Long, Long)]
+            sorted.foreach { case (_, eid, v) =>
+              if (n == 0L) { ew = v; n = 1L }
+              else {
+                if (v > 4L * ew) out += ((uid, eid, v, ew))
+                ew = (ew * 3L + v) / 4L
+                n += 1L
+              }
+            }
+            st.update((n, ew))
+            out.result().iterator
+        }.toDF("user_id", "event_id", "v_c", "ewma_before")
+      drain(s, alerts)
     }))
 
   def oracles: Map[String, String] = Map(
@@ -1241,5 +1300,35 @@ object Streams extends QueryPack {
       """SELECT CAST(user_id AS VARCHAR) AS partition_key, count(*) AS n,
         |  min(event_id) AS first_eid, max(event_id) AS last_eid
         |FROM events WHERE event_type = 'purchase'
-        |GROUP BY user_id""".stripMargin)
+        |GROUP BY user_id""".stripMargin,
+
+    // the s25 fold replayed per user over the event_id-ordered
+    // purchase list: ewma_before(i) = list_reduce of the first i-1
+    // values (DuckDB's reduce seeds with the first element — the same
+    // first-value initialization the stream handler uses)
+    "s25_stream_ewma_alerts" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS v_c
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND CAST(round(value * 100) AS BIGINT) >= 0),
+        |lists AS (
+        |  SELECT user_id,
+        |    list(v_c ORDER BY event_id) AS vs,
+        |    list(event_id ORDER BY event_id) AS eids
+        |  FROM p GROUP BY user_id),
+        |alerts AS (
+        |  SELECT user_id,
+        |    unnest(list_filter(
+        |      list_transform(range(2, len(vs) + 1),
+        |        i -> struct_pack(
+        |          eid := eids[CAST(i AS INT)],
+        |          v := vs[CAST(i AS INT)],
+        |          ew := list_reduce(list_slice(vs, 1, CAST(i AS INT) - 1),
+        |            (a, x) -> (a * 3 + x) // 4))),
+        |      t -> t.v > 4 * t.ew)) AS a
+        |  FROM lists WHERE len(vs) >= 2)
+        |SELECT user_id, a.eid AS event_id, a.v AS v_c,
+        |  CAST(a.ew AS BIGINT) AS ewma_before
+        |FROM alerts""".stripMargin)
 }
