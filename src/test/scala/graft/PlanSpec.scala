@@ -107,7 +107,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q204_session_gap_audit",
     // q175: the k-row centroid assignment pass (q79's bounded-side
     // Lloyd shape)
-    "q175_ann_kmeans_ivf")
+    "q175_ann_kmeans_ivf",
+    // q209: the 1-row corpus-total scalar crossed onto the
+    // |langs|·|sources|-bounded contingency cell table
+    "q209_chi2_independence",
+    // q212: the 1-row max-normalizer scalar per HITS iteration (and
+    // the final hub max) crossed onto the |V|-row state
+    "q212_hits",
+    // q213: the 1-row n_vectors scalar and the 1-row chosen-epsilon
+    // scalar crossed onto the 5-row sweep report
+    "q213_semdedup_sweep",
+    // q215: the 1-row token-total scalar crossed onto the 1024-row
+    // bucket-ratio table
+    "q215_dsir_importance")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()

@@ -98,4 +98,30 @@ class SubstrateSpec extends AnyFunSuite with BeforeAndAfterAll {
       != org.apache.spark.storage.StorageLevel.NONE,
       "coocDeg did not re-mark its persist after clearCache")
   }
+
+  test("lpaLabels is memoized and its blocks survive clearCache") {
+    // q164 reports the labels and q203 scores them; sharing requires
+    // (a) memo identity and (b) the fixpoint's localCheckpoint blocks
+    // surviving harness cache clearing (RDD-level persist, not a
+    // CacheManager entry)
+    val a = operators.Relational.lpaLabels(spark, dir)
+    assert(a eq operators.Relational.lpaLabels(spark, dir),
+      "lpaLabels: memo must return the identical instance")
+    val rows = a.count()
+    spark.catalog.clearCache()
+    val again = operators.Relational.lpaLabels(spark, dir)
+    assert(again eq a, "memo entry lost after clearCache")
+    assert(again.count() == rows, "labels changed after clearCache")
+  }
+
+  test("bipartiteEdges is memoized with a self-healing persist") {
+    val a = operators.Relational.bipartiteEdges(spark, dir)
+    assert(a eq operators.Relational.bipartiteEdges(spark, dir),
+      "bipartiteEdges: memo must return the identical instance")
+    assert(a.storageLevel != StorageLevel.NONE, "not persisted")
+    spark.catalog.clearCache()
+    assert(operators.Relational.bipartiteEdges(spark, dir).storageLevel
+      != StorageLevel.NONE,
+      "bipartiteEdges did not re-mark its persist after clearCache")
+  }
 }
