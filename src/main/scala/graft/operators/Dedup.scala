@@ -637,6 +637,64 @@ object Dedup extends QueryPack {
         .select($"noun", $"adj_a", $"adj_b",
           ($"n_a" * $"n_b").cast("long").as("pair_weight"),
           least($"canon_a", $"canon_b").as("canon_key"))
+    }),
+
+    // ---- blocking-quality audit: reduction ratio vs completeness ----
+    // The acceptance audit for q177's blocking choice [Christen, "Data
+    // Matching", Springer'12 — the standard blocking metrics]: every
+    // blocking scheme trades CANDIDATE REDUCTION (how many of the
+    // K·(K−1)/2 key pairs it avoids scoring) against PAIR COMPLETENESS
+    // (what fraction of true matches it still co-blocks). Ground truth
+    // = q177's own match rule (same noun, levenshtein(adj) ≤ 2);
+    // audited schemes: the shipped noun block (complete by
+    // construction), adj-first-char, noun+first-char, and
+    // noun+length-bucket — the last two are cheaper and measurably
+    // LOSSY (cold~old co-blocks on noun but not on first char). All
+    // arithmetic runs over the vocabulary-bounded distinct-key table
+    // (the q177 collapse — a few hundred rows at ANY corpus scale), so
+    // the audit costs nothing even at 100 TB.
+    "q216_blocking_audit" -> ((s, d) => {
+      import s.implicits._
+      val keys = T.part(s, d)
+        .select(split($"p_name", " ").as("t"))
+        .select($"t".getItem(0).as("adj"), $"t".getItem(1).as("noun"))
+        .distinct()
+      val truth = keys.select($"noun", $"adj".as("adj_a"))
+        .join(keys.select($"noun", $"adj".as("adj_b")), Seq("noun"))
+        .filter($"adj_a" < $"adj_b" && levenshtein($"adj_a", $"adj_b") <= 2)
+        .select($"noun", $"adj_a", $"adj_b")
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      val allPairs = keys.agg(count(lit(1)).as("nk"))
+        .select(expr("(nk * (nk - 1)) div 2").as("all_pairs"))
+      def blockOf(scheme: String, adj: org.apache.spark.sql.Column,
+                  noun: org.apache.spark.sql.Column) = scheme match {
+        case "noun"        => noun
+        case "first_char"  => substring(adj, 1, 1)
+        case "noun_first"  => concat_ws("|", noun, substring(adj, 1, 1))
+        case "noun_lenbin" => concat_ws("|", noun,
+          expr("CAST(length(adj) div 3 AS STRING)"))
+      }
+      Seq("noun", "first_char", "noun_first", "noun_lenbin").map { sc =>
+        val blocked = keys.withColumn("blk", blockOf(sc, $"adj", $"noun"))
+        val cand = blocked.groupBy($"blk").agg(count(lit(1)).as("k"))
+          .agg(sum(expr("(k * (k - 1)) div 2")).cast("long").as("n_candidates"),
+            count(lit(1)).as("n_blocks"))
+        val captured = truth
+          .join(blocked.select($"adj".as("adj_a"), $"noun", $"blk".as("ba")),
+            Seq("noun", "adj_a"))
+          .join(blocked.select($"adj".as("adj_b"), $"noun", $"blk".as("bb")),
+            Seq("noun", "adj_b"))
+          .filter($"ba" === $"bb")
+          .agg(count(lit(1)).as("n_captured"))
+        cand.crossJoin(captured).crossJoin(broadcast(nTruth))
+          .crossJoin(broadcast(allPairs))
+          .select(lit(sc).as("scheme"), $"n_blocks", $"n_candidates",
+            $"n_truth", $"n_captured",
+            expr("((all_pairs - n_candidates) * 1000000L) div all_pairs")
+              .as("reduction_ppm"),
+            expr("(n_captured * 1000000L) div n_truth")
+              .as("completeness_ppm"))
+      }.reduce(_ unionAll _)
     }))
 
   def oracles: Map[String, String] = Map(
@@ -651,6 +709,53 @@ object Dedup extends QueryPack {
         |  least(a.canon, b.canon) AS canon_key
         |FROM n a JOIN n b ON a.noun = b.noun AND a.adj < b.adj
         |WHERE levenshtein(a.adj, b.adj) <= 2""".stripMargin,
+
+    "q216_blocking_audit" ->
+      """WITH keys AS (
+        |  SELECT DISTINCT split_part(p_name, ' ', 1) AS adj,
+        |    split_part(p_name, ' ', 2) AS noun
+        |  FROM part),
+        |truth AS (
+        |  SELECT a.noun, a.adj AS adj_a, b.adj AS adj_b
+        |  FROM keys a JOIN keys b ON a.noun = b.noun AND a.adj < b.adj
+        |  WHERE levenshtein(a.adj, b.adj) <= 2),
+        |nt AS (SELECT count(*) AS n_truth FROM truth),
+        |ap AS (
+        |  SELECT (count(*) * (count(*) - 1)) // 2 AS all_pairs FROM keys),
+        |blocked AS (
+        |  SELECT adj, noun, s.scheme,
+        |    CASE s.scheme
+        |      WHEN 'noun' THEN noun
+        |      WHEN 'first_char' THEN substr(adj, 1, 1)
+        |      WHEN 'noun_first' THEN noun || '|' || substr(adj, 1, 1)
+        |      WHEN 'noun_lenbin' THEN noun || '|' ||
+        |        CAST(length(adj) // 3 AS VARCHAR)
+        |    END AS blk
+        |  FROM keys CROSS JOIN (VALUES ('noun'), ('first_char'),
+        |    ('noun_first'), ('noun_lenbin')) s(scheme)),
+        |cand AS (
+        |  SELECT scheme,
+        |    CAST(sum((k * (k - 1)) // 2) AS BIGINT) AS n_candidates,
+        |    count(*) AS n_blocks
+        |  FROM (SELECT scheme, blk, count(*) AS k
+        |        FROM blocked GROUP BY 1, 2) g
+        |  GROUP BY scheme),
+        |cap AS (
+        |  SELECT ba.scheme, count(*) AS n_captured
+        |  FROM truth t
+        |  JOIN blocked ba ON ba.noun = t.noun AND ba.adj = t.adj_a
+        |  JOIN blocked bb ON bb.noun = t.noun AND bb.adj = t.adj_b
+        |    AND bb.scheme = ba.scheme
+        |  WHERE ba.blk = bb.blk
+        |  GROUP BY ba.scheme)
+        |SELECT cand.scheme, n_blocks, n_candidates, nt.n_truth,
+        |  CAST(coalesce(cap.n_captured, 0) AS BIGINT) AS n_captured,
+        |  CAST(((ap.all_pairs - n_candidates) * 1000000) // ap.all_pairs
+        |    AS BIGINT) AS reduction_ppm,
+        |  CAST((coalesce(cap.n_captured, 0) * 1000000) // nt.n_truth
+        |    AS BIGINT) AS completeness_ppm
+        |FROM cand LEFT JOIN cap ON cap.scheme = cand.scheme
+        |CROSS JOIN nt CROSS JOIN ap""".stripMargin,
 
     "q76_dup_spans" ->
       """WITH w AS (

@@ -1770,6 +1770,40 @@ object Relational extends QueryPack {
         .unionAll(hub0.crossJoin(broadcast(hmax))
           .select(lit("hub").as("side"), $"c".as("id"),
             expr("(h * 1000000L) div hm").as("score_ppm")))
+    }),
+
+    // ---- exact weighted median per brand ----------------------------
+    // The quantity-weighted median sale price per part brand — the
+    // robust center that volume-weights every transaction (q100's
+    // order-statistic family extended with weights; a plain median
+    // over-counts small orders). Lower weighted median: the smallest
+    // price whose cumulative weight reaches half the total,
+    // 2·cumw ≥ W as an exact integer inequality. Shape: one corpus
+    // hash agg to the (brand, price) weight table, then brand-
+    // partitioned cumulative windows over that BOUNDED table (distinct
+    // prices per brand, not rows) — the same band decomposition as
+    // q154's prefix sums; no global window anywhere. Prices quantized
+    // to whole dollars (half-up from exact cents), weights are the
+    // integral l_quantity — both non-negative, so div == //.
+    "q217_weighted_median" -> ((s, d) => {
+      import s.implicits._
+      val pts = T.lineitem(s, d)
+        .join(T.part(s, d).select($"p_partkey", $"p_brand"),
+          $"l_partkey" === $"p_partkey")
+        .select($"p_brand",
+          expr("(CAST(round(l_extendedprice * 100) AS BIGINT) + 50) div 100")
+            .as("price_d"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("w"))
+      val grp = pts.groupBy($"p_brand", $"price_d").agg(sum($"w").as("wv"))
+      val wc = Window.partitionBy($"p_brand").orderBy($"price_d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grp.withColumn("cumw", sum($"wv").over(wc))
+        .withColumn("w_total",
+          sum($"wv").over(Window.partitionBy($"p_brand")))
+        .filter($"cumw" * 2 >= $"w_total")
+        .groupBy($"p_brand")
+        .agg(max($"w_total").cast("bigint").as("w_total"),
+          min($"price_d").as("wmedian_dollars"))
     })
   )
 
@@ -2626,6 +2660,28 @@ object Relational extends QueryPack {
         |UNION ALL
         |SELECT 'hub' AS side, c AS id,
         |  CAST((h * 1000000) // (SELECT max(h) FROM hub0) AS BIGINT) AS score_ppm
-        |FROM hub0""".stripMargin
+        |FROM hub0""".stripMargin,
+
+    "q217_weighted_median" ->
+      """WITH pts AS (
+        |  SELECT p_brand,
+        |    (CAST(round(l_extendedprice * 100) AS BIGINT) + 50) // 100
+        |      AS price_d,
+        |    CAST(round(l_quantity) AS BIGINT) AS w
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |grp AS (
+        |  SELECT p_brand, price_d, CAST(sum(w) AS BIGINT) AS wv
+        |  FROM pts GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT p_brand, price_d,
+        |    CAST(sum(wv) OVER (PARTITION BY p_brand ORDER BY price_d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cumw,
+        |    CAST(sum(wv) OVER (PARTITION BY p_brand) AS BIGINT) AS w_total
+        |  FROM grp)
+        |SELECT p_brand, max(w_total) AS w_total,
+        |  min(price_d) AS wmedian_dollars
+        |FROM cum WHERE cumw * 2 >= w_total
+        |GROUP BY p_brand""".stripMargin
   )
 }
