@@ -116,6 +116,17 @@ import graft.operators._
   * diversity), layout/integrity (q179 zone maps, q182 FD audit, q185
   * token apportionment), streaming (s22 chained windows, s23
   * join-then-window, s24).
+  *
+  * Round-11 widening (SURVEY.md §8): statistics (q206 Gini
+  * concentration, q207 RFM segmentation, q208 Mann–Whitney U rank-sum
+  * test, q209 chi-squared independence audit, q217 exact weighted
+  * median), graph (q212 HITS hubs/authorities via the auth-only
+  * two-hop fixpoint), sketches (q214 HyperLogLog with relational
+  * register banks + audit), text/curation (q210 Zipf slope on
+  * floor-log2 points, q215 DSIR importance scoring, q213 SemDeDup
+  * ε-acceptance sweep, q216 blocking-quality audit, q211 embedding
+  * norm outlier audit), streaming (s25 EWMA anomaly alerts). q164's
+  * converged LPA labels became a shared substrate scored by q203.
   */
 object SparkEntry {
 
