@@ -1086,6 +1086,37 @@ object Pipeline extends QueryPack {
           sum($"r_ppm").as("sum_r"))
         .select($"doc_id", $"n_tokens",
           expr("sum_r div n_tokens").as("dsir_score_ppm"))
+    }),
+
+    // ---- importance-weighted source mixture (q215 acted on) ---------
+    // The acceptance-loop rule applied to the DSIR audit: q215 SCORES
+    // documents against the target distribution; this query ACTS on
+    // those scores by reweighting the source mixture — each source's
+    // sampling share is proportional to its total importance mass, so
+    // target-resembling sources are upsampled exactly as importance
+    // resampling prescribes (the source-grain form of the paper's
+    // per-doc resampling). Shares are exact ppm integers that sum to
+    // precisely 1e6 via the q185 largest-remainder apportionment;
+    // everything below the q215 composition runs on the |sources|-row
+    // post-agg table (global windows above aggregates, 20 rows).
+    "q218_dsir_mixture" -> ((s, d) => {
+      import s.implicits._
+      val B = 1000000L
+      val scored = queries("q215_dsir_importance")(s, d)
+        .join(T.documents(s, d).select($"doc_id", $"source"), "doc_id")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"dsir_score_ppm").as("w"))
+      val tot = scored.agg(sum($"w").as("total"))
+      val wAll = Window.partitionBy()
+      val wRank = Window.partitionBy().orderBy($"rem_num".desc, $"source")
+      scored.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"w * ${B}L div total"))
+        .withColumn("rem_num", expr(s"w * ${B}L - base * total"))
+        .withColumn("leftover", lit(B) - sum($"base").over(wAll))
+        .withColumn("rk", row_number().over(wRank).cast("bigint"))
+        .select($"source", $"n_docs", $"w",
+          ($"base" + when($"rk" <= $"leftover", 1L).otherwise(0L))
+            .as("share_ppm"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -1698,5 +1729,45 @@ object Pipeline extends QueryPack {
         |  CAST(CAST(sum(r_ppm) AS BIGINT) // count(*) AS BIGINT)
         |    AS dsir_score_ppm
         |FROM toks JOIN rat ON toks.b = rat.b
-        |GROUP BY doc_id""".stripMargin)
+        |GROUP BY doc_id""".stripMargin,
+
+    "q218_dsir_mixture" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 1024 AS b
+        |  FROM (
+        |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) u),
+        |raw AS (SELECT b, count(*) AS cr FROM toks GROUP BY b),
+        |tgt AS (SELECT b, count(*) AS ct FROM toks WHERE lang = 'en' GROUP BY b),
+        |tot AS (
+        |  SELECT (SELECT count(*) FROM toks) AS t_r,
+        |    (SELECT count(*) FROM toks WHERE lang = 'en') AS t_t),
+        |rat AS (
+        |  SELECT raw.b,
+        |    CAST((coalesce(ct, 0) * t_r * 1000000) // (cr * t_t) AS BIGINT)
+        |      AS r_ppm
+        |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot),
+        |docsc AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(sum(r_ppm) AS BIGINT) // count(*) AS BIGINT) AS sc
+        |  FROM toks JOIN rat ON toks.b = rat.b GROUP BY doc_id),
+        |srcw AS (
+        |  SELECT d.source, count(*) AS n_docs, CAST(sum(sc) AS BIGINT) AS w
+        |  FROM docsc JOIN documents d USING (doc_id) GROUP BY 1),
+        |tw AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM srcw),
+        |app AS (
+        |  SELECT source, n_docs, w,
+        |    w * 1000000 // total AS base,
+        |    w * 1000000 - (w * 1000000 // total) * total AS rem_num
+        |  FROM srcw CROSS JOIN tw),
+        |fin AS (
+        |  SELECT *,
+        |    CAST(1000000 - sum(base) OVER () AS BIGINT) AS leftover,
+        |    row_number() OVER (ORDER BY rem_num DESC, source) AS rk
+        |  FROM app)
+        |SELECT source, n_docs, w,
+        |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |    AS share_ppm
+        |FROM fin""".stripMargin)
 }

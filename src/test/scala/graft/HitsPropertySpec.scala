@@ -34,7 +34,10 @@ class HitsPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
   /** Sequential reference: identical two-hop recurrence with the same
-    * first-repeated-state stopping rule as iterateToFixpointPpm. */
+    * tolerance stopping rule as iterateToFixpointPpm(tolPpm = 1) —
+    * stop at the successor of the first transition whose largest
+    * per-vertex move is <= 1 ppm (the floor-rounding oscillation
+    * cure), capped identically. */
   private def reference(edges: Set[(Long, Long)],
                         maxIters: Int = 16): Map[Long, Long] = {
     val byC = edges.groupBy(_._1).map { case (c, es) => c -> es.map(_._2) }
@@ -47,7 +50,7 @@ class HitsPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       val s = byP.map { case (p, cs) => p -> cs.toSeq.map(h).sum }
       val mx = s.values.max
       val next = s.map { case (p, sp) => p -> sp * 1000000L / mx }
-      done = next == auth
+      done = next.forall { case (v, np) => (np - auth(v)).abs <= 1L }
       auth = next
       it += 1
     }

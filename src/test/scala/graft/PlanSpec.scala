@@ -119,7 +119,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q213_semdedup_sweep",
     // q215: the 1-row token-total scalar crossed onto the 1024-row
     // bucket-ratio table
-    "q215_dsir_importance")
+    "q215_dsir_importance",
+    // q216: the 1-row truth-count and all-pairs scalars crossed onto
+    // the per-scheme 1-row candidate/capture aggregates
+    "q216_blocking_audit",
+    // q218: q215's composition plus the 1-row weight-total scalar
+    // crossed onto the |sources|-row mixture table
+    "q218_dsir_mixture")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
