@@ -1117,6 +1117,45 @@ object Pipeline extends QueryPack {
         .select($"source", $"n_docs", $"w",
           ($"base" + when($"rk" <= $"leftover", 1L).otherwise(0L))
             .as("share_ppm"))
+    }),
+
+    // ---- token-budget-capped curation selection ---------------------
+    // The last step of score-and-select curation: given q215's
+    // importance scores and a token budget (DATA-DERIVED: 10% of
+    // corpus tokens — the house rule against magic constants), take
+    // documents greedily by (score DESC, doc_id) until the budget is
+    // exhausted — the deterministic greedy knapsack every "train on
+    // the best N tokens" pipeline runs. The global prefix sum is
+    // BAND-DECOMPOSED (q124/q154's pattern): cumulative tokens BEFORE
+    // each distinct score value come from the bounded score-band
+    // table's window, within-band cumulation partitions ON the score
+    // value — no single-partition window ever sees corpus-scale rows.
+    // A doc is selected iff its band prefix + within-band prefix fits
+    // the budget. Output: per-source selected counts/tokens — the
+    // realized mixture the budget implies (compare q218's target
+    // shares).
+    "q221_budget_selection" -> ((s, d) => {
+      import s.implicits._
+      val scored = queries("q215_dsir_importance")(s, d)
+        .join(T.documents(s, d).select($"doc_id", $"source"), "doc_id")
+        .select($"doc_id", $"source", $"n_tokens",
+          $"dsir_score_ppm".as("sc"))
+      val budget = scored.agg(expr("sum(n_tokens) div 10").as("budget_toks"))
+      val wBand = Window.orderBy($"sc".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bands = scored.groupBy($"sc").agg(sum($"n_tokens").as("bt"))
+        .withColumn("cum_le", sum($"bt").over(wBand))
+        .select($"sc", ($"cum_le" - $"bt").as("cum_before"))
+      val wIn = Window.partitionBy($"sc").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      scored.withColumn("wc", sum($"n_tokens").over(wIn))
+        .join(bands, "sc")
+        .crossJoin(broadcast(budget))
+        .filter($"cum_before" + $"wc" <= $"budget_toks")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_selected"),
+          sum($"n_tokens").cast("bigint").as("tokens_selected"),
+          max($"budget_toks").as("budget_toks"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -1769,5 +1808,53 @@ object Pipeline extends QueryPack {
         |SELECT source, n_docs, w,
         |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
         |    AS share_ppm
-        |FROM fin""".stripMargin)
+        |FROM fin""".stripMargin,
+
+    "q221_budget_selection" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 1024 AS b
+        |  FROM (
+        |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) u),
+        |raw AS (SELECT b, count(*) AS cr FROM toks GROUP BY b),
+        |tgt AS (SELECT b, count(*) AS ct FROM toks WHERE lang = 'en' GROUP BY b),
+        |tot AS (
+        |  SELECT (SELECT count(*) FROM toks) AS t_r,
+        |    (SELECT count(*) FROM toks WHERE lang = 'en') AS t_t),
+        |rat AS (
+        |  SELECT raw.b,
+        |    CAST((coalesce(ct, 0) * t_r * 1000000) // (cr * t_t) AS BIGINT)
+        |      AS r_ppm
+        |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot),
+        |docsc AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    CAST(CAST(sum(r_ppm) AS BIGINT) // count(*) AS BIGINT) AS sc
+        |  FROM toks JOIN rat ON toks.b = rat.b GROUP BY doc_id),
+        |scored AS (
+        |  SELECT s.doc_id, d.source, s.n_tokens, s.sc
+        |  FROM docsc s JOIN documents d USING (doc_id)),
+        |bud AS (SELECT CAST(sum(n_tokens) AS BIGINT) // 10 AS budget_toks
+        |        FROM scored),
+        |bands AS (
+        |  SELECT sc,
+        |    CAST(sum(bt) OVER (ORDER BY sc DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - bt AS cum_before
+        |  FROM (SELECT sc, CAST(sum(n_tokens) AS BIGINT) AS bt
+        |        FROM scored GROUP BY sc) g),
+        |sel AS (
+        |  SELECT s.source, s.n_tokens, bud.budget_toks
+        |  FROM (
+        |    SELECT scored.*,
+        |      CAST(sum(n_tokens) OVER (PARTITION BY sc ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |        AS wc
+        |    FROM scored) s
+        |  JOIN bands ON bands.sc = s.sc CROSS JOIN bud
+        |  WHERE bands.cum_before + s.wc <= bud.budget_toks)
+        |SELECT source, count(*) AS n_selected,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens_selected,
+        |  max(budget_toks) AS budget_toks
+        |FROM sel GROUP BY source""".stripMargin)
 }

@@ -167,7 +167,7 @@ object Relational extends QueryPack {
     * pattern (GraphX does the same internally). The convergence probe
     * is an anti-equality join of two checkpointed |V|-row states —
     * noise next to the |E|-row step itself. */
-  private def iterateToFixpointPpm(init: DataFrame, maxIters: Int,
+  private[graft] def iterateToFixpointPpm(init: DataFrame, maxIters: Int,
       tolPpm: Long = 0L)(step: DataFrame => DataFrame): DataFrame = {
     var p = init.localCheckpoint()
     var it = 0
@@ -1782,6 +1782,34 @@ object Relational extends QueryPack {
             expr("(h * 1000000L) div hm").as("score_ppm")))
     }),
 
+    // ---- degree-distribution power-law profile ----------------------
+    // Is the co-purchase graph scale-free, and how heavy is its tail?
+    // The q210 floor-log2 machinery applied to the graph: vertices
+    // bucketed by band = floor(log2(deg)) (length(bin(x))−1 — exact
+    // bit arithmetic), one row per occupied band with the OLS slope of
+    // (band, floor_log2(n_band)) attached — slope ≈ −(α−1) for a
+    // power-law tail, and the answer to "can any fixed per-vertex cap
+    // work on this graph" (q160's cap audit assumes the tail shape
+    // this query measures). Everything post-[[coocDeg]] is band-
+    // bounded (≤ ~40 rows); the 1-row regression crosses back onto the
+    // band table broadcast.
+    "q219_degree_distribution" -> ((s, d) => {
+      import s.implicits._
+      val bands = coocDeg(s, d)
+        .select(expr("CAST(length(bin(deg)) - 1 AS BIGINT)").as("band"))
+        .groupBy($"band").agg(count(lit(1)).as("n_vertices"))
+        .withColumn("y", expr("CAST(length(bin(n_vertices)) - 1 AS BIGINT)"))
+      val reg = bands.agg(count(lit(1)).as("n_bands"),
+          sum($"band").as("sum_x"), sum($"y").as("sum_y"),
+          sum($"band" * $"y").as("sum_xy"),
+          sum($"band" * $"band").as("sum_x2"))
+        .select($"n_bands",
+          ($"n_bands" * $"sum_xy" - $"sum_x" * $"sum_y").as("slope_num"),
+          ($"n_bands" * $"sum_x2" - $"sum_x" * $"sum_x").as("slope_den"))
+      bands.select($"band", $"n_vertices")
+        .crossJoin(broadcast(reg))
+    }),
+
     // ---- exact weighted median per brand ----------------------------
     // The quantity-weighted median sale price per part brand — the
     // robust center that volume-weights every transaction (q100's
@@ -2671,6 +2699,32 @@ object Relational extends QueryPack {
         |SELECT 'hub' AS side, c AS id,
         |  CAST((h * 1000000) // (SELECT max(h) FROM hub0) AS BIGINT) AS score_ppm
         |FROM hub0""".stripMargin,
+
+    "q219_degree_distribution" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM li x JOIN li y ON x.o = y.o WHERE x.p < y.p),
+        |dir AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+        |deg AS (SELECT u, count(*) AS deg FROM dir GROUP BY u),
+        |bands AS (
+        |  SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS band,
+        |    count(*) AS n_vertices
+        |  FROM deg GROUP BY 1),
+        |b2 AS (
+        |  SELECT band, n_vertices,
+        |    CAST(length(bin(n_vertices)) - 1 AS BIGINT) AS y
+        |  FROM bands),
+        |reg AS (
+        |  SELECT count(*) AS n_bands,
+        |    CAST(sum(band) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+        |    CAST(sum(band * y) AS BIGINT) AS sum_xy,
+        |    CAST(sum(band * band) AS BIGINT) AS sum_x2
+        |  FROM b2)
+        |SELECT band, n_vertices, n_bands,
+        |  n_bands * sum_xy - sum_x * sum_y AS slope_num,
+        |  n_bands * sum_x2 - sum_x * sum_x AS slope_den
+        |FROM b2 CROSS JOIN reg""".stripMargin,
 
     "q217_weighted_median" ->
       """WITH pts AS (

@@ -754,6 +754,59 @@ object Similarity extends QueryPack {
             .otherwise(0L)).cast("bigint").as("n_outliers"))
     }),
 
+    // ---- top principal direction via integer power iteration --------
+    // The PCA/whitening prep step on top of q137's exact second
+    // moments: the dominant eigenvector of the (uncentered) Gram
+    // matrix G = XᵀX, found by power iteration w' ∝ G·w run through
+    // the shared integer fixpoint harness ([[Relational
+    // .iterateToFixpointPpm]], ±1 ppm tolerance, cap 16 — G is PSD so
+    // no sign flips). ALL iteration state is dimension-bounded: G is
+    // 64×64 = 4096 rows built in ONE corpus pass (the same row-local
+    // pair-product HOF as q137 — no posexplode self-join), and each
+    // step is a 4096-row join + 64-row agg — free at any corpus scale;
+    // the corpus cost is exactly one scan. Numeric portability: Gram
+    // entries and the normalized state are SIGNED, so every floor runs
+    // through the shifted-numerator form (CentroidFloorSpec's rule) —
+    // gs = (s_xy + 1024·1e10) div 1024 − 1e10 pre-scales entries
+    // (valid to |s_xy| < 1e13 ≈ sf30), and the max-normalization
+    // divides by dnorm = max(|Σ|) div 1e6 with a +2e6·dnorm shift.
+    // The Σ gs·w products stay in int64 to ~sf0.5; past that they
+    // promote to decimal(38,0), the plan never changes. Output:
+    // (dim, w_ppm), the direction scaled to max |w| = 1e6.
+    "q220_pca_power" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val emb = quantized(s, d)
+      val upper = emb.select(explode(expr(
+        s"""flatten(transform(q, (x, i) ->
+           |  transform(slice(q, i + 1, $dim),
+           |    (y, k) -> struct(CAST(i AS BIGINT) AS i,
+           |                     CAST(i + k AS BIGINT) AS j,
+           |                     x * y AS p))))""".stripMargin)).as("e"))
+        .select($"e.i", $"e.j", $"e.p")
+        .groupBy($"i", $"j").agg(sum($"p").as("s_xy"))
+      val g = upper.unionAll(
+          upper.filter($"i" =!= $"j")
+            .select($"j".as("i"), $"i".as("j"), $"s_xy"))
+        .select($"i", $"j",
+          expr("(s_xy + 1024L * 10000000000L) div 1024L - 10000000000L")
+            .as("gs"))
+        .localCheckpoint()
+      val init = g.select($"i".as("v")).distinct()
+        .select($"v", lit(1000000L).as("p"))
+      def step(w: DataFrame): DataFrame = {
+        val sw = g.join(w.toDF("j", "wj"), "j")
+          .groupBy($"i").agg(sum($"gs" * $"wj").as("sw"))
+        val mx = sw.agg(
+          greatest(expr("max(abs(sw)) div 1000000"), lit(1L)).as("dnorm"))
+        sw.crossJoin(broadcast(mx))
+          .select($"i".as("v"),
+            expr("(sw + 2000000L * dnorm) div dnorm - 2000000L").as("p"))
+      }
+      Relational.iterateToFixpointPpm(init, 16, tolPpm = 1L)(step)
+        .select($"v".as("dim"), $"p".as("w_ppm"))
+    }),
+
     // ---- SemDeDup: cluster-scoped semantic dedup, ε-acceptance sweep
     // [Abbas et al., arXiv 2303.09540]: cluster the corpus, then
     // remove near-duplicates WITHIN each cluster — the clustering
@@ -1278,6 +1331,49 @@ object Similarity extends QueryPack {
         |  mi.s AS s_i, mj.s AS s_j
         |FROM pr JOIN m mi ON mi.i = pr.i JOIN m mj ON mj.i = pr.j
         |GROUP BY pr.i, pr.j, mi.s, mj.s""".stripMargin,
+
+    // q137's pair products mirrored to the full symmetric Gram, then
+    // the max-normalized power iteration replayed in a recursive CTE
+    // with the q212 tolerance-successor pick
+    "q220_pca_power" ->
+      s"""WITH RECURSIVE q AS (
+        |  SELECT list_transform(embedding, x -> CAST(round(x * 1024) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |pr0 AS (
+        |  SELECT t1.i AS i, t2.j AS j, qv[t1.i + 1] * qv[t2.j + 1] AS p
+        |  FROM q, range($dim) t1(i), range($dim) t2(j)
+        |  WHERE t2.j >= t1.i),
+        |up AS (SELECT i, j, CAST(sum(p) AS BIGINT) AS s_xy FROM pr0 GROUP BY i, j),
+        |g AS (
+        |  SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        |    (s_xy + 1024 * 10000000000) // 1024 - 10000000000 AS gs FROM up
+        |  UNION ALL
+        |  SELECT CAST(j AS BIGINT), CAST(i AS BIGINT),
+        |    (s_xy + 1024 * 10000000000) // 1024 - 10000000000
+        |  FROM up WHERE i != j),
+        |pw AS (
+        |  SELECT 0 AS iter, i AS v, CAST(1000000 AS BIGINT) AS p
+        |  FROM (SELECT DISTINCT i FROM g) dims
+        |  UNION ALL
+        |  SELECT s.iter + 1, s.i,
+        |    CAST((s.sw + 2000000 * s.dnorm) // s.dnorm - 2000000 AS BIGINT)
+        |  FROM (
+        |    SELECT t.iter, t.i, t.sw,
+        |      greatest(max(abs(t.sw)) OVER (PARTITION BY t.iter) // 1000000,
+        |        1) AS dnorm
+        |    FROM (
+        |      SELECT pw.iter, g.i, CAST(sum(g.gs * pw.p) AS BIGINT) AS sw
+        |      FROM g JOIN pw ON pw.v = g.j
+        |      WHERE pw.iter < 16
+        |      GROUP BY pw.iter, g.i) t) s),
+        |conv AS (
+        |  SELECT a.iter + 1 AS k
+        |  FROM pw a JOIN pw b ON b.iter = a.iter + 1 AND b.v = a.v
+        |  GROUP BY a.iter
+        |  HAVING max(abs(a.p - b.p)) <= 1),
+        |pick AS (SELECT coalesce(min(k), 16) AS k FROM conv)
+        |SELECT pw.v AS dim, CAST(pw.p AS BIGINT) AS w_ppm
+        |FROM pw JOIN pick ON pw.iter = pick.k""".stripMargin,
 
     "q211_embedding_norm_audit" ->
       s"""WITH $duckQuant,

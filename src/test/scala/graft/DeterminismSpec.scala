@@ -81,7 +81,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q208_mannwhitney_u", "q209_chi2_independence", "q210_zipf_slope",
     "q211_embedding_norm_audit", "q212_hits", "q213_semdedup_sweep",
     "q214_hll_distinct", "q215_dsir_importance", "q216_blocking_audit",
-    "q217_weighted_median", "q218_dsir_mixture")
+    "q217_weighted_median", "q218_dsir_mixture",
+    "q219_degree_distribution", "q220_pca_power",
+    "q221_budget_selection")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

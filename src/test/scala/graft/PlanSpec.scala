@@ -125,7 +125,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q216_blocking_audit",
     // q218: q215's composition plus the 1-row weight-total scalar
     // crossed onto the |sources|-row mixture table
-    "q218_dsir_mixture")
+    "q218_dsir_mixture",
+    // q219: the 1-row regression summary crossed onto the ≤40-row
+    // degree-band table
+    "q219_degree_distribution",
+    // q221: the 1-row data-derived budget scalar crossed onto the
+    // selection stream
+    "q221_budget_selection")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
