@@ -573,6 +573,34 @@ object Events extends QueryPack {
           expr("(n * 1000000L) div row_total").as("p_ppm"))
     }),
 
+    // ---- stationary distribution of the event Markov chain ----------
+    // The long-run behavioral mix q99's transition matrix implies:
+    // π = πP by integer power iteration through the shared fixpoint
+    // harness (±1 ppm tolerance, cap 16 — the same successor-pick rule
+    // as q212/q220, replicated by the oracle's conv CTE). Every
+    // iteration runs on the ≤|types|²-row transition matrix (25 rows
+    // here) — the corpus cost is exactly q99's one pass; floor
+    // division sheds ≤|types| ppm of mass per step, which the
+    // tolerance absorbs. Precondition (true of this fixture): every
+    // type occurs as both source and target, so the state vector never
+    // loses a vertex.
+    "q222_markov_stationary" -> ((s, d) => {
+      import s.implicits._
+      val m = queries("q99_markov_transitions")(s, d)
+        .select($"prev_type".as("f"), $"event_type".as("t"), $"p_ppm")
+        .localCheckpoint()
+      val nt = m.select($"f").distinct().agg(count(lit(1)).as("n_types"))
+      val init = m.select($"f".as("v")).distinct()
+        .crossJoin(broadcast(nt))
+        .select($"v", expr("1000000L div n_types").as("p"))
+      def step(pi: DataFrame): DataFrame =
+        m.join(pi.toDF("f", "pf"), "f")
+          .groupBy($"t").agg(expr("sum(pf * p_ppm) div 1000000L").as("p"))
+          .select($"t".as("v"), $"p")
+      Relational.iterateToFixpointPpm(init, 16, tolPpm = 1L)(step)
+        .select($"v".as("event_type"), $"p".as("stationary_ppm"))
+    }),
+
     // ---- robust statistics: exact median + MAD ----------------------
     // Outlier-resistant location/spread without floats: the median and
     // the median absolute deviation, both as exact rank arithmetic.
@@ -1413,6 +1441,43 @@ object Events extends QueryPack {
         |SELECT prev_type, event_type, n,
         |  (n * 1000000) // CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_ppm
         |FROM g""".stripMargin,
+
+    // q99's matrix replayed into an integer power iteration with the
+    // tolerance-successor pick
+    "q222_markov_stationary" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_type, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        |  FROM events),
+        |tr AS (
+        |  SELECT lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |    AS prev_type, event_type FROM ev),
+        |g AS (
+        |  SELECT prev_type, event_type, count(*) AS n FROM tr
+        |  WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |m AS (
+        |  SELECT prev_type AS f, event_type AS t,
+        |    (n * 1000000) // CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT)
+        |      AS p_ppm
+        |  FROM g),
+        |types AS (SELECT DISTINCT f AS v FROM m),
+        |nt AS (SELECT count(*) AS n_types FROM types),
+        |pw AS (
+        |  SELECT 0 AS iter, v, CAST(1000000 // n_types AS BIGINT) AS p
+        |  FROM types CROSS JOIN nt
+        |  UNION ALL
+        |  SELECT pw.iter + 1, m.t AS v,
+        |    CAST(sum(pw.p * m.p_ppm) AS BIGINT) // 1000000 AS p
+        |  FROM m JOIN pw ON pw.v = m.f
+        |  WHERE pw.iter < 16
+        |  GROUP BY pw.iter, m.t),
+        |conv AS (
+        |  SELECT a.iter + 1 AS k
+        |  FROM pw a JOIN pw b ON b.iter = a.iter + 1 AND b.v = a.v
+        |  GROUP BY a.iter
+        |  HAVING max(abs(a.p - b.p)) <= 1),
+        |pick AS (SELECT coalesce(min(k), 16) AS k FROM conv)
+        |SELECT pw.v AS event_type, CAST(pw.p AS BIGINT) AS stationary_ppm
+        |FROM pw JOIN pick ON pw.iter = pick.k""".stripMargin,
 
     "q96_bipartite_prop" ->
       """WITH edges AS (

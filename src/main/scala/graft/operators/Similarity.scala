@@ -757,22 +757,25 @@ object Similarity extends QueryPack {
     // ---- top principal direction via integer power iteration --------
     // The PCA/whitening prep step on top of q137's exact second
     // moments: the dominant eigenvector of the (uncentered) Gram
-    // matrix G = XᵀX, found by power iteration w' ∝ G·w run through
-    // the shared integer fixpoint harness ([[Relational
-    // .iterateToFixpointPpm]], ±1 ppm tolerance, cap 16 — G is PSD so
-    // no sign flips). ALL iteration state is dimension-bounded: G is
-    // 64×64 = 4096 rows built in ONE corpus pass (the same row-local
-    // pair-product HOF as q137 — no posexplode self-join), and each
-    // step is a 4096-row join + 64-row agg — free at any corpus scale;
-    // the corpus cost is exactly one scan. Numeric portability: Gram
-    // entries and the normalized state are SIGNED, so every floor runs
-    // through the shifted-numerator form (CentroidFloorSpec's rule) —
-    // gs = (s_xy + 1024·1e10) div 1024 − 1e10 pre-scales entries
-    // (valid to |s_xy| < 1e13 ≈ sf30), and the max-normalization
-    // divides by dnorm = max(|Σ|) div 1e6 with a +2e6·dnorm shift.
-    // The Σ gs·w products stay in int64 to ~sf0.5; past that they
-    // promote to decimal(38,0), the plan never changes. Output:
-    // (dim, w_ppm), the direction scaled to max |w| = 1e6.
+    // matrix G = XᵀX by power iteration w' ∝ G·w (G is PSD so no sign
+    // flips), with the house tolerance fixpoint rule (±1 ppm, cap 16 —
+    // the q212/q222 successor pick, replicated by the oracle's conv
+    // CTE). The corpus-scale work is EXACTLY ONE distributed pass: the
+    // row-local pair-product HOF builds G (no posexplode self-join);
+    // G itself is dim² = 4096 rows REGARDLESS of corpus size, so the
+    // iteration runs on the driver over the collected matrix — the
+    // bounded-side rule (a dim²-bounded collect is the matrix analog
+    // of the 1-row `.head` scalars; a relational fixpoint here paid
+    // ~0.5 s of job-scheduling latency per 64-row iteration, measured
+    // 5.5 s vs ~1 s). Numeric portability: Gram entries and the state
+    // are SIGNED, so every floor runs through the shifted-numerator
+    // form (CentroidFloorSpec's rule) — gs = (s_xy + 1024·1e10) div
+    // 1024 − 1e10 pre-scales entries (valid to |s_xy| < 1e13 ≈ sf30),
+    // and the normalization divides by dnorm = max|Σ| div 1e6 with a
+    // +2e6·dnorm shift; Σ gs·w stays in int64 to ~sf0.5, past which
+    // gs gets a wider pre-scale. Driver arithmetic and the recursive
+    // CTE run the identical integer trajectory. Output: (dim, w_ppm),
+    // the direction scaled to max |w| = 1e6.
     "q220_pca_power" -> ((s, d) => {
       import s.implicits._
       graft.GraftExtensions.ensureRegistered(s)
@@ -785,26 +788,29 @@ object Similarity extends QueryPack {
            |                     x * y AS p))))""".stripMargin)).as("e"))
         .select($"e.i", $"e.j", $"e.p")
         .groupBy($"i", $"j").agg(sum($"p").as("s_xy"))
-      val g = upper.unionAll(
-          upper.filter($"i" =!= $"j")
-            .select($"j".as("i"), $"i".as("j"), $"s_xy"))
         .select($"i", $"j",
           expr("(s_xy + 1024L * 10000000000L) div 1024L - 10000000000L")
             .as("gs"))
-        .localCheckpoint()
-      val init = g.select($"i".as("v")).distinct()
-        .select($"v", lit(1000000L).as("p"))
-      def step(w: DataFrame): DataFrame = {
-        val sw = g.join(w.toDF("j", "wj"), "j")
-          .groupBy($"i").agg(sum($"gs" * $"wj").as("sw"))
-        val mx = sw.agg(
-          greatest(expr("max(abs(sw)) div 1000000"), lit(1L)).as("dnorm"))
-        sw.crossJoin(broadcast(mx))
-          .select($"i".as("v"),
-            expr("(sw + 2000000L * dnorm) div dnorm - 2000000L").as("p"))
+      val up = upper.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val g: Map[(Long, Long), Long] =
+        (up.map { case (i, j, v) => (i, j) -> v } ++
+          up.collect { case (i, j, v) if i != j => (j, i) -> v }).toMap
+      val dims = up.map(_._1).distinct.sorted
+      var w: Map[Long, Long] = dims.map(_ -> 1000000L).toMap
+      var it = 0
+      var done = false
+      while (!done && it < 16) {
+        val sw = dims.map(i =>
+          i -> dims.map(j => g.getOrElse((i, j), 0L) * w(j)).sum).toMap
+        val dnorm = math.max(sw.values.map(math.abs).max / 1000000L, 1L)
+        val next = sw.map { case (i, v) =>
+          i -> ((v + 2000000L * dnorm) / dnorm - 2000000L)
+        }
+        done = next.forall { case (i, p) => (p - w(i)).abs <= 1L }
+        w = next
+        it += 1
       }
-      Relational.iterateToFixpointPpm(init, 16, tolPpm = 1L)(step)
-        .select($"v".as("dim"), $"p".as("w_ppm"))
+      w.toSeq.sortBy(_._1).toDF("dim", "w_ppm")
     }),
 
     // ---- SemDeDup: cluster-scoped semantic dedup, ε-acceptance sweep
