@@ -573,6 +573,47 @@ object Events extends QueryPack {
           expr("(n * 1000000L) div row_total").as("p_ppm"))
     }),
 
+    // ---- Holt linear-trend smoothing + forecast ---------------------
+    // [Holt, ONR'57] double exponential smoothing over the per-type
+    // daily volume series — the level+trend forecaster one step up
+    // from q188's naive baselines and q108's single EWMA:
+    // l' = (y + 3(l+t)) intdiv 4, t' = (l'−l+3t) intdiv 4
+    // (α = β = ¼), forecast_d7 = l + 7t. The trend is SIGNED — and
+    // MEASURED on this host, DuckDB's integer `//` TRUNCATES toward
+    // zero exactly like Scala's Long `/` ((-7)//4 = -1, not the -2 a
+    // float floor-div gives), so the driver fold uses plain `/` and
+    // the recursive-CTE oracle replays the identical truncating
+    // trajectory over the day-index grid. (The house shifted-floor
+    // rule targets Spark-SQL `div` expressions, where shifting
+    // non-negative makes the question moot.) Corpus-scale work is ONE
+    // (day, type) hash agg; the fold runs on the collected grid —
+    // timespan×|types| rows, bounded regardless of corpus size (the
+    // q220 bounded-collect rule; a per-day recursion in Spark would
+    // pay a scheduler round per day). Gap days advance the recurrence
+    // one step like observed days (documented: the fixture grid is
+    // dense; a sparse deployment would gap-fill first — q88).
+    "q223_holt_smoothing" -> ((s, d) => {
+      import s.implicits._
+      val daily = T.events(s, d)
+        .select(datediff(to_date($"ts"), to_date(lit("2024-01-01")))
+          .cast("long").as("day"), $"event_type")
+        .groupBy($"day", $"event_type").agg(count(lit(1)).as("y"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val rows = daily.groupBy(_._2).toSeq.map { case (tpe, rs) =>
+        val ys = rs.sortBy(_._1).map(_._3)
+        var l = ys.head
+        var t = 0L
+        ys.tail.foreach { y =>
+          val l2 = (y + 3L * (l + t)) / 4L
+          t = (l2 - l + 3L * t) / 4L
+          l = l2
+        }
+        (tpe, ys.size.toLong, l, t, l + 7L * t)
+      }
+      rows.sortBy(_._1)
+        .toDF("event_type", "n_days", "level", "trend", "forecast_d7")
+    }),
+
     // ---- stationary distribution of the event Markov chain ----------
     // The long-run behavioral mix q99's transition matrix implies:
     // π = πP by integer power iteration through the shared fixpoint
@@ -1441,6 +1482,35 @@ object Events extends QueryPack {
         |SELECT prev_type, event_type, n,
         |  (n * 1000000) // CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_ppm
         |FROM g""".stripMargin,
+
+    // the Holt recurrence replayed per type over the day-index grid;
+    // DuckDB's integer // truncates toward zero, matching the driver
+    // fold's Long / on the signed trend numerator
+    "q223_holt_smoothing" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(datediff('day', DATE '2024-01-01', ts) AS BIGINT) AS day,
+        |    event_type, CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |seq AS (
+        |  SELECT event_type, y,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS idx
+        |  FROM daily),
+        |nmax AS (SELECT event_type, max(idx) AS n FROM seq GROUP BY 1),
+        |hw AS (
+        |  SELECT event_type, CAST(1 AS BIGINT) AS idx, y AS l,
+        |    CAST(0 AS BIGINT) AS t
+        |  FROM seq WHERE idx = 1
+        |  UNION ALL
+        |  SELECT hw.event_type, hw.idx + 1,
+        |    (s.y + 3 * (hw.l + hw.t)) // 4,
+        |    (((s.y + 3 * (hw.l + hw.t)) // 4) - hw.l + 3 * hw.t) // 4
+        |  FROM hw JOIN seq s
+        |    ON s.event_type = hw.event_type AND s.idx = hw.idx + 1)
+        |SELECT hw.event_type, hw.idx AS n_days, hw.l AS level, hw.t AS trend,
+        |  hw.l + 7 * hw.t AS forecast_d7
+        |FROM hw JOIN nmax
+        |  ON nmax.event_type = hw.event_type AND hw.idx = nmax.n""".stripMargin,
 
     // q99's matrix replayed into an integer power iteration with the
     // tolerance-successor pick

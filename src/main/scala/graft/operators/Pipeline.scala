@@ -1156,6 +1156,44 @@ object Pipeline extends QueryPack {
         .agg(count(lit(1)).as("n_selected"),
           sum($"n_tokens").cast("bigint").as("tokens_selected"),
           max($"budget_toks").as("budget_toks"))
+    }),
+
+    // ---- cross-source quantile normalization ------------------------
+    // The batch-effect correction for heterogeneous crawl sources
+    // [Bolstad et al., Bioinformatics'03 — the standard quantile-
+    // normalization construction]: each document's length is replaced
+    // by the GLOBAL length at the same relative rank within its
+    // source, so every source ends up with the corpus's length
+    // distribution — the fix for "source A truncates at 1 KB, source
+    // B doesn't" before any length-based quality gate compares them.
+    // Exact integers: source rank i → global index
+    // 1 + (i−1)(N−1) div (n_s−1), looked up against the global rank
+    // table. The GLOBAL rank is band-decomposed (q124's rule): offsets
+    // from the distinct-length band table's window, within-band
+    // row_number partitioned on the length value — no single-partition
+    // window sees corpus rows; the lookup is one keyed equi-join on
+    // the computed index.
+    "q224_quantile_normalize" -> ((s, d) => {
+      import s.implicits._
+      val docs = T.documents(s, d).select($"doc_id", $"source", $"n_chars")
+      val nAll = docs.agg(count(lit(1)).as("n_total"))
+      val nSrc = docs.groupBy($"source").agg(count(lit(1)).as("n_s"))
+      val wS = Window.partitionBy($"source").orderBy($"n_chars", $"doc_id")
+      val ranked = docs.withColumn("i", row_number().over(wS).cast("long"))
+      val bands = docs.groupBy($"n_chars").agg(count(lit(1)).as("bn"))
+      val wB = Window.orderBy($"n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offs = bands.withColumn("cum", sum($"bn").over(wB))
+        .select($"n_chars", ($"cum" - $"bn").as("off"))
+      val wV = Window.partitionBy($"n_chars").orderBy($"doc_id")
+      val glob = docs.join(offs, "n_chars")
+        .withColumn("r", ($"off" + row_number().over(wV)).cast("long"))
+        .select($"r", $"n_chars".as("norm_chars"))
+      ranked.join(nSrc, "source").crossJoin(broadcast(nAll))
+        .withColumn("gidx",
+          expr("1 + ((i - 1) * (n_total - 1)) div greatest(n_s - 1, 1)"))
+        .join(glob, $"gidx" === $"r")
+        .select($"doc_id", $"source", $"n_chars", $"norm_chars")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -1856,5 +1894,24 @@ object Pipeline extends QueryPack {
         |SELECT source, count(*) AS n_selected,
         |  CAST(sum(n_tokens) AS BIGINT) AS tokens_selected,
         |  max(budget_toks) AS budget_toks
-        |FROM sel GROUP BY source""".stripMargin)
+        |FROM sel GROUP BY source""".stripMargin,
+
+    "q224_quantile_normalize" ->
+      """WITH docs AS (SELECT doc_id, source, n_chars FROM documents),
+        |nt AS (SELECT count(*) AS n_total FROM docs),
+        |ns AS (SELECT source, count(*) AS n_s FROM docs GROUP BY 1),
+        |ranked AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS BIGINT) AS i
+        |  FROM docs),
+        |grank AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+        |      AS r,
+        |    n_chars AS norm_chars
+        |  FROM docs)
+        |SELECT rk.doc_id, rk.source, rk.n_chars, g.norm_chars
+        |FROM ranked rk JOIN ns USING (source) CROSS JOIN nt
+        |JOIN grank g ON g.r = 1 + ((rk.i - 1) * (nt.n_total - 1))
+        |  // greatest(ns.n_s - 1, 1)""".stripMargin)
 }

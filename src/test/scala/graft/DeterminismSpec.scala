@@ -83,7 +83,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q214_hll_distinct", "q215_dsir_importance", "q216_blocking_audit",
     "q217_weighted_median", "q218_dsir_mixture",
     "q219_degree_distribution", "q220_pca_power",
-    "q221_budget_selection", "q222_markov_stationary")
+    "q221_budget_selection", "q222_markov_stationary",
+    "q223_holt_smoothing", "q224_quantile_normalize")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

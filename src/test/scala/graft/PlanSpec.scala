@@ -131,7 +131,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q219_degree_distribution",
     // q221: the 1-row data-derived budget scalar crossed onto the
     // selection stream
-    "q221_budget_selection")
+    "q221_budget_selection",
+    // q224: the 1-row corpus-count scalar crossed onto the per-source
+    // ranked stream
+    "q224_quantile_normalize")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
