@@ -1782,6 +1782,25 @@ object Relational extends QueryPack {
             expr("(h * 1000000L) div hm").as("score_ppm")))
     }),
 
+    // ---- brand homophily: modularity of an ATTRIBUTE partition ------
+    // Do customers co-purchase within part brands? The [[modularityPpk]]
+    // scorer applied to a GIVEN partition (brand) instead of a learned
+    // one (q203's LPA labels) — the standard attribute-assortativity
+    // audit [Newman, PRE'03 mixing patterns]: contrib_ppk > 0 means
+    // within-brand co-purchase above the degree-expected baseline.
+    // Honest answer on this fixture: ~0 (orders draw parts
+    // independently of brand), exactly like q203's Q = 0 — the scorer
+    // proves the absence of structure either way. Cost: two |E| label
+    // joins + a |V| degree join over the shared substrates; the brand
+    // label table is the part dimension, joined keyed (scales with
+    // data, never broadcast-hinted).
+    "q225_brand_homophily" -> ((s, d) => {
+      import s.implicits._
+      val lab = T.part(s, d)
+        .select($"p_partkey".as("v"), $"p_brand".as("community"))
+      modularityPpk(coocEdges(s, d), coocDeg(s, d), lab)
+    }),
+
     // ---- degree-distribution power-law profile ----------------------
     // Is the co-purchase graph scale-free, and how heavy is its tail?
     // The q210 floor-log2 machinery applied to the graph: vertices
@@ -2699,6 +2718,34 @@ object Relational extends QueryPack {
         |SELECT 'hub' AS side, c AS id,
         |  CAST((h * 1000000) // (SELECT max(h) FROM hub0) AS BIGINT) AS score_ppm
         |FROM hub0""".stripMargin,
+
+    // q203's modularity arithmetic on the brand attribute partition
+    "q225_brand_homophily" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM li x JOIN li y ON x.o = y.o WHERE x.p < y.p),
+        |dir AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+        |deg AS (SELECT u, count(*) AS deg FROM dir GROUP BY u),
+        |lab AS (SELECT p_partkey AS v, p_brand AS c FROM part),
+        |mm AS (SELECT count(*) AS m FROM e),
+        |din AS (
+        |  SELECT la.c, count(*) AS m_in
+        |  FROM e JOIN lab la ON la.v = e.a
+        |  JOIN lab lb ON lb.v = e.b AND lb.c = la.c
+        |  GROUP BY la.c),
+        |dc AS (
+        |  SELECT lab.c, count(*) AS n_vertices,
+        |    CAST(sum(deg.deg) AS BIGINT) AS d_tot
+        |  FROM lab JOIN deg ON deg.u = lab.v
+        |  GROUP BY lab.c)
+        |SELECT dc.c AS community, dc.n_vertices,
+        |  CAST(coalesce(din.m_in, 0) AS BIGINT) AS m_in, dc.d_tot,
+        |  ((4 * mm.m * CAST(coalesce(din.m_in, 0) AS BIGINT)
+        |      - dc.d_tot * dc.d_tot) * 1000
+        |    + 1000 * 4 * mm.m * mm.m) // (4 * mm.m * mm.m) - 1000
+        |    AS contrib_ppk
+        |FROM dc LEFT JOIN din ON din.c = dc.c CROSS JOIN mm""".stripMargin,
 
     "q219_degree_distribution" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

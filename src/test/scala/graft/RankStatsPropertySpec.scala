@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the round-11 rank-statistic constructions
+  * against brute-force references on random data.
+  *
+  * The oracle gate proves q217/q208 on the fixtures; these tests prove
+  * the CONSTRUCTIONS — the cumulative-weight lower-median rule and the
+  * doubled-average-rank band decomposition — on adversarial shapes the
+  * fixtures don't stress: heavy ties, single-element groups, skewed
+  * weights, and unbalanced arms.
+  */
+class RankStatsPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("rankstats-property")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Lower weighted median by direct scan: smallest value whose
+    * cumulative weight w(<= x) satisfies 2*cum >= W. */
+  private def bruteWeightedMedian(pts: Seq[(Long, Long)]): Long = {
+    val total = pts.map(_._2).sum
+    val sorted = pts.sortBy(_._1)
+    var cum = 0L
+    for ((v, w) <- sorted) {
+      cum += w
+      if (2 * cum >= total) return v
+    }
+    sorted.last._1
+  }
+
+  test("cumulative-weight median matches brute force across random multisets") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val n = 1 + rnd.nextInt(40)
+      // heavy ties: values drawn from a small domain, skewed weights
+      val pts = (1 to n).map(i =>
+        (rnd.nextInt(6).toLong, 1L + rnd.nextInt(20).toLong, i.toLong))
+      val df = pts.toDF("v", "w", "id")
+      val grp = df.groupBy($"v").agg(sum($"w").as("wv"))
+      val wc = Window.orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val got = grp.withColumn("cumw", sum($"wv").over(wc))
+        .withColumn("wt", sum($"wv").over(
+          Window.partitionBy()))
+        .filter($"cumw" * 2 >= $"wt")
+        .agg(min($"v")).head.getLong(0)
+      val want = bruteWeightedMedian(pts.map(p => (p._1, p._2)))
+      assert(got == want, s"seed=$seed: weighted median $got != brute $want")
+    }
+  }
+
+  /** Doubled average rank by direct computation: for x in the combined
+    * multiset, 2*avgrank(x) = 2*|{y < x}| + |{y = x}| + 1. */
+  test("band-decomposed doubled ranks reproduce brute-force U statistics") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    for (seed <- 11 to 16) {
+      val rnd = new scala.util.Random(seed)
+      val n = 2 + rnd.nextInt(60)
+      // zero-inflated tied values, unbalanced arms
+      val rows = (1 to n).map { i =>
+        val v = if (rnd.nextBoolean()) 0L else rnd.nextInt(8).toLong
+        val arm = if (rnd.nextInt(3) == 0) "control" else "treatment"
+        (v, arm, i.toLong)
+      }
+      // brute force: per element, doubled average rank; per arm sums
+      def r2(x: Long): Long =
+        2L * rows.count(_._1 < x) + rows.count(_._1 == x) + 1L
+      val brute = rows.groupBy(_._2).map { case (arm, rs) =>
+        val nA = rs.size.toLong
+        val r2sum = rs.map(r => r2(r._1)).sum
+        arm -> (nA, r2sum, r2sum - nA * (nA + 1))
+      }
+      // the q208 construction over the value-band table
+      val df = rows.toDF("rev_c", "arm", "id")
+      val vals = df.groupBy($"rev_c")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"arm" === "control", 1L).otherwise(0L)).as("n_ctl"))
+      val wv = Window.orderBy($"rev_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val banded = vals.withColumn("cum_le", sum($"n").over(wv))
+        .select($"rev_c", $"n", $"n_ctl", ($"n" - $"n_ctl").as("n_trt"),
+          (lit(2L) * ($"cum_le" - $"n") + $"n" + lit(1L)).as("r2"))
+      val got = banded.select(explode(array(
+          struct(lit("control").as("arm"), $"n_ctl".as("na"), $"r2"),
+          struct(lit("treatment").as("arm"), $"n_trt".as("na"), $"r2"))).as("x"))
+        .select($"x.arm".as("arm"), $"x.na".as("na"), $"x.r2".as("r2"))
+        .groupBy($"arm")
+        .agg(sum($"na").cast("long").as("n_users"),
+          sum($"na" * $"r2").cast("long").as("r2_sum"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+          r.getLong(2) - r.getLong(1) * (r.getLong(1) + 1)))
+        .toMap
+      brute.foreach { case (arm, want) =>
+        if (want._1 == 0L) assert(!got.contains(arm) || got(arm)._1 == 0L)
+        else assert(got(arm) == want,
+          s"seed=$seed arm=$arm: ${got.get(arm)} != brute $want")
+      }
+      // the rank-sum identity: u2_a + u2_b == 2 * n_a * n_b
+      val arms = brute.values.toSeq
+      if (arms.size == 2)
+        assert(arms.map(_._3).sum == 2 * arms.head._1 * arms(1)._1,
+          s"seed=$seed: U identity violated")
+    }
+  }
+}
