@@ -127,6 +127,11 @@ import graft.operators._
   * ε-acceptance sweep, q216 blocking-quality audit, q211 embedding
   * norm outlier audit), streaming (s25 EWMA anomaly alerts). q164's
   * converged LPA labels became a shared substrate scored by q203.
+  * Closing additions: q218 importance-weighted source mixture, q219
+  * degree-distribution power-law profile, q220 PCA top direction via
+  * integer power iteration, q221 token-budget-capped selection, q222
+  * Markov stationary distribution, q223 Holt trend smoothing, q224
+  * cross-source quantile normalization, q225 brand homophily.
   */
 object SparkEntry {
 
