@@ -102,6 +102,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q203: the 1-row edge-count scalar crossed onto the bounded
     // community table
     "q203_modularity",
+    // q225: the same modularity kernel (1-row edge-count scalar) on
+    // the brand attribute partition
+    "q225_brand_homophily",
     // q204: the 4-row candidate-gap table crossed against the gap
     // stream pre-agg + two 1-row scalars on the 4-row report
     "q204_session_gap_audit",
