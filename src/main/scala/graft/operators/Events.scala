@@ -573,6 +573,49 @@ object Events extends QueryPack {
           expr("(n * 1000000L) div row_total").as("p_ppm"))
     }),
 
+    // ---- Markov next-event backtest ---------------------------------
+    // Does q99's transition model actually predict? The house
+    // train/test rule applied to the behavioral model: transitions
+    // whose TARGET event lands before the data-derived day midpoint
+    // ((min+max) div 2 over observed days) train the matrix; later
+    // transitions are scored — predicted next type = the train-count
+    // argmax per source type (tie: lexicographically smallest, a total
+    // order), accuracy = exact ppm per source type. The per-user lag
+    // window is the one corpus-scale pass (q99's shape); the matrix,
+    // argmax and scoring run on |types|²-bounded tables. A model that
+    // beats the global-mode baseline here earns its place in a
+    // next-action system; this fixture's near-uniform chain honestly
+    // scores near 1/|types|.
+    "q228_markov_backtest" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val tr = T.events(s, d)
+        .select($"user_id", $"event_type", $"event_id",
+          unix_micros($"ts").as("ts_us"),
+          datediff(to_date($"ts"), to_date(lit("2024-01-01")))
+            .cast("long").as("day"))
+        .withColumn("prev_type", lag($"event_type", 1).over(w))
+        .filter($"prev_type".isNotNull)
+      val mid = tr.agg(
+        expr("(min(day) + max(day)) div 2").as("mid_day"))
+      val marked = tr.crossJoin(broadcast(mid))
+      val pred = marked.filter($"day" < $"mid_day")
+        .groupBy($"prev_type", $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .groupBy($"prev_type")
+        .agg(min(struct((-$"n").as("nn"), $"event_type".as("t"))).as("m"))
+        .select($"prev_type", $"m.t".as("predicted"))
+      marked.filter($"day" >= $"mid_day")
+        .join(pred, Seq("prev_type"), "left")
+        .groupBy($"prev_type")
+        .agg(count(lit(1)).as("n_test"),
+          sum(when($"event_type" === $"predicted", 1L).otherwise(0L))
+            .cast("bigint").as("n_correct"),
+          max($"predicted").as("predicted"))
+        .select($"prev_type", $"predicted", $"n_test", $"n_correct",
+          expr("(n_correct * 1000000L) div n_test").as("acc_ppm"))
+    }),
+
     // ---- Holt linear-trend smoothing + forecast ---------------------
     // [Holt, ONR'57] double exponential smoothing over the per-type
     // daily volume series — the level+trend forecaster one step up
@@ -1482,6 +1525,39 @@ object Events extends QueryPack {
         |SELECT prev_type, event_type, n,
         |  (n * 1000000) // CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_ppm
         |FROM g""".stripMargin,
+
+    "q228_markov_backtest" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, event_id,
+        |    CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |    CAST(datediff('day', DATE '2024-01-01', ts) AS BIGINT) AS day
+        |  FROM events),
+        |tr AS (
+        |  SELECT lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS prev_type,
+        |    event_type, day
+        |  FROM ev),
+        |tr2 AS (SELECT * FROM tr WHERE prev_type IS NOT NULL),
+        |mid AS (SELECT (min(day) + max(day)) // 2 AS mid_day FROM tr2),
+        |train AS (
+        |  SELECT prev_type, event_type, count(*) AS n
+        |  FROM tr2 CROSS JOIN mid WHERE day < mid_day GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT prev_type, event_type AS predicted FROM (
+        |    SELECT prev_type, event_type,
+        |      row_number() OVER (PARTITION BY prev_type
+        |        ORDER BY n DESC, event_type) AS rn
+        |    FROM train) t WHERE rn = 1)
+        |SELECT t.prev_type, max(p.predicted) AS predicted,
+        |  count(*) AS n_test,
+        |  CAST(sum(CASE WHEN t.event_type = p.predicted THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_correct,
+        |  CAST((sum(CASE WHEN t.event_type = p.predicted THEN 1 ELSE 0 END)
+        |    * 1000000) // count(*) AS BIGINT) AS acc_ppm
+        |FROM tr2 t CROSS JOIN mid
+        |LEFT JOIN pred p ON p.prev_type = t.prev_type
+        |WHERE t.day >= mid.mid_day
+        |GROUP BY t.prev_type""".stripMargin,
 
     // the Holt recurrence replayed per type over the day-index grid;
     // DuckDB's integer // truncates toward zero, matching the driver

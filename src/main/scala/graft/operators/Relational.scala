@@ -1782,6 +1782,46 @@ object Relational extends QueryPack {
             expr("(h * 1000000L) div hm").as("score_ppm")))
     }),
 
+    // ---- ABC / Pareto revenue classification ------------------------
+    // The inventory-management classic: customers sorted by revenue
+    // DESC, class A while the running share stays ≤ 80%, B to 95%,
+    // C after — "which 20% of customers drive 80% of revenue",
+    // operationalized. Exact integer class boundaries (5·cum ≤ 4·total
+    // and 20·cum ≤ 19·total — no ppm rounding at the cut), with the
+    // running revenue sum BAND-DECOMPOSED like q221: cumulative
+    // revenue before each distinct value from the bounded value-band
+    // window, within-band cumulation partitioned on the value — no
+    // global window over the customer table. Output: per-class census
+    // with exact share ppm.
+    "q227_abc_classification" -> ((s, d) => {
+      import s.implicits._
+      val rev = T.orders(s, d)
+        .groupBy($"o_custkey")
+        .agg(sum(Exact.cents($"o_totalprice")).as("rc"))
+      val tot = rev.agg(sum($"rc").as("total"))
+      val wBand = Window.orderBy($"rc".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bands = rev.groupBy($"rc").agg(sum($"rc").as("bt"))
+        .withColumn("cum_le", sum($"bt").over(wBand))
+        .select($"rc", ($"cum_le" - $"bt").as("cum_before"))
+      val wIn = Window.partitionBy($"rc").orderBy($"o_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.withColumn("wc", sum($"rc").over(wIn))
+        .join(bands, "rc")
+        .crossJoin(broadcast(tot))
+        .withColumn("cum", $"cum_before" + $"wc")
+        .withColumn("abc_class",
+          when($"cum" * 5 <= $"total" * 4, "A")
+            .when($"cum" * 20 <= $"total" * 19, "B")
+            .otherwise("C"))
+        .groupBy($"abc_class")
+        .agg(count(lit(1)).as("n_customers"),
+          sum($"rc").cast("bigint").as("rev_c"))
+        .crossJoin(broadcast(tot))
+        .select($"abc_class", $"n_customers", $"rev_c",
+          expr("(rev_c * 1000000L) div total").as("rev_share_ppm"))
+    }),
+
     // ---- brand homophily: modularity of an ATTRIBUTE partition ------
     // Do customers co-purchase within part brands? The [[modularityPpk]]
     // scorer applied to a GIVEN partition (brand) instead of a learned
@@ -2718,6 +2758,29 @@ object Relational extends QueryPack {
         |SELECT 'hub' AS side, c AS id,
         |  CAST((h * 1000000) // (SELECT max(h) FROM hub0) AS BIGINT) AS score_ppm
         |FROM hub0""".stripMargin,
+
+    "q227_abc_classification" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rc
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(sum(rc) AS BIGINT) AS total FROM rev),
+        |cum AS (
+        |  SELECT rc, o_custkey,
+        |    CAST(sum(rc) OVER (ORDER BY rc DESC, o_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM rev),
+        |cls AS (
+        |  SELECT CASE WHEN cum * 5 <= tot.total * 4 THEN 'A'
+        |              WHEN cum * 20 <= tot.total * 19 THEN 'B'
+        |              ELSE 'C' END AS abc_class,
+        |    rc, tot.total
+        |  FROM cum CROSS JOIN tot)
+        |SELECT abc_class, count(*) AS n_customers,
+        |  CAST(sum(rc) AS BIGINT) AS rev_c,
+        |  CAST((sum(rc) * 1000000) // max(total) AS BIGINT) AS rev_share_ppm
+        |FROM cls GROUP BY abc_class""".stripMargin,
 
     // q203's modularity arithmetic on the brand attribute partition
     "q225_brand_homophily" ->

@@ -85,7 +85,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q219_degree_distribution", "q220_pca_power",
     "q221_budget_selection", "q222_markov_stationary",
     "q223_holt_smoothing", "q224_quantile_normalize",
-    "q225_brand_homophily")
+    "q225_brand_homophily", "q227_abc_classification",
+    "q228_markov_backtest")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

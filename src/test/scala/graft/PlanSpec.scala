@@ -137,7 +137,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q221_budget_selection",
     // q224: the 1-row corpus-count scalar crossed onto the per-source
     // ranked stream
-    "q224_quantile_normalize")
+    "q224_quantile_normalize",
+    // q227: the 1-row revenue-total scalar crossed onto the customer
+    // revenue stream and the 3-row class census
+    "q227_abc_classification",
+    // q228: the 1-row day-midpoint scalar crossed onto the transition
+    // stream
+    "q228_markov_backtest")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
