@@ -1158,6 +1158,33 @@ object Pipeline extends QueryPack {
           max($"budget_toks").as("budget_toks"))
     }),
 
+    // ---- mixture reconciliation: target shares vs realized selection
+    // The report that closes the whole DSIR loop: q218 plans a TARGET
+    // source mixture from importance mass; q221 actually SELECTS under
+    // a token budget by per-doc score. This query reconciles them —
+    // per source, the planned share vs the realized share of selected
+    // tokens, and the signed ppm delta (greedy per-doc selection
+    // over-serves sources whose mass concentrates in few docs — the
+    // gap a production curation pipeline monitors). Pure composition:
+    // both inputs are declared queries; sources the budget skipped
+    // entirely report realized 0 (left join + fill), and the only new
+    // work is a |sources|-row join.
+    "q229_mixture_reconciliation" -> ((s, d) => {
+      import s.implicits._
+      val target = queries("q218_dsir_mixture")(s, d)
+        .select($"source", $"share_ppm".as("target_ppm"))
+      val sel = queries("q221_budget_selection")(s, d)
+        .select($"source", $"n_selected", $"tokens_selected")
+      val selTot = sel.agg(sum($"tokens_selected").as("sel_total"))
+      target.join(sel, Seq("source"), "left")
+        .na.fill(0L, Seq("n_selected", "tokens_selected"))
+        .crossJoin(broadcast(selTot))
+        .select($"source", $"target_ppm", $"n_selected", $"tokens_selected",
+          expr("(tokens_selected * 1000000L) div sel_total")
+            .as("realized_ppm"))
+        .withColumn("delta_ppm", $"realized_ppm" - $"target_ppm")
+    }),
+
     // ---- cross-source quantile normalization ------------------------
     // The batch-effect correction for heterogeneous crawl sources
     // [Bolstad et al., Bioinformatics'03 — the standard quantile-
@@ -1895,6 +1922,86 @@ object Pipeline extends QueryPack {
         |  CAST(sum(n_tokens) AS BIGINT) AS tokens_selected,
         |  max(budget_toks) AS budget_toks
         |FROM sel GROUP BY source""".stripMargin,
+
+    // the shared DSIR CTE chain feeding BOTH the q218 apportionment
+    // tail and the q221 budget-selection tail, reconciled per source
+    "q229_mixture_reconciliation" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 1024 AS b
+        |  FROM (
+        |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) u),
+        |raw AS (SELECT b, count(*) AS cr FROM toks GROUP BY b),
+        |tgt AS (SELECT b, count(*) AS ct FROM toks WHERE lang = 'en' GROUP BY b),
+        |tot AS (
+        |  SELECT (SELECT count(*) FROM toks) AS t_r,
+        |    (SELECT count(*) FROM toks WHERE lang = 'en') AS t_t),
+        |rat AS (
+        |  SELECT raw.b,
+        |    CAST((coalesce(ct, 0) * t_r * 1000000) // (cr * t_t) AS BIGINT)
+        |      AS r_ppm
+        |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot),
+        |docsc AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    CAST(CAST(sum(r_ppm) AS BIGINT) // count(*) AS BIGINT) AS sc
+        |  FROM toks JOIN rat ON toks.b = rat.b GROUP BY doc_id),
+        |srcw AS (
+        |  SELECT d.source, count(*) AS n_docs, CAST(sum(sc) AS BIGINT) AS w
+        |  FROM docsc JOIN documents d USING (doc_id) GROUP BY 1),
+        |tw AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM srcw),
+        |app AS (
+        |  SELECT source, w,
+        |    w * 1000000 // total AS base,
+        |    w * 1000000 - (w * 1000000 // total) * total AS rem_num
+        |  FROM srcw CROSS JOIN tw),
+        |fin AS (
+        |  SELECT *,
+        |    CAST(1000000 - sum(base) OVER () AS BIGINT) AS leftover,
+        |    row_number() OVER (ORDER BY rem_num DESC, source) AS rk
+        |  FROM app),
+        |target AS (
+        |  SELECT source,
+        |    CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |      AS target_ppm
+        |  FROM fin),
+        |scored AS (
+        |  SELECT s.doc_id, d.source, s.n_tokens, s.sc
+        |  FROM docsc s JOIN documents d USING (doc_id)),
+        |bud AS (SELECT CAST(sum(n_tokens) AS BIGINT) // 10 AS budget_toks
+        |        FROM scored),
+        |bands AS (
+        |  SELECT sc,
+        |    CAST(sum(bt) OVER (ORDER BY sc DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - bt AS cum_before
+        |  FROM (SELECT sc, CAST(sum(n_tokens) AS BIGINT) AS bt
+        |        FROM scored GROUP BY sc) g),
+        |sel0 AS (
+        |  SELECT s.source, s.n_tokens
+        |  FROM (
+        |    SELECT scored.*,
+        |      CAST(sum(n_tokens) OVER (PARTITION BY sc ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |        AS wc
+        |    FROM scored) s
+        |  JOIN bands ON bands.sc = s.sc CROSS JOIN bud
+        |  WHERE bands.cum_before + s.wc <= bud.budget_toks),
+        |sel AS (
+        |  SELECT source, count(*) AS n_selected,
+        |    CAST(sum(n_tokens) AS BIGINT) AS tokens_selected
+        |  FROM sel0 GROUP BY source),
+        |st AS (SELECT CAST(sum(tokens_selected) AS BIGINT) AS sel_total
+        |       FROM sel)
+        |SELECT t.source, t.target_ppm,
+        |  CAST(coalesce(sel.n_selected, 0) AS BIGINT) AS n_selected,
+        |  CAST(coalesce(sel.tokens_selected, 0) AS BIGINT) AS tokens_selected,
+        |  CAST((coalesce(sel.tokens_selected, 0) * 1000000) // st.sel_total
+        |    AS BIGINT) AS realized_ppm,
+        |  CAST((coalesce(sel.tokens_selected, 0) * 1000000) // st.sel_total
+        |    - t.target_ppm AS BIGINT) AS delta_ppm
+        |FROM target t LEFT JOIN sel ON sel.source = t.source
+        |CROSS JOIN st""".stripMargin,
 
     "q224_quantile_normalize" ->
       """WITH docs AS (SELECT doc_id, source, n_chars FROM documents),

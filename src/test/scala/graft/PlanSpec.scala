@@ -143,7 +143,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q227_abc_classification",
     // q228: the 1-row day-midpoint scalar crossed onto the transition
     // stream
-    "q228_markov_backtest")
+    "q228_markov_backtest",
+    // q229: the q218+q221 composition's scalars (weight total, budget,
+    // selected total) on |sources|-row tables
+    "q229_mixture_reconciliation")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
