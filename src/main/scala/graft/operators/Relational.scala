@@ -1782,6 +1782,39 @@ object Relational extends QueryPack {
             expr("(h * 1000000L) div hm").as("score_ppm")))
     }),
 
+    // ---- ship-latency order statistics by priority ------------------
+    // Does order priority actually buy faster shipping? Exact
+    // rank-selected p50/p90 of the order→ship latency (days from
+    // o_orderdate to l_shipdate) per priority class — the SLA
+    // verification for the priority field, on q100's order-statistic
+    // machinery with single-rank lower selections (p50 at (n+1) div 2,
+    // p90 at ceil(0.9n) = (9n+9) div 10 — identical integer indices
+    // both engines). One orders⋈lineitem keyed join, then windows
+    // partitioned on the bounded priority classes; rank selection via
+    // max(CASE rn = target) inside the agg so nothing collects.
+    "q230_ship_latency_sla" -> ((s, d) => {
+      import s.implicits._
+      val lat = T.lineitem(s, d)
+        .join(T.orders(s, d)
+            .select($"o_orderkey", $"o_orderpriority", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .select($"o_orderpriority",
+          datediff(to_date($"l_shipdate"), to_date($"o_orderdate"))
+            .cast("long").as("days"),
+          $"l_orderkey", $"l_linenumber")
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"days", $"l_orderkey", $"l_linenumber")
+      lat.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy($"o_orderpriority")))
+        .groupBy($"o_orderpriority")
+        .agg(max($"n").as("n"),
+          sum($"days").as("sum_days"),
+          max(when($"rn" === expr("(n + 1) div 2"), $"days")).as("p50_days"),
+          max(when($"rn" === expr("(9 * n + 9) div 10"), $"days"))
+            .as("p90_days"))
+    }),
+
     // ---- ABC / Pareto revenue classification ------------------------
     // The inventory-management classic: customers sorted by revenue
     // DESC, class A while the running share stays ≤ 80%, B to 95%,
@@ -2758,6 +2791,24 @@ object Relational extends QueryPack {
         |SELECT 'hub' AS side, c AS id,
         |  CAST((h * 1000000) // (SELECT max(h) FROM hub0) AS BIGINT) AS score_ppm
         |FROM hub0""".stripMargin,
+
+    "q230_ship_latency_sla" ->
+      """WITH lat AS (
+        |  SELECT o_orderpriority,
+        |    CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) AS days,
+        |    l_orderkey, l_linenumber
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |r AS (
+        |  SELECT *,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY days, l_orderkey, l_linenumber) AS BIGINT) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM lat)
+        |SELECT o_orderpriority, max(n) AS n,
+        |  CAST(sum(days) AS BIGINT) AS sum_days,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN days END) AS p50_days,
+        |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN days END) AS p90_days
+        |FROM r GROUP BY o_orderpriority""".stripMargin,
 
     "q227_abc_classification" ->
       """WITH rev AS (

@@ -419,6 +419,28 @@ object TextAnalysis extends QueryPack {
             "(n_tokens * n_tokens)").as("simpson_ppm"))
     }),
 
+    // ---- hapax legomena rate per source -----------------------------
+    // The vocabulary-richness signal next to q193's Heaps curve: the
+    // share of a source's word TYPES that occur exactly once in that
+    // source (hapax legomena). Template-heavy or boilerplate sources
+    // score low (few one-off words); diverse prose scores high — a
+    // quality dimension length ratios miss. Two hash aggs: (source,
+    // word) counts then per-source type/hapax tallies — one corpus
+    // shuffle keyed on the vocabulary, nothing corpus-scale after.
+    "q231_hapax_rate" -> ((s, d) => {
+      import s.implicits._
+      T.documents(s, d)
+        .select($"source", explode(split($"text", " ")).as("w"))
+        .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+        .groupBy($"source")
+        .agg(sum($"c").cast("bigint").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when($"c" === 1L, 1L).otherwise(0L)).cast("bigint")
+            .as("n_hapax"))
+        .select($"source", $"n_tokens", $"n_types", $"n_hapax",
+          expr("(n_hapax * 1000000L) div n_types").as("hapax_type_ppm"))
+    }),
+
     // ---- chi-squared independence audit: lang × source --------------
     // Is document language independent of crawl source? The corpus-
     // composition forensic behind mixture planning (a source that
@@ -706,6 +728,21 @@ object TextAnalysis extends QueryPack {
         |SELECT pair, CAST(sum(freq) AS BIGINT) AS n_occ,
         |  count(DISTINCT w) AS n_word_types
         |FROM p GROUP BY pair""".stripMargin,
+
+    "q231_hapax_rate" ->
+      """WITH wc AS (
+        |  SELECT source, w, count(*) AS c FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) u
+        |  GROUP BY 1, 2),
+        |g AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_types,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |  FROM wc GROUP BY 1)
+        |SELECT source, n_tokens, n_types, n_hapax,
+        |  CAST((n_hapax * 1000000) // n_types AS BIGINT) AS hapax_type_ppm
+        |FROM g""".stripMargin,
 
     "q209_chi2_independence" ->
       """WITH cells AS (

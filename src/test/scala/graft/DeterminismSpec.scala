@@ -86,7 +86,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q221_budget_selection", "q222_markov_stationary",
     "q223_holt_smoothing", "q224_quantile_normalize",
     "q225_brand_homophily", "q227_abc_classification",
-    "q228_markov_backtest", "q229_mixture_reconciliation")
+    "q228_markov_backtest", "q229_mixture_reconciliation",
+    "q230_ship_latency_sla", "q231_hapax_rate")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count
