@@ -131,7 +131,10 @@ import graft.operators._
   * degree-distribution power-law profile, q220 PCA top direction via
   * integer power iteration, q221 token-budget-capped selection, q222
   * Markov stationary distribution, q223 Holt trend smoothing, q224
-  * cross-source quantile normalization, q225 brand homophily.
+  * cross-source quantile normalization, q225 brand homophily, q227
+  * ABC/Pareto revenue classification, q228 Markov next-event
+  * backtest, q229 target-vs-realized mixture reconciliation, q230
+  * ship-latency SLA percentiles, q231 per-source hapax richness.
   */
 object SparkEntry {
 
