@@ -135,6 +135,16 @@ import graft.operators._
   * ABC/Pareto revenue classification, q228 Markov next-event
   * backtest, q229 target-vs-realized mixture reconciliation, q230
   * ship-latency SLA percentiles, q231 per-source hapax richness.
+  *
+  * Round-12 (SURVEY.md §8): the r11 scale-shape retirements (q230/
+  * q206/q207 band- or sample-decomposed, q100/q211 re-landed on the
+  * shared [[operators.Relational.bandedMedMad2]], s23's collect_set →
+  * chained bounded aggregations) plus three statistics: q232 Spearman
+  * rank correlation of doc length vs duplicate-word rate per source
+  * (band-decomposed total ranks, exact 1 − 6Σd²/(n(n²−1)) in ppm),
+  * q233 Herfindahl–Hirschman supplier-revenue concentration per
+  * nation (exact basis-point shares), q234 Fano dispersion index of
+  * per-type daily volumes (Poisson/bursty arrival audit, exact ppm).
   */
 object SparkEntry {
 

@@ -151,6 +151,24 @@ object Tables {
   private val registeredDir =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 
+  /** The MECHANICAL form of the bounded-collect rule (r11 verdict
+    * item #6): the only `collect()`s allowed in query paths are
+    * driver-side folds over tables whose row count is bounded BY
+    * CONSTRUCTION (a dim² Gram matrix, a timespan×|types| daily
+    * grid) — never by the corpus. This helper makes each site's
+    * documented bound load-bearing instead of a comment: it fetches
+    * at most `bound + 1` rows (so an unbounded input errors without
+    * first OOMing the driver) and throws if the bound is exceeded.
+    * Within the bound the fetch is the complete result set, so
+    * callers' folds are unchanged. */
+  def boundedCollect(df: DataFrame, bound: Long, what: String): Array[org.apache.spark.sql.Row] = {
+    require(bound > 0 && bound < Int.MaxValue, s"$what: non-positive or overflowing bound $bound")
+    val rows = df.limit(bound.toInt + 1).collect()
+    require(rows.length <= bound,
+      s"$what: bounded-collect contract violated — input exceeds the documented $bound-row bound")
+    rows
+  }
+
   def registerAll(spark: SparkSession, dir: String): Unit =
     // compute(): the view-creation loop runs under the map's bin lock
     // and the dir is recorded only AFTER all views exist — a put-first

@@ -620,41 +620,75 @@ object Events extends QueryPack {
     // [Holt, ONR'57] double exponential smoothing over the per-type
     // daily volume series — the level+trend forecaster one step up
     // from q188's naive baselines and q108's single EWMA:
-    // l' = (y + 3(l+t)) intdiv 4, t' = (l'−l+3t) intdiv 4
-    // (α = β = ¼), forecast_d7 = l + 7t. The trend is SIGNED — and
-    // MEASURED on this host, DuckDB's integer `//` TRUNCATES toward
-    // zero exactly like Scala's Long `/` ((-7)//4 = -1, not the -2 a
-    // float floor-div gives), so the driver fold uses plain `/` and
-    // the recursive-CTE oracle replays the identical truncating
-    // trajectory over the day-index grid. (The house shifted-floor
-    // rule targets Spark-SQL `div` expressions, where shifting
-    // non-negative makes the question moot.) Corpus-scale work is ONE
-    // (day, type) hash agg; the fold runs on the collected grid —
-    // timespan×|types| rows, bounded regardless of corpus size (the
-    // q220 bounded-collect rule; a per-day recursion in Spark would
-    // pay a scheduler round per day). Gap days advance the recurrence
-    // one step like observed days (documented: the fixture grid is
-    // dense; a sparse deployment would gap-fill first — q88).
+    // l' = (y + 3(l+t)) floordiv 4, t' = (l'−l+3t) floordiv 4
+    // (α = β = ¼), forecast_d7 = l + 7t. The trend is SIGNED, so both
+    // engines run the HOUSE SHIFTED-NUMERATOR FLOOR (ADVICE r11: the
+    // old form leaned on DuckDB 1.0's truncating integer `//`, a
+    // version-specific behavior its own docs contradict): adding
+    // S = 4e15 (a multiple of 4) makes the numerator non-negative —
+    // valid to |numerator| < 4e15, i.e. daily volumes to ~1e15, far
+    // past 100 TB — where truncation and floor coincide, then S/4 is
+    // subtracted back. The driver fold and the recursive-CTE oracle
+    // replay the identical floor trajectory on ANY engine version.
+    // Corpus-scale work is ONE (day, type) hash agg; the fold runs on
+    // the collected grid — timespan×|types| rows, bounded regardless
+    // of corpus size, MECHANICALLY asserted via T.boundedCollect
+    // (100 years × 64 types; a per-day recursion in Spark would pay a
+    // scheduler round per day). Gap days advance the recurrence one
+    // step like observed days (documented: the fixture grid is dense;
+    // a sparse deployment would gap-fill first — q88).
     "q223_holt_smoothing" -> ((s, d) => {
       import s.implicits._
-      val daily = T.events(s, d)
+      val grid = T.events(s, d)
         .select(datediff(to_date($"ts"), to_date(lit("2024-01-01")))
           .cast("long").as("day"), $"event_type")
         .groupBy($"day", $"event_type").agg(count(lit(1)).as("y"))
-        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val daily = T.boundedCollect(grid, 36500L * 64L, "q223 daily grid")
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val S = 4000000000000000L // 4e15, multiple of 4
       val rows = daily.groupBy(_._2).toSeq.map { case (tpe, rs) =>
         val ys = rs.sortBy(_._1).map(_._3)
         var l = ys.head
         var t = 0L
         ys.tail.foreach { y =>
-          val l2 = (y + 3L * (l + t)) / 4L
-          t = (l2 - l + 3L * t) / 4L
+          val l2 = (y + 3L * (l + t) + S) / 4L - S / 4L
+          t = (l2 - l + 3L * t + S) / 4L - S / 4L
           l = l2
         }
         (tpe, ys.size.toLong, l, t, l + 7L * t)
       }
       rows.sortBy(_._1)
         .toDF("event_type", "n_days", "level", "trend", "forecast_d7")
+    }),
+
+    // ---- Fano dispersion index of daily volumes ---------------------
+    // Is each event type's arrival process Poisson-like, bursty, or
+    // over-regular? The index of dispersion D = var/mean over the
+    // per-type DAILY count series — D ≈ 1 for Poisson arrivals, ≫ 1
+    // for bursty traffic (the capacity-planning companion to q183's
+    // seasonal profile and q108's EWMA): reported as exact floor ppm,
+    // fano_ppm = ((n·Σy² − (Σy)²)·1e6) div ((n−1)·Σy), with the
+    // squared sums through DECIMAL(38)/HUGEINT (the q209 rule — daily
+    // volumes square past int64 at 100 TB). The numerator is the
+    // Cauchy–Schwarz variance form, non-negative, so div == // with
+    // no shift. Corpus-scale work is ONE (type, day) hash agg; the
+    // index runs on the timespan×|types|-bounded grid.
+    "q234_dispersion_index" -> ((s, d) => {
+      import s.implicits._
+      val daily = T.events(s, d)
+        .select(datediff(to_date($"ts"), to_date(lit("2024-01-01")))
+          .cast("long").as("day"), $"event_type")
+        .groupBy($"event_type", $"day").agg(count(lit(1)).as("y"))
+      daily.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum($"y").cast("bigint").as("sum_y"),
+          sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("sum_y2"))
+        .select($"event_type", $"n_days", $"sum_y",
+          expr("CAST(CASE WHEN n_days > 1 AND sum_y > 0 THEN " +
+            "((CAST(n_days AS DECIMAL(38,0)) * sum_y2 - " +
+            "CAST(sum_y AS DECIMAL(38,0)) * sum_y) * 1000000) div " +
+            "((CAST(n_days AS DECIMAL(38,0)) - 1) * sum_y) " +
+            "ELSE 0 END AS BIGINT)").as("fano_ppm"))
     }),
 
     // ---- stationary distribution of the event Markov chain ----------
@@ -665,14 +699,22 @@ object Events extends QueryPack {
     // iteration runs on the ≤|types|²-row transition matrix (25 rows
     // here) — the corpus cost is exactly q99's one pass; floor
     // division sheds ≤|types| ppm of mass per step, which the
-    // tolerance absorbs. Precondition (true of this fixture): every
-    // type occurs as both source and target, so the state vector never
-    // loses a vertex.
+    // tolerance absorbs. Precondition: every type occurs as both
+    // source and target, so the state vector never loses a vertex —
+    // ASSERTED, not assumed (ADVICE r11: the fixpoint's inner-join
+    // convergence probe would silently drop a source-only or
+    // target-only vertex); the check is one action over two
+    // |types|-bounded distinct sets.
     "q222_markov_stationary" -> ((s, d) => {
       import s.implicits._
       val m = queries("q99_markov_transitions")(s, d)
         .select($"prev_type".as("f"), $"event_type".as("t"), $"p_ppm")
         .localCheckpoint()
+      val srcs = m.select($"f".as("v")).distinct()
+      val tgts = m.select($"t".as("v")).distinct()
+      require(srcs.except(tgts).unionAll(tgts.except(srcs)).isEmpty,
+        "q222: transition matrix has a source-only or target-only type — " +
+          "the inner-join convergence probe would drop it from the state vector")
       val nt = m.select($"f").distinct().agg(count(lit(1)).as("n_types"))
       val init = m.select($"f".as("v")).distinct()
         .crossJoin(broadcast(nt))
@@ -691,30 +733,18 @@ object Events extends QueryPack {
     // med2 = v[(n+1) div 2] + v[(n+2) div 2] is TWICE the interpolated
     // median (integer-exact for any parity); deviations dv = |2v−med2|
     // are in the same doubled units, and mad4 doubles once more — the
-    // caller divides by 2/4 at presentation time. Two window passes on
-    // the same event_type key plus one broadcast-size join of the
-    // |groups|-row medians back to the rows; rank selection via
-    // max(CASE rn = target) inside the agg, so nothing ever collects.
+    // caller divides by 2/4 at presentation time. VALUE-BAND
+    // DECOMPOSED via [[Relational.bandedMedMad2]] (round 12): the old
+    // form ranked raw event rows in windows partitioned on the
+    // ≤|types|-value key — the q230 single-task-sort class — while
+    // the quantized values span a bounded domain, so the cumulative
+    // rank selection now runs over the (type, vq) band table only.
+    // Identical output, so the oracle replays row_number unchanged.
     "q100_robust_stats" -> ((s, d) => {
       import s.implicits._
-      val ev = T.events(s, d).select($"event_type", $"event_id",
+      val ev = T.events(s, d).select($"event_type",
         expr("CAST(round(value * 1024) AS BIGINT)").as("vq"))
-      val w1 = Window.partitionBy($"event_type").orderBy($"vq", $"event_id")
-      val med = ev
-        .withColumn("rn", row_number().over(w1))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
-        .groupBy($"event_type")
-        .agg(max($"n").as("n"),
-          (max(when($"rn" === expr("(n + 1) div 2"), $"vq")) +
-            max(when($"rn" === expr("(n + 2) div 2"), $"vq"))).as("med2"))
-      val w2 = Window.partitionBy($"event_type").orderBy($"dv", $"event_id")
-      ev.join(med, Seq("event_type"))
-        .withColumn("dv", abs($"vq" * 2 - $"med2"))
-        .withColumn("rn", row_number().over(w2))
-        .groupBy($"event_type")
-        .agg(max($"n").as("n"), max($"med2").as("med2"),
-          (max(when($"rn" === expr("(n + 1) div 2"), $"dv")) +
-            max(when($"rn" === expr("(n + 2) div 2"), $"dv"))).as("mad4"))
+      Relational.bandedMedMad2(ev, "event_type", "vq")
     }),
 
     // ---- range join against a literal tier dim ----------------------
@@ -1559,9 +1589,29 @@ object Events extends QueryPack {
         |WHERE t.day >= mid.mid_day
         |GROUP BY t.prev_type""".stripMargin,
 
+    "q234_dispersion_index" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(datediff('day', DATE '2024-01-01', ts) AS BIGINT) AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, count(*) AS n_days,
+        |    CAST(sum(y) AS BIGINT) AS sum_y,
+        |    sum(CAST(y AS HUGEINT) * y) AS sum_y2
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n_days, sum_y,
+        |  CAST(CASE WHEN n_days > 1 AND sum_y > 0 THEN
+        |    ((CAST(n_days AS HUGEINT) * sum_y2 -
+        |      CAST(sum_y AS HUGEINT) * sum_y) * 1000000)
+        |      // ((CAST(n_days AS HUGEINT) - 1) * sum_y)
+        |    ELSE 0 END AS BIGINT) AS fano_ppm
+        |FROM g""".stripMargin,
+
     // the Holt recurrence replayed per type over the day-index grid;
-    // DuckDB's integer // truncates toward zero, matching the driver
-    // fold's Long / on the signed trend numerator
+    // both numerators run the shifted-numerator floor (+4e15, a
+    // multiple of 4, then −1e15 back) so the trajectory is identical
+    // whether an engine's integer division truncates or floors
     "q223_holt_smoothing" ->
       """WITH RECURSIVE daily AS (
         |  SELECT CAST(datediff('day', DATE '2024-01-01', ts) AS BIGINT) AS day,
@@ -1579,8 +1629,12 @@ object Events extends QueryPack {
         |  FROM seq WHERE idx = 1
         |  UNION ALL
         |  SELECT hw.event_type, hw.idx + 1,
-        |    (s.y + 3 * (hw.l + hw.t)) // 4,
-        |    (((s.y + 3 * (hw.l + hw.t)) // 4) - hw.l + 3 * hw.t) // 4
+        |    (s.y + 3 * (hw.l + hw.t) + 4000000000000000) // 4
+        |      - 1000000000000000,
+        |    (((s.y + 3 * (hw.l + hw.t) + 4000000000000000) // 4
+        |        - 1000000000000000)
+        |      - hw.l + 3 * hw.t + 4000000000000000) // 4
+        |      - 1000000000000000
         |  FROM hw JOIN seq s
         |    ON s.event_type = hw.event_type AND s.idx = hw.idx + 1)
         |SELECT hw.event_type, hw.idx AS n_days, hw.l AS level, hw.t AS trend,

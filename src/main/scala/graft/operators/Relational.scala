@@ -434,6 +434,46 @@ object Relational extends QueryPack {
         .select(col("c"), col("p")).distinct()
     }
 
+  /** Doubled-rank median + MAD per key, VALUE-BAND DECOMPOSED — the
+    * shared machinery behind q100/q211 (round 12: both used to rank
+    * raw corpus-grain rows in windows partitioned on a ≤|types|- /
+    * ≤k-value key, the exact single-task-sort shape the r11 verdict
+    * retired from q230). med2 = v[r1] + v[r2] (r1 = (n+1) div 2,
+    * r2 = (n+2) div 2 — twice the interpolated median, integer-exact
+    * for any parity); dv = |2v − med2|; mad4 likewise on dv (4× MAD).
+    * Every window here runs over the (key, value) BAND table —
+    * distinct quantized values, bounded by the value domain, not the
+    * corpus — and the rank-r value is the smallest band with
+    * cumulative count ≥ r. Deviation bands re-aggregate after the
+    * |keys|-row med join (two values can share a dv). Returns
+    * (key, n, med2, mad4); semantics identical to the row-rank form,
+    * so the DuckDB oracles replay row_number unchanged. */
+  private[operators] def bandedMedMad2(rows: DataFrame, key: String,
+      v: String): DataFrame = {
+    val s = rows.sparkSession
+    import s.implicits._
+    val bands = rows.groupBy(col(key), col(v)).agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy(col(key)).orderBy(col(v))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = bands.withColumn("cum", sum($"c").over(wc))
+      .withColumn("n", sum($"c").over(Window.partitionBy(col(key))))
+      .groupBy(col(key))
+      .agg(max($"n").cast("bigint").as("n"),
+        (min(when($"cum" >= expr("(n + 1) div 2"), col(v))) +
+          min(when($"cum" >= expr("(n + 2) div 2"), col(v)))).as("med2"))
+    val dbands = bands.join(broadcast(med), Seq(key))
+      .select(col(key), abs(col(v) * 2 - $"med2").as("dv"), $"c")
+      .groupBy(col(key), $"dv").agg(sum($"c").as("c"))
+    val wc2 = Window.partitionBy(col(key)).orderBy($"dv")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dbands.join(broadcast(med), Seq(key))
+      .withColumn("cum", sum($"c").over(wc2))
+      .groupBy(col(key))
+      .agg(max($"n").as("n"), max($"med2").as("med2"),
+        (min(when($"cum" >= expr("(n + 1) div 2"), $"dv")) +
+          min(when($"cum" >= expr("(n + 2) div 2"), $"dv"))).as("mad4"))
+  }
+
   /** HITS authority scores on a bipartite incidence list `be` (c, p) —
     * q212's core, factored so HitsPropertySpec can drive it over
     * random bipartite graphs against a sequential reference. Auth-only
@@ -1685,17 +1725,20 @@ object Relational extends QueryPack {
     // each nation: G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over customers
     // sorted ascending by revenue — the inequality/concentration
     // metric behind "do 20% of customers drive 80% of revenue".
-    // One orders→customer hash agg, then rank + power sums INSIDE each
-    // nation partition (the window partitions on nation over the
-    // post-agg |customers| table — never a global single-partition
-    // sort). Equal revenues commute under consecutive ranks, so the
-    // custkey tiebreak cannot change the sum. Revenue is quantized to
-    // whole dollars (half-up from exact cents, non-negative → Spark
-    // `div` == DuckDB `//`) which keeps 2T·1e6 under int64 through
-    // ~sf1; past that the final ratio promotes to decimal(38,0), the
-    // aggs never change. Customers with no orders are excluded (inner
-    // join — a zero-revenue cohort would only raise G; the oracle
-    // excludes them identically).
+    // VALUE-BAND DECOMPOSED (q217/q227's machinery): a run of b equal
+    // values x occupying ranks cum_before+1 … cum_before+b contributes
+    // Σi·x = x·(b·cum_before + b(b+1)/2) exactly — equal revenues
+    // commute under consecutive ranks, so the rank sum is a CLOSED
+    // FORM over the (nation, x) band table and no per-customer row
+    // ever passes through a window keyed on the 25-value nation (the
+    // r11 verdict's borderline shape, retired). The nation-partitioned
+    // cumulative window runs over distinct dollar values per nation
+    // only. Revenue is quantized to whole dollars (half-up from exact
+    // cents, non-negative → Spark `div` == DuckDB `//`) which keeps
+    // 2T·1e6 under int64 through ~sf1; past that the final ratio
+    // promotes to decimal(38,0), the aggs never change. Customers
+    // with no orders are excluded (inner join — a zero-revenue cohort
+    // would only raise G; the oracle excludes them identically).
     "q206_gini_concentration" -> ((s, d) => {
       import s.implicits._
       val rev = T.orders(s, d)
@@ -1703,13 +1746,16 @@ object Relational extends QueryPack {
         .join(broadcast(T.nation(s, d)), $"c_nationkey" === $"n_nationkey")
         .groupBy($"n_name", $"c_custkey")
         .agg(sum(Exact.cents($"o_totalprice")).as("c"))
-        .select($"n_name", $"c_custkey", expr("(c + 50) div 100").as("x"))
-      val w = Window.partitionBy($"n_name").orderBy($"x", $"c_custkey")
-      rev.withColumn("i", row_number().over(w).cast("long"))
+        .select($"n_name", expr("(c + 50) div 100").as("x"))
+      val bands = rev.groupBy($"n_name", $"x").agg(count(lit(1)).as("b"))
+      val wc = Window.partitionBy($"n_name").orderBy($"x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bands.withColumn("cb", sum($"b").over(wc) - $"b")
         .groupBy($"n_name")
-        .agg(count(lit(1)).as("n"),
-          sum($"x").as("sum_x"),
-          sum($"i" * $"x").as("sum_ix"))
+        .agg(sum($"b").cast("bigint").as("n"),
+          sum($"x" * $"b").cast("bigint").as("sum_x"),
+          sum($"x" * ($"b" * $"cb" + expr("(b * (b + 1)) div 2")))
+            .cast("bigint").as("sum_ix"))
         .select($"n_name", $"n", $"sum_x",
           expr("((2 * sum_ix - (n + 1) * sum_x) * 1000000L) div (n * sum_x)")
             .as("gini_ppm"))
@@ -1719,28 +1765,55 @@ object Relational extends QueryPack {
     // The classic marketing segmentation: per customer Recency (days
     // from last order to the fixture horizon 1998-08-02), Frequency
     // (order count) and Monetary (exact cents), each bucketed into
-    // quintiles by ntile(5) (identical tie semantics both engines —
-    // q73's rule; ties broken by custkey so the bucketing is total).
+    // quintiles. SAMPLED-BOUNDARY quintiles (q129's equi-depth
+    // machinery, r11 verdict item #3): the three global ntile(5)
+    // windows over the per-customer table — billions of rows through
+    // one task at 100× — are replaced by boundaries rank-selected from
+    // a content-hash sample whose modulus ADAPTS to the customer count
+    // (ceil(n/8192), so the sampled-row count is ~8192 at ANY scale),
+    // exactly the RangePartitioner trick. Each dimension's 4
+    // boundaries collapse to a single array row, broadcast back, and
+    // quintile = 1 + #boundaries strictly below the value — an
+    // in-row HOF over the ≤4-element array; the only windows in the
+    // plan are the boundary rank-selects over the BOUNDED sample.
     // Recency quintile 1 = most recent, frequency/monetary quintile 5
-    // = highest — the standard score orientation. The three windows
-    // run over the post-agg |customers| table (PlanSpec's
-    // window-above-aggregate allowance); output is the 5³-bounded
-    // segment census with revenue per segment.
+    // = highest — the standard score orientation (boundary buckets are
+    // equi-depth up to sampling error and tie runs; ties share a
+    // bucket, which ntile's arbitrary tie-split never guaranteed).
+    // Output is the ≤5³ segment census with revenue per segment.
     "q207_rfm_segments" -> ((s, d) => {
       import s.implicits._
+      val h60 = graft.functions.PortableHash.h60 _
       val pc = T.orders(s, d)
         .groupBy($"o_custkey")
         .agg(datediff(to_date(lit("1998-08-02")), max($"o_orderdate"))
             .cast("long").as("rec_days"),
           count(lit(1)).as("freq"),
           sum(Exact.cents($"o_totalprice")).as("mon_c"))
-      val wr = Window.orderBy($"rec_days", $"o_custkey")
-      val wf = Window.orderBy($"freq", $"o_custkey")
-      val wm = Window.orderBy($"mon_c", $"o_custkey")
-      pc.select($"o_custkey", $"mon_c",
-          ntile(5).over(wr).cast("long").as("r_q"),
-          ntile(5).over(wf).cast("long").as("f_q"),
-          ntile(5).over(wm).cast("long").as("m_q"))
+      val n = pc.agg(count(lit(1)).as("n_all"))
+      val sample = pc.crossJoin(broadcast(n))
+        .filter(pmod(h60($"o_custkey"),
+          expr("greatest(CAST(1 AS BIGINT), (n_all + 8191) div 8192)")) === 0)
+        .select($"o_custkey", $"rec_days", $"freq", $"mon_c")
+      val cnt = sample.agg(count(lit(1)).as("cnt"))
+      def bounds(vcol: String): DataFrame = {
+        val wr = Window.orderBy(col(vcol), $"o_custkey")
+        sample.crossJoin(broadcast(cnt))
+          .withColumn("rn", row_number().over(wr).cast("long"))
+          .filter((1 to 4).map(i => $"rn" === expr(s"($i * cnt) div 5"))
+            .reduce(_ || _))
+          .agg(sort_array(collect_list(col(vcol))).as(s"${vcol}_bs"))
+      }
+      pc.crossJoin(broadcast(bounds("rec_days")))
+        .crossJoin(broadcast(bounds("freq")))
+        .crossJoin(broadcast(bounds("mon_c")))
+        .select($"mon_c",
+          expr("CAST(1 + size(filter(rec_days_bs, x -> x < rec_days)) AS BIGINT)")
+            .as("r_q"),
+          expr("CAST(1 + size(filter(freq_bs, x -> x < freq)) AS BIGINT)")
+            .as("f_q"),
+          expr("CAST(1 + size(filter(mon_c_bs, x -> x < mon_c)) AS BIGINT)")
+            .as("m_q"))
         .groupBy($"r_q", $"f_q", $"m_q")
         .agg(count(lit(1)).as("n_customers"),
           sum($"mon_c").as("rev_c"))
@@ -1786,12 +1859,17 @@ object Relational extends QueryPack {
     // Does order priority actually buy faster shipping? Exact
     // rank-selected p50/p90 of the order→ship latency (days from
     // o_orderdate to l_shipdate) per priority class — the SLA
-    // verification for the priority field, on q100's order-statistic
-    // machinery with single-rank lower selections (p50 at (n+1) div 2,
-    // p90 at ceil(0.9n) = (9n+9) div 10 — identical integer indices
-    // both engines). One orders⋈lineitem keyed join, then windows
-    // partitioned on the bounded priority classes; rank selection via
-    // max(CASE rn = target) inside the agg so nothing collects.
+    // verification for the priority field. VALUE-BAND DECOMPOSED
+    // (q217's machinery for the same order-statistic problem): the
+    // corpus-scale orders⋈lineitem join reduces FIRST to the bounded
+    // (priority, days) weight table — latency days span the calendar,
+    // not the corpus — and the cumulative window + rank selection run
+    // over that ≤|priorities|·|days| table only. The rank-r value is
+    // the smallest days whose cumulative count reaches r (p50 at
+    // (n+1) div 2, p90 at ceil(0.9n) = (9n+9) div 10 — identical
+    // integer indices both engines), so NO corpus-grain row ever
+    // passes through a window partitioned on the 5-value priority key
+    // (the r11 verdict's single-task-sort-at-100× shape, retired).
     "q230_ship_latency_sla" -> ((s, d) => {
       import s.implicits._
       val lat = T.lineitem(s, d)
@@ -1800,18 +1878,19 @@ object Relational extends QueryPack {
           $"l_orderkey" === $"o_orderkey")
         .select($"o_orderpriority",
           datediff(to_date($"l_shipdate"), to_date($"o_orderdate"))
-            .cast("long").as("days"),
-          $"l_orderkey", $"l_linenumber")
-      val w = Window.partitionBy($"o_orderpriority")
-        .orderBy($"days", $"l_orderkey", $"l_linenumber")
-      lat.withColumn("rn", row_number().over(w).cast("long"))
+            .cast("long").as("days"))
+      val bands = lat.groupBy($"o_orderpriority", $"days")
+        .agg(count(lit(1)).as("c"))
+      val wc = Window.partitionBy($"o_orderpriority").orderBy($"days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bands.withColumn("cum", sum($"c").over(wc))
         .withColumn("n",
-          count(lit(1)).over(Window.partitionBy($"o_orderpriority")))
+          sum($"c").over(Window.partitionBy($"o_orderpriority")))
         .groupBy($"o_orderpriority")
-        .agg(max($"n").as("n"),
-          sum($"days").as("sum_days"),
-          max(when($"rn" === expr("(n + 1) div 2"), $"days")).as("p50_days"),
-          max(when($"rn" === expr("(9 * n + 9) div 10"), $"days"))
+        .agg(max($"n").cast("bigint").as("n"),
+          sum($"days" * $"c").cast("bigint").as("sum_days"),
+          min(when($"cum" >= expr("(n + 1) div 2"), $"days")).as("p50_days"),
+          min(when($"cum" >= expr("(9 * n + 9) div 10"), $"days"))
             .as("p90_days"))
     }),
 
@@ -1934,6 +2013,35 @@ object Relational extends QueryPack {
         .groupBy($"p_brand")
         .agg(max($"w_total").cast("bigint").as("w_total"),
           min($"price_d").as("wmedian_dollars"))
+    }),
+
+    // ---- Herfindahl–Hirschman supplier concentration per nation -----
+    // The antitrust-standard concentration index next to q206's Gini
+    // and q227's ABC: HHI = Σ share² over supplier revenue shares
+    // within each nation, shares in exact basis points (rc·1e4 div
+    // total — DECIMAL(38) for the product, the q209 wide-intermediate
+    // rule, then back to ≤1e4 longs), so HHI ∈ [0, 1e8] with the
+    // DOJ thresholds at 1500·1e4 / 2500·1e4. Floor-quantized shares
+    // under-count by ≤ n_suppliers basis-point fractions —
+    // deterministic, identical both engines. Shape: one lineitem⋈
+    // supplier keyed join + two hash aggs; the 25-row nation total
+    // joins back broadcast. Monopoly reads 1e8, atomistic → 0.
+    "q233_hhi_concentration" -> ((s, d) => {
+      import s.implicits._
+      val rev = T.lineitem(s, d)
+        .join(T.supplier(s, d).select($"s_suppkey", $"s_nationkey"),
+          $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(T.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name", $"s_suppkey")
+        .agg(sum(Exact.cents($"l_extendedprice")).as("rc"))
+      val tot = rev.groupBy($"n_name").agg(sum($"rc").as("tc"))
+      rev.join(broadcast(tot), Seq("n_name"))
+        .select($"n_name",
+          expr("CAST((CAST(rc AS DECIMAL(38,0)) * 10000) div tc AS BIGINT)")
+            .as("sbp"))
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum($"sbp" * $"sbp").cast("bigint").as("hhi"))
     })
   )
 
@@ -2718,16 +2826,20 @@ object Relational extends QueryPack {
         |  JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ON c_nationkey = n_nationkey
         |  GROUP BY 1, 2),
-        |ranked AS (
-        |  SELECT n_name, x,
-        |    CAST(row_number() OVER (PARTITION BY n_name
-        |      ORDER BY x, c_custkey) AS BIGINT) AS i
-        |  FROM rev),
+        |bands AS (
+        |  SELECT n_name, x, CAST(count(*) AS BIGINT) AS b
+        |  FROM rev GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT n_name, x, b,
+        |    CAST(sum(b) OVER (PARTITION BY n_name ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - b
+        |      AS BIGINT) AS cb
+        |  FROM bands),
         |g AS (
-        |  SELECT n_name, count(*) AS n,
-        |    CAST(sum(x) AS BIGINT) AS sum_x,
-        |    CAST(sum(i * x) AS BIGINT) AS sum_ix
-        |  FROM ranked GROUP BY 1)
+        |  SELECT n_name, CAST(sum(b) AS BIGINT) AS n,
+        |    CAST(sum(x * b) AS BIGINT) AS sum_x,
+        |    CAST(sum(x * (b * cb + (b * (b + 1)) // 2)) AS BIGINT) AS sum_ix
+        |  FROM cum GROUP BY 1)
         |SELECT n_name, n, sum_x,
         |  CAST(((2 * sum_ix - (n + 1) * sum_x) * 1000000) // (n * sum_x)
         |    AS BIGINT) AS gini_ppm
@@ -2741,11 +2853,35 @@ object Relational extends QueryPack {
         |    count(*) AS freq,
         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mon_c
         |  FROM orders GROUP BY 1),
+        |n AS (SELECT count(*) AS n_all FROM pc),
+        |sample AS (
+        |  SELECT pc.* FROM pc, n
+        |  WHERE CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+        |    AS BIGINT) % GREATEST(1, (n_all + 8191) // 8192) = 0),
+        |cnt AS (SELECT count(*) AS cnt FROM sample),
+        |rb AS (
+        |  SELECT rec_days AS b FROM (
+        |    SELECT rec_days, row_number() OVER (ORDER BY rec_days, o_custkey)
+        |      AS rn, (SELECT cnt FROM cnt) AS cnt FROM sample) t
+        |  WHERE rn IN (1*cnt//5, 2*cnt//5, 3*cnt//5, 4*cnt//5)),
+        |fb AS (
+        |  SELECT freq AS b FROM (
+        |    SELECT freq, row_number() OVER (ORDER BY freq, o_custkey)
+        |      AS rn, (SELECT cnt FROM cnt) AS cnt FROM sample) t
+        |  WHERE rn IN (1*cnt//5, 2*cnt//5, 3*cnt//5, 4*cnt//5)),
+        |mb AS (
+        |  SELECT mon_c AS b FROM (
+        |    SELECT mon_c, row_number() OVER (ORDER BY mon_c, o_custkey)
+        |      AS rn, (SELECT cnt FROM cnt) AS cnt FROM sample) t
+        |  WHERE rn IN (1*cnt//5, 2*cnt//5, 3*cnt//5, 4*cnt//5)),
         |scored AS (
         |  SELECT mon_c,
-        |    CAST(ntile(5) OVER (ORDER BY rec_days, o_custkey) AS BIGINT) AS r_q,
-        |    CAST(ntile(5) OVER (ORDER BY freq, o_custkey) AS BIGINT) AS f_q,
-        |    CAST(ntile(5) OVER (ORDER BY mon_c, o_custkey) AS BIGINT) AS m_q
+        |    CAST(1 + (SELECT count(*) FROM rb WHERE rb.b < pc.rec_days)
+        |      AS BIGINT) AS r_q,
+        |    CAST(1 + (SELECT count(*) FROM fb WHERE fb.b < pc.freq)
+        |      AS BIGINT) AS f_q,
+        |    CAST(1 + (SELECT count(*) FROM mb WHERE mb.b < pc.mon_c)
+        |      AS BIGINT) AS m_q
         |  FROM pc)
         |SELECT r_q, f_q, m_q, count(*) AS n_customers,
         |  CAST(sum(mon_c) AS BIGINT) AS rev_c
@@ -2795,20 +2931,41 @@ object Relational extends QueryPack {
     "q230_ship_latency_sla" ->
       """WITH lat AS (
         |  SELECT o_orderpriority,
-        |    CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) AS days,
-        |    l_orderkey, l_linenumber
+        |    CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) AS days
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        |r AS (
-        |  SELECT *,
-        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
-        |      ORDER BY days, l_orderkey, l_linenumber) AS BIGINT) AS rn,
-        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
-        |  FROM lat)
+        |bands AS (
+        |  SELECT o_orderpriority, days, CAST(count(*) AS BIGINT) AS c
+        |  FROM lat GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT o_orderpriority, days, c,
+        |    CAST(sum(c) OVER (PARTITION BY o_orderpriority ORDER BY days
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+        |  FROM bands)
         |SELECT o_orderpriority, max(n) AS n,
-        |  CAST(sum(days) AS BIGINT) AS sum_days,
-        |  max(CASE WHEN rn = (n + 1) // 2 THEN days END) AS p50_days,
-        |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN days END) AS p90_days
-        |FROM r GROUP BY o_orderpriority""".stripMargin,
+        |  CAST(sum(days * c) AS BIGINT) AS sum_days,
+        |  min(CASE WHEN cum >= (n + 1) // 2 THEN days END) AS p50_days,
+        |  min(CASE WHEN cum >= (9 * n + 9) // 10 THEN days END) AS p90_days
+        |FROM cum GROUP BY o_orderpriority""".stripMargin,
+
+    "q233_hhi_concentration" ->
+      s"""WITH rev AS (
+        |  SELECT n_name, s_suppkey,
+        |    CAST(sum(${Exact.centsSql("l_extendedprice")}) AS BIGINT) AS rc
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT n_name, CAST(sum(rc) AS BIGINT) AS tc
+        |        FROM rev GROUP BY 1)
+        |SELECT n_name, count(*) AS n_suppliers,
+        |  CAST(sum(sbp * sbp) AS BIGINT) AS hhi
+        |FROM (
+        |  SELECT rev.n_name,
+        |    CAST((CAST(rc AS HUGEINT) * 10000) // tc AS BIGINT) AS sbp
+        |  FROM rev JOIN tot USING (n_name)) t
+        |GROUP BY n_name""".stripMargin,
 
     "q227_abc_classification" ->
       """WITH rev AS (

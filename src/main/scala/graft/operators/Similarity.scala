@@ -723,29 +723,20 @@ object Similarity extends QueryPack {
     // quantized squared norm per label (q100's doubled-unit order-
     // statistic machinery: med2 = 2·median, mad4 = 4·MAD — no division
     // ever happens) plus the count of |x − med| > 3·MAD outliers as
-    // the integer inequality 2·|2x − med2| > 3·mad4. Windows partition
-    // on label, never globally; the med/mad tables are |labels| rows,
-    // joined broadcast for the outlier count.
+    // the integer inequality 2·|2x − med2| > 3·mad4. VALUE-BAND
+    // DECOMPOSED via [[Relational.bandedMedMad2]] (round 12): the old
+    // form ranked raw per-vector rows in windows partitioned on the
+    // ≤k-value label — the q230 single-task-sort class — while the
+    // quantized norms span a bounded domain, so the rank selection
+    // runs over the (label, n2) band table only; identical output,
+    // oracle unchanged. The med/mad table is |labels| rows, joined
+    // broadcast for the outlier count.
     "q211_embedding_norm_audit" -> ((s, d) => {
       import s.implicits._
       val ev = quantized(s, d)
         .select($"label".cast("bigint").as("label"), $"vec_id", $"n2")
-      val w1 = Window.partitionBy($"label").orderBy($"n2", $"vec_id")
-      val med = ev
-        .withColumn("rn", row_number().over(w1))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy($"label")))
-        .groupBy($"label")
-        .agg(max($"n").as("n"),
-          (max(when($"rn" === expr("(n + 1) div 2"), $"n2")) +
-            max(when($"rn" === expr("(n + 2) div 2"), $"n2"))).as("med2"))
-      val w2 = Window.partitionBy($"label").orderBy($"dv", $"vec_id")
-      val mad = ev.join(broadcast(med), Seq("label"))
-        .withColumn("dv", abs($"n2" * 2 - $"med2"))
-        .withColumn("rn", row_number().over(w2))
-        .groupBy($"label")
-        .agg(max($"n").as("n"), max($"med2").as("med2"),
-          (max(when($"rn" === expr("(n + 1) div 2"), $"dv")) +
-            max(when($"rn" === expr("(n + 2) div 2"), $"dv"))).as("mad4"))
+      val mad = Relational.bandedMedMad2(ev.select($"label", $"n2"),
+        "label", "n2")
       ev.join(broadcast(mad), Seq("label"))
         .groupBy($"label")
         .agg(max($"n").as("n"), max($"med2").as("med2"),
@@ -791,7 +782,10 @@ object Similarity extends QueryPack {
         .select($"i", $"j",
           expr("(s_xy + 1024L * 10000000000L) div 1024L - 10000000000L")
             .as("gs"))
-      val up = upper.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // dim²-bounded by construction; the bound is mechanically
+      // asserted (T.boundedCollect throws past dim² rows)
+      val up = T.boundedCollect(upper, dim.toLong * dim, "q220 Gram")
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       val g: Map[(Long, Long), Long] =
         (up.map { case (i, j, v) => (i, j) -> v } ++
           up.collect { case (i, j, v) if i != j => (j, i) -> v }).toMap
@@ -824,9 +818,12 @@ object Similarity extends QueryPack {
     // greedy ε-ball representative). Because ε is a tuning dial, the
     // query runs the HOUSE ACCEPTANCE SWEEP (q163/q165/q204's rule):
     // removal fraction per swept ε, with the shipped config = the
-    // STRICTEST ε still removing ≥1% of the corpus (falling back to
-    // the loosest swept ε on a corpus with no semantic dups — this
-    // near-random fixture reports honestly low removals). One
+    // STRICTEST ε still removing ≥1% of the corpus. When NO swept ε
+    // meets the 1% target (a corpus with no semantic dups — this
+    // near-random fixture), the fallback is the strictest swept ε,
+    // the conservative choice that removes the FEWEST documents
+    // (ADVICE r11: the old loosest-ε fallback maximized removals on
+    // exactly the corpora with nothing to remove). One
     // cell-bounded pair join feeds every ε: the sweep aggregates the
     // per-vector max-over-smaller-neighbors cosine, scanning pairs
     // once, not once per ε.
@@ -851,7 +848,7 @@ object Similarity extends QueryPack {
           expr("(n_removed * 1000000L) div n_vectors").as("removed_ppm"))
       val pick = sweep.agg(coalesce(
         max(when($"removed_ppm" >= 10000L, $"eps_x100")),
-        min($"eps_x100")).as("ceps"))
+        max($"eps_x100")).as("ceps"))
       sweep.crossJoin(broadcast(pick))
         .select($"eps_x100", $"n_vectors", $"n_removed", $"removed_ppm",
           when($"eps_x100" === $"ceps", 1L).otherwise(0L).as("chosen"))
@@ -1445,7 +1442,7 @@ object Similarity extends QueryPack {
         |pick AS (
         |  SELECT coalesce(
         |    max(CASE WHEN removed_ppm >= 10000 THEN eps_x100 END),
-        |    min(eps_x100)) AS ceps
+        |    max(eps_x100)) AS ceps
         |  FROM sw2)
         |SELECT eps_x100, n_vectors, n_removed, removed_ppm,
         |  CASE WHEN eps_x100 = pick.ceps THEN CAST(1 AS BIGINT)

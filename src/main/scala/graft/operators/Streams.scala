@@ -299,12 +299,22 @@ object Streams extends QueryPack {
           .withWatermark(s"${pfx}_ts", "1 hour")
       val joined = side("click", "c").join(side("purchase", "p"),
         expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 10 minutes"))
-      val hourly = joined
-        .groupBy(window(col("p_ts"), "1 hour"))
-        // distinct aggregates are unsupported in streaming — bounded
-        // per-window user sets via collect_set instead
-        .agg(count(lit(1)).as("n_conversions"),
-          size(collect_set(col("p_user"))).cast("long").as("n_users"))
+      // distinct aggregates are unsupported in streaming, and a
+      // collect_set surrogate accumulates an UNBOUNDED per-window agg
+      // buffer (the r11 verdict's s23 hazard). Instead: chained
+      // streaming aggregations (s22's multi-stateful shape) — a
+      // (window, user) pre-agg whose state rows are O(1) each and
+      // watermark-evictable, re-windowed into the hourly rollup where
+      // n_users = count of pre-agg groups. Both levels close at the
+      // same watermark (same window end), so append-mode emission and
+      // the batch oracle's closure predicate are unchanged.
+      val perUser = joined
+        .groupBy(window(col("p_ts"), "1 hour"), col("p_user"))
+        .agg(count(lit(1)).as("user_convs"))
+      val hourly = perUser
+        .groupBy(window(col("window"), "1 hour"))
+        .agg(sum(col("user_convs")).cast("long").as("n_conversions"),
+          count(lit(1)).cast("long").as("n_users"))
         .select(unix_timestamp(col("window.start")).as("start_s"),
           col("n_conversions"), col("n_users"))
       drain(s, hourly)

@@ -469,6 +469,56 @@ object TextAnalysis extends QueryPack {
             "div (n * r * c)").cast("long").as("contrib_ppm"))
     }),
 
+    // ---- Spearman rank correlation: length vs duplicate-word rate ---
+    // Are longer documents more repetitive? The MONOTONE association
+    // (Pearson/OLS live at q178/q210; rank correlation is the robust
+    // complement) between n_chars and the per-doc duplicate-word rate
+    // ((nw − distinct)·1e6 div nw — an in-row array_distinct, no
+    // shuffle to derive), per source. Ranks are TOTAL (doc_id
+    // tiebreak — the q206 custkey rule), so the classic exact form
+    // ρ = 1 − 6Σd²/(n(n²−1)) applies with d = rx − ry, reported as
+    // floor ppm through DECIMAL(38)/HUGEINT (Σd² ≤ n³ — the q209
+    // wide-intermediate rule, valid to n ≈ 2.5e10 docs per source).
+    // The numerator 6e6·Σd² is non-negative so div == // with no
+    // shift. Rank computation is BAND-DECOMPOSED (the round-12 rule:
+    // no corpus-grain window on a low-cardinality source key): global
+    // rank = cum-before from the per-source value-band table + a
+    // within-band row_number partitioned on (source, value) — the
+    // q227 shape; no window is ever keyed on source alone.
+    "q232_spearman_length_dup" -> ((s, d) => {
+      import s.implicits._
+      val docs = T.documents(s, d)
+        .select($"source", $"doc_id", $"n_chars",
+          expr("CAST(size(split(text, ' ')) AS BIGINT)").as("nw"),
+          expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT)")
+            .as("ndw"))
+        .filter($"nw" >= 1)
+        .select($"source", $"doc_id", $"n_chars".as("x"),
+          expr("((nw - ndw) * 1000000L) div nw").as("y"))
+      def cumBefore(vc: String, alias: String): DataFrame = {
+        val wcum = Window.partitionBy($"source").orderBy(col(vc))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs.groupBy($"source", col(vc)).agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum($"c").over(wcum))
+          .select($"source", col(vc), ($"cum" - $"c").as(alias))
+      }
+      val wInX = Window.partitionBy($"source", $"x").orderBy($"doc_id")
+      val wInY = Window.partitionBy($"source", $"y").orderBy($"doc_id")
+      docs.join(cumBefore("x", "cbx"), Seq("source", "x"))
+        .join(cumBefore("y", "cby"), Seq("source", "y"))
+        .withColumn("rx", $"cbx" + row_number().over(wInX).cast("long"))
+        .withColumn("ry", $"cby" + row_number().over(wInY).cast("long"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("CAST(rx - ry AS DECIMAL(38,0)) * (rx - ry)"))
+            .as("sum_d2"))
+        .select($"source", $"n_docs",
+          expr("CAST(CASE WHEN n_docs > 1 THEN 1000000 - " +
+            "(sum_d2 * 6000000) div (CAST(n_docs AS DECIMAL(38,0)) * " +
+            "(CAST(n_docs AS DECIMAL(38,0)) * n_docs - 1)) " +
+            "ELSE 0 END AS BIGINT)").as("rho_ppm"))
+    }),
+
     // ---- Zipf power-law slope via floor-log2 regression -------------
     // Does the corpus vocabulary follow a power law, and with what
     // exponent? freq ∝ rank^(−s) ⟺ log2(freq) linear in log2(rank),
@@ -742,6 +792,52 @@ object TextAnalysis extends QueryPack {
         |  FROM wc GROUP BY 1)
         |SELECT source, n_tokens, n_types, n_hapax,
         |  CAST((n_hapax * 1000000) // n_types AS BIGINT) AS hapax_type_ppm
+        |FROM g""".stripMargin,
+
+    // the band-decomposed total ranks replayed: cum-before per
+    // (source, value) band + within-band row_number on doc_id, then
+    // the exact no-ties Spearman form in HUGEINT
+    "q232_spearman_length_dup" ->
+      """WITH docs AS (
+        |  SELECT source, doc_id, n_chars AS x,
+        |    ((nw - ndw) * 1000000) // nw AS y
+        |  FROM (
+        |    SELECT source, doc_id, n_chars,
+        |      CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+        |      CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |        AS ndw
+        |    FROM documents) t
+        |  WHERE nw >= 1),
+        |xb AS (
+        |  SELECT source, x, count(*) AS c,
+        |    CAST(sum(count(*)) OVER (PARTITION BY source ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - count(*) AS BIGINT) AS cbx
+        |  FROM docs GROUP BY source, x),
+        |yb AS (
+        |  SELECT source, y, count(*) AS c,
+        |    CAST(sum(count(*)) OVER (PARTITION BY source ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - count(*) AS BIGINT) AS cby
+        |  FROM docs GROUP BY source, y),
+        |ranked AS (
+        |  SELECT d.source,
+        |    xb.cbx + row_number() OVER (PARTITION BY d.source, d.x
+        |      ORDER BY d.doc_id) AS rx,
+        |    yb.cby + row_number() OVER (PARTITION BY d.source, d.y
+        |      ORDER BY d.doc_id) AS ry
+        |  FROM docs d
+        |  JOIN xb ON xb.source = d.source AND xb.x = d.x
+        |  JOIN yb ON yb.source = d.source AND yb.y = d.y),
+        |g AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sum(CAST(rx - ry AS HUGEINT) * (rx - ry)) AS sum_d2
+        |  FROM ranked GROUP BY source)
+        |SELECT source, n_docs,
+        |  CAST(CASE WHEN n_docs > 1 THEN 1000000 -
+        |    (sum_d2 * 6000000) // (CAST(n_docs AS HUGEINT) *
+        |      (CAST(n_docs AS HUGEINT) * n_docs - 1))
+        |    ELSE 0 END AS BIGINT) AS rho_ppm
         |FROM g""".stripMargin,
 
     "q209_chi2_independence" ->

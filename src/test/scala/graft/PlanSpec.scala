@@ -111,6 +111,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q175: the k-row centroid assignment pass (q79's bounded-side
     // Lloyd shape)
     "q175_ann_kmeans_ivf",
+    // q207: q129's sampled-boundary shape ×3 — the 1-row customer
+    // count, the 1-row sample count, and three 1-row ≤4-element
+    // boundary-array tables crossed onto the per-customer aggregate
+    "q207_rfm_segments",
     // q209: the 1-row corpus-total scalar crossed onto the
     // |langs|·|sources|-bounded contingency cell table
     "q209_chi2_independence",
@@ -310,6 +314,69 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.distinct
     assert(offenders.isEmpty,
       s"global windows over unbounded inputs in: $offenders")
+  }
+
+  test("no corpus-grain window partitions only on bounded-enumeration dim keys") {
+    // The r11 verdict's guard gap: the empty-partitionSpec test above
+    // missed q230's shape — a window over raw join-grain rows
+    // partitioned on the 5-value o_orderpriority, which is the SAME
+    // single-task sort at 100×, just split five ways. A window whose
+    // partition keys are ALL fixed-enumeration schema attributes
+    // (priority/status/flag/mode/brand/container/segment/nation/
+    // region — cardinality fixed by the schema, not the data) must sit
+    // above one of the two bounders: an Aggregate (value-band
+    // decomposition — q217/q227/q230/q206), a content-hash sample
+    // filter (q129/q207), or an optimizer-inserted WindowGroupLimit
+    // (q115's lateral top-k: the map-side rank prefilter caps every
+    // partition at k rows before the window ever sorts, so the
+    // per-group input is k-bounded, not corpus-grain).
+    // Data-derived strata (lang, event_type,
+    // label, kcell) stay out of the list — their cardinality is a
+    // per-query modeling claim, and banning them would flag the
+    // endorsed stratified-pipeline windows; like the broadcast-hint
+    // ban, this is a name heuristic, so new fixed-enum partition
+    // columns must be added here when introduced.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Window => LWindow, WindowGroupLimit}
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    val boundedEnum = Set("o_orderpriority", "o_orderstatus", "o_shippriority",
+      "l_returnflag", "l_linestatus", "l_shipmode", "p_brand", "p_type",
+      "p_container", "p_mfgr", "c_mktsegment", "n_name", "r_name",
+      "n_nationkey", "r_regionkey", "c_nationkey", "s_nationkey")
+    def offendersIn(named: Seq[(String, org.apache.spark.sql.DataFrame)]): Seq[String] =
+      named.flatMap { case (n, df) =>
+        df.queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.nonEmpty &&
+            w.partitionSpec.forall {
+              case a: AttributeReference => boundedEnum(a.name.toLowerCase)
+              case _ => false
+            } &&
+            !w.child.exists {
+              case _: Aggregate => true
+              case _: WindowGroupLimit => true
+              case f: Filter => f.condition.toString.toLowerCase.contains("pmod")
+              case _ => false
+            } => n
+        }
+      }.distinct
+    // negative control: the detector must flag the retired r11 q230
+    // shape (row_number over raw join-grain rows partitioned on the
+    // 5-value priority key) — otherwise this guard is vacuous
+    locally {
+      import org.apache.spark.sql.expressions.{Window => W}
+      import org.apache.spark.sql.functions.{col, row_number}
+      val li = Tables.lineitem(spark, dir)
+      val ord = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val oldShape = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .withColumn("rn", row_number().over(
+          W.partitionBy(col("o_orderpriority"))
+            .orderBy(col("l_orderkey"), col("l_linenumber"))))
+      assert(offendersIn(Seq("old_q230" -> oldShape)).nonEmpty,
+        "guard failed to flag the known-bad r11 q230 window shape")
+    }
+    val offenders = offendersIn(dfs)
+    assert(offenders.isEmpty,
+      s"bounded-enum-partitioned windows over corpus-grain input in: $offenders")
   }
 
   test("round-5 curation ops keep their claimed shapes") {
