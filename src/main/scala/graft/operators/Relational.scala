@@ -448,7 +448,7 @@ object Relational extends QueryPack {
     * |keys|-row med join (two values can share a dv). Returns
     * (key, n, med2, mad4); semantics identical to the row-rank form,
     * so the DuckDB oracles replay row_number unchanged. */
-  private[operators] def bandedMedMad2(rows: DataFrame, key: String,
+  private[graft] def bandedMedMad2(rows: DataFrame, key: String,
       v: String): DataFrame = {
     val s = rows.sparkSession
     import s.implicits._

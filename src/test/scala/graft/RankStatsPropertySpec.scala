@@ -125,4 +125,52 @@ class RankStatsPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
           s"seed=$seed: U identity violated")
     }
   }
+
+  /** Doubled median / quadrupled MAD by direct rank selection on the
+    * sorted multiset — the reference for the round-12 shared helper. */
+  private def bruteMedMad2(vs: Seq[Long]): (Long, Long, Long) = {
+    def med2of(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      val n = s.size
+      s((n + 1) / 2 - 1) + s((n + 2) / 2 - 1)
+    }
+    val m2 = med2of(vs)
+    (vs.size.toLong, m2, med2of(vs.map(v => (2 * v - m2).abs)))
+  }
+
+  test("bandedMedMad2 matches brute-force median/MAD across random groups") {
+    val s = spark
+    import s.implicits._
+    for (seed <- 21 to 26) {
+      val rnd = new scala.util.Random(seed)
+      // heavy ties (small domain), singleton groups, negative values
+      val rows = (1 to 1 + rnd.nextInt(80)).map { i =>
+        (s"g${rnd.nextInt(4)}", rnd.nextInt(9).toLong - 3L)
+      } :+ ("solo", 7L)
+      val got = operators.Relational
+        .bandedMedMad2(rows.toDF("k", "v"), "k", "v")
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      val want = rows.groupBy(_._1).map { case (k, rs) =>
+        k -> bruteMedMad2(rs.map(_._2))
+      }
+      assert(got == want, s"seed=$seed: $got != brute $want")
+    }
+  }
+
+  test("boundedCollect returns whole results within bound and throws past it") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 10).map(i => (i.toLong, s"r$i")).toDF("id", "tag")
+    // within bound: the complete result set, nothing truncated
+    assert(Tables.boundedCollect(df, 10L, "test").length == 10)
+    assert(Tables.boundedCollect(df, 11L, "test").length == 10)
+    // past bound: throws instead of silently truncating (and fetches
+    // at most bound + 1 rows on the way to the error)
+    val e = intercept[IllegalArgumentException] {
+      Tables.boundedCollect(df, 9L, "test")
+    }
+    assert(e.getMessage.contains("bounded-collect contract violated"))
+  }
 }
