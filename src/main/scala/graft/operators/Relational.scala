@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Tables => T, QueryPack}
@@ -1796,17 +1796,28 @@ object Relational extends QueryPack {
           expr("greatest(CAST(1 AS BIGINT), (n_all + 8191) div 8192)")) === 0)
         .select($"o_custkey", $"rec_days", $"freq", $"mon_c")
       val cnt = sample.agg(count(lit(1)).as("cnt"))
-      def bounds(vcol: String): DataFrame = {
-        val wr = Window.orderBy(col(vcol), $"o_custkey")
-        sample.crossJoin(broadcast(cnt))
-          .withColumn("rn", row_number().over(wr).cast("long"))
-          .filter((1 to 4).map(i => $"rn" === expr(s"($i * cnt) div 5"))
-            .reduce(_ || _))
-          .agg(sort_array(collect_list(col(vcol))).as(s"${vcol}_bs"))
-      }
-      pc.crossJoin(broadcast(bounds("rec_days")))
-        .crossJoin(broadcast(bounds("freq")))
-        .crossJoin(broadcast(bounds("mon_c")))
+      def targets(rn: Column): Column =
+        (1 to 4).map(i => rn === expr(s"($i * cnt) div 5")).reduce(_ || _)
+      def rnOver(vcol: String): Column =
+        row_number().over(Window.orderBy(col(vcol), $"o_custkey"))
+          .cast("long")
+      // ONE pass over the bounded sample ranks all three orderings and
+      // collapses the 3×4 boundaries into a single array row
+      // (collect_list skips the unselected rows' nulls) — one branch
+      // through the sample instead of three, so the per-customer
+      // aggregate is scanned 5× total rather than 13×
+      val bounds = sample.crossJoin(broadcast(cnt))
+        .select($"rec_days", $"freq", $"mon_c", $"cnt",
+          rnOver("rec_days").as("rn_r"), rnOver("freq").as("rn_f"),
+          rnOver("mon_c").as("rn_m"))
+        .agg(
+          sort_array(collect_list(when(targets($"rn_r"), $"rec_days")))
+            .as("rec_days_bs"),
+          sort_array(collect_list(when(targets($"rn_f"), $"freq")))
+            .as("freq_bs"),
+          sort_array(collect_list(when(targets($"rn_m"), $"mon_c")))
+            .as("mon_c_bs"))
+      pc.crossJoin(broadcast(bounds))
         .select($"mon_c",
           expr("CAST(1 + size(filter(rec_days_bs, x -> x < rec_days)) AS BIGINT)")
             .as("r_q"),

@@ -87,7 +87,11 @@ class DeterminismSpec extends AnyFunSuite {
     "q223_holt_smoothing", "q224_quantile_normalize",
     "q225_brand_homophily", "q227_abc_classification",
     "q228_markov_backtest", "q229_mixture_reconciliation",
-    "q230_ship_latency_sla", "q231_hapax_rate")
+    "q230_ship_latency_sla", "q231_hapax_rate",
+    // round 12: band-decomposed total ranks (within-band row_number on
+    // doc_id), basis-point shares, daily-grid dispersion
+    "q232_spearman_length_dup", "q233_hhi_concentration",
+    "q234_dispersion_index")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count
