@@ -144,7 +144,11 @@ import graft.operators._
   * (band-decomposed total ranks, exact 1 − 6Σd²/(n(n²−1)) in ppm),
   * q233 Herfindahl–Hirschman supplier-revenue concentration per
   * nation (exact basis-point shares), q234 Fano dispersion index of
-  * per-type daily volumes (Poisson/bursty arrival audit, exact ppm).
+  * per-type daily volumes (Poisson/bursty arrival audit, exact ppm),
+  * and q235 Katz centrality — the third classical centrality next to
+  * PageRank/HITS, with the attenuation DERIVED from the measured max
+  * degree (α·λmax < 1 structurally) through the shared tolerance
+  * fixpoint, property-tested against a sequential reference.
   */
 object SparkEntry {
 

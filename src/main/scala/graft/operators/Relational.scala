@@ -237,6 +237,40 @@ object Relational extends QueryPack {
     out.select($"v", $"p".as("pr_ppm"))
   }
 
+  /** KATZ CENTRALITY [Katz, Psychometrika'53] — q235's core, factored
+    * so a property spec can drive it on random graphs. x = Σₖ αᵏ·Aᵏ·1
+    * iterated as x' = 1 + α·A·x in ppm integers: x'(v) = 1e6 +
+    * (α_ppm · Σ_{u~v} x(u)) div 1e6, run through
+    * [[iterateToFixpointPpm]] with the ±1 ppm successor-pick stop
+    * (cap 16 — the q212 rule; floor truncation makes the exact
+    * fixpoint dribble). The attenuation is NOT hand-picked but
+    * DATA-DERIVED (the house acceptance-loop rule): α_ppm =
+    * 1e6 div (dmax + 1), which makes α·λmax < 1 for ANY graph
+    * (λmax ≤ dmax) — guaranteed convergence with no spectral
+    * estimate, and the 1-row dmax scalar is the only broadcast. All
+    * floors are on non-negative values (div == //). Magnitudes:
+    * x ≤ 1e6·(dmax+1) and the step product ≤ dmax·1e12 — int64 to
+    * dmax ≈ 9e5; a 100 TB graph past that promotes the step product
+    * to decimal(38,0), the joins never change. Per iteration: one
+    * keyed |E|-row join + re-agg — the PageRank cost class over the
+    * same [[coocDir]] substrate. Returns (v, katz_ppm). */
+  private[graft] def katzPpm(dir: DataFrame, degIn: DataFrame,
+      maxIters: Int = 16): DataFrame = {
+    val s = dir.sparkSession
+    import s.implicits._
+    val deg = degIn.toDF("v", "deg")
+    val am = deg.agg(max($"deg").as("dmax"))
+      .select(expr("1000000L div (dmax + 1)").as("a_ppm"))
+    val init = deg.select($"v", lit(1000000L).as("p"))
+    def step(p: DataFrame): DataFrame =
+      dir.join(p.toDF("u", "pu"), "u")
+        .groupBy($"v").agg(sum($"pu").as("sx"))
+        .crossJoin(broadcast(am))
+        .select($"v", expr("1000000L + (a_ppm * sx) div 1000000L").as("p"))
+    iterateToFixpointPpm(init, maxIters, tolPpm = 1L)(step)
+      .select($"v", $"p".as("katz_ppm"))
+  }
+
   /** Symmetrized directed edge substrate (u, v) of the cooc graph —
     * scanned once per PageRank iteration, memoized + persisted. */
   private[graft] def coocDir(s: SparkSession, d: String): DataFrame =
@@ -2053,7 +2087,20 @@ object Relational extends QueryPack {
         .groupBy($"n_name")
         .agg(count(lit(1)).as("n_suppliers"),
           sum($"sbp" * $"sbp").cast("bigint").as("hhi"))
-    })
+    }),
+
+    // ---- Katz centrality with data-derived attenuation --------------
+    // The third classical centrality next to q145's PageRank and
+    // q212's HITS (see [[katzPpm]]): counts ALL walks reaching a
+    // vertex, attenuated α per hop, with α = 1e6 div (dmax+1) derived
+    // from the graph's own measured max degree so convergence is
+    // structural (α·λmax < 1 always), never a tuning guess. Runs on
+    // the shared [[coocDir]]/[[coocDeg]] substrates through the
+    // shared tolerance fixpoint; the recursive-CTE oracle replays the
+    // identical trajectory and successor-pick stop.
+    "q235_katz_centrality" -> ((s, d) =>
+      katzPpm(coocDir(s, d), coocDeg(s, d))
+        .withColumnRenamed("v", "part"))
   )
 
   /** Same text on Spark SQL and DuckDB (q28 convention): a correlated
@@ -2189,6 +2236,36 @@ object Relational extends QueryPack {
         |  JOIN dir ON dir.u = c.u CROSS JOIN nv
         |  GROUP BY c.iter, dir.v, nv.n_v),
         |${prFixpointTail("pr_ppm")}""".stripMargin,
+
+    // the Katz recurrence with the measured-dmax attenuation and the
+    // q212-style ±1 ppm successor-pick stop (cap 16)
+    "q235_katz_centrality" ->
+      """WITH RECURSIVE li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM li x JOIN li y ON x.o = y.o WHERE x.p < y.p),
+        |dir AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+        |deg AS (SELECT u, count(*) AS deg FROM dir GROUP BY u),
+        |al AS (SELECT CAST(1000000 // (max(deg) + 1) AS BIGINT) AS a_ppm FROM deg),
+        |pr AS (
+        |  SELECT 0 AS iter, u AS v, CAST(1000000 AS BIGINT) AS p FROM deg
+        |  UNION ALL
+        |  SELECT s.iter + 1, s.v,
+        |    CAST(1000000 + (al.a_ppm * s.sx) // 1000000 AS BIGINT) AS p
+        |  FROM (
+        |    SELECT pr.iter, dir.v, CAST(sum(pr.p) AS BIGINT) AS sx
+        |    FROM dir JOIN pr ON pr.v = dir.u
+        |    WHERE pr.iter < 16
+        |    GROUP BY pr.iter, dir.v) s
+        |  CROSS JOIN al),
+        |conv AS (
+        |  SELECT a.iter + 1 AS k
+        |  FROM pr a JOIN pr b ON b.iter = a.iter + 1 AND b.v = a.v
+        |  GROUP BY a.iter
+        |  HAVING max(abs(a.p - b.p)) <= 1),
+        |pick AS (SELECT coalesce(min(k), 16) AS k FROM conv)
+        |SELECT pr.v AS part, CAST(pr.p AS BIGINT) AS katz_ppm
+        |FROM pr JOIN pick ON pr.iter = pick.k""".stripMargin,
 
     "q162_weighted_pagerank" ->
       s"""WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -121,6 +121,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q212: the 1-row max-normalizer scalar per HITS iteration (and
     // the final hub max) crossed onto the |V|-row state
     "q212_hits",
+    // q235: the 1-row measured-dmax attenuation scalar crossed onto
+    // the |V|-row Katz state each iteration
+    "q235_katz_centrality",
     // q213: the 1-row n_vectors scalar and the 1-row chosen-epsilon
     // scalar crossed onto the 5-row sweep report
     "q213_semdedup_sweep",
