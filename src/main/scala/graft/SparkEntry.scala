@@ -145,10 +145,15 @@ import graft.operators._
   * q233 Herfindahl–Hirschman supplier-revenue concentration per
   * nation (exact basis-point shares), q234 Fano dispersion index of
   * per-type daily volumes (Poisson/bursty arrival audit, exact ppm),
-  * and q235 Katz centrality — the third classical centrality next to
+  * q235 Katz centrality — the third classical centrality next to
   * PageRank/HITS, with the attenuation DERIVED from the measured max
   * degree (α·λmax < 1 structurally) through the shared tolerance
-  * fixpoint, property-tested against a sequential reference.
+  * fixpoint, property-tested against a sequential reference — and
+  * q236 t-closeness, completing the privacy-release trio with q149's
+  * k-anonymity and q167's l-diversity: per-QI-class ordered EMD of
+  * the sensitive distribution vs the table's, integer-exact as mean
+  * |cumulative ppm-share difference| over a densified class×priority
+  * grid.
   */
 object SparkEntry {
 

@@ -752,6 +752,65 @@ object Pipeline extends QueryPack {
         .filter($"n_sensitive" < 3)
     }),
 
+    // ---- t-closeness audit (the third release gate of the trio) -----
+    // l-diversity still leaks when a class's sensitive DISTRIBUTION
+    // differs sharply from the table's: 3 distinct priorities at
+    // 98/1/1% tells an attacker nearly as much as one [Li, Li &
+    // Venkatasubramanian, "t-Closeness", ICDE'07]. For q149/q167's QI
+    // scheme with the ORDERED sensitive attribute o_orderpriority,
+    // t(class) is the Earth Mover's Distance on the ordered category
+    // axis — INTEGER-EXACT as the mean |cumulative-share difference|
+    // in ppm: Σⱼ|cumQⱼ − cumPⱼ| div (m−1) over the m−1 interior
+    // prefixes. The grid is DENSIFIED first (class table ×
+    // broadcast 5-row priority dim — a class MISSING a priority is
+    // the strongest signal, q(i) = 0 against p(i) > 0), and the
+    // cumulative window runs inside each class's m-row partition of
+    // the post-agg grid — bounded by construction. Output is every
+    // class with its t_ppm and the t > 0.3 release flag — the
+    // generalize/suppress worklist with severities, not just a
+    // violation census.
+    "q236_t_closeness" -> ((s, d) => {
+      import s.implicits._
+      val oc = T.orders(s, d)
+        .join(T.customer(s, d), $"o_custkey" === $"c_custkey")
+        .withColumn("cents", graft.functions.Exact.cents($"c_acctbal"))
+        .withColumn("bal_band", expr("(cents + 100000L) div 50000"))
+        .select($"c_nationkey", $"c_mktsegment", $"bal_band",
+          $"o_orderpriority")
+      val cells = oc.groupBy($"c_nationkey", $"c_mktsegment", $"bal_band",
+          $"o_orderpriority")
+        .agg(count(lit(1)).as("cn"))
+      val classes = cells.groupBy($"c_nationkey", $"c_mktsegment",
+          $"bal_band")
+        .agg(sum($"cn").cast("bigint").as("class_n"))
+      val pri = cells.groupBy($"o_orderpriority")
+        .agg(sum($"cn").cast("bigint").as("pn"))
+      val tot = pri.agg(sum($"pn").cast("bigint").as("total"),
+        count(lit(1)).as("npri"))
+      val qiCols = Seq("c_nationkey", "c_mktsegment", "bal_band")
+      val dense = classes.crossJoin(broadcast(pri))
+        .join(cells, qiCols :+ "o_orderpriority", "left")
+        .crossJoin(broadcast(tot))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("bal_band"),
+          col("o_orderpriority"), col("class_n"), col("npri"),
+          expr("(coalesce(cn, 0L) * 1000000L) div class_n").as("q_ppm"),
+          expr("(pn * 1000000L) div total").as("p_ppm"))
+      val wc = Window.partitionBy(qiCols.map(col): _*)
+        .orderBy($"o_orderpriority")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dense.withColumn("cum_diff", sum($"q_ppm" - $"p_ppm").over(wc))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(qiCols.map(col): _*)
+            .orderBy($"o_orderpriority")))
+        .filter($"rk" < $"npri") // interior prefixes only
+        .groupBy($"c_nationkey", $"c_mktsegment", $"bal_band")
+        .agg(max($"class_n").as("n_rows"),
+          expr("CAST(sum(abs(cum_diff)) div (max(npri) - 1) AS BIGINT)")
+            .as("t_ppm"))
+        .withColumn("flagged",
+          when($"t_ppm" > 300000L, 1L).otherwise(0L))
+    }),
+
     // ---- deterministic WEIGHTED sampling (systematic by cum-weight) --
     // q59/q60 sample uniformly; training-data curation usually wants
     // docs drawn proportional to a weight (chars here — token-budget
@@ -1413,6 +1472,61 @@ object Pipeline extends QueryPack {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1, 2, 3
         |HAVING count(DISTINCT o_orderpriority) < 3""".stripMargin,
+
+    // the dense class × priority grid, ppm shares, interior
+    // cumulative-difference prefixes, mean absolute EMD
+    "q236_t_closeness" ->
+      """WITH oc AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 50000
+        |      AS bal_band,
+        |    o_orderpriority
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cells AS (
+        |  SELECT c_nationkey, c_mktsegment, bal_band, o_orderpriority,
+        |    CAST(count(*) AS BIGINT) AS cn
+        |  FROM oc GROUP BY 1, 2, 3, 4),
+        |classes AS (
+        |  SELECT c_nationkey, c_mktsegment, bal_band,
+        |    CAST(sum(cn) AS BIGINT) AS class_n
+        |  FROM cells GROUP BY 1, 2, 3),
+        |pri AS (
+        |  SELECT o_orderpriority, CAST(sum(cn) AS BIGINT) AS pn
+        |  FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(pn) AS BIGINT) AS total,
+        |               count(*) AS npri FROM pri),
+        |dense AS (
+        |  SELECT cl.c_nationkey, cl.c_mktsegment, cl.bal_band,
+        |    p.o_orderpriority, cl.class_n, t.npri,
+        |    (coalesce(ce.cn, 0) * 1000000) // cl.class_n AS q_ppm,
+        |    (p.pn * 1000000) // t.total AS p_ppm
+        |  FROM classes cl CROSS JOIN pri p CROSS JOIN tot t
+        |  LEFT JOIN cells ce
+        |    ON ce.c_nationkey = cl.c_nationkey
+        |   AND ce.c_mktsegment = cl.c_mktsegment
+        |   AND ce.bal_band = cl.bal_band
+        |   AND ce.o_orderpriority = p.o_orderpriority),
+        |cum AS (
+        |  SELECT c_nationkey, c_mktsegment, bal_band, class_n, npri,
+        |    CAST(sum(q_ppm - p_ppm) OVER (
+        |      PARTITION BY c_nationkey, c_mktsegment, bal_band
+        |      ORDER BY o_orderpriority
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_diff,
+        |    row_number() OVER (
+        |      PARTITION BY c_nationkey, c_mktsegment, bal_band
+        |      ORDER BY o_orderpriority) AS rk
+        |  FROM dense),
+        |g AS (
+        |  SELECT c_nationkey, c_mktsegment, bal_band,
+        |    CAST(max(class_n) AS BIGINT) AS n_rows,
+        |    CAST(sum(abs(cum_diff)) // (max(npri) - 1) AS BIGINT) AS t_ppm
+        |  FROM cum WHERE rk < npri
+        |  GROUP BY 1, 2, 3)
+        |SELECT c_nationkey, c_mktsegment, bal_band, n_rows, t_ppm,
+        |  CASE WHEN t_ppm > 300000 THEN CAST(1 AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS flagged
+        |FROM g""".stripMargin,
 
     "q80_hist_quantile" ->
       """WITH bins AS (

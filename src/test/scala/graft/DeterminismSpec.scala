@@ -91,7 +91,8 @@ class DeterminismSpec extends AnyFunSuite {
     // round 12: band-decomposed total ranks (within-band row_number on
     // doc_id), basis-point shares, daily-grid dispersion
     "q232_spearman_length_dup", "q233_hhi_concentration",
-    "q234_dispersion_index", "q235_katz_centrality")
+    "q234_dispersion_index", "q235_katz_centrality",
+    "q236_t_closeness")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

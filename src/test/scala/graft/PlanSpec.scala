@@ -124,6 +124,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q235: the 1-row measured-dmax attenuation scalar crossed onto
     // the |V|-row Katz state each iteration
     "q235_katz_centrality",
+    // q236: the ≤|priorities|-row sensitive-value dim and the 1-row
+    // (total, npri) scalar crossed onto the class grid to densify it
+    "q236_t_closeness",
     // q213: the 1-row n_vectors scalar and the 1-row chosen-epsilon
     // scalar crossed onto the 5-row sweep report
     "q213_semdedup_sweep",
