@@ -153,7 +153,11 @@ import graft.operators._
   * k-anonymity and q167's l-diversity: per-QI-class ordered EMD of
   * the sensitive distribution vs the table's, integer-exact as mean
   * |cumulative ppm-share difference| over a densified class×priority
-  * grid.
+  * grid. s26 reads a streaming checkpoint's LIVE STATE through
+  * Spark 4's `statestore` batch data source — the operational
+  * state-introspection surface; after an append-mode drain the store
+  * holds exactly the open windows, the complement of s04's closure
+  * predicate, which is what the oracle states.
   */
 object SparkEntry {
 

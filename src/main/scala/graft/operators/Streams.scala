@@ -320,6 +320,56 @@ object Streams extends QueryPack {
       drain(s, hourly)
     }),
 
+    // ---- state-store READER: operational state introspection --------
+    // Spark 4's `statestore` batch data source reads a streaming
+    // checkpoint's LIVE STATE as a DataFrame — the ops surface for
+    // debugging stateful pipelines at scale: what is still buffered,
+    // per store partition, without replaying the stream (at 100 TB
+    // the checkpoint is the only place this answer exists). After an
+    // append-mode AvailableNow drain of the s04-shaped hourly
+    // aggregation, the store holds EXACTLY the still-open windows —
+    // emission and eviction commit together once the watermark passes
+    // a window's end — so the declared result is the COMPLEMENT of
+    // s04's closure predicate and the oracle states it directly on
+    // the batch table (windows whose end is PAST the final
+    // watermark). The checkpoint is RECREATED per call — the memory
+    // sink does not support recovery, so a resume would throw — which
+    // also matches the bench's cold-isolated timing convention; the
+    // drained trajectory is deterministic, so every call reads
+    // identical state.
+    "s26_state_reader" -> ((s, d) => {
+      val name = s"events_rt_${sfx(d)}" // same fixture as s01/s04
+      seedEventsJson(s, d, name, numShards = 4)
+      val ckpt = s"/tmp/graft_ckpt_s26_${sfx(d)}_" +
+        s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      val ckptPath = new org.apache.hadoop.fs.Path(ckpt)
+      val fs = ckptPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(ckptPath)) fs.delete(ckptPath, true)
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", "50000")
+        .load()
+      val agg = raw.select(
+          from_json(col("data").cast("string"), payloadSchema).as("e"))
+        .select(timestamp_micros(col("e.ts_us")).as("ts"),
+          col("e.event_type"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      s.catalog.dropTempView("shardstream_state_out")
+      val q = agg.writeStream.format("memory")
+        .queryName("shardstream_state_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.format("statestore").option("path", ckpt).load()
+        .select(unix_timestamp(col("key.window.start")).as("start_s"),
+          col("key.event_type").as("event_type"),
+          col("value.count").as("n"))
+    }),
+
     // The q187 watermark audit ACTED ON (the acceptance-loop rule —
     // q163/q175's index tuning, here for stream lateness): the
     // watermark delay is not hand-picked but chosen BY the measured
@@ -1276,6 +1326,17 @@ object Streams extends QueryPack {
         |FROM events
         |GROUP BY 1, 2
         |HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR <= (SELECT w FROM wm)""".stripMargin,
+
+    // the COMPLEMENT of s04's closure predicate: what the state store
+    // still buffers after the drain = windows NOT yet closed by the
+    // final watermark
+    "s26_state_reader" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+        |SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS start_s,
+        |  event_type, count(*) AS n
+        |FROM events
+        |GROUP BY 1, 2
+        |HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR > (SELECT w FROM wm)""".stripMargin,
 
     // the q187 lateness table + zero-loss delay choice replayed, then
     // s04's closure predicate AT the chosen delay
