@@ -237,6 +237,51 @@ object Relational extends QueryPack {
     out.select($"v", $"p".as("pr_ppm"))
   }
 
+  /** SAMPLED-BOUNDARY BUCKET ASSIGNMENT — q207's core, factored so a
+    * property spec can drive it on degenerate shapes (tiny samples
+    * where a boundary rank (i·cnt) div nb floors to 0 and the
+    * boundary list shrinks — the fixtures never hit this). q129's
+    * equi-depth machinery generalized: a content-hash sample whose
+    * modulus ADAPTS to the entity count (ceil(n/8192) → ~8192 sampled
+    * rows at ANY scale), nb−1 boundaries rank-selected per value
+    * column FROM ONE PASS over the sample (all orderings ranked in a
+    * single projection, boundaries collapsed into one array row —
+    * collect_list skips the unselected nulls), broadcast back, and
+    * bucket = 1 + #boundaries strictly below the value (an in-row HOF
+    * over the ≤(nb−1)-element array; ties share a bucket). Appends
+    * one `<v>_q` long column per value column; the only windows in
+    * the result plan rank the BOUNDED sample. `idCol` must be a
+    * unique id (the rank tie-break and the sample key). */
+  private[graft] def sampledBuckets(pc: DataFrame, idCol: String,
+      vcols: Seq[String], nb: Int): DataFrame = {
+    val s = pc.sparkSession
+    import s.implicits._
+    val h60 = graft.functions.PortableHash.h60 _
+    val n = pc.agg(count(lit(1)).as("n_all"))
+    val sample = pc.crossJoin(broadcast(n))
+      .filter(pmod(h60(col(idCol)),
+        expr("greatest(CAST(1 AS BIGINT), (n_all + 8191) div 8192)")) === 0)
+      .drop("n_all")
+    val cnt = sample.agg(count(lit(1)).as("cnt"))
+    def targets(rn: Column): Column =
+      (1 until nb).map(i => rn === expr(s"($i * cnt) div $nb"))
+        .reduce(_ || _)
+    val ranked = vcols.foldLeft(sample.crossJoin(broadcast(cnt))) {
+      (df, vc) =>
+        df.withColumn(s"rn_$vc",
+          row_number().over(Window.orderBy(col(vc), col(idCol)))
+            .cast("long"))
+    }
+    val aggs = vcols.map(vc =>
+      sort_array(collect_list(when(targets(col(s"rn_$vc")), col(vc))))
+        .as(s"${vc}_bs"))
+    val withB = pc.crossJoin(broadcast(ranked.agg(aggs.head, aggs.tail: _*)))
+    vcols.foldLeft(withB) { (df, vc) =>
+      df.withColumn(s"${vc}_q",
+        expr(s"CAST(1 + size(filter(${vc}_bs, x -> x < $vc)) AS BIGINT)"))
+    }.drop(vcols.map(vc => s"${vc}_bs"): _*)
+  }
+
   /** KATZ CENTRALITY [Katz, Psychometrika'53] — q235's core, factored
     * so a property spec can drive it on random graphs. x = Σₖ αᵏ·Aᵏ·1
     * iterated as x' = 1 + α·A·x in ppm integers: x'(v) = 1e6 +
@@ -1817,48 +1862,20 @@ object Relational extends QueryPack {
     // Output is the ≤5³ segment census with revenue per segment.
     "q207_rfm_segments" -> ((s, d) => {
       import s.implicits._
-      val h60 = graft.functions.PortableHash.h60 _
       val pc = T.orders(s, d)
         .groupBy($"o_custkey")
         .agg(datediff(to_date(lit("1998-08-02")), max($"o_orderdate"))
             .cast("long").as("rec_days"),
           count(lit(1)).as("freq"),
           sum(Exact.cents($"o_totalprice")).as("mon_c"))
-      val n = pc.agg(count(lit(1)).as("n_all"))
-      val sample = pc.crossJoin(broadcast(n))
-        .filter(pmod(h60($"o_custkey"),
-          expr("greatest(CAST(1 AS BIGINT), (n_all + 8191) div 8192)")) === 0)
-        .select($"o_custkey", $"rec_days", $"freq", $"mon_c")
-      val cnt = sample.agg(count(lit(1)).as("cnt"))
-      def targets(rn: Column): Column =
-        (1 to 4).map(i => rn === expr(s"($i * cnt) div 5")).reduce(_ || _)
-      def rnOver(vcol: String): Column =
-        row_number().over(Window.orderBy(col(vcol), $"o_custkey"))
-          .cast("long")
-      // ONE pass over the bounded sample ranks all three orderings and
-      // collapses the 3×4 boundaries into a single array row
-      // (collect_list skips the unselected rows' nulls) — one branch
-      // through the sample instead of three, so the per-customer
-      // aggregate is scanned 5× total rather than 13×
-      val bounds = sample.crossJoin(broadcast(cnt))
-        .select($"rec_days", $"freq", $"mon_c", $"cnt",
-          rnOver("rec_days").as("rn_r"), rnOver("freq").as("rn_f"),
-          rnOver("mon_c").as("rn_m"))
-        .agg(
-          sort_array(collect_list(when(targets($"rn_r"), $"rec_days")))
-            .as("rec_days_bs"),
-          sort_array(collect_list(when(targets($"rn_f"), $"freq")))
-            .as("freq_bs"),
-          sort_array(collect_list(when(targets($"rn_m"), $"mon_c")))
-            .as("mon_c_bs"))
-      pc.crossJoin(broadcast(bounds))
-        .select($"mon_c",
-          expr("CAST(1 + size(filter(rec_days_bs, x -> x < rec_days)) AS BIGINT)")
-            .as("r_q"),
-          expr("CAST(1 + size(filter(freq_bs, x -> x < freq)) AS BIGINT)")
-            .as("f_q"),
-          expr("CAST(1 + size(filter(mon_c_bs, x -> x < mon_c)) AS BIGINT)")
-            .as("m_q"))
+      // [[sampledBuckets]] ranks all three orderings in ONE pass over
+      // the bounded sample and collapses the 3×4 boundaries into a
+      // single broadcast row — the per-customer aggregate is scanned
+      // 5× total rather than 13×
+      sampledBuckets(pc, "o_custkey",
+          Seq("rec_days", "freq", "mon_c"), nb = 5)
+        .select($"mon_c", $"rec_days_q".as("r_q"),
+          $"freq_q".as("f_q"), $"mon_c_q".as("m_q"))
         .groupBy($"r_q", $"f_q", $"m_q")
         .agg(count(lit(1)).as("n_customers"),
           sum($"mon_c").as("rev_c"))

@@ -21,6 +21,7 @@ class RankStatsPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     spark = SparkSession.builder()
       .master("local[4]")
       .appName("rankstats-property")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -156,6 +157,55 @@ class RankStatsPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         k -> bruteMedMad2(rs.map(_._2))
       }
       assert(got == want, s"seed=$seed: $got != brute $want")
+    }
+  }
+
+  test("sampledBuckets matches brute-force boundary buckets on full samples") {
+    val s = spark
+    import s.implicits._
+    // n << 8192 so the adaptive modulus is 1 and the "sample" is the
+    // whole input: the helper's output must then EXACTLY equal the
+    // brute rank-selected equi-depth assignment. Degenerate shapes the
+    // fixtures never hit: n < nb (boundary rank (i·cnt) div nb floors
+    // to 0 → boundary list shrinks), collapsed ranks (two i hitting
+    // the same row), heavy ties (tied values share a bucket), and a
+    // second value column with a different ordering.
+    for (seed <- 31 to 38) {
+      val rnd = new scala.util.Random(seed)
+      val nb = 2 + rnd.nextInt(6)
+      val n = 1 + rnd.nextInt(if (seed % 2 == 0) nb else 60)
+      val rows = (1 to n).map(i =>
+        (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(9).toLong - 4L))
+      def bruteBuckets(vs: Seq[(Long, Long)]): Map[Long, Long] = {
+        // vs = (id, v); 1-based ranks in (v, id) order; boundaries at
+        // the DISTINCT target ranks >= 1; bucket = 1 + #{b : b < v}
+        val sorted = vs.sortBy(p => (p._2, p._1))
+        val cnt = sorted.size.toLong
+        val ranks = (1 until nb).map(i => (i * cnt) / nb)
+          .filter(_ >= 1).distinct
+        val bounds = ranks.map(r => sorted(r.toInt - 1)._2)
+        vs.map { case (id, v) =>
+          id -> (1L + bounds.count(_ < v))
+        }.toMap
+      }
+      val got = operators.Relational
+        .sampledBuckets(rows.toDF("id", "a", "b"), "id", Seq("a", "b"), nb)
+        .select($"id", $"a_q", $"b_q")
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      val wantA = bruteBuckets(rows.map(r => (r._1, r._2)))
+      val wantB = bruteBuckets(rows.map(r => (r._1, r._3)))
+      rows.foreach { case (id, _, _) =>
+        assert(got(id) == (wantA(id), wantB(id)),
+          s"seed=$seed nb=$nb id=$id: ${got(id)} != (${wantA(id)}, ${wantB(id)})")
+      }
+      // global invariants: buckets in [1, nb], monotone in the value
+      assert(got.values.forall(p =>
+        p._1 >= 1 && p._1 <= nb && p._2 >= 1 && p._2 <= nb))
+      val byA = rows.sortBy(r => (r._2, r._1)).map(r => got(r._1)._1)
+      assert(byA.zip(byA.drop(1)).forall { case (x, y) => x <= y },
+        s"seed=$seed: buckets not monotone in value order")
     }
   }
 
