@@ -691,6 +691,54 @@ object Events extends QueryPack {
             "ELSE 0 END AS BIGINT)").as("fano_ppm"))
     }),
 
+    // ---- Pettitt changepoint test on daily volumes ------------------
+    // [Pettitt, JRSS-C'79] — WHEN did each event type's volume regime
+    // shift? The rank-based (distribution-free) changepoint companion
+    // to q201's CUSUM: U_t = Σ_{i≤t} Σ_{j>t} sgn(y_i − y_j) over the
+    // per-type daily count series, K = max|U_t|, changepoint = the
+    // earliest day attaining K. Computed EXACTLY via the doubled-
+    // midrank identity U_t = Σ_{i≤t} r2_i − t·(n+1) with r2 = 2·avg
+    // rank = 2·cum_before + ties + 1 from the per-type value-band
+    // table (the q208 Mann–Whitney decomposition; proven against the
+    // brute sgn double sum in RankStatsPropertySpec) — integer-exact
+    // under ties, no n² pair join in either engine. Corpus-scale work
+    // is ONE (type, day) hash agg; every window below is partitioned
+    // per type over the timespan-bounded daily grid. Types with a
+    // single observed day have no interior split point and drop out
+    // (t < n filters them), identically in both engines.
+    "q237_pettitt_changepoint" -> ((s, d) => {
+      import s.implicits._
+      val daily = T.events(s, d)
+        .select(datediff(to_date($"ts"), to_date(lit("2024-01-01")))
+          .cast("long").as("day"), $"event_type")
+        .groupBy($"event_type", $"day").agg(count(lit(1)).as("y"))
+      val wv = Window.partitionBy($"event_type").orderBy($"y")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val r2 = daily.groupBy($"event_type", $"y")
+        .agg(count(lit(1)).as("nb"))
+        .withColumn("cum_le", sum($"nb").over(wv))
+        .select($"event_type", $"y",
+          (lit(2L) * ($"cum_le" - $"nb") + $"nb" + lit(1L)).as("r2"))
+      val wd = Window.partitionBy($"event_type").orderBy($"day")
+      val ut = daily.join(r2, Seq("event_type", "y"))
+        .withColumn("t", row_number().over(wd).cast("long"))
+        .withColumn("s2",
+          sum($"r2").over(wd.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy($"event_type")))
+        .filter($"t" < $"n")
+        .select($"event_type", $"day", $"n",
+          ($"s2" - $"t" * ($"n" + lit(1L))).as("u_t"))
+      ut.withColumn("k",
+          max(abs($"u_t")).over(Window.partitionBy($"event_type")))
+        .filter(abs($"u_t") === $"k")
+        .groupBy($"event_type")
+        .agg(max($"n").cast("bigint").as("n_days"),
+          max($"k").cast("bigint").as("k_stat"),
+          min($"day").as("cp_day"))
+    }),
+
     // ---- stationary distribution of the event Markov chain ----------
     // The long-run behavioral mix q99's transition matrix implies:
     // π = πP by integer power iteration through the shared fixpoint
@@ -1607,6 +1655,43 @@ object Events extends QueryPack {
         |      // ((CAST(n_days AS HUGEINT) - 1) * sum_y)
         |    ELSE 0 END AS BIGINT) AS fano_ppm
         |FROM g""".stripMargin,
+
+    // the doubled-midrank Pettitt identity replayed: r2 from the
+    // per-type value-band table, U_t = cumulative r2 − t(n+1) over
+    // day order, K/changepoint by max-|U| pick (earliest day on ties)
+    "q237_pettitt_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(datediff('day', DATE '2024-01-01', ts) AS BIGINT) AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |r2 AS (
+        |  SELECT event_type, y,
+        |    2 * (CAST(sum(nb) OVER (PARTITION BY event_type ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - nb) + nb + 1 AS r2
+        |  FROM (SELECT event_type, y, CAST(count(*) AS BIGINT) AS nb
+        |        FROM daily GROUP BY 1, 2) b),
+        |ut AS (
+        |  SELECT event_type, day, n, s2 - t * (n + 1) AS u_t
+        |  FROM (
+        |    SELECT d.event_type, d.day,
+        |      CAST(count(*) OVER (PARTITION BY d.event_type) AS BIGINT) AS n,
+        |      CAST(row_number() OVER (PARTITION BY d.event_type
+        |        ORDER BY d.day) AS BIGINT) AS t,
+        |      CAST(sum(r2.r2) OVER (PARTITION BY d.event_type ORDER BY d.day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |        AS s2
+        |    FROM daily d
+        |    JOIN r2 ON d.event_type = r2.event_type AND d.y = r2.y) s
+        |  WHERE t < n),
+        |k AS (
+        |  SELECT event_type, day, n, u_t,
+        |    CAST(max(abs(u_t)) OVER (PARTITION BY event_type) AS BIGINT) AS k
+        |  FROM ut)
+        |SELECT event_type, max(n) AS n_days, max(k) AS k_stat,
+        |  min(day) AS cp_day
+        |FROM k WHERE abs(u_t) = k GROUP BY event_type""".stripMargin,
 
     // the Holt recurrence replayed per type over the day-index grid;
     // both numerators run the shifted-numerator floor (+4e15, a

@@ -1956,6 +1956,68 @@ object Relational extends QueryPack {
             .as("p90_days"))
     }),
 
+    // ---- log-rank test: does priority change ship-latency survival? -
+    // [Mantel, Cancer Chemother Rep'66] — the hypothesis test behind
+    // q230's SLA percentiles and q186's KM curve: compares the
+    // latency-to-ship "survival" of urgent orders (1-URGENT/2-HIGH)
+    // against the rest. At each distinct latency day t: d_t items
+    // ship, n1_t/n_t are still unshipped (at risk) — O₁ = Σd1_t,
+    // E₁ = Σ d_t·n1_t/n_t, V = Σ d_t·n1_t·n2_t·(n_t−d_t)/(n_t²(n_t−1)),
+    // χ² = (O₁−E₁)²/V. All exact ppm integers with per-term floors
+    // replicated verbatim by the oracle; products run through
+    // DECIMAL(38,0)/HUGEINT (the q209 wide-intermediate rule —
+    // d·n1·n2·(n−d)·1e6 reaches ~5e26 at sf0.1; past ~1e7 items the
+    // V numerator nears the DECIMAL(38) ceiling, where the terms
+    // rescale to per-mille before the floor — the aggs never change).
+    // Corpus-scale work is the q230 join reduced immediately to the
+    // timespan-bounded (day) band table; at-risk counts are reverse
+    // cumulative sums from the one global window OVER that bounded
+    // aggregate; the χ² assembly is a 1-row fold. No censoring in
+    // this data, so O₁ = n₁ exactly — the test still discriminates
+    // through E and V (a group shipping LATER inflates its expected
+    // count below its observed).
+    "q239_logrank_priority" -> ((s, d) => {
+      import s.implicits._
+      val lat = T.lineitem(s, d)
+        .join(T.orders(s, d)
+            .select($"o_orderkey", $"o_orderpriority", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .select(
+          when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L).as("g1"),
+          datediff(to_date($"l_shipdate"), to_date($"o_orderdate"))
+            .cast("long").as("days"))
+      val bands = lat.groupBy($"days")
+        .agg(sum($"g1").as("d1"), count(lit(1)).as("dt"))
+      val tot = bands.agg(sum($"d1").cast("bigint").as("t1"),
+        sum($"dt").cast("bigint").as("tn"))
+      val wc = Window.orderBy($"days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bands
+        .withColumn("cum1", sum($"d1").over(wc))
+        .withColumn("cumt", sum($"dt").over(wc))
+        .crossJoin(broadcast(tot))
+        .select($"t1", $"tn", $"dt",
+          ($"t1" - ($"cum1" - $"d1")).as("n1"),
+          ($"tn" - ($"cumt" - $"dt")).as("nt"))
+        .select($"t1", $"tn",
+          expr("CAST((CAST(dt AS DECIMAL(38,0)) * n1 * 1000000) " +
+            "div nt AS BIGINT)").as("e_term"),
+          expr("CAST(CASE WHEN nt > 1 THEN " +
+            "(CAST(dt AS DECIMAL(38,0)) * n1 * (nt - n1) * (nt - dt) " +
+            "* 1000000) div (CAST(nt AS DECIMAL(38,0)) * nt * (nt - 1)) " +
+            "ELSE 0 END AS BIGINT)").as("v_term"))
+        .groupBy($"t1", $"tn")
+        .agg(sum($"e_term").cast("bigint").as("e1_ppm"),
+          sum($"v_term").cast("bigint").as("v_ppm"))
+        .select($"t1".as("n1"), ($"tn" - $"t1").as("n2"),
+          $"t1".as("o1"), $"e1_ppm", $"v_ppm",
+          expr("CAST(CASE WHEN v_ppm > 0 THEN " +
+            "(CAST(t1 * 1000000 - e1_ppm AS DECIMAL(38,0)) " +
+            "* (t1 * 1000000 - e1_ppm)) div v_ppm " +
+            "ELSE 0 END AS BIGINT)").as("chi2_ppm"))
+    }),
+
     // ---- ABC / Pareto revenue classification ------------------------
     // The inventory-management classic: customers sorted by revenue
     // DESC, class A while the running share stays ≤ 80%, B to 95%,
@@ -3053,6 +3115,49 @@ object Relational extends QueryPack {
         |  min(CASE WHEN cum >= (n + 1) // 2 THEN days END) AS p50_days,
         |  min(CASE WHEN cum >= (9 * n + 9) // 10 THEN days END) AS p90_days
         |FROM cum GROUP BY o_orderpriority""".stripMargin,
+
+    // the per-latency-day at-risk/expected/variance terms replayed with
+    // identical per-term floors in HUGEINT
+    "q239_logrank_priority" ->
+      """WITH lat AS (
+        |  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END AS g1,
+        |    CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) AS days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |bands AS (
+        |  SELECT days, CAST(sum(g1) AS BIGINT) AS d1,
+        |    CAST(count(*) AS BIGINT) AS dt
+        |  FROM lat GROUP BY 1),
+        |tot AS (SELECT CAST(sum(d1) AS BIGINT) AS t1,
+        |               CAST(sum(dt) AS BIGINT) AS tn FROM bands),
+        |risk AS (
+        |  SELECT t1, tn, dt,
+        |    t1 - (CAST(sum(d1) OVER (ORDER BY days
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - d1) AS n1,
+        |    tn - (CAST(sum(dt) OVER (ORDER BY days
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - dt) AS nt
+        |  FROM bands CROSS JOIN tot),
+        |terms AS (
+        |  SELECT t1, tn,
+        |    CAST((CAST(dt AS HUGEINT) * n1 * 1000000) // nt AS BIGINT)
+        |      AS e_term,
+        |    CAST(CASE WHEN nt > 1 THEN
+        |      (CAST(dt AS HUGEINT) * n1 * (nt - n1) * (nt - dt) * 1000000)
+        |        // (CAST(nt AS HUGEINT) * nt * (nt - 1))
+        |      ELSE 0 END AS BIGINT) AS v_term
+        |  FROM risk),
+        |g AS (
+        |  SELECT t1, tn, CAST(sum(e_term) AS BIGINT) AS e1_ppm,
+        |    CAST(sum(v_term) AS BIGINT) AS v_ppm
+        |  FROM terms GROUP BY 1, 2)
+        |SELECT t1 AS n1, tn - t1 AS n2, t1 AS o1, e1_ppm, v_ppm,
+        |  CAST(CASE WHEN v_ppm > 0 THEN
+        |    (CAST(t1 * 1000000 - e1_ppm AS HUGEINT)
+        |      * (t1 * 1000000 - e1_ppm)) // v_ppm
+        |    ELSE 0 END AS BIGINT) AS chi2_ppm
+        |FROM g""".stripMargin,
 
     "q233_hhi_concentration" ->
       s"""WITH rev AS (

@@ -441,6 +441,34 @@ object TextAnalysis extends QueryPack {
           expr("(n_hapax * 1000000L) div n_types").as("hapax_type_ppm"))
     }),
 
+    // ---- cross-source vocabulary Jaccard overlap --------------------
+    // How much do crawl sources share a vocabulary? Exact pairwise
+    // Jaccard |V₁∩V₂| / |V₁∪V₂| between the word-TYPE sets of every
+    // source pair — the source-grain companion to q143's cross-source
+    // doc overlap (sources with near-identical vocabularies are
+    // mixture-plan duplicates; disjoint ones cover different domains).
+    // Corpus-scale work is ONE (source, word) distinct agg; the pair
+    // table comes from the vocabulary-keyed self equi-join (per-word
+    // fan-out ≤ |sources|², a constant — never a cartesian), set
+    // sizes join back broadcast, and union = n1 + n2 − inter by
+    // inclusion–exclusion. Pairs sharing no word drop out identically
+    // in both engines.
+    "q238_vocab_overlap" -> ((s, d) => {
+      import s.implicits._
+      val vocab = T.documents(s, d)
+        .select($"source", explode(split($"text", " ")).as("w"))
+        .distinct()
+      val sizes = vocab.groupBy($"source").agg(count(lit(1)).as("nv"))
+      vocab.toDF("s1", "w")
+        .join(vocab.toDF("s2", "w2"), $"w" === $"w2" && $"s1" < $"s2")
+        .groupBy($"s1", $"s2").agg(count(lit(1)).as("inter"))
+        .join(broadcast(sizes.toDF("s1", "n1")), "s1")
+        .join(broadcast(sizes.toDF("s2", "n2")), "s2")
+        .select($"s1", $"s2", $"n1", $"n2", $"inter",
+          expr("(inter * 1000000L) div (n1 + n2 - inter)")
+            .as("jaccard_ppm"))
+    }),
+
     // ---- chi-squared independence audit: lang × source --------------
     // Is document language independent of crawl source? The corpus-
     // composition forensic behind mixture planning (a source that
@@ -793,6 +821,29 @@ object TextAnalysis extends QueryPack {
         |SELECT source, n_tokens, n_types, n_hapax,
         |  CAST((n_hapax * 1000000) // n_types AS BIGINT) AS hapax_type_ppm
         |FROM g""".stripMargin,
+
+    // inclusion–exclusion Jaccard over the distinct (source, word)
+    // sets, replayed on the same whitespace tokenization
+    "q238_vocab_overlap" ->
+      """WITH vocab AS (
+        |  SELECT DISTINCT source, w FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) u),
+        |sizes AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS nv
+        |  FROM vocab GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.source AS s1, b.source AS s2,
+        |    CAST(count(*) AS BIGINT) AS inter
+        |  FROM vocab a JOIN vocab b
+        |    ON a.w = b.w AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT s1, s2, z1.nv AS n1, z2.nv AS n2, inter,
+        |  CAST((inter * 1000000) // (z1.nv + z2.nv - inter) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM pairs
+        |JOIN sizes z1 ON z1.source = s1
+        |JOIN sizes z2 ON z2.source = s2""".stripMargin,
 
     // the band-decomposed total ranks replayed: cum-before per
     // (source, value) band + within-band row_number on doc_id, then

@@ -156,7 +156,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q228_markov_backtest",
     // q229: the q218+q221 composition's scalars (weight total, budget,
     // selected total) on |sources|-row tables
-    "q229_mixture_reconciliation")
+    "q229_mixture_reconciliation",
+    // q239: the 1-row group-total scalar (t1, tn) crossed onto the
+    // timespan-bounded latency band table
+    "q239_logrank_priority")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()

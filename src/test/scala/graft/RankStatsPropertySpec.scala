@@ -209,6 +209,47 @@ class RankStatsPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("Pettitt doubled-midrank identity matches the brute sgn double sum") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // U_t = sum_{i<=t} sum_{j>t} sgn(y_i - y_j) computed directly,
+    // vs the q237 construction U_t = sum_{i<=t} r2_i - t*(n+1) with
+    // r2 = doubled midrank from the value-band table. Heavy ties
+    // (small domain), regime shifts, and tiny series.
+    for (seed <- 41 to 46) {
+      val rnd = new scala.util.Random(seed)
+      val n = 2 + rnd.nextInt(40)
+      val shift = rnd.nextInt(n)
+      val ys = (0 until n).map(i =>
+        (if (i < shift) rnd.nextInt(4) else 3 + rnd.nextInt(4)).toLong)
+      def bruteU(t: Int): Long =
+        (0 until t).map(i => (t until n).map { j =>
+          java.lang.Long.signum(ys(i) - ys(j)).toLong
+        }.sum).sum
+      val df = ys.zipWithIndex.map { case (y, i) => (i.toLong, y) }
+        .toDF("day", "y")
+      val wv = Window.orderBy($"y")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val r2 = df.groupBy($"y").agg(count(lit(1)).as("nb"))
+        .withColumn("cum_le", sum($"nb").over(wv))
+        .select($"y",
+          (lit(2L) * ($"cum_le" - $"nb") + $"nb" + lit(1L)).as("r2"))
+      val wd = Window.orderBy($"day")
+      val got = df.join(r2, "y")
+        .withColumn("t", row_number().over(wd).cast("long"))
+        .withColumn("s2", sum($"r2").over(
+          wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select($"t", ($"s2" - $"t" * lit(n + 1L)).as("u_t"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (1 until n).foreach { t =>
+        assert(got(t.toLong) == bruteU(t),
+          s"seed=$seed t=$t: ${got(t.toLong)} != brute ${bruteU(t)}")
+      }
+    }
+  }
+
   test("boundedCollect returns whole results within bound and throws past it") {
     val s = spark
     import s.implicits._
