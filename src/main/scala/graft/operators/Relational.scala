@@ -282,6 +282,44 @@ object Relational extends QueryPack {
     }.drop(vcols.map(vc => s"${vc}_bs"): _*)
   }
 
+  /** CRAMER-RULE β EXPRESSION BUILDER — q240's core, shared verbatim
+    * by the Spark plan and the DuckDB oracle (only the wide-integer
+    * cast type and the floor-division operator differ) so the two
+    * engines can never drift on the determinant algebra. Over the
+    * normal-equation moment columns (n, s1, s2, sy, s11, s22, s12,
+    * s1y, s2y) it emits βᵢ·1e6 as a ratio of 3×3 integer determinants:
+    * det M is sign-normalized positive (both determinants flip
+    * together), and the signed numerator floors via the shifted form
+    * (+K·|detM| before the division, −K after; K = 1e9 bounds |β| <
+    * 1000) — identical under truncating and flooring integer division
+    * (the CentroidFloorSpec rule). i = 0 intercept, 1, 2 the
+    * regressor slopes. */
+  private[graft] def cramerBeta(i: Int, castTy: String,
+      divOp: String): String = {
+    def dec(e: String) = s"CAST($e AS $castTy)"
+    def det3(r: ((String, String, String), (String, String, String),
+        (String, String, String))): String = {
+      val (a, b, c) = r
+      s"(${dec(a._1)} * (${dec(b._2)} * ${c._3} - ${dec(b._3)} * ${c._2}) " +
+        s"- ${dec(a._2)} * (${dec(b._1)} * ${c._3} - ${dec(b._3)} * ${c._1}) " +
+        s"+ ${dec(a._3)} * (${dec(b._1)} * ${c._2} - ${dec(b._2)} * ${c._1}))"
+    }
+    val dm = det3((("n", "s1", "s2"), ("s1", "s11", "s12"),
+      ("s2", "s12", "s22")))
+    val di = i match {
+      case 0 => det3((("sy", "s1", "s2"), ("s1y", "s11", "s12"),
+        ("s2y", "s12", "s22")))
+      case 1 => det3((("n", "sy", "s2"), ("s1", "s1y", "s12"),
+        ("s2", "s2y", "s22")))
+      case _ => det3((("n", "s1", "sy"), ("s1", "s11", "s1y"),
+        ("s2", "s12", "s2y")))
+    }
+    val k = "1000000000"
+    s"CAST(CASE WHEN $dm = 0 THEN 0 ELSE " +
+      s"((CASE WHEN $dm < 0 THEN -($di) ELSE $di END) * 1000000 + " +
+      s"$k * abs($dm)) $divOp abs($dm) - $k END AS BIGINT)"
+  }
+
   /** KATZ CENTRALITY [Katz, Psychometrika'53] — q235's core, factored
     * so a property spec can drive it on random graphs. x = Σₖ αᵏ·Aᵏ·1
     * iterated as x' = 1 + α·A·x in ppm integers: x'(v) = 1e6 +
@@ -2018,6 +2056,90 @@ object Relational extends QueryPack {
             "ELSE 0 END AS BIGINT)").as("chi2_ppm"))
     }),
 
+    // ---- multiple OLS: ship latency ~ quantity + discount -----------
+    // q178's power-sum regression extended to TWO regressors with an
+    // intercept: does a bigger or more-discounted line item ship
+    // slower? β = M⁻¹b solved by CRAMER'S RULE on the exact integer
+    // normal-equation moments — ONE map-side-combinable hash agg
+    // collects (n, Σx₁, Σx₂, Σy, Σx₁², Σx₂², Σx₁x₂, Σx₁y, Σx₂y), and
+    // each β is a ratio of two 3×3 integer determinants. Determinant
+    // terms reach n·Σx₁²·Σx₂² ≈ 5e22 at sf0.1 (9e28 at 100×), so all
+    // four determinants assemble in DECIMAL(38,0)/HUGEINT (the q209
+    // rule). The system is sign-normalized (det M forced positive by
+    // flipping all four determinants together — ratios unchanged) and
+    // each βᵢ·1e6 floors via the SHIFTED NUMERATOR (+K·detM, −K after;
+    // K = 1e9 covers |β| < 1000 days per unit; K·detM ≈ 5e37 < 1e38
+    // at 100× — the CentroidFloorSpec rule, engine-version-proof for
+    // the signed numerators). x₁ = quantity, x₂ = discount in whole
+    // percent (both small exact integers); y = order→ship days.
+    // Property-tested against a BigInt Cramer reference in
+    // RankStatsPropertySpec.
+    "q240_ols_latency_multi" -> ((s, d) => {
+      import s.implicits._
+      val pts = T.lineitem(s, d)
+        .join(T.orders(s, d).select($"o_orderkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .select(
+          datediff(to_date($"l_shipdate"), to_date($"o_orderdate"))
+            .cast("long").as("y"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("x1"),
+          expr("CAST(round(l_discount * 100) AS BIGINT)").as("x2"))
+      val g = pts.agg(count(lit(1)).as("n"),
+        sum($"x1").as("s1"), sum($"x2").as("s2"), sum($"y").as("sy"),
+        sum($"x1" * $"x1").as("s11"), sum($"x2" * $"x2").as("s22"),
+        sum($"x1" * $"x2").as("s12"),
+        sum($"x1" * $"y").as("s1y"), sum($"x2" * $"y").as("s2y"))
+      g.select($"n",
+        expr(cramerBeta(0, "DECIMAL(38,0)", "div")).as("b0_ppm"),
+        expr(cramerBeta(1, "DECIMAL(38,0)", "div")).as("b1_ppm"),
+        expr(cramerBeta(2, "DECIMAL(38,0)", "div")).as("b2_ppm"))
+    }),
+
+    // ---- Cochran–Armitage trend test: lateness vs priority ----------
+    // [Cochran, Biometrics'54; Armitage'55] — does the LATE-shipment
+    // rate (order→ship > 60 days) trend monotonically across the
+    // ORDERED priority classes (score = the priority digit 1..5)?
+    // The ordered-alternative refinement of q209's unordered χ²:
+    // T_N = N·Σsᵢdᵢ − D·Σsᵢnᵢ and χ² = N·T_N² / (D(N−D)(N·S₂ − S₁²))
+    // with S₁ = Σsᵢnᵢ, S₂ = Σsᵢ²nᵢ — the z²-form of the binomial
+    // trend statistic, exact ppm integers (the square makes the
+    // numerator non-negative: div == // with no shift). T_N and the
+    // int64 moments stay in BIGINT (T_N ≈ 9e11 at sf0.1, 9e15 at
+    // 100×); the squared numerator assembles in DECIMAL(38,0)/HUGEINT
+    // and reaches ~5e35 at sf0.1 — past ~sf10 it rescales to
+    // per-mille before the floor, the aggs never change. Corpus-scale
+    // work is ONE hash agg to the 5-row (score, n, d) cell table;
+    // everything after is a 1-row fold. Degenerate guards (all late,
+    // none late, single class) return 0 identically in both engines.
+    "q241_trend_test" -> ((s, d) => {
+      import s.implicits._
+      val cells = T.lineitem(s, d)
+        .join(T.orders(s, d)
+            .select($"o_orderkey", $"o_orderpriority", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .select(
+          expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("sc"),
+          when(datediff(to_date($"l_shipdate"), to_date($"o_orderdate"))
+            > 60, 1L).otherwise(0L).as("late"))
+        .groupBy($"sc")
+        .agg(count(lit(1)).as("ni"), sum($"late").as("di"))
+      cells.agg(
+          sum($"ni").cast("bigint").as("n"),
+          sum($"di").cast("bigint").as("dd"),
+          sum($"sc" * $"di").cast("bigint").as("sd"),
+          sum($"sc" * $"ni").cast("bigint").as("s1"),
+          sum($"sc" * $"sc" * $"ni").cast("bigint").as("s2"))
+        .select($"n", $"dd".as("d_late"),
+          ($"n" * $"sd" - $"dd" * $"s1").as("t_n"),
+          expr("CAST(CASE WHEN dd > 0 AND dd < n " +
+            "AND n * s2 - s1 * s1 > 0 THEN " +
+            "(CAST(n AS DECIMAL(38,0)) * (n * sd - dd * s1) " +
+            "* (n * sd - dd * s1) * 1000000) " +
+            "div (CAST(dd AS DECIMAL(38,0)) * (n - dd) " +
+            "* (n * s2 - s1 * s1)) " +
+            "ELSE 0 END AS BIGINT)").as("chi2_ppm"))
+    }),
+
     // ---- ABC / Pareto revenue classification ------------------------
     // The inventory-management classic: customers sorted by revenue
     // DESC, class A while the running share stays ≤ 80%, B to 95%,
@@ -3156,6 +3278,54 @@ object Relational extends QueryPack {
         |  CAST(CASE WHEN v_ppm > 0 THEN
         |    (CAST(t1 * 1000000 - e1_ppm AS HUGEINT)
         |      * (t1 * 1000000 - e1_ppm)) // v_ppm
+        |    ELSE 0 END AS BIGINT) AS chi2_ppm
+        |FROM g""".stripMargin,
+
+    // the identical Cramer determinant text (cramerBeta) with HUGEINT
+    // casts and DuckDB's // floor division
+    "q240_ols_latency_multi" ->
+      s"""WITH pts AS (
+        |  SELECT CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT)
+        |      AS y,
+        |    CAST(round(l_quantity) AS BIGINT) AS x1,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS x2
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |g AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x1 * x1) AS BIGINT) AS s11,
+        |    CAST(sum(x2 * x2) AS BIGINT) AS s22,
+        |    CAST(sum(x1 * x2) AS BIGINT) AS s12,
+        |    CAST(sum(x1 * y) AS BIGINT) AS s1y,
+        |    CAST(sum(x2 * y) AS BIGINT) AS s2y
+        |  FROM pts)
+        |SELECT n,
+        |  ${cramerBeta(0, "HUGEINT", "//")} AS b0_ppm,
+        |  ${cramerBeta(1, "HUGEINT", "//")} AS b1_ppm,
+        |  ${cramerBeta(2, "HUGEINT", "//")} AS b2_ppm
+        |FROM g""".stripMargin,
+
+    "q241_trend_test" ->
+      """WITH cells AS (
+        |  SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS sc,
+        |    CAST(count(*) AS BIGINT) AS ni,
+        |    CAST(sum(CASE WHEN datediff('day', o_orderdate, l_shipdate)
+        |      > 60 THEN 1 ELSE 0 END) AS BIGINT) AS di
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(sum(ni) AS BIGINT) AS n,
+        |    CAST(sum(di) AS BIGINT) AS dd,
+        |    CAST(sum(sc * di) AS BIGINT) AS sd,
+        |    CAST(sum(sc * ni) AS BIGINT) AS s1,
+        |    CAST(sum(sc * sc * ni) AS BIGINT) AS s2
+        |  FROM cells)
+        |SELECT n, dd AS d_late, n * sd - dd * s1 AS t_n,
+        |  CAST(CASE WHEN dd > 0 AND dd < n AND n * s2 - s1 * s1 > 0 THEN
+        |    (CAST(n AS HUGEINT) * (n * sd - dd * s1)
+        |      * (n * sd - dd * s1) * 1000000)
+        |      // (CAST(dd AS HUGEINT) * (n - dd) * (n * s2 - s1 * s1))
         |    ELSE 0 END AS BIGINT) AS chi2_ppm
         |FROM g""".stripMargin,
 

@@ -250,6 +250,74 @@ class RankStatsPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("cramerBeta matches a BigInt Cramer reference and recovers planted coefficients") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    def bruteBeta(rows: Seq[(Long, Long, Long)]): Seq[Long] = {
+      // exact Cramer over BigInt moments with the same sign-normalized
+      // shifted floor the SQL expression applies
+      val n = BigInt(rows.size)
+      val s1 = rows.map(r => BigInt(r._1)).sum
+      val s2 = rows.map(r => BigInt(r._2)).sum
+      val sy = rows.map(r => BigInt(r._3)).sum
+      val s11 = rows.map(r => BigInt(r._1) * r._1).sum
+      val s22 = rows.map(r => BigInt(r._2) * r._2).sum
+      val s12 = rows.map(r => BigInt(r._1) * r._2).sum
+      val s1y = rows.map(r => BigInt(r._1) * r._3).sum
+      val s2y = rows.map(r => BigInt(r._2) * r._3).sum
+      def det(m: Seq[Seq[BigInt]]): BigInt =
+        m(0)(0) * (m(1)(1) * m(2)(2) - m(1)(2) * m(2)(1)) -
+          m(0)(1) * (m(1)(0) * m(2)(2) - m(1)(2) * m(2)(0)) +
+          m(0)(2) * (m(1)(0) * m(2)(1) - m(1)(1) * m(2)(0))
+      val dm = det(Seq(Seq(n, s1, s2), Seq(s1, s11, s12), Seq(s2, s12, s22)))
+      val ds = Seq(
+        det(Seq(Seq(sy, s1, s2), Seq(s1y, s11, s12), Seq(s2y, s12, s22))),
+        det(Seq(Seq(n, sy, s2), Seq(s1, s1y, s12), Seq(s2, s2y, s22))),
+        det(Seq(Seq(n, s1, sy), Seq(s1, s11, s1y), Seq(s2, s12, s2y))))
+      val k = BigInt(1000000000L)
+      ds.map { di =>
+        if (dm == 0) 0L
+        else {
+          val (dmp, dip) = if (dm < 0) (-dm, -di) else (dm, di)
+          ((dip * 1000000 + k * dmp) / dmp - k).toLong
+        }
+      }
+    }
+    for (seed <- 51 to 56) {
+      val rnd = new scala.util.Random(seed)
+      // planted y = b0 + b1*x1 + b2*x2 (+ noise on odd seeds); also a
+      // degenerate collinear shape (x2 = 2*x1) on seed 54 → detM = 0
+      val (b0, b1, b2) = (rnd.nextInt(20).toLong - 10L,
+        rnd.nextInt(9).toLong - 4L, rnd.nextInt(9).toLong - 4L)
+      val n = 3 + rnd.nextInt(60)
+      val rows = (1 to n).map { _ =>
+        val x1 = rnd.nextInt(50).toLong
+        val x2 = if (seed == 54) 2 * x1 else rnd.nextInt(10).toLong
+        val noise = if (seed % 2 == 1) rnd.nextInt(5).toLong - 2L else 0L
+        (x1, x2, b0 + b1 * x1 + b2 * x2 + noise)
+      }
+      val g = rows.toDF("x1", "x2", "y").agg(
+        count(lit(1)).as("n"),
+        sum($"x1").as("s1"), sum($"x2").as("s2"), sum($"y").as("sy"),
+        sum($"x1" * $"x1").as("s11"), sum($"x2" * $"x2").as("s22"),
+        sum($"x1" * $"x2").as("s12"),
+        sum($"x1" * $"y").as("s1y"), sum($"x2" * $"y").as("s2y"))
+      val got = g.select(
+        expr(operators.Relational.cramerBeta(0, "DECIMAL(38,0)", "div")),
+        expr(operators.Relational.cramerBeta(1, "DECIMAL(38,0)", "div")),
+        expr(operators.Relational.cramerBeta(2, "DECIMAL(38,0)", "div")))
+        .head
+      val want = bruteBeta(rows)
+      assert((0 to 2).forall(i => got.getLong(i) == want(i)),
+        s"seed=$seed: ${(0 to 2).map(got.getLong)} != $want")
+      // exact-fit seeds recover the planted coefficients exactly
+      if (seed % 2 == 0 && seed != 54 && want.exists(_ != 0L))
+        assert(want == Seq(b0, b1, b2).map(_ * 1000000L),
+          s"seed=$seed: planted ($b0,$b1,$b2) not recovered: $want")
+    }
+  }
+
   test("boundedCollect returns whole results within bound and throws past it") {
     val s = spark
     import s.implicits._
