@@ -489,6 +489,39 @@ object Relational extends QueryPack {
       .filter($"n_vertices" > 0)
   }
 
+  /** Per-seed shortest distances by labeled level-synchronous BFS —
+    * q242's core, factored so BfsPropertySpec can drive it against a
+    * sequential reference. Unlike [[bfsHopProfile]] (whose shared
+    * visited set yields distance to the NEAREST seed), the frontier
+    * and visited sets here carry the seed label, so each (seed, v)
+    * pair records that seed's own hop count — the state the harmonic
+    * sum Σ 1/d needs. `seeds` is a 1-column (sd) frame; returns
+    * (sd, v, hop) for hop 0..maxHops. Per hop: one keyed
+    * |frontier-edges| join + distinct + anti-join on (sd, v),
+    * localCheckpoint-truncated; state size ≤ |seeds|·|V| — the seed
+    * count is the cost knob at scale (8 seeds ≈ 8 PageRank-class
+    * passes). */
+  private[graft] def multiSeedDistances(dirE: DataFrame, seeds: DataFrame,
+                                        maxHops: Int): DataFrame = {
+    val s = dirE.sparkSession
+    import s.implicits._
+    var visited = seeds.select($"sd", $"sd".as("v"), lit(0L).as("hop"))
+      .localCheckpoint()
+    var frontier = seeds.select($"sd", $"sd".as("v")).localCheckpoint()
+    for (h <- 1 to maxHops) {
+      val next = dirE.toDF("u", "w")
+        .join(frontier.withColumnRenamed("v", "u"), Seq("u"))
+        .select($"sd", $"w".as("v")).distinct()
+        .join(visited.select($"sd", $"v"), Seq("sd", "v"), "left_anti")
+        .localCheckpoint()
+      visited = visited
+        .unionAll(next.withColumn("hop", lit(h.toLong)))
+        .localCheckpoint()
+      frontier = next
+    }
+    visited
+  }
+
   /** Synchronous LABEL PROPAGATION community detection [Raghavan,
     * Albert & Kumara, Phys. Rev. E'07] — q164's core: every vertex
     * starts in its own community (label = id) and repeatedly adopts
@@ -1616,6 +1649,33 @@ object Relational extends QueryPack {
       val seeds = verts
         .filter(pmod(graft.functions.PortableHash.h60($"v"), lit(50)) === 0)
       bfsHopProfile(coocDir(s, d), verts, seeds, maxHops = 4)
+    }),
+
+    // ---- sampled harmonic centrality --------------------------------
+    // [Boldi & Vigna, "Axioms for Centrality", Internet Math'14] —
+    // which parts sit closest to EVERYWHERE in the co-purchase graph?
+    // Harmonic centrality H(v) = Σ_u 1/d(u,v), estimated from a
+    // deterministic 8-seed probe set (the content-hash-smallest
+    // vertices — RNG-free, the house sampling rule) with distances
+    // capped at 4 hops (q195 shows the graph saturates by then;
+    // unreached pairs contribute 0, exactly the harmonic convention
+    // for d = ∞). Per-seed distances via [[multiSeedDistances]]
+    // (labeled BFS — the shared-visited q195 profile would conflate
+    // seeds); the sum is exact integer ppm (1e6 div hop). The seed
+    // count is the accuracy/cost knob at 100 TB — 8 labeled BFS
+    // passes, each the PageRank cost class; output is |reached|-grain.
+    "q242_harmonic_centrality" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val seeds = coocDeg(s, d).select($"v")
+        .orderBy(graft.functions.PortableHash.h60($"v").asc, $"v".asc)
+        .limit(8)
+        .select($"v".as("sd"))
+      multiSeedDistances(coocDir(s, d), seeds, maxHops = 4)
+        .filter($"hop" >= 1L)
+        .groupBy($"v")
+        .agg(count(lit(1)).as("n_seeds"),
+          sum(expr("1000000 div hop")).cast("bigint").as("h_ppm"))
     }),
 
     // ---- item-item similarity: top-5 co-purchase neighbors ----------
@@ -2764,6 +2824,45 @@ object Relational extends QueryPack {
          |  CAST(count(*) AS BIGINT) AS n_vertices FROM vs
          |  WHERE v NOT IN (SELECT v FROM vis4)
          |  HAVING count(*) > 0""".stripMargin
+    },
+
+    // the labeled BFS unrolled to 4 materialized hops (the q195/q191
+    // CTE rule), seeds = the 8 md5-smallest vertices
+    "q242_harmonic_centrality" -> {
+      val hops = (1 to 4).map { h =>
+        s"""f$h AS MATERIALIZED (
+           |  SELECT DISTINCT f.sd, d.v FROM dirw d
+           |  JOIN f${h - 1} f ON d.u = f.v
+           |  WHERE NOT EXISTS (SELECT 1 FROM vis${h - 1} x
+           |                    WHERE x.sd = f.sd AND x.v = d.v)),
+           |vis$h AS MATERIALIZED (
+           |  SELECT sd, v, hop FROM vis${h - 1}
+           |  UNION ALL SELECT sd, v, CAST($h AS BIGINT) AS hop FROM f$h)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT x.p AS a, y.p AS b
+         |  FROM li x JOIN li y ON x.o = y.o WHERE x.p < y.p),
+         |dirw AS MATERIALIZED (
+         |  SELECT a AS u, b AS v FROM e
+         |  UNION ALL SELECT b AS u, a AS v FROM e),
+         |vs AS MATERIALIZED (
+         |  SELECT DISTINCT v FROM (
+         |    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)),
+         |sds AS MATERIALIZED (
+         |  SELECT v AS sd FROM vs
+         |  ORDER BY CAST('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15)
+         |    AS BIGINT), v
+         |  LIMIT 8),
+         |f0 AS MATERIALIZED (SELECT sd, sd AS v FROM sds),
+         |vis0 AS MATERIALIZED (
+         |  SELECT sd, v, CAST(0 AS BIGINT) AS hop FROM f0),
+         |$hops
+         |SELECT v, CAST(count(*) AS BIGINT) AS n_seeds,
+         |  CAST(sum(1000000 // hop) AS BIGINT) AS h_ppm
+         |FROM vis4 WHERE hop >= 1 GROUP BY v""".stripMargin
     },
 
     "q121_listagg" ->

@@ -123,4 +123,53 @@ class BfsPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  /** Sequential PER-SEED BFS — the multiSeedDistances contract: each
+    * (seed, v) pair carries that seed's OWN hop count (the shared-
+    * visited profile above would conflate seeds). */
+  private def bruteLabeled(edges: Set[(Long, Long)], seeds: Set[Long],
+                           maxHops: Int): Set[(Long, Long, Long)] = {
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).toSet }
+    seeds.flatMap { sd =>
+      var level = Map[Long, Long](sd -> 0L)
+      var frontier = Set(sd)
+      for (h <- 1 to maxHops) {
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Set.empty))
+          .diff(level.keySet)
+        level = level ++ frontier.map(_ -> h.toLong)
+      }
+      level.map { case (v, hop) => (sd, v, hop) }
+    }
+  }
+
+  test("labeled multi-seed distances match per-seed sequential BFS") {
+    val s = spark
+    import s.implicits._
+    for (seed <- 11 to 15) {
+      val rnd = new scala.util.Random(seed * 13L)
+      val n = 10 + rnd.nextInt(12)
+      val edges = (for {
+        i <- 0L until n.toLong
+        j <- (i + 1) until n.toLong
+        if rnd.nextDouble() < 0.18
+      } yield (i, j)).toSet
+      if (edges.nonEmpty) {
+        val vs = vertsOf(edges)
+        val seeds = Set(vs.min, vs.max) ++
+          vs.filter(_ => rnd.nextDouble() < 0.1)
+        val e = edges.toSeq.sorted.toDF("a", "b")
+        val dirE = e.select($"a".as("u"), $"b".as("v"))
+          .unionAll(e.select($"b".as("u"), $"a".as("v")))
+        val got = operators.Relational
+          .multiSeedDistances(dirE, seeds.toSeq.sorted.toDF("sd"), 3)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        spark.catalog.clearCache()
+        val want = bruteLabeled(edges, seeds, 3)
+        assert(got == want,
+          s"seed=$seed: ${got.diff(want)} extra, ${want.diff(got)} missing")
+      }
+    }
+  }
 }
