@@ -469,6 +469,67 @@ object TextAnalysis extends QueryPack {
             .as("jaccard_ppm"))
     }),
 
+    // ---- TF-IDF keyword extraction per source -----------------------
+    // [Sparck Jones, J.Doc'72] — each source's 5 most CHARACTERISTIC
+    // words: term count × an integer idf, idf_bits = floor(log2(N/df))
+    // = length(bin(N div df)) − 1 (the q210 bit-arithmetic log — no
+    // libm, bit-identical across engines). Words in every document get
+    // idf 0 and vanish — the stopword suppression that makes raw
+    // counts useless for this job (q231's hapax view is the opposite
+    // tail). Corpus-scale work: one (source, word) tf agg + one
+    // per-word distinct-doc df agg, joined on the vocabulary key; the
+    // per-source top-5 (score desc, word tie-break) compiles to
+    // WindowGroupLimit — no full sort of any vocabulary partition.
+    "q243_tfidf_keywords" -> ((s, d) => {
+      import s.implicits._
+      val toks = T.documents(s, d)
+        .select($"source", $"doc_id", explode(split($"text", " ")).as("w"))
+      val dft = toks.groupBy($"w")
+        .agg(countDistinct($"doc_id").as("df"))
+      val nd = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val sc = toks.groupBy($"source", $"w").agg(count(lit(1)).as("tf"))
+        .join(dft, "w")
+        .crossJoin(broadcast(nd))
+        .select($"source", $"w", $"tf", $"df",
+          expr("tf * (length(bin(n_docs div df)) - 1)").cast("long")
+            .as("score"))
+      val rk = Window.partitionBy($"source")
+        .orderBy($"score".desc, $"w")
+      sc.withColumn("rn", row_number().over(rk))
+        .filter($"rn" <= 5)
+        .select($"source", $"w", $"tf", $"df", $"score")
+    }),
+
+    // ---- intra-document repetition audit ----------------------------
+    // The Gopher-rules repetition signal [Rae et al., arXiv'21 §A1.1]:
+    // per document, the share of trigram OCCURRENCES claimed by its
+    // single most-repeated word 3-gram — boilerplate and looping
+    // generations score high, prose stays near 1/n_grams. Positional
+    // grams (no array_distinct — multiplicity IS the signal, unlike
+    // q36's shingle sets), docs under 8 grams excluded as trivially
+    // concentrated. Reported per source: docs scored, mean and max
+    // top-gram share in exact ppm. Shape: explode + two hash aggs
+    // keyed (doc, gram) then doc — corpus-scale work is map-side
+    // combinable counting, nothing wider than a doc's gram multiset
+    // ever groups together, no windows at all.
+    "q244_repetition_audit" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val ds = T.documents(s, d)
+        .select($"doc_id", $"source",
+          explode(expr("word_ngrams(text, 3)")).as("g"))
+        .groupBy($"doc_id", $"source", $"g").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id", $"source")
+        .agg(max($"c").as("top_n"), sum($"c").as("n_grams"))
+        .filter($"n_grams" >= 8L)
+        .select($"source",
+          expr("(top_n * 1000000L) div n_grams").as("rep_ppm"))
+      ds.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs_scored"),
+          expr("sum(rep_ppm) div count(1)").as("mean_rep_ppm"),
+          max($"rep_ppm").as("max_rep_ppm"))
+    }),
+
     // ---- chi-squared independence audit: lang × source --------------
     // Is document language independent of crawl source? The corpus-
     // composition forensic behind mixture planning (a source that
@@ -844,6 +905,51 @@ object TextAnalysis extends QueryPack {
         |FROM pairs
         |JOIN sizes z1 ON z1.source = s1
         |JOIN sizes z2 ON z2.source = s2""".stripMargin,
+
+    // the same integer tf·floor(log2(N/df)) scoring and top-5 pick
+    "q243_tfidf_keywords" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |dft AS (
+        |  SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM toks GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT source, t.w, tf, df,
+        |    CAST(tf * (length(bin(n_docs // df)) - 1) AS BIGINT) AS score
+        |  FROM (SELECT source, w, CAST(count(*) AS BIGINT) AS tf
+        |        FROM toks GROUP BY 1, 2) t
+        |  JOIN dft ON dft.w = t.w CROSS JOIN nd),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY score DESC, w) AS rn
+        |  FROM sc)
+        |SELECT source, w, tf, df, score FROM rk WHERE rn <= 5""".stripMargin,
+
+    // positional trigrams via the q36 list_transform pattern (no
+    // list_distinct — multiplicity is the signal)
+    "q244_repetition_audit" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |  FROM w WHERE len(w) >= 3),
+        |c AS (
+        |  SELECT doc_id, source, g, CAST(count(*) AS BIGINT) AS c
+        |  FROM g GROUP BY 1, 2, 3),
+        |ds AS (
+        |  SELECT source,
+        |    (max(c) * 1000000) // sum(c) AS rep_ppm
+        |  FROM c GROUP BY doc_id, source
+        |  HAVING sum(c) >= 8)
+        |SELECT source, count(*) AS n_docs_scored,
+        |  CAST(sum(rep_ppm) // count(*) AS BIGINT) AS mean_rep_ppm,
+        |  CAST(max(rep_ppm) AS BIGINT) AS max_rep_ppm
+        |FROM ds GROUP BY 1""".stripMargin,
 
     // the band-decomposed total ranks replayed: cum-before per
     // (source, value) band + within-band row_number on doc_id, then

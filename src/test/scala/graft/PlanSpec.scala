@@ -159,7 +159,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q229_mixture_reconciliation",
     // q239: the 1-row group-total scalar (t1, tn) crossed onto the
     // timespan-bounded latency band table
-    "q239_logrank_priority")
+    "q239_logrank_priority",
+    // q243: the 1-row doc-count scalar crossed onto the vocabulary-
+    // keyed (source, word) score table
+    "q243_tfidf_keywords")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
