@@ -2155,6 +2155,55 @@ object Relational extends QueryPack {
         expr(cramerBeta(2, "DECIMAL(38,0)", "div")).as("b2_ppm"))
     }),
 
+    // ---- conformal residual intervals for the latency model ---------
+    // The q240 ACCEPTANCE LOOP CLOSED (the house audit→act rule):
+    // q240 fits the latency model; this query CALIBRATES it, split-
+    // conformal style [Vovk et al., '05] — exact p50/p90 of the signed
+    // day-quantized residuals y − (β₀ + β₁x₁ + β₂x₂), the half-widths
+    // a deployment would add around ŷ for 50%/90% coverage. β comes
+    // from the SAME shared cramerBeta expressions (both engines), the
+    // 1-row coefficient scalar joins back broadcast, and the residual
+    // quantiles run VALUE-BAND DECOMPOSED (q230's rank rule) over the
+    // bounded (resid_day) table — residual days span the calendar,
+    // not the corpus. Day quantization floors via the shifted
+    // numerator (+1e6·1e6 before div 1e6, −1e6 after — residual ppm
+    // is SIGNED). In-sample calibration (the fixture has no holdout
+    // split); the residual-band machinery is identical for a split
+    // sample at scale.
+    "q245_conformal_latency" -> ((s, d) => {
+      import s.implicits._
+      val pts = T.lineitem(s, d)
+        .join(T.orders(s, d).select($"o_orderkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .select(
+          datediff(to_date($"l_shipdate"), to_date($"o_orderdate"))
+            .cast("long").as("y"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("x1"),
+          expr("CAST(round(l_discount * 100) AS BIGINT)").as("x2"))
+      val g = pts.agg(count(lit(1)).as("n"),
+        sum($"x1").as("s1"), sum($"x2").as("s2"), sum($"y").as("sy"),
+        sum($"x1" * $"x1").as("s11"), sum($"x2" * $"x2").as("s22"),
+        sum($"x1" * $"x2").as("s12"),
+        sum($"x1" * $"y").as("s1y"), sum($"x2" * $"y").as("s2y"))
+      val betas = g.select(
+        expr(cramerBeta(0, "DECIMAL(38,0)", "div")).as("b0"),
+        expr(cramerBeta(1, "DECIMAL(38,0)", "div")).as("b1"),
+        expr(cramerBeta(2, "DECIMAL(38,0)", "div")).as("b2"))
+      val bands = pts.crossJoin(broadcast(betas))
+        .select(expr("(y * 1000000L - (b0 + b1 * x1 + b2 * x2) " +
+          "+ 1000000000000L) div 1000000L - 1000000L").as("rd"))
+        .groupBy($"rd").agg(count(lit(1)).as("c"))
+      val wc = Window.orderBy($"rd")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bands.withColumn("cum", sum($"c").over(wc))
+        .withColumn("n", sum($"c").over(Window.partitionBy()))
+        .agg(max($"n").cast("bigint").as("n"),
+          min(when($"cum" >= expr("(n + 1) div 2"), $"rd"))
+            .as("p50_resid_days"),
+          min(when($"cum" >= expr("(9 * n + 9) div 10"), $"rd"))
+            .as("p90_resid_days"))
+    }),
+
     // ---- Cochran–Armitage trend test: lateness vs priority ----------
     // [Cochran, Biometrics'54; Armitage'55] — does the LATE-shipment
     // rate (order→ship > 60 days) trend monotonically across the
@@ -3404,6 +3453,48 @@ object Relational extends QueryPack {
         |  ${cramerBeta(1, "HUGEINT", "//")} AS b1_ppm,
         |  ${cramerBeta(2, "HUGEINT", "//")} AS b2_ppm
         |FROM g""".stripMargin,
+
+    // the same cramerBeta coefficients replayed, residuals quantized
+    // with the identical shifted floor, p50/p90 by the q230 rank rule
+    "q245_conformal_latency" ->
+      s"""WITH pts AS (
+        |  SELECT CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT)
+        |      AS y,
+        |    CAST(round(l_quantity) AS BIGINT) AS x1,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS x2
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |g AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x1 * x1) AS BIGINT) AS s11,
+        |    CAST(sum(x2 * x2) AS BIGINT) AS s22,
+        |    CAST(sum(x1 * x2) AS BIGINT) AS s12,
+        |    CAST(sum(x1 * y) AS BIGINT) AS s1y,
+        |    CAST(sum(x2 * y) AS BIGINT) AS s2y
+        |  FROM pts),
+        |b AS (
+        |  SELECT ${cramerBeta(0, "HUGEINT", "//")} AS b0,
+        |    ${cramerBeta(1, "HUGEINT", "//")} AS b1,
+        |    ${cramerBeta(2, "HUGEINT", "//")} AS b2
+        |  FROM g),
+        |bands AS (
+        |  SELECT (y * 1000000 - (b0 + b1 * x1 + b2 * x2)
+        |      + 1000000000000) // 1000000 - 1000000 AS rd,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM pts CROSS JOIN b GROUP BY 1),
+        |cum AS (
+        |  SELECT rd, c,
+        |    CAST(sum(c) OVER (ORDER BY rd
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum,
+        |    CAST(sum(c) OVER () AS BIGINT) AS n
+        |  FROM bands)
+        |SELECT max(n) AS n,
+        |  min(CASE WHEN cum >= (n + 1) // 2 THEN rd END) AS p50_resid_days,
+        |  min(CASE WHEN cum >= (9 * n + 9) // 10 THEN rd END)
+        |    AS p90_resid_days
+        |FROM cum""".stripMargin,
 
     "q241_trend_test" ->
       """WITH cells AS (

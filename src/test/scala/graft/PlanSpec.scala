@@ -162,7 +162,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q239_logrank_priority",
     // q243: the 1-row doc-count scalar crossed onto the vocabulary-
     // keyed (source, word) score table
-    "q243_tfidf_keywords")
+    "q243_tfidf_keywords",
+    // q245: the 1-row coefficient scalar (cramerBeta betas) crossed
+    // onto the residual stream
+    "q245_conformal_latency")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
