@@ -5,8 +5,9 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 import graft.{QueryPack, Tables => T}
@@ -48,6 +49,41 @@ private[operators] class SpanProcessor
     }
     span.update((n, lo, hi))
     Iterator.single((key, n, lo, hi))
+  }
+}
+
+/** Hand-rolled tumbling-hour count via EVENT-TIME TIMERS (s27): key =
+  * (user, hour bucket); the first row registers a timer at the hour's
+  * end, and the count is emitted ONLY from [[handleExpiredTimer]] when
+  * the watermark passes it — re-deriving the engine's own append-mode
+  * window-closure semantics from the raw timer API (the s24 closure
+  * predicate is the oracle for both). Top-level class for the same
+  * serialization reason as [[SpanProcessor]]. State per key is one
+  * long; expired timers and cleared state make it watermark-evictable
+  * exactly like the built-in operator's. */
+private[operators] class HourWindowTimerProcessor
+    extends StatefulProcessor[(Long, Long), (Long, Long), (Long, Long, Long)] {
+  @transient private var n: ValueState[Long] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    n = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+  override def handleInputRows(key: (Long, Long), rows: Iterator[(Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    val cur =
+      if (n.exists()) n.get()
+      else {
+        // hour end in epoch MILLIS — the timer clock's unit
+        getHandle.registerTimer((key._2 + 1L) * 3600000L)
+        0L
+      }
+    n.update(cur + rows.size)
+    Iterator.empty
+  }
+  override def handleExpiredTimer(key: (Long, Long),
+      timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
+    val cnt = if (n.exists()) n.get() else 0L
+    n.clear()
+    Iterator.single((key._1, key._2 * 3600000000L, cnt))
   }
 }
 
@@ -405,6 +441,54 @@ object Streams extends QueryPack {
           col("event_type"), col("n"),
           lit(delayUs).as("delay_us"))
       drain(s, agg)
+    }),
+
+    // EVENT-TIME TIMERS (the transformWithState registerTimer /
+    // handleExpiredTimer lifecycle s12 doesn't touch): a hand-rolled
+    // per-user tumbling-hour count that emits ONLY when the timer at
+    // the hour's end fires — i.e. when the watermark passes it. The
+    // final drained output must therefore equal the engine's own
+    // append-mode closure rule (s24's oracle predicate, per user):
+    // every (user, hour) whose end ≤ final watermark emits exactly
+    // once — mid-stream or in the trailing no-data batch, the
+    // accumulated set is the same — and still-open hours don't emit.
+    // The s24-tuned zero-loss delay guarantees no event arrives after
+    // its hour's timer fired (disorder ≤ delay), so the timer path is
+    // deterministic and batch-replicable. State: one long + one timer
+    // per open (user, hour) — watermark-evicted exactly like the
+    // built-in operator's buffer.
+    "s27_timer_windows" -> ((s, d) => {
+      import s.implicits._
+      val name = s"events_rt_${sfx(d)}" // same fixture as s01/s04
+      seedEventsJson(s, d, name, numShards = 4)
+      val zeroLoss = Events.watermarkLateness(s, d)
+        .filter(col("n_dropped") === 0)
+        .agg(min(col("delay_us"))).head()
+      val delayUs =
+        if (zeroLoss.isNullAt(0)) 3600000000L else zeroLoss.getLong(0)
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", "50000")
+        .load()
+      val ev = raw.select(
+          from_json(col("data").cast("string"), payloadSchema).as("e"))
+        .select(timestamp_micros(col("e.ts_us")).as("ts"),
+          col("e.user_id").as("user_id"), col("e.ts_us").as("ts_us"))
+        .withWatermark("ts", s"${delayUs / 1000000L} seconds")
+        .select(col("user_id"), col("ts_us"))
+        .as[(Long, Long)]
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val counts = ev.groupByKey(t => (t._1, t._2 / 3600000000L))
+          .transformWithState(new HourWindowTimerProcessor,
+            TimeMode.EventTime(), OutputMode.Append(),
+            Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+              Encoders.scalaLong))
+          .toDF("user_id", "start_us", "n")
+        drain(s, counts)
+      } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
     })) ++ extra
 
   private val extra: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1366,6 +1450,39 @@ object Streams extends QueryPack {
         |FROM events
         |GROUP BY 1, 2
         |HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR <= (SELECT w FROM wm)""".stripMargin,
+
+    // the s24 closure predicate per (user, hour), in the timer clock's
+    // MILLISECOND units: a timer at the hour end fires iff it is <= the
+    // final watermark (max event ms - tuned delay ms)
+    "s27_timer_windows" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        |  FROM events),
+        |p AS (
+        |  SELECT event_id, ts_us,
+        |    coalesce(max(ts_us) OVER (ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_max
+        |  FROM e),
+        |dl(delay_us) AS (VALUES
+        |  (60000000), (300000000), (600000000), (3600000000)),
+        |g AS (
+        |  SELECT CAST(delay_us AS BIGINT) AS delay_us,
+        |    sum(CASE WHEN prev_max - ts_us > delay_us THEN 1 ELSE 0 END)
+        |      AS n_dropped
+        |  FROM p, dl GROUP BY 1),
+        |ch AS (
+        |  SELECT CAST(coalesce(min(CASE WHEN n_dropped = 0 THEN delay_us END),
+        |    3600000000) AS BIGINT) AS delay_us FROM g),
+        |wm AS (
+        |  SELECT max(ts_us) // 1000 - (SELECT delay_us FROM ch) // 1000 AS w_ms
+        |  FROM e)
+        |SELECT user_id,
+        |  (ts_us // 3600000000) * 3600000000 AS start_us,
+        |  count(*) AS n
+        |FROM e
+        |GROUP BY 1, 2
+        |HAVING (min(ts_us) // 3600000000 + 1) * 3600000
+        |  <= (SELECT w_ms FROM wm)""".stripMargin,
 
     "s03_sink_roundtrip" ->
       """SELECT CAST(user_id AS VARCHAR) AS partition_key, count(*) AS n,
