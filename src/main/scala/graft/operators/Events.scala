@@ -739,6 +739,42 @@ object Events extends QueryPack {
           min($"day").as("cp_day"))
     }),
 
+    // ---- Theil–Sen robust trend of daily volumes --------------------
+    // [Theil'50; Sen, JASA'68] — the median-of-pairwise-slopes trend
+    // estimator, the outlier-proof companion to q178's least squares
+    // (one anomalous traffic day moves OLS, not the pairwise median).
+    // Exact: slope_ppm per (day₁, day₂) pair floors via the SHIFTED
+    // numerator (+K·Δd before div, −K after; K = 1e12 covers
+    // ǀΔyǀ < 1e6·Δd — CentroidFloorSpec's rule for the SIGNED Δy),
+    // and the median is the lower weighted median (2·cum ≥ W) over
+    // the slope-value band table — the q217 rank rule. Scale shape:
+    // the pair join runs on the TIMESPAN-bounded per-type daily grid
+    // (n² in days, not corpus; ~180k pairs per type here), keyed on
+    // event_type; the corpus contributes ONE (type, day) hash agg.
+    "q247_theilsen_trend" -> ((s, d) => {
+      import s.implicits._
+      val daily = T.events(s, d)
+        .select(datediff(to_date($"ts"), to_date(lit("2024-01-01")))
+          .cast("long").as("day"), $"event_type")
+        .groupBy($"event_type", $"day").agg(count(lit(1)).as("y"))
+      val pairs = daily.toDF("event_type", "d1", "y1")
+        .join(daily.toDF("event_type", "d2", "y2"), Seq("event_type"))
+        .filter($"d1" < $"d2")
+        .select($"event_type",
+          expr("((y2 - y1) * 1000000L + 1000000000000L * (d2 - d1)) " +
+            "div (d2 - d1) - 1000000000000L").as("sl"))
+      val bands = pairs.groupBy($"event_type", $"sl")
+        .agg(count(lit(1)).as("b"))
+      val wc = Window.partitionBy($"event_type").orderBy($"sl")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bands.withColumn("cum", sum($"b").over(wc))
+        .withColumn("w", sum($"b").over(Window.partitionBy($"event_type")))
+        .filter($"cum" * 2 >= $"w")
+        .groupBy($"event_type")
+        .agg(max($"w").cast("bigint").as("n_pairs"),
+          min($"sl").as("med_slope_ppm"))
+    }),
+
     // ---- stationary distribution of the event Markov chain ----------
     // The long-run behavioral mix q99's transition matrix implies:
     // π = πP by integer power iteration through the shared fixpoint
@@ -1692,6 +1728,34 @@ object Events extends QueryPack {
         |SELECT event_type, max(n) AS n_days, max(k) AS k_stat,
         |  min(day) AS cp_day
         |FROM k WHERE abs(u_t) = k GROUP BY event_type""".stripMargin,
+
+    // the pairwise-slope floor replayed with the identical +1e12·Δd
+    // shift, lower weighted median by the 2·cum ≥ W rank rule
+    "q247_theilsen_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(datediff('day', DATE '2024-01-01', ts) AS BIGINT) AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.event_type,
+        |    ((b.y - a.y) * 1000000 + 1000000000000 * (b.day - a.day))
+        |      // (b.day - a.day) - 1000000000000 AS sl
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day),
+        |bands AS (
+        |  SELECT event_type, sl, CAST(count(*) AS BIGINT) AS b
+        |  FROM pairs GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, sl, b,
+        |    CAST(sum(b) OVER (PARTITION BY event_type ORDER BY sl
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum,
+        |    CAST(sum(b) OVER (PARTITION BY event_type) AS BIGINT) AS w
+        |  FROM bands)
+        |SELECT event_type, max(w) AS n_pairs,
+        |  min(CASE WHEN cum * 2 >= w THEN sl END) AS med_slope_ppm
+        |FROM cum GROUP BY 1""".stripMargin,
 
     // the Holt recurrence replayed per type over the day-index grid;
     // both numerators run the shifted-numerator floor (+4e15, a
