@@ -81,9 +81,24 @@ object Bench {
     // headline keys (top-10, n, total) go LAST: the driver's artifact
     // capture keeps only a bounded TAIL of this line, and a leading
     // "metric"/"value" was truncated away in round 9 — JSON key order
-    // is semantically free, so order it for the tail window
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,""" +
-      s""""top10":$top,"n":${results.size},"value":$total}""")
+    // is semantically free, so order it for the tail window. The
+    // full-map line carries a DISTINCT metric name (ADVICE r12: two
+    // stdout records with "metric":"total" double-count for any
+    // consumer that filters or sums by metric).
+    val fullLine =
+      s"""{"metric":"total_full","unit":"sec","sf":"$sfDir","queries":$qs,""" +
+        s""""top10":$top,"n":${results.size},"value":$total}"""
+    println(fullLine)
+    // The complete per-query map also lands in a committed-artifact
+    // file (VERDICT r12 #6: the driver's bounded tail capture truncates
+    // the 260+-entry map, so round-over-round per-query comparison
+    // should not depend on what happened to fit a tail window).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench_perquery.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] per-query artifact write failed: $e") }
     // …and even so the 250+-entry per-query map overflowed the tail
     // capture in r11 ("parsed": null) — so the FINAL stdout line is a
     // compact, complete JSON document (headline + top10 only, no

@@ -744,8 +744,12 @@ object Events extends QueryPack {
     // estimator, the outlier-proof companion to q178's least squares
     // (one anomalous traffic day moves OLS, not the pairwise median).
     // Exact: slope_ppm per (day₁, day₂) pair floors via the SHIFTED
-    // numerator (+K·Δd before div, −K after; K = 1e12 covers
-    // ǀΔyǀ < 1e6·Δd — CentroidFloorSpec's rule for the SIGNED Δy),
+    // numerator (+K·Δd before div, −K after; K = 1e14 covers
+    // ǀΔyǀ < 1e8·Δd — i.e. up to 100M events/day of delta per day of
+    // gap, far past any operating point — while staying int64-safe
+    // for 100-year spans: 1e14·36500 + 1e6·(1e8·36500) ≈ 7.3e18 <
+    // 2⁶³; ADVICE r12 raised K from 1e12, whose ǀΔyǀ < 1e6·Δd bound
+    // was reachable below the documented scale),
     // and the median is the lower weighted median (2·cum ≥ W) over
     // the slope-value band table — the q217 rank rule. Scale shape:
     // the pair join runs on the TIMESPAN-bounded per-type daily grid
@@ -761,8 +765,8 @@ object Events extends QueryPack {
         .join(daily.toDF("event_type", "d2", "y2"), Seq("event_type"))
         .filter($"d1" < $"d2")
         .select($"event_type",
-          expr("((y2 - y1) * 1000000L + 1000000000000L * (d2 - d1)) " +
-            "div (d2 - d1) - 1000000000000L").as("sl"))
+          expr("((y2 - y1) * 1000000L + 100000000000000L * (d2 - d1)) " +
+            "div (d2 - d1) - 100000000000000L").as("sl"))
       val bands = pairs.groupBy($"event_type", $"sl")
         .agg(count(lit(1)).as("b"))
       val wc = Window.partitionBy($"event_type").orderBy($"sl")
@@ -1729,7 +1733,7 @@ object Events extends QueryPack {
         |  min(day) AS cp_day
         |FROM k WHERE abs(u_t) = k GROUP BY event_type""".stripMargin,
 
-    // the pairwise-slope floor replayed with the identical +1e12·Δd
+    // the pairwise-slope floor replayed with the identical +1e14·Δd
     // shift, lower weighted median by the 2·cum ≥ W rank rule
     "q247_theilsen_trend" ->
       """WITH daily AS (
@@ -1739,8 +1743,8 @@ object Events extends QueryPack {
         |  FROM events GROUP BY 1, 2),
         |pairs AS (
         |  SELECT a.event_type,
-        |    ((b.y - a.y) * 1000000 + 1000000000000 * (b.day - a.day))
-        |      // (b.day - a.day) - 1000000000000 AS sl
+        |    ((b.y - a.y) * 1000000 + 100000000000000 * (b.day - a.day))
+        |      // (b.day - a.day) - 100000000000000 AS sl
         |  FROM daily a JOIN daily b
         |    ON a.event_type = b.event_type AND a.day < b.day),
         |bands AS (

@@ -92,7 +92,16 @@ class DeterminismSpec extends AnyFunSuite {
     // doc_id), basis-point shares, daily-grid dispersion
     "q232_spearman_length_dup", "q233_hhi_concentration",
     "q234_dispersion_index", "q235_katz_centrality",
-    "q236_t_closeness")
+    "q236_t_closeness",
+    // round 13 (ADVICE r12): the tie-break-dependent additions —
+    // q237's earliest-day changepoint pick, q242's hash-ordered 8-seed
+    // selection, q243's top-5 per-source tie-break — plus the rest of
+    // the r12 statistics pack
+    "q237_pettitt_changepoint", "q238_vocab_overlap",
+    "q239_logrank_priority", "q240_ols_latency_multi",
+    "q241_trend_test", "q242_harmonic_centrality",
+    "q243_tfidf_keywords", "q244_repetition_audit",
+    "q245_conformal_latency", "q247_theilsen_trend")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

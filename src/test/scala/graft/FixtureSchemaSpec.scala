@@ -105,6 +105,38 @@ class FixtureSchemaSpec extends AnyFunSuite with BeforeAndAfterAll {
       "and FIXTURES.md together:\n" + diffs.mkString("\n"))
   }
 
+  test("bounded-enum registry: every entry exists and is schema-fixed, not scaling") {
+    // Tables.boundedEnumColumns feeds PlanSpec's corpus-grain-window
+    // guard — a stale entry weakens nothing, but a TYPO (column never
+    // matches any plan attribute) or a mis-registered SCALING key
+    // (which would ban legitimate per-key windows... and worse, a
+    // bounded column that someone forgot to register evades the guard)
+    // must be one red test. Two checks per entry: the column exists in
+    // its table's loaded schema, and its distinct count at sf0.01 is
+    // ≤ 32 — fixed enumerations saturate (25 nations, 5 priorities)
+    // while keys scale with rows (c_custkey is 1500 at sf0.01).
+    val dir01 = "/root/testdata/sf0.01"
+    val problems = Tables.boundedEnumColumns.toSeq.flatMap { case (table, cols) =>
+      val df = if (table == "events") Tables.events(spark, dir01)
+               else Tables.load(spark, dir01, table)
+      val have = df.columns.map(_.toLowerCase).toSet
+      cols.toSeq.flatMap { c =>
+        if (!have(c.toLowerCase))
+          Some(s"$table.$c: registered but absent from the fixture schema")
+        else {
+          val n = df.selectExpr(s"count(distinct `$c`)").head().getLong(0)
+          if (n > 32)
+            Some(s"$table.$c: $n distinct values at sf0.01 — scales with " +
+              "the data, not a fixed enumeration; unregister it")
+          else None
+        }
+      }
+    }
+    assert(problems.isEmpty,
+      "bounded-enum registry drifted from the fixtures:\n" +
+        problems.mkString("\n"))
+  }
+
   test("events loader normalizes ts to TIMESTAMP on every physical generation") {
     // current generation: native timestamp[us] (NTZ in the raw scan).
     // The raw-dtype probe must itself survive a NANOS generation, where

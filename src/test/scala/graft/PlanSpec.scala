@@ -346,18 +346,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (q115's lateral top-k: the map-side rank prefilter caps every
     // partition at k rows before the window ever sorts, so the
     // per-group input is k-bounded, not corpus-grain).
-    // Data-derived strata (lang, event_type,
-    // label, kcell) stay out of the list — their cardinality is a
-    // per-query modeling claim, and banning them would flag the
-    // endorsed stratified-pipeline windows; like the broadcast-hint
-    // ban, this is a name heuristic, so new fixed-enum partition
-    // columns must be added here when introduced.
+    // The name list lives in Tables.boundedEnumColumns — the schema
+    // authority — not here (VERDICT r12 #2): a new bounded-domain
+    // column is registered next to its loader and guarded by
+    // construction, and FixtureSchemaSpec audits the registry against
+    // the data (existence + scale-invariant cardinality). Data-derived
+    // strata (lang, event_type, label, kcell) stay out of the registry
+    // — their cardinality is a per-query modeling claim, and banning
+    // them would flag the endorsed stratified-pipeline windows.
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Window => LWindow, WindowGroupLimit}
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
-    val boundedEnum = Set("o_orderpriority", "o_orderstatus", "o_shippriority",
-      "l_returnflag", "l_linestatus", "l_shipmode", "p_brand", "p_type",
-      "p_container", "p_mfgr", "c_mktsegment", "n_name", "r_name",
-      "n_nationkey", "r_regionkey", "c_nationkey", "s_nationkey")
+    val boundedEnum = Tables.boundedEnumAttrs
     def offendersIn(named: Seq[(String, org.apache.spark.sql.DataFrame)]): Seq[String] =
       named.flatMap { case (n, df) =>
         df.queryExecution.optimizedPlan.collect {
