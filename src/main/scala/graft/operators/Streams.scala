@@ -186,6 +186,53 @@ object Streams extends QueryPack {
     s.table(qn)
   }
 
+  /** s26's checkpoint, built at most once per (session, dir) — the
+    * memoized-substrate pattern (Tables.memo) with the object lock
+    * instead, because the build is SIDE-EFFECTING (a full stream
+    * drain) and memo's benign-race contract only covers lazy plan
+    * construction. The checkpoint dir is keyed by applicationId, so
+    * sessions never share one; entries for stopped sessions are dead
+    * weight but bounded by sessions-per-JVM (single digits in every
+    * harness). */
+  private val s26Ckpts =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private def s26Checkpoint(s: SparkSession, d: String): String = synchronized {
+    val k = (s, d)
+    val cur = s26Ckpts.get(k)
+    if (cur != null) cur
+    else {
+      val name = s"events_rt_${sfx(d)}" // same fixture as s01/s04
+      seedEventsJson(s, d, name, numShards = 4)
+      val ckpt = s"/tmp/graft_ckpt_s26_${sfx(d)}_" +
+        s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      val ckptPath = new org.apache.hadoop.fs.Path(ckpt)
+      val fs = ckptPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(ckptPath)) fs.delete(ckptPath, true)
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", "50000")
+        .load()
+      val agg = raw.select(
+          from_json(col("data").cast("string"), payloadSchema).as("e"))
+        .select(timestamp_micros(col("e.ts_us")).as("ts"),
+          col("e.event_type"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      s.catalog.dropTempView("shardstream_state_out")
+      val q = agg.writeStream.format("memory")
+        .queryName("shardstream_state_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s26Ckpts.put(k, ckpt)
+      ckpt
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
     // S1+S3+S4+S7+S16: multi-shard replay, JSON decode, full round-trip.
@@ -368,42 +415,96 @@ object Streams extends QueryPack {
     // a window's end — so the declared result is the COMPLEMENT of
     // s04's closure predicate and the oracle states it directly on
     // the batch table (windows whose end is PAST the final
-    // watermark). The checkpoint is RECREATED per call — the memory
-    // sink does not support recovery, so a resume would throw — which
-    // also matches the bench's cold-isolated timing convention; the
-    // drained trajectory is deterministic, so every call reads
-    // identical state.
+    // watermark). The checkpoint is built ONCE per (session, dir) —
+    // VERDICT r12 #4: at 100 TB the checkpoint PRE-EXISTS (it is the
+    // artifact of the production query being debugged); re-draining
+    // the stream per introspection call measured the drain, not the
+    // read. The drained trajectory is deterministic, so the memoized
+    // checkpoint holds the same state as a fresh one — and the bench
+    // now times what the operator IS: a batch scan of checkpoint
+    // state, no stream replay.
     "s26_state_reader" -> ((s, d) => {
-      val name = s"events_rt_${sfx(d)}" // same fixture as s01/s04
-      seedEventsJson(s, d, name, numShards = 4)
-      val ckpt = s"/tmp/graft_ckpt_s26_${sfx(d)}_" +
-        s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-      val ckptPath = new org.apache.hadoop.fs.Path(ckpt)
-      val fs = ckptPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(ckptPath)) fs.delete(ckptPath, true)
-      val raw = s.readStream.format("shardstream")
-        .option("stream", name)
-        .option("startingPosition", "trim_horizon")
-        .option("maxRecordsPerBatch", "50000")
-        .load()
-      val agg = raw.select(
-          from_json(col("data").cast("string"), payloadSchema).as("e"))
-        .select(timestamp_micros(col("e.ts_us")).as("ts"),
-          col("e.event_type"))
-        .withWatermark("ts", "10 minutes")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-      s.catalog.dropTempView("shardstream_state_out")
-      val q = agg.writeStream.format("memory")
-        .queryName("shardstream_state_out")
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      val ckpt = s26Checkpoint(s, d)
       s.read.format("statestore").option("path", ckpt).load()
         .select(unix_timestamp(col("key.window.start")).as("start_s"),
           col("key.event_type").as("event_type"),
           col("value.count").as("n"))
+    }),
+
+    // ---- S4 PROVEN END-TO-END: exactly-once across a restart --------
+    // The claim the whole checkpointed-offset design exists for
+    // (VERDICT r12 #1): the reference keeps its cursor IN MEMORY
+    // (`ShardSubscription.java:39`) — a consumer crash silently
+    // re-delivers or loses records. This engine's upgrade (S4: durable
+    // checkpointed offsets + the file sink's transactional metadata
+    // log) is spec-tested for offset persistence, but only an
+    // oracle-gated query proves END-TO-END exactly-once: run the s04
+    // aggregation to a DURABLE parquet sink with a checkpoint, STOP
+    // the query mid-stream (a take-N bounded first run commits offsets
+    // roughly halfway — the deterministic stand-in for a crash;
+    // in-flight task failure is separately spec-tested in
+    // ShardStreamSpec), then RESTART from the same checkpoint with the
+    // bound lifted and drain to the end. The declared table is the
+    // sink read back through its _spark_metadata transaction log. The
+    // oracle is s04's — the whole-fixture batch answer — so a restart
+    // that re-read records (duplicated counts), lost offsets (missing
+    // counts), or re-emitted already-closed windows fails the hash
+    // gate. Scale shape: both runs are the s04 pipeline (one shuffle
+    // per micro-batch, state = open windows); the restart itself costs
+    // one offset-log read, independent of data size.
+    //
+    // The fixture is SINGLE-shard deliberately: maxElements allocates
+    // its budget in shardId order (S8's semantics), so on the 4-shard
+    // fixture a take-half run drains shard 0 across the WHOLE time
+    // range — the watermark races to the end and the other shards'
+    // records return in run 2 as late data (measured: −20% of counts).
+    // One shard makes the cut a cut in TIME (per-shard order is
+    // event_id order), so the stop boundary adds no disorder beyond
+    // the fixture's own ≤10 min — the same bound s04's delay covers.
+    // Parallel multi-shard admission is s01–s05/s17's subject; this
+    // query's subject is the restart boundary.
+    "s28_crash_recovery" -> ((s, d) => {
+      val name = s"events_1shard_json_${sfx(d)}"
+      seedEventsJson(s, d, name, numShards = 1)
+      val app = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      val ckpt = s"/tmp/graft_ckpt_s28_${sfx(d)}_$app"
+      val out = s"/tmp/graft_out_s28_${sfx(d)}_$app"
+      for (p <- Seq(ckpt, out)) {
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(path)) fs.delete(path, true)
+      }
+      // loop-control scalars: where "mid-stream" sits, and a per-batch
+      // cap derived from the fixture so the epoch count stays bounded
+      // at every sf (the s10 rule) — run 1 is ~2 micro-batches
+      val total = T.events(s, d).count()
+      val half = math.max(1L, total / 2)
+      def run(maxElements: Long): Unit = {
+        val raw = s.readStream.format("shardstream")
+          .option("stream", name)
+          .option("startingPosition", "trim_horizon")
+          .option("maxRecordsPerBatch", math.max(1L, half / 2).toString)
+          .option("maxElements", maxElements.toString)
+          .load()
+        val agg = raw.select(
+            from_json(col("data").cast("string"), payloadSchema).as("e"))
+          .select(timestamp_micros(col("e.ts_us")).as("ts"),
+            col("e.event_type"))
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(unix_timestamp(col("window.start")).as("start_s"),
+            col("event_type"), col("n"))
+        val q = agg.writeStream.format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      run(half) // stop mid-stream: offsets committed roughly halfway
+      run(-1L)  // restart from the SAME checkpoint; drain to the end
+      s.read.parquet(out)
     }),
 
     // The q187 watermark audit ACTED ON (the acceptance-loop rule —
@@ -1404,6 +1505,18 @@ object Streams extends QueryPack {
         |HAVING max(h) + INTERVAL 1 HOUR <= (SELECT w FROM wm)""".stripMargin,
 
     "s04_stream_windowed" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+        |SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS start_s,
+        |  event_type, count(*) AS n
+        |FROM events
+        |GROUP BY 1, 2
+        |HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR <= (SELECT w FROM wm)""".stripMargin,
+
+    // the restart boundary is invisible to the final answer — that is
+    // the exactly-once claim: the oracle is s04's whole-fixture batch
+    // predicate, and any duplicate/lost record across the stop/resume
+    // shows up as a count or row-set mismatch
+    "s28_crash_recovery" ->
       """WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
         |SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS start_s,
         |  event_type, count(*) AS n
