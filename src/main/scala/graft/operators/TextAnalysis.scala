@@ -171,6 +171,62 @@ object TextAnalysis extends QueryPack {
         .agg(sum($"freq").cast("bigint").as("n_occ"),
           countDistinct($"w").as("n_word_types"))
     }),
+    // ---- iterative BPE merge training (the full tokenizer loop) -----
+    // [Sennrich+ ACL'16] — q101 is merge step 1's statistics; this is
+    // the TRAINING LOOP (VERDICT r12 #5): k times, count adjacent
+    // symbol pairs weighted by word frequency, merge the most frequent
+    // pair (ties: lexicographic smallest (l, r)) into one symbol in
+    // every word, repeat on the merged vocabulary. The declared result
+    // is the merge TRAJECTORY — the ordered rule list a tokenizer
+    // trainer actually emits. Merge semantics: leftmost-greedy
+    // non-overlapping, implemented as a left fold (merge when
+    // last(acc)=l ∧ x=r) — exact, because a merged symbol l||r is
+    // strictly longer than l, so it can never re-match as the l of an
+    // immediately following candidate; the oracle replays the same
+    // semantics via candidate-run parity (adjacent candidates occur
+    // only when l=r, where greedy takes alternate positions). Scale
+    // shape: the corpus is touched ONCE (the word-count agg); each of
+    // the k=8 iterations is one pair hash-agg over the VOCABULARY
+    // table + a 1-row argmax (loop-control scalar, the q191 rule) + a
+    // narrow per-row fold, with localCheckpoint truncating lineage
+    // like iterateToFixpointPpm. This is why real BPE trainers
+    // pre-aggregate to word counts — k corpus passes become k
+    // vocab passes.
+    "q248_bpe_merge_loop" -> ((s, d) => {
+      import s.implicits._
+      val steps = 8
+      var words = T.documents(s, d)
+        .select(explode(split($"text", " ")).as("w"))
+        .filter(length($"w") >= 2)
+        .groupBy($"w").agg(count(lit(1)).as("freq"))
+        .select($"w", $"freq", split($"w", "").as("syms"))
+        .localCheckpoint()
+      val traj = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+      for (step <- 1 to steps) {
+        val best = words
+          .select($"freq", explode(expr(
+            "transform(sequence(1, size(syms) - 1), i -> " +
+              "struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+            .as("p"))
+          .groupBy($"p.l".as("l"), $"p.r".as("r"))
+          .agg(sum($"freq").cast("bigint").as("n_occ"))
+          .orderBy($"n_occ".desc, $"l", $"r")
+          .head() // 1-row argmax: loop-control scalar
+        val (l, r) = (best.getString(0), best.getString(1))
+        traj += ((step.toLong, l, r, l + r, best.getLong(2)))
+        // lit(l)/lit(r), never string-interpolated SQL: symbols come
+        // from corpus text and may contain quote characters
+        words = words.select($"w", $"freq",
+          aggregate($"syms", array().cast("array<string>"), (acc, x) =>
+            when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(l) && x === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat(element_at(acc, -1), x))))
+            .otherwise(concat(acc, array(x)))).as("syms"))
+          .localCheckpoint()
+      }
+      traj.toSeq.toDF("step", "left_sym", "right_sym", "merged", "n_occ")
+    }),
     // ---- n-gram language-ID heuristic -------------------------------
     // Self-trained profile classifier: top-20 character trigrams per
     // labeled language -> classify each doc by profile overlap
@@ -867,6 +923,62 @@ object TextAnalysis extends QueryPack {
         |SELECT pair, CAST(sum(freq) AS BIGINT) AS n_occ,
         |  count(DISTINCT w) AS n_word_types
         |FROM p GROUP BY pair""".stripMargin,
+
+    // the merge trajectory replayed by ONE recursive CTE: each level
+    // explodes the word-symbol table, takes the global argmax pair via
+    // unbounded first_value windows (NULL next-symbols — word ends —
+    // ordered last), and rebuilds each word with candidate-run parity
+    // (cand rows grouped by i − row_number; odd positions within a run
+    // merge, the row after a merged one is consumed) — the window form
+    // of the engine's left fold. The trajectory is then re-derived per
+    // level by a plain argmax after the recursion.
+    "q248_bpe_merge_loop" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) u
+        |  WHERE length(w) >= 2 GROUP BY w),
+        |st AS (
+        |  SELECT 0 AS iter, w, freq, string_split_regex(w, '') AS syms FROM words
+        |  UNION ALL
+        |  SELECT iter + 1, w, freq,
+        |    list(CASE WHEN picked THEN sym || nxt ELSE sym END ORDER BY i) AS syms
+        |  FROM (
+        |    SELECT *, lag(picked) OVER (PARTITION BY iter, w ORDER BY i) AS prev_picked
+        |    FROM (
+        |      SELECT *, cand AND
+        |        (row_number() OVER (PARTITION BY iter, w, grp, cand ORDER BY i)) % 2 = 1 AS picked
+        |      FROM (
+        |        SELECT *, (sym = best_l AND nxt IS NOT NULL AND nxt = best_r) AS cand,
+        |          i - (row_number() OVER (PARTITION BY iter, w,
+        |                (sym = best_l AND nxt IS NOT NULL AND nxt = best_r) ORDER BY i)) AS grp
+        |        FROM (
+        |          SELECT *,
+        |            first_value(sym) OVER (ORDER BY (nxt IS NULL), pair_n DESC, sym, nxt
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS best_l,
+        |            first_value(nxt) OVER (ORDER BY (nxt IS NULL), pair_n DESC, sym, nxt
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS best_r
+        |          FROM (
+        |            SELECT *, sum(CASE WHEN nxt IS NULL THEN 0 ELSE freq END)
+        |                OVER (PARTITION BY sym, nxt) AS pair_n
+        |            FROM (
+        |              SELECT iter, w, freq, i, syms[CAST(i AS INT)] AS sym,
+        |                CASE WHEN i < len(syms) THEN syms[CAST(i AS INT)+1] END AS nxt
+        |              FROM st, unnest(range(1, len(syms)+1)) t(i)
+        |              WHERE iter < 8) e ) pn ) bb ) cc ) pk ) dd
+        |  WHERE NOT coalesce(prev_picked, FALSE)
+        |  GROUP BY iter, w, freq),
+        |pairs AS (
+        |  SELECT iter, syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT)+1] AS r,
+        |    CAST(sum(freq) AS BIGINT) AS n_occ
+        |  FROM st, unnest(range(1, len(syms))) t(i)
+        |  GROUP BY 1, 2, 3),
+        |ranked AS (
+        |  SELECT iter, l, r, n_occ,
+        |    row_number() OVER (PARTITION BY iter ORDER BY n_occ DESC, l, r) AS rn
+        |  FROM pairs)
+        |SELECT CAST(iter + 1 AS BIGINT) AS step, l AS left_sym, r AS right_sym,
+        |  l || r AS merged, n_occ
+        |FROM ranked WHERE rn = 1 AND iter < 8""".stripMargin,
 
     "q231_hapax_rate" ->
       """WITH wc AS (

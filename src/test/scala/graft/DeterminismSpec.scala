@@ -101,7 +101,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q239_logrank_priority", "q240_ols_latency_multi",
     "q241_trend_test", "q242_harmonic_centrality",
     "q243_tfidf_keywords", "q244_repetition_audit",
-    "q245_conformal_latency", "q247_theilsen_trend")
+    "q245_conformal_latency", "q247_theilsen_trend",
+    // round 13: the BPE training loop's per-step argmax tie-break
+    "q248_bpe_merge_loop")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count
