@@ -1128,6 +1128,47 @@ object Events extends QueryPack {
         .select($"r.day", $"r.n_at_risk", $"r.n_churn", $"r.surv_ppm")
     }),
 
+    // ---- Nelson–Aalen cumulative hazard -----------------------------
+    // [Nelson '72; Aalen, Ann.Stat.'78] — the additive companion to
+    // q194's multiplicative Kaplan–Meier on the SAME churn substrate:
+    // H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ. Where KM's floor-product needs the
+    // sequential aggregate() fold (no windowed form), the NA estimator
+    // is a plain prefix SUM of per-day hazard floors — one cumulative
+    // window over the timespan-bounded day grid. Exactness: each step
+    // floors dᵢ·1e6 div nᵢ (non-negative, so div == //); the cumsum
+    // adds exact integers. Corpus-scale work is q194's one user-keyed
+    // max() agg; everything after runs on the bounded grid (both
+    // global windows sit above the grid Aggregate — the PlanSpec
+    // bounder).
+    "q251_nelson_aalen" -> ((s, d) => {
+      import s.implicits._
+      val lastd = T.events(s, d)
+        .select($"user_id",
+          datediff(to_date($"ts"), to_date(lit("2024-01-01")))
+            .cast("long").as("day"))
+        .groupBy($"user_id").agg(max($"day").as("last_day"))
+      val tot = lastd.agg(max($"last_day").as("max_day"),
+        count(lit(1)).as("n_users"))
+      val grid = lastd.crossJoin(broadcast(tot))
+        .groupBy($"last_day".as("day"))
+        .agg(count(lit(1)).as("n_last"),
+          sum(when($"last_day" < $"max_day", 1L).otherwise(0L))
+            .as("n_churn"))
+      val wPrev = Window.orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.crossJoin(broadcast(tot.select($"n_users")))
+        .withColumn("n_at_risk",
+          $"n_users" - coalesce(sum($"n_last").over(wPrev), lit(0L)))
+        .withColumn("hazard_ppm",
+          expr("n_churn * 1000000L div n_at_risk"))
+        .withColumn("cumhaz_ppm",
+          sum($"hazard_ppm").over(wCum).cast("bigint"))
+        .select($"day", $"n_at_risk", $"n_churn", $"hazard_ppm",
+          $"cumhaz_ppm")
+    }),
+
     // ---- equi-depth feature binning + label lift --------------------
     // The feature-engineering audit a training pipeline runs before
     // trusting a numeric feature: bin `value` into 8 equal-population
@@ -1436,6 +1477,39 @@ object Events extends QueryPack {
         |  FROM km JOIN ar ON ar.rn = km.rn + 1)
         |SELECT ar.day, ar.n_at_risk, ar.n_churn, km.surv AS surv_ppm
         |FROM km JOIN ar ON ar.rn = km.rn""".stripMargin,
+
+    // the additive hazard replayed: q194's at-risk grid, per-day
+    // d·1e6 // n floors, windowed cumulative sum (BIGINT-cast —
+    // DuckDB windowed sums return HUGEINT)
+    "q251_nelson_aalen" ->
+      """WITH lastd AS (
+        |  SELECT user_id,
+        |    max(CAST(datediff('day', DATE '2024-01-01', ts) AS BIGINT))
+        |      AS last_day
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT max(last_day) AS max_day, count(*) AS n_users
+        |  FROM lastd),
+        |grid AS (
+        |  SELECT last_day AS day, count(*) AS n_last,
+        |    CAST(sum(CASE WHEN last_day < (SELECT max_day FROM tot)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_churn
+        |  FROM lastd GROUP BY 1),
+        |ar AS (
+        |  SELECT day, n_churn,
+        |    (SELECT n_users FROM tot) -
+        |      CAST(coalesce(sum(n_last) OVER (ORDER BY day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS BIGINT) AS n_at_risk
+        |  FROM grid),
+        |hz AS (
+        |  SELECT day, n_at_risk, n_churn,
+        |    n_churn * 1000000 // n_at_risk AS hazard_ppm
+        |  FROM ar)
+        |SELECT day, n_at_risk, n_churn, hazard_ppm,
+        |  CAST(sum(hazard_ppm) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cumhaz_ppm
+        |FROM hz""".stripMargin,
 
     "q200_feature_bin_lift" ->
       s"""WITH vals AS (

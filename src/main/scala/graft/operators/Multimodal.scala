@@ -289,6 +289,59 @@ object Multimodal extends QueryPack {
         }
       }(Encoders.product[ResizedMedia])
       resized.toDF().select($"doc_id", $"resized_len", $"resized_md5")
+    }),
+
+    // ---- perceptual-hash near-dup blocking audit --------------------
+    // Image-style near-dup detection over binary payloads: an aHash
+    // (average hash) — 64 "pixels" sampled at fixed strides from the
+    // decoded image, each bit = pixel > mean — then candidate pairs
+    // via a 4×16-bit PIGEONHOLE band index (q136's multi-index rule:
+    // hamming ≤ 3 ⟹ at least one band is clean, so recall at that
+    // radius is GUARANTEED; ≤ 6 is best-effort, the standard LSH
+    // trade) and exact bit_count(xor) verification. The decode is the
+    // documented stub (payload bytes AS pixels — a real decoder's
+    // grayscale grid drops in at the pixel extraction); everything
+    // else — banding, index join, verification — is the real
+    // perceptual-dedup plumbing. Declared at BAND grain (the q216
+    // blocking-audit shape): per band, candidate pairs and how many
+    // verify at radius 3 and 6 — always 4 rows, auditing index
+    // selectivity. Scale shape: per-doc hash is narrow in-row HOF
+    // work (no payload shuffle — only 4 small band rows move);
+    // candidates come from the band-value EQUI-join, never all-pairs.
+    "q252_phash_blocking" -> ((s, d) => {
+      import s.implicits._
+      val px = T.documents(s, d)
+        .filter(length($"text") >= 64)
+        .select($"doc_id",
+          expr("transform(sequence(1, 64), i -> CAST(ascii(substring(" +
+            "text, CAST(1 + ((i-1) * length(text)) div 64 AS INT), 1)) " +
+            "AS BIGINT))").as("pixels"))
+      val bands = px
+        .select($"doc_id", $"pixels",
+          expr("aggregate(pixels, 0L, (a, x) -> a + x) div 64").as("mean_px"))
+        .select($"doc_id",
+          expr("transform(pixels, p -> IF(p > mean_px, 1L, 0L))").as("bits"))
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, 4), k -> struct(CAST(k AS BIGINT) AS k, " +
+            "aggregate(sequence(1, 16), 0L, (a, j) -> a + " +
+            "element_at(bits, CAST((k-1)*16 + j AS INT)) * " +
+            "shiftleft(1L, j-1)) AS bv))")).as("b"))
+        .select($"doc_id", $"b.k".as("k"), $"b.bv".as("bv"))
+        .localCheckpoint() // reused by index join AND verification
+      val cand = bands.toDF("d1", "k", "bv")
+        .join(bands.toDF("d2", "k2", "bv2"),
+          $"k" === $"k2" && $"bv" === $"bv2" && $"d1" < $"d2")
+        .select($"k", $"d1", $"d2")
+      val ham = cand.select($"d1", $"d2").distinct()
+        .join(bands.toDF("d1", "hk", "bva"), Seq("d1"))
+        .join(bands.toDF("d2", "hk", "bvb"), Seq("d2", "hk"))
+        .groupBy($"d1", $"d2")
+        .agg(sum(expr("bit_count(bva ^ bvb)")).cast("bigint").as("hd"))
+      cand.join(ham, Seq("d1", "d2"))
+        .groupBy($"k")
+        .agg(count(lit(1)).as("n_cand"),
+          sum(when($"hd" <= 3, 1L).otherwise(0L)).cast("bigint").as("n_le3"),
+          sum(when($"hd" <= 6, 1L).otherwise(0L)).cast("bigint").as("n_le6"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -343,5 +396,45 @@ object Multimodal extends QueryPack {
         |  md5(array_to_string(list_transform(
         |    range(1, length(text) + 1, 4),
         |    i -> substr(text, CAST(i AS INT), 1)), '')) AS resized_md5
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    // the aHash → pigeonhole band index → exact-hamming audit
+    // replayed; ASCII corpus (ascii(substr) == payload byte, the q45
+    // precondition MultimodalFixtureSpec enforces)
+    "q252_phash_blocking" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, 65),
+        |      i -> CAST(ascii(substr(text,
+        |        CAST(1 + ((i-1) * length(text)) // 64 AS INT), 1))
+        |        AS BIGINT)) AS pixels
+        |  FROM documents WHERE length(text) >= 64),
+        |bt AS (
+        |  SELECT doc_id,
+        |    list_transform(pixels,
+        |      p -> CASE WHEN p > list_sum(pixels) // 64
+        |        THEN 1 ELSE 0 END) AS bits
+        |  FROM px),
+        |bands AS (
+        |  SELECT doc_id, CAST(k AS BIGINT) AS k,
+        |    CAST(list_sum(list_transform(range(1, 17),
+        |      j -> bits[CAST((k-1)*16 + j AS INT)] * (1 << (j-1))))
+        |      AS BIGINT) AS bv
+        |  FROM bt, unnest(range(1, 5)) t(k)),
+        |cand AS (
+        |  SELECT a.k, a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b
+        |    ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id),
+        |ham AS (
+        |  SELECT x.d1, x.d2,
+        |    CAST(sum(bit_count(xor(ba.bv, bb.bv))) AS BIGINT) AS hd
+        |  FROM (SELECT DISTINCT d1, d2 FROM cand) x
+        |  JOIN bands ba ON ba.doc_id = x.d1
+        |  JOIN bands bb ON bb.doc_id = x.d2 AND bb.k = ba.k
+        |  GROUP BY 1, 2)
+        |SELECT cand.k, count(*) AS n_cand,
+        |  CAST(sum(CASE WHEN hd <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_le3,
+        |  CAST(sum(CASE WHEN hd <= 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_le6
+        |FROM cand JOIN ham ON ham.d1 = cand.d1 AND ham.d2 = cand.d2
+        |GROUP BY 1""".stripMargin)
 }

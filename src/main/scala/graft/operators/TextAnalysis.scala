@@ -525,6 +525,98 @@ object TextAnalysis extends QueryPack {
             .as("jaccard_ppm"))
     }),
 
+    // ---- pairwise source unigram total-variation distance -----------
+    // The FREQUENCY-level companion to q238's set-level vocabulary
+    // Jaccard: TVD(P,Q) = ½·Σ_w |p_w − q_w| between every source
+    // pair's unigram distributions — the mixture-drift number a data
+    // curator reads before treating two crawl sources as
+    // interchangeable (Jaccard says the vocabularies coincide; TVD
+    // says whether the USAGE does). Divergences needing log (KL/JS)
+    // are deliberately avoided — q196's rationale: TVD is rational,
+    // so it is exact in integers. Exactness: p_w = c_w/T floors would
+    // shed mass, so the sum assembles UNREDUCED as
+    // Σ|c1·T2 − c2·T1| / (2·T1·T2) with products in DECIMAL(38)/
+    // HUGEINT (the q209 rule — c·T ≤ 1e24 at 100 TB). Words outside
+    // the intersection enter by inclusion–exclusion from the
+    // intersection coverage: Σ_union = Σ_inter + (T1−S1)·T2 +
+    // (T2−S2)·T1 — no outer join. Scale shape: ONE (source, word)
+    // hash agg touches the corpus; the pair table is the q238
+    // vocabulary-keyed self equi-join (per-word fan-out ≤ |sources|²,
+    // a constant); totals join back broadcast.
+    "q249_unigram_tvd" -> ((s, d) => {
+      import s.implicits._
+      val wc = T.documents(s, d)
+        .select($"source", explode(split($"text", " ")).as("w"))
+        .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+      val tot = wc.groupBy($"source").agg(sum($"c").cast("bigint").as("t"))
+      wc.toDF("s1", "w", "c1")
+        .join(wc.toDF("s2", "w2", "c2"), $"w" === $"w2" && $"s1" < $"s2")
+        .join(broadcast(tot.toDF("s1", "t1")), "s1")
+        .join(broadcast(tot.toDF("s2", "t2")), "s2")
+        .groupBy($"s1", $"s2")
+        .agg(sum(expr("abs(CAST(c1 AS DECIMAL(38,0)) * t2 - " +
+            "CAST(c2 AS DECIMAL(38,0)) * t1)")).as("d_inter"),
+          sum($"c1").cast("bigint").as("cov1"),
+          sum($"c2").cast("bigint").as("cov2"))
+        .join(broadcast(tot.toDF("s1", "t1")), "s1")
+        .join(broadcast(tot.toDF("s2", "t2")), "s2")
+        .select($"s1", $"s2", $"t1".as("n_tokens_1"), $"t2".as("n_tokens_2"),
+          expr("CAST((d_inter + CAST(t1 - cov1 AS DECIMAL(38,0)) * t2 + " +
+            "CAST(t2 - cov2 AS DECIMAL(38,0)) * t1) * 1000000 div " +
+            "(2 * CAST(t1 AS DECIMAL(38,0)) * t2) AS BIGINT)").as("tvd_ppm"))
+    }),
+
+    // ---- Goodman–Kruskal gamma: length band vs dup-rate band --------
+    // The ORDINAL-CATEGORY association companion to q232's Spearman:
+    // gamma = (C − D)/(C + D) over concordant/discordant pairs of
+    // (floor-log2 length band, dup-rate decile band) — the statistic
+    // for banded scales, where Spearman's total ranks would hide that
+    // banding happened. Rational, so exact in integers; the signed
+    // numerator floors through the +K shift (K = 1e6 ≥ |gamma|·1e6).
+    // Scale shape: pair counting is O(n²) naively, but on a BOUNDED
+    // cell grid (≤ ~40 length bands × 11 deciles) C and D are
+    // Σ n_ij · (strict 2D dominance sums), computed by two window
+    // passes over the DENSIFIED grid (q236's broadcast-densify; both
+    // windows partition the ≤440-row grid, never corpus rows) —
+    // validated cell-for-cell against a brute-force pair count. The
+    // corpus contributes ONE hash agg to the cell table. Products
+    // n·dom ≤ n² run in DECIMAL(38)/HUGEINT (q209 rule).
+    "q254_goodman_kruskal_gamma" -> ((s, d) => {
+      import s.implicits._
+      val docs = T.documents(s, d)
+        .filter(expr("size(split(text, ' ')) >= 1"))
+        .select(expr("length(bin(n_chars)) - 1").as("xb"),
+          expr("(((size(split(text, ' ')) - " +
+            "size(array_distinct(split(text, ' ')))) * 1000000L) div " +
+            "size(split(text, ' '))) div 100000L").as("yb"))
+      val cells = docs.groupBy($"xb", $"yb").agg(count(lit(1)).as("n"))
+      val xs = cells.select($"xb").distinct()
+      val ys = cells.select($"yb").distinct()
+      val dense = xs.crossJoin(broadcast(ys))
+        .join(cells, Seq("xb", "yb"), "left")
+        .select($"xb", $"yb", coalesce($"n", lit(0L)).as("n"))
+      val wGtY = Window.partitionBy($"xb").orderBy($"yb")
+        .rowsBetween(1, Window.unboundedFollowing)
+      val wLtY = Window.partitionBy($"xb").orderBy($"yb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sufy = dense
+        .withColumn("gt_y", coalesce(sum($"n").over(wGtY), lit(0L)))
+        .withColumn("lt_y", coalesce(sum($"n").over(wLtY), lit(0L)))
+      val wGtX = Window.partitionBy($"yb").orderBy($"xb")
+        .rowsBetween(1, Window.unboundedFollowing)
+      val dom = sufy
+        .withColumn("n_gtgt", coalesce(sum($"gt_y").over(wGtX), lit(0L)))
+        .withColumn("n_gtlt", coalesce(sum($"lt_y").over(wGtX), lit(0L)))
+      dom.agg(
+          sum(expr("CAST(n AS DECIMAL(38,0)) * n_gtgt")).as("cp"),
+          sum(expr("CAST(n AS DECIMAL(38,0)) * n_gtlt")).as("dp"))
+        .select(expr("CAST(cp AS BIGINT)").as("concordant"),
+          expr("CAST(dp AS BIGINT)").as("discordant"),
+          expr("CAST(CASE WHEN cp + dp > 0 THEN " +
+            "((cp - dp) * 1000000 + 1000000 * (cp + dp)) div (cp + dp) " +
+            "- 1000000 ELSE 0 END AS BIGINT)").as("gamma_ppm"))
+    }),
+
     // ---- TF-IDF keyword extraction per source -----------------------
     // [Sparck Jones, J.Doc'72] — each source's 5 most CHARACTERISTIC
     // words: term count × an integer idf, idf_bits = floor(log2(N/df))
@@ -1062,6 +1154,86 @@ object TextAnalysis extends QueryPack {
         |  CAST(sum(rep_ppm) // count(*) AS BIGINT) AS mean_rep_ppm,
         |  CAST(max(rep_ppm) AS BIGINT) AS max_rep_ppm
         |FROM ds GROUP BY 1""".stripMargin,
+
+    // the unreduced-fraction TVD replayed: |c1·T2 − c2·T1| in HUGEINT
+    // over the intersection join, the missing mass restored by
+    // inclusion–exclusion from the intersection coverage
+    "q249_unigram_tvd" ->
+      """WITH wc AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) u
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS t FROM wc GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS s1, b.source AS s2,
+        |    CAST(sum(abs(CAST(a.c AS HUGEINT) * tb.t
+        |      - CAST(b.c AS HUGEINT) * ta.t)) AS HUGEINT) AS d_inter,
+        |    CAST(sum(a.c) AS BIGINT) AS cov1,
+        |    CAST(sum(b.c) AS BIGINT) AS cov2
+        |  FROM wc a JOIN wc b ON a.w = b.w AND a.source < b.source
+        |  JOIN tot ta ON ta.source = a.source
+        |  JOIN tot tb ON tb.source = b.source
+        |  GROUP BY 1, 2),
+        |full_d AS (
+        |  SELECT s1, s2, ta.t AS t1, tb.t AS t2,
+        |    d_inter + CAST(ta.t - cov1 AS HUGEINT) * tb.t
+        |            + CAST(tb.t - cov2 AS HUGEINT) * ta.t AS d_all
+        |  FROM inter
+        |  JOIN tot ta ON ta.source = s1
+        |  JOIN tot tb ON tb.source = s2)
+        |SELECT s1, s2, t1 AS n_tokens_1, t2 AS n_tokens_2,
+        |  CAST((d_all * 1000000) // (2 * CAST(t1 AS HUGEINT) * t2)
+        |    AS BIGINT) AS tvd_ppm
+        |FROM full_d""".stripMargin,
+
+    // the dominance-window gamma replayed on the same densified band
+    // grid: per-band y-suffix/-prefix sums, then x-suffix sums of
+    // those, Σ n·dom in HUGEINT, shifted signed floor
+    "q254_goodman_kruskal_gamma" ->
+      """WITH docs AS (
+        |  SELECT length(bin(n_chars)) - 1 AS xb,
+        |    ((CAST(len(string_split(text, ' ')) AS BIGINT)
+        |      - len(list_distinct(string_split(text, ' ')))) * 1000000
+        |      // len(string_split(text, ' '))) // 100000 AS yb
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 1),
+        |cells AS (SELECT xb, yb, CAST(count(*) AS BIGINT) AS n
+        |  FROM docs GROUP BY 1, 2),
+        |xs AS (SELECT DISTINCT xb FROM cells),
+        |ys AS (SELECT DISTINCT yb FROM cells),
+        |dense AS (
+        |  SELECT xs.xb, ys.yb, coalesce(c.n, 0) AS n
+        |  FROM xs CROSS JOIN ys
+        |  LEFT JOIN cells c ON c.xb = xs.xb AND c.yb = ys.yb),
+        |sufy AS (
+        |  SELECT xb, yb, n,
+        |    CAST(coalesce(sum(n) OVER (PARTITION BY xb ORDER BY yb
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+        |      AS BIGINT) AS gt_y,
+        |    CAST(coalesce(sum(n) OVER (PARTITION BY xb ORDER BY yb
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS lt_y
+        |  FROM dense),
+        |dom AS (
+        |  SELECT xb, yb, n,
+        |    CAST(coalesce(sum(gt_y) OVER (PARTITION BY yb ORDER BY xb
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+        |      AS BIGINT) AS n_gtgt,
+        |    CAST(coalesce(sum(lt_y) OVER (PARTITION BY yb ORDER BY xb
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+        |      AS BIGINT) AS n_gtlt
+        |  FROM sufy),
+        |cd AS (
+        |  SELECT CAST(sum(CAST(n AS HUGEINT) * n_gtgt) AS HUGEINT) AS cp,
+        |    CAST(sum(CAST(n AS HUGEINT) * n_gtlt) AS HUGEINT) AS dp
+        |  FROM dom)
+        |SELECT CAST(cp AS BIGINT) AS concordant,
+        |  CAST(dp AS BIGINT) AS discordant,
+        |  CAST(CASE WHEN cp + dp > 0 THEN
+        |    ((cp - dp) * 1000000 + 1000000 * (cp + dp)) // (cp + dp)
+        |    - 1000000 ELSE 0 END AS BIGINT) AS gamma_ppm
+        |FROM cd""".stripMargin,
 
     // the band-decomposed total ranks replayed: cum-before per
     // (source, value) band + within-band row_number on doc_id, then

@@ -102,8 +102,11 @@ class DeterminismSpec extends AnyFunSuite {
     "q241_trend_test", "q242_harmonic_centrality",
     "q243_tfidf_keywords", "q244_repetition_audit",
     "q245_conformal_latency", "q247_theilsen_trend",
-    // round 13: the BPE training loop's per-step argmax tie-break
-    "q248_bpe_merge_loop")
+    // round 13: the BPE training loop's per-step argmax tie-break,
+    // unreduced-fraction TVD, hazard prefix sums, band-index blocking,
+    // dominance-window concordance
+    "q248_bpe_merge_loop", "q249_unigram_tvd", "q251_nelson_aalen",
+    "q252_phash_blocking", "q254_goodman_kruskal_gamma")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count
