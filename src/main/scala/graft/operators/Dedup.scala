@@ -204,6 +204,60 @@ object Dedup extends QueryPack {
         .filter($"jaccard" >= 0.5)
     }),
 
+    // ---- MinHash estimate-vs-exact Jaccard audit --------------------
+    // The acceptance loop for the ESTIMATOR the whole LSH index rests
+    // on (q142's recall-audit rule, applied to similarity VALUES): for
+    // every declared near-dup pair, a k=16 MinHash signature-agreement
+    // estimate of Jaccard next to the exact shingle Jaccard, with the
+    // absolute error — the number that justifies (or indicts) using
+    // signature agreement as a verification-stage prune. The
+    // signature here is deliberately NOT minhash_sig's xxhash64 (no
+    // DuckDB counterpart): it is the ORACLE-PORTABLE construction —
+    // two md5-h60 hashes per gram truncated mod 2²⁸ (so the
+    // Kirsch–Mitzenhacker h1 + 15·h2 stays far inside int64, where
+    // DuckDB errors on overflow rather than wrapping), k=16 derived
+    // bands, per-(doc, band) min via a relational explode — no
+    // interpreted HOF lambda per hash. Scale shape: the gram table is
+    // scanned once with a 16× band fan-out into one
+    // map-side-combinable min agg; pairs are the q36 output
+    // (checkpointed — no LSH re-derivation); the estimate join moves
+    // 16 longs per pair side.
+    "q257_minhash_jaccard_audit" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val pairs = queries("q36_minhash_neardup")(s, d).select($"a", $"b")
+        .localCheckpoint(true)
+      val sh = shingles(s, d)
+      val h = sh.select($"doc_id", explode($"sh").as("g"))
+        .select($"doc_id",
+          pmod(graft.functions.PortableHash.h60($"g"),
+            lit(268435456L)).as("h1"),
+          pmod(graft.functions.PortableHash.h60(concat(lit("k:"), $"g")),
+            lit(268435456L)).as("h2"))
+      val sig = h
+        .select($"doc_id", $"h1", $"h2",
+          explode(expr("sequence(0L, 15L)")).as("band"))
+        .groupBy($"doc_id", $"band")
+        .agg(min($"h1" + $"band" * $"h2").as("mh"))
+      val est = pairs
+        .join(sig.toDF("a", "band", "mha"), Seq("a"))
+        .join(sig.toDF("b", "band", "mhb"), Seq("b", "band"))
+        .groupBy($"a", $"b")
+        .agg(sum(when($"mha" === $"mhb", 1L).otherwise(0L))
+          .cast("bigint").as("matches"))
+        .select($"a", $"b",
+          expr("matches * 1000000L div 16").as("est_ppm"))
+      val ex = pairs
+        .join(sh.toDF("a", "sha"), "a")
+        .join(sh.toDF("b", "shb"), "b")
+        .select($"a", $"b",
+          expr("CAST(size(array_intersect(sha, shb)) AS BIGINT) " +
+            "* 1000000L div size(array_union(sha, shb))").as("exact_ppm"))
+      est.join(ex, Seq("a", "b"))
+        .select($"a", $"b", $"est_ppm", $"exact_ppm",
+          abs($"est_ppm" - $"exact_ppm").as("abs_err_ppm"))
+    }),
+
     // ---- near-dup clusters (connected components) -------------------
     // The step after pair detection in a real dedup pipeline: group
     // the q36 pair list into clusters and pick one keeper per cluster
@@ -831,6 +885,49 @@ object Dedup extends QueryPack {
         |          / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
         |  FROM d x JOIN d y ON x.doc_id < y.doc_id) p
         |WHERE jaccard >= 0.5""".stripMargin,
+
+    // the portable KM signature recomputed verbatim (md5-h60 mod 2²⁸,
+    // 16 bands) over the ground-truth pair set
+    "q257_minhash_jaccard_audit" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |d AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM w WHERE len(w) >= 3),
+        |pairs AS (
+        |  SELECT a, b, inter, uni FROM (
+        |    SELECT x.doc_id AS a, y.doc_id AS b,
+        |      CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS inter,
+        |      CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS BIGINT)
+        |        AS uni
+        |    FROM d x JOIN d y ON x.doc_id < y.doc_id) p
+        |  WHERE round(CAST(inter AS DOUBLE) / uni, 6) >= 0.5),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 268435456 AS h1,
+        |    CAST('0x' || substr(md5('k:' || g), 1, 15) AS BIGINT)
+        |      % 268435456 AS h2
+        |  FROM (SELECT doc_id, unnest(sh) AS g FROM d) u),
+        |sig AS (
+        |  SELECT doc_id, CAST(band AS BIGINT) AS band,
+        |    CAST(min(h1 + band * h2) AS BIGINT) AS mh
+        |  FROM h, unnest(range(0, 16)) t(band)
+        |  GROUP BY 1, 2),
+        |est AS (
+        |  SELECT p.a, p.b,
+        |    CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS matches
+        |  FROM pairs p
+        |  JOIN sig sa ON sa.doc_id = p.a
+        |  JOIN sig sb ON sb.doc_id = p.b AND sb.band = sa.band
+        |  GROUP BY 1, 2)
+        |SELECT p.a, p.b,
+        |  matches * 1000000 // 16 AS est_ppm,
+        |  inter * 1000000 // uni AS exact_ppm,
+        |  abs(matches * 1000000 // 16 - inter * 1000000 // uni)
+        |    AS abs_err_ppm
+        |FROM pairs p JOIN est ON est.a = p.a AND est.b = p.b""".stripMargin,
 
     "q56_dedup_clusters" ->
       """WITH pairs AS (

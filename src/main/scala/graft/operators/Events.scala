@@ -1128,6 +1128,45 @@ object Events extends QueryPack {
         .select($"r.day", $"r.n_at_risk", $"r.n_churn", $"r.surv_ppm")
     }),
 
+    // ---- day-of-week eta-squared (seasonality strength) -------------
+    // How much of daily-volume variance does the weekly cycle explain?
+    // One-way ANOVA's effect size η² = SSB/SST with day-of-week as the
+    // factor — the STRENGTH number behind q183's seasonal profile
+    // (the profile shows the shape; η² says whether it matters) and
+    // the parametric companion to q255's rank test. Exactness: both
+    // sums of squares assemble from integer power sums (Σy, Σy²,
+    // per-dow S_g) with the grand term T²·1e6/N and per-group
+    // S_g²·1e6/n_g floored identically in both engines (the q239
+    // per-term convention); products run in DECIMAL(38)/HUGEINT.
+    // Scale shape: one (type, day) corpus hash agg → a ≤7·|types|-row
+    // dow rollup → 1-row folds per type. Validated against the float
+    // SSB/SST to the ppm.
+    "q256_dow_eta_squared" -> ((s, d) => {
+      import s.implicits._
+      val daily = T.events(s, d)
+        .select($"event_type",
+          datediff(to_date($"ts"), to_date(lit("2024-01-01")))
+            .cast("long").as("day"))
+        .groupBy($"event_type", $"day").agg(count(lit(1)).as("y"))
+      val g = daily.groupBy($"event_type", expr("day % 7").as("dow"))
+        .agg(sum($"y").cast("bigint").as("s_g"),
+          count(lit(1)).as("n_g"),
+          sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("ss_g"))
+      g.groupBy($"event_type")
+        .agg(sum($"s_g").cast("bigint").as("t_sum"),
+          sum($"n_g").cast("bigint").as("n"),
+          sum($"ss_g").as("sum_y2"),
+          sum(expr("(CAST(s_g AS DECIMAL(38,0)) * s_g * 1000000) " +
+            "div n_g")).as("ssb_c"))
+        .select($"event_type", $"n".as("n_days"),
+          expr("CAST(CASE WHEN sum_y2 * 1000000 - " +
+            "(CAST(t_sum AS DECIMAL(38,0)) * t_sum * 1000000) div n > 0 " +
+            "THEN ((ssb_c - (CAST(t_sum AS DECIMAL(38,0)) * t_sum " +
+            "* 1000000) div n) * 1000000) div (sum_y2 * 1000000 - " +
+            "(CAST(t_sum AS DECIMAL(38,0)) * t_sum * 1000000) div n) " +
+            "ELSE 0 END AS BIGINT)").as("eta2_ppm"))
+    }),
+
     // ---- Nelson–Aalen cumulative hazard -----------------------------
     // [Nelson '72; Aalen, Ann.Stat.'78] — the additive companion to
     // q194's multiplicative Kaplan–Meier on the SAME churn substrate:
@@ -1477,6 +1516,36 @@ object Events extends QueryPack {
         |  FROM km JOIN ar ON ar.rn = km.rn + 1)
         |SELECT ar.day, ar.n_at_risk, ar.n_churn, km.surv AS surv_ppm
         |FROM km JOIN ar ON ar.rn = km.rn""".stripMargin,
+
+    // the power-sum eta-squared replayed with identical grand/group
+    // floors in HUGEINT
+    "q256_dow_eta_squared" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(datediff('day', DATE '2024-01-01', ts) AS BIGINT) AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, day % 7 AS dow, CAST(sum(y) AS BIGINT) AS s_g,
+        |    CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS ss_g
+        |  FROM daily GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, CAST(sum(s_g) AS BIGINT) AS t_sum,
+        |    CAST(sum(n_g) AS BIGINT) AS n,
+        |    CAST(sum(ss_g) AS HUGEINT) AS sum_y2,
+        |    CAST(sum((CAST(s_g AS HUGEINT) * s_g * 1000000) // n_g)
+        |      AS HUGEINT) AS ssb_c
+        |  FROM g GROUP BY 1)
+        |SELECT event_type, n AS n_days,
+        |  CAST(CASE WHEN sum_y2 * 1000000
+        |      - (CAST(t_sum AS HUGEINT) * t_sum * 1000000) // n > 0 THEN
+        |    ((ssb_c - (CAST(t_sum AS HUGEINT) * t_sum * 1000000) // n)
+        |      * 1000000)
+        |    // (sum_y2 * 1000000
+        |      - (CAST(t_sum AS HUGEINT) * t_sum * 1000000) // n)
+        |  ELSE 0 END AS BIGINT) AS eta2_ppm
+        |FROM t""".stripMargin,
 
     // the additive hazard replayed: q194's at-risk grid, per-day
     // d·1e6 // n floors, windowed cumulative sum (BIGINT-cast —

@@ -2116,6 +2116,64 @@ object Relational extends QueryPack {
             "ELSE 0 END AS BIGINT)").as("chi2_ppm"))
     }),
 
+    // ---- Kruskal–Wallis rank test: latency across ALL priorities ----
+    // [Kruskal & Wallis, JASA'52] — the k-group extension of q208's
+    // Mann–Whitney and the omnibus companion to q239's two-group
+    // log-rank / q241's ordered trend: does ship latency differ across
+    // the 5 priorities AT ALL? H = 12/(N(N+1))·Σ R_j²/n_j − 3(N+1)
+    // on midranks. Exactness: DOUBLED midranks (r2 = 2·cum_before +
+    // b + 1 — the q208/q237 decomposition, so no halves exist) from
+    // the global (days) value-band table; the per-group terms
+    // R2_j²/(4n_j) floor in DECIMAL(38)/HUGEINT and both engines
+    // replicate the floors verbatim (q239's per-term convention). The
+    // tie-correction mass Σ(t³−t)/(N³−N) is reported as its own ppm
+    // column rather than compounding a second division into H.
+    // Bounds: R2_j² ≤ 4N⁴ caps int128/DECIMAL(38) at N ≈ 2e9 items —
+    // past that the terms rescale (the q239 note). Scale shape: the
+    // corpus join reduces immediately to the timespan-bounded (days)
+    // band table + a (priority, days) grid; the one global window
+    // runs over the bounded bands (PlanSpec's Aggregate bounder);
+    // assembly is a 1-row fold.
+    "q255_kruskal_wallis" -> ((s, d) => {
+      import s.implicits._
+      val lat = T.lineitem(s, d)
+        .join(T.orders(s, d)
+            .select($"o_orderkey", $"o_orderpriority", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .select($"o_orderpriority".as("g"),
+          datediff(to_date($"l_shipdate"), to_date($"o_orderdate"))
+            .cast("long").as("days"))
+      val vb = lat.groupBy($"days").agg(count(lit(1)).as("b"))
+      val wc = Window.orderBy($"days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val r2 = vb.withColumn("cum", sum($"b").over(wc))
+        .select($"days",
+          (lit(2L) * ($"cum" - $"b") + $"b" + lit(1L)).as("r2"))
+      val gb = lat.groupBy($"g", $"days").agg(count(lit(1)).as("c"))
+      val gr = gb.join(r2, "days")
+        .groupBy($"g")
+        .agg(sum($"c").cast("bigint").as("n_g"),
+          sum(expr("CAST(c AS DECIMAL(38,0)) * r2")).as("r2_g"))
+      val tot = gr.agg(sum($"n_g").cast("bigint").as("n"))
+      val terms = gr
+        .select(expr("(r2_g * r2_g) div (4 * CAST(n_g AS DECIMAL(38,0)))")
+          .as("term"))
+        .agg(sum($"term").as("s_terms"))
+      val ties = vb
+        .agg(sum(expr("CAST(b AS DECIMAL(38,0)) * b * b - b")).as("t3"))
+      terms.crossJoin(broadcast(tot)).crossJoin(broadcast(ties))
+        .select($"n".as("n_total"),
+          // s_terms is BIGINT (div yields integral), so the 12e6
+          // scale-up must go back through DECIMAL — a long product
+          // overflows ANSI at ~7.7e11 term mass (hit at sf0.01)
+          expr("CAST((CAST(s_terms AS DECIMAL(38,0)) * 12000000) div " +
+            "(CAST(n AS DECIMAL(38,0)) * (n + 1)) " +
+            "- 3000000 * (n + 1) AS BIGINT)").as("h_ppm"),
+          expr("CAST((t3 * 1000000) div " +
+            "(CAST(n AS DECIMAL(38,0)) * n * n - n) AS BIGINT)")
+            .as("tie_ppm"))
+    }),
+
     // ---- multiple OLS: ship latency ~ quantity + discount -----------
     // q178's power-sum regression extended to TWO regressors with an
     // intercept: does a bigger or more-discounted line item ship
@@ -3388,6 +3446,45 @@ object Relational extends QueryPack {
 
     // the per-latency-day at-risk/expected/variance terms replayed with
     // identical per-term floors in HUGEINT
+    // the doubled-midrank H replayed with identical per-group floors;
+    // the tie mass reported separately, not compounded into H
+    "q255_kruskal_wallis" ->
+      """WITH lat AS (
+        |  SELECT o.o_orderpriority AS g,
+        |    CAST(datediff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+        |      AS days
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |vb AS (SELECT days, CAST(count(*) AS BIGINT) AS b
+        |  FROM lat GROUP BY 1),
+        |r2 AS (
+        |  SELECT days,
+        |    2 * (CAST(sum(b) OVER (ORDER BY days
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - b) + b + 1 AS r2
+        |  FROM vb),
+        |gb AS (SELECT g, days, CAST(count(*) AS BIGINT) AS c
+        |  FROM lat GROUP BY 1, 2),
+        |gr AS (
+        |  SELECT g, CAST(sum(c) AS BIGINT) AS n_g,
+        |    CAST(sum(CAST(c AS HUGEINT) * r2.r2) AS HUGEINT) AS r2_g
+        |  FROM gb JOIN r2 ON r2.days = gb.days GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n FROM gr),
+        |terms AS (
+        |  SELECT CAST(sum((r2_g * r2_g) // (4 * CAST(n_g AS HUGEINT)))
+        |    AS HUGEINT) AS s_terms
+        |  FROM gr),
+        |ties AS (
+        |  SELECT CAST(sum(CAST(b AS HUGEINT) * b * b - b) AS HUGEINT) AS t3
+        |  FROM vb)
+        |SELECT tot.n AS n_total,
+        |  CAST((12000000 * terms.s_terms)
+        |    // (CAST(tot.n AS HUGEINT) * (tot.n + 1))
+        |    - 3000000 * (tot.n + 1) AS BIGINT) AS h_ppm,
+        |  CAST((ties.t3 * 1000000)
+        |    // (CAST(tot.n AS HUGEINT) * tot.n * tot.n - tot.n)
+        |    AS BIGINT) AS tie_ppm
+        |FROM tot, terms, ties""".stripMargin,
+
     "q239_logrank_priority" ->
       """WITH lat AS (
         |  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')

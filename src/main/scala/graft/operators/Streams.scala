@@ -1069,6 +1069,49 @@ object Streams extends QueryPack {
       drain(s, agg)
     }),
 
+    // DYNAMIC-gap session windows: the gap is a per-EVENT expression
+    // (purchase keeps the session alive 30 min, anything else 10) —
+    // the engine capability s11's fixed gap doesn't touch, and the
+    // shape real engagement sessionization needs (a checkout should
+    // not be cut off by the browse-gap timeout). Each event
+    // contributes [ts, ts+gap(event)); overlapping intervals merge,
+    // so the session END is the running max of member ends — the
+    // oracle's island detection uses exactly that running max (a
+    // plain lag is no longer sufficient: a long-gap event covers
+    // short-gap successors). Append-mode closure is s11's predicate
+    // with the dynamic end: sessions whose max(ts+gap) precede the
+    // final watermark. State per open session is one merged interval —
+    // identical eviction story to s11.
+    "s29_dynamic_session" -> ((s, d) => {
+      val name = s"events_rt_${sfx(d)}" // same fixture as s01
+      seedEventsJson(s, d, name, numShards = 4)
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", "50000")
+        .load()
+      val events = raw.select(
+        from_json(col("data").cast("string"), payloadSchema).as("e"))
+        .select(timestamp_micros(col("e.ts_us")).as("ts"),
+          col("e.user_id").as("user_id"),
+          col("e.event_type").as("event_type"))
+      // make_interval, not INTERVAL literals: session_window's dynamic
+      // gap must be CalendarIntervalType, and ANSI parses INTERVAL
+      // literals as DayTimeIntervalType (rejected at analysis)
+      val gap = when(col("event_type") === "purchase",
+        expr("make_interval(0, 0, 0, 0, 0, 30, 0)"))
+        .otherwise(expr("make_interval(0, 0, 0, 0, 0, 10, 0)"))
+      val agg = events
+        .withWatermark("ts", "10 minutes")
+        .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .cast("bigint").as("n_purch"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("sess_start_us"),
+          unix_micros(col("w.end")).as("sess_end_us"), col("n"), col("n_purch"))
+      drain(s, agg)
+    }),
+
     // transformWithState (the Spark 4 arbitrary-state API, successor
     // to mapGroupsWithState): typed ValueState per key, explicit
     // init/handleInputRows lifecycle, RocksDB state store. Computes
@@ -1387,6 +1430,41 @@ object Streams extends QueryPack {
         |  count(*) AS n
         |FROM sess GROUP BY user_id, sid
         |HAVING max(ts) + INTERVAL 30 MINUTE <= (SELECT w FROM wm)""".stripMargin,
+    // island detection by RUNNING MAX of per-event ends (ts + gap):
+    // a session break is an event at-or-past every preceding member's
+    // end; closure = dynamic session end ≤ final watermark
+    "s29_dynamic_session" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+        |e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN 1800000000
+        |         ELSE 600000000 END AS gap_us,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isp
+        |  FROM events),
+        |m AS (
+        |  SELECT *, coalesce(max(CAST(epoch_us(ts) AS BIGINT) + gap_us)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    -1) AS prev_end
+        |  FROM e),
+        |b AS (
+        |  SELECT *, CASE WHEN CAST(epoch_us(ts) AS BIGINT) >= prev_end
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM m),
+        |sess AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM b)
+        |SELECT user_id,
+        |  CAST(epoch_us(min(ts)) AS BIGINT) AS sess_start_us,
+        |  CAST(max(CAST(epoch_us(ts) AS BIGINT) + gap_us) AS BIGINT)
+        |    AS sess_end_us,
+        |  count(*) AS n, CAST(sum(isp) AS BIGINT) AS n_purch
+        |FROM sess GROUP BY user_id, sid
+        |HAVING max(CAST(epoch_us(ts) AS BIGINT) + gap_us)
+        |  <= CAST(epoch_us((SELECT w FROM wm)) AS BIGINT)""".stripMargin,
+
     "s10_stateful_running" ->
       """SELECT user_id, count(*) AS n,
         |  CAST(sum(CAST(round(value * 1024) AS BIGINT)) AS BIGINT) AS sum_vq

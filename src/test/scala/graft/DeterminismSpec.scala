@@ -106,7 +106,9 @@ class DeterminismSpec extends AnyFunSuite {
     // unreduced-fraction TVD, hazard prefix sums, band-index blocking,
     // dominance-window concordance
     "q248_bpe_merge_loop", "q249_unigram_tvd", "q251_nelson_aalen",
-    "q252_phash_blocking", "q254_goodman_kruskal_gamma")
+    "q252_phash_blocking", "q254_goodman_kruskal_gamma",
+    "q255_kruskal_wallis", "q256_dow_eta_squared",
+    "q257_minhash_jaccard_audit")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

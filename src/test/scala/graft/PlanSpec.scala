@@ -33,7 +33,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "s20_stream_dedup_static", "s21_split_at_timestamp",
     "s22_chained_windows", "s23_join_then_window",
     "s24_tuned_watermark", "s25_stream_ewma_alerts", "s26_state_reader",
-    "s27_timer_windows")
+    "s27_timer_windows", "s28_crash_recovery", "s29_dynamic_session")
   // bounded-side nested loops that are correct by construction
   // (1-row stats, 4-row tier dim, 10-row query set, 5-row lang
   // profiles, 1-row mixture minimum, k-row centroid set, 1-row
@@ -166,7 +166,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q243_tfidf_keywords",
     // q245: the 1-row coefficient scalar (cramerBeta betas) crossed
     // onto the residual stream
-    "q245_conformal_latency")
+    "q245_conformal_latency",
+    // q251: q194's 1-row (max_day, n_users) scalar crossed onto the
+    // user-grain agg and the bounded day grid (same substrate)
+    "q251_nelson_aalen",
+    // q254: the ≤11-row decile band list broadcast-densified against
+    // the ≤40-row length-band list (q236's densify shape)
+    "q254_goodman_kruskal_gamma",
+    // q255: the 1-row N-total and 1-row tie-mass scalars crossed onto
+    // the 1-row term fold
+    "q255_kruskal_wallis")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
