@@ -1128,6 +1128,90 @@ object Events extends QueryPack {
         .select($"r.day", $"r.n_at_risk", $"r.n_churn", $"r.surv_ppm")
     }),
 
+    // ---- per-user inter-arrival burstiness (CV²) --------------------
+    // Is a user's activity memoryless or bursty? The squared
+    // coefficient of variation of inter-event gaps — CV² ≈ 1 for a
+    // Poisson user, ≫ 1 for burst-and-silence behavior (the
+    // behavioral-regularity companion to q234's Fano index, which
+    // measures the same dispersion on COUNTS). Rational and exact:
+    // CV² = Var/mean² = n·Σg²/(Σg)² − 1, products in DECIMAL(38)/
+    // HUGEINT (gaps are µs over a month ≈ 2.6e12; squares ~7e24).
+    // Scale shape: ONE lag window per user (high-cardinality
+    // partition key — the q68/q84 per-key window rule) + one
+    // user-keyed hash agg; nothing global.
+    "q258_interarrival_cv2" -> ((s, d) => {
+      import s.implicits._
+      val wlag = Window.partitionBy($"user_id").orderBy($"tu", $"event_id")
+      T.events(s, d)
+        .select($"user_id", unix_micros($"ts").as("tu"), $"event_id")
+        .withColumn("gap", $"tu" - lag($"tu", 1).over(wlag))
+        .filter($"gap".isNotNull)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum($"gap").cast("bigint").as("sg"),
+          sum(expr("CAST(gap AS DECIMAL(38,0)) * gap")).as("sg2"))
+        .select($"user_id", $"n_gaps",
+          expr("sg div n_gaps").as("mean_gap_us"),
+          expr("CAST(CASE WHEN sg > 0 AND n_gaps > 1 THEN " +
+            "(CAST(n_gaps AS DECIMAL(38,0)) * sg2 * 1000000) div " +
+            "(CAST(sg AS DECIMAL(38,0)) * sg) - 1000000 " +
+            "ELSE 0 END AS BIGINT)").as("cv2_ppm"))
+    }),
+
+    // ---- lead-lag cross-correlation (clicks → purchases) ------------
+    // Does click volume LEAD purchase volume, and by how many days?
+    // Squared Pearson correlation (R² — rational, no sqrt; the sign
+    // reported separately) between the daily click series and the
+    // purchase series shifted by lag ∈ [−3, 3] — the
+    // marketing-attribution screen before q178's OLS commits to a
+    // direction. Exact: power sums on the timespan-bounded daily
+    // grid; the R² numerator/denominator assemble in DECIMAL(38)/
+    // HUGEINT (the q239 rescale note applies past ~1e9 events/day).
+    // Scale shape: one corpus hash agg to the daily grid; the 7-row
+    // lag table broadcasts; the shift join is an EQUI-join on the
+    // projected day+lag key over the bounded grid.
+    "q261_leadlag_r2" -> ((s, d) => {
+      import s.implicits._
+      val daily = T.events(s, d)
+        .select(datediff(to_date($"ts"), to_date(lit("2024-01-01")))
+          .cast("long").as("day"),
+          ($"event_type" === "click").cast("long").as("xc"),
+          ($"event_type" === "purchase").cast("long").as("yc"))
+        .groupBy($"day")
+        .agg(sum($"xc").cast("bigint").as("x"),
+          sum($"yc").cast("bigint").as("y"))
+      val lags = Seq(-3L, -2L, -1L, 0L, 1L, 2L, 3L).toDF("lag")
+      daily.select($"day", $"x").crossJoin(broadcast(lags))
+        .withColumn("day2", $"day" + $"lag")
+        .join(daily.select($"day".as("day2"), $"y"), "day2")
+        .groupBy($"lag")
+        .agg(count(lit(1)).as("n"),
+          sum($"x").cast("bigint").as("sx"),
+          sum($"y").cast("bigint").as("sy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sx2"),
+          sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("sy2"))
+        .select($"lag", $"n".as("n_days"),
+          expr("CAST(CASE WHEN (CAST(n AS DECIMAL(38,0)) * sx2 - " +
+            "CAST(sx AS DECIMAL(38,0)) * sx) * " +
+            "(CAST(n AS DECIMAL(38,0)) * sy2 - " +
+            "CAST(sy AS DECIMAL(38,0)) * sy) > 0 THEN " +
+            "((CAST(n AS DECIMAL(38,0)) * sxy - " +
+            "CAST(sx AS DECIMAL(38,0)) * sy) * " +
+            "(CAST(n AS DECIMAL(38,0)) * sxy - " +
+            "CAST(sx AS DECIMAL(38,0)) * sy) * 1000000) div " +
+            "((CAST(n AS DECIMAL(38,0)) * sx2 - " +
+            "CAST(sx AS DECIMAL(38,0)) * sx) * " +
+            "(CAST(n AS DECIMAL(38,0)) * sy2 - " +
+            "CAST(sy AS DECIMAL(38,0)) * sy)) " +
+            "ELSE 0 END AS BIGINT)").as("r2_ppm"),
+          expr("CAST(CASE WHEN CAST(n AS DECIMAL(38,0)) * sxy - " +
+            "CAST(sx AS DECIMAL(38,0)) * sy > 0 THEN 1 " +
+            "WHEN CAST(n AS DECIMAL(38,0)) * sxy - " +
+            "CAST(sx AS DECIMAL(38,0)) * sy < 0 THEN -1 " +
+            "ELSE 0 END AS BIGINT)").as("sgn"))
+    }),
+
     // ---- day-of-week eta-squared (seasonality strength) -------------
     // How much of daily-volume variance does the weekly cycle explain?
     // One-way ANOVA's effect size η² = SSB/SST with day-of-week as the
@@ -1516,6 +1600,62 @@ object Events extends QueryPack {
         |  FROM km JOIN ar ON ar.rn = km.rn + 1)
         |SELECT ar.day, ar.n_at_risk, ar.n_churn, km.surv AS surv_ppm
         |FROM km JOIN ar ON ar.rn = km.rn""".stripMargin,
+
+    // the gap fold replayed: per-user lag in (ts, event_id) order,
+    // n·Σg²/(Σg)² − 1 in HUGEINT
+    "q258_interarrival_cv2" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    CAST(epoch_us(ts) AS BIGINT)
+        |      - lag(CAST(epoch_us(ts) AS BIGINT)) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps,
+        |    CAST(sum(gap) AS BIGINT) AS sg,
+        |    CAST(sum(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS sg2
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_gaps, sg // n_gaps AS mean_gap_us,
+        |  CAST(CASE WHEN sg > 0 AND n_gaps > 1 THEN
+        |    (CAST(n_gaps AS HUGEINT) * sg2 * 1000000)
+        |      // (CAST(sg AS HUGEINT) * sg) - 1000000
+        |  ELSE 0 END AS BIGINT) AS cv2_ppm
+        |FROM s""".stripMargin,
+
+    // the shifted-series power sums replayed per lag; R² numerator
+    // squared in HUGEINT, sign as its own column
+    "q261_leadlag_r2" ->
+      """WITH daily AS (
+        |  SELECT CAST(datediff('day', DATE '2024-01-01', ts) AS BIGINT)
+        |    AS day,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |lags(lag) AS (VALUES (-3),(-2),(-1),(0),(1),(2),(3)),
+        |j AS (
+        |  SELECT CAST(l.lag AS BIGINT) AS lag, a.x, b.y
+        |  FROM lags l, daily a JOIN daily b ON b.day = a.day + l.lag),
+        |m AS (
+        |  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sx2,
+        |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS sy2
+        |  FROM j GROUP BY 1)
+        |SELECT lag, n AS n_days,
+        |  CAST(CASE WHEN (n * sx2 - CAST(sx AS HUGEINT) * sx)
+        |      * (n * sy2 - CAST(sy AS HUGEINT) * sy) > 0 THEN
+        |    ((n * sxy - CAST(sx AS HUGEINT) * sy)
+        |      * (n * sxy - CAST(sx AS HUGEINT) * sy) * 1000000)
+        |    // ((n * sx2 - CAST(sx AS HUGEINT) * sx)
+        |      * (n * sy2 - CAST(sy AS HUGEINT) * sy))
+        |  ELSE 0 END AS BIGINT) AS r2_ppm,
+        |  CAST(CASE WHEN n * sxy - CAST(sx AS HUGEINT) * sy > 0 THEN 1
+        |            WHEN n * sxy - CAST(sx AS HUGEINT) * sy < 0 THEN -1
+        |            ELSE 0 END AS BIGINT) AS sgn
+        |FROM m""".stripMargin,
 
     // the power-sum eta-squared replayed with identical grand/group
     // floors in HUGEINT

@@ -427,6 +427,54 @@ object Layout extends QueryPack {
           expr("(files_total - files_scanned) * 1000000L div files_total"))
     }),
 
+    // ---- manifest overlap-depth sweep (clustering health) -----------
+    // The number behind q179's skip ratios: how many files' [min,max]
+    // ranges cover a point lookup — Delta/Iceberg's "clustering
+    // depth", the metric an OPTIMIZE decision reads. Computed as a
+    // JOIN-FREE boundary sweep (q176's concurrency shape on the
+    // manifest): +1 at xmin, −1 at xmax+1, running sum over the
+    // sorted boundary table, span-weighted average + max per layout.
+    // The naive formulation is an interval SELF-join on the manifest
+    // — quadratic exactly when the layout is bad (every ingest file
+    // overlaps every other, the case the metric exists to expose);
+    // the sweep is O(boundaries) regardless of how pathological the
+    // overlap is. Same two layouts as q179: the ingest layout sweeps
+    // at depth ≈ |files| (every point opens every file) while the
+    // time-clustered layout sits at 1 — the pair IS the reading.
+    // Windows partition the post-agg boundary table (PlanSpec's
+    // Aggregate bounder).
+    "q262_manifest_overlap_sweep" -> ((s, d) => {
+      import s.implicits._
+      val pts = T.orders(s, d)
+        .select(expr("o_orderkey div 100").cast("bigint").as("fa"),
+          datediff($"o_orderdate", to_date(lit("1995-01-01")))
+            .cast("long").as("x"))
+      val man = pts.groupBy($"fa".as("file_id"))
+        .agg(min($"x").as("xmin"), max($"x").as("xmax"))
+        .withColumn("layout", lit("ingest"))
+        .unionByName(
+          pts.select(expr("x div 30").cast("bigint").as("file_id"), $"x")
+            .groupBy($"file_id")
+            .agg(min($"x").as("xmin"), max($"x").as("xmax"))
+            .withColumn("layout", lit("time")))
+      val ev = man.select($"layout", $"xmin".as("pos"), lit(1L).as("delta"))
+        .unionAll(man.select($"layout", ($"xmax" + 1L).as("pos"),
+          lit(-1L).as("delta")))
+      val agg = ev.groupBy($"layout", $"pos")
+        .agg(sum($"delta").cast("bigint").as("dd"))
+      val wsw = Window.partitionBy($"layout").orderBy($"pos")
+      agg
+        .withColumn("depth", sum($"dd").over(
+          wsw.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("bigint"))
+        .withColumn("next_pos", lead($"pos", 1).over(wsw))
+        .filter($"next_pos".isNotNull)
+        .groupBy($"layout")
+        .agg(max($"depth").as("max_depth"),
+          expr("CAST(sum(depth * (next_pos - pos)) * 1000000L div " +
+            "sum(next_pos - pos) AS BIGINT)").as("avg_depth_ppm"))
+    }),
+
     // ---- functional-dependency violation audit ----------------------
     // Schema-constraint discovery/monitoring (the data-quality pass
     // next to q126's referential integrity): for each candidate FD
@@ -473,6 +521,38 @@ object Layout extends QueryPack {
         |  abs(CAST(coalesce(obs.n, 0) AS BIGINT) * 1000000 // tot.n_tot
         |    - expd.exp_ppm) AS dev_ppm
         |FROM expd LEFT JOIN obs ON obs.digit = expd.digit, tot""".stripMargin,
+
+    // the boundary sweep replayed: ±1 deltas, running depth, span-
+    // weighted average over closed segments
+    "q262_manifest_overlap_sweep" ->
+      """WITH pts AS (
+        |  SELECT o_orderkey // 100 AS fa,
+        |    CAST(datediff('day', DATE '1995-01-01', o_orderdate)
+        |      AS BIGINT) AS x
+        |  FROM orders),
+        |man AS (
+        |  SELECT 'ingest' AS layout, fa AS file_id,
+        |    min(x) AS xmin, max(x) AS xmax FROM pts GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'time', x // 30, min(x), max(x) FROM pts GROUP BY 2),
+        |ev AS (
+        |  SELECT layout, xmin AS pos, CAST(1 AS BIGINT) AS delta FROM man
+        |  UNION ALL
+        |  SELECT layout, xmax + 1, -1 FROM man),
+        |agg AS (
+        |  SELECT layout, pos, CAST(sum(delta) AS BIGINT) AS d
+        |  FROM ev GROUP BY 1, 2),
+        |sw AS (
+        |  SELECT layout, pos,
+        |    CAST(sum(d) OVER (PARTITION BY layout ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS depth,
+        |    lead(pos) OVER (PARTITION BY layout ORDER BY pos) AS next_pos
+        |  FROM agg)
+        |SELECT layout, max(depth) AS max_depth,
+        |  CAST(sum(depth * (next_pos - pos)) * 1000000
+        |    // sum(next_pos - pos) AS BIGINT) AS avg_depth_ppm
+        |FROM sw WHERE next_pos IS NOT NULL GROUP BY 1""".stripMargin,
 
     "q179_zonemap_prune" ->
       """WITH pts AS (

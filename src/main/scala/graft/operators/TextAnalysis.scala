@@ -525,6 +525,35 @@ object TextAnalysis extends QueryPack {
             .as("jaccard_ppm"))
     }),
 
+    // ---- trending-term burst detection ------------------------------
+    // Which words suddenly spike against their own trailing baseline?
+    // A Kleinberg-lite burst screen for corpus monitoring: per
+    // (word, batch) counts against the word's trailing 7-batch sum,
+    // burst = c·7e6/(trail + 7) (the +7 Laplace floor keeps brand-new
+    // words finite and both engines integer-exact), global top-20 by
+    // (burst, word, batch). The time axis is the INGESTION batch
+    // (doc_id div 25) — documents carry no timestamp, and
+    // ingestion-order batches are exactly what a crawl monitor has.
+    // Scale shape: one (word, batch) corpus hash agg; the trailing
+    // window partitions on the VOCABULARY key with a RANGE frame (no
+    // low-cardinality partition, no global sort); the top-20 compiles
+    // to TakeOrderedAndProject.
+    "q259_term_burst" -> ((s, d) => {
+      import s.implicits._
+      val wd = T.documents(s, d)
+        .select(expr("doc_id div 25").as("day"),
+          explode(split($"text", " ")).as("w"))
+        .groupBy($"w", $"day").agg(count(lit(1)).as("c"))
+      val wt = Window.partitionBy($"w").orderBy($"day")
+        .rangeBetween(-7, -1)
+      wd.withColumn("trail", coalesce(sum($"c").over(wt), lit(0L)))
+        .filter($"c" >= 5 && $"day" >= 1)
+        .select($"w", $"day", $"c", $"trail",
+          expr("(c * 7000000L) div (trail + 7)").as("burst_ppm"))
+        .orderBy($"burst_ppm".desc, $"w", $"day")
+        .limit(20)
+    }),
+
     // ---- pairwise source unigram total-variation distance -----------
     // The FREQUENCY-level companion to q238's set-level vocabulary
     // Jaccard: TVD(P,Q) = ½·Σ_w |p_w − q_w| between every source
@@ -1154,6 +1183,26 @@ object TextAnalysis extends QueryPack {
         |  CAST(sum(rep_ppm) // count(*) AS BIGINT) AS mean_rep_ppm,
         |  CAST(max(rep_ppm) AS BIGINT) AS max_rep_ppm
         |FROM ds GROUP BY 1""".stripMargin,
+
+    // the trailing-baseline burst replayed with the identical RANGE
+    // frame and Laplace floor
+    "q259_term_burst" ->
+      """WITH wd AS (
+        |  SELECT w, day, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT doc_id // 25 AS day,
+        |      unnest(string_split(text, ' ')) AS w
+        |    FROM documents) u
+        |  GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT w, day, c,
+        |    CAST(coalesce(sum(c) OVER (PARTITION BY w ORDER BY day
+        |      RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS trail
+        |  FROM wd)
+        |SELECT w, day, c, trail,
+        |  (c * 7000000) // (trail + 7) AS burst_ppm
+        |FROM tr WHERE c >= 5 AND day >= 1
+        |ORDER BY burst_ppm DESC, w, day LIMIT 20""".stripMargin,
 
     // the unreduced-fraction TVD replayed: |c1·T2 − c2·T1| in HUGEINT
     // over the intersection join, the missing mass restored by

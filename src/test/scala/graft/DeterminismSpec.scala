@@ -108,7 +108,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q248_bpe_merge_loop", "q249_unigram_tvd", "q251_nelson_aalen",
     "q252_phash_blocking", "q254_goodman_kruskal_gamma",
     "q255_kruskal_wallis", "q256_dow_eta_squared",
-    "q257_minhash_jaccard_audit")
+    "q257_minhash_jaccard_audit", "q258_interarrival_cv2",
+    "q259_term_burst", "q261_leadlag_r2",
+    "q262_manifest_overlap_sweep")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

@@ -175,7 +175,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q254_goodman_kruskal_gamma",
     // q255: the 1-row N-total and 1-row tie-mass scalars crossed onto
     // the 1-row term fold
-    "q255_kruskal_wallis")
+    "q255_kruskal_wallis",
+    // q261: the 7-row lag table crossed onto the timespan-bounded
+    // daily grid before the equi-join on the shifted day key (q188's
+    // model-table shape)
+    "q261_leadlag_r2")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
