@@ -2116,6 +2116,47 @@ object Relational extends QueryPack {
             "ELSE 0 END AS BIGINT)").as("chi2_ppm"))
     }),
 
+    // ---- k-truss peel: edge-grain cohesion (capped) -----------------
+    // [Cohen '08] — the EDGE-grain analog of q191's vertex k-core: an
+    // edge survives the k-truss iff it closes ≥ k−2 triangles among
+    // surviving edges, so the peel strips "bridge" co-purchases and
+    // keeps communities that are triangle-dense, not merely
+    // high-degree (a hub vertex survives k-core on degree alone; its
+    // spoke edges die here). CAPPED at 4 peel rounds (q191's
+    // cap-audit rule): at sf0.01/k=10 the peel is mid-collapse
+    // (93k→17k edges, still working — the cap arms the audit), at
+    // sf0.001 the denser graph is already a fixpoint. Per round:
+    // triangles enumerate ONCE each via id-oriented wedges
+    // (u<v<w: wedge (u,v)+(u,w) closed by (v,w)) — two keyed |E|-ish
+    // shuffles plus the closing equi-join, the q138 cost class; each
+    // triangle contributes support to its 3 edges via one
+    // map-side-combinable hash agg; lineage truncates per round with
+    // localCheckpoint. At 100× a skewed id order inflates the wedge
+    // fan-out — the standard (deg, id) orientation caps it at
+    // O(m^1.5) and drops in at the wedge join without touching the
+    // result. Declared at vertex grain: surviving truss degree.
+    "q263_ktruss_peel" -> ((s, d) => {
+      import s.implicits._
+      val k = 10
+      var e = coocEdges(s, d).localCheckpoint()
+      for (_ <- 1 to 4) {
+        val tri = e.toDF("u", "v")
+          .join(e.toDF("u", "w"), "u").filter($"v" < $"w")
+          .join(e.toDF("v", "w"), Seq("v", "w"))
+          .select($"u", $"v", $"w")
+        val sup = tri.select(explode(array(
+            struct($"u".as("a"), $"v".as("b")),
+            struct($"u".as("a"), $"w".as("b")),
+            struct($"v".as("a"), $"w".as("b")))).as("ed"))
+          .groupBy($"ed.a".as("a"), $"ed.b".as("b"))
+          .agg(count(lit(1)).as("sup"))
+        e = e.join(sup, Seq("a", "b")).filter($"sup" >= k - 2)
+          .select($"a", $"b").localCheckpoint()
+      }
+      e.unionAll(e.select($"b".as("a"), $"a".as("b")))
+        .groupBy($"a".as("part")).agg(count(lit(1)).as("truss_deg"))
+    }),
+
     // ---- Kruskal–Wallis rank test: latency across ALL priorities ----
     // [Kruskal & Wallis, JASA'52] — the k-group extension of q208's
     // Mann–Whitney and the omnibus companion to q239's two-group
@@ -3446,6 +3487,36 @@ object Relational extends QueryPack {
 
     // the per-latency-day at-risk/expected/variance terms replayed with
     // identical per-term floors in HUGEINT
+    // 4 unrolled peel rounds (AS MATERIALIZED — the q191 rule: DuckDB
+    // inlines CTEs, so an un-materialized chain re-expands each round
+    // multiplicatively); id-oriented wedge triangles, support ≥ k−2
+    "q263_ktruss_peel" -> {
+      val rounds = (0 until 4).map { i =>
+        s"""tri$i AS MATERIALIZED (
+           |  SELECT w1.a AS u, w1.b AS v, w2.b AS w
+           |  FROM e$i w1 JOIN e$i w2 ON w1.a = w2.a AND w1.b < w2.b
+           |  JOIN e$i c ON c.a = w1.b AND c.b = w2.b),
+           |s$i AS MATERIALIZED (
+           |  SELECT a, b, count(*) AS s FROM (
+           |    SELECT u AS a, v AS b FROM tri$i
+           |    UNION ALL SELECT u, w FROM tri$i
+           |    UNION ALL SELECT v, w FROM tri$i) e3
+           |  GROUP BY 1, 2),
+           |e${i + 1} AS MATERIALIZED (
+           |  SELECT e.a, e.b FROM e$i e
+           |  JOIN s$i ON s$i.a = e.a AND s$i.b = e.b
+           |  WHERE s$i.s >= 8),""".stripMargin
+      }.mkString("\n")
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e0 AS MATERIALIZED (
+         |  SELECT x.p AS a, y.p AS b FROM li x JOIN li y
+         |  ON x.o = y.o AND x.p < y.p GROUP BY 1, 2),
+         |$rounds
+         |dir AS (SELECT a AS u FROM e4 UNION ALL SELECT b FROM e4)
+         |SELECT u AS part, count(*) AS truss_deg FROM dir GROUP BY 1""".stripMargin
+    },
+
     // the doubled-midrank H replayed with identical per-group floors;
     // the tie mass reported separately, not compounded into H
     "q255_kruskal_wallis" ->
