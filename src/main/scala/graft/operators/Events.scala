@@ -36,11 +36,15 @@ object Events extends QueryPack {
     * per-band prefix-max windows inside 10k-row bands, prior-band
     * offsets via the tiny bands-table window (band width is the knob
     * at scale). Returns (delay_us, n_events, n_dropped). */
-  private[operators] def watermarkLateness(s: SparkSession,
-                                           d: String): DataFrame = {
+  /** Per-arrival prefix-max event time — (event_id, event_type,
+    * ts_us, prev_max), band-decomposed (event_id div 10000 bands) so
+    * no corpus-grain global window exists; shared by
+    * [[watermarkLateness]] (q187/s24/s27's delay tuning) and q265's
+    * quarantine manifest. */
+  private[operators] def arrivalPrevMax(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ev = T.events(s, d)
-      .select($"event_id", unix_micros($"ts").as("ts_us"))
+      .select($"event_id", $"event_type", unix_micros($"ts").as("ts_us"))
       .withColumn("band", expr("event_id div 10000"))
     val wb = Window.orderBy($"band").rowsBetween(Window.unboundedPreceding, -1)
     val offsets = ev.groupBy($"band").agg(max($"ts_us").as("bmax"))
@@ -48,12 +52,18 @@ object Events extends QueryPack {
       .select($"band", $"prior_max")
     val ww = Window.partitionBy($"band").orderBy($"event_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val withPrev = ev.join(broadcast(offsets), Seq("band"))
+    ev.join(broadcast(offsets), Seq("band"))
       .withColumn("in_band_prev", coalesce(max($"ts_us").over(ww), lit(0L)))
       .withColumn("prev_max", greatest($"prior_max", $"in_band_prev"))
+      .select($"event_id", $"event_type", $"ts_us", $"prev_max")
+  }
+
+  private[operators] def watermarkLateness(s: SparkSession,
+                                           d: String): DataFrame = {
+    import s.implicits._
     val delays = Seq(60000000L, 300000000L, 600000000L, 3600000000L)
       .toDF("delay_us")
-    withPrev.crossJoin(broadcast(delays))
+    arrivalPrevMax(s, d).crossJoin(broadcast(delays))
       .groupBy($"delay_us")
       .agg(count(lit(1)).as("n_events"),
         sum(($"prev_max" - $"ts_us" > $"delay_us").cast("long"))
@@ -1128,6 +1138,50 @@ object Events extends QueryPack {
         .select($"r.day", $"r.n_at_risk", $"r.n_churn", $"r.surv_ppm")
     }),
 
+    // ---- late-data quarantine under adversarial arrival -------------
+    // The q187 lateness audit is measured on the FRIENDLY arrival
+    // order (event_id — which this fixture delivers with ZERO
+    // disorder, which is why s24's zero-loss rule lands on the
+    // smallest candidate). This is the STRESS companion a pipeline
+    // runs before trusting that number: replay the same events under
+    // a deterministic ADVERSARIAL shuffle (arrival = content-hash
+    // order — the worst realistic case of a multi-source backfill
+    // interleaving history with live data) and file the quarantine
+    // manifest per candidate delay and event type: how many events
+    // drop, the first offending id, the worst lateness — the itemized
+    // evidence for why a backfill must NOT share the live stream's
+    // watermark. Scale shape: the prefix max over the shuffled order
+    // is band-decomposed on the hash's high bits (h60 div 2⁵⁰ —
+    // monotone in the arrival key, ≤1024 bands, so no corpus-grain
+    // global window); the 4-row delay table broadcasts (q187's
+    // shape); only quarantined rows reach the aggregate.
+    "q265_late_quarantine" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val ev = T.events(s, d)
+        .select($"event_id", $"event_type", unix_micros($"ts").as("ts_us"))
+        .withColumn("a", graft.functions.PortableHash.h60($"event_id"))
+        .withColumn("band", expr("a div 1125899906842624")) // 2^50
+      val wb = Window.orderBy($"band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = ev.groupBy($"band").agg(max($"ts_us").as("bmax"))
+        .withColumn("prior_max", coalesce(max($"bmax").over(wb), lit(0L)))
+        .select($"band", $"prior_max")
+      val ww = Window.partitionBy($"band").orderBy($"a", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val withPrev = ev.join(broadcast(offsets), Seq("band"))
+        .withColumn("in_band_prev", coalesce(max($"ts_us").over(ww), lit(0L)))
+        .withColumn("prev_max", greatest($"prior_max", $"in_band_prev"))
+      val delays = Seq(60000000L, 300000000L, 600000000L, 3600000000L)
+        .toDF("delay_us")
+      withPrev.crossJoin(broadcast(delays))
+        .filter($"prev_max" - $"ts_us" > $"delay_us")
+        .groupBy($"delay_us", $"event_type")
+        .agg(count(lit(1)).as("n_quarantined"),
+          min($"event_id").as("first_event_id"),
+          max($"prev_max" - $"ts_us").as("max_lateness_us"))
+    }),
+
     // ---- per-user inter-arrival burstiness (CV²) --------------------
     // Is a user's activity memoryless or bursty? The squared
     // coefficient of variation of inter-event gaps — CV² ≈ 1 for a
@@ -1600,6 +1654,29 @@ object Events extends QueryPack {
         |  FROM km JOIN ar ON ar.rn = km.rn + 1)
         |SELECT ar.day, ar.n_at_risk, ar.n_churn, km.surv AS surv_ppm
         |FROM km JOIN ar ON ar.rn = km.rn""".stripMargin,
+
+    // the shuffled-arrival prefix max replayed globally in (h60,
+    // event_id) order (the band decomposition is an engine-side
+    // shape choice, not a semantic)
+    "q265_late_quarantine" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS a
+        |  FROM events),
+        |p AS (
+        |  SELECT *, coalesce(max(ts_us) OVER (ORDER BY a, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS prev_max
+        |  FROM e),
+        |dl(delay_us) AS (VALUES
+        |  (60000000), (300000000), (600000000), (3600000000))
+        |SELECT CAST(delay_us AS BIGINT) AS delay_us, event_type,
+        |  count(*) AS n_quarantined,
+        |  min(event_id) AS first_event_id,
+        |  CAST(max(prev_max - ts_us) AS BIGINT) AS max_lateness_us
+        |FROM p, dl WHERE prev_max - ts_us > delay_us
+        |GROUP BY 1, 2""".stripMargin,
 
     // the gap fold replayed: per-user lag in (ts, event_id) order,
     // n·Σg²/(Σg)² − 1 in HUGEINT

@@ -2116,6 +2116,49 @@ object Relational extends QueryPack {
             "ELSE 0 END AS BIGINT)").as("chi2_ppm"))
     }),
 
+    // ---- empirical-Bayes shrinkage of per-supplier late rates -------
+    // [Efron & Morris, JASA'75 lineage] — the small-area-estimation
+    // tool for per-segment rates nobody should trust raw: a supplier
+    // with 5 lines and 3 late reads 60%, but the honest estimate
+    // pools toward the corpus. Beta-binomial method of moments:
+    // prior mean p̄ = Σx/Σn; prior strength m = p̄(1−p̄)/v − 1 from
+    // the unweighted between-supplier variance v of observed rates
+    // (clamped to [0, 1e5] pseudo-lines — v below binomial noise
+    // would send m negative/unbounded); shrunk = (x + m·p̄)/(n + m).
+    // Every division floors identically in both engines (all terms
+    // non-negative → div == //), dev² in DECIMAL(38)/HUGEINT. Scale
+    // shape: one corpus join reduced to the supplier-grain (n, x)
+    // table; the 1-row pooled/variance/strength scalars broadcast
+    // back — nothing corpus-scale after the first agg.
+    "q264_eb_shrunk_rates" -> ((s, d) => {
+      import s.implicits._
+      val g = T.lineitem(s, d)
+        .join(T.orders(s, d).select($"o_orderkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .select($"l_suppkey".as("supp"),
+          (datediff(to_date($"l_shipdate"), to_date($"o_orderdate")) > 90)
+            .cast("long").as("late"))
+        .groupBy($"supp")
+        .agg(count(lit(1)).as("n"), sum($"late").cast("bigint").as("x"))
+      val tot = g.agg(count(lit(1)).as("k"),
+          sum($"n").cast("bigint").as("w"),
+          sum($"x").cast("bigint").as("sx"))
+        .select($"k", expr("sx * 1000000L div w").as("pbar"))
+      val v = g.crossJoin(broadcast(tot))
+        .select((expr("x * 1000000L div n") - $"pbar").as("dev"), $"k")
+        .agg(expr("CAST(sum(CAST(dev AS DECIMAL(38,0)) * dev) div " +
+          "(max(k) - 1) AS BIGINT)").as("v_pp2"))
+      val m = v.crossJoin(broadcast(tot))
+        .select($"pbar",
+          expr("CAST(greatest(0L, least(100000L, " +
+            "(pbar * (1000000L - pbar)) div greatest(v_pp2, 1L) - 1)) " +
+            "AS BIGINT)").as("m"))
+      g.crossJoin(broadcast(m))
+        .select($"supp", $"n", $"x",
+          expr("x * 1000000L div n").as("raw_ppm"),
+          expr("(x * 1000000L + m * pbar) div (n + m)").as("shrunk_ppm"))
+    }),
+
     // ---- k-truss peel: edge-grain cohesion (capped) -----------------
     // [Cohen '08] — the EDGE-grain analog of q191's vertex k-core: an
     // edge survives the k-truss iff it closes ≥ k−2 triangles among
@@ -3487,6 +3530,34 @@ object Relational extends QueryPack {
 
     // the per-latency-day at-risk/expected/variance terms replayed with
     // identical per-term floors in HUGEINT
+    // the method-of-moments chain replayed with identical floors and
+    // the identical [0, 1e5] strength clamp; scalars via subqueries
+    "q264_eb_shrunk_rates" ->
+      """WITH g AS (
+        |  SELECT l.l_suppkey AS supp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN datediff('day', o.o_orderdate,
+        |      l.l_shipdate) > 90 THEN 1 ELSE 0 END) AS BIGINT) AS x
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS w,
+        |    CAST(sum(x) AS BIGINT) AS sx FROM g),
+        |pb AS (SELECT sx * 1000000 // w AS pbar FROM tot),
+        |v AS (
+        |  SELECT CAST(sum(CAST(x * 1000000 // n - (SELECT pbar FROM pb)
+        |      AS HUGEINT)
+        |    * (x * 1000000 // n - (SELECT pbar FROM pb)))
+        |    // ((SELECT k FROM tot) - 1) AS BIGINT) AS v_pp2
+        |  FROM g),
+        |m AS (
+        |  SELECT CAST(greatest(0, least(100000,
+        |    ((SELECT pbar FROM pb) * (1000000 - (SELECT pbar FROM pb)))
+        |      // greatest((SELECT v_pp2 FROM v), 1) - 1)) AS BIGINT) AS m)
+        |SELECT supp, n, x, x * 1000000 // n AS raw_ppm,
+        |  (x * 1000000 + (SELECT m FROM m) * (SELECT pbar FROM pb))
+        |    // (n + (SELECT m FROM m)) AS shrunk_ppm
+        |FROM g""".stripMargin,
+
     // 4 unrolled peel rounds (AS MATERIALIZED — the q191 rule: DuckDB
     // inlines CTEs, so an un-materialized chain re-expands each round
     // multiplicatively); id-oriented wedge triangles, support ≥ k−2

@@ -110,7 +110,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q255_kruskal_wallis", "q256_dow_eta_squared",
     "q257_minhash_jaccard_audit", "q258_interarrival_cv2",
     "q259_term_burst", "q261_leadlag_r2",
-    "q262_manifest_overlap_sweep", "q263_ktruss_peel")
+    "q262_manifest_overlap_sweep", "q263_ktruss_peel",
+    "q264_eb_shrunk_rates", "q265_late_quarantine")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

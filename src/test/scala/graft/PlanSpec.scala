@@ -179,7 +179,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q261: the 7-row lag table crossed onto the timespan-bounded
     // daily grid before the equi-join on the shifted day key (q188's
     // model-table shape)
-    "q261_leadlag_r2")
+    "q261_leadlag_r2",
+    // q264: the 1-row pooled-rate / variance / prior-strength scalars
+    // crossed onto the supplier-grain table (q203's scalar shape)
+    "q264_eb_shrunk_rates",
+    // q265: q187's 4-row candidate-delay table crossed against the
+    // banded prefix-max stream
+    "q265_late_quarantine")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
