@@ -158,6 +158,38 @@ import graft.operators._
   * state-introspection surface; after an append-mode drain the store
   * holds exactly the open windows, the complement of s04's closure
   * predicate, which is what the oracle states.
+  *
+  * Round-13 (SURVEY.md §8): the exactly-once proof and the tokenizer
+  * loop. s28 stops the windowed aggregation mid-stream (take-N
+  * bounded run, single-shard fixture so the cut is a cut in TIME),
+  * restarts from the same checkpoint into a durable parquet sink,
+  * and gates the read-back against the whole-fixture batch oracle —
+  * the end-to-end claim S4's checkpointed offsets exist for. q248
+  * runs the full iterative BPE merge-training loop (8 rounds of
+  * vocabulary-sized pair agg + argmax + greedy left-fold merge; the
+  * oracle replays the trajectory in one recursive CTE via
+  * candidate-run parity windows). s29 adds dynamic-gap session
+  * windows (per-event gap; the oracle's island detection runs on the
+  * running max of member ends); s26 now reads a once-per-session
+  * checkpoint (the read, not the drain, is the measured cost — 2.7 s
+  * → 0.14 s). Statistics: q249 pairwise source unigram
+  * total-variation distance, q251 Nelson–Aalen cumulative hazard,
+  * q254 Goodman–Kruskal gamma on banded scales (dominance windows
+  * over a densified grid), q255 Kruskal–Wallis k-group rank test,
+  * q256 day-of-week eta-squared, q258 per-user inter-arrival CV²,
+  * q261 lead-lag squared correlation, q264 empirical-Bayes shrinkage
+  * of per-supplier late rates. Dedup/multimodal: q252
+  * perceptual-hash blocking audit (4×16-bit pigeonhole index + exact
+  * hamming verify), q257 MinHash estimate-vs-exact Jaccard audit
+  * (oracle-portable md5-KM signature). Graph: q263 capped k-truss
+  * peel (edge-grain cohesion, 4 unrolled-materialized oracle
+  * rounds). Text/ops: q259 trending-term burst detection, q262
+  * manifest overlap-depth sweep (clustering health, join-free
+  * boundary sweep), q265 late-data quarantine under a deterministic
+  * adversarial arrival shuffle. Guards: Tables.boundedEnumColumns
+  * (the PlanSpec window-guard registry, data-audited) and
+  * TimerBoundarySpec (expired timers fire at watermark == expiry,
+  * inclusive).
   */
 object SparkEntry {
 

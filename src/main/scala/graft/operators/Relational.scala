@@ -2148,15 +2148,18 @@ object Relational extends QueryPack {
         .select((expr("x * 1000000L div n") - $"pbar").as("dev"), $"k")
         .agg(expr("CAST(sum(CAST(dev AS DECIMAL(38,0)) * dev) div " +
           "(max(k) - 1) AS BIGINT)").as("v_pp2"))
-      val m = v.crossJoin(broadcast(tot))
+      // `m_prior`, not `m`: PlanSpec's broadcast-hint name heuristic
+      // bans the bare aliases u/v/m (the q203 m_edges rule)
+      val prior = v.crossJoin(broadcast(tot))
         .select($"pbar",
           expr("CAST(greatest(0L, least(100000L, " +
             "(pbar * (1000000L - pbar)) div greatest(v_pp2, 1L) - 1)) " +
-            "AS BIGINT)").as("m"))
-      g.crossJoin(broadcast(m))
+            "AS BIGINT)").as("m_prior"))
+      g.crossJoin(broadcast(prior))
         .select($"supp", $"n", $"x",
           expr("x * 1000000L div n").as("raw_ppm"),
-          expr("(x * 1000000L + m * pbar) div (n + m)").as("shrunk_ppm"))
+          expr("(x * 1000000L + m_prior * pbar) div (n + m_prior)")
+            .as("shrunk_ppm"))
     }),
 
     // ---- k-truss peel: edge-grain cohesion (capped) -----------------
