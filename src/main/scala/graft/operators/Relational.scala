@@ -2116,6 +2116,108 @@ object Relational extends QueryPack {
             "ELSE 0 END AS BIGINT)").as("chi2_ppm"))
     }),
 
+    // ---- global graph summary (density + transitivity) --------------
+    // The 1-row graph profile next to q138's per-vertex clustering:
+    // density m/(n(n−1)/2) and GLOBAL transitivity 3·triangles/wedges
+    // — the whole-graph ratio (weighted by degree) that q138's
+    // per-vertex mean is NOT; the two diverge exactly when hubs are
+    // locally sparse, which is the small-world diagnosis this row
+    // exists for. One id-oriented wedge-join triangle count over the
+    // persisted edge substrate (the q138 cost class, once), wedge
+    // total from the degree table; Σdg(dg−1) in DECIMAL(38)/HUGEINT.
+    "q266_graph_summary" -> ((s, d) => {
+      import s.implicits._
+      val e = coocEdges(s, d)
+      val nv = coocDeg(s, d).agg(count(lit(1)).as("n"),
+        sum(expr("CAST(deg AS DECIMAL(38,0)) * (deg - 1)")).as("wdg2"))
+      val ne = e.agg(count(lit(1)).as("m"))
+      val tri = e.toDF("u", "v")
+        .join(e.toDF("u", "w"), "u").filter($"v" < $"w")
+        .join(e.toDF("v", "w"), Seq("v", "w"))
+        .agg(count(lit(1)).as("t"))
+      tri.crossJoin(broadcast(nv)).crossJoin(broadcast(ne))
+        .select($"n".as("n_vertices"), $"m".as("n_edges"),
+          expr("m * 2000000L div (n * (n - 1))").as("density_ppm"),
+          $"t".as("n_triangles"),
+          expr("CAST((3 * CAST(t AS DECIMAL(38,0)) * 1000000) div " +
+            "(wdg2 div 2) AS BIGINT)").as("transitivity_ppm"))
+    }),
+
+    // ---- rich-club coefficients at data-derived thresholds ----------
+    // [Colizza+ Nat.Phys'06] — do high-degree parts preferentially
+    // co-occur with EACH OTHER? φ(k) = edges inside the deg>k club
+    // over its possible edges, at thresholds k = dmax·j/8 for
+    // j ∈ {4..7} (derived from the measured max degree, so the grid
+    // tracks the data across scales instead of a hardcoded ladder).
+    // All 4 rows always emit (empty clubs report 0). Scale shape: the
+    // non-equi threshold joins broadcast the 4-ROW ks table against
+    // the degree-BAND table and the degree table (never the reverse —
+    // broadcasting |V| under a BNLJ is the shape the plan guard
+    // bans); club membership then equi-joins the edge list twice on
+    // the endpoint key (≤ 4·|E| rows through the pipeline).
+    "q267_rich_club" -> ((s, d) => {
+      import s.implicits._
+      val deg = coocDeg(s, d)
+      val dmax = deg.agg(max($"deg").as("dmax"))
+      val js = Seq(4L, 5L, 6L, 7L).toDF("j")
+      val ks = js.crossJoin(broadcast(dmax))
+        .select($"j", expr("dmax * j div 8").as("k"))
+      val degBands = deg.groupBy($"deg").agg(count(lit(1)).as("cnt"))
+      val club = degBands.join(broadcast(ks), $"deg" > $"k")
+        .groupBy($"j", $"k").agg(sum($"cnt").cast("bigint").as("n_k"))
+      val qual = deg.join(broadcast(ks), $"deg" > $"k")
+        .select($"j", $"k", $"v")
+      val ek = qual.toDF("j", "k", "a")
+        .join(coocEdges(s, d), Seq("a"))
+        .join(qual.select($"j", $"v".as("b")), Seq("j", "b"))
+        .groupBy($"j", $"k").agg(count(lit(1)).as("m_k"))
+      ks.join(club, Seq("j", "k"), "left")
+        .join(ek, Seq("j", "k"), "left")
+        .select($"j", $"k",
+          coalesce($"n_k", lit(0L)).as("n_k"),
+          coalesce($"m_k", lit(0L)).as("m_k"),
+          expr("CAST(CASE WHEN coalesce(n_k, 0L) > 1 THEN " +
+            "coalesce(m_k, 0L) * 2000000L div (n_k * (n_k - 1)) " +
+            "ELSE 0 END AS BIGINT)").as("phi_ppm"))
+    }),
+
+    // ---- 2D skyline (Pareto front) ----------------------------------
+    // [Börzsönyi+ ICDE'01] — the SKYLINE operator: suppliers not
+    // DOMINATED on (maximize account balance, minimize late-ship
+    // rate); a supplier is out iff another is at least as good on
+    // both axes and strictly better on one. The classic nested-loop
+    // formulation is O(n²); in 2D the skyline is exactly the rows
+    // that beat the running best of the minimized axis — so it
+    // band-decomposes: per late-rate band keep the max balance, one
+    // cumulative-max window over the BOUNDED band table, and a row
+    // survives iff it is its band's max AND beats every strictly
+    // better band (ties on both axes co-survive: neither dominates).
+    // Validated against the brute-force dominance scan. Corpus work
+    // is q264's one supplier-grain agg + one balance-band agg.
+    "q269_skyline_2d" -> ((s, d) => {
+      import s.implicits._
+      val g = T.lineitem(s, d)
+        .join(T.orders(s, d).select($"o_orderkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .select($"l_suppkey".as("supp"),
+          (datediff(to_date($"l_shipdate"), to_date($"o_orderdate")) > 90)
+            .cast("long").as("late"))
+        .groupBy($"supp")
+        .agg(count(lit(1)).as("n"), sum($"late").cast("bigint").as("x"))
+      val pt = T.supplier(s, d)
+        .select($"s_suppkey".as("supp"), Exact.cents($"s_acctbal").as("bal_c"))
+        .join(g, "supp")
+        .select($"supp", $"bal_c", expr("x * 1000000L div n").as("late_ppm"))
+      val band = pt.groupBy($"late_ppm").agg(max($"bal_c").as("band_max"))
+      val wc = Window.orderBy($"late_ppm")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cb = band.withColumn("prior_max", max($"band_max").over(wc))
+      pt.join(cb, Seq("late_ppm"))
+        .filter($"bal_c" === $"band_max" &&
+          ($"prior_max".isNull || $"bal_c" > $"prior_max"))
+        .select($"supp", $"bal_c", $"late_ppm")
+    }),
+
     // ---- empirical-Bayes shrinkage of per-supplier late rates -------
     // [Efron & Morris, JASA'75 lineage] — the small-area-estimation
     // tool for per-segment rates nobody should trust raw: a supplier
@@ -3533,6 +3635,97 @@ object Relational extends QueryPack {
 
     // the per-latency-day at-risk/expected/variance terms replayed with
     // identical per-term floors in HUGEINT
+    // one wedge-join triangle count + degree power sums; the same
+    // wdg2 // 2 then // floor order as the engine
+    "q266_graph_summary" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT x.p AS a, y.p AS b FROM li x JOIN li y
+        |  ON x.o = y.o AND x.p < y.p GROUP BY 1, 2),
+        |dir AS (SELECT a AS u FROM e UNION ALL SELECT b FROM e),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS dg FROM dir GROUP BY 1),
+        |nv AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(dg AS HUGEINT) * (dg - 1)) AS HUGEINT) AS wdg2
+        |  FROM deg),
+        |ne AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+        |tri AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS t FROM e w1
+        |  JOIN e w2 ON w1.a = w2.a AND w1.b < w2.b
+        |  JOIN e c ON c.a = w1.b AND c.b = w2.b)
+        |SELECT nv.n AS n_vertices, ne.m AS n_edges,
+        |  CAST(ne.m * 2000000 // (nv.n * (nv.n - 1)) AS BIGINT)
+        |    AS density_ppm,
+        |  tri.t AS n_triangles,
+        |  CAST((3 * CAST(tri.t AS HUGEINT) * 1000000) // (nv.wdg2 // 2)
+        |    AS BIGINT) AS transitivity_ppm
+        |FROM nv, ne, tri""".stripMargin,
+
+    // the data-derived threshold grid and both club joins replayed;
+    // empty clubs emit with zeros via the left joins
+    "q267_rich_club" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT x.p AS a, y.p AS b FROM li x JOIN li y
+        |  ON x.o = y.o AND x.p < y.p GROUP BY 1, 2),
+        |dir AS (SELECT a AS u FROM e UNION ALL SELECT b FROM e),
+        |deg AS (SELECT u AS v, CAST(count(*) AS BIGINT) AS deg
+        |  FROM dir GROUP BY 1),
+        |dm AS (SELECT CAST(max(deg) AS BIGINT) AS dmax FROM deg),
+        |ks AS (
+        |  SELECT CAST(j AS BIGINT) AS j,
+        |    (SELECT dmax FROM dm) * j // 8 AS k
+        |  FROM (VALUES (4), (5), (6), (7)) t(j)),
+        |degbands AS (SELECT deg, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM deg GROUP BY 1),
+        |club AS (
+        |  SELECT j, k, CAST(sum(cnt) AS BIGINT) AS n_k
+        |  FROM degbands JOIN ks ON degbands.deg > ks.k GROUP BY 1, 2),
+        |qual AS (
+        |  SELECT j, k, v FROM deg JOIN ks ON deg.deg > ks.k),
+        |ek AS (
+        |  SELECT qa.j, qa.k, CAST(count(*) AS BIGINT) AS m_k
+        |  FROM qual qa JOIN e ON e.a = qa.v
+        |  JOIN qual qb ON qb.j = qa.j AND qb.v = e.b
+        |  GROUP BY 1, 2)
+        |SELECT ks.j, ks.k,
+        |  CAST(coalesce(club.n_k, 0) AS BIGINT) AS n_k,
+        |  CAST(coalesce(ek.m_k, 0) AS BIGINT) AS m_k,
+        |  CAST(CASE WHEN coalesce(club.n_k, 0) > 1 THEN
+        |    coalesce(ek.m_k, 0) * 2000000 // (club.n_k * (club.n_k - 1))
+        |  ELSE 0 END AS BIGINT) AS phi_ppm
+        |FROM ks
+        |LEFT JOIN club ON club.j = ks.j AND club.k = ks.k
+        |LEFT JOIN ek ON ek.j = ks.j AND ek.k = ks.k""".stripMargin,
+
+    // the band-decomposed dominance test replayed: per-band max, one
+    // cumulative max over the bounded band table, brute-force-
+    // validated survivors
+    "q269_skyline_2d" ->
+      s"""WITH g AS (
+        |  SELECT l.l_suppkey AS supp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN datediff('day', o.o_orderdate,
+        |      l.l_shipdate) > 90 THEN 1 ELSE 0 END) AS BIGINT) AS x
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1),
+        |pt AS (
+        |  SELECT s.s_suppkey AS supp,
+        |    ${graft.functions.Exact.centsSql("s.s_acctbal")} AS bal_c,
+        |    g.x * 1000000 // g.n AS late_ppm
+        |  FROM supplier s JOIN g ON g.supp = s.s_suppkey),
+        |band AS (
+        |  SELECT late_ppm, CAST(max(bal_c) AS BIGINT) AS band_max
+        |  FROM pt GROUP BY 1),
+        |cb AS (
+        |  SELECT late_ppm, band_max,
+        |    max(band_max) OVER (ORDER BY late_ppm
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prior_max
+        |  FROM band)
+        |SELECT pt.supp, pt.bal_c, pt.late_ppm
+        |FROM pt JOIN cb ON cb.late_ppm = pt.late_ppm
+        |WHERE pt.bal_c = cb.band_max
+        |  AND (cb.prior_max IS NULL OR pt.bal_c > cb.prior_max)""".stripMargin,
+
     // the method-of-moments chain replayed with identical floors and
     // the identical [0, 1e5] strength clamp; scalars via subqueries
     "q264_eb_shrunk_rates" ->

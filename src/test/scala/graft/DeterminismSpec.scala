@@ -111,7 +111,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q257_minhash_jaccard_audit", "q258_interarrival_cv2",
     "q259_term_burst", "q261_leadlag_r2",
     "q262_manifest_overlap_sweep", "q263_ktruss_peel",
-    "q264_eb_shrunk_rates", "q265_late_quarantine")
+    "q264_eb_shrunk_rates", "q265_late_quarantine",
+    "q266_graph_summary", "q267_rich_club", "q269_skyline_2d")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

@@ -185,7 +185,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q264_eb_shrunk_rates",
     // q265: q187's 4-row candidate-delay table crossed against the
     // banded prefix-max stream
-    "q265_late_quarantine")
+    "q265_late_quarantine",
+    // q266: the 1-row vertex/edge/triangle-count scalars crossed for
+    // the final 1-row summary
+    "q266_graph_summary",
+    // q267: the 4-row data-derived threshold table broadcast under
+    // the non-equi deg > k joins (the bounded side, never |V|)
+    "q267_rich_club")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
