@@ -2130,14 +2130,14 @@ object Relational extends QueryPack {
       val e = coocEdges(s, d)
       val nv = coocDeg(s, d).agg(count(lit(1)).as("n"),
         sum(expr("CAST(deg AS DECIMAL(38,0)) * (deg - 1)")).as("wdg2"))
-      val ne = e.agg(count(lit(1)).as("m"))
+      val ne = e.agg(count(lit(1)).as("m_edges"))
       val tri = e.toDF("u", "v")
         .join(e.toDF("u", "w"), "u").filter($"v" < $"w")
         .join(e.toDF("v", "w"), Seq("v", "w"))
         .agg(count(lit(1)).as("t"))
       tri.crossJoin(broadcast(nv)).crossJoin(broadcast(ne))
-        .select($"n".as("n_vertices"), $"m".as("n_edges"),
-          expr("m * 2000000L div (n * (n - 1))").as("density_ppm"),
+        .select($"n".as("n_vertices"), $"m_edges".as("n_edges"),
+          expr("m_edges * 2000000L div (n * (n - 1))").as("density_ppm"),
           $"t".as("n_triangles"),
           expr("CAST((3 * CAST(t AS DECIMAL(38,0)) * 1000000) div " +
             "(wdg2 div 2) AS BIGINT)").as("transitivity_ppm"))
