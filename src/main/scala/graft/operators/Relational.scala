@@ -823,6 +823,22 @@ object Relational extends QueryPack {
       orientedAdjacency(coocOrientedEdges(s, d))
     }
 
+  /** Oriented triangle enumeration (u, w, z): each undirected triangle
+    * exactly once — for each degree-ordered edge (u, w), every common
+    * out-neighbor z closes one, via the sorted-adjacency intersection.
+    * The Suri–Vassilvitskii shape shared by q138/q263/q266: out-degree
+    * is O(√m) under the (deg, id) orientation, so wedge fan-out at a
+    * hub is bounded regardless of hub degree — the property an
+    * id-oriented wedge self-join does NOT have. */
+  private[graft] def orientedTriangles(ed: DataFrame, adj: DataFrame): DataFrame = {
+    val s = ed.sparkSession
+    import s.implicits._
+    ed.join(adj.toDF("u", "nu"), "u")
+      .join(adj.toDF("w", "nw"), "w")
+      .select($"u", $"w",
+        explode(array_intersect($"nu", $"nw")).as("z"))
+  }
+
   /** Triangle closure over prebuilt orientation substrates — the core
     * [[triangleCounts]] and q138 share; persist lifecycle is the
     * CALLER's (memoized substrates in production, unpersisted plans in
@@ -831,13 +847,7 @@ object Relational extends QueryPack {
                                       deg: DataFrame): DataFrame = {
     val s = ed.sparkSession
     import s.implicits._
-    // triangles: for each oriented edge (u, w), every common
-    // out-neighbor z closes one — explode the intersection
-    val tri = ed
-      .join(adj.toDF("u", "nu"), "u")
-      .join(adj.toDF("w", "nw"), "w")
-      .select($"u", $"w",
-        explode(array_intersect($"nu", $"nw")).as("z"))
+    val tri = orientedTriangles(ed, adj)
     val perV = tri.select(explode(array($"u", $"w", $"z")).as("v"))
       .groupBy($"v").agg(count(lit(1)).as("tri"))
     deg.join(perV, Seq("v"), "left")
@@ -2122,18 +2132,19 @@ object Relational extends QueryPack {
     // — the whole-graph ratio (weighted by degree) that q138's
     // per-vertex mean is NOT; the two diverge exactly when hubs are
     // locally sparse, which is the small-world diagnosis this row
-    // exists for. One id-oriented wedge-join triangle count over the
-    // persisted edge substrate (the q138 cost class, once), wedge
-    // total from the degree table; Σdg(dg−1) in DECIMAL(38)/HUGEINT.
+    // exists for. Triangle total from the MEMOIZED degree-ordered
+    // orientation substrate ([[orientedTriangles]] over
+    // coocOrientedEdges/Adj — one row per triangle, O(√m) wedge
+    // fan-out; the q138 substrate, reused, NOT a fresh id-oriented
+    // wedge join); wedge total from the degree table; Σdg(dg−1) in
+    // DECIMAL(38)/HUGEINT.
     "q266_graph_summary" -> ((s, d) => {
       import s.implicits._
       val e = coocEdges(s, d)
       val nv = coocDeg(s, d).agg(count(lit(1)).as("n"),
         sum(expr("CAST(deg AS DECIMAL(38,0)) * (deg - 1)")).as("wdg2"))
       val ne = e.agg(count(lit(1)).as("m_edges"))
-      val tri = e.toDF("u", "v")
-        .join(e.toDF("u", "w"), "u").filter($"v" < $"w")
-        .join(e.toDF("v", "w"), Seq("v", "w"))
+      val tri = orientedTriangles(coocOrientedEdges(s, d), coocOrientedAdj(s, d))
         .agg(count(lit(1)).as("t"))
       tri.crossJoin(broadcast(nv)).crossJoin(broadcast(ne))
         .select($"n".as("n_vertices"), $"m_edges".as("n_edges"),
@@ -2274,28 +2285,29 @@ object Relational extends QueryPack {
     // cap-audit rule): at sf0.01/k=10 the peel is mid-collapse
     // (93k→17k edges, still working — the cap arms the audit), at
     // sf0.001 the denser graph is already a fixpoint. Per round:
-    // triangles enumerate ONCE each via id-oriented wedges
-    // (u<v<w: wedge (u,v)+(u,w) closed by (v,w)) — two keyed |E|-ish
-    // shuffles plus the closing equi-join, the q138 cost class; each
-    // triangle contributes support to its 3 edges via one
-    // map-side-combinable hash agg; lineage truncates per round with
-    // localCheckpoint. At 100× a skewed id order inflates the wedge
-    // fan-out — the standard (deg, id) orientation caps it at
-    // O(m^1.5) and drops in at the wedge join without touching the
-    // result. Declared at vertex grain: surviving truss degree.
+    // triangles enumerate ONCE each via [[orientedTriangles]] over a
+    // FRESH (deg, id) degree-ordered orientation of the shrinking
+    // edge set (re-built each round because degrees change as edges
+    // peel) — wedge fan-out bounded O(√m) per vertex, O(m^1.5) total,
+    // regardless of hub skew; each triangle contributes support to
+    // its 3 id-normalized edges (least/greatest, since orientation
+    // order is by degree, not id) via one map-side-combinable hash
+    // agg; lineage truncates per round with localCheckpoint. Declared
+    // at vertex grain: surviving truss degree.
     "q263_ktruss_peel" -> ((s, d) => {
       import s.implicits._
       val k = 10
       var e = coocEdges(s, d).localCheckpoint()
       for (_ <- 1 to 4) {
-        val tri = e.toDF("u", "v")
-          .join(e.toDF("u", "w"), "u").filter($"v" < $"w")
-          .join(e.toDF("v", "w"), Seq("v", "w"))
-          .select($"u", $"v", $"w")
+        val dg = e.select($"a".as("x")).unionAll(e.select($"b".as("x")))
+          .groupBy($"x").agg(count(lit(1)).as("dx"))
+        val ed = orientEdges(e, dg)
+        val tri = orientedTriangles(ed, orientedAdjacency(ed))
         val sup = tri.select(explode(array(
-            struct($"u".as("a"), $"v".as("b")),
-            struct($"u".as("a"), $"w".as("b")),
-            struct($"v".as("a"), $"w".as("b")))).as("ed"))
+            struct(least($"u", $"w").as("a"), greatest($"u", $"w").as("b")),
+            struct(least($"u", $"z").as("a"), greatest($"u", $"z").as("b")),
+            struct(least($"w", $"z").as("a"), greatest($"w", $"z").as("b"))))
+            .as("ed"))
           .groupBy($"ed.a".as("a"), $"ed.b".as("b"))
           .agg(count(lit(1)).as("sup"))
         e = e.join(sup, Seq("a", "b")).filter($"sup" >= k - 2)

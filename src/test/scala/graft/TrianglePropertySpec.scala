@@ -97,6 +97,60 @@ class TrianglePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     check(cyc ++ Set((0L, 3L), (1L, 4L), (2L, 5L)), "6-cycle+diameters")
   }
 
+  /** Brute-force per-EDGE triangle support (the k-truss quantity). */
+  private def bruteSupport(edges: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+    val has = (x: Long, y: Long) =>
+      edges.contains((math.min(x, y), math.max(x, y)))
+    val vs = edges.flatMap(e => Seq(e._1, e._2))
+    edges.map { case (a, b) =>
+      (a, b) -> vs.count(z => z != a && z != b && has(a, z) && has(b, z)).toLong
+    }.toMap
+  }
+
+  /** q263's per-round shape: fresh orientation over the current edge
+    * set, oriented triangles, support via least/greatest normalization
+    * back to id order. Must equal brute-force per-edge support. */
+  private def supportViaSpark(edges: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val e = edges.toSeq.sorted.toDF("a", "b")
+    val dg = e.select($"a".as("x")).unionAll(e.select($"b".as("x")))
+      .groupBy($"x").agg(count(lit(1)).as("dx"))
+    val ed = operators.Relational.orientEdges(e, dg)
+    val tri = operators.Relational.orientedTriangles(
+      ed, operators.Relational.orientedAdjacency(ed))
+    tri.select(explode(array(
+        struct(least($"u", $"w").as("a"), greatest($"u", $"w").as("b")),
+        struct(least($"u", $"z").as("a"), greatest($"u", $"z").as("b")),
+        struct(least($"w", $"z").as("a"), greatest($"w", $"z").as("b"))))
+        .as("ed"))
+      .groupBy($"ed.a".as("a"), $"ed.b".as("b"))
+      .agg(count(lit(1)).as("sup"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+  }
+
+  test("per-edge triangle support matches brute force (k-truss round shape)") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed * 17L)
+      val n = 10 + rnd.nextInt(8)
+      val edges = (for {
+        i <- 0L until n.toLong
+        j <- (i + 1) until n.toLong
+        if rnd.nextDouble() < 0.3
+      } yield (i, j)).toSet
+      if (edges.nonEmpty) {
+        val expected = bruteSupport(edges).filter(_._2 > 0)
+        val got = supportViaSpark(edges)
+        assert(got == expected, s"support mismatch on seed $seed: " +
+          s"got ${got.toSeq.sorted}, expected ${expected.toSeq.sorted}")
+      }
+    }
+    // K5: every edge closes exactly 3 triangles
+    val k5 = (for (i <- 0L until 5L; j <- (i + 1) until 5L) yield (i, j)).toSet
+    assert(supportViaSpark(k5).values.toSet == Set(3L))
+  }
+
   test("random graphs match brute force across seeds and flip patterns") {
     for (seed <- 1 to 6) {
       val rnd = new scala.util.Random(seed)
