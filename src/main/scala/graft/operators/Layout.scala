@@ -445,10 +445,15 @@ object Layout extends QueryPack {
     // Aggregate bounder).
     "q262_manifest_overlap_sweep" -> ((s, d) => {
       import s.implicits._
-      val pts = T.orders(s, d)
+      // epoch = min(o_orderdate), so x >= 0 by construction at ANY
+      // data vintage — div == // only holds for non-negative operands
+      // (a fixed anchor with earlier data would band negatives
+      // engine-divergently and give band 0 a 59-day span)
+      val epoch = T.orders(s, d)
+        .agg(min(to_date($"o_orderdate")).as("d0"))
+      val pts = T.orders(s, d).crossJoin(broadcast(epoch))
         .select(expr("o_orderkey div 100").cast("bigint").as("fa"),
-          datediff($"o_orderdate", to_date(lit("1995-01-01")))
-            .cast("long").as("x"))
+          datediff(to_date($"o_orderdate"), $"d0").cast("long").as("x"))
       val man = pts.groupBy($"fa".as("file_id"))
         .agg(min($"x").as("xmin"), max($"x").as("xmax"))
         .withColumn("layout", lit("ingest"))
@@ -525,11 +530,12 @@ object Layout extends QueryPack {
     // the boundary sweep replayed: ±1 deltas, running depth, span-
     // weighted average over closed segments
     "q262_manifest_overlap_sweep" ->
-      """WITH pts AS (
+      """WITH d0 AS (SELECT min(CAST(o_orderdate AS DATE)) AS d0 FROM orders),
+        |pts AS (
         |  SELECT o_orderkey // 100 AS fa,
-        |    CAST(datediff('day', DATE '1995-01-01', o_orderdate)
+        |    CAST(datediff('day', d0.d0, CAST(o_orderdate AS DATE))
         |      AS BIGINT) AS x
-        |  FROM orders),
+        |  FROM orders, d0),
         |man AS (
         |  SELECT 'ingest' AS layout, fa AS file_id,
         |    min(x) AS xmin, max(x) AS xmax FROM pts GROUP BY 2

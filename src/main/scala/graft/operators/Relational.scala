@@ -2259,8 +2259,12 @@ object Relational extends QueryPack {
         .select($"k", expr("sx * 1000000L div w").as("pbar"))
       val v = g.crossJoin(broadcast(tot))
         .select((expr("x * 1000000L div n") - $"pbar").as("dev"), $"k")
+        // greatest(k-1, 1): with a single supplier (k = 1) the
+        // between-group variance is undefined — degrade to 0 (full
+        // shrink to the pooled rate) instead of dividing by zero;
+        // mirrored in the oracle
         .agg(expr("CAST(sum(CAST(dev AS DECIMAL(38,0)) * dev) div " +
-          "(max(k) - 1) AS BIGINT)").as("v_pp2"))
+          "greatest(max(k) - 1, 1) AS BIGINT)").as("v_pp2"))
       // `m_prior`, not `m`: PlanSpec's broadcast-hint name heuristic
       // bans the bare aliases u/v/m (the q203 m_edges rule)
       val prior = v.crossJoin(broadcast(tot))
@@ -2330,7 +2334,9 @@ object Relational extends QueryPack {
     // tie-correction mass Σ(t³−t)/(N³−N) is reported as its own ppm
     // column rather than compounding a second division into H.
     // Bounds: R2_j² ≤ 4N⁴ caps int128/DECIMAL(38) at N ≈ 2e9 items —
-    // past that the terms rescale (the q239 note). Scale shape: the
+    // past that the terms rescale (the q239 note); the per-group
+    // term sum stays in DECIMAL(38,0) the whole way (an int64 term
+    // sum would already overflow at N ≈ 3e6). Scale shape: the
     // corpus join reduces immediately to the timespan-bounded (days)
     // band table + a (priority, days) grid; the one global window
     // runs over the bounded bands (PlanSpec's Aggregate bounder);
@@ -2356,17 +2362,21 @@ object Relational extends QueryPack {
         .agg(sum($"c").cast("bigint").as("n_g"),
           sum(expr("CAST(c AS DECIMAL(38,0)) * r2")).as("r2_g"))
       val tot = gr.agg(sum($"n_g").cast("bigint").as("n"))
+      // div returns BIGINT even for DECIMAL operands — cast each term
+      // back to DECIMAL(38,0) before summing: the term MASS is ~N^3/4,
+      // which overflows int64 around N ≈ 3e6 items (~sf0.5) while the
+      // oracle's HUGEINT sum keeps going; DECIMAL(38) holds to N ≈ 2e9
       val terms = gr
-        .select(expr("(r2_g * r2_g) div (4 * CAST(n_g AS DECIMAL(38,0)))")
-          .as("term"))
+        .select(expr("CAST((r2_g * r2_g) div (4 * CAST(n_g AS DECIMAL(38,0)))" +
+          " AS DECIMAL(38,0))").as("term"))
         .agg(sum($"term").as("s_terms"))
       val ties = vb
         .agg(sum(expr("CAST(b AS DECIMAL(38,0)) * b * b - b")).as("t3"))
       terms.crossJoin(broadcast(tot)).crossJoin(broadcast(ties))
         .select($"n".as("n_total"),
-          // s_terms is BIGINT (div yields integral), so the 12e6
-          // scale-up must go back through DECIMAL — a long product
-          // overflows ANSI at ~7.7e11 term mass (hit at sf0.01)
+          // s_terms is DECIMAL(38,0); the 12e6 scale-up stays in
+          // DECIMAL — a long product overflows ANSI at ~7.7e11 term
+          // mass (hit at sf0.01)
           expr("CAST((CAST(s_terms AS DECIMAL(38,0)) * 12000000) div " +
             "(CAST(n AS DECIMAL(38,0)) * (n + 1)) " +
             "- 3000000 * (n + 1) AS BIGINT)").as("h_ppm"),
@@ -3755,7 +3765,7 @@ object Relational extends QueryPack {
         |  SELECT CAST(sum(CAST(x * 1000000 // n - (SELECT pbar FROM pb)
         |      AS HUGEINT)
         |    * (x * 1000000 // n - (SELECT pbar FROM pb)))
-        |    // ((SELECT k FROM tot) - 1) AS BIGINT) AS v_pp2
+        |    // greatest((SELECT k FROM tot) - 1, 1) AS BIGINT) AS v_pp2
         |  FROM g),
         |m AS (
         |  SELECT CAST(greatest(0, least(100000,

@@ -202,8 +202,10 @@ object TextAnalysis extends QueryPack {
         .select($"w", $"freq", split($"w", "").as("syms"))
         .localCheckpoint()
       val traj = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
-      for (step <- 1 to steps) {
-        val best = words
+      var step = 1
+      var exhausted = false
+      while (step <= steps && !exhausted) {
+        val bestOpt = words
           .select($"freq", explode(expr(
             "transform(sequence(1, size(syms) - 1), i -> " +
               "struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
@@ -211,19 +213,29 @@ object TextAnalysis extends QueryPack {
           .groupBy($"p.l".as("l"), $"p.r".as("r"))
           .agg(sum($"freq").cast("bigint").as("n_occ"))
           .orderBy($"n_occ".desc, $"l", $"r")
-          .head() // 1-row argmax: loop-control scalar
-        val (l, r) = (best.getString(0), best.getString(1))
-        traj += ((step.toLong, l, r, l + r, best.getLong(2)))
-        // lit(l)/lit(r), never string-interpolated SQL: symbols come
-        // from corpus text and may contain quote characters
-        words = words.select($"w", $"freq",
-          aggregate($"syms", array().cast("array<string>"), (acc, x) =>
-            when(size(acc) > 0 &&
-                element_at(acc, -1) === lit(l) && x === lit(r),
-              concat(slice(acc, lit(1), size(acc) - 1),
-                array(concat(element_at(acc, -1), x))))
-            .otherwise(concat(acc, array(x)))).as("syms"))
-          .localCheckpoint()
+          .limit(1).collect().headOption // 1-row argmax: loop-control scalar
+        if (bestOpt.isEmpty) {
+          // vocabulary exhausted (no adjacent pairs remain — every
+          // word fully merged) before the step cap: emit the shorter
+          // trajectory, like the oracle's recursion which simply
+          // produces no further levels
+          exhausted = true
+        } else {
+          val best = bestOpt.get
+          val (l, r) = (best.getString(0), best.getString(1))
+          traj += ((step.toLong, l, r, l + r, best.getLong(2)))
+          // lit(l)/lit(r), never string-interpolated SQL: symbols come
+          // from corpus text and may contain quote characters
+          words = words.select($"w", $"freq",
+            aggregate($"syms", array().cast("array<string>"), (acc, x) =>
+              when(size(acc) > 0 &&
+                  element_at(acc, -1) === lit(l) && x === lit(r),
+                concat(slice(acc, lit(1), size(acc) - 1),
+                  array(concat(element_at(acc, -1), x))))
+              .otherwise(concat(acc, array(x)))).as("syms"))
+            .localCheckpoint()
+          step += 1
+        }
       }
       traj.toSeq.toDF("step", "left_sym", "right_sym", "merged", "n_occ")
     }),

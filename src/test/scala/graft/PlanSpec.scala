@@ -70,6 +70,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q181: the 2-row lag table crossed against the post-agg daily
     // series (timespan-bounded)
     "q181_autocorr",
+    // q262: the 1-row min-date epoch scalar crossed onto the corpus
+    // (keeps x >= 0 at any data vintage)
+    "q262_manifest_overlap_sweep",
     // q185: the 1-row corpus-total scalar crossed against the bounded
     // per-source table (q63's shape)
     "q185_token_apportionment",
