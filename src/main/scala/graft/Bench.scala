@@ -68,9 +68,21 @@ object Bench {
     // state-write cost, not commit count — the default HDFS-backed
     // provider stays (no JNI surface, same speed); RocksDB's win
     // appears at state sizes that don't fit executor heap, not here.
-    val results = all.map { case (name, fn) =>
+    // Best-of-2 timed passes (VERDICT r13 #7): same-code drift between
+    // two full r13 runs was 14.4% median per query — pure JVM/GC noise
+    // from a 289-query single-session run, larger than any real
+    // regression being hunted. The per-query MIN of two passes is the
+    // noise-robust statistic (GC/compilation interference only ever
+    // ADDS time); two full passes also space each query's runs ~6 min
+    // apart, decorrelating heap-pressure spikes.
+    def timedPass(): Seq[(String, Double)] = all.map { case (name, fn) =>
       spark.catalog.clearCache()
       name -> run(name, fn)
+    }
+    val pass1 = timedPass()
+    val pass2 = timedPass()
+    val results = pass1.zip(pass2).map { case ((n, a), (_, b)) =>
+      n -> math.min(a, b)
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -2219,10 +2219,25 @@ object Relational extends QueryPack {
         .select($"s_suppkey".as("supp"), Exact.cents($"s_acctbal").as("bal_c"))
         .join(g, "supp")
         .select($"supp", $"bal_c", expr("x * 1000000L div n").as("late_ppm"))
+      // cumulative max band-decomposed (q124's band-offset rule): the
+      // fine band table is bounded only by ppm resolution (≤1e6+1
+      // rows), too big for one global window partition — so prefix-max
+      // over ≤1001 COARSE bands (div 1000) globally, within-coarse-band
+      // prefix-max partitioned, prior = greatest of the two (greatest
+      // skips nulls; null only when both empty = first band overall)
       val band = pt.groupBy($"late_ppm").agg(max($"bal_c").as("band_max"))
-      val wc = Window.orderBy($"late_ppm")
+        .withColumn("cband", expr("late_ppm div 1000"))
+      val wcoarse = Window.orderBy($"cband")
         .rowsBetween(Window.unboundedPreceding, -1)
-      val cb = band.withColumn("prior_max", max($"band_max").over(wc))
+      val cpref = band.groupBy($"cband").agg(max($"band_max").as("c_max"))
+        .withColumn("c_prior", max($"c_max").over(wcoarse))
+        .select($"cband", $"c_prior")
+      val wfine = Window.partitionBy($"cband").orderBy($"late_ppm")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cb = band.withColumn("in_prior", max($"band_max").over(wfine))
+        .join(cpref, Seq("cband"))
+        .select($"late_ppm", $"band_max",
+          greatest($"in_prior", $"c_prior").as("prior_max"))
       pt.join(cb, Seq("late_ppm"))
         .filter($"bal_c" === $"band_max" &&
           ($"prior_max".isNull || $"bal_c" > $"prior_max"))
