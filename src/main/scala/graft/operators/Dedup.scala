@@ -27,7 +27,7 @@ import graft.{QueryPack, Tables => T}
   */
 object Dedup extends QueryPack {
 
-  private val K = 32 // minhash functions = bands (r=1)
+  private[operators] val K = 32 // minhash functions = bands (r=1)
 
   /** Connected components by min-label propagation WITH pointer-
     * doubling shortcuts over an undirected edge list (columns `a`,
@@ -135,7 +135,7 @@ object Dedup extends QueryPack {
     * equivalently, docs with zero grams). One compiled pass via the
     * native `word_ngrams` expression; the transform/concat_ws HOF form
     * paid an interpreted lambda per position and dominated this scan. */
-  private def shingles(s: SparkSession, d: String): DataFrame = {
+  private[operators] def shingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.GraftExtensions.ensureRegistered(s)
     T.documents(s, d)

@@ -1112,6 +1112,110 @@ object Streams extends QueryPack {
       drain(s, agg)
     }),
 
+    // Streaming near-dup admission (the last batch-only LLM loop
+    // closed, VERDICT r13 #9): q155's MinHash-band incremental
+    // admission run INCREMENTALLY — the crawl batch docs arrive over
+    // the stream and each micro-batch is LSH-checked in foreachBatch
+    // against the PERSISTED signature index of the existing corpus
+    // (shingles + K-band minhash signatures, built once and cached —
+    // in production the write-once index table q155 appends to).
+    // Per batch: shingle + sign ONLY the batch docs, candidates from
+    // batch-bands ⋈ index-bands on (band, minhash) — bands-only, no
+    // batch×batch pairs, never all-pairs — signature-estimate prune
+    // (>= 5/32 slots), exact-Jaccard verify (>= 1/2). Verified pairs
+    // land in a batchId-KEYED parquet dir (overwrite per batch =
+    // idempotent under at-least-once replay, s13's generation rule).
+    // Doc grain is batch-local, so the union over micro-batches
+    // equals the one-shot batch answer — the oracle is exactly
+    // q155's. The fixture-derived cap forces ~3 epochs, so the
+    // incremental path (not a single-batch degenerate) is what's
+    // hash-gated.
+    "s30_stream_neardup_admission" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val name = s"docs_nd_${sfx(d)}"
+      val isBatch = pmod(graft.functions.PortableHash.h60(col("doc_id")),
+        lit(10)) === 0
+      synchronized {
+        if (!ShardServiceRegistry.exists(name)) {
+          val rows = T.documents(s, d)
+            .filter(isBatch)
+            .select(col("doc_id"), col("doc_id").as("pk"),
+              to_json(struct(col("doc_id"), col("text"))).as("json"))
+            .orderBy("doc_id").toLocalIterator()
+          seedRows(name, numShards = 2, rows, times = 1)
+        }
+      }
+      // the persisted index: existing-corpus shingles, signatures,
+      // banded index — cached once, read by every micro-batch
+      val k = Dedup.K
+      val ixSh = Dedup.shingles(s, d).filter(!isBatch).cache()
+      val ixSig = ixSh
+        .select($"doc_id", expr(s"minhash_sig(sh, $k)").as("sig")).cache()
+      val ixBnd = ixSig.select($"doc_id".as("b"), posexplode($"sig"))
+        .toDF("b", "band", "mh").cache()
+      val nBatch = T.documents(s, d).filter(isBatch).count()
+      val cap = math.max(50L, nBatch / 3)
+      val root = s"/tmp/graft_neardup_${sfx(d)}" +
+        s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", cap.toString)
+        .load()
+        .select(from_json(col("data").cast("string"), docSchema).as("e"))
+        .select(col("e.doc_id").as("doc_id"), col("e.text").as("text"))
+      graft.streaming.StreamObservability.attach(s)
+      val q = raw.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val bsh = batch
+            .select(col("doc_id"),
+              array_distinct(expr("word_ngrams(text, 3)")).as("sh"))
+            .filter(size(col("sh")) >= 1)
+          val bsig = bsh
+            .select(col("doc_id"), expr(s"minhash_sig(sh, $k)").as("sig"))
+          val cand = bsig
+            .select(col("doc_id").as("a"), posexplode(col("sig")))
+            .toDF("a", "band", "mh")
+            .join(ixBnd, Seq("band", "mh"))
+            .select(col("a"), col("b")).distinct()
+          val est = cand
+            .join(bsig.select(col("doc_id").as("a"), col("sig").as("siga")), "a")
+            .join(ixSig.select(col("doc_id").as("b"), col("sig").as("sigb")), "b")
+            .withColumn("matches",
+              size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y),
+                v => v)))
+            .filter(col("matches") >= 5)
+            .select(col("a"), col("b"))
+          est
+            .join(bsh.toDF("a", "sha"), "a")
+            .join(ixSh.toDF("b", "shb"), "b")
+            .select(col("a"), col("b"),
+              size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"),
+              size(array_union(col("sha"), col("shb"))).cast("long").as("uni"))
+            .filter(col("inter") * 2 >= col("uni"))
+            .select(col("a"), col("b"),
+              expr("inter * 1000000L div uni").as("sim_ppm"))
+            .write.mode("overwrite").parquet(s"$root/b$batchId")
+          ()
+        }.start()
+      q.awaitTermination()
+      // quarantine worklist: per admitted-batch doc, match count +
+      // best match (max sim, ties to smallest index doc_id)
+      s.read.schema("a LONG, b LONG, sim_ppm LONG").parquet(s"$root/b*")
+        .groupBy($"a")
+        .agg(count(lit(1)).as("n_matches"),
+          max(struct($"sim_ppm", (-$"b").as("nb"))).as("m"))
+        .select($"a".as("doc_id"), $"n_matches",
+          (-$"m.nb").as("best_match"), $"m.sim_ppm".as("best_sim_ppm"))
+    }),
+
     // transformWithState (the Spark 4 arbitrary-state API, successor
     // to mapGroupsWithState): typed ValueState per key, explicit
     // init/handleInputRows lifecycle, RocksDB state store. Computes
@@ -1464,6 +1568,39 @@ object Streams extends QueryPack {
         |FROM sess GROUP BY user_id, sid
         |HAVING max(CAST(epoch_us(ts) AS BIGINT) + gap_us)
         |  <= CAST(epoch_us((SELECT w FROM wm)) AS BIGINT)""".stripMargin,
+
+    // q155's oracle verbatim: the streamed union over micro-batches
+    // must equal the one-shot batch admission answer (doc grain is
+    // batch-local, so any lost/duplicated stream record fails the gate)
+    "s30_stream_neardup_admission" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |d AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM w WHERE len(w) >= 3),
+        |b AS (SELECT * FROM d
+        |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |    % 10 = 0),
+        |ix AS (SELECT * FROM d
+        |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |    % 10 != 0),
+        |scored AS (
+        |  SELECT a, bdoc, inter * 1000000 // uni AS sim_ppm FROM (
+        |    SELECT b.doc_id AS a, ix.doc_id AS bdoc,
+        |      CAST(len(list_intersect(b.sh, ix.sh)) AS BIGINT) AS inter,
+        |      CAST(len(list_distinct(list_concat(b.sh, ix.sh))) AS BIGINT) AS uni
+        |    FROM b, ix) p
+        |  WHERE 2 * inter >= uni),
+        |g AS (
+        |  SELECT a, bdoc, sim_ppm,
+        |    max(sim_ppm) OVER (PARTITION BY a) AS ms,
+        |    CAST(count(*) OVER (PARTITION BY a) AS BIGINT) AS nm
+        |  FROM scored)
+        |SELECT a AS doc_id, nm AS n_matches, min(bdoc) AS best_match,
+        |  CAST(ms AS BIGINT) AS best_sim_ppm
+        |FROM g WHERE sim_ppm = ms
+        |GROUP BY a, nm, ms""".stripMargin,
 
     "s10_stateful_running" ->
       """SELECT user_id, count(*) AS n,
