@@ -1212,6 +1212,47 @@ object Events extends QueryPack {
             "ELSE 0 END AS BIGINT)").as("cv2_ppm"))
     }),
 
+    // ---- path-based channel removal effects (attribution) -----------
+    // The counterfactual companion to q92's last-touch: removal effect
+    // of channel c = share of converting users whose PRE-conversion
+    // path touches c — the conversions lost if c were removed under
+    // the all-touch-necessary model ([Anderl+ '16] Markov-attribution
+    // lineage, reduced to exact path-set logic: no transition-matrix
+    // solve, so both engines replay it relationally). Conversion = the
+    // user's FIRST purchase under the (ts, event_id) total order;
+    // struct keys compare lexicographically in both engines (no epoch
+    // arithmetic — epoch_us·1e6 + id would overflow int64). Last-touch
+    // shares emitted alongside: the two models disagree exactly where
+    // assist channels matter. Scale shape: one conversion-key agg, one
+    // keyed join + two hash aggs; the 1-row conversion total
+    // broadcasts; everything is user- or channel-keyed.
+    "q268_channel_removal" -> ((s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+      val conv = ev.filter($"event_type" === "purchase")
+        .groupBy($"user_id")
+        .agg(min(struct($"ts", $"event_id")).as("ck"))
+      val pre = ev.filter($"event_type" =!= "purchase")
+        .join(conv, "user_id")
+        .filter(struct($"ts", $"event_id") < $"ck")
+        .select($"user_id", $"event_type".as("channel"), $"ts", $"event_id")
+      val touch = pre.select($"user_id", $"channel").distinct()
+        .groupBy($"channel").agg(count(lit(1)).as("n_touched"))
+      val lastc = pre.groupBy($"user_id")
+        .agg(max(struct($"ts", $"event_id", $"channel")).getField("channel")
+          .as("channel"))
+        .groupBy($"channel").agg(count(lit(1)).as("n_last"))
+      val tot = conv.agg(count(lit(1)).as("n_conv"))
+      touch.join(lastc, Seq("channel"), "left")
+        .crossJoin(broadcast(tot))
+        .select($"channel", $"n_touched",
+          expr("n_touched * 1000000L div n_conv").as("removal_ppm"),
+          coalesce($"n_last", lit(0L)).as("n_last"),
+          expr("coalesce(n_last, 0L) * 1000000L div n_conv")
+            .as("last_touch_ppm"))
+    }),
+
     // ---- lead-lag cross-correlation (clicks → purchases) ------------
     // Does click volume LEAD purchase volume, and by how many days?
     // Squared Pearson correlation (R² — rational, no sqrt; the sign
@@ -1701,6 +1742,34 @@ object Events extends QueryPack {
 
     // the shifted-series power sums replayed per lag; R² numerator
     // squared in HUGEINT, sign as its own column
+    // identical struct-key total order, path-set logic, and floors
+    "q268_channel_removal" ->
+      """WITH conv AS (
+        |  SELECT user_id, min({'ts': ts, 'id': event_id}) AS ck
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |pre AS (
+        |  SELECT e.user_id, e.event_type AS channel, e.ts, e.event_id
+        |  FROM events e JOIN conv ON conv.user_id = e.user_id
+        |  WHERE e.event_type != 'purchase'
+        |    AND {'ts': e.ts, 'id': e.event_id} < conv.ck),
+        |tc AS (
+        |  SELECT channel, CAST(count(*) AS BIGINT) AS n_touched
+        |  FROM (SELECT DISTINCT user_id, channel FROM pre) t GROUP BY 1),
+        |lastc AS (
+        |  SELECT channel, CAST(count(*) AS BIGINT) AS n_last FROM (
+        |    SELECT user_id,
+        |      max({'ts': ts, 'id': event_id, 'ch': channel}).ch AS channel
+        |    FROM pre GROUP BY 1) l
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_conv FROM conv)
+        |SELECT tc.channel, tc.n_touched,
+        |  tc.n_touched * 1000000 // tot.n_conv AS removal_ppm,
+        |  CAST(coalesce(lastc.n_last, 0) AS BIGINT) AS n_last,
+        |  coalesce(lastc.n_last, 0) * 1000000 // tot.n_conv
+        |    AS last_touch_ppm
+        |FROM tc LEFT JOIN lastc ON lastc.channel = tc.channel
+        |CROSS JOIN tot""".stripMargin,
+
     "q261_leadlag_r2" ->
       """WITH daily AS (
         |  SELECT CAST(datediff('day', DATE '2024-01-01', ts) AS BIGINT)

@@ -973,6 +973,52 @@ object Pipeline extends QueryPack {
           ($"base" + when($"rk" <= $"leftover", 1L).otherwise(0L)).as("alloc"))
     }),
 
+    // ---- two-period difference-in-differences ------------------------
+    // [Card & Krueger, AER'94 lineage] — the quasi-experimental readout
+    // when there was no randomized assignment (q186's CUPED assumes
+    // one): did the BUILDING segment's mean order value move
+    // differently across the observed timespan's midpoint than
+    // everyone else's? DiD = (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post −
+    // ȳ_c,pre) in ppm-cents; parallel-trends is the identifying
+    // assumption, stated, not tested here (q188's backtest is the
+    // trend tool). Exactness: the breakpoint is DERIVED (2·t ≥ lo+hi
+    // in epoch-μs — no division, no anchor constant, the q262 rule);
+    // cell sums go through DECIMAL(38)/HUGEINT before the ·1e6 mean
+    // floor (int64 dies at ~1e14 total cents ≈ sf10). Scale shape: one
+    // corpus join + ONE (treat, post) hash agg to 4 cells; the 1-row
+    // span scalar and the 4-cell table broadcast; assembly is a 1-row
+    // conditional fold.
+    "q270_diff_in_diff" -> ((s, d) => {
+      import s.implicits._
+      val sp = T.orders(s, d).agg(min(unix_micros($"o_orderdate".cast("timestamp"))).as("lo"),
+        max(unix_micros($"o_orderdate".cast("timestamp"))).as("hi"))
+      val g = T.orders(s, d)
+        .join(T.customer(s, d).select($"c_custkey", $"c_mktsegment"),
+          $"o_custkey" === $"c_custkey")
+        .crossJoin(broadcast(sp))
+        .select(($"c_mktsegment" === "BUILDING").cast("long").as("treat"),
+          (unix_micros($"o_orderdate".cast("timestamp")) * 2 >= $"lo" + $"hi")
+            .cast("long").as("post"),
+          graft.functions.Exact.cents($"o_totalprice").as("cents"))
+        .groupBy($"treat", $"post")
+        .agg(count(lit(1)).as("n"),
+          sum($"cents").cast("decimal(38,0)").as("sc"))
+        .select($"treat", $"post", $"n",
+          expr("CAST((sc * 1000000) div n AS BIGINT)").as("mean_ppmc"))
+      g.agg(
+          max(when($"treat" === 0 && $"post" === 0, $"n")).as("n_c_pre"),
+          max(when($"treat" === 0 && $"post" === 1, $"n")).as("n_c_post"),
+          max(when($"treat" === 1 && $"post" === 0, $"n")).as("n_t_pre"),
+          max(when($"treat" === 1 && $"post" === 1, $"n")).as("n_t_post"),
+          max(when($"treat" === 0 && $"post" === 0, $"mean_ppmc")).as("c_pre"),
+          max(when($"treat" === 0 && $"post" === 1, $"mean_ppmc")).as("c_post"),
+          max(when($"treat" === 1 && $"post" === 0, $"mean_ppmc")).as("t_pre"),
+          max(when($"treat" === 1 && $"post" === 1, $"mean_ppmc")).as("t_post"))
+        .select($"n_c_pre", $"n_c_post", $"n_t_pre", $"n_t_post",
+          $"c_pre", $"c_post", $"t_pre", $"t_post",
+          (($"t_post" - $"t_pre") - ($"c_post" - $"c_pre")).as("did_ppmc"))
+    }),
+
     // ---- CUPED variance reduction for the A/B readout ---------------
     // The experimentation-platform step after q123 assigns arms:
     // adjust each user's post-period revenue by their PRE-period
@@ -1351,6 +1397,41 @@ object Pipeline extends QueryPack {
         |SELECT source, toks, base, rem_num,
         |  base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
         |FROM r""".stripMargin,
+
+    // derived epoch-us midpoint (2t >= lo+hi), HUGEINT cell sums,
+    // identical mean floors, 1-row conditional fold
+    "q270_diff_in_diff" ->
+      """WITH sp AS (
+        |  SELECT CAST(epoch_us(min(o_orderdate)) AS BIGINT) AS lo,
+        |    CAST(epoch_us(max(o_orderdate)) AS BIGINT) AS hi FROM orders),
+        |g AS (
+        |  SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+        |      AS treat,
+        |    CASE WHEN CAST(epoch_us(o.o_orderdate) AS BIGINT) * 2
+        |      >= sp.lo + sp.hi THEN 1 ELSE 0 END AS post,
+        |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  CROSS JOIN sp),
+        |cells AS (
+        |  SELECT treat, post, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(CAST(sum(cents) AS HUGEINT) * 1000000 // count(*)
+        |      AS BIGINT) AS mean_ppmc
+        |  FROM g GROUP BY 1, 2)
+        |SELECT
+        |  max(CASE WHEN treat = 0 AND post = 0 THEN n END) AS n_c_pre,
+        |  max(CASE WHEN treat = 0 AND post = 1 THEN n END) AS n_c_post,
+        |  max(CASE WHEN treat = 1 AND post = 0 THEN n END) AS n_t_pre,
+        |  max(CASE WHEN treat = 1 AND post = 1 THEN n END) AS n_t_post,
+        |  max(CASE WHEN treat = 0 AND post = 0 THEN mean_ppmc END) AS c_pre,
+        |  max(CASE WHEN treat = 0 AND post = 1 THEN mean_ppmc END) AS c_post,
+        |  max(CASE WHEN treat = 1 AND post = 0 THEN mean_ppmc END) AS t_pre,
+        |  max(CASE WHEN treat = 1 AND post = 1 THEN mean_ppmc END) AS t_post,
+        |  (max(CASE WHEN treat = 1 AND post = 1 THEN mean_ppmc END)
+        |   - max(CASE WHEN treat = 1 AND post = 0 THEN mean_ppmc END))
+        |  - (max(CASE WHEN treat = 0 AND post = 1 THEN mean_ppmc END)
+        |   - max(CASE WHEN treat = 0 AND post = 0 THEN mean_ppmc END))
+        |    AS did_ppmc
+        |FROM cells""".stripMargin,
 
     "q186_cuped" ->
       """WITH u AS (

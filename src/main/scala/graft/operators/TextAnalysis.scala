@@ -487,6 +487,32 @@ object TextAnalysis extends QueryPack {
             "(n_tokens * n_tokens)").as("simpson_ppm"))
     }),
 
+    // ---- Good–Turing unseen-mass estimate per source -----------------
+    // [Good, Biometrika'53] — what q231's hapax share is FOR: the
+    // Good–Turing estimate of the probability mass a source's sample
+    // has NOT seen yet is p0 = N1/N (singleton tokens over tokens),
+    // and the smoothed count for once-seen words is r1* = 2·N2/N1 —
+    // the coverage planner's stopping signal (p0 high ⇒ keep crawling
+    // this source; p0 → 0 ⇒ the vocabulary is saturated, more data
+    // buys repetition). Same two hash aggs as q231 ((source, word)
+    // counts → per-source tallies), nothing corpus-scale after; all
+    // ratios are int64-safe (N1, N2 ≤ vocabulary size).
+    "q271_good_turing" -> ((s, d) => {
+      import s.implicits._
+      T.documents(s, d)
+        .select($"source", explode(split($"text", " ")).as("w"))
+        .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+        .groupBy($"source")
+        .agg(sum($"c").cast("bigint").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(($"c" === 1L).cast("long")).as("n1"),
+          sum(($"c" === 2L).cast("long")).as("n2"))
+        .select($"source", $"n_tokens", $"n_types", $"n1", $"n2",
+          expr("n1 * 1000000L div n_tokens").as("unseen_ppm"),
+          expr("CASE WHEN n1 > 0 THEN (2 * n2 * 1000000L) div n1 " +
+            "ELSE 0L END").as("r1_star_ppm"))
+    }),
+
     // ---- hapax legomena rate per source -----------------------------
     // The vocabulary-richness signal next to q193's Heaps curve: the
     // share of a source's word TYPES that occur exactly once in that
@@ -1112,6 +1138,25 @@ object TextAnalysis extends QueryPack {
         |SELECT CAST(iter + 1 AS BIGINT) AS step, l AS left_sym, r AS right_sym,
         |  l || r AS merged, n_occ
         |FROM ranked WHERE rn = 1 AND iter < 8""".stripMargin,
+
+    // same (source, word) counts; N1/N and 2·N2/N1 floors replayed
+    "q271_good_turing" ->
+      """WITH wc AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) u
+        |  GROUP BY 1, 2)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+        |    // sum(c) AS BIGINT) AS unseen_ppm,
+        |  CAST(CASE WHEN sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) > 0 THEN
+        |    2 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) * 1000000
+        |      // sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        |    ELSE 0 END AS BIGINT) AS r1_star_ppm
+        |FROM wc GROUP BY 1""".stripMargin,
 
     "q231_hapax_rate" ->
       """WITH wc AS (

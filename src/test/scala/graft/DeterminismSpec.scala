@@ -112,7 +112,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q259_term_burst", "q261_leadlag_r2",
     "q262_manifest_overlap_sweep", "q263_ktruss_peel",
     "q264_eb_shrunk_rates", "q265_late_quarantine",
-    "q266_graph_summary", "q267_rich_club", "q269_skyline_2d")
+    "q266_graph_summary", "q267_rich_club", "q269_skyline_2d",
+    // round 14: struct-key first-purchase tie-break, derived-midpoint
+    // DiD cells, Good-Turing tallies
+    "q268_channel_removal", "q270_diff_in_diff", "q271_good_turing")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

@@ -73,6 +73,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q262: the 1-row min-date epoch scalar crossed onto the corpus
     // (keeps x >= 0 at any data vintage)
     "q262_manifest_overlap_sweep",
+    // q268: the 1-row conversion-total scalar crossed onto the
+    // |channels|-row table
+    "q268_channel_removal",
+    // q270: the 1-row timespan scalar crossed onto the corpus (derived
+    // epoch midpoint, the q262 rule)
+    "q270_diff_in_diff",
     // q185: the 1-row corpus-total scalar crossed against the bounded
     // per-source table (q63's shape)
     "q185_token_apportionment",
