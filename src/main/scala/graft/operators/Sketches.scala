@@ -323,6 +323,57 @@ object Sketches extends QueryPack {
     // ±1.04/√m (±18%) error and the small-range bias are exactly what
     // the audit columns measure — est vs exact per scope, ppm error.
     // Scopes are distinct customers per order status + their union.
+    // ---- trailing-7-day distinct users via HLL register merge -------
+    // The SLIDING-WINDOW form of q214 and the reason sketches exist at
+    // 100 TB: exact trailing-window NDV (WAU) re-touches every event 7
+    // times, while pre-aggregated per-day HLL register banks merge by
+    // a plain max OVER a 7-day RANGE frame — the window runs on the
+    // (days × 32 registers) table, corpus-independent. Same 32-register
+    // construction and integer estimate as q214. The exact trailing
+    // NDV is computed alongside as the acceptance audit (map-side
+    // 7-day explode + distinct — the expensive path the sketch
+    // replaces; production drops it). Day anchor is q261's fixed
+    // 2024-01-01: day feeds only grouping and the range frame (no
+    // floor division), so negative values would still be exact.
+    "q272_hll_sliding" -> ((s, d) => {
+      import s.implicits._
+      val du = T.events(s, d)
+        .select(datediff(to_date($"ts"), to_date(lit("2024-01-01")))
+          .cast("long").as("day"), $"user_id")
+        .distinct().cache()
+      val regs = du.select($"day", h60($"user_id").as("h"))
+        .select($"day",
+          expr("h div 36028797018963968").as("j"),
+          expr("h % 36028797018963968").as("w"))
+        .select($"day", $"j",
+          expr("CASE WHEN w = 0 THEN 56 ELSE 55 - (length(bin(w)) - 1) END")
+            .cast("long").as("rank"))
+        .groupBy($"day", $"j").agg(max($"rank").as("reg"))
+      val wtr = org.apache.spark.sql.expressions.Window
+        .partitionBy($"j").orderBy($"day").rangeBetween(-6, 0)
+      val est = regs.withColumn("mreg", max($"reg").over(wtr))
+        .groupBy($"day")
+        .agg(count(lit(1)).as("n_regs"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(56 - mreg AS INT))"))
+            .as("s_present"))
+        .select($"day",
+          ($"s_present" +
+            (lit(32L) - $"n_regs") * lit(72057594037927936L)).as("s"))
+        .select($"day",
+          expr("(CAST(697000 AS DECIMAL(38,0)) * 1024 * 72057594037927936)" +
+            " div (CAST(s AS DECIMAL(38,0)) * 1000000)").cast("long")
+            .as("est_hll"))
+      val days = du.select($"day").distinct()
+      val exact = du
+        .select($"user_id", explode(sequence($"day", $"day" + 6L)).as("gday"))
+        .join(days.select($"day".as("gday")), "gday")
+        .groupBy($"gday").agg(countDistinct($"user_id").as("n_exact"))
+      est.join(exact, est("day") === exact("gday"))
+        .select($"day", $"n_exact", $"est_hll",
+          expr("abs(est_hll - n_exact) * 1000000L div n_exact")
+            .as("err_ppm"))
+    }),
+
     "q214_hll_distinct" -> ((s, d) => {
       import s.implicits._
       GraftExtensions.ensureRegistered(s)
@@ -592,6 +643,50 @@ object Sketches extends QueryPack {
            |FROM orders WHERE o_orderkey < 1000""".stripMargin
       one("csv") + "\nUNION ALL\n" + one("json") + "\nUNION ALL\n" + one("orc")
     },
+
+    // same register construction; the trailing merge replayed with a
+    // RANGE frame and the exact audit via the 7-day explode
+    "q272_hll_sliding" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(datediff('day', DATE '2024-01-01',
+        |    CAST(ts AS DATE)) AS BIGINT) AS day, user_id
+        |  FROM events),
+        |h AS (
+        |  SELECT day, CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+        |    1, 15) AS BIGINT) AS h
+        |  FROM du),
+        |regs AS (
+        |  SELECT day, h // 36028797018963968 AS j,
+        |    CAST(max(CASE WHEN h % 36028797018963968 = 0 THEN 56
+        |      ELSE 55 - (length(bin(h % 36028797018963968)) - 1) END)
+        |      AS BIGINT) AS reg
+        |  FROM h GROUP BY 1, 2),
+        |merged AS (
+        |  SELECT day, j, CAST(max(reg) OVER (PARTITION BY j ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS mreg
+        |  FROM regs),
+        |est AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS n_regs,
+        |    CAST(sum(CAST(2 AS HUGEINT) ** CAST(56 - mreg AS INT))
+        |      AS HUGEINT) AS s_present
+        |  FROM merged GROUP BY 1),
+        |e2 AS (
+        |  SELECT day, CAST((CAST(697000 AS HUGEINT) * 1024
+        |      * 72057594037927936)
+        |    // ((s_present + (32 - n_regs)
+        |      * CAST(72057594037927936 AS HUGEINT)) * 1000000)
+        |    AS BIGINT) AS est_hll
+        |  FROM est),
+        |ex AS (
+        |  SELECT gday AS day, CAST(count(DISTINCT user_id) AS BIGINT)
+        |    AS n_exact
+        |  FROM (SELECT user_id, unnest(list_transform(range(0, 7),
+        |      o -> day + o)) AS gday FROM du) x
+        |  JOIN (SELECT DISTINCT day AS gd FROM du) g ON g.gd = x.gday
+        |  GROUP BY 1)
+        |SELECT e2.day, ex.n_exact, e2.est_hll,
+        |  abs(e2.est_hll - ex.n_exact) * 1000000 // ex.n_exact AS err_ppm
+        |FROM e2 JOIN ex ON ex.day = e2.day""".stripMargin,
 
     "q214_hll_distinct" ->
       """WITH du AS (

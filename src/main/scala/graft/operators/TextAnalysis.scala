@@ -487,6 +487,39 @@ object TextAnalysis extends QueryPack {
             "(n_tokens * n_tokens)").as("simpson_ppm"))
     }),
 
+    // ---- char-bigram surprise (gibberish / encoding-noise filter) ----
+    // The character-level quality tier under q31's length/stopword
+    // ratios (the C4/Gopher filter family): a SELF-TRAINED char-bigram
+    // model scores every doc's mean surprise −log2 p̂(c2|c1) in integer
+    // BITS (floor-log2 = length(bin(x))−1, the q210 bit-log — no
+    // floats), and the top-20 most surprising docs are the
+    // gibberish/mojibake quarantine worklist. Model = corpus bigram
+    // counts (bounded by charset², broadcast); scoring = one pass over
+    // the corpus bigrams + a doc-grain agg; top-20 compiles to
+    // TakeOrderedAndProject (tie-broken by doc_id). At 100 TB the
+    // model would train on a sample (char distributions converge
+    // immediately); the scoring pass is the full scan either way.
+    "q273_char_surprise" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val bg = T.documents(s, d).filter(length($"text") >= 2)
+        .select($"doc_id", $"source",
+          explode(expr("char_ngrams(text, 2)")).as("p"))
+        .cache()
+      val m2 = bg.groupBy($"p").agg(count(lit(1)).as("c2"))
+      val m1 = m2.groupBy(substring($"p", 1, 1).as("ch"))
+        .agg(sum($"c2").cast("bigint").as("c1"))
+      bg.join(broadcast(m2), "p")
+        .join(broadcast(m1), substring($"p", 1, 1) === $"ch")
+        .groupBy($"doc_id", $"source")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(expr("(length(bin(c1)) - 1) - (length(bin(c2)) - 1)"))
+            .cast("bigint").as("bits"))
+        .select($"doc_id", $"source", $"n_pairs",
+          expr("bits * 1000000L div n_pairs").as("surprise_ppm"))
+        .orderBy($"surprise_ppm".desc, $"doc_id").limit(20)
+    }),
+
     // ---- Good–Turing unseen-mass estimate per source -----------------
     // [Good, Biometrika'53] — what q231's hapax share is FOR: the
     // Good–Turing estimate of the probability mass a source's sample
@@ -1138,6 +1171,27 @@ object TextAnalysis extends QueryPack {
         |SELECT CAST(iter + 1 AS BIGINT) AS step, l AS left_sym, r AS right_sym,
         |  l || r AS merged, n_occ
         |FROM ranked WHERE rn = 1 AND iter < 8""".stripMargin,
+
+    // the same self-trained model, bit-log floors, and (desc, doc_id)
+    // tie-broken top-20
+    "q273_char_surprise" ->
+      """WITH bg AS (
+        |  SELECT doc_id, source, unnest(list_transform(range(1, length(text)),
+        |    i -> substr(text, CAST(i AS INT), 2))) AS p
+        |  FROM documents WHERE length(text) >= 2),
+        |m2 AS (SELECT p, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1),
+        |m1 AS (SELECT substr(p, 1, 1) AS ch, CAST(sum(c2) AS BIGINT) AS c1
+        |  FROM m2 GROUP BY 1),
+        |sc AS (
+        |  SELECT bg.doc_id, bg.source, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum((length(bin(m1.c1)) - 1) - (length(bin(m2.c2)) - 1))
+        |      AS BIGINT) AS bits
+        |  FROM bg JOIN m2 ON m2.p = bg.p
+        |  JOIN m1 ON m1.ch = substr(bg.p, 1, 1)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, source, n_pairs,
+        |  bits * 1000000 // n_pairs AS surprise_ppm
+        |FROM sc ORDER BY surprise_ppm DESC, doc_id LIMIT 20""".stripMargin,
 
     // same (source, word) counts; N1/N and 2·N2/N1 floors replayed
     "q271_good_turing" ->

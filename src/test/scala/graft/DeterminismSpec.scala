@@ -115,7 +115,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q266_graph_summary", "q267_rich_club", "q269_skyline_2d",
     // round 14: struct-key first-purchase tie-break, derived-midpoint
     // DiD cells, Good-Turing tallies
-    "q268_channel_removal", "q270_diff_in_diff", "q271_good_turing")
+    "q268_channel_removal", "q270_diff_in_diff", "q271_good_turing",
+    "q272_hll_sliding", "q273_char_surprise")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count
