@@ -658,6 +658,53 @@ object Dedup extends QueryPack {
           (-$"m.nb").as("best_match"), $"m.sim_ppm".as("best_sim_ppm"))
     }),
 
+    // ---- hard-pair mining: same vocabulary, different phrasing ------
+    // The contrastive-training / dedup-stress worklist: pairs whose
+    // unigram BAG distributions nearly coincide (cos² ≥ 0.7 on exact
+    // word counts) while their 3-gram shingle Jaccard stays ≤ 0.1 —
+    // "same topic words, different composition". These fool
+    // bag-of-words retrieval (hard negatives) and are exactly the
+    // pairs a shingle-based near-dup system must NOT merge, so they
+    // double as its adversarial acceptance set (q36's planted
+    // near-dups sit at the opposite corner: both high). Candidates
+    // come from shingle blocking with a df ≤ 64 key cap (the q93
+    // posting prefilter — a hot boilerplate gram can't explode the
+    // pair space); bag cosine² is exact integers via the q209 DECIMAL
+    // route; never all-pairs.
+    "q275_hard_pairs" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val shl = shingles(s, d).cache()
+      val grams = shl.select($"doc_id", explode($"sh").as("g"))
+      val keys = grams.groupBy($"g").agg(count(lit(1)).as("df"))
+        .filter($"df" <= 64).select($"g")
+      val gk = grams.join(keys, "g")
+      val cp = gk.select($"doc_id".as("a"), $"g")
+        .join(gk.select($"doc_id".as("b"), $"g"), "g")
+        .filter($"a" < $"b").select($"a", $"b").distinct()
+      val wc = T.documents(s, d)
+        .select($"doc_id", explode(split($"text", " ")).as("w"))
+        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+        .cache()
+      val nrm = wc.groupBy($"doc_id")
+        .agg(sum($"c" * $"c").cast("bigint").as("n2"))
+      val dots = cp.join(wc.toDF("a", "w", "ca"), "a")
+        .join(wc.toDF("b", "w", "cb"), Seq("b", "w"))
+        .groupBy($"a", $"b")
+        .agg(sum($"ca" * $"cb").cast("bigint").as("dot"))
+      dots.join(nrm.toDF("a", "n2a"), "a")
+        .join(nrm.toDF("b", "n2b"), "b")
+        .select($"a", $"b",
+          expr("CAST((CAST(dot AS DECIMAL(38,0)) * dot * 1000000) div " +
+            "(CAST(n2a AS DECIMAL(38,0)) * n2b) AS BIGINT)").as("cos2_ppm"))
+        .join(shl.toDF("a", "sha"), "a")
+        .join(shl.toDF("b", "shb"), "b")
+        .select($"a", $"b", $"cos2_ppm",
+          expr("CAST(size(array_intersect(sha, shb)) AS BIGINT) * 1000000L" +
+            " div CAST(size(array_union(sha, shb)) AS BIGINT)").as("jac_ppm"))
+        .filter($"cos2_ppm" >= 700000L && $"jac_ppm" <= 100000L)
+    }),
+
     // ---- fuzzy record linkage (collapse-then-link) ------------------
     // Entity resolution over part names — the blocking + edit-distance
     // pattern of classic record linkage, arranged so the quadratic
@@ -752,6 +799,48 @@ object Dedup extends QueryPack {
     }))
 
   def oracles: Map[String, String] = Map(
+    // shingle-blocked candidates (df <= 64 key cap), exact bag-cosine²
+    // through HUGEINT, identical thresholds
+    "q275_hard_pairs" ->
+      """WITH wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |shl AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM wl WHERE len(w) >= 3),
+        |sh AS (SELECT doc_id, unnest(sh) AS g FROM shl),
+        |keys AS (SELECT g FROM (SELECT g, count(*) AS df FROM sh GROUP BY 1) k
+        |  WHERE df <= 64),
+        |gk AS (SELECT sh.doc_id, sh.g FROM sh JOIN keys USING (g)),
+        |cp AS (
+        |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        |  FROM gk a JOIN gk b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |wc AS (
+        |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) u
+        |  GROUP BY 1, 2),
+        |nrm AS (SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS n2
+        |  FROM wc GROUP BY 1),
+        |dots AS (
+        |  SELECT cp.a, cp.b, CAST(sum(wa.c * wb.c) AS BIGINT) AS dot
+        |  FROM cp JOIN wc wa ON wa.doc_id = cp.a
+        |  JOIN wc wb ON wb.doc_id = cp.b AND wb.w = wa.w
+        |  GROUP BY 1, 2)
+        |SELECT d.a, d.b,
+        |  CAST((CAST(d.dot AS HUGEINT) * d.dot * 1000000)
+        |    // (CAST(na.n2 AS HUGEINT) * nb.n2) AS BIGINT) AS cos2_ppm,
+        |  CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) * 1000000
+        |    // CAST(len(list_distinct(list_concat(sa.sh, sb.sh)))
+        |      AS BIGINT) AS jac_ppm
+        |FROM dots d JOIN nrm na ON na.doc_id = d.a
+        |JOIN nrm nb ON nb.doc_id = d.b
+        |JOIN shl sa ON sa.doc_id = d.a JOIN shl sb ON sb.doc_id = d.b
+        |WHERE (CAST(d.dot AS HUGEINT) * d.dot * 1000000)
+        |    // (CAST(na.n2 AS HUGEINT) * nb.n2) >= 700000
+        |  AND CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) * 1000000
+        |    // CAST(len(list_distinct(list_concat(sa.sh, sb.sh)))
+        |      AS BIGINT) <= 100000""".stripMargin,
+
     "q177_record_linkage" ->
       """WITH n AS (
         |  SELECT split_part(p_name, ' ', 1) AS adj,

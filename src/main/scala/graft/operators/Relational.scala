@@ -2294,6 +2294,73 @@ object Relational extends QueryPack {
             .as("shrunk_ppm"))
     }),
 
+    // ---- holdout Brier audit of the q264 shrinkage -------------------
+    // The acceptance loop for q264 (the house rule: every estimator
+    // ships with the audit that could reject it): split orders in half
+    // by the portable content hash (whole ORDERS, so no within-order
+    // leakage), fit the beta-binomial shrinkage on the TRAIN half
+    // only, and score both raw and shrunk per-supplier rates on the
+    // TEST half's lines by the Brier decomposition
+    // Σ(pred − late·1e6)² = n·pred² − 2·pred·1e6·x + x·1e12 — exact
+    // integers in DECIMAL(38)/HUGEINT, reported as the per-line mean
+    // (ppm²) plus the relative improvement. Shrinkage must WIN
+    // (improvement > 0) or the q264 prior is hurting. Suppliers
+    // restricted to both halves (inner join) so the two predictors
+    // score the same lines. Scale shape: q264's aggs twice (train fit,
+    // test actuals) + a supplier-keyed join; the 1-row prior scalars
+    // broadcast.
+    "q276_eb_holdout_audit" -> ((s, d) => {
+      import s.implicits._
+      val li = T.lineitem(s, d)
+        .join(T.orders(s, d).select($"o_orderkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .select($"l_suppkey".as("supp"),
+          pmod(graft.functions.PortableHash.h60($"l_orderkey"), lit(2))
+            .as("half"),
+          (datediff(to_date($"l_shipdate"), to_date($"o_orderdate")) > 90)
+            .cast("long").as("late"))
+      val g = li.groupBy($"supp", $"half")
+        .agg(count(lit(1)).as("n"), sum($"late").cast("bigint").as("x"))
+      val tr = g.filter($"half" === 0).select($"supp", $"n", $"x")
+      val te = g.filter($"half" === 1)
+        .select($"supp", $"n".as("n_te"), $"x".as("x_te"))
+      val tot = tr.agg(count(lit(1)).as("k"),
+          sum($"n").cast("bigint").as("w"),
+          sum($"x").cast("bigint").as("sx"))
+        .select($"k", expr("sx * 1000000L div w").as("pbar"))
+      val v = tr.crossJoin(broadcast(tot))
+        .select((expr("x * 1000000L div n") - $"pbar").as("dev"), $"k")
+        .agg(expr("CAST(sum(CAST(dev AS DECIMAL(38,0)) * dev) div " +
+          "greatest(max(k) - 1, 1) AS BIGINT)").as("v_pp2"))
+      val prior = v.crossJoin(broadcast(tot))
+        .select($"pbar",
+          expr("CAST(greatest(0L, least(100000L, " +
+            "(pbar * (1000000L - pbar)) div greatest(v_pp2, 1L) - 1)) " +
+            "AS BIGINT)").as("m_prior"))
+      val sc = tr.crossJoin(broadcast(prior))
+        .select($"supp",
+          expr("x * 1000000L div n").as("raw_ppm"),
+          expr("(x * 1000000L + m_prior * pbar) div (n + m_prior)")
+            .as("shrunk_ppm"))
+        .join(te, "supp")
+        .select(
+          $"n_te",
+          expr("CAST(n_te AS DECIMAL(38,0)) * raw_ppm * raw_ppm " +
+            "- 2 * CAST(raw_ppm AS DECIMAL(38,0)) * 1000000 * x_te " +
+            "+ CAST(x_te AS DECIMAL(38,0)) * 1000000000000").as("se_raw"),
+          expr("CAST(n_te AS DECIMAL(38,0)) * shrunk_ppm * shrunk_ppm " +
+            "- 2 * CAST(shrunk_ppm AS DECIMAL(38,0)) * 1000000 * x_te " +
+            "+ CAST(x_te AS DECIMAL(38,0)) * 1000000000000").as("se_shrunk"))
+      sc.agg(count(lit(1)).as("n_suppliers"),
+          sum($"n_te").cast("bigint").as("n_test_lines"),
+          sum($"se_raw").as("sr"), sum($"se_shrunk").as("ss"))
+        .select($"n_suppliers", $"n_test_lines",
+          expr("CAST(sr div n_test_lines AS BIGINT)").as("brier_raw_pp2"),
+          expr("CAST(ss div n_test_lines AS BIGINT)").as("brier_shrunk_pp2"),
+          expr("CAST(((sr - ss) * 1000000) div sr AS BIGINT)")
+            .as("improvement_ppm"))
+    }),
+
     // ---- k-truss peel: edge-grain cohesion (capped) -----------------
     // [Cohen '08] — the EDGE-grain analog of q191's vertex k-core: an
     // edge survives the k-truss iff it closes ≥ k−2 triangles among
@@ -3762,6 +3829,57 @@ object Relational extends QueryPack {
         |FROM pt JOIN cb ON cb.late_ppm = pt.late_ppm
         |WHERE pt.bal_c = cb.band_max
         |  AND (cb.prior_max IS NULL OR pt.bal_c > cb.prior_max)""".stripMargin,
+
+    // the q264 chain fit on the hash-parity train half, Brier
+    // decomposition per supplier in HUGEINT, identical floors
+    "q276_eb_holdout_audit" ->
+      """WITH li AS (
+        |  SELECT l.l_suppkey AS supp,
+        |    CAST('0x' || substr(md5(CAST(l.l_orderkey AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 2 AS half,
+        |    CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) > 90
+        |      THEN 1 ELSE 0 END AS late
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |g AS (
+        |  SELECT supp, half, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(late) AS BIGINT) AS x
+        |  FROM li GROUP BY 1, 2),
+        |tr AS (SELECT supp, n, x FROM g WHERE half = 0),
+        |te AS (SELECT supp, n AS n_te, x AS x_te FROM g WHERE half = 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(n) AS BIGINT) AS w, CAST(sum(x) AS BIGINT) AS sx FROM tr),
+        |pb AS (SELECT sx * 1000000 // w AS pbar FROM tot),
+        |v AS (
+        |  SELECT CAST(sum(CAST(x * 1000000 // n - (SELECT pbar FROM pb)
+        |      AS HUGEINT)
+        |    * (x * 1000000 // n - (SELECT pbar FROM pb)))
+        |    // greatest((SELECT k FROM tot) - 1, 1) AS BIGINT) AS v_pp2
+        |  FROM tr),
+        |m AS (
+        |  SELECT CAST(greatest(0, least(100000,
+        |    ((SELECT pbar FROM pb) * (1000000 - (SELECT pbar FROM pb)))
+        |      // greatest((SELECT v_pp2 FROM v), 1) - 1)) AS BIGINT) AS m),
+        |preds AS (
+        |  SELECT supp, x * 1000000 // n AS raw_ppm,
+        |    (x * 1000000 + (SELECT m FROM m) * (SELECT pbar FROM pb))
+        |      // (n + (SELECT m FROM m)) AS shrunk_ppm
+        |  FROM tr),
+        |sc AS (
+        |  SELECT te.n_te,
+        |    CAST(te.n_te AS HUGEINT) * p.raw_ppm * p.raw_ppm
+        |      - 2 * CAST(p.raw_ppm AS HUGEINT) * 1000000 * te.x_te
+        |      + CAST(te.x_te AS HUGEINT) * 1000000000000 AS se_raw,
+        |    CAST(te.n_te AS HUGEINT) * p.shrunk_ppm * p.shrunk_ppm
+        |      - 2 * CAST(p.shrunk_ppm AS HUGEINT) * 1000000 * te.x_te
+        |      + CAST(te.x_te AS HUGEINT) * 1000000000000 AS se_shrunk
+        |  FROM preds p JOIN te ON te.supp = p.supp)
+        |SELECT CAST(count(*) AS BIGINT) AS n_suppliers,
+        |  CAST(sum(n_te) AS BIGINT) AS n_test_lines,
+        |  CAST(sum(se_raw) // sum(n_te) AS BIGINT) AS brier_raw_pp2,
+        |  CAST(sum(se_shrunk) // sum(n_te) AS BIGINT) AS brier_shrunk_pp2,
+        |  CAST((sum(se_raw) - sum(se_shrunk)) * 1000000 // sum(se_raw)
+        |    AS BIGINT) AS improvement_ppm
+        |FROM sc""".stripMargin,
 
     // the method-of-moments chain replayed with identical floors and
     // the identical [0, 1e5] strength clamp; scalars via subqueries

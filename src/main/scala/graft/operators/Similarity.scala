@@ -391,6 +391,69 @@ object Similarity extends QueryPack {
           expr("array_max(qv)").as("max_q"))
     }),
 
+    // ---- MMR diversified top-k retrieval -----------------------------
+    // [Carbonell & Goldstein, SIGIR'98] — the context-selection step a
+    // RAG pipeline runs AFTER q40's plain top-k: greedy Maximal
+    // Marginal Relevance picks k=10 items maximizing
+    // rel(c) − max_{s∈S} sim(c, s) (λ = 1/2, scale-equivalent), so the
+    // selected set covers the query's neighborhood instead of
+    // returning 10 copies of the same cluster. Similarity is the
+    // SIGNED QUANTIZED cos² in ppm — sgn(dot)·dot²·1e6 div (n2a·n2b)
+    // through DECIMAL(38)/HUGEINT — monotone in |cos| with sign, and
+    // exactly replayable (the rounded-double cosine would make the
+    // greedy argmax float-order-sensitive across engines). Scale
+    // shape: one corpus relevance pass → top-50 candidates
+    // (TakeOrdered), the 50×50 pairwise table and the greedy 10-step
+    // fold are CANDIDATE-bounded (boundedCollect-asserted driver fold,
+    // the q223 rule); the oracle replays the greedy loop in one
+    // recursive CTE with a per-level argmax.
+    "q274_mmr_retrieval" -> ((s, d) => {
+      import s.implicits._
+      val emb = quantized(s, d)
+      val qq = emb.filter($"vec_id" === 0)
+        .select($"q".as("qv"), $"n2".as("qn2"))
+      def simPps(dot: String, n2a: String, n2b: String) =
+        expr(s"CAST(CASE WHEN $dot < 0 THEN -1 ELSE 1 END * " +
+          s"((CAST($dot AS DECIMAL(38,0)) * $dot * 1000000) div " +
+          s"(CAST($n2a AS DECIMAL(38,0)) * $n2b)) AS BIGINT)")
+      val cand = emb.filter($"vec_id" =!= 0).crossJoin(broadcast(qq))
+        .select($"vec_id", $"q", $"n2", expr("int_dot(q, qv)").as("dot"), $"qn2")
+        .select($"vec_id", $"q", $"n2",
+          simPps("dot", "n2", "qn2").as("rel_pps"))
+        .orderBy($"rel_pps".desc, $"vec_id").limit(50)
+        .cache()
+      val ps = cand.select($"vec_id".as("a"), $"q".as("qa"), $"n2".as("n2a"))
+        .join(cand.select($"vec_id".as("b"), $"q".as("qb"), $"n2".as("n2b")),
+          $"a" =!= $"b")
+        .select($"a", $"b", expr("int_dot(qa, qb)").as("dot"), $"n2a", $"n2b")
+        .select($"a", $"b", simPps("dot", "n2a", "n2b").as("sim_pps"))
+      val rels = T.boundedCollect(cand.select($"vec_id", $"rel_pps"),
+          50, "q274 candidates")
+        .map(r => r.getLong(0) -> r.getLong(1))
+      val sims = T.boundedCollect(ps, 50L * 49, "q274 pair sims")
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val rel = rels.toMap
+      var selected = Vector.empty[Long]
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      var step = 1
+      while (step <= 10 && selected.size < rels.length) {
+        val (pick, score) = rels.iterator
+          .filterNot { case (c, _) => selected.contains(c) }
+          .map { case (c, r) =>
+            val div = if (selected.isEmpty) 0L
+              else selected.map(sv => sims((c, sv))).max
+            (c, r - (if (selected.isEmpty) 0L else div))
+          }
+          // argmax by (mmr desc, vec_id asc) — the oracle's tie-break
+          .reduce((x, y) => if (y._2 > x._2 || (y._2 == x._2 && y._1 < x._1)) y else x)
+        out += ((step.toLong, pick, score))
+        selected :+= pick
+        step += 1
+      }
+      cand.unpersist()
+      out.toSeq.toDF("rk", "vec_id", "mmr_pps")
+    }),
+
     "q40_cosine_topk" -> ((s, d) => {
       import s.implicits._
       val emb = quantized(s, d)
@@ -1268,6 +1331,60 @@ object Similarity extends QueryPack {
         |FROM q""".stripMargin,
 
     "q40_cosine_topk" -> duckQ40,
+
+    // the greedy MMR loop replayed in one recursive CTE: per level a
+    // LATERAL argmax over candidates not yet selected, diversity = max
+    // signed-cos² against the selected list; identical tie-breaks
+    "q274_mmr_retrieval" ->
+      """WITH RECURSIVE qn AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(x * 1024) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, qv,
+        |    CAST(list_sum(list_transform(qv, x -> CAST(x * x AS HUGEINT)))
+        |      AS BIGINT) AS n2
+        |  FROM qn),
+        |qq AS (SELECT qv AS query_v, n2 AS qn2 FROM n WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT n.vec_id, n.qv, n.n2,
+        |    CAST(CASE WHEN d.dot < 0 THEN -1 ELSE 1 END
+        |      * ((CAST(d.dot AS HUGEINT) * d.dot * 1000000)
+        |         // (CAST(n.n2 AS HUGEINT) * qq.qn2)) AS BIGINT) AS rel_pps
+        |  FROM n, qq, LATERAL (
+        |    SELECT CAST(list_sum(list_transform(range(1, len(n.qv) + 1),
+        |      i -> CAST(n.qv[i] * qq.query_v[i] AS HUGEINT))) AS BIGINT)
+        |      AS dot) d
+        |  WHERE n.vec_id != 0
+        |  ORDER BY rel_pps DESC, n.vec_id LIMIT 50),
+        |ps AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b,
+        |    CAST(CASE WHEN d.dot < 0 THEN -1 ELSE 1 END
+        |      * ((CAST(d.dot AS HUGEINT) * d.dot * 1000000)
+        |         // (CAST(a.n2 AS HUGEINT) * b.n2)) AS BIGINT) AS sim_pps
+        |  FROM cand a JOIN cand b ON a.vec_id != b.vec_id, LATERAL (
+        |    SELECT CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+        |      i -> CAST(a.qv[i] * b.qv[i] AS HUGEINT))) AS BIGINT) AS dot) d),
+        |first_pick AS (
+        |  SELECT vec_id, rel_pps FROM cand
+        |  ORDER BY rel_pps DESC, vec_id LIMIT 1),
+        |sel(step, picked, mmr_pps, sel_list) AS (
+        |  SELECT CAST(1 AS BIGINT), vec_id, rel_pps, [vec_id]
+        |  FROM first_pick
+        |  UNION ALL
+        |  SELECT sel.step + 1, p.c, p.mmr, list_append(sel.sel_list, p.c)
+        |  FROM sel, LATERAL (
+        |    SELECT c, mmr FROM (
+        |      SELECT cand.vec_id AS c,
+        |        cand.rel_pps - max(ps.sim_pps) AS mmr
+        |      FROM cand JOIN ps ON ps.a = cand.vec_id
+        |        AND list_contains(sel.sel_list, ps.b)
+        |      WHERE NOT list_contains(sel.sel_list, cand.vec_id)
+        |      GROUP BY cand.vec_id, cand.rel_pps
+        |    ) x ORDER BY mmr DESC, c LIMIT 1) p
+        |  WHERE sel.step < 10)
+        |SELECT step AS rk, picked AS vec_id, CAST(mmr_pps AS BIGINT) AS mmr_pps
+        |FROM sel""".stripMargin,
 
     "q41_ann_ivf" -> duckQ41,
 

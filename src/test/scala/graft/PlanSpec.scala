@@ -76,6 +76,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q268: the 1-row conversion-total scalar crossed onto the
     // |channels|-row table
     "q268_channel_removal",
+    // q274: the 1-row query-vector scalar onto the corpus; the
+    // 50-candidate pairwise self-join (bounded by the top-50 cut)
+    "q274_mmr_retrieval",
+    // q276: q264's 1-row pooled/variance/prior scalars, fit on the
+    // train half
+    "q276_eb_holdout_audit",
     // q270: the 1-row timespan scalar crossed onto the corpus (derived
     // epoch midpoint, the q262 rule)
     "q270_diff_in_diff",
