@@ -973,6 +973,38 @@ object Pipeline extends QueryPack {
           ($"base" + when($"rk" <= $"leftover", 1L).otherwise(0L)).as("alloc"))
     }),
 
+    // ---- leave-one-source-out ablation report ------------------------
+    // The curation question BEFORE dropping a source from the mixture:
+    // what does the corpus lose? Per source, by inclusion–exclusion
+    // from ONE (source, 3-gram) agg — no per-source recompute: its
+    // token share, its 3-gram type count, the types EXCLUSIVE to it
+    // (global source-df = 1 — exactly the phrase diversity that
+    // vanishes if the source is cut; unigrams are useless here, the
+    // fixture's 31-word vocabulary is fully shared), and the corpus
+    // vocabulary after removal. Scale shape: one corpus agg on the
+    // gram key, one gram-keyed df agg, a 1-row total broadcast;
+    // nothing is per-source re-scanned.
+    "q279_source_ablation" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val bg = T.documents(s, d)
+        .select($"source", explode(expr("word_ngrams(text, 3)")).as("g"))
+        .groupBy($"source", $"g").agg(count(lit(1)).as("c"))
+      val gdf = bg.groupBy($"g").agg(count(lit(1)).as("n_src"))
+      val tot = bg.agg(sum($"c").cast("bigint").as("t"),
+        countDistinct($"g").as("v_types"))
+      bg.join(gdf, "g").crossJoin(broadcast(tot))
+        .groupBy($"source", $"t", $"v_types")
+        .agg(sum($"c").cast("bigint").as("n_grams"),
+          count(lit(1)).as("gram_types"),
+          sum(($"n_src" === 1).cast("long")).as("excl_types"))
+        .select($"source", $"n_grams",
+          expr("n_grams * 1000000L div t").as("share_ppm"),
+          $"gram_types", $"excl_types",
+          expr("excl_types * 1000000L div gram_types").as("excl_ppm"),
+          ($"v_types" - $"excl_types").as("vocab_after_removal"))
+    }),
+
     // ---- two-period difference-in-differences ------------------------
     // [Card & Krueger, AER'94 lineage] — the quasi-experimental readout
     // when there was no randomized assignment (q186's CUPED assumes
@@ -1397,6 +1429,31 @@ object Pipeline extends QueryPack {
         |SELECT source, toks, base, rem_num,
         |  base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
         |FROM r""".stripMargin,
+
+    // the same one-agg inclusion-exclusion on the (source, 3-gram) key
+    "q279_source_ablation" ->
+      """WITH bg AS (
+        |  SELECT source, g, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT source, unnest(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |    FROM (SELECT source, string_split(text, ' ') AS w
+        |      FROM documents) t) u
+        |  GROUP BY 1, 2),
+        |gdf AS (SELECT g, CAST(count(*) AS BIGINT) AS n_src
+        |  FROM bg GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t,
+        |  CAST(count(DISTINCT g) AS BIGINT) AS v FROM bg)
+        |SELECT bg.source, CAST(sum(bg.c) AS BIGINT) AS n_grams,
+        |  sum(bg.c) * 1000000 // tot.t AS share_ppm,
+        |  CAST(count(*) AS BIGINT) AS gram_types,
+        |  CAST(sum(CASE WHEN gdf.n_src = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS excl_types,
+        |  sum(CASE WHEN gdf.n_src = 1 THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS excl_ppm,
+        |  tot.v - CAST(sum(CASE WHEN gdf.n_src = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS vocab_after_removal
+        |FROM bg JOIN gdf ON gdf.g = bg.g CROSS JOIN tot
+        |GROUP BY 1, tot.t, tot.v""".stripMargin,
 
     // derived epoch-us midpoint (2t >= lo+hi), HUGEINT cell sums,
     // identical mean floors, 1-row conditional fold

@@ -823,6 +823,37 @@ object Relational extends QueryPack {
       orientedAdjacency(coocOrientedEdges(s, d))
     }
 
+  /** Isotonic (non-decreasing weighted least-squares) fit over a
+    * BOUNDED (bin, n, x) table, in floored ppm — the minimax
+    * characterization of PAVA: fitted_i = max_{j≤i} min_{k≥i}
+    * avg(j..k). Floor commutes with min/max (monotone), so these are
+    * exactly the floors of the rational PAVA solution; equality with a
+    * sequential PAVA reference is property-tested
+    * (IsotonicPropertySpec). Caller guarantees bins are BOUNDED (≤ a
+    * few hundred): intervals are O(bins²), triples O(bins³). */
+  private[graft] def isotonicFitPpm(bins: DataFrame): DataFrame = {
+    val s = bins.sparkSession
+    import s.implicits._
+    val wp = Window.orderBy($"bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = bins
+      .withColumn("cn", sum($"n").over(wp))
+      .withColumn("cx", sum($"x").over(wp))
+    // both non-equi joins broadcast the bin-bounded side explicitly —
+    // unhinted, the planner falls back to a CartesianProduct
+    val iv = pre.select($"bin".as("j"), $"n".as("nj"), $"x".as("xj"),
+        $"cn".as("cnj"), $"cx".as("cxj"))
+      .join(broadcast(pre.select($"bin".as("k"), $"cn".as("cnk"),
+        $"cx".as("cxk"))), $"j" <= $"k")
+      .select($"j", $"k",
+        expr("(cxk - (cxj - xj)) * 1000000L div (cnk - (cnj - nj))")
+          .as("avg_ppm"))
+    bins.select($"bin")
+      .join(broadcast(iv), $"j" <= $"bin" && $"k" >= $"bin")
+      .groupBy($"bin", $"j").agg(min($"avg_ppm").as("mn"))
+      .groupBy($"bin").agg(max($"mn").as("iso_ppm"))
+  }
+
   /** Oriented triangle enumeration (u, w, z): each undirected triangle
     * exactly once — for each degree-ordered edge (u, w), every common
     * out-neighbor z closes one, via the sorted-adjacency intersection.
@@ -2292,6 +2323,34 @@ object Relational extends QueryPack {
           expr("x * 1000000L div n").as("raw_ppm"),
           expr("(x * 1000000L + m_prior * pbar) div (n + m_prior)")
             .as("shrunk_ppm"))
+    }),
+
+    // ---- isotonic calibration of late rate vs quantity ---------------
+    // [Barlow+ '72 PAVA; Zadrozny & Elkan KDD'02 calibration] — fit the
+    // best NON-DECREASING late-rate curve over quantity bins: the
+    // monotone calibrator a score→probability mapping needs, computed
+    // NOT by the sequential pool-adjacent-violators loop but by its
+    // closed-form minimax characterization fitted_i =
+    // max_{j≤i} min_{k≥i} avg(j..k) — which is pure relational algebra
+    // over the BIN-BOUNDED prefix table (≤50 bins → ≤1275 intervals →
+    // ≤64k triples; corpus-independent after the one binning agg).
+    // Exactness: floor is monotone, so the minimax of floored ppm
+    // averages IS the floor of the exact rational minimax — no
+    // fraction comparisons needed; equality with a direct sequential
+    // PAVA reference is property-tested (IsotonicPropertySpec).
+    "q277_isotonic_calibration" -> ((s, d) => {
+      import s.implicits._
+      val bins = T.lineitem(s, d)
+        .join(T.orders(s, d).select($"o_orderkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .select(expr("CAST(round(l_quantity) AS BIGINT)").as("bin"),
+          (datediff(to_date($"l_shipdate"), to_date($"o_orderdate")) > 90)
+            .cast("long").as("late"))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n"), sum($"late").cast("bigint").as("x"))
+      bins.join(isotonicFitPpm(bins), "bin")
+        .select($"bin", $"n", $"x",
+          expr("x * 1000000L div n").as("raw_ppm"), $"iso_ppm")
     }),
 
     // ---- holdout Brier audit of the q264 shrinkage -------------------
@@ -3829,6 +3888,37 @@ object Relational extends QueryPack {
         |FROM pt JOIN cb ON cb.late_ppm = pt.late_ppm
         |WHERE pt.bal_c = cb.band_max
         |  AND (cb.prior_max IS NULL OR pt.bal_c > cb.prior_max)""".stripMargin,
+
+    // the minimax characterization replayed on the same prefix table;
+    // floors inside min/max are exact (floor is monotone)
+    "q277_isotonic_calibration" ->
+      """WITH pts AS (
+        |  SELECT CAST(round(l.l_quantity) AS BIGINT) AS bin,
+        |    CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) > 90
+        |      THEN 1 ELSE 0 END AS late
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |bins AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(late) AS BIGINT) AS x
+        |  FROM pts GROUP BY 1),
+        |pre AS (
+        |  SELECT bin, n, x,
+        |    CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+        |    CAST(sum(x) OVER (ORDER BY bin) AS BIGINT) AS cx
+        |  FROM bins),
+        |iv AS (
+        |  SELECT j.bin AS j, k.bin AS k,
+        |    (k.cx - (j.cx - j.x)) * 1000000 // (k.cn - (j.cn - j.n))
+        |      AS avg_ppm
+        |  FROM pre j JOIN pre k ON j.bin <= k.bin),
+        |mm AS (
+        |  SELECT b.bin, iv.j, min(iv.avg_ppm) AS mn
+        |  FROM bins b JOIN iv ON iv.j <= b.bin AND iv.k >= b.bin
+        |  GROUP BY 1, 2)
+        |SELECT bins.bin, bins.n, bins.x,
+        |  bins.x * 1000000 // bins.n AS raw_ppm, f.iso_ppm
+        |FROM bins JOIN (SELECT bin, CAST(max(mn) AS BIGINT) AS iso_ppm
+        |  FROM mm GROUP BY 1) f USING (bin)""".stripMargin,
 
     // the q264 chain fit on the hash-parity train half, Brier
     // decomposition per supplier in HUGEINT, identical floors

@@ -82,6 +82,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q276: q264's 1-row pooled/variance/prior scalars, fit on the
     // train half
     "q276_eb_holdout_audit",
+    // q277: the bin-bounded (<=50 rows post-agg) interval/triple
+    // non-equi joins of the isotonic minimax
+    "q277_isotonic_calibration",
+    // q279: the 1-row corpus-total scalar crossed onto the
+    // |sources|-row report
+    "q279_source_ablation",
     // q270: the 1-row timespan scalar crossed onto the corpus (derived
     // epoch midpoint, the q262 rule)
     "q270_diff_in_diff",
