@@ -190,6 +190,29 @@ import graft.operators._
   * (the PlanSpec window-guard registry, data-audited) and
   * TimerBoundarySpec (expired timers fire at watermark == expiry,
   * inclusive).
+  *
+  * Round-14 (SURVEY.md §2 round-14 table): the triangle re-land and
+  * the last batch-only loop closed. q263/q266 now enumerate triangles
+  * exclusively on the degree-ordered orientation substrate
+  * (orientedTriangles — per-edge support property-tested); s30 runs
+  * q155's MinHash-band near-dup admission INCREMENTALLY in
+  * foreachBatch against the persisted signature index (batchId-keyed
+  * idempotent pair sink; oracle = q155's one-shot answer).
+  * Attribution/experiments: q268 path-based channel removal effects
+  * (struct-key first-purchase order), q270 two-period
+  * difference-in-differences across the derived timespan midpoint,
+  * q276 holdout Brier audit proving q264's shrinkage wins
+  * out-of-sample. Text/curation: q271 Good–Turing unseen mass (the
+  * crawl stopping signal), q273 char-bigram surprise gibberish
+  * scoring (bit-log integers), q275 hard-pair mining (bag-cos² high,
+  * shingle-Jaccard low — the near-dup adversarial acceptance set),
+  * q279 leave-one-source-out ablation by inclusion-exclusion.
+  * Sketches: q272 trailing-7-day distinct users by HLL register max
+  * over a RANGE frame (the merge-don't-recount shape). Calibration:
+  * q277 isotonic fit by PAVA's minimax characterization on the
+  * bin-bounded prefix table (IsotonicPropertySpec). q274 greedy MMR
+  * diversified retrieval over the top-50 cut with signed quantized
+  * cos² (recursive-CTE oracle). Bench now times best-of-2 per query.
   */
 object SparkEntry {
 
