@@ -68,22 +68,22 @@ object Bench {
     // state-write cost, not commit count — the default HDFS-backed
     // provider stays (no JNI surface, same speed); RocksDB's win
     // appears at state sizes that don't fit executor heap, not here.
-    // Best-of-2 timed passes (VERDICT r13 #7): same-code drift between
+    // Best-of-3 timed passes (VERDICT r13 #7): same-code drift between
     // two full r13 runs was 14.4% median per query — pure JVM/GC noise
-    // from a 289-query single-session run, larger than any real
-    // regression being hunted. The per-query MIN of two passes is the
-    // noise-robust statistic (GC/compilation interference only ever
-    // ADDS time); two full passes also space each query's runs ~6 min
-    // apart, decorrelating heap-pressure spikes.
+    // from a 300-query single-session run, larger than any real
+    // regression being hunted. The per-query MIN is the noise-robust
+    // statistic (GC/compilation interference only ever ADDS time);
+    // min-of-2 measured 7.9% median cross-run deviation on this host,
+    // min-of-3 tightens it further. Full passes also space each
+    // query's runs minutes apart, decorrelating heap-pressure spikes.
     def timedPass(): Seq[(String, Double)] = all.map { case (name, fn) =>
       spark.catalog.clearCache()
       name -> run(name, fn)
     }
-    val pass1 = timedPass()
-    val pass2 = timedPass()
-    val results = pass1.zip(pass2).map { case ((n, a), (_, b)) =>
-      n -> math.min(a, b)
-    }
+    val passes = Seq(timedPass(), timedPass(), timedPass())
+    val results = passes.head.indices.map { i =>
+      passes.head(i)._1 -> passes.map(_(i)._2).min
+    }.toSeq
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

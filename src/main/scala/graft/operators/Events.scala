@@ -1212,6 +1212,36 @@ object Events extends QueryPack {
             "ELSE 0 END AS BIGINT)").as("cv2_ppm"))
     }),
 
+    // ---- half-life-decayed engagement score --------------------------
+    // The recency-weighted revenue feature every churn/LTV model eats
+    // (exponential decay, 1-week half-life) made INTEGER-EXACT: weight
+    // = 1e6 >> age_weeks (a right shift IS 2^-k in fixed point;
+    // both engines shift identically, capped at 20 — below 1 ppm the
+    // weight is 0 anyway). The anchor is the DERIVED max(ts) (q262's
+    // rule), age floors by integer days/7. One corpus pass + one
+    // user-keyed agg; weighted sums in DECIMAL(38)/HUGEINT (cents ×
+    // 1e6 at 100× passes int64). Negative/null purchase values are
+    // excluded up front (the s25 rule: floor parity needs non-negative
+    // operands).
+    "q281_decayed_engagement" -> ((s, d) => {
+      import s.implicits._
+      val mx = T.events(s, d).agg(max(to_date($"ts")).as("d_max"))
+      T.events(s, d)
+        .filter($"event_type" === "purchase" &&
+          $"value".isNotNull && $"value" >= 0)
+        .crossJoin(broadcast(mx))
+        .select($"user_id",
+          graft.functions.Exact.cents($"value").as("cents"),
+          expr("least(CAST(datediff(d_max, to_date(ts)) AS BIGINT) div 7, " +
+            "20L)").as("wk"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_purch"),
+          sum($"cents").cast("bigint").as("raw_cents"),
+          expr("CAST(sum(CAST(cents AS DECIMAL(38,0)) " +
+            "* shiftright(1000000L, CAST(wk AS INT))) div 1000000 " +
+            "AS BIGINT)").as("decayed_cents"))
+    }),
+
     // ---- path-based channel removal effects (attribution) -----------
     // The counterfactual companion to q92's last-touch: removal effect
     // of channel c = share of converting users whose PRE-conversion
@@ -1742,6 +1772,23 @@ object Events extends QueryPack {
 
     // the shifted-series power sums replayed per lag; R² numerator
     // squared in HUGEINT, sign as its own column
+    // derived max-date anchor, identical >> fixed-point weights and
+    // HUGEINT weighted sums
+    "q281_decayed_engagement" ->
+      """WITH mx AS (SELECT max(CAST(ts AS DATE)) AS m FROM events),
+        |p AS (
+        |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+        |    least(CAST(datediff('day', CAST(ts AS DATE), mx.m) AS BIGINT)
+        |      // 7, 20) AS wk
+        |  FROM events, mx
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL
+        |    AND value >= 0)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_purch,
+        |  CAST(sum(cents) AS BIGINT) AS raw_cents,
+        |  CAST(sum(CAST(cents AS HUGEINT) * (1000000 >> wk)) // 1000000
+        |    AS BIGINT) AS decayed_cents
+        |FROM p GROUP BY 1""".stripMargin,
+
     // identical struct-key total order, path-set logic, and floors
     "q268_channel_removal" ->
       """WITH conv AS (

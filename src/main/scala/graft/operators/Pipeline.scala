@@ -717,6 +717,38 @@ object Pipeline extends QueryPack {
     // cents non-negative BEFORE the integer division (Spark div
     // truncates, DuckDB // floors; they agree only for non-negative
     // numerators — acctbal can be negative).
+    // ---- quasi-identifier PAIR uniqueness (linkage-attack risk) -----
+    // [Sweeney '00 lineage] — the matrix BEFORE q149's k-anonymity
+    // commits to one quasi-identifier set: for each candidate QI
+    // column PAIR, the share of customers re-identifiable by that
+    // pair alone (rows in singleton combos / rows). The release
+    // planner reads this to decide which columns must be generalized
+    // together — nation×segment is safe here while nation×balance-band
+    // re-identifies, which is the reading. One hash agg per pair
+    // (3 pairs — the candidate set is schema-bounded), a 1-row total
+    // broadcast, 3-row report.
+    "q280_qi_pair_risk" -> ((s, d) => {
+      import s.implicits._
+      val c = T.customer(s, d)
+        .select($"c_nationkey".cast("long").as("nat"),
+          $"c_mktsegment".as("seg"),
+          (graft.functions.Exact.cents($"c_acctbal")
+            .cast("long")).as("cents"))
+        .select($"nat", $"seg", expr("cents div 100000").as("bal_band"))
+      def pair(name: String, k1: String, k2: String) =
+        c.groupBy(col(k1), col(k2)).agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_combos"),
+            sum(($"n" === 1).cast("long")).as("n_singleton"))
+          .select(lit(name).as("qi_pair"), $"n_combos", $"n_singleton")
+      val tot = c.agg(count(lit(1)).as("nr"))
+      pair("nation,segment", "nat", "seg")
+        .unionAll(pair("nation,bal_band", "nat", "bal_band"))
+        .unionAll(pair("segment,bal_band", "seg", "bal_band"))
+        .crossJoin(broadcast(tot))
+        .select($"qi_pair", $"n_combos", $"n_singleton",
+          expr("n_singleton * 1000000L div nr").as("reident_ppm"))
+    }),
+
     "q149_k_anonymity" -> ((s, d) => {
       import s.implicits._
       T.customer(s, d)
@@ -1429,6 +1461,34 @@ object Pipeline extends QueryPack {
         |SELECT source, toks, base, rem_num,
         |  base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
         |FROM r""".stripMargin,
+
+    // one agg per pair, singleton-combo mass over the row total;
+    // negative balance bands truncate identically (int // == div)
+    "q280_qi_pair_risk" ->
+      """WITH c AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_band
+        |  FROM customer),
+        |p1 AS (
+        |  SELECT 'nation,segment' AS qi_pair,
+        |    CAST(count(*) AS BIGINT) AS n_combos,
+        |    CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_singleton
+        |  FROM (SELECT nat, seg, count(*) AS n FROM c GROUP BY 1, 2) g),
+        |p2 AS (
+        |  SELECT 'nation,bal_band', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM (SELECT nat, bal_band, count(*) AS n FROM c GROUP BY 1, 2) g),
+        |p3 AS (
+        |  SELECT 'segment,bal_band', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM (SELECT seg, bal_band, count(*) AS n FROM c GROUP BY 1, 2) g),
+        |u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+        |  UNION ALL SELECT * FROM p3),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nr FROM c)
+        |SELECT qi_pair, n_combos, n_singleton,
+        |  n_singleton * 1000000 // tot.nr AS reident_ppm
+        |FROM u CROSS JOIN tot""".stripMargin,
 
     // the same one-agg inclusion-exclusion on the (source, 3-gram) key
     "q279_source_ablation" ->

@@ -2325,6 +2325,39 @@ object Relational extends QueryPack {
             .as("shrunk_ppm"))
     }),
 
+    // ---- graph diameter lower bound (double BFS sweep) ---------------
+    // [Magnien, Latapy & Habib '09] — the standard cheap diameter
+    // estimate: BFS from a content-hash-chosen start (q242's seed
+    // convention), BFS again from the farthest vertex found; the
+    // second eccentricity is a provable diameter LOWER bound, usually
+    // tight in practice. Two capped BFS passes over the memoized cooc
+    // substrate (the q195 labeled-frontier core via
+    // multiSeedDistances, 6-hop cap — the dense co-purchase graph
+    // saturates at 2-3); the two 1-row farthest-vertex argmaxes are
+    // loop-control scalars (q191 rule); ties break to the smallest
+    // vertex id in both engines. 1-row report.
+    "q282_double_sweep" -> ((s, d) => {
+      import s.implicits._
+      val e = coocEdges(s, d)
+      val dirE = e.unionAll(e.select($"b".as("a"), $"a".as("b")))
+      val seed = T.boundedCollect(
+        coocDeg(s, d).select($"v")
+          .orderBy(graft.functions.PortableHash.h60($"v"), $"v")
+          .limit(1), 1, "q282 seed").head.getLong(0)
+      def sweep(src: Long): (DataFrame, Long, Long) = {
+        val dist = multiSeedDistances(dirE, Seq(src).toDF("sd"), 6)
+        val far = T.boundedCollect(
+          dist.orderBy($"hop".desc, $"v").limit(1), 1, "q282 far").head
+        (dist, far.getLong(2), far.getLong(1))
+      }
+      val (d1, ecc1, far1) = sweep(seed)
+      val nReach = d1.count()
+      val (_, ecc2, far2) = sweep(far1)
+      Seq((seed, ecc1, far1, ecc2, far2, nReach))
+        .toDF("seed", "ecc1", "far_vertex", "diam_lb", "far_vertex2",
+          "n_reached")
+    }),
+
     // ---- isotonic calibration of late rate vs quantity ---------------
     // [Barlow+ '72 PAVA; Zadrozny & Elkan KDD'02 calibration] — fit the
     // best NON-DECREASING late-rate curve over quantity bins: the
@@ -3888,6 +3921,54 @@ object Relational extends QueryPack {
         |FROM pt JOIN cb ON cb.late_ppm = pt.late_ppm
         |WHERE pt.bal_c = cb.band_max
         |  AND (cb.prior_max IS NULL OR pt.bal_c > cb.prior_max)""".stripMargin,
+
+    // two unrolled 6-hop materialized BFS chains (the q195 rule);
+    // hash-smallest seed and (hop DESC, v) argmaxes replayed
+    "q282_double_sweep" -> {
+      def chain(sw: Int, seedCte: String): String = {
+        val hops = (1 to 6).map { h =>
+          s"""f${sw}_$h AS MATERIALIZED (
+             |  SELECT DISTINCT d.v FROM dirw d
+             |  JOIN f${sw}_${h - 1} f ON d.u = f.v
+             |  WHERE d.v NOT IN (SELECT v FROM vis${sw}_${h - 1})),
+             |vis${sw}_$h AS MATERIALIZED (
+             |  SELECT v, hop FROM vis${sw}_${h - 1}
+             |  UNION ALL SELECT v, CAST($h AS BIGINT) FROM f${sw}_$h)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""f${sw}_0 AS MATERIALIZED (SELECT v FROM $seedCte),
+           |vis${sw}_0 AS MATERIALIZED (
+           |  SELECT v, CAST(0 AS BIGINT) AS hop FROM f${sw}_0),
+           |$hops""".stripMargin
+      }
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e AS MATERIALIZED (
+         |  SELECT x.p AS a, y.p AS b FROM li x JOIN li y
+         |  ON x.o = y.o AND x.p < y.p GROUP BY 1, 2),
+         |dirw AS MATERIALIZED (
+         |  SELECT a AS u, b AS v FROM e
+         |  UNION ALL SELECT b AS u, a AS v FROM e),
+         |vs AS MATERIALIZED (SELECT DISTINCT u AS v FROM dirw),
+         |sd AS MATERIALIZED (
+         |  SELECT v FROM vs
+         |  ORDER BY CAST('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15)
+         |    AS BIGINT), v LIMIT 1),
+         |${chain(1, "sd")},
+         |far1 AS MATERIALIZED (
+         |  SELECT v, hop FROM vis1_6 ORDER BY hop DESC, v LIMIT 1),
+         |far1v AS MATERIALIZED (SELECT v FROM far1),
+         |${chain(2, "far1v")},
+         |far2 AS MATERIALIZED (
+         |  SELECT v, hop FROM vis2_6 ORDER BY hop DESC, v LIMIT 1)
+         |SELECT (SELECT v FROM sd) AS seed,
+         |  (SELECT hop FROM far1) AS ecc1,
+         |  (SELECT v FROM far1) AS far_vertex,
+         |  (SELECT hop FROM far2) AS diam_lb,
+         |  (SELECT v FROM far2) AS far_vertex2,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM vis1_6)
+         |    AS n_reached""".stripMargin
+    },
 
     // the minimax characterization replayed on the same prefix table;
     // floors inside min/max are exact (floor is monotone)

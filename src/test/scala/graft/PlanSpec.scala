@@ -88,6 +88,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q279: the 1-row corpus-total scalar crossed onto the
     // |sources|-row report
     "q279_source_ablation",
+    // q280: the 1-row row-total scalar crossed onto the 3-row report
+    "q280_qi_pair_risk",
+    // q281: the 1-row max-date anchor scalar crossed onto the corpus
+    // (q262's derived-anchor rule)
+    "q281_decayed_engagement",
     // q270: the 1-row timespan scalar crossed onto the corpus (derived
     // epoch midpoint, the q262 rule)
     "q270_diff_in_diff",
