@@ -508,16 +508,27 @@ object Relational extends QueryPack {
     var visited = seeds.select($"sd", $"sd".as("v"), lit(0L).as("hop"))
       .localCheckpoint()
     var frontier = seeds.select($"sd", $"sd".as("v")).localCheckpoint()
-    for (h <- 1 to maxHops) {
+    var h = 1
+    // empty-frontier early exit: every later hop is a no-op, and each
+    // skipped round saves a join + two localCheckpoints — on a
+    // small-diameter graph (q282's double sweep: diameter 2, cap 6)
+    // this halves the pass count; results are identical by definition
+    var exhausted = false
+    while (h <= maxHops && !exhausted) {
       val next = dirE.toDF("u", "w")
         .join(frontier.withColumnRenamed("v", "u"), Seq("u"))
         .select($"sd", $"w".as("v")).distinct()
         .join(visited.select($"sd", $"v"), Seq("sd", "v"), "left_anti")
         .localCheckpoint()
-      visited = visited
-        .unionAll(next.withColumn("hop", lit(h.toLong)))
-        .localCheckpoint()
-      frontier = next
+      if (next.isEmpty) {
+        exhausted = true
+      } else {
+        visited = visited
+          .unionAll(next.withColumn("hop", lit(h.toLong)))
+          .localCheckpoint()
+        frontier = next
+      }
+      h += 1
     }
     visited
   }
