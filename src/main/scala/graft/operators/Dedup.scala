@@ -295,6 +295,37 @@ object Dedup extends QueryPack {
           min($"doc_id").as("first_kept"))
     }),
 
+    // ---- dedup savings report (the mixture-reweighting input) -------
+    // The PLANNING number the q67 keeper pass feeds a curation loop:
+    // per SOURCE, how much token mass does near-dup dedup reclaim?
+    // A boilerplate-heavy source losing 40% of its tokens means its
+    // q63 mixture weight was computed against phantom mass — this
+    // report is what re-weights it. Same detection → clustering →
+    // drop-set machinery as q67 (checkpointed pair list, min-label
+    // CC); one left join + source-grain agg after.
+    "q283_dedup_savings" -> ((s, d) => {
+      import s.implicits._
+      val pairs = queries("q36_minhash_neardup")(s, d).select($"a", $"b")
+        .localCheckpoint(true)
+      val dropped = connectedComponents(pairs)
+        .filter($"v" =!= $"lbl")
+        .select($"v".as("doc_id"), lit(1L).as("drp"))
+      T.documents(s, d)
+        .select($"doc_id", $"source",
+          size(split($"text", " ")).cast("long").as("toks"))
+        .join(dropped, Seq("doc_id"), "left")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce($"drp", lit(0L))).as("n_dropped"),
+          sum($"toks").cast("bigint").as("tokens_total"),
+          sum(when($"drp".isNotNull, $"toks").otherwise(0L))
+            .cast("bigint").as("tokens_dropped"))
+        .select($"source", $"n_docs", $"n_dropped",
+          $"tokens_total", $"tokens_dropped",
+          expr("tokens_dropped * 1000000L div tokens_total")
+            .as("savings_ppm"))
+    }),
+
     // ---- edit-distance verification of near-dup pairs ---------------
     // Character-level Levenshtein as the second verification signal on
     // the detected pairs ONLY (the scale-sane shape: edit distance is
@@ -1065,6 +1096,41 @@ object Dedup extends QueryPack {
         |FROM pairs p
         |JOIN documents da ON p.a = da.doc_id
         |JOIN documents db ON p.b = db.doc_id""".stripMargin,
+
+    // q67's CC drop set re-aggregated at source grain with token mass
+    "q283_dedup_savings" ->
+      """WITH pairs AS (
+        |  WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |  d AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |    FROM w WHERE len(w) >= 3)
+        |  SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM d x JOIN d y ON x.doc_id < y.doc_id
+        |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
+        |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |verts AS (SELECT DISTINCT a AS v FROM edges),
+        |cc AS (
+        |  WITH RECURSIVE r(v, lbl) AS (
+        |    SELECT v, v FROM verts
+        |    UNION
+        |    SELECT e.b, r.lbl FROM r JOIN edges e ON r.v = e.a)
+        |  SELECT v, min(lbl) AS lbl FROM r GROUP BY v),
+        |dropped AS (SELECT v FROM cc WHERE v != lbl),
+        |t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    CASE WHEN doc_id IN (SELECT v FROM dropped) THEN 1 ELSE 0 END
+        |      AS drp
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(drp) AS BIGINT) AS n_dropped,
+        |  CAST(sum(toks) AS BIGINT) AS tokens_total,
+        |  CAST(sum(CASE WHEN drp = 1 THEN toks ELSE 0 END) AS BIGINT)
+        |    AS tokens_dropped,
+        |  sum(CASE WHEN drp = 1 THEN toks ELSE 0 END) * 1000000
+        |    // sum(toks) AS savings_ppm
+        |FROM t GROUP BY 1""".stripMargin,
 
     "q67_dedup_keepers" ->
       """WITH pairs AS (

@@ -1216,6 +1216,55 @@ object Streams extends QueryPack {
           (-$"m.nb").as("best_match"), $"m.sim_ppm".as("best_sim_ppm"))
     }),
 
+    // Streaming per-window quantile monitoring — the latency/price SLO
+    // dashboard shape: exact p50/p95 of purchase cents per event-time
+    // hour, WITHOUT per-row state. The stream keeps only (window,
+    // $1-band) COUNTS (the q124 value-band decomposition applied to
+    // streaming state: bounded by bands × open windows, not rows);
+    // closed windows emit in append mode at the watermark, and the
+    // rank-select (smallest band with cum·2 ≥ tot / cum·20 ≥ 19·tot)
+    // runs batch-side on the drained band table. The oracle replays
+    // s04's closure predicate per (window, band) group — any band of a
+    // closed window lost or duplicated by the stream flips a
+    // percentile and fails the hash gate.
+    "s31_stream_quantile_monitor" -> ((s, d) => {
+      val name = s"events_rt_${sfx(d)}" // same fixture as s01
+      seedEventsJson(s, d, name, numShards = 4)
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", "50000")
+        .load()
+      val ev = raw.select(
+        from_json(col("data").cast("string"), payloadSchema).as("e"))
+        .select(timestamp_micros(col("e.ts_us")).as("ts"),
+          col("e.event_type"), col("e.value"))
+        .filter(col("event_type") === "purchase" &&
+          col("value").isNotNull && col("value") >= 0)
+        .select(col("ts"),
+          graft.functions.Exact.cents(col("value")).as("cents"))
+        .select(col("ts"), expr("cents div 100").as("band"))
+      val agg = ev.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("band"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("window.start")).as("start_s"),
+          col("band"), col("n"))
+      val bands = drain(s, agg)
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("start_s")).orderBy(col("band"))
+        .rowsBetween(Long.MinValue, 0)
+      val wt = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("start_s"))
+      bands.withColumn("cum", sum(col("n")).over(wc))
+        .withColumn("tot", sum(col("n")).over(wt))
+        .groupBy(col("start_s"))
+        .agg(max(col("tot")).as("n_rows"),
+          min(when(col("cum") * 2 >= col("tot"), col("band")))
+            .as("p50_band"),
+          min(when(col("cum") * 20 >= col("tot") * 19, col("band")))
+            .as("p95_band"))
+    }),
+
     // transformWithState (the Spark 4 arbitrary-state API, successor
     // to mapGroupsWithState): typed ValueState per key, explicit
     // init/handleInputRows lifecycle, RocksDB state store. Computes
@@ -1568,6 +1617,32 @@ object Streams extends QueryPack {
         |FROM sess GROUP BY user_id, sid
         |HAVING max(CAST(epoch_us(ts) AS BIGINT) + gap_us)
         |  <= CAST(epoch_us((SELECT w FROM wm)) AS BIGINT)""".stripMargin,
+
+    // s04's closure predicate per (window, band) group + the identical
+    // doubled-rank band selection
+    "s31_stream_quantile_monitor" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+        |b AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS start_s,
+        |    CAST(round(value * 100) AS BIGINT) // 100 AS band,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL
+        |    AND value >= 0
+        |  GROUP BY 1, 2
+        |  HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR
+        |    <= (SELECT w FROM wm)),
+        |c AS (
+        |  SELECT start_s, band, n,
+        |    CAST(sum(n) OVER (PARTITION BY start_s ORDER BY band
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(n) OVER (PARTITION BY start_s) AS BIGINT) AS tot
+        |  FROM b)
+        |SELECT start_s, max(tot) AS n_rows,
+        |  min(CASE WHEN cum * 2 >= tot THEN band END) AS p50_band,
+        |  min(CASE WHEN cum * 20 >= tot * 19 THEN band END) AS p95_band
+        |FROM c GROUP BY 1""".stripMargin,
 
     // q155's oracle verbatim: the streamed union over micro-batches
     // must equal the one-shot batch admission answer (doc grain is

@@ -119,7 +119,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q272_hll_sliding", "q273_char_surprise", "q274_mmr_retrieval",
     "q275_hard_pairs", "q276_eb_holdout_audit",
     "q277_isotonic_calibration", "q279_source_ablation",
-    "q280_qi_pair_risk", "q281_decayed_engagement", "q282_double_sweep")
+    "q280_qi_pair_risk", "q281_decayed_engagement", "q282_double_sweep",
+    "q283_dedup_savings")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count
