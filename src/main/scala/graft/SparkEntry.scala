@@ -212,7 +212,7 @@ import graft.operators._
   * q277 isotonic fit by PAVA's minimax characterization on the
   * bin-bounded prefix table (IsotonicPropertySpec). q274 greedy MMR
   * diversified retrieval over the top-50 cut with signed quantized
-  * cos² (recursive-CTE oracle). Bench now times best-of-2 per query.
+  * cos² (recursive-CTE oracle). Bench times min-of-3 per query.
   */
 object SparkEntry {
 

@@ -1128,8 +1128,8 @@ object Dedup extends QueryPack {
         |  CAST(sum(toks) AS BIGINT) AS tokens_total,
         |  CAST(sum(CASE WHEN drp = 1 THEN toks ELSE 0 END) AS BIGINT)
         |    AS tokens_dropped,
-        |  sum(CASE WHEN drp = 1 THEN toks ELSE 0 END) * 1000000
-        |    // sum(toks) AS savings_ppm
+        |  CAST(sum(CASE WHEN drp = 1 THEN toks ELSE 0 END) * 1000000
+        |    // sum(toks) AS BIGINT) AS savings_ppm
         |FROM t GROUP BY 1""".stripMargin,
 
     "q67_dedup_keepers" ->

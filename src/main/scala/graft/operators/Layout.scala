@@ -174,6 +174,9 @@ object Layout extends QueryPack {
       fact.join(dim.filter($"era" === "late"), $"o_year" === $"dy")
         .groupBy($"o_year")
         .agg(count(lit(1)).as("n"), Exact.sumMoney($"o_totalprice").as("total"))
+        // partition columns read back int32; the oracle's year() is
+        // BIGINT — exact dtype parity (OracleTypeParitySpec)
+        .select($"o_year".cast("long").as("o_year"), $"n", $"total")
     }),
 
     // ---- referential-integrity audit (constraint checks) ------------
@@ -368,7 +371,7 @@ object Layout extends QueryPack {
       import s.implicits._
       val target = 4000000L // 40k-dollar bins in cents
       val manifest = T.orders(s, d)
-        .select(year($"o_orderdate").as("part"),
+        .select(year($"o_orderdate").cast("long").as("part"),
           expr("o_orderkey div 100").cast("bigint").as("file_id"),
           Exact.cents($"o_totalprice").as("bytes"))
         .groupBy($"part", $"file_id")

@@ -1504,12 +1504,12 @@ object Pipeline extends QueryPack {
         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t,
         |  CAST(count(DISTINCT g) AS BIGINT) AS v FROM bg)
         |SELECT bg.source, CAST(sum(bg.c) AS BIGINT) AS n_grams,
-        |  sum(bg.c) * 1000000 // tot.t AS share_ppm,
+        |  CAST(sum(bg.c) * 1000000 // tot.t AS BIGINT) AS share_ppm,
         |  CAST(count(*) AS BIGINT) AS gram_types,
         |  CAST(sum(CASE WHEN gdf.n_src = 1 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS excl_types,
-        |  sum(CASE WHEN gdf.n_src = 1 THEN 1 ELSE 0 END) * 1000000
-        |    // count(*) AS excl_ppm,
+        |  CAST(sum(CASE WHEN gdf.n_src = 1 THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS excl_ppm,
         |  tot.v - CAST(sum(CASE WHEN gdf.n_src = 1 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS vocab_after_removal
         |FROM bg JOIN gdf ON gdf.g = bg.g CROSS JOIN tot

@@ -349,12 +349,23 @@ object Sketches extends QueryPack {
           expr("CASE WHEN w = 0 THEN 56 ELSE 55 - (length(bin(w)) - 1) END")
             .cast("long").as("rank"))
         .groupBy($"day", $"j").agg(max($"rank").as("reg"))
+      // Densify to the full (observed days × 32 registers) grid so a
+      // register set earlier in the trailing window but silent today
+      // still carries through the RANGE-frame max (without this, the
+      // merge under-counts on sparse days — each side would mirror the
+      // defect, but the point is true per-day HLL bank merging). The
+      // grid is days×32 rows: corpus-independent, broadcast-cheap.
+      val days = du.select($"day").distinct().cache()
+      val grid = days.crossJoin(
+        s.range(0L, 32L).select(col("id").as("j")))
+      val dense = grid.join(regs, Seq("day", "j"), "left")
       val wtr = org.apache.spark.sql.expressions.Window
         .partitionBy($"j").orderBy($"day").rangeBetween(-6, 0)
-      val est = regs.withColumn("mreg", max($"reg").over(wtr))
+      val est = dense.withColumn("mreg", max($"reg").over(wtr))
         .groupBy($"day")
-        .agg(count(lit(1)).as("n_regs"),
-          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(56 - mreg AS INT))"))
+        .agg(count($"mreg").as("n_regs"),
+          sum(expr("CASE WHEN mreg IS NULL THEN CAST(0 AS BIGINT) ELSE " +
+            "shiftleft(CAST(1 AS BIGINT), CAST(56 - mreg AS INT)) END"))
             .as("s_present"))
         .select($"day",
           ($"s_present" +
@@ -363,7 +374,6 @@ object Sketches extends QueryPack {
           expr("(CAST(697000 AS DECIMAL(38,0)) * 1024 * 72057594037927936)" +
             " div (CAST(s AS DECIMAL(38,0)) * 1000000)").cast("long")
             .as("est_hll"))
-      val days = du.select($"day").distinct()
       val exact = du
         .select($"user_id", explode(sequence($"day", $"day" + 6L)).as("gday"))
         .join(days.select($"day".as("gday")), "gday")
@@ -661,13 +671,20 @@ object Sketches extends QueryPack {
         |      ELSE 55 - (length(bin(h % 36028797018963968)) - 1) END)
         |      AS BIGINT) AS reg
         |  FROM h GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT d.day, r.j FROM (SELECT DISTINCT day FROM du) d
+        |  CROSS JOIN (SELECT unnest(range(0, 32)) AS j) r),
+        |dense AS (
+        |  SELECT grid.day, grid.j, regs.reg FROM grid
+        |  LEFT JOIN regs ON regs.day = grid.day AND regs.j = grid.j),
         |merged AS (
         |  SELECT day, j, CAST(max(reg) OVER (PARTITION BY j ORDER BY day
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS mreg
-        |  FROM regs),
+        |  FROM dense),
         |est AS (
-        |  SELECT day, CAST(count(*) AS BIGINT) AS n_regs,
-        |    CAST(sum(CAST(2 AS HUGEINT) ** CAST(56 - mreg AS INT))
+        |  SELECT day, CAST(count(mreg) AS BIGINT) AS n_regs,
+        |    CAST(coalesce(sum(CASE WHEN mreg IS NULL THEN NULL
+        |      ELSE CAST(2 AS HUGEINT) ** CAST(56 - mreg AS INT) END), 0)
         |      AS HUGEINT) AS s_present
         |  FROM merged GROUP BY 1),
         |e2 AS (

@@ -50,6 +50,16 @@ for name, sql in sorted(oracle.items()):
     for c in sc:
         av, bv = a[c], b[c]
         try:
+            # dtype parity FIRST: the driver's hash is type-sensitive
+            # (a DuckDB HUGEINT renders float64 where Spark wrote
+            # int64 and the driver fails on identical values — q279/
+            # q283 in round 14 shipped green locally, red at the
+            # driver, because this gate compared values only).
+            sd = str(av.dtype).replace("datetime64[ns, UTC]", "datetime64[ns]")
+            dd = str(bv.dtype).replace("datetime64[ns, UTC]", "datetime64[ns]")
+            if sd != dd:
+                mismatch.append(f"{c}: DTYPE spark={sd} duck={dd}")
+                continue
             import pandas as pd
             # normalize timestamps to naive
             for v in (av, bv):
