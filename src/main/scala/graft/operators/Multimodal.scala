@@ -37,6 +37,53 @@ object Multimodal extends QueryPack {
   /** Resize/decimation output — payload subsampled then fingerprinted. */
   final case class ResizedMedia(doc_id: Long, resized_len: Long, resized_md5: String)
 
+  final case class AHashBand(doc_id: Long, k: Long, bv: Long)
+
+  /** q252's decode + aHash kernel, factored out so the spec can drive
+    * it on crafted rasters. The fixture's payload format is an
+    * 8-column 8-bit grayscale raster in row-major byte order with
+    * H = len div 8 complete rows (trailing partial row is slack a
+    * real container header would delimit; the decoder crops to the
+    * complete raster exactly like a codec honors declared dims).
+    * aHash proper: block-average downsample to 8×8 — cell (r,c)
+    * averages raster rows [r·H/8, (r+1)·H/8) of column c (every
+    * block non-empty for len ≥ 64), bit = cell > mean of the 64
+    * cells, packed row-major into 4 × 16-bit band values (bit j of
+    * band k = cell (k−1)·16+j). All arithmetic is integer floor, so
+    * the oracle reproduces it bit-for-bit. */
+  private[graft] def aHashBands(bytes: Array[Byte]): Array[Long] = {
+    val h = bytes.length / 8
+    require(h >= 8, s"raster needs >= 8 complete rows, got $h")
+    val cells = new Array[Long](64)
+    var r = 0
+    while (r < 8) {
+      val r0 = r * h / 8
+      val r1 = (r + 1) * h / 8
+      var c = 0
+      while (c < 8) {
+        var sum = 0L
+        var row = r0
+        while (row < r1) {
+          sum += (bytes(row * 8 + c) & 0xff).toLong
+          row += 1
+        }
+        cells(r * 8 + c) = sum / (r1 - r0)
+        c += 1
+      }
+      r += 1
+    }
+    val mean = cells.sum / 64
+    Array.tabulate(4) { k0 =>
+      var bv = 0L
+      var j = 0
+      while (j < 16) {
+        if (cells(k0 * 16 + j) > mean) bv |= (1L << j)
+        j += 1
+      }
+      bv
+    }
+  }
+
   /** Lay each document down as its own scratch file (`<doc_id>.bin`,
     * text bytes) — the FIXTURE substrate for the binaryFile ingestion
     * query, standing in for an object store of media files. Write-once
@@ -292,41 +339,39 @@ object Multimodal extends QueryPack {
     }),
 
     // ---- perceptual-hash near-dup blocking audit --------------------
-    // Image-style near-dup detection over binary payloads: an aHash
-    // (average hash) — 64 "pixels" sampled at fixed strides from the
-    // decoded image, each bit = pixel > mean — then candidate pairs
-    // via a 4×16-bit PIGEONHOLE band index (q136's multi-index rule:
-    // hamming ≤ 3 ⟹ at least one band is clean, so recall at that
-    // radius is GUARANTEED; ≤ 6 is best-effort, the standard LSH
-    // trade) and exact bit_count(xor) verification. The decode is the
-    // documented stub (payload bytes AS pixels — a real decoder's
-    // grayscale grid drops in at the pixel extraction); everything
-    // else — banding, index join, verification — is the real
-    // perceptual-dedup plumbing. Declared at BAND grain (the q216
-    // blocking-audit shape): per band, candidate pairs and how many
-    // verify at radius 3 and 6 — always 4 rows, auditing index
-    // selectivity. Scale shape: per-doc hash is narrow in-row HOF
-    // work (no payload shuffle — only 4 small band rows move);
-    // candidates come from the band-value EQUI-join, never all-pairs.
+    // Image-style near-dup detection over binary payloads: a REAL
+    // aHash — the payload is decoded as the fixture's raster format
+    // (8-column grayscale, H = len div 8 complete rows; see
+    // [[aHashBands]]) and block-average downsampled to 8×8, each bit
+    // = cell > mean — then candidate pairs via a 4×16-bit PIGEONHOLE
+    // band index (q136's multi-index rule: hamming ≤ 3 ⟹ at least
+    // one band is clean, so recall at that radius is GUARANTEED; ≤ 6
+    // is best-effort, the standard LSH trade) and exact
+    // bit_count(xor) verification. Decode + downsample + banding run
+    // in ONE typed mapPartitions pass over the payload (O(len) per
+    // doc, exercised on crafted rasters by MultimodalFixtureSpec);
+    // a container codec for another format swaps in at the byte→
+    // raster step without touching the plumbing. Declared at BAND
+    // grain (the q216 blocking-audit shape): per band, candidate
+    // pairs and how many verify at radius 3 and 6 — always 4 rows,
+    // auditing index selectivity. Scale shape: per-doc hash is
+    // narrow per-partition work (no payload shuffle — only 4 small
+    // band rows move); candidates come from the band-value
+    // EQUI-join, never all-pairs.
     "q252_phash_blocking" -> ((s, d) => {
       import s.implicits._
-      val px = T.documents(s, d)
+      val payloads = T.documents(s, d)
         .filter(length($"text") >= 64)
-        .select($"doc_id",
-          expr("transform(sequence(1, 64), i -> CAST(ascii(substring(" +
-            "text, CAST(1 + ((i-1) * length(text)) div 64 AS INT), 1)) " +
-            "AS BIGINT))").as("pixels"))
-      val bands = px
-        .select($"doc_id", $"pixels",
-          expr("aggregate(pixels, 0L, (a, x) -> a + x) div 64").as("mean_px"))
-        .select($"doc_id",
-          expr("transform(pixels, p -> IF(p > mean_px, 1L, 0L))").as("bits"))
-        .select($"doc_id", explode(expr(
-          "transform(sequence(1, 4), k -> struct(CAST(k AS BIGINT) AS k, " +
-            "aggregate(sequence(1, 16), 0L, (a, j) -> a + " +
-            "element_at(bits, CAST((k-1)*16 + j AS INT)) * " +
-            "shiftleft(1L, j-1)) AS bv))")).as("b"))
-        .select($"doc_id", $"b.k".as("k"), $"b.bv".as("bv"))
+        .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      val bands = payloads.mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          aHashBands(bytes).iterator.zipWithIndex.map { case (bv, k0) =>
+            AHashBand(id, k0 + 1L, bv)
+          }
+        }
+      }(Encoders.product[AHashBand])
+        .toDF()
         .localCheckpoint() // reused by index join AND verification
       val cand = bands.toDF("d1", "k", "bv")
         .join(bands.toDF("d2", "k2", "bv2"),
@@ -402,13 +447,19 @@ object Multimodal extends QueryPack {
     // replayed; ASCII corpus (ascii(substr) == payload byte, the q45
     // precondition MultimodalFixtureSpec enforces)
     "q252_phash_blocking" ->
-      """WITH px AS (
-        |  SELECT doc_id,
-        |    list_transform(range(1, 65),
-        |      i -> CAST(ascii(substr(text,
-        |        CAST(1 + ((i-1) * length(text)) // 64 AS INT), 1))
-        |        AS BIGINT)) AS pixels
+      """WITH raster AS (
+        |  SELECT doc_id, text, length(text) // 8 AS hh
         |  FROM documents WHERE length(text) >= 64),
+        |px AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 64), cell ->
+        |      CAST(list_sum(list_transform(
+        |        range((cell // 8) * hh // 8, (cell // 8 + 1) * hh // 8),
+        |        r -> CAST(ascii(substr(text,
+        |          CAST(r * 8 + cell % 8 + 1 AS INT), 1)) AS BIGINT)))
+        |      // ((cell // 8 + 1) * hh // 8 - (cell // 8) * hh // 8)
+        |      AS BIGINT)) AS pixels
+        |  FROM raster),
         |bt AS (
         |  SELECT doc_id,
         |    list_transform(pixels,

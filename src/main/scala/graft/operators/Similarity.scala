@@ -32,7 +32,7 @@ object Similarity extends QueryPack {
 
   /** quantized vector + its exact squared norm (norm via the native
     * int_dot expression — GraftExtensions). */
-  private def quantized(s: SparkSession, d: String): DataFrame = {
+  private[operators] def quantized(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.GraftExtensions.ensureRegistered(s)
     T.embeddings(s, d).select($"vec_id", $"label",
@@ -40,7 +40,7 @@ object Similarity extends QueryPack {
       .withColumn("n2", expr("int_dot(q, q)"))
   }
 
-  private def cosine(qa: String, qb: String, n2a: String, n2b: String): Column =
+  private[operators] def cosine(qa: String, qb: String, n2a: String, n2b: String): Column =
     round(
       expr(s"int_dot($qa, $qb)").cast("double") /
         sqrt((col(n2a) * col(n2b)).cast("double")), 6)
@@ -58,7 +58,7 @@ object Similarity extends QueryPack {
     * (< 1 quantization unit per component) is identical in both
     * engines. One row per label — tiny and broadcastable at any scale.
     */
-  private def meanCentroids(emb: DataFrame): DataFrame = {
+  private[operators] def meanCentroids(emb: DataFrame): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
     emb.select($"label", posexplode($"q"))

@@ -1265,6 +1265,91 @@ object Streams extends QueryPack {
             .as("p95_band"))
     }),
 
+    // Streaming embedding-ANN admission (the embedding analog of s30,
+    // closing the last incremental-ingest loop): q198's incremental
+    // IVF admission run per micro-batch — crawl-batch vectors arrive
+    // over the stream ALREADY QUANTIZED (the producer-side contract:
+    // integer q = round(x·1024) serializes losslessly through JSON,
+    // where a float roundtrip could flip a .5 rounding boundary and
+    // fail the hash gate) and each micro-batch is assigned to the
+    // PERSISTED centroid state trained on the base 90% only (k-row
+    // broadcast argmax — the same per-row cost as a query; cells-only,
+    // never all-pairs). Assignments land in a batchId-KEYED parquet
+    // dir (overwrite per batch = idempotent under at-least-once
+    // replay, s13's generation rule); vec grain is batch-local, so
+    // the union over micro-batches equals the one-shot batch answer
+    // and the oracle is exactly q198's. The fixture-derived cap
+    // forces ~3 epochs, so the incremental path is what's hash-gated.
+    "s32_stream_ivf_admission" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val name = s"vecs_ivf_${sfx(d)}"
+      val isBatch = pmod(graft.functions.PortableHash.h60(col("vec_id")),
+        lit(10)) === 0
+      synchronized {
+        if (!ShardServiceRegistry.exists(name)) {
+          val rows = Similarity.quantized(s, d).filter(isBatch)
+            .select(col("vec_id"), col("vec_id").as("pk"),
+              to_json(struct(col("vec_id"), col("q"))).as("json"))
+            .orderBy("vec_id").toLocalIterator()
+          seedRows(name, numShards = 2, rows, times = 1)
+        }
+      }
+      // the persisted index state: base-only integer-mean centroids
+      // (k rows, broadcast into every micro-batch) + base cell counts
+      // — materialized ONCE before the stream starts, exactly the
+      // write-once state a production admission service reads
+      val base = Similarity.quantized(s, d).filter(!isBatch)
+      val cent = Similarity.meanCentroids(base)
+        .select($"label".cast("bigint").as("clab"), $"c", $"cn2").cache()
+      def assign(e: DataFrame): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("clab"))
+        e.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("clab"),
+            Similarity.cosine("q", "c", "n2", "cn2").as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("clab").as("kcell"))
+      }
+      val nBase = assign(base)
+        .groupBy($"kcell").agg(count(lit(1)).as("n_base")).cache()
+      nBase.count()
+      val nBatchRows = Similarity.quantized(s, d).filter(isBatch).count()
+      val cap = math.max(20L, nBatchRows / 3)
+      val root = s"/tmp/graft_ivfadm_${sfx(d)}" +
+        s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val vecSchema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("q", ArrayType(LongType))))
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", cap.toString)
+        .load()
+        .select(from_json(col("data").cast("string"), vecSchema).as("e"))
+        .select(col("e.vec_id").as("vec_id"), col("e.q").as("q"))
+      graft.streaming.StreamObservability.attach(s)
+      val q = raw.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          assign(batch.withColumn("n2", expr("int_dot(q, q)")))
+            .write.mode("overwrite").parquet(s"$root/b$batchId")
+          ()
+        }.start()
+      q.awaitTermination()
+      // growth audit over the drained assignments — q198's report
+      s.read.schema("vec_id LONG, kcell LONG").parquet(s"$root/b*")
+        .groupBy($"kcell").agg(count(lit(1)).as("nb_cnt"))
+        .join(nBase, Seq("kcell"), "right")
+        .withColumn("n_batch", coalesce($"nb_cnt", lit(0L)))
+        .select($"kcell", $"n_base", $"n_batch",
+          expr("n_batch * 1000000L div n_base").as("growth_ppm"))
+    }),
+
     // transformWithState (the Spark 4 arbitrary-state API, successor
     // to mapGroupsWithState): typed ValueState per key, explicit
     // init/handleInputRows lifecycle, RocksDB state store. Computes
@@ -1643,6 +1728,12 @@ object Streams extends QueryPack {
         |  min(CASE WHEN cum * 2 >= tot THEN band END) AS p50_band,
         |  min(CASE WHEN cum * 20 >= tot * 19 THEN band END) AS p95_band
         |FROM c GROUP BY 1""".stripMargin,
+
+    // q198's oracle BY REFERENCE: the streamed union of per-batch
+    // centroid assignments must equal the one-shot batch admission
+    // answer (vec grain is batch-local, so any lost/duplicated stream
+    // record shifts a cell count and fails the hash gate)
+    "s32_stream_ivf_admission" -> Similarity.oracles("q198_ivf_incremental"),
 
     // q155's oracle verbatim: the streamed union over micro-batches
     // must equal the one-shot batch admission answer (doc grain is

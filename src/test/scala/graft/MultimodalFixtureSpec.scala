@@ -40,6 +40,50 @@ class MultimodalFixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sfDirs.nonEmpty)
   }
 
+  // ---- q252 decode kernel on crafted rasters ----------------------
+  // aHashBands decodes the payload as an 8-column grayscale raster
+  // (H = len div 8 complete rows) and block-averages to 8×8. These
+  // rasters have hand-computable hashes, pinning the decode path —
+  // not just the banding plumbing — to known pixel geometry.
+
+  test("q252 aHash: top-half dark / bottom-half bright raster") {
+    // 16 full rows: rows 0-7 are 0x00, rows 8-15 are 0xFF. Cells in
+    // hash rows 0-3 average 0, rows 4-7 average 255; mean = 127 →
+    // bits 0..31 clear, bits 32..63 set → bands (0, 0, 0xFFFF, 0xFFFF).
+    val bytes = Array.fill(64)(0.toByte) ++ Array.fill(64)(0xFF.toByte)
+    assert(graft.operators.Multimodal.aHashBands(bytes).toSeq ==
+      Seq(0L, 0L, 0xFFFFL, 0xFFFFL))
+  }
+
+  test("q252 aHash: vertical stripe raster (odd columns bright)") {
+    // every row = 0,255,0,255,... : each cell is exactly its column
+    // value; mean = 127 → bit pattern 0b1010101010101010 per hash row.
+    val row = Array.tabulate(8)(c => if (c % 2 == 1) 0xFF.toByte else 0.toByte)
+    val bytes = Array.fill(16)(row).flatten
+    assert(graft.operators.Multimodal.aHashBands(bytes).toSeq ==
+      Seq(0xAAAAL, 0xAAAAL, 0xAAAAL, 0xAAAAL))
+  }
+
+  test("q252 aHash: partial trailing row is cropped, not decoded") {
+    // identical raster, one with 5 trailing slack bytes — a codec
+    // honors declared dims, so the hash must not change
+    val base = Array.tabulate(128)(i => (i * 7 % 251).toByte)
+    val slack = base ++ Array.fill(5)(0x55.toByte)
+    assert(graft.operators.Multimodal.aHashBands(base).toSeq ==
+      graft.operators.Multimodal.aHashBands(slack).toSeq)
+  }
+
+  test("q252 aHash: uneven row blocks average independently (H=10)") {
+    // H = 10 rows: hash row r covers raster rows [r·10/8,(r+1)·10/8)
+    // — blocks of 1 or 2 rows (r=3 gets rows 3-4, r=7 gets rows 8-9).
+    // Raster row 0 is all 200, rows 1-9 all 8 → hash row 0 averages
+    // 200, the rest 8; mean = (8·200 + 56·8)/64 = 32 → only hash
+    // row 0's cells exceed it → band 1 = 0x00FF, bands 2-4 = 0.
+    val bytes = (Array.fill(8)(200.toByte) ++ Array.fill(72)(8.toByte))
+    assert(graft.operators.Multimodal.aHashBands(bytes).toSeq ==
+      Seq(0xFFL, 0L, 0L, 0L))
+  }
+
   for (dir <- sfDirs) {
     test(s"documents.text is pure ASCII at $dir (byte==char precondition for q45/q64/q65)") {
       // octet_length(UTF-8 bytes) == char length iff every char is ASCII

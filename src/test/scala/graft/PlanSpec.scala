@@ -34,7 +34,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "s22_chained_windows", "s23_join_then_window",
     "s24_tuned_watermark", "s25_stream_ewma_alerts", "s26_state_reader",
     "s27_timer_windows", "s28_crash_recovery", "s29_dynamic_session",
-    "s30_stream_neardup_admission", "s31_stream_quantile_monitor")
+    "s30_stream_neardup_admission", "s31_stream_quantile_monitor",
+    "s32_stream_ivf_admission")
   // bounded-side nested loops that are correct by construction
   // (1-row stats, 4-row tier dim, 10-row query set, 5-row lang
   // profiles, 1-row mixture minimum, k-row centroid set, 1-row
