@@ -399,6 +399,59 @@ object Dedup extends QueryPack {
           max($"n_docs").as("max_gram_docs"))
     }),
 
+    // ---- exact longest repeated substring across documents ----------
+    // The CHARACTER-level companion to q76's word-5-gram spans: the
+    // longest contiguous character run shared by >= 2 distinct docs —
+    // what a suffix-array pass over the concatenated corpus computes
+    // (Lee et al.'s dedup substrate). Relationalized as a BINARY
+    // SEARCH on the answer length: "a cross-doc repeat of length L
+    // exists" is monotone decreasing in L (any prefix of a repeat is
+    // a repeat), so ~log2(maxlen) distributed probes pin L* exactly —
+    // each probe explodes the length-mid substring set, one hash agg
+    // on the substring key, existence via limit-1. The driver loop is
+    // mechanically bounded (<= 64 iterations for any int64 length,
+    // ~10 here); probes at 100 TB would group on a 16-byte
+    // substring HASH with an exact verify of colliding groups instead
+    // of shuffling L-char strings (same two-phase rule as the MinHash
+    // family; stated, not needed at fixture lengths). Output: L*, how
+    // many distinct repeats of that length exist, the lexicographically
+    // smallest one, and how many docs share it. The oracle replays the
+    // identical search as one recursive CTE carrying (lo, hi).
+    "q285_suffix_lrs" -> ((s, d) => {
+      import s.implicits._
+      // probed ~log2(maxlen) times — cache the 2-column projection
+      val docs = T.documents(s, d).select($"doc_id", $"text").cache()
+      def reps(midL: Long): DataFrame = docs
+        .filter(length($"text") >= midL)
+        .select($"doc_id", explode(expr(
+          s"transform(sequence(1, length(text) - $midL + 1), " +
+            s"i -> substring(text, CAST(i AS INT), $midL))")).as("sub"))
+        .groupBy($"sub")
+        .agg(countDistinct($"doc_id").cast("bigint").as("nd"))
+        .filter($"nd" >= 2)
+      val maxLen = T.boundedCollect(
+        docs.agg(max(length($"text")).cast("bigint").as("m")),
+        1, "q285 max doc length")(0).getLong(0)
+      var lo = 0L
+      var hi = maxLen
+      var iters = 0
+      while (lo < hi) {
+        iters += 1
+        require(iters <= 64, "q285: binary search exceeded the int64 bound")
+        val mid = (lo + hi + 1) / 2 // non-negative: trunc == floor
+        if (reps(mid).isEmpty) hi = mid - 1 else lo = mid
+      }
+      if (lo == 0L)
+        Seq((0L, 0L, "", 0L))
+          .toDF("lrs_len", "n_repeats", "lrs", "n_docs")
+      else
+        reps(lo)
+          .agg(count(lit(1)).as("n_repeats"),
+            min(struct($"sub", $"nd")).as("m"))
+          .select(lit(lo).as("lrs_len"), $"n_repeats",
+            $"m.sub".as("lrs"), $"m.nd".as("n_docs"))
+    }),
+
     // ---- duplicate-region union: the chars you'd actually cut ------
     // q76 detects duplicated 5-gram POSITIONS; this merges them into
     // maximal duplicated REGIONS per doc (a 5-gram at word position p
@@ -930,6 +983,48 @@ object Dedup extends QueryPack {
         |    AS BIGINT) AS completeness_ppm
         |FROM cand LEFT JOIN cap ON cap.scheme = cand.scheme
         |CROSS JOIN nt CROSS JOIN ap""".stripMargin,
+
+    // the identical binary search as ONE recursive CTE carrying
+    // (lo, hi): each level's correlated EXISTS probes length mid =
+    // (lo+hi+1)//2; monotonicity of "repeat of length L exists" makes
+    // the search path deterministic, so both engines walk the same lo/hi
+    "q285_suffix_lrs" ->
+      """WITH RECURSIVE bs(lo, hi) AS (
+        |  SELECT CAST(0 AS BIGINT),
+        |    CAST((SELECT max(strlen(text)) FROM documents) AS BIGINT)
+        |  UNION ALL
+        |  SELECT CASE WHEN x.ex THEN x.mid ELSE x.lo END,
+        |         CASE WHEN x.ex THEN x.hi ELSE x.mid - 1 END
+        |  FROM (
+        |    SELECT lo, hi, (lo + hi + 1) // 2 AS mid,
+        |      EXISTS (
+        |        SELECT 1 FROM (
+        |          SELECT d.doc_id,
+        |            substr(d.text, CAST(t.i AS INT),
+        |              CAST((lo + hi + 1) // 2 AS INT)) AS sub
+        |          FROM documents d,
+        |            unnest(range(1, strlen(d.text) - (lo + hi + 1) // 2 + 2))
+        |              AS t(i)
+        |        ) s GROUP BY sub
+        |        HAVING count(DISTINCT doc_id) >= 2 LIMIT 1) AS ex
+        |    FROM bs WHERE lo < hi) x),
+        |lstar AS (SELECT max(lo) AS l FROM bs WHERE lo = hi),
+        |reps AS (
+        |  SELECT sub, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+        |  FROM (
+        |    SELECT d.doc_id, substr(d.text, CAST(t.i AS INT),
+        |      CAST((SELECT l FROM lstar) AS INT)) AS sub
+        |    FROM documents d,
+        |      unnest(range(1, strlen(d.text) - (SELECT l FROM lstar) + 2))
+        |        AS t(i)
+        |    WHERE (SELECT l FROM lstar) >= 1) s
+        |  GROUP BY sub HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT (SELECT l FROM lstar) AS lrs_len,
+        |  CAST(coalesce(count(*), 0) AS BIGINT) AS n_repeats,
+        |  coalesce((min({'sub': sub, 'nd': nd})).sub, '') AS lrs,
+        |  CAST(coalesce((min({'sub': sub, 'nd': nd})).nd, 0) AS BIGINT)
+        |    AS n_docs
+        |FROM reps""".stripMargin,
 
     "q76_dup_spans" ->
       """WITH w AS (

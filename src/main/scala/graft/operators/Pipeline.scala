@@ -1139,6 +1139,59 @@ object Pipeline extends QueryPack {
         .select($"qid", $"doc_id", $"rk", $"bm25_ppk", $"n_terms")
     }),
 
+    // ---- cross-encoder-style rerank over BM25 candidates ------------
+    // The two-stage retrieval shape every RAG deployment runs: cheap
+    // lexical retrieval over the CORPUS (q190's BM25, top-20 per
+    // query), then an expensive feature-fused rerank over the BOUNDED
+    // candidate set only. The "cross-encoder" features need the
+    // query×document token geometry a bi-encoder score can't see —
+    // per matched query term its FIRST position in the doc, fused as
+    // integer ppk: rerank = bm25 + coverage/250 − 20·spread −
+    // 5·first_pos (earlier, tighter matches of more query terms win;
+    // a learned model's score plugs into the same fusion slot).
+    // Positions are computed ONLY for the top-20 docs (the candidate
+    // set joins documents on doc_id BEFORE tokenizing — at 100 TB the
+    // posexplode touches 60 docs, not the corpus). All arithmetic
+    // int64; divisions are on non-negative operands (trunc == floor).
+    "q284_bm25_rerank" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"qid").orderBy($"bm25_ppk".desc, $"doc_id")
+      val top20 = retrievalScores(s, d)
+        .withColumn("rk_bm25", row_number().over(w).cast("bigint"))
+        .filter($"rk_bm25" <= 20)
+        .select($"qid", $"doc_id", $"bm25_ppk", $"rk_bm25")
+      val qterms = Seq((1L, "hash join"), (2L, "stream window agg"),
+        (3L, "customer order line")).toDF("qid", "qtext")
+        .select($"qid", explode(split($"qtext", " ")).as("w"))
+      val nq = qterms.groupBy($"qid").agg(count(lit(1)).as("n_q"))
+      // no broadcast hint despite the 60-row bound: the candidate set
+      // carries the scaling doc_id key, and the house rule for
+      // bounded-but-scaling-keyed sets is a plain equi-join AQE sizes
+      // (PlanSpec's hint ban; q156's deletion-queue pattern)
+      val firstpos = top20.select($"qid", $"doc_id")
+        .join(T.documents(s, d).select($"doc_id", $"text"), "doc_id")
+        .select($"qid", $"doc_id", posexplode(split($"text", " ")))
+        .toDF("qid", "doc_id", "pos0", "w")
+        .join(broadcast(qterms), Seq("qid", "w"))
+        .groupBy($"qid", $"doc_id", $"w")
+        .agg((min($"pos0") + 1L).as("fp")) // 1-based, the oracle's origin
+      val feat = firstpos.groupBy($"qid", $"doc_id")
+        .agg(count(lit(1)).as("n_match"),
+          min($"fp").as("first_pos"),
+          (max($"fp") - min($"fp")).as("spread"))
+      val wr = Window.partitionBy($"qid")
+        .orderBy($"rerank_ppk".desc, $"doc_id")
+      top20.join(feat, Seq("qid", "doc_id"))
+        .join(broadcast(nq), "qid")
+        .withColumn("rerank_ppk", $"bm25_ppk" +
+          expr("(n_match * 1000000L div n_q) div 250") -
+          $"spread" * 20L - $"first_pos" * 5L)
+        .withColumn("rr", row_number().over(wr))
+        .filter($"rr" <= 5)
+        .select($"qid", $"doc_id", $"rk_bm25", $"rerank_ppk",
+          $"n_match", $"first_pos", $"spread")
+    }),
+
     // ---- reciprocal-rank fusion of two retrievers -------------------
     // Hybrid-retrieval aggregation [Cormack, Clarke & Buettcher,
     // SIGIR'09]: two rankers over the same candidates (BM25 and raw
@@ -1588,6 +1641,43 @@ object Pipeline extends QueryPack {
          |  FROM sc)
          |SELECT qid, doc_id, CAST(rk AS BIGINT) AS rk, bm25_ppk, n_terms
          |FROM r WHERE rk <= 5""".stripMargin,
+
+    // the top-20 cut, per-matched-term first positions (LATERAL
+    // re-tokenize of candidate docs only), and the integer fusion
+    "q284_bm25_rerank" ->
+      s"""$retrievalCtes,
+         |top20 AS (
+         |  SELECT qid, doc_id, bm25_ppk,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY bm25_ppk DESC, doc_id) AS BIGINT) AS rk_bm25
+         |  FROM sc QUALIFY rk_bm25 <= 20),
+         |nq AS (SELECT qid, count(*) AS n_q FROM qt GROUP BY 1),
+         |pos AS (
+         |  SELECT t20.qid, t20.doc_id, p.w AS w, p.pos
+         |  FROM top20 t20
+         |  JOIN documents dd ON dd.doc_id = t20.doc_id
+         |  JOIN qt qt2 ON qt2.qid = t20.qid
+         |  JOIN LATERAL (
+         |    SELECT generate_subscripts(string_split(dd.text, ' '), 1) AS pos,
+         |           unnest(string_split(dd.text, ' ')) AS w) p
+         |    ON p.w = qt2.term),
+         |firstpos AS (
+         |  SELECT qid, doc_id, w, CAST(min(pos) AS BIGINT) AS fp
+         |  FROM pos GROUP BY 1, 2, 3),
+         |feat AS (
+         |  SELECT qid, doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_match,
+         |    CAST(min(fp) AS BIGINT) AS first_pos,
+         |    CAST(max(fp) - min(fp) AS BIGINT) AS spread
+         |  FROM firstpos GROUP BY 1, 2)
+         |SELECT t.qid, t.doc_id, t.rk_bm25,
+         |  CAST(t.bm25_ppk + (f.n_match * 1000000 // nq.n_q) // 250
+         |    - f.spread * 20 - f.first_pos * 5 AS BIGINT) AS rerank_ppk,
+         |  f.n_match, f.first_pos, f.spread
+         |FROM top20 t JOIN feat f ON f.qid = t.qid AND f.doc_id = t.doc_id
+         |JOIN nq ON nq.qid = t.qid
+         |QUALIFY row_number() OVER (PARTITION BY t.qid
+         |  ORDER BY rerank_ppk DESC, t.doc_id) <= 5""".stripMargin,
 
     "q192_rrf_fusion" ->
       s"""$retrievalCtes,

@@ -1350,6 +1350,79 @@ object Streams extends QueryPack {
           expr("n_batch * 1000000L div n_base").as("growth_ppm"))
     }),
 
+    // Streaming heavy-hitters via count–min sketch (q112 run
+    // incrementally): the corpus streams in document-grain micro-
+    // batches and each batch contributes only its PARTIAL CMS matrix —
+    // (r, b) register increments, the linear-sketch property that
+    // makes CMS the streaming frequency structure: merge across
+    // batches is plain ADDITION, no batch ever re-touches earlier
+    // data. Per batch foreachBatch writes the batch's word counts and
+    // register increments to batchId-keyed dirs (overwrite = idempotent
+    // under at-least-once replay); the monitor read-side sums registers
+    // across batches and answers top-20 estimates exactly like the
+    // batch query — the oracle is q112's verbatim, so a lost or
+    // double-counted batch flips a register sum and fails the hash.
+    // (The exact per-word counts are ALSO merged across batches — they
+    // are the audit's ground-truth column, same as in q112; production
+    // keeps only the fixed 4×256 register table as state.)
+    "s33_stream_cms_monitor" -> ((s, d) => {
+      import s.implicits._
+      val name = s"docs_cms_${sfx(d)}"
+      synchronized {
+        if (!ShardServiceRegistry.exists(name)) {
+          val rows = T.documents(s, d)
+            .select(col("doc_id"), col("doc_id").as("pk"),
+              to_json(struct(col("doc_id"), col("text"))).as("json"))
+            .orderBy("doc_id").toLocalIterator()
+          seedRows(name, numShards = 2, rows, times = 1)
+        }
+      }
+      val probeArr = (w: org.apache.spark.sql.Column) =>
+        array((0 until 4).map(i => struct(lit(i).as("r"),
+          pmod(graft.functions.PortableHash.h60(
+            concat_ws("|", lit(i), w)), lit(256)).as("b"))): _*)
+      val nDocs = T.documents(s, d).count()
+      val cap = math.max(50L, nDocs / 4)
+      val root = s"/tmp/graft_cms_${sfx(d)}" +
+        s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", cap.toString)
+        .load()
+        .select(from_json(col("data").cast("string"), docSchema).as("e"))
+        .select(col("e.doc_id").as("doc_id"), col("e.text").as("text"))
+      graft.streaming.StreamObservability.attach(s)
+      val q = raw.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val counts = batch.select(explode(split(col("text"), " ")).as("w"))
+            .groupBy(col("w")).agg(count(lit(1)).as("n"))
+            .localCheckpoint() // two consumers per batch
+          counts.write.mode("overwrite").parquet(s"$root/c$batchId")
+          counts.select(col("n"), explode(probeArr(col("w"))).as("p"))
+            .groupBy(col("p.r").as("r"), col("p.b").as("b"))
+            .agg(sum(col("n")).as("c"))
+            .write.mode("overwrite").parquet(s"$root/m$batchId")
+          ()
+        }.start()
+      q.awaitTermination()
+      val counts = s.read.schema("w STRING, n LONG").parquet(s"$root/c*")
+        .groupBy($"w").agg(sum($"n").as("n")).cache()
+      val matrix = s.read.schema("r INT, b LONG, c LONG").parquet(s"$root/m*")
+        .groupBy($"r", $"b").agg(sum($"c").as("c"))
+      val top = counts.orderBy($"n".desc, $"w".asc).limit(20)
+      top.select($"w", $"n", explode(probeArr($"w")).as("p"))
+        .select($"w", $"n", $"p.r".as("r"), $"p.b".as("b"))
+        .join(broadcast(matrix), Seq("r", "b"))
+        .groupBy($"w", $"n").agg(min($"c").cast("bigint").as("cms_est"))
+    }),
+
     // transformWithState (the Spark 4 arbitrary-state API, successor
     // to mapGroupsWithState): typed ValueState per key, explicit
     // init/handleInputRows lifecycle, RocksDB state store. Computes
@@ -1728,6 +1801,10 @@ object Streams extends QueryPack {
         |  min(CASE WHEN cum * 2 >= tot THEN band END) AS p50_band,
         |  min(CASE WHEN cum * 20 >= tot * 19 THEN band END) AS p95_band
         |FROM c GROUP BY 1""".stripMargin,
+
+    // q112's oracle BY REFERENCE: register sums merged across
+    // micro-batches must equal the one-shot CMS build
+    "s33_stream_cms_monitor" -> Sketches.oracles("q112_cms_heavyhitters"),
 
     // q198's oracle BY REFERENCE: the streamed union of per-batch
     // centroid assignments must equal the one-shot batch admission

@@ -120,7 +120,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q275_hard_pairs", "q276_eb_holdout_audit",
     "q277_isotonic_calibration", "q279_source_ablation",
     "q280_qi_pair_risk", "q281_decayed_engagement", "q282_double_sweep",
-    "q283_dedup_savings")
+    "q283_dedup_savings",
+    // round 15: rerank tie-breaks over the candidate set, the LRS
+    // binary-search ladder's lexicographic pick
+    "q284_bm25_rerank", "q285_suffix_lrs")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

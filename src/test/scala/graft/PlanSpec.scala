@@ -35,7 +35,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "s24_tuned_watermark", "s25_stream_ewma_alerts", "s26_state_reader",
     "s27_timer_windows", "s28_crash_recovery", "s29_dynamic_session",
     "s30_stream_neardup_admission", "s31_stream_quantile_monitor",
-    "s32_stream_ivf_admission")
+    "s32_stream_ivf_admission", "s33_stream_cms_monitor")
   // bounded-side nested loops that are correct by construction
   // (1-row stats, 4-row tier dim, 10-row query set, 5-row lang
   // profiles, 1-row mixture minimum, k-row centroid set, 1-row
@@ -98,6 +98,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q270: the 1-row timespan scalar crossed onto the corpus (derived
     // epoch midpoint, the q262 rule)
     "q270_diff_in_diff",
+    // q272: the 32-row register literal crossed onto the distinct-day
+    // grid (timespan-bounded) — the densified HLL bank
+    "q272_hll_sliding",
     // q185: the 1-row corpus-total scalar crossed against the bounded
     // per-source table (q63's shape)
     "q185_token_apportionment",
@@ -110,9 +113,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q188: the 2-row model/lag table crossed against the post-agg
     // daily grid (timespan-bounded)
     "q188_seasonal_backtest",
-    // q190/q192: the 1-row corpus-stats scalar (N docs, Σdl) crossed
-    // onto the query-term-pruned candidate set
-    "q190_bm25_topk", "q192_rrf_fusion",
+    // q190/q192/q284: the 1-row corpus-stats scalar (N docs, Σdl)
+    // crossed onto the query-term-pruned candidate set (q284 composes
+    // retrievalScores, so it inherits the same node)
+    "q190_bm25_topk", "q192_rrf_fusion", "q284_bm25_rerank",
     // q194: the 1-row (max_day, n_users) scalar crossed onto the
     // user-grain agg and the bounded day grid
     "q194_kaplan_meier",
