@@ -1037,6 +1037,173 @@ object Pipeline extends QueryPack {
           ($"v_types" - $"excl_types").as("vocab_after_removal"))
     }),
 
+    // ---- Poisson-bootstrap confidence intervals ---------------------
+    // [Chamandy, Muralidharan, Najmi & Naidu '12 — "Estimating
+    // uncertainty for massive data streams"] THE scalable bootstrap:
+    // classical resampling needs B passes with global coordination;
+    // the Poisson bootstrap approximates multinomial resample counts
+    // with independent Poisson(1) multiplicities, so all B=32
+    // replicates stream in ONE pass and the per-replicate aggregates
+    // are plain map-side-combinable sums — at 100 TB the 32× blow-up
+    // is CPU inside the scan stage, while the shuffle carries only
+    // (priority × 32) partial-sum rows. Deterministic and
+    // engine-portable: the multiplicity is the inverse Poisson CDF of
+    // the uniform h60(orderkey#b)/2^60, with the CDF as 8 hardcoded
+    // integer thresholds (floor(CDF(k)·2^60), capped at m=8 — tail
+    // mass past 8 is ~1e-10/draw, stated). CI = the 2nd/31st order
+    // statistics of the 32 replicate means (~93.75% coverage). Sums
+    // go through DECIMAL(38)/HUGEINT; all divisions non-negative.
+    // The rank window partitions on the bounded priority enum with the
+    // replicate Aggregate below it (the PlanSpec window rule).
+    "q286_poisson_bootstrap" -> ((s, d) => {
+      import s.implicits._
+      val thr = Seq(424136118829305344L, 848272237658610688L,
+        1060340297073263360L, 1131029650211480960L, 1148701988496035328L,
+        1152236456152946176L, 1152825534095764608L, 1152909688087595776L)
+      val o = T.orders(s, d).select($"o_orderkey",
+        $"o_orderpriority".as("prio"),
+        round($"o_totalprice" * 100).cast("bigint").as("cents"))
+      val m = o.select($"o_orderkey", $"prio", $"cents",
+          explode(expr("sequence(0, 31)")).as("b"))
+        .withColumn("h", hash60(concat($"o_orderkey".cast("string"),
+          lit("#"), $"b".cast("string"))))
+        .withColumn("mult",
+          thr.map(t => ($"h" >= t).cast("bigint")).reduce(_ + _))
+      val rep = m.groupBy($"prio", $"b")
+        .agg(expr("""cast(cast(sum(cast(mult * cents as decimal(38,0)))
+          * 100 as decimal(38,0)) div greatest(sum(mult), 1L)
+          as bigint)""").as("rep_mean_c100"))
+      val wr = Window.partitionBy($"prio")
+        .orderBy($"rep_mean_c100".asc, $"b".asc)
+      val ci = rep.withColumn("rk", row_number().over(wr))
+        .filter($"rk" === 2 || $"rk" === 31)
+        .groupBy($"prio")
+        .agg(min(when($"rk" === 2, $"rep_mean_c100")).as("ci_lo_c100"),
+          min(when($"rk" === 31, $"rep_mean_c100")).as("ci_hi_c100"))
+      val pt = o.groupBy($"prio")
+        .agg(count(lit(1)).as("n_orders"),
+          expr("""cast(cast(sum(cast(cents as decimal(38,0))) * 100
+            as decimal(38,0)) div count(1) as bigint)""").as("mean_c100"))
+      pt.join(ci, Seq("prio"))
+        .select($"prio", $"n_orders", $"mean_c100", $"ci_lo_c100",
+          $"ci_hi_c100", ($"ci_hi_c100" - $"ci_lo_c100").as("ci_width_c100"))
+    }),
+
+    // ---- hash-seeded permutation test (exact, one pass) --------------
+    // [Fisher '35; Dwass '57] the null-hypothesis companion to q286's
+    // bootstrap CI: does French differ from English in mean doc length,
+    // or would a random relabeling show a gap this big? B = 64
+    // relabelings drawn by h60(doc_id#b) % 2 — deterministic, identical
+    // in both engines, one corpus pass (the replicate axis explodes 64
+    // rows per doc but reduces map-side into 2·B partial sums; the 64×
+    // is CPU inside the scan, the shuffle carries 128 rows). The mean
+    // gap is never materialized as a float: |μA−μB| comparisons
+    // cross-multiply exact integer sums, (|Sa·nb−Sb·na| of the
+    // replicate)·(na·nb of the observed) vs the mirror — int64-safe at
+    // fixture scale (≤ ~7·10¹⁰); at 100 TB the same comparison lifts
+    // to DECIMAL(38) like q286's sums. p = (#replicates at least as
+    // extreme)/B, in ppm; empty relabeled sides (impossible at n=282,
+    // guarded anyway) drop from both engines identically.
+    "q291_permutation_test" -> ((s, d) => {
+      import s.implicits._
+      val base = T.documents(s, d)
+        .filter($"lang".isin("en", "fr"))
+        .select($"doc_id", $"n_chars", ($"lang" === "fr").as("grp"))
+      val obs = base.agg(
+        sum(when($"grp", $"n_chars").otherwise(0L)).cast("bigint").as("sa"),
+        sum(when($"grp", 1L).otherwise(0L)).cast("bigint").as("na"),
+        sum(when(!$"grp", $"n_chars").otherwise(0L)).cast("bigint").as("sb"),
+        sum(when(!$"grp", 1L).otherwise(0L)).cast("bigint").as("nb"))
+      val rep = base
+        .select($"doc_id", $"n_chars", explode(expr("sequence(0, 63)")).as("b"))
+        .withColumn("pgrp", pmod(hash60(concat($"doc_id".cast("string"),
+          lit("#"), $"b".cast("string"))), lit(2)) === 0)
+        .groupBy($"b")
+        .agg(
+          sum(when($"pgrp", $"n_chars").otherwise(0L)).cast("bigint").as("ra"),
+          sum(when($"pgrp", 1L).otherwise(0L)).cast("bigint").as("rna"),
+          sum(when(!$"pgrp", $"n_chars").otherwise(0L)).cast("bigint").as("rb"),
+          sum(when(!$"pgrp", 1L).otherwise(0L)).cast("bigint").as("rnb"))
+        .filter($"rna" > 0L && $"rnb" > 0L)
+      rep.crossJoin(broadcast(obs))
+        .groupBy($"na", $"nb", $"sa", $"sb")
+        .agg(count(lit(1)).as("n_reps"),
+          sum(when(abs($"ra" * $"rnb" - $"rb" * $"rna") * ($"na" * $"nb") >=
+            abs($"sa" * $"nb" - $"sb" * $"na") * ($"rna" * $"rnb"), 1L)
+            .otherwise(0L)).cast("bigint").as("n_ge"))
+        .select($"na", $"nb",
+          expr("(sa * nb - sb * na) * 1000L div (na * nb)")
+            .as("obs_diff_milli"),
+          $"n_reps", $"n_ge",
+          expr("n_ge * 1000000L div n_reps").as("p_ppm"))
+    }),
+
+    // ---- IPS / SNIPS offline policy evaluation ----------------------
+    // [Horvitz & Thompson '52; Dudík, Langford & Li '11] counterfactual
+    // evaluation from logged data only — the op behind every "would the
+    // new ranking/selection policy have done better?" readout that
+    // can't ship an A/B test. Context x = part brand, logged action a =
+    // the supplier who filled the line, reward r = on-time (shipped ≤60
+    // days after order). Propensities are EMPIRICAL from the logs
+    // (p̂(a|x) = n_xa/n_x), so the importance weight is the exact
+    // rational n_x/n_xa — no floats anywhere. Target policy π(x) =
+    // train-side best on-time-rate supplier per brand. Methodology per
+    // q276's discipline: policy and propensities fit on the
+    // h60(orderkey)-even half, evaluated on the odd half; eval actions
+    // unseen in train violate IPS support and are counted out
+    // (n_unsupported), not silently dropped. The report shows the IPS
+    // estimate's variance problem (few matched actions × large weights)
+    // against its self-normalized SNIPS repair — the reason SNIPS
+    // exists. Scale shape: two corpus joins + one (brand, supp) hash
+    // agg; everything downstream is bounded by brands × suppliers and
+    // broadcasts; the two 1-row audit scalars assemble via a hinted
+    // BNLJ (allowlisted).
+    "q288_ips_policy_eval" -> ((s, d) => {
+      import s.implicits._
+      val l = T.lineitem(s, d)
+        .join(T.orders(s, d).select($"o_orderkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .join(T.part(s, d).select($"p_partkey", $"p_brand"),
+          $"l_partkey" === $"p_partkey")
+        .select($"p_brand".as("brand"), $"l_suppkey".as("supp"),
+          (datediff($"l_shipdate", $"o_orderdate") <= 60)
+            .cast("bigint").as("r"),
+          pmod(hash60($"l_orderkey"), lit(2)).as("fold"))
+      val train = l.filter($"fold" === 0)
+      val evalSet = l.filter($"fold" === 1)
+      val nxa = train.groupBy($"brand", $"supp")
+        .agg(count(lit(1)).as("n_xa"), sum($"r").cast("bigint").as("r_xa"))
+        .cache()
+      val nx = nxa.groupBy($"brand").agg(sum($"n_xa").as("n_x"))
+      val wp = Window.partitionBy($"brand")
+        .orderBy(expr("r_xa * 1000000L div n_xa").desc, $"supp".asc)
+      val pol = nxa.withColumn("rk", row_number().over(wp))
+        .filter($"rk" === 1).select($"brand", $"supp".as("pi_supp"))
+      val terms = evalSet
+        .join(broadcast(nxa.select($"brand", $"supp", $"n_xa")),
+          Seq("brand", "supp"))
+        .join(broadcast(nx), Seq("brand"))
+        .join(broadcast(pol), Seq("brand"))
+        .withColumn("matched", ($"supp" === $"pi_supp").cast("bigint"))
+        .withColumn("w_ppm", expr("matched * n_x * 1000000L div n_xa"))
+      val unsup = evalSet
+        .join(broadcast(nxa.select($"brand", $"supp")),
+          Seq("brand", "supp"), "left_anti")
+        .agg(count(lit(1)).as("n_unsupported"))
+      terms.agg(count(lit(1)).as("n_eval"),
+          sum($"matched").cast("bigint").as("n_matched"),
+          expr("""cast(cast(sum(cast(r as decimal(38,0))) * 1000000
+            as decimal(38,0)) div count(1) as bigint)""").as("logged_ppm"),
+          expr("""cast(sum(cast(r * w_ppm as decimal(38,0)))
+            div count(1) as bigint)""").as("ips_ppm"),
+          expr("""cast(cast(sum(cast(r * w_ppm as decimal(38,0))) * 1000000
+            as decimal(38,0)) div greatest(sum(cast(w_ppm as decimal(38,0))),
+            cast(1 as decimal(38,0))) as bigint)""").as("snips_ppm"))
+        .crossJoin(broadcast(unsup))
+        .select($"n_eval", $"n_unsupported", $"n_matched", $"logged_ppm",
+          $"ips_ppm", $"snips_ppm")
+    }),
+
     // ---- two-period difference-in-differences ------------------------
     // [Card & Krueger, AER'94 lineage] — the quasi-experimental readout
     // when there was no randomized assignment (q186's CUPED assumes
@@ -1567,6 +1734,146 @@ object Pipeline extends QueryPack {
         |    AS BIGINT) AS vocab_after_removal
         |FROM bg JOIN gdf ON gdf.g = bg.g CROSS JOIN tot
         |GROUP BY 1, tot.t, tot.v""".stripMargin,
+
+    // identical thresholds, identical h60(orderkey#b) uniform; HUGEINT
+    // mirrors DECIMAL(38); every division is on non-negative operands
+    "q286_poisson_bootstrap" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderpriority AS prio,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |u AS (
+        |  SELECT prio, cents, b,
+        |    CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '#' ||
+        |      CAST(b AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM o, unnest(range(0, 32)) AS t(b)),
+        |m AS (
+        |  SELECT prio, cents, b,
+        |    CAST(h >= 424136118829305344 AS BIGINT)
+        |    + CAST(h >= 848272237658610688 AS BIGINT)
+        |    + CAST(h >= 1060340297073263360 AS BIGINT)
+        |    + CAST(h >= 1131029650211480960 AS BIGINT)
+        |    + CAST(h >= 1148701988496035328 AS BIGINT)
+        |    + CAST(h >= 1152236456152946176 AS BIGINT)
+        |    + CAST(h >= 1152825534095764608 AS BIGINT)
+        |    + CAST(h >= 1152909688087595776 AS BIGINT) AS mult
+        |  FROM u),
+        |rep AS (
+        |  SELECT prio, b,
+        |    CAST(CAST(sum(mult * cents) AS HUGEINT) * 100 //
+        |      greatest(CAST(sum(mult) AS HUGEINT), 1) AS BIGINT)
+        |      AS rep_mean_c100
+        |  FROM m GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT prio, rep_mean_c100,
+        |    row_number() OVER (PARTITION BY prio
+        |      ORDER BY rep_mean_c100, b) AS rk
+        |  FROM rep),
+        |ci AS (
+        |  SELECT prio,
+        |    min(CASE WHEN rk = 2 THEN rep_mean_c100 END) AS ci_lo_c100,
+        |    min(CASE WHEN rk = 31 THEN rep_mean_c100 END) AS ci_hi_c100
+        |  FROM rk WHERE rk IN (2, 31) GROUP BY 1),
+        |pt AS (
+        |  SELECT prio, CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(CAST(sum(cents) AS HUGEINT) * 100 // count(*) AS BIGINT)
+        |      AS mean_c100
+        |  FROM o GROUP BY 1)
+        |SELECT pt.prio, pt.n_orders, pt.mean_c100, ci.ci_lo_c100,
+        |  ci.ci_hi_c100, ci.ci_hi_c100 - ci.ci_lo_c100 AS ci_width_c100
+        |FROM pt JOIN ci ON ci.prio = pt.prio""".stripMargin,
+
+    "q291_permutation_test" ->
+      """WITH base AS (
+        |  SELECT doc_id, n_chars, lang = 'fr' AS grp
+        |  FROM documents WHERE lang IN ('en', 'fr')),
+        |obs AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN grp THEN n_chars ELSE 0 END) AS BIGINT) AS sa,
+        |    CAST(sum(CASE WHEN grp THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN NOT grp THEN n_chars ELSE 0 END) AS BIGINT)
+        |      AS sb,
+        |    CAST(sum(CASE WHEN NOT grp THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM base),
+        |perm AS (
+        |  SELECT k.b,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+        |      || CAST(k.b AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0 AS pgrp,
+        |    n_chars
+        |  FROM base CROSS JOIN (SELECT unnest(range(0, 64)) AS b) k),
+        |rep AS (
+        |  SELECT b,
+        |    CAST(sum(CASE WHEN pgrp THEN n_chars ELSE 0 END) AS BIGINT) AS ra,
+        |    CAST(sum(CASE WHEN pgrp THEN 1 ELSE 0 END) AS BIGINT) AS rna,
+        |    CAST(sum(CASE WHEN NOT pgrp THEN n_chars ELSE 0 END) AS BIGINT)
+        |      AS rb,
+        |    CAST(sum(CASE WHEN NOT pgrp THEN 1 ELSE 0 END) AS BIGINT) AS rnb
+        |  FROM perm GROUP BY b
+        |  HAVING sum(CASE WHEN pgrp THEN 1 ELSE 0 END) > 0
+        |     AND sum(CASE WHEN NOT pgrp THEN 1 ELSE 0 END) > 0)
+        |SELECT o.na, o.nb,
+        |  CAST((o.sa * o.nb - o.sb * o.na) * 1000 // (o.na * o.nb) AS BIGINT)
+        |    AS obs_diff_milli,
+        |  CAST(count(*) AS BIGINT) AS n_reps,
+        |  CAST(sum(CASE WHEN abs(r.ra * r.rnb - r.rb * r.rna) * (o.na * o.nb)
+        |      >= abs(o.sa * o.nb - o.sb * o.na) * (r.rna * r.rnb)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+        |  CAST(sum(CASE WHEN abs(r.ra * r.rnb - r.rb * r.rna) * (o.na * o.nb)
+        |      >= abs(o.sa * o.nb - o.sb * o.na) * (r.rna * r.rnb)
+        |    THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS p_ppm
+        |FROM rep r CROSS JOIN obs o
+        |GROUP BY o.na, o.nb, o.sa, o.sb""".stripMargin,
+
+    // empirical propensities as exact rationals; policy + propensities
+    // from the even-hash fold, evaluated on the odd fold; support
+    // violations counted, not dropped silently
+    "q288_ips_policy_eval" ->
+      """WITH l AS (
+        |  SELECT p.p_brand AS brand, l.l_suppkey AS supp,
+        |    CAST(date_diff('day', o.o_orderdate, l.l_shipdate) <= 60
+        |      AS BIGINT) AS r,
+        |    CAST('0x' || substr(md5(CAST(l.l_orderkey AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 2 AS fold
+        |  FROM lineitem l
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN part p ON p.p_partkey = l.l_partkey),
+        |train AS (SELECT * FROM l WHERE fold = 0),
+        |eval_ AS (SELECT * FROM l WHERE fold = 1),
+        |nxa AS (
+        |  SELECT brand, supp, CAST(count(*) AS BIGINT) AS n_xa,
+        |    CAST(sum(r) AS BIGINT) AS r_xa
+        |  FROM train GROUP BY 1, 2),
+        |nx AS (SELECT brand, CAST(sum(n_xa) AS BIGINT) AS n_x
+        |  FROM nxa GROUP BY 1),
+        |pol AS (
+        |  SELECT brand, supp AS pi_supp FROM (
+        |    SELECT brand, supp, row_number() OVER (PARTITION BY brand
+        |      ORDER BY r_xa * 1000000 // n_xa DESC, supp) AS rk
+        |    FROM nxa) WHERE rk = 1),
+        |terms AS (
+        |  SELECT e.r, CAST(e.supp = p.pi_supp AS BIGINT) AS matched,
+        |    CAST(e.supp = p.pi_supp AS BIGINT) * nx.n_x * 1000000
+        |      // nxa.n_xa AS w_ppm
+        |  FROM eval_ e
+        |  JOIN nxa ON nxa.brand = e.brand AND nxa.supp = e.supp
+        |  JOIN nx ON nx.brand = e.brand
+        |  JOIN pol p ON p.brand = e.brand),
+        |unsup AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_unsupported FROM eval_ e
+        |  WHERE NOT EXISTS (SELECT 1 FROM nxa
+        |    WHERE nxa.brand = e.brand AND nxa.supp = e.supp))
+        |SELECT
+        |  CAST(count(*) AS BIGINT) AS n_eval,
+        |  (SELECT n_unsupported FROM unsup) AS n_unsupported,
+        |  CAST(sum(matched) AS BIGINT) AS n_matched,
+        |  CAST(CAST(sum(r) AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+        |    AS logged_ppm,
+        |  CAST(CAST(sum(r * w_ppm) AS HUGEINT) // count(*) AS BIGINT)
+        |    AS ips_ppm,
+        |  CAST(CAST(sum(r * w_ppm) AS HUGEINT) * 1000000 //
+        |    greatest(CAST(sum(w_ppm) AS HUGEINT), 1) AS BIGINT)
+        |    AS snips_ppm
+        |FROM terms""".stripMargin,
 
     // derived epoch-us midpoint (2t >= lo+hi), HUGEINT cell sums,
     // identical mean floors, 1-row conditional fold

@@ -62,6 +62,55 @@ object Sketches extends QueryPack {
         .groupBy($"w", $"n").agg(min($"c").cast("bigint").as("cms_est"))
     }),
 
+    // ---- CountSketch estimates vs CMS's one-sided error -------------
+    // The SIGNED frequency sketch [Charikar, Chen & Farach-Colton '02]:
+    // d=4 hash rows × w=256 counters, but each word contributes
+    // sgn_r(w)·n to its bucket, and the estimate is the MEDIAN over
+    // rows of sgn_r(w)·C[r, b_r(w)] — colliding mass cancels in
+    // expectation, so the error is two-sided and unbiased where CMS
+    // (q112) only ever over-counts. Same scale shape as q112: one
+    // corpus scan to exact distinct-word counts, probes explode 4 rows
+    // per DISTINCT word, the matrix is one hash agg capped at 1024 rows
+    // however large the corpus, top-20 probes join the broadcast
+    // matrix. Median of 4 = floor-avg of the 2nd/3rd order statistics;
+    // the sum may be negative — Spark's truncating div and DuckDB's
+    // integer // both truncate toward zero, so the engines agree
+    // (measured; the CentroidFloorSpec shift is not needed here
+    // because both sides TRUNCATE, and trunc==trunc for any sign).
+    // The result carries the exact count next to the estimate, so the
+    // two-sided error (and q112's one-sided error on the same words)
+    // is visible in the report itself.
+    "q287_countsketch_audit" -> ((s, d) => {
+      import s.implicits._
+      val bOf = (i: Int) => pmod(h60(concat_ws("|", lit(i), $"w")), lit(256))
+      val sgnOf = (i: Int) =>
+        when(pmod(h60(concat_ws("|", lit(s"s#$i"), $"w")), lit(2)) === 0, 1L)
+          .otherwise(-1L)
+      val probeArr = array((0 until 4).map(i =>
+        struct(lit(i).as("r"), bOf(i).as("b"), sgnOf(i).as("sgn"))): _*)
+      val counts = T.documents(s, d)
+        .select(explode(split($"text", " ")).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("n"))
+        .cache()
+      val matrix = counts
+        .select($"n", explode(probeArr).as("p"))
+        .groupBy($"p.r".as("r"), $"p.b".as("b"))
+        .agg(sum($"p.sgn" * $"n").cast("bigint").as("c"))
+      val top = counts.orderBy($"n".desc, $"w".asc).limit(20)
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy($"w").orderBy($"e".asc, $"r".asc)
+      top.select($"w", $"n", explode(probeArr).as("p"))
+        .select($"w", $"n", $"p.r".as("r"), $"p.b".as("b"), $"p.sgn".as("sgn"))
+        .join(broadcast(matrix), Seq("r", "b"))
+        .withColumn("e", $"sgn" * $"c")
+        .withColumn("rk", row_number().over(w2))
+        .filter($"rk" === 2 || $"rk" === 3)
+        .groupBy($"w", $"n")
+        .agg(expr("sum(e) div 2").as("cs_est"))
+        .select($"w", $"n", $"cs_est",
+          abs($"cs_est" - $"n").cast("bigint").as("abs_err"))
+    }),
+
     // ---- explicit Bloom filter build + probe ------------------------
     // The semi-join pruning structure AS DATA: a 4096-bit / k=3 Bloom
     // filter of 1995's active custkeys, built as 67 int64 words (62
@@ -636,6 +685,37 @@ object Sketches extends QueryPack {
         |FROM top t JOIN probes p ON p.w = t.w
         |JOIN matrix m ON m.r = p.r AND m.b = p.b
         |GROUP BY t.w, t.n""".stripMargin,
+
+    // same probe convention as q112 plus the sign hash; median of 4 =
+    // floor-avg of the 2nd/3rd order statistics (both engines truncate
+    // integer division toward zero, so negative sums agree)
+    "q287_countsketch_audit" ->
+      """WITH words AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |counts AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+        |  FROM words GROUP BY w),
+        |probes AS (
+        |  SELECT w, n, k.r AS r,
+        |    CAST('0x' || substr(md5(CAST(k.r AS VARCHAR) || '|' || w), 1, 15)
+        |      AS BIGINT) % 256 AS b,
+        |    CASE WHEN CAST('0x' || substr(md5('s#' || CAST(k.r AS VARCHAR)
+        |      || '|' || w), 1, 15) AS BIGINT) % 2 = 0
+        |      THEN 1 ELSE -1 END AS sgn
+        |  FROM counts CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(r)),
+        |matrix AS (
+        |  SELECT r, b, CAST(sum(sgn * n) AS BIGINT) AS c
+        |  FROM probes GROUP BY r, b),
+        |top AS (SELECT w, n FROM counts ORDER BY n DESC, w LIMIT 20),
+        |est AS (
+        |  SELECT t.w, t.n, p.sgn * m.c AS e,
+        |    row_number() OVER (PARTITION BY t.w
+        |      ORDER BY p.sgn * m.c, p.r) AS rk
+        |  FROM top t JOIN probes p ON p.w = t.w
+        |  JOIN matrix m ON m.r = p.r AND m.b = p.b)
+        |SELECT w, n,
+        |  CAST(sum(e) // 2 AS BIGINT) AS cs_est,
+        |  CAST(abs(sum(e) // 2 - n) AS BIGINT) AS abs_err
+        |FROM est WHERE rk IN (2, 3) GROUP BY w, n""".stripMargin,
 
     "q44_rolling_fingerprint" ->
       """SELECT doc_id,

@@ -1423,6 +1423,189 @@ object Streams extends QueryPack {
         .groupBy($"w", $"n").agg(min($"c").cast("bigint").as("cms_est"))
     }),
 
+    // Streaming SCD2 dimension maintenance — the lakehouse
+    // slowly-changing-dimension type-2 pattern run incrementally: the
+    // event log streams in micro-batches and each batch MERGEs into
+    // the versioned dimension — per user, a batch row whose attribute
+    // differs from the user's current open version closes that
+    // version (eff_to = the change point) and opens a new one;
+    // consecutive duplicates never create versions. The per-batch fold
+    // re-enters each user's OPEN version as a base row, so
+    // change-detection works across batch boundaries with state = the
+    // dimension itself (no state store; exactly how a Delta/Iceberg
+    // MERGE-based SCD2 job carries state at 100 TB — closed versions
+    // are write-once, only open rows participate). The snapshot is
+    // batchId-keyed (dim_b computed from dim_{b-1} + batch, overwrite)
+    // so at-least-once replay of batch b deterministically rewrites
+    // dim_b — idempotent, and dim_{b-1} is never touched. Per-user
+    // cross-batch order is guaranteed by the shard log (partitionKey =
+    // user_id, seed order = event_id order, ts monotone in event_id).
+    // The final dimension is batch-boundary-INDEPENDENT, which is the
+    // oracle: one batch SQL over the full log (change points by lag,
+    // validity by lead) must equal the streamed result row-for-row.
+    "s34_stream_scd2" -> ((s, d) => {
+      import s.implicits._
+      val name = s"scd2_${sfx(d)}"
+      seedEventsJson(s, d, name, numShards = 4)
+      val nEv = T.events(s, d).count()
+      val cap = math.max(50L, nEv / 4)
+      val root = s"/tmp/graft_scd2_${sfx(d)}" +
+        s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val dimSchema = "user_id LONG, attr STRING, eff_from_us LONG, " +
+        "eff_from_id LONG, eff_to_us LONG, eff_to_id LONG, is_current LONG"
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", cap.toString)
+        .load()
+        .select(from_json(col("data").cast("string"), payloadSchema).as("e"))
+        .select(col("e.user_id").as("user_id"),
+          col("e.event_type").as("attr"),
+          col("e.ts_us").as("us"), col("e.event_id").as("id"))
+      graft.streaming.StreamObservability.attach(s)
+      val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
+      val q = raw.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val prev =
+            if (batchId == 0L)
+              s.createDataFrame(
+                s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                StructType.fromDDL(dimSchema))
+            else s.read.schema(dimSchema).parquet(s"$root/dim${batchId - 1}")
+          val closed = prev.filter(col("is_current") === 0)
+          val open = prev.filter(col("is_current") === 1)
+          val wU = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("us"), col("id"))
+          // open versions re-enter as base rows; change points =
+          // attr != lag(attr) over the unfiltered per-user sequence
+          // (dropping a duplicate never changes the carried attr)
+          val versions = open.select(col("user_id"), col("attr"),
+              col("eff_from_us").as("us"), col("eff_from_id").as("id"),
+              lit(1L).as("is_base"))
+            .unionByName(batch.select(col("user_id"), col("attr"),
+              col("us"), col("id"), lit(0L).as("is_base")))
+            .withColumn("prev_attr", lag(col("attr"), 1).over(wU))
+            .filter(col("is_base") === 1 || col("prev_attr").isNull ||
+              col("attr") =!= col("prev_attr"))
+          versions
+            .withColumn("eff_to_us",
+              coalesce(lead(col("us"), 1).over(wU), lit(-1L)))
+            .withColumn("eff_to_id",
+              coalesce(lead(col("id"), 1).over(wU), lit(-1L)))
+            .select(col("user_id"), col("attr"),
+              col("us").as("eff_from_us"), col("id").as("eff_from_id"),
+              col("eff_to_us"), col("eff_to_id"),
+              (col("eff_to_id") === -1L).cast("bigint").as("is_current"))
+            .unionByName(closed)
+            .write.mode("overwrite").parquet(s"$root/dim$batchId")
+          lastBatch.updateAndGet(mb => math.max(mb, batchId))
+          ()
+        }.start()
+      q.awaitTermination()
+      require(lastBatch.get() >= 0, "s34: stream produced no batches")
+      s.read.schema(dimSchema).parquet(s"$root/dim${lastBatch.get()}")
+    }),
+
+    // Streaming Bloom-prefiltered exact-dedup admission — q74's
+    // incremental exact dedup with q119's materialized Bloom in front,
+    // run INCREMENTALLY: the corpus index (leading-3-word-prefix
+    // fingerprints of the existing 90% of docs — prefix fingerprints
+    // catch shared boilerplate openings where whole-text hashes see
+    // nothing) is summarized ONCE into a 1024-bit / k=3 Bloom of 17
+    // int64 words. Each micro-batch probes its docs against the
+    // broadcast words first: docs failing any probe are DEFINITELY new
+    // and never touch the index (the Bloom's whole point — at 100 TB
+    // the index join runs on the maybe-set only, typically a few % of
+    // the stream); docs passing all 3 join the fingerprint index to
+    // split true dups from Bloom false positives. The filter is
+    // deliberately small so false positives EXIST and the verify path
+    // is exercised — and the Bloom decision itself is part of the
+    // hash-gated report (bloom_maybe), since the oracle recomputes the
+    // identical md5-based bit positions. batchId-keyed overwrite dirs
+    // = idempotent under at-least-once replay; doc grain is
+    // batch-local, so the union over batches equals the one-shot
+    // answer.
+    "s35_stream_bloom_dedup" -> ((s, d) => {
+      import s.implicits._
+      val h60 = graft.functions.PortableHash.h60 _
+      val name = s"docs_bloom_${sfx(d)}"
+      val isStrm = pmod(h60(col("doc_id")), lit(10)) === 0
+      synchronized {
+        if (!ShardServiceRegistry.exists(name)) {
+          val rows = T.documents(s, d)
+            .filter(isStrm)
+            .select(col("doc_id"), col("doc_id").as("pk"),
+              to_json(struct(col("doc_id"), col("text"))).as("json"))
+            .orderBy("doc_id").toLocalIterator()
+          seedRows(name, numShards = 2, rows, times = 1)
+        }
+      }
+      val fpOf = (t: org.apache.spark.sql.Column) =>
+        h60(concat_ws(" ", slice(split(t, " "), 1, 3)))
+      val probes = (fp: org.apache.spark.sql.Column) =>
+        explode(array((0 until 3).map(i =>
+          pmod(h60(concat_ws("|", lit(i), fp)), lit(1024))): _*))
+      // the persisted index: fingerprints + their 17-word Bloom
+      val ixFp = T.documents(s, d).filter(!isStrm)
+        .select($"doc_id", fpOf($"text").as("fp")).cache()
+      val bloom = ixFp.select(probes($"fp").as("idx"))
+        .select(expr("CAST(idx div 62 AS INT)").as("word_i"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(idx % 62 AS INT))").as("m"))
+        .groupBy($"word_i").agg(expr("bit_or(m)").as("bits")).cache()
+      val nStrm = T.documents(s, d).filter(isStrm).count()
+      val cap = math.max(10L, nStrm / 3)
+      val root = s"/tmp/graft_bloomdd_${sfx(d)}" +
+        s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", cap.toString)
+        .load()
+        .select(from_json(col("data").cast("string"), docSchema).as("e"))
+        .select(col("e.doc_id").as("doc_id"), col("e.text").as("text"))
+      graft.streaming.StreamObservability.attach(s)
+      val q = raw.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val bfp = batch.select(col("doc_id"), fpOf(col("text")).as("fp"))
+          val maybe = bfp
+            .select(col("doc_id"), col("fp"), probes(col("fp")).as("idx"))
+            .select(col("doc_id"), col("fp"),
+              expr("CAST(idx div 62 AS INT)").as("word_i"),
+              expr("shiftleft(CAST(1 AS BIGINT), CAST(idx % 62 AS INT))")
+                .as("m"))
+            .join(broadcast(bloom), Seq("word_i"), "left")
+            .groupBy(col("doc_id"), col("fp"))
+            .agg(sum(when(coalesce(col("bits"), lit(0L))
+              .bitwiseAND(col("m")) =!= 0L, 1L).otherwise(0L)).as("hits"))
+            .select(col("doc_id"), col("fp"),
+              (col("hits") === 3L).as("bloom_maybe"))
+          // only the maybe-set touches the index — the Bloom's point
+          val dup = maybe.filter(col("bloom_maybe"))
+            .join(ixFp.select(col("fp"), col("doc_id").as("ix_id")), Seq("fp"))
+            .groupBy(col("doc_id")).agg(min(col("ix_id")).as("dup_min"))
+          maybe.join(dup, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("bloom_maybe"),
+              col("dup_min").isNotNull.as("is_dup"),
+              coalesce(col("dup_min"), lit(-1L)).as("dup_of"))
+            .write.mode("overwrite").parquet(s"$root/b$batchId")
+          ()
+        }.start()
+      q.awaitTermination()
+      s.read.schema("doc_id LONG, bloom_maybe BOOLEAN, is_dup BOOLEAN, " +
+        "dup_of LONG").parquet(s"$root/b*")
+        .select($"doc_id", $"bloom_maybe", $"is_dup", $"dup_of")
+    }),
+
     // transformWithState (the Spark 4 arbitrary-state API, successor
     // to mapGroupsWithState): typed ValueState per key, explicit
     // init/handleInputRows lifecycle, RocksDB state store. Computes
@@ -1806,6 +1989,27 @@ object Streams extends QueryPack {
     // micro-batches must equal the one-shot CMS build
     "s33_stream_cms_monitor" -> Sketches.oracles("q112_cms_heavyhitters"),
 
+    // the batch-boundary-independent SCD2 dimension: change points by
+    // lag over the full per-user log, validity intervals by lead; the
+    // streamed MERGE chain must reproduce it row-for-row
+    "s34_stream_scd2" ->
+      """WITH chg AS (
+        |  SELECT user_id, ts, event_id, event_type AS attr,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_attr
+        |  FROM events),
+        |v AS (
+        |  SELECT user_id, ts, event_id, attr
+        |  FROM chg WHERE prev_attr IS NULL OR attr != prev_attr)
+        |SELECT user_id, attr,
+        |  CAST(epoch_us(ts) AS BIGINT) AS eff_from_us,
+        |  event_id AS eff_from_id,
+        |  CAST(coalesce(epoch_us(lead(ts) OVER w), -1) AS BIGINT)
+        |    AS eff_to_us,
+        |  CAST(coalesce(lead(event_id) OVER w, -1) AS BIGINT) AS eff_to_id,
+        |  CAST(lead(event_id) OVER w IS NULL AS BIGINT) AS is_current
+        |FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
     // q198's oracle BY REFERENCE: the streamed union of per-batch
     // centroid assignments must equal the one-shot batch admission
     // answer (vec grain is batch-local, so any lost/duplicated stream
@@ -1844,6 +2048,40 @@ object Streams extends QueryPack {
         |  CAST(ms AS BIGINT) AS best_sim_ppm
         |FROM g WHERE sim_ppm = ms
         |GROUP BY a, nm, ms""".stripMargin,
+
+    "s35_stream_bloom_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(
+        |      array_to_string(string_split(text, ' ')[1:3], ' ')), 1, 15)
+        |      AS BIGINT) AS fp,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 10 = 0 AS is_strm
+        |  FROM documents),
+        |ix AS (SELECT doc_id, fp FROM d WHERE NOT is_strm),
+        |strm AS (SELECT doc_id, fp FROM d WHERE is_strm),
+        |ipos AS (
+        |  SELECT DISTINCT CAST('0x' || substr(md5(CAST(k.i AS VARCHAR)
+        |    || '|' || CAST(fp AS VARCHAR)), 1, 15) AS BIGINT) % 1024 AS pos
+        |  FROM ix CROSS JOIN (VALUES (0), (1), (2)) AS k(i)),
+        |sp AS (
+        |  SELECT doc_id, fp,
+        |    CAST('0x' || substr(md5(CAST(k.i AS VARCHAR)
+        |    || '|' || CAST(fp AS VARCHAR)), 1, 15) AS BIGINT) % 1024 AS pos
+        |  FROM strm CROSS JOIN (VALUES (0), (1), (2)) AS k(i)),
+        |maybe AS (
+        |  SELECT doc_id, fp,
+        |    sum(CASE WHEN pos IN (SELECT pos FROM ipos) THEN 1 ELSE 0 END)
+        |      = 3 AS bloom_maybe
+        |  FROM sp GROUP BY 1, 2),
+        |dup AS (
+        |  SELECT m.doc_id, min(ix.doc_id) AS dup_of
+        |  FROM maybe m JOIN ix ON m.fp = ix.fp WHERE m.bloom_maybe
+        |  GROUP BY 1)
+        |SELECT m.doc_id, m.bloom_maybe,
+        |  dup.dup_of IS NOT NULL AS is_dup,
+        |  COALESCE(dup.dup_of, -1) AS dup_of
+        |FROM maybe m LEFT JOIN dup ON m.doc_id = dup.doc_id""".stripMargin,
 
     "s10_stateful_running" ->
       """SELECT user_id, count(*) AS n,

@@ -546,6 +546,80 @@ object TextAnalysis extends QueryPack {
             "ELSE 0L END").as("r1_star_ppm"))
     }),
 
+    // ---- Chao1 species-richness estimate per source ------------------
+    // [Chao, Scand.J.Stat'84] the nonparametric answer to "how many
+    // bigram types does this source's POPULATION hold, given the
+    // sample?" — the crawl-budget question q271's unseen-MASS estimate
+    // doesn't answer (p0 says how much probability is unseen; Chao1
+    // says how many TYPES are unseen). Bias-corrected form, exact in
+    // int64: chao1 = S_obs + f1(f1−1)/(2(f2+1)) — singletons f1 and
+    // doubletons f2 carry all the information, and the (f2+1)
+    // correction makes f2 = 0 well-defined. Word BIGRAM types (unigram
+    // vocab saturates instantly; bigrams keep growing, which is what
+    // makes the estimator informative). Turing sample coverage
+    // C = 1 − f1/N rides along. Scale: one bigram explode → (source,
+    // bigram) hash agg → per-source tally — q271's exact shape, the
+    // heavy shuffle keys on the high-cardinality bigram vocabulary.
+    "q289_chao1_richness" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      T.documents(s, d)
+        .select($"source", explode(expr("word_ngrams(text, 2)")).as("w"))
+        .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+        .groupBy($"source")
+        .agg(sum($"c").cast("bigint").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(($"c" === 1L).cast("long")).as("f1"),
+          sum(($"c" === 2L).cast("long")).as("f2"))
+        .select($"source", $"n_tokens", $"n_types", $"f1", $"f2",
+          expr("n_types + (f1 * (f1 - 1)) div (2 * (f2 + 1))")
+            .as("chao1_est"),
+          expr("(n_tokens - f1) * 1000000L div n_tokens")
+            .as("coverage_ppm"))
+    }),
+
+    // ---- span-corruption masking plan (T5-style) ---------------------
+    // [Raffel+ '20 §3.1.4] the denoising-pretraining data op: choose
+    // ~15% of each doc's tokens in contiguous spans (mean length 3),
+    // each span to be replaced by one sentinel. The plan is a pure
+    // function of the data via h60 — span STARTS where
+    // h60(doc#pos) % 20 = 0 (5% of positions), span length
+    // 1 + h60(doc#pos#len) % 5 (mean 3 ⇒ ~15% masked) — so a retried
+    // 100 TB job regenerates the identical corruption, which is what
+    // makes checkpoint-resume of a tokenization pipeline sound.
+    // Overlapping spans merge (distinct positions, lag-based span
+    // count), truncation at doc end falls out of the position join.
+    // Scale: posexplode → per-row hash filter → bounded span explode
+    // (≤5×) → (doc, pos) self equi-join → per-doc agg; everything
+    // keys on (doc_id, pos), no corpus-scale byproduct. Positions are
+    // 1-based in BOTH engines (the hash input must match exactly).
+    "q290_span_corruption" -> ((s, d) => {
+      import s.implicits._
+      val h = graft.functions.PortableHash.h60 _
+      val toks = T.documents(s, d)
+        .select($"doc_id", size(split($"text", " ")).cast("long")
+          .as("n_tokens"), posexplode(split($"text", " ")))
+        .select($"doc_id", $"n_tokens", ($"pos" + 1L).as("pos"))
+      val starts = toks
+        .filter(pmod(h(concat($"doc_id".cast("string"), lit("#"),
+          $"pos".cast("string"))), lit(20)) === 0L)
+        .select($"doc_id".as("sdoc"),
+          explode(sequence($"pos", $"pos" +
+            pmod(h(concat($"doc_id".cast("string"), lit("#"),
+              $"pos".cast("string"), lit("#len"))), lit(5)))).as("mpos"))
+        .distinct()
+      val wlag = Window.partitionBy($"doc_id").orderBy($"mpos")
+      toks.join(starts, $"pos" === $"mpos" && $"doc_id" === $"sdoc")
+        .select($"doc_id", $"n_tokens", $"mpos")
+        .withColumn("prev", lag($"mpos", 1).over(wlag))
+        .groupBy($"doc_id", $"n_tokens")
+        .agg(count(lit(1)).as("n_masked"),
+          sum(when($"prev".isNull || $"prev" < $"mpos" - 1L, 1L)
+            .otherwise(0L)).cast("bigint").as("n_spans"))
+        .select($"doc_id", $"n_tokens", $"n_masked", $"n_spans",
+          expr("n_masked * 1000000L div n_tokens").as("mask_ppm"))
+    }),
+
     // ---- hapax legomena rate per source -----------------------------
     // The vocabulary-richness signal next to q193's Heaps curve: the
     // share of a source's word TYPES that occur exactly once in that
@@ -1211,6 +1285,58 @@ object TextAnalysis extends QueryPack {
         |      // sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
         |    ELSE 0 END AS BIGINT) AS r1_star_ppm
         |FROM wc GROUP BY 1""".stripMargin,
+
+    "q289_chao1_richness" ->
+      """WITH w AS (
+        |  SELECT source, string_split(text, ' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT source,
+        |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+        |  FROM w),
+        |wc AS (SELECT source, g, CAST(count(*) AS BIGINT) AS c
+        |  FROM bg GROUP BY 1, 2),
+        |t AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        |  FROM wc GROUP BY 1)
+        |SELECT source, n_tokens, n_types, f1, f2,
+        |  CAST(n_types + (f1 * (f1 - 1)) // (2 * (f2 + 1)) AS BIGINT)
+        |    AS chao1_est,
+        |  CAST((n_tokens - f1) * 1000000 // n_tokens AS BIGINT)
+        |    AS coverage_ppm
+        |FROM t""".stripMargin,
+
+    "q290_span_corruption" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |    len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents),
+        |starts AS (
+        |  SELECT doc_id, pos,
+        |    1 + CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+        |      || CAST(pos AS VARCHAR) || '#len'), 1, 15) AS BIGINT) % 5 AS sl
+        |  FROM toks
+        |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+        |    || CAST(pos AS VARCHAR)), 1, 15) AS BIGINT) % 20 = 0),
+        |masked AS (
+        |  SELECT DISTINCT doc_id, unnest(range(pos, pos + sl)) AS mpos
+        |  FROM starts),
+        |mt AS (
+        |  SELECT t.doc_id, t.n_tokens, m.mpos
+        |  FROM toks t JOIN masked m
+        |    ON t.doc_id = m.doc_id AND t.pos = m.mpos)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_masked,
+        |  CAST(sum(CASE WHEN prev IS NULL OR prev < mpos - 1
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+        |  CAST(count(*) * 1000000 // n_tokens AS BIGINT) AS mask_ppm
+        |FROM (SELECT doc_id, n_tokens, mpos,
+        |        lag(mpos) OVER (PARTITION BY doc_id ORDER BY mpos) AS prev
+        |      FROM mt) g
+        |GROUP BY doc_id, n_tokens""".stripMargin,
 
     "q231_hapax_rate" ->
       """WITH wc AS (

@@ -122,8 +122,16 @@ class DeterminismSpec extends AnyFunSuite {
     "q280_qi_pair_risk", "q281_decayed_engagement", "q282_double_sweep",
     "q283_dedup_savings",
     // round 15: rerank tie-breaks over the candidate set, the LRS
-    // binary-search ladder's lexicographic pick
-    "q284_bm25_rerank", "q285_suffix_lrs")
+    // binary-search ladder's lexicographic pick, the bootstrap's
+    // replicate order statistics, the CountSketch median order
+    // statistics, the IPS policy argmax tie-break
+    "q284_bm25_rerank", "q285_suffix_lrs", "q286_poisson_bootstrap",
+    "q287_countsketch_audit", "q288_ips_policy_eval",
+    // batch B: hash-derived bigram tallies, hash-seeded mask spans,
+    // hash-seeded permutation relabelings — all must be invariant to
+    // the shuffle shape by construction
+    "q289_chao1_richness", "q290_span_corruption",
+    "q291_permutation_test")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

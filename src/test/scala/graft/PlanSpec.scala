@@ -35,7 +35,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "s24_tuned_watermark", "s25_stream_ewma_alerts", "s26_state_reader",
     "s27_timer_windows", "s28_crash_recovery", "s29_dynamic_session",
     "s30_stream_neardup_admission", "s31_stream_quantile_monitor",
-    "s32_stream_ivf_admission", "s33_stream_cms_monitor")
+    "s32_stream_ivf_admission", "s33_stream_cms_monitor",
+    "s34_stream_scd2", "s35_stream_bloom_dedup")
   // bounded-side nested loops that are correct by construction
   // (1-row stats, 4-row tier dim, 10-row query set, 5-row lang
   // profiles, 1-row mixture minimum, k-row centroid set, 1-row
@@ -120,6 +121,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q194: the 1-row (max_day, n_users) scalar crossed onto the
     // user-grain agg and the bounded day grid
     "q194_kaplan_meier",
+    // q288: the 1-row unsupported-count audit scalar crossed onto the
+    // 1-row IPS report (hinted broadcast)
+    "q288_ips_policy_eval",
+    // q291: the 1-row observed-sums scalar crossed onto the 64-row
+    // replicate table (hinted broadcast)
+    "q291_permutation_test",
     // q198: the k-row base-centroid assignment pass (q175's shape,
     // twice — base and batch)
     "q198_ivf_incremental",
