@@ -1138,6 +1138,59 @@ object Pipeline extends QueryPack {
           expr("n_ge * 1000000L div n_reps").as("p_ppm"))
     }),
 
+    // ---- McNemar test on paired quality filters ----------------------
+    // [McNemar '47] q184 measures how much the two doc-quality filters
+    // AGREE (kappa); this asks whether their disagreement is
+    // DIRECTIONAL — does filter A systematically pass docs B rejects?
+    // Only the discordant cells carry information: χ² = (b−c)²/(b+c)
+    // in exact milli units, and the p-value is the exact CONDITIONAL
+    // test run by hash flips (under H0 each discordant doc is b-or-c
+    // with prob 1/2 — flipping each doc's direction by h60(doc#r)%2
+    // samples that null exactly; the factorial-free estimate of the
+    // binomial tail, q291's machinery on PAIRED data). One corpus
+    // scan → 1-row cell counts + the discordant set (tiny) → 64
+    // hash-flip replicates over it; everything after the scan is
+    // bounded by the discordant count.
+    "q294_mcnemar_filters" -> ((s, d) => {
+      import s.implicits._
+      val flags = T.documents(s, d)
+        .select($"doc_id", $"n_chars", split($"text", " ").as("w"))
+        .select($"doc_id", $"n_chars",
+          size($"w").cast("bigint").as("toks"),
+          size(filter($"w", w => w.isin("the", "a", "of", "and", "to")))
+            .cast("bigint").as("stops"))
+        .select($"doc_id",
+          ($"n_chars" >= 100 && $"n_chars" <= 5000 &&
+            $"n_chars" < $"toks" * 12L).as("fa"),
+          ($"stops" * 100L >= $"toks" && $"stops" * 2L <= $"toks").as("fb"))
+        .cache()
+      val cells = flags.agg(count(lit(1)).as("n"),
+        sum(($"fa" && $"fb").cast("long")).as("n11"),
+        sum(($"fa" && !$"fb").cast("long")).as("n10"),
+        sum((!$"fa" && $"fb").cast("long")).as("n01"),
+        sum((!$"fa" && !$"fb").cast("long")).as("n00"))
+      val rep = flags.filter($"fa" =!= $"fb")
+        .select($"doc_id", $"fa".cast("long").as("is_b"),
+          explode(expr("sequence(0, 63)")).as("r"))
+        .withColumn("flip", pmod($"is_b" +
+          hash60(concat($"doc_id".cast("string"), lit("#"),
+            $"r".cast("string"))), lit(2)))
+        .groupBy($"r")
+        .agg(sum($"flip").cast("bigint").as("br"),
+          count(lit(1)).as("nd"))
+      rep.crossJoin(broadcast(cells))
+        .groupBy($"n", $"n11", $"n10", $"n01", $"n00")
+        .agg(count(lit(1)).as("n_reps"),
+          sum(when((lit(2L) * $"br" - $"nd") * (lit(2L) * $"br" - $"nd") >=
+            ($"n10" - $"n01") * ($"n10" - $"n01"), 1L).otherwise(0L))
+            .cast("bigint").as("n_ge"))
+        .select($"n", $"n11", $"n10", $"n01", $"n00",
+          expr("(n10 - n01) * (n10 - n01) * 1000L div (n10 + n01)")
+            .as("chi2_milli"),
+          $"n_reps", $"n_ge",
+          expr("n_ge * 1000000L div n_reps").as("p_ppm"))
+    }),
+
     // ---- IPS / SNIPS offline policy evaluation ----------------------
     // [Horvitz & Thompson '52; Dudík, Langford & Li '11] counterfactual
     // evaluation from logged data only — the op behind every "would the
@@ -1823,6 +1876,53 @@ object Pipeline extends QueryPack {
         |    THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS p_ppm
         |FROM rep r CROSS JOIN obs o
         |GROUP BY o.na, o.nb, o.sa, o.sb""".stripMargin,
+
+    "q294_mcnemar_filters" ->
+      """WITH perdoc AS (
+        |  SELECT doc_id, n_chars, len(string_split(text, ' ')) AS toks,
+        |    len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS stops
+        |  FROM documents),
+        |flags AS (
+        |  SELECT doc_id,
+        |    (n_chars >= 100 AND n_chars <= 5000 AND n_chars < toks * 12)
+        |      AS fa,
+        |    (stops * 100 >= toks AND stops * 2 <= toks) AS fb
+        |  FROM perdoc),
+        |cells AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN fa AND fb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n11,
+        |    CAST(sum(CASE WHEN fa AND NOT fb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n10,
+        |    CAST(sum(CASE WHEN NOT fa AND fb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n01,
+        |    CAST(sum(CASE WHEN NOT fa AND NOT fb THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n00
+        |  FROM flags),
+        |disc AS (
+        |  SELECT doc_id, CAST(fa AS BIGINT) AS is_b
+        |  FROM flags WHERE fa <> fb),
+        |rep AS (
+        |  SELECT k.r,
+        |    CAST(sum((is_b + CAST('0x' || substr(md5(
+        |      CAST(doc_id AS VARCHAR) || '#' || CAST(k.r AS VARCHAR)), 1, 15)
+        |      AS BIGINT)) % 2) AS BIGINT) AS br,
+        |    CAST(count(*) AS BIGINT) AS nd
+        |  FROM disc CROSS JOIN (SELECT unnest(range(0, 64)) AS r) k
+        |  GROUP BY 1)
+        |SELECT c.n, c.n11, c.n10, c.n01, c.n00,
+        |  CAST((c.n10 - c.n01) * (c.n10 - c.n01) * 1000
+        |    // (c.n10 + c.n01) AS BIGINT) AS chi2_milli,
+        |  CAST(count(*) AS BIGINT) AS n_reps,
+        |  CAST(sum(CASE WHEN (2 * r.br - r.nd) * (2 * r.br - r.nd)
+        |      >= (c.n10 - c.n01) * (c.n10 - c.n01) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_ge,
+        |  CAST(sum(CASE WHEN (2 * r.br - r.nd) * (2 * r.br - r.nd)
+        |      >= (c.n10 - c.n01) * (c.n10 - c.n01) THEN 1 ELSE 0 END)
+        |    * 1000000 // count(*) AS BIGINT) AS p_ppm
+        |FROM rep r CROSS JOIN cells c
+        |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
 
     // empirical propensities as exact rationals; policy + propensities
     // from the even-hash fold, evaluated on the odd fold; support

@@ -467,6 +467,54 @@ object Similarity extends QueryPack {
         .select($"qid", $"vec_id", $"cos", $"rn")
     }),
 
+    // ---- KNN-Shapley data valuation (exact, fixed-point) -------------
+    // [Ghorbani & Zou '19; Jia+ VLDB'19 Thm 1] which training vectors
+    // are WORTH their storage for a KNN labeler? The Shapley value of
+    // every training point for a query has a closed form under KNN
+    // utility: sort by distance, then s_n = 1[y_n=y]/n and
+    // s_i = s_{i+1} + (1[y_i=y] − 1[y_{i+1}=y])·min(K,i)/(K·i) — an
+    // O(n log n) SUFFIX SCAN, not the exponential generic Shapley. As
+    // integers: each coefficient min(K,i)·10⁹ div (K·i) floors
+    // identically in both engines (non-negative numerator), the sign
+    // rides outside, and s is the windowed suffix sum of those deltas
+    // plus the rank-n base. Distances are exact integer squared L2 on
+    // the quantized vectors (d² = n2+qn2−2·int_dot, the q40 rule), so
+    // the rank order cannot drift across engines. Top-5 most valuable
+    // per query; K = 5, queries = vec_id ≡ 0 (mod 50). Scale: the
+    // pair table is |queries|·n with a per-query window — at 100 TB
+    // the suffix scan bounds to a top-M distance cut per query (s
+    // decays as 1/i past K), same partition-pruned shape.
+    "q293_knn_shapley" -> ((s, d) => {
+      import s.implicits._
+      val emb = quantized(s, d)
+      val qs = emb.filter(pmod($"vec_id", lit(50)) === 0)
+        .select($"vec_id".as("qid"), $"label".as("qlab"),
+          $"q".as("qv"), $"n2".as("qn2"))
+      val pair = emb.join(broadcast(qs), $"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id",
+          ($"n2" + $"qn2" - lit(2L) * expr("int_dot(q, qv)")).as("d2"),
+          ($"label" === $"qlab").cast("long").as("ind"))
+      val wrk = Window.partitionBy($"qid").orderBy($"d2", $"vec_id")
+      val wpt = Window.partitionBy($"qid")
+      val dl = pair
+        .withColumn("i", row_number().over(wrk).cast("long"))
+        .withColumn("nn", count(lit(1)).over(wpt))
+        .withColumn("nind", lead($"ind", 1).over(wrk))
+        .withColumn("delta", when($"i" < $"nn",
+          ($"ind" - $"nind") *
+            expr("least(5L, i) * 1000000000L div (5L * i)")).otherwise(0L))
+        .withColumn("base", when($"i" === $"nn",
+          expr("ind * 1000000000L div nn")).otherwise(0L))
+      val wsuf = Window.partitionBy($"qid").orderBy($"i".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sv = dl.withColumn("s_nano",
+        (sum($"base").over(wpt) + sum($"delta").over(wsuf)).cast("bigint"))
+      val wtop = Window.partitionBy($"qid").orderBy($"s_nano".desc, $"vec_id")
+      sv.withColumn("vr", row_number().over(wtop)).filter($"vr" <= 5)
+        .select($"qid", $"vec_id", $"i".as("dist_rank"),
+          $"ind".as("same_label"), $"s_nano")
+    }),
+
     // ---- IVF-style partitioned ANN: search only the query's cell ----
     "q41_ann_ivf" -> ((s, d) => {
       import s.implicits._
@@ -1331,6 +1379,41 @@ object Similarity extends QueryPack {
         |FROM q""".stripMargin,
 
     "q40_cosine_topk" -> duckQ40,
+
+    "q293_knn_shapley" ->
+      s"""WITH $duckQuant,
+        |qs AS (SELECT vec_id AS qid, label AS qlab, qv AS qqv, n2 AS qn2
+        |  FROM n WHERE vec_id % 50 = 0),
+        |pair AS (
+        |  SELECT qs.qid, n.vec_id,
+        |    n.n2 + qs.qn2 - 2 * CAST(list_sum(list_transform(
+        |      list_zip(n.qv, qs.qqv), p -> p[1] * p[2])) AS BIGINT) AS d2,
+        |    CAST(n.label = qs.qlab AS BIGINT) AS ind
+        |  FROM n CROSS JOIN qs WHERE n.vec_id != qs.qid),
+        |rk AS (
+        |  SELECT qid, vec_id, d2, ind,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id)
+        |      AS BIGINT) AS i,
+        |    CAST(count(*) OVER (PARTITION BY qid) AS BIGINT) AS nn,
+        |    lead(ind) OVER (PARTITION BY qid ORDER BY d2, vec_id) AS nind
+        |  FROM pair),
+        |dl AS (
+        |  SELECT qid, vec_id, ind, i, nn,
+        |    CASE WHEN i < nn THEN (ind - nind)
+        |      * (least(5, i) * 1000000000 // (5 * i)) ELSE 0 END AS delta,
+        |    CASE WHEN i = nn THEN ind * 1000000000 // nn ELSE 0 END AS base
+        |  FROM rk),
+        |sv AS (
+        |  SELECT qid, vec_id, ind, i,
+        |    CAST(sum(base) OVER (PARTITION BY qid) AS BIGINT)
+        |    + CAST(sum(delta) OVER (PARTITION BY qid ORDER BY i DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS s_nano
+        |  FROM dl)
+        |SELECT qid, vec_id, i AS dist_rank, ind AS same_label, s_nano
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY s_nano DESC, vec_id) AS vr FROM sv) t
+        |WHERE vr <= 5""".stripMargin,
 
     // the greedy MMR loop replayed in one recursive CTE: per level a
     // LATERAL argmax over candidates not yet selected, diversity = max

@@ -52,6 +52,45 @@ private[operators] class SpanProcessor
   }
 }
 
+/** Streaming CEP funnel (s36): per-user view → click-after-view →
+  * purchase-after-click, the q81 state machine run as typed state.
+  * State is exactly THREE longs per user (−1 = unreached) — the whole
+  * point vs buffering events: bounded regardless of how many events a
+  * user produces, TTL-evictable at 100 TB key cardinalities. The fold
+  * is correct because per-user arrival order is event-time order
+  * (partitionKey = user_id pins a user to one shard; the seed appends
+  * in event_id order, which the fixture guarantees is ts order; the
+  * source replays per-shard in sequence order across batches) — the
+  * per-BATCH iterator, however, arrives in shuffle order, so rows are
+  * sorted by ts inside the handler (bounded by the user's rows in one
+  * micro-batch). Registers only advance (a set register never moves),
+  * so update-mode emissions are monotone in stage and max-by-stage
+  * over the emission log is the final machine state — q81's oracle
+  * gates it verbatim. */
+private[operators] class FunnelProcessor
+    extends StatefulProcessor[Long, (Long, Long, String), (Long, Long, Long, Long, Long)] {
+  @transient private var reg: ValueState[(Long, Long, Long)] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    reg = getHandle.getValueState[(Long, Long, Long)]("funnel",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+      TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, String)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long, Long, Long)] = {
+    var (fv, fc, fp) = if (reg.exists()) reg.get() else (-1L, -1L, -1L)
+    rows.toArray.sortBy(r => (r._2, r._1)).foreach { case (_, ts, et) =>
+      et match {
+        case "view" if fv < 0 => fv = ts
+        case "click" if fc < 0 && fv >= 0 && ts > fv => fc = ts
+        case "purchase" if fp < 0 && fc >= 0 && ts > fc => fp = ts
+        case _ => ()
+      }
+    }
+    reg.update((fv, fc, fp))
+    val stage = if (fp >= 0) 3L else if (fc >= 0) 2L else if (fv >= 0) 1L else 0L
+    Iterator.single((key, fv, fc, fp, stage))
+  }
+}
+
 /** Hand-rolled tumbling-hour count via EVENT-TIME TIMERS (s27): key =
   * (user, hour bucket); the first row registers a timer at the hour's
   * end, and the count is emitted ONLY from [[handleExpiredTimer]] when
@@ -1606,6 +1645,53 @@ object Streams extends QueryPack {
         .select($"doc_id", $"bloom_maybe", $"is_dup", $"dup_of")
     }),
 
+    // Streaming CEP funnel — q81's per-user view → click-after-view →
+    // purchase-after-click state machine run INCREMENTALLY on typed
+    // state (transformWithState, s12's API): three longs per user,
+    // bounded however many events a user produces (the alternative —
+    // buffering events for a batch replay — is unbounded state).
+    // Arrival order is event-time order per user (user-keyed shards,
+    // ts-ordered seed, in-order per-shard replay), so the monotone
+    // register fold IS q81's min-based definition; stage only advances,
+    // so max-by-stage over the update-mode emission log is the final
+    // machine state. Oracle = q81's verbatim — a register set early,
+    // late, or out of order flips a user's stage and fails the hash.
+    "s36_stream_funnel" -> ((s, d) => {
+      import s.implicits._
+      val name = s"events_rt_${sfx(d)}" // shares s01/s12's fixture
+      seedEventsJson(s, d, name, numShards = 4)
+      val cap = math.max(1000L, T.events(s, d).count() / 4)
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", cap.toString)
+        .load()
+      val ev = raw.select(
+        from_json(col("data").cast("string"), payloadSchema).as("e"))
+        .select(col("e.user_id").as("user_id"), col("e.ts_us").as("ts_us"),
+          col("e.event_type").as("event_type"))
+        .as[(Long, Long, String)]
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val emissions =
+        try {
+          val fun = ev.groupByKey(_._1)
+            .transformWithState(new FunnelProcessor, TimeMode.None(),
+              OutputMode.Update(),
+              Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+                Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+            .toDF("user_id", "fv", "fc", "fp", "stage")
+          drain(s, fun, outputMode = "update")
+        } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      emissions.groupBy(col("user_id"))
+        .agg(max(struct(col("stage"), col("fv"), col("fc"), col("fp"))).as("m"))
+        .select($"user_id",
+          when($"m.fv" >= 0L, $"m.fv").as("first_view"),
+          when($"m.fc" >= 0L, $"m.fc").as("first_click"),
+          when($"m.fp" >= 0L, $"m.fp").as("first_purchase"),
+          $"m.stage".as("stage"))
+    }),
+
     // transformWithState (the Spark 4 arbitrary-state API, successor
     // to mapGroupsWithState): typed ValueState per key, explicit
     // init/handleInputRows lifecycle, RocksDB state store. Computes
@@ -1988,6 +2074,7 @@ object Streams extends QueryPack {
     // q112's oracle BY REFERENCE: register sums merged across
     // micro-batches must equal the one-shot CMS build
     "s33_stream_cms_monitor" -> Sketches.oracles("q112_cms_heavyhitters"),
+    "s36_stream_funnel" -> Events.oracles("q81_funnel"),
 
     // the batch-boundary-independent SCD2 dimension: change points by
     // lag over the full per-user log, validity intervals by lead; the

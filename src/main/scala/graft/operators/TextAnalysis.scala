@@ -578,6 +578,41 @@ object TextAnalysis extends QueryPack {
             .as("coverage_ppm"))
     }),
 
+    // ---- Kneser–Ney smoothed bigram LM (exact fixed-point) -----------
+    // [Kneser & Ney '95; Chen & Goodman '98] the LM-smoothing step q70's
+    // MLE bigram model and q271's Good–Turing mass estimate both point
+    // at: interpolated KN with absolute discount D = 3/4 — continuation
+    // probability p_cont(w) = N1+(·w)/T (in how many CONTEXTS does w
+    // appear, not how often — the "San Francisco" correction), backoff
+    // weight D·N1+(v·)/c(v). Exact in int64 with ONE floor per cell:
+    // multiply through by 4 (D = 3/4 stays integral) and put the whole
+    // interpolation over the common denominator 4·c(v)·T —
+    // pkn_ppm = (max(4c−3,0)·10⁶·T + 3·N1v·Ncw·10⁶) div (4·cv·T); the
+    // report shows MLE vs KN side by side for the top-20 bigrams.
+    // Scale: the corpus-scale work is ONE (v, w) hash agg; the three
+    // marginals reduce the BOUNDED bigram-type table, and T is a 1-row
+    // scalar — q271's exact shape plus two bounded joins.
+    "q292_kneser_ney" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val cvw = T.documents(s, d)
+        .select(explode(expr("word_ngrams(text, 2)")).as("g"))
+        .select(split($"g", " ").getItem(0).as("v"),
+          split($"g", " ").getItem(1).as("nw"))
+        .groupBy($"v", $"nw").agg(count(lit(1)).as("c")).cache()
+      val cv = cvw.groupBy($"v")
+        .agg(sum($"c").cast("bigint").as("cv"), count(lit(1)).as("n1v"))
+      val cw = cvw.groupBy($"nw").agg(count(lit(1)).as("ncw"))
+      val tt = cvw.agg(count(lit(1)).as("t_types"))
+      cvw.join(cv, "v").join(cw, "nw").crossJoin(broadcast(tt))
+        .select($"v", $"nw", $"c", $"cv", $"n1v", $"ncw",
+          expr("c * 1000000L div cv").as("mle_ppm"),
+          expr("(greatest(4 * c - 3, 0L) * 1000000L * t_types" +
+            " + 3 * n1v * ncw * 1000000L) div (4 * cv * t_types)")
+            .as("pkn_ppm"))
+        .orderBy($"c".desc, $"v", $"nw").limit(20)
+    }),
+
     // ---- span-corruption masking plan (T5-style) ---------------------
     // [Raffel+ '20 §3.1.4] the denoising-pretraining data op: choose
     // ~15% of each doc's tokens in contiguous spans (mean length 3),
@@ -1285,6 +1320,28 @@ object TextAnalysis extends QueryPack {
         |      // sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
         |    ELSE 0 END AS BIGINT) AS r1_star_ppm
         |FROM wc GROUP BY 1""".stripMargin,
+
+    "q292_kneser_ney" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, len(w)), i -> w[i])) AS v,
+        |    unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS nw
+        |  FROM w),
+        |cvw AS (SELECT v, nw, CAST(count(*) AS BIGINT) AS c
+        |  FROM bg GROUP BY 1, 2),
+        |cv AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv,
+        |  CAST(count(*) AS BIGINT) AS n1v FROM cvw GROUP BY 1),
+        |cw AS (SELECT nw, CAST(count(*) AS BIGINT) AS ncw
+        |  FROM cvw GROUP BY 1),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM cvw)
+        |SELECT cvw.v, cvw.nw, cvw.c, cv.cv, cv.n1v, cw.ncw,
+        |  CAST(cvw.c * 1000000 // cv.cv AS BIGINT) AS mle_ppm,
+        |  CAST((greatest(4 * cvw.c - 3, 0) * 1000000 * tt.t
+        |    + 3 * cv.n1v * cw.ncw * 1000000) // (4 * cv.cv * tt.t)
+        |    AS BIGINT) AS pkn_ppm
+        |FROM cvw JOIN cv USING (v) JOIN cw USING (nw) CROSS JOIN tt
+        |ORDER BY cvw.c DESC, cvw.v, cvw.nw LIMIT 20""".stripMargin,
 
     "q289_chao1_richness" ->
       """WITH w AS (

@@ -131,7 +131,10 @@ class DeterminismSpec extends AnyFunSuite {
     // hash-seeded permutation relabelings — all must be invariant to
     // the shuffle shape by construction
     "q289_chao1_richness", "q290_span_corruption",
-    "q291_permutation_test")
+    "q291_permutation_test",
+    // batch C: the KN top-20 tie-break, the Shapley suffix scan's
+    // distance-rank tie-break, McNemar's hash-flip replicates
+    "q292_kneser_ney", "q293_knn_shapley", "q294_mcnemar_filters")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

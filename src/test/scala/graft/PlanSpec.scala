@@ -36,7 +36,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "s27_timer_windows", "s28_crash_recovery", "s29_dynamic_session",
     "s30_stream_neardup_admission", "s31_stream_quantile_monitor",
     "s32_stream_ivf_admission", "s33_stream_cms_monitor",
-    "s34_stream_scd2", "s35_stream_bloom_dedup")
+    "s34_stream_scd2", "s35_stream_bloom_dedup", "s36_stream_funnel")
   // bounded-side nested loops that are correct by construction
   // (1-row stats, 4-row tier dim, 10-row query set, 5-row lang
   // profiles, 1-row mixture minimum, k-row centroid set, 1-row
@@ -45,6 +45,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   // composes q63's rate table so inherits its 1-row minimum join)
   private val allowedBnlj = Set("q18_scalar_subquery", "q30_range_join",
     "q40_cosine_topk", "q51_langid_ngram", "q63_source_mixture",
+    // q293: q40's shape — the 10-row query set broadcast under the
+    // self-exclusion non-equi join
+    "q293_knn_shapley",
     "q79_kmeans_iter", "q87_zorder_stats", "q103_cooccur_lift",
     "q125_drift_detect", "q129_equidepth_hist", "q135_mixture_execute",
     "q140_pq_adc_topk", "q141_ann_ivf_multiprobe", "q142_ann_recall",
@@ -127,6 +130,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q291: the 1-row observed-sums scalar crossed onto the 64-row
     // replicate table (hinted broadcast)
     "q291_permutation_test",
+    // q292: the 1-row bigram-type-count scalar crossed onto the
+    // bounded bigram-type table (hinted broadcast)
+    "q292_kneser_ney",
+    // q294: the 1-row contingency-cells scalar crossed onto the 64-row
+    // flip-replicate table (hinted broadcast)
+    "q294_mcnemar_filters",
     // q198: the k-row base-centroid assignment pass (q175's shape,
     // twice — base and batch)
     "q198_ivf_incremental",
