@@ -1138,6 +1138,110 @@ object Pipeline extends QueryPack {
           expr("n_ge * 1000000L div n_reps").as("p_ppm"))
     }),
 
+    // ---- greedy max-coverage doc selection (submodular) --------------
+    // [Nemhauser+ '78 1−1/e guarantee; Wei+ ICML'15 data subset
+    // selection] the data-selection op the mixture planners (q63,
+    // q221) don't do: pick k = 10 docs that jointly COVER the most
+    // bigram vocabulary — coverage is submodular, so greedy is within
+    // 1−1/e of optimal and greedy is what anyone runs. Candidates =
+    // top-50 docs by distinct-bigram count (the cut keeps every round
+    // candidate-bounded); each of the 10 rounds is DISTRIBUTED — gain
+    // = anti-join of a candidate's bigrams against the covered set,
+    // one hash agg — and only the 1-row argmax crosses to the driver
+    // (boundedCollect, q282's rule). Fully-covered candidates keep
+    // gain 0 via the left join, mirroring the oracle's LATERAL argmax
+    // exactly. The diminishing gain column IS the submodularity
+    // certificate in the report. Oracle = one recursive CTE carrying
+    // the selected list.
+    "q295_coverage_greedy" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val bg = T.documents(s, d)
+        .select($"doc_id",
+          explode(array_distinct(expr("word_ngrams(text, 2)"))).as("g"))
+      val cand = bg.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
+        .orderBy($"nsh".desc, $"doc_id").limit(50)
+      val cbg = bg.join(cand.select($"doc_id"), "doc_id").cache()
+      val candIds = T.boundedCollect(
+        cand.select($"doc_id"), 50, "q295 candidates").map(_.getLong(0))
+      var selected = Vector.empty[Long]
+      var covered = 0L
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+      var step = 1
+      while (step <= 10 && selected.size < candIds.length) {
+        val coveredSet = cbg.filter($"doc_id".isin(selected: _*))
+          .select($"g").distinct()
+        val gains = cbg.filter(!$"doc_id".isin(selected: _*))
+          .join(coveredSet, Seq("g"), "left_anti")
+          .groupBy($"doc_id").agg(count(lit(1)).as("gain"))
+        val remaining = cand.filter(!$"doc_id".isin(selected: _*))
+          .join(gains, Seq("doc_id"), "left")
+          .select($"doc_id", coalesce($"gain", lit(0L)).as("gain"))
+        val pick = T.boundedCollect(
+          remaining.orderBy($"gain".desc, $"doc_id").limit(1),
+          1, "q295 round argmax")(0)
+        val (pd, pg) = (pick.getLong(0), pick.getLong(1))
+        covered += pg
+        out += ((step.toLong, pd, pg, covered))
+        selected :+= pd
+        step += 1
+      }
+      cbg.unpersist()
+      out.toSeq.toDF("step", "doc_id", "gain", "covered")
+    }),
+
+    // ---- Cochran–Mantel–Haenszel stratified association test ---------
+    // [Cochran '54; Mantel & Haenszel '59] the statistical answer to
+    // Simpson's paradox, next to q270's DiD: does order priority
+    // associate with line-item returns AFTER controlling for ship
+    // year? Per stratum the 2×2 cell counts and the within-stratum
+    // odds direction sign(ad−bc); pooled CMH = (Σ(a−E_i))²/ΣV_i with
+    // E_i = (a+b)(a+c)/n_i and hypergeometric V_i, all in milli
+    // fixed-point with one floor per term (identical in both engines);
+    // per-stratum is_reversal flags the Simpson strata whose direction
+    // opposes the crude pooled table. V's four-way product and the
+    // squared deviation pass through DECIMAL(38)/HUGEINT (the q209
+    // wide-intermediate rule). One fact-scan join → (year) hash agg;
+    // everything after is strata-bounded.
+    "q297_cmh_stratified" -> ((s, d) => {
+      import s.implicits._
+      val base = T.lineitem(s, d)
+        .join(T.orders(s, d).select($"o_orderkey", $"o_orderpriority"),
+          $"l_orderkey" === $"o_orderkey")
+        .select(year($"l_shipdate").cast("long").as("yr"),
+          $"o_orderpriority".isin("1-URGENT", "2-HIGH").as("grp"),
+          ($"l_returnflag" === "R").as("ret"))
+      val cells = base.groupBy($"yr").agg(
+        sum(($"grp" && $"ret").cast("long")).as("a"),
+        sum(($"grp" && !$"ret").cast("long")).as("b"),
+        sum((!$"grp" && $"ret").cast("long")).as("c"),
+        sum((!$"grp" && !$"ret").cast("long")).as("d"))
+      val st = cells.select($"yr", $"a", $"b", $"c", $"d",
+        expr("(a + b) * (a + c) * 1000L div (a + b + c + d)").as("e_milli"),
+        expr("CAST(CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c)" +
+          " * (b + d) * 1000 div (CAST(a + b + c + d AS DECIMAL(38,0))" +
+          " * (a + b + c + d) * (a + b + c + d - 1)) AS BIGINT)")
+          .as("v_milli"))
+      val gl = st.agg(
+        sum($"a" * lit(1000L) - $"e_milli").cast("bigint").as("dev_milli"),
+        sum($"v_milli").cast("bigint").as("v_sum_milli"),
+        sum($"a").cast("bigint").as("sa"), sum($"b").cast("bigint").as("sb"),
+        sum($"c").cast("bigint").as("sc"), sum($"d").cast("bigint").as("sd"))
+      st.crossJoin(broadcast(gl))
+        .select($"yr", $"a", $"b", $"c", $"d",
+          when($"a" * $"d" > $"b" * $"c", 1L)
+            .when($"a" * $"d" < $"b" * $"c", -1L).otherwise(0L).as("or_dir"),
+          when($"sa" * $"sd" > $"sb" * $"sc", 1L)
+            .when($"sa" * $"sd" < $"sb" * $"sc", -1L).otherwise(0L)
+            .as("pooled_dir"),
+          when(($"a" * $"d" - $"b" * $"c") *
+            ($"sa" * $"sd" - $"sb" * $"sc") < 0L, 1L).otherwise(0L)
+            .as("is_reversal"),
+          expr("CAST(CAST(dev_milli AS DECIMAL(38,0)) * dev_milli" +
+            " div (CAST(v_sum_milli AS DECIMAL(38,0)) * 1000)" +
+            " AS BIGINT)").as("cmh_milli"))
+    }),
+
     // ---- McNemar test on paired quality filters ----------------------
     // [McNemar '47] q184 measures how much the two doc-quality filters
     // AGREE (kappa); this asks whether their disagreement is
@@ -1876,6 +1980,85 @@ object Pipeline extends QueryPack {
         |    THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS p_ppm
         |FROM rep r CROSS JOIN obs o
         |GROUP BY o.na, o.nb, o.sa, o.sb""".stripMargin,
+
+    "q295_coverage_greedy" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))
+        |      AS g
+        |  FROM w),
+        |cand AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh FROM bg GROUP BY 1
+        |  ORDER BY nsh DESC, doc_id LIMIT 50),
+        |cbg AS (SELECT bg.doc_id, bg.g FROM bg JOIN cand USING (doc_id)),
+        |first_pick AS (
+        |  SELECT doc_id, nsh FROM cand ORDER BY nsh DESC, doc_id LIMIT 1),
+        |sel(step, picked, gain, covered, sel_list) AS (
+        |  SELECT CAST(1 AS BIGINT), doc_id, nsh, nsh, [doc_id]
+        |  FROM first_pick
+        |  UNION ALL
+        |  SELECT sel.step + 1, p.c, p.gain, sel.covered + p.gain,
+        |    list_append(sel.sel_list, p.c)
+        |  FROM sel, LATERAL (
+        |    SELECT c, gain FROM (
+        |      SELECT cand.doc_id AS c,
+        |        (SELECT CAST(count(*) AS BIGINT) FROM cbg x
+        |         WHERE x.doc_id = cand.doc_id
+        |           AND NOT EXISTS (SELECT 1 FROM cbg y
+        |             WHERE list_contains(sel.sel_list, y.doc_id)
+        |               AND y.g = x.g)) AS gain
+        |      FROM cand WHERE NOT list_contains(sel.sel_list, cand.doc_id)) t
+        |    ORDER BY gain DESC, c LIMIT 1) p
+        |  WHERE sel.step < 10)
+        |SELECT step, picked AS doc_id, gain, covered FROM sel""".stripMargin,
+
+    "q297_cmh_stratified" ->
+      """WITH base AS (
+        |  SELECT CAST(year(l.l_shipdate) AS BIGINT) AS yr,
+        |    o.o_orderpriority IN ('1-URGENT', '2-HIGH') AS grp,
+        |    l.l_returnflag = 'R' AS ret
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |cells AS (
+        |  SELECT yr,
+        |    CAST(sum(CASE WHEN grp AND ret THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a,
+        |    CAST(sum(CASE WHEN grp AND NOT ret THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS b,
+        |    CAST(sum(CASE WHEN NOT grp AND ret THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c,
+        |    CAST(sum(CASE WHEN NOT grp AND NOT ret THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM base GROUP BY 1),
+        |st AS (
+        |  SELECT yr, a, b, c, d,
+        |    CAST((a + b) * (a + c) * 1000 // (a + b + c + d) AS BIGINT)
+        |      AS e_milli,
+        |    CAST(CAST((a + b) AS HUGEINT) * (c + d) * (a + c) * (b + d)
+        |      * 1000 // (CAST((a+b+c+d) AS HUGEINT) * (a+b+c+d)
+        |      * (a+b+c+d-1)) AS BIGINT) AS v_milli
+        |  FROM cells),
+        |gl AS (
+        |  SELECT CAST(sum(a * 1000 - e_milli) AS BIGINT) AS dev_milli,
+        |    CAST(sum(v_milli) AS BIGINT) AS v_sum_milli,
+        |    CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+        |    CAST(sum(c) AS BIGINT) AS sc, CAST(sum(d) AS BIGINT) AS sd
+        |  FROM st)
+        |SELECT st.yr, st.a, st.b, st.c, st.d,
+        |  CAST(CASE WHEN st.a * st.d > st.b * st.c THEN 1
+        |            WHEN st.a * st.d < st.b * st.c THEN -1 ELSE 0 END
+        |    AS BIGINT) AS or_dir,
+        |  CAST(CASE WHEN gl.sa * gl.sd > gl.sb * gl.sc THEN 1
+        |            WHEN gl.sa * gl.sd < gl.sb * gl.sc THEN -1 ELSE 0 END
+        |    AS BIGINT) AS pooled_dir,
+        |  CAST(CASE WHEN (st.a * st.d - st.b * st.c)
+        |    * (gl.sa * gl.sd - gl.sb * gl.sc) < 0 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_reversal,
+        |  CAST(CAST(gl.dev_milli AS HUGEINT) * gl.dev_milli
+        |    // (CAST(gl.v_sum_milli AS HUGEINT) * 1000) AS BIGINT)
+        |    AS cmh_milli
+        |FROM st CROSS JOIN gl""".stripMargin,
 
     "q294_mcnemar_filters" ->
       """WITH perdoc AS (

@@ -515,6 +515,63 @@ object Similarity extends QueryPack {
           $"ind".as("same_label"), $"s_nano")
     }),
 
+    // ---- LSH-blocked DBSCAN over the embedding corpus ----------------
+    // [Ester+ KDD'96] density-based clustering next to q79's k-means:
+    // no k, arbitrary cluster shapes, an explicit NOISE class — the
+    // embedding-space structure probe a curation pipeline runs before
+    // committing to a centroid count. Neighbor candidates come from
+    // the q53 sign-LSH planes split into 4 bands of 2 bits (pairs
+    // sharing ANY band bucket) — banded equi-joins only, never
+    // all-pairs; both engines replay the identical bands, so the
+    // approximation is deterministic and shared, the same contract as
+    // the MinHash family. Exact integer d² < ε² (the q40 quantized
+    // rule) filters candidates; core = ≥ 4 banded ε-neighbors
+    // (minPts 5 incl. self); clusters = connected components over
+    // core–core edges (Dedup's min-label CC, log-diameter rounds);
+    // borders take the smallest core-neighbor cluster, the rest is
+    // noise. Output: per vector (role 2/1/0, cluster id, −1 noise).
+    "q296_dbscan_lsh" -> ((s, d) => {
+      import s.implicits._
+      val emb = quantized(s, d).withColumn("bkt", bucketExpr).cache()
+      val bands = emb.select($"vec_id",
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("band"),
+            expr(s"(bkt div ${1L << (2 * i)}) % 4").as("bv"))): _*)).as("p"))
+        .select($"vec_id", $"p.band".as("band"), $"p.bv".as("bv"))
+      val cand = bands.toDF("a", "band", "bv")
+        .join(bands.toDF("b", "band", "bv"), Seq("band", "bv"))
+        .filter($"a" < $"b")
+        .select($"a", $"b").distinct()
+      val eps = cand
+        .join(emb.select($"vec_id".as("a"), $"q".as("qa"), $"n2".as("na")), "a")
+        .join(emb.select($"vec_id".as("b"), $"q".as("qb"), $"n2".as("nb")), "b")
+        .filter($"na" + $"nb" - lit(2L) * expr("int_dot(qa, qb)") <
+          lit(1400000L))
+        .select($"a", $"b")
+      val sym = eps.unionAll(eps.select($"b".as("a"), $"a".as("b")))
+        .localCheckpoint(true)
+      val deg = sym.groupBy($"a").agg(count(lit(1)).as("nnb"))
+      val core = deg.filter($"nnb" >= 4L).select($"a".as("cid"))
+      val ce = sym
+        .join(core.toDF("a"), Seq("a"), "left_semi")
+        .join(core.toDF("b"), Seq("b"), "left_semi")
+        .select($"a", $"b").localCheckpoint(true)
+      val cc = Dedup.connectedComponents(ce)
+      val corec = core.join(cc, $"cid" === $"v", "left")
+        .select($"cid", coalesce($"lbl", $"cid").as("cl"))
+      val border = sym
+        .join(corec.select($"cid".as("b"), $"cl"), Seq("b"))
+        .join(corec.select($"cid".as("a")), Seq("a"), "left_anti")
+        .groupBy($"a").agg(min($"cl").as("bcl"))
+      emb.select($"vec_id")
+        .join(corec.select($"cid".as("vec_id"), $"cl"), Seq("vec_id"), "left")
+        .join(border.select($"a".as("vec_id"), $"bcl"), Seq("vec_id"), "left")
+        .select($"vec_id",
+          when($"cl".isNotNull, 2L).when($"bcl".isNotNull, 1L)
+            .otherwise(0L).as("role"),
+          coalesce($"cl", $"bcl", lit(-1L)).as("cluster"))
+    }),
+
     // ---- IVF-style partitioned ANN: search only the query's cell ----
     "q41_ann_ivf" -> ((s, d) => {
       import s.implicits._
@@ -1379,6 +1436,53 @@ object Similarity extends QueryPack {
         |FROM q""".stripMargin,
 
     "q40_cosine_topk" -> duckQ40,
+
+    "q296_dbscan_lsh" ->
+      s"""WITH RECURSIVE $duckQuant,
+        |nb AS (SELECT vec_id, qv, n2, ${duckBucket("qv")} AS bkt FROM n),
+        |bands AS (
+        |  SELECT vec_id, k.i AS band,
+        |    (bkt // (CASE k.i WHEN 0 THEN 1 WHEN 1 THEN 4
+        |      WHEN 2 THEN 16 ELSE 64 END)) % 4 AS bv
+        |  FROM nb CROSS JOIN (VALUES (0), (1), (2), (3)) k(i)),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv
+        |    AND x.vec_id < y.vec_id),
+        |eps AS (
+        |  SELECT c.a, c.b FROM cand c
+        |  JOIN nb pa ON pa.vec_id = c.a JOIN nb pb ON pb.vec_id = c.b
+        |  WHERE pa.n2 + pb.n2 - 2 * CAST(list_sum(list_transform(
+        |    list_zip(pa.qv, pb.qv), p -> p[1] * p[2])) AS BIGINT)
+        |    < 1400000),
+        |sym AS (SELECT a, b FROM eps UNION ALL SELECT b, a FROM eps),
+        |deg AS (SELECT a AS cid, CAST(count(*) AS BIGINT) AS nnb
+        |  FROM sym GROUP BY 1),
+        |core AS (SELECT cid FROM deg WHERE nnb >= 4),
+        |ce AS (SELECT s.a, s.b FROM sym s
+        |  WHERE s.a IN (SELECT cid FROM core)
+        |    AND s.b IN (SELECT cid FROM core)),
+        |cc AS (
+        |  WITH RECURSIVE r(v, lbl) AS (
+        |    SELECT a, a FROM (SELECT DISTINCT a FROM ce) t
+        |    UNION
+        |    SELECT e.b, r.lbl FROM r JOIN ce e ON r.v = e.a)
+        |  SELECT v, min(lbl) AS lbl FROM r GROUP BY v),
+        |corec AS (
+        |  SELECT core.cid, COALESCE(cc.lbl, core.cid) AS cl
+        |  FROM core LEFT JOIN cc ON core.cid = cc.v),
+        |border AS (
+        |  SELECT s.a AS bid, min(corec.cl) AS bcl
+        |  FROM sym s JOIN corec ON s.b = corec.cid
+        |  WHERE s.a NOT IN (SELECT cid FROM corec)
+        |  GROUP BY 1)
+        |SELECT nb.vec_id,
+        |  CAST(CASE WHEN corec.cid IS NOT NULL THEN 2
+        |            WHEN border.bid IS NOT NULL THEN 1 ELSE 0 END
+        |    AS BIGINT) AS role,
+        |  CAST(COALESCE(corec.cl, border.bcl, -1) AS BIGINT) AS cluster
+        |FROM nb LEFT JOIN corec ON nb.vec_id = corec.cid
+        |LEFT JOIN border ON nb.vec_id = border.bid""".stripMargin,
 
     "q293_knn_shapley" ->
       s"""WITH $duckQuant,

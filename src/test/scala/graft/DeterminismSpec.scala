@@ -134,7 +134,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q291_permutation_test",
     // batch C: the KN top-20 tie-break, the Shapley suffix scan's
     // distance-rank tie-break, McNemar's hash-flip replicates
-    "q292_kneser_ney", "q293_knn_shapley", "q294_mcnemar_filters")
+    "q292_kneser_ney", "q293_knn_shapley", "q294_mcnemar_filters",
+    // batch D: greedy argmax tie-breaks, band-blocked candidate sets,
+    // CC label propagation, CMH fixed-point floors
+    "q295_coverage_greedy", "q296_dbscan_lsh", "q297_cmh_stratified")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

@@ -136,6 +136,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q294: the 1-row contingency-cells scalar crossed onto the 64-row
     // flip-replicate table (hinted broadcast)
     "q294_mcnemar_filters",
+    // q297: the 1-row pooled-CMH scalar crossed onto the strata-bounded
+    // 2x2 table (hinted broadcast)
+    "q297_cmh_stratified",
     // q198: the k-row base-centroid assignment pass (q175's shape,
     // twice — base and batch)
     "q198_ivf_incremental",
