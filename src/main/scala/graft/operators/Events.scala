@@ -1018,6 +1018,104 @@ object Events extends QueryPack {
           ($"n_pairs" * $"sum_b2" - $"sum_b" * $"sum_b").as("var_b_num"))
     }),
 
+    // ---- Haar wavelet sketch of the daily purchase series ------------
+    // [Haar 1910; Matias+ SIGMOD'98 wavelet synopses] the time-series
+    // compression sketch next to q272's HLL bank: the 32-day purchase
+    // series decomposed into 31 UNNORMALIZED Haar detail coefficients
+    // + 1 scaling sum — sums and differences only, so every
+    // coefficient is EXACT int64 (the classic /2 form loses parity
+    // bits). No iteration: coefficient (l, i) = Σ sign·x where the
+    // sign is a pure function of the day's bits (day div 2^(l−1) mod
+    // 2), so all 6 levels come out of ONE explode + ONE hash agg over
+    // the 32-row grid. Top-8 by |coef| is the synopsis; each
+    // coefficient's energy contribution c²/2^l (in milli, floored
+    // identically) makes retained_ppm the compression-quality number
+    // — 8 of 32 coefficients hold ~99% of the energy here, which is
+    // the wavelet synopsis pitch in one row. Corpus-scale work = the
+    // daily hash agg; everything after is 32-row-bounded.
+    "q299_haar_sketch" -> ((s, d) => {
+      import s.implicits._
+      val daily = T.events(s, d).filter($"event_type" === "purchase")
+        .select(datediff(to_date($"ts"), to_date(lit("2024-01-01")))
+          .cast("long").as("day"))
+        .groupBy($"day").agg(count(lit(1)).as("x"))
+      val grid = s.range(0L, 32L).select($"id".as("day"))
+        .join(daily, Seq("day"), "left")
+        .select($"day", coalesce($"x", lit(0L)).as("x"))
+      val lv = grid.select($"x", explode(array((1 to 6).map { l =>
+          if (l == 6)
+            struct(lit(6L).as("l"), lit(0L).as("i"), lit(1L).as("sgn"))
+          else
+            struct(lit(l.toLong).as("l"),
+              expr(s"day div ${1L << l}").as("i"),
+              (lit(1L) - lit(2L) *
+                expr(s"(day div ${1L << (l - 1)}) % 2")).as("sgn"))
+        }: _*)).as("p"))
+        .select($"p.l".as("l"), $"p.i".as("i"), ($"p.sgn" * $"x").as("sx"))
+      val coefs = lv.groupBy($"l", $"i")
+        .agg(sum($"sx").cast("bigint").as("c"))
+        .select($"l", $"i", $"c",
+          expr("c * c * 1000L div (CASE WHEN l = 6 THEN 32L " +
+            "ELSE shiftleft(1L, CAST(l AS INT)) END)").as("contrib_milli"))
+        .cache()
+      val tot = coefs.agg(sum($"contrib_milli").cast("bigint")
+        .as("total_milli"))
+      val top = coefs.orderBy(abs($"c").desc, $"l", $"i").limit(8).cache()
+      val kept = top.agg(sum($"contrib_milli").cast("bigint")
+        .as("kept_milli"))
+      top.crossJoin(broadcast(tot)).crossJoin(broadcast(kept))
+        .select($"l".as("lvl"), $"i".as("pos"), $"c".as("coef"),
+          $"contrib_milli",
+          expr("kept_milli * 1000000L div total_milli").as("retained_ppm"))
+    }),
+
+    // ---- SAX symbolization + nearest-motif neighbor -------------------
+    // [Lin+ DMKD'07] the symbolic time-series representation that
+    // makes series COMPARABLE as strings: each event type's 30-day
+    // count series → PAA (6 segments of 5 days, exact integer segment
+    // sums) → rank-quartile symbols (ntile(4) over (segsum, seg) —
+    // the rank-based discretization avoids z-normalization's floats
+    // entirely and is identical in both engines) → a 6-char SAX word
+    // per type. The report pairs each type with its nearest neighbor
+    // by word Hamming distance (ties to the smaller type name via
+    // struct-min) — "error tracks signup" is the kind of
+    // cross-stream motif this surfaces. Corpus-scale work = one
+    // (type, day) hash agg; the word table is |types| rows and the
+    // pair join runs on it alone.
+    "q300_sax_motifs" -> ((s, d) => {
+      import s.implicits._
+      val daily = T.events(s, d)
+        .select($"event_type",
+          datediff(to_date($"ts"), to_date(lit("2024-01-01")))
+            .cast("long").as("day"))
+        .groupBy($"event_type", $"day").agg(count(lit(1)).as("x"))
+      val grid = daily.select($"event_type").distinct()
+        .crossJoin(s.range(0L, 30L).select($"id".as("day")))
+        .join(daily, Seq("event_type", "day"), "left")
+        .select($"event_type", $"day", coalesce($"x", lit(0L)).as("x"))
+      val paa = grid.groupBy($"event_type", expr("day div 5").as("seg"))
+        .agg(sum($"x").cast("bigint").as("segsum"))
+      val wq = Window.partitionBy($"event_type").orderBy($"segsum", $"seg")
+      val sym = paa.withColumn("qq",
+        (ntile(4).over(wq) - 1).cast("long"))
+      val word = sym.groupBy($"event_type")
+        .agg(expr("array_join(transform(sort_array(" +
+          "collect_list(struct(seg, qq))), s -> CAST(s.qq AS STRING)), '')")
+          .as("sax_word"))
+        .cache()
+      val ham = (1 to 6).map(i =>
+        (substring($"wa", i, 1) =!= substring($"wb", i, 1)).cast("long"))
+        .reduce(_ + _)
+      val pairs = word.toDF("ta", "wa")
+        .join(word.toDF("tb", "wb"), $"ta" =!= $"tb")
+        .select($"ta", $"tb", ham.as("hamming"))
+      val nn = pairs.groupBy($"ta")
+        .agg(min(struct($"hamming", $"tb")).as("mm"))
+      word.join(nn, $"event_type" === $"ta")
+        .select($"event_type", $"sax_word", $"mm.tb".as("nn_type"),
+          $"mm.hamming".as("hamming"))
+    }),
+
     // ---- hour-of-week seasonal intensity profile --------------------
     // The capacity-planning / anomaly-baseline companion to q181:
     // event volume and distinct-user reach per (day-of-week, hour)
@@ -1618,6 +1716,85 @@ object Events extends QueryPack {
        |GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q299_haar_sketch" ->
+      """WITH daily AS (
+        |  SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |grid AS (
+        |  SELECT g.day, COALESCE(daily.x, 0) AS x
+        |  FROM (SELECT unnest(range(0, 32)) AS day) g
+        |  LEFT JOIN daily ON g.day = daily.day),
+        |lv AS (
+        |  SELECT grid.day, grid.x, k.l,
+        |    CASE WHEN k.l = 6 THEN CAST(0 AS BIGINT)
+        |         ELSE grid.day // (CASE k.l WHEN 1 THEN 2 WHEN 2 THEN 4
+        |           WHEN 3 THEN 8 WHEN 4 THEN 16 ELSE 32 END) END AS i,
+        |    CASE WHEN k.l = 6 THEN 1
+        |         ELSE 1 - 2 * ((grid.day // (CASE k.l WHEN 1 THEN 1
+        |           WHEN 2 THEN 2 WHEN 3 THEN 4 WHEN 4 THEN 8
+        |           ELSE 16 END)) % 2) END AS sgn
+        |  FROM grid CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6)) k(l)),
+        |coefs AS (
+        |  SELECT CAST(l AS BIGINT) AS l, i, CAST(sum(sgn * x) AS BIGINT)
+        |      AS c,
+        |    CAST(sum(sgn * x) * sum(sgn * x) * 1000
+        |      // (CASE l WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8
+        |         WHEN 4 THEN 16 WHEN 5 THEN 32 ELSE 32 END) AS BIGINT)
+        |      AS contrib_milli
+        |  FROM lv GROUP BY l, i),
+        |tot AS (SELECT CAST(sum(contrib_milli) AS BIGINT) AS total_milli
+        |  FROM coefs),
+        |top AS (
+        |  SELECT l, i, c, contrib_milli
+        |  FROM coefs ORDER BY abs(c) DESC, l, i LIMIT 8)
+        |SELECT top.l AS lvl, top.i AS pos, top.c AS coef, top.contrib_milli,
+        |  CAST((SELECT CAST(sum(contrib_milli) AS BIGINT) FROM top)
+        |    * 1000000 // tot.total_milli AS BIGINT) AS retained_ppm
+        |FROM top CROSS JOIN tot""".stripMargin,
+
+    "q300_sax_motifs" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT t.event_type, g.day, COALESCE(daily.x, 0) AS x
+        |  FROM (SELECT DISTINCT event_type FROM daily) t
+        |  CROSS JOIN (SELECT unnest(range(0, 30)) AS day) g
+        |  LEFT JOIN daily ON t.event_type = daily.event_type
+        |    AND g.day = daily.day),
+        |paa AS (
+        |  SELECT event_type, day // 5 AS seg, CAST(sum(x) AS BIGINT)
+        |    AS segsum
+        |  FROM grid GROUP BY 1, 2),
+        |sym AS (
+        |  SELECT event_type, seg,
+        |    CAST(ntile(4) OVER (PARTITION BY event_type
+        |      ORDER BY segsum, seg) AS BIGINT) - 1 AS q
+        |  FROM paa),
+        |word AS (
+        |  SELECT event_type,
+        |    string_agg(CAST(q AS VARCHAR), '' ORDER BY seg) AS sax_word
+        |  FROM sym GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb,
+        |    CAST((CASE WHEN substr(a.sax_word, 1, 1) != substr(b.sax_word, 1, 1) THEN 1 ELSE 0 END)
+        |      + (CASE WHEN substr(a.sax_word, 2, 1) != substr(b.sax_word, 2, 1) THEN 1 ELSE 0 END)
+        |      + (CASE WHEN substr(a.sax_word, 3, 1) != substr(b.sax_word, 3, 1) THEN 1 ELSE 0 END)
+        |      + (CASE WHEN substr(a.sax_word, 4, 1) != substr(b.sax_word, 4, 1) THEN 1 ELSE 0 END)
+        |      + (CASE WHEN substr(a.sax_word, 5, 1) != substr(b.sax_word, 5, 1) THEN 1 ELSE 0 END)
+        |      + (CASE WHEN substr(a.sax_word, 6, 1) != substr(b.sax_word, 6, 1) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS hamming
+        |  FROM word a JOIN word b ON a.event_type != b.event_type),
+        |nn AS (
+        |  SELECT ta, min({'hamming': hamming, 'tb': tb}) AS mm
+        |  FROM pairs GROUP BY 1)
+        |SELECT w.event_type, w.sax_word, nn.mm.tb AS nn_type,
+        |  CAST(nn.mm.hamming AS BIGINT) AS hamming
+        |FROM word w JOIN nn ON w.event_type = nn.ta""".stripMargin,
+
     "q181_autocorr" ->
       """WITH daily AS (
         |  SELECT CAST(datediff('day', DATE '2024-01-01', ts) AS BIGINT) AS day,

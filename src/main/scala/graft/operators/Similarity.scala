@@ -515,6 +515,56 @@ object Similarity extends QueryPack {
           $"ind".as("same_label"), $"s_nano")
     }),
 
+    // ---- retrieval quality metrics: MRR + nDCG@20 --------------------
+    // [Järvelin & Kekäläinen TOIS'02] the rank-quality companion to
+    // q142's recall@k: recall says WHETHER the relevant vectors
+    // surfaced, MRR/nDCG say WHERE. Relevance = same label as the
+    // query; ranking = the q40 quantized cosine (round-6, identical in
+    // both engines). All fixed-point: MRR = 1000 div first-relevant
+    // rank; DCG discounts 1000/log2(i+1) are 20 HARDCODED milli
+    // constants (a computed log2 could differ by an ULP across libm);
+    // ideal DCG = the same table cut at min(R, 20) relevant, so
+    // ndcg_ppm is an exact integer ratio. Scale: the q40 broadcast
+    // query-set shape + one per-query window; the 20-row discount dim
+    // broadcasts under a non-equi cut.
+    "q298_retrieval_metrics" -> ((s, d) => {
+      import s.implicits._
+      val discounts = Seq(1L -> 1000L, 2L -> 630L, 3L -> 500L, 4L -> 430L,
+        5L -> 386L, 6L -> 356L, 7L -> 333L, 8L -> 315L, 9L -> 301L,
+        10L -> 289L, 11L -> 278L, 12L -> 270L, 13L -> 262L, 14L -> 255L,
+        15L -> 250L, 16L -> 244L, 17L -> 239L, 18L -> 235L, 19L -> 231L,
+        20L -> 227L)
+      val emb = quantized(s, d)
+      val qs = emb.filter(pmod($"vec_id", lit(50)) === 0)
+        .select($"vec_id".as("qid"), $"label".as("qlab"),
+          $"q".as("qv"), $"n2".as("qn2"))
+      val scored = emb.join(broadcast(qs), $"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id",
+          ($"label" === $"qlab").cast("long").as("rel"),
+          cosine("q", "qv", "n2", "qn2").as("cos"))
+      val wr = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+      val rk = scored.withColumn("rnk", row_number().over(wr).cast("long"))
+        .cache()
+      val tot = rk.groupBy($"qid")
+        .agg(least(sum($"rel"), lit(20L)).as("n_rel_cap"))
+      val dw = discounts.toDF("drk", "dw_milli")
+      val dcg = rk.filter($"rnk" <= 20L)
+        .join(broadcast(dw), $"rnk" === $"drk")
+        .groupBy($"qid")
+        .agg(sum($"rel" * $"dw_milli").cast("bigint").as("dcg_milli"),
+          sum($"rel").cast("bigint").as("n_rel_20"),
+          coalesce(min(when($"rel" === 1L, $"rnk")), lit(0L))
+            .as("first_rel"))
+      val idcg = tot.join(broadcast(dw), $"drk" <= $"n_rel_cap")
+        .groupBy($"qid").agg(sum($"dw_milli").cast("bigint").as("idcg_milli"))
+      dcg.join(idcg, "qid")
+        .select($"qid", $"n_rel_20", $"first_rel",
+          when($"first_rel" > 0L, expr("1000L div first_rel")).otherwise(0L)
+            .as("mrr_milli"),
+          $"dcg_milli", $"idcg_milli",
+          expr("dcg_milli * 1000000L div idcg_milli").as("ndcg_ppm"))
+    }),
+
     // ---- LSH-blocked DBSCAN over the embedding corpus ----------------
     // [Ester+ KDD'96] density-based clustering next to q79's k-means:
     // no k, arbitrary cluster shapes, an explicit NOISE class — the
@@ -1436,6 +1486,45 @@ object Similarity extends QueryPack {
         |FROM q""".stripMargin,
 
     "q40_cosine_topk" -> duckQ40,
+
+    "q298_retrieval_metrics" ->
+      s"""WITH $duckQuant,
+        |qs AS (SELECT vec_id AS qid, label AS qlab, qv AS qqv, n2 AS qn2
+        |  FROM n WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT qs.qid, n.vec_id, CAST(n.label = qs.qlab AS BIGINT) AS rel,
+        |    ${duckCos("n.qv", "qs.qqv", "n.n2", "qs.qn2")} AS cos
+        |  FROM n CROSS JOIN qs WHERE n.vec_id != qs.qid),
+        |rk AS (
+        |  SELECT qid, vec_id, rel,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC,
+        |      vec_id) AS BIGINT) AS rnk
+        |  FROM scored),
+        |dw AS (SELECT * FROM (VALUES (1, 1000), (2, 630), (3, 500),
+        |  (4, 430), (5, 386), (6, 356), (7, 333), (8, 315), (9, 301),
+        |  (10, 289), (11, 278), (12, 270), (13, 262), (14, 255),
+        |  (15, 250), (16, 244), (17, 239), (18, 235), (19, 231),
+        |  (20, 227)) AS t(drk, dw_milli)),
+        |tot AS (
+        |  SELECT qid, CAST(least(sum(rel), 20) AS BIGINT) AS n_rel_cap
+        |  FROM rk GROUP BY 1),
+        |dcg AS (
+        |  SELECT t.qid, CAST(sum(t.rel * dw.dw_milli) AS BIGINT)
+        |      AS dcg_milli,
+        |    CAST(sum(t.rel) AS BIGINT) AS n_rel_20,
+        |    CAST(COALESCE(min(CASE WHEN t.rel = 1 THEN t.rnk END), 0)
+        |      AS BIGINT) AS first_rel
+        |  FROM rk t JOIN dw ON t.rnk = dw.drk WHERE t.rnk <= 20
+        |  GROUP BY 1),
+        |idcg AS (
+        |  SELECT tot.qid, CAST(sum(dw.dw_milli) AS BIGINT) AS idcg_milli
+        |  FROM tot JOIN dw ON dw.drk <= tot.n_rel_cap GROUP BY 1)
+        |SELECT d.qid, d.n_rel_20, d.first_rel,
+        |  CAST(CASE WHEN d.first_rel > 0 THEN 1000 // d.first_rel
+        |    ELSE 0 END AS BIGINT) AS mrr_milli,
+        |  d.dcg_milli, i.idcg_milli,
+        |  CAST(d.dcg_milli * 1000000 // i.idcg_milli AS BIGINT) AS ndcg_ppm
+        |FROM dcg d JOIN idcg i ON d.qid = i.qid""".stripMargin,
 
     "q296_dbscan_lsh" ->
       s"""WITH RECURSIVE $duckQuant,

@@ -1645,6 +1645,80 @@ object Streams extends QueryPack {
         .select($"doc_id", $"bloom_maybe", $"is_dup", $"dup_of")
     }),
 
+    // Streaming point-in-time temporal join — the feature-store
+    // correctness op: enrich each streamed purchase with the
+    // dimension attribute that was valid AT THE EVENT'S OWN TIME, not
+    // at processing time (the training-serving-skew bug this op
+    // exists to prevent). The SCD2 dimension (per-user attribute
+    // versions keyed by composite (ts, id) effective ranges, built
+    // from the non-purchase history — s34's version shape) is
+    // write-once; each micro-batch runs the interval join
+    // [eff_from, eff_to) against it — an equi-join on user_id with a
+    // range residual, so at 100 TB it shuffles on the user key, never
+    // a cartesian. Purchases predating the user's first version
+    // enrich to 'none'. No cross-batch state; batchId-keyed overwrite
+    // dirs = idempotent replay; the union over batches equals the
+    // one-shot batch as-of answer, which is the oracle.
+    "s37_stream_temporal_join" -> ((s, d) => {
+      import s.implicits._
+      val name = s"events_rt_${sfx(d)}" // shared fixture
+      seedEventsJson(s, d, name, numShards = 4)
+      val inf = 4611686018427387904L // 2^62 open-version sentinel
+      val wU = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"us", $"id")
+      val hist = T.events(s, d).filter($"event_type" =!= "purchase")
+        .select($"user_id", $"event_type".as("attr"),
+          unix_micros($"ts").as("us"), $"event_id".as("id"))
+      val dim = hist
+        .withColumn("prev", lag($"attr", 1).over(wU))
+        .filter($"prev".isNull || $"prev" =!= $"attr")
+        .withColumn("eff_to_us", coalesce(lead($"us", 1).over(wU), lit(inf)))
+        .withColumn("eff_to_id", coalesce(lead($"id", 1).over(wU), lit(inf)))
+        .select($"user_id".as("d_uid"), $"attr",
+          $"us".as("eff_from_us"), $"id".as("eff_from_id"),
+          $"eff_to_us", $"eff_to_id")
+        .cache()
+      val cap = math.max(1000L, T.events(s, d).count() / 4)
+      val root = s"/tmp/graft_tjoin_${sfx(d)}" +
+        s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", cap.toString)
+        .load()
+        .select(from_json(col("data").cast("string"), payloadSchema).as("e"))
+        .filter(col("e.event_type") === "purchase")
+        .select(col("e.event_id").as("event_id"),
+          col("e.user_id").as("user_id"), col("e.ts_us").as("ts_us"))
+      graft.streaming.StreamObservability.attach(s)
+      val q = raw.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.join(dim,
+            batch("user_id") === dim("d_uid") &&
+              (dim("eff_from_us") < batch("ts_us") ||
+                (dim("eff_from_us") === batch("ts_us") &&
+                  dim("eff_from_id") <= batch("event_id"))) &&
+              (batch("ts_us") < dim("eff_to_us") ||
+                (batch("ts_us") === dim("eff_to_us") &&
+                  batch("event_id") < dim("eff_to_id"))),
+            "left")
+            .select(col("event_id"), col("user_id"), col("ts_us"),
+              coalesce(col("attr"), lit("none")).as("attr_at_purchase"),
+              coalesce(col("eff_from_id"), lit(-1L)).as("version_id"))
+            .write.mode("overwrite").parquet(s"$root/b$batchId")
+          ()
+        }.start()
+      q.awaitTermination()
+      s.read.schema("event_id LONG, user_id LONG, ts_us LONG, " +
+        "attr_at_purchase STRING, version_id LONG").parquet(s"$root/b*")
+        .select($"event_id", $"user_id", $"ts_us", $"attr_at_purchase",
+          $"version_id")
+    }),
+
     // Streaming CEP funnel — q81's per-user view → click-after-view →
     // purchase-after-click state machine run INCREMENTALLY on typed
     // state (transformWithState, s12's API): three longs per user,
@@ -2075,6 +2149,35 @@ object Streams extends QueryPack {
     // micro-batches must equal the one-shot CMS build
     "s33_stream_cms_monitor" -> Sketches.oracles("q112_cms_heavyhitters"),
     "s36_stream_funnel" -> Events.oracles("q81_funnel"),
+
+    "s37_stream_temporal_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+        |    event_type
+        |  FROM events),
+        |hist AS (
+        |  SELECT user_id, event_type AS attr, us, event_id AS id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS prev
+        |  FROM ev WHERE event_type != 'purchase'),
+        |dim AS (
+        |  SELECT user_id AS d_uid, attr,
+        |    us AS eff_from_us, id AS eff_from_id,
+        |    COALESCE(lead(us) OVER (PARTITION BY user_id ORDER BY us, id),
+        |      4611686018427387904) AS eff_to_us,
+        |    COALESCE(lead(id) OVER (PARTITION BY user_id ORDER BY us, id),
+        |      4611686018427387904) AS eff_to_id
+        |  FROM hist WHERE prev IS NULL OR prev != attr),
+        |p AS (SELECT event_id, user_id, us FROM ev
+        |  WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.us AS ts_us,
+        |  COALESCE(dim.attr, 'none') AS attr_at_purchase,
+        |  COALESCE(dim.eff_from_id, -1) AS version_id
+        |FROM p LEFT JOIN dim ON p.user_id = dim.d_uid
+        |  AND (dim.eff_from_us < p.us
+        |    OR (dim.eff_from_us = p.us AND dim.eff_from_id <= p.event_id))
+        |  AND (p.us < dim.eff_to_us
+        |    OR (p.us = dim.eff_to_us AND p.event_id < dim.eff_to_id))""".stripMargin,
 
     // the batch-boundary-independent SCD2 dimension: change points by
     // lag over the full per-user log, validity intervals by lead; the

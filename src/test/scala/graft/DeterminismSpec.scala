@@ -137,7 +137,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q292_kneser_ney", "q293_knn_shapley", "q294_mcnemar_filters",
     // batch D: greedy argmax tie-breaks, band-blocked candidate sets,
     // CC label propagation, CMH fixed-point floors
-    "q295_coverage_greedy", "q296_dbscan_lsh", "q297_cmh_stratified")
+    "q295_coverage_greedy", "q296_dbscan_lsh", "q297_cmh_stratified",
+    // batch E: rank tie-breaks in the retrieval window, the top-8
+    // coefficient cut, ntile bucketing, struct-min motif neighbors
+    "q298_retrieval_metrics", "q299_haar_sketch", "q300_sax_motifs")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

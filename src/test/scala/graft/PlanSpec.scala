@@ -36,7 +36,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "s27_timer_windows", "s28_crash_recovery", "s29_dynamic_session",
     "s30_stream_neardup_admission", "s31_stream_quantile_monitor",
     "s32_stream_ivf_admission", "s33_stream_cms_monitor",
-    "s34_stream_scd2", "s35_stream_bloom_dedup", "s36_stream_funnel")
+    "s34_stream_scd2", "s35_stream_bloom_dedup", "s36_stream_funnel",
+    "s37_stream_temporal_join")
   // bounded-side nested loops that are correct by construction
   // (1-row stats, 4-row tier dim, 10-row query set, 5-row lang
   // profiles, 1-row mixture minimum, k-row centroid set, 1-row
@@ -45,9 +46,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   // composes q63's rate table so inherits its 1-row minimum join)
   private val allowedBnlj = Set("q18_scalar_subquery", "q30_range_join",
     "q40_cosine_topk", "q51_langid_ngram", "q63_source_mixture",
-    // q293: q40's shape — the 10-row query set broadcast under the
-    // self-exclusion non-equi join
-    "q293_knn_shapley",
+    // q293/q298: q40's shape — the 10-row query set broadcast under
+    // the self-exclusion non-equi join; q298 adds the 20-row discount
+    // dim broadcast under the n_rel_cap cut
+    "q293_knn_shapley", "q298_retrieval_metrics",
+    // q299: the 1-row total-energy and kept-energy scalars crossed
+    // onto the 8-row synopsis
+    "q299_haar_sketch",
+    // q300: the bounded (5-type × 30-day) grid cross and the 5-row
+    // SAX-word pair join
+    "q300_sax_motifs",
     "q79_kmeans_iter", "q87_zorder_stats", "q103_cooccur_lift",
     "q125_drift_detect", "q129_equidepth_hist", "q135_mixture_execute",
     "q140_pq_adc_topk", "q141_ann_ivf_multiprobe", "q142_ann_recall",
