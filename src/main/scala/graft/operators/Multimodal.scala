@@ -39,6 +39,9 @@ object Multimodal extends QueryPack {
 
   final case class AHashBand(doc_id: Long, k: Long, bv: Long)
 
+  /** q301's decoded per-window PCM energy row. */
+  final case class VadWindow(doc_id: Long, win: Long, energy: Long)
+
   /** q252's decode + aHash kernel, factored out so the spec can drive
     * it on crafted rasters. The fixture's payload format is an
     * 8-column 8-bit grayscale raster in row-major byte order with
@@ -358,6 +361,59 @@ object Multimodal extends QueryPack {
     // narrow per-partition work (no payload shuffle — only 4 small
     // band rows move); candidates come from the band-value
     // EQUI-join, never all-pairs.
+    // ---- audio VAD segmentation over PCM payloads --------------------
+    // Voice-activity detection, the audio-curation pass that decides
+    // which byte ranges of a clip are worth transcribing: payload
+    // bytes decoded as 8-bit PCM samples centered at 128 (a REAL
+    // decode — PCM is pure arithmetic, no codec library), energy
+    // Σ(b−128)² per 20-sample window (complete windows only), voiced
+    // = energy ≥ 42000, and adjacent voiced windows merge into
+    // segments (gaps-and-islands: win − row_number run grouping).
+    // Decode runs in the same typed mapPartitions shape as q252 —
+    // payload bytes never shuffle, only the (doc, win, energy) rows
+    // do. Output per clip: windows, voiced count, segment count,
+    // longest voiced run — the trim-plan a transcription pipeline
+    // consumes.
+    "q301_audio_vad" -> ((s, d) => {
+      import s.implicits._
+      val wins = T.documents(s, d)
+        .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.flatMap { case (id, bytes) =>
+            val n = bytes.length / 20
+            (0 until n).iterator.map { w =>
+              var e = 0L
+              var j = w * 20
+              while (j < w * 20 + 20) {
+                val v = (bytes(j) & 0xff) - 128
+                e += v.toLong * v
+                j += 1
+              }
+              VadWindow(id, w.toLong, e)
+            }
+          }
+        }(Encoders.product[VadWindow])
+        .toDF()
+        .localCheckpoint() // two consumers: base stats + run grouping
+      val wrn = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"win")
+      val seg = wins.filter($"energy" >= 42000L)
+        .select($"doc_id", $"win")
+        .withColumn("grp", $"win" - row_number().over(wrn))
+        .groupBy($"doc_id", $"grp").agg(count(lit(1)).as("run_len"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_segments"),
+          max($"run_len").cast("bigint").as("longest_seg"))
+      wins.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(($"energy" >= 42000L).cast("long")).as("n_active"))
+        .join(seg, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_windows", $"n_active",
+          coalesce($"n_segments", lit(0L)).as("n_segments"),
+          coalesce($"longest_seg", lit(0L)).as("longest_seg"))
+    }),
+
     "q252_phash_blocking" -> ((s, d) => {
       import s.implicits._
       val payloads = T.documents(s, d)
@@ -390,6 +446,39 @@ object Multimodal extends QueryPack {
     }))
 
   def oracles: Map[String, String] = Map(
+    // ASCII corpus: ascii(substr) == payload byte (the q45
+    // precondition MultimodalFixtureSpec enforces)
+    "q301_audio_vad" ->
+      """WITH wins AS (
+        |  SELECT doc_id, w.i AS win,
+        |    CAST(list_sum(list_transform(
+        |      range(CAST(w.i * 20 + 1 AS INT), CAST(w.i * 20 + 21 AS INT)),
+        |      j -> (ascii(substr(text, CAST(j AS INT), 1)) - 128)
+        |         * (ascii(substr(text, CAST(j AS INT), 1)) - 128)))
+        |      AS BIGINT) AS energy
+        |  FROM documents, LATERAL (
+        |    SELECT unnest(range(0, length(text) // 20)) AS i) w),
+        |act AS (SELECT doc_id, win FROM wins WHERE energy >= 42000),
+        |runs AS (
+        |  SELECT doc_id,
+        |    win - row_number() OVER (PARTITION BY doc_id ORDER BY win) AS grp
+        |  FROM act),
+        |seg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+        |    CAST(max(run_len) AS BIGINT) AS longest_seg
+        |  FROM (SELECT doc_id, grp, count(*) AS run_len FROM runs
+        |        GROUP BY 1, 2) t
+        |  GROUP BY 1),
+        |base AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |    CAST(sum(CASE WHEN energy >= 42000 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_active
+        |  FROM wins GROUP BY 1)
+        |SELECT b.doc_id, b.n_windows, b.n_active,
+        |  COALESCE(seg.n_segments, 0) AS n_segments,
+        |  COALESCE(seg.longest_seg, 0) AS longest_seg
+        |FROM base b LEFT JOIN seg ON b.doc_id = seg.doc_id""".stripMargin,
+
     "q133_binary_ingest" ->
       """SELECT CAST(doc_id % 10 AS BIGINT) AS bucket, count(*) AS n_files,
         |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,

@@ -1242,6 +1242,111 @@ object Pipeline extends QueryPack {
             " AS BIGINT)").as("cmh_milli"))
     }),
 
+    // ---- exact 1-D Wasserstein (earth-mover) drift per source --------
+    // [Villani; standard dataset-shift metric] q144's KS takes the MAX
+    // ECDF gap — one bad quantile; W₁ integrates |F_s − F_rest| over
+    // the value axis, so it sees total mass displacement (a source
+    // shifted everywhere-a-little scores high here and low on KS).
+    // Exact: W₁ = Σ_v |cum_s·n_r − cum_r·n_s| · Δv with ONE division
+    // at the end (sum of exact integer products, then ·10⁶ div
+    // (n_s·n_r) through DECIMAL(38) — the q209 wide-intermediate
+    // rule). Same substrate as q144: one (source, n_chars) hash agg,
+    // windowed prefix sums over the bounded value domain, the grid
+    // cross is |sources| × |distinct values|. The distinct-value
+    // column is `nc` for q144's PlanSpec-alias reason.
+    "q302_wasserstein_drift" -> ((s, d) => {
+      import s.implicits._
+      val W = org.apache.spark.sql.expressions.Window
+      val sv = T.documents(s, d)
+        .groupBy($"source", $"n_chars".as("nc"))
+        .agg(count(lit(1)).cast("bigint").as("c")).cache()
+      val vstep = sv.select($"nc").distinct()
+        .withColumn("dv", lead($"nc", 1).over(W.orderBy($"nc")) - $"nc")
+      val srcs = sv.groupBy($"source").agg(sum($"c").cast("bigint").as("n_s"))
+      val ntot = srcs.agg(sum($"n_s").cast("bigint").as("n_tot"))
+      val wcum = W.partitionBy($"source").orderBy($"nc")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val cum = srcs.crossJoin(vstep)
+        .join(sv, Seq("source", "nc"), "left")
+        .withColumn("cum_s", sum(coalesce($"c", lit(0L))).over(wcum))
+      val allcum = sv.groupBy($"nc").agg(sum($"c").cast("bigint").as("cs"))
+        .withColumn("cum_all", sum($"cs").over(W.orderBy($"nc")
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .select($"nc".as("anc"), $"cum_all")
+      cum.join(allcum, $"nc" === $"anc").crossJoin(broadcast(ntot))
+        .filter($"dv".isNotNull && $"n_tot" > $"n_s")
+        .groupBy($"source", $"n_s", $"n_tot")
+        .agg(sum(abs($"cum_s" * ($"n_tot" - $"n_s") -
+          ($"cum_all" - $"cum_s") * $"n_s") * $"dv").cast("bigint")
+          .as("num"))
+        .select($"source", $"n_s".as("n_docs"),
+          expr("CAST(CAST(num AS DECIMAL(38,0)) * 1000000" +
+            " div (CAST(n_s AS DECIMAL(38,0)) * (n_tot - n_s))" +
+            " AS BIGINT)").as("emd_scaled"))
+    }),
+
+    // ---- Benjamini–Hochberg FDR over the pairwise test family --------
+    // [Benjamini & Hochberg '95] closes the multiple-testing loop
+    // q291/q294 open: running the permutation test over all 10 lang
+    // pairs inflates false positives, and BH step-up is the standard
+    // repair — sort the 10 p-values, k* = max{k : p_(k) ≤ α·k/m}
+    // (α = 0.25), declare ranks ≤ k*. Every comparison is the exact
+    // cross-multiplied integer p_ppm·m ≤ α_ppm·k. The family: B = 128
+    // hash-seeded relabelings per pair in ONE corpus pass (each doc
+    // rides in ≤ |langs|−1 pairs; the 128× replicate axis reduces
+    // map-side, shuffle carries pairs×128 partial rows). No
+    // discoveries at fixture scale — the honest result (largest
+    // effect p ≈ 0.06 over m = 10) — the REPORT is the ranked table
+    // with the step-up verdict, which is what a curation gate reads.
+    "q303_bh_fdr" -> ((s, d) => {
+      import s.implicits._
+      val W = org.apache.spark.sql.expressions.Window
+      val langs = T.documents(s, d).select($"lang").distinct()
+      val lp = langs.toDF("la").join(langs.toDF("lb"), $"la" < $"lb")
+      val base = T.documents(s, d)
+        .join(broadcast(lp), $"lang" === $"la" || $"lang" === $"lb")
+        .select($"la", $"lb", $"doc_id", $"n_chars",
+          ($"lang" === $"la").as("grp")).cache()
+      val obs = base.groupBy($"la", $"lb").agg(
+        sum(when($"grp", $"n_chars").otherwise(0L)).cast("bigint").as("sa"),
+        sum(when($"grp", 1L).otherwise(0L)).cast("bigint").as("na"),
+        sum(when(!$"grp", $"n_chars").otherwise(0L)).cast("bigint").as("sb"),
+        sum(when(!$"grp", 1L).otherwise(0L)).cast("bigint").as("nb"))
+      val rep = base
+        .select($"la", $"lb", $"doc_id", $"n_chars",
+          explode(expr("sequence(0, 127)")).as("b"))
+        .withColumn("pgrp", pmod(hash60(concat($"doc_id".cast("string"),
+          lit("#"), $"b".cast("string"))), lit(2)) === 0)
+        .groupBy($"la", $"lb", $"b")
+        .agg(
+          sum(when($"pgrp", $"n_chars").otherwise(0L)).cast("bigint").as("ra"),
+          sum(when($"pgrp", 1L).otherwise(0L)).cast("bigint").as("rna"),
+          sum(when(!$"pgrp", $"n_chars").otherwise(0L)).cast("bigint").as("rb"),
+          sum(when(!$"pgrp", 1L).otherwise(0L)).cast("bigint").as("rnb"))
+        .filter($"rna" > 0L && $"rnb" > 0L)
+      val pv = rep.join(obs, Seq("la", "lb"))
+        .groupBy($"la", $"lb", $"sa", $"sb", $"na", $"nb")
+        .agg(count(lit(1)).as("n_reps"),
+          sum(when(abs($"ra" * $"rnb" - $"rb" * $"rna") * ($"na" * $"nb") >=
+            abs($"sa" * $"nb" - $"sb" * $"na") * ($"rna" * $"rnb"), 1L)
+            .otherwise(0L)).cast("bigint").as("n_ge"))
+        .select($"la", $"lb",
+          expr("(sa * nb - sb * na) * 1000L div (na * nb)")
+            .as("obs_diff_milli"),
+          $"n_reps",
+          expr("n_ge * 1000000L div n_reps").as("p_ppm"))
+      val bh = pv
+        .withColumn("prank",
+          row_number().over(W.orderBy($"p_ppm", $"la", $"lb")).cast("long"))
+        .withColumn("m_tests", expr("count(1) over ()"))
+      val thr = bh.filter($"p_ppm" * $"m_tests" <= lit(250000L) * $"prank")
+        .agg(coalesce(max($"prank"), lit(0L)).as("kstar"))
+      bh.crossJoin(broadcast(thr))
+        .select($"la", $"lb", $"obs_diff_milli", $"n_reps", $"p_ppm",
+          $"prank", $"m_tests",
+          when($"prank" <= $"kstar", 1L).otherwise(0L).as("is_discovery"))
+    }),
+
     // ---- McNemar test on paired quality filters ----------------------
     // [McNemar '47] q184 measures how much the two doc-quality filters
     // AGREE (kappa); this asks whether their disagreement is
@@ -2059,6 +2164,102 @@ object Pipeline extends QueryPack {
         |    // (CAST(gl.v_sum_milli AS HUGEINT) * 1000) AS BIGINT)
         |    AS cmh_milli
         |FROM st CROSS JOIN gl""".stripMargin,
+
+    "q302_wasserstein_drift" ->
+      """WITH sv AS (
+        |  SELECT source, n_chars AS nc, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |vstep AS (
+        |  SELECT nc, lead(nc) OVER (ORDER BY nc) - nc AS dv
+        |  FROM (SELECT DISTINCT nc FROM sv) t),
+        |srcs AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s
+        |  FROM sv GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tot FROM sv),
+        |cum AS (
+        |  SELECT g.source, g.n_s, g.nc, g.dv,
+        |    CAST(sum(COALESCE(sv.c, 0)) OVER (PARTITION BY g.source
+        |      ORDER BY g.nc ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS BIGINT) AS cum_s
+        |  FROM (SELECT srcs.source, srcs.n_s, vstep.nc, vstep.dv
+        |        FROM srcs CROSS JOIN vstep) g
+        |  LEFT JOIN sv ON g.source = sv.source AND g.nc = sv.nc),
+        |allcum AS (
+        |  SELECT nc, CAST(sum(cs) OVER (ORDER BY nc
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_all
+        |  FROM (SELECT nc, sum(c) AS cs FROM sv GROUP BY 1) t)
+        |SELECT c.source, c.n_s AS n_docs,
+        |  CAST(CAST(sum(abs(c.cum_s * (tot.n_tot - c.n_s)
+        |      - (a.cum_all - c.cum_s) * c.n_s) * c.dv) AS HUGEINT)
+        |    * 1000000 // (CAST(c.n_s AS HUGEINT) * (tot.n_tot - c.n_s))
+        |    AS BIGINT) AS emd_scaled
+        |FROM cum c JOIN allcum a ON c.nc = a.nc CROSS JOIN tot
+        |WHERE c.dv IS NOT NULL AND tot.n_tot > c.n_s
+        |GROUP BY c.source, c.n_s, tot.n_tot""".stripMargin,
+
+    "q303_bh_fdr" ->
+      """WITH lp AS (
+        |  SELECT a.lang AS la, b.lang AS lb
+        |  FROM (SELECT DISTINCT lang FROM documents) a
+        |  JOIN (SELECT DISTINCT lang FROM documents) b ON a.lang < b.lang),
+        |base AS (
+        |  SELECT lp.la, lp.lb, d.doc_id, d.n_chars, d.lang = lp.la AS grp
+        |  FROM documents d JOIN lp ON d.lang = lp.la OR d.lang = lp.lb),
+        |obs AS (
+        |  SELECT la, lb,
+        |    CAST(sum(CASE WHEN grp THEN n_chars ELSE 0 END) AS BIGINT)
+        |      AS sa,
+        |    CAST(sum(CASE WHEN grp THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN NOT grp THEN n_chars ELSE 0 END) AS BIGINT)
+        |      AS sb,
+        |    CAST(sum(CASE WHEN NOT grp THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM base GROUP BY 1, 2),
+        |rep AS (
+        |  SELECT la, lb, k.b,
+        |    CAST(sum(CASE WHEN (CAST('0x' || substr(md5(
+        |      CAST(doc_id AS VARCHAR) || '#' || CAST(k.b AS VARCHAR)), 1, 15)
+        |      AS BIGINT)) % 2 = 0 THEN n_chars ELSE 0 END) AS BIGINT) AS ra,
+        |    CAST(sum(CASE WHEN (CAST('0x' || substr(md5(
+        |      CAST(doc_id AS VARCHAR) || '#' || CAST(k.b AS VARCHAR)), 1, 15)
+        |      AS BIGINT)) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS rna,
+        |    CAST(sum(CASE WHEN (CAST('0x' || substr(md5(
+        |      CAST(doc_id AS VARCHAR) || '#' || CAST(k.b AS VARCHAR)), 1, 15)
+        |      AS BIGINT)) % 2 = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS rb,
+        |    CAST(sum(CASE WHEN (CAST('0x' || substr(md5(
+        |      CAST(doc_id AS VARCHAR) || '#' || CAST(k.b AS VARCHAR)), 1, 15)
+        |      AS BIGINT)) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS rnb
+        |  FROM base CROSS JOIN (SELECT unnest(range(0, 128)) AS b) k
+        |  GROUP BY 1, 2, 3
+        |  HAVING sum(CASE WHEN (CAST('0x' || substr(md5(
+        |      CAST(doc_id AS VARCHAR) || '#' || CAST(k.b AS VARCHAR)), 1, 15)
+        |      AS BIGINT)) % 2 = 0 THEN 1 ELSE 0 END) > 0
+        |    AND sum(CASE WHEN (CAST('0x' || substr(md5(
+        |      CAST(doc_id AS VARCHAR) || '#' || CAST(k.b AS VARCHAR)), 1, 15)
+        |      AS BIGINT)) % 2 = 1 THEN 1 ELSE 0 END) > 0),
+        |pv AS (
+        |  SELECT o.la, o.lb,
+        |    CAST((o.sa * o.nb - o.sb * o.na) * 1000 // (o.na * o.nb)
+        |      AS BIGINT) AS obs_diff_milli,
+        |    CAST(count(*) AS BIGINT) AS n_reps,
+        |    CAST(sum(CASE WHEN abs(r.ra * r.rnb - r.rb * r.rna)
+        |        * (o.na * o.nb)
+        |        >= abs(o.sa * o.nb - o.sb * o.na) * (r.rna * r.rnb)
+        |      THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS p_ppm
+        |  FROM rep r JOIN obs o ON r.la = o.la AND r.lb = o.lb
+        |  GROUP BY o.la, o.lb, o.sa, o.sb, o.na, o.nb),
+        |bh AS (
+        |  SELECT la, lb, obs_diff_milli, n_reps, p_ppm,
+        |    CAST(row_number() OVER (ORDER BY p_ppm, la, lb) AS BIGINT)
+        |      AS prank,
+        |    CAST(count(*) OVER () AS BIGINT) AS m_tests
+        |  FROM pv),
+        |thr AS (SELECT CAST(COALESCE(max(prank), 0) AS BIGINT) AS kstar
+        |  FROM bh WHERE p_ppm * m_tests <= 250000 * prank)
+        |SELECT bh.la, bh.lb, bh.obs_diff_milli, bh.n_reps, bh.p_ppm,
+        |  bh.prank, bh.m_tests,
+        |  CAST(CASE WHEN bh.prank <= thr.kstar THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_discovery
+        |FROM bh CROSS JOIN thr""".stripMargin,
 
     "q294_mcnemar_filters" ->
       """WITH perdoc AS (

@@ -140,7 +140,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q295_coverage_greedy", "q296_dbscan_lsh", "q297_cmh_stratified",
     // batch E: rank tie-breaks in the retrieval window, the top-8
     // coefficient cut, ntile bucketing, struct-min motif neighbors
-    "q298_retrieval_metrics", "q299_haar_sketch", "q300_sax_motifs")
+    "q298_retrieval_metrics", "q299_haar_sketch", "q300_sax_motifs",
+    // batch F: PCM window energies, prefix-sum EMD grids, BH step-up
+    // rank tie-breaks over hash-seeded p-values
+    "q301_audio_vad", "q302_wasserstein_drift", "q303_bh_fdr")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

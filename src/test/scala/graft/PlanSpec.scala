@@ -56,6 +56,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q300: the bounded (5-type × 30-day) grid cross and the 5-row
     // SAX-word pair join
     "q300_sax_motifs",
+    // q302: q144's grid shape — the bounded (sources × distinct-lens)
+    // cross plus the 1-row corpus-total scalar
+    "q302_wasserstein_drift",
+    // q303: the bounded lang-pair table (|langs|² rows) broadcast
+    // under the two-lang membership join, plus the 1-row k* scalar
+    "q303_bh_fdr",
     "q79_kmeans_iter", "q87_zorder_stats", "q103_cooccur_lift",
     "q125_drift_detect", "q129_equidepth_hist", "q135_mixture_execute",
     "q140_pq_adc_topk", "q141_ann_ivf_multiprobe", "q142_ann_recall",
