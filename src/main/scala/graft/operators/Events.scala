@@ -1018,6 +1018,87 @@ object Events extends QueryPack {
           ($"n_pairs" * $"sum_b2" - $"sum_b" * $"sum_b").as("var_b_num"))
     }),
 
+    // ---- sequential pattern mining (ordered, windowed) ----------------
+    // [Agrawal & Srikant ICDE'95; Pei+ PrefixSpan] q172's frequent
+    // triples are UNORDERED baskets; this mines ORDERED behavioral
+    // sequences t1 → t2 → t3 within a 24-hour window — "error then
+    // purchase then purchase" is a different signal from the same
+    // multiset. Support = users with ≥ 1 windowed occurrence
+    // (per-user DISTINCT before counting), confidence =
+    // sup(t1t2t3)/sup(t1t2) against the same-windowed pair support.
+    // Shape: two user-keyed equi self-joins with (ts,id)-order + gap
+    // residuals — fan-out bounded by events-per-user-per-day (a
+    // session cap at 100 TB), never a cartesian; the pattern space
+    // itself is |types|³ = bounded. Top-20 by support, full tie-break.
+    "q304_seq_patterns" -> ((s, d) => {
+      import s.implicits._
+      val gap = 86400000000L // 24 h in µs
+      val ev = T.events(s, d)
+        .select($"user_id", $"event_type", unix_micros($"ts").as("us"),
+          $"event_id".as("id")).cache()
+      val a = ev.toDF("u", "t1", "us1", "id1")
+      val b = ev.toDF("u", "t2", "us2", "id2")
+      val c = ev.toDF("u", "t3", "us3", "id3")
+      val p12 = a.join(b, Seq("u"))
+        .filter(($"us1" < $"us2" || ($"us1" === $"us2" && $"id1" < $"id2"))
+          && $"us2" - $"us1" <= gap)
+      val sup2 = p12.select($"u", $"t1", $"t2").distinct()
+        .groupBy($"t1", $"t2").agg(count(lit(1)).as("sup2"))
+      p12.select($"u", $"t1", $"us1", $"t2", $"us2", $"id2")
+        .join(c, Seq("u"))
+        .filter(($"us2" < $"us3" || ($"us2" === $"us3" && $"id2" < $"id3"))
+          && $"us3" - $"us1" <= gap)
+        .select($"u", $"t1", $"t2", $"t3").distinct()
+        .groupBy($"t1", $"t2", $"t3").agg(count(lit(1)).as("sup3"))
+        .join(sup2, Seq("t1", "t2"))
+        .select($"t1", $"t2", $"t3", $"sup3", $"sup2",
+          expr("sup3 * 1000000L div sup2").as("conf_ppm"))
+        .orderBy($"sup3".desc, $"t1", $"t2", $"t3").limit(20)
+    }),
+
+    // ---- expected calibration error of a propensity baseline ---------
+    // [Naeini+ AAAI'15 ECE] the calibration audit q277's isotonic fit
+    // presupposes: a baseline propensity model (per-user purchase
+    // share over days 0–14 in ppm) scored against the day-15 outcome
+    // (did the user purchase that day?), binned into five fixed
+    // 200k-ppm bins. The gap algebra needs ONE floor per bin:
+    // n_b·|p̄_b − ȳ_b| = |Σpred_b − n_pos_b·10⁶|, so
+    // ECE = Σ_b |Σpred_b − n_pos_b·10⁶| div N exactly. The report
+    // (reliability diagram as a table + the one-number ECE) shows the
+    // baseline's miscalibration honestly — per-event share
+    // systematically UNDER-predicts the daily-outcome rate. Two
+    // user-grain aggs + a 5-row bin agg; nothing corpus-scale after.
+    "q306_ece_calibration" -> ((s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+        .select($"user_id", $"event_type",
+          datediff(to_date($"ts"), to_date(lit("2024-01-01")))
+            .cast("long").as("day"))
+      val pred = ev.filter($"day" < 15L)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_ev"),
+          sum(($"event_type" === "purchase").cast("long")).as("n_p"))
+        .select($"user_id", expr("n_p * 1000000L div n_ev").as("pred_ppm"))
+      val outc = ev.filter($"day" === 15L && $"event_type" === "purchase")
+        .select($"user_id").distinct().withColumn("hit", lit(1L))
+      val bins = pred.join(outc, Seq("user_id"), "left")
+        .select(least(expr("pred_ppm div 200000"), lit(4L)).as("bin"),
+          $"pred_ppm", coalesce($"hit", lit(0L)).as("y"))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n"),
+          sum($"pred_ppm").cast("bigint").as("sum_pred"),
+          sum($"y").cast("bigint").as("n_pos"))
+      val tot = bins.agg(sum($"n").cast("bigint").as("nn"),
+        sum(abs($"sum_pred" - $"n_pos" * lit(1000000L))).cast("bigint")
+          .as("dev"))
+      bins.crossJoin(broadcast(tot))
+        .select($"bin", $"n",
+          expr("sum_pred div n").as("avg_pred_ppm"),
+          expr("n_pos * 1000000L div n").as("obs_ppm"),
+          expr("abs(sum_pred - n_pos * 1000000L) div n").as("gap_ppm"),
+          expr("dev div nn").as("ece_ppm"))
+    }),
+
     // ---- Haar wavelet sketch of the daily purchase series ------------
     // [Haar 1910; Matias+ SIGMOD'98 wavelet synopses] the time-series
     // compression sketch next to q272's HLL bank: the 32-day purchase
@@ -1716,6 +1797,66 @@ object Events extends QueryPack {
        |GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q304_seq_patterns" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type AS t, CAST(epoch_us(ts) AS BIGINT)
+        |    AS us, event_id AS id
+        |  FROM events),
+        |p12 AS (
+        |  SELECT a.user_id, a.t AS t1, a.us AS us1, b.t AS t2,
+        |    b.us AS us2, b.id AS id2
+        |  FROM ev a JOIN ev b ON a.user_id = b.user_id
+        |    AND (a.us < b.us OR (a.us = b.us AND a.id < b.id))
+        |    AND b.us - a.us <= 86400000000),
+        |sup2 AS (
+        |  SELECT t1, t2, CAST(count(*) AS BIGINT) AS sup2
+        |  FROM (SELECT DISTINCT user_id, t1, t2 FROM p12) p GROUP BY 1, 2),
+        |sup3 AS (
+        |  SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS sup3
+        |  FROM (
+        |    SELECT DISTINCT p.user_id, p.t1, p.t2, c.t AS t3
+        |    FROM p12 p JOIN ev c ON p.user_id = c.user_id
+        |      AND (p.us2 < c.us OR (p.us2 = c.us AND p.id2 < c.id))
+        |      AND c.us - p.us1 <= 86400000000) t
+        |  GROUP BY 1, 2, 3)
+        |SELECT sup3.t1, sup3.t2, sup3.t3, sup3.sup3, sup2.sup2,
+        |  CAST(sup3.sup3 * 1000000 // sup2.sup2 AS BIGINT) AS conf_ppm
+        |FROM sup3 JOIN sup2 ON sup3.t1 = sup2.t1 AND sup3.t2 = sup2.t2
+        |ORDER BY sup3.sup3 DESC, sup3.t1, sup3.t2, sup3.t3
+        |LIMIT 20""".stripMargin,
+
+    "q306_ece_calibration" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+        |  FROM events),
+        |pred AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      * 1000000 // count(*) AS BIGINT) AS pred_ppm
+        |  FROM ev WHERE day < 15 GROUP BY 1),
+        |outc AS (
+        |  SELECT DISTINCT user_id FROM ev
+        |  WHERE day = 15 AND event_type = 'purchase'),
+        |bins AS (
+        |  SELECT least(p.pred_ppm // 200000, 4) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(p.pred_ppm) AS BIGINT) AS sum_pred,
+        |    CAST(sum(CASE WHEN o.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_pos
+        |  FROM pred p LEFT JOIN outc o ON p.user_id = o.user_id
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |  CAST(sum(abs(sum_pred - n_pos * 1000000)) AS BIGINT) AS dev
+        |  FROM bins)
+        |SELECT CAST(b.bin AS BIGINT) AS bin, b.n,
+        |  CAST(b.sum_pred // b.n AS BIGINT) AS avg_pred_ppm,
+        |  CAST(b.n_pos * 1000000 // b.n AS BIGINT) AS obs_ppm,
+        |  CAST(abs(b.sum_pred - b.n_pos * 1000000) // b.n AS BIGINT)
+        |    AS gap_ppm,
+        |  CAST(tot.dev // tot.nn AS BIGINT) AS ece_ppm
+        |FROM bins b CROSS JOIN tot""".stripMargin,
+
     "q299_haar_sketch" ->
       """WITH daily AS (
         |  SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,

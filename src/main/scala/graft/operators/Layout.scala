@@ -128,6 +128,69 @@ object Layout extends QueryPack {
     // ever sorts globally, which is the entire trick of sample-based
     // range partitioning at 100 TB. PlanSpec asserts the global
     // window's input subtree contains the sampling filter.
+    // ---- V-optimal histogram (exact DP) -------------------------------
+    // [Jagadish+ VLDB'98] the optimizer-grade synopsis next to q129's
+    // equi-depth: partition the 30-day purchase series into k = 4
+    // buckets MINIMIZING total within-bucket SSE — variance-aware
+    // bucket boundaries land where the data actually changes, which
+    // is what a cardinality estimator wants. Exact dynamic program:
+    // per-segment cost Σx² − (Σx)²/len in milli fixed-point (one
+    // floor per segment, non-negative by Cauchy–Schwarz so trunc ==
+    // floor in both engines); the corpus-scale work is ONE daily hash
+    // agg + a 30-row windowed prefix-sum — the O(k·n²) DP then runs
+    // driver-side over that BOUNDED table (boundedCollect, 30 rows),
+    // mirroring the oracle's unrolled MATERIALIZED DP levels with the
+    // identical (cost, split) lexicographic argmin. Output: the 4
+    // optimal buckets with their ranges, masses, per-bucket SSE, and
+    // the optimal total.
+    "q305_vopt_histogram" -> ((s, d) => {
+      import s.implicits._
+      val daily = T.events(s, d).filter($"event_type" === "purchase")
+        .select((datediff(to_date($"ts"), to_date(lit("2024-01-01"))) + 1)
+          .cast("long").as("day"))
+        .groupBy($"day").agg(count(lit(1)).as("x"))
+      val grid = s.range(1L, 31L).select($"id".as("day"))
+        .join(daily, Seq("day"), "left")
+        .select($"day", coalesce($"x", lit(0L)).as("x"))
+      val wp = Window.orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pre = grid.select($"day", sum($"x").over(wp).as("ps"),
+        sum($"x" * $"x").over(wp).as("pq"))
+      val rows = T.boundedCollect(pre.orderBy($"day"), 30, "q305 prefix sums")
+      val ps = Array.fill(31)(0L)
+      val pq = Array.fill(31)(0L)
+      rows.foreach { r =>
+        val dd = r.getLong(0).toInt; ps(dd) = r.getLong(1); pq(dd) = r.getLong(2)
+      }
+      // non-negative numerator (Cauchy–Schwarz), so Long / == floor
+      def cost(i: Int, j: Int): Long =
+        (pq(j) - pq(i - 1)) * 1000L -
+          (ps(j) - ps(i - 1)) * (ps(j) - ps(i - 1)) * 1000L / (j - i + 1)
+      val dpE = Array.ofDim[Long](5, 31)
+      val dpS = Array.ofDim[Int](5, 31)
+      for (i <- 1 to 30) { dpE(1)(i) = cost(1, i); dpS(1)(i) = 0 }
+      for (k <- 2 to 4; i <- k to 30) {
+        var be = Long.MaxValue
+        var bs = -1
+        // ascending split scan with strict < keeps the SMALLEST split
+        // on ties — the oracle's min(struct(e, s)) order
+        for (sp <- (k - 1) to (i - 1)) {
+          val e = dpE(k - 1)(sp) + cost(sp + 1, i)
+          if (e < be) { be = e; bs = sp }
+        }
+        dpE(k)(i) = be; dpS(k)(i) = bs
+      }
+      val s3 = dpS(4)(30); val s2 = dpS(3)(s3); val s1 = dpS(2)(s2)
+      val los = Array(1, s1 + 1, s2 + 1, s3 + 1)
+      val his = Array(s1, s2, s3, 30)
+      val out = (0 until 4).map { k =>
+        (k + 1L, los(k).toLong, his(k).toLong, (his(k) - los(k) + 1).toLong,
+          ps(his(k)) - ps(los(k) - 1), cost(los(k), his(k)), dpE(4)(30))
+      }
+      out.toDF("bucket", "day_lo", "day_hi", "n_days", "total",
+        "sse_milli", "total_sse_milli")
+    }),
+
     "q129_equidepth_hist" -> ((s, d) => {
       import s.implicits._
       val h60 = graft.functions.PortableHash.h60 _
@@ -512,6 +575,61 @@ object Layout extends QueryPack {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q305_vopt_histogram" ->
+      """WITH daily AS (
+        |  SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 1
+        |    AS day, CAST(count(*) AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |grid AS (
+        |  SELECT g.day, COALESCE(daily.x, 0) AS x
+        |  FROM (SELECT unnest(range(1, 31)) AS day) g
+        |  LEFT JOIN daily ON g.day = daily.day),
+        |pre AS (
+        |  SELECT day,
+        |    CAST(sum(x) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS ps,
+        |    CAST(sum(x * x) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS pq
+        |  FROM grid),
+        |pre0 AS (SELECT CAST(0 AS BIGINT) AS day, CAST(0 AS BIGINT) AS ps,
+        |    CAST(0 AS BIGINT) AS pq
+        |  UNION ALL SELECT CAST(day AS BIGINT), ps, pq FROM pre),
+        |cost AS MATERIALIZED (
+        |  SELECT lo.day + 1 AS i, hi.day AS j,
+        |    CAST((hi.pq - lo.pq) * 1000
+        |      - (hi.ps - lo.ps) * (hi.ps - lo.ps) * 1000
+        |        // (hi.day - lo.day) AS BIGINT) AS c
+        |  FROM pre0 lo JOIN pre0 hi ON lo.day < hi.day),
+        |e1 AS MATERIALIZED (SELECT j AS i, c AS e, CAST(0 AS BIGINT) AS s
+        |  FROM cost WHERE cost.i = 1),
+        |e2 AS MATERIALIZED (
+        |  SELECT c.j AS i, min({'e': e1.e + c.c, 's': e1.i}).e AS e,
+        |    min({'e': e1.e + c.c, 's': e1.i}).s AS s
+        |  FROM e1 JOIN cost c ON c.i = e1.i + 1 GROUP BY c.j),
+        |e3 AS MATERIALIZED (
+        |  SELECT c.j AS i, min({'e': e2.e + c.c, 's': e2.i}).e AS e,
+        |    min({'e': e2.e + c.c, 's': e2.i}).s AS s
+        |  FROM e2 JOIN cost c ON c.i = e2.i + 1 GROUP BY c.j),
+        |e4 AS MATERIALIZED (
+        |  SELECT c.j AS i, min({'e': e3.e + c.c, 's': e3.i}).e AS e,
+        |    min({'e': e3.e + c.c, 's': e3.i}).s AS s
+        |  FROM e3 JOIN cost c ON c.i = e3.i + 1 GROUP BY c.j),
+        |sp3 AS (SELECT e, s FROM e4 WHERE i = 30),
+        |sp2 AS (SELECT e3.s FROM e3 JOIN sp3 ON e3.i = sp3.s),
+        |sp1 AS (SELECT e2.s FROM e2 JOIN sp2 ON e2.i = sp2.s),
+        |bounds AS (
+        |  SELECT 1 AS bk, CAST(1 AS BIGINT) AS lo, (SELECT s FROM sp1) AS hi
+        |  UNION ALL SELECT 2, (SELECT s FROM sp1) + 1, (SELECT s FROM sp2)
+        |  UNION ALL SELECT 3, (SELECT s FROM sp2) + 1, (SELECT s FROM sp3)
+        |  UNION ALL SELECT 4, (SELECT s FROM sp3) + 1, CAST(30 AS BIGINT))
+        |SELECT CAST(b.bk AS BIGINT) AS bucket, b.lo AS day_lo,
+        |  b.hi AS day_hi, CAST(b.hi - b.lo + 1 AS BIGINT) AS n_days,
+        |  CAST((SELECT sum(x) FROM grid
+        |    WHERE day BETWEEN b.lo AND b.hi) AS BIGINT) AS total,
+        |  c.c AS sse_milli,
+        |  (SELECT CAST(e AS BIGINT) FROM sp3) AS total_sse_milli
+        |FROM bounds b JOIN cost c ON c.i = b.lo AND c.j = b.hi""".stripMargin,
+
     "q202_benford_audit" ->
       s"""WITH expd(digit, exp_ppm) AS (VALUES
         |  (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),

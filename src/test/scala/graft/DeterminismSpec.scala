@@ -143,7 +143,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q298_retrieval_metrics", "q299_haar_sketch", "q300_sax_motifs",
     // batch F: PCM window energies, prefix-sum EMD grids, BH step-up
     // rank tie-breaks over hash-seeded p-values
-    "q301_audio_vad", "q302_wasserstein_drift", "q303_bh_fdr")
+    "q301_audio_vad", "q302_wasserstein_drift", "q303_bh_fdr",
+    // batch G: windowed sequence supports, the DP's split argmin,
+    // fixed-bin calibration floors
+    "q304_seq_patterns", "q305_vopt_histogram", "q306_ece_calibration")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

@@ -62,6 +62,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q303: the bounded lang-pair table (|langs|² rows) broadcast
     // under the two-lang membership join, plus the 1-row k* scalar
     "q303_bh_fdr",
+    // q306: the 1-row (N, deviation) scalar crossed onto the 5-row
+    // reliability bins (hinted broadcast)
+    "q306_ece_calibration",
     "q79_kmeans_iter", "q87_zorder_stats", "q103_cooccur_lift",
     "q125_drift_detect", "q129_equidepth_hist", "q135_mixture_execute",
     "q140_pq_adc_topk", "q141_ann_ivf_multiprobe", "q142_ann_recall",
