@@ -213,6 +213,32 @@ import graft.operators._
   * bin-bounded prefix table (IsotonicPropertySpec). q274 greedy MMR
   * diversified retrieval over the top-50 cut with signed quantized
   * cos² (recursive-CTE oracle). Bench times min-of-3 per query.
+  *
+  * Round-15 (SURVEY.md §2 round-15 table): the oracle TYPE gate
+  * (three HUGEINT leaks cast, check_oracle dtype parity,
+  * OracleTypeParitySpec LIMIT-0 sweep) plus 29 new components.
+  * Inference/experiments: q286 Poisson-bootstrap CIs (inverse-CDF
+  * multiplicity thresholds), q288 IPS/SNIPS offline policy
+  * evaluation, q291 hash-seeded exact permutation test, q294 McNemar
+  * on paired filters, q297 Cochran–Mantel–Haenszel with
+  * Simpson-reversal flags, q303 Benjamini–Hochberg FDR over the
+  * 10-pair test family, q306 expected-calibration-error reliability
+  * tables. Retrieval: q284 BM25 cross-encoder-style rerank, q298
+  * MRR + nDCG@20 (hardcoded discounts). Text/LM: q285 exact
+  * longest-repeated-substring by binary-searched probes, q289 Chao1
+  * bigram richness, q290 T5 span-corruption plans, q292 fixed-point
+  * Kneser–Ney. Embeddings: q293 KNN-Shapley valuation (suffix-scan
+  * closed form), q296 LSH-blocked DBSCAN. Synopses/series: q287
+  * signed CountSketch audit, q299 Haar wavelet synopsis, q300 SAX
+  * motifs, q305 V-optimal histogram DP. Curation: q295 greedy
+  * submodular max-coverage selection, q301 PCM audio VAD (real
+  * decode), q302 exact 1-D Wasserstein drift, q304 windowed
+  * sequential patterns. Streaming loops: s32 incremental-IVF
+  * admission, s33 CMS linear-merge monitor, s34 SCD2 dimension
+  * maintenance, s35 Bloom-prefiltered exact-dedup admission (the
+  * Bloom decision itself hash-gated), s36 typed-state CEP funnel,
+  * s37 point-in-time temporal join. q252's aHash now runs on a real
+  * raster decode.
   */
 object SparkEntry {
 
