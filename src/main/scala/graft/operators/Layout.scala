@@ -13,6 +13,43 @@ import graft.functions.Exact
   */
 object Layout extends QueryPack {
 
+  /** q305's V-optimal DP over prefix sums `ps`/`pq` (1-indexed, index 0
+    * = zero): partition 1..n into k buckets minimizing Σ within-bucket
+    * SSE in milli fixed-point. Returns (split points s₁ < … < s_{k−1},
+    * optimal total cost). Factored out so VoptPropertySpec can compare
+    * it against exhaustive split enumeration; the floors here must
+    * mirror the DuckDB oracle's `//` exactly (non-negative numerators,
+    * so trunc == floor).
+    */
+  private[graft] def voptDp(ps: Array[Long], pq: Array[Long], n: Int,
+                            k: Int): (Array[Int], Long) = {
+    def cost(i: Int, j: Int): Long =
+      (pq(j) - pq(i - 1)) * 1000L -
+        (ps(j) - ps(i - 1)) * (ps(j) - ps(i - 1)) * 1000L / (j - i + 1)
+    val dpE = Array.ofDim[Long](k + 1, n + 1)
+    val dpS = Array.ofDim[Int](k + 1, n + 1)
+    for (i <- 1 to n) { dpE(1)(i) = cost(1, i); dpS(1)(i) = 0 }
+    for (kk <- 2 to k; i <- kk to n) {
+      var be = Long.MaxValue
+      var bs = -1
+      // ascending split scan with strict < keeps the SMALLEST split on
+      // ties — the oracle's min(struct(e, s)) order
+      for (sp <- (kk - 1) to (i - 1)) {
+        val e = dpE(kk - 1)(sp) + cost(sp + 1, i)
+        if (e < be) { be = e; bs = sp }
+      }
+      dpE(kk)(i) = be; dpS(kk)(i) = bs
+    }
+    val splits = new Array[Int](k - 1)
+    var cur = n
+    for (kk <- k until 1 by -1) {
+      val sp = dpS(kk)(cur)
+      splits(kk - 2) = sp
+      cur = sp
+    }
+    (splits, dpE(k)(n))
+  }
+
   private def sfx(d: String): String = d.replaceAll("[^A-Za-z0-9]", "_")
 
   /** Scratch dir for a query's intermediate write, unique per
@@ -166,26 +203,12 @@ object Layout extends QueryPack {
       def cost(i: Int, j: Int): Long =
         (pq(j) - pq(i - 1)) * 1000L -
           (ps(j) - ps(i - 1)) * (ps(j) - ps(i - 1)) * 1000L / (j - i + 1)
-      val dpE = Array.ofDim[Long](5, 31)
-      val dpS = Array.ofDim[Int](5, 31)
-      for (i <- 1 to 30) { dpE(1)(i) = cost(1, i); dpS(1)(i) = 0 }
-      for (k <- 2 to 4; i <- k to 30) {
-        var be = Long.MaxValue
-        var bs = -1
-        // ascending split scan with strict < keeps the SMALLEST split
-        // on ties — the oracle's min(struct(e, s)) order
-        for (sp <- (k - 1) to (i - 1)) {
-          val e = dpE(k - 1)(sp) + cost(sp + 1, i)
-          if (e < be) { be = e; bs = sp }
-        }
-        dpE(k)(i) = be; dpS(k)(i) = bs
-      }
-      val s3 = dpS(4)(30); val s2 = dpS(3)(s3); val s1 = dpS(2)(s2)
-      val los = Array(1, s1 + 1, s2 + 1, s3 + 1)
-      val his = Array(s1, s2, s3, 30)
+      val (splits, totalSse) = voptDp(ps, pq, 30, 4)
+      val los = Array(1, splits(0) + 1, splits(1) + 1, splits(2) + 1)
+      val his = Array(splits(0), splits(1), splits(2), 30)
       val out = (0 until 4).map { k =>
         (k + 1L, los(k).toLong, his(k).toLong, (his(k) - los(k) + 1).toLong,
-          ps(his(k)) - ps(los(k) - 1), cost(los(k), his(k)), dpE(4)(30))
+          ps(his(k)) - ps(los(k) - 1), cost(los(k), his(k)), totalSse)
       }
       out.toDF("bucket", "day_lo", "day_hi", "n_days", "total",
         "sse_milli", "total_sse_milli")
