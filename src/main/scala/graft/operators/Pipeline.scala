@@ -1621,6 +1621,52 @@ object Pipeline extends QueryPack {
           $"n_match", $"first_pos", $"spread")
     }),
 
+    // ---- rank-biased overlap between the two retrievers --------------
+    // [Webber, Moffat & Zobel TOIS'10] the ranking-agreement metric
+    // that tells you whether q192's fusion is WORTH running: RBO@20 of
+    // the BM25 and tf·idf rankings per query — top-weighted (geometric
+    // p = 0.9, the 20 per-depth weights are HARDCODED ppm constants;
+    // a computed power could drift an ULP), indefinite-ranking-safe.
+    // Exact: the co-ranked table carries m = max(rank_a, rank_b), so
+    // agreement-at-depth A_d·d = #{m ≤ d} is a windowed cumulative
+    // count over the 20-row depth grid, and each term floors ONCE as
+    // w_d·inter_d div d. rbo_norm rescales by the truncated-weight
+    // mass Σw = 878412. Low RBO ⇒ the rankers disagree ⇒ fusion adds
+    // information; the report says it per query. Bounded everywhere:
+    // the substrate is the shared q190 scored table, prefixes are
+    // top-20 cuts, the grid is queries × 20.
+    "q307_rbo_rankings" -> ((s, d) => {
+      import s.implicits._
+      val rboW = Seq(1L -> 99999L, 2L -> 89999L, 3L -> 80999L,
+        4L -> 72899L, 5L -> 65609L, 6L -> 59049L, 7L -> 53144L,
+        8L -> 47829L, 9L -> 43046L, 10L -> 38742L, 11L -> 34867L,
+        12L -> 31381L, 13L -> 28242L, 14L -> 25418L, 15L -> 22876L,
+        16L -> 20589L, 17L -> 18530L, 18L -> 16677L, 19L -> 15009L,
+        20L -> 13508L)
+      val sc = retrievalScores(s, d)
+      def top(colName: String) = {
+        val w = Window.partitionBy($"qid")
+          .orderBy(col(colName).desc, $"doc_id")
+        sc.withColumn("rk", row_number().over(w).cast("bigint"))
+          .filter($"rk" <= 20).select($"qid", $"doc_id", $"rk")
+      }
+      val both = top("bm25_ppk").toDF("qid", "doc_id", "ra")
+        .join(top("tfidf_ppk").toDF("qid", "doc_id", "rb"),
+          Seq("qid", "doc_id"))
+        .select($"qid", greatest($"ra", $"rb").as("mrk"))
+      val dw = rboW.toDF("dpt", "wt")
+      val grid = sc.select($"qid").distinct().crossJoin(broadcast(dw))
+      val inter = grid.join(both, Seq("qid"), "left")
+        .groupBy($"qid", $"dpt", $"wt")
+        .agg(sum(when($"mrk" <= $"dpt", 1L).otherwise(0L))
+          .cast("bigint").as("nd"))
+      inter.groupBy($"qid")
+        .agg(sum(expr("wt * nd div dpt")).cast("bigint").as("rbo_ppm"),
+          max(when($"dpt" === 20L, $"nd")).cast("bigint").as("inter_20"))
+        .select($"qid", $"inter_20", $"rbo_ppm",
+          expr("rbo_ppm * 1000000L div 878412").as("rbo_norm_ppm"))
+    }),
+
     // ---- reciprocal-rank fusion of two retrievers -------------------
     // Hybrid-retrieval aggregation [Cormack, Clarke & Buettcher,
     // SIGIR'09]: two rankers over the same candidates (BM25 and raw
@@ -2469,6 +2515,40 @@ object Pipeline extends QueryPack {
          |JOIN nq ON nq.qid = t.qid
          |QUALIFY row_number() OVER (PARTITION BY t.qid
          |  ORDER BY rerank_ppk DESC, t.doc_id) <= 5""".stripMargin,
+
+    "q307_rbo_rankings" ->
+      s"""$retrievalCtes,
+         |r1 AS (
+         |  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+         |    ORDER BY bm25_ppk DESC, doc_id) AS rk FROM sc),
+         |r2 AS (
+         |  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+         |    ORDER BY tfidf_ppk DESC, doc_id) AS rk FROM sc),
+         |coranked AS (
+         |  SELECT a.qid, CAST(greatest(a.rk, b.rk) AS BIGINT) AS mrk
+         |  FROM (SELECT * FROM r1 WHERE rk <= 20) a
+         |  JOIN (SELECT * FROM r2 WHERE rk <= 20) b
+         |    ON a.qid = b.qid AND a.doc_id = b.doc_id),
+         |dw AS (SELECT * FROM (VALUES (1, 99999), (2, 89999), (3, 80999),
+         |  (4, 72899), (5, 65609), (6, 59049), (7, 53144), (8, 47829),
+         |  (9, 43046), (10, 38742), (11, 34867), (12, 31381), (13, 28242),
+         |  (14, 25418), (15, 22876), (16, 20589), (17, 18530), (18, 16677),
+         |  (19, 15009), (20, 13508)) AS t(dpt, wt)),
+         |grid AS (
+         |  SELECT q.qid, dw.dpt, dw.wt
+         |  FROM (SELECT DISTINCT qid FROM sc) q CROSS JOIN dw),
+         |inter AS (
+         |  SELECT grid.qid, grid.dpt, grid.wt,
+         |    CAST(sum(CASE WHEN coranked.mrk <= grid.dpt THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS nd
+         |  FROM grid LEFT JOIN coranked ON grid.qid = coranked.qid
+         |  GROUP BY 1, 2, 3)
+         |SELECT qid,
+         |  CAST(max(CASE WHEN dpt = 20 THEN nd END) AS BIGINT) AS inter_20,
+         |  CAST(sum(wt * nd // dpt) AS BIGINT) AS rbo_ppm,
+         |  CAST(sum(wt * nd // dpt) * 1000000 // 878412 AS BIGINT)
+         |    AS rbo_norm_ppm
+         |FROM inter GROUP BY qid""".stripMargin,
 
     "q192_rrf_fusion" ->
       s"""$retrievalCtes,

@@ -146,7 +146,11 @@ class DeterminismSpec extends AnyFunSuite {
     "q301_audio_vad", "q302_wasserstein_drift", "q303_bh_fdr",
     // batch G: windowed sequence supports, the DP's split argmin,
     // fixed-bin calibration floors
-    "q304_seq_patterns", "q305_vopt_histogram", "q306_ece_calibration")
+    "q304_seq_patterns", "q305_vopt_histogram", "q306_ece_calibration",
+    // batch H: rank-prefix agreement grids, argmax-over-nodes
+    // assignments, bucketed estimate floors
+    "q307_rbo_rankings", "q308_rendezvous_rebalance",
+    "q309_join_card_audit")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

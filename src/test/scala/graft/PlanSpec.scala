@@ -65,6 +65,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q306: the 1-row (N, deviation) scalar crossed onto the 5-row
     // reliability bins (hinted broadcast)
     "q306_ece_calibration",
+    // q307: the 20-row hardcoded RBO weight dim crossed onto the
+    // bounded query set (q190's family)
+    "q307_rbo_rankings",
+    // q308: the 1-row (total, moved) scalar crossed onto the 5-node
+    // holdings table
+    "q308_rendezvous_rebalance",
+    // q309: the 1-row max-key scalar crossed onto the three scans it
+    // buckets (hinted broadcast)
+    "q309_join_card_audit",
     "q79_kmeans_iter", "q87_zorder_stats", "q103_cooccur_lift",
     "q125_drift_detect", "q129_equidepth_hist", "q135_mixture_execute",
     "q140_pq_adc_topk", "q141_ann_ivf_multiprobe", "q142_ann_recall",
