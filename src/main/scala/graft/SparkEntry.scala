@@ -238,7 +238,13 @@ import graft.operators._
   * maintenance, s35 Bloom-prefiltered exact-dedup admission (the
   * Bloom decision itself hash-gated), s36 typed-state CEP funnel,
   * s37 point-in-time temporal join. q252's aHash now runs on a real
-  * raster decode.
+  * raster decode. Ops/engine-side audits: q307 rank-biased overlap
+  * between retrievers (hardcoded geometric weights), q308
+  * rendezvous-hash rebalancing audit (5→6 nodes, ~1/6 moved), q309
+  * System-R join-cardinality estimation audit (uniformity violation
+  * in ppm). Property guards: VoptPropertySpec (DP vs exhaustive
+  * splits), KnnShapleyPropertySpec (suffix scan vs brute-force
+  * permutation Shapley, exact rationals).
   */
 object SparkEntry {
 
