@@ -505,6 +505,51 @@ object Pipeline extends QueryPack {
         .withColumn("conv_ppm", expr("n_converted * 1000000 div n_users"))
     }),
 
+    // ---- sample-ratio-mismatch (SRM) health check ---------------------
+    // [Fabijan+ KDD'19: the #1 A/B trust check] q123 reads an
+    // experiment; this asks whether the experiment is READABLE: under
+    // a 50/50 hash split, is the realized arm imbalance explainable
+    // by chance? Four experiments share the user population via
+    // h60(user#e) % 2; experiment 3 simulates a treatment-side
+    // logging loss (half its treatment users never reach the
+    // assignment log — the exact failure SRM exists to catch).
+    // χ² = (n0−n1)²·1000/(n0+n1) exact milli; the p-value is the same
+    // hash-seeded MC machinery as q291 (B = 128 re-randomizations of
+    // the LOGGED users — the conditional null); srm_flag fires at
+    // p ≤ 1/32. One distinct-users pass; the 128× replicate axis
+    // reduces map-side to exps×128 partial rows.
+    "q310_srm_check" -> ((s, d) => {
+      import s.implicits._
+      val asg = T.events(s, d).select($"user_id").distinct()
+        .select($"user_id", explode(expr("sequence(0L, 3L)")).as("exp"))
+        .withColumn("arm", pmod(hash60(concat($"user_id".cast("string"),
+          lit("#e"), $"exp".cast("string"))), lit(2)))
+        .filter(!($"exp" === 3L && $"arm" === 1L &&
+          pmod(hash60(concat($"user_id".cast("string"), lit("#drop"))),
+            lit(2)) === 0L))
+        .cache()
+      val cnt = asg.groupBy($"exp").agg(
+        sum(($"arm" === 0L).cast("long")).as("n0"),
+        sum(($"arm" === 1L).cast("long")).as("n1"))
+      val rep = asg
+        .select($"user_id", $"exp", explode(expr("sequence(0, 127)")).as("b"))
+        .withColumn("r1v", pmod(hash60(concat($"user_id".cast("string"),
+          lit("#e"), $"exp".cast("string"), lit("#r"),
+          $"b".cast("string"))), lit(2)))
+        .groupBy($"exp", $"b")
+        .agg(sum($"r1v").cast("bigint").as("r1"), count(lit(1)).as("nn"))
+      cnt.join(rep, Seq("exp")).groupBy($"exp", $"n0", $"n1")
+        .agg(count(lit(1)).as("n_reps"),
+          sum(when((lit(2L) * $"r1" - $"nn") * (lit(2L) * $"r1" - $"nn") >=
+            ($"n0" - $"n1") * ($"n0" - $"n1"), 1L).otherwise(0L))
+            .cast("bigint").as("n_ge"))
+        .select($"exp", $"n0", $"n1",
+          expr("(n0 - n1) * (n0 - n1) * 1000L div (n0 + n1)")
+            .as("chi2_milli"),
+          expr("n_ge * 1000000L div n_reps").as("p_ppm"),
+          when($"n_ge" * 32L <= $"n_reps", 1L).otherwise(0L).as("srm_flag"))
+    }),
+
     // ---- tokenizer vocabulary ranking (global rank, no global sort) -
     // The vocab-build step every tokenizer pipeline runs: id = rank of
     // each word by (count DESC, word). A naive row_number() OVER
@@ -2515,6 +2560,45 @@ object Pipeline extends QueryPack {
          |JOIN nq ON nq.qid = t.qid
          |QUALIFY row_number() OVER (PARTITION BY t.qid
          |  ORDER BY rerank_ppk DESC, t.doc_id) <= 5""".stripMargin,
+
+    "q310_srm_check" ->
+      """WITH users AS (SELECT DISTINCT user_id FROM events),
+        |ex AS (SELECT unnest(range(0, 4)) AS exp),
+        |asg AS (
+        |  SELECT u.user_id, ex.exp,
+        |    CAST('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || '#e'
+        |      || CAST(ex.exp AS VARCHAR)), 1, 15) AS BIGINT) % 2 AS arm
+        |  FROM users u CROSS JOIN ex
+        |  WHERE NOT (ex.exp = 3
+        |    AND CAST('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || '#e'
+        |      || CAST(ex.exp AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1
+        |    AND CAST('0x' || substr(md5(CAST(u.user_id AS VARCHAR)
+        |      || '#drop'), 1, 15) AS BIGINT) % 2 = 0)),
+        |cnt AS (
+        |  SELECT exp,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        |  FROM asg GROUP BY 1),
+        |rep AS (
+        |  SELECT a.exp, k.b,
+        |    CAST(sum((CAST('0x' || substr(md5(CAST(a.user_id AS VARCHAR)
+        |      || '#e' || CAST(a.exp AS VARCHAR) || '#r'
+        |      || CAST(k.b AS VARCHAR)), 1, 15) AS BIGINT)) % 2) AS BIGINT)
+        |      AS r1,
+        |    CAST(count(*) AS BIGINT) AS nn
+        |  FROM asg a CROSS JOIN (SELECT unnest(range(0, 128)) AS b) k
+        |  GROUP BY 1, 2)
+        |SELECT c.exp, c.n0, c.n1,
+        |  CAST((c.n0 - c.n1) * (c.n0 - c.n1) * 1000 // (c.n0 + c.n1)
+        |    AS BIGINT) AS chi2_milli,
+        |  CAST(sum(CASE WHEN (2 * r.r1 - r.nn) * (2 * r.r1 - r.nn)
+        |      >= (c.n0 - c.n1) * (c.n0 - c.n1) THEN 1 ELSE 0 END)
+        |    * 1000000 // count(*) AS BIGINT) AS p_ppm,
+        |  CAST(CASE WHEN sum(CASE WHEN (2 * r.r1 - r.nn) * (2 * r.r1 - r.nn)
+        |      >= (c.n0 - c.n1) * (c.n0 - c.n1) THEN 1 ELSE 0 END)
+        |    * 32 <= count(*) THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+        |FROM cnt c JOIN rep r ON c.exp = r.exp
+        |GROUP BY c.exp, c.n0, c.n1""".stripMargin,
 
     "q307_rbo_rankings" ->
       s"""$retrievalCtes,

@@ -150,7 +150,9 @@ class DeterminismSpec extends AnyFunSuite {
     // batch H: rank-prefix agreement grids, argmax-over-nodes
     // assignments, bucketed estimate floors
     "q307_rbo_rankings", "q308_rendezvous_rebalance",
-    "q309_join_card_audit")
+    "q309_join_card_audit",
+    // batch I: re-randomization counts, per-size Bloom position sets
+    "q310_srm_check", "q311_bloom_size_tune")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

@@ -74,6 +74,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q309: the 1-row max-key scalar crossed onto the three scans it
     // buckets (hinted broadcast)
     "q309_join_card_audit",
+    // q311: the 3-row filter-size dim crossed onto the fingerprint
+    // tables, plus the 1-row chosen-size scalar
+    "q311_bloom_size_tune",
     "q79_kmeans_iter", "q87_zorder_stats", "q103_cooccur_lift",
     "q125_drift_detect", "q129_equidepth_hist", "q135_mixture_execute",
     "q140_pq_adc_topk", "q141_ann_ivf_multiprobe", "q142_ann_recall",
