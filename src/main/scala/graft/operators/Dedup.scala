@@ -441,15 +441,21 @@ object Dedup extends QueryPack {
         val mid = (lo + hi + 1) / 2 // non-negative: trunc == floor
         if (reps(mid).isEmpty) hi = mid - 1 else lo = mid
       }
-      if (lo == 0L)
-        Seq((0L, 0L, "", 0L))
-          .toDF("lrs_len", "n_repeats", "lrs", "n_docs")
-      else
-        reps(lo)
-          .agg(count(lit(1)).as("n_repeats"),
-            min(struct($"sub", $"nd")).as("m"))
-          .select(lit(lo).as("lrs_len"), $"n_repeats",
-            $"m.sub".as("lrs"), $"m.nd".as("n_docs"))
+      val out =
+        if (lo == 0L)
+          Seq((0L, 0L, "", 0L))
+            .toDF("lrs_len", "n_repeats", "lrs", "n_docs")
+        else
+          reps(lo)
+            .agg(count(lit(1)).as("n_repeats"),
+              min(struct($"sub", $"nd")).as("m"))
+            .select(lit(lo).as("lrs_len"), $"n_repeats",
+              $"m.sub".as("lrs"), $"m.nd".as("n_docs"))
+      // the cache served the ~log2(maxlen) probe loop above; the final
+      // plan scans the 2-column projection once, so release it eagerly
+      // (q295's discipline) instead of leaning on harness clearCache
+      docs.unpersist()
+      out
     }),
 
     // ---- duplicate-region union: the chars you'd actually cut ------
@@ -991,7 +997,7 @@ object Dedup extends QueryPack {
     "q285_suffix_lrs" ->
       """WITH RECURSIVE bs(lo, hi) AS (
         |  SELECT CAST(0 AS BIGINT),
-        |    CAST((SELECT max(strlen(text)) FROM documents) AS BIGINT)
+        |    CAST((SELECT max(length(text)) FROM documents) AS BIGINT)
         |  UNION ALL
         |  SELECT CASE WHEN x.ex THEN x.mid ELSE x.lo END,
         |         CASE WHEN x.ex THEN x.hi ELSE x.mid - 1 END
@@ -1003,7 +1009,7 @@ object Dedup extends QueryPack {
         |            substr(d.text, CAST(t.i AS INT),
         |              CAST((lo + hi + 1) // 2 AS INT)) AS sub
         |          FROM documents d,
-        |            unnest(range(1, strlen(d.text) - (lo + hi + 1) // 2 + 2))
+        |            unnest(range(1, length(d.text) - (lo + hi + 1) // 2 + 2))
         |              AS t(i)
         |        ) s GROUP BY sub
         |        HAVING count(DISTINCT doc_id) >= 2 LIMIT 1) AS ex
@@ -1015,7 +1021,7 @@ object Dedup extends QueryPack {
         |    SELECT d.doc_id, substr(d.text, CAST(t.i AS INT),
         |      CAST((SELECT l FROM lstar) AS INT)) AS sub
         |    FROM documents d,
-        |      unnest(range(1, strlen(d.text) - (SELECT l FROM lstar) + 2))
+        |      unnest(range(1, length(d.text) - (SELECT l FROM lstar) + 2))
         |        AS t(i)
         |    WHERE (SELECT l FROM lstar) >= 1) s
         |  GROUP BY sub HAVING count(DISTINCT doc_id) >= 2)

@@ -62,22 +62,24 @@ private[operators] class SpanProcessor
   * in event_id order, which the fixture guarantees is ts order; the
   * source replays per-shard in sequence order across batches) — the
   * per-BATCH iterator, however, arrives in shuffle order, so rows are
-  * sorted by ts inside the handler (bounded by the user's rows in one
-  * micro-batch). Registers only advance (a set register never moves),
+  * sorted by (ts, event_id) inside the handler (bounded by the user's
+  * rows in one micro-batch) — event_id, not the constant group key,
+  * breaks equal-ts ties so the fold order is fully deterministic.
+  * Registers only advance (a set register never moves),
   * so update-mode emissions are monotone in stage and max-by-stage
   * over the emission log is the final machine state — q81's oracle
   * gates it verbatim. */
 private[operators] class FunnelProcessor
-    extends StatefulProcessor[Long, (Long, Long, String), (Long, Long, Long, Long, Long)] {
+    extends StatefulProcessor[Long, (Long, Long, Long, String), (Long, Long, Long, Long, Long)] {
   @transient private var reg: ValueState[(Long, Long, Long)] = _
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     reg = getHandle.getValueState[(Long, Long, Long)]("funnel",
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
       TTLConfig.NONE)
-  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, String)],
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long, String)],
       timerValues: TimerValues): Iterator[(Long, Long, Long, Long, Long)] = {
     var (fv, fc, fp) = if (reg.exists()) reg.get() else (-1L, -1L, -1L)
-    rows.toArray.sortBy(r => (r._2, r._1)).foreach { case (_, ts, et) =>
+    rows.toArray.sortBy(r => (r._3, r._2)).foreach { case (_, _, ts, et) =>
       et match {
         case "view" if fv < 0 => fv = ts
         case "click" if fc < 0 && fv >= 0 && ts > fv => fc = ts
@@ -1742,9 +1744,9 @@ object Streams extends QueryPack {
         .load()
       val ev = raw.select(
         from_json(col("data").cast("string"), payloadSchema).as("e"))
-        .select(col("e.user_id").as("user_id"), col("e.ts_us").as("ts_us"),
-          col("e.event_type").as("event_type"))
-        .as[(Long, Long, String)]
+        .select(col("e.user_id").as("user_id"), col("e.event_id").as("event_id"),
+          col("e.ts_us").as("ts_us"), col("e.event_type").as("event_type"))
+        .as[(Long, Long, Long, String)]
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val emissions =

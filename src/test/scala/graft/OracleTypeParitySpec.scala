@@ -19,10 +19,15 @@ import scala.sys.process._
   * This spec pins the invariant corpus-free: every batch oracle SQL is
   * bound (not executed) through DuckDB `DESCRIBE` and its column types
   * are compared against the Spark query's analyzed schema under the
-  * pandas-equivalence mapping below. Binding is seconds for the whole
-  * corpus; no rows are read. Streaming (s*) queries execute work in
-  * their builders, so their oracles are covered by the dtype check in
-  * tools/check_oracle.py (run with data at sf0.01) instead.
+  * pandas-equivalence mapping below. DuckDB binding reads no rows; on
+  * the Spark side, obtaining each schema invokes the builder at
+  * sf0.001, and builders with driver loops (q285's binary search,
+  * q295's greedy rounds, q305/q308's boundedCollect) DO run real
+  * Spark jobs over that smallest fixture during construction — the
+  * spec is cheap, not literally execution-free. Streaming (s*)
+  * queries execute full micro-batch work in their builders, so their
+  * oracles are covered by the dtype check in tools/check_oracle.py
+  * (run with data at sf0.01) instead.
   *
   * If this spec cancels (no python3/duckdb on the host), the same
   * parity is still enforced by tools/check_oracle.py's per-column
