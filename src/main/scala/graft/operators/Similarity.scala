@@ -480,14 +480,20 @@ object Similarity extends QueryPack {
     // plus the rank-n base. Distances are exact integer squared L2 on
     // the quantized vectors (d² = n2+qn2−2·int_dot, the q40 rule), so
     // the rank order cannot drift across engines. Top-5 most valuable
-    // per query; K = 5, queries = vec_id ≡ 0 (mod 50). Scale: the
-    // pair table is |queries|·n with a per-query window — at 100 TB
-    // the suffix scan bounds to a top-M distance cut per query (s
-    // decays as 1/i past K), same partition-pruned shape.
+    // per query; K = 5, queries = the 10 h60-smallest vec_ids (q242's
+    // content-hash seed discipline — a GLOBAL limit, so the broadcast
+    // side is ≤ 10 rows at ANY corpus size; round 15 used vec_id mod
+    // 50, which is n/50 rows and grew with the data). Scale: the pair
+    // table is 10·n — linear, not Θ(n²/50); the residual cost is the
+    // per-query suffix window (each of the 10 partitions sorts n
+    // rows), bounded next by a top-M distance cut (s decays as 1/i
+    // past K) if the corpus outgrows a single reducer's sort.
     "q293_knn_shapley" -> ((s, d) => {
       import s.implicits._
       val emb = quantized(s, d)
-      val qs = emb.filter(pmod($"vec_id", lit(50)) === 0)
+      val qs = emb
+        .orderBy(graft.functions.PortableHash.h60($"vec_id").asc, $"vec_id".asc)
+        .limit(10)
         .select($"vec_id".as("qid"), $"label".as("qlab"),
           $"q".as("qv"), $"n2".as("qn2"))
       val pair = emb.join(broadcast(qs), $"vec_id" =!= $"qid")
@@ -525,7 +531,9 @@ object Similarity extends QueryPack {
     // constants (a computed log2 could differ by an ULP across libm);
     // ideal DCG = the same table cut at min(R, 20) relevant, so
     // ndcg_ppm is an exact integer ratio. Scale: the q40 broadcast
-    // query-set shape + one per-query window; the 20-row discount dim
+    // query-set shape (the 10 h60-smallest vec_ids — a global limit,
+    // corpus-independent like q293's; round 15's mod-50 set grew with
+    // the data) + one per-query window; the 20-row discount dim
     // broadcasts under a non-equi cut.
     "q298_retrieval_metrics" -> ((s, d) => {
       import s.implicits._
@@ -535,7 +543,9 @@ object Similarity extends QueryPack {
         15L -> 250L, 16L -> 244L, 17L -> 239L, 18L -> 235L, 19L -> 231L,
         20L -> 227L)
       val emb = quantized(s, d)
-      val qs = emb.filter(pmod($"vec_id", lit(50)) === 0)
+      val qs = emb
+        .orderBy(graft.functions.PortableHash.h60($"vec_id").asc, $"vec_id".asc)
+        .limit(10)
         .select($"vec_id".as("qid"), $"label".as("qlab"),
           $"q".as("qv"), $"n2".as("qn2"))
       val scored = emb.join(broadcast(qs), $"vec_id" =!= $"qid")
@@ -569,29 +579,46 @@ object Similarity extends QueryPack {
     // [Ester+ KDD'96] density-based clustering next to q79's k-means:
     // no k, arbitrary cluster shapes, an explicit NOISE class — the
     // embedding-space structure probe a curation pipeline runs before
-    // committing to a centroid count. Neighbor candidates come from
-    // the q53 sign-LSH planes split into 4 bands of 2 bits (pairs
-    // sharing ANY band bucket) — banded equi-joins only, never
-    // all-pairs; both engines replay the identical bands, so the
-    // approximation is deterministic and shared, the same contract as
-    // the MinHash family. Exact integer d² < ε² (the q40 quantized
-    // rule) filters candidates; core = ≥ 4 banded ε-neighbors
-    // (minPts 5 incl. self); clusters = connected components over
-    // core–core edges (Dedup's min-label CC, log-diameter rounds);
-    // borders take the smallest core-neighbor cluster, the rest is
-    // noise. Output: per vector (role 2/1/0, cluster id, −1 noise).
+    // committing to a centroid count. Neighbor candidates are scoped
+    // to the vector's k-means cell (the q175 substrate) AND a shared
+    // sign-LSH band — 16 planes split into 4 bands of 4 bits — so the
+    // pair generator is a pure equi-join on (kcell, band, bv). Round
+    // 15 shipped 4 bands × 2 bits with NO cell scope, which retained a
+    // measured 63% of all pairs (Θ(n²) in disguise); the widened bands
+    // + cell scope cut that to a measured ~2.6% at every sf, and the
+    // ratio is now REPORTED as the cand_ppm output column (q311's
+    // audit discipline) and pinned scale-invariant by
+    // BlockingSelectivitySpec. Exact integer d² < ε² (the q40
+    // quantized rule) filters candidates; core = ≥ 2 banded
+    // ε-neighbors (minPts 3 incl. self — re-tuned alongside the
+    // selective blocking: this corpus has no sub-60° pairs, so banded
+    // degree is a ~9× undercount of the exact ε-degree); clusters =
+    // connected components over core–core edges (Dedup's min-label
+    // CC, log-diameter rounds); borders take the smallest
+    // core-neighbor cluster, the rest is noise. Output: per vector
+    // (role 2/1/0, cluster id, −1 noise, blocking selectivity ppm).
     "q296_dbscan_lsh" -> ((s, d) => {
       import s.implicits._
-      val emb = quantized(s, d).withColumn("bkt", bucketExpr).cache()
-      val bands = emb.select($"vec_id",
+      val emb = quantized(s, d).join(kmeansCells(s, d), "vec_id")
+        .withColumn("bkt", bucketExprN(16)).cache()
+      val bands = emb.select($"vec_id", $"kcell",
         explode(array((0 until 4).map(i =>
           struct(lit(i).as("band"),
-            expr(s"(bkt div ${1L << (2 * i)}) % 4").as("bv"))): _*)).as("p"))
-        .select($"vec_id", $"p.band".as("band"), $"p.bv".as("bv"))
-      val cand = bands.toDF("a", "band", "bv")
-        .join(bands.toDF("b", "band", "bv"), Seq("band", "bv"))
+            expr(s"(bkt div ${1L << (4 * i)}) % 16").as("bv"))): _*)).as("p"))
+        .select($"vec_id", $"kcell", $"p.band".as("band"), $"p.bv".as("bv"))
+      val cand = bands.toDF("a", "kc", "band", "bv")
+        .join(bands.toDF("b", "kc", "band", "bv"), Seq("kc", "band", "bv"))
         .filter($"a" < $"b")
         .select($"a", $"b").distinct()
+        .localCheckpoint(true)
+      // blocking-selectivity audit: candidates per all-pairs, in ppm —
+      // the dial this query's scale claim rests on, reported in-band
+      // (DECIMAL(38,0) up top: n_cand · 10⁶ passes int64 at corpus n)
+      val audit = cand.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(broadcast(emb.agg(count(lit(1)).as("n_vec"))))
+        .select(expr("CAST(CAST(n_cand AS DECIMAL(38,0)) * 1000000 div " +
+          "(CAST(n_vec AS DECIMAL(38,0)) * (n_vec - 1) div 2) AS BIGINT)")
+          .as("cand_ppm"))
       val eps = cand
         .join(emb.select($"vec_id".as("a"), $"q".as("qa"), $"n2".as("na")), "a")
         .join(emb.select($"vec_id".as("b"), $"q".as("qb"), $"n2".as("nb")), "b")
@@ -601,7 +628,7 @@ object Similarity extends QueryPack {
       val sym = eps.unionAll(eps.select($"b".as("a"), $"a".as("b")))
         .localCheckpoint(true)
       val deg = sym.groupBy($"a").agg(count(lit(1)).as("nnb"))
-      val core = deg.filter($"nnb" >= 4L).select($"a".as("cid"))
+      val core = deg.filter($"nnb" >= 2L).select($"a".as("cid"))
       val ce = sym
         .join(core.toDF("a"), Seq("a"), "left_semi")
         .join(core.toDF("b"), Seq("b"), "left_semi")
@@ -616,10 +643,12 @@ object Similarity extends QueryPack {
       emb.select($"vec_id")
         .join(corec.select($"cid".as("vec_id"), $"cl"), Seq("vec_id"), "left")
         .join(border.select($"a".as("vec_id"), $"bcl"), Seq("vec_id"), "left")
+        .crossJoin(broadcast(audit))
         .select($"vec_id",
           when($"cl".isNotNull, 2L).when($"bcl".isNotNull, 1L)
             .otherwise(0L).as("role"),
-          coalesce($"cl", $"bcl", lit(-1L)).as("cluster"))
+          coalesce($"cl", $"bcl", lit(-1L)).as("cluster"),
+          $"cand_ppm")
     }),
 
     // ---- IVF-style partitioned ANN: search only the query's cell ----
@@ -1079,19 +1108,26 @@ object Similarity extends QueryPack {
   private val nPlanes = 8
   private def coef(j: Int, k: Int): Long = ((j * 73 + k * 179) % 41).toLong - 20L
 
-  /** bucket = sign bits of the 8 integer hyperplane dots (Spark side,
-    * via the native int_dot over SQL-literal plane arrays). */
-  private def bucketExpr: Column = (0 until nPlanes).map { j =>
+  /** bucket = sign bits of the first `n` pseudo-random integer
+    * hyperplanes (Spark side, via the native int_dot over SQL-literal
+    * plane arrays). The q53 family runs the 8-plane default; q296's
+    * banded blocking widens to 16 planes so its 4-bit bands stay
+    * selective. */
+  private def bucketExprN(n: Int): Column = (0 until n).map { j =>
     val arr = (0 until dim).map(coef(j, _)).mkString(",")
     when(expr(s"int_dot(q, CAST(array($arr) AS array<bigint>))") >= 0,
       lit(1L << j)).otherwise(lit(0L))
   }.reduce(_ + _)
 
+  private def bucketExpr: Column = bucketExprN(nPlanes)
+
   /** same buckets in DuckDB SQL. */
-  private def duckBucket(qv: String): String = (0 until nPlanes).map { j =>
+  private def duckBucketN(qv: String, n: Int): String = (0 until n).map { j =>
     val arr = (0 until dim).map(coef(j, _)).mkString(", ")
     s"(CASE WHEN list_sum(list_transform(list_zip($qv, [$arr]), p -> p[1] * p[2])) >= 0 THEN ${1L << j} ELSE 0 END)"
   }.mkString("(", " + ", ")")
+
+  private def duckBucket(qv: String): String = duckBucketN(qv, nPlanes)
 
   private val duckQuant =
     """q AS (SELECT vec_id, label,
@@ -1490,7 +1526,8 @@ object Similarity extends QueryPack {
     "q298_retrieval_metrics" ->
       s"""WITH $duckQuant,
         |qs AS (SELECT vec_id AS qid, label AS qlab, qv AS qqv, n2 AS qn2
-        |  FROM n WHERE vec_id % 50 = 0),
+        |  FROM n ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+        |    1, 15) AS BIGINT), vec_id LIMIT 10),
         |scored AS (
         |  SELECT qs.qid, n.vec_id, CAST(n.label = qs.qlab AS BIGINT) AS rel,
         |    ${duckCos("n.qv", "qs.qqv", "n.n2", "qs.qn2")} AS cos
@@ -1528,16 +1565,33 @@ object Similarity extends QueryPack {
 
     "q296_dbscan_lsh" ->
       s"""WITH RECURSIVE $duckQuant,
-        |nb AS (SELECT vec_id, qv, n2, ${duckBucket("qv")} AS bkt FROM n),
+        |$duckMeanCent,
+        |sc AS (
+        |  SELECT n.vec_id, CAST(cn.label AS BIGINT) AS kcell,
+        |    ${duckCos("n.qv", "cn.c", "n.n2", "cn.cn2")} AS cos
+        |  FROM n CROSS JOIN cn),
+        |km AS (
+        |  SELECT vec_id, kcell FROM (
+        |    SELECT vec_id, kcell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, kcell) AS rn
+        |    FROM sc) t WHERE rn = 1),
+        |nb AS (SELECT n.vec_id, n.qv, n.n2, km.kcell,
+        |  ${duckBucketN("n.qv", 16)} AS bkt
+        |  FROM n JOIN km USING (vec_id)),
         |bands AS (
-        |  SELECT vec_id, k.i AS band,
-        |    (bkt // (CASE k.i WHEN 0 THEN 1 WHEN 1 THEN 4
-        |      WHEN 2 THEN 16 ELSE 64 END)) % 4 AS bv
+        |  SELECT vec_id, kcell, k.i AS band,
+        |    (bkt // (CASE k.i WHEN 0 THEN 1 WHEN 1 THEN 16
+        |      WHEN 2 THEN 256 ELSE 4096 END)) % 16 AS bv
         |  FROM nb CROSS JOIN (VALUES (0), (1), (2), (3)) k(i)),
         |cand AS (
         |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv
+        |  FROM bands x JOIN bands y ON x.kcell = y.kcell
+        |    AND x.band = y.band AND x.bv = y.bv
         |    AND x.vec_id < y.vec_id),
+        |audit AS (
+        |  SELECT CAST((CAST((SELECT count(*) FROM cand) AS HUGEINT) * 1000000)
+        |    // (CAST((SELECT count(*) FROM nb) AS HUGEINT)
+        |       * ((SELECT count(*) FROM nb) - 1) // 2) AS BIGINT) AS cand_ppm),
         |eps AS (
         |  SELECT c.a, c.b FROM cand c
         |  JOIN nb pa ON pa.vec_id = c.a JOIN nb pb ON pb.vec_id = c.b
@@ -1547,7 +1601,7 @@ object Similarity extends QueryPack {
         |sym AS (SELECT a, b FROM eps UNION ALL SELECT b, a FROM eps),
         |deg AS (SELECT a AS cid, CAST(count(*) AS BIGINT) AS nnb
         |  FROM sym GROUP BY 1),
-        |core AS (SELECT cid FROM deg WHERE nnb >= 4),
+        |core AS (SELECT cid FROM deg WHERE nnb >= 2),
         |ce AS (SELECT s.a, s.b FROM sym s
         |  WHERE s.a IN (SELECT cid FROM core)
         |    AND s.b IN (SELECT cid FROM core)),
@@ -1569,14 +1623,17 @@ object Similarity extends QueryPack {
         |  CAST(CASE WHEN corec.cid IS NOT NULL THEN 2
         |            WHEN border.bid IS NOT NULL THEN 1 ELSE 0 END
         |    AS BIGINT) AS role,
-        |  CAST(COALESCE(corec.cl, border.bcl, -1) AS BIGINT) AS cluster
+        |  CAST(COALESCE(corec.cl, border.bcl, -1) AS BIGINT) AS cluster,
+        |  audit.cand_ppm
         |FROM nb LEFT JOIN corec ON nb.vec_id = corec.cid
-        |LEFT JOIN border ON nb.vec_id = border.bid""".stripMargin,
+        |LEFT JOIN border ON nb.vec_id = border.bid
+        |CROSS JOIN audit""".stripMargin,
 
     "q293_knn_shapley" ->
       s"""WITH $duckQuant,
         |qs AS (SELECT vec_id AS qid, label AS qlab, qv AS qqv, n2 AS qn2
-        |  FROM n WHERE vec_id % 50 = 0),
+        |  FROM n ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+        |    1, 15) AS BIGINT), vec_id LIMIT 10),
         |pair AS (
         |  SELECT qs.qid, n.vec_id,
         |    n.n2 + qs.qn2 - 2 * CAST(list_sum(list_transform(
