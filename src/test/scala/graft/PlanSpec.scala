@@ -12,7 +12,10 @@ import org.scalatest.funsuite.AnyFunSuite
   *  - no `CartesianProduct` anywhere (the canonical 100 TB killer);
   *  - `BroadcastNestedLoopJoin` only where a bounded literal/stat side
   *    justifies it (q18 1-row stats, q30 4-row tier dim, q40 10-row
-  *    query set);
+  *    query set) — and each allowlisted entry carries a DECLARED row
+  *    cap that is machine-checked against the executed broadcast side
+  *    at two scale factors, because prose justifications have shipped
+  *    wrong three rounds running;
   *  - scans prune columns (no query reads every column of lineitem).
   *
   * Streaming queries (s01–s05) execute work in their builders and are
@@ -44,234 +47,241 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   // user-count scalar, 1-row corpus total, 1-row corpus count +
   // 1-row sample count + ≤7-row range boundaries, and q135 which
   // composes q63's rate table so inherits its 1-row minimum join)
-  private val allowedBnlj = Set("q18_scalar_subquery", "q30_range_join",
-    "q40_cosine_topk", "q51_langid_ngram", "q63_source_mixture",
-    // q293/q298: q40's shape — the 10-row query set broadcast under
-    // the self-exclusion non-equi join; q298 adds the 20-row discount
-    // dim broadcast under the n_rel_cap cut
-    "q293_knn_shapley", "q298_retrieval_metrics",
+  private val allowedBnlj: Map[String, Int] = Map("q18_scalar_subquery" -> 1, "q30_range_join" -> 4,
+    "q40_cosine_topk" -> 10, "q51_langid_ngram" -> 5, "q63_source_mixture" -> 1,
+    // q293/q298: q40's shape — the query set is the 10 h60-smallest
+    // vec_ids (a GLOBAL limit, so ≤ 10 rows at any corpus size)
+    // broadcast under the self-exclusion non-equi join; q298 adds the
+    // 20-row hardcoded discount dim broadcast under the n_rel_cap cut
+    "q293_knn_shapley" -> 10, "q298_retrieval_metrics" -> 20,
+    // q296: the 1-row blocking-selectivity audit scalar crossed onto
+    // the per-vector report
+    "q296_dbscan_lsh" -> 1,
     // q299: the 1-row total-energy and kept-energy scalars crossed
     // onto the 8-row synopsis
-    "q299_haar_sketch",
+    "q299_haar_sketch" -> 1,
     // q300: the bounded (5-type × 30-day) grid cross and the 5-row
     // SAX-word pair join
-    "q300_sax_motifs",
-    // q302: q144's grid shape — the bounded (sources × distinct-lens)
-    // cross plus the 1-row corpus-total scalar
-    "q302_wasserstein_drift",
+    "q300_sax_motifs" -> 5,
+    // q302: q144's grid shape — the exact-Wasserstein support grid.
+    // The broadcast side is the DISTINCT n_chars support, bounded by
+    // the length DOMAIN, not by corpus rows: measured 311 @ sf0.001 →
+    // 523 @ sf0.1 against a [44, 577] value range, i.e. it saturates
+    // at ~domain size. 600 is the declared domain bound.
+    "q302_wasserstein_drift" -> 600,
     // q303: the bounded lang-pair table (|langs|² rows) broadcast
     // under the two-lang membership join, plus the 1-row k* scalar
-    "q303_bh_fdr",
+    "q303_bh_fdr" -> 32,
     // q306: the 1-row (N, deviation) scalar crossed onto the 5-row
     // reliability bins (hinted broadcast)
-    "q306_ece_calibration",
+    "q306_ece_calibration" -> 8,
     // q307: the 20-row hardcoded RBO weight dim crossed onto the
     // bounded query set (q190's family)
-    "q307_rbo_rankings",
+    "q307_rbo_rankings" -> 20,
     // q308: the 1-row (total, moved) scalar crossed onto the 5-node
     // holdings table
-    "q308_rendezvous_rebalance",
+    "q308_rendezvous_rebalance" -> 8,
     // q309: the 1-row max-key scalar crossed onto the three scans it
     // buckets (hinted broadcast)
-    "q309_join_card_audit",
+    "q309_join_card_audit" -> 1,
     // q311: the 3-row filter-size dim crossed onto the fingerprint
     // tables, plus the 1-row chosen-size scalar
-    "q311_bloom_size_tune",
-    "q79_kmeans_iter", "q87_zorder_stats", "q103_cooccur_lift",
-    "q125_drift_detect", "q129_equidepth_hist", "q135_mixture_execute",
-    "q140_pq_adc_topk", "q141_ann_ivf_multiprobe", "q142_ann_recall",
-    "q144_ks_drift", "q145_pagerank",
+    "q311_bloom_size_tune" -> 3,
+    "q79_kmeans_iter" -> 16, "q87_zorder_stats" -> 1, "q103_cooccur_lift" -> 1,
+    "q125_drift_detect" -> 8, "q129_equidepth_hist" -> 1, "q135_mixture_execute" -> 1,
+    "q140_pq_adc_topk" -> 64, "q141_ann_ivf_multiprobe" -> 10, "q142_ann_recall" -> 10,
+    "q144_ks_drift" -> 20, "q145_pagerank" -> 8,
     // q153/q157: pairwise algebra over the ≤|event-types|-row sketch
     // table (q157 composes q153, so it inherits the tiny-side BNLJ)
-    "q153_kmv_set_ops", "q157_kmv_overlap_audit",
+    "q153_kmv_set_ops" -> 8, "q157_kmv_overlap_audit" -> 8,
     // q150/q160: the 1-row skew-cap scalar (`crossJoin(broadcast(capRow))`
     // in linkPred) compiles to a BNLJ with a single-row broadcast side;
     // q160 composes linkPred twice so it carries the same node
-    "q150_link_prediction", "q160_linkpred_cap_audit",
+    "q150_link_prediction" -> 8, "q160_linkpred_cap_audit" -> 8,
     // q161/q162: the 1-row probe-count / vertex-count scalar,
     // q145's n_v pattern
-    "q161_personalized_pagerank", "q162_weighted_pagerank",
+    "q161_personalized_pagerank" -> 8, "q162_weighted_pagerank" -> 8,
     // q163/q165: the sweeps compose q141's/q53's bounded-side shape
     // per grid config plus 1-row nprobe/mask/n_q scalars; q53 itself
     // carries the 1-row chosen-mask scalar since round 10
-    "q163_ann_nprobe_tune", "q165_ann_lshbits_tune", "q53_ann_signlsh",
+    "q163_ann_nprobe_tune" -> 10, "q165_ann_lshbits_tune" -> 10, "q53_ann_signlsh" -> 10,
     // q166: the 10-row anchor set broadcast against the corpus (q40's
     // exact-scan pattern)
-    "q166_contrastive_pairs",
+    "q166_contrastive_pairs" -> 10,
     // q179: the 5-row literal predicate table crossed against the
     // FILE MANIFEST (|rows|/100 entries, itself post-agg) — the
     // planner never touches row-level data
-    "q179_zonemap_prune",
+    "q179_zonemap_prune" -> 5,
     // q181: the 2-row lag table crossed against the post-agg daily
     // series (timespan-bounded)
-    "q181_autocorr",
+    "q181_autocorr" -> 2,
     // q262: the 1-row min-date epoch scalar crossed onto the corpus
     // (keeps x >= 0 at any data vintage)
-    "q262_manifest_overlap_sweep",
+    "q262_manifest_overlap_sweep" -> 1,
     // q268: the 1-row conversion-total scalar crossed onto the
     // |channels|-row table
-    "q268_channel_removal",
+    "q268_channel_removal" -> 1,
     // q274: the 1-row query-vector scalar onto the corpus; the
     // 50-candidate pairwise self-join (bounded by the top-50 cut)
-    "q274_mmr_retrieval",
+    "q274_mmr_retrieval" -> 64,
     // q276: q264's 1-row pooled/variance/prior scalars, fit on the
     // train half
-    "q276_eb_holdout_audit",
+    "q276_eb_holdout_audit" -> 8,
     // q277: the bin-bounded (<=50 rows post-agg) interval/triple
     // non-equi joins of the isotonic minimax
-    "q277_isotonic_calibration",
+    "q277_isotonic_calibration" -> 64,
     // q279: the 1-row corpus-total scalar crossed onto the
     // |sources|-row report
-    "q279_source_ablation",
+    "q279_source_ablation" -> 8,
     // q280: the 1-row row-total scalar crossed onto the 3-row report
-    "q280_qi_pair_risk",
+    "q280_qi_pair_risk" -> 1,
     // q281: the 1-row max-date anchor scalar crossed onto the corpus
     // (q262's derived-anchor rule)
-    "q281_decayed_engagement",
+    "q281_decayed_engagement" -> 1,
     // q270: the 1-row timespan scalar crossed onto the corpus (derived
     // epoch midpoint, the q262 rule)
-    "q270_diff_in_diff",
+    "q270_diff_in_diff" -> 1,
     // q272: the 32-row register literal crossed onto the distinct-day
     // grid (timespan-bounded) — the densified HLL bank
-    "q272_hll_sliding",
+    "q272_hll_sliding" -> 32,
     // q185: the 1-row corpus-total scalar crossed against the bounded
     // per-source table (q63's shape)
-    "q185_token_apportionment",
+    "q185_token_apportionment" -> 8,
     // q186: the 1-row pooled-theta power-sum scalar crossed onto the
     // 2-row arm table
-    "q186_cuped",
+    "q186_cuped" -> 8,
     // q187: the 4-row candidate-delay table crossed against the event
     // stream pre-agg (map-side combine absorbs the 4x)
-    "q187_watermark_audit",
+    "q187_watermark_audit" -> 4,
     // q188: the 2-row model/lag table crossed against the post-agg
     // daily grid (timespan-bounded)
-    "q188_seasonal_backtest",
+    "q188_seasonal_backtest" -> 2,
     // q190/q192/q284: the 1-row corpus-stats scalar (N docs, Σdl)
     // crossed onto the query-term-pruned candidate set (q284 composes
     // retrievalScores, so it inherits the same node)
-    "q190_bm25_topk", "q192_rrf_fusion", "q284_bm25_rerank",
+    "q190_bm25_topk" -> 1, "q192_rrf_fusion" -> 1, "q284_bm25_rerank" -> 1,
     // q194: the 1-row (max_day, n_users) scalar crossed onto the
     // user-grain agg and the bounded day grid
-    "q194_kaplan_meier",
+    "q194_kaplan_meier" -> 1,
     // q288: the 1-row unsupported-count audit scalar crossed onto the
     // 1-row IPS report (hinted broadcast)
-    "q288_ips_policy_eval",
+    "q288_ips_policy_eval" -> 1,
     // q291: the 1-row observed-sums scalar crossed onto the 64-row
     // replicate table (hinted broadcast)
-    "q291_permutation_test",
+    "q291_permutation_test" -> 1,
     // q292: the 1-row bigram-type-count scalar crossed onto the
     // bounded bigram-type table (hinted broadcast)
-    "q292_kneser_ney",
+    "q292_kneser_ney" -> 1,
     // q294: the 1-row contingency-cells scalar crossed onto the 64-row
     // flip-replicate table (hinted broadcast)
-    "q294_mcnemar_filters",
+    "q294_mcnemar_filters" -> 1,
     // q297: the 1-row pooled-CMH scalar crossed onto the strata-bounded
     // 2x2 table (hinted broadcast)
-    "q297_cmh_stratified",
+    "q297_cmh_stratified" -> 8,
     // q198: the k-row base-centroid assignment pass (q175's shape,
     // twice — base and batch)
-    "q198_ivf_incremental",
+    "q198_ivf_incremental" -> 10,
     // q199: the 1-row epoch-midpoint scalar crossed onto the dated
     // order-part pairs
-    "q199_graph_epoch_churn",
+    "q199_graph_epoch_churn" -> 1,
     // q200: q129's sampled-boundary shape — 1-row counts + the 7-row
     // boundary table broadcast under a non-equi bin join
-    "q200_feature_bin_lift",
+    "q200_feature_bin_lift" -> 1,
     // q202: the 1-row digit-total scalar crossed onto the 9-row
     // Benford table
-    "q202_benford_audit",
+    "q202_benford_audit" -> 1,
     // q203: the 1-row edge-count scalar crossed onto the bounded
     // community table
-    "q203_modularity",
+    "q203_modularity" -> 1,
     // q225: the same modularity kernel (1-row edge-count scalar) on
     // the brand attribute partition
-    "q225_brand_homophily",
+    "q225_brand_homophily" -> 1,
     // q204: the 4-row candidate-gap table crossed against the gap
     // stream pre-agg + two 1-row scalars on the 4-row report
-    "q204_session_gap_audit",
+    "q204_session_gap_audit" -> 4,
     // q175: the k-row centroid assignment pass (q79's bounded-side
     // Lloyd shape)
-    "q175_ann_kmeans_ivf",
+    "q175_ann_kmeans_ivf" -> 10,
     // q207: q129's sampled-boundary shape ×3 — the 1-row customer
     // count, the 1-row sample count, and three 1-row ≤4-element
     // boundary-array tables crossed onto the per-customer aggregate
-    "q207_rfm_segments",
+    "q207_rfm_segments" -> 1,
     // q209: the 1-row corpus-total scalar crossed onto the
     // |langs|·|sources|-bounded contingency cell table
-    "q209_chi2_independence",
+    "q209_chi2_independence" -> 1,
     // q212: the 1-row max-normalizer scalar per HITS iteration (and
     // the final hub max) crossed onto the |V|-row state
-    "q212_hits",
+    "q212_hits" -> 8,
     // q235: the 1-row measured-dmax attenuation scalar crossed onto
     // the |V|-row Katz state each iteration
-    "q235_katz_centrality",
+    "q235_katz_centrality" -> 8,
     // q236: the ≤|priorities|-row sensitive-value dim and the 1-row
     // (total, npri) scalar crossed onto the class grid to densify it
-    "q236_t_closeness",
+    "q236_t_closeness" -> 64,
     // q213: the 1-row n_vectors scalar and the 1-row chosen-epsilon
     // scalar crossed onto the 5-row sweep report
-    "q213_semdedup_sweep",
+    "q213_semdedup_sweep" -> 10,
     // q215: the 1-row token-total scalar crossed onto the 1024-row
     // bucket-ratio table
-    "q215_dsir_importance",
+    "q215_dsir_importance" -> 8,
     // q216: the 1-row truth-count and all-pairs scalars crossed onto
     // the per-scheme 1-row candidate/capture aggregates
-    "q216_blocking_audit",
+    "q216_blocking_audit" -> 8,
     // q218: q215's composition plus the 1-row weight-total scalar
     // crossed onto the |sources|-row mixture table
-    "q218_dsir_mixture",
+    "q218_dsir_mixture" -> 8,
     // q219: the 1-row regression summary crossed onto the ≤40-row
     // degree-band table
-    "q219_degree_distribution",
+    "q219_degree_distribution" -> 48,
     // q221: the 1-row data-derived budget scalar crossed onto the
     // selection stream
-    "q221_budget_selection",
+    "q221_budget_selection" -> 1,
     // q224: the 1-row corpus-count scalar crossed onto the per-source
     // ranked stream
-    "q224_quantile_normalize",
+    "q224_quantile_normalize" -> 1,
     // q227: the 1-row revenue-total scalar crossed onto the customer
     // revenue stream and the 3-row class census
-    "q227_abc_classification",
+    "q227_abc_classification" -> 8,
     // q228: the 1-row day-midpoint scalar crossed onto the transition
     // stream
-    "q228_markov_backtest",
+    "q228_markov_backtest" -> 8,
     // q229: the q218+q221 composition's scalars (weight total, budget,
     // selected total) on |sources|-row tables
-    "q229_mixture_reconciliation",
+    "q229_mixture_reconciliation" -> 1,
     // q239: the 1-row group-total scalar (t1, tn) crossed onto the
     // timespan-bounded latency band table
-    "q239_logrank_priority",
+    "q239_logrank_priority" -> 8,
     // q243: the 1-row doc-count scalar crossed onto the vocabulary-
     // keyed (source, word) score table
-    "q243_tfidf_keywords",
+    "q243_tfidf_keywords" -> 1,
     // q245: the 1-row coefficient scalar (cramerBeta betas) crossed
     // onto the residual stream
-    "q245_conformal_latency",
+    "q245_conformal_latency" -> 8,
     // q251: q194's 1-row (max_day, n_users) scalar crossed onto the
     // user-grain agg and the bounded day grid (same substrate)
-    "q251_nelson_aalen",
+    "q251_nelson_aalen" -> 1,
     // q254: the ≤11-row decile band list broadcast-densified against
     // the ≤40-row length-band list (q236's densify shape)
-    "q254_goodman_kruskal_gamma",
+    "q254_goodman_kruskal_gamma" -> 8,
     // q255: the 1-row N-total and 1-row tie-mass scalars crossed onto
     // the 1-row term fold
-    "q255_kruskal_wallis",
+    "q255_kruskal_wallis" -> 8,
     // q261: the 7-row lag table crossed onto the timespan-bounded
     // daily grid before the equi-join on the shifted day key (q188's
     // model-table shape)
-    "q261_leadlag_r2",
+    "q261_leadlag_r2" -> 7,
     // q264: the 1-row pooled-rate / variance / prior-strength scalars
     // crossed onto the supplier-grain table (q203's scalar shape)
-    "q264_eb_shrunk_rates",
+    "q264_eb_shrunk_rates" -> 8,
     // q265: q187's 4-row candidate-delay table crossed against the
     // banded prefix-max stream
-    "q265_late_quarantine",
+    "q265_late_quarantine" -> 4,
     // q266: the 1-row vertex/edge/triangle-count scalars crossed for
     // the final 1-row summary
-    "q266_graph_summary",
+    "q266_graph_summary" -> 1,
     // q267: the 4-row data-derived threshold table broadcast under
     // the non-equi deg > k joins (the bounded side, never |V|)
-    "q267_rich_club")
+    "q267_rich_club" -> 1)
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
@@ -281,6 +291,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      // concrete (non-adaptive) physical plans: the BNLJ-bound test
+      // walks executedPlan nodes and executes broadcast-side subtrees,
+      // which AQE's lazy query stages would hide
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -305,9 +319,52 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("BroadcastNestedLoopJoin appears only with bounded broadcast sides") {
     val offenders = plans.collect {
-      case (n, p) if p.contains("BroadcastNestedLoopJoin") && !allowedBnlj(n) => n
+      case (n, p) if p.contains("BroadcastNestedLoopJoin") && !allowedBnlj.contains(n) => n
     }
     assert(offenders.isEmpty, s"unexpected nested-loop joins in: $offenders")
+  }
+
+  /** The round-15 lesson (third of its guard-fidelity class): q293/
+    * q298 shipped with the prose justification "10-row query set",
+    * true only at sf0.01 — the set was n/50 and grew with the corpus.
+    * Prose can't be trusted; the bound is MEASURED. Every allowlisted
+    * BNLJ's broadcast side is executed and counted at BOTH sf0.001
+    * and sf0.1, and must fit its declared cap at each — a broadcast
+    * side that scales with the corpus blows its cap at sf0.1 even if
+    * it fits at the spec's usual fixture. (`executeTake(cap+1)` on
+    * the exchange child, so an unbounded side costs one bounded probe,
+    * never a full materialization; ReusedExchange sides are skipped —
+    * their origin exchange is counted once.) */
+  test("allowlisted BNLJ broadcast sides fit their declared caps at two scale factors") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val problems = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (sfDir <- Seq(dir, "/root/testdata/sf0.1")) {
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filterNot { case (n, _) => streaming(n) }
+        .filter { case (n, _) => allowedBnlj.contains(n) }
+        .foreach { case (n, fn) =>
+          val cap = allowedBnlj(n)
+          val plan = fn(spark, sfDir).queryExecution.executedPlan
+          plan.collect { case b: BroadcastNestedLoopJoinExec => b }.foreach { b =>
+            val side = b.buildSide match {
+              case BuildLeft => b.left
+              case BuildRight => b.right
+            }
+            if (!side.exists(_.isInstanceOf[ReusedExchangeExec])) {
+              val counted = side
+                .collectFirst { case e: BroadcastExchangeExec => e.child }
+                .getOrElse(side)
+              val rows = counted.executeTake(cap + 1).length
+              if (rows > cap)
+                problems += s"$n@$sfDir: BNLJ broadcast side has >$cap rows (declared cap $cap)"
+            }
+          }
+          spark.catalog.clearCache()
+        }
+    }
+    assert(problems.isEmpty, problems.mkString("\n"))
   }
 
   test("lineitem scans prune to the referenced columns") {
