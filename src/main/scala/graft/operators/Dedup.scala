@@ -407,28 +407,46 @@ object Dedup extends QueryPack {
     // SEARCH on the answer length: "a cross-doc repeat of length L
     // exists" is monotone decreasing in L (any prefix of a repeat is
     // a repeat), so ~log2(maxlen) distributed probes pin L* exactly —
-    // each probe explodes the length-mid substring set, one hash agg
-    // on the substring key, existence via limit-1. The driver loop is
-    // mechanically bounded (<= 64 iterations for any int64 length,
-    // ~10 here); probes at 100 TB would group on a 16-byte
-    // substring HASH with an exact verify of colliding groups instead
-    // of shuffling L-char strings (same two-phase rule as the MinHash
-    // family; stated, not needed at fixture lengths). Output: L*, how
-    // many distinct repeats of that length exist, the lexicographically
-    // smallest one, and how many docs share it. The oracle replays the
+    // each probe explodes the length-mid substring set and runs the
+    // TWO-PHASE hashed group the MinHash family uses: phase 1 shuffles
+    // only (doc_id, md5(sub)) — a 16-byte key, never the L-char string
+    // — and keeps hashes hit by ≥ 2 distinct docs; phase 2 re-derives
+    // the substrings of those (rare) colliding groups behind a
+    // broadcast semi-join and verifies them EXACTLY on the real
+    // substring key, so an md5 collision can add a candidate group but
+    // never a false repeat. The verified result is bit-identical to a
+    // direct group-by-substring, so the oracle replays the plain form.
+    // The driver loop is mechanically bounded (<= 64 iterations for
+    // any int64 length, ~10 here). Output: L*, how many distinct
+    // repeats of that length exist, the lexicographically smallest
+    // one, and how many docs share it. The oracle replays the
     // identical search as one recursive CTE carrying (lo, hi).
     "q285_suffix_lrs" -> ((s, d) => {
       import s.implicits._
       // probed ~log2(maxlen) times — cache the 2-column projection
       val docs = T.documents(s, d).select($"doc_id", $"text").cache()
-      def reps(midL: Long): DataFrame = docs
-        .filter(length($"text") >= midL)
-        .select($"doc_id", explode(expr(
-          s"transform(sequence(1, length(text) - $midL + 1), " +
-            s"i -> substring(text, CAST(i AS INT), $midL))")).as("sub"))
-        .groupBy($"sub")
-        .agg(countDistinct($"doc_id").cast("bigint").as("nd"))
-        .filter($"nd" >= 2)
+      def reps(midL: Long): DataFrame = {
+        def subs = docs
+          .filter(length($"text") >= midL)
+          .select($"doc_id", explode(expr(
+            s"transform(sequence(1, length(text) - $midL + 1), " +
+              s"i -> substring(text, CAST(i AS INT), $midL))")).as("sub"))
+        // phase 1: only the 16-byte hash crosses the wire
+        val hot = subs.select($"doc_id", md5($"sub").as("h"))
+          .groupBy($"h")
+          .agg(countDistinct($"doc_id").cast("bigint").as("ndh"))
+          .filter($"ndh" >= 2)
+          .select($"h")
+        // phase 2: exact verify of the colliding groups only (subs is
+        // re-derived — a narrow explode off the cached projection, no
+        // shuffle; only rows surviving the semi-join group on the
+        // string key)
+        subs.withColumn("h", md5($"sub"))
+          .join(broadcast(hot), Seq("h"), "left_semi")
+          .groupBy($"sub")
+          .agg(countDistinct($"doc_id").cast("bigint").as("nd"))
+          .filter($"nd" >= 2)
+      }
       val maxLen = T.boundedCollect(
         docs.agg(max(length($"text")).cast("bigint").as("m")),
         1, "q285 max doc length")(0).getLong(0)
