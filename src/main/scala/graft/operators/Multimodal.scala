@@ -12,12 +12,19 @@ import graft.{QueryPack, Tables => T}
   * logic over a typed Dataset (the Scala analog of a `mapInPandas`
   * batch UDF — same shape: schema in, iterator-of-batches out).
   *
-  * The container has no image/audio codecs, so the DECODE STEP IS A
-  * DETERMINISTIC STUB (md5 fingerprint + byte stats + synthetic
-  * width/height derived from payload length). Everything around it —
-  * binary column construction, partitioning, the typed mapPartitions
-  * signature, the feature schema — is the real plumbing a codec drops
-  * into, and is under the oracle gate.
+  * The container has no image/audio codec LIBRARIES, so the fixture
+  * formats are codec-free raw encodings and the decodes are REAL
+  * arithmetic over them: q252 decodes an 8-column grayscale raster
+  * and computes a true aHash ([[aHashBands]]), q301 decodes 8-bit PCM
+  * and measures windowed energy, q64 decodes 64-byte video frames to
+  * per-frame mean luma ([[frameLumas]]), and q65 box-averages the
+  * raster 2×2 ([[boxResize]]) — each kernel pinned on crafted inputs
+  * by MultimodalFixtureSpec. Only q45's width/height geometry remains
+  * a labeled synthetic stand-in for a container header read. The
+  * plumbing — binary column construction, partitioning, the typed
+  * mapPartitions signature, the feature schema — is identical to what
+  * a libav/libjpeg kernel would drop into, and is under the oracle
+  * gate.
   *
   * Scale notes (100 TB): decode is embarrassingly parallel per
   * partition (no shuffle before feature extraction); the aggregate
@@ -30,12 +37,13 @@ object Multimodal extends QueryPack {
   final case class MediaFeatures(doc_id: Long, byte_len: Long, fingerprint: String,
                                  width: Long, height: Long, first_byte: Long)
 
-  /** Frame-sampling summary — what a video frame-sampler would emit. */
+  /** Frame-sampling summary — per-clip roll-up of the decoded frames. */
   final case class FrameSample(doc_id: Long, n_frames: Long, n_sampled: Long,
-                               sampled_bytes: Long, frame_checksum: Long)
+                               sampled_luma: Long, frame_checksum: Long)
 
-  /** Resize/decimation output — payload subsampled then fingerprinted. */
-  final case class ResizedMedia(doc_id: Long, resized_len: Long, resized_md5: String)
+  /** Resize output — the box-averaged raster, exactly fingerprinted. */
+  final case class ResizedMedia(doc_id: Long, out_rows: Long, resized_sum: Long,
+                                resized_fp: Long)
 
   final case class AHashBand(doc_id: Long, k: Long, bv: Long)
 
@@ -85,6 +93,49 @@ object Multimodal extends QueryPack {
       }
       bv
     }
+  }
+
+  /** q64's real per-frame decode, factored for the fixture spec. The
+    * payload is a raw 8×8-px 8-bit grayscale VIDEO: consecutive
+    * 64-byte frames in stream order, trailing partial frame cropped
+    * (the q252 slack rule). Returns each complete frame's integer mean
+    * luma — the per-frame measurement a sampling pass keys on. */
+  private[graft] def frameLumas(bytes: Array[Byte]): Array[Long] = {
+    val n = bytes.length / 64
+    Array.tabulate(n) { f =>
+      var sum = 0L
+      var i = f * 64
+      while (i < f * 64 + 64) {
+        sum += (bytes(i) & 0xff).toLong
+        i += 1
+      }
+      sum / 64
+    }
+  }
+
+  /** q65's real resample, factored for the fixture spec. The payload
+    * is q252's raster format (8 columns, H = len div 8 complete rows,
+    * row-major); 2×2 box-average downsamples it to 4 columns ×
+    * H div 2 rows (integer floor per output pixel, trailing odd input
+    * row cropped). Returns the output pixels row-major. */
+  private[graft] def boxResize(bytes: Array[Byte]): Array[Long] = {
+    val h = bytes.length / 8
+    val oh = h / 2
+    val out = new Array[Long](oh * 4)
+    var r = 0
+    while (r < oh) {
+      var c = 0
+      while (c < 4) {
+        val sum = (bytes(2 * r * 8 + 2 * c) & 0xff).toLong +
+          (bytes(2 * r * 8 + 2 * c + 1) & 0xff).toLong +
+          (bytes((2 * r + 1) * 8 + 2 * c) & 0xff).toLong +
+          (bytes((2 * r + 1) * 8 + 2 * c + 1) & 0xff).toLong
+        out(r * 4 + c) = sum / 4
+        c += 1
+      }
+      r += 1
+    }
+    out
   }
 
   /** Lay each document down as its own scratch file (`<doc_id>.bin`,
@@ -283,10 +334,14 @@ object Multimodal extends QueryPack {
     }),
 
     // ---- frame sampling (video-style every-Nth-frame) ---------------
-    // Payload split into fixed 256-byte "frames"; every 4th frame is
-    // sampled and summarized (the STUB for per-frame decode). The
-    // sampling loop is the real plumbing: per-partition, zero shuffle
-    // of payload bytes, only the tiny summary rows move.
+    // A REAL per-frame decode (the q252/q301 upgrade pattern): the
+    // payload is a raw 8×8-px grayscale video — consecutive 64-byte
+    // frames, trailing slack cropped — and every 4th frame is decoded
+    // to its integer mean luma ([[frameLumas]], exercised on crafted
+    // streams by MultimodalFixtureSpec). The checksum weights each
+    // sampled frame's luma by its 1-based frame index, so reordered
+    // or misdecoded frames can't cancel. Per-partition, zero shuffle
+    // of payload bytes — only the tiny summary rows move.
     "q64_frame_sample" -> ((s, d) => {
       import s.implicits._
       val payloads = T.documents(s, d)
@@ -294,51 +349,52 @@ object Multimodal extends QueryPack {
         .as[(Long, Array[Byte])]
       val sampled = payloads.mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          val len = bytes.length
-          val nFrames = (len + 255) / 256
-          var i = 0
+          val lumas = frameLumas(bytes)
+          var f = 0
           var ns = 0L
-          var sb = 0L
+          var ls = 0L
           var ck = 0L
-          while (i < nFrames) {
-            sb += math.min(256, len - i * 256).toLong
-            ck += (bytes(i * 256) & 0xff).toLong * (i + 1)
+          while (f < lumas.length) {
+            ls += lumas(f)
+            ck += lumas(f) * (f + 1)
             ns += 1
-            i += 4
+            f += 4
           }
-          FrameSample(id, nFrames.toLong, ns, sb, ck)
+          FrameSample(id, lumas.length.toLong, ns, ls, ck)
         }
       }(Encoders.product[FrameSample])
       sampled.toDF()
-        .select($"doc_id", $"n_frames", $"n_sampled", $"sampled_bytes", $"frame_checksum")
+        .select($"doc_id", $"n_frames", $"n_sampled", $"sampled_luma", $"frame_checksum")
     }),
 
-    // ---- resize (decimate-by-4 downsample) --------------------------
-    // The "resize" stage as byte decimation (a real resampler drops
-    // in at the marked line); output is the downsampled length + a
-    // fingerprint of the downsampled payload, so the oracle checks the
-    // decimation is byte-exact, not just counted.
+    // ---- resize (2×2 box-average downsample) -------------------------
+    // A REAL resample (the q252/q301 upgrade pattern): the payload is
+    // q252's 8-column raster and [[boxResize]] box-averages it 2×2 to
+    // a 4-column half-height raster — actual pixel arithmetic, not
+    // byte decimation. The output is verified exactly: total luma plus
+    // a position-weighted fingerprint ((idx mod 997)+1 weights), so a
+    // transposed or off-by-one resample changes the fingerprint even
+    // when the pixel multiset is unchanged.
     "q65_media_resize" -> ((s, d) => {
       import s.implicits._
       val payloads = T.documents(s, d)
         .select($"doc_id", encode($"text", "UTF-8").as("payload"))
         .as[(Long, Array[Byte])]
       val resized = payloads.mapPartitions { rows =>
-        val md = MessageDigest.getInstance("MD5")
         rows.map { case (id, bytes) =>
-          // STUB decode+resample: keep every 4th byte (real codec here)
-          val out = new Array[Byte]((bytes.length + 3) / 4)
+          val out = boxResize(bytes)
           var i = 0
+          var sum = 0L
+          var fp = 0L
           while (i < out.length) {
-            out(i) = bytes(i * 4)
+            sum += out(i)
+            fp += out(i) * ((i % 997) + 1)
             i += 1
           }
-          md.reset()
-          val hex = md.digest(out).map("%02x".format(_)).mkString
-          ResizedMedia(id, out.length.toLong, hex)
+          ResizedMedia(id, out.length / 4, sum, fp)
         }
       }(Encoders.product[ResizedMedia])
-      resized.toDF().select($"doc_id", $"resized_len", $"resized_md5")
+      resized.toDF().select($"doc_id", $"out_rows", $"resized_sum", $"resized_fp")
     }),
 
     // ---- perceptual-hash near-dup blocking audit --------------------
@@ -511,26 +567,49 @@ object Multimodal extends QueryPack {
         |FROM documents""".stripMargin,
 
     // every-4th of the 256-byte frames; ASCII corpus (byte == char)
+    // the 64-byte-frame decode replayed byte-for-byte (ASCII corpus:
+    // ascii(substr) == payload byte, the q45 precondition)
     "q64_frame_sample" ->
-      """SELECT doc_id,
-        |  CAST((length(text) + 255) // 256 AS BIGINT) AS n_frames,
-        |  CAST(((length(text) + 255) // 256 + 3) // 4 AS BIGINT) AS n_sampled,
-        |  CAST(coalesce(list_sum(list_transform(
-        |    range(0, (length(text) + 255) // 256, 4),
-        |    i -> least(256, length(text) - i * 256))), 0) AS BIGINT) AS sampled_bytes,
-        |  CAST(coalesce(list_sum(list_transform(
-        |    range(0, (length(text) + 255) // 256, 4),
-        |    i -> ascii(substr(text, CAST(i * 256 + 1 AS INT), 1)) * (i + 1))), 0)
-        |    AS BIGINT) AS frame_checksum
-        |FROM documents""".stripMargin,
+      """WITH pix AS (
+        |  SELECT doc_id, (t.i - 1) // 64 AS f,
+        |    ascii(substr(text, CAST(t.i AS INT), 1)) AS v
+        |  FROM documents,
+        |    unnest(range(1, (length(text) // 64) * 64 + 1)) AS t(i)),
+        |fl AS (SELECT doc_id, f, CAST(sum(v) // 64 AS BIGINT) AS luma
+        |  FROM pix GROUP BY 1, 2),
+        |agg AS (SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(count(*) FILTER (f % 4 = 0) AS BIGINT) AS n_sampled,
+        |  CAST(COALESCE(sum(luma) FILTER (f % 4 = 0), 0) AS BIGINT)
+        |    AS sampled_luma,
+        |  CAST(COALESCE(sum(luma * (f + 1)) FILTER (f % 4 = 0), 0) AS BIGINT)
+        |    AS frame_checksum
+        |  FROM fl GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(a.n_frames, 0) AS n_frames,
+        |  COALESCE(a.n_sampled, 0) AS n_sampled,
+        |  COALESCE(a.sampled_luma, 0) AS sampled_luma,
+        |  COALESCE(a.frame_checksum, 0) AS frame_checksum
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
+    // the 2×2 box-average replayed pixel-for-pixel (same ASCII rule)
     "q65_media_resize" ->
-      """SELECT doc_id,
-        |  CAST((length(text) + 3) // 4 AS BIGINT) AS resized_len,
-        |  md5(array_to_string(list_transform(
-        |    range(1, length(text) + 1, 4),
-        |    i -> substr(text, CAST(i AS INT), 1)), '')) AS resized_md5
-        |FROM documents""".stripMargin,
+      """WITH dd AS (
+        |  SELECT doc_id, text, length(text) // 8 AS hh FROM documents),
+        |pix AS (SELECT doc_id, hh, (t.i - 1) // 8 AS r, (t.i - 1) % 8 AS c,
+        |    ascii(substr(text, CAST(t.i AS INT), 1)) AS v
+        |  FROM dd, unnest(range(1, hh * 8 + 1)) AS t(i)),
+        |op AS (SELECT doc_id, r // 2 AS orow, c // 2 AS ocol,
+        |    CAST(sum(v) // 4 AS BIGINT) AS pv
+        |  FROM pix WHERE r < hh - (hh % 2) GROUP BY doc_id, r // 2, c // 2),
+        |agg AS (SELECT doc_id, CAST(count(*) // 4 AS BIGINT) AS out_rows,
+        |    CAST(sum(pv) AS BIGINT) AS resized_sum,
+        |    CAST(sum(pv * ((orow * 4 + ocol) % 997 + 1)) AS BIGINT)
+        |      AS resized_fp
+        |  FROM op GROUP BY 1)
+        |SELECT dd.doc_id, COALESCE(a.out_rows, 0) AS out_rows,
+        |  COALESCE(a.resized_sum, 0) AS resized_sum,
+        |  COALESCE(a.resized_fp, 0) AS resized_fp
+        |FROM dd LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     // the aHash → pigeonhole band index → exact-hamming audit
     // replayed; ASCII corpus (ascii(substr) == payload byte, the q45

@@ -84,6 +84,61 @@ class MultimodalFixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(0xFFL, 0L, 0L, 0L))
   }
 
+  // ---- q64 frame-decode kernel on crafted streams ------------------
+  // frameLumas decodes consecutive 64-byte frames to integer mean
+  // luma; these streams have hand-computable lumas per frame.
+
+  test("q64 frameLumas: constant frames decode to their fill value") {
+    // frame 0 all 10s, frame 1 all 200s → lumas (10, 200)
+    val bytes = Array.fill(64)(10.toByte) ++ Array.fill(64)(200.toByte)
+    assert(graft.operators.Multimodal.frameLumas(bytes).toSeq == Seq(10L, 200L))
+  }
+
+  test("q64 frameLumas: mean floors and trailing partial frame is cropped") {
+    // frame of 32×0 + 32×255 → mean = 8160/64 = 127 (exact); 63 slack
+    // bytes after it must not produce a second frame
+    val bytes = (Array.fill(32)(0.toByte) ++ Array.fill(32)(0xFF.toByte)
+      ++ Array.fill(63)(0x77.toByte))
+    assert(graft.operators.Multimodal.frameLumas(bytes).toSeq == Seq(127L))
+  }
+
+  test("q64 frameLumas: empty stream decodes to zero frames") {
+    assert(graft.operators.Multimodal.frameLumas(Array.fill(63)(1.toByte)).isEmpty)
+  }
+
+  // ---- q65 resample kernel on crafted rasters ----------------------
+  // boxResize 2×2 box-averages the 8-column raster to 4 columns ×
+  // H div 2 rows, integer floor per output pixel.
+
+  test("q65 boxResize: checkerboard averages to the exact midpoint floor") {
+    // rows alternate 0,255 within each 2×2 block → every output pixel
+    // is (0+255+255+0)/4 = 127
+    val row01 = Array.tabulate(8)(c => if (c % 2 == 0) 0.toByte else 0xFF.toByte)
+    val row10 = Array.tabulate(8)(c => if (c % 2 == 0) 0xFF.toByte else 0.toByte)
+    val bytes = Array(row01, row10, row01, row10).flatten
+    assert(graft.operators.Multimodal.boxResize(bytes).toSeq == Seq.fill(8)(127L))
+  }
+
+  test("q65 boxResize: position is preserved, not just the pixel multiset") {
+    // a single bright 2×2 block at (row 0, cols 2-3) must land at
+    // output index 1 and nowhere else
+    val bytes = Array.tabulate(32) { i =>
+      val r = i / 8; val c = i % 8
+      if (r < 2 && (c == 2 || c == 3)) 0xC8.toByte else 0.toByte
+    }
+    assert(graft.operators.Multimodal.boxResize(bytes).toSeq ==
+      Seq(0L, 200L, 0L, 0L, 0L, 0L, 0L, 0L))
+  }
+
+  test("q65 boxResize: odd trailing input row is cropped") {
+    // H = 5 rows → 2 output rows; the 5th raster row (all 255) is
+    // slack and must not shift any average
+    val base = Array.fill(32)(40.toByte)
+    val odd = base ++ Array.fill(8)(0xFF.toByte)
+    assert(graft.operators.Multimodal.boxResize(odd).toSeq ==
+      graft.operators.Multimodal.boxResize(base).toSeq)
+  }
+
   for (dir <- sfDirs) {
     test(s"documents.text is pure ASCII at $dir (byte==char precondition for q45/q64/q65)") {
       // octet_length(UTF-8 bytes) == char length iff every char is ASCII
