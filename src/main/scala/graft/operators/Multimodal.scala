@@ -265,7 +265,12 @@ object Multimodal extends QueryPack {
         .withColumn("off", coalesce(
           sum($"len").over(W.partitionBy($"arc").orderBy($"doc_id")
             .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
-      val archives = s.read.format("binaryFile").load(s"$dir/arc*.bin")
+      // directory load + pathGlobFilter, NOT load("$dir/arc*.bin"):
+      // a glob in the load path expands to one ROOT PATH PER MATCH,
+      // each stat'd individually — q133 measured that at 5× the whole
+      // query. One directory root lists once.
+      val archives = s.read.format("binaryFile")
+        .option("pathGlobFilter", "arc*.bin").load(dir)
         .select(regexp_extract($"path", "arc([0-9]+)\\.bin$", 1)
           .cast("bigint").as("arc"), $"content")
       archives.join(manifest, "arc")
@@ -294,10 +299,16 @@ object Multimodal extends QueryPack {
     // object-store tax, noted here because the fixture's files are
     // tiny. q174 IS that reader, over the same corpus: measured
     // 10 s → 0.7 s at sf0.1 for byte-identical fingerprints.
+    // Listing discipline (round 16): load the DIRECTORY with a
+    // pathGlobFilter, never load("$dir/*.bin") — the in-path glob
+    // expands to one root path per matching file and Spark stats each
+    // root individually (the object-store LIST-vs-per-key-HEAD trap);
+    // measured 8.2 s → 1.6 s at sf0.1 for this query alone.
     "q133_binary_ingest" -> ((s, d) => {
       import s.implicits._
       val dir = synchronized { seedBinaryFiles(s, d) }
-      s.read.format("binaryFile").load(s"$dir/*.bin")
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bin")
+        .load(dir)
         .select(
           regexp_extract($"path", "([0-9]+)\\.bin$", 1).cast("bigint").as("doc_id"),
           $"length", $"content")
