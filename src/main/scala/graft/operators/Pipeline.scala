@@ -927,6 +927,54 @@ object Pipeline extends QueryPack {
           expr(s"cum div $stride").as("slot"))
     }),
 
+    // ---- priority sampling (bottom-k weighted, HT-estimating) -------
+    // [Duffield, Lund & Thorup JACM'07; Efraimidis & Spirakis IPL'06]
+    // The ESTIMATING weighted sample q154 doesn't give: q154's
+    // systematic stride selects ∝ weight but carries no per-item
+    // inclusion probability, so subset sums can't be unbiasedly
+    // reconstructed from it. Priority sampling can: priority = w/u
+    // with u uniform from the portable hash (u = (h60 mod 2⁴⁰)+1
+    // scaled — RNG-free, stable under retry and appends), keep the
+    // top-K priorities, τ = the (K+1)-th, and ŵ = max(w, τ) is the
+    // Horvitz–Thompson weight with E[Σŵ] = Σw. The report carries the
+    // realized estimate against the true total (err_ppm) — the audit
+    // column a sampling pipeline watches. All integer: pkey =
+    // (w·2⁴⁰) div u ≤ w·2⁴⁰ fits int64 at any real weight; floors
+    // identical in both engines. Scale: top-(K+1) is one
+    // TakeOrdered (per-partition top-k, no global sort, no window);
+    // the K+1 candidates cross the driver through boundedCollect;
+    // the only corpus-scale work is the scan and the Σw agg.
+    "q312_priority_sample" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val kTop = 20
+      val pri = T.documents(s, d)
+        .select($"doc_id", $"n_chars".cast("bigint").as("w"))
+        .withColumn("u",
+          pmod(graft.functions.PortableHash.h60($"doc_id"),
+            lit(1099511627776L)) + lit(1L))
+        .withColumn("pkey", expr("w * 1099511627776 div u"))
+      val cand = T.boundedCollect(
+        pri.select($"doc_id", $"w", $"pkey")
+          .orderBy($"pkey".desc, $"doc_id".asc).limit(kTop + 1),
+        kTop + 1, "q312 priority candidates")
+      // fewer than K+1 items ⇒ τ = 0 ⇒ ŵ = w: the sample is a census
+      // and the estimate is exact, which is the HT boundary case
+      val tau = if (cand.length > kTop) cand(kTop).getLong(2) else 0L
+      val sel = cand.take(kTop).zipWithIndex.map { case (r, i) =>
+        (i + 1L, r.getLong(0), r.getLong(1), r.getLong(2),
+          math.max(r.getLong(1), tau))
+      }
+      val estTot = sel.map(_._5).sum
+      val tot = pri.agg(sum($"w").cast("bigint").as("w_tot"))
+      sel.toSeq.toDF("rk", "doc_id", "w", "pkey", "w_hat")
+        .crossJoin(broadcast(tot))
+        .select($"rk", $"doc_id", $"w", $"pkey", $"w_hat", $"w_tot",
+          lit(estTot).as("est_tot"),
+          expr(s"CAST(CAST(abs($estTot - w_tot) AS DECIMAL(38,0)) " +
+            "* 1000000 div w_tot AS BIGINT)").as("err_ppm"))
+    }),
+
     // ---- right-to-be-forgotten deletion-impact audit ----------------
     // Before a GDPR/CCPA deletion batch rewrites anything, scope it:
     // for a set of user keys (here a hash-parity ~5% sample standing
@@ -2681,6 +2729,32 @@ object Pipeline extends QueryPack {
         |SELECT source, doc_id, w, cum, cum // 2000 AS slot
         |FROM c
         |WHERE cum // 2000 > (cum - w) // 2000""".stripMargin,
+
+    // the identical priority keys, top-21 cut, τ threshold and HT
+    // estimate — the driver loop's arithmetic replayed relationally
+    "q312_priority_sample" ->
+      """WITH pri AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+        |    (CAST(n_chars AS BIGINT) * 1099511627776) //
+        |      (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |         AS BIGINT) % 1099511627776 + 1) AS pkey
+        |  FROM documents),
+        |cand AS (SELECT * FROM pri ORDER BY pkey DESC, doc_id LIMIT 21),
+        |tau AS (SELECT CASE WHEN (SELECT count(*) FROM cand) > 20
+        |  THEN (SELECT min(pkey) FROM cand) ELSE 0 END AS tau),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS w_tot FROM pri),
+        |sel AS (SELECT doc_id, w, pkey,
+        |    CAST(row_number() OVER (ORDER BY pkey DESC, doc_id) AS BIGINT)
+        |      AS rk
+        |  FROM cand ORDER BY pkey DESC, doc_id LIMIT 20),
+        |est AS (SELECT CAST(sum(greatest(s2.w, tau.tau)) AS BIGINT)
+        |  AS est_tot FROM sel s2 CROSS JOIN tau)
+        |SELECT sel.rk, sel.doc_id, sel.w, sel.pkey,
+        |  CAST(greatest(sel.w, tau.tau) AS BIGINT) AS w_hat,
+        |  tot.w_tot, est.est_tot,
+        |  CAST(CAST(abs(est.est_tot - tot.w_tot) AS HUGEINT) * 1000000
+        |    // tot.w_tot AS BIGINT) AS err_ppm
+        |FROM sel CROSS JOIN tau CROSS JOIN tot CROSS JOIN est""".stripMargin,
 
     "q156_deletion_audit" ->
       """WITH del AS (

@@ -1730,6 +1730,79 @@ object Relational extends QueryPack {
           sum(expr("1000000 div hop")).cast("bigint").as("h_ppm"))
     }),
 
+    // ---- sampled Brandes betweenness centrality ----------------------
+    // [Brandes JMS'01; sampled pivots per Brandes & Pich '07] the
+    // missing member of the centrality family (q145 PageRank, q212
+    // HITS, q235 Katz, q242 harmonic): WHO SITS ON THE SHORTEST
+    // PATHS. Exact betweenness is one BFS per vertex — the pivot
+    // SAMPLE (q242's 8 h60-smallest seeds, corpus-independent) is the
+    // standard estimator, and the hop cap (4, q242's) bounds each
+    // pass. Per seed: distances from [[multiSeedDistances]], shortest-
+    // path counts σ by a forward level sweep (σ_v = Σ σ_u over DAG
+    // edges u→v, one keyed join + agg per hop), then Brandes'
+    // dependency accumulation BACKWARD in ppm fixed-point:
+    // δ_v = Σ_w floor(σ_v·(10⁶+δ_w)/σ_w) over DAG edges v→w — floor
+    // per term, deterministic and engine-identical (non-negative
+    // numerators; measured max σ·(10⁶+δ) ≈ 4.8e12 at sf0.1, far
+    // inside int64 — at a corpus where σ outgrows that, the q209
+    // DECIMAL(38,0) template slots into the product). Seed vertices
+    // are excluded from the report (their self-dependencies are
+    // Brandes' discarded v=s terms). Output: top-25 by accumulated
+    // bc_ppm. Scale: 8 seeds × 4 hops × (one |E|-keyed join + agg)
+    // forward and backward — the q242 cost class ×2, state ≤
+    // |seeds|·|V| longs, no windows, no all-pairs anything.
+    "q313_betweenness_sampled" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val dir = coocDir(s, d) // (u, v)
+      val seeds = coocDeg(s, d).select($"v")
+        .orderBy(graft.functions.PortableHash.h60($"v").asc, $"v".asc)
+        .limit(8)
+        .select($"v".as("sd"))
+        .localCheckpoint(true)
+      val dist = multiSeedDistances(dir, seeds, maxHops = 4)
+        .localCheckpoint(true)
+      // forward: σ per hop level (a vertex has ONE hop per seed, so
+      // levels partition the (sd, v) state)
+      var sig = Vector(
+        seeds.select($"sd", $"sd".as("v"), lit(1L).as("sig"))
+          .localCheckpoint(true))
+      for (h <- 1 to 4) {
+        val next = sig(h - 1).toDF("sd", "u", "sigu")
+          .join(dir, Seq("u"))
+          .join(dist.filter($"hop" === h.toLong).select($"sd", $"v"),
+            Seq("sd", "v"), "left_semi")
+          .groupBy($"sd", $"v")
+          .agg(sum($"sigu").cast("bigint").as("sig"))
+          .localCheckpoint(true)
+        sig = sig :+ next
+      }
+      // backward: δ per hop level, deepest first
+      var del = sig(4).select($"sd", $"v", lit(0L).as("delta")).limit(0)
+      val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      for (h <- 3 to 0 by -1) {
+        val dh = sig(h).toDF("sd", "v", "sigv")
+          .join(dir.toDF("v", "w"), Seq("v"))
+          .join(sig(h + 1).toDF("sd", "w", "sigw"), Seq("sd", "w"))
+          .join(del.toDF("sd", "w", "dw"), Seq("sd", "w"), "left")
+          .select($"sd", $"v", $"sigv", $"sigw",
+            coalesce($"dw", lit(0L)).as("dw"))
+          .groupBy($"sd", $"v")
+          .agg(sum(expr("sigv * (1000000 + dw) div sigw"))
+            .cast("bigint").as("delta"))
+          .localCheckpoint(true)
+        parts += dh
+        del = dh
+      }
+      parts.reduce(_ unionAll _)
+        .join(seeds.select($"sd".as("v")), Seq("v"), "left_anti")
+        .groupBy($"v")
+        .agg(count(lit(1)).as("n_seeds"),
+          sum($"delta").cast("bigint").as("bc_ppm"))
+        .orderBy($"bc_ppm".desc, $"v".asc)
+        .limit(25)
+    }),
+
     // ---- item-item similarity: top-5 co-purchase neighbors ----------
     // The collaborative-filtering kernel: for each part, the 5 most
     // similar parts by normalized co-occurrence,
@@ -3366,6 +3439,73 @@ object Relational extends QueryPack {
          |SELECT v, CAST(count(*) AS BIGINT) AS n_seeds,
          |  CAST(sum(1000000 // hop) AS BIGINT) AS h_ppm
          |FROM vis4 WHERE hop >= 1 GROUP BY v""".stripMargin
+    },
+
+    // q242's BFS preamble + a σ forward sweep and Brandes' δ backward
+    // sweep, every floor replayed term-by-term (q195's materialized-
+    // CTE rule throughout — DuckDB inlines plain CTEs multiplicatively)
+    "q313_betweenness_sampled" -> {
+      val hops = (1 to 4).map { h =>
+        s"""f$h AS MATERIALIZED (
+           |  SELECT DISTINCT f.sd, d.v FROM dirw d
+           |  JOIN f${h - 1} f ON d.u = f.v
+           |  WHERE NOT EXISTS (SELECT 1 FROM vis${h - 1} x
+           |                    WHERE x.sd = f.sd AND x.v = d.v)),
+           |vis$h AS MATERIALIZED (
+           |  SELECT sd, v, hop FROM vis${h - 1}
+           |  UNION ALL SELECT sd, v, CAST($h AS BIGINT) AS hop FROM f$h)"""
+          .stripMargin
+      }.mkString(",\n")
+      val sigs = (1 to 4).map { h =>
+        s"""sig$h AS MATERIALIZED (
+           |  SELECT s.sd, d.v, CAST(sum(s.sig) AS BIGINT) AS sig
+           |  FROM sig${h - 1} s JOIN dirw d ON d.u = s.v
+           |  JOIN vis4 t ON t.sd = s.sd AND t.v = d.v AND t.hop = $h
+           |  GROUP BY s.sd, d.v)""".stripMargin
+      }.mkString(",\n")
+      val dels = (3 to 0 by -1).map { h =>
+        s"""del$h AS MATERIALIZED (
+           |  SELECT s.sd, s.v,
+           |    CAST(sum(s.sig * (1000000 + COALESCE(dl.delta, 0)) // sw.sig)
+           |      AS BIGINT) AS delta
+           |  FROM sig$h s JOIN dirw d ON d.u = s.v
+           |  JOIN sig${h + 1} sw ON sw.sd = s.sd AND sw.v = d.v
+           |  LEFT JOIN del${h + 1} dl ON dl.sd = sw.sd AND dl.v = sw.v
+           |  GROUP BY s.sd, s.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT x.p AS a, y.p AS b
+         |  FROM li x JOIN li y ON x.o = y.o WHERE x.p < y.p),
+         |dirw AS MATERIALIZED (
+         |  SELECT a AS u, b AS v FROM e
+         |  UNION ALL SELECT b AS u, a AS v FROM e),
+         |vs AS MATERIALIZED (
+         |  SELECT DISTINCT v FROM (
+         |    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)),
+         |sds AS MATERIALIZED (
+         |  SELECT v AS sd FROM vs
+         |  ORDER BY CAST('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15)
+         |    AS BIGINT), v
+         |  LIMIT 8),
+         |f0 AS MATERIALIZED (SELECT sd, sd AS v FROM sds),
+         |vis0 AS MATERIALIZED (
+         |  SELECT sd, v, CAST(0 AS BIGINT) AS hop FROM f0),
+         |$hops,
+         |sig0 AS MATERIALIZED (
+         |  SELECT sd, sd AS v, CAST(1 AS BIGINT) AS sig FROM sds),
+         |$sigs,
+         |del4 AS MATERIALIZED (
+         |  SELECT sd, v, CAST(0 AS BIGINT) AS delta FROM sig4 WHERE 1 = 0),
+         |$dels,
+         |alld AS (
+         |  SELECT * FROM del0 UNION ALL SELECT * FROM del1
+         |  UNION ALL SELECT * FROM del2 UNION ALL SELECT * FROM del3)
+         |SELECT v, CAST(count(*) AS BIGINT) AS n_seeds,
+         |  CAST(sum(delta) AS BIGINT) AS bc_ppm
+         |FROM alld WHERE v NOT IN (SELECT sd FROM sds)
+         |GROUP BY v ORDER BY bc_ppm DESC, v LIMIT 25""".stripMargin
     },
 
     "q121_listagg" ->

@@ -152,7 +152,12 @@ class DeterminismSpec extends AnyFunSuite {
     "q307_rbo_rankings", "q308_rendezvous_rebalance",
     "q309_join_card_audit",
     // batch I: re-randomization counts, per-size Bloom position sets
-    "q310_srm_check", "q311_bloom_size_tune")
+    "q310_srm_check", "q311_bloom_size_tune",
+    // round 16: the priority-sample top-21 cut and τ threshold, the
+    // Brandes per-level σ/δ floors and top-25 cut, the curve-rank
+    // gaps-and-islands run counts
+    "q312_priority_sample", "q313_betweenness_sampled",
+    "q314_hilbert_layout")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

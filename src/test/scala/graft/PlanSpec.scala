@@ -57,6 +57,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q296: the 1-row blocking-selectivity audit scalar crossed onto
     // the per-vector report
     "q296_dbscan_lsh" -> 1,
+    // q312: the 1-row Σw scalar crossed onto the 20-row selected-set
+    // literal (the candidate cut is a TakeOrdered, not a join)
+    "q312_priority_sample" -> 32,
+    // q314: the 6-row rectangle dim broadcast under the box predicate
+    // against the ≤256-cell (grid-bounded) occupancy ranks, plus the
+    // 1-row min/max stats scalar on the scan
+    "q314_hilbert_layout" -> 256,
     // q299: the 1-row total-energy and kept-energy scalars crossed
     // onto the 8-row synopsis
     "q299_haar_sketch" -> 1,
