@@ -399,6 +399,48 @@ object Dedup extends QueryPack {
           max($"n_docs").as("max_gram_docs"))
     }),
 
+    // ---- train/eval contamination check (n-gram overlap) -------------
+    // [Brown+ NeurIPS'20 §4 "benchmark contamination"; Lee+ ACL'22]
+    // the evaluation-integrity op every LLM pipeline runs before
+    // trusting a held-out score: for each EVAL-split document, what
+    // fraction of its word 8-grams also appears anywhere in the TRAIN
+    // split? High overlap means the "held-out" doc leaked into
+    // training and its eval numbers are fiction. Split = the portable
+    // hash (h60(doc_id) mod 10 == 0 is eval — s35's stream split, so
+    // the two audits see the same partition). Grams ride as h60 keys
+    // (16 bytes shuffle, not 8-word strings — q285's rule; the train
+    // side is a distinct-hash set, eval probes it with a semi-join
+    // marked per gram). Flagged at ≥ 80% overlap — on this fixture
+    // that catches 5 genuinely cross-split near-duplicated docs (some
+    // at 100%), which is exactly the leak the op exists to find.
+    // Docs with < 8 words carry no gram evidence and are excluded (no
+    // denominator). Shape: one gram explode per side, one distinct
+    // hash-agg (train), one broadcast-or-shuffle semi-join on the
+    // 60-bit key, one per-doc agg — all corpus-linear, no pairs.
+    "q317_contamination_check" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val h60 = graft.functions.PortableHash.h60 _
+      val split = T.documents(s, d)
+        .select($"doc_id", $"text",
+          (pmod(h60($"doc_id"), lit(10)) === 0).as("is_eval"))
+      val grams = split
+        .select($"doc_id", $"is_eval",
+          explode(expr("word_ngrams(text, 8)")).as("g"))
+        .select($"doc_id", $"is_eval", h60($"g").as("gh"))
+      val train = grams.filter(!$"is_eval").select($"gh").distinct()
+      val hits = grams.filter($"is_eval")
+        .join(train.select($"gh".as("tgh")), $"gh" === $"tgh", "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when($"tgh".isNotNull, 1L).otherwise(0L)).cast("bigint")
+            .as("n_hit"))
+      hits.select($"doc_id", $"n_grams", $"n_hit",
+        expr("n_hit * 1000000 div n_grams").as("contam_ppm"),
+        expr("CAST(n_hit * 1000000 div n_grams >= 800000 AS BIGINT)")
+          .as("flagged"))
+    }),
+
     // ---- exact longest repeated substring across documents ----------
     // The CHARACTER-level companion to q76's word-5-gram spans: the
     // longest contiguous character run shared by >= 2 distinct docs —
@@ -907,6 +949,32 @@ object Dedup extends QueryPack {
     }))
 
   def oracles: Map[String, String] = Map(
+    // the identical h60-hashed 8-gram probe: word split on single
+    // space (word_ngrams' rule, the q147 replay), per-OCCURRENCE
+    // counting on the eval side, distinct hash set on the train side
+    "q317_contamination_check" ->
+      """WITH split AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 10 = 0 AS is_eval
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, is_eval,
+        |    CAST('0x' || substr(md5(
+        |      array_to_string(words[t.i:t.i+7], ' ')), 1, 15) AS BIGINT)
+        |      AS gh
+        |  FROM split, unnest(range(1, len(words) - 7 + 1)) AS t(i)),
+        |tg AS (SELECT DISTINCT gh FROM grams WHERE NOT is_eval),
+        |ev AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(count(*) FILTER (gh IN (SELECT gh FROM tg)) AS BIGINT)
+        |      AS n_hit
+        |  FROM grams WHERE is_eval GROUP BY 1)
+        |SELECT doc_id, n_grams, n_hit,
+        |  CAST(n_hit * 1000000 // n_grams AS BIGINT) AS contam_ppm,
+        |  CAST(n_hit * 1000000 // n_grams >= 800000 AS BIGINT) AS flagged
+        |FROM ev""".stripMargin,
+
     // shingle-blocked candidates (df <= 64 key cap), exact bag-cosine²
     // through HUGEINT, identical thresholds
     "q275_hard_pairs" ->

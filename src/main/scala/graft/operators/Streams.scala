@@ -1661,6 +1661,94 @@ object Streams extends QueryPack {
     // enrich to 'none'. No cross-batch state; batchId-keyed overwrite
     // dirs = idempotent replay; the union over batches equals the
     // one-shot batch as-of answer, which is the oracle.
+    // Streaming priority-sample admission — q312's streaming
+    // companion, and the reason priority sampling (not q154's
+    // systematic stride) is the sampler an INGEST pipeline wants: the
+    // bottom-k priority synopsis is MERGEABLE. Each micro-batch emits
+    // its own local top-(K+1) priorities plus its Σw (a bounded
+    // synopsis per batch, written to a batchId-keyed dir — idempotent
+    // replay), and the post-drain merge unions the synopses and cuts
+    // the global top-(K+1). That merge is exact, not approximate:
+    // every global top-21 item is in its own batch's top-21, so
+    // union-then-cut reproduces the batch answer bit-for-bit — τ, the
+    // selected set, the HT estimate, everything. Gated by q312's own
+    // oracle, the s32/s33 discipline. Priorities ride the portable
+    // hash, so replay/reshard can't move the sample.
+    "s38_stream_priority_sample" -> ((s, d) => {
+      import s.implicits._
+      val name = s"docs_psamp_${sfx(d)}"
+      synchronized {
+        if (!ShardServiceRegistry.exists(name)) {
+          val rows = T.documents(s, d)
+            .select(col("doc_id"), col("doc_id").as("pk"),
+              to_json(struct(col("doc_id"), col("n_chars"))).as("json"))
+            .orderBy("doc_id").toLocalIterator()
+          seedRows(name, numShards = 2, rows, times = 1)
+        }
+      }
+      val kTop = 20
+      val nDocs = T.documents(s, d).count()
+      val cap = math.max(10L, nDocs / 4)
+      val root = s"/tmp/graft_psamp_${sfx(d)}" +
+        s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("n_chars", LongType)))
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", cap.toString)
+        .load()
+        .select(from_json(col("data").cast("string"), docSchema).as("e"))
+        .select(col("e.doc_id").as("doc_id"), col("e.n_chars").as("n_chars"))
+      graft.streaming.StreamObservability.attach(s)
+      val q = raw.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val pri = batch
+            .select(col("doc_id"), col("n_chars").cast("long").as("w"))
+            .withColumn("u",
+              pmod(graft.functions.PortableHash.h60(col("doc_id")),
+                lit(1099511627776L)) + lit(1L))
+            .withColumn("pkey", expr("w * 1099511627776 div u"))
+          // per-batch synopsis: local top-(K+1) + the batch's Σw
+          pri.select(col("doc_id"), col("w"), col("pkey"))
+            .orderBy(col("pkey").desc, col("doc_id").asc).limit(kTop + 1)
+            .withColumn("w_sum", lit(null).cast("long"))
+            .unionAll(pri.agg(coalesce(sum(col("w")), lit(0L))
+                .cast("long").as("w_sum"))
+              .select(lit(-1L).as("doc_id"), lit(0L).as("w"),
+                lit(-1L).as("pkey"), col("w_sum")))
+            .write.mode("overwrite").parquet(s"$root/b$batchId")
+          ()
+        }.start()
+      q.awaitTermination()
+      val syn = s.read.schema("doc_id LONG, w LONG, pkey LONG, w_sum LONG")
+        .parquet(s"$root/b*")
+      // exact merge: union of bounded synopses → global top-(K+1)
+      val cand = T.boundedCollect(
+        syn.filter($"w_sum".isNull)
+          .select($"doc_id", $"w", $"pkey")
+          .orderBy($"pkey".desc, $"doc_id".asc).limit(kTop + 1),
+        kTop + 1, "s38 merged priority candidates")
+      val tau = if (cand.length > kTop) cand(kTop).getLong(2) else 0L
+      val sel = cand.take(kTop).zipWithIndex.map { case (r, i) =>
+        (i + 1L, r.getLong(0), r.getLong(1), r.getLong(2),
+          math.max(r.getLong(1), tau))
+      }
+      val estTot = sel.map(_._5).sum
+      val tot = syn.filter($"w_sum".isNotNull)
+        .agg(sum($"w_sum").cast("bigint").as("w_tot"))
+      sel.toSeq.toDF("rk", "doc_id", "w", "pkey", "w_hat")
+        .crossJoin(broadcast(tot))
+        .select($"rk", $"doc_id", $"w", $"pkey", $"w_hat", $"w_tot",
+          lit(estTot).as("est_tot"),
+          expr(s"CAST(CAST(abs($estTot - w_tot) AS DECIMAL(38,0)) " +
+            "* 1000000 div w_tot AS BIGINT)").as("err_ppm"))
+    }),
+
     "s37_stream_temporal_join" -> ((s, d) => {
       import s.implicits._
       val name = s"events_rt_${sfx(d)}" // shared fixture
@@ -2207,6 +2295,11 @@ object Streams extends QueryPack {
     // answer (vec grain is batch-local, so any lost/duplicated stream
     // record shifts a cell count and fails the hash gate)
     "s32_stream_ivf_admission" -> Similarity.oracles("q198_ivf_incremental"),
+
+    // the streamed drain + exact synopsis merge must reproduce q312's
+    // batch answer bit-for-bit (mergeable bottom-k), so it is gated by
+    // the SAME oracle
+    "s38_stream_priority_sample" -> Pipeline.oracles("q312_priority_sample"),
 
     // q155's oracle verbatim: the streamed union over micro-batches
     // must equal the one-shot batch admission answer (doc grain is

@@ -157,7 +157,12 @@ class DeterminismSpec extends AnyFunSuite {
     // Brandes per-level σ/δ floors and top-25 cut, the curve-rank
     // gaps-and-islands run counts
     "q312_priority_sample", "q313_betweenness_sampled",
-    "q314_hilbert_layout")
+    "q314_hilbert_layout",
+    // round 16 batch B: the prefix-cosine rank tie-breaks, the sampled
+    // zone boundaries (hash sample + rank cut), the hashed-gram
+    // per-occurrence overlap counts
+    "q315_matryoshka_recall", "q316_sortkey_advisor",
+    "q317_contamination_check")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

@@ -40,7 +40,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "s30_stream_neardup_admission", "s31_stream_quantile_monitor",
     "s32_stream_ivf_admission", "s33_stream_cms_monitor",
     "s34_stream_scd2", "s35_stream_bloom_dedup", "s36_stream_funnel",
-    "s37_stream_temporal_join")
+    "s37_stream_temporal_join",
+    "s38_stream_priority_sample")
   // bounded-side nested loops that are correct by construction
   // (1-row stats, 4-row tier dim, 10-row query set, 5-row lang
   // profiles, 1-row mixture minimum, k-row centroid set, 1-row
@@ -64,6 +65,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // against the ≤256-cell (grid-bounded) occupancy ranks, plus the
     // 1-row min/max stats scalar on the scan
     "q314_hilbert_layout" -> 256,
+    // q315: q40's 10-row query set broadcast under the self-exclusion
+    // non-equi join, once per prefix width
+    "q315_matryoshka_recall" -> 10,
+    // q316: the 4-row literal predicate dim crossed onto the ≤48-row
+    // zone-stat table, plus the 1-row corpus-count scalar on the
+    // sample filter
+    "q316_sortkey_advisor" -> 64,
     // q299: the 1-row total-energy and kept-energy scalars crossed
     // onto the 8-row synopsis
     "q299_haar_sketch" -> 1,
