@@ -975,6 +975,65 @@ object Pipeline extends QueryPack {
             "* 1000000 div w_tot AS BIGINT)").as("err_ppm"))
     }),
 
+    // ---- randomized-response release audit (local DP) ----------------
+    // [Warner '65; the local-DP mechanism RAPPOR built on] the
+    // release-side privacy op next to the table-side ones (q149
+    // k-anonymity, q167 l-diversity, q236 t-closeness, q280 QI risk):
+    // each record reports its sensitive bit (lang = 'en') FLIPPED with
+    // probability 1/4 — here a portable-hash coin, so the release is
+    // replay-identical and the oracle replays it — and the analyst
+    // debiases the aggregate: with flip prob p = 1/4,
+    // E[obs] = (1−p)·k + p·(n−k) ⇒ k̂ = (4·obs − n) div 2, pure
+    // integers. The report shows the privacy-utility trade the dial
+    // buys: true count, released (noisy) count, debiased estimate,
+    // and the realized per-source error — the number a release board
+    // reads. One corpus-grain agg; everything after is |sources| rows.
+    "q318_rr_privacy_audit" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val h60 = graft.functions.PortableHash.h60 _
+      T.documents(s, d)
+        .select($"source",
+          ($"lang" === "en").cast("long").as("attr"),
+          (pmod(h60($"doc_id"), lit(4)) === 0).cast("long").as("flip"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n"),
+          sum($"attr").cast("bigint").as("true_pos"),
+          sum(when($"flip" === 1L, lit(1L) - $"attr").otherwise($"attr"))
+            .cast("bigint").as("released_pos"))
+        .select($"source", $"n", $"true_pos", $"released_pos",
+          expr("(4 * released_pos - n) div 2").as("est_pos"),
+          expr("abs((4 * released_pos - n) div 2 - true_pos) " +
+            "* 1000000 div n").as("err_ppm"))
+    }),
+
+    // ---- experiment power sizing (required n per arm) -----------------
+    // The design-side companion to q310 (SRM) and q186 (CUPED): BEFORE
+    // an experiment ships, how many users per arm does each detectable
+    // lift need? Two-proportion normal approximation at α = 5%,
+    // power = 80%: n = ceil(2·p(1−p)·(z_{α/2}+z_β)² / Δ²) with
+    // (z+z) = 2.802 as the LITERAL milli constant 2802 (the q202
+    // Benford rule — constants, not libm), p = the measured purchase
+    // base rate, Δ = p·lift. ENTIRELY integer: the ceil is
+    // (num + den − 1) div den over DECIMAL(38,0)/HUGEINT (the q209
+    // wide-intermediate template), so no sqrt/log ever runs and both
+    // engines agree bit-for-bit. One corpus-grain agg for p; the
+    // lift grid is 4 literal rows.
+    "q319_power_sizing" -> ((s, d) => {
+      import s.implicits._
+      val lifts = Seq(10000L, 50000L, 100000L, 200000L).toDF("lift_ppm")
+      val base = T.events(s, d).agg(
+        expr("count(CASE WHEN event_type = 'purchase' THEN 1 END) " +
+          "* 1000000 div count(1)").as("p_ppm"))
+      lifts.crossJoin(broadcast(base))
+        .withColumn("delta_ppm", expr("p_ppm * lift_ppm div 1000000"))
+        .select($"lift_ppm", $"p_ppm", $"delta_ppm",
+          expr("CAST((2 * CAST(p_ppm AS DECIMAL(38,0)) * (1000000 - p_ppm)" +
+            " * 2802 * 2802 + CAST(1000000 AS DECIMAL(38,0)) * delta_ppm" +
+            " * delta_ppm - 1) div (CAST(1000000 AS DECIMAL(38,0))" +
+            " * delta_ppm * delta_ppm) AS BIGINT)").as("n_per_arm"))
+    }),
+
     // ---- right-to-be-forgotten deletion-impact audit ----------------
     // Before a GDPR/CCPA deletion batch rewrites anything, scope it:
     // for a set of user keys (here a hash-parity ~5% sample standing
@@ -2729,6 +2788,44 @@ object Pipeline extends QueryPack {
         |SELECT source, doc_id, w, cum, cum // 2000 AS slot
         |FROM c
         |WHERE cum // 2000 > (cum - w) // 2000""".stripMargin,
+
+    // the identical hash coin, flip rule and integer debias
+    "q318_rr_privacy_audit" ->
+      """WITH d AS (
+        |  SELECT source, CAST(lang = 'en' AS BIGINT) AS attr,
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 4 = 0 AS BIGINT) AS flip
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(attr) AS BIGINT) AS true_pos,
+        |    CAST(sum(CASE WHEN flip = 1 THEN 1 - attr ELSE attr END)
+        |      AS BIGINT) AS released_pos
+        |  FROM d GROUP BY 1)
+        |SELECT source, n, true_pos, released_pos,
+        |  (4 * released_pos - n) // 2 AS est_pos,
+        |  CAST(abs((4 * released_pos - n) // 2 - true_pos) * 1000000 // n
+        |    AS BIGINT) AS err_ppm
+        |FROM r""".stripMargin,
+
+    // the identical integer ceil over HUGEINT (the q209 mirror of the
+    // Spark side's DECIMAL(38,0))
+    "q319_power_sizing" ->
+      """WITH base AS (
+        |  SELECT CAST(count(*) FILTER (event_type = 'purchase')
+        |    * 1000000 // count(*) AS BIGINT) AS p_ppm
+        |  FROM events),
+        |lifts (lift_ppm) AS (VALUES (10000), (50000), (100000), (200000)),
+        |calc AS (
+        |  SELECT CAST(l.lift_ppm AS BIGINT) AS lift_ppm, b.p_ppm,
+        |    b.p_ppm * l.lift_ppm // 1000000 AS delta_ppm
+        |  FROM lifts l CROSS JOIN base b)
+        |SELECT lift_ppm, p_ppm, delta_ppm,
+        |  CAST((2 * CAST(p_ppm AS HUGEINT) * (1000000 - p_ppm) * 2802 * 2802
+        |    + CAST(1000000 AS HUGEINT) * delta_ppm * delta_ppm - 1)
+        |    // (CAST(1000000 AS HUGEINT) * delta_ppm * delta_ppm)
+        |    AS BIGINT) AS n_per_arm
+        |FROM calc""".stripMargin,
 
     // the identical priority keys, top-21 cut, τ threshold and HT
     // estimate — the driver loop's arithmetic replayed relationally

@@ -1730,6 +1730,52 @@ object Relational extends QueryPack {
           sum(expr("1000000 div hop")).cast("bigint").as("h_ppm"))
     }),
 
+    // ---- incremental-view-maintenance retraction audit ----------------
+    // [Blakeley+ SIGMOD'86 view maintenance; the Δ-processing rule
+    // every CDC-fed aggregate relies on] q168 proves INSERT-only
+    // incremental merge; real change feeds also carry UPDATES and
+    // DELETES, which maintain an aggregate as RETRACTIONS (−old, +new).
+    // This audit runs both paths over the same deterministic CDC log
+    // (hash-chosen updates: h60 mod 7 amends the price; hash-chosen
+    // deletes: h60 mod 13 removes the CURRENT version) and reports
+    // them side by side per priority group: the delta-maintained
+    // (Σop, Σop·price) against the direct recompute of the final
+    // state, with a consistency bit the oracle gates at 1 — the
+    // invariant that lets a 100 TB pipeline apply deltas instead of
+    // recomputing. Shape: the delta log is a union of four projections
+    // of ONE scan; both paths are single map-side-combinable aggs.
+    "q320_ivm_retraction_audit" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val h60 = graft.functions.PortableHash.h60 _
+      val f = T.orders(s, d).select(
+        $"o_orderpriority".as("pri"),
+        graft.functions.Exact.cents($"o_totalprice").as("c"),
+        (pmod(h60($"o_orderkey"), lit(7)) === 0).as("u7"),
+        (pmod(h60($"o_orderkey"), lit(13)) === 0).as("u13"))
+        .localCheckpoint(true) // four delta projections + the recompute
+      val deltas = f.select($"pri", lit(1L).as("op"), $"c")
+        .unionAll(f.filter($"u7").select($"pri", lit(-1L).as("op"), $"c"))
+        .unionAll(f.filter($"u7")
+          .select($"pri", lit(1L).as("op"), ($"c" + 10000L).as("c")))
+        .unionAll(f.filter($"u13")
+          .select($"pri", lit(-1L).as("op"),
+            when($"u7", $"c" + 10000L).otherwise($"c").as("c")))
+      val inc = deltas.groupBy($"pri")
+        .agg(sum($"op").cast("bigint").as("n_inc"),
+          sum($"op" * $"c").cast("bigint").as("sum_inc_c"))
+      val direct = f.filter(!$"u13")
+        .groupBy($"pri")
+        .agg(count(lit(1)).as("n_dir"),
+          sum(when($"u7", $"c" + 10000L).otherwise($"c")).cast("bigint")
+            .as("sum_dir_c"))
+      inc.join(direct, Seq("pri"))
+        .select($"pri".as("priority"), $"n_inc", $"sum_inc_c",
+          $"n_dir", $"sum_dir_c",
+          ($"n_inc" === $"n_dir" && $"sum_inc_c" === $"sum_dir_c")
+            .cast("long").as("consistent"))
+    }),
+
     // ---- sampled Brandes betweenness centrality ----------------------
     // [Brandes JMS'01; sampled pivots per Brandes & Pich '07] the
     // missing member of the centrality family (q145 PageRank, q212
@@ -3440,6 +3486,37 @@ object Relational extends QueryPack {
          |  CAST(sum(1000000 // hop) AS BIGINT) AS h_ppm
          |FROM vis4 WHERE hop >= 1 GROUP BY v""".stripMargin
     },
+
+    // both maintenance paths replayed over the identical hash-chosen
+    // CDC log; the consistency bit is the gated invariant
+    "q320_ivm_retraction_audit" ->
+      s"""WITH o AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS pri,
+        |    ${graft.functions.Exact.centsSql("o_totalprice")} AS c,
+        |    CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM orders),
+        |f AS (SELECT k, pri, c, h % 7 = 0 AS u7, h % 13 = 0 AS u13 FROM o),
+        |deltas AS (
+        |  SELECT pri, 1 AS op, c FROM f
+        |  UNION ALL SELECT pri, -1, c FROM f WHERE u7
+        |  UNION ALL SELECT pri, 1, c + 10000 FROM f WHERE u7
+        |  UNION ALL SELECT pri, -1, CASE WHEN u7 THEN c + 10000 ELSE c END
+        |    FROM f WHERE u13),
+        |inc AS (
+        |  SELECT pri, CAST(sum(op) AS BIGINT) AS n_inc,
+        |    CAST(sum(op * c) AS BIGINT) AS sum_inc_c
+        |  FROM deltas GROUP BY 1),
+        |direct AS (
+        |  SELECT pri, CAST(count(*) AS BIGINT) AS n_dir,
+        |    CAST(sum(CASE WHEN u7 THEN c + 10000 ELSE c END) AS BIGINT)
+        |      AS sum_dir_c
+        |  FROM f WHERE NOT u13 GROUP BY 1)
+        |SELECT i.pri AS priority, i.n_inc, i.sum_inc_c, d.n_dir,
+        |  d.sum_dir_c,
+        |  CAST(i.n_inc = d.n_dir AND i.sum_inc_c = d.sum_dir_c AS BIGINT)
+        |    AS consistent
+        |FROM inc i JOIN direct d ON i.pri = d.pri""".stripMargin,
 
     // q242's BFS preamble + a σ forward sweep and Brandes' δ backward
     // sweep, every floor replayed term-by-term (q195's materialized-

@@ -162,7 +162,11 @@ class DeterminismSpec extends AnyFunSuite {
     // zone boundaries (hash sample + rank cut), the hashed-gram
     // per-occurrence overlap counts
     "q315_matryoshka_recall", "q316_sortkey_advisor",
-    "q317_contamination_check")
+    "q317_contamination_check",
+    // round 16 batch C: hash-coin flips, integer ceils over the lift
+    // grid, hash-chosen CDC update/delete sets
+    "q318_rr_privacy_audit", "q319_power_sizing",
+    "q320_ivm_retraction_audit")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

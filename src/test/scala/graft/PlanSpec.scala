@@ -72,6 +72,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // zone-stat table, plus the 1-row corpus-count scalar on the
     // sample filter
     "q316_sortkey_advisor" -> 64,
+    // q319: the 1-row base-rate scalar crossed onto the 4-row lift grid
+    "q319_power_sizing" -> 8,
     // q299: the 1-row total-energy and kept-energy scalars crossed
     // onto the 8-row synopsis
     "q299_haar_sketch" -> 1,
