@@ -245,6 +245,30 @@ import graft.operators._
   * in ppm). Property guards: VoptPropertySpec (DP vs exhaustive
   * splits), KnnShapleyPropertySpec (suffix scan vs brute-force
   * permutation Shapley, exact rationals).
+  *
+  * Round-16 (SURVEY.md §2 round-16 table): the scale-shape class
+  * closed — q296 candidates now scoped to (k-means cell × 16-plane
+  * 4-bit sign bands) with the measured ~2.6% candidate ratio reported
+  * as a cand_ppm column; q293/q298 query sets are the 10 h60-smallest
+  * vec_ids (global limit, corpus-independent); q285 probes group on
+  * md5(sub) with exact collider verify; q64/q65 run REAL decodes
+  * (frame mean luma, 2×2 box resample — MultimodalFixtureSpec pins
+  * the kernels); q133/q174 list their fixture directory ONCE via
+  * pathGlobFilter (an in-path glob stats one root per file — measured
+  * 5× the whole query). PlanSpec's BNLJ allowlist is now a
+  * Map[query → declared row cap] machine-checked by executing every
+  * broadcast side at two scale factors. Plus 12 new components:
+  * q312 priority sampling (bottom-k HT estimator) + s38 its mergeable
+  * streaming admission, q313 sampled Brandes betweenness (ppm
+  * fixed-point δ sweeps), q314 Hilbert-vs-Z locality audit
+  * (HilbertPropertySpec pins the curve axioms), q315 Matryoshka
+  * prefix-dim truncation audit, q316 sort-key advisor (sampled-
+  * boundary zone maps vs a predicate set), q317 train/eval 8-gram
+  * contamination check, q318 randomized-response local-DP release
+  * audit, q319 experiment power sizing (integer ceil, no libm),
+  * q320 IVM retraction audit + s39 its streaming linear-partial
+  * form, q321 Neyman allocation (exact ±1-corrected isqrt), q322
+  * four-fifths disparate-impact audit of q61's filter.
   */
 object SparkEntry {
 

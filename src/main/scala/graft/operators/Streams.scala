@@ -1661,6 +1661,97 @@ object Streams extends QueryPack {
     // enrich to 'none'. No cross-batch state; batchId-keyed overwrite
     // dirs = idempotent replay; the union over batches equals the
     // one-shot batch as-of answer, which is the oracle.
+    // Streaming retraction maintenance — q320's streaming companion:
+    // the CDC log arrives in micro-batches and the per-group aggregate
+    // is maintained by ADDITIVE delta partials (each batch writes its
+    // own (pri, Σop, Σop·c) partial to a batchId-keyed dir — retraction
+    // aggregates are linear, so the post-drain sum of partials IS the
+    // maintained state, idempotent under replay). The final report
+    // joins the streamed-maintained state against the direct recompute
+    // of the final table and must match q320's batch answer
+    // bit-for-bit — gated by q320's own oracle (the s38 discipline).
+    "s39_stream_ivm_retraction" -> ((s, d) => {
+      import s.implicits._
+      val h60 = graft.functions.PortableHash.h60 _
+      val name = s"orders_cdc_${sfx(d)}"
+      synchronized {
+        if (!ShardServiceRegistry.exists(name)) {
+          val rows = T.orders(s, d)
+            .select($"o_orderkey", $"o_orderkey".as("pk"),
+              to_json(struct($"o_orderkey".as("k"),
+                $"o_orderpriority".as("pri"),
+                graft.functions.Exact.cents($"o_totalprice").as("c")))
+                .as("json"))
+            .orderBy("o_orderkey").toLocalIterator()
+          seedRows(name, numShards = 2, rows, times = 1)
+        }
+      }
+      val nOrd = T.orders(s, d).count()
+      val cap = math.max(10L, nOrd / 4)
+      val root = s"/tmp/graft_scdc_${sfx(d)}" +
+        s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val cdcSchema = StructType(Seq(
+        StructField("k", LongType), StructField("pri", StringType),
+        StructField("c", LongType)))
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", cap.toString)
+        .load()
+        .select(from_json(col("data").cast("string"), cdcSchema).as("e"))
+        .select(col("e.k").as("k"), col("e.pri").as("pri"),
+          col("e.c").as("c"))
+      graft.streaming.StreamObservability.attach(s)
+      val q = raw.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val f = batch.select(col("pri"), col("c"),
+            (pmod(graft.functions.PortableHash.h60(col("k")),
+              lit(7)) === 0).as("u7"),
+            (pmod(graft.functions.PortableHash.h60(col("k")),
+              lit(13)) === 0).as("u13"))
+          val deltas = f.select(col("pri"), lit(1L).as("op"), col("c"))
+            .unionAll(f.filter(col("u7"))
+              .select(col("pri"), lit(-1L).as("op"), col("c")))
+            .unionAll(f.filter(col("u7"))
+              .select(col("pri"), lit(1L).as("op"),
+                (col("c") + 10000L).as("c")))
+            .unionAll(f.filter(col("u13"))
+              .select(col("pri"), lit(-1L).as("op"),
+                when(col("u7"), col("c") + 10000L).otherwise(col("c"))
+                  .as("c")))
+          deltas.groupBy(col("pri"))
+            .agg(sum(col("op")).cast("long").as("dn"),
+              sum(col("op") * col("c")).cast("long").as("dsum"))
+            .write.mode("overwrite").parquet(s"$root/b$batchId")
+          ()
+        }.start()
+      q.awaitTermination()
+      val inc = s.read.schema("pri STRING, dn LONG, dsum LONG")
+        .parquet(s"$root/b*")
+        .groupBy($"pri")
+        .agg(sum($"dn").cast("bigint").as("n_inc"),
+          sum($"dsum").cast("bigint").as("sum_inc_c"))
+      val fb = T.orders(s, d).select(
+        $"o_orderpriority".as("pri"),
+        graft.functions.Exact.cents($"o_totalprice").as("c"),
+        (pmod(h60($"o_orderkey"), lit(7)) === 0).as("u7"),
+        (pmod(h60($"o_orderkey"), lit(13)) === 0).as("u13"))
+      val direct = fb.filter(!$"u13")
+        .groupBy($"pri")
+        .agg(count(lit(1)).as("n_dir"),
+          sum(when($"u7", $"c" + 10000L).otherwise($"c")).cast("bigint")
+            .as("sum_dir_c"))
+      inc.join(direct, Seq("pri"))
+        .select($"pri".as("priority"), $"n_inc", $"sum_inc_c",
+          $"n_dir", $"sum_dir_c",
+          ($"n_inc" === $"n_dir" && $"sum_inc_c" === $"sum_dir_c")
+            .cast("long").as("consistent"))
+    }),
+
     // Streaming priority-sample admission — q312's streaming
     // companion, and the reason priority sampling (not q154's
     // systematic stride) is the sampler an INGEST pipeline wants: the
@@ -2300,6 +2391,10 @@ object Streams extends QueryPack {
     // batch answer bit-for-bit (mergeable bottom-k), so it is gated by
     // the SAME oracle
     "s38_stream_priority_sample" -> Pipeline.oracles("q312_priority_sample"),
+
+    // additive retraction partials summed over batches must equal
+    // q320's one-shot maintenance — gated by the SAME oracle
+    "s39_stream_ivm_retraction" -> Relational.oracles("q320_ivm_retraction_audit"),
 
     // q155's oracle verbatim: the streamed union over micro-batches
     // must equal the one-shot batch admission answer (doc grain is

@@ -166,7 +166,10 @@ class DeterminismSpec extends AnyFunSuite {
     // round 16 batch C: hash-coin flips, integer ceils over the lift
     // grid, hash-chosen CDC update/delete sets
     "q318_rr_privacy_audit", "q319_power_sizing",
-    "q320_ivm_retraction_audit")
+    "q320_ivm_retraction_audit",
+    // round 16 batch D: the ±1-corrected isqrt weights, the best-group
+    // impact ratio floor
+    "q321_neyman_allocation", "q322_filter_parity_audit")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

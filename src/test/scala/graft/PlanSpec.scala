@@ -41,7 +41,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "s32_stream_ivf_admission", "s33_stream_cms_monitor",
     "s34_stream_scd2", "s35_stream_bloom_dedup", "s36_stream_funnel",
     "s37_stream_temporal_join",
-    "s38_stream_priority_sample")
+    "s38_stream_priority_sample",
+    "s39_stream_ivm_retraction")
   // bounded-side nested loops that are correct by construction
   // (1-row stats, 4-row tier dim, 10-row query set, 5-row lang
   // profiles, 1-row mixture minimum, k-row centroid set, 1-row
@@ -74,6 +75,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q316_sortkey_advisor" -> 64,
     // q319: the 1-row base-rate scalar crossed onto the 4-row lift grid
     "q319_power_sizing" -> 8,
+    // q321: the 1-row (Σweight, Σsize) scalar crossed onto the
+    // |langs|-row stratum table
+    "q321_neyman_allocation" -> 8,
+    // q322: the 1-row best-rate scalar crossed onto the |langs|-row
+    // rate table
+    "q322_filter_parity_audit" -> 8,
     // q299: the 1-row total-energy and kept-energy scalars crossed
     // onto the 8-row synopsis
     "q299_haar_sketch" -> 1,
