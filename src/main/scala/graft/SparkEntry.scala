@@ -268,7 +268,9 @@ import graft.operators._
   * audit, q319 experiment power sizing (integer ceil, no libm),
   * q320 IVM retraction audit + s39 its streaming linear-partial
   * form, q321 Neyman allocation (exact ±1-corrected isqrt), q322
-  * four-fifths disparate-impact audit of q61's filter.
+  * four-fifths disparate-impact audit of q61's filter, q323 max-F1
+  * operating-point selection, q324 A/A medians with distribution-free
+  * binomial CIs (value-band-decomposed rank select).
   */
 object SparkEntry {
 

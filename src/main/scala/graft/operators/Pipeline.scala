@@ -975,6 +975,123 @@ object Pipeline extends QueryPack {
             "* 1000000 div w_tot AS BIGINT)").as("err_ppm"))
     }),
 
+    // ---- operating-point selection (threshold sweep, max-F1) -----------
+    // The deployment step after any scoring op (q306's propensity
+    // baseline here): WHICH threshold ships? Per literal threshold:
+    // the confusion matrix of "early purchase share ≥ t" against the
+    // late-window outcome (≥ 7 late purchases — the median split, so
+    // both error types are populated), precision/recall/F1 in exact
+    // ppm, chosen = smallest threshold attaining max F1. The honest
+    // finding is itself the point: precision ≈ the base rate at every
+    // threshold — the early-share score carries no signal for this
+    // outcome, so max-F1 sits at max recall; a pipeline reads that as
+    // "don't ship this score", which is what operating-point reports
+    // are FOR. One user-grain agg; the sweep is 5 literal rows.
+    "q323_threshold_selection" -> ((s, d) => {
+      import s.implicits._
+      val cut = to_date(lit("2024-01-16"))
+      val base = T.events(s, d).groupBy($"user_id")
+        .agg(
+          expr("count(CASE WHEN event_type = 'purchase' AND " +
+            "CAST(ts AS DATE) < DATE '2024-01-16' THEN 1 END) * 1000000 " +
+            "div greatest(count(CASE WHEN CAST(ts AS DATE) < " +
+            "DATE '2024-01-16' THEN 1 END), 1)").as("score_ppm"),
+          (count(when($"event_type" === "purchase" &&
+            to_date($"ts") >= cut, 1)) >= 7L).cast("long").as("y"))
+      val th = Seq(100000L, 150000L, 200000L, 250000L, 300000L)
+        .toDF("thr_ppm")
+      val m = base.crossJoin(broadcast(th))
+        .groupBy($"thr_ppm")
+        .agg(
+          sum(when($"score_ppm" >= $"thr_ppm" && $"y" === 1L, 1L)
+            .otherwise(0L)).cast("bigint").as("tp"),
+          sum(when($"score_ppm" >= $"thr_ppm" && $"y" === 0L, 1L)
+            .otherwise(0L)).cast("bigint").as("fp"),
+          sum(when($"score_ppm" < $"thr_ppm" && $"y" === 1L, 1L)
+            .otherwise(0L)).cast("bigint").as("fn"))
+        .select($"thr_ppm", $"tp", $"fp", $"fn",
+          expr("tp * 1000000 div greatest(tp + fp, 1)").as("prec_ppm"),
+          expr("tp * 1000000 div greatest(tp + fn, 1)").as("rec_ppm"),
+          expr("2 * tp * 1000000 div greatest(2 * tp + fp + fn, 1)")
+            .as("f1_ppm"))
+      val bt = m.agg(max($"f1_ppm").as("bf1")).crossJoin(m)
+        .filter($"f1_ppm" === $"bf1")
+        .agg(min($"thr_ppm").as("bthr"))
+      m.crossJoin(broadcast(bt))
+        .select($"thr_ppm", $"tp", $"fp", $"fn", $"prec_ppm", $"rec_ppm",
+          $"f1_ppm", ($"thr_ppm" === $"bthr").cast("long").as("chosen"))
+    }),
+
+    // ---- A/A medians with distribution-free CIs ------------------------
+    // The quantile-side splitter sanity check next to q310's SRM count
+    // check: hash-split orders into two arms and report each arm's
+    // MEDIAN order value with the distribution-free binomial CI on the
+    // median (rank offset ≈ z·√n/2 at 95%, computed as
+    // 98·isqrt(n) div 100 with the q321 exact-isqrt idiom — no libm).
+    // Overlapping CIs certify the splitter at the distribution level,
+    // not just the count level (a value-skewed splitter passes SRM and
+    // fails here). Rank selection is VALUE-BAND decomposed (the
+    // bandedMedMad2 discipline): per-(arm, $10k-band) counts locate
+    // each target rank's band, row_number runs only inside the ≤3 hit
+    // bands per arm — no window ever sorts an arm-wide partition, so
+    // the plan survives 100× where a 2-partition corpus sort melts.
+    // Oracle replays plain per-arm row_number (identical order: band
+    // is monotone in the value).
+    "q324_median_ci_aa" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val h60 = graft.functions.PortableHash.h60 _
+      def isqrt(x: String): String =
+        s"""CASE
+           | WHEN CAST(sqrt(CAST(($x) AS DOUBLE)) AS BIGINT)
+           |   * CAST(sqrt(CAST(($x) AS DOUBLE)) AS BIGINT) > ($x)
+           |   THEN CAST(sqrt(CAST(($x) AS DOUBLE)) AS BIGINT) - 1
+           | WHEN (CAST(sqrt(CAST(($x) AS DOUBLE)) AS BIGINT) + 1)
+           |   * (CAST(sqrt(CAST(($x) AS DOUBLE)) AS BIGINT) + 1) <= ($x)
+           |   THEN CAST(sqrt(CAST(($x) AS DOUBLE)) AS BIGINT) + 1
+           | ELSE CAST(sqrt(CAST(($x) AS DOUBLE)) AS BIGINT) END""".stripMargin
+      val o = T.orders(s, d).select(
+        pmod(h60($"o_orderkey"), lit(2)).as("arm"),
+        graft.functions.Exact.cents($"o_totalprice").as("c"),
+        $"o_orderkey".as("k"))
+        .withColumn("band", expr("c div 1000000"))
+      val bounds = o.groupBy($"arm").agg(count(lit(1)).cast("bigint").as("n"))
+        .withColumn("sq", expr(isqrt("n")))
+        .select($"arm", $"n",
+          expr("(n + 1) div 2").as("med_r"),
+          expr("greatest(1L, n div 2 - 98 * sq div 100)").as("lo_r"),
+          expr("least(n, n div 2 + 1 + 98 * sq div 100)").as("hi_r"))
+      val targets = bounds.select($"arm", explode(array(
+          struct(lit("median_c").as("which"), $"med_r".as("r")),
+          struct(lit("ci_lo_c").as("which"), $"lo_r".as("r")),
+          struct(lit("ci_hi_c").as("which"), $"hi_r".as("r")))).as("t"))
+        .select($"arm", $"t.which".as("which"), $"t.r".as("r"))
+      val wcum = Window.partitionBy($"arm").orderBy($"band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val boff = o.groupBy($"arm", $"band")
+        .agg(count(lit(1)).cast("bigint").as("bn"))
+        .withColumn("off", coalesce(sum($"bn").over(wcum), lit(0L)))
+      val tb = targets.join(boff, Seq("arm"))
+        .filter($"off" < $"r" && $"r" <= $"off" + $"bn")
+        .select($"arm", $"which", $"r", $"band", $"off")
+        .localCheckpoint(true) // locates ≤6 (arm, band) cells
+      val hot = tb.select($"arm", $"band").distinct()
+      val ranked = o.join(broadcast(hot), Seq("arm", "band"), "left_semi")
+        .withColumn("rn_in", row_number().over(
+          Window.partitionBy($"arm", $"band").orderBy($"c", $"k"))
+          .cast("long"))
+      val sel = ranked.join(tb, Seq("arm", "band"))
+        .filter($"rn_in" === $"r" - $"off")
+        .select($"arm", $"which", $"c")
+      bounds.select($"arm", $"n")
+        .join(sel.groupBy($"arm").agg(
+          max(when($"which" === "median_c", $"c")).as("median_c"),
+          max(when($"which" === "ci_lo_c", $"c")).as("ci_lo_c"),
+          max(when($"which" === "ci_hi_c", $"c")).as("ci_hi_c")),
+          Seq("arm"))
+        .select($"arm", $"n", $"median_c", $"ci_lo_c", $"ci_hi_c")
+    }),
+
     // ---- Neyman stratified-sample allocation ---------------------------
     // [Neyman JRSS'34] the DESIGN step q60's stratified sampler
     // presupposes: given a sampling budget, how many docs per stratum?
@@ -2861,6 +2978,75 @@ object Pipeline extends QueryPack {
         |SELECT source, doc_id, w, cum, cum // 2000 AS slot
         |FROM c
         |WHERE cum // 2000 > (cum - w) // 2000""".stripMargin,
+
+    // the identical sweep, exact ppm ratios, smallest-threshold-at-max-F1
+    "q323_threshold_selection" ->
+      """WITH base AS (
+        |  SELECT user_id,
+        |    CAST(count(*) FILTER (event_type = 'purchase'
+        |        AND CAST(ts AS DATE) < DATE '2024-01-16') * 1000000
+        |      // GREATEST(count(*) FILTER (CAST(ts AS DATE)
+        |        < DATE '2024-01-16'), 1) AS BIGINT) AS score_ppm,
+        |    CAST(count(*) FILTER (event_type = 'purchase'
+        |      AND CAST(ts AS DATE) >= DATE '2024-01-16') >= 7 AS BIGINT)
+        |      AS y
+        |  FROM events GROUP BY 1),
+        |th (thr_ppm) AS (VALUES (100000), (150000), (200000), (250000),
+        |  (300000)),
+        |m AS (
+        |  SELECT CAST(t.thr_ppm AS BIGINT) AS thr_ppm,
+        |    CAST(count(*) FILTER (score_ppm >= t.thr_ppm AND y = 1)
+        |      AS BIGINT) AS tp,
+        |    CAST(count(*) FILTER (score_ppm >= t.thr_ppm AND y = 0)
+        |      AS BIGINT) AS fp,
+        |    CAST(count(*) FILTER (score_ppm < t.thr_ppm AND y = 1)
+        |      AS BIGINT) AS fn
+        |  FROM base CROSS JOIN th t GROUP BY 1),
+        |f AS (SELECT thr_ppm, tp, fp, fn,
+        |    CAST(tp * 1000000 // GREATEST(tp + fp, 1) AS BIGINT)
+        |      AS prec_ppm,
+        |    CAST(tp * 1000000 // GREATEST(tp + fn, 1) AS BIGINT)
+        |      AS rec_ppm,
+        |    CAST(2 * tp * 1000000 // GREATEST(2 * tp + fp + fn, 1)
+        |      AS BIGINT) AS f1_ppm FROM m),
+        |best AS (SELECT max(f1_ppm) AS bf1 FROM f),
+        |bt AS (SELECT min(thr_ppm) AS bthr FROM f, best
+        |  WHERE f.f1_ppm = best.bf1)
+        |SELECT f.thr_ppm, f.tp, f.fp, f.fn, f.prec_ppm, f.rec_ppm,
+        |  f.f1_ppm, CAST(f.thr_ppm = bt.bthr AS BIGINT) AS chosen
+        |FROM f CROSS JOIN bt""".stripMargin,
+
+    // plain per-arm row_number rank select — band + in-band order is
+    // the same total order, so the banded plan's picks replay exactly
+    "q324_median_ci_aa" ->
+      """WITH o AS (
+        |  SELECT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+        |      1, 15) AS BIGINT) % 2 AS arm,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+        |    o_orderkey AS k
+        |  FROM orders),
+        |rk AS (SELECT arm, c,
+        |    CAST(row_number() OVER (PARTITION BY arm ORDER BY c, k)
+        |      AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY arm) AS BIGINT) AS n FROM o),
+        |iq AS (SELECT arm AS iarm, n AS inn,
+        |    (CASE WHEN CAST(sqrt(CAST(n AS DOUBLE)) AS BIGINT)
+        |        * CAST(sqrt(CAST(n AS DOUBLE)) AS BIGINT) > n
+        |      THEN CAST(sqrt(CAST(n AS DOUBLE)) AS BIGINT) - 1
+        |      WHEN (CAST(sqrt(CAST(n AS DOUBLE)) AS BIGINT) + 1)
+        |        * (CAST(sqrt(CAST(n AS DOUBLE)) AS BIGINT) + 1) <= n
+        |      THEN CAST(sqrt(CAST(n AS DOUBLE)) AS BIGINT) + 1
+        |      ELSE CAST(sqrt(CAST(n AS DOUBLE)) AS BIGINT) END) AS sq
+        |  FROM (SELECT DISTINCT arm, n FROM rk)),
+        |bounds AS (SELECT iarm, inn, (inn + 1) // 2 AS med_r,
+        |    GREATEST(1, inn // 2 - 98 * sq // 100) AS lo_r,
+        |    LEAST(inn, inn // 2 + 1 + 98 * sq // 100) AS hi_r FROM iq)
+        |SELECT b.iarm AS arm, b.inn AS n,
+        |  max(CASE WHEN rk.rn = b.med_r THEN rk.c END) AS median_c,
+        |  max(CASE WHEN rk.rn = b.lo_r THEN rk.c END) AS ci_lo_c,
+        |  max(CASE WHEN rk.rn = b.hi_r THEN rk.c END) AS ci_hi_c
+        |FROM bounds b JOIN rk ON rk.arm = b.iarm
+        |GROUP BY 1, 2""".stripMargin,
 
     // the identical Sxx algebra and the same ±1-corrected isqrt — both
     // engines floor √x exactly, whatever their libm rounds

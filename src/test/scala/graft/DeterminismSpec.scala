@@ -169,7 +169,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q320_ivm_retraction_audit",
     // round 16 batch D: the ±1-corrected isqrt weights, the best-group
     // impact ratio floor
-    "q321_neyman_allocation", "q322_filter_parity_audit")
+    "q321_neyman_allocation", "q322_filter_parity_audit",
+    // round 16 batch E: the smallest-threshold-at-max-F1 tie-break,
+    // the band-located rank selections
+    "q323_threshold_selection", "q324_median_ci_aa")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

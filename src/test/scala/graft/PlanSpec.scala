@@ -81,6 +81,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q322: the 1-row best-rate scalar crossed onto the |langs|-row
     // rate table
     "q322_filter_parity_audit" -> 8,
+    // q323: the 5-row threshold grid crossed onto the user-grain agg
+    // (map-side combine absorbs the 5×), plus the 1-row argmax scalar
+    "q323_threshold_selection" -> 8,
+    // q324: the ≤6-row (arm, band) hot-cell dim and the 2-row bounds
+    // table under the rank-locate residual joins
+    "q324_median_ci_aa" -> 8,
     // q299: the 1-row total-energy and kept-energy scalars crossed
     // onto the 8-row synopsis
     "q299_haar_sketch" -> 1,
