@@ -975,6 +975,49 @@ object Pipeline extends QueryPack {
             "* 1000000 div w_tot AS BIGINT)").as("err_ppm"))
     }),
 
+    // ---- temperature-smoothed mixture (α = 0.5 rebalancing) -----------
+    // [the multilingual/multi-source sampling-temperature trick —
+    // Devlin+ '19 mBERT exponent, Brown+ '20 mixture weights] the
+    // rebalancing step AFTER q63 measures the mixture: raw token
+    // shares under-train small sources, so production samplers draw
+    // from share^α (α = 1/2 here). Exactly integral: the per-source
+    // weight is isqrt(toks_s · T) (the q321 ±1-corrected idiom), so
+    // weight/T = √(share) in fixed point and the renormalized
+    // temp_share_ppm needs one HUGEINT/DECIMAL division. upsample_ppm
+    // = temp share per raw share — the factor each source's sampling
+    // rate changes by (>1e6 for small sources, <1e6 for large, the
+    // flattening made auditable). At corpus scale toks·T outgrows
+    // int64: divide both by a common 2^k first (shares are
+    // scale-invariant). One corpus-grain token agg; |sources| rows on.
+    "q325_temperature_mixture" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      def isqrt(x: String): String =
+        s"""CASE
+           | WHEN CAST(sqrt(CAST(($x) AS DOUBLE)) AS BIGINT)
+           |   * CAST(sqrt(CAST(($x) AS DOUBLE)) AS BIGINT) > ($x)
+           |   THEN CAST(sqrt(CAST(($x) AS DOUBLE)) AS BIGINT) - 1
+           | WHEN (CAST(sqrt(CAST(($x) AS DOUBLE)) AS BIGINT) + 1)
+           |   * (CAST(sqrt(CAST(($x) AS DOUBLE)) AS BIGINT) + 1) <= ($x)
+           |   THEN CAST(sqrt(CAST(($x) AS DOUBLE)) AS BIGINT) + 1
+           | ELSE CAST(sqrt(CAST(($x) AS DOUBLE)) AS BIGINT) END""".stripMargin
+      val st = T.documents(s, d).groupBy($"source")
+        .agg(sum(size(split($"text", " "))).cast("bigint").as("toks"))
+      val tt = st.agg(sum($"toks").cast("bigint").as("ttot"))
+      val w = st.crossJoin(broadcast(tt))
+        .select($"source", $"toks", $"ttot",
+          expr("toks * 1000000 div ttot").as("share_ppm"),
+          expr(isqrt("toks * ttot")).as("wgt"))
+      val wt = w.agg(sum($"wgt").cast("bigint").as("wtot"))
+      w.crossJoin(broadcast(wt))
+        .select($"source", $"toks", $"share_ppm",
+          expr("CAST(CAST(wgt AS DECIMAL(38,0)) * 1000000 div wtot" +
+            " AS BIGINT)").as("temp_share_ppm"),
+          expr("CAST(CAST(wgt AS DECIMAL(38,0)) * 1000000 * ttot div" +
+            " (CAST(wtot AS DECIMAL(38,0)) * toks) AS BIGINT)")
+            .as("upsample_ppm"))
+    }),
+
     // ---- operating-point selection (threshold sweep, max-F1) -----------
     // The deployment step after any scoring op (q306's propensity
     // baseline here): WHICH threshold ships? Per literal threshold:
@@ -2978,6 +3021,36 @@ object Pipeline extends QueryPack {
         |SELECT source, doc_id, w, cum, cum // 2000 AS slot
         |FROM c
         |WHERE cum // 2000 > (cum - w) // 2000""".stripMargin,
+
+    // the identical isqrt weights and HUGEINT renormalizations
+    "q325_temperature_mixture" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(toks) AS BIGINT) AS ttot FROM s),
+        |w AS (
+        |  SELECT source, toks, t.ttot,
+        |    CAST(toks * 1000000 // t.ttot AS BIGINT) AS share_ppm,
+        |    (CASE WHEN CAST(sqrt(CAST(toks * t.ttot AS DOUBLE)) AS BIGINT)
+        |        * CAST(sqrt(CAST(toks * t.ttot AS DOUBLE)) AS BIGINT)
+        |        > toks * t.ttot
+        |      THEN CAST(sqrt(CAST(toks * t.ttot AS DOUBLE)) AS BIGINT) - 1
+        |      WHEN (CAST(sqrt(CAST(toks * t.ttot AS DOUBLE)) AS BIGINT) + 1)
+        |        * (CAST(sqrt(CAST(toks * t.ttot AS DOUBLE)) AS BIGINT) + 1)
+        |        <= toks * t.ttot
+        |      THEN CAST(sqrt(CAST(toks * t.ttot AS DOUBLE)) AS BIGINT) + 1
+        |      ELSE CAST(sqrt(CAST(toks * t.ttot AS DOUBLE)) AS BIGINT)
+        |      END) AS wgt
+        |  FROM s CROSS JOIN t),
+        |wt AS (SELECT CAST(sum(wgt) AS BIGINT) AS wtot FROM w)
+        |SELECT w.source, w.toks, w.share_ppm,
+        |  CAST(CAST(w.wgt AS HUGEINT) * 1000000 // wt.wtot AS BIGINT)
+        |    AS temp_share_ppm,
+        |  CAST(CAST(w.wgt AS HUGEINT) * 1000000 * w.ttot
+        |    // (CAST(wt.wtot AS HUGEINT) * w.toks) AS BIGINT)
+        |    AS upsample_ppm
+        |FROM w CROSS JOIN wt""".stripMargin,
 
     // the identical sweep, exact ppm ratios, smallest-threshold-at-max-F1
     "q323_threshold_selection" ->

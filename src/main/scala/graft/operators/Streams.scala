@@ -1661,6 +1661,80 @@ object Streams extends QueryPack {
     // enrich to 'none'. No cross-batch state; batchId-keyed overwrite
     // dirs = idempotent replay; the union over batches equals the
     // one-shot batch as-of answer, which is the oracle.
+    // Streaming contamination monitor — q317's ingest-side form: the
+    // EVAL set is fixed (its 8-gram index is the small, cached side)
+    // and the TRAIN corpus arrives as a stream; each micro-batch emits
+    // only the DISTINCT gram hashes it shares with the eval universe
+    // (a tiny set — the monitor's whole point is that definitely-clean
+    // batches emit nothing), batchId-keyed and idempotent. Set union
+    // of matched hashes is exact under replay (idempotent ∪), so the
+    // post-drain per-doc overlap equals the one-shot batch answer —
+    // gated by q317's own oracle. This is the leak alarm a training
+    // pipeline runs DURING ingest, not after.
+    "s40_stream_contamination_monitor" -> ((s, d) => {
+      import s.implicits._
+      val h60 = graft.functions.PortableHash.h60 _
+      graft.GraftExtensions.ensureRegistered(s)
+      val isEval = pmod(h60(col("doc_id")), lit(10)) === 0
+      val name = s"docs_contam_${sfx(d)}"
+      synchronized {
+        if (!ShardServiceRegistry.exists(name)) {
+          val rows = T.documents(s, d).filter(!isEval)
+            .select(col("doc_id"), col("doc_id").as("pk"),
+              to_json(struct(col("doc_id"), col("text"))).as("json"))
+            .orderBy("doc_id").toLocalIterator()
+          seedRows(name, numShards = 2, rows, times = 1)
+        }
+      }
+      val evalGrams = T.documents(s, d).filter(isEval)
+        .select($"doc_id", explode(expr("word_ngrams(text, 8)")).as("g"))
+        .select($"doc_id", h60($"g").as("gh")).cache()
+      val universe = evalGrams.select($"gh").distinct().cache()
+      val nTrain = T.documents(s, d).filter(!isEval).count()
+      val cap = math.max(10L, nTrain / 4)
+      val root = s"/tmp/graft_contam_${sfx(d)}" +
+        s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", cap.toString)
+        .load()
+        .select(from_json(col("data").cast("string"), docSchema).as("e"))
+        .select(col("e.text").as("text"))
+      graft.streaming.StreamObservability.attach(s)
+      val q = raw.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.select(explode(expr("word_ngrams(text, 8)")).as("g"))
+            .select(graft.functions.PortableHash.h60(col("g")).as("gh"))
+            .distinct()
+            .join(broadcast(universe), Seq("gh"), "left_semi")
+            .write.mode("overwrite").parquet(s"$root/b$batchId")
+          ()
+        }.start()
+      q.awaitTermination()
+      val matched = s.read.schema("gh LONG").parquet(s"$root/b*")
+        .distinct()
+      val out = evalGrams
+        .join(matched.select($"gh".as("mgh")), $"gh" === $"mgh", "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when($"mgh".isNotNull, 1L).otherwise(0L)).cast("bigint")
+            .as("n_hit"))
+        .select($"doc_id", $"n_grams", $"n_hit",
+          expr("n_hit * 1000000 div n_grams").as("contam_ppm"),
+          expr("CAST(n_hit * 1000000 div n_grams >= 800000 AS BIGINT)")
+            .as("flagged"))
+      evalGrams.unpersist()
+      universe.unpersist()
+      out
+    }),
+
     // Streaming retraction maintenance — q320's streaming companion:
     // the CDC log arrives in micro-batches and the per-group aggregate
     // is maintained by ADDITIVE delta partials (each batch writes its
@@ -2395,6 +2469,10 @@ object Streams extends QueryPack {
     // additive retraction partials summed over batches must equal
     // q320's one-shot maintenance — gated by the SAME oracle
     "s39_stream_ivm_retraction" -> Relational.oracles("q320_ivm_retraction_audit"),
+
+    // idempotent set-union of matched gram hashes over batches must
+    // reproduce q317's one-shot overlap — gated by the SAME oracle
+    "s40_stream_contamination_monitor" -> Dedup.oracles("q317_contamination_check"),
 
     // q155's oracle verbatim: the streamed union over micro-batches
     // must equal the one-shot batch admission answer (doc grain is

@@ -172,7 +172,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q321_neyman_allocation", "q322_filter_parity_audit",
     // round 16 batch E: the smallest-threshold-at-max-F1 tie-break,
     // the band-located rank selections
-    "q323_threshold_selection", "q324_median_ci_aa")
+    "q323_threshold_selection", "q324_median_ci_aa",
+    // round 16 batch F: the isqrt mixture weights
+    "q325_temperature_mixture")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

@@ -42,7 +42,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "s34_stream_scd2", "s35_stream_bloom_dedup", "s36_stream_funnel",
     "s37_stream_temporal_join",
     "s38_stream_priority_sample",
-    "s39_stream_ivm_retraction")
+    "s39_stream_ivm_retraction",
+    "s40_stream_contamination_monitor")
   // bounded-side nested loops that are correct by construction
   // (1-row stats, 4-row tier dim, 10-row query set, 5-row lang
   // profiles, 1-row mixture minimum, k-row centroid set, 1-row
@@ -87,6 +88,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q324: the ≤6-row (arm, band) hot-cell dim and the 2-row bounds
     // table under the rank-locate residual joins
     "q324_median_ci_aa" -> 8,
+    // q325: the 1-row token-total and weight-total scalars crossed
+    // onto the |sources|-row mixture table (q63's scalar shape)
+    "q325_temperature_mixture" -> 8,
     // q299: the 1-row total-energy and kept-energy scalars crossed
     // onto the 8-row synopsis
     "q299_haar_sketch" -> 1,
