@@ -270,7 +270,10 @@ import graft.operators._
   * form, q321 Neyman allocation (exact ±1-corrected isqrt), q322
   * four-fifths disparate-impact audit of q61's filter, q323 max-F1
   * operating-point selection, q324 A/A medians with distribution-free
-  * binomial CIs (value-band-decomposed rank select).
+  * binomial CIs (value-band-decomposed rank select), q325
+  * temperature-smoothed mixture (isqrt share^½ weights), s40
+  * streaming contamination monitor (idempotent matched-gram union,
+  * gated by q317's oracle).
   */
 object SparkEntry {
 
