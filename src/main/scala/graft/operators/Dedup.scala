@@ -467,27 +467,42 @@ object Dedup extends QueryPack {
       import s.implicits._
       // probed ~log2(maxlen) times — cache the 2-column projection
       val docs = T.documents(s, d).select($"doc_id", $"text").cache()
-      def reps(midL: Long): DataFrame = {
-        def subs = docs
-          .filter(length($"text") >= midL)
-          .select($"doc_id", explode(expr(
-            s"transform(sequence(1, length(text) - $midL + 1), " +
-              s"i -> substring(text, CAST(i AS INT), $midL))")).as("sub"))
-        // phase 1: only the 16-byte hash crosses the wire
-        val hot = subs.select($"doc_id", md5($"sub").as("h"))
-          .groupBy($"h")
-          .agg(countDistinct($"doc_id").cast("bigint").as("ndh"))
-          .filter($"ndh" >= 2)
-          .select($"h")
-        // phase 2: exact verify of the colliding groups only (subs is
-        // re-derived — a narrow explode off the cached projection, no
-        // shuffle; only rows surviving the semi-join group on the
-        // string key)
-        subs.withColumn("h", md5($"sub"))
-          .join(broadcast(hot), Seq("h"), "left_semi")
-          .groupBy($"sub")
-          .agg(countDistinct($"doc_id").cast("bigint").as("nd"))
-          .filter($"nd" >= 2)
+      def subsOf(midL: Long): DataFrame = docs
+        .filter(length($"text") >= midL)
+        .select($"doc_id", explode(expr(
+          s"transform(sequence(1, length(text) - $midL + 1), " +
+            s"i -> substring(text, CAST(i AS INT), $midL))")).as("sub"))
+      // phase 1: only the 16-byte hash crosses the wire
+      def hotOf(midL: Long): DataFrame = subsOf(midL)
+        .select($"doc_id", md5($"sub").as("h"))
+        .groupBy($"h")
+        .agg(countDistinct($"doc_id").cast("bigint").as("ndh"))
+        .filter($"ndh" >= 2)
+        .select($"h")
+      // phase 2: exact verify of the colliding groups only (subs is
+      // re-derived — a narrow explode off the cached projection, no
+      // shuffle; only rows surviving the semi-join group on the
+      // string key)
+      def repsWithHot(midL: Long, hot: DataFrame): DataFrame = subsOf(midL)
+        .withColumn("h", md5($"sub"))
+        .join(broadcast(hot), Seq("h"), "left_semi")
+        .groupBy($"sub")
+        .agg(countDistinct($"doc_id").cast("bigint").as("nd"))
+        .filter($"nd" >= 2)
+      def reps(midL: Long): DataFrame = repsWithHot(midL, hotOf(midL))
+      // existence with an exact short-circuit: equal strings ALWAYS
+      // collide on md5, so phase 1's hot set is a superset of the true
+      // repeats — an empty phase 1 proves no repeat exists and the
+      // second explode is skipped entirely (every failed probe pays
+      // one pass instead of two); a non-empty phase 1 is cached (it
+      // is ≤ a handful of 32-char hashes) so the verify pass reuses
+      // it instead of recomputing the hash aggregation
+      def existsRep(midL: Long): Boolean = {
+        val hot = hotOf(midL).cache()
+        try {
+          if (hot.isEmpty) false
+          else !repsWithHot(midL, hot).isEmpty
+        } finally hot.unpersist()
       }
       val maxLen = T.boundedCollect(
         docs.agg(max(length($"text")).cast("bigint").as("m")),
@@ -499,7 +514,7 @@ object Dedup extends QueryPack {
         iters += 1
         require(iters <= 64, "q285: binary search exceeded the int64 bound")
         val mid = (lo + hi + 1) / 2 // non-negative: trunc == floor
-        if (reps(mid).isEmpty) hi = mid - 1 else lo = mid
+        if (!existsRep(mid)) hi = mid - 1 else lo = mid
       }
       val out =
         if (lo == 0L)
