@@ -30,6 +30,53 @@ object Pipeline extends QueryPack {
   private def hash60(c: org.apache.spark.sql.Column) =
     graft.functions.PortableHash.h60(c)
 
+  /** q328's fixed-point log2 mantissa table: LUT[i] =
+    * round(log2(1 + i/64)·1000) millibits for the top 6 fractional
+    * bits, so log2(x)·1000 ≈ 1000·(bitlen(x)−1) + LUT[idx] with
+    * idx = x·64 div 2^(bitlen−1) − 64. One literal list rendered into
+    * BOTH engines' SQL — the engine-parity answer to "PSI needs a
+    * log" (max error ±½ step ≈ 8 millibits, fine for a thresholded
+    * audit; the exact-drift family q144/q249/q302 stays log-free). */
+  private[operators] val psiLutSql: String = Seq(
+    0, 22, 44, 66, 87, 109, 129, 150, 170, 190, 209, 229, 248, 267,
+    285, 304, 322, 340, 358, 375, 392, 409, 426, 443, 459, 476, 492,
+    508, 524, 539, 555, 570, 585, 600, 615, 629, 644, 658, 672, 687,
+    700, 714, 728, 741, 755, 768, 781, 794, 807, 820, 833, 845, 858,
+    870, 883, 895, 907, 919, 931, 943, 954, 966, 977, 989).mkString(", ")
+
+  /** q328's PSI report from (band, n_base, n_cur) counts — factored so
+    * s41 can run the identical computation on its streamed-merged
+    * counts (the s38/s39 gating discipline). Densifies the 10-band
+    * literal grid (an absent band must contribute its smoothed term,
+    * not silently vanish), +1-smooths, and scores each band's
+    * (Δshare ppm)·(Δlog2 millibits) against the 0.1-nat threshold.
+    * Input may be sparse; everything here is ≤10 rows post-agg. */
+  private[operators] def psiReport(counts: DataFrame): DataFrame = {
+    val s = counts.sparkSession
+    import s.implicits._
+    def mb(x: String): String =
+      s"((length(bin($x)) - 1) * 1000 + element_at(array($psiLutSql), " +
+        s"CAST(($x) * 64 div shiftleft(1L, length(bin($x)) - 1) - 64 AS INT) + 1))"
+    val cnts = (0L to 9L).toDF("band")
+      .join(counts.select($"band", $"n_base".as("nb"), $"n_cur".as("nc")),
+        Seq("band"), "left")
+      .select($"band", coalesce($"nb", lit(0L)).as("n_base"),
+        coalesce($"nc", lit(0L)).as("n_cur"))
+    val tot = cnts.agg(sum($"n_base").as("ta"), sum($"n_cur").as("tb"))
+    val terms = cnts.crossJoin(broadcast(tot))
+      .select($"band", $"n_base", $"n_cur",
+        expr("(n_base + 1) * 1000000 div (ta + 10)").as("p_ppm"),
+        expr("(n_cur + 1) * 1000000 div (tb + 10)").as("q_ppm"))
+      .select($"band", $"n_base", $"n_cur", $"p_ppm", $"q_ppm",
+        expr(s"(p_ppm - q_ppm) * (${mb("p_ppm")} - ${mb("q_ppm")})")
+          .cast("bigint").as("term_nanobits"))
+    val psi = terms.agg(sum($"term_nanobits").cast("bigint").as("psi_nanobits"))
+    terms.crossJoin(broadcast(psi))
+      .select($"band", $"n_base", $"n_cur", $"p_ppm", $"q_ppm",
+        $"term_nanobits", $"psi_nanobits",
+        ($"psi_nanobits" >= lit(144269504L)).cast("long").as("drift_flag"))
+  }
+
   /** Per-(query, doc) retrieval scores for q190/q192 — BM25 and
     * tf·idf, both integer-exact. BM25 (k1=1.2, b=0.75) cleared of
     * floats: with S = Σdl and N = #docs, dl/avgdl is kept as
@@ -925,6 +972,40 @@ object Pipeline extends QueryPack {
         .filter(expr(s"cum div $stride") > expr(s"(cum - w) div $stride"))
         .select($"source", $"doc_id", $"w", $"cum",
           expr(s"cum div $stride").as("slot"))
+    }),
+
+    // ---- population-stability-index drift (fixed-point log2) ---------
+    // [the credit-scoring PSI every drift dashboard ships;
+    // Σ (p−q)·ln(p/q) over fixed bins with the 0.1/0.25 thresholds]
+    // The INDUSTRY drift metric next to the exact family (q144 KS,
+    // q302 Wasserstein, q249 TVD): per fixed price band, the share
+    // drift between the first and second half of the order timespan
+    // (q270's derived-midpoint split). The log is the house problem —
+    // libm is banned by the engine-parity rule — so log2 runs in
+    // FIXED POINT: log2(x)·1000 ≈ 1000·(bitlen−1) + LUT[top-6
+    // mantissa bits], a 64-entry literal millibit table shared by
+    // both engines (max error ±½ step ≈ 8 millibits; PSI here is a
+    // thresholded audit, not an estimator). Terms are
+    // (Δshare ppm)·(Δlog2 millibits) = nanobits; the 0.1-nat industry
+    // threshold is 144,269,504 nanobits (0.1/ln2 bits). Bands are
+    // +1-smoothed over the DENSIFIED 10-band literal grid so an empty
+    // band cannot drop a term or divide by zero. Scale: one corpus
+    // scan → 10-band agg (map-side combinable); everything after is
+    // ≤10 rows; the two 1-row scalar crosses are the q319 shape.
+    "q328_psi_drift" -> ((s, d) => {
+      import s.implicits._
+      val sp = T.orders(s, d).agg(
+        min(unix_micros($"o_orderdate".cast("timestamp"))).as("lo"),
+        max(unix_micros($"o_orderdate".cast("timestamp"))).as("hi"))
+      val binned = T.orders(s, d).crossJoin(broadcast(sp))
+        .select(
+          least(expr(graft.functions.Exact.centsSql("o_totalprice") +
+            " div 4000000"), lit(9L)).as("band"),
+          (unix_micros($"o_orderdate".cast("timestamp")) * 2 >= $"lo" + $"hi")
+            .cast("long").as("cur"))
+      psiReport(binned.groupBy($"band").agg(
+        sum(when($"cur" === 0L, 1L).otherwise(0L)).as("n_base"),
+        sum(when($"cur" === 1L, 1L).otherwise(0L)).as("n_cur")))
     }),
 
     // ---- priority sampling (bottom-k weighted, HT-estimating) -------
@@ -3218,6 +3299,50 @@ object Pipeline extends QueryPack {
         |    // (CAST(1000000 AS HUGEINT) * delta_ppm * delta_ppm)
         |    AS BIGINT) AS n_per_arm
         |FROM calc""".stripMargin,
+
+    // the identical 10-band split, +1 smoothing, and millibit-LUT
+    // log2 — the LUT literal is rendered from the same Scala constant
+    // both engines read
+    "q328_psi_drift" -> {
+      def mb(x: String): String =
+        s"((length(bin($x)) - 1) * 1000 + [$psiLutSql]" +
+          s"[CAST(($x) * 64 // (CAST(1 AS BIGINT) << (length(bin($x)) - 1)) - 64 AS INT) + 1])"
+      s"""WITH sp AS (
+        |  SELECT min(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS lo,
+        |         max(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS hi
+        |  FROM orders),
+        |b AS (
+        |  SELECT least(CAST(round(o_totalprice * 100) AS BIGINT) // 4000000,
+        |      9) AS band,
+        |    CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) * 2 >= sp.lo + sp.hi
+        |      AS BIGINT) AS cur
+        |  FROM orders CROSS JOIN sp),
+        |grid AS (SELECT unnest(range(0, 10)) AS band),
+        |cnts AS (
+        |  SELECT g.band,
+        |    count(*) FILTER (b.cur = 0) AS n_base,
+        |    count(*) FILTER (b.cur = 1) AS n_cur
+        |  FROM grid g LEFT JOIN b ON b.band = g.band GROUP BY g.band),
+        |tot AS (SELECT sum(n_base) AS ta, sum(n_cur) AS tb FROM cnts),
+        |sh AS (
+        |  SELECT band, n_base, n_cur,
+        |    (n_base + 1) * 1000000 // (ta + 10) AS p_ppm,
+        |    (n_cur + 1) * 1000000 // (tb + 10) AS q_ppm
+        |  FROM cnts CROSS JOIN tot),
+        |terms AS (
+        |  SELECT band, n_base, n_cur, p_ppm, q_ppm,
+        |    CAST((p_ppm - q_ppm) * (${mb("p_ppm")} - ${mb("q_ppm")})
+        |      AS BIGINT) AS term_nanobits
+        |  FROM sh),
+        |psi AS (SELECT CAST(sum(term_nanobits) AS BIGINT) AS psi_nanobits
+        |  FROM terms)
+        |SELECT t.band, CAST(t.n_base AS BIGINT) AS n_base,
+        |  CAST(t.n_cur AS BIGINT) AS n_cur,
+        |  CAST(t.p_ppm AS BIGINT) AS p_ppm, CAST(t.q_ppm AS BIGINT) AS q_ppm,
+        |  t.term_nanobits, psi.psi_nanobits,
+        |  CAST(psi.psi_nanobits >= 144269504 AS BIGINT) AS drift_flag
+        |FROM terms t CROSS JOIN psi""".stripMargin
+    },
 
     // the identical priority keys, top-21 cut, τ threshold and HT
     // estimate — the driver loop's arithmetic replayed relationally

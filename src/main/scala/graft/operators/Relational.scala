@@ -1730,6 +1730,52 @@ object Relational extends QueryPack {
           sum(expr("1000000 div hop")).cast("bigint").as("h_ppm"))
     }),
 
+    // ---- bounded weighted SSSP (Bellman–Ford relaxation) -------------
+    // [Bellman '58; the Δ-stepping family reduces to exactly these
+    // synchronous relaxation rounds when run level-synchronously]
+    // WEIGHTED shortest distances — the graph family's missing metric:
+    // q195/q242 walk HOPS, but "how strongly connected" wants edge
+    // costs, here w = 1 + 1024 div cooc (frequent co-purchases are
+    // short edges — all integer, engine-identical). From the 4
+    // h60-smallest vertices (the house seed rule), 6 synchronous
+    // relaxation rounds: dist_{r+1}(sd,v) = min(dist_r(sd,v),
+    // min_{(u,v)} dist_r(sd,u) + w). The cap is the determinism
+    // contract (both engines replay exactly 6 rounds; the graph's
+    // diameter is ~3 so the fixpoint lands earlier, and a no-improve
+    // round triggers the early exit — results identical by
+    // definition). Scale shape per round: one |E|-row keyed join +
+    // one (sd,v) min-agg — the q195 BFS cost class with weights;
+    // states are localCheckpoint-truncated; seed count is the knob.
+    "q327_weighted_sssp" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val e = coocPairs(s, d)
+      val ew = e.select($"a".as("u"), $"b".as("v"), $"cooc")
+        .unionAll(e.select($"b".as("u"), $"a".as("v"), $"cooc"))
+        .select($"u", $"v", (lit(1L) + expr("1024 div cooc")).as("w"))
+      val seeds = coocDeg(s, d).select($"v")
+        .orderBy(graft.functions.PortableHash.h60($"v").asc, $"v".asc)
+        .limit(4).select($"v".as("sd"))
+      var dist = seeds.select($"sd", $"sd".as("v"), lit(0L).as("dist"))
+        .localCheckpoint()
+      var r = 1
+      var converged = false
+      while (r <= 6 && !converged) {
+        val cand = ew
+          .join(dist.select($"sd", $"v".as("u"), $"dist".as("du")), Seq("u"))
+          .select($"sd", $"v", ($"du" + $"w").as("dist"))
+        val nxt = dist.unionAll(cand)
+          .groupBy($"sd", $"v").agg(min($"dist").as("dist"))
+          .localCheckpoint()
+        val improved = nxt
+          .join(dist.withColumnRenamed("dist", "pd"), Seq("sd", "v"), "left")
+          .filter($"pd".isNull || $"dist" < $"pd")
+        if (improved.isEmpty) converged = true else dist = nxt
+        r += 1
+      }
+      dist.select($"sd", $"v", $"dist")
+    }),
+
     // ---- incremental-view-maintenance retraction audit ----------------
     // [Blakeley+ SIGMOD'86 view maintenance; the Δ-processing rule
     // every CDC-fed aggregate relies on] q168 proves INSERT-only
@@ -3446,6 +3492,41 @@ object Relational extends QueryPack {
          |  CAST(count(*) AS BIGINT) AS n_vertices FROM vs
          |  WHERE v NOT IN (SELECT v FROM vis4)
          |  HAVING count(*) > 0""".stripMargin
+    },
+
+    // the 6 synchronous relaxation rounds unrolled and materialized
+    // (each round re-reads the previous state twice — once direct,
+    // once under the edge join — so inlined CTEs would re-expand
+    // multiplicatively, the q195/q191 rule); identical weights, seeds
+    // and min-fold
+    "q327_weighted_sssp" -> {
+      val rounds = (1 to 6).map { r =>
+        s"""r$r AS MATERIALIZED (
+           |  SELECT sd, v, min(dist) AS dist FROM (
+           |    SELECT sd, v, dist FROM r${r - 1}
+           |    UNION ALL
+           |    SELECT r.sd, e.v, r.dist + e.w
+           |    FROM r${r - 1} r JOIN ew e ON e.u = r.v) u
+           |  GROUP BY sd, v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e0 AS MATERIALIZED (
+         |  SELECT x.p AS a, y.p AS b, count(*) AS cooc
+         |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p GROUP BY 1, 2),
+         |ew AS MATERIALIZED (
+         |  SELECT u, v, CAST(1 + 1024 // cooc AS BIGINT) AS w FROM (
+         |    SELECT a AS u, b AS v, cooc FROM e0
+         |    UNION ALL SELECT b, a, cooc FROM e0) b),
+         |vs AS (SELECT DISTINCT u AS v FROM ew),
+         |sd AS MATERIALIZED (
+         |  SELECT v FROM vs
+         |  ORDER BY CAST('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15)
+         |    AS BIGINT), v LIMIT 4),
+         |r0 AS MATERIALIZED (
+         |  SELECT v AS sd, v, CAST(0 AS BIGINT) AS dist FROM sd),
+         |$rounds
+         |SELECT sd, v, CAST(dist AS BIGINT) AS dist FROM r6""".stripMargin
     },
 
     // the labeled BFS unrolled to 4 materialized hops (the q195/q191

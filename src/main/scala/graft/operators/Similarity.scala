@@ -706,6 +706,105 @@ object Similarity extends QueryPack {
           expr("rank_sum div n_picks").as("mean_true_rank"))
     }),
 
+    // ---- scalar-quantization bit-depth audit -------------------------
+    // [Jégou+ PAMI'11 §2 scalar quantizers as the PQ baseline; the
+    // int8-embedding serving trade] q315 audits the DIMENSION dial of
+    // embedding compression; this audits the BIT-DEPTH dial: re-rank
+    // the q40 query set with vectors quantized at round(x·S) for
+    // S = 127 / 15 / 3 (int8 / int4 / int2) and score each depth's
+    // top-3 against the exact S=1024 ranking — recall@3 plus the mean
+    // TRUE rank of the claimed top-3 (rank separates "slightly blurry"
+    // from "random" exactly as in q315). The honest-measurement shape:
+    // whatever the curve says here is what a serving rollout gets.
+    // Same scale shape as q40/q315: the 10-vector query set broadcast
+    // against the corpus (linear, no corpus shuffle), one pass per
+    // depth over the 3-literal grid.
+    "q329_quant_depth_audit" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val emb = quantized(s, d)
+      val qs = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"q".as("qv"), $"n2".as("qn2"))
+      val wx = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+      val exact = emb.join(broadcast(qs), $"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id", cosine("q", "qv", "n2", "qn2").as("cos"))
+        .withColumn("xrk", row_number().over(wx).cast("long"))
+        .select($"qid", $"vec_id", $"xrk")
+        .localCheckpoint(true)
+      val raw = T.embeddings(s, d).select($"vec_id", $"embedding")
+      val picks = Seq(127, 15, 3).map { sc =>
+        val qd = raw.select($"vec_id",
+          expr(s"transform(embedding, x -> CAST(round(x * $sc) AS BIGINT))")
+            .as("qs"))
+          .withColumn("sn2", expr("int_dot(qs, qs)"))
+        val qqd = qd.filter($"vec_id" < 10)
+          .select($"vec_id".as("qid"), $"qs".as("qqs"), $"sn2".as("qsn2"))
+        val wp = Window.partitionBy($"qid").orderBy($"scos".desc, $"vec_id")
+        qd.join(broadcast(qqd), $"vec_id" =!= $"qid")
+          .select($"qid", $"vec_id",
+            cosine("qs", "qqs", "sn2", "qsn2").as("scos"))
+          .withColumn("rn", row_number().over(wp))
+          .filter($"rn" <= 3)
+          .select(lit(sc.toLong).as("q_scale"), $"qid", $"vec_id")
+      }.reduce(_ unionAll _)
+      picks.join(exact, Seq("qid", "vec_id"))
+        .groupBy($"q_scale")
+        .agg(sum(when($"xrk" <= 3, 1L).otherwise(0L)).cast("bigint")
+          .as("hits"),
+          sum($"xrk").cast("bigint").as("rank_sum"),
+          count(lit(1)).as("n_picks"))
+        .select($"q_scale", $"hits",
+          expr("hits * 1000000 div n_picks").as("recall_ppm"),
+          expr("rank_sum div n_picks").as("mean_true_rank"))
+    }),
+
+    // ---- k-center greedy coreset selection (Gonzalez) ----------------
+    // [Gonzalez TCS'85 farthest-point 2-approximation; Sener &
+    // Savarese ICLR'18 coreset selection] the data-PRUNING op next to
+    // q295's max-coverage and q221's budget cut: pick K=8 vectors so
+    // every vector is close to some pick, i.e. minimize the
+    // covering radius. Greedy: seed = the h60-smallest vec_id (the
+    // house content-hash rule), then 7 rounds of "farthest point from
+    // the selected set" with exact integer d² = n2 + cn2 − 2·int_dot
+    // (the q40 rule) and the (dmin DESC, vec_id ASC) tie-break. The
+    // d2cov column is the covering radius AT selection time — the
+    // monotone trajectory a pruning pipeline reads to choose K.
+    // Scale shape: the selected set lives on the DRIVER as ≤8 literal
+    // arrays, so each round is ONE corpus scan computing least() over
+    // ≤8 codegen'd int_dot columns + a TakeOrdered(1) argmax — no
+    // shuffle, no join, no window; 8 rounds = 8 linear passes at any
+    // corpus size (K passes is Gonzalez's inherent round structure;
+    // at 100 TB each pass is embarrassingly parallel).
+    "q326_kcenter_coreset" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val emb = quantized(s, d).select($"vec_id", $"q", $"n2").cache()
+      val seedRow = T.boundedCollect(
+        emb.orderBy(graft.functions.PortableHash.h60($"vec_id").asc,
+            $"vec_id".asc).limit(1),
+        1, "q326 seed")(0)
+      // (vec_id, quantized vector, n2, covering radius at selection)
+      var centers = Vector((seedRow.getLong(0),
+        seedRow.getSeq[Long](1), seedRow.getLong(2), 0L))
+      for (_ <- 2 to 8) {
+        val dcols = centers.map { case (_, cq, cn2, _) =>
+          $"n2" + lit(cn2) -
+            lit(2L) * expr(s"int_dot(q, ${cq.mkString("array(", "L,", "L)")})")
+        }
+        val dmin = if (dcols.size == 1) dcols.head else least(dcols: _*)
+        val far = T.boundedCollect(
+          emb.select($"vec_id", $"q", $"n2", dmin.as("dmin"))
+            .orderBy($"dmin".desc, $"vec_id".asc).limit(1),
+          1, "q326 farthest")(0)
+        centers :+= ((far.getLong(0), far.getSeq[Long](1),
+          far.getLong(2), far.getLong(3)))
+      }
+      emb.unpersist()
+      centers.zipWithIndex
+        .map { case ((id, _, _, cov), i) => (i + 1L, id, cov) }
+        .toDF("rk", "vec_id", "d2cov")
+    }),
+
     // ---- IVF-style partitioned ANN: search only the query's cell ----
     "q41_ann_ivf" -> ((s, d) => {
       import s.implicits._
@@ -1408,6 +1507,46 @@ object Similarity extends QueryPack {
   def oracles: Map[String, String] = Map(
     "q141_ann_ivf_multiprobe" -> duckQ141,
 
+    // the per-depth requantization round(x·S) replayed from the raw
+    // floats; both engines rank by round-6 cosine with identical
+    // tie-breaks (q315's harness over the bit-depth grid)
+    "q329_quant_depth_audit" ->
+      s"""WITH $duckQuant,
+        |qs AS (SELECT vec_id AS qid, qv AS qqv, n2 AS qn2
+        |  FROM n WHERE vec_id < 10),
+        |exact AS (
+        |  SELECT qid, vec_id, xrk FROM (
+        |    SELECT qs.qid, n.vec_id,
+        |      CAST(row_number() OVER (PARTITION BY qs.qid ORDER BY
+        |        ${duckCos("n.qv", "qs.qqv", "n.n2", "qs.qn2")} DESC,
+        |        n.vec_id) AS BIGINT) AS xrk
+        |    FROM n JOIN qs ON n.vec_id != qs.qid) t),
+        |scales (sc) AS (VALUES (127), (15), (3)),
+        |qd AS (
+        |  SELECT scales.sc, e.vec_id,
+        |    list_transform(e.embedding, x -> CAST(round(x * scales.sc)
+        |      AS BIGINT)) AS qsv
+        |  FROM scales, embeddings e),
+        |qn AS (
+        |  SELECT sc, vec_id, qsv,
+        |    CAST(list_sum(list_transform(qsv, x -> x * x)) AS BIGINT) AS sn2
+        |  FROM qd),
+        |ranked AS (
+        |  SELECT a.sc, b.vec_id AS qid, a.vec_id,
+        |    row_number() OVER (PARTITION BY a.sc, b.vec_id ORDER BY
+        |      ${duckCos("a.qsv", "b.qsv", "a.sn2", "b.sn2")} DESC,
+        |      a.vec_id) AS rn
+        |  FROM qn a JOIN qn b ON a.sc = b.sc AND b.vec_id < 10
+        |    AND a.vec_id != b.vec_id),
+        |pick AS (SELECT sc, qid, vec_id FROM ranked WHERE rn <= 3)
+        |SELECT CAST(p.sc AS BIGINT) AS q_scale,
+        |  CAST(count(*) FILTER (e.xrk <= 3) AS BIGINT) AS hits,
+        |  CAST(count(*) FILTER (e.xrk <= 3) * 1000000 // count(*)
+        |    AS BIGINT) AS recall_ppm,
+        |  CAST(sum(e.xrk) // count(*) AS BIGINT) AS mean_true_rank
+        |FROM pick p JOIN exact e ON e.qid = p.qid AND e.vec_id = p.vec_id
+        |GROUP BY 1""".stripMargin,
+
     // prefix slices are 1-based INCLUSIVE in DuckDB (qv[1:m] = first m
     // elements = Spark slice(qv, 1, m)); both rank by round-6 cosine
     "q315_matryoshka_recall" ->
@@ -1719,6 +1858,42 @@ object Similarity extends QueryPack {
         |FROM nb LEFT JOIN corec ON nb.vec_id = corec.cid
         |LEFT JOIN border ON nb.vec_id = border.bid
         |CROSS JOIN audit""".stripMargin,
+
+    // the greedy farthest-point loop unrolled to 8 materialized
+    // rounds: cK picks the argmax of the incrementally-maintained
+    // dmin (least of the previous dmin and the distance to the newest
+    // center), identical seed rule and tie-breaks
+    "q326_kcenter_coreset" -> {
+      def dot(a: String, b: String) =
+        s"CAST(list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) AS BIGINT)"
+      val rounds = (2 to 8).map { r =>
+        s"""c$r AS MATERIALIZED (
+           |  SELECT vec_id, qv, n2, dmin FROM d${r - 1}
+           |  ORDER BY dmin DESC, vec_id LIMIT 1),
+           |d$r AS MATERIALIZED (
+           |  SELECT d.vec_id, d.qv, d.n2,
+           |    least(d.dmin, d.n2 + c.n2 - 2 * ${dot("d.qv", "c.qv")}) AS dmin
+           |  FROM d${r - 1} d CROSS JOIN c$r c)""".stripMargin
+      }.mkString(",\n")
+      val picks = (2 to 8).map { r =>
+        s"SELECT CAST($r AS BIGINT) AS rk, vec_id, CAST(dmin AS BIGINT) AS d2cov FROM c$r"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $duckQuant,
+         |h AS (SELECT vec_id, qv, n2,
+         |  CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+         |    AS BIGINT) AS h60 FROM n),
+         |c1 AS MATERIALIZED (
+         |  SELECT vec_id, qv, n2 FROM h ORDER BY h60, vec_id LIMIT 1),
+         |d1 AS MATERIALIZED (
+         |  SELECT n.vec_id, n.qv, n.n2,
+         |    n.n2 + c.n2 - 2 * ${dot("n.qv", "c.qv")} AS dmin
+         |  FROM n CROSS JOIN c1 c),
+         |$rounds
+         |SELECT CAST(1 AS BIGINT) AS rk, vec_id, CAST(0 AS BIGINT) AS d2cov
+         |FROM c1
+         |UNION ALL
+         |$picks""".stripMargin
+    },
 
     "q293_knn_shapley" ->
       s"""WITH $duckQuant,

@@ -1914,6 +1914,73 @@ object Streams extends QueryPack {
             "* 1000000 div w_tot AS BIGINT)").as("err_ppm"))
     }),
 
+    // Streaming PSI drift monitor — q328's ingest-side form. The
+    // subtlety an ingest monitor must solve: PSI's baseline/current
+    // split keys off the GLOBAL timespan midpoint, which no single
+    // micro-batch knows. So the streamed state is one level finer —
+    // per-batch (price band × order-date) COUNTS, a linear-mergeable
+    // synopsis bounded by the DATE DOMAIN (the timespan is fixed; it
+    // does not grow with corpus rows), written batchId-keyed and
+    // idempotent. Post-drain the merged histogram yields the midpoint
+    // (min/max of dates WITH mass), the base/current assignment, and
+    // the identical q328 PSI computation via [[Pipeline.psiReport]] —
+    // gated by q328's own oracle (the s38/s39 discipline).
+    "s41_stream_psi_monitor" -> ((s, d) => {
+      import s.implicits._
+      val name = s"orders_psi_${sfx(d)}"
+      synchronized {
+        if (!ShardServiceRegistry.exists(name)) {
+          val rows = T.orders(s, d)
+            .select($"o_orderkey", $"o_orderkey".as("pk"),
+              to_json(struct($"o_orderkey".as("k"),
+                graft.functions.Exact.cents($"o_totalprice").as("c"),
+                unix_micros($"o_orderdate".cast("timestamp")).as("ep")))
+                .as("json"))
+            .orderBy("o_orderkey").toLocalIterator()
+          seedRows(name, numShards = 2, rows, times = 1)
+        }
+      }
+      val nOrd = T.orders(s, d).count()
+      val cap = math.max(10L, nOrd / 4)
+      val root = s"/tmp/graft_spsi_${sfx(d)}" +
+        s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val ordSchema = StructType(Seq(
+        StructField("k", LongType), StructField("c", LongType),
+        StructField("ep", LongType)))
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", cap.toString)
+        .load()
+        .select(from_json(col("data").cast("string"), ordSchema).as("e"))
+        .select(col("e.c").as("c"), col("e.ep").as("ep"))
+      graft.streaming.StreamObservability.attach(s)
+      val q = raw.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.select(least(expr("c div 4000000"), lit(9L)).as("band"),
+              col("ep"))
+            .groupBy(col("band"), col("ep"))
+            .agg(count(lit(1)).cast("long").as("n"))
+            .write.mode("overwrite").parquet(s"$root/b$batchId")
+          ()
+        }.start()
+      q.awaitTermination()
+      val hist = s.read.schema("band LONG, ep LONG, n LONG")
+        .parquet(s"$root/b*")
+        .groupBy($"band", $"ep").agg(sum($"n").cast("long").as("n"))
+      val sp = hist.agg(min($"ep").as("lo"), max($"ep").as("hi"))
+      Pipeline.psiReport(hist.crossJoin(broadcast(sp))
+        .select($"band",
+          ($"ep" * 2 >= $"lo" + $"hi").cast("long").as("cur"), $"n")
+        .groupBy($"band")
+        .agg(sum(when($"cur" === 0L, $"n").otherwise(0L)).as("n_base"),
+          sum(when($"cur" === 1L, $"n").otherwise(0L)).as("n_cur")))
+    }),
+
     "s37_stream_temporal_join" -> ((s, d) => {
       import s.implicits._
       val name = s"events_rt_${sfx(d)}" // shared fixture
@@ -2469,6 +2536,9 @@ object Streams extends QueryPack {
     // additive retraction partials summed over batches must equal
     // q320's one-shot maintenance — gated by the SAME oracle
     "s39_stream_ivm_retraction" -> Relational.oracles("q320_ivm_retraction_audit"),
+    // the streamed (band × date) histogram merge + midpoint derivation
+    // must reproduce q328's batch PSI bit-for-bit
+    "s41_stream_psi_monitor" -> Pipeline.oracles("q328_psi_drift"),
 
     // idempotent set-union of matched gram hashes over batches must
     // reproduce q317's one-shot overlap — gated by the SAME oracle

@@ -174,7 +174,12 @@ class DeterminismSpec extends AnyFunSuite {
     // the band-located rank selections
     "q323_threshold_selection", "q324_median_ci_aa",
     // round 16 batch F: the isqrt mixture weights
-    "q325_temperature_mixture")
+    "q325_temperature_mixture",
+    // round 16 batch G: the farthest-point argmax tie-break, the
+    // 4-seed relaxation min-folds, the millibit-LUT log terms, the
+    // per-depth rank tie-breaks
+    "q326_kcenter_coreset", "q327_weighted_sssp", "q328_psi_drift",
+    "q329_quant_depth_audit")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

@@ -43,7 +43,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "s37_stream_temporal_join",
     "s38_stream_priority_sample",
     "s39_stream_ivm_retraction",
-    "s40_stream_contamination_monitor")
+    "s40_stream_contamination_monitor",
+    "s41_stream_psi_monitor")
   // bounded-side nested loops that are correct by construction
   // (1-row stats, 4-row tier dim, 10-row query set, 5-row lang
   // profiles, 1-row mixture minimum, k-row centroid set, 1-row
@@ -315,7 +316,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q266_graph_summary" -> 1,
     // q267: the 4-row data-derived threshold table broadcast under
     // the non-equi deg > k joins (the bounded side, never |V|)
-    "q267_rich_club" -> 1)
+    "q267_rich_club" -> 1,
+    // q328: the 1-row timespan / band-total / psi-total scalars
+    // crossed onto the corpus scan and the 10-band report
+    "q328_psi_drift" -> 1,
+    // q329: q40's 10-row query set broadcast under the self-exclusion
+    // non-equi join, once per quantization depth
+    "q329_quant_depth_audit" -> 10)
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
