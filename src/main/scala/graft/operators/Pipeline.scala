@@ -1008,6 +1008,41 @@ object Pipeline extends QueryPack {
         sum(when($"cur" === 1L, 1L).otherwise(0L)).as("n_cur")))
     }),
 
+    // ---- SPRT sequential experiment monitor (fixed-point LLR) --------
+    // [Wald '45] the SEQUENTIAL testing op next to the fixed-horizon
+    // family (q319 sizes the experiment, q310/q324 check the splitter,
+    // q291/q294 test at the end): can the daily purchase-rate stream
+    // stop the experiment early? One-sample SPRT of H0: p = 20% vs
+    // H1: p = 22% (a 10% lift) at α = β = 0.05. The log-likelihood
+    // ratio runs in MILLIBITS with LITERAL coefficients — per purchase
+    // +138 (= round(log2(.22/.20)·1000)), per non-purchase −37
+    // (= round(log2(.78/.80)·1000)); stop when the cumulative LLR
+    // exits ±4248 (= round(log2(.95/.05)·1000)) — no libm anywhere,
+    // both engines fold identical integers. The honest trajectory on
+    // this corpus: the true rate is ~19.8%, the LLR drifts ~−800
+    // millibits/day and accepts H0 in under a week — the early-stop
+    // verdict sequential monitors exist to deliver. Scale: one
+    // event-scan day-grain agg (map-side combinable); the cumulative
+    // window runs over the timespan-bounded day grid (q188's shape).
+    "q330_sprt_monitor" -> ((s, d) => {
+      import s.implicits._
+      val daily = T.events(s, d)
+        .groupBy(to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(($"event_type" === "purchase").cast("long")).as("n_purch"))
+        .select($"day", $"n_events", $"n_purch",
+          ($"n_purch" * 138L - ($"n_events" - $"n_purch") * 37L)
+            .as("llr_mb"))
+      val wc = Window.orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("cum_llr_mb", sum($"llr_mb").over(wc).cast("bigint"))
+        .select($"day", $"n_events", $"n_purch", $"llr_mb", $"cum_llr_mb",
+          when($"cum_llr_mb" >= 4248L, "accept_h1")
+            .when($"cum_llr_mb" <= -4248L, "accept_h0")
+            .otherwise("continue").as("state"))
+    }),
+
     // ---- priority sampling (bottom-k weighted, HT-estimating) -------
     // [Duffield, Lund & Thorup JACM'07; Efraimidis & Spirakis IPL'06]
     // The ESTIMATING weighted sample q154 doesn't give: q154's
@@ -3299,6 +3334,31 @@ object Pipeline extends QueryPack {
         |    // (CAST(1000000 AS HUGEINT) * delta_ppm * delta_ppm)
         |    AS BIGINT) AS n_per_arm
         |FROM calc""".stripMargin,
+
+    // the identical literal millibit coefficients and thresholds; the
+    // windowed cumulative sum CAST to BIGINT (the HUGEINT rule)
+    "q330_sprt_monitor" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+        |      AS n_purch
+        |  FROM events GROUP BY 1),
+        |llr AS (
+        |  SELECT day, n_events, n_purch,
+        |    n_purch * 138 - (n_events - n_purch) * 37 AS llr_mb
+        |  FROM daily),
+        |cum AS (
+        |  SELECT day, n_events, n_purch, llr_mb,
+        |    CAST(sum(llr_mb) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_llr_mb
+        |  FROM llr)
+        |SELECT day, n_events, n_purch, llr_mb, cum_llr_mb,
+        |  CASE WHEN cum_llr_mb >= 4248 THEN 'accept_h1'
+        |       WHEN cum_llr_mb <= -4248 THEN 'accept_h0'
+        |       ELSE 'continue' END AS state
+        |FROM cum""".stripMargin,
 
     // the identical 10-band split, +1 smoothing, and millibit-LUT
     // log2 — the LUT literal is rendered from the same Scala constant

@@ -3050,7 +3050,7 @@ object Relational extends QueryPack {
     * back to the capped state at 32 — exactly the stopping rule
     * [[iterateToFixpointPpm]] implements, so the engines agree on
     * every trajectory, converged or capped. */
-  private def prFixpointTail(outCol: String, maxIters: Int = 32): String =
+  private[operators] def prFixpointTail(outCol: String, maxIters: Int = 32): String =
     s"""conv AS (
        |  SELECT a.iter AS k
        |  FROM pr a JOIN pr b ON b.iter = a.iter + 1 AND b.v = a.v

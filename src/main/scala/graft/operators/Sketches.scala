@@ -493,43 +493,69 @@ object Sketches extends QueryPack {
     }),
 
     "q214_hll_distinct" -> ((s, d) => {
-      import s.implicits._
       GraftExtensions.ensureRegistered(s)
-      val ev = T.orders(s, d)
-        .select($"o_orderstatus".as("event_type"),
-          $"o_custkey".as("user_id"))
-      val regs = ev.distinct()
-        .select($"event_type", h60($"user_id").as("h"))
-        .select($"event_type",
-          expr("h div 36028797018963968").as("j"),
-          expr("h % 36028797018963968").as("w"))
-        .select($"event_type", $"j",
-          expr("CASE WHEN w = 0 THEN 56 ELSE 55 - (length(bin(w)) - 1) END")
-            .cast("long").as("rank"))
-        .groupBy($"event_type", $"j").agg(max($"rank").as("reg"))
-      val regsAll = regs.unionAll(
-        regs.groupBy($"j").agg(max($"reg").as("reg"))
-          .select(lit("ALL_UNION").as("event_type"), $"j", $"reg"))
-      val est = regsAll.groupBy($"event_type")
-        .agg(count(lit(1)).as("n_regs"),
-          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(56 - reg AS INT))"))
-            .as("s_present"))
-        .select($"event_type",
-          ($"s_present" +
-            (lit(32L) - $"n_regs") * lit(72057594037927936L)).as("s"))
-        .select($"event_type",
-          expr("(CAST(697000 AS DECIMAL(38,0)) * 1024 * 72057594037927936)" +
-            " div (CAST(s AS DECIMAL(38,0)) * 1000000)").cast("long")
-            .as("est_hll"))
-      val exact = ev.groupBy($"event_type")
-        .agg(countDistinct($"user_id").as("n_exact"))
-        .unionAll(ev.agg(countDistinct($"user_id").as("n_exact"))
-          .select(lit("ALL_UNION").as("event_type"), $"n_exact"))
-      est.join(exact, "event_type")
-        .select($"event_type".as("scope"), $"n_exact", $"est_hll",
-          expr("(abs(est_hll - n_exact) * 1000000L) div n_exact")
-            .as("err_ppm"))
+      val ev = hllInput(s, d)
+      hllReport(hllRegisters(ev), ev)
     }))
+
+  /** q214's sketched relation: (event_type, user_id) from orders. */
+  private[operators] def hllInput(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T.orders(s, d)
+      .select($"o_orderstatus".as("event_type"),
+        $"o_custkey".as("user_id"))
+  }
+
+  /** Per-(event_type, register-index) HLL register bank of `ev` —
+    * q214's core, factored so s42 can build it PER MICRO-BATCH: the
+    * register value is a MAX over member hashes, so the bank is
+    * order-invariant, duplicate-invariant, and merges across batches
+    * by plain register max — the canonical mergeable sketch. */
+  private[operators] def hllRegisters(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    GraftExtensions.ensureRegistered(s)
+    ev.distinct()
+      .select($"event_type", h60($"user_id").as("h"))
+      .select($"event_type",
+        expr("h div 36028797018963968").as("j"),
+        expr("h % 36028797018963968").as("w"))
+      .select($"event_type", $"j",
+        expr("CASE WHEN w = 0 THEN 56 ELSE 55 - (length(bin(w)) - 1) END")
+          .cast("long").as("rank"))
+      .groupBy($"event_type", $"j").agg(max($"rank").as("reg"))
+  }
+
+  /** q214's estimate-vs-exact report from a register bank: the
+    * ALL_UNION scope is register max across types (merge, don't
+    * recount), the estimate is the integer-exact HLL formula, the
+    * exact side recomputes from `ev`. */
+  private[operators] def hllReport(regs: DataFrame, ev: DataFrame): DataFrame = {
+    val s = regs.sparkSession
+    import s.implicits._
+    val regsAll = regs.unionAll(
+      regs.groupBy($"j").agg(max($"reg").as("reg"))
+        .select(lit("ALL_UNION").as("event_type"), $"j", $"reg"))
+    val est = regsAll.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_regs"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(56 - reg AS INT))"))
+          .as("s_present"))
+      .select($"event_type",
+        ($"s_present" +
+          (lit(32L) - $"n_regs") * lit(72057594037927936L)).as("s"))
+      .select($"event_type",
+        expr("(CAST(697000 AS DECIMAL(38,0)) * 1024 * 72057594037927936)" +
+          " div (CAST(s AS DECIMAL(38,0)) * 1000000)").cast("long")
+          .as("est_hll"))
+    val exact = ev.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_exact"))
+      .unionAll(ev.agg(countDistinct($"user_id").as("n_exact"))
+        .select(lit("ALL_UNION").as("event_type"), $"n_exact"))
+    est.join(exact, "event_type")
+      .select($"event_type".as("scope"), $"n_exact", $"est_hll",
+        expr("(abs(est_hll - n_exact) * 1000000L) div n_exact")
+          .as("err_ppm"))
+  }
 
   def oracles: Map[String, String] = Map(
     // same k-min construction as q43's oracle, kept as raw lists for

@@ -1914,6 +1914,60 @@ object Streams extends QueryPack {
             "* 1000000 div w_tot AS BIGINT)").as("err_ppm"))
     }),
 
+    // Streaming HLL distinct-count monitor — q214's ingest-side form,
+    // and the textbook mergeable sketch closing the streaming-synopsis
+    // family (s31 quantiles, s33 CMS, s38 bottom-k, s41 PSI): each
+    // micro-batch builds its LOCAL register bank (Sketches.
+    // hllRegisters — a register is a max over member hashes, so the
+    // bank is duplicate- and order-invariant), writes it batchId-keyed
+    // (idempotent replay), and the post-drain merge is plain register
+    // MAX — bit-identical to the batch bank by the max-semilattice
+    // law, so the full q214 estimate-vs-exact report reproduces and
+    // the op is gated by q214's own oracle (the s38/s39 discipline).
+    "s42_stream_hll_monitor" -> ((s, d) => {
+      import s.implicits._
+      val name = s"orders_hll_${sfx(d)}"
+      synchronized {
+        if (!ShardServiceRegistry.exists(name)) {
+          val rows = T.orders(s, d)
+            .select($"o_orderkey", $"o_orderkey".as("pk"),
+              to_json(struct($"o_orderstatus".as("st"),
+                $"o_custkey".as("cu"))).as("json"))
+            .orderBy("o_orderkey").toLocalIterator()
+          seedRows(name, numShards = 2, rows, times = 1)
+        }
+      }
+      val nOrd = T.orders(s, d).count()
+      val cap = math.max(10L, nOrd / 4)
+      val root = s"/tmp/graft_shll_${sfx(d)}" +
+        s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val ordSchema = StructType(Seq(
+        StructField("st", StringType), StructField("cu", LongType)))
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", cap.toString)
+        .load()
+        .select(from_json(col("data").cast("string"), ordSchema).as("e"))
+        .select(col("e.st").as("event_type"), col("e.cu").as("user_id"))
+      graft.streaming.StreamObservability.attach(s)
+      val q = raw.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          Sketches.hllRegisters(batch)
+            .write.mode("overwrite").parquet(s"$root/b$batchId")
+          ()
+        }.start()
+      q.awaitTermination()
+      val merged = s.read.schema("event_type STRING, j LONG, reg LONG")
+        .parquet(s"$root/b*")
+        .groupBy($"event_type", $"j").agg(max($"reg").as("reg"))
+      Sketches.hllReport(merged, Sketches.hllInput(s, d))
+    }),
+
     // Streaming PSI drift monitor — q328's ingest-side form. The
     // subtlety an ingest monitor must solve: PSI's baseline/current
     // split keys off the GLOBAL timespan midpoint, which no single
@@ -2539,6 +2593,9 @@ object Streams extends QueryPack {
     // the streamed (band × date) histogram merge + midpoint derivation
     // must reproduce q328's batch PSI bit-for-bit
     "s41_stream_psi_monitor" -> Pipeline.oracles("q328_psi_drift"),
+    // the streamed register-max merge must reproduce q214's bank
+    // bit-for-bit (max semilattice)
+    "s42_stream_hll_monitor" -> Sketches.oracles("q214_hll_distinct"),
 
     // idempotent set-union of matched gram hashes over batches must
     // reproduce q317's one-shot overlap — gated by the SAME oracle

@@ -975,6 +975,37 @@ object TextAnalysis extends QueryPack {
     // term table (bounded by vocabulary size — q124 shows the band
     // decomposition when even that is too wide). slope = num/den left
     // unevaluated (exact-integer convention); s ≈ −num/den.
+    // ---- TextRank keyphrase extraction --------------------------------
+    // [Mihalcea & Tarau, EMNLP'04] keyword extraction by CENTRALITY
+    // instead of frequency (q243's tf-idf axis): build the word
+    // co-occurrence graph — content words (length ≥ 4, the stand-in
+    // for the paper's POS filter) adjacent in the ORIGINAL token
+    // sequence, undirected, edge weight = adjacency count — and rank
+    // words by integer-exact weighted PageRank
+    // ([[Relational.weightedPageRankPpm]], the q162 kernel on a text
+    // substrate: same ppm floors, same fixpoint rule, so the oracle
+    // is q162's recursive CTE re-pointed at the word graph). Top 15
+    // by (score DESC, word ASC) — a global limit, no window. Scale:
+    // the adjacency self-join is keyed on (doc, pos) — narrow,
+    // corpus-linear; the PageRank state is VOCABULARY-sized, which
+    // grows ~Heaps-sublinearly (q193 measures exactly that), so the
+    // fixpoint loop is cheap relative to any corpus scan.
+    "q331_textrank_keyphrases" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val tok = T.documents(s, d)
+        .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      val pairs = tok.select($"doc_id", $"pos", $"w".as("w1"))
+        .join(tok.select($"doc_id", ($"pos" - 1).as("pos"), $"w".as("w2")),
+          Seq("doc_id", "pos"))
+        .filter(length($"w1") >= 4 && length($"w2") >= 4 && $"w1" =!= $"w2")
+        .select(least($"w1", $"w2").as("a"), greatest($"w1", $"w2").as("b"))
+        .groupBy($"a", $"b").agg(count(lit(1)).as("cooc"))
+      Relational.weightedPageRankPpm(pairs)
+        .orderBy($"wpr_ppm".desc, $"v".asc).limit(15)
+        .select($"v".as("word"), $"wpr_ppm")
+    }),
+
     "q210_zipf_slope" -> ((s, d) => {
       import s.implicits._
       val counts = T.documents(s, d)
@@ -994,6 +1025,39 @@ object TextAnalysis extends QueryPack {
     }))
 
   def oracles: Map[String, String] = Map(
+    // q162's recursive-CTE weighted-PageRank replay re-pointed at the
+    // word-adjacency graph; identical ppm floors and fixpoint rule
+    "q331_textrank_keyphrases" ->
+      s"""SELECT part AS word, wpr_ppm FROM (
+        |WITH RECURSIVE tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |cooc AS (
+        |  SELECT least(x.w, y.w) AS a, greatest(x.w, y.w) AS b,
+        |    count(*) AS cooc
+        |  FROM tok x JOIN tok y ON x.doc_id = y.doc_id AND y.pos = x.pos + 1
+        |  WHERE length(x.w) >= 4 AND length(y.w) >= 4 AND x.w != y.w
+        |  GROUP BY 1, 2),
+        |dirw AS (
+        |  SELECT a AS u, b AS v, cooc FROM cooc
+        |  UNION ALL SELECT b AS u, a AS v, cooc FROM cooc),
+        |wdeg AS (SELECT u, CAST(sum(cooc) AS BIGINT) AS wdeg FROM dirw GROUP BY u),
+        |nv AS (SELECT count(*) AS n_v FROM wdeg),
+        |pr AS (
+        |  SELECT 0 AS iter, u AS v, 1000000 // n_v AS p FROM wdeg CROSS JOIN nv
+        |  UNION ALL
+        |  SELECT s.iter + 1, s.v, 150000 // nv.n_v + (850000 * s.sc) // 1000000 AS p
+        |  FROM (
+        |    SELECT pr.iter, d.v,
+        |      CAST(sum((pr.p * d.cooc) // w.wdeg) AS BIGINT) AS sc
+        |    FROM dirw d JOIN pr ON pr.v = d.u JOIN wdeg w ON w.u = d.u
+        |    WHERE pr.iter < 32
+        |    GROUP BY pr.iter, d.v) s
+        |  CROSS JOIN nv),
+        |${Relational.prFixpointTail("wpr_ppm")}
+        |) t ORDER BY wpr_ppm DESC, word LIMIT 15""".stripMargin,
+
     "q189_gazetteer_mentions" ->
       """WITH dict(w, etype) AS (VALUES
         |  ('spark', 'engine'), ('hash', 'operator'), ('join', 'operator'),

@@ -179,7 +179,10 @@ class DeterminismSpec extends AnyFunSuite {
     // 4-seed relaxation min-folds, the millibit-LUT log terms, the
     // per-depth rank tie-breaks
     "q326_kcenter_coreset", "q327_weighted_sssp", "q328_psi_drift",
-    "q329_quant_depth_audit")
+    "q329_quant_depth_audit",
+    // round 16 batch H: the day-ordered LLR cumulative fold, the
+    // word-graph fixpoint + top-15 tie-break
+    "q330_sprt_monitor", "q331_textrank_keyphrases")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

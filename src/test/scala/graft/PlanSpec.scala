@@ -44,7 +44,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "s38_stream_priority_sample",
     "s39_stream_ivm_retraction",
     "s40_stream_contamination_monitor",
-    "s41_stream_psi_monitor")
+    "s41_stream_psi_monitor",
+    "s42_stream_hll_monitor")
   // bounded-side nested loops that are correct by construction
   // (1-row stats, 4-row tier dim, 10-row query set, 5-row lang
   // profiles, 1-row mixture minimum, k-row centroid set, 1-row
@@ -322,7 +323,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q328_psi_drift" -> 1,
     // q329: q40's 10-row query set broadcast under the self-exclusion
     // non-equi join, once per quantization depth
-    "q329_quant_depth_audit" -> 10)
+    "q329_quant_depth_audit" -> 10,
+    // q331: q162's 1-row vertex-count scalar crossed onto the
+    // vocabulary-sized PageRank state each iteration
+    "q331_textrank_keyphrases" -> 8)
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
