@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{GraftExtensions, QueryPack, Tables => T}
@@ -496,7 +497,116 @@ object Sketches extends QueryPack {
       GraftExtensions.ensureRegistered(s)
       val ev = hllInput(s, d)
       hllReport(hllRegisters(ev), ev)
+    }),
+
+    // ---- q-digest quantile synopsis + accuracy audit -----------------
+    // [Shrivastava, Buragohain, Agrawal & Suri, SenSys'04] the
+    // MERGEABLE quantile synopsis completing the sketch family (KMV
+    // q43, CMS q112, Bloom q119, HLL q214, CountSketch q287): unlike
+    // q80's fixed histogram, the q-digest ADAPTS — dense value regions
+    // keep leaf resolution, sparse regions collapse upward, and the
+    // rank error is BOUNDED by levels·⌊n/k⌋ regardless of the
+    // distribution. Universe: 256 leaves of 262,144 cents over
+    // o_totalprice; compression (k = 32 — measured 191 → 48 nodes at
+    // sf0.01 with realized errors 40× inside the bound): bottom-up over the 8
+    // levels, a sibling family folds into its parent while the family
+    // total stays under t = ⌊n/32⌋ — a deterministic function of the
+    // leaf histogram, replayed identically by the oracle's 8
+    // materialized rounds. Quantile query: walk nodes by (right
+    // endpoint, level, idx), first prefix ≥ ⌈q·n⌉. The audit carries
+    // est vs exact (banded rank select — row_number only inside the
+    // ≤4 hit leaves, the bandedMedMad2 discipline), the realized
+    // signed rank error, and the 8t theoretical bound as columns.
+    // Scale: ONE corpus agg builds the 256-leaf histogram (map-side
+    // combinable; the synopsis is the point — leaf counts are
+    // linear-mergeable across shards/batches, which s43 exercises);
+    // compression + walk fold over ≤511 bounded rows on the driver.
+    "q332_qdigest_quantiles" -> ((s, d) => {
+      import s.implicits._
+      val cents = T.orders(s, d)
+        .select(expr(Exact.centsSql("o_totalprice")).as("c"))
+      qdigestReport(
+        cents.select(least(expr("c div 262144"), lit(255L)).as("leaf"))
+          .groupBy($"leaf").agg(count(lit(1)).as("cnt")),
+        cents)
     }))
+
+  /** q332's core: compress a (leaf, cnt) histogram into a q-digest,
+    * answer the quantile grid from the digest, and audit against the
+    * exact banded rank select over `cents` (a 1-column (c) frame).
+    * Factored so s43 can feed the MERGED per-batch leaf histograms —
+    * leaf counts are linear, so the streamed merge is exact and the
+    * whole report reproduces. Compression and walk are driver folds
+    * over ≤511 rows, bounded by the UNIVERSE (256 leaves), never the
+    * corpus — the q305 boundedCollect discipline. */
+  private[operators] def qdigestReport(leaves: DataFrame, cents: DataFrame): DataFrame = {
+    val s = leaves.sparkSession
+    import s.implicits._
+    val leafW = 262144L
+    val leafRows = T.boundedCollect(leaves, 256, "q332 leaf histogram")
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = leafRows.map(_._2).sum
+    val t = math.max(1L, n / 32L)
+    // bottom-up compression: pass p folds level p-1 sibling families
+    // of total mass < t into their level-p parent
+    var state = leafRows.map { case (idx, c) => ((0, idx), c) }.toMap
+    for (p <- 1 to 8) {
+      val (lvlNodes, rest) = state.partition(_._1._1 == p - 1)
+      val merged = lvlNodes.groupBy(_._1._2 / 2)
+        .map { case (pidx, m) => pidx -> m.values.sum }
+        .filter(_._2 < t)
+      val kept = lvlNodes.filterNot { case ((_, idx), _) =>
+        merged.contains(idx / 2) }
+      state = rest ++ kept ++
+        merged.map { case (pidx, fc) => ((p, pidx), fc) }
+    }
+    val nNodes = state.size.toLong
+    // quantile walk: nodes by (right endpoint, level, idx), first
+    // cumulative mass >= target rank; estimate = node's right edge
+    val nodes = state.toSeq
+      .map { case ((lvl, idx), c) =>
+        ((idx + 1) * (1L << lvl) - 1, lvl, idx, c) }
+      .sortBy { case (hi, lvl, idx, _) => (hi, lvl.toLong, idx) }
+    val cums = nodes.scanLeft(0L)(_ + _._4).tail.zip(nodes)
+    val targets = Seq(25L, 50L, 75L, 90L)
+    val picks = targets.map { qp =>
+      val r = (n * qp + 99L) / 100L
+      val (_, (hi, _, _, _)) = cums.find(_._1 >= r).get
+      (qp, r, (hi + 1) * leafW - 1L)
+    }
+    // exact rank select: the hit leaf comes from the driver prefix,
+    // row_number runs only INSIDE hit leaves (bandedMedMad2's rule)
+    val prefix = leafRows.scanLeft(0L)(_ + _._2).init.zip(leafRows)
+    val hitFor = targets.map { qp =>
+      val r = (n * qp + 99L) / 100L
+      val (before, (leaf, _)) =
+        prefix.find { case (b, (_, c)) => b + c >= r }.get
+      (qp, leaf, r - before)
+    }
+    val hitLeaves = hitFor.map(_._2).distinct
+    val exacts = T.boundedCollect(
+      cents.withColumn("leaf", least(expr("c div 262144"), lit(255L)))
+        .filter($"leaf".isin(hitLeaves: _*))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"leaf").orderBy($"c")).cast("long"))
+        .join(hitFor.toDF("qpct", "leaf", "rn"), Seq("leaf", "rn"))
+        .select($"qpct", $"c"),
+      4, "q332 exact quantiles")
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // realized rank of each estimate: one corpus agg, 4 literal cuts
+    val trAgg = cents.agg(
+      sum(($"c" <= picks.head._3).cast("long")).as("t0"),
+      picks.tail.zipWithIndex.map { case ((_, _, est), i) =>
+        sum(($"c" <= est).cast("long")).as(s"t${i + 1}") }: _*)
+    val trRow = T.boundedCollect(trAgg, 1, "q332 realized ranks")(0)
+    val trueRanks = picks.indices.map(i => trRow.getLong(i))
+    picks.zipWithIndex.map { case ((qp, r, est), i) =>
+      val tr = trueRanks(i)
+      (qp, r, nNodes, est, exacts(qp), tr, tr - r, 8L * t,
+        if (math.abs(tr - r) <= 8L * t) 1L else 0L)
+    }.toDF("qpct", "r_target", "n_nodes", "est_cents", "exact_cents",
+      "true_rank", "rank_err", "bound", "within_bound")
+  }
 
   /** q214's sketched relation: (event_type, user_id) from orders. */
   private[operators] def hllInput(s: SparkSession, d: String): DataFrame = {
@@ -558,6 +668,67 @@ object Sketches extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    // the 8 compression passes unrolled and materialized (the q195
+    // CTE rule); identical fold rule, walk order, and rank selects
+    "q332_qdigest_quantiles" -> {
+      val passes = (1 to 8).map { p =>
+        s"""f$p AS MATERIALIZED (
+           |  SELECT idx // 2 AS pidx, sum(cnt) AS fc
+           |  FROM s${p - 1} WHERE lvl = ${p - 1} GROUP BY 1),
+           |s$p AS MATERIALIZED (
+           |  SELECT lvl, idx, cnt FROM s${p - 1} WHERE lvl != ${p - 1}
+           |  UNION ALL
+           |  SELECT z.lvl, z.idx, z.cnt FROM s${p - 1} z
+           |    JOIN f$p f ON z.idx // 2 = f.pidx
+           |    CROSS JOIN tt WHERE z.lvl = ${p - 1} AND f.fc >= tt.t
+           |  UNION ALL
+           |  SELECT $p AS lvl, f.pidx AS idx, CAST(f.fc AS BIGINT) AS cnt
+           |  FROM f$p f CROSS JOIN tt WHERE f.fc < tt.t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH cents AS MATERIALIZED (
+         |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+         |nn AS (SELECT count(*) AS n FROM cents),
+         |tt AS MATERIALIZED (SELECT greatest(1, n // 32) AS t, n FROM nn),
+         |s0 AS MATERIALIZED (
+         |  SELECT 0 AS lvl, least(c // 262144, 255) AS idx, count(*) AS cnt
+         |  FROM cents GROUP BY 2),
+         |$passes,
+         |nodes AS (
+         |  SELECT lvl, idx, cnt, (idx + 1) * (1 << lvl) - 1 AS hi_leaf
+         |  FROM s8),
+         |w AS (SELECT lvl, idx, cnt, hi_leaf,
+         |  CAST(sum(cnt) OVER (ORDER BY hi_leaf, lvl, idx
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum
+         |  FROM nodes),
+         |nsz AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM s8),
+         |targets(qpct) AS (VALUES (25), (50), (75), (90)),
+         |tr AS (SELECT CAST(qpct AS BIGINT) AS qpct,
+         |  CAST((n * qpct + 99) // 100 AS BIGINT) AS r
+         |  FROM targets CROSS JOIN tt),
+         |pick AS (
+         |  SELECT qpct, r, est_cents FROM (
+         |    SELECT tr.qpct, tr.r,
+         |      CAST((w.hi_leaf + 1) * 262144 - 1 AS BIGINT) AS est_cents,
+         |      row_number() OVER (PARTITION BY tr.qpct
+         |        ORDER BY w.hi_leaf, w.lvl, w.idx) AS rn
+         |    FROM tr JOIN w ON w.cum >= tr.r) z WHERE rn = 1),
+         |truerk AS (
+         |  SELECT p.qpct, CAST(count(*) AS BIGINT) AS true_rank
+         |  FROM pick p JOIN cents ON cents.c <= p.est_cents GROUP BY 1),
+         |exact AS (
+         |  SELECT qpct, c AS exact_cents FROM (
+         |    SELECT tr.qpct, s.c, tr.r,
+         |      row_number() OVER (PARTITION BY tr.qpct ORDER BY s.c) AS rn
+         |    FROM tr CROSS JOIN cents s) z WHERE rn = r)
+         |SELECT p.qpct, p.r AS r_target, nsz.n_nodes, p.est_cents,
+         |  e.exact_cents, k.true_rank, k.true_rank - p.r AS rank_err,
+         |  CAST(8 * tt.t AS BIGINT) AS bound,
+         |  CAST(abs(k.true_rank - p.r) <= 8 * tt.t AS BIGINT) AS within_bound
+         |FROM pick p JOIN exact e USING (qpct) JOIN truerk k USING (qpct)
+         |CROSS JOIN nsz CROSS JOIN tt""".stripMargin
+    },
+
     // same k-min construction as q43's oracle, kept as raw lists for
     // the pair algebra; estimate formulas are the same double text as
     // the Spark side (IEEE-identical over identical int inputs)

@@ -1914,6 +1914,63 @@ object Streams extends QueryPack {
             "* 1000000 div w_tot AS BIGINT)").as("err_ppm"))
     }),
 
+    // Streaming q-digest quantile monitor — q332's ingest-side form:
+    // the digest's INPUT (the 256-leaf histogram) is linear, so each
+    // micro-batch writes only its local leaf counts (batchId-keyed,
+    // idempotent) and the post-drain sum of partials IS the global
+    // histogram; compression is deferred to read time (the digest is
+    // a deterministic function of the histogram, so compressing
+    // per-batch then merging would ALSO work — q-digests merge — but
+    // the leaf-partial form is strictly cheaper and exactly
+    // reproduces q332's batch answer, which is what the gate checks).
+    // Gated by q332's own oracle (the s38/s39 discipline).
+    "s43_stream_qdigest_monitor" -> ((s, d) => {
+      import s.implicits._
+      val name = s"orders_qdig_${sfx(d)}"
+      synchronized {
+        if (!ShardServiceRegistry.exists(name)) {
+          val rows = T.orders(s, d)
+            .select($"o_orderkey", $"o_orderkey".as("pk"),
+              to_json(struct(
+                expr(graft.functions.Exact.centsSql("o_totalprice"))
+                  .as("c"))).as("json"))
+            .orderBy("o_orderkey").toLocalIterator()
+          seedRows(name, numShards = 2, rows, times = 1)
+        }
+      }
+      val nOrd = T.orders(s, d).count()
+      val cap = math.max(10L, nOrd / 4)
+      val root = s"/tmp/graft_sqdig_${sfx(d)}" +
+        s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val cSchema = StructType(Seq(StructField("c", LongType)))
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", cap.toString)
+        .load()
+        .select(from_json(col("data").cast("string"), cSchema).as("e"))
+        .select(col("e.c").as("c"))
+      graft.streaming.StreamObservability.attach(s)
+      val q = raw.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.select(least(expr("c div 262144"), lit(255L)).as("leaf"))
+            .groupBy(col("leaf")).agg(count(lit(1)).cast("long").as("cnt"))
+            .write.mode("overwrite").parquet(s"$root/b$batchId")
+          ()
+        }.start()
+      q.awaitTermination()
+      val merged = s.read.schema("leaf LONG, cnt LONG")
+        .parquet(s"$root/b*")
+        .groupBy($"leaf").agg(sum($"cnt").cast("long").as("cnt"))
+      val cents = T.orders(s, d)
+        .select(expr(graft.functions.Exact.centsSql("o_totalprice")).as("c"))
+      Sketches.qdigestReport(merged, cents)
+    }),
+
     // Streaming HLL distinct-count monitor — q214's ingest-side form,
     // and the textbook mergeable sketch closing the streaming-synopsis
     // family (s31 quantiles, s33 CMS, s38 bottom-k, s41 PSI): each
@@ -2596,6 +2653,9 @@ object Streams extends QueryPack {
     // the streamed register-max merge must reproduce q214's bank
     // bit-for-bit (max semilattice)
     "s42_stream_hll_monitor" -> Sketches.oracles("q214_hll_distinct"),
+    // the streamed leaf-count sum must reproduce q332's histogram —
+    // and therefore its digest — bit-for-bit (linear merge)
+    "s43_stream_qdigest_monitor" -> Sketches.oracles("q332_qdigest_quantiles"),
 
     // idempotent set-union of matched gram hashes over batches must
     // reproduce q317's one-shot overlap — gated by the SAME oracle
