@@ -274,6 +274,28 @@ import graft.operators._
   * temperature-smoothed mixture (isqrt share^½ weights), s40
   * streaming contamination monitor (idempotent matched-gram union,
   * gated by q317's oracle).
+  *
+  * Round-16 continuation (SURVEY.md §2 round-16b table): 12 more
+  * components. Embeddings/pruning: q326 k-center greedy coreset
+  * (driver-literal centers, one scan + TakeOrdered per round;
+  * KcenterPropertySpec), q329 scalar-quantization bit-depth audit
+  * (int8/int4/int2 vs the exact ranking). Graph: q327 bounded
+  * weighted SSSP (6 synchronous Bellman–Ford rounds, 4 h60 seeds;
+  * SsspPropertySpec), q331 TextRank keyphrases (q162's
+  * weighted-PageRank kernel on the word-adjacency graph).
+  * Drift/experiments: q328 PSI with the 64-entry millibit-log2 LUT
+  * (the fixed-point answer to "PSI needs a log"), q330 SPRT
+  * sequential monitor (literal millibit LLR coefficients, early
+  * H0 stop), q333 U-shaped position-based attribution (struct-min
+  * first purchase, per-touch ppm floors). Synopses: q332 q-digest
+  * quantile sketch (bottom-up sub-t compression, rank-sandwich
+  * audit; QdigestPropertySpec), q335 its shard-merge audit
+  * (per-shard t_s digests, parent-inclusive merge recompress), q334
+  * information-gain split audit (millibit entropies, one CART
+  * level). Streaming ingest monitors, each
+  * gated by its batch twin's oracle via exact linear/semilattice
+  * merges: s41 PSI (band × date histogram), s42 HLL (register max),
+  * s43 q-digest (leaf counts), s44 SPRT (daily counts).
   */
 object SparkEntry {
 

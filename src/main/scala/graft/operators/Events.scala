@@ -487,6 +487,60 @@ object Events extends QueryPack {
           Exact.sumMoney($"value").as("attr_value"))
     }),
 
+    // ---- position-based (U-shaped) attribution ------------------------
+    // The third attribution model beside q92 (last-touch) and q268
+    // (Markov removal effects): position-based credit — the industry
+    // "U-shape" — splits each user's FIRST-purchase value 40/20/40
+    // across the click path strictly preceding it: first touch 40%,
+    // last touch 40%, middles share the 20% evenly (1 touch → 100%,
+    // 2 → 50/50). Credits are exact integer ppm with per-touch
+    // floors identical in both engines; pathless conversions land in
+    // the NULL "unattributed" bucket at full credit (q92's rule).
+    // Shape: one (user)-keyed window for the first purchase + one for
+    // path positions — per-user partitions only, never global; the
+    // channel rollup is the q92 agg. Money through exact cents.
+    "q333_ushape_attribution" -> ((s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+        .filter($"event_type".isin("click", "purchase"))
+        .select($"user_id", $"event_type", $"event_id",
+          unix_micros($"ts").as("ts_us"),
+          get_json_object($"props", "$.k").cast("long").as("k"),
+          Exact.cents($"value").as("cents"))
+      val firstp = ev.filter($"event_type" === "purchase")
+        .groupBy($"user_id")
+        .agg(min(struct($"ts_us", $"event_id", $"cents")).as("fp"))
+        .select($"user_id", $"fp.ts_us".as("pts"),
+          $"fp.event_id".as("pid"), $"fp.cents".as("conv_cents"))
+      val path = ev.filter($"event_type" === "click")
+        .join(firstp, Seq("user_id"))
+        .filter($"ts_us" < $"pts" ||
+          ($"ts_us" === $"pts" && $"event_id" < $"pid"))
+      val wp = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val wn = Window.partitionBy($"user_id")
+      val credited = path
+        .withColumn("p", row_number().over(wp).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .withColumn("credit_ppm",
+          when($"n" === 1L, 1000000L)
+            .when($"n" === 2L, 500000L)
+            .when($"p" === 1L || $"p" === $"n", 400000L)
+            .otherwise(expr("200000L div (n - 2)")))
+        .select($"user_id", $"k", $"credit_ppm",
+          expr("conv_cents * credit_ppm div 1000000").as("attr_cents"))
+      val unattributed = firstp
+        .join(credited.select($"user_id").distinct(),
+          Seq("user_id"), "left_anti")
+        .select($"user_id", lit(null).cast("long").as("k"),
+          lit(1000000L).as("credit_ppm"),
+          $"conv_cents".as("attr_cents"))
+      credited.unionAll(unattributed)
+        .groupBy($"k".as("attr_k"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum($"credit_ppm").cast("bigint").as("credit_ppm_sum"),
+          sum($"attr_cents").cast("bigint").as("attr_cents"))
+    }),
+
     // ---- per-user z-score anomaly flags -----------------------------
     // Anomaly detection without floats: hourly per-user totals, then
     // |z| > 3 expressed as the exact integer predicate
@@ -2651,6 +2705,59 @@ object Events extends QueryPack {
         |  CAST(sum(vq * dur_us) // sum(dur_us) AS BIGINT) AS twap_q
         |FROM iv WHERE dur_us IS NOT NULL AND dur_us > 0
         |GROUP BY user_id""".stripMargin,
+
+    // identical 40/20/40 split, struct-min first purchase, per-touch
+    // ppm floors; DuckDB min(struct).field per the composite-key rule
+    "q333_ushape_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, event_id,
+        |    CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |    CAST(props->>'k' AS BIGINT) AS k,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |firstp AS (
+        |  SELECT user_id,
+        |    min(struct_pack(ts_us := ts_us, event_id := event_id,
+        |      cents := cents)) AS fp
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY user_id),
+        |fpx AS (
+        |  SELECT user_id, fp.ts_us AS pts, fp.event_id AS pid,
+        |    fp.cents AS conv_cents
+        |  FROM firstp),
+        |path AS (
+        |  SELECT e.user_id, e.k, e.ts_us, e.event_id, f.conv_cents
+        |  FROM ev e JOIN fpx f ON e.user_id = f.user_id
+        |  WHERE e.event_type = 'click'
+        |    AND (e.ts_us < f.pts OR (e.ts_us = f.pts AND e.event_id < f.pid))),
+        |pos AS (
+        |  SELECT user_id, k, conv_cents,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS BIGINT) AS p,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        |  FROM path),
+        |credited AS (
+        |  SELECT user_id, k,
+        |    CASE WHEN n = 1 THEN 1000000
+        |         WHEN n = 2 THEN 500000
+        |         WHEN p = 1 OR p = n THEN 400000
+        |         ELSE 200000 // (n - 2) END AS credit_ppm,
+        |    conv_cents * (CASE WHEN n = 1 THEN 1000000
+        |         WHEN n = 2 THEN 500000
+        |         WHEN p = 1 OR p = n THEN 400000
+        |         ELSE 200000 // (n - 2) END) // 1000000 AS attr_cents
+        |  FROM pos),
+        |unattributed AS (
+        |  SELECT f.user_id, CAST(NULL AS BIGINT) AS k,
+        |    CAST(1000000 AS BIGINT) AS credit_ppm,
+        |    f.conv_cents AS attr_cents
+        |  FROM fpx f
+        |  WHERE f.user_id NOT IN (SELECT user_id FROM credited)),
+        |allc AS (
+        |  SELECT * FROM credited UNION ALL SELECT * FROM unattributed)
+        |SELECT k AS attr_k, count(*) AS n_touches,
+        |  CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm_sum,
+        |  CAST(sum(attr_cents) AS BIGINT) AS attr_cents
+        |FROM allc GROUP BY k""".stripMargin,
 
     "q92_last_touch" ->
       s"""WITH ev AS (

@@ -44,6 +44,39 @@ object Pipeline extends QueryPack {
     700, 714, 728, 741, 755, 768, 781, 794, 807, 820, 833, 845, 858,
     870, 883, 895, 907, 919, 931, 943, 954, 966, 977, 989).mkString(", ")
 
+  /** Spark-SQL text of millibit log2 over a positive integer
+    * expression (the LUT idiom, shared by q328 PSI and q334
+    * information gain). */
+  private[operators] def mbLog2Spark(x: String): String =
+    s"((length(bin($x)) - 1) * 1000 + element_at(array($psiLutSql), " +
+      s"CAST(($x) * 64 div shiftleft(1L, length(bin($x)) - 1) - 64 AS INT) + 1))"
+
+  /** The DuckDB mirror of [[mbLog2Spark]] — same LUT literal. */
+  private[operators] def mbLog2Duck(x: String): String =
+    s"((length(bin($x)) - 1) * 1000 + [$psiLutSql]" +
+      s"[CAST(($x) * 64 // (CAST(1 AS BIGINT) << (length(bin($x)) - 1)) - 64 AS INT) + 1])"
+
+  /** q330's SPRT report from (day, n_events, n_purch) daily counts —
+    * factored so s44 can run the identical LLR fold on its
+    * streamed-merged counts (daily counts are linear partials, so the
+    * merge is exact). Literal millibit coefficients; the cumulative
+    * window runs over the timespan-bounded day grid. */
+  private[operators] def sprtReport(daily: DataFrame): DataFrame = {
+    val s = daily.sparkSession
+    import s.implicits._
+    val wc = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .select($"day", $"n_events", $"n_purch",
+        ($"n_purch" * 138L - ($"n_events" - $"n_purch") * 37L)
+          .as("llr_mb"))
+      .withColumn("cum_llr_mb", sum($"llr_mb").over(wc).cast("bigint"))
+      .select($"day", $"n_events", $"n_purch", $"llr_mb", $"cum_llr_mb",
+        when($"cum_llr_mb" >= 4248L, "accept_h1")
+          .when($"cum_llr_mb" <= -4248L, "accept_h0")
+          .otherwise("continue").as("state"))
+  }
+
   /** q328's PSI report from (band, n_base, n_cur) counts — factored so
     * s41 can run the identical computation on its streamed-merged
     * counts (the s38/s39 gating discipline). Densifies the 10-band
@@ -54,9 +87,7 @@ object Pipeline extends QueryPack {
   private[operators] def psiReport(counts: DataFrame): DataFrame = {
     val s = counts.sparkSession
     import s.implicits._
-    def mb(x: String): String =
-      s"((length(bin($x)) - 1) * 1000 + element_at(array($psiLutSql), " +
-        s"CAST(($x) * 64 div shiftleft(1L, length(bin($x)) - 1) - 64 AS INT) + 1))"
+    def mb(x: String): String = mbLog2Spark(x)
     val cnts = (0L to 9L).toDF("band")
       .join(counts.select($"band", $"n_base".as("nb"), $"n_cur".as("nc")),
         Seq("band"), "left")
@@ -1008,6 +1039,61 @@ object Pipeline extends QueryPack {
         sum(when($"cur" === 1L, 1L).otherwise(0L)).as("n_cur")))
     }),
 
+    // ---- information-gain split audit (one CART level) ----------------
+    // [Quinlan ML'86 ID3/C4.5 split criterion] the supervised-learning
+    // primitive the stats family stops short of: WHICH threshold on a
+    // feature best separates a label, by Shannon information gain —
+    // entropies in MILLIBITS via the shared log2 LUT (q328's idiom),
+    // H(p) = (p·(MB1 − mb(p)) + (1−p)·(MB1 − mb(1−p))) div 1e6 with
+    // MB1 = mb(10⁶) = 19931, all terms non-negative so every floor is
+    // engine-identical. Label and feature are scale-invariant RATIOS
+    // (heavy purchaser: purchase share ≥ 20%; split on the error-event
+    // share at 5 literal ppm thresholds), so the grid is meaningful at
+    // any sf. chosen = smallest threshold at max gain (q323's rule).
+    // Shape: one user-grain agg; the sweep is a 5-literal-row cross
+    // absorbed by map-side combine; the argmax is a 1-row scalar.
+    "q334_split_gain_audit" -> ((s, d) => {
+      import s.implicits._
+      def mb(x: String) = mbLog2Spark(x)
+      def hmb(p: String) =
+        s"(CASE WHEN ($p) <= 0 OR ($p) >= 1000000 THEN 0 ELSE " +
+          s"(($p) * (19931 - ${mb(s"($p)")}) + " +
+          s"(1000000 - ($p)) * (19931 - ${mb(s"(1000000 - ($p))")})) " +
+          "div 1000000 END)"
+      def wh(n: String, pos: String) =
+        s"(CASE WHEN ($n) = 0 THEN 0 ELSE " +
+          s"($n) * ${hmb(s"($pos) * 1000000 div ($n)")} END)"
+      val users = T.events(s, d).groupBy($"user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(($"event_type" === "purchase").cast("long")).as("np"),
+          sum(($"event_type" === "error").cast("long")).as("ne"))
+        .select(
+          (expr("np * 1000000 div n") >= 200000L).cast("long").as("pos"),
+          expr("ne * 1000000 div n").as("err_ppm"))
+      val grid = Seq(150000L, 180000L, 200000L, 220000L, 250000L)
+        .toDF("thr_ppm")
+      val sweep = users.crossJoin(broadcast(grid))
+        .groupBy($"thr_ppm")
+        .agg(sum(($"err_ppm" < $"thr_ppm").cast("long")).as("n_left"),
+          sum(when($"err_ppm" < $"thr_ppm", $"pos").otherwise(0L))
+            .cast("bigint").as("pos_left"),
+          sum(($"err_ppm" >= $"thr_ppm").cast("long")).as("n_right"),
+          sum(when($"err_ppm" >= $"thr_ppm", $"pos").otherwise(0L))
+            .cast("bigint").as("pos_right"))
+      val scored = sweep.select($"thr_ppm", $"n_left", $"pos_left",
+          $"n_right", $"pos_right",
+          expr(hmb("(pos_left + pos_right) * 1000000 div (n_left + n_right)"))
+            .cast("bigint").as("h_parent_mb"),
+          expr(s"(${wh("n_left", "pos_left")} + ${wh("n_right", "pos_right")})" +
+            " div (n_left + n_right)").cast("bigint").as("h_split_mb"))
+        .withColumn("gain_mb", $"h_parent_mb" - $"h_split_mb")
+      val best = scored.orderBy($"gain_mb".desc, $"thr_ppm".asc).limit(1)
+        .select($"thr_ppm".as("best_thr"))
+      scored.crossJoin(broadcast(best))
+        .withColumn("chosen", ($"thr_ppm" === $"best_thr").cast("long"))
+        .drop("best_thr")
+    }),
+
     // ---- SPRT sequential experiment monitor (fixed-point LLR) --------
     // [Wald '45] the SEQUENTIAL testing op next to the fixed-horizon
     // family (q319 sizes the experiment, q310/q324 check the splitter,
@@ -1026,21 +1112,10 @@ object Pipeline extends QueryPack {
     // window runs over the timespan-bounded day grid (q188's shape).
     "q330_sprt_monitor" -> ((s, d) => {
       import s.implicits._
-      val daily = T.events(s, d)
+      sprtReport(T.events(s, d)
         .groupBy(to_date($"ts").as("day"))
         .agg(count(lit(1)).as("n_events"),
-          sum(($"event_type" === "purchase").cast("long")).as("n_purch"))
-        .select($"day", $"n_events", $"n_purch",
-          ($"n_purch" * 138L - ($"n_events" - $"n_purch") * 37L)
-            .as("llr_mb"))
-      val wc = Window.orderBy($"day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      daily
-        .withColumn("cum_llr_mb", sum($"llr_mb").over(wc).cast("bigint"))
-        .select($"day", $"n_events", $"n_purch", $"llr_mb", $"cum_llr_mb",
-          when($"cum_llr_mb" >= 4248L, "accept_h1")
-            .when($"cum_llr_mb" <= -4248L, "accept_h0")
-            .otherwise("continue").as("state"))
+          sum(($"event_type" === "purchase").cast("long")).as("n_purch")))
     }),
 
     // ---- priority sampling (bottom-k weighted, HT-estimating) -------
@@ -3335,6 +3410,53 @@ object Pipeline extends QueryPack {
         |    AS BIGINT) AS n_per_arm
         |FROM calc""".stripMargin,
 
+    // identical millibit entropies (shared LUT), ratio label/feature,
+    // and the smallest-threshold-at-max-gain pick
+    "q334_split_gain_audit" -> {
+      def mb(x: String) = mbLog2Duck(x)
+      def hmb(p: String) =
+        s"(CASE WHEN ($p) <= 0 OR ($p) >= 1000000 THEN 0 ELSE " +
+          s"(($p) * (19931 - ${mb(s"($p)")}) + " +
+          s"(1000000 - ($p)) * (19931 - ${mb(s"(1000000 - ($p))")})) " +
+          "// 1000000 END)"
+      def wh(n: String, pos: String) =
+        s"(CASE WHEN ($n) = 0 THEN 0 ELSE " +
+          s"($n) * ${hmb(s"($pos) * 1000000 // ($n)")} END)"
+      s"""WITH users AS (
+        |  SELECT CAST(count(*) FILTER (event_type = 'purchase')
+        |      * 1000000 // count(*) >= 200000 AS BIGINT) AS pos,
+        |    count(*) FILTER (event_type = 'error') * 1000000 // count(*)
+        |      AS err_ppm
+        |  FROM events GROUP BY user_id),
+        |grid (thr_ppm) AS (VALUES (150000), (180000), (200000), (220000),
+        |  (250000)),
+        |sweep AS (
+        |  SELECT CAST(g.thr_ppm AS BIGINT) AS thr_ppm,
+        |    CAST(count(*) FILTER (u.err_ppm < g.thr_ppm) AS BIGINT)
+        |      AS n_left,
+        |    CAST(coalesce(sum(u.pos) FILTER (u.err_ppm < g.thr_ppm), 0)
+        |      AS BIGINT) AS pos_left,
+        |    CAST(count(*) FILTER (u.err_ppm >= g.thr_ppm) AS BIGINT)
+        |      AS n_right,
+        |    CAST(coalesce(sum(u.pos) FILTER (u.err_ppm >= g.thr_ppm), 0)
+        |      AS BIGINT) AS pos_right
+        |  FROM grid g CROSS JOIN users u GROUP BY 1),
+        |scored AS (
+        |  SELECT thr_ppm, n_left, pos_left, n_right, pos_right,
+        |    CAST(${hmb("(pos_left + pos_right) * 1000000 // (n_left + n_right)")}
+        |      AS BIGINT) AS h_parent_mb,
+        |    CAST((${wh("n_left", "pos_left")} + ${wh("n_right", "pos_right")})
+        |      // (n_left + n_right) AS BIGINT) AS h_split_mb
+        |  FROM sweep),
+        |g2 AS (SELECT *, h_parent_mb - h_split_mb AS gain_mb FROM scored),
+        |best AS (SELECT thr_ppm AS best_thr FROM g2
+        |  ORDER BY gain_mb DESC, thr_ppm LIMIT 1)
+        |SELECT g2.thr_ppm, g2.n_left, g2.pos_left, g2.n_right, g2.pos_right,
+        |  g2.h_parent_mb, g2.h_split_mb, g2.gain_mb,
+        |  CAST(g2.thr_ppm = best.best_thr AS BIGINT) AS chosen
+        |FROM g2 CROSS JOIN best""".stripMargin
+    },
+
     // the identical literal millibit coefficients and thresholds; the
     // windowed cumulative sum CAST to BIGINT (the HUGEINT rule)
     "q330_sprt_monitor" ->
@@ -3364,9 +3486,7 @@ object Pipeline extends QueryPack {
     // log2 — the LUT literal is rendered from the same Scala constant
     // both engines read
     "q328_psi_drift" -> {
-      def mb(x: String): String =
-        s"((length(bin($x)) - 1) * 1000 + [$psiLutSql]" +
-          s"[CAST(($x) * 64 // (CAST(1 AS BIGINT) << (length(bin($x)) - 1)) - 64 AS INT) + 1])"
+      def mb(x: String): String = mbLog2Duck(x)
       s"""WITH sp AS (
         |  SELECT min(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS lo,
         |         max(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS hi

@@ -533,6 +533,40 @@ object Relational extends QueryPack {
     visited
   }
 
+  /** q327's core: bounded synchronous Bellman–Ford relaxation over a
+    * DIRECTED weighted edge list `ew` = (u, v, w) from a 1-column
+    * (sd) seed frame — factored so SsspPropertySpec can drive it on
+    * random weighted graphs (capped trajectories, negative-free
+    * weights, disconnected vertices) against a sequential reference.
+    * Per round: one |E|-row keyed join + a (sd, v) min-agg,
+    * localCheckpoint-truncated; a no-improvement round exits early
+    * (identical result — the remaining rounds would be no-ops).
+    * Returns (sd, v, dist) for vertices reached within `maxRounds`
+    * relaxations. */
+  private[graft] def weightedSsspDistances(ew: DataFrame, seeds: DataFrame,
+      maxRounds: Int): DataFrame = {
+    val s = ew.sparkSession
+    import s.implicits._
+    var dist = seeds.select($"sd", $"sd".as("v"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var r = 1
+    var converged = false
+    while (r <= maxRounds && !converged) {
+      val cand = ew
+        .join(dist.select($"sd", $"v".as("u"), $"dist".as("du")), Seq("u"))
+        .select($"sd", $"v", ($"du" + $"w").as("dist"))
+      val nxt = dist.unionAll(cand)
+        .groupBy($"sd", $"v").agg(min($"dist").as("dist"))
+        .localCheckpoint()
+      val improved = nxt
+        .join(dist.withColumnRenamed("dist", "pd"), Seq("sd", "v"), "left")
+        .filter($"pd".isNull || $"dist" < $"pd")
+      if (improved.isEmpty) converged = true else dist = nxt
+      r += 1
+    }
+    dist.select($"sd", $"v", $"dist")
+  }
+
   /** Synchronous LABEL PROPAGATION community detection [Raghavan,
     * Albert & Kumara, Phys. Rev. E'07] — q164's core: every vertex
     * starts in its own community (label = id) and repeatedly adopts
@@ -1756,24 +1790,7 @@ object Relational extends QueryPack {
       val seeds = coocDeg(s, d).select($"v")
         .orderBy(graft.functions.PortableHash.h60($"v").asc, $"v".asc)
         .limit(4).select($"v".as("sd"))
-      var dist = seeds.select($"sd", $"sd".as("v"), lit(0L).as("dist"))
-        .localCheckpoint()
-      var r = 1
-      var converged = false
-      while (r <= 6 && !converged) {
-        val cand = ew
-          .join(dist.select($"sd", $"v".as("u"), $"dist".as("du")), Seq("u"))
-          .select($"sd", $"v", ($"du" + $"w").as("dist"))
-        val nxt = dist.unionAll(cand)
-          .groupBy($"sd", $"v").agg(min($"dist").as("dist"))
-          .localCheckpoint()
-        val improved = nxt
-          .join(dist.withColumnRenamed("dist", "pd"), Seq("sd", "v"), "left")
-          .filter($"pd".isNull || $"dist" < $"pd")
-        if (improved.isEmpty) converged = true else dist = nxt
-        r += 1
-      }
-      dist.select($"sd", $"v", $"dist")
+      weightedSsspDistances(ew, seeds, maxRounds = 6)
     }),
 
     // ---- incremental-view-maintenance retraction audit ----------------

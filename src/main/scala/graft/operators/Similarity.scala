@@ -71,6 +71,42 @@ object Similarity extends QueryPack {
       .withColumn("cn2", expr("int_dot(c, c)"))
   }
 
+  /** q326's core: Gonzalez farthest-point greedy over any
+    * (vec_id, q, n2) frame — factored so KcenterPropertySpec can
+    * drive it on arbitrary small instances against a sequential
+    * reference and the brute-force optimum (the 2-approximation).
+    * Seed = the h60-smallest vec_id; each later center is the argmax
+    * of min-d² to the selected set with the (dmin DESC, vec_id ASC)
+    * tie-break. Returns (vec_id, covering d² at selection) in pick
+    * order. The selected set rides the driver as ≤k literal arrays —
+    * each round is one scan (least() over ≤k codegen'd int_dot
+    * columns) + a TakeOrdered(1); no shuffle, no join. */
+  private[graft] def kcenterGreedy(emb: DataFrame, k: Int): Vector[(Long, Long)] = {
+    val s = emb.sparkSession
+    import s.implicits._
+    graft.GraftExtensions.ensureRegistered(s)
+    val seedRow = T.boundedCollect(
+      emb.orderBy(graft.functions.PortableHash.h60($"vec_id").asc,
+          $"vec_id".asc).limit(1),
+      1, "kcenter seed")(0)
+    var centers = Vector((seedRow.getLong(0),
+      seedRow.getSeq[Long](1), seedRow.getLong(2), 0L))
+    for (_ <- 2 to k) {
+      val dcols = centers.map { case (_, cq, cn2, _) =>
+        $"n2" + lit(cn2) -
+          lit(2L) * expr(s"int_dot(q, ${cq.mkString("array(", "L,", "L)")})")
+      }
+      val dmin = if (dcols.size == 1) dcols.head else least(dcols: _*)
+      val far = T.boundedCollect(
+        emb.select($"vec_id", $"q", $"n2", dmin.as("dmin"))
+          .orderBy($"dmin".desc, $"vec_id".asc).limit(1),
+        1, "kcenter farthest")(0)
+      centers :+= ((far.getLong(0), far.getSeq[Long](1),
+        far.getLong(2), far.getLong(3)))
+    }
+    centers.map { case (id, _, _, cov) => (id, cov) }
+  }
+
   private val pqM = 8   // PQ subspaces
   private val pqSub = 8 // dims per subspace (pqM * pqSub = dim)
 
@@ -777,31 +813,11 @@ object Similarity extends QueryPack {
     // at 100 TB each pass is embarrassingly parallel).
     "q326_kcenter_coreset" -> ((s, d) => {
       import s.implicits._
-      graft.GraftExtensions.ensureRegistered(s)
       val emb = quantized(s, d).select($"vec_id", $"q", $"n2").cache()
-      val seedRow = T.boundedCollect(
-        emb.orderBy(graft.functions.PortableHash.h60($"vec_id").asc,
-            $"vec_id".asc).limit(1),
-        1, "q326 seed")(0)
-      // (vec_id, quantized vector, n2, covering radius at selection)
-      var centers = Vector((seedRow.getLong(0),
-        seedRow.getSeq[Long](1), seedRow.getLong(2), 0L))
-      for (_ <- 2 to 8) {
-        val dcols = centers.map { case (_, cq, cn2, _) =>
-          $"n2" + lit(cn2) -
-            lit(2L) * expr(s"int_dot(q, ${cq.mkString("array(", "L,", "L)")})")
-        }
-        val dmin = if (dcols.size == 1) dcols.head else least(dcols: _*)
-        val far = T.boundedCollect(
-          emb.select($"vec_id", $"q", $"n2", dmin.as("dmin"))
-            .orderBy($"dmin".desc, $"vec_id".asc).limit(1),
-          1, "q326 farthest")(0)
-        centers :+= ((far.getLong(0), far.getSeq[Long](1),
-          far.getLong(2), far.getLong(3)))
-      }
+      val centers = kcenterGreedy(emb, 8)
       emb.unpersist()
       centers.zipWithIndex
-        .map { case ((id, _, _, cov), i) => (i + 1L, id, cov) }
+        .map { case ((id, cov), i) => (i + 1L, id, cov) }
         .toDF("rk", "vec_id", "d2cov")
     }),
 

@@ -499,14 +499,77 @@ object Sketches extends QueryPack {
       hllReport(hllRegisters(ev), ev)
     }),
 
+    // ---- q-digest SHARD-MERGE audit ----------------------------------
+    // The mergeability law q332 claims, EXERCISED: 5 hash-shards each
+    // build their own digest at their own t_s = ⌊n_s/32⌋ (the real
+    // distributed setting — no shard knows the global n), the digests
+    // merge by summing counts at matching (level, idx) keys and
+    // recompressing at the global t (the canonical q-digest merge,
+    // parent-inclusive fold), and the audit reports the merged
+    // digest's quantile picks NEXT TO the single-pass global digest's
+    // and both realized rank errors — the measurement that certifies
+    // per-shard summarization before a 100 TB rollout (shard digests
+    // are what executors would emit; only ≤3k-node summaries cross
+    // the wire). One (shard × leaf) corpus agg; every fold after is a
+    // bounded driver fold over ≤5·256 rows.
+    "q335_qdigest_merge_audit" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val leafW = 262144L
+      val base = T.orders(s, d).select(
+        expr(Exact.centsSql("o_totalprice")).as("c"),
+        pmod(graft.functions.PortableHash.h60($"o_orderkey"), lit(5))
+          .as("shard"))
+      val rows = T.boundedCollect(
+        base.select($"shard", least(expr("c div 262144"), lit(255L)).as("leaf"))
+          .groupBy($"shard", $"leaf").agg(count(lit(1)).as("cnt")),
+        5L * 256, "q335 shard histograms")
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val shardDigests = rows.groupBy(_._1).map { case (sh, rs) =>
+        val hist = rs.map(r => (r._2, r._3)).sortBy(_._1)
+        val ns = hist.map(_._2).sum
+        sh -> qdigestCompress(hist, math.max(1L, ns / 32L))
+      }
+      val n = rows.map(_._3).sum
+      val t = math.max(1L, n / 32L)
+      val unioned = shardDigests.values.flatten
+        .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+      val mergedDigest = qdigestCompressState(unioned, t)
+      val globalDigest = qdigestCompress(
+        rows.groupBy(_._2).map { case (l, xs) => (l, xs.map(_._3).sum) }
+          .toSeq.sortBy(_._1), t)
+      val picks = Seq(25L, 50L, 75L, 90L).map { qp =>
+        val r = (n * qp + 99L) / 100L
+        (qp, r,
+          (qdigestPickHiLeaf(globalDigest, r) + 1) * leafW - 1,
+          (qdigestPickHiLeaf(mergedDigest, r) + 1) * leafW - 1)
+      }
+      val cuts = picks.flatMap { case (_, _, eg, em) => Seq(eg, em) }
+      val aggCols = cuts.zipWithIndex.map { case (cut, i) =>
+        sum(($"c" <= cut).cast("long")).as(s"t$i") }
+      val trRow = T.boundedCollect(
+        base.agg(aggCols.head, aggCols.tail: _*), 1, "q335 ranks")(0)
+      picks.zipWithIndex.map { case ((qp, r, eg, em), i) =>
+        (qp, r, globalDigest.size.toLong, mergedDigest.size.toLong,
+          eg, em, trRow.getLong(2 * i) - r, trRow.getLong(2 * i + 1) - r,
+          if (eg == em) 1L else 0L)
+      }.toDF("qpct", "r_target", "n_nodes_global", "n_nodes_merged",
+        "est_global", "est_merged", "err_global", "err_merged",
+        "same_pick")
+    }),
+
     // ---- q-digest quantile synopsis + accuracy audit -----------------
     // [Shrivastava, Buragohain, Agrawal & Suri, SenSys'04] the
     // MERGEABLE quantile synopsis completing the sketch family (KMV
     // q43, CMS q112, Bloom q119, HLL q214, CountSketch q287): unlike
     // q80's fixed histogram, the q-digest ADAPTS — dense value regions
     // keep leaf resolution, sparse regions collapse upward, and the
-    // rank error is BOUNDED by levels·⌊n/k⌋ regardless of the
-    // distribution. Universe: 256 leaves of 262,144 cents over
+    // rank error is bounded by levels·⌊n/k⌋ AT LEAF RESOLUTION (the
+    // provable invariant, QdigestPropertySpec: r ≤ true_rank ≤
+    // r − 1 + 8t + picked-node mass — a single heavy leaf's mass is
+    // the irreducible value-granularity term; the report's bound
+    // column is the smooth-data 8t dial, measured to hold here).
+    // Universe: 256 leaves of 262,144 cents over
     // o_totalprice; compression (k = 32 — measured 191 → 48 nodes at
     // sf0.01 with realized errors 40× inside the bound): bottom-up over the 8
     // levels, a sibling family folds into its parent while the family
@@ -547,32 +610,12 @@ object Sketches extends QueryPack {
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val n = leafRows.map(_._2).sum
     val t = math.max(1L, n / 32L)
-    // bottom-up compression: pass p folds level p-1 sibling families
-    // of total mass < t into their level-p parent
-    var state = leafRows.map { case (idx, c) => ((0, idx), c) }.toMap
-    for (p <- 1 to 8) {
-      val (lvlNodes, rest) = state.partition(_._1._1 == p - 1)
-      val merged = lvlNodes.groupBy(_._1._2 / 2)
-        .map { case (pidx, m) => pidx -> m.values.sum }
-        .filter(_._2 < t)
-      val kept = lvlNodes.filterNot { case ((_, idx), _) =>
-        merged.contains(idx / 2) }
-      state = rest ++ kept ++
-        merged.map { case (pidx, fc) => ((p, pidx), fc) }
-    }
+    val state = qdigestCompress(leafRows, t)
     val nNodes = state.size.toLong
-    // quantile walk: nodes by (right endpoint, level, idx), first
-    // cumulative mass >= target rank; estimate = node's right edge
-    val nodes = state.toSeq
-      .map { case ((lvl, idx), c) =>
-        ((idx + 1) * (1L << lvl) - 1, lvl, idx, c) }
-      .sortBy { case (hi, lvl, idx, _) => (hi, lvl.toLong, idx) }
-    val cums = nodes.scanLeft(0L)(_ + _._4).tail.zip(nodes)
     val targets = Seq(25L, 50L, 75L, 90L)
     val picks = targets.map { qp =>
       val r = (n * qp + 99L) / 100L
-      val (_, (hi, _, _, _)) = cums.find(_._1 >= r).get
-      (qp, r, (hi + 1) * leafW - 1L)
+      (qp, r, (qdigestPickHiLeaf(state, r) + 1) * leafW - 1L)
     }
     // exact rank select: the hit leaf comes from the driver prefix,
     // row_number runs only INSIDE hit leaves (bandedMedMad2's rule)
@@ -606,6 +649,58 @@ object Sketches extends QueryPack {
         if (math.abs(tr - r) <= 8L * t) 1L else 0L)
     }.toDF("qpct", "r_target", "n_nodes", "est_cents", "exact_cents",
       "true_rank", "rank_err", "bound", "within_bound")
+  }
+
+  /** q332's pure compression fold — bottom-up over the 8 levels of a
+    * 256-leaf universe: pass p folds level p−1 sibling families of
+    * total mass < t into their level-p parent. A deterministic
+    * function of the histogram alone; QdigestPropertySpec drives it
+    * over random histograms (mass conservation, the levels·t rank
+    * bound, merge = sum-then-compress). State key = (level, idx). */
+  private[graft] def qdigestCompress(leafRows: Seq[(Long, Long)],
+      t: Long): Map[(Int, Long), Long] =
+    qdigestCompressState(
+      leafRows.map { case (idx, c) => ((0, idx), c) }.toMap, t)
+
+  /** [[qdigestCompress]] from an arbitrary node state — the MERGE
+    * path (q335): a union of shard digests holds nodes at mixed
+    * levels; pass p still only folds level p−1 families, so
+    * higher-level nodes ride through until their own pass. Summing
+    * counts at matching (level, idx) keys then recompressing is the
+    * standard q-digest merge. */
+  private[graft] def qdigestCompressState(init: Map[(Int, Long), Long],
+      t: Long): Map[(Int, Long), Long] = {
+    var state = init
+    for (p <- 1 to 8) {
+      val (lvlNodes, rest0) = state.partition(_._1._1 == p - 1)
+      // family total INCLUDES a pre-existing parent (only possible on
+      // the merge path) — the canonical q-digest condition; on the
+      // leaf path parents never pre-exist, so qdigestCompress's
+      // behavior is unchanged
+      val merged = lvlNodes.groupBy(_._1._2 / 2)
+        .map { case (pidx, m) =>
+          pidx -> (m.values.sum + rest0.getOrElse((p, pidx), 0L)) }
+        .filter(_._2 < t)
+      val kept = lvlNodes.filterNot { case ((_, idx), _) =>
+        merged.contains(idx / 2) }
+      val rest = rest0 -- merged.keys.map(pidx => (p, pidx))
+      state = rest ++ kept ++
+        merged.map { case (pidx, fc) => ((p, pidx), fc) }
+    }
+    state
+  }
+
+  /** q332's pure quantile walk: nodes by (right endpoint, level,
+    * idx), first cumulative mass ≥ r; returns the picked node's
+    * right-endpoint LEAF index (the caller scales to a value). */
+  private[graft] def qdigestPickHiLeaf(state: Map[(Int, Long), Long],
+      r: Long): Long = {
+    val nodes = state.toSeq
+      .map { case ((lvl, idx), c) =>
+        ((idx + 1) * (1L << lvl) - 1, lvl, idx, c) }
+      .sortBy { case (hi, lvl, idx, _) => (hi, lvl.toLong, idx) }
+    val cums = nodes.scanLeft(0L)(_ + _._4).tail.zip(nodes)
+    cums.find(_._1 >= r).get._2._1
   }
 
   /** q214's sketched relation: (event_type, user_id) from orders. */
@@ -668,6 +763,115 @@ object Sketches extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    // three materialized compression chains (per-shard with its own
+    // t_s, the parent-inclusive merge recompress, the global
+    // reference) + two walks — identical folds, ranks, and tie-breaks
+    "q335_qdigest_merge_audit" -> {
+      val shardPasses = (1 to 8).map { p =>
+        s"""fS$p AS MATERIALIZED (
+           |  SELECT shard, idx // 2 AS pidx, sum(cnt) AS fc
+           |  FROM sS${p - 1} WHERE lvl = ${p - 1} GROUP BY 1, 2),
+           |sS$p AS MATERIALIZED (
+           |  SELECT shard, lvl, idx, cnt FROM sS${p - 1} WHERE lvl != ${p - 1}
+           |  UNION ALL
+           |  SELECT z.shard, z.lvl, z.idx, z.cnt FROM sS${p - 1} z
+           |    JOIN fS$p f ON f.shard = z.shard AND z.idx // 2 = f.pidx
+           |    JOIN tts ON tts.shard = z.shard
+           |    WHERE z.lvl = ${p - 1} AND f.fc >= tts.t
+           |  UNION ALL
+           |  SELECT f.shard, $p AS lvl, f.pidx AS idx, CAST(f.fc AS BIGINT) AS cnt
+           |  FROM fS$p f JOIN tts ON tts.shard = f.shard WHERE f.fc < tts.t)"""
+          .stripMargin
+      }.mkString(",\n")
+      val mergePasses = (1 to 8).map { p =>
+        s"""fM$p AS MATERIALIZED (
+           |  SELECT c.pidx, c.sc + coalesce(pp.cnt, 0) AS fc
+           |  FROM (SELECT idx // 2 AS pidx, sum(cnt) AS sc
+           |        FROM m${p - 1} WHERE lvl = ${p - 1} GROUP BY 1) c
+           |  LEFT JOIN m${p - 1} pp ON pp.lvl = $p AND pp.idx = c.pidx),
+           |m$p AS MATERIALIZED (
+           |  SELECT z.lvl, z.idx, z.cnt FROM m${p - 1} z CROSS JOIN tt
+           |  WHERE z.lvl != ${p - 1} AND NOT (z.lvl = $p AND EXISTS (
+           |    SELECT 1 FROM fM$p f WHERE f.pidx = z.idx AND f.fc < tt.t))
+           |  UNION ALL
+           |  SELECT z.lvl, z.idx, z.cnt FROM m${p - 1} z
+           |    JOIN fM$p f ON z.idx // 2 = f.pidx CROSS JOIN tt
+           |    WHERE z.lvl = ${p - 1} AND f.fc >= tt.t
+           |  UNION ALL
+           |  SELECT $p AS lvl, f.pidx AS idx, CAST(f.fc AS BIGINT) AS cnt
+           |  FROM fM$p f CROSS JOIN tt WHERE f.fc < tt.t)""".stripMargin
+      }.mkString(",\n")
+      val globPasses = (1 to 8).map { p =>
+        s"""fG$p AS MATERIALIZED (
+           |  SELECT idx // 2 AS pidx, sum(cnt) AS fc
+           |  FROM g${p - 1} WHERE lvl = ${p - 1} GROUP BY 1),
+           |g$p AS MATERIALIZED (
+           |  SELECT lvl, idx, cnt FROM g${p - 1} WHERE lvl != ${p - 1}
+           |  UNION ALL
+           |  SELECT z.lvl, z.idx, z.cnt FROM g${p - 1} z
+           |    JOIN fG$p f ON z.idx // 2 = f.pidx CROSS JOIN tt
+           |    WHERE z.lvl = ${p - 1} AND f.fc >= tt.t
+           |  UNION ALL
+           |  SELECT $p AS lvl, f.pidx AS idx, CAST(f.fc AS BIGINT) AS cnt
+           |  FROM fG$p f CROSS JOIN tt WHERE f.fc < tt.t)""".stripMargin
+      }.mkString(",\n")
+      def walk(src: String, a: String) =
+        s"""w$a AS (
+           |  SELECT lvl, idx, cnt, (idx + 1) * (1 << lvl) - 1 AS hi_leaf,
+           |    CAST(sum(cnt) OVER (ORDER BY (idx + 1) * (1 << lvl) - 1, lvl, idx
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      AS cum
+           |  FROM $src),
+           |p$a AS (
+           |  SELECT qpct, r, est FROM (
+           |    SELECT tr.qpct, tr.r,
+           |      CAST((w.hi_leaf + 1) * 262144 - 1 AS BIGINT) AS est,
+           |      row_number() OVER (PARTITION BY tr.qpct
+           |        ORDER BY w.hi_leaf, w.lvl, w.idx) AS rn
+           |    FROM tr JOIN w$a w ON w.cum >= tr.r) z WHERE rn = 1)"""
+          .stripMargin
+      s"""WITH cents AS MATERIALIZED (
+         |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+         |    CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+         |      AS BIGINT) % 5 AS shard
+         |  FROM orders),
+         |sS0 AS MATERIALIZED (
+         |  SELECT shard, 0 AS lvl, least(c // 262144, 255) AS idx,
+         |    count(*) AS cnt
+         |  FROM cents GROUP BY 1, 3),
+         |tts AS MATERIALIZED (
+         |  SELECT shard, greatest(1, sum(cnt) // 32) AS t FROM sS0 GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM cents),
+         |tt AS MATERIALIZED (SELECT greatest(1, n // 32) AS t, n FROM nn),
+         |$shardPasses,
+         |m0 AS MATERIALIZED (
+         |  SELECT lvl, idx, CAST(sum(cnt) AS BIGINT) AS cnt
+         |  FROM sS8 GROUP BY 1, 2),
+         |$mergePasses,
+         |g0 AS MATERIALIZED (
+         |  SELECT 0 AS lvl, least(c // 262144, 255) AS idx, count(*) AS cnt
+         |  FROM cents GROUP BY 2),
+         |$globPasses,
+         |targets(qpct) AS (VALUES (25), (50), (75), (90)),
+         |tr AS (SELECT CAST(qpct AS BIGINT) AS qpct,
+         |  CAST((n * qpct + 99) // 100 AS BIGINT) AS r
+         |  FROM targets CROSS JOIN tt),
+         |ng AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes_global FROM g8),
+         |nm AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes_merged FROM m8),
+         |${walk("g8", "G")},
+         |${walk("m8", "M")},
+         |tg AS (SELECT p.qpct, CAST(count(*) AS BIGINT) AS rk
+         |  FROM pG p JOIN cents ON cents.c <= p.est GROUP BY 1),
+         |tm AS (SELECT p.qpct, CAST(count(*) AS BIGINT) AS rk
+         |  FROM pM p JOIN cents ON cents.c <= p.est GROUP BY 1)
+         |SELECT pG.qpct, pG.r AS r_target, ng.n_nodes_global,
+         |  nm.n_nodes_merged, pG.est AS est_global, pM.est AS est_merged,
+         |  tg.rk - pG.r AS err_global, tm.rk - pM.r AS err_merged,
+         |  CAST(pG.est = pM.est AS BIGINT) AS same_pick
+         |FROM pG JOIN pM USING (qpct) JOIN tg USING (qpct) JOIN tm USING (qpct)
+         |CROSS JOIN ng CROSS JOIN nm""".stripMargin
+    },
+
     // the 8 compression passes unrolled and materialized (the q195
     // CTE rule); identical fold rule, walk order, and rank selects
     "q332_qdigest_quantiles" -> {

@@ -1914,6 +1914,65 @@ object Streams extends QueryPack {
             "* 1000000 div w_tot AS BIGINT)").as("err_ppm"))
     }),
 
+    // Streaming SPRT experiment monitor — q330's ingest-side form,
+    // which is where SPRT actually LIVES (sequential testing exists
+    // to stop DURING the experiment): each micro-batch writes its
+    // (epoch-day, n, purchases) count partial (linear, batchId-keyed,
+    // idempotent), the post-drain sum of partials is the exact daily
+    // grid, and the identical LLR fold ([[Pipeline.sprtReport]])
+    // yields the day-by-day decision trajectory — gated by q330's
+    // own oracle (the s38/s39 discipline).
+    "s44_stream_sprt_monitor" -> ((s, d) => {
+      import s.implicits._
+      val name = s"events_sprt_${sfx(d)}"
+      synchronized {
+        if (!ShardServiceRegistry.exists(name)) {
+          val rows = T.events(s, d)
+            .select($"event_id", $"event_id".as("pk"),
+              to_json(struct(
+                expr("unix_micros(ts) div 86400000000").as("eday"),
+                ($"event_type" === "purchase").cast("long").as("p")))
+                .as("json"))
+            .orderBy("event_id").toLocalIterator()
+          seedRows(name, numShards = 2, rows, times = 1)
+        }
+      }
+      val nEv = T.events(s, d).count()
+      val cap = math.max(10L, nEv / 4)
+      val root = s"/tmp/graft_ssprt_${sfx(d)}" +
+        s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val eSchema = StructType(Seq(
+        StructField("eday", LongType), StructField("p", LongType)))
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", cap.toString)
+        .load()
+        .select(from_json(col("data").cast("string"), eSchema).as("e"))
+        .select(col("e.eday").as("eday"), col("e.p").as("p"))
+      graft.streaming.StreamObservability.attach(s)
+      val q = raw.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.groupBy(col("eday"))
+            .agg(count(lit(1)).cast("long").as("n"),
+              sum(col("p")).cast("long").as("x"))
+            .write.mode("overwrite").parquet(s"$root/b$batchId")
+          ()
+        }.start()
+      q.awaitTermination()
+      Pipeline.sprtReport(
+        s.read.schema("eday LONG, n LONG, x LONG").parquet(s"$root/b*")
+          .groupBy($"eday")
+          .agg(sum($"n").cast("bigint").as("n_events"),
+            sum($"x").cast("bigint").as("n_purch"))
+          .select(expr("date_add(DATE '1970-01-01', CAST(eday AS INT))")
+            .as("day"), $"n_events", $"n_purch"))
+    }),
+
     // Streaming q-digest quantile monitor — q332's ingest-side form:
     // the digest's INPUT (the 256-leaf histogram) is linear, so each
     // micro-batch writes only its local leaf counts (batchId-keyed,
@@ -2656,6 +2715,9 @@ object Streams extends QueryPack {
     // the streamed leaf-count sum must reproduce q332's histogram —
     // and therefore its digest — bit-for-bit (linear merge)
     "s43_stream_qdigest_monitor" -> Sketches.oracles("q332_qdigest_quantiles"),
+    // the streamed daily-count sum must reproduce q330's LLR
+    // trajectory bit-for-bit (linear merge)
+    "s44_stream_sprt_monitor" -> Pipeline.oracles("q330_sprt_monitor"),
 
     // idempotent set-union of matched gram hashes over batches must
     // reproduce q317's one-shot overlap — gated by the SAME oracle

@@ -181,8 +181,15 @@ class DeterminismSpec extends AnyFunSuite {
     "q326_kcenter_coreset", "q327_weighted_sssp", "q328_psi_drift",
     "q329_quant_depth_audit",
     // round 16 batch H: the day-ordered LLR cumulative fold, the
-    // word-graph fixpoint + top-15 tie-break
-    "q330_sprt_monitor", "q331_textrank_keyphrases")
+    // word-graph fixpoint + top-15 tie-break, the q-digest fold +
+    // walk tie-breaks and banded exact rank selects
+    "q330_sprt_monitor", "q331_textrank_keyphrases",
+    "q332_qdigest_quantiles",
+    // round 16 batch I: the struct-min first purchase, path-position
+    // ppm floors, NULL-bucket union; the millibit entropies + argmax
+    // tie-break; the per-shard digest folds and merge recompress
+    "q333_ushape_attribution", "q334_split_gain_audit",
+    "q335_qdigest_merge_audit")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

@@ -45,7 +45,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "s39_stream_ivm_retraction",
     "s40_stream_contamination_monitor",
     "s41_stream_psi_monitor",
-    "s42_stream_hll_monitor")
+    "s42_stream_hll_monitor",
+    "s43_stream_qdigest_monitor",
+    "s44_stream_sprt_monitor")
   // bounded-side nested loops that are correct by construction
   // (1-row stats, 4-row tier dim, 10-row query set, 5-row lang
   // profiles, 1-row mixture minimum, k-row centroid set, 1-row
@@ -326,7 +328,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q329_quant_depth_audit" -> 10,
     // q331: q162's 1-row vertex-count scalar crossed onto the
     // vocabulary-sized PageRank state each iteration
-    "q331_textrank_keyphrases" -> 8)
+    "q331_textrank_keyphrases" -> 8,
+    // q334: the 5-row threshold grid crossed onto the user-grain agg
+    // (q323's shape) plus the 1-row best-split scalar
+    "q334_split_gain_audit" -> 8)
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
