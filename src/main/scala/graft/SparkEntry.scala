@@ -292,7 +292,10 @@ import graft.operators._
   * audit; QdigestPropertySpec), q335 its shard-merge audit
   * (per-shard t_s digests, parent-inclusive merge recompress), q334
   * information-gain split audit (millibit entropies, one CART
-  * level). Streaming ingest monitors, each
+  * level), q336 adjusted Rand index between the label and k-means
+  * partitions (exact chance-corrected combinatorics), q337
+  * per-source shape profile (skewness²/kurtosis via mergeable power
+  * sums). Streaming ingest monitors, each
   * gated by its batch twin's oracle via exact linear/semilattice
   * merges: s41 PSI (band × date histogram), s42 HLL (register max),
   * s43 q-digest (leaf counts), s44 SPRT (daily counts).

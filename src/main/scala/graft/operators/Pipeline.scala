@@ -1039,6 +1039,51 @@ object Pipeline extends QueryPack {
         sum(when($"cur" === 1L, 1L).otherwise(0L)).as("n_cur")))
     }),
 
+    // ---- distribution-shape profile (3rd/4th moments, exact) ----------
+    // The SHAPE row missing from the profiling family (q113 min/max/
+    // null, q100 median/MAD, q49/q82 first two moments): per-source
+    // skewness and kurtosis of document length, from raw power sums
+    // S1..S4 — the MERGEABLE form (partial sums add across shards, so
+    // a 100 TB profile is one map-side-combinable agg). No sqrt:
+    // skewness is reported as its SQUARE plus a sign column
+    // (g1² = M3²/M2³, computed as r = |M3|·1e6 div M2 then r² div
+    // (M2·1e6) — two floors, replayed identically), kurtosis as
+    // m4/m2² = M4/M2² in millis. Central-moment identities:
+    // M2 = nS2−S1², M3 = n²S3−3nS2S1+2S1³,
+    // M4 = n³S4−4n²S3S1+6nS2S1²−3S1⁴ — all through DECIMAL(38,0)/
+    // HUGEINT (the q209 template; M4 ~ n³S4 ≈ 1e23 at sf0.1). All
+    // floored numerators are non-negative (|M3|, M4, M2), so every
+    // div is engine-identical.
+    "q337_shape_profile" -> ((s, d) => {
+      import s.implicits._
+      val dec = "DECIMAL(38,0)"
+      val ps = T.documents(s, d)
+        .select($"source", $"n_chars".cast("bigint").as("x"))
+        .groupBy($"source")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(expr(s"CAST(x AS $dec)")).as("s1"),
+          sum(expr(s"CAST(x * x AS $dec)")).as("s2"),
+          sum(expr(s"CAST(x * x * x AS $dec)")).as("s3"),
+          sum(expr(s"CAST(x * x * x * x AS $dec)")).as("s4"))
+      ps.select($"source", $"n",
+          expr("n * s2 - s1 * s1").as("m2x"),
+          expr("n * n * s3 - 3 * n * s2 * s1 + 2 * s1 * s1 * s1").as("m3x"),
+          expr("CAST(n AS DECIMAL(38,0)) * n * n * s4 - 4 * n * n * s3 * s1" +
+            " + 6 * n * s2 * s1 * s1 - 3 * s1 * s1 * s1 * s1").as("m4x"),
+          expr("CAST(s1 * 1000 div n AS BIGINT)").as("mean_milli"))
+        .select($"source", $"n", $"mean_milli",
+          expr("CAST(m2x * 1000 div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)")
+            .as("var_milli"),
+          expr("CAST(CASE WHEN m3x < 0 THEN -1 ELSE 1 END AS BIGINT)")
+            .as("skew_sign"),
+          // the div result is BIGINT even over DECIMAL operands — route
+          // r² back through DECIMAL before squaring (the q255 rule)
+          expr("CAST(CAST(abs(m3x) * 1000000 div m2x AS DECIMAL(38,0))" +
+            " * (abs(m3x) * 1000000 div m2x) div (m2x * 1000000) AS BIGINT)")
+            .as("skew2_ppm"),
+          expr("CAST(m4x * 1000 div (m2x * m2x) AS BIGINT)").as("kurt_milli"))
+    }),
+
     // ---- information-gain split audit (one CART level) ----------------
     // [Quinlan ML'86 ID3/C4.5 split criterion] the supervised-learning
     // primitive the stats family stops short of: WHICH threshold on a
@@ -3409,6 +3454,35 @@ object Pipeline extends QueryPack {
         |    // (CAST(1000000 AS HUGEINT) * delta_ppm * delta_ppm)
         |    AS BIGINT) AS n_per_arm
         |FROM calc""".stripMargin,
+
+    // identical central-moment identities over HUGEINT power sums;
+    // the two-floor skew² and the non-negative kurtosis div
+    "q337_shape_profile" ->
+      """WITH ps AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS s1,
+        |    CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS s2,
+        |    CAST(sum(CAST(n_chars AS HUGEINT) * n_chars * n_chars)
+        |      AS HUGEINT) AS s3,
+        |    CAST(sum(CAST(n_chars AS HUGEINT) * n_chars * n_chars * n_chars)
+        |      AS HUGEINT) AS s4
+        |  FROM documents GROUP BY source),
+        |mx AS (
+        |  SELECT source, n,
+        |    n * s2 - s1 * s1 AS m2x,
+        |    n * n * s3 - 3 * n * s2 * s1 + 2 * s1 * s1 * s1 AS m3x,
+        |    CAST(n AS HUGEINT) * n * n * s4 - 4 * n * n * s3 * s1
+        |      + 6 * n * s2 * s1 * s1 - 3 * s1 * s1 * s1 * s1 AS m4x,
+        |    CAST(s1 * 1000 // n AS BIGINT) AS mean_milli
+        |  FROM ps)
+        |SELECT source, n, mean_milli,
+        |  CAST(m2x * 1000 // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_milli,
+        |  CAST(CASE WHEN m3x < 0 THEN -1 ELSE 1 END AS BIGINT) AS skew_sign,
+        |  CAST((abs(m3x) * 1000000 // m2x)
+        |    * (abs(m3x) * 1000000 // m2x) // (m2x * 1000000) AS BIGINT)
+        |    AS skew2_ppm,
+        |  CAST(m4x * 1000 // (m2x * m2x) AS BIGINT) AS kurt_milli
+        |FROM mx""".stripMargin,
 
     // identical millibit entropies (shared LUT), ratio label/feature,
     // and the smallest-threshold-at-max-gain pick

@@ -794,6 +794,52 @@ object Similarity extends QueryPack {
           expr("rank_sum div n_picks").as("mean_true_rank"))
     }),
 
+    // ---- adjusted Rand index between the two corpus partitions --------
+    // [Hubert & Arabie, J. Classification '85] the clustering-VALIDATION
+    // op the IVF family implies but never measures: how much do the
+    // arbitrary LABEL cells and the geometric K-MEANS cells
+    // (kmeansCells — the q142 audit's index-side response) actually
+    // agree? ARI = (Σij C(nij,2) − E) / (½(Σa+Σb) − E) with
+    // E = ΣaΣb/C(n,2), chance-corrected so 0 = random agreement.
+    // Exact integers end to end: every C(·,2) is k(k−1) div 2 (even
+    // product — exact), the rational normalization is cleared of
+    // fractions by multiplying through by C(n,2), products ride
+    // DECIMAL(38,0)/HUGEINT (the q209 template), and the one signed
+    // division is shifted non-negative (+den before div, −1e6 after —
+    // the house floor rule; the shift also clamps the degenerate
+    // ARI < −1 corner at −1). Scale: one (vec_id)-keyed join + a
+    // (label × kcell)-bounded contingency agg; everything after is
+    // cell-table-sized. n(n−1) outgrows int64 past ~3e9 rows — the
+    // comment boundary where C2 moves to DECIMAL too.
+    "q336_ari_clusterings" -> ((s, d) => {
+      import s.implicits._
+      val cont = quantized(s, d)
+        .select($"vec_id", $"label".cast("bigint").as("a"))
+        .join(kmeansCells(s, d), "vec_id")
+        .groupBy($"a", $"kcell".as("b")).agg(count(lit(1)).as("nij"))
+      val parts = cont.agg(
+        sum($"nij").cast("bigint").as("n"),
+        sum(expr("nij * (nij - 1) div 2")).cast("bigint").as("sum_idx"))
+      val sa = cont.groupBy($"a").agg(sum($"nij").as("na"))
+        .agg(sum(expr("na * (na - 1) div 2")).cast("bigint").as("sum_a"))
+      val sb = cont.groupBy($"b").agg(sum($"nij").as("nb"))
+        .agg(sum(expr("nb * (nb - 1) div 2")).cast("bigint").as("sum_b"))
+      parts.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+        .select($"n", $"sum_idx", $"sum_a", $"sum_b",
+          expr(
+            """CAST((1000000 * (2 * (CAST(sum_idx AS DECIMAL(38,0))
+              |    * (n * (n - 1) div 2)
+              |  - CAST(sum_a AS DECIMAL(38,0)) * sum_b))
+              | + 1000000 * (CAST(n * (n - 1) div 2 AS DECIMAL(38,0))
+              |    * (sum_a + sum_b)
+              |  - 2 * CAST(sum_a AS DECIMAL(38,0)) * sum_b))
+              | div (CAST(n * (n - 1) div 2 AS DECIMAL(38,0))
+              |    * (sum_a + sum_b)
+              |  - 2 * CAST(sum_a AS DECIMAL(38,0)) * sum_b)
+              | - 1000000 AS BIGINT)""".stripMargin.replace("\n", " "))
+            .as("ari_ppm"))
+    }),
+
     // ---- k-center greedy coreset selection (Gonzalez) ----------------
     // [Gonzalez TCS'85 farthest-point 2-approximation; Sener &
     // Savarese ICLR'18 coreset selection] the data-PRUNING op next to
@@ -1522,6 +1568,56 @@ object Similarity extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "q141_ann_ivf_multiprobe" -> duckQ141,
+
+    // the identical shifted-floor centroid build + cosine argmax
+    // (q175's kmb construction over the FULL corpus), then the ARI
+    // combinatorics in HUGEINT with the same shifted signed division
+    "q336_ari_clusterings" ->
+      s"""WITH $duckQuant,
+        |expl AS (
+        |  SELECT label, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos
+        |  FROM n),
+        |cs AS (
+        |  SELECT label, pos, CAST(sum(v) AS BIGINT) AS sv, count(*) AS nn
+        |  FROM expl GROUP BY label, pos),
+        |centarr AS (
+        |  SELECT label, list((sv + nn * 5120) // nn - 5120 ORDER BY pos) AS c
+        |  FROM cs GROUP BY label),
+        |cn AS (
+        |  SELECT label, c,
+        |    CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS cn2
+        |  FROM centarr),
+        |sc AS (
+        |  SELECT n.vec_id, CAST(n.label AS BIGINT) AS a,
+        |    CAST(cn.label AS BIGINT) AS kcell,
+        |    ${duckCos("n.qv", "cn.c", "n.n2", "cn.cn2")} AS cos
+        |  FROM n CROSS JOIN cn),
+        |km AS (SELECT vec_id, a, kcell AS b FROM (
+        |  SELECT vec_id, a, kcell,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, kcell) AS rn
+        |  FROM sc) t WHERE rn = 1),
+        |cont AS (SELECT a, b, count(*) AS nij FROM km GROUP BY 1, 2),
+        |tots AS (
+        |  SELECT CAST(sum(nij) AS BIGINT) AS n,
+        |    CAST(sum(nij * (nij - 1) // 2) AS BIGINT) AS sum_idx
+        |  FROM cont),
+        |sa AS (SELECT CAST(sum(na * (na - 1) // 2) AS BIGINT) AS sum_a
+        |  FROM (SELECT sum(nij) AS na FROM cont GROUP BY a) x),
+        |sb AS (SELECT CAST(sum(nb * (nb - 1) // 2) AS BIGINT) AS sum_b
+        |  FROM (SELECT sum(nij) AS nb FROM cont GROUP BY b) x)
+        |SELECT t.n, t.sum_idx, sa.sum_a, sb.sum_b,
+        |  CAST((1000000 * (2 * (CAST(t.sum_idx AS HUGEINT)
+        |      * (t.n * (t.n - 1) // 2)
+        |    - CAST(sa.sum_a AS HUGEINT) * sb.sum_b))
+        |   + 1000000 * (CAST(t.n * (t.n - 1) // 2 AS HUGEINT)
+        |      * (sa.sum_a + sb.sum_b)
+        |    - 2 * CAST(sa.sum_a AS HUGEINT) * sb.sum_b))
+        |   // (CAST(t.n * (t.n - 1) // 2 AS HUGEINT)
+        |      * (sa.sum_a + sb.sum_b)
+        |    - 2 * CAST(sa.sum_a AS HUGEINT) * sb.sum_b)
+        |   - 1000000 AS BIGINT) AS ari_ppm
+        |FROM tots t CROSS JOIN sa CROSS JOIN sb""".stripMargin,
 
     // the per-depth requantization round(x·S) replayed from the raw
     // floats; both engines rank by round-6 cosine with identical

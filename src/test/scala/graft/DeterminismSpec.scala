@@ -189,7 +189,10 @@ class DeterminismSpec extends AnyFunSuite {
     // ppm floors, NULL-bucket union; the millibit entropies + argmax
     // tie-break; the per-shard digest folds and merge recompress
     "q333_ushape_attribution", "q334_split_gain_audit",
-    "q335_qdigest_merge_audit")
+    "q335_qdigest_merge_audit",
+    // round 16 batch J: the centroid-argmax cell assignment feeding
+    // the exact ARI combinatorics; the mergeable power-sum moments
+    "q336_ari_clusterings", "q337_shape_profile")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

@@ -331,7 +331,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q331_textrank_keyphrases" -> 8,
     // q334: the 5-row threshold grid crossed onto the user-grain agg
     // (q323's shape) plus the 1-row best-split scalar
-    "q334_split_gain_audit" -> 8)
+    "q334_split_gain_audit" -> 8,
+    // q336: q175's k-row centroid assignment cross plus the 1-row
+    // pair-sum scalars of the ARI normalization
+    "q336_ari_clusterings" -> 10)
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
