@@ -295,7 +295,8 @@ import graft.operators._
   * level), q336 adjusted Rand index between the label and k-means
   * partitions (exact chance-corrected combinatorics), q337
   * per-source shape profile (skewness²/kurtosis via mergeable power
-  * sums). Streaming ingest monitors, each
+  * sums), q338 tokenizer fertility audit (q248's trained merges
+  * applied back per language). Streaming ingest monitors, each
   * gated by its batch twin's oracle via exact linear/semilattice
   * merges: s41 PSI (band × date histogram), s42 HLL (register max),
   * s43 q-digest (leaf counts), s44 SPRT (daily counts).

@@ -192,7 +192,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q335_qdigest_merge_audit",
     // round 16 batch J: the centroid-argmax cell assignment feeding
     // the exact ARI combinatorics; the mergeable power-sum moments
-    "q336_ari_clusterings", "q337_shape_profile")
+    "q336_ari_clusterings", "q337_shape_profile",
+    // the trained-merge application join + per-lang fertility floors
+    "q338_bpe_fertility")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count
