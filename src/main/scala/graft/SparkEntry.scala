@@ -299,7 +299,9 @@ import graft.operators._
   * applied back per language). Streaming ingest monitors, each
   * gated by its batch twin's oracle via exact linear/semilattice
   * merges: s41 PSI (band × date histogram), s42 HLL (register max),
-  * s43 q-digest (leaf counts), s44 SPRT (daily counts).
+  * s43 q-digest (leaf counts), s44 SPRT (daily counts), s45 shape
+  * moments (power sums), s46 fertility (per-lang token partials
+  * under the fixed trained vocab).
   */
 object SparkEntry {
 

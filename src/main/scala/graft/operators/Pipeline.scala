@@ -56,6 +56,32 @@ object Pipeline extends QueryPack {
     s"((length(bin($x)) - 1) * 1000 + [$psiLutSql]" +
       s"[CAST(($x) * 64 // (CAST(1 AS BIGINT) << (length(bin($x)) - 1)) - 64 AS INT) + 1])"
 
+  /** q337's shape report from (source, n, s1..s4) power sums —
+    * factored so s45 can run the identical central-moment identities
+    * on its streamed-merged sums (power sums are LINEAR partials, so
+    * the merge is exact — the canonical mergeable statistic). */
+  private[operators] def shapeReport(ps: DataFrame): DataFrame = {
+    val s = ps.sparkSession
+    import s.implicits._
+    ps.select($"source", $"n",
+        expr("n * s2 - s1 * s1").as("m2x"),
+        expr("n * n * s3 - 3 * n * s2 * s1 + 2 * s1 * s1 * s1").as("m3x"),
+        expr("CAST(n AS DECIMAL(38,0)) * n * n * s4 - 4 * n * n * s3 * s1" +
+          " + 6 * n * s2 * s1 * s1 - 3 * s1 * s1 * s1 * s1").as("m4x"),
+        expr("CAST(s1 * 1000 div n AS BIGINT)").as("mean_milli"))
+      .select($"source", $"n", $"mean_milli",
+        expr("CAST(m2x * 1000 div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)")
+          .as("var_milli"),
+        expr("CAST(CASE WHEN m3x < 0 THEN -1 ELSE 1 END AS BIGINT)")
+          .as("skew_sign"),
+        // the div result is BIGINT even over DECIMAL operands — route
+        // r² back through DECIMAL before squaring (the q255 rule)
+        expr("CAST(CAST(abs(m3x) * 1000000 div m2x AS DECIMAL(38,0))" +
+          " * (abs(m3x) * 1000000 div m2x) div (m2x * 1000000) AS BIGINT)")
+          .as("skew2_ppm"),
+        expr("CAST(m4x * 1000 div (m2x * m2x) AS BIGINT)").as("kurt_milli"))
+  }
+
   /** q330's SPRT report from (day, n_events, n_purch) daily counts —
     * factored so s44 can run the identical LLR fold on its
     * streamed-merged counts (daily counts are linear partials, so the
@@ -1057,31 +1083,14 @@ object Pipeline extends QueryPack {
     "q337_shape_profile" -> ((s, d) => {
       import s.implicits._
       val dec = "DECIMAL(38,0)"
-      val ps = T.documents(s, d)
+      shapeReport(T.documents(s, d)
         .select($"source", $"n_chars".cast("bigint").as("x"))
         .groupBy($"source")
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(expr(s"CAST(x AS $dec)")).as("s1"),
           sum(expr(s"CAST(x * x AS $dec)")).as("s2"),
           sum(expr(s"CAST(x * x * x AS $dec)")).as("s3"),
-          sum(expr(s"CAST(x * x * x * x AS $dec)")).as("s4"))
-      ps.select($"source", $"n",
-          expr("n * s2 - s1 * s1").as("m2x"),
-          expr("n * n * s3 - 3 * n * s2 * s1 + 2 * s1 * s1 * s1").as("m3x"),
-          expr("CAST(n AS DECIMAL(38,0)) * n * n * s4 - 4 * n * n * s3 * s1" +
-            " + 6 * n * s2 * s1 * s1 - 3 * s1 * s1 * s1 * s1").as("m4x"),
-          expr("CAST(s1 * 1000 div n AS BIGINT)").as("mean_milli"))
-        .select($"source", $"n", $"mean_milli",
-          expr("CAST(m2x * 1000 div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)")
-            .as("var_milli"),
-          expr("CAST(CASE WHEN m3x < 0 THEN -1 ELSE 1 END AS BIGINT)")
-            .as("skew_sign"),
-          // the div result is BIGINT even over DECIMAL operands — route
-          // r² back through DECIMAL before squaring (the q255 rule)
-          expr("CAST(CAST(abs(m3x) * 1000000 div m2x AS DECIMAL(38,0))" +
-            " * (abs(m3x) * 1000000 div m2x) div (m2x * 1000000) AS BIGINT)")
-            .as("skew2_ppm"),
-          expr("CAST(m4x * 1000 div (m2x * m2x) AS BIGINT)").as("kurt_milli"))
+          sum(expr(s"CAST(x * x * x * x AS $dec)")).as("s4")))
     }),
 
     // ---- information-gain split audit (one CART level) ----------------

@@ -1914,6 +1914,138 @@ object Streams extends QueryPack {
             "* 1000000 div w_tot AS BIGINT)").as("err_ppm"))
     }),
 
+    // Streaming shape-profile monitor — q337's ingest-side form and
+    // the canonical mergeable statistic: raw power sums S1..S4 are
+    // LINEAR, so each micro-batch writes its per-source (n, s1..s4)
+    // partial (batchId-keyed, idempotent; sums ride DECIMAL(38,0))
+    // and the post-drain sum of partials feeds the identical
+    // central-moment identities ([[Pipeline.shapeReport]]) — gated by
+    // q337's own oracle. The 100 TB reading: a shape profile needs
+    // ONE pass and |sources|·5 numbers of state, ever.
+    "s45_stream_shape_monitor" -> ((s, d) => {
+      import s.implicits._
+      val name = s"docs_shape_${sfx(d)}"
+      synchronized {
+        if (!ShardServiceRegistry.exists(name)) {
+          val rows = T.documents(s, d)
+            .select($"doc_id", $"doc_id".as("pk"),
+              to_json(struct($"source", $"n_chars".as("x"))).as("json"))
+            .orderBy("doc_id").toLocalIterator()
+          seedRows(name, numShards = 2, rows, times = 1)
+        }
+      }
+      val nDocs = T.documents(s, d).count()
+      val cap = math.max(10L, nDocs / 4)
+      val root = s"/tmp/graft_sshape_${sfx(d)}" +
+        s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val dSchema = StructType(Seq(
+        StructField("source", StringType), StructField("x", LongType)))
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", cap.toString)
+        .load()
+        .select(from_json(col("data").cast("string"), dSchema).as("e"))
+        .select(col("e.source").as("source"), col("e.x").as("x"))
+      graft.streaming.StreamObservability.attach(s)
+      val dec = "DECIMAL(38,0)"
+      val q = raw.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.groupBy(col("source"))
+            .agg(count(lit(1)).cast("long").as("n"),
+              sum(expr(s"CAST(x AS $dec)")).as("s1"),
+              sum(expr(s"CAST(x * x AS $dec)")).as("s2"),
+              sum(expr(s"CAST(x * x * x AS $dec)")).as("s3"),
+              sum(expr(s"CAST(x * x * x * x AS $dec)")).as("s4"))
+            .write.mode("overwrite").parquet(s"$root/b$batchId")
+          ()
+        }.start()
+      q.awaitTermination()
+      Pipeline.shapeReport(
+        s.read.schema("source STRING, n LONG, s1 DECIMAL(38,0), " +
+            "s2 DECIMAL(38,0), s3 DECIMAL(38,0), s4 DECIMAL(38,0)")
+          .parquet(s"$root/b*")
+          .groupBy($"source")
+          .agg(sum($"n").cast("bigint").as("n"),
+            sum($"s1").cast("decimal(38,0)").as("s1"),
+            sum($"s2").cast("decimal(38,0)").as("s2"),
+            sum($"s3").cast("decimal(38,0)").as("s3"),
+            sum($"s4").cast("decimal(38,0)").as("s4")))
+    }),
+
+    // Streaming fertility monitor — q338's ingest-side form: the
+    // TRAINED tokenizer is the fixed small side (the final merged
+    // vocabulary's per-word token counts, broadcast), documents
+    // stream in, and each micro-batch emits only its per-lang
+    // (words, tokens, chars) partial — linear, batchId-keyed,
+    // idempotent — so the post-drain sum reproduces q338's report
+    // exactly (gated by its oracle). This is the shape a tokenizer
+    // rollout monitor has in production: fixed vocab, per-language
+    // fertility tracked DURING ingest.
+    "s46_stream_fertility_monitor" -> ((s, d) => {
+      import s.implicits._
+      val name = s"docs_fert_${sfx(d)}"
+      synchronized {
+        if (!ShardServiceRegistry.exists(name)) {
+          val rows = T.documents(s, d)
+            .select($"doc_id", $"doc_id".as("pk"),
+              to_json(struct($"lang", $"text")).as("json"))
+            .orderBy("doc_id").toLocalIterator()
+          seedRows(name, numShards = 2, rows, times = 1)
+        }
+      }
+      val tokc = TextAnalysis.bpeTrainedTokenCounts(s, d)
+        .localCheckpoint()
+      val nDocs = T.documents(s, d).count()
+      val cap = math.max(10L, nDocs / 4)
+      val root = s"/tmp/graft_sfert_${sfx(d)}" +
+        s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val dSchema = StructType(Seq(
+        StructField("lang", StringType), StructField("text", StringType)))
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", cap.toString)
+        .load()
+        .select(from_json(col("data").cast("string"), dSchema).as("e"))
+        .select(col("e.lang").as("lang"), col("e.text").as("text"))
+      graft.streaming.StreamObservability.attach(s)
+      val q = raw.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch
+            .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+            .filter(length(col("w")) >= 1)
+            .join(broadcast(tokc), Seq("w"), "left")
+            .select(col("lang"),
+              coalesce(col("toks"), lit(1L)).as("toks"),
+              length(col("w")).cast("long").as("chars"))
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).cast("long").as("n_words"),
+              sum(col("toks")).cast("long").as("n_tokens"),
+              sum(col("chars")).cast("long").as("n_chars"))
+            .write.mode("overwrite").parquet(s"$root/b$batchId")
+          ()
+        }.start()
+      q.awaitTermination()
+      s.read.schema("lang STRING, n_words LONG, n_tokens LONG, n_chars LONG")
+        .parquet(s"$root/b*")
+        .groupBy($"lang")
+        .agg(sum($"n_words").cast("bigint").as("n_words"),
+          sum($"n_tokens").cast("bigint").as("n_tokens"),
+          sum($"n_chars").cast("bigint").as("n_chars"))
+        .select($"lang", $"n_words", $"n_tokens", $"n_chars",
+          expr("n_tokens * 1000 div n_words").as("tokens_per_word_milli"),
+          expr("n_chars * 1000 div n_tokens").as("chars_per_token_milli"))
+    }),
+
     // Streaming SPRT experiment monitor — q330's ingest-side form,
     // which is where SPRT actually LIVES (sequential testing exists
     // to stop DURING the experiment): each micro-batch writes its
@@ -2718,6 +2850,12 @@ object Streams extends QueryPack {
     // the streamed daily-count sum must reproduce q330's LLR
     // trajectory bit-for-bit (linear merge)
     "s44_stream_sprt_monitor" -> Pipeline.oracles("q330_sprt_monitor"),
+    // the streamed power-sum merge must reproduce q337's moments
+    // bit-for-bit (linear merge over DECIMAL partials)
+    "s45_stream_shape_monitor" -> Pipeline.oracles("q337_shape_profile"),
+    // the streamed per-lang fertility partials must reproduce q338's
+    // report bit-for-bit (fixed vocab, linear merge)
+    "s46_stream_fertility_monitor" -> TextAnalysis.oracles("q338_bpe_fertility"),
 
     // idempotent set-union of matched gram hashes over batches must
     // reproduce q317's one-shot overlap — gated by the SAME oracle

@@ -212,8 +212,7 @@ object TextAnalysis extends QueryPack {
     // vocab-sized token-count table — no new shuffle class.
     "q338_bpe_fertility" -> ((s, d) => {
       import s.implicits._
-      val tokc = bpeTrain(s, d)._2
-        .select($"w", size($"syms").cast("bigint").as("toks"))
+      val tokc = bpeTrainedTokenCounts(s, d)
       T.documents(s, d)
         .select($"lang", explode(split($"text", " ")).as("w"))
         .filter(length($"w") >= 1)
@@ -1118,6 +1117,13 @@ object TextAnalysis extends QueryPack {
       |              WHERE iter < 8) e ) pn ) bb ) cc ) pk ) dd
       |  WHERE NOT coalesce(prev_picked, FALSE)
       |  GROUP BY iter, w, freq)""".stripMargin
+
+  /** The trained vocabulary's per-word token counts — q338's fixed
+    * small side, shared with s46's streaming monitor. */
+  private[operators] def bpeTrainedTokenCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bpeTrain(s, d)._2.select($"w", size($"syms").cast("bigint").as("toks"))
+  }
 
   def oracles: Map[String, String] = Map(
     // q162's recursive-CTE weighted-PageRank replay re-pointed at the
