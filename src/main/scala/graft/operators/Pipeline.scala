@@ -35,9 +35,11 @@ object Pipeline extends QueryPack {
     * bits, so log2(x)·1000 ≈ 1000·(bitlen(x)−1) + LUT[idx] with
     * idx = x·64 div 2^(bitlen−1) − 64. One literal list rendered into
     * BOTH engines' SQL — the engine-parity answer to "PSI needs a
-    * log" (max error ±½ step ≈ 8 millibits, fine for a thresholded
-    * audit; the exact-drift family q144/q249/q302 stays log-free). */
-  private[operators] val psiLutSql: String = Seq(
+    * log" (floor-indexed: worst-case error is one LUT step, ≈22.5
+    * millibits at the octave bottom — MillibitLogSpec measures it;
+    * fine for a thresholded audit, and the exact-drift family
+    * q144/q249/q302 stays log-free). */
+  private[graft] val psiLutSql: String = Seq(
     0, 22, 44, 66, 87, 109, 129, 150, 170, 190, 209, 229, 248, 267,
     285, 304, 322, 340, 358, 375, 392, 409, 426, 443, 459, 476, 492,
     508, 524, 539, 555, 570, 585, 600, 615, 629, 644, 658, 672, 687,
@@ -47,7 +49,7 @@ object Pipeline extends QueryPack {
   /** Spark-SQL text of millibit log2 over a positive integer
     * expression (the LUT idiom, shared by q328 PSI and q334
     * information gain). */
-  private[operators] def mbLog2Spark(x: String): String =
+  private[graft] def mbLog2Spark(x: String): String =
     s"((length(bin($x)) - 1) * 1000 + element_at(array($psiLutSql), " +
       s"CAST(($x) * 64 div shiftleft(1L, length(bin($x)) - 1) - 64 AS INT) + 1))"
 
@@ -1041,7 +1043,8 @@ object Pipeline extends QueryPack {
     // libm is banned by the engine-parity rule — so log2 runs in
     // FIXED POINT: log2(x)·1000 ≈ 1000·(bitlen−1) + LUT[top-6
     // mantissa bits], a 64-entry literal millibit table shared by
-    // both engines (max error ±½ step ≈ 8 millibits; PSI here is a
+    // both engines (worst-case error one LUT step ≈ 22.5 mb,
+    // MillibitLogSpec-measured; PSI here is a
     // thresholded audit, not an estimator). Terms are
     // (Δshare ppm)·(Δlog2 millibits) = nanobits; the 0.1-nat industry
     // threshold is 144,269,504 nanobits (0.1/ln2 bits). Bands are
