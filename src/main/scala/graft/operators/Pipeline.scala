@@ -1080,7 +1080,10 @@ object Pipeline extends QueryPack {
     // m4/m2² = M4/M2² in millis. Central-moment identities:
     // M2 = nS2−S1², M3 = n²S3−3nS2S1+2S1³,
     // M4 = n³S4−4n²S3S1+6nS2S1²−3S1⁴ — all through DECIMAL(38,0)/
-    // HUGEINT (the q209 template; M4 ~ n³S4 ≈ 1e23 at sf0.1). All
+    // HUGEINT (the q209 template; M4 ~ n³S4 ≈ 1e23 at sf0.1). The
+    // PER-ROW powers cast to DECIMAL before the first multiply (the
+    // oracle's HUGEINT shape): x³ in int64 wraps past n_chars ≈ 2.1e6
+    // and x⁴ past 55k — real document lengths. All
     // floored numerators are non-negative (|M3|, M4, M2), so every
     // div is engine-identical.
     "q337_shape_profile" -> ((s, d) => {
@@ -1091,9 +1094,9 @@ object Pipeline extends QueryPack {
         .groupBy($"source")
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(expr(s"CAST(x AS $dec)")).as("s1"),
-          sum(expr(s"CAST(x * x AS $dec)")).as("s2"),
-          sum(expr(s"CAST(x * x * x AS $dec)")).as("s3"),
-          sum(expr(s"CAST(x * x * x * x AS $dec)")).as("s4")))
+          sum(expr(s"CAST(x AS $dec) * x").cast(dec)).as("s2"),
+          sum(expr(s"CAST(x AS $dec) * x * x").cast(dec)).as("s3"),
+          sum(expr(s"CAST(x AS $dec) * x * x * x").cast(dec)).as("s4")))
     }),
 
     // ---- information-gain split audit (one CART level) ----------------

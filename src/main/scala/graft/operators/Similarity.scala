@@ -806,8 +806,14 @@ object Similarity extends QueryPack {
     // fractions by multiplying through by C(n,2), products ride
     // DECIMAL(38,0)/HUGEINT (the q209 template), and the one signed
     // division is shifted non-negative (+den before div, −1e6 after —
-    // the house floor rule; the shift also clamps the degenerate
-    // ARI < −1 corner at −1). Scale: one (vec_id)-keyed join + a
+    // the house floor rule). The shift makes the floor engine-identical
+    // only while ARI ≥ −1; a sub-−1 ratio would leave the shifted
+    // numerator negative, so an explicit greatest(·, −1e6) clamp pins
+    // that corner, and den = 0 — which happens exactly when BOTH
+    // partitions are trivial (both all-singletons or both one-cluster,
+    // hence identical) — short-circuits to ARI = 1, the scikit-learn
+    // convention for identical trivial partitions.
+    // Scale: one (vec_id)-keyed join + a
     // (label × kcell)-bounded contingency agg; everything after is
     // cell-table-sized. n(n−1) outgrows int64 past ~3e9 rows — the
     // comment boundary where C2 moves to DECIMAL too.
@@ -827,16 +833,21 @@ object Similarity extends QueryPack {
       parts.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
         .select($"n", $"sum_idx", $"sum_a", $"sum_b",
           expr(
-            """CAST((1000000 * (2 * (CAST(sum_idx AS DECIMAL(38,0))
-              |    * (n * (n - 1) div 2)
-              |  - CAST(sum_a AS DECIMAL(38,0)) * sum_b))
-              | + 1000000 * (CAST(n * (n - 1) div 2 AS DECIMAL(38,0))
+            """CAST(sum_idx AS DECIMAL(38,0)) * (n * (n - 1) div 2)
+              | - CAST(sum_a AS DECIMAL(38,0)) * sum_b"""
+              .stripMargin.replace("\n", " ")).as("num2"),
+          expr(
+            """CAST(n * (n - 1) div 2 AS DECIMAL(38,0))
               |    * (sum_a + sum_b)
-              |  - 2 * CAST(sum_a AS DECIMAL(38,0)) * sum_b))
-              | div (CAST(n * (n - 1) div 2 AS DECIMAL(38,0))
-              |    * (sum_a + sum_b)
-              |  - 2 * CAST(sum_a AS DECIMAL(38,0)) * sum_b)
-              | - 1000000 AS BIGINT)""".stripMargin.replace("\n", " "))
+              |  - 2 * CAST(sum_a AS DECIMAL(38,0)) * sum_b"""
+              .stripMargin.replace("\n", " ")).as("den"))
+        .select($"n", $"sum_idx", $"sum_a", $"sum_b",
+          expr(
+            """CAST(CASE WHEN den = 0 THEN 1000000
+              | ELSE greatest(
+              |   (1000000 * (2 * num2) + 1000000 * den) div den
+              |     - 1000000,
+              |   -1000000) END AS BIGINT)""".stripMargin.replace("\n", " "))
             .as("ari_ppm"))
     }),
 
@@ -1605,19 +1616,21 @@ object Similarity extends QueryPack {
         |sa AS (SELECT CAST(sum(na * (na - 1) // 2) AS BIGINT) AS sum_a
         |  FROM (SELECT sum(nij) AS na FROM cont GROUP BY a) x),
         |sb AS (SELECT CAST(sum(nb * (nb - 1) // 2) AS BIGINT) AS sum_b
-        |  FROM (SELECT sum(nij) AS nb FROM cont GROUP BY b) x)
-        |SELECT t.n, t.sum_idx, sa.sum_a, sb.sum_b,
-        |  CAST((1000000 * (2 * (CAST(t.sum_idx AS HUGEINT)
-        |      * (t.n * (t.n - 1) // 2)
-        |    - CAST(sa.sum_a AS HUGEINT) * sb.sum_b))
-        |   + 1000000 * (CAST(t.n * (t.n - 1) // 2 AS HUGEINT)
-        |      * (sa.sum_a + sb.sum_b)
-        |    - 2 * CAST(sa.sum_a AS HUGEINT) * sb.sum_b))
-        |   // (CAST(t.n * (t.n - 1) // 2 AS HUGEINT)
-        |      * (sa.sum_a + sb.sum_b)
-        |    - 2 * CAST(sa.sum_a AS HUGEINT) * sb.sum_b)
-        |   - 1000000 AS BIGINT) AS ari_ppm
-        |FROM tots t CROSS JOIN sa CROSS JOIN sb""".stripMargin,
+        |  FROM (SELECT sum(nij) AS nb FROM cont GROUP BY b) x),
+        |fin AS (
+        |  SELECT t.n, t.sum_idx, sa.sum_a, sb.sum_b,
+        |    CAST(t.sum_idx AS HUGEINT) * (t.n * (t.n - 1) // 2)
+        |      - CAST(sa.sum_a AS HUGEINT) * sb.sum_b AS num2,
+        |    CAST(t.n * (t.n - 1) // 2 AS HUGEINT)
+        |        * (sa.sum_a + sb.sum_b)
+        |      - 2 * CAST(sa.sum_a AS HUGEINT) * sb.sum_b AS den
+        |  FROM tots t CROSS JOIN sa CROSS JOIN sb)
+        |SELECT n, sum_idx, sum_a, sum_b,
+        |  CAST(CASE WHEN den = 0 THEN 1000000
+        |   ELSE greatest(
+        |     (1000000 * (2 * num2) + 1000000 * den) // den - 1000000,
+        |     -1000000) END AS BIGINT) AS ari_ppm
+        |FROM fin""".stripMargin,
 
     // the per-depth requantization round(x·S) replayed from the raw
     // floats; both engines rank by round-6 cosine with identical

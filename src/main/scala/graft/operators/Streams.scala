@@ -1958,9 +1958,9 @@ object Streams extends QueryPack {
           batch.groupBy(col("source"))
             .agg(count(lit(1)).cast("long").as("n"),
               sum(expr(s"CAST(x AS $dec)")).as("s1"),
-              sum(expr(s"CAST(x * x AS $dec)")).as("s2"),
-              sum(expr(s"CAST(x * x * x AS $dec)")).as("s3"),
-              sum(expr(s"CAST(x * x * x * x AS $dec)")).as("s4"))
+              sum(expr(s"CAST(x AS $dec) * x").cast(dec)).as("s2"),
+              sum(expr(s"CAST(x AS $dec) * x * x").cast(dec)).as("s3"),
+              sum(expr(s"CAST(x AS $dec) * x * x * x").cast(dec)).as("s4"))
             .write.mode("overwrite").parquet(s"$root/b$batchId")
           ()
         }.start()
@@ -2049,7 +2049,7 @@ object Streams extends QueryPack {
     // Streaming SPRT experiment monitor — q330's ingest-side form,
     // which is where SPRT actually LIVES (sequential testing exists
     // to stop DURING the experiment): each micro-batch writes its
-    // (epoch-day, n, purchases) count partial (linear, batchId-keyed,
+    // (calendar-day, n, purchases) count partial (linear, batchId-keyed,
     // idempotent), the post-drain sum of partials is the exact daily
     // grid, and the identical LLR fold ([[Pipeline.sprtReport]])
     // yields the day-by-day decision trajectory — gated by q330's
@@ -2059,10 +2059,14 @@ object Streams extends QueryPack {
       val name = s"events_sprt_${sfx(d)}"
       synchronized {
         if (!ShardServiceRegistry.exists(name)) {
+          // day as a CALENDAR date string (to_date), not a truncated
+          // epoch-day long: q330's oracle uses CAST(ts AS DATE), and
+          // epoch-day `div` truncates toward zero (wrong bucket for
+          // pre-1970 ts) and only matches calendar days under UTC.
           val rows = T.events(s, d)
             .select($"event_id", $"event_id".as("pk"),
               to_json(struct(
-                expr("unix_micros(ts) div 86400000000").as("eday"),
+                to_date($"ts").cast("string").as("day"),
                 ($"event_type" === "purchase").cast("long").as("p")))
                 .as("json"))
             .orderBy("event_id").toLocalIterator()
@@ -2077,19 +2081,19 @@ object Streams extends QueryPack {
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
       val eSchema = StructType(Seq(
-        StructField("eday", LongType), StructField("p", LongType)))
+        StructField("day", StringType), StructField("p", LongType)))
       val raw = s.readStream.format("shardstream")
         .option("stream", name)
         .option("startingPosition", "trim_horizon")
         .option("maxRecordsPerBatch", cap.toString)
         .load()
         .select(from_json(col("data").cast("string"), eSchema).as("e"))
-        .select(col("e.eday").as("eday"), col("e.p").as("p"))
+        .select(col("e.day").as("day"), col("e.p").as("p"))
       graft.streaming.StreamObservability.attach(s)
       val q = raw.writeStream.outputMode("append")
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          batch.groupBy(col("eday"))
+          batch.groupBy(col("day"))
             .agg(count(lit(1)).cast("long").as("n"),
               sum(col("p")).cast("long").as("x"))
             .write.mode("overwrite").parquet(s"$root/b$batchId")
@@ -2097,12 +2101,11 @@ object Streams extends QueryPack {
         }.start()
       q.awaitTermination()
       Pipeline.sprtReport(
-        s.read.schema("eday LONG, n LONG, x LONG").parquet(s"$root/b*")
-          .groupBy($"eday")
+        s.read.schema("day STRING, n LONG, x LONG").parquet(s"$root/b*")
+          .groupBy($"day")
           .agg(sum($"n").cast("bigint").as("n_events"),
             sum($"x").cast("bigint").as("n_purch"))
-          .select(expr("date_add(DATE '1970-01-01', CAST(eday AS INT))")
-            .as("day"), $"n_events", $"n_purch"))
+          .select($"day".cast("date").as("day"), $"n_events", $"n_purch"))
     }),
 
     // Streaming q-digest quantile monitor — q332's ingest-side form:
