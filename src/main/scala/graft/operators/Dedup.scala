@@ -161,7 +161,7 @@ object Dedup extends QueryPack {
       // joins — uncached, the split+shingle projection would run three
       // times over the corpus (at 100 TB: persist to disk or
       // checkpoint instead of memory cache)
-      val sh = shingles(s, d).cache()
+      val sh = shingles(s, d).cache() // harness-released (per-query clearCache)
       // signature array per doc via the native minhash_sig expression
       // (graft.functions.MinHashSig): 2 real hashes per shingle +
       // Kirsch–Mitzenmacher band derivation in one compiled loop — the
@@ -170,7 +170,7 @@ object Dedup extends QueryPack {
       // pipeline. Signature table is K longs per doc, cached for its
       // three uses.
       val sigArr = sh.select($"doc_id", expr(s"minhash_sig(sh, $K)").as("sig"))
-        .cache()
+        .cache() // harness-released (per-query clearCache)
       // candidates: docs colliding in ANY band (r=1) — equi-join on
       // (band, minhash), never all-pairs. Hot buckets (a globally
       // min-hashed common shingle) inflate this stage, so candidates
@@ -387,7 +387,7 @@ object Dedup extends QueryPack {
       val grams = T.documents(s, d)
         .select($"doc_id", posexplode(expr("word_ngrams(text, 5)")))
         .toDF("doc_id", "pos", "g")
-        .cache()
+        .cache() // harness-released (per-query clearCache)
       val dup = grams.groupBy($"g")
         .agg(count(lit(1)).as("n_occ"), countDistinct($"doc_id").as("n_docs"))
         .filter($"n_occ" >= 2)
@@ -550,7 +550,7 @@ object Dedup extends QueryPack {
       val grams = T.documents(s, d)
         .select($"doc_id", posexplode(expr("word_ngrams(text, 5)")))
         .toDF("doc_id", "pos", "g")
-        .cache()
+        .cache() // harness-released (per-query clearCache)
       val dup = grams.groupBy($"g")
         .agg(count(lit(1)).as("n_occ"))
         .filter($"n_occ" >= 2)
@@ -690,7 +690,7 @@ object Dedup extends QueryPack {
         .withColumn("n", size($"sh"))
       // two consumers (prefix build + verification) — same cache rule
       // as q36/q76: at 100 TB persist to disk/checkpoint instead
-      val grams = sets.select($"doc_id", $"n", explode($"sh").as("g")).cache()
+      val grams = sets.select($"doc_id", $"n", explode($"sh").as("g")).cache() // harness-released (per-query clearCache)
       val dfreq = grams.groupBy($"g").agg(count(lit(1)).as("df"))
       val ord = Window.partitionBy($"doc_id").orderBy($"df", $"g")
       // prefix = the (n − ⌈n/2⌉ + 1) = n/2 + 1 globally-rarest grams
@@ -700,7 +700,7 @@ object Dedup extends QueryPack {
         .withColumn("rn", row_number().over(ord))
         .filter($"rn" <= ($"n" / 2) + 1)
         .select($"g", $"doc_id", $"n")
-        .cache()
+        .cache() // harness-released (per-query clearCache)
       // candidates: prefix∩prefix non-empty + size-compatibility
       // (J >= 1/2 forces 2·min(|A|,|B|) >= max(|A|,|B|))
       val cand = prefix.toDF("g", "a", "na")
@@ -745,7 +745,7 @@ object Dedup extends QueryPack {
         .withColumn("n", size($"sh"))
       // two consumers (prefix build + full-index probe) — q134's cache
       // rule: disk-persist/checkpoint at 100 TB
-      val grams = sets.select($"doc_id", $"n", explode($"sh").as("g")).cache()
+      val grams = sets.select($"doc_id", $"n", explode($"sh").as("g")).cache() // harness-released (per-query clearCache)
       val dfreq = grams.groupBy($"g").agg(count(lit(1)).as("df"))
       val ord = Window.partitionBy($"doc_id").orderBy($"df", $"g")
       // prefix length = n − ceil(3n/4) + 1 (integer form, n >= 1)
@@ -790,11 +790,11 @@ object Dedup extends QueryPack {
     "q155_incremental_neardup" -> ((s, d) => {
       import s.implicits._
       graft.GraftExtensions.ensureRegistered(s)
-      val sh = shingles(s, d).cache()
+      val sh = shingles(s, d).cache() // harness-released (per-query clearCache)
       val sig = sh.select($"doc_id", expr(s"minhash_sig(sh, $K)").as("sig"))
         .withColumn("is_b",
           pmod(graft.functions.PortableHash.h60($"doc_id"), lit(10)) === 0)
-        .cache()
+        .cache() // harness-released (per-query clearCache)
       val bnd = sig.select($"doc_id", $"is_b", posexplode($"sig"))
         .toDF("doc_id", "is_b", "band", "mh")
       val cand = bnd.filter($"is_b").select($"doc_id".as("a"), $"band", $"mh")
@@ -839,7 +839,7 @@ object Dedup extends QueryPack {
     "q275_hard_pairs" -> ((s, d) => {
       import s.implicits._
       graft.GraftExtensions.ensureRegistered(s)
-      val shl = shingles(s, d).cache()
+      val shl = shingles(s, d).cache() // harness-released (per-query clearCache)
       val grams = shl.select($"doc_id", explode($"sh").as("g"))
       val keys = grams.groupBy($"g").agg(count(lit(1)).as("df"))
         .filter($"df" <= 64).select($"g")
@@ -850,7 +850,7 @@ object Dedup extends QueryPack {
       val wc = T.documents(s, d)
         .select($"doc_id", explode(split($"text", " ")).as("w"))
         .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
-        .cache()
+        .cache() // harness-released (per-query clearCache)
       val nrm = wc.groupBy($"doc_id")
         .agg(sum($"c" * $"c").cast("bigint").as("n2"))
       val dots = cp.join(wc.toDF("a", "w", "ca"), "a")

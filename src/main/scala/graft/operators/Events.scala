@@ -1089,7 +1089,7 @@ object Events extends QueryPack {
       val gap = 86400000000L // 24 h in µs
       val ev = T.events(s, d)
         .select($"user_id", $"event_type", unix_micros($"ts").as("us"),
-          $"event_id".as("id")).cache()
+          $"event_id".as("id")).cache() // harness-released (per-query clearCache)
       val a = ev.toDF("u", "t1", "us1", "id1")
       val b = ev.toDF("u", "t2", "us2", "id2")
       val c = ev.toDF("u", "t3", "us3", "id3")
@@ -1192,10 +1192,10 @@ object Events extends QueryPack {
         .select($"l", $"i", $"c",
           expr("c * c * 1000L div (CASE WHEN l = 6 THEN 32L " +
             "ELSE shiftleft(1L, CAST(l AS INT)) END)").as("contrib_milli"))
-        .cache()
+        .cache() // harness-released (per-query clearCache)
       val tot = coefs.agg(sum($"contrib_milli").cast("bigint")
         .as("total_milli"))
-      val top = coefs.orderBy(abs($"c").desc, $"l", $"i").limit(8).cache()
+      val top = coefs.orderBy(abs($"c").desc, $"l", $"i").limit(8).cache() // harness-released (per-query clearCache)
       val kept = top.agg(sum($"contrib_milli").cast("bigint")
         .as("kept_milli"))
       top.crossJoin(broadcast(tot)).crossJoin(broadcast(kept))
@@ -1237,7 +1237,7 @@ object Events extends QueryPack {
         .agg(expr("array_join(transform(sort_array(" +
           "collect_list(struct(seg, qq))), s -> CAST(s.qq AS STRING)), '')")
           .as("sax_word"))
-        .cache()
+        .cache() // harness-released (per-query clearCache)
       val ham = (1 to 6).map(i =>
         (substring($"wa", i, 1) =!= substring($"wb", i, 1)).cast("long"))
         .reduce(_ + _)

@@ -236,7 +236,7 @@ object Pipeline extends QueryPack {
       // tf holds one row per (doc, term); df derives from it with a
       // second agg, so the scan+explode runs once (cached — at 100 TB
       // this intermediate would persist to disk instead)
-      val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf")).cache()
+      val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf")).cache() // harness-released (per-query clearCache)
       val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
       val scored = tf.join(df, "term")
         .select($"doc_id", $"term", $"tf", $"df",
@@ -327,7 +327,7 @@ object Pipeline extends QueryPack {
         .select($"doc_id",
           array_distinct(expr("word_ngrams(text, 8)")).as("gs"))
         // corpus-scaled: at 100 TB persist to disk/checkpoint instead
-        .cache()
+        .cache() // harness-released (per-query clearCache)
       val isBench = pmod(hash60($"doc_id"), lit(10)) === 0
       val benchGrams = docs.filter(isBench)
         .select(explode($"gs").as("g")).distinct()
@@ -633,7 +633,7 @@ object Pipeline extends QueryPack {
         .filter(!($"exp" === 3L && $"arm" === 1L &&
           pmod(hash60(concat($"user_id".cast("string"), lit("#drop"))),
             lit(2)) === 0L))
-        .cache()
+        .cache() // harness-released (per-query clearCache)
       val cnt = asg.groupBy($"exp").agg(
         sum(($"arm" === 0L).cast("long")).as("n0"),
         sum(($"arm" === 1L).cast("long")).as("n1"))
@@ -705,7 +705,7 @@ object Pipeline extends QueryPack {
           expr("transform(sequence(1, size(w) - 2), " +
             "i -> concat_ws(' ', slice(w, i, 3)))")).as("gram"))
         .distinct()
-        .cache() // feeds the doc-frequency agg AND the join probe
+        .cache() // feeds the doc-frequency agg AND the join probe; harness-released
       val df = grams.groupBy($"gram").agg(count(lit(1)).as("nd"))
       grams.join(df, Seq("gram"))
         .groupBy($"doc_id")
@@ -768,7 +768,7 @@ object Pipeline extends QueryPack {
           expr("transform(sequence(1, size(w) - 2), " +
             "i -> concat_ws(' ', slice(w, i, 3)))")).as("gram"))
         .distinct()
-        .cache() // feeds attribution AND per-source totals (q36 note)
+        .cache() // feeds attribution AND per-source totals (q36 note); harness-released
       val firsts = g.groupBy($"gram")
         .agg(min_by($"source", $"doc_id").as("source"))
         .groupBy($"source").agg(count(lit(1)).as("n_first"))
@@ -823,7 +823,7 @@ object Pipeline extends QueryPack {
         // gram-exploded once, not three times (same pattern as q36;
         // the gram table is corpus-scaled, so at 100 TB this persists
         // to disk or checkpoints instead of memory cache)
-        .cache()
+        .cache() // harness-released (per-query clearCache)
       val train = grams.filter($"split" === "train").select($"lang", $"gram")
       val eval_ = grams.filter($"split" =!= "train")
       eval_
@@ -1895,7 +1895,7 @@ object Pipeline extends QueryPack {
       val W = org.apache.spark.sql.expressions.Window
       val sv = T.documents(s, d)
         .groupBy($"source", $"n_chars".as("nc"))
-        .agg(count(lit(1)).cast("bigint").as("c")).cache()
+        .agg(count(lit(1)).cast("bigint").as("c")).cache() // harness-released (per-query clearCache)
       val vstep = sv.select($"nc").distinct()
         .withColumn("dv", lead($"nc", 1).over(W.orderBy($"nc")) - $"nc")
       val srcs = sv.groupBy($"source").agg(sum($"c").cast("bigint").as("n_s"))
@@ -1942,7 +1942,7 @@ object Pipeline extends QueryPack {
       val base = T.documents(s, d)
         .join(broadcast(lp), $"lang" === $"la" || $"lang" === $"lb")
         .select($"la", $"lb", $"doc_id", $"n_chars",
-          ($"lang" === $"la").as("grp")).cache()
+          ($"lang" === $"la").as("grp")).cache() // harness-released (per-query clearCache)
       val obs = base.groupBy($"la", $"lb").agg(
         sum(when($"grp", $"n_chars").otherwise(0L)).cast("bigint").as("sa"),
         sum(when($"grp", 1L).otherwise(0L)).cast("bigint").as("na"),
@@ -2008,7 +2008,7 @@ object Pipeline extends QueryPack {
           ($"n_chars" >= 100 && $"n_chars" <= 5000 &&
             $"n_chars" < $"toks" * 12L).as("fa"),
           ($"stops" * 100L >= $"toks" && $"stops" * 2L <= $"toks").as("fb"))
-        .cache()
+        .cache() // harness-released (per-query clearCache)
       val cells = flags.agg(count(lit(1)).as("n"),
         sum(($"fa" && $"fb").cast("long")).as("n11"),
         sum(($"fa" && !$"fb").cast("long")).as("n10"),
@@ -2071,7 +2071,7 @@ object Pipeline extends QueryPack {
       val evalSet = l.filter($"fold" === 1)
       val nxa = train.groupBy($"brand", $"supp")
         .agg(count(lit(1)).as("n_xa"), sum($"r").cast("bigint").as("r_xa"))
-        .cache()
+        .cache() // harness-released (per-query clearCache)
       val nx = nxa.groupBy($"brand").agg(sum($"n_xa").as("n_x"))
       val wp = Window.partitionBy($"brand")
         .orderBy(expr("r_xa * 1000000L div n_xa").desc, $"supp".asc)

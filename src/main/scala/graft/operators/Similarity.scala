@@ -192,7 +192,7 @@ object Similarity extends QueryPack {
     T.memo(s, s"ann_exact3:$d") {
       queries("q40_cosine_topk")(s, d)
         .filter(col("rn") <= 3).select(col("qid"), col("vec_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // harness-released (per-query clearCache)
     }
 
   /** K-means cell assignment (vec_id, kcell): every vector reassigned
@@ -214,7 +214,7 @@ object Similarity extends QueryPack {
         .withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
         .select($"vec_id", $"clab".as("kcell"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // harness-released (per-query clearCache)
     }
 
   /** Probe-depth sweep: micro-averaged recall@3 of the multiprobe IVF
@@ -457,7 +457,7 @@ object Similarity extends QueryPack {
         .select($"vec_id", $"q", $"n2",
           simPps("dot", "n2", "qn2").as("rel_pps"))
         .orderBy($"rel_pps".desc, $"vec_id").limit(50)
-        .cache()
+        .cache() // harness-released (per-query clearCache)
       val ps = cand.select($"vec_id".as("a"), $"q".as("qa"), $"n2".as("n2a"))
         .join(cand.select($"vec_id".as("b"), $"q".as("qb"), $"n2".as("n2b")),
           $"a" =!= $"b")
@@ -590,7 +590,7 @@ object Similarity extends QueryPack {
           cosine("q", "qv", "n2", "qn2").as("cos"))
       val wr = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
       val rk = scored.withColumn("rnk", row_number().over(wr).cast("long"))
-        .cache()
+        .cache() // harness-released (per-query clearCache)
       val tot = rk.groupBy($"qid")
         .agg(least(sum($"rel"), lit(20L)).as("n_rel_cap"))
       val dw = discounts.toDF("drk", "dw_milli")
@@ -636,7 +636,7 @@ object Similarity extends QueryPack {
     "q296_dbscan_lsh" -> ((s, d) => {
       import s.implicits._
       val emb = quantized(s, d).join(kmeansCells(s, d), "vec_id")
-        .withColumn("bkt", bucketExprN(16)).cache()
+        .withColumn("bkt", bucketExprN(16)).cache() // harness-released (per-query clearCache)
       val bands = emb.select($"vec_id", $"kcell",
         explode(array((0 until 4).map(i =>
           struct(lit(i).as("band"),
@@ -1119,7 +1119,7 @@ object Similarity extends QueryPack {
       val assigned = scored.withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
         .select($"vec_id", $"old_label", $"clab".as("new_label"), $"q")
-        .cache()
+        .cache() // harness-released (per-query clearCache)
       val stats = assigned.groupBy($"new_label")
         .agg(count(lit(1)).as("n_members"),
           sum(when($"old_label" =!= $"new_label", 1L).otherwise(0L)).as("n_moved"),

@@ -51,7 +51,7 @@ object Sketches extends QueryPack {
       val counts = T.documents(s, d)
         .select(explode(split($"text", " ")).as("w"))
         .groupBy($"w").agg(count(lit(1)).as("n"))
-        .cache()
+        .cache() // harness-released (per-query clearCache)
       val matrix = counts
         .select($"n", explode(probeArr($"w")).as("p"))
         .groupBy($"p.r".as("r"), $"p.b".as("b"))
@@ -92,7 +92,7 @@ object Sketches extends QueryPack {
       val counts = T.documents(s, d)
         .select(explode(split($"text", " ")).as("w"))
         .groupBy($"w").agg(count(lit(1)).as("n"))
-        .cache()
+        .cache() // harness-released (per-query clearCache)
       val matrix = counts
         .select($"n", explode(probeArr).as("p"))
         .groupBy($"p.r".as("r"), $"p.b".as("b"))
@@ -130,7 +130,7 @@ object Sketches extends QueryPack {
       val fpOf = (t: org.apache.spark.sql.Column) =>
         hh(concat_ws(" ", slice(split(t, " "), 1, 3)))
       val ix = T.documents(s, d).filter(!isStrm)
-        .select($"doc_id", fpOf($"text").as("fp")).cache()
+        .select($"doc_id", fpOf($"text").as("fp")).cache() // harness-released (per-query clearCache)
       val strm = T.documents(s, d).filter(isStrm)
         .select($"doc_id", fpOf($"text").as("fp"))
       // the size dim is `mb`, not `m` — PlanSpec bans broadcast hints
@@ -449,7 +449,7 @@ object Sketches extends QueryPack {
       val du = T.events(s, d)
         .select(datediff(to_date($"ts"), to_date(lit("2024-01-01")))
           .cast("long").as("day"), $"user_id")
-        .distinct().cache()
+        .distinct().cache() // harness-released (per-query clearCache)
       val regs = du.select($"day", h60($"user_id").as("h"))
         .select($"day",
           expr("h div 36028797018963968").as("j"),
@@ -464,7 +464,7 @@ object Sketches extends QueryPack {
       // merge under-counts on sparse days — each side would mirror the
       // defect, but the point is true per-day HLL bank merging). The
       // grid is days×32 rows: corpus-independent, broadcast-cheap.
-      val days = du.select($"day").distinct().cache()
+      val days = du.select($"day").distinct().cache() // harness-released (per-query clearCache)
       val grid = days.crossJoin(
         s.range(0L, 32L).select(col("id").as("j")))
       val dense = grid.join(regs, Seq("day", "j"), "left")

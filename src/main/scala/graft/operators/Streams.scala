@@ -1247,6 +1247,8 @@ object Streams extends QueryPack {
           ()
         }.start()
       q.awaitTermination()
+      // the index caches only serve the drained micro-batches
+      ixSh.unpersist(); ixSig.unpersist(); ixBnd.unpersist()
       // quarantine worklist: per admitted-batch doc, match count +
       // best match (max sim, ties to smallest index doc_id)
       s.read.schema("a LONG, b LONG, sim_ppm LONG").parquet(s"$root/b*")
@@ -1354,7 +1356,7 @@ object Streams extends QueryPack {
           .select(col("vec_id"), col("clab").as("kcell"))
       }
       val nBase = assign(base)
-        .groupBy($"kcell").agg(count(lit(1)).as("n_base")).cache()
+        .groupBy($"kcell").agg(count(lit(1)).as("n_base")).cache() // harness-released (per-query clearCache)
       nBase.count()
       val nBatchRows = Similarity.quantized(s, d).filter(isBatch).count()
       val cap = math.max(20L, nBatchRows / 3)
@@ -1382,6 +1384,7 @@ object Streams extends QueryPack {
           ()
         }.start()
       q.awaitTermination()
+      cent.unpersist() // only the micro-batch assignments read it
       // growth audit over the drained assignments — q198's report
       s.read.schema("vec_id LONG, kcell LONG").parquet(s"$root/b*")
         .groupBy($"kcell").agg(count(lit(1)).as("nb_cnt"))
@@ -1454,7 +1457,7 @@ object Streams extends QueryPack {
         }.start()
       q.awaitTermination()
       val counts = s.read.schema("w STRING, n LONG").parquet(s"$root/c*")
-        .groupBy($"w").agg(sum($"n").as("n")).cache()
+        .groupBy($"w").agg(sum($"n").as("n")).cache() // harness-released (per-query clearCache)
       val matrix = s.read.schema("r INT, b LONG, c LONG").parquet(s"$root/m*")
         .groupBy($"r", $"b").agg(sum($"c").as("c"))
       val top = counts.orderBy($"n".desc, $"w".asc).limit(20)
@@ -1642,6 +1645,7 @@ object Streams extends QueryPack {
           ()
         }.start()
       q.awaitTermination()
+      ixFp.unpersist(); bloom.unpersist() // batch-side only
       s.read.schema("doc_id LONG, bloom_maybe BOOLEAN, is_dup BOOLEAN, " +
         "dup_of LONG").parquet(s"$root/b*")
         .select($"doc_id", $"bloom_maybe", $"is_dup", $"dup_of")
@@ -2340,6 +2344,7 @@ object Streams extends QueryPack {
           ()
         }.start()
       q.awaitTermination()
+      dim.unpersist() // only the micro-batch interval joins read it
       s.read.schema("event_id LONG, user_id LONG, ts_us LONG, " +
         "attr_at_purchase STRING, version_id LONG").parquet(s"$root/b*")
         .select($"event_id", $"user_id", $"ts_us", $"attr_at_purchase",

@@ -102,7 +102,7 @@ object TextAnalysis extends QueryPack {
       val grams = T.documents(s, d)
         .select($"doc_id", explode(expr("word_ngrams(text, 2)")).as("gram"))
         // corpus-scaled: at 100 TB persist to disk/checkpoint instead
-        .distinct().cache()
+        .distinct().cache() // harness-released (per-query clearCache)
       val keep = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
         .filter($"df".between(2, 10))
       grams.join(keep, Seq("gram"))
@@ -253,7 +253,7 @@ object TextAnalysis extends QueryPack {
         .select($"doc_id", $"lang",
           array_distinct(expr("char_ngrams(text, 3)")).as("tg"))
         // corpus-scaled: at 100 TB persist to disk/checkpoint instead
-        .cache()
+        .cache() // harness-released (per-query clearCache)
       val docTri = docs.select($"doc_id", $"tg")
       val langTri = docs.select($"lang", explode($"tg").as("t"))
         .groupBy($"lang", $"t").agg(count(lit(1)).as("df"))
@@ -363,7 +363,7 @@ object TextAnalysis extends QueryPack {
             " i -> struct(element_at(w, i + 1) AS w1, element_at(w, i + 2) AS w2))")).as("b"))
         .select($"doc_id", $"b.w1", $"b.w2")
         // corpus-scaled: at 100 TB persist to disk/checkpoint instead
-        .cache()
+        .cache() // harness-released (per-query clearCache)
       val counts = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("n"))
       val lm = counts
         .withColumn("n_w1", sum($"n").over(Window.partitionBy($"w1")))
@@ -493,7 +493,7 @@ object TextAnalysis extends QueryPack {
       val bg = T.documents(s, d).filter(length($"text") >= 2)
         .select($"doc_id", $"source",
           explode(expr("char_ngrams(text, 2)")).as("p"))
-        .cache()
+        .cache() // harness-released (per-query clearCache)
       val m2 = bg.groupBy($"p").agg(count(lit(1)).as("c2"))
       val m1 = m2.groupBy(substring($"p", 1, 1).as("ch"))
         .agg(sum($"c2").cast("bigint").as("c1"))
@@ -587,7 +587,7 @@ object TextAnalysis extends QueryPack {
         .select(explode(expr("word_ngrams(text, 2)")).as("g"))
         .select(split($"g", " ").getItem(0).as("v"),
           split($"g", " ").getItem(1).as("nw"))
-        .groupBy($"v", $"nw").agg(count(lit(1)).as("c")).cache()
+        .groupBy($"v", $"nw").agg(count(lit(1)).as("c")).cache() // harness-released (per-query clearCache)
       val cv = cvw.groupBy($"v")
         .agg(sum($"c").cast("bigint").as("cv"), count(lit(1)).as("n1v"))
       val cw = cvw.groupBy($"nw").agg(count(lit(1)).as("ncw"))
