@@ -302,6 +302,12 @@ import graft.operators._
   * s43 q-digest (leaf counts), s44 SPRT (daily counts), s45 shape
   * moments (power sums), s46 fertility (per-lang token partials
   * under the fixed trained vocab).
+  *
+  * Round 17: s00 null-stream epoch-floor baseline (a fixed 8-row
+  * sf-independent fixture through the full checkpointed-stateful
+  * drain protocol — measures the streaming class's per-stream fixed
+  * cost directly; Bench reports the class as its own block with
+  * floor + noise envelope).
   */
 object SparkEntry {
 

@@ -276,6 +276,57 @@ object Streams extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
+    // ---- s00: null-stream epoch-floor baseline (VERDICT r16 #1) ------
+    // The streaming class's bench lines carry a per-stream FIXED cost
+    // that whipsawed 0.3×→1.67× across r14–r16 on UNCHANGED code,
+    // forcing re-time adjudications every round. s00 measures that
+    // floor directly: a fixed 8-row fixture (sf-INDEPENDENT — the
+    // payload never reads the tables) through the full declared-query
+    // protocol — shardstream source, multiple epochs
+    // (maxRecordsPerBatch=4), a checkpointed STATEFUL aggregation (one
+    // state-store commit per epoch), memory sink, AvailableNow drain.
+    // Its bench line is pure fixture overhead; any sNN line minus s00
+    // is that stream's data-dependent cost, and Bench reports the
+    // streaming class (n_stream/stream_total/floor) as its own line
+    // item so a real streaming regression is visible AGAINST the
+    // floor instead of buried in a mixed median.
+    "s00_stream_epoch_floor" -> ((s, d) => {
+      import s.implicits._
+      val name = s"floor_${sfx(d)}"
+      synchronized {
+        if (!ShardServiceRegistry.exists(name)) {
+          val stream = ShardServiceRegistry.create(name, 2)
+          (0 until 8).foreach { i =>
+            val k = s"k${i % 4}"
+            stream.putRecord(k, s"""{"k":"$k"}""".getBytes(UTF_8), None)
+          }
+        }
+      }
+      // memory sink cannot resume a checkpoint (s26's rule) — fresh dir
+      val ckpt = s"/tmp/graft_ckpt_s00_${sfx(d)}_" +
+        s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      val ckptPath = new org.apache.hadoop.fs.Path(ckpt)
+      val fs = ckptPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(ckptPath)) fs.delete(ckptPath, true)
+      val kSchema = StructType(Seq(StructField("k", StringType)))
+      val counts = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", "4")
+        .load()
+        .select(from_json(col("data").cast("string"), kSchema).as("e"))
+        .select(col("e.k").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      graft.streaming.StreamObservability.attach(s)
+      s.catalog.dropTempView("s00_floor_out")
+      val q = counts.writeStream.format("memory").queryName("s00_floor_out")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("s00_floor_out").select($"k", $"n".cast("bigint").as("n"))
+    }),
+
     // S1+S3+S4+S7+S16: multi-shard replay, JSON decode, full round-trip.
     "s01_stream_roundtrip" -> ((s, d) => {
       val name = s"events_rt_${sfx(d)}"
@@ -2651,6 +2702,12 @@ object Streams extends QueryPack {
     }))
 
   def oracles: Map[String, String] = Map(
+    // s00's fixture is a fixed 8-row constant (2 puts per key,
+    // independent of the tables), so its oracle is the constant too
+    "s00_stream_epoch_floor" ->
+      """SELECT k, CAST(2 AS BIGINT) AS n
+        |FROM (VALUES ('k0'), ('k1'), ('k2'), ('k3')) t(k)""".stripMargin,
+
     "s17_shard_split_replay" ->
       """SELECT user_id, count(*) AS n,
         |  min(event_id) AS first_eid, max(event_id) AS last_eid

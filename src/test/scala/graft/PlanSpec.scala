@@ -25,7 +25,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var spark: SparkSession = _
   private val dir = "/root/testdata/sf0.001"
-  private val streaming = Set("s01_stream_roundtrip", "s02_stream_take_n",
+  private val streaming = Set("s00_stream_epoch_floor",
+    "s01_stream_roundtrip", "s02_stream_take_n",
     "s03_sink_roundtrip", "s04_stream_windowed", "s05_dsv2_sink_pipe",
     "s06_stream_stream_join", "s07_stream_dedup", "s08_stream_complete_agg",
     "s09_stream_static_join", "s10_stateful_running", "s11_stream_session",
