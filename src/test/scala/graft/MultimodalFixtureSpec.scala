@@ -139,6 +139,48 @@ class MultimodalFixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.operators.Multimodal.boxResize(base).toSeq)
   }
 
+  // ---- q45 container-header kernels --------------------------------
+  // bmpCoreHeader/parseBmpCore implement the real BITMAPCOREHEADER
+  // layout; these pin the byte layout itself (golden bytes), the
+  // build→parse round-trip, and the quarantine reject paths.
+
+  test("q45 bmpCoreHeader: golden byte layout (real BMP core header)") {
+    val h = graft.operators.Multimodal.bmpCoreHeader(640, 480, 1000)
+    assert(h.length == 26)
+    assert(h(0) == 'B'.toByte && h(1) == 'M'.toByte)
+    // file size LE32 = 26 + 1000 = 1026 = 0x0402
+    assert((h(2) & 0xff) == 0x02 && (h(3) & 0xff) == 0x04 &&
+      h(4) == 0 && h(5) == 0)
+    // data offset LE32 = 26; core header size LE32 = 12
+    assert((h(10) & 0xff) == 26 && h(11) == 0 && h(12) == 0 && h(13) == 0)
+    assert((h(14) & 0xff) == 12 && h(15) == 0 && h(16) == 0 && h(17) == 0)
+    // width 640 = 0x0280 LE16; height 480 = 0x01E0 LE16
+    assert((h(18) & 0xff) == 0x80 && (h(19) & 0xff) == 0x02)
+    assert((h(20) & 0xff) == 0xE0 && (h(21) & 0xff) == 0x01)
+    // planes = 1, bpp = 8
+    assert((h(22) & 0xff) == 1 && h(23) == 0)
+    assert((h(24) & 0xff) == 8 && h(25) == 0)
+  }
+
+  test("q45 parseBmpCore: build→parse round-trips the geometry") {
+    for ((w, hh) <- Seq((1, 1), (509, 3), (640, 480), (65535, 65535))) {
+      val payload = graft.operators.Multimodal.bmpCoreHeader(w, hh, 7) ++
+        Array.fill(7)(42.toByte)
+      assert(graft.operators.Multimodal.parseBmpCore(payload) ==
+        ((w.toLong, hh.toLong, 26L)))
+    }
+  }
+
+  test("q45 parseBmpCore: rejects bad magic, short buffers, wrong header size") {
+    val good = graft.operators.Multimodal.bmpCoreHeader(8, 8, 0)
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    assert(graft.operators.Multimodal.parseBmpCore(badMagic) == ((-1L, -1L, -1L)))
+    assert(graft.operators.Multimodal.parseBmpCore(good.take(20)) ==
+      ((-1L, -1L, -1L)))
+    val badSize = good.clone(); badSize(14) = 40.toByte // BITMAPINFOHEADER
+    assert(graft.operators.Multimodal.parseBmpCore(badSize) == ((-1L, -1L, -1L)))
+  }
+
   for (dir <- sfDirs) {
     test(s"documents.text is pure ASCII at $dir (byte==char precondition for q45/q64/q65)") {
       // octet_length(UTF-8 bytes) == char length iff every char is ASCII
