@@ -307,7 +307,12 @@ import graft.operators._
   * sf-independent fixture through the full checkpointed-stateful
   * drain protocol — measures the streaming class's per-stream fixed
   * cost directly; Bench reports the class as its own block with
-  * floor + noise envelope).
+  * floor + noise envelope); q45 upgraded to a REAL container-header
+  * parse (BITMAPCOREHEADER build + LE field parse, golden-byte
+  * pinned); q339 materialized exact substring-dedup cut list
+  * (Lee-style non-keeper span removal at L = 50, hashed candidates +
+  * exact verify, char-grain islands) and q340 its per-source
+  * reclaimed-token accounting.
   */
 object SparkEntry {
 

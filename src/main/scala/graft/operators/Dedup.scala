@@ -115,6 +115,54 @@ object Dedup extends QueryPack {
     * vote sum sets the output bit [Charikar, STOC'02]. One groupBy
     * shuffle on doc_id with `nbits` map-side-combinable sums. Returns
     * (doc_id, simhash). */
+  /** Shared substrate for q339/q340: the merged char ranges an exact
+    * duplicate-span dedup at L = 50 deletes. Occurrence = every L-char
+    * window position; candidates group on h60 (16-byte keys shuffle,
+    * never L-char strings — q285's rule); colliding groups are
+    * verified by EXACT substring equality (strings join back for
+    * candidates only); keeper = struct-min (doc_id, pos) per verified
+    * substring; non-keeper covers [p, p+L−1] merge per doc via the
+    * gaps-and-islands cummax (q147's kernel at char grain). Returns
+    * (doc_id, start_char, end_char), 1-based inclusive. */
+  private def cutSpans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.GraftExtensions.ensureRegistered(s)
+    val h60 = graft.functions.PortableHash.h60 _
+    val L = 50
+    val docs = T.documents(s, d).select($"doc_id", $"text")
+    val occ = docs.filter(length($"text") >= L)
+      .select($"doc_id", $"text",
+        explode(sequence(lit(1L),
+          (length($"text") - (L - 1)).cast("long"))).as("p"))
+      .select($"doc_id", $"p",
+        h60(expr(s"substring(text, CAST(p AS INT), $L)")).as("kh"))
+    val dupk = occ.groupBy($"kh").agg(count(lit(1)).as("nk"))
+      .filter($"nk" >= 2).select($"kh")
+    val cand = occ.join(dupk, "kh").select($"doc_id", $"p")
+    val vsub = cand.join(docs, "doc_id")
+      .select($"doc_id", $"p",
+        expr(s"substring(text, CAST(p AS INT), $L)").as("sub"))
+    val vdup = vsub.groupBy($"sub").agg(count(lit(1)).as("ns"))
+      .filter($"ns" >= 2).select($"sub")
+    val vocc = vsub.join(vdup, "sub")
+    val keep = vocc.groupBy($"sub")
+      .agg(min(struct($"doc_id", $"p")).as("kk"))
+    val cut = vocc.join(keep, "sub")
+      .filter(!($"doc_id" === $"kk.doc_id" && $"p" === $"kk.p"))
+      .select($"doc_id", $"p").distinct()
+    val wOrd = Window.partitionBy($"doc_id").orderBy($"p")
+    cut
+      .withColumn("prev_end", max($"p" + (L - 1))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("newi",
+        when($"prev_end".isNull || $"p" > $"prev_end" + 1, 1L).otherwise(0L))
+      .withColumn("isl", sum($"newi").over(wOrd))
+      .groupBy($"doc_id", $"isl")
+      .agg(min($"p").cast("bigint").as("start_char"),
+        (max($"p") + (L - 1)).cast("bigint").as("end_char"))
+      .select($"doc_id", $"start_char", $"end_char")
+  }
+
   private def simhashDocs(s: SparkSession, d: String, nbits: Int): DataFrame = {
     import s.implicits._
     val toks = T.documents(s, d)
@@ -575,6 +623,76 @@ object Dedup extends QueryPack {
         .withColumn("dup_ppm", expr("covered_words * 1000000L div n_words"))
     }),
 
+    // ---- exact substring-dedup CUT LIST (the materialized artifact) --
+    // [Lee+ ACL'22 ExactSubstr] the missing END of the q285/q76/q147
+    // chain (VERDICT r16 #2): q285 finds the longest repeat, q76/q147
+    // mark and measure word-gram dup coverage — this query EMITS the
+    // actual cut list a production substring-dedup would apply: per
+    // doc, the merged char ranges (ASCII corpus: char == byte, the
+    // MultimodalFixtureSpec precondition) covered by non-keeper
+    // occurrences of every ≥ L-char repeat (L = 50, the Lee+ default
+    // scale; keeper = globally first occurrence by (doc_id, pos)
+    // struct-min, so exactly one copy of each repeated span survives).
+    // Discipline: occurrence keys are h60 hashes (16-byte keys shuffle
+    // corpus-wide — q285's rule), with EXACT string verification
+    // joined back for hash-colliding groups only; islands merge via
+    // the doc-partitioned gaps-and-islands cummax (q147's kernel, char
+    // grain). Scale: |chars| occurrence rows — the honest ExactSubstr
+    // cost class (Lee+ build a suffix array of the same size); one
+    // hash agg + one equi-join back + doc-local windows, no pairs.
+    "q339_dedup_cutlist" -> ((s, d) => {
+      import s.implicits._
+      cutSpans(s, d)
+        .withColumn("span_id", row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"start_char")).cast("bigint"))
+        .select($"doc_id", $"span_id", $"start_char", $"end_char",
+          ($"end_char" - $"start_char" + 1).cast("bigint").as("cut_chars"))
+    }),
+
+    // ---- per-source reclaimed-token accounting of the cut ------------
+    // The accounting row next to q283's doc-grain savings: per source,
+    // how many docs the q339 cut touches, the reclaimed chars (exact),
+    // the reclaimed TOKENS (whitespace words falling ENTIRELY inside a
+    // cut span — exact containment via per-doc word offsets from one
+    // running-sum window), and the reclaimed ppm of the source's
+    // chars. Word-offset join is doc-keyed with a range residual
+    // (spans per doc are few), never corpus-wide.
+    "q340_dedup_reclaimed" -> ((s, d) => {
+      import s.implicits._
+      val spans = cutSpans(s, d)
+      val wDoc = Window.partitionBy($"doc_id").orderBy($"wp")
+      val woff = T.documents(s, d)
+        .select($"doc_id", posexplode(split($"text", " ")))
+        .toDF("doc_id", "wp", "wd")
+        .withColumn("wlen", length($"wd").cast("bigint"))
+        .withColumn("wend", (sum($"wlen" + 1).over(wDoc) - 1).cast("bigint"))
+      val ctok = woff.join(spans, "doc_id")
+        .filter($"wend" - $"wlen" + 1 >= $"start_char" &&
+          $"wend" <= $"end_char")
+        .groupBy($"doc_id").agg(count(lit(1)).as("cut_tokens"))
+      val perdoc = spans.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum($"end_char" - $"start_char" + 1).cast("bigint").as("cut_chars"))
+      T.documents(s, d)
+        .select($"doc_id", $"source", length($"text").cast("bigint").as("nc"))
+        .join(perdoc, Seq("doc_id"), "left")
+        .join(ctok, Seq("doc_id"), "left")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"n_spans".isNotNull, 1L).otherwise(0L)).cast("bigint")
+            .as("n_docs_cut"),
+          sum(coalesce($"n_spans", lit(0L))).cast("bigint").as("n_spans"),
+          sum(coalesce($"cut_chars", lit(0L))).cast("bigint")
+            .as("reclaimed_chars"),
+          sum(coalesce($"cut_tokens", lit(0L))).cast("bigint")
+            .as("reclaimed_tokens"),
+          sum($"nc").cast("bigint").as("total_chars"))
+        .select($"source", $"n_docs", $"n_docs_cut", $"n_spans",
+          $"reclaimed_chars", $"reclaimed_tokens", $"total_chars",
+          expr("reclaimed_chars * 1000000 div total_chars")
+            .as("reclaimed_ppm"))
+    }),
+
     // ---- SimHash bucketing ------------------------------------------
     // 16-bit simhash over the distinct-token set; token bit source is
     // a 60-bit integer parsed from md5 hex — portable to the oracle.
@@ -963,6 +1081,43 @@ object Dedup extends QueryPack {
       }.reduce(_ unionAll _)
     }))
 
+  /** Shared oracle CTE chain for q339/q340 — the cutSpans arithmetic
+    * replayed (h60 = top 15 md5 hex chars, the portable construction),
+    * ending with the `spans` CTE of (doc_id, start_char, end_char). */
+  private val duckCutSpans: String =
+    """occ AS (
+      |  SELECT doc_id, p.i AS p,
+      |    CAST('0x' || substr(md5(substr(text, CAST(p.i AS INT), 50)),
+      |      1, 15) AS BIGINT) AS kh
+      |  FROM documents,
+      |    LATERAL (SELECT unnest(range(1, length(text) - 48)) AS i) p
+      |  WHERE length(text) >= 50),
+      |dk AS (SELECT kh FROM occ GROUP BY kh HAVING count(*) >= 2),
+      |cand AS (SELECT o.doc_id, o.p FROM occ o JOIN dk USING (kh)),
+      |vsub AS (
+      |  SELECT c.doc_id, c.p, substr(d.text, CAST(c.p AS INT), 50) AS sub
+      |  FROM cand c JOIN documents d USING (doc_id)),
+      |vdup AS (SELECT sub FROM vsub GROUP BY sub HAVING count(*) >= 2),
+      |vocc AS (SELECT v.doc_id, v.p, v.sub FROM vsub v JOIN vdup USING (sub)),
+      |keep AS (SELECT sub, min({'doc_id': doc_id, 'p': p}) AS kk
+      |  FROM vocc GROUP BY sub),
+      |cut AS (SELECT DISTINCT v.doc_id, v.p FROM vocc v JOIN keep USING (sub)
+      |  WHERE NOT (v.doc_id = kk.doc_id AND v.p = kk.p)),
+      |isl AS (
+      |  SELECT doc_id, p,
+      |    CAST(sum(CASE WHEN prev_end IS NULL OR p > prev_end + 1
+      |      THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY p) AS BIGINT) AS isl
+      |  FROM (
+      |    SELECT doc_id, p,
+      |      max(p + 49) OVER (PARTITION BY doc_id ORDER BY p
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |    FROM cut) t),
+      |spans AS (
+      |  SELECT doc_id, isl, CAST(min(p) AS BIGINT) AS start_char,
+      |    CAST(max(p) + 49 AS BIGINT) AS end_char
+      |  FROM isl GROUP BY 1, 2)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     // the identical h60-hashed 8-gram probe: word split on single
     // space (word_ngrams' rule, the q147 replay), per-OCCURRENCE
@@ -1185,6 +1340,50 @@ object Dedup extends QueryPack {
         |  (CAST(sum(r.rw) AS BIGINT) * 1000000) // nw.n_words AS dup_ppm
         |FROM regions r JOIN nw ON nw.doc_id = r.doc_id
         |GROUP BY r.doc_id, nw.n_words""".stripMargin,
+
+    // the cut-list arithmetic replayed: h60 candidate grouping, exact
+    // substring verify, struct-min keeper, char-grain islands
+    "q339_dedup_cutlist" ->
+      s"""WITH $duckCutSpans
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_char)
+        |    AS BIGINT) AS span_id,
+        |  start_char, end_char, end_char - start_char + 1 AS cut_chars
+        |FROM spans""".stripMargin,
+
+    "q340_dedup_reclaimed" ->
+      s"""WITH $duckCutSpans,
+        |woff AS (
+        |  SELECT doc_id, wp, CAST(length(wd) AS BIGINT) AS wlen,
+        |    CAST(sum(length(wd) + 1) OVER (PARTITION BY doc_id ORDER BY wp)
+        |      - 1 AS BIGINT) AS wend
+        |  FROM (
+        |    SELECT doc_id, w.i AS wp, ws[CAST(w.i AS INT)] AS wd
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |          FROM documents) t,
+        |      LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) w) u),
+        |ctok AS (
+        |  SELECT w.doc_id, CAST(count(*) AS BIGINT) AS cut_tokens
+        |  FROM woff w JOIN spans s ON s.doc_id = w.doc_id
+        |    AND w.wend - w.wlen + 1 >= s.start_char AND w.wend <= s.end_char
+        |  GROUP BY 1),
+        |perdoc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(sum(end_char - start_char + 1) AS BIGINT) AS cut_chars
+        |  FROM spans GROUP BY 1)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN p.n_spans IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_docs_cut,
+        |  CAST(COALESCE(sum(p.n_spans), 0) AS BIGINT) AS n_spans,
+        |  CAST(COALESCE(sum(p.cut_chars), 0) AS BIGINT) AS reclaimed_chars,
+        |  CAST(COALESCE(sum(c.cut_tokens), 0) AS BIGINT) AS reclaimed_tokens,
+        |  CAST(sum(length(d.text)) AS BIGINT) AS total_chars,
+        |  CAST(COALESCE(sum(p.cut_chars), 0) AS BIGINT) * 1000000
+        |    // CAST(sum(length(d.text)) AS BIGINT) AS reclaimed_ppm
+        |FROM documents d
+        |LEFT JOIN perdoc p USING (doc_id)
+        |LEFT JOIN ctok c ON c.doc_id = d.doc_id
+        |GROUP BY 1""".stripMargin,
 
     "q35_exact_dedup" ->
       """SELECT user_id, event_type, value, props, count(*) AS n,

@@ -194,7 +194,11 @@ class DeterminismSpec extends AnyFunSuite {
     // the exact ARI combinatorics; the mergeable power-sum moments
     "q336_ari_clusterings", "q337_shape_profile",
     // the trained-merge application join + per-lang fertility floors
-    "q338_bpe_fertility")
+    "q338_bpe_fertility",
+    // round 17: the cut-list chain — struct-min keeper tie-break,
+    // hash-candidate + exact-verify grouping, doc-local islands, and
+    // the word-offset running sum feeding the containment join
+    "q339_dedup_cutlist", "q340_dedup_reclaimed")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count
