@@ -1844,9 +1844,16 @@ object Relational extends QueryPack {
     // missing member of the centrality family (q145 PageRank, q212
     // HITS, q235 Katz, q242 harmonic): WHO SITS ON THE SHORTEST
     // PATHS. Exact betweenness is one BFS per vertex — the pivot
-    // SAMPLE (q242's 8 h60-smallest seeds, corpus-independent) is the
-    // standard estimator, and the hop cap (4, q242's) bounds each
-    // pass. Per seed: distances from [[multiSeedDistances]], shortest-
+    // SAMPLE (h60-smallest seeds) is the standard estimator, and the
+    // hop cap (4, q242's) bounds each pass. The seed COUNT is
+    // data-derived (VERDICT r16 #7, the q197/q235 acceptance-loop
+    // rule): K = clamp(bitlen(|V|) div 2 + 1, 4, 12) — Brandes & Pich
+    // '07 put the pivot budget at O(log V) for fixed error, this is
+    // that rule with an explicit 12-seed ceiling bounding the 100 TB
+    // cost (each seed is one 4-hop BFS + σ/δ sweep); K = 8 at sf0.1
+    // (|V| ≈ 20k), replayed identically by the oracle's own
+    // length(bin(count(*))) derivation (bin() is unpadded in both
+    // engines). Per seed: distances from [[multiSeedDistances]], shortest-
     // path counts σ by a forward level sweep (σ_v = Σ σ_u over DAG
     // edges u→v, one keyed join + agg per hop), then Brandes'
     // dependency accumulation BACKWARD in ppm fixed-point:
@@ -1857,16 +1864,22 @@ object Relational extends QueryPack {
     // DECIMAL(38,0) template slots into the product). Seed vertices
     // are excluded from the report (their self-dependencies are
     // Brandes' discarded v=s terms). Output: top-25 by accumulated
-    // bc_ppm. Scale: 8 seeds × 4 hops × (one |E|-keyed join + agg)
+    // bc_ppm. Scale: K seeds × 4 hops × (one |E|-keyed join + agg)
     // forward and backward — the q242 cost class ×2, state ≤
     // |seeds|·|V| longs, no windows, no all-pairs anything.
     "q313_betweenness_sampled" -> ((s, d) => {
       import s.implicits._
       graft.GraftExtensions.ensureRegistered(s)
       val dir = coocDir(s, d) // (u, v)
+      // K from the memoized degree substrate's row count (|V|): one
+      // substrate-priced count, then a driver literal — the oracle
+      // re-derives the identical K from its own vertex CTE
+      val nV = coocDeg(s, d).count()
+      val k = math.min(12, math.max(4,
+        (64 - java.lang.Long.numberOfLeadingZeros(nV)) / 2 + 1))
       val seeds = coocDeg(s, d).select($"v")
         .orderBy(graft.functions.PortableHash.h60($"v").asc, $"v".asc)
-        .limit(8)
+        .limit(k)
         .select($"v".as("sd"))
         .localCheckpoint(true)
       val dist = multiSeedDistances(dir, seeds, maxHops = 4)
@@ -3659,11 +3672,15 @@ object Relational extends QueryPack {
          |vs AS MATERIALIZED (
          |  SELECT DISTINCT v FROM (
          |    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)),
+         |kk AS MATERIALIZED (
+         |  SELECT least(12, greatest(4, length(bin(count(*))) // 2 + 1))
+         |    AS k FROM vs),
          |sds AS MATERIALIZED (
-         |  SELECT v AS sd FROM vs
-         |  ORDER BY CAST('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15)
-         |    AS BIGINT), v
-         |  LIMIT 8),
+         |  SELECT sd FROM (
+         |    SELECT v AS sd, row_number() OVER (ORDER BY
+         |      CAST('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15)
+         |        AS BIGINT), v) AS rn
+         |    FROM vs) t, kk WHERE t.rn <= kk.k),
          |f0 AS MATERIALIZED (SELECT sd, sd AS v FROM sds),
          |vis0 AS MATERIALIZED (
          |  SELECT sd, v, CAST(0 AS BIGINT) AS hop FROM f0),
