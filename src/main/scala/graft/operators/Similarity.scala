@@ -851,6 +851,62 @@ object Similarity extends QueryPack {
             .as("ari_ppm"))
     }),
 
+    // ---- JL random-projection distance-preservation audit ------------
+    // [Johnson & Lindenstrauss '84; Achlioptas JCSS'03 ±1 projections]
+    // the RANDOM-projection axis of the compression-dial family (q315
+    // audits learned prefix widths, q329 bit depth): project onto m
+    // hash-seeded ±1 directions (sign = parity of h60(m#j#i) — the
+    // retry-stable determinism rule; E[d²_proj] = m·d²_orig for ±1
+    // entries) and measure pairwise squared-distance distortion on the
+    // 10 h60-smallest vectors (q293's corpus-independent query set →
+    // 45 pairs). Exact integers: projections are signed component
+    // sums, ratios floor through DECIMAL(38,0)/HUGEINT; duplicate
+    // vectors (d² = 0) are excluded from ratios in both engines.
+    // Scale: the projection of the 10-row query set is bounded work;
+    // projecting a CORPUS is one scan × m signed sums per row — the
+    // audit prices the m dial before that pass commits.
+    "q343_jl_projection_audit" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val h60c = graft.functions.PortableHash.h60 _
+      val qs = quantized(s, d).select($"vec_id", $"q", $"n2")
+        .orderBy(h60c($"vec_id").asc, $"vec_id".asc).limit(10)
+        .localCheckpoint(true)
+      val ms = Seq(8L, 32L).toDF("mdim")
+      val proj = qs.crossJoin(broadcast(ms))
+        .select($"vec_id", $"mdim", posexplode($"q"))
+        .select($"vec_id", $"mdim", $"pos", $"col",
+          explode(sequence(lit(1L), $"mdim")).as("j"))
+        .select($"vec_id", $"mdim", $"j",
+          when(pmod(h60c(concat_ws("#", $"mdim", $"j", $"pos")),
+            lit(2)) === 0, $"col").otherwise(-$"col").as("t"))
+        .groupBy($"vec_id", $"mdim", $"j")
+        .agg(sum($"t").cast("bigint").as("y"))
+      val d2p = proj.toDF("a", "mdim", "j", "ya")
+        .join(proj.toDF("b", "mdim", "j", "yb"), Seq("mdim", "j"))
+        .filter($"a" < $"b")
+        .groupBy($"mdim", $"a", $"b")
+        .agg(sum(($"ya" - $"yb") * ($"ya" - $"yb")).cast("bigint").as("d2p"))
+      val d2o = qs.toDF("a", "qa", "n2a")
+        .crossJoin(broadcast(qs.toDF("b", "qb", "n2b")))
+        .filter($"a" < $"b")
+        .select($"a", $"b",
+          ($"n2a" + $"n2b" - lit(2L) * expr("int_dot(qa, qb)")).as("d2o"))
+        .filter($"d2o" > 0L)
+      d2p.join(broadcast(d2o), Seq("a", "b"))
+        .select($"mdim",
+          expr("CAST(CAST(d2p AS DECIMAL(38,0)) * 1000000 " +
+            "div (mdim * d2o) AS BIGINT)").as("ratio_ppm"))
+        .groupBy($"mdim")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum($"ratio_ppm").cast("bigint").as("sr"),
+          max(greatest($"ratio_ppm" - 1000000L,
+            lit(1000000L) - $"ratio_ppm")).cast("bigint")
+            .as("max_abs_dev_ppm"))
+        .select($"mdim".as("m_dims"), $"n_pairs",
+          expr("sr div n_pairs").as("mean_ratio_ppm"), $"max_abs_dev_ppm")
+    }),
+
     // ---- simplified-silhouette cluster quality (internal validity) ---
     // [Rousseeuw JCAM'87 silhouettes] the INTERNAL-validity companion
     // to q336's external ARI (VERDICT r16 #8): per point, a = mean
@@ -1691,6 +1747,49 @@ object Similarity extends QueryPack {
         |     (1000000 * (2 * num2) + 1000000 * den) // den - 1000000,
         |     -1000000) END AS BIGINT) AS ari_ppm
         |FROM fin""".stripMargin,
+
+    // the ±1 projection replayed from the same parity hashes
+    // (0-based component positions match posexplode), HUGEINT ratios
+    "q343_jl_projection_audit" ->
+      s"""WITH $duckQuant,
+        |qs AS (
+        |  SELECT vec_id, qv, n2 FROM n
+        |  ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+        |    1, 15) AS BIGINT), vec_id
+        |  LIMIT 10),
+        |ms AS (SELECT CAST(unnest([8, 32]) AS BIGINT) AS mdim),
+        |proj AS (
+        |  SELECT e.vec_id, ms.mdim, j.j AS j,
+        |    CAST(sum(CASE WHEN CAST('0x' || substr(md5(
+        |        ms.mdim || '#' || j.j || '#' || e.pos), 1, 15) AS BIGINT)
+        |        % 2 = 0
+        |      THEN e.v ELSE -e.v END) AS BIGINT) AS y
+        |  FROM ms,
+        |    (SELECT vec_id, unnest(qv) AS v,
+        |       generate_subscripts(qv, 1) - 1 AS pos FROM qs) e,
+        |    LATERAL (SELECT unnest(range(1, ms.mdim + 1)) AS j) j
+        |  GROUP BY 1, 2, 3),
+        |d2p AS (
+        |  SELECT a.mdim, a.vec_id AS a, b.vec_id AS b,
+        |    CAST(sum((a.y - b.y) * (a.y - b.y)) AS BIGINT) AS d2p
+        |  FROM proj a JOIN proj b
+        |    ON a.mdim = b.mdim AND a.j = b.j AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2, 3),
+        |d2o AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b,
+        |    CAST(x.n2 + y.n2 - 2 * list_sum(list_transform(
+        |      list_zip(x.qv, y.qv), p -> p[1] * p[2])) AS BIGINT) AS d2o
+        |  FROM qs x JOIN qs y ON x.vec_id < y.vec_id),
+        |rt AS (
+        |  SELECT d2p.mdim,
+        |    CAST(CAST(d2p.d2p AS HUGEINT) * 1000000
+        |      // (d2p.mdim * d2o.d2o) AS BIGINT) AS ratio_ppm
+        |  FROM d2p JOIN d2o USING (a, b) WHERE d2o.d2o > 0)
+        |SELECT mdim AS m_dims, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(ratio_ppm) // count(*) AS BIGINT) AS mean_ratio_ppm,
+        |  CAST(max(greatest(ratio_ppm - 1000000, 1000000 - ratio_ppm))
+        |    AS BIGINT) AS max_abs_dev_ppm
+        |FROM rt GROUP BY 1""".stripMargin,
 
     // the same kmeansCells assignment, then the moment-identity
     // silhouette replayed: per-cell (nc, sum vector, Σ‖·‖²)

@@ -22,6 +22,72 @@ object TextAnalysis extends QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame] = baseQueries ++ extraQueries
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- LIX/RIX readability profile --------------------------------
+    // [Björnsson '68 LIX; Anderson '83 RIX] the READABILITY member of
+    // the quality family (q32 counts length/punct/stopwords, q289
+    // scores gibberish — neither says "how hard is this to read"):
+    // per source, LIX = words/sentences + 100·longwords/words and
+    // RIX = longwords/sentences, both in exact milli from SUMMED
+    // per-source counts (declared: corpus-level LIX of the pooled
+    // counts, not a mean of per-doc scores — the floor runs once per
+    // source, engine-identical). Sentences = terminator count
+    // (. ! ?) via length minus translate, clamped ≥ 1 per doc; long
+    // word = > 6 chars (the LIX convention). One corpus scan → a
+    // |sources|-row report; every count is map-side combinable, so
+    // the 100 TB shape is one pass.
+    "q342_readability_lix" -> ((s, d) => {
+      import s.implicits._
+      val per = T.documents(s, d).select($"source",
+        size(split($"text", " ")).cast("long").as("nw"),
+        greatest(lit(1L),
+          (length($"text") - length(translate($"text", ".!?", "")))
+            .cast("long")).as("ns"),
+        expr("CAST(size(filter(split(text, ' '), w -> length(w) > 6)) " +
+          "AS BIGINT)").as("nl"))
+      per.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"nw").cast("bigint").as("n_words"),
+          sum($"ns").cast("bigint").as("n_sents"),
+          sum($"nl").cast("bigint").as("n_long"))
+        .select($"source", $"n_docs", $"n_words", $"n_sents", $"n_long",
+          expr("n_words * 1000 div n_sents + n_long * 100000 div n_words")
+            .as("lix_milli"),
+          expr("n_long * 1000 div n_sents").as("rix_milli"))
+    }),
+
+    // ---- zeroth-order byte-entropy (the compression floor) -----------
+    // [Shannon '48 source coding] the STORAGE-planning dial next to
+    // the lexical-diversity family (q196 Simpson on tokens): per
+    // source, the Shannon entropy of the CHARACTER distribution in
+    // millibits/char via the shared millibit-log2 LUT (q328's idiom)
+    // — H = Σ_c n_c·(mb(N) − mb(n_c)) div N, every term non-negative
+    // (mb is monotone) so the floor is engine-identical. min_bytes =
+    // N·H div 8000 is the zeroth-order compression floor — what a
+    // memoryless coder could reach, the honest lower bound a
+    // compression-codec decision starts from. One char explode → a
+    // (source × alphabet)-bounded agg; everything after is tiny.
+    "q344_byte_entropy" -> ((s, d) => {
+      import s.implicits._
+      def mb(x: String) = Pipeline.mbLog2Spark(x)
+      val hist = T.documents(s, d)
+        .select($"source",
+          explode(sequence(lit(1), length($"text"))).as("p"), $"text")
+        .select($"source", expr("substring(text, p, 1)").as("ch"))
+        .groupBy($"source", $"ch").agg(count(lit(1)).cast("long").as("nc"))
+      val tot = hist.groupBy($"source")
+        .agg(sum($"nc").cast("bigint").as("nn"),
+          count(lit(1)).as("n_sym"))
+      hist.join(tot, "source")
+        .groupBy($"source")
+        .agg(max($"nn").as("n_chars"), max($"n_sym").as("n_symbols"),
+          sum(expr(s"nc * (${mb("nn")} - ${mb("nc")})")).cast("bigint")
+            .as("hsum"))
+        .select($"source", $"n_chars", $"n_symbols",
+          expr("hsum div n_chars").as("h_millibits"))
+        .select($"source", $"n_chars", $"n_symbols", $"h_millibits",
+          expr("n_chars * h_millibits div 8000").as("min_bytes"))
+    }),
+
     // ---- per-doc token/char stats -----------------------------------
     "q31_text_stats" -> ((s, d) => {
       import s.implicits._
@@ -1126,6 +1192,49 @@ object TextAnalysis extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    // pooled per-source counts, the same two LIX floors
+    "q342_readability_lix" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+        |    CAST(greatest(1,
+        |      length(text) - length(translate(text, '.!?', '')))
+        |      AS BIGINT) AS ns,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> length(w) > 6)) AS BIGINT) AS nl
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nw) AS BIGINT) AS n_words,
+        |  CAST(sum(ns) AS BIGINT) AS n_sents,
+        |  CAST(sum(nl) AS BIGINT) AS n_long,
+        |  CAST(CAST(sum(nw) AS BIGINT) * 1000 // CAST(sum(ns) AS BIGINT)
+        |    + CAST(sum(nl) AS BIGINT) * 100000 // CAST(sum(nw) AS BIGINT)
+        |    AS BIGINT) AS lix_milli,
+        |  CAST(CAST(sum(nl) AS BIGINT) * 1000 // CAST(sum(ns) AS BIGINT)
+        |    AS BIGINT) AS rix_milli
+        |FROM per GROUP BY 1""".stripMargin,
+
+    // the char histogram + the shared millibit-log2 LUT entropy fold
+    "q344_byte_entropy" ->
+      s"""WITH hist AS (
+        |  SELECT source, substr(text, CAST(p.i AS INT), 1) AS ch,
+        |    CAST(count(*) AS BIGINT) AS nc
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) p
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(nc) AS BIGINT) AS nn,
+        |    CAST(count(*) AS BIGINT) AS n_sym
+        |  FROM hist GROUP BY 1),
+        |hh AS (
+        |  SELECT h.source, t.nn AS n_chars, t.n_sym AS n_symbols,
+        |    CAST(sum(h.nc * (${Pipeline.mbLog2Duck("t.nn")}
+        |      - ${Pipeline.mbLog2Duck("h.nc")})) AS BIGINT) AS hsum
+        |  FROM hist h JOIN tot t USING (source) GROUP BY 1, 2, 3)
+        |SELECT source, n_chars, n_symbols,
+        |  hsum // n_chars AS h_millibits,
+        |  n_chars * (hsum // n_chars) // 8000 AS min_bytes
+        |FROM hh""".stripMargin,
+
     // q162's recursive-CTE weighted-PageRank replay re-pointed at the
     // word-adjacency graph; identical ppm floors and fixpoint rule
     "q331_textrank_keyphrases" ->

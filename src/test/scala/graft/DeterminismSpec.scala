@@ -201,7 +201,11 @@ class DeterminismSpec extends AnyFunSuite {
     "q339_dedup_cutlist", "q340_dedup_reclaimed",
     // the centroid-argmax assignment feeding per-cell moment
     // summaries and the shifted signed silhouette division
-    "q341_silhouette")
+    "q341_silhouette",
+    // readability floors; the hash-seeded ±1 projection signs and
+    // HUGEINT ratios; the char-histogram LUT entropy fold
+    "q342_readability_lix", "q343_jl_projection_audit",
+    "q344_byte_entropy")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

@@ -98,6 +98,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q325: the 1-row token-total and weight-total scalars crossed
     // onto the |sources|-row mixture table (q63's scalar shape)
     "q325_temperature_mixture" -> 8,
+    // q343: the 2-row m-grid and the 10-row h60-smallest query set
+    // (global limits, corpus-independent) broadcast under the
+    // self-exclusion / grid crosses
+    "q343_jl_projection_audit" -> 10,
     // q341: the K-row cell-summary table (count, sum vector, Σ‖·‖² per
     // kmeansCell — K = |labels| = 10 at every sf) crossed onto the
     // point set; the moment identity is exactly what makes the
