@@ -315,7 +315,11 @@ import graft.operators._
   * reclaimed-token accounting; q341 simplified-silhouette internal
   * cluster quality (per-cell moment summaries make it cell-bounded);
   * q313's pivot count now derived as clamp(bitlen(|V|) div 2 + 1,
-  * 4, 12).
+  * 4, 12). Widening: q342 LIX/RIX readability, q343 JL
+  * random-projection distortion audit, q344 byte-entropy compression
+  * floor; streaming ingest monitors s47 (Bloom-size FPR from per-m
+  * count partials, q311's oracle) and s48 (file-footer data profile
+  * from stats + distinct-union partials, q113's oracle).
   */
 object SparkEntry {
 

@@ -2101,6 +2101,213 @@ object Streams extends QueryPack {
           expr("n_chars * 1000 div n_tokens").as("chars_per_token_milli"))
     }),
 
+    // Streaming Bloom-size monitor — q311's ingest-side form (VERDICT
+    // r16 #9's named candidate): the SIZE dial of s35's Bloom is
+    // re-measured DURING ingest. Fixed state = the index position
+    // sets per candidate m (≤ 256+1024+4096 = 5376 distinct positions
+    // total — position sets are bounded by the BIT ARRAYS, not the
+    // corpus) and the exact index fingerprint set; each micro-batch
+    // emits only its per-m (n_probe, n_neg, n_fp) COUNT partial —
+    // linear, batchId-keyed, idempotent — and the post-drain sum
+    // feeds the identical fpr/chosen/shipped report, gated by q311's
+    // own oracle (the s38–s46 discipline). Shares s35's fixture
+    // stream.
+    "s47_stream_bloom_monitor" -> ((s, d) => {
+      import s.implicits._
+      val h60 = graft.functions.PortableHash.h60 _
+      val name = s"docs_bloom_${sfx(d)}" // s35's fixture stream
+      val isStrm = pmod(h60(col("doc_id")), lit(10)) === 0
+      synchronized {
+        if (!ShardServiceRegistry.exists(name)) {
+          val rows = T.documents(s, d)
+            .filter(isStrm)
+            .select(col("doc_id"), col("doc_id").as("pk"),
+              to_json(struct(col("doc_id"), col("text"))).as("json"))
+            .orderBy("doc_id").toLocalIterator()
+          seedRows(name, numShards = 2, rows, times = 1)
+        }
+      }
+      val fpOf = (t: org.apache.spark.sql.Column) =>
+        h60(concat_ws(" ", slice(split(t, " "), 1, 3)))
+      def probes(fp: org.apache.spark.sql.Column) =
+        explode(array((0 until 3).map(i =>
+          h60(concat_ws("|", lit(i), fp))): _*))
+      val ms = Seq(256L, 1024L, 4096L).toDF("mb")
+      val ix = T.documents(s, d).filter(!isStrm)
+        .select($"doc_id", fpOf($"text").as("fp"))
+      val ipos = ix.crossJoin(broadcast(ms))
+        .select($"mb", probes($"fp").as("ph"))
+        .select($"mb", pmod($"ph", $"mb").as("pos"))
+        .distinct().withColumn("hit", lit(1L))
+        .localCheckpoint()
+      val ixFps = ix.select($"fp").distinct().withColumn("dup", lit(1L))
+        .localCheckpoint()
+      val nStrm = T.documents(s, d).filter(isStrm).count()
+      val cap = math.max(10L, nStrm / 3)
+      val root = s"/tmp/graft_sbsz_${sfx(d)}" +
+        s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fsb = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fsb.delete(new org.apache.hadoop.fs.Path(root), true)
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", cap.toString)
+        .load()
+        .select(from_json(col("data").cast("string"), docSchema).as("e"))
+        .select(col("e.doc_id").as("doc_id"), col("e.text").as("text"))
+      graft.streaming.StreamObservability.attach(s)
+      val q = raw.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val strm = batch.select(col("doc_id"), fpOf(col("text")).as("fp"))
+          val maybe = strm.crossJoin(broadcast(ms))
+            .select(col("mb"), col("doc_id"), col("fp"),
+              probes(col("fp")).as("ph"))
+            .select(col("mb"), col("doc_id"), col("fp"),
+              pmod(col("ph"), col("mb")).as("pos"))
+            .join(broadcast(ipos), Seq("mb", "pos"), "left")
+            .groupBy(col("mb"), col("doc_id"), col("fp"))
+            .agg((sum(coalesce(col("hit"), lit(0L))) === 3L).as("bm"))
+          maybe
+            .join(ixFps, Seq("fp"), "left")
+            .withColumn("is_dup", coalesce(col("dup"), lit(0L)))
+            .groupBy(col("mb"))
+            .agg(count(lit(1)).cast("long").as("n_probe"),
+              sum((col("is_dup") === 0L).cast("long")).cast("long")
+                .as("n_neg"),
+              sum((col("bm") && col("is_dup") === 0L).cast("long"))
+                .cast("long").as("n_fp"))
+            .write.mode("overwrite").parquet(s"$root/b$batchId")
+          ()
+        }.start()
+      q.awaitTermination()
+      val scored = s.read
+        .schema("mb LONG, n_probe LONG, n_neg LONG, n_fp LONG")
+        .parquet(s"$root/b*")
+        .groupBy($"mb")
+        .agg(sum($"n_probe").cast("bigint").as("n_probe"),
+          sum($"n_neg").cast("bigint").as("n_neg"),
+          sum($"n_fp").cast("bigint").as("n_fp"))
+        .select($"mb", $"n_probe", $"n_neg", $"n_fp",
+          expr("n_fp * 1000000L div n_neg").as("fpr_ppm"))
+      val chosen = scored.filter($"fpr_ppm" <= 100000L)
+        .agg(coalesce(min($"mb"), lit(0L)).as("cm"))
+      scored.crossJoin(broadcast(chosen))
+        .select($"mb".as("m_bits"), $"n_probe", $"n_neg", $"n_fp",
+          $"fpr_ppm",
+          when($"fpr_ppm" <= 100000L, 1L).otherwise(0L).as("meets_target"),
+          when($"mb" === $"cm", 1L).otherwise(0L).as("chosen"),
+          when($"mb" === 1024L, 1L).otherwise(0L).as("shipped_in_s35"))
+    }),
+
+    // Streaming data-profile monitor — q113's ingest-side form and
+    // the FILE-FOOTER STATS op a lakehouse writer runs per file
+    // (VERDICT r16 #9's zone-map candidate, over batch partials):
+    // each micro-batch writes (a) its one-row stats partial — row
+    // count, per-column null counts and numeric/string min/max, the
+    // exact semilattice/linear merges a parquet footer carries — and
+    // (b) its DISTINCT value set per column (the one non-linear
+    // statistic; the exact union across batches reproduces q113's
+    // countDistinct — production swaps this column class for the HLL
+    // register partial, s42's form, when exactness isn't required).
+    // Post-drain merge = sum/sum, min/min, max/max, union-distinct —
+    // gated by q113's own oracle.
+    "s48_stream_profile_monitor" -> ((s, d) => {
+      import s.implicits._
+      val name = s"orders_prof_${sfx(d)}"
+      synchronized {
+        if (!ShardServiceRegistry.exists(name)) {
+          val rows = T.orders(s, d)
+            .select($"o_orderkey", $"o_orderkey".as("pk"),
+              to_json(struct(
+                $"o_custkey".cast("long").as("ck"),
+                $"o_orderstatus".as("st"),
+                graft.functions.Exact.cents($"o_totalprice").as("pc"),
+                unix_timestamp($"o_orderdate").as("ep"))).as("json"))
+            .orderBy("o_orderkey").toLocalIterator()
+          seedRows(name, numShards = 2, rows, times = 1)
+        }
+      }
+      val nOrd = T.orders(s, d).count()
+      val cap = math.max(50L, nOrd / 4)
+      val root = s"/tmp/graft_sprof_${sfx(d)}" +
+        s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fsb = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fsb.delete(new org.apache.hadoop.fs.Path(root), true)
+      val oSchema = StructType(Seq(
+        StructField("ck", LongType), StructField("st", StringType),
+        StructField("pc", LongType), StructField("ep", LongType)))
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", cap.toString)
+        .load()
+        .select(from_json(col("data").cast("string"), oSchema).as("e"))
+        .select(col("e.ck").as("ck"), col("e.st").as("st"),
+          col("e.pc").as("pc"), col("e.ep").as("ep"))
+      graft.streaming.StreamObservability.attach(s)
+      val q = raw.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.agg(
+            count(lit(1)).cast("long").as("n_rows"),
+            sum(col("ck").isNull.cast("long")).cast("long").as("ck_nulls"),
+            min(col("ck")).as("ck_min"), max(col("ck")).as("ck_max"),
+            sum(col("st").isNull.cast("long")).cast("long").as("st_nulls"),
+            min(col("st")).as("st_min"), max(col("st")).as("st_max"),
+            sum(col("pc").isNull.cast("long")).cast("long").as("pc_nulls"),
+            min(col("pc")).as("pc_min"), max(col("pc")).as("pc_max"),
+            sum(col("ep").isNull.cast("long")).cast("long").as("ep_nulls"),
+            min(col("ep")).as("ep_min"), max(col("ep")).as("ep_max"))
+            .write.mode("overwrite").parquet(s"$root/st$batchId")
+          batch.selectExpr(
+            "stack(4, 'o_custkey', CAST(ck AS STRING)," +
+              " 'o_orderstatus', st," +
+              " 'o_totalprice_cents', CAST(pc AS STRING)," +
+              " 'o_orderdate_epoch_s', CAST(ep AS STRING))" +
+              " AS (col_name, val)")
+            .filter(col("val").isNotNull).distinct()
+            .write.mode("overwrite").parquet(s"$root/dv$batchId")
+          ()
+        }.start()
+      q.awaitTermination()
+      val wide = s.read.schema("n_rows LONG, ck_nulls LONG, ck_min LONG, " +
+          "ck_max LONG, st_nulls LONG, st_min STRING, st_max STRING, " +
+          "pc_nulls LONG, pc_min LONG, pc_max LONG, ep_nulls LONG, " +
+          "ep_min LONG, ep_max LONG")
+        .parquet(s"$root/st*")
+        .agg(sum($"n_rows").cast("bigint").as("n_rows"),
+          sum($"ck_nulls").cast("bigint").as("ck_nulls"),
+          min($"ck_min").cast("string").as("ck_min"),
+          max($"ck_max").cast("string").as("ck_max"),
+          sum($"st_nulls").cast("bigint").as("st_nulls"),
+          min($"st_min").as("st_min"), max($"st_max").as("st_max"),
+          sum($"pc_nulls").cast("bigint").as("pc_nulls"),
+          min($"pc_min").cast("string").as("pc_min"),
+          max($"pc_max").cast("string").as("pc_max"),
+          sum($"ep_nulls").cast("bigint").as("ep_nulls"),
+          min($"ep_min").cast("string").as("ep_min"),
+          max($"ep_max").cast("string").as("ep_max"))
+      val dcnt = s.read.schema("col_name STRING, val STRING")
+        .parquet(s"$root/dv*")
+        .groupBy($"col_name")
+        .agg(countDistinct($"val").as("n_distinct"))
+      wide.selectExpr("n_rows",
+        """stack(4,
+          |  'o_custkey',           ck_nulls, ck_min, ck_max,
+          |  'o_orderstatus',       st_nulls, st_min, st_max,
+          |  'o_totalprice_cents',  pc_nulls, pc_min, pc_max,
+          |  'o_orderdate_epoch_s', ep_nulls, ep_min, ep_max
+          |) AS (col_name, n_nulls, min_s, max_s)""".stripMargin)
+        .join(dcnt, "col_name")
+        .select($"n_rows", $"col_name", $"n_nulls", $"n_distinct",
+          $"min_s", $"max_s")
+    }),
+
     // Streaming SPRT experiment monitor — q330's ingest-side form,
     // which is where SPRT actually LIVES (sequential testing exists
     // to stop DURING the experiment): each micro-batch writes its
@@ -2921,6 +3128,12 @@ object Streams extends QueryPack {
     // the streamed per-lang fertility partials must reproduce q338's
     // report bit-for-bit (fixed vocab, linear merge)
     "s46_stream_fertility_monitor" -> TextAnalysis.oracles("q338_bpe_fertility"),
+
+    // s47/s48 are gated by their batch twins' oracles verbatim (the
+    // s38–s46 discipline): count partials (s47) and footer-stat
+    // semilattice/union partials (s48) merge exactly
+    "s47_stream_bloom_monitor" -> Sketches.oracles("q311_bloom_size_tune"),
+    "s48_stream_profile_monitor" -> Layout.oracles("q113_profile"),
 
     // idempotent set-union of matched gram hashes over batches must
     // reproduce q317's one-shot overlap — gated by the SAME oracle
