@@ -319,7 +319,10 @@ import graft.operators._
   * random-projection distortion audit, q344 byte-entropy compression
   * floor; streaming ingest monitors s47 (Bloom-size FPR from per-m
   * count partials, q311's oracle) and s48 (file-footer data profile
-  * from stats + distinct-union partials, q113's oracle).
+  * from stats + distinct-union partials, q113's oracle); q345
+  * caliper-banded propensity-score matching ATT, q346 delta+Elias-γ
+  * posting-list compression estimates, s49 multi-table ingest
+  * checksum monitoring (XOR-of-XORs partials, q83's oracle).
   */
 object SparkEntry {
 

@@ -2161,6 +2161,73 @@ object Pipeline extends QueryPack {
     // rational step for the consumer; everything shipped is int64
     // (per-user cents products bound exactness to ~1e9 users at
     // ~$1e3/user — past that, decimal/HUGEINT promotion).
+    // ---- propensity-score matching ATT (with replacement) ------------
+    // [Rosenbaum & Rubin Biometrika'83; Austin '11 caliper practice]
+    // the MATCHING member of the causal family (q186 CUPED adjusts by
+    // regression, q-- DiD by time, IPS by weighting — none by
+    // matching): treated = the h60 hash arm (q310's splitter),
+    // propensity = day-0–14 purchase share in ppm (q306's baseline),
+    // outcome = day-15 purchase. Each treated user matches its
+    // nearest-propensity control WITH REPLACEMENT inside a ±20k-ppm
+    // caliper — candidates come from a BANDED equi-join (band =
+    // p div 20k, probe bands b−1..b+1 — the blocking that keeps the
+    // match corpus-linear; a caliper match never needs all-pairs),
+    // argmin by (|Δp|, control_id) struct-min. ATT = mean(y_t − y_c)
+    // over matched pairs in ppm, the one signed mean shifted
+    // non-negative (Σdiff ≥ −n). Balance columns (mean propensity
+    // both sides, match rate) make the diagnostic visible — matching
+    // is only credible when they agree.
+    "q345_psm_att" -> ((s, d) => {
+      import s.implicits._
+      val h60 = graft.functions.PortableHash.h60 _
+      val ev = T.events(s, d)
+        .select($"user_id", $"event_type",
+          datediff(to_date($"ts"), to_date(lit("2024-01-01")))
+            .cast("long").as("day"))
+      val outc = ev.filter($"day" === 15L && $"event_type" === "purchase")
+        .select($"user_id").distinct().withColumn("hit", lit(1L))
+      val users = ev.filter($"day" < 15L)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_ev"),
+          sum(($"event_type" === "purchase").cast("long")).as("n_p"))
+        .select($"user_id", expr("n_p * 1000000L div n_ev").as("p_ppm"))
+        .join(outc, Seq("user_id"), "left")
+        .select($"user_id", $"p_ppm",
+          coalesce($"hit", lit(0L)).as("y"),
+          (pmod(h60($"user_id"), lit(2)) === 0).as("treated"))
+      val ctrl = users.filter(!$"treated")
+        .select($"user_id".as("cid"), $"p_ppm".as("cp"), $"y".as("cy"),
+          expr("p_ppm div 20000").as("cband"))
+      val cands = users.filter($"treated")
+        .select($"user_id".as("tid"), $"p_ppm".as("tp"), $"y".as("ty"),
+          explode(array(expr("p_ppm div 20000 - 1"),
+            expr("p_ppm div 20000"),
+            expr("p_ppm div 20000 + 1"))).as("cband"))
+        .join(ctrl, "cband")
+        .filter(abs($"tp" - $"cp") <= 20000L)
+      val matched = cands.groupBy($"tid", $"tp", $"ty")
+        .agg(min(struct(abs($"tp" - $"cp").as("ad"), $"cid", $"cp", $"cy"))
+          .as("mm"))
+      val nT = users.filter($"treated")
+        .agg(count(lit(1)).cast("bigint").as("n_treated"))
+      matched.agg(
+          count(lit(1)).cast("bigint").as("n_matched"),
+          sum($"ty" - $"mm.cy").cast("bigint").as("sdiff"),
+          sum($"ty").cast("bigint").as("sty"),
+          sum($"mm.cy").cast("bigint").as("scy"),
+          sum($"tp").cast("bigint").as("stp"),
+          sum($"mm.cp").cast("bigint").as("scp"))
+        .crossJoin(broadcast(nT))
+        .select($"n_treated", $"n_matched",
+          expr("n_matched * 1000000 div n_treated").as("match_ppm"),
+          expr("(sdiff + n_matched) * 1000000 div n_matched - 1000000")
+            .as("att_ppm"),
+          expr("sty * 1000000 div n_matched").as("treated_rate_ppm"),
+          expr("scy * 1000000 div n_matched").as("control_rate_ppm"),
+          expr("stp div n_matched").as("mean_p_treated"),
+          expr("scp div n_matched").as("mean_p_control"))
+    }),
+
     "q186_cuped" -> ((s, d) => {
       import s.implicits._
       val cut = to_timestamp(lit("2024-01-16 00:00:00"))
@@ -3075,6 +3142,62 @@ object Pipeline extends QueryPack {
         |   - max(CASE WHEN treat = 0 AND post = 0 THEN mean_ppmc END))
         |    AS did_ppmc
         |FROM cells""".stripMargin,
+
+    // the same hash arm, banded caliper candidates, and struct-min
+    // nearest match replayed; the one signed mean shifted
+    "q345_psm_att" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+        |  FROM events),
+        |outc AS (SELECT DISTINCT user_id FROM ev
+        |  WHERE day = 15 AND event_type = 'purchase'),
+        |users AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      * 1000000 // count(*) AS BIGINT) AS p_ppm
+        |  FROM ev WHERE day < 15 GROUP BY 1),
+        |u2 AS (
+        |  SELECT u.user_id, u.p_ppm,
+        |    CAST(CASE WHEN o.user_id IS NOT NULL THEN 1 ELSE 0 END
+        |      AS BIGINT) AS y,
+        |    CAST('0x' || substr(md5(CAST(u.user_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 2 = 0 AS treated
+        |  FROM users u LEFT JOIN outc o USING (user_id)),
+        |ctrl AS (SELECT user_id AS cid, p_ppm AS cp, y AS cy,
+        |    p_ppm // 20000 AS cband
+        |  FROM u2 WHERE NOT treated),
+        |tr AS (SELECT user_id AS tid, p_ppm AS tp, y AS ty
+        |  FROM u2 WHERE treated),
+        |cands AS (
+        |  SELECT t.tid, t.tp, t.ty, c.cid, c.cp, c.cy
+        |  FROM tr t JOIN ctrl c
+        |    ON c.cband IN (t.tp // 20000 - 1, t.tp // 20000,
+        |      t.tp // 20000 + 1)
+        |  WHERE abs(t.tp - c.cp) <= 20000),
+        |matched AS (
+        |  SELECT tid, tp, ty,
+        |    min({'ad': abs(tp - cp), 'cid': cid, 'cp': cp, 'cy': cy}) AS mm
+        |  FROM cands GROUP BY 1, 2, 3),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_matched,
+        |    CAST(sum(ty - mm.cy) AS BIGINT) AS sdiff,
+        |    CAST(sum(ty) AS BIGINT) AS sty,
+        |    CAST(sum(mm.cy) AS BIGINT) AS scy,
+        |    CAST(sum(tp) AS BIGINT) AS stp,
+        |    CAST(sum(mm.cp) AS BIGINT) AS scp
+        |  FROM matched),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_treated
+        |  FROM u2 WHERE treated)
+        |SELECT nt.n_treated, a.n_matched,
+        |  a.n_matched * 1000000 // nt.n_treated AS match_ppm,
+        |  (a.sdiff + a.n_matched) * 1000000 // a.n_matched - 1000000
+        |    AS att_ppm,
+        |  a.sty * 1000000 // a.n_matched AS treated_rate_ppm,
+        |  a.scy * 1000000 // a.n_matched AS control_rate_ppm,
+        |  a.stp // a.n_matched AS mean_p_treated,
+        |  a.scp // a.n_matched AS mean_p_control
+        |FROM agg a CROSS JOIN nt""".stripMargin,
 
     "q186_cuped" ->
       """WITH u AS (

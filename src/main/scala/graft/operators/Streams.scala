@@ -2308,6 +2308,82 @@ object Streams extends QueryPack {
           $"min_s", $"max_s")
     }),
 
+    // Streaming table-checksum monitor — q83's ingest-side form and
+    // the INGEST-INTEGRITY op a replication pipeline runs per batch:
+    // every micro-batch emits its per-table (count, bit_xor of the
+    // 60-bit row fingerprints) partial — XOR is a commutative group,
+    // the strongest linear merge there is: a lost batch, a duplicated
+    // batch, or a single flipped field each flips the final
+    // fingerprint, and the post-drain merge (sum counts, XOR of XORs)
+    // must reproduce q83's batch checksums exactly — gated by q83's
+    // own oracle. All three tables ride ONE tagged stream (the
+    // multi-table CDC shape).
+    "s49_stream_checksum_monitor" -> ((s, d) => {
+      import s.implicits._
+      val h60 = graft.functions.PortableHash.h60 _
+      val name = s"tables_ck_${sfx(d)}"
+      synchronized {
+        if (!ShardServiceRegistry.exists(name)) {
+          val cents = graft.functions.Exact.cents _
+          val rows = T.orders(s, d)
+            .select(($"o_orderkey" * 4).as("id"),
+              lit("orders").as("t"),
+              concat_ws("|", $"o_orderkey", $"o_custkey",
+                cents($"o_totalprice"),
+                unix_timestamp($"o_orderdate")).as("r"))
+            .unionAll(T.lineitem(s, d)
+              .select((($"l_orderkey" * 8 + $"l_linenumber") * 4 + 1)
+                .as("id"), lit("lineitem").as("t"),
+                concat_ws("|", $"l_orderkey", $"l_linenumber",
+                  $"l_quantity".cast("long"),
+                  cents($"l_extendedprice")).as("r")))
+            .unionAll(T.customer(s, d)
+              .select(($"c_custkey" * 4 + 2).as("id"),
+                lit("customer").as("t"),
+                concat_ws("|", $"c_custkey", $"c_name",
+                  cents($"c_acctbal")).as("r")))
+            .select($"id", $"id".as("pk"),
+              to_json(struct($"t", $"r")).as("json"))
+            .orderBy("id").toLocalIterator()
+          seedRows(name, numShards = 4, rows, times = 1)
+        }
+      }
+      val nRows = T.orders(s, d).count() + T.lineitem(s, d).count() +
+        T.customer(s, d).count()
+      val cap = math.max(100L, nRows / 4)
+      val root = s"/tmp/graft_sck_${sfx(d)}" +
+        s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fsb = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fsb.delete(new org.apache.hadoop.fs.Path(root), true)
+      val ckSchema = StructType(Seq(
+        StructField("t", StringType), StructField("r", StringType)))
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", cap.toString)
+        .load()
+        .select(from_json(col("data").cast("string"), ckSchema).as("e"))
+        .select(col("e.t").as("t"), col("e.r").as("r"))
+      graft.streaming.StreamObservability.attach(s)
+      val q = raw.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.select(col("t"), h60(col("r")).as("h"))
+            .groupBy(col("t"))
+            .agg(count(lit(1)).cast("long").as("n"),
+              expr("bit_xor(h)").as("x"))
+            .write.mode("overwrite").parquet(s"$root/b$batchId")
+          ()
+        }.start()
+      q.awaitTermination()
+      s.read.schema("t STRING, n LONG, x LONG").parquet(s"$root/b*")
+        .groupBy($"t")
+        .agg(sum($"n").cast("bigint").as("n_rows"),
+          expr("bit_xor(x)").as("xor_fp"))
+        .select($"t".as("table_name"), $"n_rows", $"xor_fp")
+    }),
+
     // Streaming SPRT experiment monitor — q330's ingest-side form,
     // which is where SPRT actually LIVES (sequential testing exists
     // to stop DURING the experiment): each micro-batch writes its
@@ -3134,6 +3210,8 @@ object Streams extends QueryPack {
     // semilattice/union partials (s48) merge exactly
     "s47_stream_bloom_monitor" -> Sketches.oracles("q311_bloom_size_tune"),
     "s48_stream_profile_monitor" -> Layout.oracles("q113_profile"),
+    // XOR-of-XORs + summed counts reproduce the batch checksums
+    "s49_stream_checksum_monitor" -> Sketches.oracles("q83_table_checksum"),
 
     // idempotent set-union of matched gram hashes over batches must
     // reproduce q317's one-shot overlap — gated by the SAME oracle

@@ -88,6 +88,44 @@ object TextAnalysis extends QueryPack {
           expr("n_chars * h_millibits div 8000").as("min_bytes"))
     }),
 
+    // ---- posting-list compression estimate (delta + Elias-γ) --------
+    // [Elias IT'75; Zobel & Moffat CSUR'06 inverted-index compression]
+    // the INDEX-storage companion to q344's corpus-entropy floor: what
+    // would q93's inverted index cost on disk under the standard
+    // delta-gap + Elias-γ coding vs raw 64-bit postings? Per kept gram
+    // (q93's df ∈ [2,10] band), postings sort by doc_id, gap = doc −
+    // lag(doc) (first posting = doc_id + 1 so ids start at 0 safely),
+    // γ-cost = 2·bitlen(gap) − 1 bits — bitlen via length(bin(·)),
+    // unpadded in both engines (q313's rule). Report per df: grams,
+    // postings, raw vs γ bits, ratio in ppm — the size-model a 100 TB
+    // index build consults before choosing a codec. Windows are
+    // gram-partitioned only; the report is 9 rows.
+    "q346_postings_compression" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val grams = T.documents(s, d)
+        .select($"doc_id", explode(expr("word_ngrams(text, 2)")).as("gram"))
+        .distinct()
+      val keep = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
+        .filter($"df".between(2, 10))
+      val wg = Window.partitionBy($"gram").orderBy($"doc_id")
+      grams.join(keep, Seq("gram"))
+        .withColumn("gap",
+          coalesce($"doc_id" - lag($"doc_id", 1).over(wg), $"doc_id" + 1))
+        .select($"gram", $"df",
+          (lit(2L) * length(expr("bin(gap)")) - 1L).cast("long")
+            .as("gbits"))
+        .groupBy($"df")
+        .agg(countDistinct($"gram").as("n_grams"),
+          count(lit(1)).cast("bigint").as("n_postings"),
+          sum($"gbits").cast("bigint").as("gamma_bits"))
+        .select($"df", $"n_grams", $"n_postings",
+          ($"n_postings" * 64L).cast("bigint").as("raw_bits"),
+          $"gamma_bits",
+          expr("gamma_bits * 1000000 div (n_postings * 64)")
+            .as("ratio_ppm"))
+    }),
+
     // ---- per-doc token/char stats -----------------------------------
     "q31_text_stats" -> ((s, d) => {
       import s.implicits._
@@ -1213,6 +1251,34 @@ object TextAnalysis extends QueryPack {
         |  CAST(CAST(sum(nl) AS BIGINT) * 1000 // CAST(sum(ns) AS BIGINT)
         |    AS BIGINT) AS rix_milli
         |FROM per GROUP BY 1""".stripMargin,
+
+    // the same df band, gap windows, and 2·bitlen−1 γ-costs
+    "q346_postings_compression" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |      i -> string_split(text, ' ')[i] || ' ' ||
+        |           string_split(text, ' ')[i+1])) AS gram
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |keep AS (SELECT gram, CAST(count(*) AS BIGINT) AS df
+        |  FROM g GROUP BY gram HAVING count(*) BETWEEN 2 AND 10),
+        |gaps AS (
+        |  SELECT g.gram, k.df,
+        |    COALESCE(g.doc_id - lag(g.doc_id) OVER
+        |      (PARTITION BY g.gram ORDER BY g.doc_id), g.doc_id + 1)
+        |      AS gap
+        |  FROM g JOIN keep k USING (gram)),
+        |costs AS (
+        |  SELECT gram, df,
+        |    CAST(2 * length(bin(gap)) - 1 AS BIGINT) AS gbits
+        |  FROM gaps)
+        |SELECT df, CAST(count(DISTINCT gram) AS BIGINT) AS n_grams,
+        |  CAST(count(*) AS BIGINT) AS n_postings,
+        |  CAST(count(*) * 64 AS BIGINT) AS raw_bits,
+        |  CAST(sum(gbits) AS BIGINT) AS gamma_bits,
+        |  CAST(sum(gbits) AS BIGINT) * 1000000
+        |    // CAST(count(*) * 64 AS BIGINT) AS ratio_ppm
+        |FROM costs GROUP BY 1""".stripMargin,
 
     // the char histogram + the shared millibit-log2 LUT entropy fold
     "q344_byte_entropy" ->

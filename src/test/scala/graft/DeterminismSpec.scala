@@ -205,7 +205,9 @@ class DeterminismSpec extends AnyFunSuite {
     // readability floors; the hash-seeded ±1 projection signs and
     // HUGEINT ratios; the char-histogram LUT entropy fold
     "q342_readability_lix", "q343_jl_projection_audit",
-    "q344_byte_entropy")
+    "q344_byte_entropy",
+    // the banded-caliper struct-min match and the gap-window γ-costs
+    "q345_psm_att", "q346_postings_compression")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count
