@@ -1110,6 +1110,54 @@ object Events extends QueryPack {
         .orderBy($"sup3".desc, $"t1", $"t2", $"t3").limit(20)
     }),
 
+    // ---- conversion-lag percentiles (time-to-convert) ----------------
+    // The duration metric the funnel family stops short of: q81 counts
+    // WHO converts, this measures HOW LONG conversion takes — per
+    // day-of-week of the user's first view (arithmetic dow, the house
+    // (epoch_days + 4) mod 7 rule), the p50/p90/mean of first-view →
+    // first-subsequent-purchase lag at HOUR grain. Hour grain is the
+    // scale discipline: the (dow, lag_hours) band table is bounded by
+    // the TIME DOMAIN (≤ ~768 bands for a 32-day fixture), so the
+    // rank-locate windows run on bounded rows — never a user-wide
+    // sort (q324's rule, by construction instead of decomposition).
+    // Ranks: p50 = smallest lag with cum ≥ (n+1) div 2, p90 = cum ≥
+    // (9n+9) div 10 — both floors engine-identical. First events are
+    // struct-min composite keys (ts, id) so ties are deterministic.
+    "q347_time_to_convert" -> ((s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+        .select($"user_id", $"event_type", unix_micros($"ts").as("us"),
+          $"event_id".as("id"))
+      val fv = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min(struct($"us", $"id")).as("v"))
+      val fp = ev.filter($"event_type" === "purchase")
+        .join(fv, "user_id")
+        .filter($"us" > $"v.us" || ($"us" === $"v.us" && $"id" > $"v.id"))
+        .groupBy($"user_id").agg(min(struct($"us", $"id")).as("p"),
+          min($"v.us").as("vus"))
+      val lags = fp.select(
+        expr("((vus div 86400000000) + 4) % 7").as("dow"),
+        expr("(p.us - vus) div 3600000000").as("lag_h"))
+      val bands = lags.groupBy($"dow", $"lag_h")
+        .agg(count(lit(1)).as("c"))
+      val wc = Window.partitionBy($"dow").orderBy($"lag_h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bands
+        .withColumn("cum", sum($"c").over(wc))
+        .withColumn("n",
+          sum($"c").over(Window.partitionBy($"dow")).cast("bigint"))
+        .withColumn("sl",
+          sum($"c" * $"lag_h").over(Window.partitionBy($"dow"))
+            .cast("bigint"))
+        .groupBy($"dow")
+        .agg(max($"n").as("n_converted"),
+          min(when($"cum" >= expr("(n + 1) div 2"), $"lag_h"))
+            .cast("bigint").as("p50_hours"),
+          min(when($"cum" >= expr("(9 * n + 9) div 10"), $"lag_h"))
+            .cast("bigint").as("p90_hours"),
+          max(expr("sl div n")).cast("bigint").as("mean_hours"))
+    }),
+
     // ---- expected calibration error of a propensity baseline ---------
     // [Naeini+ AAAI'15 ECE] the calibration audit q277's isotonic fit
     // presupposes: a baseline propensity model (per-user purchase
@@ -1851,6 +1899,44 @@ object Events extends QueryPack {
        |GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // the same struct-min firsts, hour-grain bands, rank locates
+    "q347_time_to_convert" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us,
+        |    event_id AS id
+        |  FROM events),
+        |fv AS (
+        |  SELECT user_id, min({'us': us, 'id': id}) AS v
+        |  FROM ev WHERE event_type = 'view' GROUP BY 1),
+        |fp AS (
+        |  SELECT e.user_id, min({'us': e.us, 'id': e.id}) AS p,
+        |    min(fv.v.us) AS vus
+        |  FROM ev e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND (e.us > fv.v.us OR (e.us = fv.v.us AND e.id > fv.v.id))
+        |  GROUP BY 1),
+        |lags AS (
+        |  SELECT ((vus // 86400000000) + 4) % 7 AS dow,
+        |    (p.us - vus) // 3600000000 AS lag_h
+        |  FROM fp),
+        |bands AS (SELECT dow, lag_h, CAST(count(*) AS BIGINT) AS c
+        |  FROM lags GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT dow, lag_h, c,
+        |    CAST(sum(c) OVER (PARTITION BY dow ORDER BY lag_h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY dow) AS BIGINT) AS n,
+        |    CAST(sum(c * lag_h) OVER (PARTITION BY dow) AS BIGINT) AS sl
+        |  FROM bands)
+        |SELECT dow, CAST(max(n) AS BIGINT) AS n_converted,
+        |  CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN lag_h END)
+        |    AS BIGINT) AS p50_hours,
+        |  CAST(min(CASE WHEN cum >= (9 * n + 9) // 10 THEN lag_h END)
+        |    AS BIGINT) AS p90_hours,
+        |  CAST(max(sl // n) AS BIGINT) AS mean_hours
+        |FROM cum GROUP BY 1""".stripMargin,
+
     "q304_seq_patterns" ->
       """WITH ev AS (
         |  SELECT user_id, event_type AS t, CAST(epoch_us(ts) AS BIGINT)

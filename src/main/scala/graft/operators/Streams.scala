@@ -2384,6 +2384,87 @@ object Streams extends QueryPack {
         .select($"t".as("table_name"), $"n_rows", $"xor_fp")
     }),
 
+    // Streaming n-gram novelty monitor — q130's ingest-side form: is
+    // an arriving document NEW MATERIAL or recombination? The
+    // document-frequency side is linear — each micro-batch emits one
+    // (gram-hash, n_docs_in_batch, min_doc) partial per distinct gram
+    // it saw (grams ride as h60 keys, q285's rule; a collision would
+    // fail the hash gate) — and docs arrive atomically (one record per
+    // doc), so per-doc gram counts are batch-local too. Post-drain:
+    // sum the df partials; a gram is globally unique iff Σnd = 1, and
+    // then its owner is the one batch's min_doc — so per-doc unique
+    // counts reassemble exactly and the report is gated by q130's own
+    // oracle. Streamed state is VOCABULARY-sized (distinct grams), not
+    // doc×gram.
+    "s50_stream_novelty_monitor" -> ((s, d) => {
+      import s.implicits._
+      val h60 = graft.functions.PortableHash.h60 _
+      val name = s"docs_nov_${sfx(d)}"
+      synchronized {
+        if (!ShardServiceRegistry.exists(name)) {
+          val rows = T.documents(s, d)
+            .select(col("doc_id"), col("doc_id").as("pk"),
+              to_json(struct(col("doc_id"), col("text"))).as("json"))
+            .orderBy("doc_id").toLocalIterator()
+          seedRows(name, numShards = 2, rows, times = 1)
+        }
+      }
+      val nDocs = T.documents(s, d).count()
+      val cap = math.max(10L, nDocs / 4)
+      val root = s"/tmp/graft_snov_${sfx(d)}" +
+        s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fsb = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fsb.delete(new org.apache.hadoop.fs.Path(root), true)
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", cap.toString)
+        .load()
+        .select(from_json(col("data").cast("string"), docSchema).as("e"))
+        .select(col("e.doc_id").as("doc_id"), col("e.text").as("text"))
+      graft.streaming.StreamObservability.attach(s)
+      val q = raw.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val grams = batch
+            .withColumn("w", split(col("text"), " "))
+            .filter(size(col("w")) >= 3)
+            .select(col("doc_id"), explode(
+              expr("transform(sequence(1, size(w) - 2), " +
+                "i -> concat_ws(' ', slice(w, i, 3)))")).as("gram"))
+            .select(col("doc_id"), h60(col("gram")).as("gh"))
+            .distinct()
+            .localCheckpoint() // two consumers inside the batch
+          grams.groupBy(col("doc_id"))
+            .agg(count(lit(1)).cast("long").as("n_grams"))
+            .write.mode("overwrite").parquet(s"$root/d$batchId")
+          grams.groupBy(col("gh"))
+            .agg(count(lit(1)).cast("long").as("nd"),
+              min(col("doc_id")).as("own"))
+            .write.mode("overwrite").parquet(s"$root/g$batchId")
+          ()
+        }.start()
+      q.awaitTermination()
+      val uniq = s.read.schema("gh LONG, nd LONG, own LONG")
+        .parquet(s"$root/g*")
+        .groupBy($"gh")
+        .agg(sum($"nd").cast("bigint").as("ndt"), min($"own").as("own"))
+        .filter($"ndt" === 1L)
+        .groupBy($"own").agg(count(lit(1)).cast("bigint").as("n_unique"))
+      s.read.schema("doc_id LONG, n_grams LONG").parquet(s"$root/d*")
+        .groupBy($"doc_id")
+        .agg(sum($"n_grams").cast("bigint").as("n_grams"))
+        .join(uniq.select($"own".as("doc_id"), $"n_unique"),
+          Seq("doc_id"), "left")
+        .select($"doc_id", $"n_grams",
+          coalesce($"n_unique", lit(0L)).as("n_unique"))
+        .select($"doc_id", $"n_grams", $"n_unique",
+          expr("n_unique * 1000000L div n_grams").as("novelty_ppm"))
+    }),
+
     // Streaming SPRT experiment monitor — q330's ingest-side form,
     // which is where SPRT actually LIVES (sequential testing exists
     // to stop DURING the experiment): each micro-batch writes its
@@ -3212,6 +3293,8 @@ object Streams extends QueryPack {
     "s48_stream_profile_monitor" -> Layout.oracles("q113_profile"),
     // XOR-of-XORs + summed counts reproduce the batch checksums
     "s49_stream_checksum_monitor" -> Sketches.oracles("q83_table_checksum"),
+    // summed df partials + Σnd=1 owners reassemble per-doc novelty
+    "s50_stream_novelty_monitor" -> Pipeline.oracles("q130_ngram_novelty"),
 
     // idempotent set-union of matched gram hashes over batches must
     // reproduce q317's one-shot overlap — gated by the SAME oracle

@@ -207,7 +207,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q342_readability_lix", "q343_jl_projection_audit",
     "q344_byte_entropy",
     // the banded-caliper struct-min match and the gap-window γ-costs
-    "q345_psm_att", "q346_postings_compression")
+    "q345_psm_att", "q346_postings_compression",
+    // struct-min firsts + hour-band rank locates
+    "q347_time_to_convert")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

@@ -53,7 +53,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "s46_stream_fertility_monitor",
     "s47_stream_bloom_monitor",
     "s48_stream_profile_monitor",
-    "s49_stream_checksum_monitor")
+    "s49_stream_checksum_monitor",
+    "s50_stream_novelty_monitor")
   // bounded-side nested loops that are correct by construction
   // (1-row stats, 4-row tier dim, 10-row query set, 5-row lang
   // profiles, 1-row mixture minimum, k-row centroid set, 1-row
