@@ -149,6 +149,49 @@ object Layout extends QueryPack {
     // min/max are computed on native types (never on strings) and
     // rendered to text only post-agg; money goes through exact cents,
     // timestamps through epoch seconds.
+    // ---- dictionary-encoding benefit estimate ------------------------
+    // [Abadi+ SIGMOD'06 column-store compression; the parquet
+    // PLAIN-vs-RLE_DICTIONARY chooser] the ENCODING companion to
+    // q344's entropy floor and q346's posting costs: per q113 profile
+    // column, the exact size model plain vs dictionary — plain =
+    // 64·n bits (numerics) / 8·Σlen (strings); dict = n·ceil(log2 ndv)
+    // index bits (bitlen via unpadded bin(), q313's rule) + the
+    // dictionary itself (64·ndv / 8·Σ distinct len). The ratio is the
+    // number a writer consults per column per row group before
+    // choosing an encoding; low-cardinality columns (status: ndv 3 →
+    // 2-bit indexes) win enormously, near-unique keys lose. One
+    // corpus agg per column; everything else is 1-row scalars.
+    "q348_dict_encoding_estimate" -> ((s, d) => {
+      import s.implicits._
+      val t = T.orders(s, d).select(
+        $"o_custkey".cast("long").as("ck"), $"o_orderstatus".as("st"),
+        Exact.cents($"o_totalprice").as("pc"),
+        unix_timestamp($"o_orderdate").as("ep"))
+      def num(c: String, out: String) =
+        t.agg(count(col(c)).cast("bigint").as("n"),
+            countDistinct(col(c)).as("ndv"))
+          .select(lit(out).as("col_name"), $"n", $"ndv",
+            ($"n" * 64L).cast("bigint").as("plain_bits"),
+            ($"n" * length(expr("bin(greatest(ndv - 1, 1))")) +
+              $"ndv" * 64L).cast("bigint").as("dict_bits"))
+      val str =
+        t.agg(count($"st").cast("bigint").as("n"),
+            countDistinct($"st").as("ndv"),
+            sum(length($"st")).cast("bigint").as("tb"))
+          .crossJoin(broadcast(t.select($"st").distinct()
+            .agg(sum(length($"st")).cast("bigint").as("db"))))
+          .select(lit("o_orderstatus").as("col_name"), $"n", $"ndv",
+            ($"tb" * 8L).cast("bigint").as("plain_bits"),
+            ($"n" * length(expr("bin(greatest(ndv - 1, 1))")) +
+              $"db" * 8L).cast("bigint").as("dict_bits"))
+      num("ck", "o_custkey").unionAll(str)
+        .unionAll(num("pc", "o_totalprice_cents"))
+        .unionAll(num("ep", "o_orderdate_epoch_s"))
+        .select($"col_name", $"n", $"ndv", $"plain_bits", $"dict_bits",
+          expr("dict_bits * 1000000 div plain_bits").as("ratio_ppm"),
+          ($"dict_bits" < $"plain_bits").cast("long").as("recommend_dict"))
+    }),
+
     "q113_profile" -> ((s, d) => {
       import s.implicits._
       val t = T.orders(s, d).select(
@@ -1255,6 +1298,56 @@ object Layout extends QueryPack {
       s"""SELECT o_custkey, count(*) AS n,
         |  CAST(sum(${Exact.centsSql("o_totalprice")}) AS BIGINT) AS total_c
         |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    // the same per-column size models, bitlen via unpadded bin()
+    "q348_dict_encoding_estimate" ->
+      s"""WITH t AS (
+        |  SELECT CAST(o_custkey AS BIGINT) AS ck, o_orderstatus AS st,
+        |    ${Exact.centsSql("o_totalprice")} AS pc,
+        |    CAST(epoch(o_orderdate) AS BIGINT) AS ep
+        |  FROM orders),
+        |rows AS (
+        |  SELECT 'o_custkey' AS col_name,
+        |    CAST(count(ck) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT ck) AS BIGINT) AS ndv,
+        |    CAST(count(ck) * 64 AS BIGINT) AS plain_bits,
+        |    CAST(count(ck) * length(bin(greatest(
+        |        count(DISTINCT ck) - 1, 1)))
+        |      + count(DISTINCT ck) * 64 AS BIGINT) AS dict_bits
+        |  FROM t
+        |  UNION ALL
+        |  SELECT 'o_orderstatus',
+        |    CAST(count(st) AS BIGINT),
+        |    CAST(count(DISTINCT st) AS BIGINT),
+        |    CAST(sum(length(st)) * 8 AS BIGINT),
+        |    CAST(count(st) * length(bin(greatest(
+        |        count(DISTINCT st) - 1, 1)))
+        |      + (SELECT sum(length(st)) FROM
+        |          (SELECT DISTINCT st FROM t) u) * 8 AS BIGINT)
+        |  FROM t
+        |  UNION ALL
+        |  SELECT 'o_totalprice_cents',
+        |    CAST(count(pc) AS BIGINT),
+        |    CAST(count(DISTINCT pc) AS BIGINT),
+        |    CAST(count(pc) * 64 AS BIGINT),
+        |    CAST(count(pc) * length(bin(greatest(
+        |        count(DISTINCT pc) - 1, 1)))
+        |      + count(DISTINCT pc) * 64 AS BIGINT)
+        |  FROM t
+        |  UNION ALL
+        |  SELECT 'o_orderdate_epoch_s',
+        |    CAST(count(ep) AS BIGINT),
+        |    CAST(count(DISTINCT ep) AS BIGINT),
+        |    CAST(count(ep) * 64 AS BIGINT),
+        |    CAST(count(ep) * length(bin(greatest(
+        |        count(DISTINCT ep) - 1, 1)))
+        |      + count(DISTINCT ep) * 64 AS BIGINT)
+        |  FROM t)
+        |SELECT col_name, n, ndv, plain_bits, dict_bits,
+        |  dict_bits * 1000000 // plain_bits AS ratio_ppm,
+        |  CAST(CASE WHEN dict_bits < plain_bits THEN 1 ELSE 0 END
+        |    AS BIGINT) AS recommend_dict
+        |FROM rows""".stripMargin,
 
     "q113_profile" ->
       s"""WITH t AS (

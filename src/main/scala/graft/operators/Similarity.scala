@@ -71,6 +71,56 @@ object Similarity extends QueryPack {
       .withColumn("cn2", expr("int_dot(c, c)"))
   }
 
+  /** q220's core, factored so q350 can reuse the exact Gram and the
+    * converged direction: ONE distributed pass builds the upper Gram
+    * via the row-local pair-product HOF (no posexplode self-join),
+    * dim²-bounded collect (T.boundedCollect asserts), then the integer
+    * power iteration with the house ±1 ppm / cap-16 fixpoint. Every
+    * floor is the shifted-numerator form (signed entries —
+    * CentroidFloorSpec's rule); entries pre-scale by 1024 (valid to
+    * |s_xy| < 1e13 ≈ sf30). Returns (sorted dims, symmetric gs map,
+    * converged w in ppm). */
+  private def gramPowerState(s: SparkSession, d: String)
+      : (Seq[Long], Map[(Long, Long), Long], Map[Long, Long]) = {
+    import s.implicits._
+    graft.GraftExtensions.ensureRegistered(s)
+    val emb = quantized(s, d)
+    val upper = emb.select(explode(expr(
+      s"""flatten(transform(q, (x, i) ->
+         |  transform(slice(q, i + 1, $dim),
+         |    (y, k) -> struct(CAST(i AS BIGINT) AS i,
+         |                     CAST(i + k AS BIGINT) AS j,
+         |                     x * y AS p))))""".stripMargin)).as("e"))
+      .select($"e.i", $"e.j", $"e.p")
+      .groupBy($"i", $"j").agg(sum($"p").as("s_xy"))
+      .select($"i", $"j",
+        expr("(s_xy + 1024L * 10000000000L) div 1024L - 10000000000L")
+          .as("gs"))
+    // dim²-bounded by construction; the bound is mechanically
+    // asserted (T.boundedCollect throws past dim² rows)
+    val up = T.boundedCollect(upper, dim.toLong * dim, "q220 Gram")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val g: Map[(Long, Long), Long] =
+      (up.map { case (i, j, v) => (i, j) -> v } ++
+        up.collect { case (i, j, v) if i != j => (j, i) -> v }).toMap
+    val dims = up.map(_._1).distinct.sorted
+    var w: Map[Long, Long] = dims.map(_ -> 1000000L).toMap
+    var it = 0
+    var done = false
+    while (!done && it < 16) {
+      val sw = dims.map(i =>
+        i -> dims.map(j => g.getOrElse((i, j), 0L) * w(j)).sum).toMap
+      val dnorm = math.max(sw.values.map(math.abs).max / 1000000L, 1L)
+      val next = sw.map { case (i, v) =>
+        i -> ((v + 2000000L * dnorm) / dnorm - 2000000L)
+      }
+      done = next.forall { case (i, p) => (p - w(i)).abs <= 1L }
+      w = next
+      it += 1
+    }
+    (dims, g, w)
+  }
+
   /** q326's core: Gonzalez farthest-point greedy over any
     * (vec_id, q, n2) frame — factored so KcenterPropertySpec can
     * drive it on arbitrary small instances against a sequential
@@ -1336,6 +1386,9 @@ object Similarity extends QueryPack {
     }),
 
     // ---- top principal direction via integer power iteration --------
+    // (core factored into [[gramPowerState]], shared with q350's
+    // isotropy audit — the same one-pass Gram and the same integer
+    // trajectory)
     // The PCA/whitening prep step on top of q137's exact second
     // moments: the dominant eigenvector of the (uncentered) Gram
     // matrix G = XᵀX by power iteration w' ∝ G·w (G is PSD so no sign
@@ -1359,42 +1412,37 @@ object Similarity extends QueryPack {
     // the direction scaled to max |w| = 1e6.
     "q220_pca_power" -> ((s, d) => {
       import s.implicits._
-      graft.GraftExtensions.ensureRegistered(s)
-      val emb = quantized(s, d)
-      val upper = emb.select(explode(expr(
-        s"""flatten(transform(q, (x, i) ->
-           |  transform(slice(q, i + 1, $dim),
-           |    (y, k) -> struct(CAST(i AS BIGINT) AS i,
-           |                     CAST(i + k AS BIGINT) AS j,
-           |                     x * y AS p))))""".stripMargin)).as("e"))
-        .select($"e.i", $"e.j", $"e.p")
-        .groupBy($"i", $"j").agg(sum($"p").as("s_xy"))
-        .select($"i", $"j",
-          expr("(s_xy + 1024L * 10000000000L) div 1024L - 10000000000L")
-            .as("gs"))
-      // dim²-bounded by construction; the bound is mechanically
-      // asserted (T.boundedCollect throws past dim² rows)
-      val up = T.boundedCollect(upper, dim.toLong * dim, "q220 Gram")
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      val g: Map[(Long, Long), Long] =
-        (up.map { case (i, j, v) => (i, j) -> v } ++
-          up.collect { case (i, j, v) if i != j => (j, i) -> v }).toMap
-      val dims = up.map(_._1).distinct.sorted
-      var w: Map[Long, Long] = dims.map(_ -> 1000000L).toMap
-      var it = 0
-      var done = false
-      while (!done && it < 16) {
-        val sw = dims.map(i =>
-          i -> dims.map(j => g.getOrElse((i, j), 0L) * w(j)).sum).toMap
-        val dnorm = math.max(sw.values.map(math.abs).max / 1000000L, 1L)
-        val next = sw.map { case (i, v) =>
-          i -> ((v + 2000000L * dnorm) / dnorm - 2000000L)
-        }
-        done = next.forall { case (i, p) => (p - w(i)).abs <= 1L }
-        w = next
-        it += 1
-      }
+      val (_, _, w) = gramPowerState(s, d)
       w.toSeq.sortBy(_._1).toDF("dim", "w_ppm")
+    }),
+
+    // ---- embedding isotropy audit (top-direction concentration) ------
+    // [Mu & Viswanath ICLR'18 all-but-the-top; Ethayarajh EMNLP'19
+    // anisotropy] the WHITENING decision dial on top of q220's
+    // dominant direction: how much of the Gram's total energy (the
+    // trace) does the top principal direction hold? λ1 by the exact
+    // integer Rayleigh quotient wᵀGw div wᵀw over q220's converged w
+    // (BigInt driver fold — both terms non-negative, G is PSD),
+    // trace = Σ diag(gs) from the same pre-scaled matrix (the common
+    // 1024 pre-scale cancels in every ratio). top_share_ppm ≈ 1/dim
+    // means isotropic (no single dominant direction — whitening buys
+    // little); concentration_x_milli = λ1·dim/trace is the same dial
+    // in multiples of the uniform share. One corpus pass (the shared
+    // Gram build); everything after is dim²-bounded driver work.
+    "q350_isotropy_audit" -> ((s, d) => {
+      import s.implicits._
+      val (dims, g, w) = gramPowerState(s, d)
+      val sw = dims.map(i =>
+        i -> dims.map(j => g.getOrElse((i, j), 0L) * w(j)).sum).toMap
+      val num = dims.map(i => BigInt(w(i)) * sw(i)).sum
+      val den = dims.map(i => BigInt(w(i)) * w(i)).sum
+      val lambda1q = (num / den).toLong
+      val traceQ = dims.map(i => g.getOrElse((i, i), 0L)).sum
+      Seq((dims.size.toLong, lambda1q, traceQ,
+        lambda1q * 1000000L / traceQ,
+        (BigInt(lambda1q) * dims.size * 1000L / BigInt(traceQ)).toLong))
+        .toDF("dim", "lambda1q", "trace_q", "top_share_ppm",
+          "concentration_x_milli")
     }),
 
     // ---- SemDeDup: cluster-scoped semantic dedup, ε-acceptance sweep
@@ -2437,6 +2485,61 @@ object Similarity extends QueryPack {
         |pick AS (SELECT coalesce(min(k), 16) AS k FROM conv)
         |SELECT pw.v AS dim, CAST(pw.p AS BIGINT) AS w_ppm
         |FROM pw JOIN pick ON pw.iter = pick.k""".stripMargin,
+
+    // q220's recursive power CTE verbatim, then the HUGEINT Rayleigh
+    // quotient and the diagonal trace from the same pre-scaled matrix
+    "q350_isotropy_audit" ->
+      s"""WITH RECURSIVE q AS (
+        |  SELECT list_transform(embedding, x -> CAST(round(x * 1024) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |pr0 AS (
+        |  SELECT t1.i AS i, t2.j AS j, qv[t1.i + 1] * qv[t2.j + 1] AS p
+        |  FROM q, range($dim) t1(i), range($dim) t2(j)
+        |  WHERE t2.j >= t1.i),
+        |up AS (SELECT i, j, CAST(sum(p) AS BIGINT) AS s_xy FROM pr0 GROUP BY i, j),
+        |g AS (
+        |  SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        |    (s_xy + 1024 * 10000000000) // 1024 - 10000000000 AS gs FROM up
+        |  UNION ALL
+        |  SELECT CAST(j AS BIGINT), CAST(i AS BIGINT),
+        |    (s_xy + 1024 * 10000000000) // 1024 - 10000000000
+        |  FROM up WHERE i != j),
+        |pw AS (
+        |  SELECT 0 AS iter, i AS v, CAST(1000000 AS BIGINT) AS p
+        |  FROM (SELECT DISTINCT i FROM g) dims
+        |  UNION ALL
+        |  SELECT s.iter + 1, s.i,
+        |    CAST((s.sw + 2000000 * s.dnorm) // s.dnorm - 2000000 AS BIGINT)
+        |  FROM (
+        |    SELECT t.iter, t.i, t.sw,
+        |      greatest(max(abs(t.sw)) OVER (PARTITION BY t.iter) // 1000000,
+        |        1) AS dnorm
+        |    FROM (
+        |      SELECT pw.iter, g.i, CAST(sum(g.gs * pw.p) AS BIGINT) AS sw
+        |      FROM g JOIN pw ON pw.v = g.j
+        |      WHERE pw.iter < 16
+        |      GROUP BY pw.iter, g.i) t) s),
+        |conv AS (
+        |  SELECT a.iter + 1 AS k
+        |  FROM pw a JOIN pw b ON b.iter = a.iter + 1 AND b.v = a.v
+        |  GROUP BY a.iter
+        |  HAVING max(abs(a.p - b.p)) <= 1),
+        |pick AS (SELECT coalesce(min(k), 16) AS k FROM conv),
+        |wv AS (SELECT pw.v, CAST(pw.p AS BIGINT) AS p
+        |  FROM pw JOIN pick ON pw.iter = pick.k),
+        |swf AS (SELECT g.i, CAST(sum(g.gs * wv.p) AS BIGINT) AS sw
+        |  FROM g JOIN wv ON wv.v = g.j GROUP BY 1),
+        |ray AS (
+        |  SELECT CAST(sum(CAST(wv.p AS HUGEINT) * swf.sw)
+        |    // sum(CAST(wv.p AS HUGEINT) * wv.p) AS BIGINT) AS lambda1q
+        |  FROM wv JOIN swf ON swf.i = wv.v),
+        |tr AS (SELECT CAST(sum(gs) AS BIGINT) AS trace_q
+        |  FROM g WHERE i = j)
+        |SELECT CAST($dim AS BIGINT) AS dim, ray.lambda1q, tr.trace_q,
+        |  ray.lambda1q * 1000000 // tr.trace_q AS top_share_ppm,
+        |  CAST(CAST(ray.lambda1q AS HUGEINT) * $dim * 1000 // tr.trace_q
+        |    AS BIGINT) AS concentration_x_milli
+        |FROM ray CROSS JOIN tr""".stripMargin,
 
     "q211_embedding_norm_audit" ->
       s"""WITH $duckQuant,

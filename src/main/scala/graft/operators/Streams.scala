@@ -2465,6 +2465,66 @@ object Streams extends QueryPack {
           expr("n_unique * 1000000L div n_grams").as("novelty_ppm"))
     }),
 
+    // Streaming KMV distinct monitor — q43's ingest-side form and the
+    // second member of the distinct-estimation pair (s42's HLL merges
+    // register MAXes; KMV merges BOTTOM-K sets — both semilattices):
+    // each micro-batch emits its per-type bottom-64 distinct user
+    // hashes (the production synopsis — ≤ 64 longs per key per batch,
+    // ever) plus the exact distinct (type, hash) set for the audit's
+    // ground-truth column (the s48 caveat: production keeps only the
+    // synopsis). The union of bottom-64 partials CONTAINS the global
+    // bottom-64 (min-k is a semilattice), so re-sketching the merged
+    // partials post-drain reproduces q43's estimate bit-for-bit —
+    // gated by q43's own oracle.
+    "s51_stream_kmv_monitor" -> ((s, d) => {
+      import s.implicits._
+      val h60 = graft.functions.PortableHash.h60 _
+      val name = s"events_rt_${sfx(d)}" // shares s01's fixture
+      seedEventsJson(s, d, name, numShards = 4)
+      val nEv = T.events(s, d).count()
+      val cap = math.max(1000L, nEv / 4)
+      val root = s"/tmp/graft_skmv_${sfx(d)}" +
+        s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fsb = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fsb.delete(new org.apache.hadoop.fs.Path(root), true)
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", cap.toString)
+        .load()
+        .select(from_json(col("data").cast("string"), payloadSchema).as("e"))
+        .select(col("e.event_type").as("t"),
+          col("e.user_id").as("user_id"))
+      graft.streaming.StreamObservability.attach(s)
+      val q = raw.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val hv = batch.select(col("t"), h60(col("user_id")).as("hv"))
+            .distinct()
+            .localCheckpoint() // synopsis AND audit read it
+          val wt = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("t")).orderBy(col("hv"))
+          hv.withColumn("rn", row_number().over(wt))
+            .filter(col("rn") <= 64)
+            .select(col("t"), col("hv"))
+            .write.mode("overwrite").parquet(s"$root/g$batchId")
+          hv.write.mode("overwrite").parquet(s"$root/e$batchId")
+          ()
+        }.start()
+      q.awaitTermination()
+      val kmv = udaf(new graft.functions.KmvSketch(64),
+        Encoders.scalaLong)
+      val est = s.read.schema("t STRING, hv LONG").parquet(s"$root/g*")
+        .distinct()
+        .groupBy($"t").agg(round(kmv($"hv"), 4).as("est_distinct"))
+      s.read.schema("t STRING, hv LONG").parquet(s"$root/e*")
+        .distinct()
+        .groupBy($"t").agg(countDistinct($"hv").as("true_distinct"))
+        .join(est, "t")
+        .select($"t".as("event_type"), $"est_distinct", $"true_distinct")
+    }),
+
     // Streaming SPRT experiment monitor — q330's ingest-side form,
     // which is where SPRT actually LIVES (sequential testing exists
     // to stop DURING the experiment): each micro-batch writes its
@@ -3295,6 +3355,8 @@ object Streams extends QueryPack {
     "s49_stream_checksum_monitor" -> Sketches.oracles("q83_table_checksum"),
     // summed df partials + Σnd=1 owners reassemble per-doc novelty
     "s50_stream_novelty_monitor" -> Pipeline.oracles("q130_ngram_novelty"),
+    // merged bottom-64 partials contain the global bottom-64
+    "s51_stream_kmv_monitor" -> Sketches.oracles("q43_kmv_distinct"),
 
     // idempotent set-union of matched gram hashes over batches must
     // reproduce q317's one-shot overlap — gated by the SAME oracle

@@ -209,7 +209,10 @@ class DeterminismSpec extends AnyFunSuite {
     // the banded-caliper struct-min match and the gap-window γ-costs
     "q345_psm_att", "q346_postings_compression",
     // struct-min firsts + hour-band rank locates
-    "q347_time_to_convert")
+    "q347_time_to_convert",
+    // per-column size models; the shared Gram power trajectory +
+    // BigInt Rayleigh fold
+    "q348_dict_encoding_estimate", "q350_isotropy_audit")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

@@ -54,7 +54,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "s47_stream_bloom_monitor",
     "s48_stream_profile_monitor",
     "s49_stream_checksum_monitor",
-    "s50_stream_novelty_monitor")
+    "s50_stream_novelty_monitor",
+    "s51_stream_kmv_monitor")
   // bounded-side nested loops that are correct by construction
   // (1-row stats, 4-row tier dim, 10-row query set, 5-row lang
   // profiles, 1-row mixture minimum, k-row centroid set, 1-row
@@ -102,6 +103,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q325: the 1-row token-total and weight-total scalars crossed
     // onto the |sources|-row mixture table (q63's scalar shape)
     "q325_temperature_mixture" -> 8,
+    // q348: the 1-row distinct-length scalar crossed onto the 1-row
+    // string-column agg
+    "q348_dict_encoding_estimate" -> 1,
     // q343: the 2-row m-grid and the 10-row h60-smallest query set
     // (global limits, corpus-independent) broadcast under the
     // self-exclusion / grid crosses
