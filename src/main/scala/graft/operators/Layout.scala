@@ -149,6 +149,58 @@ object Layout extends QueryPack {
     // min/max are computed on native types (never on strings) and
     // rendered to text only post-agg; money goes through exact cents,
     // timestamps through epoch seconds.
+    // ---- clustering-factor audit (physical sortedness per key) -------
+    // [the Oracle/DB2 clustering-factor statistic; Graefe '11 sorted
+    // runs] the SORTEDNESS companion to q316's prune simulation:
+    // q316 asks "what would sorting on key K prune", this asks "how
+    // sorted on K is the table ALREADY" — the number of ascending
+    // runs in physical (o_orderkey) storage order, per candidate key.
+    // Two-level decomposition for scale: runs = 1 + within-block
+    // breaks (windows partitioned by (key, block of 4096 rows) — the
+    // row-group grain) + block-boundary breaks (first/last per block
+    // via struct-min/max, one window over the MANIFEST-grain block
+    // table). runs_ppm = runs/n: ~0 = already clustered (skip the
+    // rewrite), ~1e6 = fully shuffled. chosen = fewest-runs key —
+    // read q316 and this together to decide IF and ON WHAT to sort.
+    "q351_clustering_factor" -> ((s, d) => {
+      import s.implicits._
+      val base = T.orders(s, d).select(
+        Exact.cents($"o_totalprice").as("price_c"),
+        expr("CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT)")
+          .as("day_e"),
+        $"o_custkey".cast("long").as("cust"),
+        $"o_orderkey".as("oid"))
+      val kv = base.crossJoin(broadcast(Seq(1L, 2L, 3L).toDF("key_id")))
+        .select($"key_id", $"oid",
+          expr("CASE key_id WHEN 1 THEN price_c WHEN 2 THEN day_e " +
+            "ELSE cust END").as("kval"),
+          expr("oid div 4096").as("blk"))
+      val wb = Window.partitionBy($"key_id", $"blk").orderBy($"oid")
+      val within = kv.withColumn("prev", lag($"kval", 1).over(wb))
+        .groupBy($"key_id")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(when($"prev".isNotNull && $"kval" < $"prev", 1L)
+            .otherwise(0L)).cast("bigint").as("wbreaks"))
+      val blocks = kv.groupBy($"key_id", $"blk")
+        .agg(min(struct($"oid", $"kval")).as("f"),
+          max(struct($"oid", $"kval")).as("l"))
+      val wk = Window.partitionBy($"key_id").orderBy($"blk")
+      val bound = blocks
+        .withColumn("prev_last", lag($"l.kval", 1).over(wk))
+        .groupBy($"key_id")
+        .agg(sum(when($"prev_last".isNotNull && $"f.kval" < $"prev_last",
+          1L).otherwise(0L)).cast("bigint").as("bbreaks"))
+      val res = within.join(bound, "key_id")
+        .select($"key_id", $"n",
+          ($"wbreaks" + $"bbreaks" + 1L).cast("bigint").as("runs"))
+        .select($"key_id", $"n", $"runs",
+          expr("runs * 1000000 div n").as("runs_ppm"))
+      val best = res.agg(min(struct($"runs", $"key_id")).as("bk"))
+      res.crossJoin(broadcast(best))
+        .select($"key_id", $"n", $"runs", $"runs_ppm",
+          ($"key_id" === $"bk.key_id").cast("long").as("chosen"))
+    }),
+
     // ---- dictionary-encoding benefit estimate ------------------------
     // [Abadi+ SIGMOD'06 column-store compression; the parquet
     // PLAIN-vs-RLE_DICTIONARY chooser] the ENCODING companion to
@@ -1298,6 +1350,57 @@ object Layout extends QueryPack {
       s"""SELECT o_custkey, count(*) AS n,
         |  CAST(sum(${Exact.centsSql("o_totalprice")}) AS BIGINT) AS total_c
         |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    // the same two-level run decomposition and struct-min tie-breaks
+    "q351_clustering_factor" ->
+      s"""WITH base AS (
+        |  SELECT ${Exact.centsSql("o_totalprice")} AS price_c,
+        |    CAST(datediff('day', DATE '1970-01-01', o_orderdate)
+        |      AS BIGINT) AS day_e,
+        |    CAST(o_custkey AS BIGINT) AS cust, o_orderkey AS oid
+        |  FROM orders),
+        |kv AS (
+        |  SELECT CAST(k.key_id AS BIGINT) AS key_id, b.oid,
+        |    CASE k.key_id WHEN 1 THEN b.price_c WHEN 2 THEN b.day_e
+        |      ELSE b.cust END AS kval,
+        |    b.oid // 4096 AS blk
+        |  FROM base b CROSS JOIN (VALUES (1), (2), (3)) k(key_id)),
+        |w1 AS (
+        |  SELECT key_id, kval,
+        |    lag(kval) OVER (PARTITION BY key_id, blk ORDER BY oid)
+        |      AS prev
+        |  FROM kv),
+        |within AS (
+        |  SELECT key_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN prev IS NOT NULL AND kval < prev
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS wbreaks
+        |  FROM w1 GROUP BY 1),
+        |blocks AS (
+        |  SELECT key_id, blk,
+        |    min({'oid': oid, 'kval': kval}) AS f,
+        |    max({'oid': oid, 'kval': kval}) AS l
+        |  FROM kv GROUP BY 1, 2),
+        |b2 AS (
+        |  SELECT key_id, f.kval AS fk,
+        |    lag(l.kval) OVER (PARTITION BY key_id ORDER BY blk)
+        |      AS prev_last
+        |  FROM blocks),
+        |bound AS (
+        |  SELECT key_id,
+        |    CAST(sum(CASE WHEN prev_last IS NOT NULL AND fk < prev_last
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS bbreaks
+        |  FROM b2 GROUP BY 1),
+        |res AS (
+        |  SELECT w.key_id, w.n,
+        |    CAST(w.wbreaks + bound.bbreaks + 1 AS BIGINT) AS runs
+        |  FROM within w JOIN bound USING (key_id)),
+        |best AS (SELECT min({'runs': runs, 'key_id': key_id}) AS bk
+        |  FROM res)
+        |SELECT res.key_id, res.n, res.runs,
+        |  CAST(res.runs * 1000000 // res.n AS BIGINT) AS runs_ppm,
+        |  CAST(CASE WHEN res.key_id = best.bk.key_id THEN 1 ELSE 0 END
+        |    AS BIGINT) AS chosen
+        |FROM res CROSS JOIN best""".stripMargin,
 
     // the same per-column size models, bitlen via unpadded bin()
     "q348_dict_encoding_estimate" ->

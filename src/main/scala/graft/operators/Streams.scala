@@ -2525,6 +2525,141 @@ object Streams extends QueryPack {
         .select($"t".as("event_type"), $"est_distinct", $"true_distinct")
     }),
 
+    // Streaming readability monitor — q342's ingest-side form: LIX's
+    // inputs are pure counts (docs, words, sentences, long words per
+    // source), so each micro-batch writes one linear partial row per
+    // source and the post-drain sum feeds the identical two-floor
+    // report — gated by q342's own oracle. The production reading: a
+    // per-source readability dashboard maintained DURING ingest for
+    // |sources|·4 longs of state.
+    "s52_stream_readability_monitor" -> ((s, d) => {
+      import s.implicits._
+      val name = s"docs_lix_${sfx(d)}"
+      synchronized {
+        if (!ShardServiceRegistry.exists(name)) {
+          val rows = T.documents(s, d)
+            .select(col("doc_id"), col("doc_id").as("pk"),
+              to_json(struct(col("source"), col("text"))).as("json"))
+            .orderBy("doc_id").toLocalIterator()
+          seedRows(name, numShards = 2, rows, times = 1)
+        }
+      }
+      val nDocs = T.documents(s, d).count()
+      val cap = math.max(10L, nDocs / 4)
+      val root = s"/tmp/graft_slix_${sfx(d)}" +
+        s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fsb = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fsb.delete(new org.apache.hadoop.fs.Path(root), true)
+      val dSchema = StructType(Seq(
+        StructField("source", StringType), StructField("text", StringType)))
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", cap.toString)
+        .load()
+        .select(from_json(col("data").cast("string"), dSchema).as("e"))
+        .select(col("e.source").as("source"), col("e.text").as("text"))
+      graft.streaming.StreamObservability.attach(s)
+      val q = raw.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("nw"),
+            greatest(lit(1L), (length(col("text")) -
+              length(translate(col("text"), ".!?", ""))).cast("long"))
+              .as("ns"),
+            expr("CAST(size(filter(split(text, ' '), " +
+              "w -> length(w) > 6)) AS BIGINT)").as("nl"))
+            .groupBy(col("source"))
+            .agg(count(lit(1)).cast("long").as("nd"),
+              sum(col("nw")).cast("long").as("nw"),
+              sum(col("ns")).cast("long").as("ns"),
+              sum(col("nl")).cast("long").as("nl"))
+            .write.mode("overwrite").parquet(s"$root/b$batchId")
+          ()
+        }.start()
+      q.awaitTermination()
+      s.read.schema("source STRING, nd LONG, nw LONG, ns LONG, nl LONG")
+        .parquet(s"$root/b*")
+        .groupBy($"source")
+        .agg(sum($"nd").cast("bigint").as("n_docs"),
+          sum($"nw").cast("bigint").as("n_words"),
+          sum($"ns").cast("bigint").as("n_sents"),
+          sum($"nl").cast("bigint").as("n_long"))
+        .select($"source", $"n_docs", $"n_words", $"n_sents", $"n_long",
+          expr("n_words * 1000 div n_sents + n_long * 100000 div n_words")
+            .as("lix_milli"),
+          expr("n_long * 1000 div n_sents").as("rix_milli"))
+    }),
+
+    // Streaming byte-entropy monitor — q344's ingest-side form: the
+    // char histogram is linear and ALPHABET-bounded (per batch at most
+    // |sources|·|alphabet| rows of state), so each micro-batch writes
+    // its per-(source, char) count partial and the post-drain sum
+    // feeds the identical millibit-LUT entropy fold — gated by q344's
+    // own oracle. The compression-floor dial, tracked during ingest.
+    "s53_stream_entropy_monitor" -> ((s, d) => {
+      import s.implicits._
+      val name = s"docs_lix_${sfx(d)}" // shares s52's fixture
+      synchronized {
+        if (!ShardServiceRegistry.exists(name)) {
+          val rows = T.documents(s, d)
+            .select(col("doc_id"), col("doc_id").as("pk"),
+              to_json(struct(col("source"), col("text"))).as("json"))
+            .orderBy("doc_id").toLocalIterator()
+          seedRows(name, numShards = 2, rows, times = 1)
+        }
+      }
+      val nDocs = T.documents(s, d).count()
+      val cap = math.max(10L, nDocs / 4)
+      val root = s"/tmp/graft_sent_${sfx(d)}" +
+        s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fsb = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fsb.delete(new org.apache.hadoop.fs.Path(root), true)
+      val dSchema = StructType(Seq(
+        StructField("source", StringType), StructField("text", StringType)))
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", cap.toString)
+        .load()
+        .select(from_json(col("data").cast("string"), dSchema).as("e"))
+        .select(col("e.source").as("source"), col("e.text").as("text"))
+      graft.streaming.StreamObservability.attach(s)
+      val q = raw.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch
+            .select(col("source"),
+              explode(sequence(lit(1), length(col("text")))).as("p"),
+              col("text"))
+            .select(col("source"), expr("substring(text, p, 1)").as("ch"))
+            .groupBy(col("source"), col("ch"))
+            .agg(count(lit(1)).cast("long").as("nc"))
+            .write.mode("overwrite").parquet(s"$root/b$batchId")
+          ()
+        }.start()
+      q.awaitTermination()
+      def mb(x: String) = Pipeline.mbLog2Spark(x)
+      val hist = s.read.schema("source STRING, ch STRING, nc LONG")
+        .parquet(s"$root/b*")
+        .groupBy($"source", $"ch")
+        .agg(sum($"nc").cast("bigint").as("nc"))
+      val tot = hist.groupBy($"source")
+        .agg(sum($"nc").cast("bigint").as("nn"), count(lit(1)).as("n_sym"))
+      hist.join(tot, "source")
+        .groupBy($"source")
+        .agg(max($"nn").as("n_chars"), max($"n_sym").as("n_symbols"),
+          sum(expr(s"nc * (${mb("nn")} - ${mb("nc")})")).cast("bigint")
+            .as("hsum"))
+        .select($"source", $"n_chars", $"n_symbols",
+          expr("hsum div n_chars").as("h_millibits"))
+        .select($"source", $"n_chars", $"n_symbols", $"h_millibits",
+          expr("n_chars * h_millibits div 8000").as("min_bytes"))
+    }),
+
     // Streaming SPRT experiment monitor — q330's ingest-side form,
     // which is where SPRT actually LIVES (sequential testing exists
     // to stop DURING the experiment): each micro-batch writes its
@@ -3357,6 +3492,11 @@ object Streams extends QueryPack {
     "s50_stream_novelty_monitor" -> Pipeline.oracles("q130_ngram_novelty"),
     // merged bottom-64 partials contain the global bottom-64
     "s51_stream_kmv_monitor" -> Sketches.oracles("q43_kmv_distinct"),
+    // linear count partials feed the identical two-floor LIX report
+    "s52_stream_readability_monitor" ->
+      TextAnalysis.oracles("q342_readability_lix"),
+    // alphabet-bounded char-count partials feed the LUT entropy fold
+    "s53_stream_entropy_monitor" -> TextAnalysis.oracles("q344_byte_entropy"),
 
     // idempotent set-union of matched gram hashes over batches must
     // reproduce q317's one-shot overlap — gated by the SAME oracle

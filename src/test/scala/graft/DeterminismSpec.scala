@@ -212,7 +212,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q347_time_to_convert",
     // per-column size models; the shared Gram power trajectory +
     // BigInt Rayleigh fold
-    "q348_dict_encoding_estimate", "q350_isotropy_audit")
+    "q348_dict_encoding_estimate", "q350_isotropy_audit",
+    // the two-level run decomposition's windows and struct tie-breaks
+    "q351_clustering_factor")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count

@@ -55,7 +55,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "s48_stream_profile_monitor",
     "s49_stream_checksum_monitor",
     "s50_stream_novelty_monitor",
-    "s51_stream_kmv_monitor")
+    "s51_stream_kmv_monitor",
+    "s52_stream_readability_monitor",
+    "s53_stream_entropy_monitor")
   // bounded-side nested loops that are correct by construction
   // (1-row stats, 4-row tier dim, 10-row query set, 5-row lang
   // profiles, 1-row mixture minimum, k-row centroid set, 1-row
@@ -106,6 +108,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q348: the 1-row distinct-length scalar crossed onto the 1-row
     // string-column agg
     "q348_dict_encoding_estimate" -> 1,
+    // q351: the 3-row key dim crossed onto the scan and the 1-row
+    // best-key scalar crossed onto the 3-row report
+    "q351_clustering_factor" -> 4,
     // q343: the 2-row m-grid and the 10-row h60-smallest query set
     // (global limits, corpus-independent) broadcast under the
     // self-exclusion / grid crosses
