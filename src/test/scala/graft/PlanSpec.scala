@@ -105,6 +105,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q325: the 1-row token-total and weight-total scalars crossed
     // onto the |sources|-row mixture table (q63's scalar shape)
     "q325_temperature_mixture" -> 8,
+    // q345: the 1-row treated-count scalar crossed onto the 1-row
+    // matched aggregate
+    "q345_psm_att" -> 1,
     // q348: the 1-row distinct-length scalar crossed onto the 1-row
     // string-column agg
     "q348_dict_encoding_estimate" -> 1,
