@@ -1110,6 +1110,67 @@ object Events extends QueryPack {
         .orderBy($"sup3".desc, $"t1", $"t2", $"t3").limit(20)
     }),
 
+    // ---- Wald–Wolfowitz runs test (sequence randomness) --------------
+    // [Wald & Wolfowitz AMS'40] the RANDOMNESS member of the test
+    // family (KW compares groups, MWU ranks, q310 checks counts —
+    // none asks "is the ORDER random?"): the daily purchase-share
+    // series, signed above/below its median (ties at the median
+    // dropped, the standard treatment), and the count of RUNS vs the
+    // exact null moments E[R] = 1 + 2n₁n₂/n and
+    // Var[R] = 2n₁n₂(2n₁n₂−n)/(n²(n−1)) — a trend or oscillation both
+    // show up as too-few/too-many runs. All-integer: moments in
+    // milli/micro fixed point (2n₁n₂ ≥ n whenever both signs occur,
+    // so every numerator is non-negative), σ by the ±1-corrected
+    // exact isqrt (q321's idiom), the one signed z shifted by 100σ.
+    // Everything after the day-grain agg is ≤32 rows (time-domain
+    // bounded) — the global windows run on the bounded day table.
+    "q353_runs_test" -> ((s, d) => {
+      import s.implicits._
+      val daily = T.events(s, d)
+        .select(datediff(to_date($"ts"), to_date(lit("2024-01-01")))
+          .cast("long").as("day"),
+          ($"event_type" === "purchase").cast("long").as("p"))
+        .groupBy($"day")
+        .agg(count(lit(1)).as("n_ev"), sum($"p").as("np"))
+        .select($"day", expr("np * 1000000 div n_ev").as("x"))
+      val med = daily
+        .withColumn("rn", row_number().over(Window.orderBy($"x", $"day")))
+        .withColumn("n", count(lit(1)).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .agg((min(when($"rn" === expr("(n + 1) div 2"), $"x")) +
+          min(when($"rn" === expr("(n + 2) div 2"), $"x")))
+          .cast("bigint").as("med2"))
+      val signed = daily.crossJoin(broadcast(med))
+        .filter($"x" * 2 =!= $"med2")
+        .select($"day", when($"x" * 2 > $"med2", 1L).otherwise(-1L).as("sg"))
+      signed
+        .withColumn("prev", lag($"sg", 1).over(Window.orderBy($"day")))
+        .agg(count(lit(1)).cast("bigint").as("n_days"),
+          sum(($"sg" === 1L).cast("long")).cast("bigint").as("n_above"),
+          sum(($"sg" === -1L).cast("long")).cast("bigint").as("n_below"),
+          (sum(($"prev".isNotNull && $"sg" =!= $"prev").cast("long")) + 1L)
+            .cast("bigint").as("r_runs"))
+        .select($"n_days", $"n_above", $"n_below", $"r_runs",
+          expr("1000 + (2000 * n_above * n_below) div (n_above + n_below)")
+            .as("er_milli"),
+          expr("(2 * n_above * n_below * " +
+            "(2 * n_above * n_below - (n_above + n_below)) * 1000000) " +
+            "div ((n_above + n_below) * (n_above + n_below) * " +
+            "(n_above + n_below - 1))").as("var_micro"))
+        .withColumn("y0",
+          expr("CAST(sqrt(CAST(var_micro AS DOUBLE)) AS BIGINT)"))
+        .withColumn("sigma_milli", expr(
+          "CASE WHEN y0 * y0 > var_micro THEN y0 - 1 " +
+            "WHEN (y0 + 1) * (y0 + 1) <= var_micro THEN y0 + 1 " +
+            "ELSE y0 END"))
+        .select($"n_days", $"n_above", $"n_below", $"r_runs",
+          $"er_milli", $"var_micro",
+          expr("CASE WHEN var_micro = 0 THEN 0L ELSE " +
+            "((r_runs * 1000 - er_milli + 100 * sigma_milli) * 1000) " +
+            "div sigma_milli - 100000 END").as("z_milli"))
+    }),
+
     // ---- conversion-lag percentiles (time-to-convert) ----------------
     // The duration metric the funnel family stops short of: q81 counts
     // WHO converts, this measures HOW LONG conversion takes — per
@@ -1899,6 +1960,61 @@ object Events extends QueryPack {
        |GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // the same day series, median signing, run count, exact moments
+    "q353_runs_test" ->
+      """WITH daily AS (
+        |  SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |    AS day,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      * 1000000 // count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |med AS (
+        |  SELECT CAST(max(CASE WHEN rn = (n + 1) // 2 THEN x END)
+        |    + max(CASE WHEN rn = (n + 2) // 2 THEN x END) AS BIGINT)
+        |    AS med2
+        |  FROM (SELECT x,
+        |      row_number() OVER (ORDER BY x, day) AS rn,
+        |      count(*) OVER () AS n
+        |    FROM daily) t),
+        |signed AS (
+        |  SELECT day, CASE WHEN x * 2 > med.med2 THEN 1 ELSE -1 END AS sg
+        |  FROM daily CROSS JOIN med WHERE x * 2 <> med.med2),
+        |runs AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_above,
+        |    CAST(sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_below,
+        |    CAST(sum(CASE WHEN prev IS NOT NULL AND sg <> prev
+        |      THEN 1 ELSE 0 END) + 1 AS BIGINT) AS r_runs
+        |  FROM (SELECT sg, lag(sg) OVER (ORDER BY day) AS prev
+        |        FROM signed) t),
+        |mom AS (
+        |  SELECT n_days, n_above, n_below, r_runs,
+        |    1000 + (2000 * n_above * n_below) // (n_above + n_below)
+        |      AS er_milli,
+        |    (2 * n_above * n_below *
+        |      (2 * n_above * n_below - (n_above + n_below)) * 1000000)
+        |      // ((n_above + n_below) * (n_above + n_below) *
+        |         (n_above + n_below - 1)) AS var_micro
+        |  FROM runs),
+        |sig AS (
+        |  SELECT *, CAST(sqrt(CAST(var_micro AS DOUBLE)) AS BIGINT) AS y0
+        |  FROM mom),
+        |sg2 AS (
+        |  SELECT *,
+        |    CASE WHEN y0 * y0 > var_micro THEN y0 - 1
+        |      WHEN (y0 + 1) * (y0 + 1) <= var_micro THEN y0 + 1
+        |      ELSE y0 END AS sigma_milli
+        |  FROM sig)
+        |SELECT n_days, n_above, n_below, r_runs,
+        |  CAST(er_milli AS BIGINT) AS er_milli,
+        |  CAST(var_micro AS BIGINT) AS var_micro,
+        |  CAST(CASE WHEN var_micro = 0 THEN 0 ELSE
+        |    ((r_runs * 1000 - er_milli + 100 * sigma_milli) * 1000)
+        |      // sigma_milli - 100000 END AS BIGINT) AS z_milli
+        |FROM sg2""".stripMargin,
+
     // the same struct-min firsts, hour-grain bands, rank locates
     "q347_time_to_convert" ->
       """WITH ev AS (

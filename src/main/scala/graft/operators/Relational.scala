@@ -1549,6 +1549,30 @@ object Relational extends QueryPack {
           expr("(region_rev_c * 1000000L) div total_rev_c").as("region_share_ppm"))
     }),
 
+    // ---- ROLLUP hierarchy with grouping_id ---------------------------
+    // The GROUPING-SETS member of the aggregation surface (q97 derives
+    // the hierarchy shares with windows; this emits the hierarchy
+    // ITSELF): revenue at nation, region, and grand-total grain in ONE
+    // aggregate via rollup(r_name, n_name) — Catalyst expands to a
+    // single Expand + hash agg, so the three grains cost one shuffle,
+    // not three scans (the point of the operator at 100 TB).
+    // grouping_id disambiguates a real NULL key from a rollup
+    // super-aggregate row (0 = leaf, 1 = region subtotal, 3 = grand
+    // total — the same bitmask DuckDB's GROUPING() emits). Region dim
+    // broadcast (q05's join shape).
+    "q352_revenue_rollup" -> ((s, d) => {
+      import s.implicits._
+      T.orders(s, d).join(T.customer(s, d), $"o_custkey" === $"c_custkey")
+        .join(T.nation(s, d), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(T.region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .select($"r_name", $"n_name", Exact.cents($"o_totalprice").as("pc"))
+        .rollup($"r_name", $"n_name")
+        .agg(grouping_id().cast("bigint").as("gid"),
+          count(lit(1)).as("n_orders"),
+          sum($"pc").cast("bigint").as("rev_c"))
+        .select($"r_name", $"n_name", $"gid", $"n_orders", $"rev_c")
+    }),
+
     // ---- pivot -------------------------------------------------------
     "q21_pivot" -> ((s, d) => {
       import s.implicits._
@@ -3705,6 +3729,18 @@ object Relational extends QueryPack {
         |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
         |  count(*) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    // GROUP BY ROLLUP with the same GROUPING bitmask semantics
+    "q352_revenue_rollup" ->
+      s"""SELECT r_name, n_name,
+        |  CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(${Exact.centsSql("o_totalprice")}) AS BIGINT) AS rev_c
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
 
     "q97_pct_of_parent" ->
       s"""WITH g AS (
