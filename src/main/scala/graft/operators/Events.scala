@@ -1110,6 +1110,44 @@ object Events extends QueryPack {
         .orderBy($"sup3".desc, $"t1", $"t2", $"t3").limit(20)
     }),
 
+    // ---- Wilson score intervals for daily purchase share -------------
+    // [Wilson JASA'27; Brown+ StatSci'01 recommend it over Wald] the
+    // PROPORTION-interval member of the estimation family (q324 does
+    // rank CIs for medians, q-- bootstrap for means): per arithmetic
+    // day-of-week, the purchase share of events with its 95% Wilson
+    // interval — the interval that behaves at small n and extreme p
+    // where the naive Wald CI collapses. All-integer: z rides as the
+    // literal milli pair (z_m = 1960, z²·1e6 = 3 841 600),
+    // rad = isqrt(z2·(k(n−k)·1e6 div n + z2 div 4)) via the
+    // ±1-corrected exact isqrt (q321), bounds floor through
+    // non-negative numerators (Wilson's lower bound is ≥ 0 by
+    // construction). One day-grain agg; 7 rows after. Int64 headroom
+    // to ~9e10 events per cell; past that the products route through
+    // the q209 DECIMAL(38,0) template.
+    "q349_wilson_ci" -> ((s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .select(expr("((unix_micros(CAST(ts AS TIMESTAMP)) div " +
+          "86400000000) + 4) % 7").as("dow"),
+          ($"event_type" === "purchase").cast("long").as("p"))
+        .groupBy($"dow")
+        .agg(count(lit(1)).cast("bigint").as("n_events"),
+          sum($"p").cast("bigint").as("n_purch"))
+        .withColumn("ss", expr(
+          "3841600 * (n_purch * (n_events - n_purch) * 1000000 " +
+            "div n_events + 960400)"))
+        .withColumn("y0", expr("CAST(sqrt(CAST(ss AS DOUBLE)) AS BIGINT)"))
+        .withColumn("rad", expr(
+          "CASE WHEN y0 * y0 > ss THEN y0 - 1 " +
+            "WHEN (y0 + 1) * (y0 + 1) <= ss THEN y0 + 1 ELSE y0 END"))
+        .select($"dow", $"n_events", $"n_purch",
+          expr("n_purch * 1000000 div n_events").as("rate_ppm"),
+          expr("(n_purch * 1000000 + 1920800 - rad) * 1000000 " +
+            "div (n_events * 1000000 + 3841600)").as("wilson_lo_ppm"),
+          expr("(n_purch * 1000000 + 1920800 + rad) * 1000000 " +
+            "div (n_events * 1000000 + 3841600)").as("wilson_hi_ppm"))
+    }),
+
     // ---- Wald–Wolfowitz runs test (sequence randomness) --------------
     // [Wald & Wolfowitz AMS'40] the RANDOMNESS member of the test
     // family (KW compares groups, MWU ranks, q310 checks counts —
@@ -1960,6 +1998,32 @@ object Events extends QueryPack {
        |GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // the same literal z pair, isqrt radical, non-negative floors
+    "q349_wilson_ci" ->
+      """WITH g AS (
+        |  SELECT ((CAST(epoch_us(ts) AS BIGINT) // 86400000000) + 4) % 7
+        |      AS dow,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_purch
+        |  FROM events GROUP BY 1),
+        |s1 AS (SELECT *,
+        |  3841600 * (n_purch * (n_events - n_purch) * 1000000
+        |    // n_events + 960400) AS ss FROM g),
+        |s2 AS (SELECT *, CAST(sqrt(CAST(ss AS DOUBLE)) AS BIGINT) AS y0
+        |  FROM s1),
+        |s3 AS (SELECT *,
+        |  CASE WHEN y0 * y0 > ss THEN y0 - 1
+        |    WHEN (y0 + 1) * (y0 + 1) <= ss THEN y0 + 1
+        |    ELSE y0 END AS rad FROM s2)
+        |SELECT dow, n_events, n_purch,
+        |  n_purch * 1000000 // n_events AS rate_ppm,
+        |  (n_purch * 1000000 + 1920800 - rad) * 1000000
+        |    // (n_events * 1000000 + 3841600) AS wilson_lo_ppm,
+        |  (n_purch * 1000000 + 1920800 + rad) * 1000000
+        |    // (n_events * 1000000 + 3841600) AS wilson_hi_ppm
+        |FROM s3""".stripMargin,
+
     // the same day series, median signing, run count, exact moments
     "q353_runs_test" ->
       """WITH daily AS (

@@ -215,8 +215,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q348_dict_encoding_estimate", "q350_isotropy_audit",
     // the two-level run decomposition's windows and struct tie-breaks
     "q351_clustering_factor",
-    // the Expand-based rollup grains; the median signing + run fold
-    "q352_revenue_rollup", "q353_runs_test")
+    // the Expand-based rollup grains; the median signing + run fold;
+    // the isqrt Wilson radicals
+    "q352_revenue_rollup", "q353_runs_test", "q349_wilson_ci")
 
   // multiset compare (row -> multiplicity), not Set: a query whose
   // duplicate-row multiplicity varied with the shuffle-partition count
