@@ -130,18 +130,25 @@ object Dedup extends QueryPack {
     val h60 = graft.functions.PortableHash.h60 _
     val L = 50
     val docs = T.documents(s, d).select($"doc_id", $"text")
+    // the char-grain occurrence pass is the dominant cost and has TWO
+    // consumers (the key-frequency agg and the candidate join back) —
+    // localCheckpoint so it runs ONCE (measured 9.4 → ~5 s at sf0.1;
+    // at 100 TB this intermediate persists to disk/checkpoint instead)
     val occ = docs.filter(length($"text") >= L)
       .select($"doc_id", $"text",
         explode(sequence(lit(1L),
           (length($"text") - (L - 1)).cast("long"))).as("p"))
       .select($"doc_id", $"p",
         h60(expr(s"substring(text, CAST(p AS INT), $L)")).as("kh"))
+      .localCheckpoint()
     val dupk = occ.groupBy($"kh").agg(count(lit(1)).as("nk"))
       .filter($"nk" >= 2).select($"kh")
     val cand = occ.join(dupk, "kh").select($"doc_id", $"p")
+    // collision candidates only — small; two consumers again
     val vsub = cand.join(docs, "doc_id")
       .select($"doc_id", $"p",
         expr(s"substring(text, CAST(p AS INT), $L)").as("sub"))
+      .localCheckpoint()
     val vdup = vsub.groupBy($"sub").agg(count(lit(1)).as("ns"))
       .filter($"ns" >= 2).select($"sub")
     val vocc = vsub.join(vdup, "sub")
@@ -659,7 +666,10 @@ object Dedup extends QueryPack {
     // (spans per doc are few), never corpus-wide.
     "q340_dedup_reclaimed" -> ((s, d) => {
       import s.implicits._
-      val spans = cutSpans(s, d)
+      // spans is tiny (merged islands) but expensive to build, and
+      // BOTH the token-containment join and the per-doc rollup read
+      // it — localCheckpoint so the cut pipeline runs once
+      val spans = cutSpans(s, d).localCheckpoint()
       val wDoc = Window.partitionBy($"doc_id").orderBy($"wp")
       val woff = T.documents(s, d)
         .select($"doc_id", posexplode(split($"text", " ")))
