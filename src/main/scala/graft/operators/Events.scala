@@ -70,7 +70,8 @@ object Events extends QueryPack {
           .as("n_dropped"))
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     // ---- tumbling window (1 h) --------------------------------------
     "q23_tumbling_window" -> ((s, d) => {
       import s.implicits._
@@ -1317,26 +1318,34 @@ object Events extends QueryPack {
     // daily hash agg; everything after is 32-row-bounded.
     "q299_haar_sketch" -> ((s, d) => {
       import s.implicits._
-      val daily = T.events(s, d).filter($"event_type" === "purchase")
+      haarReport(T.events(s, d).filter($"event_type" === "purchase")
         .select(datediff(to_date($"ts"), to_date(lit("2024-01-01")))
           .cast("long").as("day"))
-        .groupBy($"day").agg(count(lit(1)).as("x"))
-      val grid = s.range(0L, 32L).select($"id".as("day"))
-        .join(daily, Seq("day"), "left")
-        .select($"day", coalesce($"x", lit(0L)).as("x"))
-      val lv = grid.select($"x", explode(array((1 to 6).map { l =>
-          if (l == 6)
-            struct(lit(6L).as("l"), lit(0L).as("i"), lit(1L).as("sgn"))
-          else
-            struct(lit(l.toLong).as("l"),
-              expr(s"day div ${1L << l}").as("i"),
-              (lit(1L) - lit(2L) *
-                expr(s"(day div ${1L << (l - 1)}) % 2")).as("sgn"))
-        }: _*)).as("p"))
-        .select($"p.l".as("l"), $"p.i".as("i"), ($"p.sgn" * $"x").as("sx"))
-      val coefs = lv.groupBy($"l", $"i")
-        .agg(sum($"sx").cast("bigint").as("c"))
-        .select($"l", $"i", $"c",
+        .groupBy($"day").agg(count(lit(1)).as("x")))
+    })) ++ queriesTail
+
+  /** q299's Haar fold from a (day, x) daily frame — factored so s54
+    * can run the identical synopsis on merged streamed partials
+    * (Streams.scala), exactly the shapeReport/sprtReport pattern. */
+  private[operators] def haarReport(daily: DataFrame): DataFrame = {
+    val s = daily.sparkSession
+    import s.implicits._
+    val grid = s.range(0L, 32L).select($"id".as("day"))
+      .join(daily, Seq("day"), "left")
+      .select($"day", coalesce($"x", lit(0L)).as("x"))
+    val lv = grid.select($"x", explode(array((1 to 6).map { l =>
+        if (l == 6)
+          struct(lit(6L).as("l"), lit(0L).as("i"), lit(1L).as("sgn"))
+        else
+          struct(lit(l.toLong).as("l"),
+            expr(s"day div ${1L << l}").as("i"),
+            (lit(1L) - lit(2L) *
+              expr(s"(day div ${1L << (l - 1)}) % 2")).as("sgn"))
+      }: _*)).as("p"))
+      .select($"p.l".as("l"), $"p.i".as("i"), ($"p.sgn" * $"x").as("sx"))
+    val coefs = lv.groupBy($"l", $"i")
+      .agg(sum($"sx").cast("bigint").as("c"))
+      .select($"l", $"i", $"c",
           expr("c * c * 1000L div (CASE WHEN l = 6 THEN 32L " +
             "ELSE shiftleft(1L, CAST(l AS INT)) END)").as("contrib_milli"))
         .cache() // harness-released (per-query clearCache)
@@ -1349,8 +1358,9 @@ object Events extends QueryPack {
         .select($"l".as("lvl"), $"i".as("pos"), $"c".as("coef"),
           $"contrib_milli",
           expr("kept_milli * 1000000L div total_milli").as("retained_ppm"))
-    }),
+  }
 
+  private def queriesTail: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- SAX symbolization + nearest-motif neighbor -------------------
     // [Lin+ DMKD'07] the symbolic time-series representation that
     // makes series COMPARABLE as strings: each event type's 30-day

@@ -2660,6 +2660,63 @@ object Streams extends QueryPack {
           expr("n_chars * h_millibits div 8000").as("min_bytes"))
     }),
 
+    // Streaming Haar-synopsis monitor — q299's ingest-side form: the
+    // wavelet's INPUT (the daily purchase-count series) is linear, so
+    // each micro-batch writes its per-day count partial (batchId-keyed,
+    // idempotent) and the post-drain sum feeds the identical Haar fold
+    // ([[Events.haarReport]]) — gated by q299's own oracle. The
+    // production reading: a time-series synopsis maintained during
+    // ingest for |days| longs of state, compressed to 8 coefficients
+    // on read.
+    "s54_stream_haar_monitor" -> ((s, d) => {
+      import s.implicits._
+      val name = s"events_sprt_${sfx(d)}" // shares s44's day fixture
+      synchronized {
+        if (!ShardServiceRegistry.exists(name)) {
+          val rows = T.events(s, d)
+            .select($"event_id", $"event_id".as("pk"),
+              to_json(struct(
+                to_date($"ts").cast("string").as("day"),
+                ($"event_type" === "purchase").cast("long").as("p")))
+                .as("json"))
+            .orderBy("event_id").toLocalIterator()
+          seedRows(name, numShards = 2, rows, times = 1)
+        }
+      }
+      val nEv = T.events(s, d).count()
+      val cap = math.max(10L, nEv / 4)
+      val root = s"/tmp/graft_shaar_${sfx(d)}" +
+        s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fsb = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fsb.delete(new org.apache.hadoop.fs.Path(root), true)
+      val eSchema = StructType(Seq(
+        StructField("day", StringType), StructField("p", LongType)))
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", cap.toString)
+        .load()
+        .select(from_json(col("data").cast("string"), eSchema).as("e"))
+        .filter(col("e.p") === 1L)
+        .select(col("e.day").as("day"))
+      graft.streaming.StreamObservability.attach(s)
+      val q = raw.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.groupBy(col("day"))
+            .agg(count(lit(1)).cast("long").as("x"))
+            .write.mode("overwrite").parquet(s"$root/b$batchId")
+          ()
+        }.start()
+      q.awaitTermination()
+      Events.haarReport(
+        s.read.schema("day STRING, x LONG").parquet(s"$root/b*")
+          .groupBy($"day").agg(sum($"x").cast("long").as("x"))
+          .select(datediff($"day".cast("date"), to_date(lit("2024-01-01")))
+            .cast("long").as("day"), $"x"))
+    }),
+
     // Streaming SPRT experiment monitor — q330's ingest-side form,
     // which is where SPRT actually LIVES (sequential testing exists
     // to stop DURING the experiment): each micro-batch writes its
@@ -3497,6 +3554,8 @@ object Streams extends QueryPack {
       TextAnalysis.oracles("q342_readability_lix"),
     // alphabet-bounded char-count partials feed the LUT entropy fold
     "s53_stream_entropy_monitor" -> TextAnalysis.oracles("q344_byte_entropy"),
+    // summed daily-count partials feed the identical Haar fold
+    "s54_stream_haar_monitor" -> Events.oracles("q299_haar_sketch"),
 
     // idempotent set-union of matched gram hashes over batches must
     // reproduce q317's one-shot overlap — gated by the SAME oracle
