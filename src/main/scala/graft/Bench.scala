@@ -40,7 +40,12 @@ object Bench {
     // a plan's first run (seconds for wide expression trees) and
     // amortizes to nothing at scale, so steady-state timings are the
     // meaningful number — run everything once untimed, then time.
-    all.foreach { case (n, fn) => run(n, fn); spark.catalog.clearCache() }
+    all.foreach { case (n, fn) =>
+      run(n, fn); spark.catalog.clearCache()
+      // checkpoint-pinned memo substrates (the dedup cut family) are
+      // invisible to clearCache — drop them too, same isolation rule
+      Tables.dropPinnedSubstrates(spark)
+    }
     // Timed pass: drop every cached relation before each query —
     // otherwise queries that persist intermediates (q36, q51, the
     // shared co-occurrence substrate) would be timed reading the
@@ -78,6 +83,7 @@ object Bench {
     // query's runs minutes apart, decorrelating heap-pressure spikes.
     def timedPass(): Seq[(String, Double)] = all.map { case (name, fn) =>
       spark.catalog.clearCache()
+      Tables.dropPinnedSubstrates(spark)
       name -> run(name, fn)
     }
     val passes = Seq(timedPass(), timedPass(), timedPass())

@@ -43,6 +43,7 @@ object Tables {
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           loaded.keySet.removeIf(_._1 == spark)
           derived.keySet.removeIf(_._1 == spark)
+          pinnedKeys.removeIf(_._1 == spark)
           registeredDir.remove(spark)
           hooked.remove(spark)
         }
@@ -63,6 +64,39 @@ object Tables {
   private val derived =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  // Memoized substrates whose results are PINNED by RDD-level
+  // checkpoints (localCheckpoint) rather than catalog-managed persist:
+  // catalog.clearCache() cannot see those blocks, so the bench's
+  // per-query isolation hygiene calls [[dropPinnedSubstrates]] to keep
+  // every per-query line charged with its full substrate cost
+  // (round-over-round comparable — the same convention clearCache
+  // already enforces on the persist-backed graph substrates). Real
+  // sessions and Verify never drop them: there the whole point is one
+  // build per (session, dataset).
+  private val pinnedKeys =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+        java.lang.Boolean]())
+
+  def memoPinned(spark: SparkSession, key: String)
+      (build: => DataFrame): DataFrame = {
+    val df = memo(spark, key)(build)
+    pinnedKeys.add((spark, key))
+    df
+  }
+
+  def dropPinnedSubstrates(spark: SparkSession): Unit = {
+    val it = pinnedKeys.iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k._1 == spark) {
+        val df = derived.remove(k)
+        if (df != null) releaseLocalCheckpoint(df)
+        it.remove()
+      }
+    }
+  }
+
   def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     evictOnStop(spark)
     // get-then-putIfAbsent, NOT computeIfAbsent: substrate builders
@@ -82,6 +116,21 @@ object Tables {
       if (prev != null) prev else built
     }
   }
+
+  /** Release the block-manager storage behind a localCheckpoint'ed
+    * DataFrame. `Dataset.localCheckpoint` persists its internal RDD at
+    * the RDD level, OUTSIDE the SQL cache manager — so the bench
+    * harness's per-query `catalog.clearCache()` hygiene never sees it
+    * and only ContextCleaner GC would reclaim it (ADVICE r17).
+    * Substrate builders call this on intermediate checkpoints as soon
+    * as the downstream result is itself pinned; a no-op on anything
+    * that isn't a checkpointed plan. */
+  def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

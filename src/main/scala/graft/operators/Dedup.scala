@@ -115,60 +115,94 @@ object Dedup extends QueryPack {
     * vote sum sets the output bit [Charikar, STOC'02]. One groupBy
     * shuffle on doc_id with `nbits` map-side-combinable sums. Returns
     * (doc_id, simhash). */
-  /** Shared substrate for q339/q340: the merged char ranges an exact
-    * duplicate-span dedup at L = 50 deletes. Occurrence = every L-char
-    * window position; candidates group on h60 (16-byte keys shuffle,
-    * never L-char strings — q285's rule); colliding groups are
-    * verified by EXACT substring equality (strings join back for
-    * candidates only); keeper = struct-min (doc_id, pos) per verified
-    * substring; non-keeper covers [p, p+L−1] merge per doc via the
+  /** Shared substrate for q339/q340/q354: the KEEPER-ATTRIBUTED cut
+    * positions an exact duplicate-span dedup at L = 50 deletes.
+    * Occurrence = every L-char window position; candidates group on
+    * h60 (16-byte keys shuffle, never L-char strings — q285's rule);
+    * colliding groups are verified by EXACT substring equality
+    * (strings join back for candidates only); keeper = struct-min
+    * (doc_id, pos) per verified substring. Returns one row per cut
+    * position: (doc_id, p, keeper_doc) — each position has exactly one
+    * L-char substring, hence exactly one keeper.
+    *
+    * Memoized per (session, dataset) via [[T.memo]] (the q138/q159
+    * graph-substrate lifecycle — VERDICT r17 #1): three queries consume
+    * this, and the |chars|-row occurrence pass builds ONCE per session.
+    * The result is pinned by an eager localCheckpoint (cut positions
+    * only — the duplicate-region fraction of the corpus), and the two
+    * char-grain intermediate checkpoints are explicitly RELEASED once
+    * it is (ADVICE r17: RDD-level checkpoint storage is invisible to
+    * `catalog.clearCache()`, so without the release only ContextCleaner
+    * GC would reclaim them). At 100 TB the pinned intermediates become
+    * reliable disk checkpoints; the build stays one hash agg + one
+    * equi-join back — all-pairs never appears. */
+  private def cutOccurrences(s: SparkSession, d: String): DataFrame =
+    T.memoPinned(s, s"dedup:cutocc:$d") {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val h60 = graft.functions.PortableHash.h60 _
+      val L = 50
+      val docs = T.documents(s, d).select($"doc_id", $"text")
+      // the char-grain occurrence pass is the dominant cost and has TWO
+      // consumers (the key-frequency agg and the candidate join back) —
+      // localCheckpoint so it runs ONCE (measured 9.4 → ~5 s at sf0.1)
+      val occ = docs.filter(length($"text") >= L)
+        .select($"doc_id", $"text",
+          explode(sequence(lit(1L),
+            (length($"text") - (L - 1)).cast("long"))).as("p"))
+        .select($"doc_id", $"p",
+          h60(expr(s"substring(text, CAST(p AS INT), $L)")).as("kh"))
+        .localCheckpoint()
+      val dupk = occ.groupBy($"kh").agg(count(lit(1)).as("nk"))
+        .filter($"nk" >= 2).select($"kh")
+      val cand = occ.join(dupk, "kh").select($"doc_id", $"p")
+      // collision candidates only — small; two consumers again
+      val vsub = cand.join(docs, "doc_id")
+        .select($"doc_id", $"p",
+          expr(s"substring(text, CAST(p AS INT), $L)").as("sub"))
+        .localCheckpoint()
+      val vdup = vsub.groupBy($"sub").agg(count(lit(1)).as("ns"))
+        .filter($"ns" >= 2).select($"sub")
+      val vocc = vsub.join(vdup, "sub")
+      val keep = vocc.groupBy($"sub")
+        .agg(min(struct($"doc_id", $"p")).as("kk"))
+      val out = vocc.join(keep, "sub")
+        .filter(!($"doc_id" === $"kk.doc_id" && $"p" === $"kk.p"))
+        .select($"doc_id", $"p", $"kk.doc_id".as("keeper_doc"))
+        .localCheckpoint()
+      T.releaseLocalCheckpoint(occ)
+      T.releaseLocalCheckpoint(vsub)
+      out
+    }
+
+  /** The merged per-doc cut RANGES over [[cutOccurrences]]: non-keeper
+    * positions cover [p, p+L−1]; islands merge per doc via the
     * gaps-and-islands cummax (q147's kernel at char grain). Returns
-    * (doc_id, start_char, end_char), 1-based inclusive. */
-  private def cutSpans(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    graft.GraftExtensions.ensureRegistered(s)
-    val h60 = graft.functions.PortableHash.h60 _
-    val L = 50
-    val docs = T.documents(s, d).select($"doc_id", $"text")
-    // the char-grain occurrence pass is the dominant cost and has TWO
-    // consumers (the key-frequency agg and the candidate join back) —
-    // localCheckpoint so it runs ONCE (measured 9.4 → ~5 s at sf0.1;
-    // at 100 TB this intermediate persists to disk/checkpoint instead)
-    val occ = docs.filter(length($"text") >= L)
-      .select($"doc_id", $"text",
-        explode(sequence(lit(1L),
-          (length($"text") - (L - 1)).cast("long"))).as("p"))
-      .select($"doc_id", $"p",
-        h60(expr(s"substring(text, CAST(p AS INT), $L)")).as("kh"))
-      .localCheckpoint()
-    val dupk = occ.groupBy($"kh").agg(count(lit(1)).as("nk"))
-      .filter($"nk" >= 2).select($"kh")
-    val cand = occ.join(dupk, "kh").select($"doc_id", $"p")
-    // collision candidates only — small; two consumers again
-    val vsub = cand.join(docs, "doc_id")
-      .select($"doc_id", $"p",
-        expr(s"substring(text, CAST(p AS INT), $L)").as("sub"))
-      .localCheckpoint()
-    val vdup = vsub.groupBy($"sub").agg(count(lit(1)).as("ns"))
-      .filter($"ns" >= 2).select($"sub")
-    val vocc = vsub.join(vdup, "sub")
-    val keep = vocc.groupBy($"sub")
-      .agg(min(struct($"doc_id", $"p")).as("kk"))
-    val cut = vocc.join(keep, "sub")
-      .filter(!($"doc_id" === $"kk.doc_id" && $"p" === $"kk.p"))
-      .select($"doc_id", $"p").distinct()
-    val wOrd = Window.partitionBy($"doc_id").orderBy($"p")
-    cut
-      .withColumn("prev_end", max($"p" + (L - 1))
-        .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("newi",
-        when($"prev_end".isNull || $"p" > $"prev_end" + 1, 1L).otherwise(0L))
-      .withColumn("isl", sum($"newi").over(wOrd))
-      .groupBy($"doc_id", $"isl")
-      .agg(min($"p").cast("bigint").as("start_char"),
-        (max($"p") + (L - 1)).cast("bigint").as("end_char"))
-      .select($"doc_id", $"start_char", $"end_char")
-  }
+    * (doc_id, start_char, end_char), 1-based inclusive. Memoized (and
+    * registered pinned so the bench's substrate drop removes this plan
+    * together with the checkpointed RDD it references), but NOT
+    * re-checkpointed: the lineage stops at the pinned cut-occurrence
+    * RDD, so each consumer recomputes only a doc-partitioned window
+    * over those ~|cut| rows — cheaper than another eager
+    * materialization barrier. */
+  private def cutSpans(s: SparkSession, d: String): DataFrame =
+    T.memoPinned(s, s"dedup:cutspans:$d") {
+      import s.implicits._
+      val L = 50
+      val cut = cutOccurrences(s, d).select($"doc_id", $"p").distinct()
+      val wOrd = Window.partitionBy($"doc_id").orderBy($"p")
+      cut
+        .withColumn("prev_end", max($"p" + (L - 1))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("newi",
+          when($"prev_end".isNull || $"p" > $"prev_end" + 1, 1L)
+            .otherwise(0L))
+        .withColumn("isl", sum($"newi").over(wOrd))
+        .groupBy($"doc_id", $"isl")
+        .agg(min($"p").cast("bigint").as("start_char"),
+          (max($"p") + (L - 1)).cast("bigint").as("end_char"))
+        .select($"doc_id", $"start_char", $"end_char")
+    }
 
   private def simhashDocs(s: SparkSession, d: String, nbits: Int): DataFrame = {
     import s.implicits._
@@ -666,10 +700,11 @@ object Dedup extends QueryPack {
     // (spans per doc are few), never corpus-wide.
     "q340_dedup_reclaimed" -> ((s, d) => {
       import s.implicits._
-      // spans is tiny (merged islands) but expensive to build, and
-      // BOTH the token-containment join and the per-doc rollup read
-      // it — localCheckpoint so the cut pipeline runs once
-      val spans = cutSpans(s, d).localCheckpoint()
+      // spans is a cheap window over the PINNED cut-occurrence RDD —
+      // both the token-containment join and the per-doc rollup
+      // recompute it from those materialized blocks, never from the
+      // corpus
+      val spans = cutSpans(s, d)
       val wDoc = Window.partitionBy($"doc_id").orderBy($"wp")
       val woff = T.documents(s, d)
         .select($"doc_id", posexplode(split($"text", " ")))
@@ -701,6 +736,39 @@ object Dedup extends QueryPack {
           $"reclaimed_chars", $"reclaimed_tokens", $"total_chars",
           expr("reclaimed_chars * 1000000 div total_chars")
             .as("reclaimed_ppm"))
+    }),
+
+    // ---- cross-source duplication attribution (who duplicates whom) --
+    // The span-grain production question q143's doc-grain co-dup
+    // matrix only approximates (VERDICT r17 #4): for every position
+    // q339's cut deletes, WHICH source's keeper does it duplicate?
+    // Each cut position carries exactly one keeper (its L-char
+    // substring's struct-min first occurrence — self-duplication lands
+    // on the diagonal), so the attribution is one doc-keyed join of
+    // the memoized substrate to the (doc_id, source) map per side,
+    // then a group to the ≤|sources|² matrix: positions cut, distinct
+    // cut docs, distinct keeper docs, distinct (keeper, cut) doc pairs,
+    // and each cell's ppm share of all cut positions. Scale: the
+    // substrate is the cost (built once per session); this query adds
+    // two broadcastable doc→source joins and one bounded agg.
+    "q354_dedup_attribution" -> ((s, d) => {
+      import s.implicits._
+      val srcs = T.documents(s, d).select($"doc_id", $"source")
+      val cells = cutOccurrences(s, d)
+        .join(srcs, "doc_id")
+        .withColumnRenamed("source", "cut_source")
+        .join(srcs.toDF("keeper_doc", "keeper_source"), "keeper_doc")
+        .groupBy($"keeper_source", $"cut_source")
+        .agg(count(lit(1)).cast("bigint").as("n_positions"),
+          countDistinct($"doc_id").cast("bigint").as("n_cut_docs"),
+          countDistinct($"keeper_doc").cast("bigint").as("n_keeper_docs"),
+          countDistinct($"keeper_doc", $"doc_id").cast("bigint")
+            .as("n_doc_pairs"))
+      val tot = cells.agg(sum($"n_positions").cast("bigint").as("t_pos"))
+      cells.crossJoin(broadcast(tot))
+        .select($"keeper_source", $"cut_source", $"n_positions",
+          $"n_cut_docs", $"n_keeper_docs", $"n_doc_pairs",
+          expr("n_positions * 1000000L div t_pos").as("share_ppm"))
     }),
 
     // ---- SimHash bucketing ------------------------------------------
@@ -1111,8 +1179,10 @@ object Dedup extends QueryPack {
       |vocc AS (SELECT v.doc_id, v.p, v.sub FROM vsub v JOIN vdup USING (sub)),
       |keep AS (SELECT sub, min({'doc_id': doc_id, 'p': p}) AS kk
       |  FROM vocc GROUP BY sub),
-      |cut AS (SELECT DISTINCT v.doc_id, v.p FROM vocc v JOIN keep USING (sub)
+      |cuto AS (SELECT v.doc_id, v.p, kk.doc_id AS keeper_doc
+      |  FROM vocc v JOIN keep USING (sub)
       |  WHERE NOT (v.doc_id = kk.doc_id AND v.p = kk.p)),
+      |cut AS (SELECT DISTINCT doc_id, p FROM cuto),
       |isl AS (
       |  SELECT doc_id, p,
       |    CAST(sum(CASE WHEN prev_end IS NULL OR p > prev_end + 1
@@ -1394,6 +1464,21 @@ object Dedup extends QueryPack {
         |LEFT JOIN perdoc p USING (doc_id)
         |LEFT JOIN ctok c ON c.doc_id = d.doc_id
         |GROUP BY 1""".stripMargin,
+
+    "q354_dedup_attribution" ->
+      s"""WITH $duckCutSpans
+        |SELECT ks.source AS keeper_source, cs.source AS cut_source,
+        |  CAST(count(*) AS BIGINT) AS n_positions,
+        |  CAST(count(DISTINCT c.doc_id) AS BIGINT) AS n_cut_docs,
+        |  CAST(count(DISTINCT c.keeper_doc) AS BIGINT) AS n_keeper_docs,
+        |  CAST(count(DISTINCT {'k': c.keeper_doc, 'c': c.doc_id})
+        |    AS BIGINT) AS n_doc_pairs,
+        |  CAST(CAST(count(*) AS BIGINT) * 1000000
+        |    // (SELECT count(*) FROM cuto) AS BIGINT) AS share_ppm
+        |FROM cuto c
+        |JOIN documents cs ON cs.doc_id = c.doc_id
+        |JOIN documents ks ON ks.doc_id = c.keeper_doc
+        |GROUP BY 1, 2""".stripMargin,
 
     "q35_exact_dedup" ->
       """SELECT user_id, event_type, value, props, count(*) AS n,

@@ -1122,31 +1122,22 @@ object Events extends QueryPack {
     // rad = isqrt(z2·(k(n−k)·1e6 div n + z2 div 4)) via the
     // ±1-corrected exact isqrt (q321), bounds floor through
     // non-negative numerators (Wilson's lower bound is ≥ 0 by
-    // construction). One day-grain agg; 7 rows after. Int64 headroom
-    // to ~9e10 events per cell; past that the products route through
-    // the q209 DECIMAL(38,0) template.
+    // construction). One day-grain agg; 7 rows after. The Wilson
+    // products ride the q209 DECIMAL(38,0)/HUGEINT template (ADVICE
+    // r17: the bare-int64 form wrapped at ~6e6 events per cell via
+    // the k(n−k)·1e6 term): headroom is now bounded by the isqrt's
+    // ±1 correction staying inside DOUBLE ulp — rad ≈ 1960·√n stays
+    // exact past n ≈ 1e12 events per dow cell, comfortably above a
+    // 100 TB event log's ~1e11 per cell.
     "q349_wilson_ci" -> ((s, d) => {
       import s.implicits._
-      T.events(s, d)
+      wilsonReport(T.events(s, d)
         .select(expr("((unix_micros(CAST(ts AS TIMESTAMP)) div " +
           "86400000000) + 4) % 7").as("dow"),
           ($"event_type" === "purchase").cast("long").as("p"))
         .groupBy($"dow")
         .agg(count(lit(1)).cast("bigint").as("n_events"),
-          sum($"p").cast("bigint").as("n_purch"))
-        .withColumn("ss", expr(
-          "3841600 * (n_purch * (n_events - n_purch) * 1000000 " +
-            "div n_events + 960400)"))
-        .withColumn("y0", expr("CAST(sqrt(CAST(ss AS DOUBLE)) AS BIGINT)"))
-        .withColumn("rad", expr(
-          "CASE WHEN y0 * y0 > ss THEN y0 - 1 " +
-            "WHEN (y0 + 1) * (y0 + 1) <= ss THEN y0 + 1 ELSE y0 END"))
-        .select($"dow", $"n_events", $"n_purch",
-          expr("n_purch * 1000000 div n_events").as("rate_ppm"),
-          expr("(n_purch * 1000000 + 1920800 - rad) * 1000000 " +
-            "div (n_events * 1000000 + 3841600)").as("wilson_lo_ppm"),
-          expr("(n_purch * 1000000 + 1920800 + rad) * 1000000 " +
-            "div (n_events * 1000000 + 3841600)").as("wilson_hi_ppm"))
+          sum($"p").cast("bigint").as("n_purch")))
     }),
 
     // ---- Wald–Wolfowitz runs test (sequence randomness) --------------
@@ -1180,34 +1171,9 @@ object Events extends QueryPack {
         .agg((min(when($"rn" === expr("(n + 1) div 2"), $"x")) +
           min(when($"rn" === expr("(n + 2) div 2"), $"x")))
           .cast("bigint").as("med2"))
-      val signed = daily.crossJoin(broadcast(med))
+      runsReport(daily.crossJoin(broadcast(med))
         .filter($"x" * 2 =!= $"med2")
-        .select($"day", when($"x" * 2 > $"med2", 1L).otherwise(-1L).as("sg"))
-      signed
-        .withColumn("prev", lag($"sg", 1).over(Window.orderBy($"day")))
-        .agg(count(lit(1)).cast("bigint").as("n_days"),
-          sum(($"sg" === 1L).cast("long")).cast("bigint").as("n_above"),
-          sum(($"sg" === -1L).cast("long")).cast("bigint").as("n_below"),
-          (sum(($"prev".isNotNull && $"sg" =!= $"prev").cast("long")) + 1L)
-            .cast("bigint").as("r_runs"))
-        .select($"n_days", $"n_above", $"n_below", $"r_runs",
-          expr("1000 + (2000 * n_above * n_below) div (n_above + n_below)")
-            .as("er_milli"),
-          expr("(2 * n_above * n_below * " +
-            "(2 * n_above * n_below - (n_above + n_below)) * 1000000) " +
-            "div ((n_above + n_below) * (n_above + n_below) * " +
-            "(n_above + n_below - 1))").as("var_micro"))
-        .withColumn("y0",
-          expr("CAST(sqrt(CAST(var_micro AS DOUBLE)) AS BIGINT)"))
-        .withColumn("sigma_milli", expr(
-          "CASE WHEN y0 * y0 > var_micro THEN y0 - 1 " +
-            "WHEN (y0 + 1) * (y0 + 1) <= var_micro THEN y0 + 1 " +
-            "ELSE y0 END"))
-        .select($"n_days", $"n_above", $"n_below", $"r_runs",
-          $"er_milli", $"var_micro",
-          expr("CASE WHEN var_micro = 0 THEN 0L ELSE " +
-            "((r_runs * 1000 - er_milli + 100 * sigma_milli) * 1000) " +
-            "div sigma_milli - 100000 END").as("z_milli"))
+        .select($"day", when($"x" * 2 > $"med2", 1L).otherwise(-1L).as("sg")))
     }),
 
     // ---- conversion-lag percentiles (time-to-convert) ----------------
@@ -1327,6 +1293,70 @@ object Events extends QueryPack {
   /** q299's Haar fold from a (day, x) daily frame — factored so s54
     * can run the identical synopsis on merged streamed partials
     * (Streams.scala), exactly the shapeReport/sprtReport pattern. */
+  /** q349's Wilson report from per-cell (dow, n_events, n_purch)
+    * counts — factored so the batch query and the s55 streaming
+    * monitor render the SAME expressions (the haarReport rule: if the
+    * batch twin's scoring changes, the monitor moves with it instead
+    * of silently drifting until the oracle gate fails). Products ride
+    * the q209 DECIMAL(38,0) template; see q349's scaladoc for the
+    * headroom argument. */
+  private[operators] def wilsonReport(cells: DataFrame): DataFrame = {
+    val s = cells.sparkSession
+    import s.implicits._
+    cells
+      .withColumn("ss", expr(
+        "CAST(3841600 AS DECIMAL(38,0)) * " +
+          "(CAST(n_purch AS DECIMAL(38,0)) * (n_events - n_purch) " +
+          "* 1000000 div n_events + 960400)"))
+      .withColumn("y0", expr("CAST(sqrt(CAST(ss AS DOUBLE)) AS BIGINT)"))
+      .withColumn("rad", expr(
+        "CASE WHEN CAST(y0 AS DECIMAL(38,0)) * y0 > ss THEN y0 - 1 " +
+          "WHEN CAST(y0 + 1 AS DECIMAL(38,0)) * (y0 + 1) <= ss " +
+          "THEN y0 + 1 ELSE y0 END"))
+      .select($"dow", $"n_events", $"n_purch",
+        expr("CAST(n_purch AS DECIMAL(38,0)) * 1000000 div n_events")
+          .as("rate_ppm"),
+        expr("(CAST(n_purch AS DECIMAL(38,0)) * 1000000 + 1920800 - rad)" +
+          " * 1000000 div (CAST(n_events AS DECIMAL(38,0)) * 1000000 " +
+          "+ 3841600)").as("wilson_lo_ppm"),
+        expr("(CAST(n_purch AS DECIMAL(38,0)) * 1000000 + 1920800 + rad)" +
+          " * 1000000 div (CAST(n_events AS DECIMAL(38,0)) * 1000000 " +
+          "+ 3841600)").as("wilson_hi_ppm"))
+  }
+
+  /** q353's runs-test report from the signed (day, sg) series' global
+    * fold — factored for the s56 streaming monitor (same rule as
+    * [[wilsonReport]]). Input: one row per kept day, sg ∈ {−1, +1}. */
+  private[operators] def runsReport(signed: DataFrame): DataFrame = {
+    val s = signed.sparkSession
+    import s.implicits._
+    signed
+      .withColumn("prev", lag($"sg", 1).over(Window.orderBy($"day")))
+      .agg(count(lit(1)).cast("bigint").as("n_days"),
+        sum(($"sg" === 1L).cast("long")).cast("bigint").as("n_above"),
+        sum(($"sg" === -1L).cast("long")).cast("bigint").as("n_below"),
+        (sum(($"prev".isNotNull && $"sg" =!= $"prev").cast("long")) + 1L)
+          .cast("bigint").as("r_runs"))
+      .select($"n_days", $"n_above", $"n_below", $"r_runs",
+        expr("1000 + (2000 * n_above * n_below) div (n_above + n_below)")
+          .as("er_milli"),
+        expr("(2 * n_above * n_below * " +
+          "(2 * n_above * n_below - (n_above + n_below)) * 1000000) " +
+          "div ((n_above + n_below) * (n_above + n_below) * " +
+          "(n_above + n_below - 1))").as("var_micro"))
+      .withColumn("y0",
+        expr("CAST(sqrt(CAST(var_micro AS DOUBLE)) AS BIGINT)"))
+      .withColumn("sigma_milli", expr(
+        "CASE WHEN y0 * y0 > var_micro THEN y0 - 1 " +
+          "WHEN (y0 + 1) * (y0 + 1) <= var_micro THEN y0 + 1 " +
+          "ELSE y0 END"))
+      .select($"n_days", $"n_above", $"n_below", $"r_runs",
+        $"er_milli", $"var_micro",
+        expr("CASE WHEN var_micro = 0 THEN 0L ELSE " +
+          "((r_runs * 1000 - er_milli + 100 * sigma_milli) * 1000) " +
+          "div sigma_milli - 100000 END").as("z_milli"))
+  }
+
   private[operators] def haarReport(daily: DataFrame): DataFrame = {
     val s = daily.sparkSession
     import s.implicits._
@@ -2018,20 +2048,24 @@ object Events extends QueryPack {
         |      AS BIGINT) AS n_purch
         |  FROM events GROUP BY 1),
         |s1 AS (SELECT *,
-        |  3841600 * (n_purch * (n_events - n_purch) * 1000000
+        |  CAST(3841600 AS HUGEINT) * (CAST(n_purch AS HUGEINT)
+        |    * (n_events - n_purch) * 1000000
         |    // n_events + 960400) AS ss FROM g),
         |s2 AS (SELECT *, CAST(sqrt(CAST(ss AS DOUBLE)) AS BIGINT) AS y0
         |  FROM s1),
         |s3 AS (SELECT *,
-        |  CASE WHEN y0 * y0 > ss THEN y0 - 1
-        |    WHEN (y0 + 1) * (y0 + 1) <= ss THEN y0 + 1
+        |  CASE WHEN CAST(y0 AS HUGEINT) * y0 > ss THEN y0 - 1
+        |    WHEN CAST(y0 + 1 AS HUGEINT) * (y0 + 1) <= ss THEN y0 + 1
         |    ELSE y0 END AS rad FROM s2)
         |SELECT dow, n_events, n_purch,
-        |  n_purch * 1000000 // n_events AS rate_ppm,
-        |  (n_purch * 1000000 + 1920800 - rad) * 1000000
-        |    // (n_events * 1000000 + 3841600) AS wilson_lo_ppm,
-        |  (n_purch * 1000000 + 1920800 + rad) * 1000000
-        |    // (n_events * 1000000 + 3841600) AS wilson_hi_ppm
+        |  CAST(CAST(n_purch AS HUGEINT) * 1000000 // n_events AS BIGINT)
+        |    AS rate_ppm,
+        |  CAST((CAST(n_purch AS HUGEINT) * 1000000 + 1920800 - rad)
+        |    * 1000000 // (CAST(n_events AS HUGEINT) * 1000000 + 3841600)
+        |    AS BIGINT) AS wilson_lo_ppm,
+        |  CAST((CAST(n_purch AS HUGEINT) * 1000000 + 1920800 + rad)
+        |    * 1000000 // (CAST(n_events AS HUGEINT) * 1000000 + 3841600)
+        |    AS BIGINT) AS wilson_hi_ppm
         |FROM s3""".stripMargin,
 
     // the same day series, median signing, run count, exact moments

@@ -392,6 +392,12 @@ object Multimodal extends QueryPack {
           val h60 = java.lang.Long.parseLong(bodyHex.substring(0, 15), 16)
           val w = (h60 % 509L + 1L).toInt
           val h = (body.length / w + 1).toInt
+          // BITMAPCOREHEADER height is a le16 field: a body longer
+          // than 0xFFFF*w would silently truncate mod 65536 in the
+          // header and diverge from the oracle's len//w + 1 (ADVICE
+          // r17) — fail loudly instead of parsing a wrong height
+          require(h <= 0xFFFF, s"doc $id: fixture height $h exceeds " +
+            s"the 16-bit BITMAPCOREHEADER field (len=${body.length}, w=$w)")
           val payload = bmpCoreHeader(w, h, body.length) ++ body
           // decode path: ONLY parsed values from here on
           val (pw, ph, off) = parseBmpCore(payload)

@@ -18,6 +18,28 @@ object Sketches extends QueryPack {
   private def h60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.functions.PortableHash.h60(c)
 
+  /** q311's acceptance report over per-size (mb, n_probe, n_neg, n_fp)
+    * counts — factored so the batch query and the s47 streaming
+    * monitor render the SAME fpr/chosen expressions (the
+    * Events.haarReport rule, ADVICE r17). The counts are linear, so
+    * the monitor feeds this the summed per-batch partials. The 1-row
+    * chosen scalar crosses onto the 3-row size table (q311's PlanSpec
+    * BNLJ cap). */
+  private[operators] def bloomSizeReport(counts: DataFrame): DataFrame = {
+    val s = counts.sparkSession
+    import s.implicits._
+    val scored = counts.select($"mb", $"n_probe", $"n_neg", $"n_fp",
+      expr("n_fp * 1000000L div n_neg").as("fpr_ppm"))
+    val chosen = scored.filter($"fpr_ppm" <= 100000L)
+      .agg(coalesce(min($"mb"), lit(0L)).as("cm"))
+    scored.crossJoin(broadcast(chosen))
+      .select($"mb".as("m_bits"), $"n_probe", $"n_neg", $"n_fp",
+        $"fpr_ppm",
+        when($"fpr_ppm" <= 100000L, 1L).otherwise(0L).as("meets_target"),
+        when($"mb" === $"cm", 1L).otherwise(0L).as("chosen"),
+        when($"mb" === 1024L, 1L).otherwise(0L).as("shipped_in_s35"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- KMV distinct sketch per group ------------------------------
     "q43_kmv_distinct" -> ((s, d) => {
@@ -153,22 +175,12 @@ object Sketches extends QueryPack {
         .join(ix.select($"fp").distinct().withColumn("dup", lit(1L)),
           Seq("fp"), "left")
         .select($"doc_id", coalesce($"dup", lit(0L)).as("is_dup"))
-      val scored = maybe.join(truth, Seq("doc_id"))
+      bloomSizeReport(maybe.join(truth, Seq("doc_id"))
         .groupBy($"mb")
         .agg(count(lit(1)).as("n_probe"),
           sum(($"is_dup" === 0L).cast("long")).cast("bigint").as("n_neg"),
           sum(($"bm" && $"is_dup" === 0L).cast("long")).cast("bigint")
-            .as("n_fp"))
-        .select($"mb", $"n_probe", $"n_neg", $"n_fp",
-          expr("n_fp * 1000000L div n_neg").as("fpr_ppm"))
-      val chosen = scored.filter($"fpr_ppm" <= 100000L)
-        .agg(coalesce(min($"mb"), lit(0L)).as("cm"))
-      scored.crossJoin(broadcast(chosen))
-        .select($"mb".as("m_bits"), $"n_probe", $"n_neg", $"n_fp",
-          $"fpr_ppm",
-          when($"fpr_ppm" <= 100000L, 1L).otherwise(0L).as("meets_target"),
-          when($"mb" === $"cm", 1L).otherwise(0L).as("chosen"),
-          when($"mb" === 1024L, 1L).otherwise(0L).as("shipped_in_s35"))
+            .as("n_fp")))
     }),
 
     // ---- explicit Bloom filter build + probe ------------------------

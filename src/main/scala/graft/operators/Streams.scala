@@ -2184,23 +2184,15 @@ object Streams extends QueryPack {
           ()
         }.start()
       q.awaitTermination()
-      val scored = s.read
+      // q311's OWN fpr/chosen report (ADVICE r17: factored, not
+      // re-inlined) over the summed per-batch count partials
+      Sketches.bloomSizeReport(s.read
         .schema("mb LONG, n_probe LONG, n_neg LONG, n_fp LONG")
         .parquet(s"$root/b*")
         .groupBy($"mb")
         .agg(sum($"n_probe").cast("bigint").as("n_probe"),
           sum($"n_neg").cast("bigint").as("n_neg"),
-          sum($"n_fp").cast("bigint").as("n_fp"))
-        .select($"mb", $"n_probe", $"n_neg", $"n_fp",
-          expr("n_fp * 1000000L div n_neg").as("fpr_ppm"))
-      val chosen = scored.filter($"fpr_ppm" <= 100000L)
-        .agg(coalesce(min($"mb"), lit(0L)).as("cm"))
-      scored.crossJoin(broadcast(chosen))
-        .select($"mb".as("m_bits"), $"n_probe", $"n_neg", $"n_fp",
-          $"fpr_ppm",
-          when($"fpr_ppm" <= 100000L, 1L).otherwise(0L).as("meets_target"),
-          when($"mb" === $"cm", 1L).otherwise(0L).as("chosen"),
-          when($"mb" === 1024L, 1L).otherwise(0L).as("shipped_in_s35"))
+          sum($"n_fp").cast("bigint").as("n_fp")))
     }),
 
     // Streaming data-profile monitor — q113's ingest-side form and
@@ -2564,33 +2556,23 @@ object Streams extends QueryPack {
       val q = raw.writeStream.outputMode("append")
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          batch.select(col("source"),
-            size(split(col("text"), " ")).cast("long").as("nw"),
-            greatest(lit(1L), (length(col("text")) -
-              length(translate(col("text"), ".!?", ""))).cast("long"))
-              .as("ns"),
-            expr("CAST(size(filter(split(text, ' '), " +
-              "w -> length(w) > 6)) AS BIGINT)").as("nl"))
-            .groupBy(col("source"))
-            .agg(count(lit(1)).cast("long").as("nd"),
-              sum(col("nw")).cast("long").as("nw"),
-              sum(col("ns")).cast("long").as("ns"),
-              sum(col("nl")).cast("long").as("nl"))
+          // the batch twin's OWN count expressions (ADVICE r17:
+          // factored, not re-inlined — if q342's scoring changes, the
+          // monitor moves with it)
+          TextAnalysis.lixCounts(batch)
             .write.mode("overwrite").parquet(s"$root/b$batchId")
           ()
         }.start()
       q.awaitTermination()
-      s.read.schema("source STRING, nd LONG, nw LONG, ns LONG, nl LONG")
-        .parquet(s"$root/b*")
-        .groupBy($"source")
-        .agg(sum($"nd").cast("bigint").as("n_docs"),
-          sum($"nw").cast("bigint").as("n_words"),
-          sum($"ns").cast("bigint").as("n_sents"),
-          sum($"nl").cast("bigint").as("n_long"))
-        .select($"source", $"n_docs", $"n_words", $"n_sents", $"n_long",
-          expr("n_words * 1000 div n_sents + n_long * 100000 div n_words")
-            .as("lix_milli"),
-          expr("n_long * 1000 div n_sents").as("rix_milli"))
+      TextAnalysis.lixReport(
+        s.read.schema("source STRING, n_docs LONG, n_words LONG, " +
+            "n_sents LONG, n_long LONG")
+          .parquet(s"$root/b*")
+          .groupBy($"source")
+          .agg(sum($"n_docs").cast("bigint").as("n_docs"),
+            sum($"n_words").cast("bigint").as("n_words"),
+            sum($"n_sents").cast("bigint").as("n_sents"),
+            sum($"n_long").cast("bigint").as("n_long")))
     }),
 
     // Streaming byte-entropy monitor — q344's ingest-side form: the
@@ -2631,33 +2613,17 @@ object Streams extends QueryPack {
       val q = raw.writeStream.outputMode("append")
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          batch
-            .select(col("source"),
-              explode(sequence(lit(1), length(col("text")))).as("p"),
-              col("text"))
-            .select(col("source"), expr("substring(text, p, 1)").as("ch"))
-            .groupBy(col("source"), col("ch"))
-            .agg(count(lit(1)).cast("long").as("nc"))
+          // q344's OWN histogram expressions (the lixCounts rule)
+          TextAnalysis.charHist(batch)
             .write.mode("overwrite").parquet(s"$root/b$batchId")
           ()
         }.start()
       q.awaitTermination()
-      def mb(x: String) = Pipeline.mbLog2Spark(x)
-      val hist = s.read.schema("source STRING, ch STRING, nc LONG")
-        .parquet(s"$root/b*")
-        .groupBy($"source", $"ch")
-        .agg(sum($"nc").cast("bigint").as("nc"))
-      val tot = hist.groupBy($"source")
-        .agg(sum($"nc").cast("bigint").as("nn"), count(lit(1)).as("n_sym"))
-      hist.join(tot, "source")
-        .groupBy($"source")
-        .agg(max($"nn").as("n_chars"), max($"n_sym").as("n_symbols"),
-          sum(expr(s"nc * (${mb("nn")} - ${mb("nc")})")).cast("bigint")
-            .as("hsum"))
-        .select($"source", $"n_chars", $"n_symbols",
-          expr("hsum div n_chars").as("h_millibits"))
-        .select($"source", $"n_chars", $"n_symbols", $"h_millibits",
-          expr("n_chars * h_millibits div 8000").as("min_bytes"))
+      TextAnalysis.entropyReport(
+        s.read.schema("source STRING, ch STRING, nc LONG")
+          .parquet(s"$root/b*")
+          .groupBy($"source", $"ch")
+          .agg(sum($"nc").cast("long").as("nc")))
     }),
 
     // Streaming Haar-synopsis monitor — q299's ingest-side form: the

@@ -19,6 +19,75 @@ import graft.{QueryPack, Tables => T}
   */
 object TextAnalysis extends QueryPack {
 
+  /** q342's per-doc LIX counts from a (source, text) frame — factored
+    * so the batch query and the s52 streaming monitor render the SAME
+    * expressions (the Events.haarReport rule, ADVICE r17: an inlined
+    * twin silently drifts until the oracle gate fails at verify time).
+    * Sentences = terminator count (. ! ?) clamped ≥ 1 per doc; long
+    * word = > 6 chars (the LIX convention). */
+  private[operators] def lixCounts(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select($"source",
+      size(split($"text", " ")).cast("long").as("nw"),
+      greatest(lit(1L),
+        (length($"text") - length(translate($"text", ".!?", "")))
+          .cast("long")).as("ns"),
+      expr("CAST(size(filter(split(text, ' '), w -> length(w) > 6)) " +
+        "AS BIGINT)").as("nl"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"nw").cast("bigint").as("n_words"),
+        sum($"ns").cast("bigint").as("n_sents"),
+        sum($"nl").cast("bigint").as("n_long"))
+  }
+
+  /** q342's LIX/RIX report over pooled (source, n_docs, n_words,
+    * n_sents, n_long) counts — the counts are linear, so the s52
+    * monitor feeds this the summed per-batch partials. */
+  private[operators] def lixReport(counts: DataFrame): DataFrame = {
+    val s = counts.sparkSession
+    import s.implicits._
+    counts.select($"source", $"n_docs", $"n_words", $"n_sents", $"n_long",
+      expr("n_words * 1000 div n_sents + n_long * 100000 div n_words")
+        .as("lix_milli"),
+      expr("n_long * 1000 div n_sents").as("rix_milli"))
+  }
+
+  /** q344's per-(source, char) histogram from a (source, text) frame —
+    * factored for the s53 streaming monitor (same rule as
+    * [[lixCounts]]). */
+  private[operators] def charHist(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select($"source",
+        explode(sequence(lit(1), length($"text"))).as("p"), $"text")
+      .select($"source", expr("substring(text, p, 1)").as("ch"))
+      .groupBy($"source", $"ch").agg(count(lit(1)).cast("long").as("nc"))
+  }
+
+  /** q344's millibit-LUT entropy fold over a (source, ch, nc)
+    * histogram — the histogram is linear and alphabet-bounded, so the
+    * s53 monitor feeds this the summed per-batch partials. */
+  private[operators] def entropyReport(hist: DataFrame): DataFrame = {
+    val s = hist.sparkSession
+    import s.implicits._
+    def mb(x: String) = Pipeline.mbLog2Spark(x)
+    val tot = hist.groupBy($"source")
+      .agg(sum($"nc").cast("bigint").as("nn"),
+        count(lit(1)).as("n_sym"))
+    hist.join(tot, "source")
+      .groupBy($"source")
+      .agg(max($"nn").as("n_chars"), max($"n_sym").as("n_symbols"),
+        sum(expr(s"nc * (${mb("nn")} - ${mb("nc")})")).cast("bigint")
+          .as("hsum"))
+      .select($"source", $"n_chars", $"n_symbols",
+        expr("hsum div n_chars").as("h_millibits"))
+      .select($"source", $"n_chars", $"n_symbols", $"h_millibits",
+        expr("n_chars * h_millibits div 8000").as("min_bytes"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = baseQueries ++ extraQueries
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -36,23 +105,7 @@ object TextAnalysis extends QueryPack {
     // |sources|-row report; every count is map-side combinable, so
     // the 100 TB shape is one pass.
     "q342_readability_lix" -> ((s, d) => {
-      import s.implicits._
-      val per = T.documents(s, d).select($"source",
-        size(split($"text", " ")).cast("long").as("nw"),
-        greatest(lit(1L),
-          (length($"text") - length(translate($"text", ".!?", "")))
-            .cast("long")).as("ns"),
-        expr("CAST(size(filter(split(text, ' '), w -> length(w) > 6)) " +
-          "AS BIGINT)").as("nl"))
-      per.groupBy($"source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum($"nw").cast("bigint").as("n_words"),
-          sum($"ns").cast("bigint").as("n_sents"),
-          sum($"nl").cast("bigint").as("n_long"))
-        .select($"source", $"n_docs", $"n_words", $"n_sents", $"n_long",
-          expr("n_words * 1000 div n_sents + n_long * 100000 div n_words")
-            .as("lix_milli"),
-          expr("n_long * 1000 div n_sents").as("rix_milli"))
+      lixReport(lixCounts(T.documents(s, d)))
     }),
 
     // ---- zeroth-order byte-entropy (the compression floor) -----------
@@ -67,25 +120,7 @@ object TextAnalysis extends QueryPack {
     // compression-codec decision starts from. One char explode → a
     // (source × alphabet)-bounded agg; everything after is tiny.
     "q344_byte_entropy" -> ((s, d) => {
-      import s.implicits._
-      def mb(x: String) = Pipeline.mbLog2Spark(x)
-      val hist = T.documents(s, d)
-        .select($"source",
-          explode(sequence(lit(1), length($"text"))).as("p"), $"text")
-        .select($"source", expr("substring(text, p, 1)").as("ch"))
-        .groupBy($"source", $"ch").agg(count(lit(1)).cast("long").as("nc"))
-      val tot = hist.groupBy($"source")
-        .agg(sum($"nc").cast("bigint").as("nn"),
-          count(lit(1)).as("n_sym"))
-      hist.join(tot, "source")
-        .groupBy($"source")
-        .agg(max($"nn").as("n_chars"), max($"n_sym").as("n_symbols"),
-          sum(expr(s"nc * (${mb("nn")} - ${mb("nc")})")).cast("bigint")
-            .as("hsum"))
-        .select($"source", $"n_chars", $"n_symbols",
-          expr("hsum div n_chars").as("h_millibits"))
-        .select($"source", $"n_chars", $"n_symbols", $"h_millibits",
-          expr("n_chars * h_millibits div 8000").as("min_bytes"))
+      entropyReport(charHist(T.documents(s, d)))
     }),
 
     // ---- posting-list compression estimate (delta + Elias-γ) --------

@@ -199,6 +199,9 @@ class DeterminismSpec extends AnyFunSuite {
     // hash-candidate + exact-verify grouping, doc-local islands, and
     // the word-offset running sum feeding the containment join
     "q339_dedup_cutlist", "q340_dedup_reclaimed",
+    // round 18: the keeper-attributed cut positions under the
+    // source-pair rollup (struct-min keeper tie-break inherited)
+    "q354_dedup_attribution",
     // the centroid-argmax assignment feeding per-cell moment
     // summaries and the shifted signed silhouette division
     "q341_silhouette",

@@ -111,6 +111,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q345_psm_att" -> 1,
     // q353: the 1-row median scalar crossed onto the ≤32-row day table
     "q353_runs_test" -> 1,
+    // q354: the 1-row cut-position total scalar crossed onto the
+    // ≤|sources|² attribution matrix
+    "q354_dedup_attribution" -> 1,
     // q348: the 1-row distinct-length scalar crossed onto the 1-row
     // string-column agg
     "q348_dict_encoding_estimate" -> 1,
