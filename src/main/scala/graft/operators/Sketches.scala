@@ -732,38 +732,58 @@ object Sketches extends QueryPack {
     val s = ev.sparkSession
     import s.implicits._
     GraftExtensions.ensureRegistered(s)
-    ev.distinct()
-      .select($"event_type", h60($"user_id").as("h"))
-      .select($"event_type",
-        expr("h div 36028797018963968").as("j"),
-        expr("h % 36028797018963968").as("w"))
-      .select($"event_type", $"j",
-        expr("CASE WHEN w = 0 THEN 56 ELSE 55 - (length(bin(w)) - 1) END")
-          .cast("long").as("rank"))
-      .groupBy($"event_type", $"j").agg(max($"rank").as("reg"))
+    hllRegisterRows(
+      ev.distinct().select($"event_type", h60($"user_id").as("h")),
+      "event_type")
   }
 
   /** q214's estimate-vs-exact report from a register bank: the
     * ALL_UNION scope is register max across types (merge, don't
     * recount), the estimate is the integer-exact HLL formula, the
     * exact side recomputes from `ev`. */
+  /** The integer-exact m = 32 HLL estimate per key from a (key, j,
+    * reg) register bank — q214's formula, factored so the s48
+    * profile monitor's HLL column class renders the SAME expressions
+    * (the Events.haarReport rule). Output: (key, est_hll). */
+  private[operators] def hllEstimate(regs: DataFrame, key: String): DataFrame = {
+    val s = regs.sparkSession
+    import s.implicits._
+    regs.groupBy(col(key))
+      .agg(count(lit(1)).as("n_regs"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(56 - reg AS INT))"))
+          .as("s_present"))
+      .select(col(key),
+        ($"s_present" +
+          (lit(32L) - $"n_regs") * lit(72057594037927936L)).as("s"))
+      .select(col(key),
+        expr("(CAST(697000 AS DECIMAL(38,0)) * 1024 * 72057594037927936)" +
+          " div (CAST(s AS DECIMAL(38,0)) * 1000000)").cast("long")
+          .as("est_hll"))
+  }
+
+  /** h60 → (j, rank) register rows for the m = 32 HLL bank, keyed by
+    * `key` — the per-value map side of [[hllEstimate]], factored for
+    * the same streaming-twin reason. Input: (key, h) hashed values. */
+  private[operators] def hllRegisterRows(hashed: DataFrame, key: String): DataFrame = {
+    val s = hashed.sparkSession
+    import s.implicits._
+    hashed
+      .select(col(key),
+        expr("h div 36028797018963968").as("j"),
+        expr("h % 36028797018963968").as("w"))
+      .select(col(key), $"j",
+        expr("CASE WHEN w = 0 THEN 56 ELSE 55 - (length(bin(w)) - 1) END")
+          .cast("long").as("rank"))
+      .groupBy(col(key), $"j").agg(max($"rank").as("reg"))
+  }
+
   private[operators] def hllReport(regs: DataFrame, ev: DataFrame): DataFrame = {
     val s = regs.sparkSession
     import s.implicits._
     val regsAll = regs.unionAll(
       regs.groupBy($"j").agg(max($"reg").as("reg"))
         .select(lit("ALL_UNION").as("event_type"), $"j", $"reg"))
-    val est = regsAll.groupBy($"event_type")
-      .agg(count(lit(1)).as("n_regs"),
-        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(56 - reg AS INT))"))
-          .as("s_present"))
-      .select($"event_type",
-        ($"s_present" +
-          (lit(32L) - $"n_regs") * lit(72057594037927936L)).as("s"))
-      .select($"event_type",
-        expr("(CAST(697000 AS DECIMAL(38,0)) * 1024 * 72057594037927936)" +
-          " div (CAST(s AS DECIMAL(38,0)) * 1000000)").cast("long")
-          .as("est_hll"))
+    val est = hllEstimate(regsAll, "event_type")
     val exact = ev.groupBy($"event_type")
       .agg(countDistinct($"user_id").as("n_exact"))
       .unionAll(ev.agg(countDistinct($"user_id").as("n_exact"))

@@ -2203,10 +2203,15 @@ object Streams extends QueryPack {
     // exact semilattice/linear merges a parquet footer carries — and
     // (b) its DISTINCT value set per column (the one non-linear
     // statistic; the exact union across batches reproduces q113's
-    // countDistinct — production swaps this column class for the HLL
-    // register partial, s42's form, when exactness isn't required).
-    // Post-drain merge = sum/sum, min/min, max/max, union-distinct —
-    // gated by q113's own oracle.
+    // countDistinct), and (c) the HLL REGISTER partial for the same
+    // columns (≤ 4·32 rows of state per batch, s42's register-max
+    // semilattice) — the bounded column class production swaps in for
+    // (b) when exactness isn't required, demonstrated here AS CODE
+    // beside the exact one (VERDICT r17 #2): the post-drain HLL path
+    // reads ONLY the register partials, never the value sets. Merge =
+    // sum/sum, min/min, max/max, union-distinct, register-max — gated
+    // by q113's oracle for the exact columns plus q214's integer-exact
+    // estimate replay for the HLL ones.
     "s48_stream_profile_monitor" -> ((s, d) => {
       import s.implicits._
       val name = s"orders_prof_${sfx(d)}"
@@ -2256,14 +2261,23 @@ object Streams extends QueryPack {
             sum(col("ep").isNull.cast("long")).cast("long").as("ep_nulls"),
             min(col("ep")).as("ep_min"), max(col("ep")).as("ep_max"))
             .write.mode("overwrite").parquet(s"$root/st$batchId")
-          batch.selectExpr(
+          val dvb = batch.selectExpr(
             "stack(4, 'o_custkey', CAST(ck AS STRING)," +
               " 'o_orderstatus', st," +
               " 'o_totalprice_cents', CAST(pc AS STRING)," +
               " 'o_orderdate_epoch_s', CAST(ep AS STRING))" +
               " AS (col_name, val)")
             .filter(col("val").isNotNull).distinct()
-            .write.mode("overwrite").parquet(s"$root/dv$batchId")
+          dvb.write.mode("overwrite").parquet(s"$root/dv$batchId")
+          // the HLL column class: the same values reduced to a ≤4·32-
+          // row register partial (q214's bank via the factored
+          // hllRegisterRows) — the ONLY per-batch ndv state a
+          // production profile writer keeps once exactness is waived
+          Sketches.hllRegisterRows(
+            dvb.select(col("col_name"),
+              graft.functions.PortableHash.h60(col("val")).as("h")),
+            "col_name")
+            .write.mode("overwrite").parquet(s"$root/hll$batchId")
           ()
         }.start()
       q.awaitTermination()
@@ -2288,6 +2302,14 @@ object Streams extends QueryPack {
         .parquet(s"$root/dv*")
         .groupBy($"col_name")
         .agg(countDistinct($"val").as("n_distinct"))
+      // register-max across batches (the semilattice merge), then
+      // q214's integer-exact estimate — no value set is ever read
+      val hll = Sketches.hllEstimate(
+        s.read.schema("col_name STRING, j LONG, reg LONG")
+          .parquet(s"$root/hll*")
+          .groupBy($"col_name", $"j").agg(max($"reg").as("reg")),
+        "col_name")
+        .withColumnRenamed("est_hll", "ndv_hll")
       wide.selectExpr("n_rows",
         """stack(4,
           |  'o_custkey',           ck_nulls, ck_min, ck_max,
@@ -2296,7 +2318,11 @@ object Streams extends QueryPack {
           |  'o_orderdate_epoch_s', ep_nulls, ep_min, ep_max
           |) AS (col_name, n_nulls, min_s, max_s)""".stripMargin)
         .join(dcnt, "col_name")
+        .join(hll, "col_name")
         .select($"n_rows", $"col_name", $"n_nulls", $"n_distinct",
+          $"ndv_hll",
+          expr("(abs(ndv_hll - n_distinct) * 1000000L) div n_distinct")
+            .as("ndv_err_ppm"),
           $"min_s", $"max_s")
     }),
 
@@ -3508,7 +3534,69 @@ object Streams extends QueryPack {
     // s38–s46 discipline): count partials (s47) and footer-stat
     // semilattice/union partials (s48) merge exactly
     "s47_stream_bloom_monitor" -> Sketches.oracles("q311_bloom_size_tune"),
-    "s48_stream_profile_monitor" -> Layout.oracles("q113_profile"),
+    // q113's profile oracle EXTENDED with q214's integer-exact HLL
+    // replay per column (VERDICT r17 #2): the exact columns are the
+    // same chain q113 gates, the ndv_hll/ndv_err_ppm columns re-derive
+    // the m=32 register bank from each column's distinct value strings
+    "s48_stream_profile_monitor" ->
+      s"""WITH t AS (
+        |  SELECT o_custkey AS ck, o_orderstatus AS st,
+        |    ${graft.functions.Exact.centsSql("o_totalprice")} AS pc,
+        |    CAST(epoch(o_orderdate) AS BIGINT) AS ep
+        |  FROM orders),
+        |w AS (SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN ck IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ck_nulls,
+        |  count(DISTINCT ck) AS ck_dist,
+        |  CAST(min(ck) AS VARCHAR) AS ck_min, CAST(max(ck) AS VARCHAR) AS ck_max,
+        |  CAST(sum(CASE WHEN st IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS st_nulls,
+        |  count(DISTINCT st) AS st_dist,
+        |  min(st) AS st_min, max(st) AS st_max,
+        |  CAST(sum(CASE WHEN pc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS pc_nulls,
+        |  count(DISTINCT pc) AS pc_dist,
+        |  CAST(min(pc) AS VARCHAR) AS pc_min, CAST(max(pc) AS VARCHAR) AS pc_max,
+        |  CAST(sum(CASE WHEN ep IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ep_nulls,
+        |  count(DISTINCT ep) AS ep_dist,
+        |  CAST(min(ep) AS VARCHAR) AS ep_min, CAST(max(ep) AS VARCHAR) AS ep_max
+        |  FROM t),
+        |sv AS (
+        |  SELECT 'o_custkey' AS col_name, CAST(ck AS VARCHAR) AS val
+        |  FROM t WHERE ck IS NOT NULL
+        |  UNION ALL SELECT 'o_orderstatus', st FROM t WHERE st IS NOT NULL
+        |  UNION ALL SELECT 'o_totalprice_cents', CAST(pc AS VARCHAR)
+        |  FROM t WHERE pc IS NOT NULL
+        |  UNION ALL SELECT 'o_orderdate_epoch_s', CAST(ep AS VARCHAR)
+        |  FROM t WHERE ep IS NOT NULL),
+        |dvv AS (SELECT DISTINCT col_name, val FROM sv),
+        |hh AS (SELECT col_name,
+        |  CAST('0x' || substr(md5(val), 1, 15) AS BIGINT) AS h FROM dvv),
+        |rk AS (SELECT col_name, h // 36028797018963968 AS j,
+        |  CASE WHEN h % 36028797018963968 = 0 THEN 56
+        |       ELSE 55 - (length(bin(h % 36028797018963968)) - 1)
+        |  END AS rank FROM hh),
+        |rg AS (SELECT col_name, j, CAST(max(rank) AS BIGINT) AS reg
+        |  FROM rk GROUP BY 1, 2),
+        |hs AS (SELECT col_name,
+        |  CAST(sum(CAST(1 AS BIGINT) << CAST(56 - reg AS INT)) AS BIGINT)
+        |    + (32 - count(*)) * 72057594037927936 AS s
+        |  FROM rg GROUP BY 1),
+        |he AS (SELECT col_name,
+        |  CAST((CAST(697000 AS HUGEINT) * 1024 * 72057594037927936)
+        |    // (CAST(s AS HUGEINT) * 1000000) AS BIGINT) AS ndv_hll
+        |  FROM hs),
+        |base AS (
+        |  SELECT n_rows, 'o_custkey' AS col_name, ck_nulls AS n_nulls,
+        |    ck_dist AS n_distinct, ck_min AS min_s, ck_max AS max_s FROM w
+        |  UNION ALL SELECT n_rows, 'o_orderstatus', st_nulls, st_dist,
+        |    st_min, st_max FROM w
+        |  UNION ALL SELECT n_rows, 'o_totalprice_cents', pc_nulls,
+        |    pc_dist, pc_min, pc_max FROM w
+        |  UNION ALL SELECT n_rows, 'o_orderdate_epoch_s', ep_nulls,
+        |    ep_dist, ep_min, ep_max FROM w)
+        |SELECT b.n_rows, b.col_name, b.n_nulls, b.n_distinct, he.ndv_hll,
+        |  CAST((abs(he.ndv_hll - b.n_distinct) * 1000000) // b.n_distinct
+        |    AS BIGINT) AS ndv_err_ppm,
+        |  b.min_s, b.max_s
+        |FROM base b JOIN he USING (col_name)""".stripMargin,
     // XOR-of-XORs + summed counts reproduce the batch checksums
     "s49_stream_checksum_monitor" -> Sketches.oracles("q83_table_checksum"),
     // summed df partials + Σnd=1 owners reassemble per-doc novelty
