@@ -1156,24 +1156,12 @@ object Events extends QueryPack {
     // bounded) — the global windows run on the bounded day table.
     "q353_runs_test" -> ((s, d) => {
       import s.implicits._
-      val daily = T.events(s, d)
+      runsFromDaily(T.events(s, d)
         .select(datediff(to_date($"ts"), to_date(lit("2024-01-01")))
           .cast("long").as("day"),
           ($"event_type" === "purchase").cast("long").as("p"))
         .groupBy($"day")
-        .agg(count(lit(1)).as("n_ev"), sum($"p").as("np"))
-        .select($"day", expr("np * 1000000 div n_ev").as("x"))
-      val med = daily
-        .withColumn("rn", row_number().over(Window.orderBy($"x", $"day")))
-        .withColumn("n", count(lit(1)).over(
-          Window.rowsBetween(Window.unboundedPreceding,
-            Window.unboundedFollowing)))
-        .agg((min(when($"rn" === expr("(n + 1) div 2"), $"x")) +
-          min(when($"rn" === expr("(n + 2) div 2"), $"x")))
-          .cast("bigint").as("med2"))
-      runsReport(daily.crossJoin(broadcast(med))
-        .filter($"x" * 2 =!= $"med2")
-        .select($"day", when($"x" * 2 > $"med2", 1L).otherwise(-1L).as("sg")))
+        .agg(count(lit(1)).as("n_ev"), sum($"p").as("np")))
     }),
 
     // ---- conversion-lag percentiles (time-to-convert) ----------------
@@ -1322,6 +1310,28 @@ object Events extends QueryPack {
         expr("(CAST(n_purch AS DECIMAL(38,0)) * 1000000 + 1920800 + rad)" +
           " * 1000000 div (CAST(n_events AS DECIMAL(38,0)) * 1000000 " +
           "+ 3841600)").as("wilson_hi_ppm"))
+  }
+
+  /** q353's full median → sign → runs chain from the (day, n_ev, np)
+    * day table — the day counts are linear, so the s56 monitor feeds
+    * this the summed per-batch partials and the batch query its
+    * one-shot day agg; everything below runs on ≤|days| rows. */
+  private[operators] def runsFromDaily(dayCounts: DataFrame): DataFrame = {
+    val s = dayCounts.sparkSession
+    import s.implicits._
+    val daily = dayCounts
+      .select($"day", expr("np * 1000000 div n_ev").as("x"))
+    val med = daily
+      .withColumn("rn", row_number().over(Window.orderBy($"x", $"day")))
+      .withColumn("n", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .agg((min(when($"rn" === expr("(n + 1) div 2"), $"x")) +
+        min(when($"rn" === expr("(n + 2) div 2"), $"x")))
+        .cast("bigint").as("med2"))
+    runsReport(daily.crossJoin(broadcast(med))
+      .filter($"x" * 2 =!= $"med2")
+      .select($"day", when($"x" * 2 > $"med2", 1L).otherwise(-1L).as("sg")))
   }
 
   /** q353's runs-test report from the signed (day, sg) series' global

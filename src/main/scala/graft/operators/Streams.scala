@@ -2743,6 +2743,126 @@ object Streams extends QueryPack {
             .cast("long").as("day"), $"x"))
     }),
 
+    // Streaming Wilson-CI monitor — q349's ingest-side form: the
+    // per-dow (n_events, n_purch) counts are pure linear partials, so
+    // each micro-batch writes its ≤7-row count partial (batchId-keyed,
+    // idempotent) and the post-drain sum feeds the identical
+    // DECIMAL(38,0) Wilson fold ([[Events.wilsonReport]]) — gated by
+    // q349's own oracle. The production reading: proportion intervals
+    // maintained during ingest for |cells| longs of state.
+    "s55_stream_wilson_monitor" -> ((s, d) => {
+      import s.implicits._
+      val name = s"events_sprt_${sfx(d)}" // shares s44/s54's day fixture
+      synchronized {
+        if (!ShardServiceRegistry.exists(name)) {
+          val rows = T.events(s, d)
+            .select($"event_id", $"event_id".as("pk"),
+              to_json(struct(
+                to_date($"ts").cast("string").as("day"),
+                ($"event_type" === "purchase").cast("long").as("p")))
+                .as("json"))
+            .orderBy("event_id").toLocalIterator()
+          seedRows(name, numShards = 2, rows, times = 1)
+        }
+      }
+      val nEv = T.events(s, d).count()
+      val cap = math.max(10L, nEv / 4)
+      val root = s"/tmp/graft_swil_${sfx(d)}" +
+        s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fsb = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fsb.delete(new org.apache.hadoop.fs.Path(root), true)
+      val eSchema = StructType(Seq(
+        StructField("day", StringType), StructField("p", LongType)))
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", cap.toString)
+        .load()
+        .select(from_json(col("data").cast("string"), eSchema).as("e"))
+        .select(col("e.day").as("day"), col("e.p").as("p"))
+      graft.streaming.StreamObservability.attach(s)
+      val q = raw.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // arithmetic dow from the day string — identical to q349's
+          // (epoch_days + 4) % 7 since day = to_date(ts)
+          batch.select(
+            ((datediff(col("day").cast("date"), to_date(lit("1970-01-01")))
+              .cast("long") + 4L) % 7L).as("dow"), col("p"))
+            .groupBy(col("dow"))
+            .agg(count(lit(1)).cast("long").as("n_events"),
+              sum(col("p")).cast("long").as("n_purch"))
+            .write.mode("overwrite").parquet(s"$root/b$batchId")
+          ()
+        }.start()
+      q.awaitTermination()
+      Events.wilsonReport(
+        s.read.schema("dow LONG, n_events LONG, n_purch LONG")
+          .parquet(s"$root/b*")
+          .groupBy($"dow")
+          .agg(sum($"n_events").cast("bigint").as("n_events"),
+            sum($"n_purch").cast("bigint").as("n_purch")))
+    }),
+
+    // Streaming runs-test monitor — q353's ingest-side form: the
+    // per-day (n_ev, np) counts are linear partials, so each
+    // micro-batch writes its |days|-bounded count partial and the
+    // post-drain sum feeds the identical median → sign → runs chain
+    // ([[Events.runsFromDaily]]) — gated by q353's own oracle. The
+    // randomness dial over the ingest series, |days| longs of state.
+    "s56_stream_runs_monitor" -> ((s, d) => {
+      import s.implicits._
+      val name = s"events_sprt_${sfx(d)}" // shares s44/s54's day fixture
+      synchronized {
+        if (!ShardServiceRegistry.exists(name)) {
+          val rows = T.events(s, d)
+            .select($"event_id", $"event_id".as("pk"),
+              to_json(struct(
+                to_date($"ts").cast("string").as("day"),
+                ($"event_type" === "purchase").cast("long").as("p")))
+                .as("json"))
+            .orderBy("event_id").toLocalIterator()
+          seedRows(name, numShards = 2, rows, times = 1)
+        }
+      }
+      val nEv = T.events(s, d).count()
+      val cap = math.max(10L, nEv / 4)
+      val root = s"/tmp/graft_sruns_${sfx(d)}" +
+        s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fsb = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fsb.delete(new org.apache.hadoop.fs.Path(root), true)
+      val eSchema = StructType(Seq(
+        StructField("day", StringType), StructField("p", LongType)))
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", cap.toString)
+        .load()
+        .select(from_json(col("data").cast("string"), eSchema).as("e"))
+        .select(col("e.day").as("day"), col("e.p").as("p"))
+      graft.streaming.StreamObservability.attach(s)
+      val q = raw.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.groupBy(col("day"))
+            .agg(count(lit(1)).cast("long").as("n_ev"),
+              sum(col("p")).cast("long").as("np"))
+            .write.mode("overwrite").parquet(s"$root/b$batchId")
+          ()
+        }.start()
+      q.awaitTermination()
+      Events.runsFromDaily(
+        s.read.schema("day STRING, n_ev LONG, np LONG")
+          .parquet(s"$root/b*")
+          .groupBy($"day")
+          .agg(sum($"n_ev").cast("long").as("n_ev"),
+            sum($"np").cast("long").as("np"))
+          .select(datediff($"day".cast("date"), to_date(lit("2024-01-01")))
+            .cast("long").as("day"), $"n_ev", $"np"))
+    }),
+
     // Streaming SPRT experiment monitor — q330's ingest-side form,
     // which is where SPRT actually LIVES (sequential testing exists
     // to stop DURING the experiment): each micro-batch writes its
@@ -3557,6 +3677,12 @@ object Streams extends QueryPack {
     // the streamed daily-count sum must reproduce q330's LLR
     // trajectory bit-for-bit (linear merge)
     "s44_stream_sprt_monitor" -> Pipeline.oracles("q330_sprt_monitor"),
+    // the streamed per-dow count sums must reproduce q349's Wilson
+    // intervals bit-for-bit (linear merge into the DECIMAL fold)
+    "s55_stream_wilson_monitor" -> Events.oracles("q349_wilson_ci"),
+    // the streamed per-day count sums must reproduce q353's
+    // median-sign-runs chain bit-for-bit (linear merge)
+    "s56_stream_runs_monitor" -> Events.oracles("q353_runs_test"),
     // the streamed power-sum merge must reproduce q337's moments
     // bit-for-bit (linear merge over DECIMAL partials)
     "s45_stream_shape_monitor" -> Pipeline.oracles("q337_shape_profile"),

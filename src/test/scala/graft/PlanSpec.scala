@@ -58,7 +58,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "s51_stream_kmv_monitor",
     "s52_stream_readability_monitor",
     "s53_stream_entropy_monitor",
-    "s54_stream_haar_monitor")
+    "s54_stream_haar_monitor",
+    "s55_stream_wilson_monitor",
+    "s56_stream_runs_monitor")
   // bounded-side nested loops that are correct by construction
   // (1-row stats, 4-row tier dim, 10-row query set, 5-row lang
   // profiles, 1-row mixture minimum, k-row centroid set, 1-row
