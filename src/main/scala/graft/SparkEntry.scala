@@ -323,6 +323,27 @@ import graft.operators._
   * caliper-banded propensity-score matching ATT, q346 delta+Elias-γ
   * posting-list compression estimates, s49 multi-table ingest
   * checksum monitoring (XOR-of-XORs partials, q83's oracle).
+  *
+  * Round 18: the substring-dedup substrate is memoized per (session,
+  * dataset) with its char-grain intermediates explicitly released
+  * (q339/q340/q354 share ONE occurrence pass; Bench drops pinned
+  * substrates per query to keep timed lines comparable); q354
+  * cross-source duplication attribution (span-grain keeper→cut
+  * source matrix over the shared substrate); q355 O'Brien–Fleming
+  * group-sequential boundaries (K = 4 looks, literal milli
+  * boundaries, z² through DECIMAL — q330's fixed-horizon sibling);
+  * s48 now carries the HLL ndv column class (per-batch register
+  * partials beside the exact distinct union, its own q113+q214
+  * oracle); s55/s56 streaming Wilson-CI and runs-test monitors
+  * (linear count partials into the factored wilsonReport /
+  * runsFromDaily folds, q349/q353's oracles); s57 streaming
+  * O'Brien–Fleming interim monitor (per-look linear partials into
+  * the factored obfReport, q355's oracle); the streaming class
+  * runs under a scoped 8-shuffle-partition setting (the measured
+  * s00 floor knee; 100 TB sizes partitions UP — the point is the
+  * per-query dial); q349's Wilson products ride DECIMAL(38,0);
+  * INDEX.md (tools/gen_index.py) is the generated per-query audit
+  * surface.
   */
 object SparkEntry {
 

@@ -105,6 +105,48 @@ object Pipeline extends QueryPack {
           .otherwise("continue").as("state"))
   }
 
+  /** q355's O'Brien–Fleming group-sequential report from per-look
+    * (look, n_events, n_purch) counts — factored on the haarReport
+    * rule for a future streaming twin (look counts are linear
+    * partials). Boundary constants are the LITERAL two-sided α = 0.05,
+    * K = 4 O'Brien–Fleming values z_k = 2.024·√(4/k) ([O'Brien &
+    * Fleming, Biometrics '79]; tabulated in [Jennison & Turnbull,
+    * "Group Sequential Methods", Table 2.3]): 4.049, 2.863, 2.337,
+    * 2.024 — in milli, so z²·1e6 compares against bound_milli²
+    * exactly, no sqrt on the data path. dev = x·1e6 − n·p0ppm is the
+    * one signed quantity (exact int64); z² rides DECIMAL(38,0) (the
+    * q209 template). p0 = 200000 ppm, q330's implied SPRT null. */
+  private[operators] def obfReport(looks: DataFrame): DataFrame = {
+    val s = looks.sparkSession
+    import s.implicits._
+    val p0 = 200000L
+    val bounds = Seq((1L, 4049L), (2L, 2863L), (3L, 2337L), (4L, 2024L))
+      .toDF("look", "bound_milli")
+    val wc = Window.orderBy($"look")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = looks
+      .withColumn("n_cum", sum($"n_events").over(wc).cast("bigint"))
+      .withColumn("x_cum", sum($"n_purch").over(wc).cast("bigint"))
+      .join(broadcast(bounds), "look")
+      .withColumn("dev", expr(s"x_cum * 1000000 - n_cum * $p0"))
+      .withColumn("z2_micro", expr(
+        s"CAST(CAST(dev AS DECIMAL(38,0)) * dev * 1000000 div " +
+          s"(CAST(n_cum AS DECIMAL(38,0)) * $p0 * ${1000000L - p0}) " +
+          "AS BIGINT)"))
+      .withColumn("crossed",
+        when($"z2_micro" >= $"bound_milli" * $"bound_milli", 1L)
+          .otherwise(0L))
+    val stop = scored.filter($"crossed" === 1L)
+      .agg(coalesce(min($"look"), lit(0L)).as("stop_look"))
+    scored.crossJoin(broadcast(stop))
+      .select($"look", $"n_events", $"n_purch", $"n_cum", $"x_cum",
+        $"dev", $"z2_micro", $"bound_milli", $"crossed",
+        when($"crossed" === 1L && $"dev" > 0L, "cross_up")
+          .when($"crossed" === 1L, "cross_down")
+          .otherwise("continue").as("state"),
+        $"stop_look")
+  }
+
   /** q328's PSI report from (band, n_base, n_cur) counts — factored so
     * s41 can run the identical computation on its streamed-merged
     * counts (the s38/s39 gating discipline). Densifies the 10-band
@@ -1176,6 +1218,31 @@ object Pipeline extends QueryPack {
         .groupBy(to_date($"ts").as("day"))
         .agg(count(lit(1)).as("n_events"),
           sum(($"event_type" === "purchase").cast("long")).as("n_purch")))
+    }),
+
+    // ---- O'Brien–Fleming group-sequential boundaries ------------------
+    // [O'Brien & Fleming, Biometrics '79; Jennison & Turnbull Table
+    // 2.3] the FIXED-HORIZON sibling of q330's SPRT — the design every
+    // experimentation platform ships when the analyst wants K
+    // scheduled interim looks with the familywise α spent mostly at
+    // the end (early boundaries near-unreachable, the final one near
+    // the fixed-sample z): K = 4 eight-day looks over the 32-day
+    // horizon, the cumulative one-sample proportion z² against
+    // z_k = 2.024·√(4/k) under H0: p = 0.2 (q330's implied null).
+    // All-integer via [[obfReport]] (boundaries literal in milli, z²
+    // in micro through DECIMAL(38,0), no sqrt on the data path). One
+    // day-grain agg; ≤4 rows after — the interim table is bounded by
+    // the DESIGN, not the data, which is what makes a 100 TB interim
+    // analysis one scan + a driver-sized report.
+    "q355_obf_boundaries" -> ((s, d) => {
+      import s.implicits._
+      obfReport(T.events(s, d)
+        .select(expr("least(datediff(to_date(ts), DATE '2024-01-01') " +
+          "div 8, 3) + 1").cast("long").as("look"),
+          ($"event_type" === "purchase").cast("long").as("p"))
+        .groupBy($"look")
+        .agg(count(lit(1)).cast("bigint").as("n_events"),
+          sum($"p").cast("bigint").as("n_purch")))
     }),
 
     // ---- priority sampling (bottom-k weighted, HT-estimating) -------
@@ -3671,6 +3738,39 @@ object Pipeline extends QueryPack {
 
     // the identical literal millibit coefficients and thresholds; the
     // windowed cumulative sum CAST to BIGINT (the HUGEINT rule)
+    "q355_obf_boundaries" ->
+      """WITH per AS (
+        |  SELECT least(datediff('day', DATE '2024-01-01',
+        |      CAST(ts AS DATE)) // 8, 3) + 1 AS look,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_purch
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(4049 AS BIGINT)),
+        |  (2, 2863), (3, 2337), (4, 2024)) v(look, bound_milli)),
+        |cum AS (SELECT look, n_events, n_purch,
+        |  CAST(sum(n_events) OVER (ORDER BY look) AS BIGINT) AS n_cum,
+        |  CAST(sum(n_purch) OVER (ORDER BY look) AS BIGINT) AS x_cum
+        |  FROM per),
+        |sc AS (SELECT c.*, b.bound_milli,
+        |  x_cum * 1000000 - n_cum * 200000 AS dev FROM cum c JOIN b USING (look)),
+        |z AS (SELECT *,
+        |  CAST(CAST(dev AS HUGEINT) * dev * 1000000
+        |    // (CAST(n_cum AS HUGEINT) * 200000 * 800000) AS BIGINT)
+        |    AS z2_micro
+        |  FROM sc),
+        |f AS (SELECT *, CASE WHEN z2_micro >= bound_milli * bound_milli
+        |  THEN 1 ELSE 0 END AS crossed FROM z),
+        |st AS (SELECT CAST(coalesce(min(CASE WHEN crossed = 1 THEN look END),
+        |  0) AS BIGINT) AS stop_look FROM f)
+        |SELECT look, n_events, n_purch, n_cum, x_cum, dev, z2_micro,
+        |  bound_milli, CAST(crossed AS BIGINT) AS crossed,
+        |  CASE WHEN crossed = 1 AND dev > 0 THEN 'cross_up'
+        |       WHEN crossed = 1 THEN 'cross_down'
+        |       ELSE 'continue' END AS state,
+        |  st.stop_look
+        |FROM f CROSS JOIN st""".stripMargin,
+
     "q330_sprt_monitor" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day,

@@ -2863,6 +2863,70 @@ object Streams extends QueryPack {
             .cast("long").as("day"), $"n_ev", $"np"))
     }),
 
+    // Streaming O'Brien–Fleming monitor — q355's ingest-side form,
+    // which is where group-sequential designs actually LIVE (the
+    // scheduled interim looks happen DURING the experiment): each
+    // micro-batch writes its per-look (n_events, n_purch) count
+    // partial (≤4 rows, linear, batchId-keyed, idempotent) and the
+    // post-drain sum feeds the identical literal-boundary z² fold
+    // ([[Pipeline.obfReport]]) — gated by q355's own oracle. State =
+    // K·2 longs: the design bounds the state, not the data.
+    "s57_stream_obf_monitor" -> ((s, d) => {
+      import s.implicits._
+      val name = s"events_sprt_${sfx(d)}" // shares s44/s54's day fixture
+      synchronized {
+        if (!ShardServiceRegistry.exists(name)) {
+          val rows = T.events(s, d)
+            .select($"event_id", $"event_id".as("pk"),
+              to_json(struct(
+                to_date($"ts").cast("string").as("day"),
+                ($"event_type" === "purchase").cast("long").as("p")))
+                .as("json"))
+            .orderBy("event_id").toLocalIterator()
+          seedRows(name, numShards = 2, rows, times = 1)
+        }
+      }
+      val nEv = T.events(s, d).count()
+      val cap = math.max(10L, nEv / 4)
+      val root = s"/tmp/graft_sobf_${sfx(d)}" +
+        s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fsb = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fsb.delete(new org.apache.hadoop.fs.Path(root), true)
+      val eSchema = StructType(Seq(
+        StructField("day", StringType), StructField("p", LongType)))
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", cap.toString)
+        .load()
+        .select(from_json(col("data").cast("string"), eSchema).as("e"))
+        .select(col("e.day").as("day"), col("e.p").as("p"))
+      graft.streaming.StreamObservability.attach(s)
+      val q = raw.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // q355's OWN look assignment from the day string — identical
+          // to its least(epoch-day-offset div 8, 3) + 1
+          batch.select(
+            expr("least(datediff(to_date(day), DATE '2024-01-01') " +
+              "div 8, 3) + 1").cast("long").as("look"),
+            col("p"))
+            .groupBy(col("look"))
+            .agg(count(lit(1)).cast("long").as("n_events"),
+              sum(col("p")).cast("long").as("n_purch"))
+            .write.mode("overwrite").parquet(s"$root/b$batchId")
+          ()
+        }.start()
+      q.awaitTermination()
+      Pipeline.obfReport(
+        s.read.schema("look LONG, n_events LONG, n_purch LONG")
+          .parquet(s"$root/b*")
+          .groupBy($"look")
+          .agg(sum($"n_events").cast("bigint").as("n_events"),
+            sum($"n_purch").cast("bigint").as("n_purch")))
+    }),
+
     // Streaming SPRT experiment monitor — q330's ingest-side form,
     // which is where SPRT actually LIVES (sequential testing exists
     // to stop DURING the experiment): each micro-batch writes its
@@ -3683,6 +3747,9 @@ object Streams extends QueryPack {
     // the streamed per-day count sums must reproduce q353's
     // median-sign-runs chain bit-for-bit (linear merge)
     "s56_stream_runs_monitor" -> Events.oracles("q353_runs_test"),
+    // the streamed per-look count sums must reproduce q355's interim
+    // z² trajectory bit-for-bit (linear merge into the literal fold)
+    "s57_stream_obf_monitor" -> Pipeline.oracles("q355_obf_boundaries"),
     // the streamed power-sum merge must reproduce q337's moments
     // bit-for-bit (linear merge over DECIMAL partials)
     "s45_stream_shape_monitor" -> Pipeline.oracles("q337_shape_profile"),

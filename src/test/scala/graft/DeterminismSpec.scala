@@ -200,8 +200,9 @@ class DeterminismSpec extends AnyFunSuite {
     // the word-offset running sum feeding the containment join
     "q339_dedup_cutlist", "q340_dedup_reclaimed",
     // round 18: the keeper-attributed cut positions under the
-    // source-pair rollup (struct-min keeper tie-break inherited)
-    "q354_dedup_attribution",
+    // source-pair rollup (struct-min keeper tie-break inherited);
+    // the OBF interim fold's cumulative window + DECIMAL z²
+    "q354_dedup_attribution", "q355_obf_boundaries",
     // the centroid-argmax assignment feeding per-cell moment
     // summaries and the shifted signed silhouette division
     "q341_silhouette",

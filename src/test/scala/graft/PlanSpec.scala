@@ -60,7 +60,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "s53_stream_entropy_monitor",
     "s54_stream_haar_monitor",
     "s55_stream_wilson_monitor",
-    "s56_stream_runs_monitor")
+    "s56_stream_runs_monitor",
+    "s57_stream_obf_monitor")
   // bounded-side nested loops that are correct by construction
   // (1-row stats, 4-row tier dim, 10-row query set, 5-row lang
   // profiles, 1-row mixture minimum, k-row centroid set, 1-row
@@ -116,6 +117,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q354: the 1-row cut-position total scalar crossed onto the
     // ≤|sources|² attribution matrix
     "q354_dedup_attribution" -> 1,
+    // q355: the 1-row stop-look scalar crossed onto the 4-row
+    // design-bounded interim table
+    "q355_obf_boundaries" -> 1,
     // q348: the 1-row distinct-length scalar crossed onto the 1-row
     // string-column agg
     "q348_dict_encoding_estimate" -> 1,
