@@ -343,7 +343,11 @@ import graft.operators._
   * s00 floor knee; 100 TB sizes partitions UP — the point is the
   * per-query dial); q349's Wilson products ride DECIMAL(38,0);
   * INDEX.md (tools/gen_index.py) is the generated per-query audit
-  * surface.
+  * surface. Late widening: q356 Bradley–Terry preference-strength
+  * fit (per-user pairwise type comparisons → win matrix → 8 BigInt
+  * MM rounds, the RLHF preference-data op) and q357 community
+  * conductance audit (the boundary dial beside q203's modularity,
+  * via cut = vol − 2·m_in over the memoized LPA labels).
   */
 object SparkEntry {
 

@@ -1220,6 +1220,63 @@ object Pipeline extends QueryPack {
           sum(($"event_type" === "purchase").cast("long")).as("n_purch")))
     }),
 
+    // ---- Bradley–Terry preference-strength fit ------------------------
+    // [Bradley & Terry '52; Hunter '04 MM algorithm] the PREFERENCE-
+    // AGGREGATION member of the ranking family (q192 RRF fuses rank
+    // lists, q307 RBO compares them — neither fits latent strengths
+    // from pairwise OUTCOMES, the RLHF preference-data op): per user,
+    // event type a beats b when the user did a more often (ties
+    // abstain); the corpus-wide ordered win matrix n_ab feeds 8 MM
+    // fixpoint rounds s_i ← W_i / Σ_j m_ij/(s_i+s_j), renormalized to
+    // Σs = |types|·1e6 and floored ≥ 1 each round. Exact integers:
+    // the fold runs in BigInt (W·1e12 exceeds int64 past ~9e6 users —
+    // the q350 BigInt-fold rule) with truncating division on
+    // non-negative operands, bit-identical to the oracle's 8
+    // materialized HUGEINT rounds. Scale: the corpus-side work is one
+    // (user, type) count agg + a user-keyed self-join; only the
+    // ≤|types|²-row matrix crosses the driver (boundedCollect).
+    "q356_bradley_terry" -> ((s, d) => {
+      import s.implicits._
+      val uc = T.events(s, d)
+        .groupBy($"user_id", $"event_type")
+        .agg(count(lit(1)).as("c"))
+      val wins = T.boundedCollect(
+        uc.toDF("u", "ta", "ca")
+          .join(uc.toDF("u", "tb", "cb"), "u")
+          .filter($"ta" =!= $"tb" && $"ca" > $"cb")
+          .groupBy($"ta", $"tb").agg(count(lit(1)).cast("long").as("n")),
+        64, "q356 win matrix")
+        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+      val types = wins.keySet.flatMap(k => Seq(k._1, k._2)).toSeq.sorted
+      val m = (for {
+        a <- types; b <- types if a != b
+        mm = wins.getOrElse((a, b), 0L) + wins.getOrElse((b, a), 0L)
+        if mm > 0
+      } yield ((a, b), mm)).toMap
+      val w = types.map(t =>
+        t -> types.filter(_ != t).map(b => wins.getOrElse((t, b), 0L)).sum)
+        .toMap
+      val mt = types.map(t =>
+        t -> m.collect { case ((a, _), v) if a == t => v }.sum).toMap
+      val E12 = BigInt(1000000000000L)
+      var st: Map[String, BigInt] =
+        types.map(_ -> BigInt(1000000L)).toMap
+      for (_ <- 1 to 8) {
+        val raw = types.map { t =>
+          val dd = types.filter(b => b != t && m.contains((t, b)))
+            .map(b => BigInt(m((t, b))) * E12 / (st(t) + st(b))).sum
+          t -> (if (dd > 0) BigInt(w(t)) * E12 / dd else st(t))
+        }.toMap
+        val tot = raw.values.sum
+        st = types.map(t =>
+          t -> (raw(t) * (BigInt(types.size) * 1000000L) / tot).max(1))
+          .toMap
+      }
+      types.sortBy(t => (-st(t), t)).zipWithIndex.map { case (t, i) =>
+        (t, w(t), mt(t), st(t).toLong, i + 1L)
+      }.toDF("event_type", "wins", "matches", "strength_ppm", "rank")
+    }),
+
     // ---- O'Brien–Fleming group-sequential boundaries ------------------
     // [O'Brien & Fleming, Biometrics '79; Jennison & Turnbull Table
     // 2.3] the FIXED-HORIZON sibling of q330's SPRT — the design every
@@ -3738,6 +3795,64 @@ object Pipeline extends QueryPack {
 
     // the identical literal millibit coefficients and thresholds; the
     // windowed cumulative sum CAST to BIGINT (the HUGEINT rule)
+    // 8 materialized MM rounds over the ≤|types|²-row matrix (AS
+    // MATERIALIZED per the unrolled-iteration rule — DuckDB would
+    // otherwise re-expand round N−1 multiplicatively), HUGEINT
+    // divisions mirroring the BigInt driver fold term for term
+    "q356_bradley_terry" -> {
+      val base =
+        """WITH uc AS (
+          |  SELECT user_id, event_type AS t, CAST(count(*) AS BIGINT) AS c
+          |  FROM events GROUP BY 1, 2),
+          |wm AS (
+          |  SELECT a.t AS ta, b.t AS tb, CAST(count(*) AS BIGINT) AS n
+          |  FROM uc a JOIN uc b ON a.user_id = b.user_id AND a.t <> b.t
+          |  WHERE a.c > b.c GROUP BY 1, 2),
+          |m AS MATERIALIZED (
+          |  SELECT ta AS a, tb AS b,
+          |    CAST(n + coalesce((SELECT n FROM wm w2 WHERE w2.ta = wm.tb
+          |      AND w2.tb = wm.ta), 0) AS BIGINT) AS m
+          |  FROM wm
+          |  UNION
+          |  SELECT tb, ta, CAST(coalesce((SELECT n FROM wm w2
+          |      WHERE w2.ta = wm.tb AND w2.tb = wm.ta), 0) + n AS BIGINT)
+          |  FROM wm),
+          |w AS MATERIALIZED (
+          |  SELECT a AS t,
+          |    CAST(coalesce((SELECT sum(n) FROM wm WHERE wm.ta = m.a), 0)
+          |      AS BIGINT) AS wt,
+          |    CAST(sum(m) AS BIGINT) AS mt
+          |  FROM m GROUP BY a),
+          |it0 AS MATERIALIZED (SELECT t, CAST(1000000 AS BIGINT) AS s
+          |  FROM w)""".stripMargin
+      val iter = (k: Int) =>
+        s""",
+          |d$k AS MATERIALIZED (
+          |  SELECT m.a AS t,
+          |    CAST(sum(CAST(m.m AS HUGEINT) * 1000000000000
+          |      // (pa.s + pb.s)) AS HUGEINT) AS d
+          |  FROM m JOIN it${k - 1} pa ON pa.t = m.a
+          |  JOIN it${k - 1} pb ON pb.t = m.b
+          |  GROUP BY 1),
+          |r$k AS MATERIALIZED (
+          |  SELECT w.t, CAST(CAST(w.wt AS HUGEINT) * 1000000000000 // d.d
+          |    AS BIGINT) AS s
+          |  FROM w JOIN d$k d USING (t)),
+          |it$k AS MATERIALIZED (
+          |  SELECT t, CAST(greatest(CAST(s AS HUGEINT) *
+          |    (SELECT count(*) * 1000000 FROM w)
+          |    // (SELECT sum(s) FROM r$k), 1) AS BIGINT) AS s
+          |  FROM r$k)""".stripMargin
+      val fin =
+        """
+          |SELECT w.t AS event_type, w.wt AS wins, w.mt AS matches,
+          |  it8.s AS strength_ppm,
+          |  CAST(row_number() OVER (ORDER BY it8.s DESC, w.t ASC)
+          |    AS BIGINT) AS rank
+          |FROM w JOIN it8 USING (t)""".stripMargin
+      base + (1 to 8).map(iter).mkString + fin
+    },
+
     "q355_obf_boundaries" ->
       """WITH per AS (
         |  SELECT least(datediff('day', DATE '2024-01-01',

@@ -1741,6 +1741,44 @@ object Relational extends QueryPack {
     "q203_modularity" -> ((s, d) =>
       modularityPpk(coocEdges(s, d), coocDeg(s, d), lpaLabels(s, d))),
 
+    // ---- community conductance audit ----------------------------------
+    // [Kannan, Vempala & Vetta JACM'04] the OTHER community-quality
+    // dial on q164's labels: modularity (q203) rewards dense insides
+    // against a null model, conductance measures the BOUNDARY — φ(C) =
+    // cut(C) / min(vol(C), vol(G)−vol(C)), and a community can score
+    // well on one and badly on the other (many high-modularity
+    // partitions have leaky cuts). Computed entirely from q203's own
+    // building blocks via the identity cut(C) = vol(C) − 2·m_in(C)
+    // (each internal edge absorbs 2 of the community's degree), so the
+    // plan adds NOTHING to the substrate cost: the memoized labels,
+    // the per-community (n, vol) agg, the m_in equi-join, one 1-row
+    // total scalar. Non-negative floors only (vol ≥ 2·m_in always);
+    // whole-graph community (denominator 0) reports φ = 0.
+    "q357_conductance_audit" -> ((s, d) => {
+      import s.implicits._
+      val e = coocEdges(s, d)
+      val lab = lpaLabels(s, d)
+      val mRow = e.agg(count(lit(1)).as("m_edges"))
+      val inEdges = e.join(lab.toDF("a", "ca"), "a")
+        .join(lab.toDF("b", "cb"), "b")
+        .filter($"ca" === $"cb")
+        .groupBy($"ca".as("community")).agg(count(lit(1)).as("m_in"))
+      lab.toDF("v", "community")
+        .join(coocDeg(s, d).toDF("v", "deg"), "v")
+        .groupBy($"community")
+        .agg(count(lit(1)).cast("bigint").as("n_vertices"),
+          sum($"deg").cast("bigint").as("vol"))
+        .join(inEdges, Seq("community"), "left")
+        .na.fill(0L, Seq("m_in"))
+        .crossJoin(broadcast(mRow))
+        .select($"community", $"n_vertices",
+          $"m_in".cast("bigint").as("m_in"), $"vol",
+          ($"vol" - $"m_in" * 2L).cast("bigint").as("cut_edges"),
+          expr("CASE WHEN least(vol, 2 * m_edges - vol) = 0 THEN 0L " +
+            "ELSE (vol - 2 * m_in) * 1000000L " +
+            "div least(vol, 2 * m_edges - vol) END").as("phi_ppm"))
+    }),
+
     // ---- multi-source BFS reach profile -----------------------------
     // How much of the co-purchase graph the probe set (q161's 2%
     // content-hash seeds) reaches per hop, capped at 4 — the
@@ -3371,6 +3409,57 @@ object Relational extends QueryPack {
         |      - dc.d_tot * dc.d_tot) * 1000
         |    + 1000 * 4 * mm.m * mm.m) // (4 * mm.m * mm.m) - 1000
         |    AS contrib_ppk
+        |FROM dc LEFT JOIN din ON din.c = dc.c, mm""".stripMargin,
+
+    // q164's LPA fixpoint labels re-derived, then boundary conductance
+    // per community via cut = vol − 2·m_in (identical chain to q203's
+    // up to `dc`; only the final select differs)
+    "q357_conductance_audit" ->
+      s"""WITH RECURSIVE li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM li x JOIN li y ON x.o = y.o WHERE x.p < y.p),
+        |dir AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+        |deg AS (SELECT u, count(*) AS deg FROM dir GROUP BY u),
+        |pr AS (
+        |  SELECT 0 AS iter, u AS v, u AS p FROM deg
+        |  UNION ALL
+        |  SELECT t.iter + 1, t.v, t.lab AS p FROM (
+        |    SELECT c.iter, c.v, c.lab,
+        |      row_number() OVER (PARTITION BY c.iter, c.v
+        |        ORDER BY c.cnt DESC, c.lab) AS rn
+        |    FROM (
+        |      SELECT pr.iter, dir.v, pr.p AS lab, count(*) AS cnt
+        |      FROM dir JOIN pr ON pr.v = dir.u
+        |      WHERE pr.iter < 16
+        |      GROUP BY pr.iter, dir.v, pr.p) c) t
+        |  WHERE t.rn = 1),
+        |conv AS (
+        |  SELECT a.iter AS k
+        |  FROM pr a JOIN pr b ON b.iter = a.iter + 1 AND b.v = a.v
+        |  GROUP BY a.iter
+        |  HAVING max(CASE WHEN a.p = b.p THEN 0 ELSE 1 END) = 0),
+        |pick AS (SELECT coalesce(min(k), 16) AS k FROM conv),
+        |lab AS (
+        |  SELECT pr.v, CAST(pr.p AS BIGINT) AS c
+        |  FROM pr JOIN pick ON pr.iter = pick.k),
+        |mm AS (SELECT count(*) AS m FROM e),
+        |din AS (
+        |  SELECT la.c, count(*) AS m_in
+        |  FROM e JOIN lab la ON la.v = e.a
+        |  JOIN lab lb ON lb.v = e.b AND lb.c = la.c
+        |  GROUP BY la.c),
+        |dc AS (
+        |  SELECT lab.c, count(*) AS n_vertices,
+        |    CAST(sum(deg.deg) AS BIGINT) AS vol
+        |  FROM lab JOIN deg ON deg.u = lab.v
+        |  GROUP BY lab.c)
+        |SELECT dc.c AS community, CAST(dc.n_vertices AS BIGINT) AS n_vertices,
+        |  CAST(coalesce(din.m_in, 0) AS BIGINT) AS m_in, dc.vol,
+        |  CAST(dc.vol - 2 * coalesce(din.m_in, 0) AS BIGINT) AS cut_edges,
+        |  CAST(CASE WHEN least(dc.vol, 2 * mm.m - dc.vol) = 0 THEN 0
+        |    ELSE (dc.vol - 2 * coalesce(din.m_in, 0)) * 1000000
+        |      // least(dc.vol, 2 * mm.m - dc.vol) END AS BIGINT) AS phi_ppm
         |FROM dc LEFT JOIN din ON din.c = dc.c, mm""".stripMargin,
 
     "q146_item_similarity" ->

@@ -201,8 +201,11 @@ class DeterminismSpec extends AnyFunSuite {
     "q339_dedup_cutlist", "q340_dedup_reclaimed",
     // round 18: the keeper-attributed cut positions under the
     // source-pair rollup (struct-min keeper tie-break inherited);
-    // the OBF interim fold's cumulative window + DECIMAL z²
+    // the OBF interim fold's cumulative window + DECIMAL z²; the
+    // Bradley–Terry BigInt MM fold over the collected win matrix
     "q354_dedup_attribution", "q355_obf_boundaries",
+    // the LPA-label boundary fold (min tie-breaks inherited from q164)
+    "q356_bradley_terry", "q357_conductance_audit",
     // the centroid-argmax assignment feeding per-cell moment
     // summaries and the shifted signed silhouette division
     "q341_silhouette",

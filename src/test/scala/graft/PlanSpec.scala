@@ -120,6 +120,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q355: the 1-row stop-look scalar crossed onto the 4-row
     // design-bounded interim table
     "q355_obf_boundaries" -> 1,
+    // q357: q203's 1-row edge-count scalar crossed onto the
+    // per-community table
+    "q357_conductance_audit" -> 1,
     // q348: the 1-row distinct-length scalar crossed onto the 1-row
     // string-column agg
     "q348_dict_encoding_estimate" -> 1,
