@@ -105,6 +105,45 @@ object Pipeline extends QueryPack {
           .otherwise("continue").as("state"))
   }
 
+  /** q356's Bradley–Terry MM fold over an ordered win matrix — pure
+    * and driver-sized, factored so BtPropertySpec can pin its laws
+    * (Σs renormalization invariant, label-permutation equivariance,
+    * the 2-item closed form s_a/s_b → n_ab/n_ba) against crafted
+    * matrices. BigInt division on non-negative operands, truncating —
+    * bit-identical to the oracle's HUGEINT rounds. Returns one row per
+    * matched type: (type, wins, matches, strength_ppm, rank). */
+  private[graft] def btFit(wins: Map[(String, String), Long],
+      rounds: Int = 8): Seq[(String, Long, Long, Long, Long)] = {
+    val types = wins.keySet.flatMap(k => Seq(k._1, k._2)).toSeq.sorted
+    val m = (for {
+      a <- types; b <- types if a != b
+      mm = wins.getOrElse((a, b), 0L) + wins.getOrElse((b, a), 0L)
+      if mm > 0
+    } yield ((a, b), mm)).toMap
+    val w = types.map(t =>
+      t -> types.filter(_ != t).map(b => wins.getOrElse((t, b), 0L)).sum)
+      .toMap
+    val mt = types.map(t =>
+      t -> m.collect { case ((a, _), v) if a == t => v }.sum).toMap
+    val E12 = BigInt(1000000000000L)
+    var st: Map[String, BigInt] =
+      types.map(_ -> BigInt(1000000L)).toMap
+    for (_ <- 1 to rounds) {
+      val raw = types.map { t =>
+        val dd = types.filter(b => b != t && m.contains((t, b)))
+          .map(b => BigInt(m((t, b))) * E12 / (st(t) + st(b))).sum
+        t -> (if (dd > 0) BigInt(w(t)) * E12 / dd else st(t))
+      }.toMap
+      val tot = raw.values.sum
+      st = types.map(t =>
+        t -> (raw(t) * (BigInt(types.size) * 1000000L) / tot).max(1))
+        .toMap
+    }
+    types.sortBy(t => (-st(t), t)).zipWithIndex.map { case (t, i) =>
+      (t, w(t), mt(t), st(t).toLong, i + 1L)
+    }
+  }
+
   /** q355's O'Brien–Fleming group-sequential report from per-look
     * (look, n_events, n_purch) counts — factored on the haarReport
     * rule for a future streaming twin (look counts are linear
@@ -1247,34 +1286,8 @@ object Pipeline extends QueryPack {
           .groupBy($"ta", $"tb").agg(count(lit(1)).cast("long").as("n")),
         64, "q356 win matrix")
         .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
-      val types = wins.keySet.flatMap(k => Seq(k._1, k._2)).toSeq.sorted
-      val m = (for {
-        a <- types; b <- types if a != b
-        mm = wins.getOrElse((a, b), 0L) + wins.getOrElse((b, a), 0L)
-        if mm > 0
-      } yield ((a, b), mm)).toMap
-      val w = types.map(t =>
-        t -> types.filter(_ != t).map(b => wins.getOrElse((t, b), 0L)).sum)
-        .toMap
-      val mt = types.map(t =>
-        t -> m.collect { case ((a, _), v) if a == t => v }.sum).toMap
-      val E12 = BigInt(1000000000000L)
-      var st: Map[String, BigInt] =
-        types.map(_ -> BigInt(1000000L)).toMap
-      for (_ <- 1 to 8) {
-        val raw = types.map { t =>
-          val dd = types.filter(b => b != t && m.contains((t, b)))
-            .map(b => BigInt(m((t, b))) * E12 / (st(t) + st(b))).sum
-          t -> (if (dd > 0) BigInt(w(t)) * E12 / dd else st(t))
-        }.toMap
-        val tot = raw.values.sum
-        st = types.map(t =>
-          t -> (raw(t) * (BigInt(types.size) * 1000000L) / tot).max(1))
-          .toMap
-      }
-      types.sortBy(t => (-st(t), t)).zipWithIndex.map { case (t, i) =>
-        (t, w(t), mt(t), st(t).toLong, i + 1L)
-      }.toDF("event_type", "wins", "matches", "strength_ppm", "rank")
+      btFit(wins).toDF("event_type", "wins", "matches", "strength_ppm",
+        "rank")
     }),
 
     // ---- O'Brien–Fleming group-sequential boundaries ------------------
