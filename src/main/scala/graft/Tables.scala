@@ -78,8 +78,14 @@ object Tables {
       new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
         java.lang.Boolean]())
 
+  // Serialized, unlike memo: pinned builders are EAGER and
+  // side-effecting (localCheckpoint jobs), so memo's benign
+  // lose-the-race duplicate build would here run the dominant
+  // occurrence pass twice AND leak the loser's checkpoint blocks
+  // (invisible to clearCache). Builds are rare and seconds-long; a
+  // coarse lock is the correct trade.
   def memoPinned(spark: SparkSession, key: String)
-      (build: => DataFrame): DataFrame = {
+      (build: => DataFrame): DataFrame = pinnedKeys.synchronized {
     val df = memo(spark, key)(build)
     pinnedKeys.add((spark, key))
     df

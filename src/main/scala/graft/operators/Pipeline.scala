@@ -154,7 +154,16 @@ object Pipeline extends QueryPack {
     * 2.024 — in milli, so z²·1e6 compares against bound_milli²
     * exactly, no sqrt on the data path. dev = x·1e6 − n·p0ppm is the
     * one signed quantity (exact int64); z² rides DECIMAL(38,0) (the
-    * q209 template). p0 = 200000 ppm, q330's implied SPRT null. */
+    * q209 template). p0 = 200000 ppm, q330's implied SPRT null.
+    * Headroom, stated honestly: dev²·1e6 stays inside DECIMAL(38)/
+    * HUGEINT only for |dev| ≤ ~3.1e15 (n·|p̂−p0| ≤ 3.1e9 events), so
+    * past |dev| = 3e15 BOTH engines take a sentinel branch instead —
+    * and the branch is EXACT, not approximate: a non-crossing cell
+    * with |dev| > 3e15 would need n > 3.4e18 events (z² ≤ 16.4 ⟹
+    * dev ≤ 1.62e6·√n), which is unrepresentable long before that
+    * (dev's own int64 form caps n at ~9e12) — so |dev| > 3e15 implies
+    * a crossing at ANY feasible n, and the sentinel (> every
+    * bound_milli²) encodes exactly that. */
   private[operators] def obfReport(looks: DataFrame): DataFrame = {
     val s = looks.sparkSession
     import s.implicits._
@@ -169,9 +178,11 @@ object Pipeline extends QueryPack {
       .join(broadcast(bounds), "look")
       .withColumn("dev", expr(s"x_cum * 1000000 - n_cum * $p0"))
       .withColumn("z2_micro", expr(
-        s"CAST(CAST(dev AS DECIMAL(38,0)) * dev * 1000000 div " +
+        "CASE WHEN abs(dev) > 3000000000000000 " +
+          "THEN 999999999999999999 ELSE " +
+          s"CAST(CAST(dev AS DECIMAL(38,0)) * dev * 1000000 div " +
           s"(CAST(n_cum AS DECIMAL(38,0)) * $p0 * ${1000000L - p0}) " +
-          "AS BIGINT)"))
+          "AS BIGINT) END"))
       .withColumn("crossed",
         when($"z2_micro" >= $"bound_milli" * $"bound_milli", 1L)
           .otherwise(0L))
@@ -1307,8 +1318,8 @@ object Pipeline extends QueryPack {
     "q355_obf_boundaries" -> ((s, d) => {
       import s.implicits._
       obfReport(T.events(s, d)
-        .select(expr("least(datediff(to_date(ts), DATE '2024-01-01') " +
-          "div 8, 3) + 1").cast("long").as("look"),
+        .select(expr("least(greatest(datediff(to_date(ts), " +
+          "DATE '2024-01-01'), 0) div 8, 3) + 1").cast("long").as("look"),
           ($"event_type" === "purchase").cast("long").as("p"))
         .groupBy($"look")
         .agg(count(lit(1)).cast("bigint").as("n_events"),
@@ -3868,8 +3879,8 @@ object Pipeline extends QueryPack {
 
     "q355_obf_boundaries" ->
       """WITH per AS (
-        |  SELECT least(datediff('day', DATE '2024-01-01',
-        |      CAST(ts AS DATE)) // 8, 3) + 1 AS look,
+        |  SELECT least(greatest(datediff('day', DATE '2024-01-01',
+        |      CAST(ts AS DATE)), 0) // 8, 3) + 1 AS look,
         |    CAST(count(*) AS BIGINT) AS n_events,
         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
         |      AS BIGINT) AS n_purch
@@ -3883,9 +3894,11 @@ object Pipeline extends QueryPack {
         |sc AS (SELECT c.*, b.bound_milli,
         |  x_cum * 1000000 - n_cum * 200000 AS dev FROM cum c JOIN b USING (look)),
         |z AS (SELECT *,
-        |  CAST(CAST(dev AS HUGEINT) * dev * 1000000
-        |    // (CAST(n_cum AS HUGEINT) * 200000 * 800000) AS BIGINT)
-        |    AS z2_micro
+        |  CASE WHEN abs(dev) > 3000000000000000
+        |    THEN CAST(999999999999999999 AS BIGINT)
+        |    ELSE CAST(CAST(dev AS HUGEINT) * dev * 1000000
+        |      // (CAST(n_cum AS HUGEINT) * 200000 * 800000) AS BIGINT)
+        |    END AS z2_micro
         |  FROM sc),
         |f AS (SELECT *, CASE WHEN z2_micro >= bound_milli * bound_milli
         |  THEN 1 ELSE 0 END AS crossed FROM z),

@@ -432,8 +432,15 @@ object Relational extends QueryPack {
     * shifted-numerator signed floor (+1000·den before div, −1000
     * after — the CentroidFloorSpec rule, since contributions of
     * under-dense communities are negative). */
-  private[graft] def modularityPpk(e: DataFrame, deg: DataFrame,
-                                   lab: DataFrame): DataFrame = {
+  /** Per-community structural stats over a labeled undirected edge
+    * list — (community, n_vertices, m_in, d_tot, m_edges) — the block
+    * BOTH community-quality scorers read (q203 modularity, q357
+    * conductance), factored so the edge-attribution and tie-break
+    * semantics cannot drift between them. m_edges is the 1-row global
+    * scalar crossed on via broadcast (both consumers carry the
+    * PlanSpec BNLJ cap). */
+  private def communityStats(e: DataFrame, deg: DataFrame,
+                             lab: DataFrame): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
     val mRow = e.agg(count(lit(1)).as("m_edges"))
@@ -441,13 +448,20 @@ object Relational extends QueryPack {
       .join(lab.toDF("b", "cb"), "b")
       .filter($"ca" === $"cb")
       .groupBy($"ca".as("community")).agg(count(lit(1)).as("m_in"))
-    val dcom = lab.toDF("v", "community")
+    lab.toDF("v", "community")
       .join(deg.toDF("v", "deg"), "v")
       .groupBy($"community")
       .agg(count(lit(1)).as("n_vertices"), sum($"deg").as("d_tot"))
-    dcom.join(inEdges, Seq("community"), "left")
+      .join(inEdges, Seq("community"), "left")
       .na.fill(0L, Seq("m_in"))
       .crossJoin(broadcast(mRow))
+  }
+
+  private[graft] def modularityPpk(e: DataFrame, deg: DataFrame,
+                                   lab: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    communityStats(e, deg, lab)
       .select($"community", $"n_vertices", $"m_in", $"d_tot",
         expr("((4*m_edges*m_in - d_tot*d_tot) * 1000L " +
           "+ 1000L * 4*m_edges*m_edges) div (4*m_edges*m_edges) - 1000L")
@@ -1756,27 +1770,15 @@ object Relational extends QueryPack {
     // whole-graph community (denominator 0) reports φ = 0.
     "q357_conductance_audit" -> ((s, d) => {
       import s.implicits._
-      val e = coocEdges(s, d)
-      val lab = lpaLabels(s, d)
-      val mRow = e.agg(count(lit(1)).as("m_edges"))
-      val inEdges = e.join(lab.toDF("a", "ca"), "a")
-        .join(lab.toDF("b", "cb"), "b")
-        .filter($"ca" === $"cb")
-        .groupBy($"ca".as("community")).agg(count(lit(1)).as("m_in"))
-      lab.toDF("v", "community")
-        .join(coocDeg(s, d).toDF("v", "deg"), "v")
-        .groupBy($"community")
-        .agg(count(lit(1)).cast("bigint").as("n_vertices"),
-          sum($"deg").cast("bigint").as("vol"))
-        .join(inEdges, Seq("community"), "left")
-        .na.fill(0L, Seq("m_in"))
-        .crossJoin(broadcast(mRow))
-        .select($"community", $"n_vertices",
-          $"m_in".cast("bigint").as("m_in"), $"vol",
-          ($"vol" - $"m_in" * 2L).cast("bigint").as("cut_edges"),
-          expr("CASE WHEN least(vol, 2 * m_edges - vol) = 0 THEN 0L " +
-            "ELSE (vol - 2 * m_in) * 1000000L " +
-            "div least(vol, 2 * m_edges - vol) END").as("phi_ppm"))
+      communityStats(coocEdges(s, d), coocDeg(s, d), lpaLabels(s, d))
+        .select($"community",
+          $"n_vertices".cast("bigint").as("n_vertices"),
+          $"m_in".cast("bigint").as("m_in"),
+          $"d_tot".cast("bigint").as("vol"),
+          ($"d_tot" - $"m_in" * 2L).cast("bigint").as("cut_edges"),
+          expr("CASE WHEN least(d_tot, 2 * m_edges - d_tot) = 0 THEN 0L " +
+            "ELSE (d_tot - 2 * m_in) * 1000000L " +
+            "div least(d_tot, 2 * m_edges - d_tot) END").as("phi_ppm"))
     }),
 
     // ---- multi-source BFS reach profile -----------------------------

@@ -289,8 +289,14 @@ object Streams extends QueryPack {
     * shard by partition; too few means multi-GB stores and straggler
     * commits). The point demonstrated here is that the count is a
     * per-query dial scoped to the stream, not a cluster constant.
-    * Correctness is partition-count-independent (DeterminismSpec runs
-    * the declared set under multiple shapes). */
+    * Correctness is partition-count-independent BY CONSTRUCTION — the
+    * monitors merge exact linear/semilattice partials gated by their
+    * batch twins' oracles, re-verified at three sfs under this scope
+    * (DeterminismSpec's shape sweep covers the BATCH surface only).
+    * NOT reentrant: the set/restore assumes the harness's sequential
+    * execution (Verify/Bench/specs all run queries one at a time on
+    * the session); concurrent streams on one session would race the
+    * session-global conf. */
   private val streamShufflePartitions = 8
 
   /** Scope `spark.sql.shuffle.partitions` to a streaming query's
@@ -2302,6 +2308,10 @@ object Streams extends QueryPack {
               " 'o_orderdate_epoch_s', CAST(ep AS STRING))" +
               " AS (col_name, val)")
             .filter(col("val").isNotNull).distinct()
+          // two actions read dvb (the dv write and the register pass)
+          // — persist across them so the stack+distinct shuffle runs
+          // once per batch, released before the batch returns
+          dvb.persist()
           dvb.write.mode("overwrite").parquet(s"$root/dv$batchId")
           // the HLL column class: the same values reduced to a ≤4·32-
           // row register partial (q214's bank via the factored
@@ -2312,6 +2322,7 @@ object Streams extends QueryPack {
               graft.functions.PortableHash.h60(col("val")).as("h")),
             "col_name")
             .write.mode("overwrite").parquet(s"$root/hll$batchId")
+          dvb.unpersist()
           ()
         }.start()
       q.awaitTermination()
@@ -2907,10 +2918,12 @@ object Streams extends QueryPack {
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           // q355's OWN look assignment from the day string — identical
-          // to its least(epoch-day-offset div 8, 3) + 1
+          // to its least(greatest(offset, 0) div 8, 3) + 1 (the
+          // non-negative numerator keeps Spark div == DuckDB //)
           batch.select(
-            expr("least(datediff(to_date(day), DATE '2024-01-01') " +
-              "div 8, 3) + 1").cast("long").as("look"),
+            expr("least(greatest(datediff(to_date(day), " +
+              "DATE '2024-01-01'), 0) div 8, 3) + 1")
+              .cast("long").as("look"),
             col("p"))
             .groupBy(col("look"))
             .agg(count(lit(1)).cast("long").as("n_events"),
