@@ -91,17 +91,21 @@ object Tables {
     df
   }
 
-  def dropPinnedSubstrates(spark: SparkSession): Unit = {
-    val it = pinnedKeys.iterator()
-    while (it.hasNext) {
-      val k = it.next()
-      if (k._1 == spark) {
-        val df = derived.remove(k)
-        if (df != null) releaseLocalCheckpoint(df)
-        it.remove()
+  // Same lock as memoPinned: a drop interleaving between memo's
+  // putIfAbsent and pinnedKeys.add would otherwise leave an untracked
+  // cached substrate (checkpoint blocks leak, bench isolation breaks).
+  def dropPinnedSubstrates(spark: SparkSession): Unit =
+    pinnedKeys.synchronized {
+      val it = pinnedKeys.iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        if (k._1 == spark) {
+          val df = derived.remove(k)
+          if (df != null) releaseLocalCheckpoint(df)
+          it.remove()
+        }
       }
     }
-  }
 
   def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     evictOnStop(spark)

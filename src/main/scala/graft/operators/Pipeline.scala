@@ -132,7 +132,14 @@ object Pipeline extends QueryPack {
       val raw = types.map { t =>
         val dd = types.filter(b => b != t && m.contains((t, b)))
           .map(b => BigInt(m((t, b))) * E12 / (st(t) + st(b))).sum
-        t -> (if (dd > 0) BigInt(w(t)) * E12 / dd else st(t))
+        // dd > 0 is an invariant, not a case to handle: every type in
+        // `types` has ≥1 matched opponent (m drops zero-count pairs
+        // but wins rows carry n ≥ 1), each term is ≥ m·1e12/(2·Σst)
+        // with Σst = |types|·1e6 ≪ 1e12, and the q356 oracle divides
+        // unguarded — a silent carry-forward here would diverge from
+        // its NULL/error path, so fail loudly on both engines instead.
+        require(dd > 0, s"btFit: type '$t' has zero matched demand")
+        t -> BigInt(w(t)) * E12 / dd
       }.toMap
       val tot = raw.values.sum
       st = types.map(t =>

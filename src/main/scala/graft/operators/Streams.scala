@@ -2310,19 +2310,22 @@ object Streams extends QueryPack {
             .filter(col("val").isNotNull).distinct()
           // two actions read dvb (the dv write and the register pass)
           // — persist across them so the stack+distinct shuffle runs
-          // once per batch, released before the batch returns
+          // once per batch, released before the batch returns (in a
+          // finally: a throwing write must not leak the cached frame
+          // for the session)
           dvb.persist()
-          dvb.write.mode("overwrite").parquet(s"$root/dv$batchId")
-          // the HLL column class: the same values reduced to a ≤4·32-
-          // row register partial (q214's bank via the factored
-          // hllRegisterRows) — the ONLY per-batch ndv state a
-          // production profile writer keeps once exactness is waived
-          Sketches.hllRegisterRows(
-            dvb.select(col("col_name"),
-              graft.functions.PortableHash.h60(col("val")).as("h")),
-            "col_name")
-            .write.mode("overwrite").parquet(s"$root/hll$batchId")
-          dvb.unpersist()
+          try {
+            dvb.write.mode("overwrite").parquet(s"$root/dv$batchId")
+            // the HLL column class: the same values reduced to a ≤4·32-
+            // row register partial (q214's bank via the factored
+            // hllRegisterRows) — the ONLY per-batch ndv state a
+            // production profile writer keeps once exactness is waived
+            Sketches.hllRegisterRows(
+              dvb.select(col("col_name"),
+                graft.functions.PortableHash.h60(col("val")).as("h")),
+              "col_name")
+              .write.mode("overwrite").parquet(s"$root/hll$batchId")
+          } finally dvb.unpersist()
           ()
         }.start()
       q.awaitTermination()
