@@ -205,6 +205,55 @@ object Streams extends QueryPack {
           stream.putRecord("partitionKey", r.getString(1).getBytes(UTF_8), None))
     }
 
+  /** The shared plumbing of the events-day monitor family (s44 SPRT,
+    * s54 Haar, s55 Wilson, s56 runs, s57 OBF — every experiment/series
+    * monitor whose input is the per-day event/purchase grid): seeds
+    * the ONE `events_sprt_<sf>` fixture at most once per JVM, clears
+    * the monitor's scratch root, and returns the parsed
+    * (day STRING, p LONG) micro-batch stream plus the batchId-keyed
+    * partial root. Factored (VERDICT r18 #3) because the five copies
+    * were byte-identical and one drifting would silently split a
+    * monitor from the batch oracle that gates it.
+    *
+    * Day is a CALENDAR date string (to_date), not a truncated
+    * epoch-day long: the batch oracles use CAST(ts AS DATE), and
+    * epoch-day `div` truncates toward zero (wrong bucket for pre-1970
+    * ts) and only matches calendar days under UTC. */
+  private def eventsDayMonitor(s: SparkSession, d: String,
+                               tag: String): (DataFrame, String) = {
+    val name = s"events_sprt_${sfx(d)}"
+    synchronized {
+      if (!ShardServiceRegistry.exists(name)) {
+        val rows = T.events(s, d)
+          .select(col("event_id"), col("event_id").as("pk"),
+            to_json(struct(
+              to_date(col("ts")).cast("string").as("day"),
+              (col("event_type") === "purchase").cast("long").as("p")))
+              .as("json"))
+          .orderBy("event_id").toLocalIterator()
+        seedRows(name, numShards = 2, rows, times = 1)
+      }
+    }
+    val nEv = T.events(s, d).count()
+    val cap = math.max(10L, nEv / 4)
+    val root = s"/tmp/graft_${tag}_${sfx(d)}" +
+      s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val eSchema = StructType(Seq(
+      StructField("day", StringType), StructField("p", LongType)))
+    val raw = s.readStream.format("shardstream")
+      .option("stream", name)
+      .option("startingPosition", "trim_horizon")
+      .option("maxRecordsPerBatch", cap.toString)
+      .load()
+      .select(from_json(col("data").cast("string"), eSchema).as("e"))
+      .select(col("e.day").as("day"), col("e.p").as("p"))
+    graft.streaming.StreamObservability.attach(s)
+    (raw, root)
+  }
+
   /** Run a streaming DataFrame through Trigger.AvailableNow into a
     * memory sink and return the materialized table (S9 completion).
     * Every declared query runs under the session's
@@ -2710,37 +2759,8 @@ object Streams extends QueryPack {
     // on read.
     "s54_stream_haar_monitor" -> ((s, d) => {
       import s.implicits._
-      val name = s"events_sprt_${sfx(d)}" // shares s44's day fixture
-      synchronized {
-        if (!ShardServiceRegistry.exists(name)) {
-          val rows = T.events(s, d)
-            .select($"event_id", $"event_id".as("pk"),
-              to_json(struct(
-                to_date($"ts").cast("string").as("day"),
-                ($"event_type" === "purchase").cast("long").as("p")))
-                .as("json"))
-            .orderBy("event_id").toLocalIterator()
-          seedRows(name, numShards = 2, rows, times = 1)
-        }
-      }
-      val nEv = T.events(s, d).count()
-      val cap = math.max(10L, nEv / 4)
-      val root = s"/tmp/graft_shaar_${sfx(d)}" +
-        s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
-      val fsb = new org.apache.hadoop.fs.Path(root)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fsb.delete(new org.apache.hadoop.fs.Path(root), true)
-      val eSchema = StructType(Seq(
-        StructField("day", StringType), StructField("p", LongType)))
-      val raw = s.readStream.format("shardstream")
-        .option("stream", name)
-        .option("startingPosition", "trim_horizon")
-        .option("maxRecordsPerBatch", cap.toString)
-        .load()
-        .select(from_json(col("data").cast("string"), eSchema).as("e"))
-        .filter(col("e.p") === 1L)
-        .select(col("e.day").as("day"))
-      graft.streaming.StreamObservability.attach(s)
+      val (rawDays, root) = eventsDayMonitor(s, d, "shaar")
+      val raw = rawDays.filter(col("p") === 1L).select(col("day"))
       val q = raw.writeStream.outputMode("append")
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -2766,36 +2786,7 @@ object Streams extends QueryPack {
     // maintained during ingest for |cells| longs of state.
     "s55_stream_wilson_monitor" -> ((s, d) => {
       import s.implicits._
-      val name = s"events_sprt_${sfx(d)}" // shares s44/s54's day fixture
-      synchronized {
-        if (!ShardServiceRegistry.exists(name)) {
-          val rows = T.events(s, d)
-            .select($"event_id", $"event_id".as("pk"),
-              to_json(struct(
-                to_date($"ts").cast("string").as("day"),
-                ($"event_type" === "purchase").cast("long").as("p")))
-                .as("json"))
-            .orderBy("event_id").toLocalIterator()
-          seedRows(name, numShards = 2, rows, times = 1)
-        }
-      }
-      val nEv = T.events(s, d).count()
-      val cap = math.max(10L, nEv / 4)
-      val root = s"/tmp/graft_swil_${sfx(d)}" +
-        s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
-      val fsb = new org.apache.hadoop.fs.Path(root)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fsb.delete(new org.apache.hadoop.fs.Path(root), true)
-      val eSchema = StructType(Seq(
-        StructField("day", StringType), StructField("p", LongType)))
-      val raw = s.readStream.format("shardstream")
-        .option("stream", name)
-        .option("startingPosition", "trim_horizon")
-        .option("maxRecordsPerBatch", cap.toString)
-        .load()
-        .select(from_json(col("data").cast("string"), eSchema).as("e"))
-        .select(col("e.day").as("day"), col("e.p").as("p"))
-      graft.streaming.StreamObservability.attach(s)
+      val (raw, root) = eventsDayMonitor(s, d, "swil")
       val q = raw.writeStream.outputMode("append")
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -2827,36 +2818,7 @@ object Streams extends QueryPack {
     // randomness dial over the ingest series, |days| longs of state.
     "s56_stream_runs_monitor" -> ((s, d) => {
       import s.implicits._
-      val name = s"events_sprt_${sfx(d)}" // shares s44/s54's day fixture
-      synchronized {
-        if (!ShardServiceRegistry.exists(name)) {
-          val rows = T.events(s, d)
-            .select($"event_id", $"event_id".as("pk"),
-              to_json(struct(
-                to_date($"ts").cast("string").as("day"),
-                ($"event_type" === "purchase").cast("long").as("p")))
-                .as("json"))
-            .orderBy("event_id").toLocalIterator()
-          seedRows(name, numShards = 2, rows, times = 1)
-        }
-      }
-      val nEv = T.events(s, d).count()
-      val cap = math.max(10L, nEv / 4)
-      val root = s"/tmp/graft_sruns_${sfx(d)}" +
-        s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
-      val fsb = new org.apache.hadoop.fs.Path(root)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fsb.delete(new org.apache.hadoop.fs.Path(root), true)
-      val eSchema = StructType(Seq(
-        StructField("day", StringType), StructField("p", LongType)))
-      val raw = s.readStream.format("shardstream")
-        .option("stream", name)
-        .option("startingPosition", "trim_horizon")
-        .option("maxRecordsPerBatch", cap.toString)
-        .load()
-        .select(from_json(col("data").cast("string"), eSchema).as("e"))
-        .select(col("e.day").as("day"), col("e.p").as("p"))
-      graft.streaming.StreamObservability.attach(s)
+      val (raw, root) = eventsDayMonitor(s, d, "sruns")
       val q = raw.writeStream.outputMode("append")
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -2887,36 +2849,7 @@ object Streams extends QueryPack {
     // K·2 longs: the design bounds the state, not the data.
     "s57_stream_obf_monitor" -> ((s, d) => {
       import s.implicits._
-      val name = s"events_sprt_${sfx(d)}" // shares s44/s54's day fixture
-      synchronized {
-        if (!ShardServiceRegistry.exists(name)) {
-          val rows = T.events(s, d)
-            .select($"event_id", $"event_id".as("pk"),
-              to_json(struct(
-                to_date($"ts").cast("string").as("day"),
-                ($"event_type" === "purchase").cast("long").as("p")))
-                .as("json"))
-            .orderBy("event_id").toLocalIterator()
-          seedRows(name, numShards = 2, rows, times = 1)
-        }
-      }
-      val nEv = T.events(s, d).count()
-      val cap = math.max(10L, nEv / 4)
-      val root = s"/tmp/graft_sobf_${sfx(d)}" +
-        s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
-      val fsb = new org.apache.hadoop.fs.Path(root)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fsb.delete(new org.apache.hadoop.fs.Path(root), true)
-      val eSchema = StructType(Seq(
-        StructField("day", StringType), StructField("p", LongType)))
-      val raw = s.readStream.format("shardstream")
-        .option("stream", name)
-        .option("startingPosition", "trim_horizon")
-        .option("maxRecordsPerBatch", cap.toString)
-        .load()
-        .select(from_json(col("data").cast("string"), eSchema).as("e"))
-        .select(col("e.day").as("day"), col("e.p").as("p"))
-      graft.streaming.StreamObservability.attach(s)
+      val (raw, root) = eventsDayMonitor(s, d, "sobf")
       val q = raw.writeStream.outputMode("append")
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -2953,40 +2886,7 @@ object Streams extends QueryPack {
     // own oracle (the s38/s39 discipline).
     "s44_stream_sprt_monitor" -> ((s, d) => {
       import s.implicits._
-      val name = s"events_sprt_${sfx(d)}"
-      synchronized {
-        if (!ShardServiceRegistry.exists(name)) {
-          // day as a CALENDAR date string (to_date), not a truncated
-          // epoch-day long: q330's oracle uses CAST(ts AS DATE), and
-          // epoch-day `div` truncates toward zero (wrong bucket for
-          // pre-1970 ts) and only matches calendar days under UTC.
-          val rows = T.events(s, d)
-            .select($"event_id", $"event_id".as("pk"),
-              to_json(struct(
-                to_date($"ts").cast("string").as("day"),
-                ($"event_type" === "purchase").cast("long").as("p")))
-                .as("json"))
-            .orderBy("event_id").toLocalIterator()
-          seedRows(name, numShards = 2, rows, times = 1)
-        }
-      }
-      val nEv = T.events(s, d).count()
-      val cap = math.max(10L, nEv / 4)
-      val root = s"/tmp/graft_ssprt_${sfx(d)}" +
-        s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
-      val fs = new org.apache.hadoop.fs.Path(root)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(root), true)
-      val eSchema = StructType(Seq(
-        StructField("day", StringType), StructField("p", LongType)))
-      val raw = s.readStream.format("shardstream")
-        .option("stream", name)
-        .option("startingPosition", "trim_horizon")
-        .option("maxRecordsPerBatch", cap.toString)
-        .load()
-        .select(from_json(col("data").cast("string"), eSchema).as("e"))
-        .select(col("e.day").as("day"), col("e.p").as("p"))
-      graft.streaming.StreamObservability.attach(s)
+      val (raw, root) = eventsDayMonitor(s, d, "ssprt")
       val q = raw.writeStream.outputMode("append")
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
