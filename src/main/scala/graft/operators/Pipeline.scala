@@ -151,6 +151,28 @@ object Pipeline extends QueryPack {
     }
   }
 
+  /** q356's full report from the per-(user, type) count grid — the
+    * pairwise a-beats-b join, the boundedCollect of the ≤|types|²-row
+    * win matrix, and the [[btFit]] MM fold. Factored on the haarReport
+    * rule for the streaming twin (s58): the WIN MATRIX is not
+    * batch-linear (a user's verdict depends on total counts), but the
+    * count grid is — so the monitor streams (user, type, c) partials
+    * and hands the exact post-drain sum to this identical fold.
+    * Expects positional columns (user, type, c: long). */
+  private[operators] def btReport(uc: DataFrame): DataFrame = {
+    val s = uc.sparkSession
+    import s.implicits._
+    val wins = T.boundedCollect(
+      uc.toDF("u", "ta", "ca")
+        .join(uc.toDF("u", "tb", "cb"), "u")
+        .filter($"ta" =!= $"tb" && $"ca" > $"cb")
+        .groupBy($"ta", $"tb").agg(count(lit(1)).cast("long").as("n")),
+      64, "bt win matrix")
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    btFit(wins).toDF("event_type", "wins", "matches", "strength_ppm",
+      "rank")
+  }
+
   /** q355's O'Brien–Fleming group-sequential report from per-look
     * (look, n_events, n_purch) counts — factored on the haarReport
     * rule for a future streaming twin (look counts are linear
@@ -1294,18 +1316,9 @@ object Pipeline extends QueryPack {
     // ≤|types|²-row matrix crosses the driver (boundedCollect).
     "q356_bradley_terry" -> ((s, d) => {
       import s.implicits._
-      val uc = T.events(s, d)
+      btReport(T.events(s, d)
         .groupBy($"user_id", $"event_type")
-        .agg(count(lit(1)).as("c"))
-      val wins = T.boundedCollect(
-        uc.toDF("u", "ta", "ca")
-          .join(uc.toDF("u", "tb", "cb"), "u")
-          .filter($"ta" =!= $"tb" && $"ca" > $"cb")
-          .groupBy($"ta", $"tb").agg(count(lit(1)).cast("long").as("n")),
-        64, "q356 win matrix")
-        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
-      btFit(wins).toDF("event_type", "wins", "matches", "strength_ppm",
-        "rank")
+        .agg(count(lit(1)).cast("long").as("c")))
     }),
 
     // ---- O'Brien–Fleming group-sequential boundaries ------------------

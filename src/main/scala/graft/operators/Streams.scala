@@ -254,6 +254,29 @@ object Streams extends QueryPack {
     (raw, root)
   }
 
+  /** The orders-profile fixture shared by the s48 (audit) and s59
+    * (registers-only production) profile monitors: one JSON record per
+    * order carrying the four profiled columns, seeded at most once per
+    * JVM. Factored for the same no-drift reason as
+    * [[eventsDayMonitor]]. */
+  private def ordersProfFixture(s: SparkSession, d: String): String = {
+    val name = s"orders_prof_${sfx(d)}"
+    synchronized {
+      if (!ShardServiceRegistry.exists(name)) {
+        val rows = T.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderkey").as("pk"),
+            to_json(struct(
+              col("o_custkey").cast("long").as("ck"),
+              col("o_orderstatus").as("st"),
+              graft.functions.Exact.cents(col("o_totalprice")).as("pc"),
+              unix_timestamp(col("o_orderdate")).as("ep"))).as("json"))
+          .orderBy("o_orderkey").toLocalIterator()
+        seedRows(name, numShards = 2, rows, times = 1)
+      }
+    }
+    name
+  }
+
   /** Run a streaming DataFrame through Trigger.AvailableNow into a
     * memory sink and return the materialized table (S9 completion).
     * Every declared query runs under the session's
@@ -2303,20 +2326,7 @@ object Streams extends QueryPack {
     // estimate replay for the HLL ones.
     "s48_stream_profile_monitor" -> ((s, d) => {
       import s.implicits._
-      val name = s"orders_prof_${sfx(d)}"
-      synchronized {
-        if (!ShardServiceRegistry.exists(name)) {
-          val rows = T.orders(s, d)
-            .select($"o_orderkey", $"o_orderkey".as("pk"),
-              to_json(struct(
-                $"o_custkey".cast("long").as("ck"),
-                $"o_orderstatus".as("st"),
-                graft.functions.Exact.cents($"o_totalprice").as("pc"),
-                unix_timestamp($"o_orderdate").as("ep"))).as("json"))
-            .orderBy("o_orderkey").toLocalIterator()
-          seedRows(name, numShards = 2, rows, times = 1)
-        }
-      }
+      val name = ordersProfFixture(s, d)
       val nOrd = T.orders(s, d).count()
       val cap = math.max(50L, nOrd / 4)
       val root = s"/tmp/graft_sprof_${sfx(d)}" +
@@ -2420,6 +2430,104 @@ object Streams extends QueryPack {
           $"ndv_hll",
           expr("(abs(ndv_hll - n_distinct) * 1000000L) div n_distinct")
             .as("ndv_err_ppm"),
+          $"min_s", $"max_s")
+    }),
+
+    // Registers-only profile monitor — s48's PRODUCTION mode (VERDICT
+    // r18 #4): s48 is the audit form, carrying the exact distinct-
+    // value union beside the HLL registers to measure the estimator —
+    // the one corpus-scaling state in the monitor family, priced at
+    // its own bench line. This is the form a production profile
+    // writer actually runs once exactness is waived: per batch, ONE
+    // stats row + ≤4·32 register rows, and because register max is
+    // duplicate-insensitive the batch values feed [[Sketches
+    // .hllRegisterRows]] directly — no distinct() shuffle, no value
+    // set ever written or read. Post-drain: register-max semilattice
+    // merge + q214's integer-exact estimate. Gated by the same
+    // orders-profile oracle minus the exactness columns.
+    "s59_stream_profile_registers" -> ((s, d) => {
+      import s.implicits._
+      val name = ordersProfFixture(s, d)
+      val nOrd = T.orders(s, d).count()
+      val cap = math.max(50L, nOrd / 4)
+      val root = s"/tmp/graft_sprofr_${sfx(d)}" +
+        s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fsb = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fsb.delete(new org.apache.hadoop.fs.Path(root), true)
+      val oSchema = StructType(Seq(
+        StructField("ck", LongType), StructField("st", StringType),
+        StructField("pc", LongType), StructField("ep", LongType)))
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", cap.toString)
+        .load()
+        .select(from_json(col("data").cast("string"), oSchema).as("e"))
+        .select(col("e.ck").as("ck"), col("e.st").as("st"),
+          col("e.pc").as("pc"), col("e.ep").as("ep"))
+      graft.streaming.StreamObservability.attach(s)
+      val q = raw.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.agg(
+            count(lit(1)).cast("long").as("n_rows"),
+            sum(col("ck").isNull.cast("long")).cast("long").as("ck_nulls"),
+            min(col("ck")).as("ck_min"), max(col("ck")).as("ck_max"),
+            sum(col("st").isNull.cast("long")).cast("long").as("st_nulls"),
+            min(col("st")).as("st_min"), max(col("st")).as("st_max"),
+            sum(col("pc").isNull.cast("long")).cast("long").as("pc_nulls"),
+            min(col("pc")).as("pc_min"), max(col("pc")).as("pc_max"),
+            sum(col("ep").isNull.cast("long")).cast("long").as("ep_nulls"),
+            min(col("ep")).as("ep_min"), max(col("ep")).as("ep_max"))
+            .write.mode("overwrite").parquet(s"$root/st$batchId")
+          Sketches.hllRegisterRows(
+            batch.selectExpr(
+              "stack(4, 'o_custkey', CAST(ck AS STRING)," +
+                " 'o_orderstatus', st," +
+                " 'o_totalprice_cents', CAST(pc AS STRING)," +
+                " 'o_orderdate_epoch_s', CAST(ep AS STRING))" +
+                " AS (col_name, val)")
+              .filter(col("val").isNotNull)
+              .select(col("col_name"),
+                graft.functions.PortableHash.h60(col("val")).as("h")),
+            "col_name")
+            .write.mode("overwrite").parquet(s"$root/hll$batchId")
+          ()
+        }.start()
+      q.awaitTermination()
+      val wide = s.read.schema("n_rows LONG, ck_nulls LONG, ck_min LONG, " +
+          "ck_max LONG, st_nulls LONG, st_min STRING, st_max STRING, " +
+          "pc_nulls LONG, pc_min LONG, pc_max LONG, ep_nulls LONG, " +
+          "ep_min LONG, ep_max LONG")
+        .parquet(s"$root/st*")
+        .agg(sum($"n_rows").cast("bigint").as("n_rows"),
+          sum($"ck_nulls").cast("bigint").as("ck_nulls"),
+          min($"ck_min").cast("string").as("ck_min"),
+          max($"ck_max").cast("string").as("ck_max"),
+          sum($"st_nulls").cast("bigint").as("st_nulls"),
+          min($"st_min").as("st_min"), max($"st_max").as("st_max"),
+          sum($"pc_nulls").cast("bigint").as("pc_nulls"),
+          min($"pc_min").cast("string").as("pc_min"),
+          max($"pc_max").cast("string").as("pc_max"),
+          sum($"ep_nulls").cast("bigint").as("ep_nulls"),
+          min($"ep_min").cast("string").as("ep_min"),
+          max($"ep_max").cast("string").as("ep_max"))
+      val hll = Sketches.hllEstimate(
+        s.read.schema("col_name STRING, j LONG, reg LONG")
+          .parquet(s"$root/hll*")
+          .groupBy($"col_name", $"j").agg(max($"reg").as("reg")),
+        "col_name")
+        .withColumnRenamed("est_hll", "ndv_hll")
+      wide.selectExpr("n_rows",
+        """stack(4,
+          |  'o_custkey',           ck_nulls, ck_min, ck_max,
+          |  'o_orderstatus',       st_nulls, st_min, st_max,
+          |  'o_totalprice_cents',  pc_nulls, pc_min, pc_max,
+          |  'o_orderdate_epoch_s', ep_nulls, ep_min, ep_max
+          |) AS (col_name, n_nulls, min_s, max_s)""".stripMargin)
+        .join(hll, "col_name")
+        .select($"n_rows", $"col_name", $"n_nulls", $"ndv_hll",
           $"min_s", $"max_s")
     }),
 
@@ -2874,6 +2982,58 @@ object Streams extends QueryPack {
           .groupBy($"look")
           .agg(sum($"n_events").cast("bigint").as("n_events"),
             sum($"n_purch").cast("bigint").as("n_purch")))
+    }),
+
+    // Streaming Bradley–Terry preference monitor — q356's ingest-side
+    // form, closing the preference-data family on the path where
+    // preference data actually arrives (VERDICT r18 #5). The win
+    // matrix is NOT batch-linear — a user's a-beats-b verdict depends
+    // on TOTAL counts, so per-batch (winner, loser) rows would be
+    // wrong whenever a user spans batches. The per-(user, type)
+    // counts ARE linear, so each micro-batch writes its (user_id,
+    // event_type, c) count partial (batchId-keyed, idempotent,
+    // ≤ batch rows) and the post-drain sum rebuilds the exact count
+    // grid that feeds the identical pairwise join + BigInt MM fold
+    // ([[Pipeline.btReport]]) — gated by q356's own oracle. State =
+    // |active users|·|types| longs, the honest cost of exact
+    // streaming preference aggregation; at scale the partial is a
+    // map-side-combined shuffle on (user, type), and a production
+    // variant ages out users whose remaining events cannot flip any
+    // pairwise verdict.
+    "s58_stream_bt_monitor" -> ((s, d) => {
+      import s.implicits._
+      val name = s"events_rt_${sfx(d)}" // shares s01/s04's full fixture
+      seedEventsJson(s, d, name, numShards = 4)
+      val nEv = T.events(s, d).count()
+      val cap = math.max(10L, nEv / 4)
+      val root = s"/tmp/graft_sbt_${sfx(d)}" +
+        s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", cap.toString)
+        .load()
+        .select(from_json(col("data").cast("string"), payloadSchema).as("e"))
+        .select(col("e.user_id").as("user_id"),
+          col("e.event_type").as("event_type"))
+      graft.streaming.StreamObservability.attach(s)
+      val q = raw.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.groupBy(col("user_id"), col("event_type"))
+            .agg(count(lit(1)).cast("long").as("c"))
+            .write.mode("overwrite").parquet(s"$root/b$batchId")
+          ()
+        }.start()
+      q.awaitTermination()
+      Pipeline.btReport(
+        s.read.schema("user_id LONG, event_type STRING, c LONG")
+          .parquet(s"$root/b*")
+          .groupBy($"user_id", $"event_type")
+          .agg(sum($"c").cast("long").as("c")))
     }),
 
     // Streaming SPRT experiment monitor — q330's ingest-side form,
@@ -3443,6 +3603,65 @@ object Streams extends QueryPack {
       drain(s, alerts)
     }))
 
+  /** Shared WITH-chain of the s48/s59 profile oracles: the exact
+    * per-column stats, the q214 m=32 HLL register replay over each
+    * column's distinct value strings, and the per-column base rows.
+    * One string so the audit and production variants cannot drift. */
+  private val profileOracleCore: String =
+    s"""WITH t AS (
+      |  SELECT o_custkey AS ck, o_orderstatus AS st,
+      |    ${graft.functions.Exact.centsSql("o_totalprice")} AS pc,
+      |    CAST(epoch(o_orderdate) AS BIGINT) AS ep
+      |  FROM orders),
+      |w AS (SELECT count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN ck IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ck_nulls,
+      |  count(DISTINCT ck) AS ck_dist,
+      |  CAST(min(ck) AS VARCHAR) AS ck_min, CAST(max(ck) AS VARCHAR) AS ck_max,
+      |  CAST(sum(CASE WHEN st IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS st_nulls,
+      |  count(DISTINCT st) AS st_dist,
+      |  min(st) AS st_min, max(st) AS st_max,
+      |  CAST(sum(CASE WHEN pc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS pc_nulls,
+      |  count(DISTINCT pc) AS pc_dist,
+      |  CAST(min(pc) AS VARCHAR) AS pc_min, CAST(max(pc) AS VARCHAR) AS pc_max,
+      |  CAST(sum(CASE WHEN ep IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ep_nulls,
+      |  count(DISTINCT ep) AS ep_dist,
+      |  CAST(min(ep) AS VARCHAR) AS ep_min, CAST(max(ep) AS VARCHAR) AS ep_max
+      |  FROM t),
+      |sv AS (
+      |  SELECT 'o_custkey' AS col_name, CAST(ck AS VARCHAR) AS val
+      |  FROM t WHERE ck IS NOT NULL
+      |  UNION ALL SELECT 'o_orderstatus', st FROM t WHERE st IS NOT NULL
+      |  UNION ALL SELECT 'o_totalprice_cents', CAST(pc AS VARCHAR)
+      |  FROM t WHERE pc IS NOT NULL
+      |  UNION ALL SELECT 'o_orderdate_epoch_s', CAST(ep AS VARCHAR)
+      |  FROM t WHERE ep IS NOT NULL),
+      |dvv AS (SELECT DISTINCT col_name, val FROM sv),
+      |hh AS (SELECT col_name,
+      |  CAST('0x' || substr(md5(val), 1, 15) AS BIGINT) AS h FROM dvv),
+      |rk AS (SELECT col_name, h // 36028797018963968 AS j,
+      |  CASE WHEN h % 36028797018963968 = 0 THEN 56
+      |       ELSE 55 - (length(bin(h % 36028797018963968)) - 1)
+      |  END AS rank FROM hh),
+      |rg AS (SELECT col_name, j, CAST(max(rank) AS BIGINT) AS reg
+      |  FROM rk GROUP BY 1, 2),
+      |hs AS (SELECT col_name,
+      |  CAST(sum(CAST(1 AS BIGINT) << CAST(56 - reg AS INT)) AS BIGINT)
+      |    + (32 - count(*)) * 72057594037927936 AS s
+      |  FROM rg GROUP BY 1),
+      |he AS (SELECT col_name,
+      |  CAST((CAST(697000 AS HUGEINT) * 1024 * 72057594037927936)
+      |    // (CAST(s AS HUGEINT) * 1000000) AS BIGINT) AS ndv_hll
+      |  FROM hs),
+      |base AS (
+      |  SELECT n_rows, 'o_custkey' AS col_name, ck_nulls AS n_nulls,
+      |    ck_dist AS n_distinct, ck_min AS min_s, ck_max AS max_s FROM w
+      |  UNION ALL SELECT n_rows, 'o_orderstatus', st_nulls, st_dist,
+      |    st_min, st_max FROM w
+      |  UNION ALL SELECT n_rows, 'o_totalprice_cents', pc_nulls,
+      |    pc_dist, pc_min, pc_max FROM w
+      |  UNION ALL SELECT n_rows, 'o_orderdate_epoch_s', ep_nulls,
+      |    ep_dist, ep_min, ep_max FROM w)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     // s00's fixture is a fixed 8-row constant (2 puts per key,
     // independent of the tables), so its oracle is the constant too
@@ -3666,6 +3885,7 @@ object Streams extends QueryPack {
     // the streamed per-look count sums must reproduce q355's interim
     // z² trajectory bit-for-bit (linear merge into the literal fold)
     "s57_stream_obf_monitor" -> Pipeline.oracles("q355_obf_boundaries"),
+    "s58_stream_bt_monitor" -> Pipeline.oracles("q356_bradley_terry"),
     // the streamed power-sum merge must reproduce q337's moments
     // bit-for-bit (linear merge over DECIMAL partials)
     "s45_stream_shape_monitor" -> Pipeline.oracles("q337_shape_profile"),
@@ -3682,62 +3902,18 @@ object Streams extends QueryPack {
     // same chain q113 gates, the ndv_hll/ndv_err_ppm columns re-derive
     // the m=32 register bank from each column's distinct value strings
     "s48_stream_profile_monitor" ->
-      s"""WITH t AS (
-        |  SELECT o_custkey AS ck, o_orderstatus AS st,
-        |    ${graft.functions.Exact.centsSql("o_totalprice")} AS pc,
-        |    CAST(epoch(o_orderdate) AS BIGINT) AS ep
-        |  FROM orders),
-        |w AS (SELECT count(*) AS n_rows,
-        |  CAST(sum(CASE WHEN ck IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ck_nulls,
-        |  count(DISTINCT ck) AS ck_dist,
-        |  CAST(min(ck) AS VARCHAR) AS ck_min, CAST(max(ck) AS VARCHAR) AS ck_max,
-        |  CAST(sum(CASE WHEN st IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS st_nulls,
-        |  count(DISTINCT st) AS st_dist,
-        |  min(st) AS st_min, max(st) AS st_max,
-        |  CAST(sum(CASE WHEN pc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS pc_nulls,
-        |  count(DISTINCT pc) AS pc_dist,
-        |  CAST(min(pc) AS VARCHAR) AS pc_min, CAST(max(pc) AS VARCHAR) AS pc_max,
-        |  CAST(sum(CASE WHEN ep IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ep_nulls,
-        |  count(DISTINCT ep) AS ep_dist,
-        |  CAST(min(ep) AS VARCHAR) AS ep_min, CAST(max(ep) AS VARCHAR) AS ep_max
-        |  FROM t),
-        |sv AS (
-        |  SELECT 'o_custkey' AS col_name, CAST(ck AS VARCHAR) AS val
-        |  FROM t WHERE ck IS NOT NULL
-        |  UNION ALL SELECT 'o_orderstatus', st FROM t WHERE st IS NOT NULL
-        |  UNION ALL SELECT 'o_totalprice_cents', CAST(pc AS VARCHAR)
-        |  FROM t WHERE pc IS NOT NULL
-        |  UNION ALL SELECT 'o_orderdate_epoch_s', CAST(ep AS VARCHAR)
-        |  FROM t WHERE ep IS NOT NULL),
-        |dvv AS (SELECT DISTINCT col_name, val FROM sv),
-        |hh AS (SELECT col_name,
-        |  CAST('0x' || substr(md5(val), 1, 15) AS BIGINT) AS h FROM dvv),
-        |rk AS (SELECT col_name, h // 36028797018963968 AS j,
-        |  CASE WHEN h % 36028797018963968 = 0 THEN 56
-        |       ELSE 55 - (length(bin(h % 36028797018963968)) - 1)
-        |  END AS rank FROM hh),
-        |rg AS (SELECT col_name, j, CAST(max(rank) AS BIGINT) AS reg
-        |  FROM rk GROUP BY 1, 2),
-        |hs AS (SELECT col_name,
-        |  CAST(sum(CAST(1 AS BIGINT) << CAST(56 - reg AS INT)) AS BIGINT)
-        |    + (32 - count(*)) * 72057594037927936 AS s
-        |  FROM rg GROUP BY 1),
-        |he AS (SELECT col_name,
-        |  CAST((CAST(697000 AS HUGEINT) * 1024 * 72057594037927936)
-        |    // (CAST(s AS HUGEINT) * 1000000) AS BIGINT) AS ndv_hll
-        |  FROM hs),
-        |base AS (
-        |  SELECT n_rows, 'o_custkey' AS col_name, ck_nulls AS n_nulls,
-        |    ck_dist AS n_distinct, ck_min AS min_s, ck_max AS max_s FROM w
-        |  UNION ALL SELECT n_rows, 'o_orderstatus', st_nulls, st_dist,
-        |    st_min, st_max FROM w
-        |  UNION ALL SELECT n_rows, 'o_totalprice_cents', pc_nulls,
-        |    pc_dist, pc_min, pc_max FROM w
-        |  UNION ALL SELECT n_rows, 'o_orderdate_epoch_s', ep_nulls,
-        |    ep_dist, ep_min, ep_max FROM w)
+      s"""$profileOracleCore
         |SELECT b.n_rows, b.col_name, b.n_nulls, b.n_distinct, he.ndv_hll,
         |  CAST((abs(he.ndv_hll - b.n_distinct) * 1000000) // b.n_distinct
         |    AS BIGINT) AS ndv_err_ppm,
+        |  b.min_s, b.max_s
+        |FROM base b JOIN he USING (col_name)""".stripMargin,
+    // the SAME profile core minus the exactness columns: the
+    // registers-only production mode keeps the stats and the HLL
+    // estimate, never an exact distinct set
+    "s59_stream_profile_registers" ->
+      s"""$profileOracleCore
+        |SELECT b.n_rows, b.col_name, b.n_nulls, he.ndv_hll,
         |  b.min_s, b.max_s
         |FROM base b JOIN he USING (col_name)""".stripMargin,
     // XOR-of-XORs + summed counts reproduce the batch checksums
