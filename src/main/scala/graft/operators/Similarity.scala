@@ -1490,6 +1490,66 @@ object Similarity extends QueryPack {
       sweep.crossJoin(broadcast(pick))
         .select($"eps_x100", $"n_vectors", $"n_removed", $"removed_ppm",
           when($"eps_x100" === $"ceps", 1L).otherwise(0L).as("chosen"))
+    }),
+
+    // ---- SemDeDup keeper cut: the sweep's operating point, executed --
+    // q213 ANSWERS "which ε"; this query EXECUTES the cut there
+    // (VERDICT r18 #6) — the embedding-space analog of q339's exact-
+    // substring cut, producing the per-source accounting a curation
+    // loop actually consumes (q283's savings shape): docs dropped,
+    // token mass reclaimed, ppm. A doc is dropped iff some smaller-id
+    // cell-mate has cosine ≥ the chosen ε — the greedy ε-ball
+    // representative keeps the min id, q67's keeper rule in embedding
+    // space. Only EMBEDDED documents participate (sf0.1 embeds a
+    // prefix of the corpus; vec_id IS the doc key — 1:1 join verified
+    // at all three sfs). Scale: ONE cell-bounded pair pass — the
+    // sweep's own cost class — localCheckpointed for its two
+    // consumers (operating-point pick, cut membership), then a
+    // doc-keyed left join and a |sources|-bounded agg. No all-pairs,
+    // and the two 1-row scalars ride broadcast BNLJs (PlanSpec cap).
+    "q358_semdedup_cut" -> ((s, d) => {
+      import s.implicits._
+      val e = quantized(s, d).join(kmeansCells(s, d), "vec_id")
+      val a = e.select($"kcell", $"vec_id".as("a"), $"q".as("qa"),
+        $"n2".as("na"))
+      val b = e.select($"kcell", $"vec_id".as("b"), $"q".as("qb"),
+        $"n2".as("nb"))
+      val prevmax = a.join(b, Seq("kcell")).filter($"a" < $"b")
+        .select($"b", cosine("qa", "qb", "na", "nb").as("cos"))
+        .groupBy($"b").agg(max($"cos").as("pm"))
+        .localCheckpoint(true)
+      val nv = e.agg(count(lit(1)).as("n_vectors"))
+      val sweep = semdedupEpsGrid.map { epsX100 =>
+        prevmax.filter($"pm" >= lit(epsX100 / 100.0))
+          .agg(count(lit(1)).as("n_removed"))
+          .select(lit(epsX100.toLong).as("eps_x100"), $"n_removed")
+      }.reduce(_ unionAll _)
+        .crossJoin(broadcast(nv))
+        .select($"eps_x100",
+          expr("(n_removed * 1000000L) div n_vectors").as("removed_ppm"))
+      val pick = sweep.agg(coalesce(
+        max(when($"removed_ppm" >= 10000L, $"eps_x100")),
+        max($"eps_x100")).as("eps_x100"))
+      val dropped = prevmax.crossJoin(broadcast(pick))
+        .filter($"pm" >= $"eps_x100".cast("double") / 100.0)
+        .select($"b".as("doc_id"), lit(1L).as("drp"))
+      T.documents(s, d)
+        .join(quantized(s, d).select($"vec_id".as("doc_id")), "doc_id")
+        .select($"doc_id", $"source",
+          size(split($"text", " ")).cast("long").as("toks"))
+        .join(dropped, Seq("doc_id"), "left")
+        .crossJoin(broadcast(pick))
+        .groupBy($"source", $"eps_x100")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce($"drp", lit(0L))).cast("bigint").as("n_dropped"),
+          min(when($"drp".isNull, $"doc_id")).as("first_kept"),
+          sum($"toks").cast("bigint").as("tokens_total"),
+          sum(when($"drp".isNotNull, $"toks").otherwise(0L))
+            .cast("bigint").as("tokens_dropped"))
+        .select($"source", $"eps_x100", $"n_docs", $"n_dropped",
+          $"first_kept", $"tokens_total", $"tokens_dropped",
+          expr("tokens_dropped * 1000000L div tokens_total")
+            .as("reclaimed_ppm"))
     }))
 
   /** The SemDeDup ε grid (cosine × 100) and its ≥1%-removal target. */
@@ -2610,5 +2670,62 @@ object Similarity extends QueryPack {
         |SELECT eps_x100, n_vectors, n_removed, removed_ppm,
         |  CASE WHEN eps_x100 = pick.ceps THEN CAST(1 AS BIGINT)
         |       ELSE CAST(0 AS BIGINT) END AS chosen
-        |FROM sw2 CROSS JOIN pick""".stripMargin)
+        |FROM sw2 CROSS JOIN pick""".stripMargin,
+
+    // q213's chain verbatim through the operating-point pick, then the
+    // cut membership + per-source accounting over embedded docs only
+    "q358_semdedup_cut" ->
+      s"""WITH $duckQuant,
+        |$duckMeanCent,
+        |sc AS (
+        |  SELECT n.vec_id, CAST(cn.label AS BIGINT) AS kcell,
+        |    ${duckCos("n.qv", "cn.c", "n.n2", "cn.cn2")} AS cos
+        |  FROM n CROSS JOIN cn),
+        |km AS (
+        |  SELECT vec_id, kcell FROM (
+        |    SELECT vec_id, kcell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, kcell) AS rn
+        |    FROM sc) t WHERE rn = 1),
+        |e2 AS (SELECT n.vec_id, n.qv, n.n2, km.kcell FROM n JOIN km USING (vec_id)),
+        |prevmax AS MATERIALIZED (
+        |  SELECT y.vec_id AS b, max(${duckCos("x.qv", "y.qv", "x.n2", "y.n2")}) AS pm
+        |  FROM e2 x JOIN e2 y ON x.kcell = y.kcell AND x.vec_id < y.vec_id
+        |  GROUP BY y.vec_id),
+        |nv AS (SELECT count(*) AS n_vectors FROM e2),
+        |sweep AS (
+        |  SELECT g.eps_x100, nv.n_vectors,
+        |    CAST((SELECT count(*) FROM prevmax
+        |      WHERE pm >= CAST(g.eps_x100 AS DOUBLE) / 100) AS BIGINT)
+        |      AS n_removed
+        |  FROM (VALUES (20), (25), (30), (35), (40)) g(eps_x100)
+        |  CROSS JOIN nv),
+        |sw2 AS (
+        |  SELECT CAST(eps_x100 AS BIGINT) AS eps_x100,
+        |    CAST((n_removed * 1000000) // n_vectors AS BIGINT) AS removed_ppm
+        |  FROM sweep),
+        |pick AS (
+        |  SELECT coalesce(
+        |    max(CASE WHEN removed_ppm >= 10000 THEN eps_x100 END),
+        |    max(eps_x100)) AS ceps
+        |  FROM sw2),
+        |dropped AS (
+        |  SELECT b AS doc_id FROM prevmax CROSS JOIN pick
+        |  WHERE pm >= CAST(pick.ceps AS DOUBLE) / 100),
+        |t AS (
+        |  SELECT d.source, d.doc_id,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS toks,
+        |    CASE WHEN d.doc_id IN (SELECT doc_id FROM dropped)
+        |         THEN 1 ELSE 0 END AS drp
+        |  FROM documents d JOIN n ON n.vec_id = d.doc_id)
+        |SELECT source, pick.ceps AS eps_x100,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(drp) AS BIGINT) AS n_dropped,
+        |  min(CASE WHEN drp = 0 THEN doc_id END) AS first_kept,
+        |  CAST(sum(toks) AS BIGINT) AS tokens_total,
+        |  CAST(sum(CASE WHEN drp = 1 THEN toks ELSE 0 END) AS BIGINT)
+        |    AS tokens_dropped,
+        |  CAST((sum(CASE WHEN drp = 1 THEN toks ELSE 0 END) * 1000000)
+        |    // sum(toks) AS BIGINT) AS reclaimed_ppm
+        |FROM t CROSS JOIN pick
+        |GROUP BY source, pick.ceps""".stripMargin)
 }

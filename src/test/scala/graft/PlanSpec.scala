@@ -304,6 +304,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q213: the 1-row n_vectors scalar and the 1-row chosen-epsilon
     // scalar crossed onto the 5-row sweep report
     "q213_semdedup_sweep" -> 10,
+    // q358: q213's two scalars (1-row n_vectors, 1-row chosen ε) plus
+    // the same 1-row ε broadcast on the accounting join
+    "q358_semdedup_cut" -> 10,
     // q215: the 1-row token-total scalar crossed onto the 1024-row
     // bucket-ratio table
     "q215_dsir_importance" -> 8,
