@@ -172,4 +172,65 @@ class BfsPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  /** VERDICT r18 #7: the hop cap must be a PURE TRUNCATION of the
+    * unbounded per-seed BFS — capped(k) == unbounded ∩ {hop ≤ k} as
+    * (sd, v, hop) TRIPLES, even when seed balls overlap inside the
+    * cap (a vertex reached by one seed at hop ≤ k and another past it
+    * keeps exactly the first labeling; the shared frontier machinery
+    * must not let one seed's exhaustion or the early-exit path
+    * perturb another's trajectory). Shapes where the cap BINDS: a
+    * long path with two seeds 5 apart, and random sparse graphs with
+    * clustered (overlapping-ball) seed sets. */
+  test("hop cap is a pure truncation of the unbounded labeled BFS") {
+    val s = spark
+    import s.implicits._
+    def run(edges: Set[(Long, Long)], seeds: Set[Long], cap: Int) = {
+      val e = edges.toSeq.sorted.toDF("a", "b")
+      val dirE = e.select($"a".as("u"), $"b".as("v"))
+        .unionAll(e.select($"b".as("u"), $"a".as("v")))
+      operators.Relational
+        .multiSeedDistances(dirE, seeds.toSeq.sorted.toDF("sd"), cap)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    // path 0–15, seeds 0 and 5: their balls overlap from hop 3 on,
+    // and every cap 1..4 binds (diameter 15)
+    val path = (0L until 15L).map(i => (i, i + 1)).toSet
+    val pathSeeds = Set(0L, 5L)
+    val pathFull = bruteLabeled(path, pathSeeds, 16)
+    for (cap <- 1 to 4) {
+      val got = run(path, pathSeeds, cap)
+      spark.catalog.clearCache()
+      val want = pathFull.filter(_._3 <= cap)
+      assert(got == want, s"path cap=$cap: ${got.diff(want)} extra, " +
+        s"${want.diff(got)} missing")
+    }
+    // random sparse graphs, seed sets clustered around a hub so the
+    // balls overlap well inside the cap
+    for (seed <- 21 to 24) {
+      val rnd = new scala.util.Random(seed * 101L)
+      val n = 16 + rnd.nextInt(8)
+      val edges = (for {
+        i <- 0L until n.toLong
+        j <- (i + 1) until n.toLong
+        if rnd.nextDouble() < 0.10
+      } yield (i, j)).toSet
+      if (edges.nonEmpty) {
+        val vs = vertsOf(edges)
+        val hub = vs.min
+        val near = edges.collect { case (a, b) if a == hub => b
+                                   case (a, b) if b == hub => a }
+        val seeds = Set(hub) ++ near.take(2)
+        val full = bruteLabeled(edges, seeds, n + 1)
+        for (cap <- Seq(2, 4)) {
+          val got = run(edges, seeds, cap)
+          spark.catalog.clearCache()
+          val want = full.filter(_._3 <= cap)
+          assert(got == want, s"G(seed=$seed) cap=$cap: " +
+            s"${got.diff(want)} extra, ${want.diff(got)} missing")
+        }
+      }
+    }
+  }
 }
