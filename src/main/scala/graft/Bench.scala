@@ -19,6 +19,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      // with per-query provider unload (see isolate()) the registry
+      // never grows, so maintenance has nothing useful to do between
+      // queries — push its wakeups far past any timed line instead of
+      // letting the default 60 s sweep land inside one
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -40,12 +45,32 @@ object Bench {
     // a plan's first run (seconds for wide expression trees) and
     // amortizes to nothing at scale, so steady-state timings are the
     // meaningful number — run everything once untimed, then time.
-    all.foreach { case (n, fn) =>
-      run(n, fn); spark.catalog.clearCache()
-      // checkpoint-pinned memo substrates (the dedup cut family) are
-      // invisible to clearCache — drop them too, same isolation rule
+    // Per-query hygiene, applied identically in warmup and timed
+    // passes: drop cached relations, drop checkpoint-pinned memo
+    // substrates (invisible to clearCache), and unload the JVM-wide
+    // state-store provider registry. The last one is the streaming
+    // noise fix (VERDICT r18 #2): every stateful stream run loads one
+    // provider per (operator, partition) into StateStore's global
+    // registry and nothing unloads them when the query stops — across
+    // 58 streams × 4 passes the registry accumulates thousands of
+    // dead providers whose 60 s maintenance sweep (snapshot/cleanup
+    // attempts against already-deleted temp checkpoints) lands
+    // randomly inside later timed lines. Unloading BETWEEN queries
+    // keeps every timed line's provider set exactly its own.
+    def isolate(): Unit = {
+      spark.catalog.clearCache()
       Tables.dropPinnedSubstrates(spark)
+      org.apache.spark.sql.execution.streaming.state
+        .GraftStateStoreHygiene.unloadAllProviders()
+      // JMH's between-iteration discipline: force collection OUTSIDE
+      // the timed window so accumulated garbage from the previous
+      // query is not paid as a pause inside the next timed line. The
+      // streaming class is where this bites — its lines are 1-2 s, so
+      // a single 300 ms GC landing inside one is a 20-30% spread
+      // between passes (the r18 noise envelope).
+      System.gc()
     }
+    all.foreach { case (n, fn) => run(n, fn); isolate() }
     // Timed pass: drop every cached relation before each query —
     // otherwise queries that persist intermediates (q36, q51, the
     // shared co-occurrence substrate) would be timed reading the
@@ -82,8 +107,7 @@ object Bench {
     // min-of-3 tightens it further. Full passes also space each
     // query's runs minutes apart, decorrelating heap-pressure spikes.
     def timedPass(): Seq[(String, Double)] = all.map { case (name, fn) =>
-      spark.catalog.clearCache()
-      Tables.dropPinnedSubstrates(spark)
+      isolate()
       name -> run(name, fn)
     }
     val passes = Seq(timedPass(), timedPass(), timedPass())

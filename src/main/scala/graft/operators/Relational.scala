@@ -1801,6 +1801,71 @@ object Relational extends QueryPack {
       bfsHopProfile(coocDir(s, d), verts, seeds, maxHops = 4)
     }),
 
+    // ---- HyperANF: approximate neighborhood function ----------------
+    // [Boldi, Rosa & Vigna, "HyperANF", WWW'11] the WHOLE-GRAPH
+    // distance profile q195/q242 can only sample: N(h) = Σ_v |ball_h
+    // (v)|, from which closure/effective-diameter reads fall out.
+    // Exact N(h) needs |V| BFS passes (q242 probes 8 seeds for this
+    // reason); HyperANF carries ONE m=32 HLL register bank per vertex
+    // and replaces all of them with H register-max rounds:
+    // B_h(v) = max(B_{h-1}(v), max_{(v,w)∈E} B_{h-1}(w)) — the max is
+    // exactly HLL union, so B_h(v) estimates |ball_h(v)| with no
+    // per-seed anything. State is PACKED: one 32-long array per
+    // vertex (0 = empty register; data ranks are ≥ 1), so each round
+    // shuffles |E| rows — not |E|·32 register rows — through one
+    // keyed join + a 32-column element-wise max agg, localCheckpoint-
+    // truncated like every iterative op in the family. Per-vertex
+    // estimates are q214's integer-exact m=32 formula (same
+    // constants, DECIMAL(38,0) division), summed per hop; closure_ppm
+    // rides the q209 DECIMAL template against the hop-4 scalar. At
+    // 100 TB this is THE neighborhood-function design: 4 passes over
+    // the bucketed edge table with 256 B/vertex of mergeable state,
+    // vs |V| BFS frontiers that would each shuffle the corpus.
+    "q359_hyperanf" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val dir = coocDir(s, d) // (u, v), both directions present
+      val rankCase = "CASE WHEN h % 36028797018963968 = 0 THEN" +
+        " CAST(56 AS BIGINT) ELSE CAST(55 -" +
+        " (length(bin(h % 36028797018963968)) - 1) AS BIGINT) END"
+      var regs = coocDeg(s, d).select($"v")
+        .withColumn("h", graft.functions.PortableHash.h60($"v"))
+        .select($"v", expr(
+          "transform(sequence(0, 31), i -> CASE WHEN i =" +
+            s" CAST(h div 36028797018963968 AS INT) THEN $rankCase" +
+            " ELSE CAST(0 AS BIGINT) END)").as("regs"))
+        .localCheckpoint(true)
+      def nf(r: DataFrame, hop: Int): DataFrame = r
+        .select(expr(
+          "aggregate(regs, CAST(0 AS BIGINT), (acc, g) -> acc +" +
+            " shiftleft(CAST(1 AS BIGINT), CAST(56 - g AS INT)))")
+          .as("sreg"))
+        .select(expr(
+          "(CAST(697000 AS DECIMAL(38,0)) * 1024 * 72057594037927936)" +
+            " div (CAST(sreg AS DECIMAL(38,0)) * 1000000)").cast("long")
+          .as("est"))
+        .agg(sum($"est").cast("bigint").as("nf_est"))
+        .select(lit(hop.toLong).as("hop"), $"nf_est")
+      val curves = scala.collection.mutable.ArrayBuffer(nf(regs, 0))
+      for (h <- 1 to 4) {
+        regs = dir.join(regs.toDF("nb", "regs"), $"v" === $"nb")
+          .select($"u".as("v"), $"regs")
+          .unionAll(regs)
+          .groupBy($"v")
+          .agg(array((0 until 32).map(i => max($"regs"(i))): _*)
+            .as("regs"))
+          .localCheckpoint(true)
+        curves += nf(regs, h)
+      }
+      val curve = curves.reduce(_ unionAll _)
+      val fin = curve.filter($"hop" === 4L)
+        .select($"nf_est".as("nf_final"))
+      curve.crossJoin(broadcast(fin))
+        .select($"hop", $"nf_est",
+          expr("CAST(CAST(nf_est AS DECIMAL(38,0)) * 1000000" +
+            " div nf_final AS BIGINT)").as("closure_ppm"))
+    }),
+
     // ---- sampled harmonic centrality --------------------------------
     // [Boldi & Vigna, "Axioms for Centrality", Internet Math'14] —
     // which parts sit closest to EVERYWHERE in the co-purchase graph?
@@ -3463,6 +3528,57 @@ object Relational extends QueryPack {
         |    ELSE (dc.vol - 2 * coalesce(din.m_in, 0)) * 1000000
         |      // least(dc.vol, 2 * mm.m - dc.vol) END AS BIGINT) AS phi_ppm
         |FROM dc LEFT JOIN din ON din.c = dc.c, mm""".stripMargin,
+
+    // 4 materialized register-max rounds (the unrolled-iteration
+    // rule), q214's m=32 bank per VERTEX: j/rank from the shared
+    // md5-h60 form, per-vertex HUGEINT estimate, per-hop sum
+    "q359_hyperanf" -> {
+      val round = (k: Int) =>
+        s""",
+          |r$k AS MATERIALIZED (
+          |  SELECT v, j, CAST(max(reg) AS BIGINT) AS reg FROM (
+          |    SELECT v, j, reg FROM r${k - 1}
+          |    UNION ALL
+          |    SELECT ed.u AS v, rr.j, rr.reg
+          |    FROM ed JOIN r${k - 1} rr ON rr.v = ed.v)
+          |  GROUP BY v, j)""".stripMargin
+      val nfAt = (k: Int) =>
+        s""",
+          |nf$k AS (
+          |  SELECT CAST($k AS BIGINT) AS hop,
+          |    CAST(sum(est) AS BIGINT) AS nf_est FROM (
+          |    SELECT v,
+          |      CAST((CAST(697000 AS HUGEINT) * 1024 * 72057594037927936)
+          |        // (CAST(sum(CAST(1 AS BIGINT) << CAST(56 - reg AS INT))
+          |          + (32 - count(*)) * 72057594037927936 AS HUGEINT)
+          |          * 1000000) AS BIGINT) AS est
+          |    FROM r$k GROUP BY v) t)""".stripMargin
+      """WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM li x JOIN li y ON x.o = y.o WHERE x.p < y.p),
+        |ed AS MATERIALIZED (
+        |  SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
+        |verts AS (SELECT DISTINCT u AS v FROM ed),
+        |h AS (SELECT v,
+        |  CAST('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15) AS BIGINT)
+        |    AS h FROM verts),
+        |r0 AS MATERIALIZED (SELECT v, h // 36028797018963968 AS j,
+        |  CAST(CASE WHEN h % 36028797018963968 = 0 THEN 56
+        |       ELSE 55 - (length(bin(h % 36028797018963968)) - 1)
+        |  END AS BIGINT) AS reg FROM h)""".stripMargin +
+        (1 to 4).map(round).mkString +
+        (0 to 4).map(nfAt).mkString +
+        """,
+          |curve AS (SELECT * FROM nf0 UNION ALL SELECT * FROM nf1
+          |  UNION ALL SELECT * FROM nf2 UNION ALL SELECT * FROM nf3
+          |  UNION ALL SELECT * FROM nf4),
+          |fin AS (SELECT nf_est AS nf_final FROM curve WHERE hop = 4)
+          |SELECT hop, nf_est,
+          |  CAST(CAST(nf_est AS HUGEINT) * 1000000 // nf_final AS BIGINT)
+          |    AS closure_ppm
+          |FROM curve CROSS JOIN fin""".stripMargin
+    },
 
     "q146_item_similarity" ->
       """WITH li AS (

@@ -307,6 +307,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q358: q213's two scalars (1-row n_vectors, 1-row chosen ε) plus
     // the same 1-row ε broadcast on the accounting join
     "q358_semdedup_cut" -> 10,
+    // q359: the 1-row hop-4 neighborhood-function scalar the closure
+    // column divides by
+    "q359_hyperanf" -> 2,
     // q215: the 1-row token-total scalar crossed onto the 1024-row
     // bucket-ratio table
     "q215_dsir_importance" -> 8,
