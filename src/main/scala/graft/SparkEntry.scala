@@ -348,6 +348,23 @@ import graft.operators._
   * MM rounds, the RLHF preference-data op) and q357 community
   * conductance audit (the boundary dial beside q203's modularity,
   * via cut = vol − 2·m_in over the memoized LPA labels).
+  *
+  * Round 19: s58 streaming Bradley–Terry preference monitor (the win
+  * matrix is NOT batch-linear — the per-(user, type) count grid is;
+  * post-drain sum into the factored btReport fold, q356's oracle);
+  * s59 registers-only profile monitor — s48's production mode (one
+  * stats row + ≤4·32 HLL register rows per batch, NO distinct()
+  * shuffle or value set; shared oracle core minus exactness
+  * columns); q358 SemDeDup keeper cut (q213's operating point
+  * EXECUTED: greedy ε-ball min-id keepers per k-means cell,
+  * per-source reclaimed-token accounting over the embedded corpus);
+  * q359 HyperANF approximate neighborhood function (per-vertex m=32
+  * HLL banks packed as 32-long arrays, 4 register-max rounds over
+  * the cooc edge table — N(h) + closure_ppm without per-seed BFS);
+  * the five-way events-day monitor plumbing and the orders-profile
+  * fixture factored into shared helpers; Bench isolation unloads the
+  * JVM-global state-store provider registry and forces GC between
+  * timed lines (the streaming cross-pass noise fix).
   */
 object SparkEntry {
 
