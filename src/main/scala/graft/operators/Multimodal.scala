@@ -57,6 +57,39 @@ object Multimodal extends QueryPack {
     n_shots: Long, first_cut: Long, longest_shot: Long,
     mean_shot_milli: Long)
 
+  /** q360's per-doc segmentation, factored (the haarReport rule) so
+    * the streaming twin s60 applies the IDENTICAL cut rule per
+    * micro-batch: hard cut at |Δ mean frame luma| ≥ 5 between
+    * consecutive frames; first_cut −1 when none; Long `/` truncates
+    * like the oracle's non-negative `//`. */
+  private[operators] def sceneCutsOf(id: Long, bytes: Array[Byte]): SceneCuts = {
+    val lumas = frameLumas(bytes)
+    val n = lumas.length
+    if (n == 0) SceneCuts(id, 0L, 0L, 0L, -1L, 0L, 0L)
+    else {
+      var f = 1
+      var cuts = 0L
+      var firstCut = -1L
+      var shotStart = 0
+      var longest = 0L
+      while (f < n) {
+        if (math.abs(lumas(f) - lumas(f - 1)) >= 5L) {
+          cuts += 1
+          if (firstCut < 0) firstCut = f.toLong
+          val len = (f - shotStart).toLong
+          if (len > longest) longest = len
+          shotStart = f
+        }
+        f += 1
+      }
+      val tail = (n - shotStart).toLong
+      if (tail > longest) longest = tail
+      val shots = cuts + 1
+      SceneCuts(id, n.toLong, cuts, shots, firstCut, longest,
+        n.toLong * 1000L / shots)
+    }
+  }
+
   /** q252's decode + aHash kernel, factored out so the spec can drive
     * it on crafted rasters. The fixture's payload format is an
     * 8-column 8-bit grayscale raster in row-major byte order with
@@ -443,33 +476,7 @@ object Multimodal extends QueryPack {
         .select($"doc_id", encode($"text", "UTF-8").as("payload"))
         .as[(Long, Array[Byte])]
       payloads.mapPartitions { rows =>
-        rows.map { case (id, bytes) =>
-          val lumas = frameLumas(bytes)
-          val n = lumas.length
-          if (n == 0) SceneCuts(id, 0L, 0L, 0L, -1L, 0L, 0L)
-          else {
-            var f = 1
-            var cuts = 0L
-            var firstCut = -1L
-            var shotStart = 0
-            var longest = 0L
-            while (f < n) {
-              if (math.abs(lumas(f) - lumas(f - 1)) >= 5L) {
-                cuts += 1
-                if (firstCut < 0) firstCut = f.toLong
-                val len = (f - shotStart).toLong
-                if (len > longest) longest = len
-                shotStart = f
-              }
-              f += 1
-            }
-            val tail = (n - shotStart).toLong
-            if (tail > longest) longest = tail
-            val shots = cuts + 1
-            SceneCuts(id, n.toLong, cuts, shots, firstCut, longest,
-              n.toLong * 1000L / shots)
-          }
-        }
+        rows.map { case (id, bytes) => sceneCutsOf(id, bytes) }
       }(Encoders.product[SceneCuts]).toDF()
         .select($"doc_id", $"n_frames", $"n_cuts", $"n_shots",
           $"first_cut", $"longest_shot", $"mean_shot_milli")

@@ -254,6 +254,26 @@ object Streams extends QueryPack {
     (raw, root)
   }
 
+  /** The documents fixture shared by the text/media monitor family
+    * (s52 LIX, s53 entropy, s60 scene cuts): one JSON record per doc
+    * carrying (doc_id, source, text), seeded at most once per JVM —
+    * factored on the eventsDayMonitor no-drift rule. Consumers parse
+    * the fields they need (from_json ignores the rest). */
+  private def docsLixFixture(s: SparkSession, d: String): String = {
+    val name = s"docs_lix_${sfx(d)}"
+    synchronized {
+      if (!ShardServiceRegistry.exists(name)) {
+        val rows = T.documents(s, d)
+          .select(col("doc_id"), col("doc_id").as("pk"),
+            to_json(struct(col("doc_id"), col("source"), col("text")))
+              .as("json"))
+          .orderBy("doc_id").toLocalIterator()
+        seedRows(name, numShards = 2, rows, times = 1)
+      }
+    }
+    name
+  }
+
   /** The orders-profile fixture shared by the s48 (audit) and s59
     * (registers-only production) profile monitors: one JSON record per
     * order carrying the four profiled columns, seeded at most once per
@@ -2531,6 +2551,59 @@ object Streams extends QueryPack {
           $"min_s", $"max_s")
     }),
 
+    // Streaming scene-cut monitor — q360's ingest-side form, the
+    // shape video curation actually runs (segment every clip AS IT
+    // ARRIVES, store the shot table): scene cuts are PER-DOC LOCAL
+    // (each record carries its whole frame series), so the per-batch
+    // summary rows ARE the exact result for the docs in that batch —
+    // the doc-grain batch-local discipline (s30), gated by q360's
+    // own oracle. The segmentation is the IDENTICAL factored rule
+    // ([[Multimodal.sceneCutsOf]]); payloads never shuffle — decode
+    // and segment inside the batch's partitions, only bounded
+    // summary rows are written.
+    "s60_stream_scenecut_monitor" -> ((s, d) => {
+      import s.implicits._
+      val name = docsLixFixture(s, d)
+      val nDocs = T.documents(s, d).count()
+      val cap = math.max(10L, nDocs / 4)
+      val root = s"/tmp/graft_scut_${sfx(d)}" +
+        s"_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fsb = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fsb.delete(new org.apache.hadoop.fs.Path(root), true)
+      val dSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val raw = s.readStream.format("shardstream")
+        .option("stream", name)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", cap.toString)
+        .load()
+        .select(from_json(col("data").cast("string"), dSchema).as("e"))
+        .select(col("e.doc_id").as("doc_id"), col("e.text").as("text"))
+      graft.streaming.StreamObservability.attach(s)
+      val q = raw.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch
+            .select(col("doc_id"),
+              encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
+            .as[(Long, Array[Byte])]
+            .mapPartitions { rows =>
+              rows.map { case (id, bytes) => Multimodal.sceneCutsOf(id, bytes) }
+            }(Encoders.product[Multimodal.SceneCuts])
+            .toDF()
+            .write.mode("overwrite").parquet(s"$root/b$batchId")
+          ()
+        }.start()
+      q.awaitTermination()
+      s.read.schema("doc_id LONG, n_frames LONG, n_cuts LONG, " +
+          "n_shots LONG, first_cut LONG, longest_shot LONG, " +
+          "mean_shot_milli LONG")
+        .parquet(s"$root/b*")
+        .select($"doc_id", $"n_frames", $"n_cuts", $"n_shots",
+          $"first_cut", $"longest_shot", $"mean_shot_milli")
+    }),
+
     // Streaming table-checksum monitor — q83's ingest-side form and
     // the INGEST-INTEGRITY op a replication pipeline runs per batch:
     // every micro-batch emits its per-table (count, bit_xor of the
@@ -2757,16 +2830,7 @@ object Streams extends QueryPack {
     // |sources|·4 longs of state.
     "s52_stream_readability_monitor" -> ((s, d) => {
       import s.implicits._
-      val name = s"docs_lix_${sfx(d)}"
-      synchronized {
-        if (!ShardServiceRegistry.exists(name)) {
-          val rows = T.documents(s, d)
-            .select(col("doc_id"), col("doc_id").as("pk"),
-              to_json(struct(col("source"), col("text"))).as("json"))
-            .orderBy("doc_id").toLocalIterator()
-          seedRows(name, numShards = 2, rows, times = 1)
-        }
-      }
+      val name = docsLixFixture(s, d)
       val nDocs = T.documents(s, d).count()
       val cap = math.max(10L, nDocs / 4)
       val root = s"/tmp/graft_slix_${sfx(d)}" +
@@ -2814,16 +2878,7 @@ object Streams extends QueryPack {
     // own oracle. The compression-floor dial, tracked during ingest.
     "s53_stream_entropy_monitor" -> ((s, d) => {
       import s.implicits._
-      val name = s"docs_lix_${sfx(d)}" // shares s52's fixture
-      synchronized {
-        if (!ShardServiceRegistry.exists(name)) {
-          val rows = T.documents(s, d)
-            .select(col("doc_id"), col("doc_id").as("pk"),
-              to_json(struct(col("source"), col("text"))).as("json"))
-            .orderBy("doc_id").toLocalIterator()
-          seedRows(name, numShards = 2, rows, times = 1)
-        }
-      }
+      val name = docsLixFixture(s, d)
       val nDocs = T.documents(s, d).count()
       val cap = math.max(10L, nDocs / 4)
       val root = s"/tmp/graft_sent_${sfx(d)}" +
@@ -3929,6 +3984,8 @@ object Streams extends QueryPack {
     "s53_stream_entropy_monitor" -> TextAnalysis.oracles("q344_byte_entropy"),
     // summed daily-count partials feed the identical Haar fold
     "s54_stream_haar_monitor" -> Events.oracles("q299_haar_sketch"),
+    // per-doc scene summaries are batch-local (s30's doc-grain rule)
+    "s60_stream_scenecut_monitor" -> Multimodal.oracles("q360_scene_cuts"),
 
     // idempotent set-union of matched gram hashes over batches must
     // reproduce q317's one-shot overlap — gated by the SAME oracle

@@ -63,7 +63,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "s56_stream_runs_monitor",
     "s57_stream_obf_monitor",
     "s58_stream_bt_monitor",
-    "s59_stream_profile_registers")
+    "s59_stream_profile_registers",
+    "s60_stream_scenecut_monitor")
   // bounded-side nested loops that are correct by construction
   // (1-row stats, 4-row tier dim, 10-row query set, 5-row lang
   // profiles, 1-row mixture minimum, k-row centroid set, 1-row
