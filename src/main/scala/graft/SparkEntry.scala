@@ -364,7 +364,13 @@ import graft.operators._
   * the five-way events-day monitor plumbing and the orders-profile
   * fixture factored into shared helpers; Bench isolation unloads the
   * JVM-global state-store provider registry and forces GC between
-  * timed lines (the streaming cross-pass noise fix).
+  * timed lines (the streaming cross-pass noise fix); q360 scene-cut
+  * detection (per-doc temporal segmentation of the frame-luma
+  * series at the measured |Δluma| ≥ 5 threshold, decoded and
+  * segmented inside mapPartitions) and s60 its streaming twin
+  * (per-doc summaries are batch-local, the s30 doc-grain rule;
+  * identical factored sceneCutsOf, q360's oracle), with the docs
+  * fixture seeding factored (docsLixFixture, shared by s52/s53/s60).
   */
 object SparkEntry {
 
