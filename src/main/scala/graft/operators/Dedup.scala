@@ -72,8 +72,14 @@ object Dedup extends QueryPack {
       pairs: DataFrame, maxRounds: Int = 64): (DataFrame, Int) = {
     val s = pairs.sparkSession
     import s.implicits._
+    // checkpointed hash-partitioned + sorted on the join key: every
+    // propagation round joins this table on `a`, and localCheckpoint
+    // preserves the physical layout, so the per-round |2E|-row
+    // exchange and sort vanish (the coocDir rule; partition count
+    // follows spark.sql.shuffle.partitions — scale-adaptive)
     val edges = pairs.select($"a", $"b")
       .unionAll(pairs.select($"b".as("a"), $"a".as("b")))
+      .repartition($"a").sortWithinPartitions($"a")
       .localCheckpoint(true)
     var labels = edges.select($"a".as("v")).distinct()
       .select($"v", $"v".as("lbl")).localCheckpoint(true)
@@ -96,11 +102,17 @@ object Dedup extends QueryPack {
       // same component so the match exists, but coalesce keeps the
       // step total rather than relying on that invariant.
       val ptr = merged.select($"v".as("p"), $"lbl".as("plbl"))
-      labels = merged
-        .join(ptr, merged("lbl") === ptr("p"), "left")
-        .select(merged("v"),
-          least(merged("lbl"), coalesce($"plbl", merged("lbl"))).as("lbl"))
-        .localCheckpoint(true)
+      // fresh-stats checkpoint (see FreshCheckpoint): this plan
+      // references the checkpointed `merged` TWICE (probe + pointer
+      // sides), so a plain localCheckpoint would carry a size estimate
+      // that SQUARES per round — digits double, and the 64-round guard
+      // could walk the optimizer into java.math's BigInteger ceiling
+      // on a deep-diameter graph (q161's observed failure mode).
+      labels = org.apache.spark.sql.graft.FreshCheckpoint
+        .freshLocalCheckpoint(merged
+          .join(ptr, merged("lbl") === ptr("p"), "left")
+          .select(merged("v"),
+            least(merged("lbl"), coalesce($"plbl", merged("lbl"))).as("lbl")))
       val s2 = probe(labels)
       converged = s2.compareTo(prevSum) == 0
       prevSum = s2
@@ -540,11 +552,11 @@ object Dedup extends QueryPack {
     // a repeat), so ~log2(maxlen) distributed probes pin L* exactly —
     // each probe explodes the length-mid substring set and runs the
     // TWO-PHASE hashed group the MinHash family uses: phase 1 shuffles
-    // only (doc_id, md5(sub)) — a 16-byte key, never the L-char string
-    // — and keeps hashes hit by ≥ 2 distinct docs; phase 2 re-derives
+    // only (doc_id, xxhash64(sub)) — an 8-byte key, never the L-char
+    // string — and keeps hashes hit by ≥ 2 distinct docs; phase 2 re-derives
     // the substrings of those (rare) colliding groups behind a
     // broadcast semi-join and verifies them EXACTLY on the real
-    // substring key, so an md5 collision can add a candidate group but
+    // substring key, so a hash collision can add a candidate group but
     // never a false repeat. The verified result is bit-identical to a
     // direct group-by-substring, so the oracle replays the plain form.
     // The driver loop is mechanically bounded (<= 64 iterations for
@@ -561,9 +573,14 @@ object Dedup extends QueryPack {
         .select($"doc_id", explode(expr(
           s"transform(sequence(1, length(text) - $midL + 1), " +
             s"i -> substring(text, CAST(i AS INT), $midL))")).as("sub"))
-      // phase 1: only the 16-byte hash crosses the wire
+      // phase 1: only an 8-byte hash crosses the wire — xxhash64
+      // replaces md5 (a 32-char hex STRING per row: crypto-grade CPU
+      // plus 4x the shuffle key bytes); equal strings still always
+      // collide, and phase 2 verifies candidates on the exact string,
+      // so the only effect of a 64-bit collision is one extra
+      // candidate group (guide §2.3: narrower shuffle keys)
       def hotOf(midL: Long): DataFrame = subsOf(midL)
-        .select($"doc_id", md5($"sub").as("h"))
+        .select($"doc_id", xxhash64($"sub").as("h"))
         .groupBy($"h")
         .agg(countDistinct($"doc_id").cast("bigint").as("ndh"))
         .filter($"ndh" >= 2)
@@ -573,14 +590,14 @@ object Dedup extends QueryPack {
       // shuffle; only rows surviving the semi-join group on the
       // string key)
       def repsWithHot(midL: Long, hot: DataFrame): DataFrame = subsOf(midL)
-        .withColumn("h", md5($"sub"))
+        .withColumn("h", xxhash64($"sub"))
         .join(broadcast(hot), Seq("h"), "left_semi")
         .groupBy($"sub")
         .agg(countDistinct($"doc_id").cast("bigint").as("nd"))
         .filter($"nd" >= 2)
       def reps(midL: Long): DataFrame = repsWithHot(midL, hotOf(midL))
       // existence with an exact short-circuit: equal strings ALWAYS
-      // collide on md5, so phase 1's hot set is a superset of the true
+      // collide on xxhash64, so phase 1's hot set is a superset of the true
       // repeats — an empty phase 1 proves no repeat exists and the
       // second explode is skipped entirely (every failed probe pays
       // one pass instead of two); a non-empty phase 1 is cached (it

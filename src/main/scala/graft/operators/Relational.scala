@@ -169,22 +169,44 @@ object Relational extends QueryPack {
     * noise next to the |E|-row step itself. */
   private[graft] def iterateToFixpointPpm(init: DataFrame, maxIters: Int,
       tolPpm: Long = 0L)(step: DataFrame => DataFrame): DataFrame = {
+    val Array(vcol, pcol) = init.columns
     var p = init.localCheckpoint()
     var it = 0
     var done = false
     while (!done && it < maxIters) {
-      val next = step(p).localCheckpoint()
       // tolPpm = 0 is the exact first-repeated-state rule; tolPpm > 0
       // stops at the SUCCESSOR of the first transition whose largest
       // per-vertex move is <= tolPpm — the cure for floor-rounding
       // oscillation tails (q212's max-normalized HITS dribbles at
       // ±1 ppm for ~5 extra iterations before repeating exactly; the
       // oracle's conv CTE implements the identical successor pick, so
-      // the engines agree on every trajectory, converged or capped)
-      done = next.toDF("v", "np")
-        .join(p.toDF("v", "op"), "v")
-        .filter(abs(col("np") - col("op")) > tolPpm).isEmpty
-      p = next
+      // the engines agree on every trajectory, converged or capped).
+      //
+      // ONE materialization per iteration, carrying (v, next, prev):
+      // the previous form checkpointed `next` and then ran a SEPARATE
+      // convergence-probe job re-shuffling both |V|-row states into an
+      // equality join (2 exchanges + sorts per iteration). The step's
+      // final per-vertex aggregation already leaves its output
+      // hash-partitioned on the vertex key, and `p` (a projection of
+      // the previous iteration's joined checkpoint) carries the same
+      // partitioning, so joining BEFORE the checkpoint adds no
+      // exchange — and the probe becomes a shuffle-free filtered scan
+      // of the checkpointed rows with take(1)-style early exit.
+      // Trajectory and stopping rule are unchanged: same step values,
+      // same |np − op| > tol predicate over the same (v) pairs.
+      //
+      // freshLocalCheckpoint, NOT plain localCheckpoint: this plan
+      // references the previous checkpoint TWICE (inside step and as
+      // the probe side), so a checkpoint that carries origin stats
+      // forward would SQUARE the size estimate every iteration —
+      // million-digit BigInt arithmetic in the optimizer by iteration
+      // ~16 and a java.math overflow by ~25 (q161 hit it at its
+      // 32-iteration cap). See [[org.apache.spark.sql.graft.FreshCheckpoint]].
+      val joined = org.apache.spark.sql.graft.FreshCheckpoint
+        .freshLocalCheckpoint(
+          step(p).toDF("v", "np").join(p.toDF("v", "op"), "v"))
+      done = joined.filter(abs(col("np") - col("op")) > tolPpm).isEmpty
+      p = joined.select(col("v").as(vcol), col("np").as(pcol))
       it += 1
     }
     p
@@ -355,7 +377,16 @@ object Relational extends QueryPack {
   }
 
   /** Symmetrized directed edge substrate (u, v) of the cooc graph —
-    * scanned once per PageRank iteration, memoized + persisted. */
+    * scanned once per PageRank iteration, memoized + persisted.
+    * Deliberately cached WITHOUT a pre-partitioning on `u` (round 19
+    * measured both): a u-hash-partitioned cache satisfies each
+    * iteration's join distribution so the |E|-row exchange disappears
+    * from the plan, but it also commits the planner to a sort-merge
+    * join — where the unpinned layout lets AQE convert each
+    * iteration's join to a BROADCAST of the small per-iteration state
+    * (frontier/contribution, |V|-scale) over an exchange-free cache
+    * scan, which measured strictly faster on every consumer
+    * (q242 3.8→2.9 s, q235 10.0→8.1 s standalone at sf0.1). */
   private[graft] def coocDir(s: SparkSession, d: String): DataFrame =
     memoPersist(s, s"cooc_dir:$d") {
       val e = coocEdges(s, d)
@@ -408,7 +439,11 @@ object Relational extends QueryPack {
     while (!done && it < rounds) {
       val deg = e.select($"a".as("v")).unionAll(e.select($"b".as("v")))
         .groupBy($"v").agg(count(lit(1)).as("deg"))
-      val keep = deg.filter($"deg" >= kv).select($"v")
+      // materialized: both semi-joins consume `keep`, and without the
+      // checkpoint each re-ran the |2E|-row degree aggregation inside
+      // one round's plan — two full-degree passes per round for one
+      // round's worth of information
+      val keep = deg.filter($"deg" >= kv).select($"v").localCheckpoint()
       val next = e.join(keep.withColumnRenamed("v", "a"), Seq("a"),
           "left_semi")
         .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
@@ -519,12 +554,20 @@ object Relational extends QueryPack {
                                         maxHops: Int): DataFrame = {
     val s = dirE.sparkSession
     import s.implicits._
-    var visited = seeds.select($"sd", $"sd".as("v"), lit(0L).as("hop"))
+    // visited accumulates as a VECTOR of per-hop checkpointed frames,
+    // unioned lazily where consumed: the previous form re-checkpointed
+    // visited.unionAll(next) every hop, re-copying hops 0..h−1 into
+    // fresh storage each round — one extra eager job per hop and
+    // O(maxHops·|visited|) duplicate materialization. The lazy union
+    // scans the same checkpointed blocks with zero re-copying; the
+    // frontier is a free projection of the newest checkpoint.
+    val init = seeds.select($"sd", $"sd".as("v"), lit(0L).as("hop"))
       .localCheckpoint()
-    var frontier = seeds.select($"sd", $"sd".as("v")).localCheckpoint()
+    var parts = Vector(init)
+    var frontier = init.select($"sd", $"v")
     var h = 1
     // empty-frontier early exit: every later hop is a no-op, and each
-    // skipped round saves a join + two localCheckpoints — on a
+    // skipped round saves a join + a localCheckpoint — on a
     // small-diameter graph (q282's double sweep: diameter 2, cap 6)
     // this halves the pass count; results are identical by definition
     var exhausted = false
@@ -532,19 +575,19 @@ object Relational extends QueryPack {
       val next = dirE.toDF("u", "w")
         .join(frontier.withColumnRenamed("v", "u"), Seq("u"))
         .select($"sd", $"w".as("v")).distinct()
-        .join(visited.select($"sd", $"v"), Seq("sd", "v"), "left_anti")
+        .join(parts.map(_.select($"sd", $"v")).reduce(_ unionAll _),
+          Seq("sd", "v"), "left_anti")
+        .withColumn("hop", lit(h.toLong))
         .localCheckpoint()
       if (next.isEmpty) {
         exhausted = true
       } else {
-        visited = visited
-          .unionAll(next.withColumn("hop", lit(h.toLong)))
-          .localCheckpoint()
-        frontier = next
+        parts = parts :+ next
+        frontier = next.select($"sd", $"v")
       }
       h += 1
     }
-    visited
+    parts.reduce(_ unionAll _)
   }
 
   /** q327's core: bounded synchronous Bellman–Ford relaxation over a
@@ -569,13 +612,23 @@ object Relational extends QueryPack {
       val cand = ew
         .join(dist.select($"sd", $"v".as("u"), $"dist".as("du")), Seq("u"))
         .select($"sd", $"v", ($"du" + $"w").as("dist"))
-      val nxt = dist.unionAll(cand)
-        .groupBy($"sd", $"v").agg(min($"dist").as("dist"))
-        .localCheckpoint()
-      val improved = nxt
-        .join(dist.withColumnRenamed("dist", "pd"), Seq("sd", "v"), "left")
-        .filter($"pd".isNull || $"dist" < $"pd")
-      if (improved.isEmpty) converged = true else dist = nxt
+      // previous state joined back BEFORE the checkpoint (the
+      // iterateToFixpointPpm fusion): the min-agg output is already
+      // hash-partitioned on (sd, v), so carrying pd costs no exchange,
+      // and the no-improvement probe becomes a shuffle-free filtered
+      // scan of the checkpointed rows instead of its own 2-exchange
+      // join job per round. Same rows, same stop rule. Fresh-stats
+      // checkpoint for the same double-reference reason as
+      // iterateToFixpointPpm (dist appears in cand AND as the probe
+      // side — origin-stats feedback would square per round).
+      val joined = org.apache.spark.sql.graft.FreshCheckpoint
+        .freshLocalCheckpoint(
+          dist.unionAll(cand)
+            .groupBy($"sd", $"v").agg(min($"dist").as("dist"))
+            .join(dist.select($"sd", $"v", $"dist".as("pd")),
+              Seq("sd", "v"), "left"))
+      converged = joined.filter($"pd".isNull || $"dist" < $"pd").isEmpty
+      if (!converged) dist = joined.select($"sd", $"v", $"dist")
       r += 1
     }
     dist.select($"sd", $"v", $"dist")
@@ -641,6 +694,22 @@ object Relational extends QueryPack {
         .join(T.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
           col("l_partkey").as("p")), "o_orderkey")
         .select(col("c"), col("p")).distinct()
+        // cached hash-partitioned + sorted on `p` (the coocDir rule):
+        // each HITS iteration's FIRST hop joins on p, as does q212's
+        // post-fixpoint hub recomputation — those |E|-row exchanges
+        // and sorts collapse into the one cache materialization
+        .repartition(col("p")).sortWithinPartitions(col("p"))
+    }
+
+  /** The same incidence list cached partitioned + sorted on `c` — the
+    * SECOND hop of each HITS iteration joins on the customer key, and
+    * a single cached layout cannot serve both keys. Two copies of a
+    * 2-long-column table buy removal of BOTH per-iteration |E|-row
+    * exchanges; at 100 TB these are the two materialized orientations
+    * of the incidence table a real deployment stores anyway. */
+  private[graft] def bipartiteEdgesByC(s: SparkSession, d: String): DataFrame =
+    memoPersist(s, s"bipartite_edges_c:$d") {
+      bipartiteEdges(s, d).repartition(col("c")).sortWithinPartitions(col("c"))
     }
 
   /** Doubled-rank median + MAD per key, VALUE-BAND DECOMPOSED — the
@@ -690,15 +759,21 @@ object Relational extends QueryPack {
     * 1e6 ppm per step with floor division on non-negative values, run
     * to the house integer fixpoint (first repeated state, capped).
     * Returns (v, p) = (part, auth_ppm). */
-  private[graft] def hitsAuthPpm(be: DataFrame, maxIters: Int = 16): DataFrame = {
+  private[graft] def hitsAuthPpm(be: DataFrame, maxIters: Int = 16,
+      byCOpt: Option[DataFrame] = None): DataFrame = {
     val s = be.sparkSession
     import s.implicits._
+    // `byCOpt` supplies the c-partitioned cached copy of the SAME
+    // incidence list (production passes [[bipartiteEdgesByC]]); the
+    // property-spec path omits it and joins `be` on both keys —
+    // identical rows either way, the option is purely layout.
+    val beC = byCOpt.getOrElse(be)
     val init = be.select($"p".as("v")).distinct()
       .select($"v", lit(1000000L).as("p"))
     def step(pdf: DataFrame): DataFrame = {
       val h = be.join(pdf.toDF("p", "a"), "p")
         .groupBy($"c").agg(sum($"a").as("h"))
-      val sc = be.join(h, "c")
+      val sc = beC.join(h, "c")
         .groupBy($"p").agg(sum($"h").as("sp"))
       val mx = sc.agg(max($"sp").as("mx"))
       sc.crossJoin(broadcast(mx))
@@ -791,8 +866,17 @@ object Relational extends QueryPack {
     val s = cooc.sparkSession
     import s.implicits._
     val (dw, wdeg) = pre.getOrElse {
-      val w = weightedDegree(cooc)
-      (weightedDirected(cooc, w), w)
+      // derived-substrate path (q331's word graph, the property
+      // specs): materialize ONCE, u-partitioned + sorted, instead of
+      // re-deriving the weighted-degree agg and the directed union
+      // inside every iteration's plan — 12 iterations used to re-run
+      // both from the cooc frame each round; now each round's |E| join
+      // reads the checkpointed layout exchange-free (the coocDir rule)
+      val w = weightedDegree(cooc).localCheckpoint()
+      val dwp = weightedDirected(cooc, w)
+        .repartition(col("u")).sortWithinPartitions(col("u"))
+        .localCheckpoint()
+      (dwp, w)
     }
     val nV = wdeg.agg(count(lit(1)).as("n_v"))
     val init = wdeg.crossJoin(broadcast(nV))
@@ -815,10 +899,15 @@ object Relational extends QueryPack {
     memoPersist(s, s"cooc_wdeg:$d") { weightedDegree(coocPairs(s, d)) }
 
   /** Memoized directed-weighted-edge substrate (scanned once per
-    * weighted-PageRank iteration). */
+    * weighted-PageRank iteration). Cached hash-partitioned + sorted on
+    * `u` for the same reason as [[coocDir]]: the per-iteration join
+    * keys on `u`, so the cached layout removes that |E|-row exchange
+    * and sort from every round (q162's step, and q327's weighted-edge
+    * projection inherits the layout for its relaxation rounds). */
   private[graft] def coocDw(s: SparkSession, d: String): DataFrame =
     memoPersist(s, s"cooc_dw:$d") {
       weightedDirected(coocPairs(s, d), coocWdeg(s, d))
+        .repartition(col("u")).sortWithinPartitions(col("u"))
     }
 
   /** Per-vertex triangle counts over an undirected edge list — the
@@ -1912,9 +2001,13 @@ object Relational extends QueryPack {
     "q327_weighted_sssp" -> ((s, d) => {
       import s.implicits._
       graft.GraftExtensions.ensureRegistered(s)
-      val e = coocPairs(s, d)
-      val ew = e.select($"a".as("u"), $"b".as("v"), $"cooc")
-        .unionAll(e.select($"b".as("u"), $"a".as("v"), $"cooc"))
+      // weighted edges projected off the PERSISTED u-partitioned
+      // [[coocDw]] substrate (same (u, v, cooc) multiset — wdeg joins
+      // 1:1 by construction) instead of a fresh two-scan union: each
+      // of the 6 relaxation rounds joins on `u`, and the projection
+      // inherits the cached hash layout + sort, so no round re-scans
+      // the bucketed pair table or re-shuffles the |E| rows.
+      val ew = coocDw(s, d)
         .select($"u", $"v", (lit(1L) + expr("1024 div cooc")).as("w"))
       val seeds = coocDeg(s, d).select($"v")
         .orderBy(graft.functions.PortableHash.h60($"v").asc, $"v".asc)
@@ -2380,7 +2473,8 @@ object Relational extends QueryPack {
     "q212_hits" -> ((s, d) => {
       import s.implicits._
       val be = bipartiteEdges(s, d)
-      val auth = hitsAuthPpm(be, maxIters = 16)
+      val auth = hitsAuthPpm(be, maxIters = 16,
+        byCOpt = Some(bipartiteEdgesByC(s, d)))
       val hub0 = be.join(auth.toDF("p", "a"), "p")
         .groupBy($"c").agg(sum($"a").as("h"))
       val hmax = hub0.agg(max($"h").as("hm"))
@@ -2673,8 +2767,12 @@ object Relational extends QueryPack {
     // vertex id in both engines. 1-row report.
     "q282_double_sweep" -> ((s, d) => {
       import s.implicits._
-      val e = coocEdges(s, d)
-      val dirE = e.unionAll(e.select($"b".as("a"), $"a".as("b")))
+      // the memoized persisted u-partitioned substrate, not a fresh
+      // two-scan union: each of the up-to-12 BFS hops (2 sweeps × 6)
+      // joins the edge table on its source key, so the cached layout
+      // removes a bucketed-table re-scan AND an |E|-row exchange per
+      // hop (identical rows — coocDir is exactly this union)
+      val dirE = coocDir(s, d)
       val seed = T.boundedCollect(
         coocDeg(s, d).select($"v")
           .orderBy(graft.functions.PortableHash.h60($"v"), $"v")
@@ -2814,8 +2912,15 @@ object Relational extends QueryPack {
       for (_ <- 1 to 4) {
         val dg = e.select($"a".as("x")).unionAll(e.select($"b".as("x")))
           .groupBy($"x").agg(count(lit(1)).as("dx"))
-        val ed = orientEdges(e, dg)
-        val tri = orientedTriangles(ed, orientedAdjacency(ed))
+        // per-round substrate materialization (q138's ed/adj persist
+        // rule, which this loop used to skip): ed feeds BOTH the
+        // adjacency build and the triangle probe, adj feeds both
+        // intersect sides — unmaterialized, each reference re-ran the
+        // orientation join / collect_list agg within every round's
+        // plan. One eager checkpoint each makes every reference a scan.
+        val ed = orientEdges(e, dg).localCheckpoint()
+        val adj = orientedAdjacency(ed).localCheckpoint()
+        val tri = orientedTriangles(ed, adj)
         val sup = tri.select(explode(array(
             struct(least($"u", $"w").as("a"), greatest($"u", $"w").as("b")),
             struct(least($"u", $"z").as("a"), greatest($"u", $"z").as("b")),
