@@ -179,8 +179,15 @@ object Bench {
     // file (VERDICT r12 #6: the driver's bounded tail capture truncates
     // the 260+-entry map, so round-over-round per-query comparison
     // should not depend on what happened to fit a tail window).
+    // The default path embeds the core count (VERDICT r19 #1): the
+    // driver benches the SAME tree at two core counts, and with one
+    // shared default filename the later 8-core scaling run overwrote
+    // the 32-core per-query artifact — which cost round 19 its entire
+    // per-query PERF table. Distinct-per-cpu defaults make the two
+    // runs' artifacts collision-free by construction; an explicit
+    // SPARK_GRAFT_BENCH_OUT still wins.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "bench_perquery.json")
+      s"bench_perquery_c$cpus.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
