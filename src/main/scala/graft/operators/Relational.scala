@@ -165,8 +165,20 @@ object Relational extends QueryPack {
     * at convergence-driven depth an unrolled plan is exponential in
     * the optimizer and this is the standard iterative-algorithm
     * pattern (GraphX does the same internally). The convergence probe
-    * is an anti-equality join of two checkpointed |V|-row states —
-    * noise next to the |E|-row step itself. */
+    * is a filtered scan of each iteration's one materialization (the
+    * step output inner-joined to the previous state — see the in-loop
+    * comment), noise next to the |E|-row step itself.
+    *
+    * INVARIANT — fixed vertex set: because the probe fusion carries
+    * the state as `step(p) ⋈ p` (inner join on v), a `step` whose
+    * output vertex set GREW or SHRANK relative to its input would have
+    * the new/lost vertices silently dropped from the carried state
+    * rather than kept. Every caller derives both `init` and each
+    * step's output vertex set from the same static substrate (degree /
+    * incidence tables), so the sets are equal by construction;
+    * FixpointHarnessSpec pins the drop behavior so a future
+    * caller with a growing step fails loudly in review, not silently
+    * in production. */
   private[graft] def iterateToFixpointPpm(init: DataFrame, maxIters: Int,
       tolPpm: Long = 0L)(step: DataFrame => DataFrame): DataFrame = {
     val Array(vcol, pcol) = init.columns
@@ -590,6 +602,49 @@ object Relational extends QueryPack {
     parts.reduce(_ unionAll _)
   }
 
+  /** FUSED level-synchronous BFS + shortest-path-count forward sweep —
+    * q313's Brandes preamble, factored so BfsPropertySpec can drive it
+    * against a sequential reference. σ's recurrence
+    * σ_v = Σ_{u at level h−1, u→v} σ_u IS the BFS frontier expansion
+    * with sum(σ_u) in place of distinct, so ONE |frontier-edges| join +
+    * agg per hop discovers the level (anti-join against the union of
+    * previous levels — exactly [[multiSeedDistances]]' visited rule)
+    * AND aggregates its path counts; the r19 shape paid a separate
+    * distance materialization plus a per-level σ job for the same
+    * frames. A vertex is at level h iff it is reachable from level h−1
+    * and in no earlier level, and the sum runs over the same (u, v)
+    * edge set the old semi-join kept, so per-level sets and σ values
+    * are identical by construction. Returns per-level checkpointed
+    * frames (sd, v, sig), level h at index h; an exhausted frontier
+    * reuses the checkpointed empty frame for the remaining levels
+    * (they are empty by definition) instead of paying a join +
+    * checkpoint job each. */
+  private[graft] def multiSeedSigmaLevels(dirE: DataFrame, seeds: DataFrame,
+      maxHops: Int): Vector[DataFrame] = {
+    val s = dirE.sparkSession
+    import s.implicits._
+    var sig = Vector(
+      seeds.select($"sd", $"sd".as("v"), lit(1L).as("sig"))
+        .localCheckpoint(true))
+    var live = true
+    for (h <- 1 to maxHops) {
+      if (live) {
+        val next = sig(h - 1).toDF("sd", "u", "sigu")
+          .join(dirE, Seq("u"))
+          .groupBy($"sd", $"v")
+          .agg(sum($"sigu").cast("bigint").as("sig"))
+          .join(sig.map(_.select($"sd", $"v")).reduce(_ unionAll _),
+            Seq("sd", "v"), "left_anti")
+          .localCheckpoint(true)
+        if (next.isEmpty) live = false
+        sig = sig :+ next
+      } else {
+        sig = sig :+ sig(h - 1)
+      }
+    }
+    sig
+  }
+
   /** q327's core: bounded synchronous Bellman–Ford relaxation over a
     * DIRECTED weighted edge list `ew` = (u, v, w) from a 1-column
     * (sd) seed frame — factored so SsspPropertySpec can drive it on
@@ -673,12 +728,18 @@ object Relational extends QueryPack {
     * (session, dir) so the iterative run is paid once per session:
     * q164 reports it and q203 scores it (Newman modularity), and before
     * this memo q203 re-ran the ENTIRE fixpoint loop q164 had just
-    * computed. The fixpoint result is already `localCheckpoint`ed by
-    * the harness (RDD-level blocks, so it survives the harness's
-    * per-query `catalog.clearCache()`, which only drops CacheManager
-    * entries) — memo identity is all the sharing needs. */
+    * computed. The fixpoint result is checkpoint-backed (RDD-level
+    * blocks, invisible to `catalog.clearCache()`), so the memo MUST be
+    * the pinned variant: registration via [[T.memoPinned]] lets the
+    * bench harness's `dropPinnedSubstrates` release the checkpoint and
+    * the memo entry between queries — a plain [[T.memo]] here survived
+    * per-query isolation, so q164/q203/q357's timed lines read labels
+    * the warmup pass had already computed (VERDICT r19 #2: each line
+    * now honestly pays the fixpoint it reports). Verify and real
+    * sessions never drop pinned substrates, so the one-build-per-
+    * session sharing is unchanged there. */
   private[graft] def lpaLabels(s: SparkSession, d: String): DataFrame =
-    T.memo(s, s"lpa_labels:$d") {
+    T.memoPinned(s, s"lpa_labels:$d") {
       labelPropagation(coocEdges(s, d), coocDeg(s, d),
         dirOpt = Some(coocDir(s, d)))
     }
@@ -2075,9 +2136,10 @@ object Relational extends QueryPack {
     // cost (each seed is one 4-hop BFS + σ/δ sweep); K = 8 at sf0.1
     // (|V| ≈ 20k), replayed identically by the oracle's own
     // length(bin(count(*))) derivation (bin() is unpadded in both
-    // engines). Per seed: distances from [[multiSeedDistances]], shortest-
-    // path counts σ by a forward level sweep (σ_v = Σ σ_u over DAG
-    // edges u→v, one keyed join + agg per hop), then Brandes'
+    // engines). Per seed: one FUSED forward level sweep computes the
+    // BFS levels and the shortest-path counts σ together (σ_v = Σ σ_u
+    // over DAG edges u→v — the frontier expansion with sum in place of
+    // distinct; one keyed join + agg per hop), then Brandes'
     // dependency accumulation BACKWARD in ppm fixed-point:
     // δ_v = Σ_w floor(σ_v·(10⁶+δ_w)/σ_w) over DAG edges v→w — floor
     // per term, deterministic and engine-identical (non-negative
@@ -2104,23 +2166,12 @@ object Relational extends QueryPack {
         .limit(k)
         .select($"v".as("sd"))
         .localCheckpoint(true)
-      val dist = multiSeedDistances(dir, seeds, maxHops = 4)
-        .localCheckpoint(true)
-      // forward: σ per hop level (a vertex has ONE hop per seed, so
-      // levels partition the (sd, v) state)
-      var sig = Vector(
-        seeds.select($"sd", $"sd".as("v"), lit(1L).as("sig"))
-          .localCheckpoint(true))
-      for (h <- 1 to 4) {
-        val next = sig(h - 1).toDF("sd", "u", "sigu")
-          .join(dir, Seq("u"))
-          .join(dist.filter($"hop" === h.toLong).select($"sd", $"v"),
-            Seq("sd", "v"), "left_semi")
-          .groupBy($"sd", $"v")
-          .agg(sum($"sigu").cast("bigint").as("sig"))
-          .localCheckpoint(true)
-        sig = sig :+ next
-      }
+      // FUSED forward sweep (r20, guide §2.4): levels + σ in one job
+      // per hop via [[multiSeedSigmaLevels]] — the r19 form
+      // materialized the 4-hop distance table first and then re-ran 4
+      // more σ jobs semi-joined against it (9+ eager checkpoints for
+      // the same per-level frames these 5 produce).
+      val sig = multiSeedSigmaLevels(dir, seeds, 4)
       // backward: δ per hop level, deepest first
       var del = sig(4).select($"sd", $"v", lit(0L).as("delta")).limit(0)
       val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -2767,11 +2818,13 @@ object Relational extends QueryPack {
     // vertex id in both engines. 1-row report.
     "q282_double_sweep" -> ((s, d) => {
       import s.implicits._
-      // the memoized persisted u-partitioned substrate, not a fresh
-      // two-scan union: each of the up-to-12 BFS hops (2 sweeps × 6)
-      // joins the edge table on its source key, so the cached layout
-      // removes a bucketed-table re-scan AND an |E|-row exchange per
-      // hop (identical rows — coocDir is exactly this union)
+      // the memoized persisted substrate, not a fresh two-scan union:
+      // each of the up-to-12 BFS hops (2 sweeps × 6) re-consumed the
+      // union, so the persisted reuse removes a bucketed-table re-scan
+      // + re-union per hop (identical rows — coocDir is exactly this
+      // union). NOT exchange elimination: coocDir is deliberately
+      // cached unpartitioned (see its scaladoc) so AQE broadcasts the
+      // small per-hop frontier over an exchange-free cache scan.
       val dirE = coocDir(s, d)
       val seed = T.boundedCollect(
         coocDeg(s, d).select($"v")
