@@ -173,6 +173,81 @@ class BfsPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  /** Sequential Brandes forward sweep: per seed, BFS levels plus the
+    * shortest-path COUNT σ of every reached vertex — the contract of
+    * the fused `multiSeedSigmaLevels` (round 20 folded q313's level
+    * discovery and σ aggregation into one sweep; this reference pins
+    * that the fusion changed neither the level sets nor the counts). */
+  private def bruteSigma(edges: Set[(Long, Long)], seeds: Set[Long],
+      maxHops: Int): Map[Int, Set[(Long, Long, Long)]] = {
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).toSet }
+    val out = scala.collection.mutable.Map[Int, Set[(Long, Long, Long)]]()
+      .withDefaultValue(Set.empty)
+    for (sd <- seeds) {
+      var level = Map[Long, Int](sd -> 0)
+      var sigma = Map[Long, Long](sd -> 1L)
+      out(0) = out(0) + ((sd, sd, 1L))
+      var frontier = Set(sd)
+      for (h <- 1 to maxHops) {
+        val nextSig = scala.collection.mutable.Map[Long, Long]()
+          .withDefaultValue(0L)
+        for (u <- frontier; v <- adj.getOrElse(u, Set.empty)
+             if !level.contains(v))
+          nextSig(v) += sigma(u)
+        frontier = nextSig.keySet.toSet
+        level = level ++ frontier.map(_ -> h)
+        sigma = sigma ++ nextSig
+        out(h) = out(h) ++ frontier.map(v => (sd, v, nextSig(v)))
+      }
+    }
+    out.toMap.withDefaultValue(Set.empty)
+  }
+
+  test("fused σ levels match the sequential Brandes forward sweep") {
+    val s = spark
+    import s.implicits._
+    def run(edges: Set[(Long, Long)], seeds: Set[Long], cap: Int): Unit = {
+      val e = edges.toSeq.sorted.toDF("a", "b")
+      val dirE = e.select($"a".as("u"), $"b".as("v"))
+        .unionAll(e.select($"b".as("u"), $"a".as("v")))
+      val levels = operators.Relational
+        .multiSeedSigmaLevels(dirE, seeds.toSeq.sorted.toDF("sd"), cap)
+      val want = bruteSigma(edges, seeds, cap)
+      assert(levels.size == cap + 1)
+      for (h <- 0 to cap) {
+        val got = levels(h).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got == want(h), s"level $h: ${got.diff(want(h))} extra, " +
+          s"${want(h).diff(got)} missing")
+      }
+      spark.catalog.clearCache()
+    }
+    // diamond: 0–{1,2}–3 — two shortest paths to 3 (σ = 2), plus a
+    // pendant beyond it (σ inherits multiplicity)
+    run(Set((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)), Set(0L), 4)
+    // path with the cap binding mid-walk, and exhaustion padding past
+    // the far end (levels beyond the diameter must come back empty)
+    run((0L until 6L).map(i => (i, i + 1)).toSet, Set(0L), 4)
+    run(Set((0L, 1L)), Set(0L), 4)
+    // random graphs, multiple seeds with colliding frontiers
+    for (seed <- 31 to 35) {
+      val rnd = new scala.util.Random(seed * 41L)
+      val n = 12 + rnd.nextInt(10)
+      val edges = (for {
+        i <- 0L until n.toLong
+        j <- (i + 1) until n.toLong
+        if rnd.nextDouble() < 0.15
+      } yield (i, j)).toSet
+      if (edges.nonEmpty) {
+        val vs = vertsOf(edges)
+        val seeds = Set(vs.min, vs.max) ++
+          vs.filter(_ => rnd.nextDouble() < 0.1)
+        run(edges, seeds, 3)
+      }
+    }
+  }
+
   /** VERDICT r18 #7: the hop cap must be a PURE TRUNCATION of the
     * unbounded per-seed BFS — capped(k) == unbounded ∩ {hop ≤ k} as
     * (sd, v, hop) TRIPLES, even when seed balls overlap inside the
