@@ -1,6 +1,10 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.functions.col
 
 /** Access bridge for iterative-loop checkpointing (the
   * [[org.apache.spark.sql.execution.streaming.state.GraftStateStoreHygiene]]
@@ -26,7 +30,42 @@ import org.apache.spark.sql.{DataFrame, Row}
   * `internalCreateDataFrame`, whose `LogicalRDD` carries NO origin
   * stats (fresh default estimates every iteration — constant-size,
   * exactly like a parquet scan). Same rows, same schema; only the
-  * estimate feedback loop is cut.
+  * estimate feedback loop is cut. The rebuilt node reports
+  * `UnknownPartitioning` — measured (round 20): under AQE, PLAIN
+  * `localCheckpoint`'s LogicalRDD ALSO reports UnknownPartitioning
+  * (the adaptive wrapper hides the final plan's layout at capture
+  * time), so nothing is lost relative to it, and for the
+  * PageRank-family loops the unknown layout is strictly useful — the
+  * state-side exchange it forces is what lets AQE observe the small
+  * per-iteration state and broadcast it over an exchange-free
+  * substrate scan (the coocDir rule).
+  *
+  * [[layoutLocalCheckpoint]] is the opposite trade for loops that
+  * JOIN ON a stable key every round: it repartitions to an EXPLICIT
+  * partition count on the key (explicit-N hash exchanges are never
+  * AQE-coalesced, so the claimed layout is exact by construction),
+  * optionally sorts within partitions, checkpoints, and rebuilds the
+  * LogicalRDD CLAIMING that HashPartitioning/ordering (what
+  * `Dataset.checkpoint` captures in non-adaptive plans) with no origin
+  * stats. Rounds that join or aggregate on the key then satisfy their
+  * required distribution from the checkpoint — no per-round
+  * re-exchange of the pinned side. Claim soundness: repartition(n, k)
+  * places rows by exactly `HashPartitioning(k, n)`; sortWithinPartitions
+  * orders them; localCheckpoint materializes partitions 1:1 (a map) —
+  * so the claimed metadata is true of the stored blocks.
+  *
+  * Version coupling (ADVICE r19): this leans on Spark-internal
+  * surfaces — `asInstanceOf[sql.classic.Dataset]`, `private[sql]`
+  * `internalCreateDataFrame`, and `LogicalRDD.copy`'s curried
+  * (session, originStats, originConstraints) list — that can shift on
+  * a Spark minor bump. FreshCheckpointSpec pins the behaviors (stats
+  * reset, claimed layout satisfying a same-key aggregation without an
+  * exchange) so a bump that changes either fails the suite, not
+  * production. The rebuilt nodes' fallback estimate is
+  * `spark.sql.defaultSizeInBytes` (effectively ∞), so the state can
+  * never be STATICALLY planned as a broadcast side; that is accepted —
+  * a modest constant estimate could mis-broadcast a 100 TB state,
+  * while AQE's runtime conversion sees real sizes.
   */
 object FreshCheckpoint {
   def freshLocalCheckpoint(df: DataFrame): DataFrame = {
@@ -34,5 +73,33 @@ object FreshCheckpoint {
     val cds = ck.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
     cds.sparkSession.internalCreateDataFrame(
       cds.queryExecution.toRdd, cds.schema)
+  }
+
+  def layoutLocalCheckpoint(df: DataFrame, keys: Seq[String], n: Int,
+      sorted: Boolean = true): DataFrame = {
+    require(n > 0, s"layoutLocalCheckpoint: partition count must be > 0, got $n")
+    val keyCols = keys.map(col)
+    val arranged0 = df.repartition(n, keyCols: _*)
+    val arranged =
+      if (sorted) arranged0.sortWithinPartitions(keyCols: _*) else arranged0
+    val ck = arranged.localCheckpoint()
+    val cds = ck.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    cds.queryExecution.analyzed match {
+      case lr: LogicalRDD =>
+        val attrs = keys.map(k => lr.output.find(_.name == k).getOrElse(
+          throw new IllegalArgumentException(
+            s"layoutLocalCheckpoint: no output column named $k")))
+        val part = HashPartitioning(attrs, n)
+        val ord =
+          if (sorted) attrs.map(a => SortOrder(a, Ascending)) else Nil
+        org.apache.spark.sql.classic.Dataset.ofRows(cds.sparkSession,
+          lr.copy(outputPartitioning = part, outputOrdering = ord)(
+            cds.sparkSession, None, None))
+      case other =>
+        // localCheckpoint stopped returning a bare LogicalRDD — fall
+        // back to the layout-free rebuild rather than claim anything
+        cds.sparkSession.internalCreateDataFrame(
+          cds.queryExecution.toRdd, cds.schema)
+    }
   }
 }

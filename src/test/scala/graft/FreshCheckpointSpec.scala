@@ -64,7 +64,7 @@ class FreshCheckpointSpec extends AnyFunSuite with BeforeAndAfterAll {
         sizeDigits(joined)
       }
     }
-    val fresh = iterate(freshLocalCheckpoint, 8)
+    val fresh = iterate(freshLocalCheckpoint(_), 8)
     // constant estimate: every iteration sees the same fresh default
     assert(fresh.distinct.size == 1,
       s"fresh checkpoint estimate drifted across iterations: $fresh")
@@ -77,5 +77,47 @@ class FreshCheckpointSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"(plain=$plain fresh=${fresh.take(4)}) — if this ever fails " +
         "because Spark stopped propagating origin stats, " +
         "FreshCheckpoint can be retired")
+    // the layout-claiming variant must cut the same feedback loop
+    val kept = iterate(
+      org.apache.spark.sql.graft.FreshCheckpoint
+        .layoutLocalCheckpoint(_, Seq("v"), 2), 8)
+    assert(kept.distinct.size == 1,
+      s"layoutLocalCheckpoint estimate drifted across iterations: $kept")
+  }
+
+  test("layoutLocalCheckpoint claims a layout the planner can use; " +
+      "freshLocalCheckpoint deliberately does not") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.graft.FreshCheckpoint.layoutLocalCheckpoint
+    val src = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("v", "p")
+    def exchanges(df: DataFrame): Int = {
+      val agg = df.groupBy(col("v")).agg(count(lit(1)))
+      agg.collect() // AQE finalizes the plan on execution
+      agg.queryExecution.executedPlan.toString()
+        .linesIterator.takeWhile(!_.contains("Initial Plan"))
+        .count(_.contains("Exchange"))
+    }
+    // claimed layout: the agg's required hash distribution on v is
+    // already satisfied by the checkpoint — zero exchanges in the
+    // final adaptive plan, and the rows are intact
+    val laid = layoutLocalCheckpoint(src, Seq("v"), 2)
+    assert(laid.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      .sameElements(Array((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))))
+    assert(exchanges(laid) == 0,
+      "layoutLocalCheckpoint's claimed layout should satisfy a " +
+        "groupBy(v) without an Exchange")
+    // the layout-free rebuild reports UnknownPartitioning and pays the
+    // exchange (deliberate — it is what lets AQE broadcast the small
+    // state in the PageRank-family loops; see the scaladoc). Measured
+    // round 20: under AQE, PLAIN localCheckpoint also reports
+    // UnknownPartitioning, so this mode never loses layout relative to
+    // it — if Spark ever starts capturing the final adaptive layout,
+    // this assert flags the new trade to re-measure.
+    assert(exchanges(freshLocalCheckpoint(src)) > 0,
+      "freshLocalCheckpoint should report UnknownPartitioning")
+    assert(exchanges(src.repartition(2, col("v")).localCheckpoint()) > 0,
+      "plain localCheckpoint under AQE reports UnknownPartitioning — " +
+        "if this fails, Spark now captures adaptive layout; re-measure " +
+        "the layoutLocalCheckpoint call sites")
   }
 }
