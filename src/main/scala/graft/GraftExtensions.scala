@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharNgrams, H60, IntDot, MinHashSig, RollingHash, WordNgrams}
+import graft.functions.{CharNgrams, H60, IntDot, MinHashSig, RollingHash, WindowHashes, WordNgrams}
 
 /** SparkSessionExtensions entry point — registers the library's native
   * Catalyst expressions into the function registry, the idiomatic
@@ -26,6 +26,21 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 1, s"rolling_hash takes 1 argument, got ${children.length}")
         RollingHash(children.head)
+      }),
+    (FunctionIdentifier("window_hashes"),
+      new ExpressionInfo(classOf[WindowHashes].getName, "window_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"window_hashes takes 2 arguments, got ${children.length}")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) =>
+            require(v >= 1 && v <= Int.MaxValue,
+              s"window_hashes: n out of range: $v")
+            v.toInt
+          case _ => throw new IllegalArgumentException(
+            "window_hashes: n must be an integer literal")
+        }
+        WindowHashes(children.head, n)
       }),
     (FunctionIdentifier("h60"),
       new ExpressionInfo(classOf[H60].getName, "h60"),

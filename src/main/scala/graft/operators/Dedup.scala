@@ -129,13 +129,16 @@ object Dedup extends QueryPack {
     * (doc_id, simhash). */
   /** Shared substrate for q339/q340/q354: the KEEPER-ATTRIBUTED cut
     * positions an exact duplicate-span dedup at L = 50 deletes.
-    * Occurrence = every L-char window position; candidates group on
-    * h60 (16-byte keys shuffle, never L-char strings — q285's rule);
-    * colliding groups are verified by EXACT substring equality
-    * (strings join back for candidates only); keeper = struct-min
-    * (doc_id, pos) per verified substring. Returns one row per cut
-    * position: (doc_id, p, keeper_doc) — each position has exactly one
-    * L-char substring, hence exactly one keeper.
+    * Occurrence = every L-char window position; candidates group on a
+    * 64-bit ROLLING window hash ([[graft.functions.WindowHashes]] —
+    * 8-byte keys shuffle, never L-char strings, and the hash pass is
+    * O(|text|) per doc instead of the O(|text|·L) per-position
+    * substring+hash it replaced); colliding groups are verified by
+    * EXACT substring equality (strings join back for candidates only),
+    * so the hash function choice cannot change the result; keeper =
+    * struct-min (doc_id, pos) per verified substring. Returns one row
+    * per cut position: (doc_id, p, keeper_doc) — each position has
+    * exactly one L-char substring, hence exactly one keeper.
     *
     * Memoized per (session, dataset) via [[T.memo]] (the q138/q159
     * graph-substrate lifecycle — VERDICT r17 #1): three queries consume
@@ -152,18 +155,15 @@ object Dedup extends QueryPack {
     T.memoPinned(s, s"dedup:cutocc:$d") {
       import s.implicits._
       graft.GraftExtensions.ensureRegistered(s)
-      val h60 = graft.functions.PortableHash.h60 _
       val L = 50
       val docs = T.documents(s, d).select($"doc_id", $"text")
       // the char-grain occurrence pass is the dominant cost and has TWO
       // consumers (the key-frequency agg and the candidate join back) —
       // localCheckpoint so it runs ONCE (measured 9.4 → ~5 s at sf0.1)
       val occ = docs.filter(length($"text") >= L)
-        .select($"doc_id", $"text",
-          explode(sequence(lit(1L),
-            (length($"text") - (L - 1)).cast("long"))).as("p"))
-        .select($"doc_id", $"p",
-          h60(expr(s"substring(text, CAST(p AS INT), $L)")).as("kh"))
+        .select($"doc_id", posexplode(expr(s"window_hashes(text, $L)")))
+        .toDF("doc_id", "p0", "kh")
+        .select($"doc_id", ($"p0" + 1L).cast("long").as("p"), $"kh")
         .localCheckpoint()
       val dupk = occ.groupBy($"kh").agg(count(lit(1)).as("nk"))
         .filter($"nk" >= 2).select($"kh")
@@ -550,14 +550,15 @@ object Dedup extends QueryPack {
     // SEARCH on the answer length: "a cross-doc repeat of length L
     // exists" is monotone decreasing in L (any prefix of a repeat is
     // a repeat), so ~log2(maxlen) distributed probes pin L* exactly —
-    // each probe explodes the length-mid substring set and runs the
-    // TWO-PHASE hashed group the MinHash family uses: phase 1 shuffles
-    // only (doc_id, xxhash64(sub)) — an 8-byte key, never the L-char
-    // string — and keeps hashes hit by ≥ 2 distinct docs; phase 2 re-derives
-    // the substrings of those (rare) colliding groups behind a
-    // broadcast semi-join and verifies them EXACTLY on the real
-    // substring key, so a hash collision can add a candidate group but
-    // never a false repeat. The verified result is bit-identical to a
+    // each probe enumerates the length-mid windows as ROLLING hashes
+    // (window_hashes: O(1)/position, no substring materialization) and
+    // runs the TWO-PHASE hashed group the MinHash family uses: phase 1
+    // shuffles only (doc_id, hash) — an 8-byte key, never the L-char
+    // string — and keeps hashes hit by ≥ 2 distinct docs; phase 2
+    // re-derives the substrings of those (rare) colliding groups
+    // behind a broadcast semi-join and verifies them EXACTLY on the
+    // real substring key, so a hash collision can add a candidate
+    // group but never a false repeat. The verified result is bit-identical to a
     // direct group-by-substring, so the oracle replays the plain form.
     // The driver loop is mechanically bounded (<= 64 iterations for
     // any int64 length, ~10 here). Output: L*, how many distinct
@@ -566,42 +567,48 @@ object Dedup extends QueryPack {
     // identical search as one recursive CTE carrying (lo, hi).
     "q285_suffix_lrs" -> ((s, d) => {
       import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
       // probed ~log2(maxlen) times — cache the 2-column projection
       val docs = T.documents(s, d).select($"doc_id", $"text").cache()
-      def subsOf(midL: Long): DataFrame = docs
+      // every length-midL window as (doc_id, 0-based position, 64-bit
+      // ROLLING hash) — window_hashes pays O(1) per position instead
+      // of the O(midL) substring-materialize-then-hash per position it
+      // replaced (r19 ran xxhash64 over an exploded substring array:
+      // |text|·midL bytes copied and hashed per probe; the rolling
+      // pass is O(|text|) with zero string allocation, guide §1.2)
+      def winOf(midL: Long): DataFrame = docs
         .filter(length($"text") >= midL)
-        .select($"doc_id", explode(expr(
-          s"transform(sequence(1, length(text) - $midL + 1), " +
-            s"i -> substring(text, CAST(i AS INT), $midL))")).as("sub"))
-      // phase 1: only an 8-byte hash crosses the wire — xxhash64
-      // replaces md5 (a 32-char hex STRING per row: crypto-grade CPU
-      // plus 4x the shuffle key bytes); equal strings still always
-      // collide, and phase 2 verifies candidates on the exact string,
-      // so the only effect of a 64-bit collision is one extra
+        .select($"doc_id", posexplode(expr(s"window_hashes(text, $midL)")))
+        .toDF("doc_id", "p0", "h")
+      // phase 1: only an 8-byte hash crosses the wire — equal strings
+      // always collide, and phase 2 verifies candidates on the exact
+      // string, so the only effect of a 64-bit collision is one extra
       // candidate group (guide §2.3: narrower shuffle keys)
-      def hotOf(midL: Long): DataFrame = subsOf(midL)
-        .select($"doc_id", xxhash64($"sub").as("h"))
+      def hotOf(midL: Long): DataFrame = winOf(midL)
         .groupBy($"h")
         .agg(countDistinct($"doc_id").cast("bigint").as("ndh"))
         .filter($"ndh" >= 2)
         .select($"h")
-      // phase 2: exact verify of the colliding groups only (subs is
-      // re-derived — a narrow explode off the cached projection, no
-      // shuffle; only rows surviving the semi-join group on the
-      // string key)
-      def repsWithHot(midL: Long, hot: DataFrame): DataFrame = subsOf(midL)
-        .withColumn("h", xxhash64($"sub"))
+      // phase 2: exact verify of the colliding groups only — the
+      // semi-join keeps the RARE colliding positions first, and only
+      // those rows join text back and materialize their substring
+      // (the r19 form exploded EVERY position's substring again and
+      // semi-joined after; candidates are the only strings built now)
+      def repsWithHot(midL: Long, hot: DataFrame): DataFrame = winOf(midL)
         .join(broadcast(hot), Seq("h"), "left_semi")
+        .join(docs, "doc_id")
+        .select($"doc_id",
+          expr(s"substring(text, CAST(p0 AS INT) + 1, $midL)").as("sub"))
         .groupBy($"sub")
         .agg(countDistinct($"doc_id").cast("bigint").as("nd"))
         .filter($"nd" >= 2)
       def reps(midL: Long): DataFrame = repsWithHot(midL, hotOf(midL))
       // existence with an exact short-circuit: equal strings ALWAYS
-      // collide on xxhash64, so phase 1's hot set is a superset of the true
-      // repeats — an empty phase 1 proves no repeat exists and the
-      // second explode is skipped entirely (every failed probe pays
-      // one pass instead of two); a non-empty phase 1 is cached (it
-      // is ≤ a handful of 32-char hashes) so the verify pass reuses
+      // collide on the rolling hash, so phase 1's hot set is a superset
+      // of the true repeats — an empty phase 1 proves no repeat exists
+      // and the verify pass is skipped entirely (every failed probe
+      // pays one pass instead of two); a non-empty phase 1 is cached
+      // (it is ≤ a handful of 8-byte hashes) so the verify pass reuses
       // it instead of recomputing the hash aggregation
       def existsRep(midL: Long): Boolean = {
         val hot = hotOf(midL).cache()
@@ -691,11 +698,13 @@ object Dedup extends QueryPack {
     // occurrences of every ≥ L-char repeat (L = 50, the Lee+ default
     // scale; keeper = globally first occurrence by (doc_id, pos)
     // struct-min, so exactly one copy of each repeated span survives).
-    // Discipline: occurrence keys are h60 hashes (16-byte keys shuffle
-    // corpus-wide — q285's rule), with EXACT string verification
-    // joined back for hash-colliding groups only; islands merge via
-    // the doc-partitioned gaps-and-islands cummax (q147's kernel, char
-    // grain). Scale: |chars| occurrence rows — the honest ExactSubstr
+    // Discipline: occurrence keys are 8-byte rolling window hashes
+    // (window_hashes — O(1)/position, never L-char strings; q285's
+    // rule), with EXACT string verification joined back for
+    // hash-colliding groups only (the hash choice cannot change the
+    // result); islands merge via the doc-partitioned gaps-and-islands
+    // cummax (q147's kernel, char grain). Scale: |chars| occurrence
+    // rows — the honest ExactSubstr
     // cost class (Lee+ build a suffix array of the same size); one
     // hash agg + one equi-join back + doc-local windows, no pairs.
     "q339_dedup_cutlist" -> ((s, d) => {
@@ -1064,10 +1073,28 @@ object Dedup extends QueryPack {
         .select($"doc_id", explode(split($"text", " ")).as("w"))
         .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
         .cache() // harness-released (per-query clearCache)
-      val nrm = wc.groupBy($"doc_id")
+      // the dot-product join is the heavy stage: cp ⋈ wc explodes every
+      // candidate pair by its word list and re-shuffles it on (b, w) —
+      // with WORD STRINGS as both payload and join key. Re-key words to
+      // a PROVABLY INJECTIVE 12-byte id first (guide §2.3 narrow keys):
+      // id = (xxhash64(w), row_number among the same-hash words ordered
+      // by w). The rank disambiguates any 64-bit collision, so
+      // (h, r) ↔ w is a bijection over the vocabulary and every join /
+      // group below is row-identical to the string-keyed form — the
+      // oracle replays the plain word-string join and matches exactly.
+      // The dict build + one |wc|-row re-key join are vocabulary- and
+      // wc-bounded; the savings scale with |pairs|·|words/doc|, the two
+      // shuffles that dominate this query.
+      val dict = wc.select($"w").distinct()
+        .withColumn("h", xxhash64($"w"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy($"h").orderBy($"w")))
+      val wcH = wc.join(dict, "w").select($"doc_id", $"h", $"r", $"c")
+        .cache() // harness-released (per-query clearCache)
+      val nrm = wcH.groupBy($"doc_id")
         .agg(sum($"c" * $"c").cast("bigint").as("n2"))
-      val dots = cp.join(wc.toDF("a", "w", "ca"), "a")
-        .join(wc.toDF("b", "w", "cb"), Seq("b", "w"))
+      val dots = cp.join(wcH.toDF("a", "h", "r", "ca"), "a")
+        .join(wcH.toDF("b", "h", "r", "cb"), Seq("b", "h", "r"))
         .groupBy($"a", $"b")
         .agg(sum($"ca" * $"cb").cast("bigint").as("dot"))
       dots.join(nrm.toDF("a", "n2a"), "a")

@@ -60,6 +60,64 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.isNullAt(0))
   }
 
+  test("window_hashes: equal windows hash equal and align with substring") {
+    val sp = spark
+    import sp.implicits._
+    // the consumers' whole contract: window_hashes(text, n)[i] is a
+    // pure function of substring(text, i+1, n) — verify by grouping
+    // all (hash, substring) pairs over strings WITH repeats and
+    // checking the map hash→substring is consistent both ways on this
+    // input (plus exact array length and empty-under-length cases)
+    val texts = Seq(
+      "abcabcabc", "aaaaaaa", "abc", "ab", "",
+      "the cat sat on the mat the cat sat",
+      "日本語abc日本語abc", // multi-byte: code-point windows
+      "x" * 200 + "y" + "x" * 200)
+    for (codegen <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      sp.conf.set("spark.sql.codegen.factoryMode", codegen)
+      for (n <- Seq(1, 3, 5)) {
+        val rows = texts.toDF("t")
+          .select($"t", posexplode(expr(s"window_hashes(t, $n)")))
+          .toDF("t", "p", "h")
+          .select($"h", expr(s"substring(t, p + 1, $n)").as("sub"))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        // n-code-point windows only (the array stops at numChars − n,
+        // so no truncated tail window ever appears)
+        assert(rows.forall { case (_, sub) =>
+          sub.codePointCount(0, sub.length) == n })
+        val byHash = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+        assert(byHash.forall(_._2.size == 1),
+          s"n=$n: one hash maps to two substrings (collision on tiny " +
+            s"fixture would be a logic bug): $byHash")
+        val bySub = rows.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+        assert(bySub.forall(_._2.size == 1),
+          s"n=$n: equal windows hashed differently: $bySub")
+      }
+      // array sizing: numChars − n + 1 windows, empty when shorter
+      val sizes = texts.toDF("t")
+        .select(size(expr("window_hashes(t, 3)")).as("k"),
+          length($"t").as("len"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)))
+      assert(sizes.forall { case (k, len) =>
+        k == math.max(0, len - 3 + 1) || (len < 3 && k == 0) })
+    }
+    sp.conf.unset("spark.sql.codegen.factoryMode")
+  }
+
+  test("window_hashes propagates null and validates its arguments") {
+    val sp = spark
+    import sp.implicits._
+    val out = Seq[(java.lang.Long, String)]((1L, null), (2L, "abcd"))
+      .toDF("id", "t")
+      .select($"id", expr("window_hashes(t, 2)").as("w"))
+      .collect().sortBy(_.getLong(0))
+    assert(out(0).isNullAt(1))
+    assert(out(1).getSeq[Long](1).length == 3)
+    intercept[Exception] {
+      sp.sql("SELECT window_hashes(123, 2)").collect()
+    }
+  }
+
   test("h60 is bit-identical to the composed conv(substring(md5)) form it replaced") {
     val sp = spark
     import sp.implicits._
