@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharNgrams, H60, IntDot, MinHashSig, RollingHash, WindowHashes, WordNgrams}
+import graft.functions.{CharNgrams, H60, IntDot, MinHashSig, RollingHash, SparseDot, WindowHashes, WordNgrams}
 
 /** SparkSessionExtensions entry point — registers the library's native
   * Catalyst expressions into the function registry, the idiomatic
@@ -47,6 +47,12 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 1, s"h60 takes 1 argument, got ${children.length}")
         H60(children.head)
+      }),
+    (FunctionIdentifier("sparse_dot"),
+      new ExpressionInfo(classOf[SparseDot].getName, "sparse_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"sparse_dot takes 2 arguments, got ${children.length}")
+        SparseDot(children.head, children(1))
       }),
     (FunctionIdentifier("int_dot"),
       new ExpressionInfo(classOf[IntDot].getName, "int_dot"),

@@ -1073,30 +1073,34 @@ object Dedup extends QueryPack {
         .select($"doc_id", explode(split($"text", " ")).as("w"))
         .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
         .cache() // harness-released (per-query clearCache)
-      // the dot-product join is the heavy stage: cp ⋈ wc explodes every
-      // candidate pair by its word list and re-shuffles it on (b, w) —
-      // with WORD STRINGS as both payload and join key. Re-key words to
-      // a PROVABLY INJECTIVE 12-byte id first (guide §2.3 narrow keys):
-      // id = (xxhash64(w), row_number among the same-hash words ordered
-      // by w). The rank disambiguates any 64-bit collision, so
-      // (h, r) ↔ w is a bijection over the vocabulary and every join /
-      // group below is row-identical to the string-keyed form — the
-      // oracle replays the plain word-string join and matches exactly.
-      // The dict build + one |wc|-row re-key join are vocabulary- and
-      // wc-bounded; the savings scale with |pairs|·|words/doc|, the two
-      // shuffles that dominate this query.
+      // the dot-product stage is the heavy one (measured r20: the
+      // candidate set is ~1.1M pairs at sf0.1), and the r19 form paid
+      // for it in JOIN MACHINERY: cp ⋈ wc exploded every pair into one
+      // row per word of the left doc (|pairs|·|words/doc| ≈ 10⁸ rows),
+      // equi-joined the right side on the word, and hash-aggregated
+      // back to pair grain. Guide §1.2: fix the algorithm — compute
+      // each pair's Σ c_a·c_b as ONE sorted sparse-vector merge
+      // (native sparse_dot expression) over per-doc word-count vectors
+      // built once. Words are re-keyed to a PROVABLY INJECTIVE id
+      // (xxhash64 + rank among same-hash words — (h, r) ↔ w is a
+      // bijection over the vocabulary), so merging on (h, r) is
+      // merging on the word itself: the product multiset per pair is
+      // identical to the word-string join's and long addition is
+      // order-free, so the result is row-identical to the r19 form and
+      // to the oracle's plain word-keyed replay.
       val dict = wc.select($"w").distinct()
         .withColumn("h", xxhash64($"w"))
         .withColumn("r", row_number().over(
           Window.partitionBy($"h").orderBy($"w")))
-      val wcH = wc.join(dict, "w").select($"doc_id", $"h", $"r", $"c")
+      val vecs = wc.join(dict, "w")
+        .groupBy($"doc_id")
+        .agg(sort_array(collect_list(struct($"h", $"r", $"c"))).as("vec"),
+          sum($"c" * $"c").cast("bigint").as("n2"))
         .cache() // harness-released (per-query clearCache)
-      val nrm = wcH.groupBy($"doc_id")
-        .agg(sum($"c" * $"c").cast("bigint").as("n2"))
-      val dots = cp.join(wcH.toDF("a", "h", "r", "ca"), "a")
-        .join(wcH.toDF("b", "h", "r", "cb"), Seq("b", "h", "r"))
-        .groupBy($"a", $"b")
-        .agg(sum($"ca" * $"cb").cast("bigint").as("dot"))
+      val nrm = vecs.select($"doc_id", $"n2")
+      val dots = cp.join(vecs.select($"doc_id".as("a"), $"vec".as("va")), "a")
+        .join(vecs.select($"doc_id".as("b"), $"vec".as("vb")), "b")
+        .select($"a", $"b", expr("sparse_dot(va, vb)").as("dot"))
       dots.join(nrm.toDF("a", "n2a"), "a")
         .join(nrm.toDF("b", "n2b"), "b")
         .select($"a", $"b",
