@@ -94,9 +94,13 @@ object Dedup extends QueryPack {
     var rounds = 0
     while (!converged && rounds < maxRounds) {
       val prop = labels.join(edges, $"v" === $"a").select($"b".as("v"), $"lbl")
-      // checkpointed: consumed by BOTH sides of the shortcut self-join
-      val merged = labels.unionAll(prop).groupBy($"v").agg(min($"lbl").as("lbl"))
-        .localCheckpoint(true)
+      // checkpointed: consumed by BOTH sides of the shortcut self-join.
+      // Real-size-stats rebuild (FreshCheckpoint): |V|-scale, so its
+      // true size lets the static planner broadcast the pointer side
+      // of the shortcut self-join (the q235 finding).
+      val merged = org.apache.spark.sql.graft.FreshCheckpoint
+        .freshLocalCheckpoint(
+          labels.unionAll(prop).groupBy($"v").agg(min($"lbl").as("lbl")))
       // pointer-doubling shortcut: chase one hop through the label
       // table itself. Left join: a label is always a vertex of the
       // same component so the match exists, but coalesce keeps the

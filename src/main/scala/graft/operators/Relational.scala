@@ -180,7 +180,8 @@ object Relational extends QueryPack {
     * caller with a growing step fails loudly in review, not silently
     * in production. */
   private[graft] def iterateToFixpointPpm(init: DataFrame, maxIters: Int,
-      tolPpm: Long = 0L)(step: DataFrame => DataFrame): DataFrame = {
+      tolPpm: Long = 0L, realSizeStats: Boolean = true)
+      (step: DataFrame => DataFrame): DataFrame = {
     val Array(vcol, pcol) = init.columns
     var p = init.localCheckpoint()
     var it = 0
@@ -216,7 +217,8 @@ object Relational extends QueryPack {
       // 32-iteration cap). See [[org.apache.spark.sql.graft.FreshCheckpoint]].
       val joined = org.apache.spark.sql.graft.FreshCheckpoint
         .freshLocalCheckpoint(
-          step(p).toDF("v", "np").join(p.toDF("v", "op"), "v"))
+          step(p).toDF("v", "np").join(p.toDF("v", "op"), "v"),
+          realSizeStats = realSizeStats)
       done = joined.filter(abs(col("np") - col("op")) > tolPpm).isEmpty
       p = joined.select(col("v").as(vcol), col("np").as(pcol))
       it += 1
@@ -454,12 +456,17 @@ object Relational extends QueryPack {
       // materialized: both semi-joins consume `keep`, and without the
       // checkpoint each re-ran the |2E|-row degree aggregation inside
       // one round's plan — two full-degree passes per round for one
-      // round's worth of information
-      val keep = deg.filter($"deg" >= kv).select($"v").localCheckpoint()
-      val next = e.join(keep.withColumnRenamed("v", "a"), Seq("a"),
-          "left_semi")
-        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
-        .select($"a", $"b").localCheckpoint()
+      // round's worth of information. Real-size-stats checkpoint: the
+      // keep set is |V|-scale and its true size lets the static
+      // planner broadcast it into both semi-joins, so the |E| edge
+      // side is never exchanged (the q235 finding).
+      val keep = org.apache.spark.sql.graft.FreshCheckpoint
+        .freshLocalCheckpoint(deg.filter($"deg" >= kv).select($"v"))
+      val next = org.apache.spark.sql.graft.FreshCheckpoint
+        .freshLocalCheckpoint(
+          e.join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+            .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+            .select($"a", $"b"))
       val m = next.count()
       done = m == n
       e = next; n = m; it += 1
@@ -531,16 +538,23 @@ object Relational extends QueryPack {
                                    maxHops: Int): DataFrame = {
     val s = dirE.sparkSession
     import s.implicits._
-    var visited = seeds.withColumn("hop", lit(0L)).localCheckpoint()
-    var frontier = seeds.localCheckpoint()
+    // real-size-stats checkpoints (FreshCheckpoint): the frontier and
+    // visited states are |V|-scale, and their true materialized sizes
+    // let the static planner broadcast them under the per-hop |E| join
+    // and anti-join (plain localCheckpoint carries join-product
+    // estimates that block the broadcast until AQE has already
+    // materialized the edge-side exchange — the q235 finding)
+    val fresh = org.apache.spark.sql.graft.FreshCheckpoint
+      .freshLocalCheckpoint(_: DataFrame)
+    var visited = fresh(seeds.withColumn("hop", lit(0L)))
+    var frontier = fresh(seeds)
     for (h <- 1 to maxHops) {
-      val next = dirE.join(frontier.withColumnRenamed("v", "u"), Seq("u"))
-        .select($"v").distinct()
-        .join(visited.select($"v"), Seq("v"), "left_anti")
-        .localCheckpoint()
-      visited = visited
-        .unionAll(next.withColumn("hop", lit(h.toLong)))
-        .localCheckpoint()
+      val next = fresh(
+        dirE.join(frontier.withColumnRenamed("v", "u"), Seq("u"))
+          .select($"v").distinct()
+          .join(visited.select($"v"), Seq("v"), "left_anti"))
+      visited = fresh(
+        visited.unionAll(next.withColumn("hop", lit(h.toLong))))
       frontier = next
     }
     visited.groupBy($"hop").agg(count(lit(1)).as("n_vertices"))
@@ -573,8 +587,12 @@ object Relational extends QueryPack {
     // O(maxHops·|visited|) duplicate materialization. The lazy union
     // scans the same checkpointed blocks with zero re-copying; the
     // frontier is a free projection of the newest checkpoint.
-    val init = seeds.select($"sd", $"sd".as("v"), lit(0L).as("hop"))
-      .localCheckpoint()
+    // Real-size-stats checkpoints (FreshCheckpoint): the per-hop state
+    // is |frontier|-scale, and its true size lets the static planner
+    // broadcast it under the |E| expansion join (the q235 finding).
+    val fresh = org.apache.spark.sql.graft.FreshCheckpoint
+      .freshLocalCheckpoint(_: DataFrame)
+    val init = fresh(seeds.select($"sd", $"sd".as("v"), lit(0L).as("hop")))
     var parts = Vector(init)
     var frontier = init.select($"sd", $"v")
     var h = 1
@@ -584,13 +602,12 @@ object Relational extends QueryPack {
     // this halves the pass count; results are identical by definition
     var exhausted = false
     while (h <= maxHops && !exhausted) {
-      val next = dirE.toDF("u", "w")
+      val next = fresh(dirE.toDF("u", "w")
         .join(frontier.withColumnRenamed("v", "u"), Seq("u"))
         .select($"sd", $"w".as("v")).distinct()
         .join(parts.map(_.select($"sd", $"v")).reduce(_ unionAll _),
           Seq("sd", "v"), "left_anti")
-        .withColumn("hop", lit(h.toLong))
-        .localCheckpoint()
+        .withColumn("hop", lit(h.toLong)))
       if (next.isEmpty) {
         exhausted = true
       } else {
@@ -623,19 +640,25 @@ object Relational extends QueryPack {
       maxHops: Int): Vector[DataFrame] = {
     val s = dirE.sparkSession
     import s.implicits._
+    // real-size-stats checkpoints (FreshCheckpoint): the per-level
+    // state is |frontier|-scale, and its true materialized size lets
+    // the static planner broadcast it under the per-hop |E| join —
+    // with plain localCheckpoint the carried size ESTIMATE is a join
+    // product that blocks the broadcast until AQE has already
+    // materialized the edge-side exchange (the q235 finding)
+    val fresh = org.apache.spark.sql.graft.FreshCheckpoint
+      .freshLocalCheckpoint(_: DataFrame)
     var sig = Vector(
-      seeds.select($"sd", $"sd".as("v"), lit(1L).as("sig"))
-        .localCheckpoint(true))
+      fresh(seeds.select($"sd", $"sd".as("v"), lit(1L).as("sig"))))
     var live = true
     for (h <- 1 to maxHops) {
       if (live) {
-        val next = sig(h - 1).toDF("sd", "u", "sigu")
+        val next = fresh(sig(h - 1).toDF("sd", "u", "sigu")
           .join(dirE, Seq("u"))
           .groupBy($"sd", $"v")
           .agg(sum($"sigu").cast("bigint").as("sig"))
           .join(sig.map(_.select($"sd", $"v")).reduce(_ unionAll _),
-            Seq("sd", "v"), "left_anti")
-          .localCheckpoint(true)
+            Seq("sd", "v"), "left_anti"))
         if (next.isEmpty) live = false
         sig = sig :+ next
       } else {
@@ -836,7 +859,10 @@ object Relational extends QueryPack {
       sc.crossJoin(broadcast(mx))
         .select($"p".as("v"), expr("(sp * 1000000L) div mx").as("p"))
     }
-    iterateToFixpointPpm(init, maxIters, tolPpm = 1L)(step)
+    // realSizeStats = false: see freshLocalCheckpoint's scaladoc — the
+    // two-hop chain re-plans WORSE under a statically-broadcast state
+    iterateToFixpointPpm(init, maxIters, tolPpm = 1L,
+      realSizeStats = false)(step)
   }
 
   /** PERSONALIZED PageRank [Jeh & Widom, WWW'03] — q161's core:
@@ -924,15 +950,22 @@ object Relational extends QueryPack {
     import s.implicits._
     val (dw, wdeg) = pre.getOrElse {
       // derived-substrate path (q331's word graph, the property
-      // specs): materialize ONCE, u-partitioned + sorted, instead of
-      // re-deriving the weighted-degree agg and the directed union
-      // inside every iteration's plan — 12 iterations used to re-run
-      // both from the cooc frame each round; now each round's |E| join
-      // reads the checkpointed layout exchange-free (the coocDir rule)
-      val w = weightedDegree(cooc).localCheckpoint()
-      val dwp = weightedDirected(cooc, w)
-        .repartition(col("u")).sortWithinPartitions(col("u"))
-        .localCheckpoint()
+      // specs): materialize ONCE instead of re-deriving the
+      // weighted-degree agg and the directed union inside every
+      // iteration's plan — 12 iterations used to re-run both from the
+      // cooc frame each round. layoutLocalCheckpoint claims the
+      // u-hash layout for real (r20: a plain localCheckpoint after a
+      // repartition reports UnknownPartitioning under AQE — the r19
+      // "reads the checkpointed layout exchange-free" comment here was
+      // plan-false) and supplies the true materialized size, so each
+      // round's join either broadcasts the small state or reuses the
+      // claimed layout — never re-exchanges the |E| side.
+      val s2 = cooc.sparkSession
+      val n = s2.conf.get("spark.sql.shuffle.partitions").toInt
+      val w = org.apache.spark.sql.graft.FreshCheckpoint
+        .freshLocalCheckpoint(weightedDegree(cooc))
+      val dwp = org.apache.spark.sql.graft.FreshCheckpoint
+        .layoutLocalCheckpoint(weightedDirected(cooc, w), Seq("u"), n)
       (dwp, w)
     }
     val nV = wdeg.agg(count(lit(1)).as("n_v"))
@@ -1976,13 +2009,20 @@ object Relational extends QueryPack {
       val rankCase = "CASE WHEN h % 36028797018963968 = 0 THEN" +
         " CAST(56 AS BIGINT) ELSE CAST(55 -" +
         " (length(bin(h % 36028797018963968)) - 1) AS BIGINT) END"
-      var regs = coocDeg(s, d).select($"v")
+      // real-size-stats checkpoints (FreshCheckpoint): the register
+      // bank is |V| rows × 256 B, and its true materialized size lets
+      // the static planner broadcast it under each round's |E| join
+      // instead of exchanging the edge side first (the q235 finding);
+      // at a scale where the bank outgrows the broadcast threshold the
+      // real size correctly reverts the round to the shuffle path
+      val fresh = org.apache.spark.sql.graft.FreshCheckpoint
+        .freshLocalCheckpoint(_: DataFrame)
+      var regs = fresh(coocDeg(s, d).select($"v")
         .withColumn("h", graft.functions.PortableHash.h60($"v"))
         .select($"v", expr(
           "transform(sequence(0, 31), i -> CASE WHEN i =" +
             s" CAST(h div 36028797018963968 AS INT) THEN $rankCase" +
-            " ELSE CAST(0 AS BIGINT) END)").as("regs"))
-        .localCheckpoint(true)
+            " ELSE CAST(0 AS BIGINT) END)").as("regs")))
       def nf(r: DataFrame, hop: Int): DataFrame = r
         .select(expr(
           "aggregate(regs, CAST(0 AS BIGINT), (acc, g) -> acc +" +
@@ -1996,13 +2036,12 @@ object Relational extends QueryPack {
         .select(lit(hop.toLong).as("hop"), $"nf_est")
       val curves = scala.collection.mutable.ArrayBuffer(nf(regs, 0))
       for (h <- 1 to 4) {
-        regs = dir.join(regs.toDF("nb", "regs"), $"v" === $"nb")
+        regs = fresh(dir.join(regs.toDF("nb", "regs"), $"v" === $"nb")
           .select($"u".as("v"), $"regs")
           .unionAll(regs)
           .groupBy($"v")
           .agg(array((0 until 32).map(i => max($"regs"(i))): _*)
-            .as("regs"))
-          .localCheckpoint(true)
+            .as("regs")))
         curves += nf(regs, h)
       }
       val curve = curves.reduce(_ unionAll _)
@@ -2170,20 +2209,23 @@ object Relational extends QueryPack {
       // more σ jobs semi-joined against it (9+ eager checkpoints for
       // the same per-level frames these 5 produce).
       val sig = multiSeedSigmaLevels(dir, seeds, 4)
-      // backward: δ per hop level, deepest first
+      // backward: δ per hop level, deepest first. Real-size-stats
+      // checkpoints: each level's δ state is |level|-scale, and its
+      // true size lets the static planner broadcast it (and the σ
+      // levels) under the per-level |E| join — the q235 finding.
       var del = sig(4).select($"sd", $"v", lit(0L).as("delta")).limit(0)
       val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       for (h <- 3 to 0 by -1) {
-        val dh = sig(h).toDF("sd", "v", "sigv")
-          .join(dir.toDF("v", "w"), Seq("v"))
-          .join(sig(h + 1).toDF("sd", "w", "sigw"), Seq("sd", "w"))
-          .join(del.toDF("sd", "w", "dw"), Seq("sd", "w"), "left")
-          .select($"sd", $"v", $"sigv", $"sigw",
-            coalesce($"dw", lit(0L)).as("dw"))
-          .groupBy($"sd", $"v")
-          .agg(sum(expr("sigv * (1000000 + dw) div sigw"))
-            .cast("bigint").as("delta"))
-          .localCheckpoint(true)
+        val dh = org.apache.spark.sql.graft.FreshCheckpoint
+          .freshLocalCheckpoint(sig(h).toDF("sd", "v", "sigv")
+            .join(dir.toDF("v", "w"), Seq("v"))
+            .join(sig(h + 1).toDF("sd", "w", "sigw"), Seq("sd", "w"))
+            .join(del.toDF("sd", "w", "dw"), Seq("sd", "w"), "left")
+            .select($"sd", $"v", $"sigv", $"sigw",
+              coalesce($"dw", lit(0L)).as("dw"))
+            .groupBy($"sd", $"v")
+            .agg(sum(expr("sigv * (1000000 + dw) div sigw"))
+              .cast("bigint").as("delta")))
         parts += dh
         del = dh
       }
@@ -2958,7 +3000,9 @@ object Relational extends QueryPack {
     "q263_ktruss_peel" -> ((s, d) => {
       import s.implicits._
       val k = 10
-      var e = coocEdges(s, d).localCheckpoint()
+      val fresh = org.apache.spark.sql.graft.FreshCheckpoint
+        .freshLocalCheckpoint(_: DataFrame)
+      var e = fresh(coocEdges(s, d))
       for (_ <- 1 to 4) {
         val dg = e.select($"a".as("x")).unionAll(e.select($"b".as("x")))
           .groupBy($"x").agg(count(lit(1)).as("dx"))
@@ -2967,9 +3011,12 @@ object Relational extends QueryPack {
         // adjacency build and the triangle probe, adj feeds both
         // intersect sides — unmaterialized, each reference re-ran the
         // orientation join / collect_list agg within every round's
-        // plan. One eager checkpoint each makes every reference a scan.
-        val ed = orientEdges(e, dg).localCheckpoint()
-        val adj = orientedAdjacency(ed).localCheckpoint()
+        // plan. One eager checkpoint each makes every reference a
+        // scan; real-size-stats checkpoints (FreshCheckpoint) let the
+        // static planner broadcast whichever of ed/adj/sup actually
+        // fits instead of estimating from join products (q235 rule).
+        val ed = fresh(orientEdges(e, dg))
+        val adj = fresh(orientedAdjacency(ed))
         val tri = orientedTriangles(ed, adj)
         val sup = tri.select(explode(array(
             struct(least($"u", $"w").as("a"), greatest($"u", $"w").as("b")),
@@ -2978,8 +3025,8 @@ object Relational extends QueryPack {
             .as("ed"))
           .groupBy($"ed.a".as("a"), $"ed.b".as("b"))
           .agg(count(lit(1)).as("sup"))
-        e = e.join(sup, Seq("a", "b")).filter($"sup" >= k - 2)
-          .select($"a", $"b").localCheckpoint()
+        e = fresh(e.join(sup, Seq("a", "b")).filter($"sup" >= k - 2)
+          .select($"a", $"b"))
       }
       e.unionAll(e.select($"b".as("a"), $"a".as("b")))
         .groupBy($"a".as("part")).agg(count(lit(1)).as("truss_deg"))

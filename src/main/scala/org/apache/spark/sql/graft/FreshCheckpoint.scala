@@ -68,11 +68,45 @@ import org.apache.spark.sql.functions.col
   * while AQE's runtime conversion sees real sizes.
   */
 object FreshCheckpoint {
-  def freshLocalCheckpoint(df: DataFrame): DataFrame = {
+  /** The REAL materialized size of the (eager) checkpoint's persisted
+    * blocks, from the block manager — not an estimate. Supplying it as
+    * the rebuilt LogicalRDD's stats (constant per iteration — the
+    * squaring feedback is still cut) lets the STATIC planner broadcast
+    * a small iteration state: measured round 20 on q235 (Katz), the
+    * default ∞ estimate forced every iteration's |E|-row join to plan
+    * SMJ, and although AQE converted it to a broadcast join at
+    * runtime, the edge-side exchange had already materialized by then
+    * (AQE re-plans a join only after its child stages ran) — 329 MB of
+    * per-query shuffle for a 20 MB edge cache. Real stats are also the
+    * honest scale guard: a 100 TB state reports its true size and
+    * correctly stays on the shuffle path. */
+  private def realStats(cds: org.apache.spark.sql.classic.Dataset[Row],
+      rddId: Int): Option[org.apache.spark.sql.catalyst.plans.logical.Statistics] =
+    cds.sparkSession.sparkContext.getRDDStorageInfo.find(_.id == rddId)
+      .map { i =>
+        org.apache.spark.sql.catalyst.plans.logical.Statistics(
+          sizeInBytes = BigInt(i.memSize + i.diskSize).max(1))
+      }
+
+  /** `realSizeStats = false` keeps the ∞ default estimate instead —
+    * measured necessary for HITS (q212), whose two-hop step chains two
+    * |E| joins off the same cached incidence list: statically
+    * broadcasting the state re-plans the chain into per-iteration
+    * edge-side exchanges (11.8 s vs 6.6 s paired at sf0.1), while the
+    * ∞ estimate keeps AQE's runtime shape. Every other fixpoint
+    * measured faster (or flat) with real stats. */
+  def freshLocalCheckpoint(df: DataFrame,
+      realSizeStats: Boolean = true): DataFrame = {
     val ck = df.localCheckpoint()
     val cds = ck.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
-    cds.sparkSession.internalCreateDataFrame(
-      cds.queryExecution.toRdd, cds.schema)
+    cds.queryExecution.analyzed match {
+      case lr: LogicalRDD if realSizeStats =>
+        org.apache.spark.sql.classic.Dataset.ofRows(cds.sparkSession,
+          lr.copy()(cds.sparkSession, realStats(cds, lr.rdd.id), None))
+      case _ =>
+        cds.sparkSession.internalCreateDataFrame(
+          cds.queryExecution.toRdd, cds.schema)
+    }
   }
 
   def layoutLocalCheckpoint(df: DataFrame, keys: Seq[String], n: Int,
@@ -94,7 +128,7 @@ object FreshCheckpoint {
           if (sorted) attrs.map(a => SortOrder(a, Ascending)) else Nil
         org.apache.spark.sql.classic.Dataset.ofRows(cds.sparkSession,
           lr.copy(outputPartitioning = part, outputOrdering = ord)(
-            cds.sparkSession, None, None))
+            cds.sparkSession, realStats(cds, lr.rdd.id), None))
       case other =>
         // localCheckpoint stopped returning a bare LogicalRDD — fall
         // back to the layout-free rebuild rather than claim anything
